@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates every oracle-checkable query from the operator inventory
+  * (SURVEY §2) and the training-data-pipeline extensions.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core loop (EP1): build RECORDs, anti-join the push
+    * log, count what would be pushed — here over customer/orders.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    ops.Relational.j1NotInAnti(spark, dir)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ push.PushQueries.queries
+
+  /** DuckDB-runnable oracle SQL twins (same column names — the driver's
+    * compare sorts columns by name before hashing).
+    */
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ push.PushQueries.oracles
 }

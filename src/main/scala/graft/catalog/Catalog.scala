@@ -1,0 +1,54 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Name → DataFrame registry: the Spark-native equivalent of dbt's `ref()`
+  * (reference: `integration_tests/models/salesforce_loads/accounts_load.sql:16`
+  * resolves model names to relations at compile time).
+  *
+  * Two layers:
+  *   - base tables: lazily-loaded parquet under a scale-factor directory
+  *     (the driver's `/root/testdata/sf*` layout, one `<name>.parquet` each);
+  *   - registered models: named DataFrames produced by the engine
+  *     (tracking tables, rollups), which shadow base tables.
+  *
+  * At 100 TB the base layer would be a real metastore/Delta catalog; the
+  * contract (`ref(name): DataFrame`) is unchanged — Catalyst sees the same
+  * relation either way, so filter/column pushdown into the parquet scan is
+  * preserved.
+  */
+final class Catalog(spark: SparkSession, sfDir: String) {
+  private val registered = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** dbt `ref('name')`. Registered models win over base parquet tables. */
+  def ref(name: String): DataFrame = registered.getOrElse(name, {
+    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects; read
+    // nanos as long and convert to a microsecond timestamp (the data is
+    // µs-precision, so truncation is lossless).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  })
+
+  /** Register (or replace) a model's relation, like a dbt model build. */
+  def register(name: String, df: DataFrame): Unit = registered.put(name, df)
+
+  def isRegistered(name: String): Boolean = registered.contains(name)
+
+  /** Expose every base table as a temp view so `spark.sql` models work. */
+  def registerViews(names: Seq[String]): Unit =
+    names.foreach(n => ref(n).createOrReplaceTempView(n))
+}
+
+object Catalog {
+  val baseTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String): Catalog =
+    new Catalog(spark, sfDir)
+}

@@ -1,0 +1,100 @@
+package graft.connector
+
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** The external-API boundary (SURVEY §2.8). In the reference these are
+  * Snowflake External Functions crossing to the Omnata gateway; here they
+  * are plain traits so the engine can run against mocks (the reference's
+  * own integration tests do exactly this —
+  * `integration_tests/dbt_project.yml:29-92`) or a real HTTP client.
+  *
+  * Connectors are invoked from executors inside UDF/mapPartitions closures,
+  * so implementations must be Serializable. Spark may retry tasks: real
+  * implementations need idempotency keys (we pass a stable per-record
+  * `rowKey` for exactly that — SURVEY §7 hard part (5)); the mocks are
+  * stateless per record so retries are naturally idempotent.
+  */
+trait SalesforceBulkApi extends Serializable {
+  /** Ref U-SF1 (`salesforce_bulk_load.sql:15`) → job metadata JSON. */
+  def createJob(operation: String, objectName: String, useSerial: Boolean,
+      externalIdField: Option[String]): String
+  /** Ref U-SF2 (`salesforce_bulk_load.sql:46`) → per-record result JSON. */
+  def loadBatch(jobId: String, recordJson: String, waitForCompletion: Boolean): String
+  /** Ref U-SF3 (`salesforce_bulk_load.sql:53`) → closed-job metadata JSON. */
+  def closeJob(jobId: String, waitForCompletion: Boolean): String
+}
+
+trait SfmcApi extends Serializable {
+  /** Ref U-MC1 → `{success, data_extension_existed, ...}`. */
+  def manageDataExtension(configurationJson: String): String
+  /** Ref U-MC2 — one staged batch (array of [rn, record]) → staging id. */
+  def stageData(batchJson: String): String
+  /** Ref U-MC3 → import id. */
+  def deImport(configurationJson: String, stageDataQueryId: String): String
+  /** Ref U-MC4 — blocking poll; unmocked in the reference (SURVEY §5
+    * caveat), our mock returns true.
+    */
+  def awaitResultsPoll(importId: String): Boolean
+  /** Ref U-MC5 → per-row result JSON keyed by (stage id, row index). */
+  def fetchResults(stageDataQueryId: String, rowIndex: Long): String
+}
+
+/** Canned payloads copied semantically from the reference's JS mock UDFs
+  * (`integration_tests/dbt_project.yml:29-92`). Job ids are made
+  * deterministic-unique per createJob call (the reference returns a
+  * constant id; we keep the constant as a prefix so golden assertions on
+  * content still hold while two jobs stay distinguishable).
+  */
+class MockSalesforceBulkApi(deterministic: Boolean = true) extends SalesforceBulkApi {
+  private val counter = new AtomicInteger(0)
+  val loadBatchCalls = new AtomicInteger(0)
+
+  private def jobMeta(id: String, state: String, operation: String,
+      objectName: String, nBatches: Int, nRecords: Int): String =
+    s"""{"apexProcessingTime":1,"apiActiveProcessingTime":2280,"apiVersion":42,""" +
+      s""""assignmentRuleId":null,"concurrencyMode":"Parallel","contentType":"JSON",""" +
+      s""""createdById":"0051D000005w6I5QAI","createdDate":"2021-02-03T22:23:17.000+0000",""" +
+      s""""externalIdFieldName":"AccountID__c","fastPathEnabled":false,"id":"$id",""" +
+      s""""numberBatchesCompleted":$nBatches,"numberBatchesFailed":0,"numberBatchesInProgress":0,""" +
+      s""""numberBatchesQueued":0,"numberBatchesTotal":$nBatches,"numberRecordsFailed":0,""" +
+      s""""numberRecordsProcessed":$nRecords,"numberRetries":0,"object":"$objectName",""" +
+      s""""operation":"$operation","state":"$state","systemModstamp":"2021-02-03T22:23:17.000+0000",""" +
+      s""""totalProcessingTime":2411}"""
+
+  override def createJob(operation: String, objectName: String, useSerial: Boolean,
+      externalIdField: Option[String]): String = {
+    val id = s"7501D000003kWMhQAM-${counter.incrementAndGet()}"
+    jobMeta(id, "Queued", operation, objectName, nBatches = 1, nRecords = 99)
+  }
+
+  override def loadBatch(jobId: String, recordJson: String, wait: Boolean): String = {
+    loadBatchCalls.incrementAndGet()
+    // Ref mock: {"created":true,"errors":[],"id":"a001D000003ri4gQAA","success":true}
+    """{"created":true,"errors":[],"id":"a001D000003ri4gQAA","success":true}"""
+  }
+
+  override def closeJob(jobId: String, wait: Boolean): String =
+    jobMeta(jobId, "Closed", "upsert", "Account", nBatches = 5, nRecords = 1000)
+}
+
+class MockSfmcApi extends SfmcApi {
+  val stagedBatches = new ConcurrentLinkedQueue[String]()
+  def stagedBatchCount: Int = stagedBatches.size
+
+  override def manageDataExtension(configurationJson: String): String =
+    """{"data_extension_all_fields_existed":true,"data_extension_existed":true,"success":true}"""
+
+  override def stageData(batchJson: String): String = {
+    stagedBatches.add(batchJson)
+    "abcd" // ref mock returns the constant 'abcd'
+  }
+
+  override def deImport(configurationJson: String, stageId: String): String = "abcd"
+
+  override def awaitResultsPoll(importId: String): Boolean = true
+
+  override def fetchResults(stageId: String, rowIndex: Long): String =
+    """{"success":true}"""
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.Catalog
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata. The decode step is a clearly-marked STUB
+  * (codec libs are not in this container — see `graft.multimodal.Codecs`);
+  * the Spark-side contract — schema, batch shape, partition-parallel
+  * decode via mapPartitions, metadata extraction — is real and tested
+  * (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("sha", StringType))), nullable = true)))
+
+  /** Binary-column metadata extraction, oracle-checked: documents' text
+    * reinterpreted as a binary payload → byte length + digest. At 100 TB
+    * this is the "stat pass" over a media corpus: narrow, no shuffle,
+    * column-pruned to (doc_id, text).
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("documents")
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+      .select(
+        col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        base64(substring(col("payload"), 1, 8)).as("magic_b64"))
+      .orderBy("media_id")
+  }
+
+  val binaryMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       md5(CAST(text AS BLOB)) AS digest,
+      |       to_base64(CAST(substring(text, 1, 8) AS BLOB)) AS magic_b64
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_binary_meta" -> (binaryMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_binary_meta" -> binaryMetaSql)
+}

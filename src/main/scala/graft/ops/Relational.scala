@@ -1,0 +1,490 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.catalog.Catalog
+
+/** SURVEY.md §2 relational operator inventory, re-expressed Spark-first over
+  * the driver's TPC-H-ish testdata. Every query here is deterministic
+  * (explicit ORDER BY, exact decimal accumulation for double sums, no
+  * uuid()/current_timestamp()) so the DuckDB oracle hash-matches.
+  *
+  * Scale notes (100 TB): every query is a declarative DataFrame plan —
+  * filters/projections push into the parquet scan, aggregates run
+  * partial+final, the 1-row metadata joins are explicit `broadcast`, and
+  * the anti-joins shuffle only the key columns after pruning.
+  */
+object Relational {
+
+  /** Exact double summation: accumulate as decimal (associative, order
+    * independent), emit double. A plain sum(double) differs between Spark
+    * and DuckDB in the last ulp because the addition order differs.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  // ---- S1/S2/P1: scan + projection + aliasing --------------------------
+  /** Ref: accounts_load.sql:14-16 — project source columns under API names. */
+  def p1Projection(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("customer")
+      .select(
+        col("c_custkey").as("account_id"),
+        col("c_name").as("name"),
+        col("c_acctbal").as("balance"))
+      .orderBy("account_id")
+  }
+
+  val p1ProjectionSql: String =
+    """SELECT c_custkey AS account_id, c_name AS name, c_acctbal AS balance
+      |FROM customer ORDER BY account_id""".stripMargin
+
+  // ---- P2/F1: OBJECT_CONSTRUCT → JSON RECORD ---------------------------
+  /** Ref: accounts_load.sql:14-15 — build the single-column RECORD relation.
+    * Spark: struct → to_json (VARIANT stays a JSON string at the oracle
+    * boundary; SURVEY §7 "hard parts" (2)).
+    */
+  def p2Record(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("customer")
+      .select(
+        col("c_custkey").as("account_id"),
+        to_json(struct(
+          col("c_name").as("Name"),
+          col("c_custkey").cast("string").as("AccountID__c"))).as("record"))
+      .orderBy("account_id")
+  }
+
+  val p2RecordSql: String =
+    """SELECT c_custkey AS account_id,
+      |       to_json(struct_pack("Name" := c_name,
+      |                           "AccountID__c" := CAST(c_custkey AS VARCHAR))) AS record
+      |FROM customer ORDER BY account_id""".stripMargin
+
+  /** Nested RECORD — ref: transactions_daily_load.sql:12-17
+    * (`'Account__r', OBJECT_CONSTRUCT(...)`).
+    */
+  def p2RecordNested(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .select(
+        col("o_orderkey").as("order_id"),
+        to_json(struct(
+          concat(col("o_custkey").cast("string"), lit("_"),
+            col("o_orderdate").cast("date").cast("string")).as("Duplicate_Key__c"),
+          col("o_totalprice").as("Total_Transactions_Sum__c"),
+          struct(col("o_custkey").cast("string").as("AccountID__c")).as("Account__r")
+        )).as("record"))
+      .orderBy("order_id")
+  }
+
+  val p2RecordNestedSql: String =
+    """SELECT o_orderkey AS order_id,
+      |       to_json(struct_pack(
+      |         "Duplicate_Key__c" := CAST(o_custkey AS VARCHAR) || '_' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+      |         "Total_Transactions_Sum__c" := o_totalprice,
+      |         "Account__r" := struct_pack("AccountID__c" := CAST(o_custkey AS VARCHAR))
+      |       )) AS record
+      |FROM orders ORDER BY order_id""".stripMargin
+
+  // ---- P4/F10: conjunctive predicates, boolean equality ----------------
+  /** Ref: accounts_load.sql:26-27 — `name = '<x>' and json:"success" = true`. */
+  def p4Filter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100.0 &&
+        (col("o_orderpriority") === "1-URGENT") === lit(true))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val p4FilterSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 100.0
+      |  AND (o_orderpriority = '1-URGENT') = true
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- P5/F4: cast predicate on date ------------------------------------
+  /** Ref: transactions_daily.sql:14 — `ts::date < current_date()`; the
+    * oracle pins a fixed date so both engines agree.
+    */
+  def p5DateCast(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("lineitem")
+      .filter(col("l_shipdate").cast("date") < lit("1995-06-01").cast("date"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val p5DateCastSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) < DATE '1995-06-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- P6: scalar-subquery watermark ------------------------------------
+  /** Ref: transactions_daily.sql:19 — `ts > (select max(ts) from {{this}})`.
+    * Watermark = max orderdate among 'F' orders; rows strictly newer pass.
+    * Spark supports scalar subqueries in SQL; the DataFrame form computes
+    * the watermark as a 1-row broadcast join (no driver collect needed at
+    * scale, though Incremental.scala uses the collected form for control
+    * flow).
+    */
+  def p6Watermark(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val o = c.ref("orders")
+    val wm = o.filter(col("o_orderstatus") === "F")
+      .agg(max(col("o_orderdate")).as("wm"))
+    o.crossJoin(broadcast(wm))
+      .filter(col("o_orderdate") > col("wm"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  val p6WatermarkSql: String =
+    """SELECT o_orderkey, o_orderdate
+      |FROM orders
+      |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- J1: NOT IN anti-join (the incremental-load core) -----------------
+  /** Ref: accounts_load.sql:23-28 — exclude records already pushed.
+    * `NOT IN` over a non-null key ≡ left_anti (SURVEY §7 hard part (1));
+    * the "log" side here is the set of F-status orders ≥ a price floor.
+    * At scale: left_anti shuffles only after the subquery's filters are
+    * pushed below the join by Catalyst.
+    */
+  def j1NotInAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val li = c.ref("lineitem")
+    val pushedLog = c.ref("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"))
+    li.join(pushedLog, li("l_orderkey") === pushedLog("o_orderkey"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val j1NotInAntiSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Whole-RECORD membership — ref: contacts_load.sql:32-37
+    * (`RECORD not in (select logs.RECORD ...)`): anti-join on the full
+    * serialized record, not a key column.
+    */
+  def j1RecordAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recs = c.ref("customer").select(
+      to_json(struct(
+        col("c_name").as("Name"),
+        col("c_mktsegment").as("Segment"))).as("record"))
+    val already = c.ref("customer")
+      .filter(col("c_acctbal") < 0)
+      .select(to_json(struct(
+        col("c_name").as("Name"),
+        col("c_mktsegment").as("Segment"))).as("record"))
+    recs.join(already, Seq("record"), "left_anti")
+      .orderBy("record")
+  }
+
+  val j1RecordAntiSql: String =
+    """WITH recs AS (
+      |  SELECT to_json(struct_pack("Name" := c_name, "Segment" := c_mktsegment)) AS record
+      |  FROM customer),
+      |already AS (
+      |  SELECT to_json(struct_pack("Name" := c_name, "Segment" := c_mktsegment)) AS record
+      |  FROM customer WHERE c_acctbal < 0)
+      |SELECT record FROM recs
+      |WHERE record NOT IN (SELECT record FROM already)
+      |ORDER BY record""".stripMargin
+
+  // ---- J2: cartesian join with 1-row metadata ---------------------------
+  /** Ref: salesforce_bulk_load.sql:47 — `from load_source, {{temp_table}}`:
+    * broadcast job metadata onto every record. The metadata relation is a
+    * 1-row aggregate; `broadcast(...)` makes the cross join a zero-shuffle
+    * map-side operation at any scale.
+    */
+  def j2CrossMeta(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val meta = c.ref("orders").agg(
+      max(col("o_orderdate")).as("job_watermark"),
+      count(lit(1)).as("job_total"))
+    c.ref("nation")
+      .crossJoin(broadcast(meta))
+      .select(col("n_nationkey"), col("n_name"), col("job_watermark"), col("job_total"))
+      .orderBy("n_nationkey")
+  }
+
+  val j2CrossMetaSql: String =
+    """SELECT n_nationkey, n_name, m.job_watermark, m.job_total
+      |FROM nation,
+      |     (SELECT max(o_orderdate) AS job_watermark, count(*) AS job_total FROM orders) m
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---- J3/A6: update-with-join ------------------------------------------
+  /** Ref: salesforce_bulk_load.sql:52-56 — `update tasks set close_metadata
+    * = f(...) from tmp where job_id = METADATA:"id"`. Spark/Parquet has no
+    * in-place update: read target, left-join the update source, coalesce
+    * the new value, rewrite (TrackingTable.updateJoin does the atomic
+    * swap; this query exposes the post-update relation).
+    */
+  def j3UpdateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val target = c.ref("customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = c.ref("orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("new_bal"))
+    target.join(updates, target("c_custkey") === updates("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val j3UpdateJoinSql: String =
+    """SELECT c_custkey, c_name, coalesce(u.new_bal, c_acctbal) AS c_acctbal
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey,
+      |                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS new_bal
+      |           FROM orders GROUP BY o_custkey) u
+      |  ON c_custkey = u.o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- G1: group-by rollup ----------------------------------------------
+  /** Ref: transactions_daily.sql:5-12 — daily rollup, two keys (one a cast
+    * expr), two SUMs. Hash aggregate, partial+final — at 100 TB the
+    * map-side partial agg collapses the shuffle to |groups| rows.
+    */
+  def g1Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .groupBy(col("o_custkey").as("account_id"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_amount"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("account_id", "order_date")
+  }
+
+  val g1RollupSql: String =
+    """SELECT o_custkey AS account_id, CAST(o_orderdate AS DATE) AS order_date,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_amount,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- G3: array_agg batching -------------------------------------------
+  /** Ref: marketing_cloud_data_extension_upload.sql:60-63 —
+    * `array_agg(array_construct(rn, record)) group by batch_number`.
+    * Collected list is sorted for determinism (the reference's order is
+    * explicitly unspecified: `order by null`).
+    */
+  def g3BatchAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.orderBy(col("c_custkey"))
+    c.ref("customer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_number", floor((col("rn") - 1) / 100).cast("int"))
+      .groupBy(col("batch_number"))
+      .agg(count(lit(1)).as("batch_size"),
+        to_json(sort_array(collect_list(struct(
+          col("rn").as("rn"),
+          col("c_name").as("record"))))).as("batch_payload"))
+      .orderBy("batch_number")
+  }
+
+  val g3BatchAggSql: String =
+    """WITH numbered AS (
+      |  SELECT c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+      |  FROM customer)
+      |SELECT CAST(floor((rn - 1) / 100) AS INT) AS batch_number,
+      |       count(*) AS batch_size,
+      |       to_json(list(struct_pack(rn := rn, record := c_name) ORDER BY rn)) AS batch_payload
+      |FROM numbered
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- G4: any_value ------------------------------------------------------
+  /** Ref: marketing_cloud_data_extension_upload.sql:64-66 — `any_value` over
+    * a column constant within each group (the staging query id), so the
+    * "any" pick is deterministic.
+    */
+  def g4AnyValue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val n = c.ref("nation")
+    val cust = c.ref("customer")
+    cust.join(broadcast(n), cust("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(any_value(col("n_name")).as("nation_name"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("n_nationkey")
+  }
+
+  val g4AnyValueSql: String =
+    """SELECT n_nationkey, any_value(n_name) AS nation_name, count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+
+  // ---- W1/W2: global row_number + batch assignment -----------------------
+  /** Ref: marketing_cloud_data_extension_upload.sql:56-57. The reference
+    * numbers rows with `order by null` (order unspecified); we pin an
+    * explicit order for the oracle. The production path
+    * (MarketingCloudPush) uses zipWithIndex to avoid the single-partition
+    * window — this query keeps the literal window form for semantics.
+    */
+  def w1w2RowNumberBatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.orderBy(col("o_orderkey"))
+    c.ref("orders")
+      .select(col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_number", floor(col("rn") / 100).cast("int"))
+      .orderBy("rn")
+  }
+
+  val w1w2RowNumberBatchSql: String =
+    """SELECT o_orderkey, rn, CAST(floor(rn / 100) AS INT) AS batch_number
+      |FROM (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      |ORDER BY rn""".stripMargin
+
+  // ---- F8/F4: scalar function surface ------------------------------------
+  /** Ref: transactions_daily_load.sql:12-13 (`||` concat with implicit
+    * casts), casts F4, boolean eq F10.
+    */
+  def fScalars(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .select(
+        col("o_orderkey"),
+        concat(col("o_custkey").cast("string"), lit("_"),
+          col("o_orderdate").cast("date").cast("string")).as("duplicate_key"),
+        col("o_totalprice").cast("int").as("price_int"),
+        col("o_orderdate").cast("date").as("order_date"),
+        (col("o_orderstatus") === "O").as("is_open"))
+      .orderBy("o_orderkey")
+  }
+
+  val fScalarsSql: String =
+    """SELECT o_orderkey,
+      |       CAST(o_custkey AS VARCHAR) || '_' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS duplicate_key,
+      |       CAST(o_totalprice AS INT) AS price_int,
+      |       CAST(o_orderdate AS DATE) AS order_date,
+      |       o_orderstatus = 'O' AS is_open
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- M2: tracking-table incremental upsert semantics -------------------
+  /** Ref: tracking_table_materialization.sql:28-34 — delete-matching-keys +
+    * insert ≡ existing.anti(incoming) ∪ incoming. Modeled on orders:
+    * "existing" = F orders, "incoming" = P/O orders overlapping custkeys;
+    * keyed by o_orderkey.
+    */
+  def m2Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val o = c.ref("orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val existing = o.filter(col("o_orderkey") % 3 =!= 0)
+    val incoming = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    existing.join(incoming.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .union(incoming)
+      .orderBy("o_orderkey")
+  }
+
+  val m2UpsertSql: String =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |existing AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+      |incoming AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+      |             FROM base WHERE o_orderkey % 2 = 0)
+      |SELECT * FROM existing WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+      |UNION ALL
+      |SELECT * FROM incoming
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- M4: incremental watermark append (events) --------------------------
+  /** Ref: transactions_daily.sql:16-21 — on incremental runs, keep only rows
+    * newer than the existing relation's max timestamp. "Existing" = events
+    * in the first half of the time range.
+    */
+  def m4Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.ref("events")
+    val existingMax = e.filter(col("event_type") === "signup")
+      .agg(max(col("ts")).as("wm"))
+    e.crossJoin(broadcast(existingMax))
+      .filter(col("ts") > col("wm"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  val m4IncrementalSql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+      |SELECT event_id, ts, user_id, event_type
+      |FROM e
+      |WHERE ts > (SELECT max(ts) FROM e WHERE event_type = 'signup')
+      |ORDER BY event_id""".stripMargin
+
+  // ---- G2-adjacent: zero-row probe as data (count per group) --------------
+  /** Ref: salesforce.sql:7-17 — the probe is engine control flow
+    * (df.isEmpty); its data form is a count aggregate.
+    */
+  def g2CountProbe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val g2CountProbeSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** All oracle-checkable relational queries. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_projection" -> (p1Projection _),
+    "p2_record" -> (p2Record _),
+    "p2_record_nested" -> (p2RecordNested _),
+    "p4_filter" -> (p4Filter _),
+    "p5_date_cast" -> (p5DateCast _),
+    "p6_watermark" -> (p6Watermark _),
+    "j1_not_in_anti" -> (j1NotInAnti _),
+    "j1_record_anti" -> (j1RecordAnti _),
+    "j2_cross_meta" -> (j2CrossMeta _),
+    "j3_update_join" -> (j3UpdateJoin _),
+    "g1_rollup" -> (g1Rollup _),
+    "g2_count_probe" -> (g2CountProbe _),
+    "g3_batch_agg" -> (g3BatchAgg _),
+    "g4_any_value" -> (g4AnyValue _),
+    "w1w2_row_number_batch" -> (w1w2RowNumberBatch _),
+    "f_scalars" -> (fScalars _),
+    "m2_upsert" -> (m2Upsert _),
+    "m4_incremental" -> (m4Incremental _))
+
+  val oracles: Map[String, String] = Map(
+    "p1_projection" -> p1ProjectionSql,
+    "p2_record" -> p2RecordSql,
+    "p2_record_nested" -> p2RecordNestedSql,
+    "p4_filter" -> p4FilterSql,
+    "p5_date_cast" -> p5DateCastSql,
+    "p6_watermark" -> p6WatermarkSql,
+    "j1_not_in_anti" -> j1NotInAntiSql,
+    "j1_record_anti" -> j1RecordAntiSql,
+    "j2_cross_meta" -> j2CrossMetaSql,
+    "j3_update_join" -> j3UpdateJoinSql,
+    "g1_rollup" -> g1RollupSql,
+    "g2_count_probe" -> g2CountProbeSql,
+    "g3_batch_agg" -> g3BatchAggSql,
+    "g4_any_value" -> g4AnyValueSql,
+    "w1w2_row_number_batch" -> w1w2RowNumberBatchSql,
+    "f_scalars" -> fScalarsSql,
+    "m2_upsert" -> m2UpsertSql,
+    "m4_incremental" -> m4IncrementalSql)
+}

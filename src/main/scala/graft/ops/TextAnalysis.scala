@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * All are narrow per-row transformations — no shuffle, fully
+  * codegen-friendly (`functions._` only, no UDFs), so at 100 TB they run
+  * at parquet-scan speed with column pruning (only `doc_id`/`text` read).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization shared by all text ops. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  // ---- token counting -----------------------------------------------------
+  /** Whitespace token count + a BPE-ish subword estimate (word-piece regex:
+    * runs of letters, digits, or single punctuation — a public
+    * approximation of byte-pair tokenizer granularity, ~chars/4 heuristic
+    * cross-checked by the regex count).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(split(col("text"), "[a-z]+[0-9]*|[0-9]+|[^a-z0-9\\s]")).cast("long").minus(1).as("n_bpe_pieces_est"),
+        (length(col("text")).cast("double") / 4.0).as("n_tokens_char_est"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |       CAST(len(regexp_split_to_array(text, '[a-z]+[0-9]*|[0-9]+|[^a-z0-9\s]')) AS BIGINT) - 1 AS n_bpe_pieces_est,
+      |       CAST(length(text) AS DOUBLE) / 4.0 AS n_tokens_char_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- quality scoring ------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Heuristic document quality: length, punctuation density, stopword
+    * ratio, mean word length — the standard public web-corpus filters
+    * (C4/Gopher-style rules).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    c.ref("documents")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (nStop / nTok).as("stopword_ratio"),
+        (nPunct / nChars).as("punct_ratio"),
+        ((nChars - (nTok - 1.0)) / nTok).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+      |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                 t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+      |         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio,
+      |       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+      |         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |       (CAST(length(text) AS DOUBLE)
+      |         - (CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) - 1.0))
+      |         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- language ID ----------------------------------------------------------
+  /** Marker-token language heuristic (n-gram-lite): score en/es/fr/de by
+    * marker-word hits, CJK by char class; highest score wins, 'en' ties.
+    * Deliberately pure-SQL so the oracle can replicate it; a production
+    * fastText-style model would slot in behind the same column contract.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toks = tokens(lower(col("text")))
+    def score(markers: Seq[String]): Column = {
+      val arr = array(markers.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t)))
+    }
+    val en = score(Seq("the", "and", "of", "is"))
+    val es = score(Seq("el", "la", "de", "que", "los"))
+    val fr = score(Seq("le", "la", "les", "et", "est"))
+    val de = score(Seq("der", "die", "das", "und", "ist"))
+    val cjk = length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
+    c.ref("documents")
+      .select(col("doc_id"), en.as("score_en"), es.as("score_es"),
+        fr.as("score_fr"), de.as("score_de"), cjk.as("score_cjk"))
+      .withColumn("predicted_lang",
+        when(col("score_cjk") > 0, "cjk")
+          .when(col("score_es") > col("score_en") && col("score_es") >= col("score_fr")
+            && col("score_es") >= col("score_de"), "es")
+          .when(col("score_fr") > col("score_en") && col("score_fr") >= col("score_de"), "fr")
+          .when(col("score_de") > col("score_en"), "de")
+          .otherwise("en"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['the','and','of','is'], t))) AS score_en,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['el','la','de','que','los'], t))) AS score_es,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['le','la','les','et','est'], t))) AS score_fr,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['der','die','das','und','ist'], t))) AS score_de,
+      |    length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS score_cjk
+      |  FROM documents)
+      |SELECT doc_id, score_en, score_es, score_fr, score_de, score_cjk,
+      |  CASE WHEN score_cjk > 0 THEN 'cjk'
+      |       WHEN score_es > score_en AND score_es >= score_fr AND score_es >= score_de THEN 'es'
+      |       WHEN score_fr > score_en AND score_fr >= score_de THEN 'fr'
+      |       WHEN score_de > score_en THEN 'de'
+      |       ELSE 'en' END AS predicted_lang
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---- document fingerprinting ------------------------------------------------
+  /** Content fingerprints: md5 of whitespace-normalized text (exact-dup
+    * key) and md5 of the sorted distinct token bag (order-insensitive
+    * near-dup key). md5 is bit-identical across engines, so this is
+    * oracle-checkable; xxhash64 variants (faster, 8-byte) live in
+    * Dedup.minhash for the scale path.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("documents")
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", tokens(lower(col("text"))))).as("exact_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(col("text"))))))).as("bag_fp"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS exact_fp,
+      |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS bag_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> (tokenCounts _),
+    "text_quality" -> (qualityScore _),
+    "text_langid" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_counts" -> tokenCountsSql,
+    "text_quality" -> qualityScoreSql,
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql)
+}

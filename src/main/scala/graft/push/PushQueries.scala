@@ -1,0 +1,109 @@
+package graft.push
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Oracle-checkable data-plane projections of the push pipelines. The
+  * side-effecting runs are exercised in ScalaTest (PushPipelineSpec, with
+  * golden counts mirroring the reference's singular tests); these queries
+  * hash-check the deterministic relational shape of what the pipelines
+  * write: the log-insert statement and the full incremental-push model.
+  */
+object PushQueries {
+
+  /** The EP1 log-insert relation (`salesforce_bulk_load.sql:35-47`) on the
+    * customer "accounts": RECORD construction + job-metadata cross join +
+    * mock result, with uuid()/current_timestamp() replaced by a
+    * deterministic entry key (md5 of job+record) for the oracle.
+    */
+  def sfdcLogShape(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val jobId = "7501D000003kWMhQAM-1"
+    val mockResult = """{"created":true,"errors":[],"id":"a001D000003ri4gQAA","success":true}"""
+    c.ref("customer")
+      .select(to_json(struct(
+        col("c_name").as("Name"),
+        col("c_custkey").cast("string").as("AccountID__c"))).as("record"))
+      .select(
+        lit(jobId).as("job_id"),
+        md5(concat(lit(jobId), col("record"))).as("job_log_entry_id"),
+        lit("accounts_load").as("load_task_name"),
+        lit("Account").as("object_name"),
+        lit("upsert").as("operation"),
+        lit("AccountID__c").as("external_id_field"),
+        col("record"),
+        lit(mockResult).as("result"))
+      .orderBy("job_log_entry_id")
+  }
+
+  val sfdcLogShapeSql: String =
+    """WITH recs AS (
+      |  SELECT to_json(struct_pack("Name" := c_name,
+      |                             "AccountID__c" := CAST(c_custkey AS VARCHAR))) AS record
+      |  FROM customer)
+      |SELECT '7501D000003kWMhQAM-1' AS job_id,
+      |       md5('7501D000003kWMhQAM-1' || record) AS job_log_entry_id,
+      |       'accounts_load' AS load_task_name,
+      |       'Account' AS object_name,
+      |       'upsert' AS operation,
+      |       'AccountID__c' AS external_id_field,
+      |       record,
+      |       '{"created":true,"errors":[],"id":"a001D000003ri4gQAA","success":true}' AS result
+      |FROM recs ORDER BY job_log_entry_id""".stripMargin
+
+  /** The full incremental-push model shape (`accounts_load.sql:14-30` /
+    * README.md:144-176): build RECORDs, anti-join the success log on the
+    * record key. The "log" is simulated as the first half of customers
+    * already pushed successfully — so the query exercises JSON path
+    * extraction (`RECORD:"AccountID__c"::varchar`, F3/F4) on the record
+    * column itself.
+    */
+  def incrementalPushModel(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recs = c.ref("customer")
+      .select(to_json(struct(
+        col("c_name").as("Name"),
+        col("c_custkey").cast("string").as("AccountID__c"))).as("record"))
+    val logs = c.ref("customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(
+        col("c_custkey").cast("string").as("logged_id"),
+        lit("accounts_load").as("load_task_name"),
+        lit("""{"success":true}""").as("result"))
+    // RECORD:"AccountID__c"::varchar NOT IN (select ... where name= and success)
+    val eligible = logs
+      .filter(col("load_task_name") === "accounts_load" &&
+        get_json_object(col("result"), "$.success") === "true")
+      .select(col("logged_id"))
+    recs.join(eligible,
+        get_json_object(col("record"), "$.AccountID__c") === eligible("logged_id"),
+        "left_anti")
+      .orderBy("record")
+  }
+
+  val incrementalPushModelSql: String =
+    """WITH recs AS (
+      |  SELECT to_json(struct_pack("Name" := c_name,
+      |                             "AccountID__c" := CAST(c_custkey AS VARCHAR))) AS record
+      |  FROM customer),
+      |logs AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS logged_id,
+      |         'accounts_load' AS load_task_name,
+      |         '{"success":true}' AS result
+      |  FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT record FROM recs
+      |WHERE json_extract_string(record, '$.AccountID__c') NOT IN (
+      |  SELECT logged_id FROM logs
+      |  WHERE load_task_name = 'accounts_load'
+      |    AND json_extract_string(result, '$.success') = 'true')
+      |ORDER BY record""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "push_sfdc_log_shape" -> (sfdcLogShape _),
+    "push_incremental_model" -> (incrementalPushModel _))
+
+  val oracles: Map[String, String] = Map(
+    "push_sfdc_log_shape" -> sfdcLogShapeSql,
+    "push_incremental_model" -> incrementalPushModelSql)
+}

@@ -1,0 +1,156 @@
+package graft.tracking
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's `tracking_table` materialization (M2,
+  * `macros/tracking_table_materialization.sql:1-53`): an incremental
+  * upsert table keyed by `uniqueKey`, immune to normal full-refresh,
+  * rebuilt only on explicit request (`drop-omnata-task-tables` var), with
+  * column-type widening before each upsert
+  * (`adapter.expand_target_column_types`, `:31-33`).
+  *
+  * Storage is plain Parquet under `path`. Updates rewrite via a temp dir +
+  * atomic rename — the Spark/Parquet analogue of the reference's
+  * backup-rename dance (`:19-27`), since Parquet has no in-place update.
+  * On a real deployment this class is the seam where Delta/Iceberg MERGE
+  * slots in; the public API (`createIfMissing / upsert / updateJoin /
+  * fullRefresh`) is storage-agnostic.
+  *
+  * Scale: upsert = `existing LEFT ANTI incoming UNION incoming` — one
+  * shuffle on the key; with the table partitioned by a key prefix only
+  * touched partitions need rewriting (v2: partition-pruned rewrite).
+  */
+final class TrackingTable(
+    spark: SparkSession,
+    val path: String,
+    val schema: StructType,
+    val uniqueKey: String) {
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def dataPath = new Path(path, "data")
+
+  def exists: Boolean = fs.exists(dataPath)
+
+  /** Ref `:17-18`: first run creates the (empty-schema) table. */
+  def createIfMissing(): Unit = if (!exists) {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty.write.mode("overwrite").parquet(dataPath.toString)
+  }
+
+  def read(): DataFrame = {
+    createIfMissing()
+    spark.read.schema(currentSchema).parquet(dataPath.toString)
+  }
+
+  private def currentSchema: StructType =
+    if (exists) spark.read.parquet(dataPath.toString).schema else schema
+
+  /** Ref `:19-27`: explicit rebuild (the `drop-omnata-task-tables` branch). */
+  def fullRefresh(): Unit = {
+    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
+    createIfMissing()
+  }
+
+  /** Widen target types so incoming data fits — ref `:31-33`
+    * (`expand_target_column_types`). String stays string (Spark strings
+    * are unbounded); numeric widenings follow the standard lattice.
+    */
+  private[tracking] def widen(existing: StructType, incoming: StructType): StructType = {
+    def wider(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (d1: DecimalType, d2: DecimalType) =>
+        DecimalType(math.max(d1.precision, d2.precision), math.max(d1.scale, d2.scale))
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (i, DoubleType) if Seq(IntegerType, LongType, FloatType).contains(i) => DoubleType
+      case (DoubleType, i) if Seq(IntegerType, LongType, FloatType).contains(i) => DoubleType
+      case _ => a // incompatible: keep target type, cast on write (ref keeps target too)
+    }
+    StructType(existing.map { f =>
+      incoming.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(in) => f.copy(dataType = wider(f.dataType, in.dataType))
+        case None => f
+      }
+    })
+  }
+
+  /** Incremental upsert — ref `incremental_upsert` call at `:34`
+    * (delete-matching-keys + insert): rows in `incoming` replace existing
+    * rows with the same `uniqueKey`; everything else is preserved.
+    */
+  def upsert(incoming: DataFrame): Unit = {
+    createIfMissing()
+    val existing = read()
+    val widened = widen(existing.schema, incoming.schema)
+    def conform(df: DataFrame): DataFrame =
+      df.select(widened.map(f =>
+        (if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val in = conform(incoming)
+    val kept = conform(existing)
+      .join(in.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+    atomicWrite(kept.unionByName(in))
+  }
+
+  /** Plain append (the reference's `insert into` S4 path — used for log
+    * tables inside a single run where keys are fresh by construction).
+    */
+  def append(incoming: DataFrame): Unit = {
+    createIfMissing()
+    val existing = read()
+    val widened = widen(existing.schema, incoming.schema)
+    def conform(df: DataFrame): DataFrame =
+      df.select(widened.map(f =>
+        (if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name)): _*)
+    atomicWrite(conform(existing).unionByName(conform(incoming)))
+  }
+
+  /** Update-with-join (A6) — ref `salesforce_bulk_load.sql:52-56`:
+    * `update t set col = f(u.*) from u where t.key = u.key`. `updates`
+    * must carry `uniqueKey` plus the columns to stamp; unmatched target
+    * rows keep their values.
+    */
+  def updateJoin(updates: DataFrame, setCols: Seq[String]): Unit = {
+    val existing = read()
+    val u = updates.select((uniqueKey +: setCols).map(col): _*)
+      .withColumnsRenamed(setCols.map(c => c -> s"__new_$c").toMap)
+    val updated = existing.join(u, Seq(uniqueKey), "left")
+      .select(existing.columns.map { c =>
+        if (setCols.contains(c)) coalesce(col(s"__new_$c"), col(c)).as(c) else col(c)
+      }.toSeq: _*)
+    atomicWrite(updated)
+  }
+
+  /** Rewrite via temp dir + rename (atomic on a real FS; the Parquet
+    * analogue of the reference's backup-rename at `:19-27`). The plan is
+    * materialized to the temp dir BEFORE the old data is touched, so a
+    * failed write never corrupts the table.
+    */
+  private def atomicWrite(df: DataFrame): Unit = {
+    val tmp = new Path(path, s"tmp_${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val backup = new Path(path, "data__backup")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(dataPath)) fs.rename(dataPath, backup)
+    fs.rename(tmp, dataPath)
+    fs.delete(backup, true)
+  }
+}
+
+object TrackingTable {
+  import graft.push.Schemas
+
+  /** The four engine-owned tracking tables (FIXTURES.md §2). */
+  def sfdcLoadTasks(spark: SparkSession, base: String) =
+    new TrackingTable(spark, s"$base/sfdc_load_tasks", Schemas.sfdcLoadTasks, "job_id")
+  def sfdcLoadTaskLogs(spark: SparkSession, base: String) =
+    new TrackingTable(spark, s"$base/sfdc_load_task_logs", Schemas.sfdcLoadTaskLogs, "job_log_entry_id")
+  def sfmcLoadTasks(spark: SparkSession, base: String) =
+    new TrackingTable(spark, s"$base/sfmc_load_tasks", Schemas.sfmcLoadTasks, "job_id")
+  def sfmcLoadTaskLogs(spark: SparkSession, base: String) =
+    new TrackingTable(spark, s"$base/sfmc_load_task_logs", Schemas.sfmcLoadTaskLogs, "job_log_entry_id")
+}
