@@ -1,0 +1,278 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot inner loops of the dedup /
+  * similarity operators.
+  *
+  * Why not `functions.transform/aggregate/zip_with`: Spark's higher-order
+  * functions are evaluated interpreted (no whole-stage codegen), with a
+  * lambda-variable binding and boxing per array element. For k=64 minhash
+  * passes over every shingle of every document that overhead dominates
+  * end-to-end runtime (measured ~10× at sf0.1). These expressions do the
+  * same work in one tight JVM loop per row using Spark's own XXH64.
+  *
+  * They are `CodegenFallback` (one virtual call per row — the loop inside
+  * is plain JVM code, which is what matters; a full doGenCode would only
+  * save the call). All are deterministic, null-in → null-out, and
+  * side-effect free, so Catalyst can still prune/push/reorder around
+  * them.
+  */
+object ArrayExprs {
+
+  private val SEED = 42L // same default seed as Spark's xxhash64()
+
+  /** Distinct xxhash64 fingerprints of all `n`-token windows of a
+    * string-token array. Equivalent (up to 64-bit hash collisions, odds
+    * ~2^-45 at 10^6 shingles) to
+    * `array_distinct(transform(windows, concat_ws(" ", ...)))` followed
+    * by `xxhash64(shingle)` — but hashes tokens in place instead of
+    * materializing shingle strings.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val m = len - n + 1
+      if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+      // Hash each token once, then chain-combine per window.
+      val th = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        th(i) = if (arr.isNullAt(i)) SEED
+          else XXH64.hashUTF8String(arr.getUTF8String(i), SEED)
+        i += 1
+      }
+      val ws = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var acc = SEED
+        var j = i
+        while (j < i + n) { acc = XXH64.hashLong(th(j), acc); j += 1 }
+        ws(i) = acc
+        i += 1
+      }
+      // Distinct via sort + unique scan (order is irrelevant downstream).
+      java.util.Arrays.sort(ws)
+      var u = 1
+      i = 1
+      while (i < m) {
+        if (ws(i) != ws(i - 1)) { ws(u) = ws(i); u += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(ws, u))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** k-permutation MinHash signature over an array of shingle hashes:
+    * sig(i) = min over h of xxhash64(h, seed = i). One pass per seed over
+    * a primitive long array — no string re-hashing, no boxing.
+    */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      if (hs.isEmpty) return null
+      val sig = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val v = XXH64.hashLong(hs(j), i.toLong)
+          if (v < mn) mn = v
+          j += 1
+        }
+        sig(i) = mn
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of a string-token array: each token's xxhash64 votes
+    * ±1 per bit position; output bit b is set iff the b-votes are
+    * strictly positive. Single pass over the tokens.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < len) {
+        if (!arr.isNullAt(i)) {
+          val h = XXH64.hashUTF8String(arr.getUTF8String(i), SEED)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Dot product of two float arrays, accumulated left-to-right in
+    * double — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`
+    * and to DuckDB's `list_sum(list_transform(...))` fold, which the
+    * oracle relies on. Null (or length-mismatched) input → null, matching
+    * zip_with's null padding semantics.
+    */
+  case class DotProductF(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      if (a.numElements() != b.numElements()) return null
+      var acc = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** L2 norm of a float array (same fold shape/order as DotProductF). */
+  case class L2NormF(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val v = a.getFloat(i).toDouble
+        acc += v * v
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane LSH bucket ids of a float vector — one bucket per
+    * table, `bits` sign-bits each. Hyperplane components are derived
+    * deterministically (xxhash64 chain over ("plane", t, b, j) → double
+    * in [-1, 1)), so no RNG state ships with the plan; they are computed
+    * once per expression instance per vector dimension, NOT per row (the
+    * HOF formulation re-hashed tables×bits×dim components for every
+    * vector).
+    */
+  case class LshBuckets(child: Expression, tables: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    // Benign-race cache: concurrent first evals recompute identical
+    // values; reference assignment is atomic.
+    @transient private var planeDim: Int = -1
+    @transient private var planes: Array[Array[Double]] = _
+
+    private def planesFor(dim: Int): Array[Array[Double]] = {
+      if (planeDim != dim) {
+        val seed = XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString("plane"), SEED)
+        val p = Array.tabulate(tables * bits) { tb =>
+          val t = tb / bits
+          val b = tb % bits
+          val h1 = XXH64.hashInt(t, seed)
+          val h2 = XXH64.hashInt(b, h1)
+          Array.tabulate(dim)(j => XXH64.hashInt(j, h2).toDouble / Long.MaxValue.toDouble)
+        }
+        planes = p
+        planeDim = dim
+      }
+      planes
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val p = planesFor(dim)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          val plane = p(t * bits + b)
+          var proj = 0.0
+          var j = 0
+          while (j < dim) { proj += v.getFloat(j).toDouble * plane(j); j += 1 }
+          if (proj >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-API wrappers ---------------------------------------------------
+  private def c(e: Expression): Column = bridge.column(e)
+  private def e(col: Column): Expression = bridge.expression(col)
+
+  def shingleHashes(tokens: Column, n: Int): Column = c(ShingleHashes(e(tokens), n))
+  def minHashSig(hashes: Column, k: Int): Column = c(MinHashSig(e(hashes), k))
+  def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
+  def l2normF(a: Column): Column = c(L2NormF(e(a)))
+  def lshBuckets(vec: Column, tables: Int, bits: Int): Column =
+    c(LshBuckets(e(vec), tables, bits))
+}

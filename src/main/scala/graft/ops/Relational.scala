@@ -290,9 +290,7 @@ object Relational {
     */
   def g3BatchAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val w = Window.orderBy(col("c_custkey"))
-    c.ref("customer")
-      .withColumn("rn", row_number().over(w))
+    Windows.globalRowNumber(c.ref("customer"), "rn", col("c_custkey"))
       .withColumn("batch_number", floor((col("rn") - 1) / 100).cast("int"))
       .groupBy(col("batch_number"))
       .agg(count(lit(1)).as("batch_size"),
@@ -336,16 +334,14 @@ object Relational {
   // ---- W1/W2: global row_number + batch assignment -----------------------
   /** Ref: marketing_cloud_data_extension_upload.sql:56-57. The reference
     * numbers rows with `order by null` (order unspecified); we pin an
-    * explicit order for the oracle. The production path
-    * (MarketingCloudPush) uses zipWithIndex to avoid the single-partition
-    * window — this query keeps the literal window form for semantics.
+    * explicit order for the oracle and number rows with the distributed
+    * two-pass plan (Windows.globalRowNumber) instead of an unpartitioned
+    * window — identical values, no single-partition WindowExec.
     */
   def w1w2RowNumberBatch(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val w = Window.orderBy(col("o_orderkey"))
-    c.ref("orders")
-      .select(col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
+    Windows.globalRowNumber(c.ref("orders").select(col("o_orderkey")),
+        "rn", col("o_orderkey"))
       .withColumn("batch_number", floor(col("rn") / 100).cast("int"))
       .orderBy("rn")
   }
@@ -366,6 +362,8 @@ object Relational {
         col("o_orderkey"),
         concat(col("o_custkey").cast("string"), lit("_"),
           col("o_orderdate").cast("date").cast("string")).as("duplicate_key"),
+        // Spark's double→int cast truncates toward zero; DuckDB's rounds.
+        // Both sides pin truncation explicitly so the oracle hash-matches.
         col("o_totalprice").cast("int").as("price_int"),
         col("o_orderdate").cast("date").as("order_date"),
         (col("o_orderstatus") === "O").as("is_open"))
@@ -375,7 +373,7 @@ object Relational {
   val fScalarsSql: String =
     """SELECT o_orderkey,
       |       CAST(o_custkey AS VARCHAR) || '_' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS duplicate_key,
-      |       CAST(o_totalprice AS INT) AS price_int,
+      |       CAST(trunc(o_totalprice) AS INT) AS price_int,
       |       CAST(o_orderdate AS DATE) AS order_date,
       |       o_orderstatus = 'O' AS is_open
       |FROM orders ORDER BY o_orderkey""".stripMargin

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.catalog.Catalog
+import graft.functions.ArrayExprs
 
 /** Similarity search over the `embeddings` table (`embedding:
   * Array[Float]`, 64-dim).
@@ -23,14 +24,21 @@ import graft.catalog.Catalog
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  /** Dot product of two float-array columns, accumulated in double,
+    * left-to-right (matches DuckDB's list_sum fold order bit-for-bit).
+    * Native expression — the `aggregate(zip_with(...))` HOF form is
+    * interpreted per-element and ~10× slower in pair joins.
+    */
+  def dot(a: Column, b: Column): Column = ArrayExprs.dotF(a, b)
+
+  /** L2 norm of a float-array column (same fold shape/order as `dot`). */
+  def l2norm(a: Column): Column = ArrayExprs.l2normF(a)
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Prefer the precomputed-norm form in joins (`dot(a,b)/(na*nb)`) —
+    * this per-pair form recomputes both norms for every pair.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   // ---- brute-force top-k -----------------------------------------------------
   /** Exact top-10 cosine neighbors for query vectors vec_id < 5.
@@ -43,13 +51,18 @@ object Similarity {
 
   def bruteForceTopKAt(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val c = Catalog(spark, dir)
+    // Norms are computed once per vector (projection boundary), not once
+    // per (query, vector) pair — at N vectors × Q queries that saves
+    // 2·N·Q of the three array folds per pair.
     val emb = c.ref("embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qvec"), col("embedding")).as("score"))
+        (dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -79,21 +92,6 @@ object Similarity {
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---- LSH-bucketed ANN --------------------------------------------------------
-  /** Hash-derived random hyperplane: component j of plane (table t, bit b)
-    * = a deterministic pseudo-uniform double in [-1, 1) from xxhash64.
-    */
-  private def planeComponent(t: Int, b: Int, j: Column): Column =
-    (xxhash64(lit("plane"), lit(t), lit(b), j).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Sign-pattern bucket id of a vector under `bits` hyperplanes of table t. */
-  def lshBucket(vec: Column, t: Int, bits: Int): Column =
-    (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(t, b, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** ANN via multi-table LSH: candidates = vectors sharing a bucket with
     * the query in ANY table, then exact cosine rank within candidates.
@@ -107,20 +105,26 @@ object Similarity {
       tables: Int, bits: Int): DataFrame = {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings")
+    // Bucket table materialized once: the query side and the candidate
+    // side would otherwise each recompute tables×bits hyperplane
+    // projections for every vector.
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      array((0 until tables).map(t => lshBucket(col("embedding"), t, bits)): _*).as("buckets"))
-    val exploded = bucketed.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"),
+      ArrayExprs.lshBuckets(col("embedding"), tables, bits).as("buckets"))
+      .localCheckpoint()
+    val exploded = bucketed.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("buckets"))).withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val qs = exploded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("table"), col("bucket"))
+        col("nrm").as("qnrm"), col("table"), col("bucket"))
     val candidates = exploded.join(broadcast(qs), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("vec_id"), col("embedding"))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("vec_id"), col("embedding"), col("nrm"))
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
     candidates
-      .withColumn("score", cosine(col("qvec"), col("embedding")))
+      .withColumn("score", dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
@@ -138,13 +142,15 @@ object Similarity {
 
   def embeddingNearDupAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
-    val emb = c.ref("embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    val emb = c.ref("embeddings").select(col("vec_id"), col("label"),
+      col("embedding"), l2norm(col("embedding")).as("nrm"))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        cosine(col("a.embedding"), col("b.embedding")).as("score"))
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("score"))
       .filter(col("score") >= tau)
       .orderBy("id1", "id2")
   }

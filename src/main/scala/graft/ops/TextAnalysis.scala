@@ -50,13 +50,16 @@ object TextAnalysis {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
+    // Tokens materialized once per row (projection boundary): Spark has
+    // no CSE inside lambdas, so inlining the split into each ratio would
+    // re-split the text 4×.
     val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nTok = size(col("toks")).cast("double")
+    val nStop = size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double")
     val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
     val nChars = length(col("text")).cast("double")
     c.ref("documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -87,10 +90,10 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val toks = tokens(lower(col("text")))
+    // Lowercased tokens materialized once (see qualityScore note).
     def score(markers: Seq[String]): Column = {
       val arr = array(markers.map(lit): _*)
-      size(filter(toks, t => array_contains(arr, t)))
+      size(filter(col("toks"), t => array_contains(arr, t)))
     }
     val en = score(Seq("the", "and", "of", "is"))
     val es = score(Seq("el", "la", "de", "que", "los"))
@@ -98,6 +101,7 @@ object TextAnalysis {
     val de = score(Seq("der", "die", "das", "und", "ist"))
     val cjk = length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
     c.ref("documents")
+      .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), en.as("score_en"), es.as("score_es"),
         fr.as("score_fr"), de.as("score_de"), cjk.as("score_cjk"))
       .withColumn("predicted_lang",
@@ -141,10 +145,11 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     c.ref("documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(
         col("doc_id"),
-        md5(concat_ws(" ", tokens(lower(col("text"))))).as("exact_fp"),
-        md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(col("text"))))))).as("bag_fp"))
+        md5(concat_ws(" ", col("toks"))).as("exact_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("bag_fp"))
       .orderBy("doc_id")
   }
 

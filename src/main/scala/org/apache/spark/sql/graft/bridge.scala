@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 moved the classic `Column(expr)` constructor behind
+  * `private[sql] ExpressionUtils`; libraries adding native Catalyst
+  * expressions conventionally reach it from a file in the
+  * `org.apache.spark.sql` package namespace (same technique used by
+  * Delta/Sedona/etc. against the public Spark source).
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
