@@ -41,6 +41,25 @@ trait SfmcApi extends Serializable {
   def fetchResults(stageDataQueryId: String, rowIndex: Long): String
 }
 
+/** JVM-wide mock telemetry, keyed per mock instance id.
+  *
+  * Spark serializes task closures even in local mode, so a UDF that
+  * captures a mock connector mutates a deserialized COPY — instance
+  * fields on the driver's mock never move. Routing the mutable state
+  * through a static registry keyed by the instance's id makes
+  * driver and executor copies share state in the same JVM (exactly the
+  * local-mode test scenario; real connectors are stateless HTTP clients
+  * and don't need this).
+  */
+private object MockState {
+  private val counters = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+  private val queues = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
+  def counter(id: String): AtomicInteger =
+    counters.computeIfAbsent(id, _ => new AtomicInteger(0))
+  def queue(id: String): ConcurrentLinkedQueue[String] =
+    queues.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[String]())
+}
+
 /** Canned payloads copied semantically from the reference's JS mock UDFs
   * (`integration_tests/dbt_project.yml:29-92`). Job ids are made
   * deterministic-unique per createJob call (the reference returns a
@@ -48,8 +67,9 @@ trait SfmcApi extends Serializable {
   * content still hold while two jobs stay distinguishable).
   */
 class MockSalesforceBulkApi(deterministic: Boolean = true) extends SalesforceBulkApi {
-  private val counter = new AtomicInteger(0)
-  val loadBatchCalls = new AtomicInteger(0)
+  private val id = java.util.UUID.randomUUID().toString
+  private def counter = MockState.counter(id + "/jobs")
+  def loadBatchCalls: AtomicInteger = MockState.counter(id + "/loads")
 
   private def jobMeta(id: String, state: String, operation: String,
       objectName: String, nBatches: Int, nRecords: Int): String =
@@ -80,7 +100,8 @@ class MockSalesforceBulkApi(deterministic: Boolean = true) extends SalesforceBul
 }
 
 class MockSfmcApi extends SfmcApi {
-  val stagedBatches = new ConcurrentLinkedQueue[String]()
+  private val id = java.util.UUID.randomUUID().toString
+  def stagedBatches: ConcurrentLinkedQueue[String] = MockState.queue(id)
   def stagedBatchCount: Int = stagedBatches.size
 
   override def manageDataExtension(configurationJson: String): String =

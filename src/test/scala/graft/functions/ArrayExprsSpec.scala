@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Native-expression correctness: each expression must agree with the
+  * (slow) built-in higher-order-function formulation it replaced.
+  */
+class ArrayExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dotF is bit-identical to the aggregate(zip_with(...)) fold") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.25f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f))
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(ArrayExprs.dotF(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("l2normF is bit-identical to sqrt(aggregate(...)) fold") {
+    val df = Seq(Tuple1(Array(3.0f, 4.0f)), Tuple1(Array(0.1f, 0.2f, 0.97f))).toDF("a")
+    val hof = sqrt(aggregate(col("a"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    df.select(ArrayExprs.l2normF(col("a")).as("n"), hof.as("h")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dotF null semantics: length mismatch or null input -> null") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),           // length mismatch
+      (null.asInstanceOf[Array[Float]], Array(1.0f))
+    ).toDF("a", "b")
+    val out = df.select(ArrayExprs.dotF(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("shingleHashes: distinct count matches distinct string 3-shingles") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a", // repeated windows collapse
+      "one two three",
+      "too short")
+    val df = docs.toDF("text").select(split(col("text"), " ").as("toks"))
+    val counts = df.select(size(ArrayExprs.shingleHashes(col("toks"), 3)).as("n"))
+      .as[Int].collect().toSeq
+    val expected = docs.map { d =>
+      val t = d.split(" ")
+      if (t.length < 3) 0 else t.sliding(3).map(_.mkString(" ")).toSet.size
+    }
+    assert(counts === expected)
+  }
+
+  test("minHashSig: identical inputs agree, signature estimates Jaccard") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val df = Seq(a, a, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12").toDF("text")
+      .select(ArrayExprs.minHashSig(
+        ArrayExprs.shingleHashes(split(col("text"), " "), 3), 64).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) === sigs(1))                       // identical docs
+    assert(sigs(0).length === 64)
+    val agree = sigs(0).zip(sigs(2)).count { case (x, y) => x == y }
+    assert(agree < 8, s"disjoint docs should share almost no minhashes, got $agree")
+  }
+
+  test("simHash64: deterministic; near-dup hamming << disjoint hamming") {
+    def fp(s: String): Long =
+      Seq(s).toDF("text").select(ArrayExprs.simHash64(split(col("text"), " ")))
+        .as[Long].head()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val near = base + "extra"
+    val other = "uno dos tres cuatro cinco seis siete ocho nueve diez " * 3
+    assert(fp(base) === fp(base))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(base), fp(near)) < hamming(fp(base), fp(other)))
+  }
+
+  test("lshBuckets: deterministic, one bucket per table, close vectors collide") {
+    val v = Array.tabulate(16)(i => (i + 1).toFloat)
+    val nearlyV = v.clone(); nearlyV(0) = v(0) + 0.001f
+    val df = Seq(Tuple1(v), Tuple1(v), Tuple1(nearlyV)).toDF("vec")
+      .select(ArrayExprs.lshBuckets(col("vec"), 4, 8).as("b"))
+    val bs = df.as[Seq[Long]].collect()
+    assert(bs(0) === bs(1))
+    assert(bs(0).length === 4)
+    assert(bs(0) === bs(2), "epsilon-perturbed vector must hash to the same buckets")
+  }
+}

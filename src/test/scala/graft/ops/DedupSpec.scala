@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  test("exact: one group per distinct normalized text, ids partition the corpus") {
+    val out = Dedup.exact(spark, sf).cache()
+    val c = graft.catalog.Catalog(spark, sf)
+    val distinctTexts = c.ref("documents")
+      .select(concat_ws(" ", split(trim(lower(col("text"))), "\\s+")))
+      .distinct().count()
+    assert(out.count() === distinctTexts)
+    assert(out.agg(sum("n_dups")).head().getLong(0) === c.ref("documents").count())
+    out.unpersist()
+  }
+
+  test("ngramJaccard: pairs are ordered, thresholded, and symmetric-free") {
+    val out = Dedup.ngramJaccard(spark, sf).cache()
+    assert(out.filter(col("id1") >= col("id2")).count() === 0)
+    assert(out.filter(col("jaccard") < 0.5).count() === 0)
+    assert(out.count() > 0, "testdata plants near-duplicates; none found")
+    out.unpersist()
+  }
+
+  test("minhashLsh finds the exact-Jaccard pairs (high recall, estimates close)") {
+    val exact = Dedup.ngramJaccardAt(spark, sf, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashLsh(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: hamming-0 groups contain >1 doc and cover planted dups") {
+    val out = Dedup.simhash(spark, sf).cache()
+    assert(out.filter(col("n_docs") < 2).count() === 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the SURVEY §2 relational operators, independent of
+  * the DuckDB oracle (which checks engine-vs-engine equivalence; these
+  * check the *intended* semantics).
+  */
+class RelationalSpec extends SparkTestBase {
+  import graft.catalog.Catalog
+
+  test("j1NotInAnti excludes exactly the pushed orderkeys") {
+    val c = Catalog(spark, sf)
+    val li = c.ref("lineitem")
+    val pushed = c.ref("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey")).distinct()
+    val expected = li.join(pushed, li("l_orderkey") === pushed("o_orderkey"), "left_semi").count()
+    val kept = Relational.j1NotInAnti(spark, sf)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(kept === li.count() - expected)
+  }
+
+  test("p6Watermark returns only rows strictly above the watermark") {
+    val c = Catalog(spark, sf)
+    // java8 datetime API: TIMESTAMP_NTZ comes back as LocalDateTime
+    val wm = c.ref("orders").filter(col("o_orderstatus") === "F")
+      .agg(max(col("o_orderdate"))).head().get(0)
+    val out = Relational.p6Watermark(spark, sf)
+    assert(out.filter(col("o_orderdate") <= lit(wm)).count() === 0)
+    val expected = c.ref("orders").filter(col("o_orderdate") > lit(wm)).count()
+    assert(out.count() === expected)
+  }
+
+  test("m2Upsert result has unique keys and incoming rows win") {
+    val out = Relational.m2Upsert(spark, sf).cache()
+    assert(out.count() === out.select("o_orderkey").distinct().count())
+    // every even key must carry the +1.0 incoming price
+    val c = Catalog(spark, sf)
+    val orig = c.ref("orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("p0"))
+    val n = out.filter(col("o_orderkey") % 2 === 0)
+      .join(orig, "o_orderkey")
+      .filter(abs(col("o_totalprice") - (col("p0") + 1.0)) > 1e-9).count()
+    assert(n === 0)
+    out.unpersist()
+  }
+
+  test("w1w2 rn is a 1..N permutation consistent with the key order") {
+    val out = Relational.w1w2RowNumberBatch(spark, sf)
+      .orderBy("o_orderkey").collect()
+    assert(out.map(_.getLong(1)).toSeq === (1L to out.length).toSeq)
+  }
+
+  test("g3BatchAgg batches are 100 rows (first 99, remainder last)") {
+    val rows = Relational.g3BatchAgg(spark, sf).collect()
+    val sizes = rows.map(r => r.getLong(rows.head.fieldIndex("batch_size")))
+    assert(sizes.sum === 150) // sf0.001 customer count
+    assert(sizes.init.forall(s => s == 99 || s == 100))
+  }
+
+  test("g1Rollup conserves the total amount") {
+    val c = Catalog(spark, sf)
+    val total = c.ref("orders")
+      .agg(sum(col("o_totalprice").cast("decimal(30,6)"))).head().getDecimal(0)
+    val rolled = Relational.g1Rollup(spark, sf)
+      .agg(sum(col("total_amount").cast("decimal(30,6)"))).head().getDecimal(0)
+    assert((total.doubleValue() - rolled.doubleValue()).abs < 1e-3)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("bruteForceTopK: k rows per query, scores descending, in [-1,1]") {
+    val out = Similarity.bruteForceTopK(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 10)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("lshAnn recovers planted near-identical neighbors (cosine >= 0.95)") {
+    // Random-hyperplane LSH has low recall on mid-cosine neighbors by
+    // design (that's the point — few candidates); the guarantee worth
+    // testing is on truly close vectors. The driver's sf0.001 embeddings
+    // have no pairs above cosine 0.48, so plant our own: 200 random
+    // vectors, plus a near-copy of each of the 5 query vectors.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec(), i % 10))
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      ((200 + i).toLong, v, i % 10)
+    }
+    val dir = tmpDir("lsh")
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val close = Similarity.bruteForceTopKAt(spark, dir, nQueries = 5, k = 10)
+      .filter(col("score") >= 0.95)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.size >= 5, s"expected >=5 planted close pairs, got ${close.size}")
+    val approx = Similarity.lshAnnAt(spark, dir, nQueries = 5, k = 10, tables = 8, bits = 8)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = close.count(approx.contains).toDouble / close.size
+    assert(recall >= 0.8, s"LSH recall on planted pairs: $recall over ${close.size}")
+  }
+
+  test("embeddingNearDup: thresholded and consistent with direct cosine") {
+    val out = Similarity.embeddingNearDupAt(spark, sf, 0.9).cache()
+    assert(out.filter(col("score") < 0.9).count() === 0)
+    assert(out.filter(col("id1") >= col("id2")).count() === 0)
+    out.unpersist()
+  }
+}

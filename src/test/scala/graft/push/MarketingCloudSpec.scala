@@ -1,0 +1,59 @@
+package graft.push
+
+import graft.SparkTestBase
+import graft.connector.{MockSalesforceBulkApi, MockSfmcApi}
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class MarketingCloudSpec extends SparkTestBase {
+
+  private def contactsModel = PushModel(
+    name = "contacts_load",
+    config = MarketingCloudConfig(
+      dataExtensionName = "Contacts DE",
+      importType = "AddAndUpdate",
+      dataExtensionFields = Seq(
+        Map("name" -> "ContactNumber", "type" -> "Number", "isPrimaryKey" -> "true"),
+        Map("name" -> "Email", "type" -> "EmailAddress"))),
+    build = s => s.read.parquet(s"$sf/customer.parquet")
+      .select(to_json(struct(
+        col("c_custkey").as("ContactNumber"),
+        col("c_name").as("Email"))).as("record")))
+
+  test("EP-SFMC: 100-row batches, one task, per-row results, dual insert") {
+    val base = tmpDir("mc")
+    val sfmc = new MockSfmcApi()
+    val mat = new PushMaterializer(spark, base, new MockSalesforceBulkApi(), sfmc)
+    val r = mat.run(contactsModel)
+    assert(!r.skippedEmpty)
+    assert(r.recordsPushed === 150)
+    // floor(rn/100): rn 1..99 -> batch 0, 100..150 -> batch 1
+    assert(r.batches === 2)
+    assert(sfmc.stagedBatchCount === 2)
+    assert(mat.sfmcTasks.read().count() === 1)
+    assert(mat.sfmcLogs.read().count() === 150)
+    val log = mat.sfmcLogs.read().head()
+    assert(log.getAs[String]("result") === """{"success":true}""")
+    assert(log.getAs[String]("operation") === "data_extension_upload")
+    // staged payloads are [[rn, {record}], ...] arrays in rn order
+    val payload = sfmc.stagedBatches.peek()
+    assert(payload.startsWith("[[") && payload.contains("ContactNumber"))
+  }
+
+  test("zero-row source skips before any connector call (marketing_cloud.sql:7-17)") {
+    val sfmc = new MockSfmcApi()
+    val mat = new PushMaterializer(spark, tmpDir("mc"), new MockSalesforceBulkApi(), sfmc)
+    val empty = PushModel("empty", MarketingCloudConfig("DE"),
+      s => s.range(0).select(to_json(struct(col("id"))).as("record")))
+    val r = mat.run(empty)
+    assert(r.skippedEmpty)
+    assert(sfmc.stagedBatchCount === 0)
+  }
+
+  test("config validation mirrors the reference's README constraints") {
+    intercept[IllegalArgumentException](MarketingCloudConfig("DE", importType = "Nope"))
+    intercept[IllegalArgumentException](MarketingCloudConfig("DE", encrypted = true))
+    intercept[IllegalArgumentException](SalesforceConfig("Account", "upsert", None))
+    intercept[IllegalArgumentException](SalesforceConfig("Account", "replace"))
+  }
+}

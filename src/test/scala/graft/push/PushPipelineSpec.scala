@@ -1,0 +1,96 @@
+package graft.push
+
+import graft.SparkTestBase
+import graft.connector.{MockSalesforceBulkApi, MockSfmcApi}
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end EP1 (Salesforce) pipeline against mock connectors —
+  * mirrors the reference's integration harness
+  * (`integration_tests/dbt_project.yml:29-92` mocks + golden-count
+  * singular tests at `integration_tests/tests/`).
+  */
+class PushPipelineSpec extends SparkTestBase {
+
+  private def accountsModel(tracking: String): PushModel = PushModel(
+    name = "accounts_load",
+    config = SalesforceConfig("Account", "upsert", Some("AccountID__c")),
+    build = (s: SparkSession) => {
+      // Ref accounts_load.sql:14-30 — RECORD construction + incremental
+      // anti-join of this model's own success log.
+      val recs = s.read.parquet(s"$sf/customer.parquet")
+        .select(to_json(struct(
+          col("c_name").as("Name"),
+          col("c_custkey").cast("string").as("AccountID__c"))).as("record"))
+      val logsPath = new java.io.File(s"$tracking/sfdc_load_task_logs/data")
+      if (!logsPath.exists()) recs
+      else {
+        val logs = s.read.parquet(logsPath.toString)
+          .filter(col("load_task_name") === "accounts_load" &&
+            get_json_object(col("result"), "$.success") === "true")
+          .select(get_json_object(col("record"), "$.AccountID__c").as("logged_id"))
+        recs.join(logs,
+          get_json_object(col("record"), "$.AccountID__c") === logs("logged_id"),
+          "left_anti")
+      }
+    })
+
+  test("EP1 golden counts: 1 task row, N log rows, close stamped, idempotent rerun") {
+    val base = tmpDir("push")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    val n = spark.read.parquet(s"$sf/customer.parquet").count()
+
+    val r1 = mat.run(accountsModel(base))
+    assert(!r1.skippedEmpty)
+    assert(r1.recordsPushed === n)
+    assert(sfdc.loadBatchCalls.get() === n)
+    assert(mat.sfdcTasks.read().count() === 1)
+    val task = mat.sfdcTasks.read().head()
+    assert(task.getAs[String]("close_metadata") != null, "close_metadata must be stamped (A6)")
+    assert(task.getAs[String]("operation") === "upsert")
+    assert(mat.sfdcLogs.read().count() === n)
+    val log = mat.sfdcLogs.read().head()
+    assert(log.getAs[String]("result").contains("\"success\":true"))
+
+    // Rerun: every record is in the success log -> anti-join empties the
+    // source -> zero-row probe skips (salesforce.sql:7-17). The mock call
+    // count must not move.
+    val r2 = mat.run(accountsModel(base))
+    assert(r2.skippedEmpty)
+    assert(r2.recordsPushed === 0)
+    assert(sfdc.loadBatchCalls.get() === n)
+    assert(mat.sfdcTasks.read().count() === 1)
+    assert(mat.sfdcLogs.read().count() === n)
+  }
+
+  test("unknown app raises the materialization compile error (ref :14)") {
+    val mat = new PushMaterializer(spark, tmpDir("push"),
+      new MockSalesforceBulkApi(), new MockSfmcApi())
+    val m = PushModel("bad", UnknownAppConfig("hubspot"),
+      s => s.range(1).select(to_json(struct(col("id"))).as("record")))
+    val e = intercept[IllegalArgumentException](mat.run(m))
+    assert(e.getMessage.contains("hubspot"))
+  }
+
+  test("model without a RECORD column is rejected (README.md:73 contract)") {
+    val mat = new PushMaterializer(spark, tmpDir("push"),
+      new MockSalesforceBulkApi(), new MockSfmcApi())
+    val m = PushModel("norec",
+      SalesforceConfig("Account", "insert"),
+      s => s.range(3).toDF("id"))
+    intercept[IllegalArgumentException](mat.run(m))
+  }
+
+  test("legacy load_task materialization routes to the Salesforce path (M3)") {
+    val base = tmpDir("push")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    val r = mat.runLegacy(accountsModel(base))
+    assert(r.recordsPushed === 150)
+    intercept[IllegalArgumentException] {
+      mat.runLegacy(PushModel("mc", MarketingCloudConfig("DE"), s => s.range(1).toDF("record")))
+    }
+  }
+}
