@@ -51,9 +51,34 @@ object Multimodal {
       |       to_base64(CAST(substring(text, 1, 8) AS BLOB)) AS magic_b64
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** The decode/feature-extract pipeline (graft.multimodal.MediaPipeline)
+    * over documents-as-binary: mapPartitions stub decode, payload pruned
+    * after the stage. The stub derives every feature deterministically
+    * from the byte length, so the DuckDB oracle replicates the ENTIRE
+    * pipeline — schema, per-row values, row count — end to end.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val media = c.ref("documents")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.multimodal.MediaPipeline.decodeFeatures(spark, media).orderBy("media_id")
+  }
+
+  val decodeFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |       'bin' AS format,
+      |       CAST(64 + (octet_length(CAST(text AS BLOB)) % 577) AS INT) AS width,
+      |       CAST(64 + ((octet_length(CAST(text AS BLOB)) // 7) % 433) AS INT) AS height,
+      |       CAST(1 + ((octet_length(CAST(text AS BLOB)) // 11) % 3) AS INT) AS channels,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       CAST((octet_length(CAST(text AS BLOB)) + 999) // 1000 AS INT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_binary_meta" -> (binaryMeta _))
+    "multimodal_binary_meta" -> (binaryMeta _),
+    "multimodal_decode" -> (decodeFeatures _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_binary_meta" -> binaryMetaSql)
+    "multimodal_binary_meta" -> binaryMetaSql,
+    "multimodal_decode" -> decodeFeaturesSql)
 }

@@ -99,11 +99,59 @@ object PushQueries {
       |    AND json_extract_string(result, '$.success') = 'true')
       |ORDER BY record""".stripMargin
 
+  /** U-G2 `JSON_TO_CSV(rn, record)` (ref
+    * `marketing_cloud_data_extension_upload.sql:93`) as an oracle-checked
+    * query: RECORD structs → ordered CSV lines with an rn=0 header row.
+    * The Spark side runs the real mapPartitions generator
+    * (GpgPipeline.jsonToCsv); the oracle rebuilds the same lines in SQL
+    * (the testdata has no chars needing CSV escapes — escaping itself is
+    * covered in GpgPipelineSpec).
+    */
+  def jsonToCsv(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recs = c.ref("customer")
+      .select(col("c_custkey"),
+        to_json(struct(col("c_name").as("Name"),
+          col("c_mktsegment").as("Segment"))).as("record"))
+    val numbered = graft.ops.Windows.globalRowNumber(recs, "rn", col("c_custkey"))
+      .select(col("rn"), col("record"))
+    GpgPipeline.jsonToCsv(spark, numbered).orderBy("rn")
+  }
+
+  val jsonToCsvSql: String =
+    """WITH numbered AS (
+      |  SELECT row_number() OVER (ORDER BY c_custkey) AS rn, c_name, c_mktsegment
+      |  FROM customer)
+      |SELECT CAST(0 AS BIGINT) AS rn, 'Name,Segment' AS csv_line
+      |UNION ALL
+      |SELECT rn, c_name || ',' || c_mktsegment FROM numbered
+      |ORDER BY rn""".stripMargin
+
+  /** U-G1..U-G5 GPG chain (rows-only check — the crypto stage is a
+    * deterministic STUB, see GpgPipeline): params → csv → ordered
+    * wrap/encrypt/package message rows.
+    */
+  def gpgMessage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recs = c.ref("customer")
+      .select(col("c_custkey"),
+        to_json(struct(col("c_name").as("Name"),
+          col("c_mktsegment").as("Segment"))).as("record"))
+    val numbered = graft.ops.Windows.globalRowNumber(recs, "rn", col("c_custkey"))
+      .select(col("rn"), col("record"))
+    val params = GpgPipeline.gpgParams("GRAFT TEST PUBLIC KEY")
+    GpgPipeline.fileWrapEncryptPackage(spark,
+      GpgPipeline.jsonToCsv(spark, numbered), params).orderBy("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "push_sfdc_log_shape" -> (sfdcLogShape _),
-    "push_incremental_model" -> (incrementalPushModel _))
+    "push_incremental_model" -> (incrementalPushModel _),
+    "push_json_to_csv" -> (jsonToCsv _),
+    "push_gpg_message" -> (gpgMessage _))
 
   val oracles: Map[String, String] = Map(
     "push_sfdc_log_shape" -> sfdcLogShapeSql,
-    "push_incremental_model" -> incrementalPushModelSql)
+    "push_incremental_model" -> incrementalPushModelSql,
+    "push_json_to_csv" -> jsonToCsvSql)
 }

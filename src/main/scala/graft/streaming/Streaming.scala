@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.connector.SalesforceBulkApi
+import graft.model.{PushModel, SalesforceConfig}
+import graft.push.{PushMaterializer, PushReport}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is strictly batch (SURVEY §1: "streams — none"); this
+  * module is the forward-looking streaming path the same semantics map
+  * onto: a stream of records is micro-batched, and every micro-batch runs
+  * the SAME push pipeline the batch engine uses (probe → job → per-row
+  * push → task/log append). Plus the standard streaming analytics pieces
+  * a training-data pipeline needs: watermarked windowed aggregation and
+  * stateful sessionization.
+  *
+  * Scale: watermarks bound state; windowed aggregates shuffle by
+  * (window, key) exactly like a batch groupBy; sessionization state lives
+  * in the state store partitioned by user — all standard Spark scaling
+  * paths, nothing custom.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window rollup of the `events` shape
+    * (ts, user_id, event_type, value) — the streaming twin of G1/G2.
+    * Late events beyond `watermark` are dropped (state is bounded).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
+  final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
+  final case class Session(userId: Long, start: Timestamp, end: Timestamp,
+      nEvents: Long, closed: Boolean)
+
+  /** Gap-based sessionization with explicit state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a session closes
+    * after `gapMs` of inactivity (event-time, driven by the watermark).
+    * Emits closed sessions; open state is bounded by the timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.n, closed = true))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(s.copy(last = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  out ::= Session(userId, s.start, s.last, s.n, closed = true)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}
+
+/** Micro-batch push: every streaming micro-batch of RECORDs runs the
+  * batch Salesforce pipeline (same tracking tables, same connector, same
+  * anti-join idempotency story — a batch-of-one-stream unification).
+  */
+final class StreamingPush(
+    spark: SparkSession,
+    materializer: PushMaterializer,
+    config: SalesforceConfig,
+    modelName: String) {
+
+  @volatile private var reports: List[PushReport] = Nil
+  def pushReports: Seq[PushReport] = reports.reverse
+
+  /** Start pushing a stream of records (single string `record` column).
+    * Each micro-batch becomes one push job — mirroring how the reference
+    * would be scheduled per dbt invocation, but driven by arrival.
+    */
+  def start(records: DataFrame, checkpoint: String): StreamingQuery = {
+    records.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val model = PushModel(s"$modelName#$batchId", config, _ => batch)
+        reports ::= materializer.run(model)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MediaPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, Array.tabulate(2500)(_.toByte)),
+    (2L, Array.tabulate(999)(i => (i * 3).toByte)),
+    (3L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++ Array.fill(100)(7.toByte))
+  ).toDF("media_id", "payload")
+
+  test("decodeFeatures: payload pruned, typed metadata out, stub decode applied") {
+    val out = MediaPipeline.decodeFeatures(spark, media, frameSize = 1000)
+      .orderBy("media_id").collect()
+    assert(!out.head.schema.fieldNames.contains("payload"))
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_bytes") === 2500L)
+    assert(r1.getAs[Int]("n_frames") === 3) // ceil(2500/1000)
+    assert(r1.getAs[Int]("width") === 64 + 2500 % 577)
+    assert(out(2).getAs[String]("format") === "png") // magic sniffing is real
+    assert(out(1).getAs[String]("format") === "bin")
+  }
+
+  test("sampleFrames: every stride-th frame, correctly indexed and sized") {
+    val out = MediaPipeline.sampleFrames(spark, media, frameSize = 1000, stride = 2)
+      .filter(col("media_id") === 1L).orderBy("frame_idx").collect()
+    // 2500 bytes -> frames of 1000,1000,500 -> kept: idx 0 (1000B), idx 1 (500B)
+    assert(out.length === 2)
+    assert(out(0).getAs[Array[Byte]]("frame").length === 1000)
+    assert(out(1).getAs[Array[Byte]]("frame").length === 500)
+  }
+
+  test("audio features stub: fixed dim, deterministic") {
+    val a = Codecs.audioFeaturesStub(Array.tabulate(100)(_.toByte), 16)
+    val b = Codecs.audioFeaturesStub(Array.tabulate(100)(_.toByte), 16)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 16)
+  }
+}

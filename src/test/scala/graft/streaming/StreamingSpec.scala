@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import graft.connector.{MockSalesforceBulkApi, MockSfmcApi}
+import graft.model.SalesforceConfig
+import graft.push.PushMaterializer
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+  test("windowedCounts: watermarked tumbling window aggregates by type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val agg = EventStreams.windowedCounts(
+      in.toDF().toDF("ts", "user_id", "event_type", "value"),
+      watermark = "5 minutes", window_ = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, "click", 1.0), (ts(2), 2L, "click", 2.0), (ts(3), 1L, "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far past watermark so the first window closes
+      in.addData((ts(60), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("event_type", "n", "sum_value").orderBy("event_type")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(in.toDS(), gapMs = 10 * 60_000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min gap -> new session
+      in.addData(
+        EventStreams.Event(ts(0), 1L, "click", 1.0),
+        EventStreams.Event(ts(5), 1L, "click", 1.0),
+        EventStreams.Event(ts(35), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // push the watermark way forward so the open session times out
+      in.addData(EventStreams.Event(ts(600), 2L, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Event(ts(1200), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[EventStreams.Session].collect()
+        .filter(_.userId == 1L).sortBy(_.start.getTime)
+      assert(out.length === 2)
+      assert(out(0).nEvents === 2 && out(0).start === ts(0) && out(0).end === ts(5))
+      assert(out(1).nEvents === 1 && out(1).start === ts(35))
+    } finally q.stop()
+  }
+
+  test("StreamingPush: each micro-batch runs the batch push pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("stream-push")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    val sp = new StreamingPush(spark, mat,
+      SalesforceConfig("Account", "insert"), "stream_accounts")
+
+    val in = MemoryStream[String]
+    in.addData((1 to 25).map(i => s"""{"Name":"acct$i"}""") : _*)
+    val q = sp.start(in.toDF().toDF("record"), tmpDir("ckpt"))
+    q.awaitTermination()
+
+    assert(sfdc.loadBatchCalls.get() === 25)
+    assert(mat.sfdcLogs.read().count() === 25)
+    assert(mat.sfdcTasks.read().count() === 1)
+    assert(sp.pushReports.map(_.recordsPushed).sum === 25)
+  }
+}
