@@ -264,6 +264,46 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Index of the nearest centroid by cosine similarity. The centroid
+    * matrix rides inside the expression (k×dim floats, serialized with
+    * the plan like a broadcast) so assignment is pure scan work — the
+    * IVF coarse-quantizer pattern: no join, no shuffle, one pass.
+    */
+  case class NearestCentroid(child: Expression, centroids: Seq[Array[Float]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val norms: Array[Double] =
+      centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var dot = 0.0
+        var j = 0
+        val n = math.min(dim, cent.length)
+        while (j < n) { dot += v.getFloat(j).toDouble * cent(j).toDouble; j += 1 }
+        val score = if (norms(c) == 0.0) Double.NegativeInfinity else dot / norms(c)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API wrappers ---------------------------------------------------
   private def c(e: Expression): Column = bridge.column(e)
   private def e(col: Column): Expression = bridge.expression(col)
@@ -275,4 +315,6 @@ object ArrayExprs {
   def l2normF(a: Column): Column = c(L2NormF(e(a)))
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =
     c(LshBuckets(e(vec), tables, bits))
+  def nearestCentroid(vec: Column, centroids: Seq[Array[Float]]): Column =
+    c(NearestCentroid(e(vec), centroids))
 }

@@ -378,6 +378,45 @@ object Relational {
       |       o_orderstatus = 'O' AS is_open
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---- F2/F3: VARIANT round-trip (Spark 4 VariantType) --------------------
+  /** Ref: the package's central type is Snowflake VARIANT — `PARSE_JSON`
+    * literals (`marketing_cloud_data_extension_upload.sql:21,46`) and
+    * path access `col:"field"::type` (`salesforce_bulk_load.sql:23,39,53`).
+    * Spark 4 has a native VariantType: JSON → `parse_json` → typed
+    * `variant_get` path extraction, incl. a missing-path probe
+    * (`try_variant_get` ≡ Snowflake's NULL-on-missing semantics).
+    */
+  def fVariantPath(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .select(col("o_orderkey"),
+        to_json(struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          struct(col("o_custkey").as("id")).as("cust"))).as("j"))
+      .select(col("o_orderkey"), parse_json(col("j")).as("v"))
+      .select(
+        col("o_orderkey"),
+        variant_get(col("v"), "$.status", "string").as("status"),
+        variant_get(col("v"), "$.price", "double").as("price"),
+        variant_get(col("v"), "$.cust.id", "long").as("cust_id"),
+        try_variant_get(col("v"), "$.missing", "string").as("missing"))
+      .orderBy("o_orderkey")
+  }
+
+  val fVariantPathSql: String =
+    """WITH j AS (
+      |  SELECT o_orderkey,
+      |         to_json(struct_pack(status := o_orderstatus, price := o_totalprice,
+      |                             cust := struct_pack(id := o_custkey))) AS j
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       json_extract_string(j, '$.status') AS status,
+      |       CAST(json_extract(j, '$.price') AS DOUBLE) AS price,
+      |       CAST(json_extract(j, '$.cust.id') AS BIGINT) AS cust_id,
+      |       json_extract_string(j, '$.missing') AS missing
+      |FROM j ORDER BY o_orderkey""".stripMargin
+
   // ---- M2: tracking-table incremental upsert semantics -------------------
   /** Ref: tracking_table_materialization.sql:28-34 — delete-matching-keys +
     * insert ≡ existing.anti(incoming) ∪ incoming. Modeled on orders:
@@ -463,6 +502,7 @@ object Relational {
     "g4_any_value" -> (g4AnyValue _),
     "w1w2_row_number_batch" -> (w1w2RowNumberBatch _),
     "f_scalars" -> (fScalars _),
+    "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
     "m4_incremental" -> (m4Incremental _))
 
@@ -483,6 +523,7 @@ object Relational {
     "g4_any_value" -> g4AnyValueSql,
     "w1w2_row_number_batch" -> w1w2RowNumberBatchSql,
     "f_scalars" -> fScalarsSql,
+    "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,
     "m4_incremental" -> m4IncrementalSql)
 }

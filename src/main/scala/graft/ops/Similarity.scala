@@ -173,6 +173,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
+    "sim_ivf_ann" -> (Ivf.ivfAnn _),
     "sim_embedding_neardup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Clustered synthetic embeddings: 8 well-separated Gaussian centers,
+    * 40 members each, plus a planted near-copy of each query vector.
+    */
+  private lazy val dir: String = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian().toFloat * 5f))
+    val base = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.5f), i % 8)
+    }
+    val planted = (0 until 5).map { i =>
+      ((320 + i).toLong, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat), i % 8)
+    }
+    val d = tmpDir("ivf")
+    (base ++ planted).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("kmeans centroids converge toward the true cluster centers") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Ivf.kmeansCentroids(emb, k = 8, iters = 4)
+    assert(cents.size === 8)
+    // every vector should be much closer (cosine) to its own cell centroid
+    // than to a random one — proxy: assignment is stable across two runs
+    val c2 = Ivf.kmeansCentroids(emb, k = 8, iters = 4)
+    cents.zip(c2).foreach { case (a, b) => assert(a.toSeq === b.toSeq) } // deterministic
+  }
+
+  test("ivfAnn finds planted near-identical neighbors with few probes") {
+    val close = Similarity.bruteForceTopKAt(spark, dir, nQueries = 5, k = 10)
+      .filter(col("score") >= 0.95)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.size >= 5, s"expected planted close pairs, got ${close.size}")
+    val approx = Ivf.ivfAnnAt(spark, dir, nQueries = 5, k = 10,
+      kCells = 8, nprobe = 2, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = close.count(approx.contains).toDouble / close.size
+    assert(recall >= 0.8, s"IVF recall on planted pairs: $recall over ${close.size}")
+  }
+
+  test("ivfAnn on driver testdata returns k ranked rows per query") {
+    val out = Ivf.ivfAnn(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 10)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
