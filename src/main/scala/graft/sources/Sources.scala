@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-side utilities (SURVEY §2.1).
+  *
+  *  - Seeds: the dbt `seed` CSV → table path (S1). The reference's seeds
+  *    are headered CSVs with UPPERCASE column names
+  *    (`integration_tests/data/accounts.csv:1`).
+  *  - Bucketed: write-side layout for co-located joins — two tables
+  *    bucketed by the same key join WITHOUT a shuffle (the 100 TB answer
+  *    to the reference's repeated log-table anti-joins: bucket both the
+  *    model output and its tracking log by the record key).
+  */
+object Seeds {
+
+  /** S1 — CSV seed scan: header + schema inference + uppercased column
+    * names (dbt normalizes seed headers; `accounts.csv` → NAME, ACCOUNT_ID).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+    df.toDF(df.columns.map(_.toUpperCase): _*)
+  }
+}
+
+object Bucketed {
+
+  /** Persist `df` bucketed+sorted by `key` into the session catalog.
+    * Joins between tables written with the same (key, buckets) plan with
+    * NO Exchange on either side — verified in BucketedSpec by asserting
+    * the physical plan is shuffle-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
+  /** Shuffle-free equi-join of two same-bucketing tables. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key), joinType)
+}
+
+/** Skew mitigation: salted equi-join (SURVEY optimization list — "salting
+  * for skew"). The hot-key side is split across `salts` sub-keys; the
+  * other side is replicated `salts`× so every sub-key still meets every
+  * matching row. Result is row-identical to the plain join; the shuffle
+  * spreads a hot key over `salts` reducers instead of one.
+  *
+  * Use when AQE's skew-join split isn't available (e.g., the skew is in
+  * an aggregation feeding the join) — otherwise prefer AQE.
+  */
+object Skew {
+
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

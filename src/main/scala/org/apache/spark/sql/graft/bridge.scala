@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime temp-function registration (functionRegistry is
+    * `private[sql]` too).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

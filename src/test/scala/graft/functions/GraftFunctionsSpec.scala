@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+class GraftFunctionsSpec extends SparkTestBase {
+
+  test("native expressions are callable from SQL after registerAll") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT graft_simhash64(split('a b c', ' ')) AS fp,
+        |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       size(graft_shingle_hashes(split('a b c d e', ' '), 3)) AS ns,
+        |       size(graft_minhash_sig(graft_shingle_hashes(split('a b c d e', ' ')), 16)) AS k,
+        |       graft_l2norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+        |       size(graft_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS t
+        |""".stripMargin).head()
+    assert(row.getDouble(1) === 11.0)
+    assert(row.getInt(2) === 3)
+    assert(row.getInt(3) === 16)
+    assert(row.getDouble(4) === 5.0)
+    assert(row.getInt(5) === 4)
+  }
+
+  test("GraftExtensions builders construct valid expressions for every name") {
+    // The injectFunction path only fires on brand-new sessions, which a
+    // shared-session test JVM can't create cheaply; assert the builders
+    // themselves (the part GraftExtensions injects) resolve and evaluate.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val floatArr = Literal.create(Array(3.0f, 4.0f), ArrayType(FloatType))
+    val strArr = Literal.create(Array("a", "b", "c", "d"), ArrayType(StringType))
+    val m = GraftFunctions.functions.toMap
+    assert(m("graft_dot")(Seq(floatArr, floatArr)).eval(null) === 25.0)
+    assert(m("graft_l2norm")(Seq(floatArr)).eval(null) === 5.0)
+    assert(m("graft_simhash64")(Seq(strArr)).eval(null).isInstanceOf[Long])
+    val sh = m("graft_shingle_hashes")(Seq(strArr, Literal(2))).eval(null)
+    assert(sh.asInstanceOf[GenericArrayData].numElements() === 3)
+    // applying the extension installer must not throw
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
