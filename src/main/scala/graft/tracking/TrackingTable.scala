@@ -141,6 +141,69 @@ final class TrackingTable(
   }
 }
 
+/** Partition-pruned tracking table — the 100 TB form of M2.
+  *
+  * The plain TrackingTable rewrites the whole relation on every upsert;
+  * fine for job-count-sized tables, fatal for the log table (one row per
+  * pushed record, forever). This variant hive-partitions the data by
+  * `partitionCol` (for the reference's log tables the natural key is
+  * `load_task_name` — each push run touches exactly one partition) and
+  * uses dynamic partition overwrite so an upsert:
+  *   1. prunes the read to the partitions present in `incoming`
+  *      (`PartitionFilters` on the parquet scan — verified in
+  *      TrackingTableSpec);
+  *   2. rewrites ONLY those partitions; untouched partition directories
+  *      keep their files byte-for-byte.
+  */
+final class PartitionedTrackingTable(
+    spark: SparkSession,
+    val path: String,
+    val schema: StructType,
+    val uniqueKey: String,
+    val partitionCol: String) {
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def exists: Boolean = fs.exists(new Path(path))
+
+  def read(): DataFrame =
+    if (!exists) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.schema(schema).parquet(path)
+
+  /** Upsert = delete-matching-keys + insert, scoped to the incoming
+    * partitions only.
+    */
+  def upsert(incoming: DataFrame): Unit = {
+    val in = incoming.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (!exists) {
+      in.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    // Driver-side partition list: |touched partitions| values, not rows.
+    val touched = in.select(partitionCol).distinct().collect().map(_.get(0))
+    val existingTouched = read()
+      .filter(col(partitionCol).isin(touched: _*)) // → partition pruning
+      .join(in.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      existingTouched.unionByName(in)
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Append without key reconciliation (the in-run log insert path) —
+    * creates/extends only the touched partition directories.
+    */
+  def append(incoming: DataFrame): Unit = {
+    val in = incoming.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    in.write.mode("append").partitionBy(partitionCol).parquet(path)
+  }
+}
+
 object TrackingTable {
   import graft.push.Schemas
 
