@@ -134,7 +134,9 @@ final class SalesforcePush(
           lit(cfg.externalIdField.orNull).as("external_id_field"),
           col("record"), col("result"))
       logs.append(pushed)
-      val n = logs.read().filter(col("job_id") === jobId).count()
+      // One log row per source record; count the cached source instead of
+      // re-scanning the (ever-growing) log table.
+      val n = source.count()
 
       // Close + stamp (salesforce_bulk_load.sql:51-56).
       val closeMeta = api.closeJob(jobId, true)

@@ -97,6 +97,12 @@ final class TrackingTable(
 
   /** Plain append (the reference's `insert into` S4 path — used for log
     * tables inside a single run where keys are fresh by construction).
+    *
+    * Fast path: when the existing schema already accommodates the
+    * incoming rows, append new parquet files — O(incoming), the table is
+    * never rewritten (the log table grows one row per pushed record
+    * forever; rewriting it per run would be O(history) and fatal at
+    * scale). Only a widening schema change falls back to the rewrite.
     */
   def append(incoming: DataFrame): Unit = {
     createIfMissing()
@@ -106,7 +112,10 @@ final class TrackingTable(
       df.select(widened.map(f =>
         (if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)).as(f.name)): _*)
-    atomicWrite(conform(existing).unionByName(conform(incoming)))
+    if (widened == existing.schema)
+      conform(incoming).write.mode("append").parquet(dataPath.toString)
+    else
+      atomicWrite(conform(existing).unionByName(conform(incoming)))
   }
 
   /** Update-with-join (A6) — ref `salesforce_bulk_load.sql:52-56`:

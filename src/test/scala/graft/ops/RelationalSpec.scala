@@ -60,6 +60,22 @@ class RelationalSpec extends SparkTestBase {
     assert(sizes.init.forall(s => s == 99 || s == 100))
   }
 
+  test("NOT IN null semantics: SQL NOT IN goes empty on a NULL subquery row; left_anti keeps rows (SURVEY §7 hard part 1)") {
+    import spark.implicits._
+    val src = Seq(1L, 2L, 3L).toDF("k")
+    val sub = Seq(Some(1L), None).toDF("k")
+    src.createOrReplaceTempView("notin_src")
+    sub.createOrReplaceTempView("notin_sub")
+    // Snowflake/ANSI: k NOT IN (1, NULL) is never TRUE -> empty result.
+    val sqlNotIn = spark.sql(
+      "SELECT k FROM notin_src WHERE k NOT IN (SELECT k FROM notin_sub)").count()
+    assert(sqlNotIn === 0, "Spark's null-aware anti join must honor ANSI NOT IN")
+    // left_anti is the null-UNaware variant the engine uses where the key
+    // is known non-null (the reference's log keys are) -> 2 survivors.
+    val anti = src.join(sub, Seq("k"), "left_anti").count()
+    assert(anti === 2)
+  }
+
   test("g1Rollup conserves the total amount") {
     val c = Catalog(spark, sf)
     val total = c.ref("orders")

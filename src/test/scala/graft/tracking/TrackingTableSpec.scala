@@ -29,11 +29,30 @@ class TrackingTableSpec extends SparkTestBase {
     assert(out === Seq(("a", 1, "x"), ("b", 20, "y2"), ("c", 3, "z")))
   }
 
-  test("append keeps duplicates (the log-table insert path)") {
+  test("append keeps duplicates and never rewrites existing files (the log-table insert path)") {
     val t = table()
     t.append(Seq(("a", 1, "x")).toDF("k", "v", "note"))
+    val dataDir = new java.io.File(t.path, "data")
+    val before = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(20)
     t.append(Seq(("a", 2, "x2")).toDF("k", "v", "note"))
     assert(t.read().count() === 2)
+    val after = dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    // fast path: old files byte-identical, new files added
+    assert(before.forall { case (name, m) => after.get(name).contains(m) },
+      "append must not rewrite existing log files")
+    assert(after.size > before.size)
+  }
+
+  test("append falls back to rewrite when the incoming batch widens a column") {
+    val t = table()
+    t.append(Seq(("a", 1, "x")).toDF("k", "v", "note"))
+    t.append(Seq(("b", 5000000000L, "y")).toDF("k", "v", "note"))
+    val out = t.read()
+    assert(out.schema("v").dataType === LongType)
+    assert(out.count() === 2)
   }
 
   test("upsert widens int -> long like expand_target_column_types (ref :31-33)") {
