@@ -30,7 +30,10 @@ final class Catalog(spark: SparkSession, sfDir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` = integer division. `/` would be DOUBLE division: epoch
+      // nanos (~1.7e18) exceed double's 53-bit mantissa, so the quotient
+      // rounds by up to ±256 ns and can land on the wrong microsecond.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   })
 

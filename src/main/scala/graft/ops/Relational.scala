@@ -467,6 +467,80 @@ object Relational {
       |WHERE ts > (SELECT max(ts) FROM e WHERE event_type = 'signup')
       |ORDER BY event_id""".stripMargin
 
+  // ---- W4: batch sessionization (lag + running sum windows) ---------------
+  /** Gap-based sessions over `events` — the batch twin of
+    * streaming.EventStreams.sessionize: lag() finds gaps > 30 min, a
+    * running sum turns gap flags into session sequence numbers, then a
+    * per-session rollup. Windows are partitioned by user_id (parallel;
+    * no global window). Gap arithmetic is pinned to epoch microseconds
+    * so both engines compare identical integers.
+    */
+  def w4Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val gapUs = 30L * 60 * 1000000 // 30 min in µs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.ref("events")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val w4SessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, us,
+      |         lag(us) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- G6: ROLLUP grouping sets -------------------------------------------
+  /** Hierarchical totals (region → nation → grand total) via ROLLUP —
+    * grouping-set aggregates are the standard OLAP extension beyond the
+    * reference's flat group-bys. NULL ordering is pinned (Spark sorts
+    * NULLS FIRST ascending; DuckDB defaults NULLS LAST).
+    */
+  def g6Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cust = c.ref("customer")
+    val nat = c.ref("nation")
+    val reg = c.ref("region")
+    cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_balance"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val g6RollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -501,6 +575,8 @@ object Relational {
     "g3_batch_agg" -> (g3BatchAgg _),
     "g4_any_value" -> (g4AnyValue _),
     "w1w2_row_number_batch" -> (w1w2RowNumberBatch _),
+    "w4_sessionize" -> (w4Sessionize _),
+    "g6_rollup" -> (g6Rollup _),
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
@@ -522,6 +598,8 @@ object Relational {
     "g3_batch_agg" -> g3BatchAggSql,
     "g4_any_value" -> g4AnyValueSql,
     "w1w2_row_number_batch" -> w1w2RowNumberBatchSql,
+    "w4_sessionize" -> w4SessionizeSql,
+    "g6_rollup" -> g6RollupSql,
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,
