@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ push.PushQueries.queries
+      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.AsOf.queries ++
+      push.PushQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
     * compare sorts columns by name before hashing).
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
-      ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ push.PushQueries.oracles
+      ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ ops.AsOf.oracles ++
+      push.PushQueries.oracles
 }

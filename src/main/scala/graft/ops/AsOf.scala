@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** As-of (point-in-time) join — the canonical time-series operator Spark
+  * lacks natively: for every left row, the single right row with the
+  * greatest right-time ≤ left-time within the same key.
+  *
+  * Composed from built-ins (preference (a) of the custom-operator
+  * ladder): tag both sides, UNION them, and run one
+  * `last(_, ignoreNulls)` window per right column over
+  * (key ORDER BY time, side) rows-unbounded-preceding — a single shuffle
+  * on the key, no range-condition join explosion, no custom SparkPlan
+  * needed. Ties (equal times) sort the right row first, so "≤" matches.
+  *
+  * At 100 TB this is the shape you want: both sides shuffle once by key,
+  * each partition does a linear merge — same cost class as a sort-merge
+  * join, versus the quadratic blow-up of the naive
+  * `l.key = r.key AND r.t <= l.t` range join + argmax.
+  */
+object AsOf {
+
+  /** Left as-of join. `rightCols` are carried from the right side (they
+    * must not collide with left column names).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r0 = right.select((key +: time +: rightCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val lAll = rightCols.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(r0.schema(c).dataType)))
+    val combined = lAll.unionByName(r0, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal times → "≤"
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(combined)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1).drop("__side")
+      .select(left.columns.map(col) ++ rightCols.map(col): _*)
+  }
+
+  /** Oracle-checked query: every event joined to the user's most recent
+    * signup event at-or-before its timestamp (DuckDB twin: native
+    * `ASOF LEFT JOIN`).
+    */
+  def asofLastSignup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.ref("events")
+    val left = e.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val right = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event_id"), col("ts").as("signup_ts"))
+    asofJoin(left, right, "user_id", "ts",
+        Seq("signup_event_id", "signup_ts"))
+      .orderBy("event_id")
+  }
+
+  val asofLastSignupSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |s AS (SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+      |      FROM e WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |       s.signup_event_id, s.signup_ts
+      |FROM e ASOF LEFT JOIN s
+      |  ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+      |ORDER BY e.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_asof" -> (asofLastSignup _))
+
+  val oracles: Map[String, String] = Map(
+    "j4_asof" -> asofLastSignupSql)
+}

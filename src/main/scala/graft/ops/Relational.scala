@@ -351,6 +351,48 @@ object Relational {
       |FROM (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
       |ORDER BY rn""".stripMargin
 
+  // ---- O2/O3: set operations + ordered top-k ------------------------------
+  /** UNION / INTERSECT / EXCEPT in one relation (tagged rows): building
+    * segment vs positive balance over customer keys. The reference has no
+    * set ops (SURVEY §2.6) — included for general-engine completeness.
+    */
+  def o2SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val a = c.ref("customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val b = c.ref("customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"))
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+      .orderBy("op", "c_custkey")
+  }
+
+  val o2SetOpsSql: String =
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |SELECT c_custkey, 'union' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |UNION ALL
+      |SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT c_custkey, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  /** Ordered top-k (LIMIT pushdown): Spark plans TakeOrderedAndProject —
+    * a per-partition top-k + driver merge, never a global sort.
+    */
+  def o3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val o3TopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
   // ---- F8/F4: scalar function surface ------------------------------------
   /** Ref: transactions_daily_load.sql:12-13 (`||` concat with implicit
     * casts), casts F4, boolean eq F10.
@@ -577,6 +619,8 @@ object Relational {
     "w1w2_row_number_batch" -> (w1w2RowNumberBatch _),
     "w4_sessionize" -> (w4Sessionize _),
     "g6_rollup" -> (g6Rollup _),
+    "o2_setops" -> (o2SetOps _),
+    "o3_topk" -> (o3TopK _),
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
@@ -600,6 +644,8 @@ object Relational {
     "w1w2_row_number_batch" -> w1w2RowNumberBatchSql,
     "w4_sessionize" -> w4SessionizeSql,
     "g6_rollup" -> g6RollupSql,
+    "o2_setops" -> o2SetOpsSql,
+    "o3_topk" -> o3TopKSql,
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,

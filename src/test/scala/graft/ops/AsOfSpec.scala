@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin picks the greatest right time <= left time per key") {
+    val left = Seq((1L, 10L, "l10"), (1L, 25L, "l25"), (2L, 5L, "l5"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, "r8"), (1L, 20L, "r20"), (1L, 30L, "r30"), (2L, 9L, "r9"))
+      .toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("rv"))
+      .orderBy("k", "t").as[(Long, Long, String, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, "l10", "r8"),   // 8 <= 10 < 20
+      (1L, 25L, "l25", "r20"),  // 20 <= 25 < 30
+      (2L, 5L, "l5", null)))    // no right row at or before t=5
+  }
+
+  test("asofJoin ties: a right row at exactly the left time matches (<=)") {
+    val left = Seq((1L, 10L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10")).toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("rv")).head()
+    assert(out.getAs[String]("rv") === "r10")
+  }
+
+  test("asofLastSignup: every matched signup is at-or-before the event") {
+    val out = AsOf.asofLastSignup(spark, sf).cache()
+    assert(out.filter(col("signup_ts") > col("ts")).count() === 0)
+    // signup events always match themselves
+    assert(out.filter(col("event_type") === "signup" && col("signup_event_id").isNull)
+      .count() === 0)
+    out.unpersist()
+  }
+}
