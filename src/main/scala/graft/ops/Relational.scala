@@ -351,6 +351,26 @@ object Relational {
       |FROM (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
       |ORDER BY rn""".stripMargin
 
+  // ---- G7: distinct aggregates (exact + HLL sketch) -----------------------
+  /** count(DISTINCT) per group — exact form is the oracle; the HLL++
+    * sketch path (`approx_count_distinct`, RelationalSpec asserts <5%
+    * error) is the 100 TB variant: mergeable fixed-size sketches instead
+    * of a distinct expansion shuffle.
+    */
+  def g7DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  val g7DistinctAggSql: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- O2/O3: set operations + ordered top-k ------------------------------
   /** UNION / INTERSECT / EXCEPT in one relation (tagged rows): building
     * segment vs positive balance over customer keys. The reference has no
@@ -621,6 +641,7 @@ object Relational {
     "g6_rollup" -> (g6Rollup _),
     "o2_setops" -> (o2SetOps _),
     "o3_topk" -> (o3TopK _),
+    "g7_distinct_agg" -> (g7DistinctAgg _),
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
@@ -646,6 +667,7 @@ object Relational {
     "g6_rollup" -> g6RollupSql,
     "o2_setops" -> o2SetOpsSql,
     "o3_topk" -> o3TopKSql,
+    "g7_distinct_agg" -> g7DistinctAggSql,
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,

@@ -76,6 +76,15 @@ class RelationalSpec extends SparkTestBase {
     assert(anti === 2)
   }
 
+  test("approx_count_distinct (HLL++) stays within 5% of the exact distinct count") {
+    val c = Catalog(spark, sf)
+    val exact = c.ref("orders").select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approx = c.ref("orders")
+      .select(approx_count_distinct(col("o_custkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+  }
+
   test("g1Rollup conserves the total amount") {
     val c = Catalog(spark, sf)
     val total = c.ref("orders")
