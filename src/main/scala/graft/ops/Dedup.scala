@@ -210,7 +210,71 @@ object Dedup {
       .orderBy("representative_id")
   }
 
+  // ---- duplicate-cluster resolution (connected components) -------------------
+  /** Near-dup pairs → duplicate clusters → keep/drop decision: the final
+    * stage of a dedup pipeline. Connected components by iterative
+    * min-label propagation over the pair graph, converging in
+    * O(cluster diameter) rounds (near-dup clusters are shallow).
+    *
+    * Each round is one join + min-aggregate — all key-partitioned
+    * shuffles; `localCheckpoint` truncates the lineage per round (the
+    * standard Spark iterative-algorithm pattern, same role as GraphX's
+    * internal checkpointing). Output: every clustered doc with its
+    * cluster representative (min doc_id) and the keep/drop verdict.
+    */
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
+    duplicateClustersAt(spark, dir, 0.5)
+
+  def duplicateClustersAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val edges = ngramJaccardAt(spark, dir, tau)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val sym = edges.unionByName(
+      edges.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = sym.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(sym, labels("id") === sym("id1"))
+        .select(col("id2").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  val duplicateClustersSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM tok)),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+      |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_shingles + s2.n_shingles - n_inter AS DOUBLE) >= 0.5),
+      |sym AS (SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges),
+      |nodes AS (SELECT DISTINCT id1 AS id FROM sym),
+      |walk(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.id2, w.label FROM walk w JOIN sym s ON w.id = s.id1)
+      |SELECT id AS doc_id, min(label) AS cluster_rep, (id = min(label)) AS keep
+      |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (duplicateClusters _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -218,5 +282,6 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_clusters" -> duplicateClustersSql)
 }

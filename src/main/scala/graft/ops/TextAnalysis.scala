@@ -159,15 +159,72 @@ object TextAnalysis {
       |       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS bag_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- PII redaction -----------------------------------------------------
+  /** Training-corpus scrubbing: mask email-like and long-digit-run
+    * (phone/ID) spans. Patterns stick to RE2-compatible constructs
+    * (character classes, bounded repeats) so Java regex (Spark) and RE2
+    * (DuckDB) agree byte-for-byte.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val digits = "[0-9]{7,}"
+    c.ref("documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>").as("redacted"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), email, ""))).as("email_chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  val redactSql: String =
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |                      '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+      |       length(text) - length(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '', 'g')) AS email_chars_removed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- stopword filtering --------------------------------------------------
+  /** Stopword-stripped text (the tokenize → filter → rejoin shape every
+    * text pipeline runs before shingling/embedding).
+    */
+  def stopwordFilter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val stopArr = array(stopwords.map(lit): _*)
+    c.ref("documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("toks"),
+          t => !array_contains(stopArr, t))).as("filtered"),
+        size(col("toks")).as("n_before"),
+        size(filter(col("toks"), t => !array_contains(stopArr, t))).as("n_after"))
+      .orderBy("doc_id")
+  }
+
+  val stopwordFilterSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+      |SELECT doc_id,
+      |       array_to_string(list_filter(toks,
+      |         x -> NOT list_contains(['the','a','of','and','to','in','is','it'], x)), ' ') AS filtered,
+      |       len(toks) AS n_before,
+      |       len(list_filter(toks,
+      |         x -> NOT list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_after
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> (tokenCounts _),
     "text_quality" -> (qualityScore _),
     "text_langid" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_redact" -> (redact _),
+    "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
     "text_quality" -> qualityScoreSql,
     "text_langid" -> langIdSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_redact" -> redactSql,
+    "text_stopword_filter" -> stopwordFilterSql)
 }

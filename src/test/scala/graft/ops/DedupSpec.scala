@@ -34,6 +34,23 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} true pairs")
   }
 
+  test("duplicateClusters: every near-dup pair lands in one cluster, rep = min id") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.duplicateClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { case (id, rep) => assert(rep <= id) }
+    // exactly one keeper per cluster
+    val keepers = Dedup.duplicateClusters(spark, sf)
+      .filter(col("keep")).select("cluster_rep").collect().map(_.getLong(0))
+    assert(keepers.toSet.size === keepers.length)
+    assert(keepers.toSet === clusters.values.toSet)
+  }
+
   test("simhash: hamming-0 groups contain >1 doc and cover planted dups") {
     val out = Dedup.simhash(spark, sf).cache()
     assert(out.filter(col("n_docs") < 2).count() === 0)
