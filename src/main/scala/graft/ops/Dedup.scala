@@ -232,15 +232,22 @@ object Dedup {
       edges.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever decrease (min-propagation), so the label sum is a
+    // strictly-monotone convergence witness — one cheap aggregate per
+    // round instead of a join + count.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = labels.join(sym, labels("id") === sym("id1"))
         .select(col("id2").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     labels

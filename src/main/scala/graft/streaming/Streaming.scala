@@ -40,6 +40,19 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup — the streaming twin of ops.Dedup.exact:
+    * drop records whose fingerprint was already seen, with state bounded
+    * by the watermark (a duplicate arriving later than `watermark` after
+    * the original is NOT caught — the bounded-state tradeoff every
+    * streaming dedup makes).
+    */
+  def dedupByFingerprint(records: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    records
+      .withColumn("fp", md5(concat_ws(" ",
+        split(trim(lower(col("text"))), "\\s+"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
   final case class Session(userId: Long, start: Timestamp, end: Timestamp,

@@ -60,6 +60,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupByFingerprint drops within-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = EventStreams.dedupByFingerprint(
+      in.toDF().toDF("ts", "text"), watermark = "5 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(1), "the quick brown fox"),
+        (ts(2), "THE  QUICK   brown fox"), // same normalized fingerprint
+        (ts(3), "a different document"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").as[String].collect()
+      assert(texts.length === 2, s"got ${texts.toSeq}")
+      assert(texts.count(_.toLowerCase.contains("quick")) === 1)
+    } finally q.stop()
+  }
+
   test("StreamingPush: each micro-batch runs the batch push pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("stream-push")
