@@ -225,16 +225,58 @@ object Dedup {
   def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
     duplicateClustersAt(spark, dir, 0.5)
 
-  def duplicateClustersAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+  /** Hybrid execution: the candidate-pair graph is tiny relative to the
+    * corpus (dup-rate bounded), so when it fits the driver
+    * (`driverThreshold` edges) a local union-find resolves components in
+    * microseconds — the iterative join plan would spend seconds of pure
+    * job-scheduling overhead on a 10^2-edge graph. Past the threshold
+    * the distributed min-label propagation takes over (same result;
+    * DedupSpec asserts path equality).
+    */
+  def duplicateClustersAt(spark: SparkSession, dir: String, tau: Double,
+      driverThreshold: Long = 1L << 22): DataFrame = {
     val edges = ngramJaccardAt(spark, dir, tau)
       .select(col("id1"), col("id2")).localCheckpoint()
+    val result =
+      if (edges.count() <= driverThreshold) clustersDriver(spark, edges)
+      else clustersDistributed(edges)
+    result
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-side union-find over a collected edge list. */
+  private def clustersDriver(spark: SparkSession,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster_rep")
+  }
+
+  /** Distributed min-label propagation (the 100 TB path). Labels only
+    * ever decrease, so the label sum is a strictly-monotone convergence
+    * witness — one cheap aggregate per round. localCheckpoint per round
+    * bounds the lineage.
+    */
+  private[ops] def clustersDistributed(
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sym = edges.unionByName(
       edges.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    // Labels only ever decrease (min-propagation), so the label sum is a
-    // strictly-monotone convergence witness — one cheap aggregate per
-    // round instead of a join + count.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum("label")).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -250,10 +292,7 @@ object Dedup {
       prevSum = s
       labels = next
     }
-    labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
-      .withColumn("keep", col("doc_id") === col("cluster_rep"))
-      .orderBy("doc_id")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
   val duplicateClustersSql: String =

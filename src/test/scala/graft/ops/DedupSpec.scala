@@ -51,6 +51,14 @@ class DedupSpec extends SparkTestBase {
     assert(keepers.toSet === clusters.values.toSet)
   }
 
+  test("duplicateClusters: driver union-find and distributed propagation agree") {
+    val viaDriver = Dedup.duplicateClustersAt(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDistributed = Dedup.duplicateClustersAt(spark, sf, 0.5, driverThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver === viaDistributed)
+  }
+
   test("simhash: hamming-0 groups contain >1 doc and cover planted dups") {
     val out = Dedup.simhash(spark, sf).cache()
     assert(out.filter(col("n_docs") < 2).count() === 0)
