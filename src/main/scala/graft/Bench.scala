@@ -17,8 +17,11 @@ object Bench {
     try {
       graft.catalog.Catalog.baseTables.foreach(t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count())
-      // touch the heavy columns (text, embeddings) + codegen paths
-      Seq("p1_projection", "text_fingerprint", "sim_bruteforce_topk")
+      // touch the heavy columns (text, embeddings) + codegen/native-expr
+      // paths so the alphabetically-first measured query isn't charged
+      // for one-time JIT/codegen warmup
+      Seq("p1_projection", "text_fingerprint", "sim_bruteforce_topk",
+        "dedup_simhash", "dedup_ngram_jaccard")
         .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

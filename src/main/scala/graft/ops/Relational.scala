@@ -371,6 +371,48 @@ object Relational {
       |       count(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- G8: pivot ----------------------------------------------------------
+  /** Wide-format pivot (`groupBy.pivot` with explicit values so the
+    * output schema is static); oracle uses FILTERed counts with the same
+    * column names.
+    */
+  def g8Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  val g8PivotSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (o_orderstatus = 'F') AS "F",
+      |       count(*) FILTER (o_orderstatus = 'O') AS "O",
+      |       count(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- G9: exact median ----------------------------------------------------
+  /** Exact per-group median. l_quantity is integral-valued, so the
+    * even-count midpoint interpolation is exact in binary and both
+    * engines agree bit-for-bit. (General quantiles are avoided in the
+    * oracle: R-7 interpolation arithmetic differs in the last ulp
+    * between engines.)
+    */
+  def g9Median(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val g9MedianSql: String =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- O2/O3: set operations + ordered top-k ------------------------------
   /** UNION / INTERSECT / EXCEPT in one relation (tagged rows): building
     * segment vs positive balance over customer keys. The reference has no
@@ -642,6 +684,8 @@ object Relational {
     "o2_setops" -> (o2SetOps _),
     "o3_topk" -> (o3TopK _),
     "g7_distinct_agg" -> (g7DistinctAgg _),
+    "g8_pivot" -> (g8Pivot _),
+    "g9_median" -> (g9Median _),
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
@@ -668,6 +712,8 @@ object Relational {
     "o2_setops" -> o2SetOpsSql,
     "o3_topk" -> o3TopKSql,
     "g7_distinct_agg" -> g7DistinctAggSql,
+    "g8_pivot" -> g8PivotSql,
+    "g9_median" -> g9MedianSql,
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,
