@@ -319,8 +319,39 @@ object Dedup {
       |SELECT id AS doc_id, min(label) AS cluster_rep, (id = min(label)) AS keep
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---- cross-source similarity via mergeable sketches -----------------------
+  /** Estimated Jaccard similarity between every pair of `source` corpora
+    * — per-source MinHash sketches via the mergeable MinHashMerge
+    * aggregate (element-wise min = sketch of the shingle-set union), then
+    * a pairwise sketch comparison. The shingle sets themselves are never
+    * shuffled: each source reduces to k longs regardless of corpus size,
+    * so the pairwise stage is |sources|² over 512-byte sketches.
+    * Spark-only (xxhash64) → rows-only driver check; sketch-vs-exact
+    * agreement is asserted in DedupSpec.
+    */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    sourceSimilarityAt(spark, dir, numHashes = 64)
+
+  def sourceSimilarityAt(spark: SparkSession, dir: String, numHashes: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val sketches = c.ref("documents")
+      .select(col("source"), toks(col("text")).as("toks"))
+      .select(col("source"),
+        ArrayExprs.minHashSig(ArrayExprs.shingleHashes(col("toks"), 3), numHashes).as("sig"))
+      .groupBy(col("source"))
+      .agg(graft.functions.MinHashMerge.minHashMerge(col("sig"), numHashes).as("sketch"))
+    val a = sketches.as("a")
+    val b = sketches.as("b")
+    a.join(b, col("a.source") < col("b.source"))
+      .select(col("a.source").as("source1"), col("b.source").as("source2"),
+        (size(filter(zip_with(col("a.sketch"), col("b.sketch"), (x, y) => x === y),
+          v => v)).cast("double") / numHashes.toDouble).as("est_jaccard"))
+      .orderBy("source1", "source2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (duplicateClusters _),
+    "dedup_source_sim" -> (sourceSimilarity _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),

@@ -455,6 +455,28 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
+  // ---- O4: unpivot / melt --------------------------------------------------
+  /** Wide → long reshaping (`Dataset.unpivot`, Spark 3.4+), the inverse
+    * of G8's pivot.
+    */
+  def o4Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("balance"),
+        col("c_nationkey").cast("double").as("nation"))
+      .unpivot(Array(col("c_custkey")), Array(col("balance"), col("nation")),
+        "metric", "value")
+      .orderBy("c_custkey", "metric")
+  }
+
+  val o4UnpivotSql: String =
+    """SELECT c_custkey, metric, value FROM (
+      |  UNPIVOT (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+      |                  CAST(c_nationkey AS DOUBLE) AS nation FROM customer)
+      |  ON balance, nation INTO NAME metric VALUE value)
+      |ORDER BY c_custkey, metric""".stripMargin
+
   // ---- F8/F4: scalar function surface ------------------------------------
   /** Ref: transactions_daily_load.sql:12-13 (`||` concat with implicit
     * casts), casts F4, boolean eq F10.
@@ -683,6 +705,7 @@ object Relational {
     "g6_rollup" -> (g6Rollup _),
     "o2_setops" -> (o2SetOps _),
     "o3_topk" -> (o3TopK _),
+    "o4_unpivot" -> (o4Unpivot _),
     "g7_distinct_agg" -> (g7DistinctAgg _),
     "g8_pivot" -> (g8Pivot _),
     "g9_median" -> (g9Median _),
@@ -711,6 +734,7 @@ object Relational {
     "g6_rollup" -> g6RollupSql,
     "o2_setops" -> o2SetOpsSql,
     "o3_topk" -> o3TopKSql,
+    "o4_unpivot" -> o4UnpivotSql,
     "g7_distinct_agg" -> g7DistinctAggSql,
     "g8_pivot" -> g8PivotSql,
     "g9_median" -> g9MedianSql,

@@ -59,6 +59,34 @@ class DedupSpec extends SparkTestBase {
     assert(viaDriver === viaDistributed)
   }
 
+  test("MinHashMerge sketch equals the signature of the unioned shingle set") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{ArrayExprs, MinHashMerge}
+    val c = graft.catalog.Catalog(spark, sf)
+    val k = 32
+    // the aggregate under test: one merged sketch for src0
+    val sketch = c.ref("documents").filter(col("source") === "src0")
+      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(ArrayExprs.minHashSig(ArrayExprs.shingleHashes(col("toks"), 3), k).as("sig"))
+      .agg(MinHashMerge.minHashMerge(col("sig"), k).as("sketch"))
+      .head().getSeq[Long](0)
+    // independent reference: union src0's window hashes, elementwise min
+    // over the same XXH64 chain ShingleHashes/MinHashSig use
+    val windowHashes = c.ref("documents").filter(col("source") === "src0")
+      .select(col("text")).collect().map(_.getString(0)).flatMap { t =>
+        val toks = t.trim.toLowerCase.split("\\s+")
+        if (toks.length < 3) Seq.empty[Long]
+        else {
+          val th = toks.map(x => XXH64.hashUTF8String(UTF8String.fromString(x), 42L))
+          th.sliding(3).map(_.foldLeft(42L)((acc, h) => XXH64.hashLong(h, acc))).toSeq
+        }
+      }.distinct
+    val expected = (0 until k).map(i =>
+      windowHashes.map(h => XXH64.hashLong(h, i.toLong)).min)
+    assert(sketch.toSeq === expected)
+  }
+
   test("simhash: hamming-0 groups contain >1 doc and cover planted dups") {
     val out = Dedup.simhash(spark, sf).cache()
     assert(out.filter(col("n_docs") < 2).count() === 0)
