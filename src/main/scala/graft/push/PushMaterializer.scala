@@ -34,6 +34,14 @@ final class PushMaterializer(
   val sfmcTasks: TrackingTable = TrackingTable.sfmcLoadTasks(spark, trackingBase)
   val sfmcLogs: TrackingTable = TrackingTable.sfmcLoadTaskLogs(spark, trackingBase)
 
+  /** The `drop-omnata-task-tables` var (README.md:35-39 /
+    * `tracking_table_materialization.sql:19-27` rebuild branch): tracking
+    * tables are immune to normal full-refresh and only rebuilt on this
+    * explicit request.
+    */
+  def dropTaskTables(): Unit =
+    Seq(sfdcTasks, sfdcLogs, sfmcTasks, sfmcLogs).foreach(_.fullRefresh())
+
   def run(model: PushModel): PushReport = model.config match {
     case c: SalesforceConfig => new SalesforcePush(spark, sfdc, sfdcTasks, sfdcLogs).run(model, c)
     case c: MarketingCloudConfig => new MarketingCloudPush(spark, sfmc, sfmcTasks, sfmcLogs).run(model, c)

@@ -65,6 +65,19 @@ class PushPipelineSpec extends SparkTestBase {
     assert(mat.sfdcLogs.read().count() === n)
   }
 
+  test("dropTaskTables rebuilds the tracking tables; the next run re-pushes everything") {
+    val base = tmpDir("push")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    mat.run(accountsModel(base))
+    val n = sfdc.loadBatchCalls.get()
+    assert(mat.run(accountsModel(base)).skippedEmpty) // idempotent while logs exist
+    mat.dropTaskTables()                              // drop-omnata-task-tables: true
+    assert(mat.sfdcLogs.read().count() === 0)
+    val r = mat.run(accountsModel(base))
+    assert(!r.skippedEmpty && r.recordsPushed === n)  // full re-push
+  }
+
   test("unknown app raises the materialization compile error (ref :14)") {
     val mat = new PushMaterializer(spark, tmpDir("push"),
       new MockSalesforceBulkApi(), new MockSfmcApi())
