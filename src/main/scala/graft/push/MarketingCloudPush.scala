@@ -61,7 +61,11 @@ final class MarketingCloudPush(
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      if (numbered.isEmpty) return PushReport(model.name, skippedEmpty = true, None, 0)
+      // Full materialization as the probe (not isEmpty) — see
+      // SalesforcePush: partial caching would re-evaluate the model after
+      // the log append (double-evaluation hazard, SURVEY §4).
+      val total = numbered.count()
+      if (total == 0) return PushReport(model.name, skippedEmpty = true, None, 0)
 
       // 2. Ensure the data extension exists (ref :21-31; config per README.md:77-88).
       val fieldsJson = cfg.dataExtensionFields.map(m =>

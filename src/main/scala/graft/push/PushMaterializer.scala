@@ -111,8 +111,16 @@ final class SalesforcePush(
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // Zero-row short-circuit probe (salesforce.sql:7-17).
-      if (source.isEmpty) return PushReport(model.name, skippedEmpty = true, None, 0)
+      // Zero-row short-circuit probe (salesforce.sql:7-17). count() (not
+      // isEmpty) deliberately: it materializes EVERY partition into the
+      // persisted cache. isEmpty only computes the first partition, so
+      // the rest would be re-evaluated after the log append — and a model
+      // that anti-joins its own log table (the reference's incremental
+      // pattern) would see the rows this very run just wrote. This is the
+      // reference's double-evaluation hazard (SURVEY §4); the full
+      // materialization closes it.
+      val total = source.count()
+      if (total == 0) return PushReport(model.name, skippedEmpty = true, None, 0)
 
       // Job create — driver-side, once (salesforce_bulk_load.sql:13-18).
       val meta = api.createJob(cfg.loadType, cfg.objectName, cfg.serialLoad, cfg.externalIdField)
@@ -142,9 +150,8 @@ final class SalesforcePush(
           lit(cfg.externalIdField.orNull).as("external_id_field"),
           col("record"), col("result"))
       logs.append(pushed)
-      // One log row per source record; count the cached source instead of
-      // re-scanning the (ever-growing) log table.
-      val n = source.count()
+      // One log row per source record (the source is fully cached above).
+      val n = total
 
       // Close + stamp (salesforce_bulk_load.sql:51-56).
       val closeMeta = api.closeJob(jobId, true)
