@@ -79,6 +79,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamingPush from a parquet file source (real ingest path)") {
+    val srcDir = tmpDir("filesrc")
+    (1 to 40).map(i => s"""{"Name":"acct$i"}""").toDF("record")
+      .write.mode("append").parquet(srcDir)
+    val base = tmpDir("stream-push-file")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    val sp = new StreamingPush(spark, mat,
+      SalesforceConfig("Account", "insert"), "file_accounts")
+    val stream = spark.readStream
+      .schema("record STRING")
+      .parquet(srcDir)
+    val q = sp.start(stream, tmpDir("ckpt-file"))
+    q.awaitTermination()
+    assert(mat.sfdcLogs.read().count() === 40)
+    assert(sfdc.loadBatchCalls.get() === 40)
+  }
+
   test("StreamingPush: each micro-batch runs the batch push pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("stream-push")
