@@ -78,6 +78,27 @@ class PushPipelineSpec extends SparkTestBase {
     assert(!r.skippedEmpty && r.recordsPushed === n)  // full re-push
   }
 
+  test("a SQL-authored model (dbt style, via registered views) pushes end-to-end") {
+    val base = tmpDir("push")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    val m = PushModel("sql_accounts",
+      SalesforceConfig("Account", "insert"),
+      s => {
+        val cat = new graft.catalog.Catalog(s, sf)
+        cat.registerViews(Seq("customer"))
+        s.sql(
+          """SELECT to_json(named_struct(
+            |  'Name', c_name,
+            |  'AccountID__c', CAST(c_custkey AS STRING))) AS record
+            |FROM customer""".stripMargin)
+      })
+    val r = mat.run(m)
+    assert(r.recordsPushed === 150)
+    assert(mat.sfdcLogs.read()
+      .filter(get_json_object(col("record"), "$.Name").isNotNull).count() === 150)
+  }
+
   test("unknown app raises the materialization compile error (ref :14)") {
     val mat = new PushMaterializer(spark, tmpDir("push"),
       new MockSalesforceBulkApi(), new MockSfmcApi())
