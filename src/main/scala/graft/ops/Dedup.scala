@@ -133,6 +133,44 @@ object Dedup {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_shingles + s2.n_shingles - n_inter AS DOUBLE) >= 0.5
       |ORDER BY id1, id2""".stripMargin
 
+  /** Scale guard for the inverted-index join: drop shingles whose
+    * document frequency exceeds `maxDf` before pairing. Boilerplate
+    * shingles shared by millions of documents otherwise contribute
+    * O(df²) candidate pairs — the classic quadratic blow-up of shingle
+    * joins on web corpora. Approximation contract: a pair can only be
+    * missed if EVERY shingle it shares is ultra-common; intersection
+    * counts of surviving pairs may undercount by the capped shingles
+    * (Jaccard under-, never over-estimated). On the driver testdata the
+    * max df is single-digit, so any reasonable cap reproduces the exact
+    * result (asserted in DedupSpec).
+    */
+  def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
+      maxDf: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val dsArr = docShingleHashes(c)
+    val sizes = dsArr.select(col("doc_id"), size(col("shs")).as("n_shingles"))
+    val exploded = dsArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val rare = exploded.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    val ds = exploded.join(rare, "sh").localCheckpoint()
+    val a = ds.as("a")
+    val b = ds.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------------
   /** MinHash signatures (k=64 via xxhash64(seed, shingle)) banded into 16
     * bands of 4 — the sub-quadratic near-dup path. Candidate pairs =

@@ -212,7 +212,54 @@ object TextAnalysis {
       |         x -> NOT list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_after
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- repetition signals (Gopher/C4-style) --------------------------------
+  /** Repetition quality signals: distinct-token ratio and the fraction of
+    * all bigrams taken by the single most frequent bigram (high values →
+    * boilerplate/spam). Relational form (explode → two-level aggregate)
+    * so the shuffle partitions by (doc, bigram) at any corpus size.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toksDf = c.ref("documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    // NB: sequence(1, 0) yields a DESCENDING [1,0] in Spark, so short
+    // docs must be guarded explicitly rather than via greatest(.., 0).
+    val bigrams = toksDf.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array())).as("bigram"))
+    val perBigram = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val byDoc = perBigram.groupBy(col("doc_id"))
+      .agg((max(col("n")).cast("double") / sum(col("n")).cast("double"))
+        .as("top_bigram_frac"))
+    val tokStats = toksDf.select(col("doc_id"),
+      (size(array_distinct(col("toks"))).cast("double") /
+        size(col("toks")).cast("double")).as("distinct_token_ratio"))
+    tokStats.join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("distinct_token_ratio"), col("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM t),
+      |pb AS (SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY 1, 2),
+      |bd AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac
+      |       FROM pb GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_token_ratio,
+      |       bd.top_bigram_frac
+      |FROM t LEFT JOIN bd ON t.doc_id = bd.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality" -> (qualityScore _),
     "text_langid" -> (langId _),
@@ -221,6 +268,7 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality" -> qualityScoreSql,
     "text_langid" -> langIdSql,

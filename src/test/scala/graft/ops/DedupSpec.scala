@@ -51,6 +51,18 @@ class DedupSpec extends SparkTestBase {
     assert(keepers.toSet === clusters.values.toSet)
   }
 
+  test("df-capped shingle join reproduces the exact result at a sane cap") {
+    val exact = Dedup.ngramJaccardAt(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.ngramJaccardCappedAt(spark, sf, 0.5, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === exact)
+    // an aggressive cap only ever drops pairs, never invents them
+    val tiny = Dedup.ngramJaccardCappedAt(spark, sf, 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.subsetOf(exact.map(t => (t._1, t._2))))
+  }
+
   test("duplicateClusters: driver union-find and distributed propagation agree") {
     val viaDriver = Dedup.duplicateClustersAt(spark, sf, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
