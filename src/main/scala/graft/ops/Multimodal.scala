@@ -74,11 +74,40 @@ object Multimodal {
       |       CAST((octet_length(CAST(text AS BLOB)) + 999) // 1000 AS INT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Frame-sampling fan-out (MediaPipeline.sampleFrames) with the binary
+    * frames reduced to their lengths so the oracle can replicate the
+    * kept-frame arithmetic: frames of `frameSize` bytes, every `stride`-th
+    * kept, re-indexed densely.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val media = c.ref("documents")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.multimodal.MediaPipeline.sampleFrames(spark, media, frameSize = 100, stride = 2)
+      .select(col("media_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |                  octet_length(CAST(text AS BLOB)) AS n
+      |           FROM documents),
+      |k AS (SELECT media_id, n,
+      |             unnest(range(0, CAST((n + 99) // 100 AS BIGINT), 2)) AS orig_idx
+      |      FROM m)
+      |SELECT media_id,
+      |       CAST(orig_idx // 2 AS INT) AS frame_idx,
+      |       CAST(least(100, n - orig_idx * 100) AS BIGINT) AS frame_bytes
+      |FROM k ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary_meta" -> (binaryMeta _),
-    "multimodal_decode" -> (decodeFeatures _))
+    "multimodal_decode" -> (decodeFeatures _),
+    "multimodal_frames" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_binary_meta" -> binaryMetaSql,
-    "multimodal_decode" -> decodeFeaturesSql)
+    "multimodal_decode" -> decodeFeaturesSql,
+    "multimodal_frames" -> frameSampleSql)
 }

@@ -667,6 +667,27 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  // ---- G10: tumbling time-window rollup (batch twin of the stream agg) ----
+  /** Batch form of streaming.EventStreams.windowedCounts: tumbling 1-hour
+    * windows via `window()` (oracle: date_trunc). Same partial+final agg
+    * shape as G1 with the window start as a derived grouping key.
+    */
+  def g10TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("events")
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val g10TimeWindowSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -709,6 +730,7 @@ object Relational {
     "g7_distinct_agg" -> (g7DistinctAgg _),
     "g8_pivot" -> (g8Pivot _),
     "g9_median" -> (g9Median _),
+    "g10_time_window" -> (g10TimeWindow _),
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
@@ -738,6 +760,7 @@ object Relational {
     "g7_distinct_agg" -> g7DistinctAggSql,
     "g8_pivot" -> g8PivotSql,
     "g9_median" -> g9MedianSql,
+    "g10_time_window" -> g10TimeWindowSql,
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,

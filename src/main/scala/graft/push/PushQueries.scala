@@ -144,14 +144,53 @@ object PushQueries {
       GpgPipeline.jsonToCsv(spark, numbered), params).orderBy("rn")
   }
 
+  /** Oracle-checked END-TO-END push: runs the real EP1 pipeline (probe →
+    * createJob → per-row connector UDF → tracking-table writes → close)
+    * against mock connectors in a throwaway tracking dir, then returns
+    * the deterministic projection of the log table it wrote. The oracle
+    * knows exactly what the pipeline must produce for every record, so
+    * this hash-checks the materializer itself, not just its query shape.
+    */
+  def pushE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.connector.{MockSalesforceBulkApi, MockSfmcApi}
+    import graft.model.{PushModel, SalesforceConfig}
+    val base = java.nio.file.Files.createTempDirectory("push_e2e").toString
+    val mat = new PushMaterializer(spark, base,
+      new MockSalesforceBulkApi(), new MockSfmcApi())
+    val model = PushModel("accounts_load",
+      SalesforceConfig("Account", "upsert", Some("AccountID__c")),
+      s => new Catalog(s, dir).ref("customer")
+        .select(to_json(struct(
+          col("c_name").as("Name"),
+          col("c_custkey").cast("string").as("AccountID__c"))).as("record")))
+    val report = mat.run(model)
+    require(report.recordsPushed > 0, "push_e2e pushed nothing")
+    mat.sfdcLogs.read()
+      .select(col("load_task_name"), col("object_name"), col("operation"),
+        col("external_id_field"), col("record"), col("result"))
+      .orderBy("record")
+  }
+
+  val pushE2eSql: String =
+    """SELECT 'accounts_load' AS load_task_name,
+      |       'Account' AS object_name,
+      |       'upsert' AS operation,
+      |       'AccountID__c' AS external_id_field,
+      |       to_json(struct_pack("Name" := c_name,
+      |                           "AccountID__c" := CAST(c_custkey AS VARCHAR))) AS record,
+      |       '{"created":true,"errors":[],"id":"a001D000003ri4gQAA","success":true}' AS result
+      |FROM customer ORDER BY record""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "push_sfdc_log_shape" -> (sfdcLogShape _),
     "push_incremental_model" -> (incrementalPushModel _),
     "push_json_to_csv" -> (jsonToCsv _),
-    "push_gpg_message" -> (gpgMessage _))
+    "push_gpg_message" -> (gpgMessage _),
+    "push_e2e" -> (pushE2e _))
 
   val oracles: Map[String, String] = Map(
     "push_sfdc_log_shape" -> sfdcLogShapeSql,
     "push_incremental_model" -> incrementalPushModelSql,
-    "push_json_to_csv" -> jsonToCsvSql)
+    "push_json_to_csv" -> jsonToCsvSql,
+    "push_e2e" -> pushE2eSql)
 }
