@@ -40,7 +40,7 @@ final class MarketingCloudPush(
     spark: SparkSession,
     api: SfmcApi,
     tasks: TrackingTable,
-    logs: TrackingTable) {
+    logs: graft.tracking.TrackingStore) {
 
   def run(model: PushModel, cfg: MarketingCloudConfig): PushReport = {
     val source0 = model.build(spark)

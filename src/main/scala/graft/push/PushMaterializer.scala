@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.connector.{SalesforceBulkApi, SfmcApi}
 import graft.model._
-import graft.tracking.TrackingTable
+import graft.tracking.{PartitionedTrackingTable, TrackingStore, TrackingTable}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -27,12 +27,24 @@ final class PushMaterializer(
     spark: SparkSession,
     trackingBase: String,
     sfdc: SalesforceBulkApi,
-    sfmc: SfmcApi) {
+    sfmc: SfmcApi,
+    partitionedLogs: Boolean = false) {
 
   val sfdcTasks: TrackingTable = TrackingTable.sfdcLoadTasks(spark, trackingBase)
-  val sfdcLogs: TrackingTable = TrackingTable.sfdcLoadTaskLogs(spark, trackingBase)
   val sfmcTasks: TrackingTable = TrackingTable.sfmcLoadTasks(spark, trackingBase)
-  val sfmcLogs: TrackingTable = TrackingTable.sfmcLoadTaskLogs(spark, trackingBase)
+  // Log tables grow one row per pushed record forever; `partitionedLogs`
+  // hive-partitions them by load_task_name so each run appends to (and a
+  // model's incremental anti-join prunes to) exactly one partition.
+  val sfdcLogs: TrackingStore =
+    if (partitionedLogs)
+      new PartitionedTrackingTable(spark, s"$trackingBase/sfdc_load_task_logs",
+        Schemas.sfdcLoadTaskLogs, "job_log_entry_id", "load_task_name")
+    else TrackingTable.sfdcLoadTaskLogs(spark, trackingBase)
+  val sfmcLogs: TrackingStore =
+    if (partitionedLogs)
+      new PartitionedTrackingTable(spark, s"$trackingBase/sfmc_load_task_logs",
+        Schemas.sfmcLoadTaskLogs, "job_log_entry_id", "load_task_name")
+    else TrackingTable.sfmcLoadTaskLogs(spark, trackingBase)
 
   /** The `drop-omnata-task-tables` var (README.md:35-39 /
     * `tracking_table_materialization.sql:19-27` rebuild branch): tracking
@@ -95,7 +107,7 @@ final class SalesforcePush(
     spark: SparkSession,
     api: SalesforceBulkApi,
     tasks: TrackingTable,
-    logs: TrackingTable) {
+    logs: graft.tracking.TrackingStore) {
 
   def run(model: PushModel, cfg: SalesforceConfig): PushReport = {
     val source0 = model.build(spark)

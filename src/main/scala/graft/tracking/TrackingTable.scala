@@ -5,6 +5,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Storage-agnostic tracking-table contract shared by the flat and the
+  * partitioned implementations — the seam the push pipelines write
+  * through (and where Delta/Iceberg MERGE would slot in).
+  */
+trait TrackingStore {
+  def read(): DataFrame
+  def upsert(incoming: DataFrame): Unit
+  def append(incoming: DataFrame): Unit
+  def fullRefresh(): Unit
+}
+
 /** The reference's `tracking_table` materialization (M2,
   * `macros/tracking_table_materialization.sql:1-53`): an incremental
   * upsert table keyed by `uniqueKey`, immune to normal full-refresh,
@@ -27,7 +38,7 @@ final class TrackingTable(
     spark: SparkSession,
     val path: String,
     val schema: StructType,
-    val uniqueKey: String) {
+    val uniqueKey: String) extends TrackingStore {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def dataPath = new Path(path, "data")
@@ -169,7 +180,7 @@ final class PartitionedTrackingTable(
     val path: String,
     val schema: StructType,
     val uniqueKey: String,
-    val partitionCol: String) {
+    val partitionCol: String) extends TrackingStore {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   def exists: Boolean = fs.exists(new Path(path))
@@ -178,6 +189,10 @@ final class PartitionedTrackingTable(
     if (!exists) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else spark.read.schema(schema).parquet(path)
+
+  /** Explicit rebuild (the drop-omnata-task-tables branch). */
+  def fullRefresh(): Unit =
+    if (exists) fs.delete(new Path(path), true)
 
   /** Upsert = delete-matching-keys + insert, scoped to the incoming
     * partitions only.

@@ -65,6 +65,43 @@ class PushPipelineSpec extends SparkTestBase {
     assert(mat.sfdcLogs.read().count() === n)
   }
 
+  test("partitionedLogs: per-task partitions, pruned anti-join, idempotent rerun") {
+    val base = tmpDir("pushp")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base,
+      sfdc, new MockSfmcApi(), partitionedLogs = true)
+    def model(name: String) = PushModel(name,
+      SalesforceConfig("Account", "insert"),
+      (s: SparkSession) => {
+        val recs = s.read.parquet(s"$sf/customer.parquet")
+          .select(to_json(struct(
+            col("c_name").as("Name"),
+            col("c_custkey").cast("string").as("AccountID__c"))).as("record"))
+        val logsRoot = new java.io.File(s"$base/sfdc_load_task_logs")
+        if (!logsRoot.exists()) recs
+        else {
+          // incremental anti-join filtered to THIS task's partition —
+          // with the hive layout this is a pruned scan of one directory
+          val logs = s.read.parquet(logsRoot.toString)
+            .filter(col("load_task_name") === name &&
+              get_json_object(col("result"), "$.success") === "true")
+            .select(get_json_object(col("record"), "$.AccountID__c").as("logged_id"))
+          recs.join(logs,
+            get_json_object(col("record"), "$.AccountID__c") === logs("logged_id"),
+            "left_anti")
+        }
+      })
+    assert(mat.run(model("task_a")).recordsPushed === 150)
+    assert(mat.run(model("task_b")).recordsPushed === 150)
+    assert(new java.io.File(s"$base/sfdc_load_task_logs/load_task_name=task_a").exists())
+    assert(new java.io.File(s"$base/sfdc_load_task_logs/load_task_name=task_b").exists())
+    assert(mat.sfdcLogs.read().count() === 300)
+    // rerun of task_a is empty (its own partition filters it out) while
+    // task_b's rows are untouched
+    assert(mat.run(model("task_a")).skippedEmpty)
+    assert(sfdc.loadBatchCalls.get() === 300)
+  }
+
   test("dropTaskTables rebuilds the tracking tables; the next run re-pushes everything") {
     val base = tmpDir("push")
     val sfdc = new MockSalesforceBulkApi()
