@@ -31,10 +31,13 @@ object Ivf {
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // If the table has fewer vectors than requested cells, the effective
+    // k shrinks to the available count (every vector its own cell).
     var centroids: Seq[Array[Float]] = emb
       .orderBy("vec_id").limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).toSeq
+    val kEff = centroids.size
     for (_ <- 0 until iters) {
       val assigned = emb.select(
         ArrayExprs.nearestCentroid(col("embedding"), centroids).as("cid"),
@@ -44,7 +47,7 @@ object Ivf {
       val sums = assigned.groupBy(col("cid"), col("pos"))
         .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val next = Array.tabulate(k)(i => centroids(i).clone()) // keep empty cells
+      val next = Array.tabulate(kEff)(i => centroids(i).clone()) // keep empty cells
       sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
         val c = new Array[Float](dim)
         rows.foreach(r => c(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)

@@ -89,7 +89,11 @@ final class MarketingCloudPush(
             .apply(col("batch")).as("stage_id"))
       // 5. any_value across batches (ref :64-66) — identical by contract.
       val stageId = staged.agg(any_value(col("stage_id"))).head().getString(0)
-      val nBatches = staged.count()
+      // Derived, not counted: a count() over `staged` would only avoid
+      // re-firing the staging UDF if Catalyst prunes it — don't depend on
+      // that for a side-effecting call. rn is 1-based and batch =
+      // floor(rn/batchSize), so batch ids are 0..total/batchSize.
+      val nBatches = total / batchSize + 1
 
       // 6. Import + blocking poll (ref :68).
       val importConfig =

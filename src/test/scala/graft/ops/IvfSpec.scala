@@ -49,6 +49,14 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall on planted pairs: $recall over ${close.size}")
   }
 
+  test("kmeans with more cells than vectors shrinks gracefully") {
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Ivf.kmeansCentroids(tiny, k = 10, iters = 2)
+    assert(cents.size === 3)
+  }
+
   test("ivfAnn on driver testdata returns k ranked rows per query") {
     val out = Ivf.ivfAnn(spark, sf).collect()
     val byQ = out.groupBy(_.getLong(0))
