@@ -76,24 +76,47 @@ final class MarketingCloudPush(
           s""""data_extension_fields":$fieldsJson,"force_check":${cfg.forceCheck}}"""
       api.manageDataExtension(manageConfig)
 
-      // 4. Batch + stage (ref :56-63). One connector call per batch, executors.
+      // 4. Batch + stage (ref :56-63 unencrypted; :86-104 encrypted).
+      // Encrypted path: records → CSV (U-G2) → ordered GPG chain
+      // (U-G3..G5, stub crypto) → the *message rows* are what gets
+      // staged, renumbered densely so batching stays uniform.
       val apiRef = api
       val batchSize = cfg.batchSize
-      val staged = numbered
+      val toStage =
+        if (!cfg.encrypted) numbered
+        else {
+          val params = GpgPipeline.gpgParams(cfg.gpgPublicKey.get)
+          val msg = GpgPipeline.fileWrapEncryptPackage(spark,
+            GpgPipeline.jsonToCsv(spark, numbered), params)
+          graft.ops.Windows.globalRowNumber(
+              msg.select(col("rn").as("orig_rn"), col("message_part").as("record")),
+              "rn", col("orig_rn"))
+            .select(col("rn"), col("record"))
+        }
+      val staged = toStage
         .withColumn("batch_number", floor(col("rn") / batchSize).cast("int"))
         .groupBy(col("batch_number"))
         .agg(sort_array(collect_list(struct(col("rn"), col("record")))).as("batch"))
         .select(col("batch_number"),
           udf((b: Seq[Row]) => apiRef.stageData(
-            b.map(r => s"""[${r.getLong(0)},${r.getString(1)}]""").mkString("[", ",", "]")))
+            b.map { r =>
+              val v = r.getString(1)
+              // JSON objects embed raw (ARRAY_CONSTRUCT(rn, record));
+              // encrypted message parts are plain strings → JSON-quoted
+              val payload = if (v.startsWith("{")) v
+                else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              s"""[${r.getLong(0)},$payload]"""
+            }.mkString("[", ",", "]")))
             .apply(col("batch")).as("stage_id"))
       // 5. any_value across batches (ref :64-66) — identical by contract.
       val stageId = staged.agg(any_value(col("stage_id"))).head().getString(0)
       // Derived, not counted: a count() over `staged` would only avoid
       // re-firing the staging UDF if Catalyst prunes it — don't depend on
       // that for a side-effecting call. rn is 1-based and batch =
-      // floor(rn/batchSize), so batch ids are 0..total/batchSize.
-      val nBatches = total / batchSize + 1
+      // floor(rn/batchSize), so batch ids are 0..stagedRows/batchSize.
+      // Encrypted staging carries csv header + armor begin/end: +3 rows.
+      val stagedRows = if (cfg.encrypted) total + 3 else total
+      val nBatches = stagedRows / batchSize + 1
 
       // 6. Import + blocking poll (ref :68).
       val importConfig =

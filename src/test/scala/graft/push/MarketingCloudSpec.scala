@@ -40,6 +40,28 @@ class MarketingCloudSpec extends SparkTestBase {
     assert(payload.startsWith("[[") && payload.contains("ContactNumber"))
   }
 
+  test("encrypted path stages GPG message rows, not raw records (ref :86-104)") {
+    val base = tmpDir("mc-enc")
+    val sfmc = new MockSfmcApi()
+    val mat = new PushMaterializer(spark, base, new MockSalesforceBulkApi(), sfmc)
+    val m = PushModel("contacts_enc",
+      MarketingCloudConfig("Contacts DE", encrypted = true,
+        gpgPublicKey = Some("FAKE PUBLIC KEY"), batchSize = 50),
+      s => s.read.parquet(s"$sf/customer.parquet").limit(60)
+        .select(to_json(struct(col("c_name").as("Name"))).as("record")))
+    val r = mat.run(m)
+    assert(r.recordsPushed === 60)
+    // 60 records -> 61 csv rows (header) -> 63 message rows (armor) ->
+    // rn 1..63, batch floor(rn/50): ids 0 and 1
+    assert(r.batches === 2)
+    assert(sfmc.stagedBatchCount === 2)
+    val payloads = sfmc.stagedBatches.toArray.map(_.toString).mkString
+    assert(payloads.contains("BEGIN PGP MESSAGE"), "armor header must be staged")
+    assert(!payloads.contains("\"Name\""), "raw records must NOT appear in encrypted staging")
+    // per-record results still land in the logs (fetch keyed by original rn)
+    assert(mat.sfmcLogs.read().count() === 60)
+  }
+
   test("zero-row source skips before any connector call (marketing_cloud.sql:7-17)") {
     val sfmc = new MockSfmcApi()
     val mat = new PushMaterializer(spark, tmpDir("mc"), new MockSalesforceBulkApi(), sfmc)
