@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's core loop (EP1): build RECORDs, anti-join the push
-    * log, count what would be pushed — here over customer/orders.
+    * The reference's core loop (EP1) run for real: build RECORDs, probe,
+    * create job, push every row through the (mock) connector, write the
+    * task/log tracking tables, close the job — and return the log
+    * relation it produced.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    ops.Relational.j1NotInAnti(spark, dir)
+    push.PushQueries.pushE2e(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
