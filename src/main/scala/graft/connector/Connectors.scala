@@ -41,6 +41,42 @@ trait SfmcApi extends Serializable {
   def fetchResults(stageDataQueryId: String, rowIndex: Long): String
 }
 
+/** Transient-failure retry wrapper for the Salesforce connector — remote
+  * HTTP calls fail transiently, and a failed UDF call otherwise fails the
+  * task, which makes Spark retry the WHOLE partition (re-pushing every
+  * record in it). Retrying per call keeps the blast radius to one record.
+  * Real deployments combine this with per-record idempotency keys on the
+  * remote side (the traits' scaladoc covers why).
+  */
+class RetryingSalesforceApi(
+    delegate: SalesforceBulkApi,
+    attempts: Int = 3,
+    backoffMs: Long = 0) extends SalesforceBulkApi {
+
+  private def retry[T](what: String)(f: => T): T = {
+    var left = attempts
+    var lastErr: Throwable = null
+    while (left > 0) {
+      try return f
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          left -= 1
+          if (left > 0 && backoffMs > 0) Thread.sleep(backoffMs)
+      }
+    }
+    throw new RuntimeException(s"$what failed after $attempts attempts", lastErr)
+  }
+
+  override def createJob(operation: String, objectName: String, useSerial: Boolean,
+      externalIdField: Option[String]): String =
+    retry("createJob")(delegate.createJob(operation, objectName, useSerial, externalIdField))
+  override def loadBatch(jobId: String, recordJson: String, wait: Boolean): String =
+    retry("loadBatch")(delegate.loadBatch(jobId, recordJson, wait))
+  override def closeJob(jobId: String, wait: Boolean): String =
+    retry("closeJob")(delegate.closeJob(jobId, wait))
+}
+
 /** JVM-wide mock telemetry, keyed per mock instance id.
   *
   * Spark serializes task closures even in local mode, so a UDF that

@@ -136,6 +136,27 @@ class PushPipelineSpec extends SparkTestBase {
       .filter(get_json_object(col("record"), "$.Name").isNotNull).count() === 150)
   }
 
+  test("RetryingSalesforceApi absorbs transient connector failures per record") {
+    // flaky delegate: every odd-numbered call throws
+    class Flaky extends graft.connector.MockSalesforceBulkApi {
+      override def loadBatch(jobId: String, rec: String, wait: Boolean): String = {
+        val n = super.loadBatch(jobId, rec, wait) // counts the attempt
+        if (loadBatchCalls.get() % 2 == 1)
+          throw new RuntimeException("transient 503")
+        n
+      }
+    }
+    val flaky = new Flaky
+    val base = tmpDir("push")
+    val mat = new PushMaterializer(spark, base,
+      new graft.connector.RetryingSalesforceApi(flaky, attempts = 3),
+      new MockSfmcApi())
+    val r = mat.run(accountsModel(base))
+    assert(r.recordsPushed === 150)
+    assert(mat.sfdcLogs.read().count() === 150)
+    assert(flaky.loadBatchCalls.get() === 300) // every record: 1 failure + 1 success
+  }
+
   test("unknown app raises the materialization compile error (ref :14)") {
     val mat = new PushMaterializer(spark, tmpDir("push"),
       new MockSalesforceBulkApi(), new MockSfmcApi())
