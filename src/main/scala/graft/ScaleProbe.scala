@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // 8x corpus: shifted doc_ids so replicas are distinct documents
+    val n = base.count()
+    val big = (0 until 8).map(i =>
+      base.select((col("doc_id") + lit(i * 10L * n)).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))).reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("scale").toString
+    big.write.parquet(s"$dir/documents.parquet")
+    println(s"DOCS=${n * 8}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$r")
+    }
+    time("minhash_lsh_8x")(ops.Dedup.minhashLsh(spark, dir).count())
+    time("ngram_capped_8x")(ops.Dedup.ngramJaccardCappedAt(spark, dir, 0.5, 64).count())
+    time("simhash_8x")(ops.Dedup.simhash(spark, dir).count())
+    time("exact_8x")(ops.Dedup.exact(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -143,6 +143,11 @@ object Dedup {
     * (Jaccard under-, never over-estimated). On the driver testdata the
     * max df is single-digit, so any reasonable cap reproduces the exact
     * result (asserted in DedupSpec).
+    *
+    * Size the cap RELATIVE to the corpus (e.g. max(64, N/1000)): an
+    * absolute cap silently empties the result once duplication inflates
+    * every df past it (measured: 8× replicated corpus × cap 64 → 0
+    * pairs, graft.ScaleProbe).
     */
   def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
       maxDf: Int): DataFrame = {
