@@ -688,6 +688,45 @@ object Relational {
       |       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- M5: CDC apply (MERGE semantics over a change feed) ------------------
+  /** Apply an insert/update/delete change feed to a base table — the
+    * SCD-1 MERGE the tracking-table upsert (M2) generalizes to:
+    * deletes and updates remove the old row (one anti-join on the key),
+    * inserts and updates contribute their new image. The change feed is
+    * derived deterministically from the data so both engines see the
+    * same changes: custkey%10==0 → D, %10==1 → U (+1000 balance),
+    * %10==2 → I with a shifted key.
+    */
+  def m5CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val base = c.ref("customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val deletes = base.filter(col("c_custkey") % 10 === 0).select(col("c_custkey"))
+    val updates = base.filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"))
+    val inserts = base.filter(col("c_custkey") % 10 === 2)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+    val touched = deletes.unionByName(updates.select("c_custkey")).distinct()
+    base.join(touched, Seq("c_custkey"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+      .orderBy("c_custkey")
+  }
+
+  val m5CdcApplySql: String =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |upd AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+      |        FROM base WHERE c_custkey % 10 = 1),
+      |ins AS (SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+      |        FROM base WHERE c_custkey % 10 = 2)
+      |SELECT * FROM base
+      |WHERE c_custkey % 10 <> 0 AND c_custkey % 10 <> 1
+      |UNION ALL SELECT * FROM upd
+      |UNION ALL SELECT * FROM ins
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -734,7 +773,8 @@ object Relational {
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
-    "m4_incremental" -> (m4Incremental _))
+    "m4_incremental" -> (m4Incremental _),
+    "m5_cdc_apply" -> (m5CdcApply _))
 
   val oracles: Map[String, String] = Map(
     "p1_projection" -> p1ProjectionSql,
@@ -764,5 +804,6 @@ object Relational {
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,
-    "m4_incremental" -> m4IncrementalSql)
+    "m4_incremental" -> m4IncrementalSql,
+    "m5_cdc_apply" -> m5CdcApplySql)
 }
