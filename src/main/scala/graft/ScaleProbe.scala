@@ -26,6 +26,19 @@ object ScaleProbe {
     time("ngram_capped_8x")(ops.Dedup.ngramJaccardCappedAt(spark, dir, 0.5, 64).count())
     time("simhash_8x")(ops.Dedup.simhash(spark, dir).count())
     time("exact_8x")(ops.Dedup.exact(spark, dir).count())
+
+    // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
+    // fraction of N per query.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val ne = emb.count()
+    (0 until 8).map(i =>
+      emb.select((col("vec_id") + lit(i * 10L * ne)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ union _)
+      .write.parquet(s"$dir/embeddings.parquet")
+    println(s"VECS=${ne * 8}")
+    time("ann_brute_8x")(ops.Similarity.bruteForceTopKAt(spark, dir, 5, 10).count())
+    time("ann_lsh_8x")(ops.Similarity.lshAnnAt(spark, dir, 5, 10, 8, 8).count())
+    time("ann_ivf_8x")(ops.Ivf.ivfAnnAt(spark, dir, 5, 10, 16, 4, 3).count())
     spark.stop()
   }
 }
