@@ -10,11 +10,14 @@ import graft.catalog.Catalog
   * greatest right-time ≤ left-time within the same key.
   *
   * Composed from built-ins (preference (a) of the custom-operator
-  * ladder): tag both sides, UNION them, and run one
-  * `last(_, ignoreNulls)` window per right column over
-  * (key ORDER BY time, side) rows-unbounded-preceding — a single shuffle
-  * on the key, no range-condition join explosion, no custom SparkPlan
-  * needed. Ties (equal times) sort the right row first, so "≤" matches.
+  * ladder): tag both sides, UNION them, pack the carried right columns
+  * into ONE struct, and run a single `last(struct, ignoreNulls)` window
+  * over (key ORDER BY time, side) rows-unbounded-preceding — a single
+  * shuffle on the key, no range-condition join explosion, no custom
+  * SparkPlan needed. Ties (equal times) sort the right row first, so
+  * "≤" matches. Packing the right row atomically matters: filling each
+  * column independently would let a NULL field in the matched right row
+  * silently inherit its value from an older right row.
   *
   * At 100 TB this is the shape you want: both sides shuffle once by key,
   * each partition does a linear merge — same cost class as a sort-merge
@@ -29,19 +32,21 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightCols: Seq[String]): DataFrame = {
     val l = left.withColumn("__side", lit(1))
-    val r0 = right.select((key +: time +: rightCols).map(col): _*)
+    val r = right.select((key +: time +: rightCols).map(col): _*)
+      .select(col(key), col(time), struct(rightCols.map(col): _*).as("__r"))
       .withColumn("__side", lit(0))
-    val lAll = rightCols.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(r0.schema(c).dataType)))
-    val combined = lAll.unionByName(r0, allowMissingColumns = true)
+    // left rows get __r = NULL via unionByName; the struct is carried (or
+    // not) as one value, so genuine NULL fields inside a matched right
+    // row survive instead of being back-filled from older rows.
+    val combined = l.unionByName(r, allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal times → "≤"
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(combined)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1).drop("__side")
-      .select(left.columns.map(col) ++ rightCols.map(col): _*)
+    val filled = combined.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Oracle-checked query: every event joined to the user's most recent

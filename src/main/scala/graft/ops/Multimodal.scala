@@ -65,8 +65,14 @@ object Multimodal {
   }
 
   val decodeFeaturesSql: String =
+    // The format CASE mirrors Codecs.magicFormat for the prefixes that can
+    // occur in valid UTF-8 text ('RIFF', 'GIF8' are plain ASCII); the
+    // png/jpeg signatures start with 0x89/0xFF which cannot lead a valid
+    // UTF-8 string, so 'bin' covers everything else.
     """SELECT doc_id AS media_id,
-      |       'bin' AS format,
+      |       CASE WHEN text LIKE 'RIFF%' THEN 'riff'
+      |            WHEN text LIKE 'GIF8%' THEN 'gif'
+      |            ELSE 'bin' END AS format,
       |       CAST(64 + (octet_length(CAST(text AS BLOB)) % 577) AS INT) AS width,
       |       CAST(64 + ((octet_length(CAST(text AS BLOB)) // 7) % 433) AS INT) AS height,
       |       CAST(1 + ((octet_length(CAST(text AS BLOB)) // 11) % 3) AS INT) AS channels,

@@ -631,9 +631,9 @@ object Relational {
       |  FROM e),
       |sess AS (
       |  SELECT user_id, ts,
-      |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
       |           OVER (PARTITION BY user_id ORDER BY ts
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
       |       count(*) AS n_events

@@ -113,10 +113,12 @@ final class MarketingCloudPush(
       // Derived, not counted: a count() over `staged` would only avoid
       // re-firing the staging UDF if Catalyst prunes it — don't depend on
       // that for a side-effecting call. rn is 1-based and batch =
-      // floor(rn/batchSize), so batch ids are 0..stagedRows/batchSize.
+      // floor(rn/batchSize): ids are 0..stagedRows/batchSize for
+      // batchSize > 1 (floor(1/bs) = 0), but 1..stagedRows for
+      // batchSize == 1 — no batch 0, so no +1 then.
       // Encrypted staging carries csv header + armor begin/end: +3 rows.
       val stagedRows = if (cfg.encrypted) total + 3 else total
-      val nBatches = stagedRows / batchSize + 1
+      val nBatches = stagedRows / batchSize + (if (batchSize > 1) 1 else 0)
 
       // 6. Import + blocking poll (ref :68).
       val importConfig =

@@ -51,16 +51,25 @@ object Bucketed {
 /** Skew mitigation: salted equi-join (SURVEY optimization list — "salting
   * for skew"). The hot-key side is split across `salts` sub-keys; the
   * other side is replicated `salts`× so every sub-key still meets every
-  * matching row. Result is row-identical to the plain join; the shuffle
-  * spreads a hot key over `salts` reducers instead of one.
+  * matching row. For inner/left joins the result is row-identical to the
+  * plain join; the shuffle spreads a hot key over `salts` reducers
+  * instead of one.
+  *
+  * Only `inner`/`left`(`left_outer`) join types are supported: the right
+  * side is replicated, so a right/full outer join would emit every
+  * unmatched right row `salts` times instead of once.
   *
   * Use when AQE's skew-join split isn't available (e.g., the skew is in
   * an aggregation feeding the join) — otherwise prefer AQE.
   */
 object Skew {
 
+  private val supportedJoinTypes = Set("inner", "left", "leftouter")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only (right side is replicated ${salts}x); got '$joinType'")
     val l = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",

@@ -208,15 +208,13 @@ final class PartitionedTrackingTable(
     val existingTouched = read()
       .filter(col(partitionCol).isin(touched: _*)) // → partition pruning
       .join(in.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      existingTouched.unionByName(in)
-        .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Per-write option, not session conf: a concurrent writer in the same
+    // session never observes the mutated mode, and there is no
+    // save/restore race.
+    existingTouched.unionByName(in)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
   }
 
   /** Append without key reconciliation (the in-run log insert path) —

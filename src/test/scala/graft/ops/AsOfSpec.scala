@@ -42,6 +42,18 @@ class AsOfSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("asofJoin carries the matched right row atomically (NULL fields survive)") {
+    // The matched right row (t=20) has rv2 = NULL; a per-column fill would
+    // back-fill rv2 from the older row (t=8), mixing fields of two rows.
+    val left = Seq((1L, 25L, "l25")).toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, Option("a8"), Option("b8")),
+        (1L, 20L, Option("a20"), Option.empty[String]))
+      .toDF("k", "t", "rv1", "rv2")
+    val out = AsOf.asofJoin(left, right, "k", "t", Seq("rv1", "rv2")).head()
+    assert(out.getAs[String]("rv1") === "a20")
+    assert(out.getAs[String]("rv2") === null)
+  }
+
   test("asofLastSignup: every matched signup is at-or-before the event") {
     val out = AsOf.asofLastSignup(spark, sf).cache()
     assert(out.filter(col("signup_ts") > col("ts")).count() === 0)

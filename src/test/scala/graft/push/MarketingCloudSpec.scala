@@ -62,6 +62,18 @@ class MarketingCloudSpec extends SparkTestBase {
     assert(mat.sfmcLogs.read().count() === 60)
   }
 
+  test("batchSize=1: reported batches equals actual staged batches (no +1)") {
+    val sfmc = new MockSfmcApi()
+    val mat = new PushMaterializer(spark, tmpDir("mc-b1"), new MockSalesforceBulkApi(), sfmc)
+    val m = PushModel("contacts_b1", MarketingCloudConfig("DE", batchSize = 1),
+      s => s.read.parquet(s"$sf/customer.parquet").limit(5)
+        .select(to_json(struct(col("c_name").as("Name"))).as("record")))
+    val r = mat.run(m)
+    // rn 1..5, batch floor(rn/1) = 1..5 — five batches, no batch 0
+    assert(r.batches === 5)
+    assert(sfmc.stagedBatchCount === 5)
+  }
+
   test("zero-row source skips before any connector call (marketing_cloud.sql:7-17)") {
     val sfmc = new MockSfmcApi()
     val mat = new PushMaterializer(spark, tmpDir("mc"), new MockSalesforceBulkApi(), sfmc)

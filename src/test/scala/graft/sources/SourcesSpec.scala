@@ -42,4 +42,14 @@ class SourcesSpec extends SparkTestBase {
       .orderBy("k", "lv", "rv").collect().toSeq
     assert(salted === plain)
   }
+
+  test("saltedJoin rejects right/full outer joins (right side is replicated)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df.select(col("k"), col("v").as("rv")), "k", 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df.select(col("k"), col("v").as("rv")), "k", 4, "full_outer")
+    }
+  }
 }
