@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.connector.{SalesforceBulkApi, SfmcApi}
 import graft.model._
-import graft.tracking.{PartitionedTrackingTable, TrackingStore, TrackingTable}
+import graft.tracking.{BucketedTrackingTable, PartitionedTrackingTable, TrackingStore, TrackingTable}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -28,23 +28,53 @@ final class PushMaterializer(
     trackingBase: String,
     sfdc: SalesforceBulkApi,
     sfmc: SfmcApi,
-    partitionedLogs: Boolean = false) {
+    partitionedLogs: Boolean = false,
+    bucketedLogs: Boolean = false,
+    logBuckets: Int = 32) {
+
+  require(!(partitionedLogs && bucketedLogs),
+    "choose one log layout: partitionedLogs (pruned per-task scans) or bucketedLogs (shuffle-free record anti-joins)")
 
   val sfdcTasks: TrackingTable = TrackingTable.sfdcLoadTasks(spark, trackingBase)
   val sfmcTasks: TrackingTable = TrackingTable.sfmcLoadTasks(spark, trackingBase)
+  // Bucketed tables are catalog-managed; derive a legal, base-unique name.
+  private def logTableName(logical: String): String =
+    s"${logical}_${Integer.toHexString(trackingBase.hashCode).replace('-', 'n')}"
   // Log tables grow one row per pushed record forever; `partitionedLogs`
   // hive-partitions them by load_task_name so each run appends to (and a
-  // model's incremental anti-join prunes to) exactly one partition.
+  // model's incremental anti-join prunes to) exactly one partition;
+  // `bucketedLogs` clusters them by `record` so the incremental
+  // whole-record anti-join never shuffles the log side.
   val sfdcLogs: TrackingStore =
     if (partitionedLogs)
       new PartitionedTrackingTable(spark, s"$trackingBase/sfdc_load_task_logs",
         Schemas.sfdcLoadTaskLogs, "job_log_entry_id", "load_task_name")
+    else if (bucketedLogs)
+      new BucketedTrackingTable(spark, logTableName("sfdc_load_task_logs"),
+        Schemas.sfdcLoadTaskLogs, "job_log_entry_id", "record", logBuckets)
     else TrackingTable.sfdcLoadTaskLogs(spark, trackingBase)
   val sfmcLogs: TrackingStore =
     if (partitionedLogs)
       new PartitionedTrackingTable(spark, s"$trackingBase/sfmc_load_task_logs",
         Schemas.sfmcLoadTaskLogs, "job_log_entry_id", "load_task_name")
+    else if (bucketedLogs)
+      new BucketedTrackingTable(spark, logTableName("sfmc_load_task_logs"),
+        Schemas.sfmcLoadTaskLogs, "job_log_entry_id", "record", logBuckets)
     else TrackingTable.sfmcLoadTaskLogs(spark, trackingBase)
+
+  /** The reference's incremental-model pattern (`contacts_load.sql:32-37`:
+    * `RECORD not in (select logs.RECORD ... where success)`) as an engine
+    * helper: records of `source` not yet successfully pushed under
+    * `taskName`. With `bucketedLogs` the log side of this anti-join is
+    * read pre-partitioned by `record` — no exchange on the big side.
+    */
+  def unsyncedRecords(source: DataFrame, logs: TrackingStore, taskName: String): DataFrame = {
+    val pushed = logs.read()
+      .filter(col("load_task_name") === taskName &&
+        get_json_object(col("result"), "$.success") === "true")
+      .select(col("record"))
+    source.join(pushed, Seq("record"), "left_anti")
+  }
 
   /** The `drop-omnata-task-tables` var (README.md:35-39 /
     * `tracking_table_materialization.sql:19-27` rebuild branch): tracking

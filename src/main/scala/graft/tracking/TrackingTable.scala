@@ -226,6 +226,68 @@ final class PartitionedTrackingTable(
   }
 }
 
+/** Bucket-clustered tracking table — the shuffle-free-anti-join form of
+  * the log store.
+  *
+  * The recurring join at scale is the incremental push's anti-join: every
+  * run, the model excludes records already logged as successful
+  * (`accounts_load.sql:23-28`, README.md:144-176). The log table grows one
+  * row per pushed record forever, so at 100 TB it is the BIG side of that
+  * join — and with plain parquet it re-shuffles on every run. Storing the
+  * log as a parquet table bucketed by the anti-join key (`record`) makes
+  * the log side exchange-free: the scan's output partitioning already
+  * matches the join key, so only the (per-run-sized) incoming side
+  * shuffles. BucketedTrackingTableSpec asserts the plan shape.
+  *
+  * Appends stay O(incoming): new files land in their buckets; no rewrite.
+  * Spark requires bucketed data to live in a catalog-managed table, hence
+  * `table` (a table name) instead of a path.
+  */
+final class BucketedTrackingTable(
+    spark: SparkSession,
+    val table: String,
+    val schema: StructType,
+    val uniqueKey: String,
+    val bucketKey: String,
+    val buckets: Int = 32) extends TrackingStore {
+
+  private def exists: Boolean = spark.catalog.tableExists(table)
+
+  private def conform(df: DataFrame): DataFrame =
+    df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  private def writer(df: DataFrame, mode: String) =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketKey).sortBy(bucketKey)
+
+  def createIfMissing(): Unit = if (!exists) {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    writer(empty, "overwrite").saveAsTable(table)
+  }
+
+  def read(): DataFrame = { createIfMissing(); spark.table(table) }
+
+  def append(incoming: DataFrame): Unit = {
+    createIfMissing()
+    writer(conform(incoming), "append").saveAsTable(table)
+  }
+
+  def upsert(incoming: DataFrame): Unit = {
+    createIfMissing()
+    val in = conform(incoming)
+    val kept = read().join(in.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+    // Materialize BEFORE overwriting the table the plan reads from.
+    val merged = kept.unionByName(in).localCheckpoint()
+    writer(merged, "overwrite").saveAsTable(table)
+  }
+
+  def fullRefresh(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    createIfMissing()
+  }
+}
+
 object TrackingTable {
   import graft.push.Schemas
 

@@ -97,6 +97,34 @@ class StreamingSpec extends SparkTestBase {
     assert(sfdc.loadBatchCalls.get() === 40)
   }
 
+  test("FileStreams.runOnce: checkpointed file ETL processes new files exactly once") {
+    val srcDir = tmpDir("fs-src")
+    val sinkDir = s"${tmpDir("fs-sink")}/out"
+    val ckpt = tmpDir("fs-ckpt")
+    def run(): Unit = FileStreams.runOnce(spark, srcDir,
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"),
+      df => df.filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).as("n_chars")),
+      sinkDir, ckpt, maxFilesPerTrigger = Some(1))
+
+    (1L to 50L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    run()
+    assert(spark.read.parquet(sinkDir).count() === 50)
+
+    // no new files -> rerun appends nothing (the checkpoint is the watermark)
+    run()
+    assert(spark.read.parquet(sinkDir).count() === 50)
+
+    // late-arriving files -> only they are processed
+    (51L to 70L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    run()
+    val out = spark.read.parquet(sinkDir)
+    assert(out.count() === 70)
+    assert(out.select("doc_id").distinct().count() === 70, "no doc may be ingested twice")
+  }
+
   test("StreamingPush: each micro-batch runs the batch push pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("stream-push")
