@@ -77,6 +77,46 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** All unordered pairs (id1 < id2) of a long-id array — the inverted
+    * index's bucket→candidate-pairs step. Emitting pairs directly from
+    * each posting list replaces a two-sided self-join on the shingle
+    * hash: one shuffle (the posting-list groupBy, map-side combined)
+    * instead of two join-side exchanges. Output size is
+    * df·(df−1)/2 per bucket — same blow-up the self-join had; cap df
+    * upstream (ngramJaccardCappedAt) for boilerplate-heavy corpora.
+    */
+  case class SortedPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val ids = input.asInstanceOf[ArrayData].toLongArray()
+      java.util.Arrays.sort(ids)
+      val m = ids.length
+      val out = new Array[Any](m * (m - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          out(k) = InternalRow(ids(i), ids(j))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** k-permutation MinHash signature over an array of shingle hashes:
     * sig(i) = min over h of xxhash64(h, seed = i). One pass per seed over
     * a primitive long array — no string re-hashing, no boxing.
@@ -311,6 +351,7 @@ object ArrayExprs {
   def shingleHashes(tokens: Column, n: Int): Column = c(ShingleHashes(e(tokens), n))
   def minHashSig(hashes: Column, k: Int): Column = c(MinHashSig(e(hashes), k))
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =

@@ -74,31 +74,32 @@ object Dedup {
 
   // ---- n-gram Jaccard dedup ---------------------------------------------------
   /** Near-dup pairs by exact Jaccard over distinct 3-word shingles.
-    * Inverted-index plan: (doc, shingle-hash) → self-join on the hash →
-    * pair intersection counts → |A∪B| via per-doc sizes. Exact for τ > 0
-    * (modulo the 2^-45 hash-collision odds documented above).
-    * At 100 TB the shingle join is the shuffle to watch: it partitions by
-    * the 8-byte shingle hash (no skew — shingles are near-unique) and the
-    * pair aggregation partitions by (id1, id2).
+    * Inverted-index plan: (doc, shingle-hash) → posting lists
+    * (groupBy hash, map-side combined) → per-bucket candidate pairs
+    * (SortedPairs) → pair intersection counts → |A∪B| via per-doc
+    * sizes. Exact for τ > 0 (modulo the 2^-45 hash-collision odds
+    * documented above).
+    * One shuffle keyed by the 8-byte shingle hash replaces the previous
+    * two-sided self-join (each side its own exchange); pair counts then
+    * shuffle by (id1, id2), proportional to candidate output, not
+    * corpus size. No skew — shingles are near-unique; boilerplate-heavy
+    * corpora cap posting-list length via ngramJaccardCappedAt.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardAt(spark, dir, 0.5)
 
   def ngramJaccardAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
-    val dsArr = docShingleHashes(c)
+    // Materialized once: sizes and the pair stream would otherwise each
+    // re-scan and re-shingle the corpus.
+    val dsArr = docShingleHashes(c).localCheckpoint()
     val sizes = dsArr.select(col("doc_id"), size(col("shs")).as("n_shingles"))
-    val ds = dsArr
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      // Materialized once: the self-join would otherwise re-scan and
-      // re-shingle the corpus for each side (verified: Catalyst's
-      // exchange reuse does not kick in across the a/b aliases here).
-      .localCheckpoint()
-    val a = ds.as("a")
-    val b = ds.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val inter = dsArr
+      .select(explode(col("shs")).as("sh"), col("doc_id"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(ArrayExprs.sortedPairs(col("docs"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
@@ -152,19 +153,20 @@ object Dedup {
   def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
       maxDf: Int): DataFrame = {
     val c = Catalog(spark, dir)
-    val dsArr = docShingleHashes(c)
+    val dsArr = docShingleHashes(c).localCheckpoint()
     val sizes = dsArr.select(col("doc_id"), size(col("shs")).as("n_shingles"))
-    val exploded = dsArr.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val rare = exploded.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    val ds = exploded.join(rare, "sh").localCheckpoint()
-    val a = ds.as("a")
-    val b = ds.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // The df cap is a posting-list length bound applied AFTER the list
+    // build and BEFORE the quadratic pair expansion: a boilerplate
+    // shingle with df=10^6 costs one 8 MB list (bounded, then dropped),
+    // never its df² pairs. A count-first plan (df agg + join) was
+    // measured slower at 8× scale: when most shingles survive the cap,
+    // its extra shuffle + join outweigh the postings it drops.
+    val inter = dsArr
+      .select(explode(col("shs")).as("sh"), col("doc_id"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+      .select(explode(ArrayExprs.sortedPairs(col("docs"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")

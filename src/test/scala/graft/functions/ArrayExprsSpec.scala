@@ -84,6 +84,17 @@ class ArrayExprsSpec extends SparkTestBase {
     assert(hamming(fp(base), fp(near)) < hamming(fp(base), fp(other)))
   }
 
+  test("sortedPairs: all ordered pairs, sorted, empty below two elements") {
+    val df = Seq(Seq(5L, 1L, 3L), Seq(7L), Seq.empty[Long])
+      .toDF("ids")
+      .select(ArrayExprs.sortedPairs(col("ids")).as("ps"))
+    val rows = df.collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1))))
+    assert(rows(0) === Seq((1L, 3L), (1L, 5L), (3L, 5L)))
+    assert(rows(1) === Seq.empty)
+    assert(rows(2) === Seq.empty)
+  }
+
   test("lshBuckets: deterministic, one bucket per table, close vectors collide") {
     val v = Array.tabulate(16)(i => (i + 1).toFloat)
     val nearlyV = v.clone(); nearlyV(0) = v(0) + 0.001f
