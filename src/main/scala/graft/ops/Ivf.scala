@@ -30,13 +30,15 @@ object Ivf {
     * iteration count, no RNG.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // If the table has fewer vectors than requested cells, the effective
     // k shrinks to the available count (every vector its own cell).
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    // driver merge, no sort shuffle); dim comes from the same collect.
     var centroids: Seq[Array[Float]] = emb
       .orderBy("vec_id").limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).toSeq
+    val dim = centroids.head.length
     val kEff = centroids.size
     for (_ <- 0 until iters) {
       val assigned = emb.select(

@@ -127,9 +127,11 @@ object PushQueries {
       |SELECT rn, c_name || ',' || c_mktsegment FROM numbered
       |ORDER BY rn""".stripMargin
 
-  /** U-G1..U-G5 GPG chain (rows-only check — the crypto stage is a
-    * deterministic STUB, see GpgPipeline): params → csv → ordered
-    * wrap/encrypt/package message rows.
+  /** U-G1..U-G5 GPG chain: params → csv → ordered wrap/"encrypt"/package
+    * message rows. The crypto stage is a deterministic STUB (XOR with the
+    * md5-derived session key + base64 — see GpgPipeline), which makes the
+    * WHOLE ordered single-stream chain oracle-checkable: the DuckDB twin
+    * recomputes every message row byte-for-byte in SQL.
     */
   def gpgMessage(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -143,6 +145,34 @@ object PushQueries {
     GpgPipeline.fileWrapEncryptPackage(spark,
       GpgPipeline.jsonToCsv(spark, numbered), params).orderBy("rn")
   }
+
+  /** DuckDB twin of the full stub chain: csv lines (incl. the rn=0
+    * header) are re-numbered 1..N+1 in order, each XORed bytewise with
+    * the cycling 16-char session key (`right(md5(pubkey),16)`) and
+    * base64'd; armor frame rows at rn 0 and Long.MaxValue. ASCII-only
+    * testdata, so ord()/printf per char equals the UTF-8 byte stream.
+    */
+  val gpgMessageSql: String =
+    """WITH numbered AS (
+      |  SELECT row_number() OVER (ORDER BY c_custkey) AS rn, c_name, c_mktsegment FROM customer),
+      |csv AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, 'Name,Segment' AS line
+      |  UNION ALL
+      |  SELECT rn, c_name || ',' || c_mktsegment FROM numbered),
+      |params AS (SELECT right(md5('GRAFT TEST PUBLIC KEY'), 16) AS skey),
+      |enc AS (
+      |  SELECT c.rn + 1 AS rn,
+      |         to_base64(from_hex(string_agg(
+      |           printf('%02x', xor(ord(substr(c.line, i + 1, 1)),
+      |                              ord(substr(s.skey, (i % 16) + 1, 1)))),
+      |           '' ORDER BY i))) AS message_part
+      |  FROM csv c CROSS JOIN params s, unnest(range(0, length(c.line))) AS t(i)
+      |  GROUP BY c.rn, c.line)
+      |SELECT CAST(0 AS BIGINT) AS rn,
+      |       '-----BEGIN PGP MESSAGE-----|85010c03|' || left(md5('GRAFT TEST PUBLIC KEY'), 16) AS message_part
+      |UNION ALL SELECT rn, message_part FROM enc
+      |UNION ALL SELECT 9223372036854775807, '-----END PGP MESSAGE-----'
+      |ORDER BY rn""".stripMargin
 
   /** Oracle-checked END-TO-END push: runs the real EP1 pipeline (probe →
     * createJob → per-row connector UDF → tracking-table writes → close)
@@ -192,5 +222,6 @@ object PushQueries {
     "push_sfdc_log_shape" -> sfdcLogShapeSql,
     "push_incremental_model" -> incrementalPushModelSql,
     "push_json_to_csv" -> jsonToCsvSql,
+    "push_gpg_message" -> gpgMessageSql,
     "push_e2e" -> pushE2eSql)
 }
