@@ -25,39 +25,70 @@ import graft.functions.ArrayExprs
   */
 object Ivf {
 
-  /** Lloyd k-means over the `embedding` column. Deterministic: init from
-    * the k lowest vec_ids (the testdata's ids are dense), fixed
-    * iteration count, no RNG.
+  /** Lloyd k-means for the coarse quantizer, trained driver-side on a
+    * bounded deterministic sample — the standard IVF shape (FAISS trains
+    * its quantizer on a sample too): at 100 TB a full-corpus Lloyd pass
+    * per iteration buys nothing for a 16..4096-cell quantizer, while a
+    * 64·k-vector sample fits any driver and iterates in microseconds.
+    * The full corpus is touched exactly once afterwards, by the
+    * distributed assignment scan.
+    *
+    * Deterministic: sample = top `64·k` vec_ids by xxhash64 order (a
+    * seeded pseudo-random draw, planned as TakeOrderedAndProject — no
+    * sort shuffle), init = first k sample vectors, fixed iteration
+    * count, no RNG.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
+    val sampleSize = math.max(64 * k, 1024)
+    val sample: Array[Array[Float]] = emb
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
     // If the table has fewer vectors than requested cells, the effective
     // k shrinks to the available count (every vector its own cell).
-    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
-    // driver merge, no sort shuffle); dim comes from the same collect.
-    var centroids: Seq[Array[Float]] = emb
-      .orderBy("vec_id").limit(k)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray).toSeq
+    var centroids: Seq[Array[Float]] = sample.take(k).toSeq
     val dim = centroids.head.length
     val kEff = centroids.size
     for (_ <- 0 until iters) {
-      val assigned = emb.select(
-        ArrayExprs.nearestCentroid(col("embedding"), centroids).as("cid"),
-        posexplode(col("embedding")))
-      // Partial-aggregated (cid, pos) sums: k·dim result rows no matter
-      // how large the corpus is.
-      val sums = assigned.groupBy(col("cid"), col("pos"))
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = Array.tabulate(kEff)(i => centroids(i).clone()) // keep empty cells
-      sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
-        val c = new Array[Float](dim)
-        rows.foreach(r => c(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
-        next(cid) = c
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      sample.foreach { v =>
+        val cid = nearestLocal(v, centroids)
+        val s = sums(cid)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(cid) += 1
       }
-      centroids = next.toSeq
+      centroids = Seq.tabulate(kEff) { cid =>
+        if (counts(cid) == 0) centroids(cid) // keep empty cells
+        else {
+          val c = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { c(i) = (sums(cid)(i) / counts(cid)).toFloat; i += 1 }
+          c
+        }
+      }
     }
     centroids
+  }
+
+  /** Same ranking as ArrayExprs.NearestCentroid: argmax of dot/|c|. */
+  private def nearestLocal(v: Array[Float], cs: Seq[Array[Float]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var cid = 0
+    while (cid < cs.length) {
+      val c = cs(cid)
+      var dot = 0.0
+      var nrm = 0.0
+      var i = 0
+      while (i < c.length) { dot += v(i).toDouble * c(i); nrm += c(i).toDouble * c(i); i += 1 }
+      val score = if (nrm == 0) Double.NegativeInfinity else dot / math.sqrt(nrm)
+      if (score > bestScore) { bestScore = score; best = cid }
+      cid += 1
+    }
+    best
   }
 
   def ivfAnn(spark: SparkSession, dir: String): DataFrame =

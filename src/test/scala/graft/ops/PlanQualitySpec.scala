@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Machine-checked plan-shape assertions for the headline operators —
+  * the properties that decide whether a plan survives a 100× scale-up:
+  * filters reaching the parquet scan, column pruning, broadcast joins on
+  * dims, top-k without a global sort, map-side partial aggregation, and
+  * no accidental single-partition funnels.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p4_filter: predicates are pushed to the parquet scan, columns pruned") {
+    val plan = executed(Relational.p4Filter(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown:\n$plan")
+    assert(plan.contains("IsNotNull(o_orderstatus)") || plan.contains("EqualTo(o_orderstatus"),
+      s"status filter not pushed:\n$plan")
+    // pruned read schema: only the 4 referenced columns, not all 9
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"scan reads unreferenced columns:\n$readSchema")
+  }
+
+  test("o3_topk: limit+sort plans as TakeOrderedAndProject (no global sort)") {
+    val plan = executed(Relational.o3TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$plan")
+  }
+
+  test("g6_rollup: dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = executed(Relational.g6Rollup(spark, sf))
+    // AQE's toString repeats the plan (initial + final), so count >= 2
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation/region must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle for dims:\n$plan")
+  }
+
+  test("dedup exact: aggregation is partial+final (map-side combine)") {
+    val plan = executed(Dedup.exact(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
+  test("w1w2 global row numbering never funnels to one partition") {
+    val plan = executed(Relational.queries("w1w2_row_number_batch")(spark, sf))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global row_number must stay distributed:\n$plan")
+  }
+
+  test("j4_asof: one key shuffle per side, no range-join explosion") {
+    val plan = executed(AsOf.asofLastSignup(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a quadratic join:\n$plan")
+  }
+}
