@@ -394,16 +394,72 @@ object Dedup {
       .orderBy("source1", "source2")
   }
 
+  // ---- train/eval contamination screen ---------------------------------------
+  /** Benchmark-contamination screening — the standard pre-training check
+    * that held-out eval data has not leaked into the training corpus: for
+    * every document of `evalSource`, the fraction of its distinct 3-word
+    * shingles that appear anywhere in the other sources.
+    *
+    * Scale shape: the training side collapses to a DISTINCT shingle-hash
+    * set (8 bytes/shingle, one shuffle, map-side combined); the eval side
+    * — typically orders of magnitude smaller — left-joins it on the hash
+    * and reduces per doc. Counting on hashes equals counting on strings
+    * modulo the 2^-45 collision odds documented above, so the DuckDB twin
+    * (string shingles) hash-matches.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationAt(spark, dir, "src0")
+
+  def contaminationAt(spark: SparkSession, dir: String, evalSource: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val exploded = c.ref("documents")
+      .select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(ArrayExprs.shingleHashes(col("toks"), 3)).as("sh"))
+    val trainSh = exploded.filter(col("source") =!= evalSource)
+      .select(col("sh")).distinct()
+      .withColumn("__hit", lit(1))
+    exploded.filter(col("source") === evalSource)
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated")) // count of non-null = hits
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id, source, shingle
+      |  FROM (SELECT doc_id, source,
+      |               unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+      |                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      |        FROM tok)),
+      |train AS (SELECT DISTINCT shingle FROM ds WHERE source <> 'src0')
+      |SELECT e.doc_id,
+      |       count(*) AS n_shingles,
+      |       count(t.shingle) AS n_contaminated,
+      |       CAST(count(t.shingle) AS DOUBLE) / count(*) AS contamination
+      |FROM ds e LEFT JOIN train t ON e.shingle = t.shingle
+      |WHERE e.source = 'src0'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (duplicateClusters _),
     "dedup_source_sim" -> (sourceSimilarity _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_clusters" -> duplicateClustersSql)
+    "dedup_clusters" -> duplicateClustersSql,
+    "text_contamination" -> contaminationSql)
 }

@@ -258,7 +258,53 @@ object TextAnalysis {
       |FROM t LEFT JOIN bd ON t.doc_id = bd.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---- sequence packing ------------------------------------------------------
+  /** Token-budget sequence packing — assigning documents to fixed-size
+    * training chunks (the "pack short docs into one context window" step
+    * of an LLM data pipeline). Deterministic order-preserving fill: per
+    * lang, docs in doc_id order fill chunks of `budget` tokens; a doc
+    * starts a new chunk when its start offset crosses the budget
+    * boundary (chunk_id = start_offset div budget — oversized docs span
+    * chunks and just take the chunk at their start).
+    *
+    * Scale shape: one running-sum window partitioned by lang — parallel
+    * across langs, no global ordering. For skew-free packing at 100 TB,
+    * partition by (lang, day) or any finer key: the packing is local to
+    * a partition by construction.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesAt(spark, dir, 512)
+
+  def packSequencesAt(spark: SparkSession, dir: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.ref("documents")
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |runs AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |              AS BIGINT) AS start_offset
+      |  FROM t)
+      |SELECT lang, doc_id, n_tokens, start_offset,
+      |       start_offset // 512 AS chunk_id
+      |FROM runs ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> (packSequences _),
     "text_repetition" -> (repetition _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality" -> (qualityScore _),
@@ -268,6 +314,7 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_pack_sequences" -> packSequencesSql,
     "text_repetition" -> repetitionSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality" -> qualityScoreSql,
