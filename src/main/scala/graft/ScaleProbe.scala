@@ -26,6 +26,9 @@ object ScaleProbe {
     time("ngram_capped_8x")(ops.Dedup.ngramJaccardCappedAt(spark, dir, 0.5, 64).count())
     time("simhash_8x")(ops.Dedup.simhash(spark, dir).count())
     time("exact_8x")(ops.Dedup.exact(spark, dir).count())
+    // contamination: eval side is 1/20th of the corpus; train side reduces
+    // to a distinct hash set before the join
+    time("contamination_8x")(ops.Dedup.contamination(spark, dir).count())
 
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
     // fraction of N per query.
