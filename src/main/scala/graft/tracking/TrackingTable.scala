@@ -14,6 +14,12 @@ trait TrackingStore {
   def upsert(incoming: DataFrame): Unit
   def append(incoming: DataFrame): Unit
   def fullRefresh(): Unit
+
+  /** Small-file compaction. Append-heavy stores accumulate one file set
+    * per run forever; periodic compaction keeps scan/list cost bounded.
+    * Data-identical rewrite; layout-specific file targeting below.
+    */
+  def compact(): Unit
 }
 
 /** The reference's `tracking_table` materialization (M2,
@@ -145,6 +151,14 @@ final class TrackingTable(
     atomicWrite(updated)
   }
 
+  /** Data-identical rewrite into max(1, bytes/128MB) files. */
+  def compact(): Unit = {
+    if (!exists) return
+    val bytes = fs.getContentSummary(dataPath).getLength
+    val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+    atomicWrite(read().repartition(nFiles))
+  }
+
   /** Rewrite via temp dir + rename (atomic on a real FS; the Parquet
     * analogue of the reference's backup-rename at `:19-27`). The plan is
     * materialized to the temp dir BEFORE the old data is touched, so a
@@ -224,6 +238,28 @@ final class PartitionedTrackingTable(
     val in = incoming.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     in.write.mode("append").partitionBy(partitionCol).parquet(path)
   }
+
+  /** Compact only FRAGMENTED partitions (more than one data file) into
+    * one file each; already-compact partitions keep their files
+    * byte-for-byte — at scale this is the nightly housekeeping pass over
+    * a log table that gains one file set per push run.
+    */
+  def compact(): Unit = {
+    if (!exists) return
+    val prefix = s"$partitionCol="
+    val fragmented = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
+      .map(s => java.net.URLDecoder.decode(
+        s.getPath.getName.substring(prefix.length), "UTF-8"))
+    if (fragmented.isEmpty) return
+    read().filter(col(partitionCol).isin(fragmented.toSeq: _*))
+      .repartition(col(partitionCol)) // one task (→ one file) per partition
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+  }
 }
 
 /** Bucket-clustered tracking table — the shuffle-free-anti-join form of
@@ -285,6 +321,20 @@ final class BucketedTrackingTable(
   def fullRefresh(): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     createIfMissing()
+  }
+
+  /** Rewrite into one file per bucket (appends leave one file set per
+    * run; bucket file counts grow unbounded otherwise). The bucketed
+    * writer emits one file per (task, bucket) pair, so a single write
+    * task yields exactly one file per non-empty bucket; data is
+    * checkpointed before the overwrite. At 100 TB a compaction pass
+    * would shard this across bucket subsets (one job per shard) — the
+    * single-task funnel here is the minimal correct form.
+    */
+  def compact(): Unit = {
+    if (!exists) return
+    val merged = read().coalesce(1).localCheckpoint()
+    writer(merged, "overwrite").saveAsTable(table)
   }
 }
 

@@ -56,6 +56,31 @@ class BucketedTrackingTableSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compact: file count drops to <= buckets, rows and layout preserved") {
+    val name = freshTable()
+    val t = new BucketedTrackingTable(spark, name,
+      Schemas.sfdcLoadTaskLogs, "job_log_entry_id", "record", 4)
+    (0 until 3).foreach(i => t.append(logRows(i * 10 until (i + 1) * 10)))
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+      .filter(col("col_name") === "Location").head().getString(1)
+    def nFiles = new java.io.File(new java.net.URI(loc))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 4, "three appends must fragment past one file per bucket")
+    t.compact()
+    assert(nFiles <= 4, s"compacted table must have <= buckets files, got $nFiles")
+    assert(t.read().count() === 30)
+    // still bucketed: the anti-join stays exchange-free on the log side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = (0 until 40).map(i => s"""{"AccountID__c":"$i"}""").toDF("record")
+        .join(t.read().select(col("record")), Seq("record"), "left_anti")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
+      assert(probe.count() === 10)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("PushMaterializer(bucketedLogs): push, then idempotent rerun via unsyncedRecords") {
     val base = tmpDir("pushb")
     val mat = new PushMaterializer(spark, base,

@@ -54,4 +54,27 @@ class PartitionedTrackingTableSpec extends SparkTestBase {
     t.append(Seq(("a2", 2, "taskA")).toDF("k", "v", "task"))
     assert(t.read().count() === 2)
   }
+
+  test("compact merges fragmented partitions, leaves compact ones untouched") {
+    val t = table()
+    // taskA fragments across three appends; taskB stays single-file
+    (1 to 3).foreach(i => t.append(Seq((s"a$i", i, "taskA")).toDF("k", "v", "task")))
+    t.append(Seq(("b1", 1, "taskB")).toDF("k", "v", "task"))
+    assert(partFiles(t.path, "taskA").size >= 3)
+    val bBefore = partFiles(t.path, "taskB")
+    Thread.sleep(20)
+
+    t.compact()
+    assert(partFiles(t.path, "taskA").size === 1, "taskA must merge to one file")
+    assert(partFiles(t.path, "taskB") === bBefore, "taskB must be byte-for-byte untouched")
+    val out = t.read().orderBy("k").as[(String, Int, String)].collect().toSeq
+    assert(out === Seq(("a1", 1, "taskA"), ("a2", 2, "taskA"),
+      ("a3", 3, "taskA"), ("b1", 1, "taskB")))
+
+    // idempotent: nothing fragmented -> second compact rewrites nothing
+    val aAfter = partFiles(t.path, "taskA")
+    Thread.sleep(20)
+    t.compact()
+    assert(partFiles(t.path, "taskA") === aAfter)
+  }
 }

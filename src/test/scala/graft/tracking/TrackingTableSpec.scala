@@ -81,4 +81,16 @@ class TrackingTableSpec extends SparkTestBase {
     t.fullRefresh()
     assert(t.read().count() === 0)
   }
+
+  test("compact merges accumulated append files, data identical") {
+    val t = table()
+    (1 to 5).foreach(i => t.append(Seq((s"k$i", i, "x")).toDF("k", "v", "note")))
+    val dataDir = new java.io.File(t.path, "data")
+    def nFiles = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 5)
+    t.compact()
+    assert(nFiles === 1, "small table must compact to one file")
+    assert(t.read().orderBy("k").as[(String, Int, String)].collect().toSeq ===
+      (1 to 5).map(i => (s"k$i", i, "x")))
+  }
 }
