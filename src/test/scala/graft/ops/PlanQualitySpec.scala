@@ -56,4 +56,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"as-of must not plan a quadratic join:\n$plan")
   }
+
+  test("sim_bruteforce: the query side broadcasts; the corpus never shuffles for scoring") {
+    val plan = executed(Similarity.queries("sim_bruteforce_topk")(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"queries must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring must be a broadcast product, not a cartesian shuffle:\n$plan")
+  }
+
+  test("p1_projection: scan reads only the projected columns") {
+    val plan = executed(Relational.queries("p1_projection")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("c_comment") && !readSchema.contains("c_address"),
+      s"projection must prune the scan:\n$readSchema")
+  }
+
+  test("m5_cdc_apply: no single-partition funnel in the merge") {
+    val plan = executed(Relational.queries("m5_cdc_apply")(spark, sf))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"CDC merge must stay distributed:\n$plan")
+  }
 }
