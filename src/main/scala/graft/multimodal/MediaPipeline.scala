@@ -71,4 +71,47 @@ object MediaPipeline {
     }
     spark.createDataFrame(rows, frameSchema)
   }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes_in", LongType, nullable = false),
+    StructField("resized", BinaryType)))
+
+  /** Resize each payload to target dimensions (stub resample —
+    * Codecs.resizeStub). Same partition-parallel, payload-in/payload-out
+    * shape a real thumbnailing pass has; downstream stages read
+    * `resized` instead of the original bytes.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rows = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.getLong(idIdx), payload.length.toLong, Codecs.resizeStub(payload, w, h))
+      }
+    }
+    spark.createDataFrame(rows, resizeSchema)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false))))
+
+  /** Fixed-dimension feature vector per payload (stub byte-histogram
+    * "embedding" — Codecs.audioFeaturesStub). Output shape feeds the
+    * Similarity/Ivf ANN operators directly (same Array[Float] contract
+    * as the embeddings table).
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rows = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.getLong(idIdx), Codecs.audioFeaturesStub(payload, dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, audioFeatureSchema)
+  }
 }

@@ -107,13 +107,37 @@ object Multimodal {
       |       CAST(least(100, n - orig_idx * 100) AS BIGINT) AS frame_bytes
       |FROM k ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Resize (thumbnail) pass with the binary output reduced to its
+    * length so the oracle can replicate the stub's size contract
+    * (`min(n, w*h/64 + 16)`); byte-level stub fidelity is asserted in
+    * MediaPipelineSpec against Codecs.resizeStub directly (documents
+    * carry non-ASCII text, so a bytewise SQL twin is not UTF-8-safe).
+    */
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val media = c.ref("documents")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.multimodal.MediaPipeline.resize(spark, media, w = 64, h = 48)
+      .select(col("media_id"), col("n_bytes_in"),
+        octet_length(col("resized")).cast("long").as("n_bytes_out"))
+      .orderBy("media_id")
+  }
+
+  val resizeMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes_in,
+      |       CAST(least(octet_length(CAST(text AS BLOB)), 64 * 48 // 64 + 16) AS BIGINT) AS n_bytes_out
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary_meta" -> (binaryMeta _),
     "multimodal_decode" -> (decodeFeatures _),
-    "multimodal_frames" -> (frameSample _))
+    "multimodal_frames" -> (frameSample _),
+    "multimodal_resize" -> (resizeMeta _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_binary_meta" -> binaryMetaSql,
     "multimodal_decode" -> decodeFeaturesSql,
-    "multimodal_frames" -> frameSampleSql)
+    "multimodal_frames" -> frameSampleSql,
+    "multimodal_resize" -> resizeMetaSql)
 }

@@ -39,4 +39,32 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
     assert(a.length === 16)
   }
+
+  test("resize: per-row output matches Codecs.resizeStub byte-for-byte") {
+    val out = MediaPipeline.resize(spark, media, w = 64, h = 48)
+      .orderBy("media_id").collect()
+    val expected = Seq(
+      1L -> Array.tabulate(2500)(_.toByte),
+      2L -> Array.tabulate(999)(i => (i * 3).toByte),
+      3L -> (Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++ Array.fill(100)(7.toByte)))
+    out.zip(expected).foreach { case (row, (id, payload)) =>
+      assert(row.getAs[Long]("media_id") === id)
+      assert(row.getAs[Long]("n_bytes_in") === payload.length.toLong)
+      assert(row.getAs[Array[Byte]]("resized").toSeq ===
+        Codecs.resizeStub(payload, 64, 48).toSeq)
+    }
+  }
+
+  test("audioFeatures: ANN-contract shape (Array[Float] of fixed dim) per payload") {
+    val out = MediaPipeline.audioFeatures(spark, media, dim = 16)
+      .orderBy("media_id").collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f.length === 16)
+    }
+    // values match the stub applied directly
+    assert(out(1).getSeq[Float](1).toArray.toSeq ===
+      Codecs.audioFeaturesStub(Array.tabulate(999)(i => (i * 3).toByte), 16).toSeq)
+  }
 }
