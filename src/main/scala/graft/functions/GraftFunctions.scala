@@ -37,7 +37,8 @@ object GraftFunctions {
     "graft_l2norm" -> { args => ArrayExprs.L2NormF(args.head) },
     "graft_lsh_buckets" -> { args =>
       ArrayExprs.LshBuckets(args.head, intArg(args(1), "tables"), intArg(args(2), "bits"))
-    })
+    },
+    "graft_sorted_pairs" -> { args => ArrayExprs.SortedPairs(args.head) })
 
   /** Register on a live session (idempotent). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -13,13 +13,16 @@ class GraftFunctionsSpec extends SparkTestBase {
         |       size(graft_shingle_hashes(split('a b c d e', ' '), 3)) AS ns,
         |       size(graft_minhash_sig(graft_shingle_hashes(split('a b c d e', ' ')), 16)) AS k,
         |       graft_l2norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
-        |       size(graft_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS t
+        |       size(graft_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS t,
+        |       graft_sorted_pairs(array(5L, 1L, 3L)) AS ps
         |""".stripMargin).head()
     assert(row.getDouble(1) === 11.0)
     assert(row.getInt(2) === 3)
     assert(row.getInt(3) === 16)
     assert(row.getDouble(4) === 5.0)
     assert(row.getInt(5) === 4)
+    assert(row.getSeq[org.apache.spark.sql.Row](6).map(r =>
+      (r.getLong(0), r.getLong(1))) === Seq((1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
   test("GraftExtensions builders construct valid expressions for every name") {
