@@ -303,7 +303,61 @@ object TextAnalysis {
       |       start_offset // 512 AS chunk_id
       |FROM runs ORDER BY lang, doc_id""".stripMargin
 
+  // ---- end-to-end training-data prep ----------------------------------------
+  /** The canonical LLM data-prep flow as ONE composed, oracle-checked
+    * query: quality filter (token-count band) → exact dedup (keep the
+    * lowest doc_id per normalized fingerprint) → token-budget packing →
+    * per-chunk rollup. Every stage is the same shape the standalone
+    * operators use; composing them costs two narrow shuffles (the dedup
+    * window keyed by fingerprint, the packing window keyed by lang) —
+    * text never flows past the stage that needs it.
+    */
+  def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val budget = 512
+    val scored = c.ref("documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", split(trim(lower(col("text"))), "\\s+"))).as("fp"))
+      .filter(col("n_tokens").between(10, 1000))
+    val dedupW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val kept = scored
+      .withColumn("rk", row_number().over(dedupW))
+      .filter(col("rk") === 1).drop("rk", "fp")
+    val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("start_offset", sum(col("n_tokens")).over(packW) - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  val prepPipelineSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |         md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM documents),
+      |filtered AS (SELECT * FROM scored WHERE n_tokens BETWEEN 10 AND 1000),
+      |kept AS (
+      |  SELECT doc_id, lang, n_tokens FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      |    FROM filtered) WHERE rk = 1),
+      |packed AS (
+      |  SELECT lang, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |              AS BIGINT) // 512 AS chunk_id
+      |  FROM kept)
+      |SELECT lang, chunk_id, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+      |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_prep_pipeline" -> (prepPipeline _),
     "text_pack_sequences" -> (packSequences _),
     "text_repetition" -> (repetition _),
     "text_token_counts" -> (tokenCounts _),
@@ -314,6 +368,7 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_prep_pipeline" -> prepPipelineSql,
     "text_pack_sequences" -> packSequencesSql,
     "text_repetition" -> repetitionSql,
     "text_token_counts" -> tokenCountsSql,
