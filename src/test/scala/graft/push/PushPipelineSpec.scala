@@ -157,6 +157,26 @@ class PushPipelineSpec extends SparkTestBase {
     assert(flaky.loadBatchCalls.get() === 300) // every record: 1 failure + 1 success
   }
 
+  test("serial_load pushes through one partition; parallel load uses many (README.md:71)") {
+    import PushPipelineSpec.{PartitionRecordingApi, Seen}
+    def model(serial: Boolean) = PushModel("accounts_load",
+      SalesforceConfig("Account", "insert", serialLoad = serial),
+      s => s.read.parquet(s"$sf/customer.parquet").repartition(4)
+        .select(to_json(struct(col("c_name").as("Name"))).as("record")))
+
+    val serialMat = new PushMaterializer(spark, tmpDir("push-ser"),
+      new PartitionRecordingApi, new MockSfmcApi())
+    Seen.pids.clear()
+    assert(serialMat.run(model(serial = true)).recordsPushed === 150)
+    assert(Seen.pids.size === 1, s"serial load must funnel to one partition, saw ${Seen.pids}")
+
+    val parMat = new PushMaterializer(spark, tmpDir("push-par"),
+      new PartitionRecordingApi, new MockSfmcApi())
+    Seen.pids.clear()
+    assert(parMat.run(model(serial = false)).recordsPushed === 150)
+    assert(Seen.pids.size > 1, s"parallel load must keep partitions, saw ${Seen.pids}")
+  }
+
   test("unknown app raises the materialization compile error (ref :14)") {
     val mat = new PushMaterializer(spark, tmpDir("push"),
       new MockSalesforceBulkApi(), new MockSfmcApi())
@@ -183,6 +203,20 @@ class PushPipelineSpec extends SparkTestBase {
     assert(r.recordsPushed === 150)
     intercept[IllegalArgumentException] {
       mat.runLegacy(PushModel("mc", MarketingCloudConfig("DE"), s => s.range(1).toDF("record")))
+    }
+  }
+}
+
+/** Top-level (static, serialization-safe) helpers for the serial-load
+  * test: a suite-local class would drag the non-serializable suite
+  * instance into the UDF closure.
+  */
+object PushPipelineSpec {
+  object Seen { val pids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]() }
+  class PartitionRecordingApi extends graft.connector.MockSalesforceBulkApi {
+    override def loadBatch(jobId: String, rec: String, wait: Boolean): String = {
+      Seen.pids.add(org.apache.spark.TaskContext.getPartitionId())
+      super.loadBatch(jobId, rec, wait)
     }
   }
 }
