@@ -60,6 +60,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize agrees with batch w4Sessionize on random events") {
+    implicit val sqlCtx = spark.sqlContext
+    // seeded random corpus: 6 users, mixed gaps strictly below/above 30 min
+    val rnd = new scala.util.Random(7)
+    val events = (1L to 6L).flatMap { u =>
+      var t = 3600_000L + rnd.nextInt(1000) * 1000L
+      (1 to 60).map { i =>
+        t += (if (rnd.nextBoolean()) 1 + rnd.nextInt(29) else 31 + rnd.nextInt(90)) * 60_000L
+        (u * 1000 + i, new Timestamp(t), u, "click")
+      }
+    }
+    // batch twin reads an `events` parquet table
+    val dir = tmpDir("sess-consistency")
+    events.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.ops.Relational.w4Sessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(in.toDS()) // 30-min gap, same as batch
+      .writeStream.format("memory").queryName("sess_xcheck").outputMode("append").start()
+    try {
+      in.addData(events.map(e => EventStreams.Event(e._2, e._3, e._4, 1.0)): _*)
+      q.processAllAvailable()
+      // sentinel far past every session gap + watermark closes all state
+      val maxTs = events.map(_._2.getTime).max
+      in.addData(EventStreams.Event(new Timestamp(maxTs + 10 * 3600_000L), 99L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_xcheck").as[EventStreams.Session].collect()
+        .filter(s => s.closed && s.userId != 99L)
+        .map(s => (s.userId, s.start, s.end, s.nEvents)).toSet
+      assert(streamed === batch,
+        s"batch-only: ${batch.diff(streamed).take(3)}; stream-only: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint drops within-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
