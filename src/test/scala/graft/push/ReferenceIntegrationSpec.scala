@@ -1,0 +1,131 @@
+package graft.push
+
+import graft.SparkTestBase
+import graft.connector.{MockSalesforceBulkApi, MockSfmcApi}
+import graft.model.{MarketingCloudConfig, PushModel, SalesforceConfig}
+import graft.sources.Seeds
+import org.apache.spark.sql.functions._
+
+/** The reference's OWN integration-test scenario
+  * (`integration_tests/README.md:3-8` run protocol; seeds + models under
+  * `integration_tests/`) reproduced end-to-end against this engine:
+  * 100 accounts (omnata_push + legacy load_task) and a 9500-row daily
+  * rollup pushed to Salesforce, 1000 contacts to Marketing Cloud, golden
+  * totals asserted, then an idempotent rerun. The transactions seed is
+  * absent upstream (`.MISSING_LARGE_BLOBS:1`), so it is synthesized at
+  * the volume the golden count implies (9700 = 100 + 100 + 9500 log
+  * rows, `tests/sfdc_load_task_logs_after_run.sql:5`).
+  *
+  * The reference's task-count test asserts 2, but THREE of its models
+  * insert task rows — a stale assertion noted in SURVEY §5; we assert
+  * the arithmetically consistent 3.
+  */
+class ReferenceIntegrationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val refData = "/root/reference/integration_tests/data"
+
+  test("reference integration run: 9700 sfdc log rows + golden shapes + idempotent rerun") {
+    assume(new java.io.File(s"$refData/accounts.csv").exists(), "reference seeds unavailable")
+    val base = tmpDir("refint")
+    val mat = new PushMaterializer(spark, base,
+      new MockSalesforceBulkApi(), new MockSfmcApi())
+
+    val accounts = Seeds.readCsv(spark, s"$refData/accounts.csv")
+    val contacts = Seeds.readCsv(spark, s"$refData/contacts.csv")
+    assert(accounts.count() === 100 && contacts.count() === 1000)
+
+    // synthesize transactions: 100 accounts x 95 past days x 2 txns/day
+    // -> the daily rollup has exactly 9500 (account, day) rows
+    val accountIds = accounts.select("ACCOUNT_ID").as[String].collect().toSeq
+    val txns = for { a <- accountIds; d <- 0 until 95; k <- 0 until 2 } yield
+      (a, java.sql.Timestamp.valueOf(
+          java.time.LocalDate.now.minusDays(200L - d).atTime(k + 1, 0)),
+        10.0 + k, 1.0 + k)
+    val transactions = txns
+      .toDF("ACCOUNT_ID", "TRANSACTION_DATETIME", "TRANSACTION_AMOUNT", "REVENUE_AMOUNT")
+
+    // transactions_daily (incremental rollup, `transactions_daily.sql:5-14`)
+    val transactionsDaily = transactions
+      .groupBy(col("ACCOUNT_ID"),
+        col("TRANSACTION_DATETIME").cast("date").as("TRANSACTIONS_DATE"))
+      .agg(sum("TRANSACTION_AMOUNT").as("GTV_DAILY"),
+        sum("REVENUE_AMOUNT").as("NTR_DAILY"))
+      .filter(col("TRANSACTIONS_DATE") < current_date())
+
+    def sfdcSuccessLog(task: String, key: String) = mat.sfdcLogs.read()
+      .filter(col("load_task_name") === task &&
+        get_json_object(col("result"), "$.success") === "true")
+      .select(get_json_object(col("record"), s"$$.$key").as("logged"))
+
+    // accounts_load / accounts_load_legacy (`accounts_load.sql:14-30`)
+    def accountsLoad(name: String) = PushModel(name,
+      SalesforceConfig("Account", "upsert", Some("AccountID__c")),
+      _ => {
+        val recs = accounts.select(to_json(struct(
+          col("NAME").as("Name"),
+          col("ACCOUNT_ID").as("AccountID__c"))).as("record"))
+        val logs = sfdcSuccessLog(name, "AccountID__c")
+        recs.join(logs,
+          get_json_object(col("record"), "$.AccountID__c") === logs("logged"), "left_anti")
+      })
+
+    // transactions_daily_load (`transactions_daily_load.sql:11-29`)
+    val txLoad = PushModel("transactions_daily_load",
+      SalesforceConfig("Daily_Transaction__c", "upsert", Some("Duplicate_Key__c")),
+      _ => {
+        val dupKey = concat(col("ACCOUNT_ID"), lit("_"),
+          col("TRANSACTIONS_DATE").cast("string"))
+        val recs = transactionsDaily.select(to_json(struct(
+          dupKey.as("Name"),
+          dupKey.as("Duplicate_Key__c"),
+          col("GTV_DAILY").as("Total_Transactions_Sum__c"),
+          col("NTR_DAILY").as("Total_Revenue_Sum__c"),
+          col("TRANSACTIONS_DATE").cast("string").as("Transactions_Date__c"),
+          struct(col("ACCOUNT_ID").as("AccountID__c")).as("Account__r"))).as("record"))
+        val logs = sfdcSuccessLog("transactions_daily_load", "Duplicate_Key__c")
+        recs.join(logs,
+          get_json_object(col("record"), "$.Duplicate_Key__c") === logs("logged"), "left_anti")
+      })
+
+    // contacts_load (SFMC, whole-record NOT IN — `contacts_load.sql:20-37`)
+    val contactsLoad = PushModel("contacts_load",
+      MarketingCloudConfig("ContactsFromDbt", importType = "AddAndUpdate"),
+      _ => {
+        val recs = contacts.select(to_json(struct(
+          col("CONTACT_NUMBER").as("ContactID"),
+          col("FIRST_NAME").as("First Name"),
+          col("LAST_NAME").as("Last Name"),
+          col("EMAIL").as("EmailAddress"),
+          col("TITLE").as("Title"))).as("record"))
+        val logs = mat.sfmcLogs.read()
+          .filter(col("load_task_name") === "contacts_load" &&
+            get_json_object(col("result"), "$.success") === "true")
+          .select(col("record").as("logged"))
+        recs.join(logs, col("record") === col("logged"), "left_anti")
+      })
+
+    // `dbt seed; dbt run --full-refresh --vars 'drop-omnata-task-tables: true'`
+    mat.dropTaskTables()
+    assert(mat.run(accountsLoad("accounts_load")).recordsPushed === 100)
+    assert(mat.runLegacy(accountsLoad("accounts_load_legacy")).recordsPushed === 100)
+    assert(mat.runLegacy(txLoad).recordsPushed === 9500)
+    val rc = mat.run(contactsLoad)
+    assert(rc.recordsPushed === 1000)
+    assert(rc.batches === 11) // rn 1..1000, floor(rn/100) -> batch ids 0..10
+
+    // golden counts (`sfdc_load_task_logs_after_run.sql:5`)
+    assert(mat.sfdcLogs.read().count() === 9700)
+    assert(mat.sfdcTasks.read().count() === 3) // ref asserts 2: stale, see scaladoc
+    assert(mat.sfmcLogs.read().count() === 1000)
+    assert(mat.sfmcTasks.read().count() === 1)
+
+    // `dbt run` again: every model's own anti-join makes the rerun a no-op
+    assert(mat.run(accountsLoad("accounts_load")).skippedEmpty)
+    assert(mat.runLegacy(accountsLoad("accounts_load_legacy")).skippedEmpty)
+    assert(mat.runLegacy(txLoad).skippedEmpty)
+    assert(mat.run(contactsLoad).skippedEmpty)
+    assert(mat.sfdcLogs.read().count() === 9700)
+    assert(mat.sfmcLogs.read().count() === 1000)
+  }
+}
