@@ -60,6 +60,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowedCounts agrees with batch g10TimeWindow on random events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val types = Seq("click", "view", "signup")
+    val events = (1 to 400).map { i =>
+      (i.toLong, new Timestamp(3600_000L + rnd.nextInt(6 * 3600) * 1000L),
+        rnd.nextInt(10).toLong, types(rnd.nextInt(3)), rnd.nextInt(100) / 10.0)
+    }
+    val dir = tmpDir("win-consistency")
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.ops.Relational.queries("g10_time_window")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStreams.windowedCounts(
+        in.toDF().toDF("ts", "user_id", "event_type", "value"),
+        watermark = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("win_xcheck").outputMode("append").start()
+    try {
+      in.addData(events.map(e => (e._2, e._3, e._4, e._5)): _*)
+      q.processAllAvailable()
+      val maxTs = events.map(_._2.getTime).max
+      in.addData((new Timestamp(maxTs + 24 * 3600_000L), 99L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_xcheck")
+        .filter(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batch,
+        s"batch-only: ${batch.diff(streamed).take(3)}; stream-only: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with batch w4Sessionize on random events") {
     implicit val sqlCtx = spark.sqlContext
     // seeded random corpus: 6 users, mixed gaps strictly below/above 30 min
