@@ -136,6 +136,13 @@ object FileStreams {
 /** Micro-batch push: every streaming micro-batch of RECORDs runs the
   * batch Salesforce pipeline (same tracking tables, same connector, same
   * anti-join idempotency story — a batch-of-one-stream unification).
+  *
+  * Exactly-once across restarts: `foreachBatch` is at-least-once — after
+  * a crash between the push and the checkpoint commit, the SAME batchId
+  * is replayed. The task table doubles as the transaction log: a batch
+  * whose task name (`model#batchId`) already has a task row was pushed
+  * by a previous incarnation and is skipped, so external side effects
+  * fire once per batch id.
   */
 final class StreamingPush(
     spark: SparkSession,
@@ -145,6 +152,22 @@ final class StreamingPush(
 
   @volatile private var reports: List[PushReport] = Nil
   def pushReports: Seq[PushReport] = reports.reverse
+
+  /** Push one micro-batch unless its batchId was already pushed (the
+    * foreachBatch replay guard — public so the semantics are testable
+    * without forcing a mid-commit crash).
+    */
+  def pushBatch(batch: DataFrame, batchId: Long): PushReport = {
+    val taskName = s"$modelName#$batchId"
+    val already = !materializer.sfdcTasks.read()
+      .filter(org.apache.spark.sql.functions.col("load_task_name") === taskName)
+      .isEmpty
+    val report =
+      if (already) PushReport(taskName, skippedEmpty = true, None, 0)
+      else materializer.run(PushModel(taskName, config, _ => batch))
+    reports ::= report
+    report
+  }
 
   /** Start pushing a stream of records (single string `record` column).
     * Each micro-batch becomes one push job — mirroring how the reference
@@ -156,8 +179,7 @@ final class StreamingPush(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val model = PushModel(s"$modelName#$batchId", config, _ => batch)
-        reports ::= materializer.run(model)
+        pushBatch(batch, batchId)
         ()
       }
       .start()

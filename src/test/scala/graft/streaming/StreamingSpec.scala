@@ -194,6 +194,26 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("doc_id").distinct().count() === 70, "no doc may be ingested twice")
   }
 
+  test("StreamingPush replay guard: a re-delivered batchId pushes nothing") {
+    val base = tmpDir("stream-replay")
+    val sfdc = new MockSalesforceBulkApi()
+    val mat = new PushMaterializer(spark, base, sfdc, new MockSfmcApi())
+    val sp = new StreamingPush(spark, mat,
+      SalesforceConfig("Account", "insert"), "replay_accounts")
+    val batch = (1 to 20).map(i => s"""{"Name":"acct$i"}""").toDF("record")
+
+    val first = sp.pushBatch(batch, batchId = 7L)
+    assert(first.recordsPushed === 20)
+    assert(sfdc.loadBatchCalls.get() === 20)
+    // foreachBatch redelivers batch 7 after a simulated crash-before-commit
+    val replay = sp.pushBatch(batch, batchId = 7L)
+    assert(replay.skippedEmpty && replay.recordsPushed === 0)
+    assert(sfdc.loadBatchCalls.get() === 20, "no duplicate external calls")
+    assert(mat.sfdcLogs.read().count() === 20)
+    // a NEW batch id still pushes
+    assert(sp.pushBatch(batch, batchId = 8L).recordsPushed === 20)
+  }
+
   test("StreamingPush: each micro-batch runs the batch push pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("stream-push")
