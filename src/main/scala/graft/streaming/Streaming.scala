@@ -147,11 +147,17 @@ object FileStreams {
 final class StreamingPush(
     spark: SparkSession,
     materializer: PushMaterializer,
-    config: SalesforceConfig,
+    config: graft.model.PushConfig,
     modelName: String) {
 
   @volatile private var reports: List[PushReport] = Nil
   def pushReports: Seq[PushReport] = reports.reverse
+
+  // the transaction log matching the configured app's pipeline
+  private def taskTable = config match {
+    case _: graft.model.MarketingCloudConfig => materializer.sfmcTasks
+    case _ => materializer.sfdcTasks
+  }
 
   /** Push one micro-batch unless its batchId was already pushed (the
     * foreachBatch replay guard — public so the semantics are testable
@@ -159,7 +165,7 @@ final class StreamingPush(
     */
   def pushBatch(batch: DataFrame, batchId: Long): PushReport = {
     val taskName = s"$modelName#$batchId"
-    val already = !materializer.sfdcTasks.read()
+    val already = !taskTable.read()
       .filter(org.apache.spark.sql.functions.col("load_task_name") === taskName)
       .isEmpty
     val report =

@@ -214,6 +214,25 @@ class StreamingSpec extends SparkTestBase {
     assert(sp.pushBatch(batch, batchId = 8L).recordsPushed === 20)
   }
 
+  test("StreamingPush drives the Marketing Cloud pipeline too (config dispatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfmc = new MockSfmcApi()
+    val mat = new PushMaterializer(spark, tmpDir("stream-mc"),
+      new MockSalesforceBulkApi(), sfmc)
+    val sp = new StreamingPush(spark, mat,
+      graft.model.MarketingCloudConfig("StreamDE"), "stream_contacts")
+    val in = MemoryStream[String]
+    in.addData((1 to 30).map(i => s"""{"ContactID":$i}""") : _*)
+    val q = sp.start(in.toDF().toDF("record"), tmpDir("ckpt-mc"))
+    q.awaitTermination()
+    assert(mat.sfmcLogs.read().count() === 30)
+    assert(sfmc.stagedBatchCount === 1) // 30 records, batch size 100
+    // replay of the same batchId is guarded by the SFMC task table
+    val batch = (1 to 30).map(i => s"""{"ContactID":$i}""").toDF("record")
+    assert(sp.pushBatch(batch, batchId = 0L).skippedEmpty)
+    assert(mat.sfmcLogs.read().count() === 30)
+  }
+
   test("StreamingPush: each micro-batch runs the batch push pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val base = tmpDir("stream-push")
