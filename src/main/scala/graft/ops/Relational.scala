@@ -639,6 +639,29 @@ object Relational {
       |       count(*) AS n_events
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- G11: CUBE grouping sets --------------------------------------------
+  /** All grouping-set combinations over (market segment, order priority) —
+    * CUBE completes the grouping-set surface next to ROLLUP (G6). Same
+    * physical shape: one Expand node multiplies rows per grouping set,
+    * then a single partial+final hash aggregate.
+    */
+  def g11Cube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val cust = c.ref("customer")
+    val ord = c.ref("orders")
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val g11CubeSql: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   // ---- G6: ROLLUP grouping sets -------------------------------------------
   /** Hierarchical totals (region → nation → grand total) via ROLLUP —
     * grouping-set aggregates are the standard OLAP extension beyond the
@@ -763,6 +786,7 @@ object Relational {
     "w1w2_row_number_batch" -> (w1w2RowNumberBatch _),
     "w4_sessionize" -> (w4Sessionize _),
     "g6_rollup" -> (g6Rollup _),
+    "g11_cube" -> (g11Cube _),
     "o2_setops" -> (o2SetOps _),
     "o3_topk" -> (o3TopK _),
     "o4_unpivot" -> (o4Unpivot _),
@@ -794,6 +818,7 @@ object Relational {
     "w1w2_row_number_batch" -> w1w2RowNumberBatchSql,
     "w4_sessionize" -> w4SessionizeSql,
     "g6_rollup" -> g6RollupSql,
+    "g11_cube" -> g11CubeSql,
     "o2_setops" -> o2SetOpsSql,
     "o3_topk" -> o3TopKSql,
     "o4_unpivot" -> o4UnpivotSql,
