@@ -639,6 +639,37 @@ object Relational {
       |       count(*) AS n_events
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- W5: lag/lead + sliding frame ---------------------------------------
+  /** Per-customer order history: previous/next order value and a 3-order
+    * moving total — lag/lead plus an explicit ROWS frame, the remaining
+    * window shapes next to row_number (W1) and running sums (W4).
+    * Partitioned by customer (parallel); ordering is made total with the
+    * unique order key so both engines agree on ties.
+    */
+  def w5LagLeadFrames(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    c.ref("orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("moving3_total",
+        sum(col("o_totalprice").cast("decimal(30,6)")).over(frame).cast("double"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val w5LagLeadFramesSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       lag(o_totalprice) OVER w AS prev_price,
+      |       lead(o_totalprice) OVER w AS next_price,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+      |              OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // ---- G11: CUBE grouping sets --------------------------------------------
   /** All grouping-set combinations over (market segment, order priority) —
     * CUBE completes the grouping-set surface next to ROLLUP (G6). Same
@@ -787,6 +818,7 @@ object Relational {
     "w4_sessionize" -> (w4Sessionize _),
     "g6_rollup" -> (g6Rollup _),
     "g11_cube" -> (g11Cube _),
+    "w5_lag_lead_frames" -> (w5LagLeadFrames _),
     "o2_setops" -> (o2SetOps _),
     "o3_topk" -> (o3TopK _),
     "o4_unpivot" -> (o4Unpivot _),
@@ -819,6 +851,7 @@ object Relational {
     "w4_sessionize" -> w4SessionizeSql,
     "g6_rollup" -> g6RollupSql,
     "g11_cube" -> g11CubeSql,
+    "w5_lag_lead_frames" -> w5LagLeadFramesSql,
     "o2_setops" -> o2SetOpsSql,
     "o3_topk" -> o3TopKSql,
     "o4_unpivot" -> o4UnpivotSql,
