@@ -42,6 +42,23 @@ object ScaleProbe {
     time("ann_brute_8x")(ops.Similarity.bruteForceTopKAt(spark, dir, 5, 10).count())
     time("ann_lsh_8x")(ops.Similarity.lshAnnAt(spark, dir, 5, 10, 8, 8).count())
     time("ann_ivf_8x")(ops.Ivf.ivfAnnAt(spark, dir, 5, 10, 16, 4, 3).count())
+
+    // Skew: 4M-row fact where ONE key owns half the rows, joined to a
+    // 200-row dim with broadcast disabled (forcing a shuffle join — the
+    // regime where salting matters). Plain join lands 2M rows on one
+    // reducer; saltedJoin spreads the hot key over 16.
+    val fact = spark.range(4000000L)
+      .select((when(col("id") % 2 === 0, lit(0L)).otherwise(pmod(col("id"), lit(200L)))).as("k"),
+        col("id").as("v"))
+      .localCheckpoint()
+    val dim2 = spark.range(200L).select(col("id").as("k"), (col("id") * 10).as("d"))
+      .localCheckpoint()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("join_skew_plain")(fact.join(dim2, Seq("k")).count())
+    time("join_skew_salted")(sources.Skew.saltedJoin(fact, dim2, "k", 16).count())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    time("join_skew_aqe")(fact.join(dim2, Seq("k")).count())
     spark.stop()
   }
 }
