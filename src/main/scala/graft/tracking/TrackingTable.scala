@@ -309,13 +309,25 @@ final class BucketedTrackingTable(
     writer(conform(incoming), "append").saveAsTable(table)
   }
 
+  /** Crash-safe rewrite: the full result is written to a staging table
+    * BEFORE the live table is touched, then swapped in via rename (the
+    * managed-table analogue of TrackingTable.atomicWrite's tmp-dir
+    * dance). A failure mid-write leaves the live table intact; a failure
+    * between drop and rename leaves the data recoverable in `__tmp`.
+    */
+  private def safeOverwrite(df: DataFrame): Unit = {
+    val tmp = table + "__tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writer(df, "overwrite").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   def upsert(incoming: DataFrame): Unit = {
     createIfMissing()
     val in = conform(incoming)
     val kept = read().join(in.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
-    // Materialize BEFORE overwriting the table the plan reads from.
-    val merged = kept.unionByName(in).localCheckpoint()
-    writer(merged, "overwrite").saveAsTable(table)
+    safeOverwrite(kept.unionByName(in))
   }
 
   def fullRefresh(): Unit = {
@@ -326,15 +338,14 @@ final class BucketedTrackingTable(
   /** Rewrite into one file per bucket (appends leave one file set per
     * run; bucket file counts grow unbounded otherwise). The bucketed
     * writer emits one file per (task, bucket) pair, so a single write
-    * task yields exactly one file per non-empty bucket; data is
-    * checkpointed before the overwrite. At 100 TB a compaction pass
-    * would shard this across bucket subsets (one job per shard) — the
-    * single-task funnel here is the minimal correct form.
+    * task yields exactly one file per non-empty bucket. At 100 TB a
+    * compaction pass would shard this across bucket subsets (one job
+    * per shard) — the single-task funnel here is the minimal correct
+    * form.
     */
   def compact(): Unit = {
     if (!exists) return
-    val merged = read().coalesce(1).localCheckpoint()
-    writer(merged, "overwrite").saveAsTable(table)
+    safeOverwrite(read().coalesce(1))
   }
 }
 
