@@ -28,6 +28,66 @@ object ArrayExprs {
 
   private val SEED = 42L // same default seed as Spark's xxhash64()
 
+  // ---- engine-portable md5-derived hashing -----------------------------------
+  // The xxhash64-based expressions below are the fast path, but xxhash64
+  // has no DuckDB twin, so results derived from it can only get a
+  // rows-only oracle check. These helpers define a base hash the oracle
+  // CAN reproduce: the lower 64 bits of MD5 — little-endian over digest
+  // bytes 8..15, bit-identical to DuckDB's `md5_number_lower(s)` — and
+  // MinHash permutations as plain modular arithmetic over the Mersenne
+  // prime p = 2^61−1, exactly computable in DuckDB HUGEINT SQL.
+
+  private[functions] val MersenneP: Long = (1L << 61) - 1
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** A reset, thread-confined MD5 instance (avoids per-row allocation). */
+  private[functions] def md5Digest(): java.security.MessageDigest = {
+    val m = md5Local.get(); m.reset(); m
+  }
+
+  /** Finish the digest and take bytes 8..15 little-endian — the exact
+    * value of DuckDB `md5_number_lower` on the same input bytes.
+    */
+  private[functions] def md5Lower64(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    var h = 0L
+    var j = 7
+    while (j >= 0) { h = (h << 8) | (d(8 + j) & 0xffL); j -= 1 }
+    h
+  }
+
+  private[functions] def md5Lower64(bytes: Array[Byte]): Long = {
+    val md = md5Digest(); md.update(bytes); md5Lower64(md)
+  }
+
+  /** (a·b) mod 2^61−1 for a,b ∈ [0, 2^61), exact: the 128-bit product is
+    * folded with 2^64 ≡ 8 (mod p). hi < 2^58 so hi·8 cannot overflow.
+    */
+  private[functions] def mulmodP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    ((hi << 3) % MersenneP + java.lang.Long.remainderUnsigned(a * b, MersenneP)) % MersenneP
+  }
+
+  /** Universal-hash permutation constants, derived from md5 so the oracle
+    * can derive the identical values in SQL:
+    * aᵢ = md5_number_lower("a"+i) mod (p−1) + 1, bᵢ = md5_number_lower("b"+i) mod p.
+    */
+  private[functions] def permParams(k: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = java.lang.Long.remainderUnsigned(
+        md5Lower64(("a" + i).getBytes("UTF-8")), MersenneP - 1) + 1
+      b(i) = java.lang.Long.remainderUnsigned(
+        md5Lower64(("b" + i).getBytes("UTF-8")), MersenneP)
+      i += 1
+    }
+    (a, b)
+  }
+
   /** Distinct xxhash64 fingerprints of all `n`-token windows of a
     * string-token array. Equivalent (up to 64-bit hash collisions, odds
     * ~2^-45 at 10^6 shingles) to
@@ -166,6 +226,102 @@ object ArrayExprs {
       while (i < len) {
         if (!arr.isNullAt(i)) {
           val h = XXH64.hashUTF8String(arr.getUTF8String(i), SEED)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** k-permutation MinHash signature computed directly from a
+    * string-token array via the engine-portable md5 base hash:
+    * sig(i) = min over n-token windows of (aᵢ·h + bᵢ) mod p, where
+    * h = md5_number_lower(shingle string) mod p. Null when the array has
+    * no full window (< n tokens) so shingle-less docs vanish, matching
+    * the relational oracle. One MD5 per window + k mulmods — still a
+    * single scan-side pass per row, no shuffle.
+    *
+    * Duplicate windows need no dedup: min over a multiset equals min
+    * over its support.
+    */
+  case class MinHashSigMd5(child: Expression, n: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val perms = ArrayExprs.permParams(k)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val m = len - n + 1
+      if (m <= 0) return null
+      val (pa, pb) = perms
+      val tb = new Array[Array[Byte]](len)
+      var i = 0
+      while (i < len) {
+        tb(i) = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val sig = Array.fill(k)(Long.MaxValue)
+      i = 0
+      while (i < m) {
+        val md = ArrayExprs.md5Digest()
+        var j = i
+        while (j < i + n) {
+          if (j > i) md.update(' '.toByte)
+          md.update(tb(j))
+          j += 1
+        }
+        val h = java.lang.Long.remainderUnsigned(ArrayExprs.md5Lower64(md), ArrayExprs.MersenneP)
+        var q = 0
+        while (q < k) {
+          val v = (ArrayExprs.mulmodP(pa(q), h) + pb(q)) % ArrayExprs.MersenneP
+          if (v < sig(q)) sig(q) = v
+          q += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** SimHash over the md5 base hash (see SimHash64 for the algorithm):
+    * bit b of each token's md5_number_lower votes ±1; output bit set iff
+    * votes strictly positive. Engine-portable — the oracle reproduces the
+    * fingerprint with `(md5_number_lower(tok) >> b) & 1` arithmetic.
+    */
+  case class SimHash64Md5(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < len) {
+        if (!arr.isNullAt(i)) {
+          val h = ArrayExprs.md5Lower64(arr.getUTF8String(i).getBytes)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -350,7 +506,9 @@ object ArrayExprs {
 
   def shingleHashes(tokens: Column, n: Int): Column = c(ShingleHashes(e(tokens), n))
   def minHashSig(hashes: Column, k: Int): Column = c(MinHashSig(e(hashes), k))
+  def minHashSigMd5(tokens: Column, n: Int, k: Int): Column = c(MinHashSigMd5(e(tokens), n, k))
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def simHash64Md5(tokens: Column): Column = c(SimHash64Md5(e(tokens)))
   def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))

@@ -179,17 +179,21 @@ object Dedup {
   }
 
   // ---- MinHash + LSH ------------------------------------------------------------
-  /** MinHash signatures (k=64 via xxhash64(seed, shingle)) banded into 16
-    * bands of 4 — the sub-quadratic near-dup path. Candidate pairs =
-    * same-band-bucket collisions; each candidate verified with the
-    * signature-agreement Jaccard estimate. Spark-only (xxhash64 has no
-    * DuckDB twin) → rows-only driver check; agreement with the exact
-    * ngramJaccard result is asserted in DedupSpec.
+  /** MinHash signatures (k=64 arithmetic permutations over the md5 base
+    * hash, ArrayExprs.MinHashSigMd5) banded into 16 bands of 4 — the
+    * sub-quadratic near-dup path. Candidate pairs = docs agreeing on a
+    * full band slice; each candidate verified with the
+    * signature-agreement Jaccard estimate. The hash is engine-portable
+    * (DuckDB md5_number_lower + HUGEINT modular arithmetic), so the
+    * driver gets a full hash-match oracle; agreement with the exact
+    * ngramJaccard result is additionally asserted in DedupSpec.
     *
     * Scale shape: signatures are per-row scan work (no shuffle); band
-    * buckets shuffle (doc_id, band, bucket) = 24 bytes/row; the only
-    * joins carrying the 512-byte signatures are the two candidate-side
-    * lookups, proportional to the candidate count, not the corpus.
+    * rows shuffle (doc_id, band, 4-long slice) = 48 bytes/row — at
+    * 100 TB you would key the shuffle on an 8-byte hash of the slice and
+    * keep slice equality as the residual check; the only joins carrying
+    * the 512-byte signatures are the two candidate-side lookups,
+    * proportional to the candidate count, not the corpus.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshAt(spark, dir, numHashes = 64, bands = 16, tau = 0.5)
@@ -198,25 +202,26 @@ object Dedup {
       bands: Int, tau: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     val c = Catalog(spark, dir)
-    // Per-row signature via the native MinHashSig expression: one pass
-    // over the corpus, zero shuffle. At 100 TB a production pipeline
-    // would persist this table (N × ~520 B) — localCheckpoint stands in
-    // for that materialization here.
-    val sig = docShingleHashes(c)
+    // Per-row signature via the native MinHashSigMd5 expression: one
+    // pass over the corpus, zero shuffle. At 100 TB a production
+    // pipeline would persist this table (N × ~520 B) — localCheckpoint
+    // stands in for that materialization here.
+    val sig = c.ref("documents")
+      .select(col("doc_id"), toks(col("text")).as("toks"))
       .select(col("doc_id"),
-        ArrayExprs.minHashSig(col("shs"), numHashes).as("sig"))
+        ArrayExprs.minHashSigMd5(col("toks"), 3, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
       .localCheckpoint()
-    // Band keys: hash of each contiguous signature slice → narrow
-    // (doc_id, band, bucket) relation for the collision join.
+    // Band rows: each contiguous signature slice → (doc_id, band, slice)
+    // relation for the collision join (exact slice equality).
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        b => slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bslice")
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
@@ -231,21 +236,65 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Oracle twin of minhashLsh: identical signatures from
+    * md5_number_lower + HUGEINT modular arithmetic, band keys as
+    * ordered value strings, candidate pairs by band-key equality.
+    */
+  val minhashLshSql: String = {
+    val p = "2305843009213693951" // 2^61 - 1, the MinHashSigMd5 modulus
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+       |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+       |  FROM tok),
+       |hs AS (
+       |  SELECT doc_id, md5_number_lower(shingle) % $p AS h
+       |  FROM sh WHERE shingle IS NOT NULL),
+       |params AS (
+       |  SELECT i, md5_number_lower(concat('a', i)) % (CAST($p AS UBIGINT) - 1) + 1 AS a,
+       |         md5_number_lower(concat('b', i)) % $p AS b
+       |  FROM range(64) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i,
+       |         CAST(min((CAST(a AS HUGEINT) * h + b) % $p) AS BIGINT) AS v
+       |  FROM hs CROSS JOIN params GROUP BY doc_id, i),
+       |bandkey AS (
+       |  SELECT doc_id, i // 4 AS band, string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bandkey x JOIN bandkey y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |agree AS (
+       |  SELECT c.id1, c.id2, sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) AS n_agree
+       |  FROM cand c
+       |  JOIN sig s1 ON s1.doc_id = c.id1
+       |  JOIN sig s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
+       |  GROUP BY c.id1, c.id2)
+       |SELECT id1, id2, CAST(n_agree AS DOUBLE) / 64 AS est_jaccard
+       |FROM agree
+       |WHERE CAST(n_agree AS DOUBLE) / 64 >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ---- SimHash ---------------------------------------------------------------------
-  /** 64-bit SimHash: per-token xxhash64, each bit votes ±1, fingerprint =
-    * sign vector. Hamming-0 duplicate groups returned; hamming ≤ k at
-    * scale = repeat grouping over rotated band halves. Spark-only.
+  /** 64-bit SimHash: per-token md5-derived hash (engine-portable, see
+    * ArrayExprs.SimHash64Md5), each bit votes ±1, fingerprint = sign
+    * vector. Hamming-0 duplicate groups returned; hamming ≤ k at scale =
+    * repeat grouping over rotated band halves.
     *
-    * Computed per-row over the materialized token-hash array (no explode,
-    * no 64-column aggregate): for each bit, votes = 2×popcount − n, so
-    * the fingerprint is pure scan work and the only shuffle is the final
-    * group-by-fingerprint.
+    * Computed per-row over the token array (no explode, no 64-column
+    * aggregate): the fingerprint is pure scan work and the only shuffle
+    * is the final group-by-fingerprint. The DuckDB twin rebuilds the
+    * same fingerprints relationally (tokens × 64 bits → vote sums).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val fp = c.ref("documents")
       .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"), ArrayExprs.simHash64(col("toks")).as("simhash"))
+      .select(col("doc_id"), ArrayExprs.simHash64Md5(col("toks")).as("simhash"))
     // doc_ids serialized to a CSV string: the driver's compare sorts
     // result columns in pandas, which cannot hash/sort array cells.
     fp.groupBy("simhash")
@@ -254,6 +303,35 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("representative_id")
   }
+
+  /** Oracle twin of simhash: per-token md5_number_lower, ±1 votes per
+    * bit over tokens × range(64), bit weights summed in UBIGINT, then
+    * two's-complement conversion to match Spark's signed long.
+    */
+  val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(ts) AS tok FROM tok),
+      |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
+      |votes AS (
+      |  SELECT doc_id, r.b AS bit,
+      |         sum(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN range(64) r(b)
+      |  GROUP BY doc_id, r.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS fpu
+      |  FROM votes GROUP BY doc_id),
+      |grp AS (
+      |  SELECT doc_id,
+      |         CAST(fpu - CASE WHEN fpu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS simhash
+      |  FROM fp)
+      |SELECT simhash, min(doc_id) AS representative_id, count(*) AS n_docs,
+      |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      |FROM grp GROUP BY simhash
+      |HAVING count(*) > 1
+      |ORDER BY representative_id""".stripMargin
 
   // ---- duplicate-cluster resolution (connected components) -------------------
   /** Near-dup pairs → duplicate clusters → keep/drop decision: the final
@@ -371,8 +449,10 @@ object Dedup {
     * a pairwise sketch comparison. The shingle sets themselves are never
     * shuffled: each source reduces to k longs regardless of corpus size,
     * so the pairwise stage is |sources|² over 512-byte sketches.
-    * Spark-only (xxhash64) → rows-only driver check; sketch-vs-exact
-    * agreement is asserted in DedupSpec.
+    * Signatures use the engine-portable md5 permutations
+    * (MinHashSigMd5), so the merged sketch equals DuckDB's relational
+    * min over all (source, shingle) rows → full hash-match oracle;
+    * sketch-vs-exact agreement is additionally asserted in DedupSpec.
     */
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
     sourceSimilarityAt(spark, dir, numHashes = 64)
@@ -382,7 +462,8 @@ object Dedup {
     val sketches = c.ref("documents")
       .select(col("source"), toks(col("text")).as("toks"))
       .select(col("source"),
-        ArrayExprs.minHashSig(ArrayExprs.shingleHashes(col("toks"), 3), numHashes).as("sig"))
+        ArrayExprs.minHashSigMd5(col("toks"), 3, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
       .groupBy(col("source"))
       .agg(graft.functions.MinHashMerge.minHashMerge(col("sig"), numHashes).as("sketch"))
     val a = sketches.as("a")
@@ -392,6 +473,38 @@ object Dedup {
         (size(filter(zip_with(col("a.sketch"), col("b.sketch"), (x, y) => x === y),
           v => v)).cast("double") / numHashes.toDouble).as("est_jaccard"))
       .orderBy("source1", "source2")
+  }
+
+  /** Oracle twin of sourceSimilarity: per-source signature = relational
+    * min of the permuted md5 hashes over every shingle in the source
+    * (merging per-doc sketches by elementwise min equals minimizing over
+    * the union of the docs' shingle sets), then pairwise agreement.
+    */
+  val sourceSimilaritySql: String = {
+    val p = "2305843009213693951"
+    s"""WITH tok AS (
+       |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+       |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+       |  FROM tok),
+       |hs AS (
+       |  SELECT source, md5_number_lower(shingle) % $p AS h
+       |  FROM sh WHERE shingle IS NOT NULL),
+       |params AS (
+       |  SELECT i, md5_number_lower(concat('a', i)) % (CAST($p AS UBIGINT) - 1) + 1 AS a,
+       |         md5_number_lower(concat('b', i)) % $p AS b
+       |  FROM range(64) t(i)),
+       |sig AS (
+       |  SELECT source, i,
+       |         CAST(min((CAST(a AS HUGEINT) * h + b) % $p) AS BIGINT) AS v
+       |  FROM hs CROSS JOIN params GROUP BY source, i)
+       |SELECT x.source AS source1, y.source AS source2,
+       |       CAST(sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+       |FROM sig x JOIN sig y ON x.i = y.i AND x.source < y.source
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
   }
 
   // ---- train/eval contamination screen ---------------------------------------
@@ -461,5 +574,8 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> duplicateClustersSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_source_sim" -> sourceSimilaritySql,
     "text_contamination" -> contaminationSql)
 }

@@ -17,8 +17,7 @@ class SparkEntrySpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly === Set("dedup_minhash_lsh", "dedup_simhash", "dedup_source_sim",
-      "sim_lsh_ann", "sim_ivf_ann"),
+    assert(rowsOnly === Set("sim_lsh_ann", "sim_ivf_ann"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -33,8 +32,7 @@ class SparkEntrySpec extends SparkTestBase {
   }
 
   test("rows-only queries produce rows at sf0.001 (non-vacuous checks)") {
-    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_source_sim", "sim_lsh_ann",
-      "sim_ivf_ann").foreach { n =>
+    Seq("sim_lsh_ann", "sim_ivf_ann").foreach { n =>
       assert(SparkEntry.queries(n)(spark, sf).count() > 0, s"$n returned 0 rows")
     }
   }

@@ -105,4 +105,62 @@ class ArrayExprsSpec extends SparkTestBase {
     assert(bs(0).length === 4)
     assert(bs(0) === bs(2), "epsilon-perturbed vector must hash to the same buckets")
   }
+
+  test("md5Lower64 matches DuckDB md5_number_lower (pinned cross-engine values)") {
+    // duckdb> SELECT md5_number_lower('abc'), md5_number_lower('');
+    assert(ArrayExprs.md5Lower64("abc".getBytes("UTF-8")) === 8250560606382298838L)
+    assert(ArrayExprs.md5Lower64("".getBytes("UTF-8")) === 9098107892288553193L)
+  }
+
+  test("permParams match the DuckDB derivation (pinned i=0..1)") {
+    // duckdb> SELECT i, md5_number_lower(concat('a',i)) % (2^61-2) + 1,
+    //                  md5_number_lower(concat('b',i)) % (2^61-1) FROM range(2) t(i)
+    val (a, b) = ArrayExprs.permParams(2)
+    assert(a(0) === 1888732864723072872L && b(0) === 705743069918847172L)
+    assert(a(1) === 168612321685911460L && b(1) === 6373927829658L)
+  }
+
+  test("minHashSigMd5: matches a by-hand md5+permutation reference; null below n tokens") {
+    import java.security.MessageDigest
+    val toksList = Seq("the", "quick", "brown", "fox", "jumps")
+    val p = (1L << 61) - 1
+    def md5l(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (7 to 0 by -1).foldLeft(0L)((h, j) => (h << 8) | (d(8 + j) & 0xffL))
+    }
+    val (pa, pb) = ArrayExprs.permParams(8)
+    val expected = (0 until 8).map { q =>
+      toksList.sliding(3).map(_.mkString(" ")).map { sh =>
+        val h = java.lang.Long.remainderUnsigned(md5l(sh), p)
+        // BigInt reference for the mulmod
+        ((BigInt(pa(q)) * h + pb(q)) % p).toLong
+      }.min
+    }
+    val got = Seq(Tuple1(toksList), Tuple1(Seq("too", "few")))
+      .toDF("toks")
+      .select(ArrayExprs.minHashSigMd5(col("toks"), 3, 8).as("sig"))
+      .collect()
+    assert(got(0).getSeq[Long](0) === expected)
+    assert(got(1).isNullAt(0), "fewer than n tokens must yield a null signature")
+  }
+
+  test("simHash64Md5: order-free and equals a by-hand vote reference") {
+    import java.security.MessageDigest
+    def md5l(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (7 to 0 by -1).foldLeft(0L)((h, j) => (h << 8) | (d(8 + j) & 0xffL))
+    }
+    val toksList = Seq("alpha", "beta", "gamma", "beta")
+    val votes = Array.fill(64)(0)
+    toksList.foreach { t =>
+      val h = md5l(t)
+      (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+    }
+    val expected = (0 until 64).foldLeft(0L)((fp, b) => if (votes(b) > 0) fp | (1L << b) else fp)
+    val got = Seq(Tuple1(toksList), Tuple1(toksList.reverse)).toDF("toks")
+      .select(ArrayExprs.simHash64Md5(col("toks")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(got(0) === expected)
+    assert(got(1) === expected, "simhash must be order-free")
+  }
 }
