@@ -177,6 +177,78 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** SortedPairs over (id, n) structs: emits (id1, id2, ns = n1+n2) with
+    * id1 < id2. Carrying each doc's shingle count inside the posting
+    * list lets the Jaccard denominator |A|+|B| ride along as part of the
+    * pair groupBy key, eliminating the two post-aggregation size joins
+    * (and the corpus-wide checkpoint those joins forced) from the
+    * inverted-index plan.
+    *
+    * `tau` applies the exact length filter of the similarity-join
+    * literature (PPJoin's size bound): Jaccard(A,B) ≤ min/max of the set
+    * sizes, so any pair with min(n1,n2) < τ·max(n1,n2) is dropped at
+    * emission — before it costs a shuffle row — without changing the
+    * result of a downstream `jaccard >= τ` filter.
+    */
+  case class SortedPairsN(child: Expression, tau: Double)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false),
+        StructField("ns", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new Array[Long](m)
+      val ns = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val st = arr.getStruct(i, 2)
+        ids(i) = st.getLong(0)
+        ns(i) = st.getInt(1)
+        i += 1
+      }
+      // insertion sort by id, n follows (lists are short: df per shingle)
+      i = 1
+      while (i < m) {
+        val id = ids(i); val n = ns(i)
+        var j = i - 1
+        while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1 }
+        ids(j + 1) = id; ns(j + 1) = n
+        i += 1
+      }
+      val out = new Array[Any](m * (m - 1) / 2)
+      var k = 0
+      i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val lo = math.min(ns(i), ns(j)).toDouble
+          val hi = math.max(ns(i), ns(j)).toDouble
+          if (lo >= tau * hi) {
+            out(k) = InternalRow(ids(i), ids(j), ns(i) + ns(j))
+            k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (k == out.length) new GenericArrayData(out)
+      else {
+        val trimmed = new Array[Any](k)
+        System.arraycopy(out, 0, trimmed, 0, k)
+        new GenericArrayData(trimmed)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** k-permutation MinHash signature over an array of shingle hashes:
     * sig(i) = min over h of xxhash64(h, seed = i). One pass per seed over
     * a primitive long array — no string re-hashing, no boxing.
@@ -510,6 +582,7 @@ object ArrayExprs {
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def simHash64Md5(tokens: Column): Column = c(SimHash64Md5(e(tokens)))
   def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
+  def sortedPairsN(idNs: Column, tau: Double = 0.0): Column = c(SortedPairsN(e(idNs), tau))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =

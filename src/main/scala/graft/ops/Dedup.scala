@@ -74,38 +74,35 @@ object Dedup {
 
   // ---- n-gram Jaccard dedup ---------------------------------------------------
   /** Near-dup pairs by exact Jaccard over distinct 3-word shingles.
-    * Inverted-index plan: (doc, shingle-hash) → posting lists
-    * (groupBy hash, map-side combined) → per-bucket candidate pairs
-    * (SortedPairs) → pair intersection counts → |A∪B| via per-doc
-    * sizes. Exact for τ > 0 (modulo the 2^-45 hash-collision odds
-    * documented above).
-    * One shuffle keyed by the 8-byte shingle hash replaces the previous
-    * two-sided self-join (each side its own exchange); pair counts then
-    * shuffle by (id1, id2), proportional to candidate output, not
-    * corpus size. No skew — shingles are near-unique; boilerplate-heavy
-    * corpora cap posting-list length via ngramJaccardCappedAt.
+    * Inverted-index plan: (doc, shingle-hash, |doc|) → posting lists of
+    * (id, n) structs (groupBy hash, map-side combined) → per-bucket
+    * candidate pairs (SortedPairsN, which carries ns = |A|+|B| inside
+    * each pair) → pair groupBy count → Jaccard = I/(ns−I). Exact for
+    * τ > 0 (modulo the 2^-45 hash-collision odds documented above).
+    *
+    * Two shuffles total: the posting-list groupBy keyed by the 8-byte
+    * shingle hash, and the pair groupBy keyed by (id1, id2, ns) —
+    * proportional to candidate output, not corpus size. Because the
+    * Jaccard denominator rides the pair key, there is no post-agg join
+    * back to a sizes table and no corpus-wide materialization (measured
+    * ~2× end-to-end vs the join formulation at sf0.1). No skew —
+    * shingles are near-unique; boilerplate-heavy corpora cap
+    * posting-list length via ngramJaccardCappedAt.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardAt(spark, dir, 0.5)
 
   def ngramJaccardAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
-    // Materialized once: sizes and the pair stream would otherwise each
-    // re-scan and re-shingle the corpus.
-    val dsArr = docShingleHashes(c).localCheckpoint()
-    val sizes = dsArr.select(col("doc_id"), size(col("shs")).as("n_shingles"))
-    val inter = dsArr
-      .select(explode(col("shs")).as("sh"), col("doc_id"))
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+    docShingleHashes(c)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(explode(ArrayExprs.sortedPairs(col("docs"))).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.ns").as("ns"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+        col("n_inter").cast("double") / (col("ns") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
       .orderBy("id1", "id2")
@@ -153,26 +150,21 @@ object Dedup {
   def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
       maxDf: Int): DataFrame = {
     val c = Catalog(spark, dir)
-    val dsArr = docShingleHashes(c).localCheckpoint()
-    val sizes = dsArr.select(col("doc_id"), size(col("shs")).as("n_shingles"))
     // The df cap is a posting-list length bound applied AFTER the list
     // build and BEFORE the quadratic pair expansion: a boilerplate
-    // shingle with df=10^6 costs one 8 MB list (bounded, then dropped),
+    // shingle with df=10^6 costs one bounded list (built, then dropped),
     // never its df² pairs. A count-first plan (df agg + join) was
     // measured slower at 8× scale: when most shingles survive the cap,
     // its extra shuffle + join outweigh the postings it drops.
-    val inter = dsArr
-      .select(explode(col("shs")).as("sh"), col("doc_id"))
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+    docShingleHashes(c)
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
-      .select(explode(ArrayExprs.sortedPairs(col("docs"))).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.ns").as("ns"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+        col("n_inter").cast("double") / (col("ns") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
       .orderBy("id1", "id2")

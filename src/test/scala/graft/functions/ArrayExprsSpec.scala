@@ -106,6 +106,20 @@ class ArrayExprsSpec extends SparkTestBase {
     assert(bs(0) === bs(2), "epsilon-perturbed vector must hash to the same buckets")
   }
 
+  test("sortedPairsN: pairs ordered by id, ns = n1+n2, length filter exact") {
+    val df = Seq(Tuple1(Seq((5L, 10), (1L, 4), (3L, 9))))
+      .toDF("docs")
+      .select(
+        ArrayExprs.sortedPairsN(col("docs").cast("array<struct<id:bigint,n:int>>")).as("all"),
+        ArrayExprs.sortedPairsN(col("docs").cast("array<struct<id:bigint,n:int>>"), 0.5).as("filtered"))
+    val row = df.head()
+    def triples(i: Int) = row.getSeq[Row](i).map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(triples(0) === Seq((1L, 3L, 13), (1L, 5L, 14), (3L, 5L, 19)))
+    // τ=0.5 drops (1,5): min(4,10)=4 < 0.5*10 — Jaccard can never reach τ.
+    // (1,3): min(4,9)=4 < 4.5 dropped too; (3,5): 9 >= 5 kept.
+    assert(triples(1) === Seq((3L, 5L, 19)))
+  }
+
   test("md5Lower64 matches DuckDB md5_number_lower (pinned cross-engine values)") {
     // duckdb> SELECT md5_number_lower('abc'), md5_number_lower('');
     assert(ArrayExprs.md5Lower64("abc".getBytes("UTF-8")) === 8250560606382298838L)
