@@ -95,7 +95,14 @@ object Dedup {
   def ngramJaccardAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
     docShingleHashes(c)
-      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      // explode_outer, NOT explode: for a plain explode over an aliased
+      // attribute, InferFiltersFromGenerate adds `size(shs)>0 AND
+      // isnotnull(shs)` and pushes it through the defining projection,
+      // re-evaluating the shingle hashing 3x per row in the scan stage
+      // (observed in the executed plan). The outer variant infers no
+      // filter; the cheap null check on the GENERATED column replaces it.
+      .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
       .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
       .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))
@@ -157,7 +164,14 @@ object Dedup {
     // measured slower at 8× scale: when most shingles survive the cap,
     // its extra shuffle + join outweigh the postings it drops.
     docShingleHashes(c)
-      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      // explode_outer, NOT explode: for a plain explode over an aliased
+      // attribute, InferFiltersFromGenerate adds `size(shs)>0 AND
+      // isnotnull(shs)` and pushes it through the defining projection,
+      // re-evaluating the shingle hashing 3x per row in the scan stage
+      // (observed in the executed plan). The outer variant infers no
+      // filter; the cheap null check on the GENERATED column replaces it.
+      .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
       .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
       .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))

@@ -76,4 +76,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"),
       s"CDC merge must stay distributed:\n$plan")
   }
+
+  test("ngram jaccard: exactly two shuffles, no join, no re-derived shingle filter") {
+    // AQE prints Final and Initial plans; count only the executed one.
+    val plan = executed(Dedup.ngramJaccard(spark, sf)).split("== Initial Plan ==")(0)
+    // The sizes ride the posting lists (SortedPairsN), so the plan is
+    // scan → shingle groupBy → pair groupBy → filter: two hash exchanges
+    // (plus the result sort), no join operator at all.
+    assert(!plan.contains("Join"), s"sizes must ride the pair key, not a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash shuffles, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"pair aggregation must stay distributed:\n$plan")
+    // explode_outer defeats InferFiltersFromGenerate: shinglehashes must
+    // appear exactly once in the scan stage, not re-derived in a filter.
+    val hashCalls = "shinglehashes".r.findAllIn(plan).size
+    assert(hashCalls == 1, s"shingle hashing evaluated $hashCalls times in the plan:\n$plan")
+  }
+
+  test("minhash lsh: signature scan shuffles narrow band rows, never re-shingles") {
+    val plan = executed(Dedup.minhashLsh(spark, sf))
+    // The 512-byte signatures come from the checkpointed scan; the
+    // candidate join must not contain a cartesian/nested-loop fallback.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"band collision join must be an equi-join:\n$plan")
+  }
 }
