@@ -415,6 +415,25 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Unsigned (md5_number_lower(s) mod m) of a string — the
+    * engine-portable pseudo-random draw used for deterministic sampling:
+    * DuckDB computes the identical value as
+    * `md5_number_lower(s) % m` (UBIGINT arithmetic).
+    */
+  case class Md5Mod(child: Expression, m: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.remainderUnsigned(
+        ArrayExprs.md5Lower64(
+          input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes), m)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Dot product of two float arrays, accumulated left-to-right in
     * double — bit-identical to
     * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0, _+_)`
@@ -472,11 +491,13 @@ object ArrayExprs {
 
   /** Random-hyperplane LSH bucket ids of a float vector — one bucket per
     * table, `bits` sign-bits each. Hyperplane components are derived
-    * deterministically (xxhash64 chain over ("plane", t, b, j) → double
-    * in [-1, 1)), so no RNG state ships with the plan; they are computed
-    * once per expression instance per vector dimension, NOT per row (the
-    * HOF formulation re-hashed tables×bits×dim components for every
-    * vector).
+    * deterministically AND engine-portably: component (t,b,j) is the
+    * signed reading of md5_number_lower("plane:t:b:j") divided by
+    * Long.MaxValue → double in [-1, 1), which the DuckDB oracle
+    * re-derives exactly. No RNG state ships with the plan; planes are
+    * computed once per expression instance per vector dimension, NOT
+    * per row (the HOF formulation re-hashed tables×bits×dim components
+    * for every vector).
     */
   case class LshBuckets(child: Expression, tables: Int, bits: Int)
       extends UnaryExpression with CodegenFallback {
@@ -490,14 +511,13 @@ object ArrayExprs {
 
     private def planesFor(dim: Int): Array[Array[Double]] = {
       if (planeDim != dim) {
-        val seed = XXH64.hashUTF8String(
-          org.apache.spark.unsafe.types.UTF8String.fromString("plane"), SEED)
         val p = Array.tabulate(tables * bits) { tb =>
           val t = tb / bits
           val b = tb % bits
-          val h1 = XXH64.hashInt(t, seed)
-          val h2 = XXH64.hashInt(b, h1)
-          Array.tabulate(dim)(j => XXH64.hashInt(j, h2).toDouble / Long.MaxValue.toDouble)
+          Array.tabulate(dim) { j =>
+            ArrayExprs.md5Lower64(s"plane:$t:$b:$j".getBytes("UTF-8"))
+              .toDouble / Long.MaxValue.toDouble
+          }
         }
         planes = p
         planeDim = dim
@@ -581,6 +601,7 @@ object ArrayExprs {
   def minHashSigMd5(tokens: Column, n: Int, k: Int): Column = c(MinHashSigMd5(e(tokens), n, k))
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def simHash64Md5(tokens: Column): Column = c(SimHash64Md5(e(tokens)))
+  def md5Mod(s: Column, m: Long): Column = c(Md5Mod(e(s), m))
   def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
   def sortedPairsN(idNs: Column, tau: Double = 0.0): Column = c(SortedPairsN(e(idNs), tau))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))

@@ -33,15 +33,16 @@ object Ivf {
     * The full corpus is touched exactly once afterwards, by the
     * distributed assignment scan.
     *
-    * Deterministic: sample = top `64·k` vec_ids by xxhash64 order (a
-    * seeded pseudo-random draw, planned as TakeOrderedAndProject — no
-    * sort shuffle), init = first k sample vectors, fixed iteration
-    * count, no RNG.
+    * Deterministic AND engine-portable: sample = top `64·k` vec_ids by
+    * (md5_number_lower(vec_id) mod 1000003) order (a seeded
+    * pseudo-random draw the DuckDB oracle can reproduce, planned as
+    * TakeOrderedAndProject — no sort shuffle), init = first k sample
+    * vectors, fixed iteration count, no RNG.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Array[Float]] = {
     val sampleSize = math.max(64 * k, 1024)
     val sample: Array[Array[Float]] = emb
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .orderBy(ArrayExprs.md5Mod(col("vec_id").cast("string"), 1000003L), col("vec_id"))
       .limit(sampleSize)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -91,8 +92,17 @@ object Ivf {
     best
   }
 
+  /** The registered `sim_ivf_ann` query runs the quantizer with
+    * `iters = 0` — cells are the first 16 sample vectors verbatim. That
+    * keeps every arithmetic step (sample order, cell assignment, probe
+    * ranking, candidate scoring) expressible in DuckDB SQL, so the
+    * driver hash-checks the IVF OPERATOR end-to-end; Lloyd refinement
+    * (`iters > 0`) only changes quantizer quality, is covered by
+    * IvfSpec's recall assertions, and remains the recommended setting
+    * for a real corpus.
+    */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame =
-    ivfAnnAt(spark, dir, nQueries = 5, k = 10, kCells = 16, nprobe = 4, iters = 3)
+    ivfAnnAt(spark, dir, nQueries = 5, k = 10, kCells = 16, nprobe = 4, iters = 0)
 
   def ivfAnnAt(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       kCells: Int, nprobe: Int, iters: Int): DataFrame = {
@@ -132,4 +142,59 @@ object Ivf {
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** Oracle twin of ivfAnn (iters = 0): the portable md5 sample order
+    * picks the same 16 sample vectors as cells; assignment/probing/
+    * scoring re-derive the identical doubles (left-fold list_sum =
+    * DotProductF's accumulation order), and argmax ties break on the
+    * lowest cid exactly like NearestCentroid's strict-greater scan.
+    */
+  val ivfAnnSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |cand AS (
+      |  SELECT q.query_id, en.vec_id,
+      |         list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cid = p.cid
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN en ON en.vec_id = a.vec_id
+      |  WHERE en.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 }

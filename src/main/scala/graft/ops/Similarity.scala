@@ -95,11 +95,57 @@ object Similarity {
 
   /** ANN via multi-table LSH: candidates = vectors sharing a bucket with
     * the query in ANY table, then exact cosine rank within candidates.
-    * Recall vs bruteForceTopK is asserted in SimilaritySpec. Spark-only
-    * (driver records rows-only) — the oracle twin is the brute-force query.
+    * Recall vs bruteForceTopK is asserted in SimilaritySpec. The
+    * hyperplanes are md5-derived (ArrayExprs.LshBuckets), so the DuckDB
+    * oracle re-derives the identical planes, buckets, candidates and
+    * scores → full hash-match check.
     */
   def lshAnn(spark: SparkSession, dir: String): DataFrame =
     lshAnnAt(spark, dir, nQueries = 5, k = 10, tables = 8, bits = 8)
+
+  /** Oracle twin of lshAnn: planes from md5_number_lower("plane:t:b:j")
+    * read as signed int64 / Long.MaxValue; projections and scores as
+    * ordered list folds (= the native expressions' accumulation order);
+    * bucket = Σ 2^b over non-negative projections.
+    */
+  val lshAnnSql: String =
+    """WITH planes AS (
+      |  SELECT t, b, j,
+      |         CAST(CAST(u AS HUGEINT)
+      |              - CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END
+      |              AS DOUBLE) / 9223372036854775807 AS comp
+      |  FROM (SELECT t.t AS t, b.b AS b, j.j AS j,
+      |               md5_number_lower('plane:' || t.t || ':' || b.b || ':' || j.j) AS u
+      |        FROM range(8) t(t), range(8) b(b), range(64) j(j))),
+      |plist AS (SELECT t, b, list(comp ORDER BY j) AS pl FROM planes GROUP BY t, b),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT en.vec_id, p.t, p.b,
+      |         list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * pl[i])) AS pr
+      |  FROM en CROSS JOIN plist p),
+      |buckets AS (
+      |  SELECT vec_id, t, sum(CASE WHEN pr >= 0 THEN 1 << b ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id, t),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id < 5),
+      |qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id < 5),
+      |cand AS (
+      |  SELECT DISTINCT qb.query_id, bk.vec_id
+      |  FROM buckets bk JOIN qb ON bk.t = qb.t AND bk.bucket = qb.bucket
+      |  WHERE bk.vec_id <> qb.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.vec_id,
+      |         list_sum(list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN en ON en.vec_id = c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   def lshAnnAt(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       tables: Int, bits: Int): DataFrame = {
@@ -178,5 +224,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteForceTopKSql,
+    "sim_lsh_ann" -> lshAnnSql,
+    "sim_ivf_ann" -> Ivf.ivfAnnSql,
     "sim_embedding_neardup" -> embeddingNearDupSql)
 }

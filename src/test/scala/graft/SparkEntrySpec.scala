@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly === Set("sim_lsh_ann", "sim_ivf_ann"),
+    assert(rowsOnly === Set.empty[String],
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -31,8 +31,9 @@ class SparkEntrySpec extends SparkTestBase {
     }
   }
 
-  test("rows-only queries produce rows at sf0.001 (non-vacuous checks)") {
-    Seq("sim_lsh_ann", "sim_ivf_ann").foreach { n =>
+  test("former rows-only queries produce rows at sf0.001 (non-vacuous results)") {
+    Seq("sim_lsh_ann", "sim_ivf_ann", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_source_sim").foreach { n =>
       assert(SparkEntry.queries(n)(spark, sf).count() > 0, s"$n returned 0 rows")
     }
   }

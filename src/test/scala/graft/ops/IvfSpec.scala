@@ -47,6 +47,14 @@ class IvfSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = close.count(approx.contains).toDouble / close.size
     assert(recall >= 0.8, s"IVF recall on planted pairs: $recall over ${close.size}")
+    // the registered query's sample-init quantizer (iters=0, oracle-
+    // checked) must hold the same recall bar
+    val approx0 = Ivf.ivfAnnAt(spark, dir, nQueries = 5, k = 10,
+      kCells = 8, nprobe = 2, iters = 0)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall0 = close.count(approx0.contains).toDouble / close.size
+    assert(recall0 >= 0.8, s"sample-init IVF recall on planted pairs: $recall0")
   }
 
   test("kmeans with more cells than vectors shrinks gracefully") {
