@@ -356,7 +356,82 @@ object TextAnalysis {
       |       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
       |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- deterministic stratified sampling ----------------------------------
+  /** Reproducible corpus subsampling — keep ~10% of each source's
+    * documents, membership decided by an engine-portable hash draw on
+    * (source, doc_id), NOT by position or RNG: the sample is identical
+    * across runs, engines, partitionings and cluster sizes, and any
+    * executor decides membership locally (pure scan work, zero
+    * coordination, zero shuffle — at 100 TB this is a predicate the
+    * parquet scan evaluates, never a global sort or sample() pass whose
+    * result depends on split planning).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleAt(spark, dir, permille = 100)
+
+  def stratifiedSampleAt(spark: SparkSession, dir: String, permille: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("documents")
+      .filter(graft.functions.ArrayExprs.md5Mod(
+        concat_ws(":", col("source"), col("doc_id").cast("string")), 1000L) < permille)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |WHERE md5_number_lower(source || ':' || CAST(doc_id AS VARCHAR)) % 1000 < 100
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- per-source vocabulary --------------------------------------------------
+  /** Top-5 bigrams per source by frequency — the corpus-reporting /
+    * vocabulary-drift check of a data pipeline. Bigram counts shuffle
+    * once keyed by (source, bigram) with map-side combine; the per-group
+    * top-k is a window over the (tiny) per-source aggregate, not the
+    * corpus. Ties break lexicographically so the result is total-ordered.
+    */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    vocabTopKAt(spark, dir, k = 5)
+
+  def vocabTopKAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val toksDf = c.ref("documents")
+      .select(col("source"), tokens(lower(col("text"))).as("toks"))
+    val bigrams = toksDf.select(col("source"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array())).as("bigram"))
+    val counts = bigrams.groupBy(col("source"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("bigram"), col("n"))
+      .orderBy("source", "rank")
+  }
+
+  val vocabTopKSql: String =
+    """WITH tok AS (
+      |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT source, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |  FROM tok WHERE len(ts) >= 2),
+      |counts AS (
+      |  SELECT source, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, bigram, n,
+      |         row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rank
+      |  FROM counts)
+      |SELECT source, rank, bigram, n FROM ranked WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_stratified" -> (stratifiedSample _),
+    "text_vocab_topk" -> (vocabTopK _),
     "text_prep_pipeline" -> (prepPipeline _),
     "text_pack_sequences" -> (packSequences _),
     "text_repetition" -> (repetition _),
@@ -368,6 +443,8 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_sample_stratified" -> stratifiedSampleSql,
+    "text_vocab_topk" -> vocabTopKSql,
     "text_prep_pipeline" -> prepPipelineSql,
     "text_pack_sequences" -> packSequencesSql,
     "text_repetition" -> repetitionSql,
