@@ -22,6 +22,22 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   /** (name, builder) for every SQL-exposed graft function. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_shingle_hashes" -> { args =>
@@ -38,7 +54,20 @@ object GraftFunctions {
     "graft_lsh_buckets" -> { args =>
       ArrayExprs.LshBuckets(args.head, intArg(args(1), "tables"), intArg(args(2), "bits"))
     },
-    "graft_sorted_pairs" -> { args => ArrayExprs.SortedPairs(args.head) })
+    "graft_sorted_pairs" -> { args => ArrayExprs.SortedPairs(args.head) },
+    "graft_sorted_pairs_n" -> { args =>
+      ArrayExprs.SortedPairsN(args.head,
+        if (args.size > 1) doubleArg(args(1), "tau") else 0.0)
+    },
+    "graft_minhash_sig_md5" -> { args =>
+      ArrayExprs.MinHashSigMd5(args.head,
+        if (args.size > 1) intArg(args(1), "n") else 3,
+        if (args.size > 2) intArg(args(2), "k") else 64)
+    },
+    "graft_simhash64_md5" -> { args => ArrayExprs.SimHash64Md5(args.head) },
+    "graft_md5_mod" -> { args =>
+      ArrayExprs.Md5Mod(args.head, longArg(args(1), "m"))
+    })
 
   /** Register on a live session (idempotent). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -14,7 +14,13 @@ class GraftFunctionsSpec extends SparkTestBase {
         |       size(graft_minhash_sig(graft_shingle_hashes(split('a b c d e', ' ')), 16)) AS k,
         |       graft_l2norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
         |       size(graft_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS t,
-        |       graft_sorted_pairs(array(5L, 1L, 3L)) AS ps
+        |       graft_sorted_pairs(array(5L, 1L, 3L)) AS ps,
+        |       size(graft_minhash_sig_md5(split('a b c d e', ' '), 3, 16)) AS km,
+        |       graft_simhash64_md5(split('a b c', ' ')) AS fpm,
+        |       graft_md5_mod('abc', 1000) AS mm,
+        |       size(graft_sorted_pairs_n(
+        |         array(named_struct('id', 1L, 'n', 4), named_struct('id', 2L, 'n', 9)),
+        |         0.5)) AS pn
         |""".stripMargin).head()
     assert(row.getDouble(1) === 11.0)
     assert(row.getInt(2) === 3)
@@ -23,6 +29,12 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(row.getInt(5) === 4)
     assert(row.getSeq[org.apache.spark.sql.Row](6).map(r =>
       (r.getLong(0), r.getLong(1))) === Seq((1L, 3L), (1L, 5L), (3L, 5L)))
+    assert(row.getInt(7) === 16)
+    assert(row.get(8).isInstanceOf[Long])
+    // pinned: md5_number_lower('abc') % 1000 (duckdb: ...838 % 1000)
+    assert(row.getLong(9) === 838L)
+    // min(4,9) < 0.5*9 -> the only pair is length-filtered out
+    assert(row.getInt(10) === 0)
   }
 
   test("GraftExtensions builders construct valid expressions for every name") {

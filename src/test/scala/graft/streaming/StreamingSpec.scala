@@ -129,6 +129,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedupByFingerprint agrees with batch Dedup.exact per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    // seeded corpus with planted duplicates across distinct doc_ids
+    val rnd = new scala.util.Random(13)
+    val words = Seq("spark", "scan", "join", "agg", "row", "batch", "hash")
+    val texts = (1 to 120).map { _ =>
+      (1 to 5).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val dir = tmpDir("dedup-consistency")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // batch: one group per distinct fingerprint
+    val batchFps = graft.ops.Dedup.exact(spark, dir)
+      .select("fp").as[String].collect().toSet
+
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.dedupByFingerprint(
+        in.toDF().toDF("ts", "text"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_xcheck")
+      .outputMode("append").start()
+    try {
+      in.addData(texts.zipWithIndex.map { case (t, i) => (ts(i % 4), t) }: _*)
+      q.processAllAvailable()
+      val streamedFps = spark.table("dedup_xcheck").select("fp").as[String].collect()
+      assert(streamedFps.length === streamedFps.toSet.size, "stream emitted a duplicate fp")
+      assert(streamedFps.toSet === batchFps,
+        s"batch-only: ${batchFps.diff(streamedFps.toSet).take(3)}; " +
+          s"stream-only: ${streamedFps.toSet.diff(batchFps).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint drops within-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
