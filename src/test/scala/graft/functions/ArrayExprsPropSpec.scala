@@ -77,4 +77,64 @@ class ArrayExprsPropSpec extends SparkTestBase {
       assert(a === b, s"toks=$toks")
     }
   }
+
+  test("mulmodP equals BigInt modular multiplication on the full range") {
+    val p = BigInt((1L << 61) - 1)
+    val gen = Gen.zip(Gen.chooseNum(0L, (1L << 61) - 2), Gen.chooseNum(0L, (1L << 61) - 2))
+    cases(gen, 500).foreach { case (a, b) =>
+      val expected = ((BigInt(a) * BigInt(b)) mod p).toLong
+      assert(ArrayExprs.mulmodP(a, b) === expected, s"a=$a b=$b")
+    }
+  }
+
+  test("minHashSigMd5 values are in [0, p); duplicate windows never change the sig") {
+    val p = (1L << 61) - 1
+    cases(tokenList.suchThat(_.size >= 3), 100).foreach { toks =>
+      val sig = ArrayExprs.MinHashSigMd5(strArrLit(toks), 3, 16).eval(null)
+        .asInstanceOf[ArrayData].toLongArray()
+      assert(sig.forall(v => v >= 0 && v < p))
+      // repeating the token list duplicates every window; min is unchanged
+      val doubled = ArrayExprs.MinHashSigMd5(strArrLit(toks ++ toks), 3, 16).eval(null)
+        .asInstanceOf[ArrayData].toLongArray()
+      // doubled also contains the 2 bridge windows across the seam, so
+      // its mins can only be <= the originals
+      sig.zip(doubled).foreach { case (orig, dbl) => assert(dbl <= orig) }
+    }
+  }
+
+  test("md5Mod is always in [0, m) and stable") {
+    val gen = Gen.zip(Gen.alphaNumStr, Gen.chooseNum(1L, 1000003L))
+    cases(gen, 300).foreach { case (s, m) =>
+      val v1 = ArrayExprs.Md5Mod(Literal(UTF8String.fromString(s), StringType), m).eval(null)
+        .asInstanceOf[Long]
+      val v2 = ArrayExprs.Md5Mod(Literal(UTF8String.fromString(s), StringType), m).eval(null)
+        .asInstanceOf[Long]
+      assert(v1 === v2)
+      assert(v1 >= 0 && v1 < m, s"s=$s m=$m v=$v1")
+    }
+  }
+
+  test("sortedPairsN: ordered ids, ns sums, and the length filter is exactly min>=tau*max") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val entry = Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(1, 40))
+    val gen = Gen.zip(Gen.listOfN(6, entry), Gen.oneOf(0.0, 0.3, 0.5, 0.8))
+    cases(gen, 200).foreach { case (es0, tau) =>
+      val es = es0.distinctBy(_._1)
+      val arr = new GenericArrayData(es.map { case (id, n) => InternalRow(id, n) }.toArray)
+      val lit = Literal(arr, ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("n", IntegerType)))))
+      val out = ArrayExprs.SortedPairsN(lit, tau).eval(null).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 3); (r.getLong(0), r.getLong(1), r.getInt(2))
+      }
+      val byId = es.toMap
+      val expected = for {
+        a <- es.map(_._1).sorted; b <- es.map(_._1).sorted if a < b
+        na = byId(a); nb = byId(b)
+        if math.min(na, nb) >= tau * math.max(na, nb)
+      } yield (a, b, na + nb)
+      assert(got.sorted === expected.sorted, s"es=$es tau=$tau")
+      got.foreach { case (a, b, _) => assert(a < b) }
+    }
+  }
 }
