@@ -136,6 +136,47 @@ class PushPipelineSpec extends SparkTestBase {
       .filter(get_json_object(col("record"), "$.Name").isNotNull).count() === 150)
   }
 
+  test("failed records are re-pushed on the next run; successes are not (ref accounts_load.sql:26-27)") {
+    // API rejects every record whose AccountID__c is even on the FIRST
+    // run (success:false recorded in the log), accepts everything after.
+    class PartialFailure extends MockSalesforceBulkApi {
+      @volatile var firstRun = true
+      override def loadBatch(jobId: String, recordJson: String, wait: Boolean): String = {
+        super.loadBatch(jobId, recordJson, wait)
+        val id = recordJson.replaceAll(""".*"AccountID__c":"(\d+)".*""", "$1").toLong
+        if (firstRun && id % 2 == 0)
+          """{"created":false,"errors":["DUPLICATE_VALUE"],"id":null,"success":false}"""
+        else """{"created":true,"errors":[],"id":"a001D000003ri4gQAA","success":true}"""
+      }
+    }
+    val api = new PartialFailure
+    val base = tmpDir("push")
+    val mat = new PushMaterializer(spark, base, api, new MockSfmcApi())
+    def model = PushModel("accounts_load",
+      SalesforceConfig("Account", "insert"),
+      s => {
+        val src = new graft.catalog.Catalog(s, sf).ref("customer")
+          .select(to_json(struct(col("c_name").as("Name"),
+            col("c_custkey").cast("string").as("AccountID__c"))).as("record"))
+        mat.unsyncedRecords(src, mat.sfdcLogs, "accounts_load")
+      })
+    val r1 = mat.run(model)
+    assert(r1.recordsPushed === 150)
+    val failures = mat.sfdcLogs.read()
+      .filter(get_json_object(col("result"), "$.success") === "false").count()
+    assert(failures === 75, "every even AccountID__c must log success:false")
+
+    api.firstRun = false
+    val r2 = mat.run(model)
+    assert(r2.recordsPushed === 75,
+      "second run must push exactly the previously failed records")
+    // log keeps full history: 150 first-run + 75 retry rows
+    assert(mat.sfdcLogs.read().count() === 225)
+    // third run: everything has a success row -> empty probe, no job
+    val r3 = mat.run(model)
+    assert(r3.skippedEmpty && r3.recordsPushed === 0)
+  }
+
   test("RetryingSalesforceApi absorbs transient connector failures per record") {
     // flaky delegate: every odd-numbered call throws
     class Flaky extends graft.connector.MockSalesforceBulkApi {
