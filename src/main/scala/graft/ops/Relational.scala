@@ -781,6 +781,61 @@ object Relational {
       |UNION ALL SELECT * FROM ins
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- M6: dbt snapshot (SCD type 2) --------------------------------------
+  /** Runs the real SnapshotTable materialization (tracking.SnapshotTable,
+    * dbt's `check` strategy) over two deterministic customer batches in a
+    * throwaway dir, then returns the resulting validity intervals. Batch
+    * 2 moves every custkey%10 segment, drops custkey%97 rows (which must
+    * stay open — snapshots never delete), and lands custkey%50 arrivals
+    * under shifted keys. The oracle derives the identical interval set
+    * relationally, so this hash-checks the SCD2 engine itself, not just
+    * a query shape. Open intervals surface as 9999-12-31 (the driver's
+    * pandas compare can't equate NaT cells).
+    */
+  def m6Scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tracking.SnapshotTable
+    val c = Catalog(spark, dir)
+    val base = c.ref("customer").select(col("c_custkey"), col("c_mktsegment"))
+    val tmp = java.nio.file.Files.createTempDirectory("scd2").toString
+    val snap = new SnapshotTable(spark, tmp, "c_custkey", Seq("c_mktsegment"))
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    snap.snapshot(base, t1)
+    val batch2 = base.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 10 === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
+      .unionByName(base.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment")))
+    snap.snapshot(batch2, t2)
+    snap.read()
+      .withColumn("valid_to",
+        coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp")))
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  val m6Scd2SnapshotSql: String =
+    """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+      |t AS (SELECT TIMESTAMP '2026-01-01 00:00:00' AS t1,
+      |             TIMESTAMP '2026-02-01 00:00:00' AS t2,
+      |             TIMESTAMP '9999-12-31 00:00:00' AS top),
+      |orig AS (
+      |  SELECT c_custkey, c_mktsegment, t.t1 AS valid_from,
+      |         CASE WHEN c_custkey % 10 = 0 AND c_custkey % 97 <> 0
+      |              THEN t.t2 ELSE t.top END AS valid_to
+      |  FROM c, t),
+      |moved AS (
+      |  SELECT c_custkey, 'MOVED' AS c_mktsegment, t.t2 AS valid_from, t.top AS valid_to
+      |  FROM c, t WHERE c_custkey % 10 = 0 AND c_custkey % 97 <> 0),
+      |arrivals AS (
+      |  SELECT c_custkey + 1000000 AS c_custkey, 'NEWSEG' AS c_mktsegment,
+      |         t.t2 AS valid_from, t.top AS valid_to
+      |  FROM c, t WHERE c_custkey % 50 = 0)
+      |SELECT * FROM orig
+      |UNION ALL SELECT * FROM moved
+      |UNION ALL SELECT * FROM arrivals
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -829,6 +884,7 @@ object Relational {
     "f_scalars" -> (fScalars _),
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
+    "m6_scd2_snapshot" -> (m6Scd2Snapshot _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
 
@@ -862,6 +918,7 @@ object Relational {
     "f_scalars" -> fScalarsSql,
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,
+    "m6_scd2_snapshot" -> m6Scd2SnapshotSql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)
 }

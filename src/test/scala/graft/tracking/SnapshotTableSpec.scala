@@ -1,0 +1,72 @@
+package graft.tracking
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SnapshotTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t1 = Timestamp.valueOf("2026-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2026-02-01 00:00:00")
+  private val t3 = Timestamp.valueOf("2026-03-01 00:00:00")
+
+  private def snap() =
+    new SnapshotTable(spark, tmpDir("snap"), "id", Seq("seg", "score"))
+
+  test("first snapshot opens one interval per row") {
+    val s = snap()
+    s.snapshot(Seq((1L, "A", 10), (2L, "B", 20)).toDF("id", "seg", "score"), t1)
+    val rows = s.read().orderBy("id").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getTimestamp(3) === t1)
+      assert(r.isNullAt(4), "first intervals must be open")
+    }
+  }
+
+  test("changed rows close and reopen; unchanged and absent rows stay open") {
+    val s = snap()
+    s.snapshot(Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30)).toDF("id", "seg", "score"), t1)
+    // 1 changes, 2 unchanged, 3 absent, 4 arrives
+    s.snapshot(Seq((1L, "A2", 10), (2L, "B", 20), (4L, "D", 40)).toDF("id", "seg", "score"), t2)
+    val rows = s.read().orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(3),
+        Option(r.getTimestamp(4))))
+    assert(rows === Array(
+      (1L, "A", t1, Some(t2)), (1L, "A2", t2, None),
+      (2L, "B", t1, None),
+      (3L, "C", t1, None),
+      (4L, "D", t2, None)))
+  }
+
+  test("re-running the identical batch is a no-op (idempotent snapshots)") {
+    val s = snap()
+    val batch = Seq((1L, "A", 10), (2L, "B", 20)).toDF("id", "seg", "score")
+    s.snapshot(batch, t1)
+    s.snapshot(batch, t2)
+    s.snapshot(batch, t3)
+    assert(s.read().count() === 2)
+    assert(s.read().filter(col("valid_to").isNotNull).count() === 0)
+  }
+
+  test("null-safe change detection: NULL -> value and value -> NULL both close") {
+    val s = new SnapshotTable(spark, tmpDir("snap"), "id", Seq("seg"))
+    s.snapshot(Seq((1L, Option.empty[String]), (2L, Some("B"))).toDF("id", "seg"), t1)
+    s.snapshot(Seq((1L, Some("X")), (2L, Option.empty[String])).toDF("id", "seg"), t2)
+    val closed = s.read().filter(col("valid_to").isNotNull).count()
+    assert(closed === 2)
+    val open = s.read().filter(col("valid_to").isNull).orderBy("id").collect()
+    assert(open.map(r => Option(r.getString(1))).toSeq === Seq(Some("X"), None))
+  }
+
+  test("three generations stack into a contiguous interval chain") {
+    val s = new SnapshotTable(spark, tmpDir("snap"), "id", Seq("seg"))
+    s.snapshot(Seq((1L, "A")).toDF("id", "seg"), t1)
+    s.snapshot(Seq((1L, "B")).toDF("id", "seg"), t2)
+    s.snapshot(Seq((1L, "C")).toDF("id", "seg"), t3)
+    val rows = s.read().orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(rows === Array(("A", t1, Some(t2)), ("B", t2, Some(t3)), ("C", t3, None)))
+  }
+}
