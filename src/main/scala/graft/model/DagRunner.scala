@@ -79,4 +79,63 @@ object DagRunner {
     ordered.foreach(_.run(spark))
     ordered.map(_.name)
   }
+
+  /** dbt's `--threads`: run independent subtrees concurrently, bounded
+    * by `threads` workers. Spark's driver accepts concurrent job
+    * submissions (each worker's actions schedule independently), which
+    * is exactly how dbt overlaps model builds on a warehouse.
+    *
+    * Guarantees: a node starts only after ALL its dependencies finished;
+    * the first failure stops new launches and rethrows after in-flight
+    * nodes drain. The completion order is timing-dependent (as with
+    * dbt), so this returns the set-equal executed names in completion
+    * order; use `run` when side-effect ordering must be canonical.
+    */
+  def runParallel(spark: SparkSession, nodes: Seq[DagNode], threads: Int = 4): Seq[String] = {
+    order(nodes) // validate names/cycles up front with the same errors
+    val byName = nodes.map(n => n.name -> n).toMap
+    val pending = scala.collection.mutable.Map(nodes.map(n => n.name -> n.deps.size): _*)
+    val dependents = nodes.flatMap(n => n.deps.map(_ -> n.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val lock = new Object
+    val completed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failure: Option[Throwable] = None
+    var inFlight = 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, threads))
+
+    def launchReady(): Unit = lock.synchronized {
+      if (failure.isEmpty) {
+        val ready = pending.collect { case (n, 0) => n }.toSeq.sorted
+        ready.foreach { name =>
+          pending.remove(name)
+          inFlight += 1
+          pool.execute { () =>
+            val res = scala.util.Try(byName(name).run(spark))
+            lock.synchronized {
+              inFlight -= 1
+              res match {
+                case scala.util.Success(_) =>
+                  completed += name
+                  dependents.getOrElse(name, Nil).foreach { d =>
+                    if (pending.contains(d)) pending(d) -= 1
+                  }
+                case scala.util.Failure(e) =>
+                  if (failure.isEmpty) failure = Some(e)
+              }
+              lock.notifyAll()
+            }
+            launchReady()
+          }
+        }
+      }
+    }
+
+    launchReady()
+    lock.synchronized {
+      while (inFlight > 0 || (failure.isEmpty && pending.nonEmpty)) lock.wait()
+    }
+    pool.shutdown()
+    failure.foreach(throw _)
+    completed.toSeq
+  }
 }

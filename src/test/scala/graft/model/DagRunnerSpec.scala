@@ -41,6 +41,41 @@ class DagRunnerSpec extends SparkTestBase {
     assert(dup.getMessage.contains("duplicate"))
   }
 
+  test("runParallel: dependencies always finish before dependents start; all nodes run") {
+    val log = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def timed(name: String, deps: String*) = DagNode(name, deps.toSet, _ => {
+      val s = System.nanoTime()
+      Thread.sleep(20 + scala.util.Random.nextInt(30))
+      log.synchronized { log(name) = (s, System.nanoTime()) }
+    })
+    val nodes = Seq(
+      timed("a"), timed("b"), timed("c"),
+      timed("d", "a", "b"), timed("e", "b", "c"), timed("f", "d", "e"))
+    val done = DagRunner.runParallel(spark, nodes, threads = 3)
+    assert(done.toSet === nodes.map(_.name).toSet)
+    nodes.foreach { n =>
+      n.deps.foreach { dep =>
+        assert(log(dep)._2 <= log(n.name)._1,
+          s"'$dep' must finish before '${n.name}' starts")
+      }
+    }
+  }
+
+  test("runParallel: a failing node rethrows and blocks its dependents") {
+    val ran = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def ok(name: String, deps: String*) =
+      DagNode(name, deps.toSet, _ => { ran.add(name); () })
+    val nodes = Seq(
+      ok("seed"),
+      DagNode("boom", Set("seed"), _ => throw new RuntimeException("model failed")),
+      ok("downstream", "boom"))
+    val e = intercept[RuntimeException] {
+      DagRunner.runParallel(spark, nodes, threads = 2)
+    }
+    assert(e.getMessage === "model failed")
+    assert(ran.contains("seed") && !ran.contains("downstream"))
+  }
+
   test("a dbt-style project runs end-to-end in dependency order and stays idempotent") {
     val base = tmpDir("dag")
     val mat = new PushMaterializer(spark, base,
