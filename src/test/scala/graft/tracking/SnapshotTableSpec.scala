@@ -60,6 +60,37 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(open.map(r => Option(r.getString(1))).toSeq === Seq(Some("X"), None))
   }
 
+  test("random batch sequences match a driver-side SCD2 reference") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val s = new SnapshotTable(spark, tmpDir(s"snap$trial"), "id", Seq("seg"))
+      // independent reference: map id -> list of (seg, from, to)
+      val ref = scala.collection.mutable.Map.empty[Long, List[(Option[String], Timestamp, Option[Timestamp])]]
+      (1 to 4).foreach { gen =>
+        val asOf = Timestamp.valueOf(f"2026-0$gen%d-01 00:00:00")
+        val ids = (1L to 8L).filter(_ => rnd.nextBoolean())
+        val batch = ids.map(id => (id, if (rnd.nextBoolean()) Some(s"s${rnd.nextInt(3)}") else None))
+        s.snapshot(batch.toDF("id", "seg"), asOf)
+        batch.foreach { case (id, seg) =>
+          ref.get(id) match {
+            case None => ref(id) = List((seg, asOf, None))
+            case Some(hist) =>
+              val (curSeg, curFrom, _) = hist.head
+              if (curSeg != seg)
+                ref(id) = (seg, asOf, None) :: (curSeg, curFrom, Some(asOf)) :: hist.tail
+          }
+        }
+      }
+      val got = s.read().collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getTimestamp(2),
+          Option(r.getTimestamp(3)))).toSet
+      val expected = ref.flatMap { case (id, hist) =>
+        hist.map { case (seg, from, to) => (id, seg, from, to) }
+      }.toSet
+      assert(got === expected, s"trial $trial: ${got.diff(expected)} vs ${expected.diff(got)}")
+    }
+  }
+
   test("three generations stack into a contiguous interval chain") {
     val s = new SnapshotTable(spark, tmpDir("snap"), "id", Seq("seg"))
     s.snapshot(Seq((1L, "A")).toDF("id", "seg"), t1)
