@@ -92,7 +92,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardAt(spark, dir, 0.5)
 
-  def ngramJaccardAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+  def ngramJaccardAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
+    ngramPairsAt(spark, dir, tau).orderBy("id1", "id2")
+
+  /** The pair plan without the presentation sort — consumers that only
+    * need the edge set (duplicateClustersAt) skip that extra range
+    * shuffle + sort stage.
+    */
+  private def ngramPairsAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
     docShingleHashes(c)
       // explode_outer, NOT explode: for a plain explode over an aliased
@@ -112,7 +119,6 @@ object Dedup {
         col("n_inter").cast("double") / (col("ns") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
-      .orderBy("id1", "id2")
   }
 
   val ngramJaccardSql: String =
@@ -364,10 +370,15 @@ object Dedup {
     */
   def duplicateClustersAt(spark: SparkSession, dir: String, tau: Double,
       driverThreshold: Long = 1L << 22): DataFrame = {
-    val edges = ngramJaccardAt(spark, dir, tau)
+    // ngramPairsAt, not ngramJaccardAt: the edge set needs no
+    // presentation sort. The checkpoint materializes the pair plan once;
+    // the size probe collects AT MOST threshold+1 rows (CollectLimit —
+    // one bounded job instead of a count job followed by a collect).
+    val edges = ngramPairsAt(spark, dir, tau)
       .select(col("id1"), col("id2")).localCheckpoint()
+    val probe = edges.limit(driverThreshold.toInt + 1).collect()
     val result =
-      if (edges.count() <= driverThreshold) clustersDriver(spark, edges)
+      if (probe.length <= driverThreshold) clustersDriver(spark, probe)
       else clustersDistributed(edges)
     result
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
@@ -376,8 +387,8 @@ object Dedup {
 
   /** Driver-side union-find over a collected edge list. */
   private def clustersDriver(spark: SparkSession,
-      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      rows: Array[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -392,7 +403,12 @@ object Dedup {
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
     import spark.implicits._
-    parent.keys.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster_rep")
+    // one slice: the cluster map is driver-sized; 32 near-empty tasks
+    // would just add scheduling overhead to the output stage
+    spark.createDataset(
+      spark.sparkContext.parallelize(
+        parent.keys.toSeq.map(id => (id, find(id))), numSlices = 1))
+      .toDF("doc_id", "cluster_rep")
   }
 
   /** Distributed min-label propagation (the 100 TB path). Labels only
