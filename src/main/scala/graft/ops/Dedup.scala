@@ -160,6 +160,19 @@ object Dedup {
     * every df past it (measured: 8× replicated corpus × cap 64 → 0
     * pairs, graft.ScaleProbe).
     */
+  /** The cap sized RELATIVE to the corpus, as the scaladoc above
+    * mandates: maxDf = max(64, N/100), i.e. the cap grows linearly with
+    * the corpus so duplication-driven df inflation cannot silently empty
+    * the result the way a fixed cap does (graft.ScaleProbe: at 8× the
+    * fixed-64 cap returns 0 pairs because every near-dup family's
+    * shingles exceed it; the relative cap keeps them). One
+    * metadata-cheap count() buys the bound.
+    */
+  def ngramJaccardAutoCapped(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val n = Catalog(spark, dir).ref("documents").count()
+    ngramJaccardCappedAt(spark, dir, tau, math.max(64L, n / 100L).toInt)
+  }
+
   def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
       maxDf: Int): DataFrame = {
     val c = Catalog(spark, dir)

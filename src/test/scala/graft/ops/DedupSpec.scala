@@ -51,6 +51,14 @@ class DedupSpec extends SparkTestBase {
     assert(keepers.toSet === clusters.values.toSet)
   }
 
+  test("auto-capped shingle join reproduces the exact result at test scale") {
+    val exact = Dedup.ngramJaccardAt(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.ngramJaccardAutoCapped(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === exact)
+  }
+
   test("df-capped shingle join reproduces the exact result at a sane cap") {
     val exact = Dedup.ngramJaccardAt(spark, sf, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

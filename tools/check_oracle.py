@@ -48,6 +48,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {s_cols} != {d_cols}")
             n_fail += 1
             continue
+        # The driver's hash is dtype-sensitive (float64 vs int64 fails it
+        # even when Python == passes), so enforce dtype equality here too.
+        # int32 vs int64 is the one tolerated divergence (Spark row_number
+        # is int32, DuckDB's is int64; the driver accepts it).
+        INT = {"int32", "int64"}
+        dtype_bad = [
+            (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+            for c in s_cols
+            if str(spark_df[c].dtype) != str(duck_df[c].dtype)
+            and not (str(spark_df[c].dtype) in INT and str(duck_df[c].dtype) in INT)]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {dtype_bad}")
+            n_fail += 1
+            continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} != {len(duck_df)}")
             n_fail += 1
