@@ -191,3 +191,47 @@ final class StreamingPush(
       .start()
   }
 }
+
+/** CDC stream → SCD2 history: every micro-batch snapshots into a
+  * `tracking.SnapshotTable`, so a change-event stream materializes the
+  * same validity-interval table a sequence of `dbt snapshot` runs would
+  * build. `asOf` per batch = the batch's max event time (falling back to
+  * the previous watermark + 1ms for keep-alive empties), which makes the
+  * interval boundaries data-determined and replay-stable rather than
+  * wall-clock-dependent.
+  *
+  * Replay note: SnapshotTable.snapshot is idempotent for an identical
+  * batch (unchanged rows never reopen), so foreachBatch's at-least-once
+  * delivery cannot duplicate intervals — a replayed batch either
+  * re-closes rows it already closed at the SAME asOf (no-op) or changes
+  * nothing.
+  */
+final class StreamingSnapshot(
+    snap: graft.tracking.SnapshotTable,
+    tsCol: String) {
+
+  def snapshotBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val asOf = batch.agg(org.apache.spark.sql.functions.max(tsCol))
+      .head().getTimestamp(0)
+    // latest change per key wins within the batch (CDC upsert semantics)
+    val keyed = batch.withColumn("__rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(snap.keyCol)
+          .orderBy(org.apache.spark.sql.functions.col(tsCol).desc)))
+      .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+      .drop("__rn", tsCol)
+    snap.snapshot(keyed, asOf)
+  }
+
+  def start(changes: DataFrame, checkpoint: String): StreamingQuery = {
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        snapshotBatch(batch, batchId)
+      }
+      .start()
+  }
+}

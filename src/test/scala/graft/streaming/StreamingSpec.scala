@@ -162,6 +162,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamingSnapshot: CDC micro-batches build the SCD2 interval history") {
+    implicit val sqlCtx = spark.sqlContext
+    val snap = new graft.tracking.SnapshotTable(spark, tmpDir("ssnap"), "id", Seq("seg"))
+    val ss = new graft.streaming.StreamingSnapshot(snap, "ts")
+    val t1 = ts(1); val t2 = ts(2); val t3 = ts(3)
+    // batch 1: two keys; key 2 has an in-batch correction (later ts wins)
+    ss.snapshotBatch(Seq(
+      (t1, 1L, "A"), (t1, 2L, "B0"), (ts(1), 2L, "B0"),
+      (t2, 2L, "B")).toDF("ts", "id", "seg"), 0L)
+    // batch 2: key 1 changes, key 2 unchanged, key 3 arrives
+    ss.snapshotBatch(Seq(
+      (t3, 1L, "A2"), (t3, 2L, "B"), (t3, 3L, "C")).toDF("ts", "id", "seg"), 1L)
+    val rows = snap.read().orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(rows === Array(
+      (1L, "A", t2, Some(t3)), (1L, "A2", t3, None),
+      (2L, "B", t2, None),
+      (3L, "C", t3, None)))
+    // foreachBatch replay of batch 2 must not duplicate or reopen anything
+    ss.snapshotBatch(Seq(
+      (t3, 1L, "A2"), (t3, 2L, "B"), (t3, 3L, "C")).toDF("ts", "id", "seg"), 1L)
+    assert(snap.read().count() === 4)
+
+    // end-to-end through a real streaming query (AvailableNow)
+    val snap2 = new graft.tracking.SnapshotTable(spark, tmpDir("ssnap2"), "id", Seq("seg"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    in.addData((t1, 10L, "X"), (t2, 10L, "Y"), (t1, 11L, "Z"))
+    val q = new graft.streaming.StreamingSnapshot(snap2, "ts")
+      .start(in.toDF().toDF("ts", "id", "seg"), tmpDir("ssnap-ckpt"))
+    q.awaitTermination(30000)
+    val got = snap2.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getTimestamp(3))))
+    assert(got === Array((10L, "Y", None), (11L, "Z", None)),
+      "latest change per key wins; all intervals open after one batch")
+  }
+
   test("dedupByFingerprint drops within-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
