@@ -231,11 +231,17 @@ object Dedup {
     // pass over the corpus, zero shuffle. At 100 TB a production
     // pipeline would persist this table (N × ~520 B) — localCheckpoint
     // stands in for that materialization here.
+    // The shingle-less guard filters on size(toks) BEFORE the signature
+    // projection: filtering on sig.isNotNull afterwards gets pushed
+    // through the projection and re-evaluates the whole md5+permutation
+    // pass per row (observed in the executed plan). sig is null exactly
+    // when the doc has fewer than 3 tokens, so the cheap predicate is
+    // equivalent.
     val sig = c.ref("documents")
       .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         ArrayExprs.minHashSigMd5(col("toks"), 3, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
       .localCheckpoint()
     // Band rows: each contiguous signature slice → (doc_id, band, slice)
     // relation for the collision join (exact slice equality).
@@ -494,11 +500,14 @@ object Dedup {
 
   def sourceSimilarityAt(spark: SparkSession, dir: String, numHashes: Int): DataFrame = {
     val c = Catalog(spark, dir)
+    // size(toks) >= 3 before the projection, NOT sig.isNotNull after it:
+    // the latter is pushed through the projection and doubles the
+    // signature computation (see minhashLshAt).
     val sketches = c.ref("documents")
       .select(col("source"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("source"),
         ArrayExprs.minHashSigMd5(col("toks"), 3, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
       .groupBy(col("source"))
       .agg(graft.functions.MinHashMerge.minHashMerge(col("sig"), numHashes).as("sketch"))
     val a = sketches.as("a")

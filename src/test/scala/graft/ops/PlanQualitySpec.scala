@@ -94,6 +94,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(hashCalls == 1, s"shingle hashing evaluated $hashCalls times in the plan:\n$plan")
   }
 
+  test("source similarity: the signature expression is evaluated once per row") {
+    // a sig.isNotNull filter AFTER the projection gets pushed through it
+    // and doubles the md5+permutation pass; the plan must carry exactly
+    // one minhashsigmd5 call (the guard is size(toks) >= 3 pre-projection)
+    val plan = executed(Dedup.sourceSimilarity(spark, sf)).split("== Initial Plan ==")(0)
+    val calls = "minhashsigmd5".r.findAllIn(plan.toLowerCase).size
+    assert(calls == 1, s"signature evaluated $calls times in the plan:\n$plan")
+  }
+
   test("minhash lsh: signature scan shuffles narrow band rows, never re-shingles") {
     val plan = executed(Dedup.minhashLsh(spark, sf))
     // The 512-byte signatures come from the checkpointed scan; the
