@@ -90,6 +90,13 @@ object DagRunner {
     * nodes drain. The completion order is timing-dependent (as with
     * dbt), so this returns the set-equal executed names in completion
     * order; use `run` when side-effect ordering must be canonical.
+    *
+    * Caveat (same as dbt without warehouse transactions): two CONCURRENT
+    * nodes must not rewrite the same tracking table — the parquet
+    * tmp-dir/rename swap is atomic per writer, not serialized across
+    * writers. Models sharing a log table already depend on it in the
+    * reference (`-- depends_on`), which orders them here too; declare
+    * that edge for any custom nodes sharing mutable state.
     */
   def runParallel(spark: SparkSession, nodes: Seq[DagNode], threads: Int = 4): Seq[String] = {
     order(nodes) // validate names/cycles up front with the same errors

@@ -43,6 +43,28 @@ final class SnapshotTable(
 
   def read(): DataFrame = spark.read.parquet(dataPath.toString)
 
+  /** Time travel — the point of keeping SCD2 history: the table exactly
+    * as it stood at `ts` (rows whose interval covers it). A pure filter,
+    * so at scale it rides the parquet scan; with the table partitioned
+    * by valid_from ranges it becomes partition pruning.
+    */
+  def asOf(ts: Timestamp): DataFrame =
+    read().filter(col("valid_from") <= lit(ts) &&
+        (col("valid_to").isNull || col("valid_to") > lit(ts)))
+      .drop("valid_from", "valid_to")
+
+  /** Retention: drop CLOSED intervals that ended before `horizon`. Open
+    * rows are never touched, so the current state is always intact —
+    * only the depth of recoverable history shrinks (the SCD2 analogue
+    * of VACUUM retention).
+    */
+  def pruneHistory(horizon: Timestamp): Unit = {
+    if (!exists) return
+    val kept = read().localCheckpoint()
+      .filter(col("valid_to").isNull || col("valid_to") >= lit(horizon))
+    atomicWrite(kept)
+  }
+
   private def withValidity(df: DataFrame, from: Timestamp): DataFrame =
     df.withColumn("valid_from", lit(from).cast(TimestampType))
       .withColumn("valid_to", lit(null).cast(TimestampType))

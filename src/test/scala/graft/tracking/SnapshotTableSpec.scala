@@ -91,6 +91,28 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("asOf time travel reproduces each generation; pruneHistory keeps current state") {
+    val s = new SnapshotTable(spark, tmpDir("snap"), "id", Seq("seg"))
+    s.snapshot(Seq((1L, "A"), (2L, "B")).toDF("id", "seg"), t1)
+    s.snapshot(Seq((1L, "A2"), (2L, "B")).toDF("id", "seg"), t2)
+    s.snapshot(Seq((1L, "A3"), (2L, "B2")).toDF("id", "seg"), t3)
+    def state(ts: Timestamp) = s.asOf(ts).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(t1) === Set((1L, "A"), (2L, "B")))
+    assert(state(t2) === Set((1L, "A2"), (2L, "B")))
+    assert(state(t3) === Set((1L, "A3"), (2L, "B2")))
+    // between t1 and t2 the t1 state still holds
+    assert(state(Timestamp.valueOf("2026-01-15 00:00:00")) === state(t1))
+
+    s.pruneHistory(t3)
+    // current state intact; only intervals that ENDED before t3 are gone
+    assert(state(t3) === Set((1L, "A3"), (2L, "B2")))
+    // survivors: A2 [t2,t3) and B [t1,t3) close exactly at the horizon
+    assert(s.read().filter(col("valid_to").isNotNull).count() === 2)
+    // pre-horizon reads see only what the retained intervals still cover
+    assert(state(t1) === Set((2L, "B")), "A's pre-horizon interval is pruned")
+  }
+
   test("three generations stack into a contiguous interval chain") {
     val s = new SnapshotTable(spark, tmpDir("snap"), "id", Seq("seg"))
     s.snapshot(Seq((1L, "A")).toDF("id", "seg"), t1)
