@@ -429,7 +429,74 @@ object TextAnalysis {
       |SELECT source, rank, bigram, n FROM ranked WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  // ---- deterministic train/val/test split ---------------------------------
+  /** Split assignment for training corpora: every document lands in
+    * train/val/test by the portable hash draw (98/1/1 permille bands),
+    * so the split is a pure scan-side expression — stable across runs,
+    * engines and repartitioning, and leak-free by construction (a doc's
+    * split is a function of its identity, never of file order or
+    * sampling state). At 100 TB this predicate costs nothing: it rides
+    * the parquet scan, and writing `partitionBy("split")` turns the
+    * three sets into prunable directories.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val h = graft.functions.ArrayExprs.md5Mod(
+      concat_ws(":", lit("split"), col("doc_id").cast("string")), 1000L)
+    c.ref("documents")
+      .select(col("doc_id"), col("source"),
+        when(h < 980, "train").when(h < 990, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitAssignSql: String =
+    """SELECT doc_id, source,
+      |       CASE WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 1000 < 980 THEN 'train'
+      |            WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 1000 < 990 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- per-source quota (data-mixture control) ----------------------------
+  /** Cap each source's contribution at `quota` documents, chosen by the
+    * deterministic hash order (NOT file order — reproducible across
+    * partitionings). The standard mixture-weighting primitive: the
+    * shuffle is one window keyed by source over (hash, doc_id) pairs —
+    * 24 bytes/row regardless of document size; text never moves until
+    * the final semi-join-shaped filter.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    sourceQuotaAt(spark, dir, quota = 50)
+
+  def sourceQuotaAt(spark: SparkSession, dir: String, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val h = graft.functions.ArrayExprs.md5Mod(
+      concat_ws(":", lit("quota"), col("doc_id").cast("string")), 1000003L)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    c.ref("documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= quota)
+      .select(col("doc_id"), col("source"), col("pick"))
+      .orderBy("doc_id")
+  }
+
+  val sourceQuotaSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         md5_number_lower('quota:' || CAST(doc_id AS VARCHAR)) % 1000003 AS h
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pick
+      |  FROM h)
+      |SELECT doc_id, source, pick FROM ranked WHERE pick <= 50
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_assign" -> (splitAssign _),
+    "text_source_quota" -> (sourceQuota _),
     "text_sample_stratified" -> (stratifiedSample _),
     "text_vocab_topk" -> (vocabTopK _),
     "text_prep_pipeline" -> (prepPipeline _),
@@ -443,6 +510,8 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_split_assign" -> splitAssignSql,
+    "text_source_quota" -> sourceQuotaSql,
     "text_sample_stratified" -> stratifiedSampleSql,
     "text_vocab_topk" -> vocabTopKSql,
     "text_prep_pipeline" -> prepPipelineSql,

@@ -24,6 +24,32 @@ class TextAnalysisSpec extends SparkTestBase {
       "a larger rate must keep every previously sampled doc")
   }
 
+  test("splitAssign: total partition, ~98/1/1, stable, independent of row order") {
+    val rows = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val c = graft.catalog.Catalog(spark, sf)
+    assert(rows.length === c.ref("documents").count())
+    val frac = rows.count(_._2 == "train").toDouble / rows.length
+    assert(frac > 0.90 && frac <= 1.0, s"train fraction $frac")
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    val again = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("sourceQuota: at most quota docs per source, hash-deterministic picks") {
+    val rows = TextAnalysis.sourceQuotaAt(spark, sf, quota = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      assert(grp.length <= 5)
+      assert(grp.map(_._3).sorted.toSeq === (1 to grp.length))
+    }
+    // growing the quota keeps every previously picked doc (prefix property)
+    val bigger = TextAnalysis.sourceQuotaAt(spark, sf, quota = 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(bigger))
+  }
+
   test("vocabTopK: per-source ranks contiguous, counts non-increasing, ties lexical") {
     val rows = TextAnalysis.vocabTopK(spark, sf).collect()
     assert(rows.nonEmpty)
