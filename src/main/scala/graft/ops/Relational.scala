@@ -836,6 +836,56 @@ object Relational {
       |UNION ALL SELECT * FROM arrivals
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  // ---- E1: funnel analysis (sequential event-pattern matching) ------------
+  /** Per-user conversion funnel view → click → signup: the earliest view,
+    * the earliest click strictly after it, the earliest signup strictly
+    * after that, plus the reached stage. Sequential pattern matching
+    * expressed as three key-partitioned min-aggregates chained by
+    * time-bound joins — every shuffle is on user_id, no window over the
+    * whole event stream, no per-user sorting: at 100 TB each stage is a
+    * partial+final min-agg over an equi-join, all broadcast-free and
+    * skew-tolerant (users are high-cardinality).
+    */
+  def e1Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.ref("events").select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(signups, Seq("user_id"), "left")
+      .withColumn("stage",
+        lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_signup").isNotNull, 1).otherwise(0))
+      .orderBy("user_id")
+  }
+
+  val e1FunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |s AS (
+      |  SELECT e.user_id, min(e.ts) AS t_signup
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'signup' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT v.user_id, v.t_view, c.t_click, s.t_signup,
+      |       1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN s.t_signup IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN s ON s.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -885,6 +935,7 @@ object Relational {
     "f_variant_path" -> (fVariantPath _),
     "m2_upsert" -> (m2Upsert _),
     "m6_scd2_snapshot" -> (m6Scd2Snapshot _),
+    "e1_funnel" -> (e1Funnel _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
 
@@ -919,6 +970,7 @@ object Relational {
     "f_variant_path" -> fVariantPathSql,
     "m2_upsert" -> m2UpsertSql,
     "m6_scd2_snapshot" -> m6Scd2SnapshotSql,
+    "e1_funnel" -> e1FunnelSql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)
 }
