@@ -886,6 +886,42 @@ object Relational {
       |LEFT JOIN s ON s.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  // ---- E2: cohort retention ------------------------------------------------
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each (cohort, week-offset) cell, how many of them were
+    * active. Two key-partitioned aggregates (first-event per user,
+    * distinct user-weeks) joined on user_id, then a count-distinct over
+    * the cohort matrix — the standard retention shape with no windows
+    * and no event-order dependence. Week diffs are computed as
+    * day-diffs div 7 over week-truncated dates, which both engines
+    * evaluate identically (calendar-week diff semantics differ).
+    */
+  def e2Retention(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ev = c.ref("events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val activity = ev.distinct()
+    activity.join(cohorts, "user_id")
+      .withColumn("week_offset", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val e2RetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+      |activity AS (SELECT DISTINCT user_id, week FROM e)
+      |SELECT c.cohort_week,
+      |       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -936,6 +972,7 @@ object Relational {
     "m2_upsert" -> (m2Upsert _),
     "m6_scd2_snapshot" -> (m6Scd2Snapshot _),
     "e1_funnel" -> (e1Funnel _),
+    "e2_retention" -> (e2Retention _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
 
@@ -971,6 +1008,7 @@ object Relational {
     "m2_upsert" -> m2UpsertSql,
     "m6_scd2_snapshot" -> m6Scd2SnapshotSql,
     "e1_funnel" -> e1FunnelSql,
+    "e2_retention" -> e2RetentionSql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)
 }
