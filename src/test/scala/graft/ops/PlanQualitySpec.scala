@@ -103,6 +103,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(calls == 1, s"signature evaluated $calls times in the plan:\n$plan")
   }
 
+  test("e1 funnel: chained min-aggs stay key-partitioned, no quadratic join") {
+    val plan = executed(Relational.queries("e1_funnel")(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel stages must be equi-joins:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"funnel must stay distributed:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"each funnel stage should aggregate partial+final:\n$plan")
+  }
+
   test("minhash lsh: signature scan shuffles narrow band rows, never re-shingles") {
     val plan = executed(Dedup.minhashLsh(spark, sf))
     // The 512-byte signatures come from the checkpointed scan; the
