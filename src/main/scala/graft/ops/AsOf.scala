@@ -75,9 +75,63 @@ object AsOf {
       |  ON e.user_id = s.user_id AND e.ts >= s.signup_ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Forward as-of join: for every left row, the single right row with
+    * the SMALLEST right-time ≥ left-time within the key — the "next
+    * event after" lookup (e.g. time-to-conversion). Same single-shuffle
+    * window shape as asofJoin, mirrored: `first(struct, ignoreNulls)`
+    * over rows-unbounded-FOLLOWING, with right rows sorting after left
+    * rows at equal times so "≥" matches.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+    val r = right.select((key +: time +: rightCols).map(col): _*)
+      .select(col(key), col(time), struct(rightCols.map(col): _*).as("__r"))
+      .withColumn("__side", lit(1))
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    // left rows (side 0) sort before right rows at equal times → "≥"
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = combined.withColumn("__r", first(col("__r"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 0)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__r").getField(c).as(c)): _*)
+  }
+
+  /** Oracle-checked forward query: every view event joined to the
+    * user's NEXT purchase at-or-after it (DuckDB twin: native ASOF with
+    * `<=`).
+    */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val e = c.ref("events")
+    val left = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"))
+    asofJoinForward(left, right, "user_id", "ts",
+        Seq("purchase_event_id", "purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  val asofNextPurchaseSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_event_id
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT v.event_id, v.user_id, v.ts,
+      |       p.purchase_event_id, p.purchase_ts
+      |FROM v ASOF LEFT JOIN p
+      |  ON v.user_id = p.user_id AND v.ts <= p.purchase_ts
+      |ORDER BY v.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j4_asof" -> (asofLastSignup _))
+    "j4_asof" -> (asofLastSignup _),
+    "j5_asof_forward" -> (asofNextPurchase _))
 
   val oracles: Map[String, String] = Map(
-    "j4_asof" -> asofLastSignupSql)
+    "j4_asof" -> asofLastSignupSql,
+    "j5_asof_forward" -> asofNextPurchaseSql)
 }

@@ -886,6 +886,30 @@ object Relational {
       |LEFT JOIN s ON s.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  // ---- G12: per-group exact quantiles --------------------------------------
+  /** Exact p50/p95 of `value` per event type — the per-group form of
+    * g9's median. Both engines define the continuous quantile as linear
+    * interpolation at p·(n−1) over the sorted values, so doubles match
+    * bit-for-bit. Exact percentile sorts within each group's aggregate
+    * buffer — at 100 TB switch to approx_percentile (t-digest) when the
+    * group cardinality is unbounded; here groups are the 5 event types.
+    */
+  def g12GroupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .orderBy("event_type")
+  }
+
+  val g12GroupQuantilesSql: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.95) AS p95
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- E2: cohort retention ------------------------------------------------
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort, week-offset) cell, how many of them were
@@ -973,6 +997,7 @@ object Relational {
     "m6_scd2_snapshot" -> (m6Scd2Snapshot _),
     "e1_funnel" -> (e1Funnel _),
     "e2_retention" -> (e2Retention _),
+    "g12_group_quantiles" -> (g12GroupQuantiles _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
 
@@ -1009,6 +1034,7 @@ object Relational {
     "m6_scd2_snapshot" -> m6Scd2SnapshotSql,
     "e1_funnel" -> e1FunnelSql,
     "e2_retention" -> e2RetentionSql,
+    "g12_group_quantiles" -> g12GroupQuantilesSql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)
 }

@@ -62,4 +62,26 @@ class AsOfSpec extends SparkTestBase {
       .count() === 0)
     out.unpersist()
   }
+
+  test("asofJoinForward picks the smallest right time >= left time; ties match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (2L, 5L, "l5"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 30L, "r30"))
+      .toDF("k", "t", "rv")
+    val got = AsOf.asofJoinForward(left, right, "k", "t", Seq("rv"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getAs[String]("rv"))))
+    assert(got.toSeq === Seq(
+      (1L, 10L, Some("r10")), // tie: right row AT the left time matches (>=)
+      (1L, 20L, Some("r30")),
+      (2L, 5L, None)))        // no right rows for the key -> NULL carry
+  }
+
+  test("asofNextPurchase: every matched purchase is at-or-after the view") {
+    val out = AsOf.asofNextPurchase(spark, sf).cache()
+    assert(out.filter(col("purchase_ts") < col("ts")).count() === 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
 }
