@@ -946,6 +946,32 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- O5: latest row per key ------------------------------------------------
+  /** The most common event-table query there is: each user's latest
+    * event (deterministic tie-break on event_id). One window over the
+    * user partition — no self-join against a max-ts aggregate, which
+    * would scan twice and shuffle twice.
+    */
+  def o5LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    c.ref("events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy("user_id")
+  }
+
+  val o5LatestPerKeySql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |FROM (SELECT user_id, event_id, ts, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---- G2-adjacent: zero-row probe as data (count per group) --------------
   /** Ref: salesforce.sql:7-17 — the probe is engine control flow
     * (df.isEmpty); its data form is a count aggregate.
@@ -998,6 +1024,7 @@ object Relational {
     "e1_funnel" -> (e1Funnel _),
     "e2_retention" -> (e2Retention _),
     "g12_group_quantiles" -> (g12GroupQuantiles _),
+    "o5_latest_per_key" -> (o5LatestPerKey _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
 
@@ -1035,6 +1062,7 @@ object Relational {
     "e1_funnel" -> e1FunnelSql,
     "e2_retention" -> e2RetentionSql,
     "g12_group_quantiles" -> g12GroupQuantilesSql,
+    "o5_latest_per_key" -> o5LatestPerKeySql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)
 }
