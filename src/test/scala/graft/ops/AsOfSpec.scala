@@ -78,6 +78,22 @@ class AsOfSpec extends SparkTestBase {
       (2L, 5L, None)))        // no right rows for the key -> NULL carry
   }
 
+  test("asofJoinForward matches a naive per-row reference on random data") {
+    val rnd = new scala.util.Random(29)
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, s"l$k-$t") }
+    val right = Seq.fill(120)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, s"r$k-$t") }
+    val expected = left.map { case (k, t, lv) =>
+      val m = right.filter(r => r._1 == k && r._2 >= t)
+      (k, t, lv, if (m.isEmpty) null else m.minBy(_._2)._3)
+    }.sortBy(x => (x._1, x._2))
+    val got = AsOf.asofJoinForward(
+        left.toDF("k", "t", "lv"), right.toDF("k", "t", "rv"), "k", "t", Seq("rv"))
+      .orderBy("k", "t").as[(Long, Long, String, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("asofNextPurchase: every matched purchase is at-or-after the view") {
     val out = AsOf.asofNextPurchase(spark, sf).cache()
     assert(out.filter(col("purchase_ts") < col("ts")).count() === 0)

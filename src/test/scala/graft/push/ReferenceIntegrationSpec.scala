@@ -127,5 +127,24 @@ class ReferenceIntegrationSpec extends SparkTestBase {
     assert(mat.run(contactsLoad).skippedEmpty)
     assert(mat.sfdcLogs.read().count() === 9700)
     assert(mat.sfmcLogs.read().count() === 1000)
+
+    // third run through the DAG scheduler: the three Salesforce models
+    // share sfdc tracking tables, so they chain (the documented
+    // no-concurrent-writers rule); contacts_load runs alongside on its
+    // own tables. Still fully idempotent.
+    import graft.model.{DagNode, DagRunner}
+    val done = DagRunner.runParallel(spark, Seq(
+      DagNode("accounts_load", Set.empty, _ =>
+        assert(mat.run(accountsLoad("accounts_load")).skippedEmpty)),
+      DagNode("accounts_load_legacy", Set("accounts_load"), _ =>
+        assert(mat.runLegacy(accountsLoad("accounts_load_legacy")).skippedEmpty)),
+      DagNode("transactions_daily_load", Set("accounts_load_legacy"), _ =>
+        assert(mat.runLegacy(txLoad).skippedEmpty)),
+      DagNode("contacts_load", Set.empty, _ =>
+        assert(mat.run(contactsLoad).skippedEmpty))), threads = 2)
+    assert(done.toSet === Set("accounts_load", "accounts_load_legacy",
+      "transactions_daily_load", "contacts_load"))
+    assert(mat.sfdcLogs.read().count() === 9700)
+    assert(mat.sfmcLogs.read().count() === 1000)
   }
 }
