@@ -789,17 +789,25 @@ object Relational {
     * stay open — snapshots never delete), and lands custkey%50 arrivals
     * under shifted keys. The oracle derives the identical interval set
     * relationally, so this hash-checks the SCD2 engine itself, not just
-    * a query shape. Open intervals surface as 9999-12-31 (the driver's
-    * pandas compare can't equate NaT cells).
+    * a query shape. Validity bounds surface as formatted STRINGS, not
+    * timestamps: the open-interval sentinel 9999-12-31 overflows pandas'
+    * ns-precision datetime on the driver's parquet-read side (r03's one
+    * hash mismatch), and string cells hash identically on every reader.
+    * Instants are built in explicit UTC (never JVM-default-TZ
+    * Timestamp.valueOf) so the rendered wall time matches the oracle's
+    * naive literals regardless of driver TZ.
     */
   def m6Scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
     import graft.tracking.SnapshotTable
+    import java.time.{LocalDateTime, ZoneOffset}
     val c = Catalog(spark, dir)
     val base = c.ref("customer").select(col("c_custkey"), col("c_mktsegment"))
     val tmp = java.nio.file.Files.createTempDirectory("scd2").toString
     val snap = new SnapshotTable(spark, tmp, "c_custkey", Seq("c_mktsegment"))
-    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
-    val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    def utcTs(s: String) = java.sql.Timestamp.from(
+      LocalDateTime.parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+    val t1 = utcTs("2026-01-01 00:00:00")
+    val t2 = utcTs("2026-02-01 00:00:00")
     snap.snapshot(base, t1)
     val batch2 = base.filter(col("c_custkey") % 97 =!= 0)
       .withColumn("c_mktsegment",
@@ -809,16 +817,18 @@ object Relational {
           lit("NEWSEG").as("c_mktsegment")))
     snap.snapshot(batch2, t2)
     snap.read()
+      .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("valid_to",
-        coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp")))
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")))
       .orderBy("c_custkey", "valid_from")
   }
 
   val m6Scd2SnapshotSql: String =
     """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
-      |t AS (SELECT TIMESTAMP '2026-01-01 00:00:00' AS t1,
-      |             TIMESTAMP '2026-02-01 00:00:00' AS t2,
-      |             TIMESTAMP '9999-12-31 00:00:00' AS top),
+      |t AS (SELECT '2026-01-01 00:00:00' AS t1,
+      |             '2026-02-01 00:00:00' AS t2,
+      |             '9999-12-31 00:00:00' AS top),
       |orig AS (
       |  SELECT c_custkey, c_mktsegment, t.t1 AS valid_from,
       |         CASE WHEN c_custkey % 10 = 0 AND c_custkey % 97 <> 0
