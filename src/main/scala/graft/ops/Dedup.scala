@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Catalog
 import graft.functions.ArrayExprs
@@ -605,7 +606,75 @@ object Dedup {
       |WHERE e.source = 'src0'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- paragraph-level exact dedup ------------------------------------------
+  /** Sub-document exact dedup (the CCNet/Dolma paragraph pass): split
+    * every document into fixed windows of `chunkWords` consecutive
+    * words, keep only the globally-first occurrence of each distinct
+    * chunk (ordered by doc_id, then position), and reassemble what
+    * survives. Boilerplate repeated across documents — headers, navs,
+    * license blocks — vanishes from every copy but the first, without
+    * dropping whole documents.
+    *
+    * Plan: one projection chunks each doc (split materialized through a
+    * projection boundary — no CSE inside expression trees), one window
+    * `row_number() over (partition by chunk order by doc_id, idx)`
+    * decides survivors, one groupBy(doc_id) reassembles. Two shuffles;
+    * the text crosses the wire once, which is unavoidable — chunk
+    * identity is global. For corpora where text dwarfs metadata, the
+    * 100 TB variant shuffles only (doc_id, idx, 16-byte chunk hash),
+    * computes the kept (doc_id, idx) set, and joins it back
+    * co-partitioned by doc_id so full text never leaves its partition —
+    * same pair-not-payload trick as the n-gram posting-list join above.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupAt(spark, dir, 10)
+
+  def paragraphDedupAt(spark: SparkSession, dir: String, chunkWords: Int): DataFrame = {
+    require(chunkWords > 0)
+    val c = Catalog(spark, dir)
+    // size(w) >= 1 even for empty text (split("") = [""]), so the
+    // sequence upper bound never drops below 0 (Spark's sequence(a,b)
+    // with b < a counts DOWN — it must never see that shape).
+    val chunked = c.ref("documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $chunkWords.0) as int) - 1),
+           |          i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))""".stripMargin)))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunked
+      .withColumn("keep", row_number().over(firstSeen) === 1)
+      .groupBy("doc_id")
+      .agg(
+        collect_list(when(col("keep"), struct(col("chunk_idx"), col("chunk")))).as("kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .select(col("doc_id"),
+        array_join(expr("transform(array_sort(kept), x -> x.chunk)"), " ").as("text_clean"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |r AS (SELECT doc_id, w,
+      |             unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+      |      FROM d),
+      |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |              array_to_string(w[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ') AS chunk
+      |       FROM r),
+      |k AS (SELECT doc_id, chunk_idx, chunk,
+      |             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep
+      |      FROM ch)
+      |SELECT doc_id,
+      |       COALESCE(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '') AS text_clean,
+      |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+      |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (paragraphDedup _),
     "dedup_clusters" -> (duplicateClusters _),
     "dedup_source_sim" -> (sourceSimilarity _),
     "dedup_exact" -> (exact _),
@@ -615,6 +684,7 @@ object Dedup {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_paragraph" -> paragraphDedupSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> duplicateClustersSql,

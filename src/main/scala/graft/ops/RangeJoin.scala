@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Range (interval) join — the second time-domain operator Spark lacks
+  * natively, next to [[AsOf]]: match every point `p` to every interval
+  * `[start, end)` that contains it.
+  *
+  * The naive plan `p >= start AND p < end` has no equi-key, so Catalyst
+  * can only produce a broadcast-nested-loop (or cartesian) join —
+  * O(|points|·|intervals|) comparisons, a non-starter at scale. This is
+  * the classic *banding* rewrite (the same decomposition Databricks'
+  * range-join optimization and PostGIS grid indexes use, expressed with
+  * stock operators): pick a band width `w`, replicate each interval onto
+  * every band `floor(t/w)` it overlaps, map each point to the single
+  * band containing it, equi-join on the band id, and re-check the exact
+  * predicate. Each (interval, point) pair meets in exactly one band (the
+  * point's), so no dedup pass is needed.
+  *
+  * Scale shape: one shuffle per side on the band id — a plain
+  * distributed hash join. Interval replication factor is
+  * `len/w + 1` bands per interval, so pick `w` near the typical interval
+  * length: replication stays O(1) while each band pairs only co-located
+  * rows. Bands inherit time-skew (a hot day lands in one band); AQE's
+  * skew-join split applies since this IS an equi-join — exactly the
+  * property the rewrite buys.
+  *
+  * Domain is integral (epoch days/seconds/millis as `long`). Band ids
+  * use exact floor division (pmod-based, negative-safe), computed in
+  * double space — exact for |t| < 2^52, far beyond any epoch encoding.
+  *
+  * The reference has no range join (SURVEY §2.3 "not present"); this is
+  * part of the training-data extension surface (event attribution,
+  * interval containment).
+  */
+object RangeJoin {
+
+  /** Exact floor division as a Column (negative-safe; `a - pmod(a,w)` is
+    * an exact multiple of `w`, so the double division is error-free for
+    * |a| < 2^52).
+    */
+  private def floorDiv(a: Column, w: Long): Column =
+    ((a - pmod(a, lit(w))) / lit(w)).cast("long")
+
+  /** Join `points` to every row of `intervals` whose `[startCol, endCol)`
+    * half-open range contains `points(pointCol)`. Empty intervals
+    * (end <= start) match nothing. All columns of both inputs are
+    * carried (names must not collide).
+    *
+    * @param bandWidth band size in domain units; choose ~ the typical
+    *                  interval length (replication = len/bandWidth + 1).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    // end is exclusive → last covered band is floor((end-1)/w); guarding
+    // end > start keeps sequence() ascending (Spark's sequence(a,b) with
+    // b < a silently counts DOWN — it must never see that shape).
+    val ivl = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__band",
+        explode(sequence(floorDiv(col(startCol), bandWidth),
+          floorDiv(col(endCol) - 1, bandWidth))))
+    val pts = points.withColumn("__band", floorDiv(col(pointCol), bandWidth))
+    pts.join(ivl, Seq("__band"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__band")
+  }
+
+  /** Oracle-checked query (J6): for each order, how many of the probe
+    * line items (a 1/199 sample of `lineitem`, any order) shipped inside
+    * the order's first week `[o_orderdate, o_orderdate + 7 days)`.
+    * Dates are banded as epoch days with `bandWidth = 7` = the interval
+    * length, so every interval lands on at most 2 bands.
+    */
+  def j6RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val epoch = lit("1970-01-01").cast("date")
+    val intervals = c.ref("orders").select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s"))
+      .withColumn("e", col("s") + 7)
+    val points = c.ref("lineitem")
+      .filter(col("l_orderkey") % 199 === 0)
+      .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("d"))
+    pointInInterval(points, intervals, "d", "s", "e", bandWidth = 7)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
+  val j6RangeJoinSql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+      |           FROM orders),
+      |p AS (SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      |      FROM lineitem WHERE l_orderkey % 199 = 0)
+      |SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+      |FROM o JOIN p ON p.d >= o.s AND p.d < o.s + 7
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j6_range_join" -> (j6RangeJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "j6_range_join" -> j6RangeJoinSql)
+}
