@@ -999,6 +999,73 @@ object Relational {
       |       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- W6: ranking-function family ----------------------------------------
+  /** rank / dense_rank / percent_rank / cume_dist over a ties-heavy
+    * ordering (quantity within returnflag), plus ntile over a UNIQUE
+    * ordering — ntile splits ties by row position, so its order key must
+    * be total for a deterministic result (the ties-heavy orderings are
+    * safe: equal inputs get equal ranks). Completes SURVEY §2.5's
+    * "rank/dense_rank/... not present" row. One shuffle on the partition
+    * key; percent_rank/cume_dist are exact integer ratios, so doubles
+    * match across engines bit-for-bit.
+    */
+  def w6RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    // (orderkey, linenumber) alone is NOT unique in the driver testdata;
+    // (orderkey, linenumber, partkey, suppkey) is — ntile's order key and
+    // the output sort must be total or the result is engine-dependent.
+    val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val uniq = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    c.ref("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"), col("l_quantity"))
+      .withColumn("rnk", rank().over(byQty).cast("long"))
+      .withColumn("drnk", dense_rank().over(byQty).cast("long"))
+      .withColumn("prank", percent_rank().over(byQty))
+      .withColumn("cdist", cume_dist().over(byQty))
+      .withColumn("tile", ntile(7).over(uniq).cast("long"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val w6RankFamilySql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_quantity,
+      |       rank()         OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+      |       dense_rank()   OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk,
+      |       percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS prank,
+      |       cume_dist()    OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cdist,
+      |       CAST(ntile(7)  OVER (PARTITION BY l_returnflag
+      |                            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS tile
+      |FROM lineitem WHERE l_orderkey % 7 = 0
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // ---- G13: histogram (width_bucket binning) --------------------------------
+  /** Fixed-bin histogram of order totals — the standard distribution
+    * profile over a measure. `width_bucket` is a pure scalar, so the
+    * whole query is one map-side-combined aggregate over 21 groups (bin
+    * 21 = the overflow bucket); nothing about it changes at 100 TB.
+    */
+  def g13Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("orders")
+      .select(expr("width_bucket(o_totalprice, 0.0, 500000.0, 20)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB has no width_bucket; its exact arithmetic twin — the bucket
+    * size (500000-0)/20 = 25000.0 is exactly representable, so
+    * floor(x/25000)+1 reproduces Spark's WidthBucket double-for-double
+    * (prices are positive; >= max clamps to the overflow bucket 21).
+    */
+  val g13HistogramSql: String =
+    """SELECT CAST(CASE WHEN o_totalprice >= 500000.0 THEN 21
+      |                 ELSE floor(o_totalprice / 25000.0) + 1 END AS BIGINT) AS bucket,
+      |       count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** All oracle-checkable relational queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_projection" -> (p1Projection _),
@@ -1034,6 +1101,8 @@ object Relational {
     "e1_funnel" -> (e1Funnel _),
     "e2_retention" -> (e2Retention _),
     "g12_group_quantiles" -> (g12GroupQuantiles _),
+    "w6_rank_family" -> (w6RankFamily _),
+    "g13_histogram" -> (g13Histogram _),
     "o5_latest_per_key" -> (o5LatestPerKey _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
@@ -1072,6 +1141,8 @@ object Relational {
     "e1_funnel" -> e1FunnelSql,
     "e2_retention" -> e2RetentionSql,
     "g12_group_quantiles" -> g12GroupQuantilesSql,
+    "w6_rank_family" -> w6RankFamilySql,
+    "g13_histogram" -> g13HistogramSql,
     "o5_latest_per_key" -> o5LatestPerKeySql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)

@@ -216,13 +216,108 @@ object Similarity {
       |            * sqrt(list_sum(list_transform(b.vec, x -> x * x)))) >= 0.95
       |ORDER BY id1, id2""".stripMargin
 
+  // ---- semantic dedup -------------------------------------------------------
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    * quantizer, then — only WITHIN each cluster — mark every vector
+    * whose cosine similarity to an earlier (lower vec_id) cluster member
+    * is ≥ τ as a duplicate of the earliest such member. Near-identical
+    * meaning collapses to one representative even when the text differs
+    * (paraphrases, translations, templated rewrites — what MinHash
+    * misses).
+    *
+    * Scale shape: the quadratic pair step runs per-cell, so total work
+    * is Σ|cell|² ≈ N²/k — pick k ∝ N to hold cell size (and per-task
+    * memory) constant; the cell id is a shuffle key, never a
+    * materialized table. Cross-cluster near-dups are invisible by
+    * design — that is SemDeDup's recall/cost trade, not a bug here.
+    *
+    * The registered query runs iters = 0 (cells = the md5-ordered
+    * sample verbatim) so the full pipeline — sample, assignment,
+    * in-cell pairs, tie-broken representative choice — re-derives in
+    * DuckDB and hash-checks end-to-end; Lloyd refinement is covered by
+    * IvfSpec/SimilaritySpec recall tests.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupAt(spark, dir, kCells = 16, tau = 0.95, iters = 0)
+
+  def semanticDedupAt(spark: SparkSession, dir: String, kCells: Int,
+      tau: Double, iters: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings")
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val centroids = Ivf.kmeansCentroids(emb, kCells, iters)
+    val assigned = emb
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .localCheckpoint()
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .withColumn("score",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("score") >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of0"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        col("dup_of0").isNotNull.as("is_dup"),
+        // -1 sentinel instead of NULL: a nullable int column degrades to
+        // float64+NaN in the driver's pandas compare
+        coalesce(col("dup_of0"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle twin: same sample/assignment CTEs as Ivf.ivfAnnSql, then the
+    * in-cell pair filter and earliest-representative choice in SQL.
+    */
+  val semanticDedupSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
+      |dups AS (
+      |  SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+      |  FROM assigned a
+      |  JOIN assigned b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  JOIN en ea ON ea.vec_id = a.vec_id
+      |  JOIN en eb ON eb.vec_id = b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(ea.vec) + 1), i -> ea.vec[i] * eb.vec[i]))
+      |          / (ea.nrm * eb.nrm) >= 0.95
+      |  GROUP BY 1)
+      |SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+      |       d.dup_of IS NOT NULL AS is_dup,
+      |       COALESCE(d.dup_of, -1) AS dup_of
+      |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_dedup" -> (semanticDedup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
     "sim_embedding_neardup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "sim_semantic_dedup" -> semanticDedupSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,

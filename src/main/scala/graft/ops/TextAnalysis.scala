@@ -494,7 +494,43 @@ object TextAnalysis {
       |SELECT doc_id, source, pick FROM ranked WHERE pick <= 50
       |ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic corpus shuffle -----------------------------------------
+  /** Training-order shuffle: a reproducible global permutation of the
+    * corpus, keyed by an md5 draw on doc_id (salted so re-shuffles with
+    * a different salt are independent permutations). The permutation
+    * index comes from the distributed two-pass global row number
+    * (range-partition by hash → per-partition numbering + broadcast
+    * offsets — `Windows.globalRowNumber`), so no single-partition
+    * window exists anywhere: at 100 TB this is a range shuffle plus a
+    * |partitions|-row driver pass. Downstream writers consume
+    * `shuffle_pos` as the sort key to lay training shards on disk in
+    * shuffled order.
+    */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalShuffleAt(spark, dir, salt = "epoch0")
+
+  def globalShuffleAt(spark: SparkSession, dir: String, salt: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val hashed = c.ref("documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.ArrayExprs.md5Mod(
+          concat_ws(":", lit(salt), col("doc_id").cast("string")), 1000003L).as("h"))
+    Windows.globalRowNumber(hashed, "shuffle_pos", col("h"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("shuffle_pos"))
+      .orderBy("shuffle_pos")
+  }
+
+  val globalShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         md5_number_lower('epoch0:' || CAST(doc_id AS VARCHAR)) % 1000003 AS h
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+      |FROM h ORDER BY shuffle_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_global_shuffle" -> (globalShuffle _),
     "text_split_assign" -> (splitAssign _),
     "text_source_quota" -> (sourceQuota _),
     "text_sample_stratified" -> (stratifiedSample _),
@@ -510,6 +546,7 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_global_shuffle" -> globalShuffleSql,
     "text_split_assign" -> splitAssignSql,
     "text_source_quota" -> sourceQuotaSql,
     "text_sample_stratified" -> stratifiedSampleSql,

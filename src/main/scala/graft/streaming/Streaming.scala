@@ -53,6 +53,27 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join (click attribution): every click pairs
+    * with each view by the same user that happened at-or-before it,
+    * no more than `window_` earlier. Both sides are watermarked and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * evict join state — the unbounded-state trap of an unconstrained
+    * stream-stream join is structurally avoided. State is keyed by
+    * user_id (the equi-part of the condition), scaling like any keyed
+    * shuffle.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      watermark: String = "10 minutes", window_ : String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark)
+    val c = clicks.withWatermark("click_ts", watermark)
+    c.join(v, expr(
+      s"""view_user = user_id AND
+         |view_ts <= click_ts AND
+         |view_ts >= click_ts - interval $window_""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
   final case class Session(userId: Long, start: Timestamp, end: Timestamp,

@@ -34,6 +34,68 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attributionJoin: clicks pair with in-window views, state is evictable") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStreams.attributionJoin(
+      views.toDF().toDF("view_ts", "view_user", "view_id"),
+      clicks.toDF().toDF("click_ts", "user_id", "click_id"),
+      watermark = "5 minutes", window_ = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData((ts(1), 1L, 100L), (ts(2), 2L, 101L), (ts(30), 1L, 102L))
+      clicks.addData(
+        (ts(5), 1L, 500L),  // matches view 100 (4 min earlier)
+        (ts(6), 2L, 501L),  // matches view 101
+        (ts(20), 1L, 502L), // view 100 is 19 min earlier — outside window
+        (ts(31), 1L, 503L)) // matches view 102
+      q.processAllAvailable()
+      // push watermark forward so all pending matches emit
+      views.addData((ts(120), 9L, 999L))
+      clicks.addData((ts(120), 9L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("click_id", "view_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got === Seq((500L, 100L), (501L, 101L), (503L, 102L), (998L, 999L)))
+    } finally q.stop()
+  }
+
+  test("attributionJoin agrees with the equivalent batch range join on random data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val viewRows = Seq.tabulate(120)(i =>
+      (ts(rnd.nextInt(200)), rnd.nextInt(6).toLong, (100 + i).toLong))
+    val clickRows = Seq.tabulate(120)(i =>
+      (ts(rnd.nextInt(200)), rnd.nextInt(6).toLong, (500 + i).toLong))
+    val expected = (for {
+      (vt, vu, vid) <- viewRows
+      (ct, cu, cid) <- clickRows
+      if vu == cu && vt.getTime <= ct.getTime &&
+        vt.getTime >= ct.getTime - 10 * 60 * 1000L
+    } yield (cid, vid)).sorted
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStreams.attributionJoin(
+      views.toDF().toDF("view_ts", "view_user", "view_id"),
+      clicks.toDF().toDF("click_ts", "user_id", "click_id"),
+      watermark = "5 minutes", window_ = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib_rand")
+      .outputMode("append").start()
+    try {
+      views.addData(viewRows: _*)
+      clicks.addData(clickRows: _*)
+      q.processAllAvailable()
+      views.addData((ts(1000), 99L, 1L)) // advance watermark, flush state
+      clicks.addData((ts(1000), 98L, 2L))
+      q.processAllAvailable()
+      val got = spark.table("attrib_rand")
+        .select("click_id", "view_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions close via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStreams.Event]
