@@ -1066,6 +1066,110 @@ object Relational {
       |       count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- J7: semi join --------------------------------------------------------
+  /** Left semi join — "customers that have at least one open order":
+    * existence filtering without duplication, the positive twin of J1's
+    * anti join. Plans as a shuffled semi hash join (or broadcast when
+    * the right side is small); at 100 TB the right side reduces to its
+    * join key before the shuffle, which Catalyst does for free here
+    * (column pruning → only o_custkey moves).
+    */
+  def j7SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val open = c.ref("orders").filter(col("o_orderstatus") === "O")
+    c.ref("customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  val j7SemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- O7: table profiling --------------------------------------------------
+  /** Column-profile summary over `orders` — row count, null count,
+    * exact distinct count, numeric min/max (NULL for strings) and
+    * string min/max (NULL for numerics) per profiled column. The
+    * data-quality / discovery primitive every pipeline runs first.
+    *
+    * Plan: count/null/min/max for EVERY column ride one scan (a single
+    * partial+final aggregate, no shuffle of data rows); each exact
+    * distinct count is its own two-stage aggregate (map-side dedup →
+    * count), cross-joined back as 1-row plans. A combined
+    * multi-DISTINCT aggregate would instead plan an Expand — ×|cols|
+    * row multiplication before the shuffle — which measured 6× slower
+    * at sf0.1. At 100 TB swap the exact distincts for
+    * approx_count_distinct (HLL) and even those extra scans fold into
+    * the first aggregate — same output shape, ~2% error, documented
+    * trade.
+    */
+  def o7Profile(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val df = c.ref("orders")
+    val aggs = (numCols ++ strCols).flatMap { cn =>
+      val isNum = numCols.contains(cn)
+      Seq(
+        count(col(cn)).as(s"${cn}__n"),
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"${cn}__nulls"),
+        (if (isNum) min(col(cn)).cast("double") else lit(null).cast("double")).as(s"${cn}__min_d"),
+        (if (isNum) max(col(cn)).cast("double") else lit(null).cast("double")).as(s"${cn}__max_d"),
+        (if (isNum) lit(null).cast("string") else min(col(cn))).as(s"${cn}__min_s"),
+        (if (isNum) lit(null).cast("string") else max(col(cn))).as(s"${cn}__max_s"))
+    }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val row = (numCols ++ strCols).foldLeft(base) { (acc, cn) =>
+      // COUNT(DISTINCT x) semantics: NULL is not a value
+      acc.crossJoin(df.select(col(cn)).filter(col(cn).isNotNull).distinct()
+        .agg(count(lit(1)).as(s"${cn}__distinct")))
+    }
+    val stacked = (numCols ++ strCols).map { cn =>
+      s"'$cn', ${cn}__n, ${cn}__nulls, ${cn}__distinct, ${cn}__min_d, ${cn}__max_d, ${cn}__min_s, ${cn}__max_s"
+    }.mkString(", ")
+    row.select(expr(
+      s"stack(${numCols.size + strCols.size}, $stacked) AS " +
+        "(column, n, n_null, n_distinct, min_d, max_d, min_s, max_s)"))
+      .orderBy("column")
+  }
+
+  val o7ProfileSql: String =
+    """WITH s AS (SELECT * FROM orders)
+      |SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |       count(DISTINCT o_orderkey) AS n_distinct,
+      |       CAST(min(o_orderkey) AS DOUBLE) AS min_d, CAST(max(o_orderkey) AS DOUBLE) AS max_d,
+      |       CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s FROM s
+      |UNION ALL
+      |SELECT 'o_custkey', count(o_custkey),
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_custkey),
+      |       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+      |       NULL, NULL FROM s
+      |UNION ALL
+      |SELECT 'o_totalprice', count(o_totalprice),
+      |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_totalprice),
+      |       min(o_totalprice), max(o_totalprice),
+      |       NULL, NULL FROM s
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(o_orderstatus),
+      |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_orderstatus),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |       min(o_orderstatus), max(o_orderstatus) FROM s
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(o_orderpriority),
+      |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_orderpriority),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |       min(o_orderpriority), max(o_orderpriority) FROM s
+      |ORDER BY "column"""".stripMargin
+
   /** All oracle-checkable relational queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_projection" -> (p1Projection _),
@@ -1103,6 +1207,8 @@ object Relational {
     "g12_group_quantiles" -> (g12GroupQuantiles _),
     "w6_rank_family" -> (w6RankFamily _),
     "g13_histogram" -> (g13Histogram _),
+    "j7_semi_join" -> (j7SemiJoin _),
+    "o7_profile" -> (o7Profile _),
     "o5_latest_per_key" -> (o5LatestPerKey _),
     "m4_incremental" -> (m4Incremental _),
     "m5_cdc_apply" -> (m5CdcApply _))
@@ -1143,6 +1249,8 @@ object Relational {
     "g12_group_quantiles" -> g12GroupQuantilesSql,
     "w6_rank_family" -> w6RankFamilySql,
     "g13_histogram" -> g13HistogramSql,
+    "j7_semi_join" -> j7SemiJoinSql,
+    "o7_profile" -> o7ProfileSql,
     "o5_latest_per_key" -> o5LatestPerKeySql,
     "m4_incremental" -> m4IncrementalSql,
     "m5_cdc_apply" -> m5CdcApplySql)

@@ -529,7 +529,59 @@ object TextAnalysis {
       |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
       |FROM h ORDER BY shuffle_pos""".stripMargin
 
+  // ---- corpus-statistics rarity scoring ---------------------------------------
+  /** Unigram-LM-flavored quality signal with exact arithmetic: per doc,
+    * how many of its tokens are corpus-rare (frequency below half the
+    * mean vocabulary frequency — a relative threshold, so it means the
+    * same thing at any corpus size), plus the mean corpus frequency of
+    * its tokens. This is the hash-portable stand-in for mean token
+    * surprisal: true -log p needs libm, whose last-ulp behavior differs
+    * across engines, while integer counts and single divisions of exact
+    * integers are bit-identical everywhere.
+    *
+    * Plan: token explode → vocabulary count (one combine-side shuffle,
+    * keyed by token) → broadcast the vocabulary and its 1-row totals
+    * back onto the token stream → per-doc aggregate (shuffle keyed by
+    * doc_id). Vocabulary is orders of magnitude smaller than the corpus
+    * (Heaps' law), so the broadcast holds at scale; if it ever did not,
+    * the join key degrades gracefully to a shuffle join on token.
+    */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val tokens = c.ref("documents")
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum("cnt").cast("long").as("total"),
+      count(lit(1)).as("vocab"))
+    tokens.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") * col("vocab") * 2 < col("total"), 1L).otherwise(0L)).as("n_rare"),
+        sum(col("cnt")).cast("long").as("sum_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"),
+        (col("sum_cnt").cast("double") / col("n_tokens")).as("mean_tok_count"))
+      .orderBy("doc_id")
+  }
+
+  val rarityScoreSql: String =
+    """WITH t AS (SELECT doc_id,
+      |                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |           FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM v)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.cnt * s.vocab * 2 < s.total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |       CAST(sum(CASE WHEN v.cnt * s.vocab * 2 < s.total THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS rare_ratio,
+      |       CAST(sum(v.cnt) AS DOUBLE) / count(*) AS mean_tok_count
+      |FROM t JOIN v USING (tok) CROSS JOIN s
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rarity" -> (rarityScore _),
     "text_global_shuffle" -> (globalShuffle _),
     "text_split_assign" -> (splitAssign _),
     "text_source_quota" -> (sourceQuota _),
@@ -546,6 +598,7 @@ object TextAnalysis {
     "text_stopword_filter" -> (stopwordFilter _))
 
   val oracles: Map[String, String] = Map(
+    "text_rarity" -> rarityScoreSql,
     "text_global_shuffle" -> globalShuffleSql,
     "text_split_assign" -> splitAssignSql,
     "text_source_quota" -> sourceQuotaSql,

@@ -120,4 +120,35 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"band collision join must be an equi-join:\n$plan")
   }
+
+  test("j6 range join: banding turns the interval predicate into an equi-join") {
+    val plan = executed(RangeJoin.j6RangeJoin(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not plan a quadratic join:\n$plan")
+    assert(plan.contains("__band"), s"equi-key must be the band id:\n$plan")
+  }
+
+  test("paragraph dedup: chunk window + doc reassembly, two shuffles, no join") {
+    val plan = executed(Dedup.paragraphDedup(spark, sf)).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"reassembly must not join back to the corpus:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"dedup must stay distributed:\n$plan")
+    // chunk-identity shuffle + doc_id shuffle (+ the output sort)
+    assert("Exchange".r.findAllIn(plan).size <= 3,
+      s"expected at most chunk/doc/sort exchanges:\n$plan")
+  }
+
+  test("text rarity: vocabulary and totals broadcast; tokens never shuffle for the join") {
+    val plan = executed(TextAnalysis.rarityScore(spark, sf)).split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"vocab join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the token stream must not shuffle to meet the vocabulary:\n$plan")
+  }
+
+  test("o7 profile: a single scan feeds the multi-column aggregate") {
+    val plan = executed(Relational.o7Profile(spark, sf)).split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profile must read the table once:\n$plan")
+  }
 }
