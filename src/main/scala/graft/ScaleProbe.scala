@@ -37,6 +37,9 @@ object ScaleProbe {
     // contamination: eval side is 1/20th of the corpus; train side reduces
     // to a distinct hash set before the join
     time("contamination_8x")(ops.Dedup.contamination(spark, dir).count())
+    // paragraph dedup: the chunk-identity shuffle carries the text once;
+    // the 8x replicas make 7/8 of all chunks duplicates — worst case
+    time("paragraph_8x")(ops.Dedup.paragraphDedup(spark, dir).count())
 
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
     // fraction of N per query.
@@ -50,6 +53,10 @@ object ScaleProbe {
     time("ann_brute_8x")(ops.Similarity.bruteForceTopKAt(spark, dir, 5, 10).count())
     time("ann_lsh_8x")(ops.Similarity.lshAnnAt(spark, dir, 5, 10, 8, 8).count())
     time("ann_ivf_8x")(ops.Ivf.ivfAnnAt(spark, dir, 5, 10, 16, 4, 3).count())
+    // semantic dedup: in-cell pairs are quadratic per cell; k grows with
+    // N (here 8x cells for 8x vectors) to hold cell size ~constant
+    time("semantic_dedup_8x")(
+      ops.Similarity.semanticDedupAt(spark, dir, kCells = 128, tau = 0.95, iters = 2).count())
 
     // Skew: 4M-row fact where ONE key owns half the rows, joined to a
     // 200-row dim with broadcast disabled (forcing a shuffle join — the
@@ -79,6 +86,12 @@ object ScaleProbe {
     report ++= "  the sub-quadratic path the cap dial cannot buy.\n"
     report ++= "- ANN probes read a cell/bucket fraction of the corpus; brute force\n"
     report ++= "  is the O(Q*N) floor.\n"
+    report ++= "- paragraph dedup holds linear at a pathological 87.5% duplicate\n"
+    report ++= "  chunk rate: work is one text-weight shuffle + one doc-id shuffle,\n"
+    report ++= "  independent of how duplicated the corpus is.\n"
+    report ++= "- semantic dedup at 8x vectors runs 8x cells (128), holding in-cell\n"
+    report ++= "  pair work ~constant per cell -- the k-proportional-to-N dial that\n"
+    report ++= "  keeps SemDeDup's quadratic step bounded.\n"
     report ++= "- On a 50%-hot-key join, salting beats both the plain shuffle join\n"
     report ++= "  and AQE (whose skew split does not engage below its 256MB\n"
     report ++= "  partition threshold at this size).\n"

@@ -146,9 +146,12 @@ class PlanQualitySpec extends SparkTestBase {
       s"the token stream must not shuffle to meet the vocabulary:\n$plan")
   }
 
-  test("o7 profile: a single scan feeds the multi-column aggregate") {
+  test("o7 profile: no Expand; one base scan plus one pruned scan per distinct") {
     val plan = executed(Relational.o7Profile(spark, sf)).split("== Initial Plan ==")(0)
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"profile must read the table once:\n$plan")
+    // A combined multi-DISTINCT aggregate would plan an Expand (x|cols|
+    // row multiplication); the profiler must not.
+    assert(!plan.contains("Expand"), s"profile must not multiply the scan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 6,
+      s"expected base scan + 5 distinct scans:\n$plan")
   }
 }
