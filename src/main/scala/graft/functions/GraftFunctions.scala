@@ -78,11 +78,14 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.ArrayExprs", name),
         builder))
     }
+    // inert until spark.graft.rangeJoin.bandWidth is set (> 0)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinBandingRule(session))
+  }
 }

@@ -34,6 +34,13 @@ import graft.catalog.Catalog
   * The reference has no range join (SURVEY §2.3 "not present"); this is
   * part of the training-data extension surface (event attribution,
   * interval containment).
+  *
+  * The same rewrite also exists as a Catalyst optimizer rule
+  * ([[graft.plans.RangeJoinBandingRule]], injected by
+  * `GraftExtensions` / `spark.experimental.extraOptimizations`) that
+  * catches the `p >= s AND p < e` shape in arbitrary SQL and applies
+  * this banding automatically — use the helper when composing
+  * DataFrames, the rule when queries arrive as text.
   */
 object RangeJoin {
 
