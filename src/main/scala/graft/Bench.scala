@@ -30,10 +30,35 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
+      val qjson = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${fmt(omittedSec)}""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om,"sf":"$sfDir","passes":2,"agg":"min"}"""
+    }
+    // The driver captures only the last ~2000 bytes of output and parses
+    // this JSON line out of that tail; sbt appends a ~75-char "[success]"
+    // line after us. With 80+ queries the full map overflows the window
+    // and the whole line is lost (rounds 1 and 3). So: full per-query map
+    // goes to BENCH_FULL.json; stdout gets the total plus the slowest
+    // queries that fit a 1600-char budget.
+    val full = line(results, 0, 0.0)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val out =
+      if (full.length <= 1600) full
+      else {
+        val bySlow = results.sortBy(-_._2)
+        var keep = bySlow.length
+        while (keep > 1 && line(bySlow.take(keep).sortBy(_._1),
+            bySlow.length - keep, bySlow.drop(keep).map(_._2).sum).length > 1600)
+          keep -= 1
+        line(bySlow.take(keep).sortBy(_._1),
+          bySlow.length - keep, bySlow.drop(keep).map(_._2).sum)
+      }
+    println(out)
     spark.stop()
   }
 }
