@@ -31,7 +31,9 @@ object Bench {
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val total = results.map(_._2).sum
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
+    // locale (de_DE) would emit invalid JSON the driver can't parse.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${fmt(omittedSec)}""" else ""

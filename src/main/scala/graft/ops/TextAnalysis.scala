@@ -543,8 +543,11 @@ object TextAnalysis {
     * keyed by token) → broadcast the vocabulary and its 1-row totals
     * back onto the token stream → per-doc aggregate (shuffle keyed by
     * doc_id). Vocabulary is orders of magnitude smaller than the corpus
-    * (Heaps' law), so the broadcast holds at scale; if it ever did not,
-    * the join key degrades gracefully to a shuffle join on token.
+    * (Heaps' law), so it broadcasts — but the hint is left to AQE, which
+    * sees the aggregate's actual runtime size: a vocabulary that outgrows
+    * the broadcast threshold degrades to a shuffle join instead of
+    * OOMing on a forced broadcast. The 1-row totals keep an explicit
+    * hint (its size is known statically).
     */
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -553,7 +556,7 @@ object TextAnalysis {
     val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val totals = vocab.agg(sum("cnt").cast("long").as("total"),
       count(lit(1)).as("vocab"))
-    tokens.join(broadcast(vocab), "tok")
+    tokens.join(vocab, "tok")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(

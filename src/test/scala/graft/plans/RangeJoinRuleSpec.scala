@@ -107,6 +107,66 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("an unrelated long inequality before the range predicates does not shadow the pair") {
+    intervals.createOrReplaceTempView("ivl")
+    points.createOrReplaceTempView("pts")
+    withRule(16) {
+      // `pid > 10` is a long-typed inequality conjunct written FIRST: a
+      // collectFirst binding would grab it as the upper bound and skip
+      // the rewrite; the all-pairs search must still find (d, s, e).
+      val df = spark.sql(
+        "SELECT pid, iid FROM pts JOIN ivl ON pid > 10 AND d >= s AND d < e")
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not rewrite:\n$p")
+      assert(df.as[(Long, Long)].collect().toSeq.sorted ===
+        expected.filter(_._1 > 10))
+    }
+  }
+
+  test("maxBandsPerInterval collapses open-ended intervals to a sentinel band") {
+    // one open-ended interval that would explode into ~6M band rows at
+    // w=16; with the cap it emits a single sentinel row instead
+    val ivl = (Seq((1L, 0L, 30L), (2L, 25L, 40L), (3L, 0L, 100000000L)))
+      .toDF("iid", "s", "e")
+    ivl.createOrReplaceTempView("ivl_cap")
+    points.createOrReplaceTempView("pts")
+    val naive = Seq((10L, 1L), (10L, 3L), (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 2L), (12L, 3L), (13L, 3L)).sorted
+    withRule(16) {
+      spark.conf.set("spark.graft.rangeJoin.maxBandsPerInterval", "64")
+      try {
+        val df = spark.sql("SELECT pid, iid FROM pts JOIN ivl_cap ON d >= s AND d < e")
+        val p = plan(df)
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not rewrite:\n$p")
+        assert(p.contains("__band_big"), s"sentinel key missing:\n$p")
+        assert(df.as[(Long, Long)].collect().toSeq.sorted === naive)
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBandsPerInterval")
+    }
+  }
+
+  test("capped rewrite matches nested-loop results on random data with huge intervals") {
+    val rnd = new scala.util.Random(73)
+    val ivl = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(1000).toLong - 500
+      val len = if (i % 10 == 0) 50000000L else rnd.nextInt(50).toLong
+      (i.toLong, s, s + len)
+    }
+    val pts = Seq.tabulate(200)(i => (1000L + i, rnd.nextInt(1200).toLong - 600))
+    val naive = (for {
+      (pid, d) <- pts; (iid, s, e) <- ivl if d >= s && d < e
+    } yield (pid, iid)).sorted
+    ivl.toDF("iid", "s", "e").createOrReplaceTempView("ivl_c2")
+    pts.toDF("pid", "d").createOrReplaceTempView("pts_c2")
+    withRule(13) {
+      spark.conf.set("spark.graft.rangeJoin.maxBandsPerInterval", "32")
+      try {
+        val got = spark.sql("SELECT pid, iid FROM pts_c2 JOIN ivl_c2 ON d >= s AND d < e")
+        assert(!plan(got).contains("BroadcastNestedLoopJoin"))
+        assert(got.as[(Long, Long)].collect().toSeq.sorted === naive)
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBandsPerInterval")
+    }
+  }
+
   test("extra non-equi conjuncts ride along in the rewritten condition") {
     intervals.createOrReplaceTempView("ivl")
     points.createOrReplaceTempView("pts")
