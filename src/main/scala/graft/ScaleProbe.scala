@@ -37,8 +37,9 @@ object ScaleProbe {
     // contamination: eval side is 1/20th of the corpus; train side reduces
     // to a distinct hash set before the join
     time("contamination_8x")(ops.Dedup.contamination(spark, dir).count())
-    // paragraph dedup: the chunk-identity shuffle carries the text once;
-    // the 8x replicas make 7/8 of all chunks duplicates — worst case
+    // paragraph dedup: keep-decisions shuffle 16-byte digests only; text
+    // crosses once keyed by doc_id. 8x replicas = 7/8 duplicate chunks —
+    // worst case for the digest window
     time("paragraph_8x")(ops.Dedup.paragraphDedup(spark, dir).count())
 
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
@@ -87,8 +88,9 @@ object ScaleProbe {
     report ++= "- ANN probes read a cell/bucket fraction of the corpus; brute force\n"
     report ++= "  is the O(Q*N) floor.\n"
     report ++= "- paragraph dedup holds linear at a pathological 87.5% duplicate\n"
-    report ++= "  chunk rate: work is one text-weight shuffle + one doc-id shuffle,\n"
-    report ++= "  independent of how duplicated the corpus is.\n"
+    report ++= "  chunk rate: keep-decisions shuffle 16-byte digests (never the\n"
+    report ++= "  chunk text), and text crosses the wire once, keyed by unique\n"
+    report ++= "  doc_id -- a shuffle bucketed storage eliminates entirely.\n"
     report ++= "- semantic dedup at 8x vectors runs 8x cells (128), holding in-cell\n"
     report ++= "  pair work ~constant per cell -- the k-proportional-to-N dial that\n"
     report ++= "  keeps SemDeDup's quadratic step bounded.\n"

@@ -615,16 +615,30 @@ object Dedup {
     * license blocks — vanishes from every copy but the first, without
     * dropping whole documents.
     *
-    * Plan: one projection chunks each doc (split materialized through a
-    * projection boundary — no CSE inside expression trees), one window
-    * `row_number() over (partition by chunk order by doc_id, idx)`
-    * decides survivors, one groupBy(doc_id) reassembles. Two shuffles;
-    * the text crosses the wire once, which is unavoidable — chunk
-    * identity is global. For corpora where text dwarfs metadata, the
-    * 100 TB variant shuffles only (doc_id, idx, 16-byte chunk hash),
-    * computes the kept (doc_id, idx) set, and joins it back
-    * co-partitioned by doc_id so full text never leaves its partition —
-    * same pair-not-payload trick as the n-gram posting-list join above.
+    * Plan — hash-only, the pair-not-payload trick from the n-gram
+    * posting-list join applied to sub-document dedup:
+    *
+    *  1. Per-partition scan chunks each doc (split materialized through
+    *     a projection boundary — no CSE inside expression trees) and
+    *     emits only `(doc_id, chunk_idx, unhex(md5(chunk)))` — the
+    *     16-byte digest stands in for the chunk; the text itself never
+    *     enters this dataflow.
+    *  2. `row_number() over (partition by digest order by doc_id, idx)`
+    *     decides survivors. The window shuffle moves 16-byte keys, not
+    *     chunk strings — and the shuffle key is a uniform digest, so
+    *     corpus-wide boilerplate (the very thing this pass removes)
+    *     cannot hotspot a reducer the way `partition by chunk` did.
+    *  3. Keep-decisions collapse to one row per doc
+    *     `(doc_id, kept_idx: array<int>, n_kept, n_dropped)` — pure
+    *     metadata, a few bytes per chunk.
+    *  4. The keep-set joins back to `documents` on unique `doc_id` and
+    *     each doc re-chunks locally, rebuilding text_clean from its
+    *     kept indices. Text crosses the wire at most once here, keyed
+    *     by doc_id (never as a shuffle key); with doc_id-bucketed
+    *     storage at 100 TB this join is shuffle-free on the text side.
+    *
+    * md5 collisions merging two distinct chunks need ~2^64 distinct
+    * chunks (birthday bound) — out of reach of any corpus.
     */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedupAt(spark, dir, 10)
@@ -632,26 +646,35 @@ object Dedup {
   def paragraphDedupAt(spark: SparkSession, dir: String, chunkWords: Int): DataFrame = {
     require(chunkWords > 0)
     val c = Catalog(spark, dir)
+    val docs = c.ref("documents").select(col("doc_id"), col("text"))
     // size(w) >= 1 even for empty text (split("") = [""]), so the
     // sequence upper bound never drops below 0 (Spark's sequence(a,b)
     // with b < a counts DOWN — it must never see that shape).
-    val chunked = c.ref("documents")
+    val chunkOf = (i: String) =>
+      s"array_join(slice(w, $i * $chunkWords + 1, $chunkWords), ' ')"
+    val nChunks = s"cast(ceil(size(w) / $chunkWords.0) as int)"
+    // 1+2: digests only — 16 bytes per chunk cross the shuffle.
+    val hashed = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(size(w) / $chunkWords.0) as int) - 1),
-           |          i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))""".stripMargin)))
-      .toDF("doc_id", "chunk_idx", "chunk")
-    val firstSeen = Window.partitionBy(col("chunk"))
+        s"transform(sequence(0, $nChunks - 1), i -> unhex(md5(${chunkOf("i")})))")))
+      .toDF("doc_id", "chunk_idx", "digest")
+    val firstSeen = Window.partitionBy(col("digest"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-    chunked
+    // 3: one metadata row per doc.
+    val keepSet = hashed
       .withColumn("keep", row_number().over(firstSeen) === 1)
       .groupBy("doc_id")
       .agg(
-        collect_list(when(col("keep"), struct(col("chunk_idx"), col("chunk")))).as("kept"),
+        sort_array(collect_list(when(col("keep"), col("chunk_idx")))).as("kept_idx"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    // 4: text moves once, keyed by unique doc_id; re-chunk locally.
+    docs.join(keepSet, Seq("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        col("kept_idx"), col("n_kept"), col("n_dropped"))
       .select(col("doc_id"),
-        array_join(expr("transform(array_sort(kept), x -> x.chunk)"), " ").as("text_clean"),
+        array_join(expr(s"transform(kept_idx, i -> ${chunkOf("i")})"), " ").as("text_clean"),
         col("n_kept"), col("n_dropped"))
       .orderBy("doc_id")
   }

@@ -128,14 +128,26 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("__band"), s"equi-key must be the band id:\n$plan")
   }
 
-  test("paragraph dedup: chunk window + doc reassembly, two shuffles, no join") {
+  test("paragraph dedup: hash-only shuffles — chunk text never crosses the wire as a key") {
     val plan = executed(Dedup.paragraphDedup(spark, sf)).split("== Initial Plan ==")(0)
-    assert(!plan.contains("Join"), s"reassembly must not join back to the corpus:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
       s"dedup must stay distributed:\n$plan")
-    // chunk-identity shuffle + doc_id shuffle (+ the output sort)
-    assert("Exchange".r.findAllIn(plan).size <= 3,
-      s"expected at most chunk/doc/sort exchanges:\n$plan")
+    // No shuffle may be KEYED by the chunk/text string: every
+    // hashpartitioning/rangepartitioning expression must reference only
+    // doc_id / digest / chunk_idx, never chunk or text.
+    val partitionings = "(?:hash|range)partitioning\\([^)]*\\)".r.findAllIn(plan).toList
+    assert(partitionings.nonEmpty, s"expected shuffles in the plan:\n$plan")
+    partitionings.foreach { p =>
+      assert(!p.contains("chunk#") && !p.contains("text#"),
+        s"a shuffle is keyed by the raw text: $p\n$plan")
+    }
+    // The keep-decision window shuffles digests only; text rides through
+    // at most one exchange (the doc_id-keyed join-back, which bucketed
+    // storage eliminates at scale).
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    val textCarrying = exchanges.count(_.contains("text#"))
+    assert(textCarrying <= 1,
+      s"text must cross the wire at most once (saw $textCarrying):\n$plan")
   }
 
   test("text rarity: vocabulary and totals broadcast; tokens never shuffle for the join") {
