@@ -42,6 +42,23 @@ object ScaleProbe {
     // worst case for the digest window
     time("paragraph_8x")(ops.Dedup.paragraphDedup(spark, dir).count())
 
+    // packing on a 90%-one-language corpus: the old partitionBy(lang)
+    // window ran the dominant lang in ONE task; groupedRunningSum must
+    // span it over many range partitions.
+    val skewDir = java.nio.file.Files.createTempDirectory("scale_skew").toString
+    big.select(col("doc_id"),
+        when(col("doc_id") % 10 < 9, lit("en")).otherwise(col("lang")).as("lang"),
+        col("text"), col("source"), col("n_chars"))
+      .write.parquet(s"$skewDir/documents.parquet")
+    time("pack_skew90_8x")(ops.TextAnalysis.packSequences(spark, skewDir).count())
+    val spanned = spark.read.parquet(s"$skewDir/documents.parquet")
+      .select(col("lang"), col("doc_id"))
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .withColumn("p", spark_partition_id())
+      .filter(col("lang") === "en").select("p").distinct().count()
+    val spanLine = s"PROBE pack dominant-lang span      = $spanned partitions (was 1 under partitionBy(lang))"
+    println(spanLine); report ++= spanLine + "\n"
+
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
     // fraction of N per query.
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -91,6 +108,10 @@ object ScaleProbe {
     report ++= "  chunk rate: keep-decisions shuffle 16-byte digests (never the\n"
     report ++= "  chunk text), and text crosses the wire once, keyed by unique\n"
     report ++= "  doc_id -- a shuffle bucketed storage eliminates entirely.\n"
+    report ++= "- sequence packing on a 90%-English corpus stays parallel: the\n"
+    report ++= "  dominant language spans the partitions its row share demands\n"
+    report ++= "  (groupedRunningSum: local sums + broadcast offsets), where the\n"
+    report ++= "  naive partitionBy(lang) window would single-thread it.\n"
     report ++= "- semantic dedup at 8x vectors runs 8x cells (128), holding in-cell\n"
     report ++= "  pair work ~constant per cell -- the k-proportional-to-N dial that\n"
     report ++= "  keeps SemDeDup's quadratic step bounded.\n"

@@ -267,24 +267,24 @@ object TextAnalysis {
     * boundary (chunk_id = start_offset div budget — oversized docs span
     * chunks and just take the chunk at their start).
     *
-    * Scale shape: one running-sum window partitioned by lang — parallel
-    * across langs, no global ordering. For skew-free packing at 100 TB,
-    * partition by (lang, day) or any finer key: the packing is local to
-    * a partition by construction.
+    * Scale shape: the running sum uses [[Windows.groupedRunningSum]] —
+    * range-partitioned local sums plus broadcast per-(lang, partition)
+    * offsets — NOT `Window.partitionBy(lang)`, which would run a
+    * 90%-English corpus in a single task. A dominant language spans as
+    * many partitions as its row share demands; identical output.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesAt(spark, dir, 512)
 
   def packSequencesAt(spark: SparkSession, dir: String, budget: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Catalog(spark, dir)
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c.ref("documents")
+    val base = c.ref("documents")
       .select(col("lang"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    Windows.groupedRunningSum(base, "__rsum", col("lang"), col("n_tokens"), col("doc_id"))
+      .withColumn("start_offset", col("__rsum") - col("n_tokens")).drop("__rsum")
       .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .select("lang", "doc_id", "n_tokens", "start_offset", "chunk_id")
       .orderBy("lang", "doc_id")
   }
 
@@ -309,8 +309,10 @@ object TextAnalysis {
     * lowest doc_id per normalized fingerprint) → token-budget packing →
     * per-chunk rollup. Every stage is the same shape the standalone
     * operators use; composing them costs two narrow shuffles (the dedup
-    * window keyed by fingerprint, the packing window keyed by lang) —
-    * text never flows past the stage that needs it.
+    * window keyed by fingerprint, the packing range-repartition) — text
+    * never flows past the stage that needs it, and packing de-skews via
+    * [[Windows.groupedRunningSum]] instead of a one-task-per-language
+    * window.
     */
   def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -325,10 +327,8 @@ object TextAnalysis {
     val kept = scored
       .withColumn("rk", row_number().over(dedupW))
       .filter(col("rk") === 1).drop("rk", "fp")
-    val packW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    kept
-      .withColumn("start_offset", sum(col("n_tokens")).over(packW) - col("n_tokens"))
+    Windows.groupedRunningSum(kept, "__rsum", col("lang"), col("n_tokens"), col("doc_id"))
+      .withColumn("start_offset", col("__rsum") - col("n_tokens"))
       .withColumn("chunk_id", expr(s"start_offset div $budget"))
       .groupBy(col("lang"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))

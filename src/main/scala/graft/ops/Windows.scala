@@ -48,4 +48,49 @@ object Windows {
       .withColumn(rnName, (col("__lrn") + col("__off")).cast("long"))
       .drop("__pid", "__lrn", "__off")
   }
+
+  /** Append `sumName` = per-group running sum of `valueCol` (inclusive of
+    * the current row), ordered by `orderCols` within `groupCol` — the
+    * exact semantics of `sum(value) over (partition by group order by ord
+    * rows unbounded preceding)` — WITHOUT ever giving a whole group to
+    * one task.
+    *
+    * `Window.partitionBy(group)` running sums are the classic skew trap:
+    * a 90%-English corpus runs its dominant group in ONE task no matter
+    * how many executors exist. This helper keeps the same two-pass shape
+    * as [[globalRowNumber]], generalized to grouped sums:
+    *   1. range-repartition on (group, orderCols) — a big group spans
+    *      many partitions, each holding a contiguous order-range of it —
+    *      and running-sum *within* (group, partition): parallel window,
+    *      bounded partitions.
+    *   2. per-(group, partition) totals (≤ |partitions| + |groups| rows —
+    *      metadata, not data) get a cumulative-offset window keyed by
+    *      partition id, and broadcast-join back.
+    *
+    * Requires (groupCol, orderCols) duplicate-free across rows — range
+    * partitioning may split ties, which would make tie sums
+    * nondeterministic (same contract as [[globalRowNumber]]).
+    */
+  def groupedRunningSum(df: DataFrame, sumName: String, groupCol: Column,
+                        valueCol: Column, orderCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange((groupCol +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(groupCol, col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__lsum", sum(valueCol).over(localW))
+    // Totals per (group, partition): tiny, so the offset window's
+    // per-group partitioning is harmless here (it sees row counts in the
+    // tens, never the data).
+    val offW = Window.partitionBy(col("__g")).orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted
+      .groupBy(groupCol.as("__g"), col("__pid").as("__opid"))
+      .agg(sum(valueCol).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .select(col("__g"), col("__opid"), col("__off"))
+    local.join(broadcast(offsets),
+        groupCol <=> col("__g") && col("__pid") === col("__opid"))
+      .withColumn(sumName, col("__lsum") + col("__off"))
+      .drop("__g", "__opid", "__pid", "__lsum", "__off")
+  }
 }
