@@ -15,26 +15,42 @@ import org.apache.spark.sql.types._
   * reference has the identical serialization point. Upstream batching
   * stays parallel; only the final file assembly funnels.
   *
-  * Crypto STUB: real OpenPGP (session keys, packet framing) needs a crypto
-  * lib not present in this container. `FakeGpg` below is a deterministic
-  * stand-in (clearly marked) with the same dataflow: params row → ordered
-  * file wrap → ordered "encrypt" → ordered message packaging. The
-  * Spark-side plumbing (ordering, single-stream statefulness, schema) is
-  * real and tested (GpgPipelineSpec).
+  * Crypto: REAL RFC 4880 OpenPGP ([[Pgp]] — PKESK + literal + SEIPD/MDC,
+  * pure JDK, GnuPG-interop-tested) whenever the configured key is an
+  * actual armored public key block. The deterministic XOR stand-in is
+  * kept ONLY for non-key strings — it backs the DuckDB oracle query
+  * (`push_gpg_message`), which must be re-derivable in SQL; AES-CFB is
+  * not. The reference's own integration tests mock all four GPG external
+  * functions with canned payloads (`integration_tests/dbt_project.yml`),
+  * so the stub matches reference-test fidelity while the real path
+  * exceeds it.
   */
 object GpgPipeline {
 
-  /** U-G1 `GPG_PARAMS(public_key)` — 1-row params table. STUB: derives
-    * deterministic pseudo-params from the key text instead of real RNG.
+  /** U-G1 `GPG_PARAMS(public_key)` — 1-row params table. Real keys get a
+    * fresh random AES-256 session key, the encryption subkey's key id,
+    * and the PKESK header as gpg_prefix (the reference's exact field
+    * set); non-key strings fall back to deterministic pseudo-params for
+    * the oracle path.
     */
-  final case class GpgParams(gpgPrefix: String, keyId: String, sessionKey: String, publicKey: String)
-
-  def gpgParams(publicKey: String): GpgParams = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(publicKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    GpgParams(gpgPrefix = "85010c03", keyId = h.take(16), sessionKey = h.takeRight(16),
-      publicKey = publicKey)
+  final case class GpgParams(gpgPrefix: String, keyId: String, sessionKey: String, publicKey: String) {
+    /** True when [[publicKey]] is a real armored key → real crypto path. */
+    def isReal: Boolean = publicKey.contains("BEGIN PGP PUBLIC KEY")
   }
+
+  def gpgParams(publicKey: String): GpgParams =
+    if (publicKey.contains("BEGIN PGP PUBLIC KEY")) {
+      val pub = Pgp.parsePublicKey(publicKey)
+      val sk = new Array[Byte](32)
+      new java.security.SecureRandom().nextBytes(sk)
+      GpgParams(gpgPrefix = Pgp.pkeskHeaderHex(pub), keyId = pub.keyIdHex,
+        sessionKey = Pgp.bytesToHex(sk), publicKey = publicKey)
+    } else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(publicKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      GpgParams(gpgPrefix = "85010c03", keyId = h.take(16), sessionKey = h.takeRight(16),
+        publicKey = publicKey)
+    }
 
   /** U-G2 `JSON_TO_CSV(rn, record)` — per-row JSON object → CSV line;
     * rn 1 also emits the header row derived from the first record's keys.
@@ -73,13 +89,59 @@ object GpgPipeline {
     spark.createDataFrame(rows, schema)
   }
 
-  /** U-G3..U-G5 — ordered stateful stages over one partition. STUB crypto:
-    * "wrap" prefixes a literal-data header, "encrypt" is base64 of the
-    * session-key XOR (deterministic, NOT cryptography), "package" frames
-    * the stream with begin/end armor rows. Dataflow and ordering match the
-    * reference's windowed UDTF chain (`:95-99`).
+  /** U-G3..U-G5 — ordered stateful stages over one partition, the
+    * reference's windowed UDTF chain (`:95-99`). Dispatches on the key:
+    * a real armored public key runs real OpenPGP
+    * ([[fileWrapEncryptPackageReal]]); anything else runs the
+    * deterministic XOR stand-in that backs the DuckDB oracle.
     */
-  def fileWrapEncryptPackage(spark: SparkSession, csv: DataFrame, params: GpgParams): DataFrame = {
+  def fileWrapEncryptPackage(spark: SparkSession, csv: DataFrame, params: GpgParams): DataFrame =
+    if (params.isReal) fileWrapEncryptPackageReal(spark, csv, params)
+    else fileWrapEncryptPackageStub(spark, csv, params)
+
+  /** Real RFC 4880 pipeline: CSV rows stream through a literal-data
+    * packet (GPG_FILE_WRAPPER), AES-256-CFB SEIPD with MDC
+    * (GPG_ENCRYPT), and PKESK + armor framing (GPG_PACKAGE_MESSAGE) —
+    * one ordered pass, O(8 KiB) state, emitting armor lines as rows.
+    * Joining message_part in rn order with newlines yields a `.asc`
+    * file GnuPG decrypts (GpgRoundTripSpec proves both directions).
+    */
+  def fileWrapEncryptPackageReal(spark: SparkSession, csv: DataFrame, params: GpgParams): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("rn", LongType, nullable = false),
+      StructField("message_part", StringType)))
+    val pubKeyText = params.publicKey
+    val skHex = params.sessionKey
+    val rows = csv.repartition(1).sortWithinPartitions("rn")
+      .queryExecution.toRdd.mapPartitions { it =>
+        val pub = Pgp.parsePublicKey(pubKeyText)
+        val sk = Pgp.hexToBytes(skHex)
+        val lit = new Pgp.LiteralStream("file")
+        val seipd = new Pgp.SeipdStream(sk, new java.security.SecureRandom())
+        val armor = new Pgp.ArmorStream()
+        var rn = -1L
+        def emit(lines: Seq[String]): Seq[Row] = lines.map { l => rn += 1; Row(rn, l) }
+        val head = emit(armor.begin ++ armor.push(Pgp.pkesk(pub, sk)))
+        val body = it.flatMap { ir =>
+          val line = (ir.getUTF8String(1).toString + "\n").getBytes("UTF-8")
+          emit(armor.push(seipd.push(lit.push(line))))
+        }
+        val tail = () => emit(armor.push(seipd.push(lit.finish()) ++ seipd.finish()) ++ armor.finish())
+        head.iterator ++ body ++ new Iterator[Row] {
+          private var rest: Iterator[Row] = null
+          def hasNext: Boolean = { if (rest == null) rest = tail().iterator; rest.hasNext }
+          def next(): Row = { hasNext; rest.next() }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** STUB crypto (oracle path only): "wrap" prefixes a literal-data
+    * header, "encrypt" is base64 of the session-key XOR (deterministic,
+    * NOT cryptography), "package" frames the stream with begin/end armor
+    * rows. Dataflow and ordering match the real path.
+    */
+  def fileWrapEncryptPackageStub(spark: SparkSession, csv: DataFrame, params: GpgParams): DataFrame = {
     val schema = StructType(Seq(
       StructField("rn", LongType, nullable = false),
       StructField("message_part", StringType)))
