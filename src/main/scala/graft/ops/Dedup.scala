@@ -59,17 +59,51 @@ object Dedup {
     */
   def exact(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    c.ref("documents")
+    exactOn(c.ref("documents"))
+  }
+
+  private def exactOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), md5(concat_ws(" ", toks(col("text")))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("representative_id"), count(lit(1)).as("n_dups"))
       .orderBy("representative_id")
-  }
 
   val exactSql: String =
     """SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
       |       min(doc_id) AS representative_id, count(*) AS n_dups
       |FROM documents
+      |GROUP BY 1
+      |ORDER BY representative_id""".stripMargin
+
+  /** Adversarial-corpus exact dedup: same operator, pathological input
+    * derived deterministically from `documents` — every run of five
+    * consecutive doc_ids shares one text (mass duplication: ~80% of the
+    * corpus is duplicate), and every 7th doc is emptied (the
+    * empty-string edge the tokenizer must survive). A dedup operator
+    * that only ever sees a mostly-unique corpus is untested where it
+    * matters; this row plants the worst case under the oracle.
+    */
+  def exactAdversarial(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.ref("documents").select(col("doc_id"), col("text"))
+    val heads = docs.select(col("doc_id").as("h_id"), col("text").as("h_text"))
+    val mutated = docs
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 5).as("h_id"))
+      .join(heads, Seq("h_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("")).otherwise(col("h_text")).as("text"))
+    exactOn(mutated)
+  }
+
+  val exactAdversarialSql: String =
+    """WITH mutated AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN d.doc_id % 7 = 0 THEN '' ELSE h.text END AS text
+      |  FROM documents d JOIN documents h ON h.doc_id = d.doc_id - d.doc_id % 5)
+      |SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp,
+      |       min(doc_id) AS representative_id, count(*) AS n_dups
+      |FROM mutated
       |GROUP BY 1
       |ORDER BY representative_id""".stripMargin
 
@@ -701,6 +735,7 @@ object Dedup {
     "dedup_clusters" -> (duplicateClusters _),
     "dedup_source_sim" -> (sourceSimilarity _),
     "dedup_exact" -> (exact _),
+    "dedup_exact_adversarial" -> (exactAdversarial _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -709,6 +744,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_paragraph" -> paragraphDedupSql,
     "dedup_exact" -> exactSql,
+    "dedup_exact_adversarial" -> exactAdversarialSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> duplicateClustersSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -188,8 +188,12 @@ object Similarity {
 
   def embeddingNearDupAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val c = Catalog(spark, dir)
-    val emb = c.ref("embeddings").select(col("vec_id"), col("label"),
-      col("embedding"), l2norm(col("embedding")).as("nrm"))
+    pairsAbove(c.ref("embeddings").select(col("vec_id"), col("label"), col("embedding")), tau)
+  }
+
+  /** Same-label pairs of `emb` (vec_id, label, embedding) with cosine ≥ τ. */
+  private def pairsAbove(embIn: DataFrame, tau: Double): DataFrame = {
+    val emb = embIn.withColumn("nrm", l2norm(col("embedding")))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -201,11 +205,41 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** The REGISTERED near-dup query: the raw corpus has no same-label
+    * cosine-0.95 pairs at driver SFs, so the plain query passes with 0
+    * rows — a vacuous check (both engines returning nothing is
+    * indistinguishable from both being dead). This variant plants one
+    * perturbed copy of every 20th vector — first component zeroed,
+    * vec_id + 1,000,000, same label — giving cosine just under 1.0 by
+    * construction, so the expected output is non-empty at every SF and
+    * the threshold, pair predicate, and score arithmetic all have teeth.
+    * The perturbation reuses the original float components unchanged
+    * (zero + slice), so both engines see bit-identical inputs.
+    */
+  def embeddingNearDupPlanted(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPlantedAt(spark, dir, 0.95)
+
+  def embeddingNearDupPlantedAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val c = Catalog(spark, dir)
+    val base = c.ref("embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        concat(array(lit(0.0f)), expr("slice(embedding, 2, size(embedding))")).as("embedding"))
+    pairsAbove(base.union(planted), tau)
+  }
+
   val embeddingNearDupSql: String =
-    """WITH e AS (
+    """WITH planted AS (
+      |  SELECT vec_id + 1000000 AS vec_id, label,
+      |         list_concat([CAST(0 AS FLOAT)], embedding[2:]) AS embedding
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |all_vecs AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, label, embedding FROM planted),
+      |e AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      |  FROM embeddings)
+      |  FROM all_vecs)
       |SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
       |       list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
       |         / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
@@ -314,7 +348,7 @@ object Similarity {
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
-    "sim_embedding_neardup" -> (embeddingNearDup _))
+    "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
     "sim_semantic_dedup" -> semanticDedupSql,
