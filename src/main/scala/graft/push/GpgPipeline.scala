@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * whole-relation table functions applied `over (partition by null order
   * by row_number)` — U-G2..U-G5 in SURVEY §2.8.
   *
-  * Spark mapping (W3): `repartition(1).sortWithinPartitions(rn)` +
-  * `mapPartitions` — a stateful, order-sensitive transform. The single
-  * partition is inherent to the semantics (one GPG message stream); the
-  * reference has the identical serialization point. Upstream batching
-  * stays parallel; only the final file assembly funnels.
+  * Spark mapping (W3): every per-row stage runs PARALLEL on whatever
+  * partitioning the input has — JSON→CSV rendering (the CPU-heavy step)
+  * broadcasts the header and maps rows in place, and the stub "encrypt"
+  * is stateless per row. Only the real cipher pass funnels
+  * (`repartition(1).sortWithinPartitions(rn)` + `mapPartitions`):
+  * AES-CFB chaining makes one GPG message inherently serial — the
+  * reference has the identical serialization point (`over (partition by
+  * null order by rn)`). The scale path for huge pushes is sharding the
+  * payload into one message per SFMC batch (the /100 batching upstream
+  * already defines the shard key), not parallelizing CFB.
   *
   * Crypto: REAL RFC 4880 OpenPGP ([[Pgp]] — PKESK + literal + SEIPD/MDC,
   * pure JDK, GnuPG-interop-tested) whenever the configured key is an
@@ -53,40 +58,46 @@ object GpgPipeline {
     }
 
   /** U-G2 `JSON_TO_CSV(rn, record)` — per-row JSON object → CSV line;
-    * rn 1 also emits the header row derived from the first record's keys.
+    * rn 0 carries the header row derived from the rn-1 record's keys.
     * Real implementation (no stub): key order is first-seen field order.
+    *
+    * Parallel: the header is a one-row driver lookup broadcast to every
+    * task; each line then renders independently on whatever partition it
+    * lives on — no funnel, no sort. (The old single-partition pass made
+    * JSON parsing, the CPU-heavy step of the encrypted path, serial.)
     */
   def jsonToCsv(spark: SparkSession, numbered: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("rn", LongType, nullable = false),
       StructField("csv_line", StringType)))
-    val rows = numbered.select(col("rn"), col("record"))
-      .repartition(1).sortWithinPartitions("rn")
+    val esc: String => String = s =>
+      if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+        "\"" + s.replace("\"", "\"\"") + "\"" else s
+    val firstRec = numbered.filter(col("rn") === 1).select(col("record")).head(1)
+    if (firstRec.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val header: Seq[String] = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstRec(0).getString(0))
+      val b = Seq.newBuilder[String]
+      val fit = node.fieldNames(); while (fit.hasNext) b += fit.next()
+      b.result()
+    }
+    val headerB = spark.sparkContext.broadcast(header)
+    val body = numbered.select(col("rn"), col("record"))
       .queryExecution.toRdd.mapPartitions { it =>
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        var header: Seq[String] = null
-        it.flatMap { ir =>
-          val rn = ir.getLong(0)
-          val rec = ir.getUTF8String(1).toString
-          val node = mapper.readTree(rec)
-          val names = {
-            val b = Seq.newBuilder[String]
-            val fit = node.fieldNames(); while (fit.hasNext) b += fit.next()
-            b.result()
-          }
-          if (header == null) header = names
-          def esc(s: String): String =
-            if (s.contains(",") || s.contains("\"") || s.contains("\n"))
-              "\"" + s.replace("\"", "\"\"") + "\"" else s
-          val line = header.map { f =>
+        val hdr = headerB.value
+        it.map { ir =>
+          val node = mapper.readTree(ir.getUTF8String(1).toString)
+          val line = hdr.map { f =>
             val v = node.get(f); if (v == null || v.isNull) "" else esc(v.asText())
           }.mkString(",")
-          val out = if (rn == 1L) Seq((0L, header.map(esc).mkString(",")), (rn, line))
-          else Seq((rn, line))
-          out.map { case (n, l) => Row(n, l) }
+          Row(ir.getLong(0), line)
         }
       }
-    spark.createDataFrame(rows, schema)
+    val headerRow = spark.sparkContext.parallelize(
+      Seq(Row(0L, header.map(esc).mkString(","))), 1)
+    spark.createDataFrame(headerRow.union(body), schema)
   }
 
   /** U-G3..U-G5 — ordered stateful stages over one partition, the
@@ -117,7 +128,7 @@ object GpgPipeline {
         val pub = Pgp.parsePublicKey(pubKeyText)
         val sk = Pgp.hexToBytes(skHex)
         val lit = new Pgp.LiteralStream("file")
-        val seipd = new Pgp.SeipdStream(sk, new java.security.SecureRandom())
+        val seipd = new Pgp.SeipdStream(sk, Pgp.derivedPrefix(sk))
         val armor = new Pgp.ArmorStream()
         var rn = -1L
         def emit(lines: Seq[String]): Seq[Row] = lines.map { l => rn += 1; Row(rn, l) }
@@ -140,6 +151,12 @@ object GpgPipeline {
     * header, "encrypt" is base64 of the session-key XOR (deterministic,
     * NOT cryptography), "package" frames the stream with begin/end armor
     * rows. Dataflow and ordering match the real path.
+    *
+    * Parallel: the per-row XOR is stateless, so body rows render on
+    * whatever partition they live on, keyed by their csv rn (+1 — the
+    * armor BEGIN row takes 0; requires the dense 0..N numbering
+    * [[jsonToCsv]] produces). Byte-identical to the old serial pass at
+    * any input partitioning (GpgPipelineSpec pins this).
     */
   def fileWrapEncryptPackageStub(spark: SparkSession, csv: DataFrame, params: GpgParams): DataFrame = {
     val schema = StructType(Seq(
@@ -148,22 +165,21 @@ object GpgPipeline {
     val key = params.sessionKey.getBytes("UTF-8")
     val prefix = params.gpgPrefix
     val keyId = params.keyId
-    val rows = csv.repartition(1).sortWithinPartitions("rn")
+    val body = csv.select(col("rn"), col("csv_line"))
       .queryExecution.toRdd.mapPartitions { it =>
         val enc = java.util.Base64.getEncoder
-        var i = -1L
-        val body = it.map { ir =>
-          i += 1
+        it.map { ir =>
           val line = ir.getUTF8String(1).toString
           // STUB "encryption": XOR with session key bytes, base64 — NOT secure,
           // placeholder for an OpenPGP SEIP packet stream.
           val xored = line.getBytes("UTF-8").zipWithIndex
             .map { case (b, j) => (b ^ key(j % key.length)).toByte }
-          Row(i + 1, enc.encodeToString(xored))
+          Row(ir.getLong(0) + 1L, enc.encodeToString(xored))
         }
-        Iterator(Row(0L, s"-----BEGIN PGP MESSAGE-----|$prefix|$keyId")) ++ body ++
-          Iterator(Row(Long.MaxValue, "-----END PGP MESSAGE-----"))
       }
-    spark.createDataFrame(rows, schema)
+    val frame = spark.sparkContext.parallelize(Seq(
+      Row(0L, s"-----BEGIN PGP MESSAGE-----|$prefix|$keyId"),
+      Row(Long.MaxValue, "-----END PGP MESSAGE-----")), 1)
+    spark.createDataFrame(frame.union(body), schema)
   }
 }

@@ -320,12 +320,32 @@ object Pgp {
       if (!started) { started = true; ps.push(header); ps.finish() } else ps.finish()
   }
 
+  /** 16 random prefix bytes (GnuPG's choice). */
+  def randomPrefix(rand: java.security.SecureRandom): Array[Byte] = {
+    val p = new Array[Byte](16); rand.nextBytes(p); p
+  }
+
+  /** Deterministic prefix derived from the (fresh, secret) session key.
+    * The SEIPD prefix only needs uniqueness per key — a fresh random
+    * session key per message makes a key-derived prefix sound, and it
+    * buys a fully deterministic message for a given params row:
+    * re-runs and re-partitionings produce byte-identical output
+    * (GpgPipelineSpec pins this).
+    */
+  def derivedPrefix(sessionKey: Array[Byte]): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(sessionKey)
+    md.update("graft-seipd-prefix".getBytes("UTF-8"))
+    md.digest().take(16)
+  }
+
   /** Streaming SEIPD (tag 18, v1) — §5.13: AES-CFB over
     * [prefix(16)+repeat(2) || plaintext || 0xD3 0x14 || SHA1(all prior)],
     * zero IV, with the trailing SHA-1 MDC.
     */
-  final class SeipdStream(sessionKey: Array[Byte], rand: java.security.SecureRandom,
+  final class SeipdStream(sessionKey: Array[Byte], prefix16: Array[Byte],
                           chunkLog2: Int = 13) {
+    require(prefix16.length == 16, "prefix must be one AES block")
     private val bs = 16
     private val cipher = {
       val c = Cipher.getInstance("AES/CFB/NoPadding")
@@ -340,7 +360,7 @@ object Pgp {
     private def start(): Array[Byte] = {
       started = true
       val pre = new Array[Byte](bs + 2)
-      rand.nextBytes(pre)
+      System.arraycopy(prefix16, 0, pre, 0, bs)
       pre(bs) = pre(bs - 2); pre(bs + 1) = pre(bs - 1) // quick-check repeat
       mdc.update(pre)
       ps.push(Array(1.toByte) ++ cipher.update(pre)) // version byte, then ciphertext
