@@ -42,6 +42,16 @@ object ScaleProbe {
     // worst case for the digest window
     time("paragraph_8x")(ops.Dedup.paragraphDedup(spark, dir).count())
 
+    // distributed cluster resolution, driver fast-path disabled: 8x
+    // replicas make every doc family an 8-clique, so min-label
+    // propagation converges in diameter+1 rounds over a dense edge set —
+    // the 100 TB path the default threshold would skip at this size
+    time("clusters_dist_8x")(
+      ops.Dedup.duplicateClustersAt(spark, dir, 0.5, driverThreshold = 8).count())
+    val roundsLine = s"PROBE clusters_dist rounds-to-converge = ${ops.Dedup.lastClusterRounds}" +
+      " (1 join + 1 min-agg shuffle per round, labels only -- 16 bytes/row)"
+    println(roundsLine); report ++= roundsLine + "\n"
+
     // packing on a 90%-one-language corpus: the old partitionBy(lang)
     // window ran the dominant lang in ONE task; groupedRunningSum must
     // span it over many range partitions.
@@ -115,6 +125,10 @@ object ScaleProbe {
     report ++= "- semantic dedup at 8x vectors runs 8x cells (128), holding in-cell\n"
     report ++= "  pair work ~constant per cell -- the k-proportional-to-N dial that\n"
     report ++= "  keeps SemDeDup's quadratic step bounded.\n"
+    report ++= "- distributed cluster resolution (driver fast-path disabled)\n"
+    report ++= "  converges in a handful of min-label rounds even on the dense 8x\n"
+    report ++= "  clique graph; each round shuffles 16-byte (id,label) rows only,\n"
+    report ++= "  so round cost tracks |edges|, not corpus bytes.\n"
     report ++= "- On a 50%-hot-key join, salting beats both the plain shuffle join\n"
     report ++= "  and AQE (whose skew split does not engage below its 256MB\n"
     report ++= "  partition threshold at this size).\n"
@@ -122,5 +136,13 @@ object ScaleProbe {
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")
     spark.stop()
+    // repeated probe runs must not accumulate 8x corpora in /tmp
+    Seq(dir, skewDir).foreach { d =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(d)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    }
   }
 }

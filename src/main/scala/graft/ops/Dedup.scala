@@ -420,10 +420,12 @@ object Dedup {
     * microseconds — the iterative join plan would spend seconds of pure
     * job-scheduling overhead on a 10^2-edge graph. Past the threshold
     * the distributed min-label propagation takes over (same result;
-    * DedupSpec asserts path equality).
+    * DedupSpec asserts path equality). The threshold bounds the only
+    * data-sized driver collect in the engine: 2^20 edges × 16 bytes
+    * ≈ 16 MB worst case before the probe bails to the distributed path.
     */
   def duplicateClustersAt(spark: SparkSession, dir: String, tau: Double,
-      driverThreshold: Long = 1L << 22): DataFrame = {
+      driverThreshold: Long = 1L << 20): DataFrame = {
     // ngramPairsAt, not ngramJaccardAt: the edge set needs no
     // presentation sort. The checkpoint materializes the pair plan once;
     // the size probe collects AT MOST threshold+1 rows (CollectLimit —
@@ -470,6 +472,11 @@ object Dedup {
     * witness — one cheap aggregate per round. localCheckpoint per round
     * bounds the lineage.
     */
+  /** Rounds the last [[clustersDistributed]] run took to converge —
+    * probe instrumentation only (ScaleProbe records it in SCALE.md).
+    */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   private[ops] def clustersDistributed(
       edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sym = edges.unionByName(
@@ -480,6 +487,7 @@ object Dedup {
       df.agg(sum("label")).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
       val prop = labels.join(sym, labels("id") === sym("id1"))
         .select(col("id2").as("id"), col("label"))
@@ -490,7 +498,9 @@ object Dedup {
       converged = s == prevSum
       prevSum = s
       labels = next
+      rounds += 1
     }
+    lastClusterRounds = rounds
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -32,8 +32,15 @@ object Windows {
   /** Append a 1-based global `rnName` column ordered by `orderCols`. */
   def globalRowNumber(df: DataFrame, rnName: String, orderCols: Column*): DataFrame = {
     val spark = df.sparkSession
+    // localCheckpoint pins ONE evaluation of the range shuffle: the counts
+    // pass and the numbering pass below both read the materialized
+    // partitions, so a nondeterministic upstream (unordered shuffle
+    // output changing the range-bound sample) cannot give the two
+    // branches different __pid assignments. Lazy — materialized by the
+    // counts collect, reused by the join.
     val parted = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val local = parted.withColumn("__lrn",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
     // Pass 1: per-partition counts → cumulative offsets (driver-side;
@@ -73,8 +80,12 @@ object Windows {
     */
   def groupedRunningSum(df: DataFrame, sumName: String, groupCol: Column,
                         valueCol: Column, orderCols: Column*): DataFrame = {
+    // Same single-evaluation pin as globalRowNumber: the local-sum and
+    // offset subtrees must see identical __pid assignments even with
+    // exchange reuse disabled and a nondeterministic upstream.
     val parted = df.repartitionByRange((groupCol +: orderCols): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     val localW = Window.partitionBy(groupCol, col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__lsum", sum(valueCol).over(localW))

@@ -41,6 +41,13 @@ object GpgPipeline {
   final case class GpgParams(gpgPrefix: String, keyId: String, sessionKey: String, publicKey: String) {
     /** True when [[publicKey]] is a real armored key → real crypto path. */
     def isReal: Boolean = publicKey.contains("BEGIN PGP PUBLIC KEY")
+    /** sessionKey is live key material on the real path: never show()/log
+      * /persist a params row. toString redacts it so accidental logging
+      * (or Spark task-failure messages capturing the closure) cannot
+      * leak the key.
+      */
+    override def toString: String =
+      s"GpgParams($gpgPrefix,$keyId,<redacted>,${publicKey.take(24)}...)"
   }
 
   def gpgParams(publicKey: String): GpgParams =
@@ -73,7 +80,9 @@ object GpgPipeline {
     val esc: String => String = s =>
       if (s.contains(",") || s.contains("\"") || s.contains("\n"))
         "\"" + s.replace("\"", "\"\"") + "\"" else s
-    val firstRec = numbered.filter(col("rn") === 1).select(col("record")).head(1)
+    // min-rn row, NOT filter(rn === 1): a filtered subset or 0-based
+    // numbering must still yield a header (TakeOrdered — one bounded job)
+    val firstRec = numbered.orderBy(col("rn")).select(col("record")).head(1)
     if (firstRec.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val header: Seq[String] = {

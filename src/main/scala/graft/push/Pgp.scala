@@ -236,12 +236,60 @@ object Pgp {
     RsaPub(n, e, md.digest().takeRight(8))
   }
 
-  /** The key to encrypt to: the LAST RSA subkey (tag 14 — GnuPG puts the
-    * encryption subkey there), falling back to the primary (tag 6).
+  /** Key-flags octet (subpacket 27, §5.2.3.21) from a v4 signature's
+    * hashed area; None when absent or not a v4 signature. Only hashed
+    * subpackets count — unhashed ones are attacker-writable.
+    */
+  private def keyFlags(sig: Array[Byte]): Option[Int] = {
+    if (sig.length < 6 || (sig(0) & 0xFF) != 4) return None
+    val hashedLen = ((sig(4) & 0xFF) << 8) | (sig(5) & 0xFF)
+    var i = 6
+    val end = math.min(6 + hashedLen, sig.length)
+    while (i < end) {
+      val o1 = sig(i) & 0xFF
+      val (len, lo) =
+        if (o1 < 192) (o1, 1)
+        else if (o1 < 255) (((o1 - 192) << 8) + (sig(i + 1) & 0xFF) + 192, 2)
+        else (((sig(i + 1) & 0xFF) << 24) | ((sig(i + 2) & 0xFF) << 16) |
+          ((sig(i + 3) & 0xFF) << 8) | (sig(i + 4) & 0xFF), 5)
+      if (len >= 1 && i + lo + len <= sig.length) {
+        val tpe = sig(i + lo) & 0x7F
+        if (tpe == 27 && len >= 2) return Some(sig(i + lo + 1) & 0xFF)
+      }
+      i += lo + len
+    }
+    None
+  }
+
+  /** The key to encrypt to. Preference order (§5.2.3.21 key flags 0x04 =
+    * encrypt communications, 0x08 = encrypt storage, read from each
+    * subkey's binding signature sig-type 0x18):
+    * 1. the last RSA subkey (tag 14) whose binding signature carries an
+    *    encrypt flag — skips signing-only subkeys that GnuPG would
+    *    refuse to address a PKESK to;
+    * 2. the last RSA subkey regardless of flags (keys with no key-flags
+    *    subpacket, e.g. our own minimal [[armorPublicKey]] blocks);
+    * 3. the primary key (tag 6).
+    * Expiry/revocation are NOT checked — callers hold keys they control.
     */
   def parsePublicKey(armored: String): RsaPub = {
     val ps = packets(dearmor(armored))
-    ps.filter(p => p.tag == 14 && isRsaKeyBody(p.body)).lastOption
+    // pair each subkey with the key-flags of the binding sig that follows it
+    val subkeys = Seq.newBuilder[(Packet, Option[Int])]
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      if (p.tag == 14 && isRsaKeyBody(p.body)) {
+        val flags = ps.drop(i + 1).takeWhile(q => q.tag == 2)
+          .filter(q => q.body.length > 1 && (q.body(1) & 0xFF) == 0x18)
+          .flatMap(q => keyFlags(q.body)).headOption
+        subkeys += ((p, flags))
+      }
+      i += 1
+    }
+    val sks = subkeys.result()
+    sks.filter(_._2.exists(f => (f & 0x0C) != 0)).lastOption.map(_._1)
+      .orElse(sks.lastOption.map(_._1))
       .orElse(ps.find(p => p.tag == 6 && isRsaKeyBody(p.body)))
       .map(p => rsaFromKeyBody(p.body))
       .getOrElse(throw new IllegalArgumentException("no RSA public key packet in block"))

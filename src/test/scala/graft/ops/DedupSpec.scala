@@ -74,9 +74,12 @@ class DedupSpec extends SparkTestBase {
   test("duplicateClusters: driver union-find and distributed propagation agree") {
     val viaDriver = Dedup.duplicateClustersAt(spark, sf, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaDistributed = Dedup.duplicateClustersAt(spark, sf, 0.5, driverThreshold = 0)
+    // threshold 8 < |edges| forces the distributed min-label path on the
+    // same fixture the default (driver union-find) path resolves locally
+    val viaDistributed = Dedup.duplicateClustersAt(spark, sf, 0.5, driverThreshold = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaDriver === viaDistributed)
+    assert(viaDriver.nonEmpty)
   }
 
   test("MinHashMerge sketch equals the signature of the unioned shingle set") {
