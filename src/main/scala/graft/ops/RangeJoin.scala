@@ -107,9 +107,85 @@ object RangeJoin {
       |FROM o JOIN p ON p.d >= o.s AND p.d < o.s + 7
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle-checked query (J6 sentinel variant): same order-week
+    * attribution, but every 50th order's interval is OPEN-ENDED — its
+    * end is the epoch-day sentinel for 9999-12-31 (2932896), the shape
+    * that makes naive banding explode `sequence()` into ~400k band rows
+    * per interval. Runs through `spark.sql` TEXT with
+    * [[graft.plans.RangeJoinBandingRule]] injected and
+    * `maxBandsPerInterval = 4` set, so the oversized intervals take the
+    * rule's sentinel-bucket path while the 7-day ones band normally.
+    * The DuckDB oracle recomputes the join exactly — this is the
+    * correctness proof of the cap path the rule spec alone can't give.
+    *
+    * The rule injection and confs are scoped to this query: the result
+    * is eagerly pinned with `localCheckpoint` under the confs, which are
+    * then restored so sibling Verify queries never see band rewriting.
+    * Throws if the optimized plan lacks the cap path's probe marker
+    * (`__band_pf`) — a silently-not-firing rule must fail the row
+    * rather than pass vacuously through the nested-loop plan.
+    */
+  def j6RangeJoinSentinel(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val epoch = lit("1970-01-01").cast("date")
+    c.ref("orders").select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s"))
+      .withColumn("e", when(col("o_orderkey") % 50 === 0, lit(2932896L))
+        .otherwise(col("s") + 7))
+      .createOrReplaceTempView("__rj_intervals")
+    c.ref("lineitem").filter(col("l_orderkey") % 199 === 0)
+      .select(datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("d"))
+      .createOrReplaceTempView("__rj_points")
+    val rule = graft.plans.RangeJoinBandingRule(spark)
+    val hadRule = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.RangeJoinBandingRule])
+    if (!hadRule)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    val prevW = spark.conf.getOption("spark.graft.rangeJoin.bandWidth")
+    val prevCap = spark.conf.getOption("spark.graft.rangeJoin.maxBandsPerInterval")
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", "7")
+      spark.conf.set("spark.graft.rangeJoin.maxBandsPerInterval", "4")
+      val df = spark.sql(
+        """SELECT o.o_orderkey, COUNT(*) AS n_shipped
+          |FROM __rj_intervals o JOIN __rj_points p
+          |  ON p.d >= o.s AND p.d < o.e
+          |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin)
+      val usedCap = df.queryExecution.optimizedPlan.exists(
+        _.output.exists(_.name == "__band_pf"))
+      require(usedCap,
+        "RangeJoinBandingRule cap path did not fire for j6_range_join_sentinel")
+      df.localCheckpoint() // eager: executes under the banding confs
+    } finally {
+      prevW.fold(spark.conf.unset("spark.graft.rangeJoin.bandWidth"))(
+        spark.conf.set("spark.graft.rangeJoin.bandWidth", _))
+      prevCap.fold(spark.conf.unset("spark.graft.rangeJoin.maxBandsPerInterval"))(
+        spark.conf.set("spark.graft.rangeJoin.maxBandsPerInterval", _))
+      if (!hadRule)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  val j6RangeJoinSentinelSql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+      |           FROM orders),
+      |oi AS (SELECT o_orderkey, s,
+      |              CASE WHEN o_orderkey % 50 = 0 THEN 2932896 ELSE s + 7 END AS e
+      |       FROM o),
+      |p AS (SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      |      FROM lineitem WHERE l_orderkey % 199 = 0)
+      |SELECT oi.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+      |FROM oi JOIN p ON p.d >= oi.s AND p.d < oi.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j6_range_join" -> (j6RangeJoin _))
+    "j6_range_join" -> (j6RangeJoin _),
+    "j6_range_join_sentinel" -> (j6RangeJoinSentinel _))
 
   val oracles: Map[String, String] = Map(
-    "j6_range_join" -> j6RangeJoinSql)
+    "j6_range_join" -> j6RangeJoinSql,
+    "j6_range_join_sentinel" -> j6RangeJoinSentinelSql)
 }
