@@ -1,27 +1,50 @@
 package graft.multimodal
 
-/** Media decode STUBS.
+/** Media codecs: REAL pure-JDK decode for the formats the JDK ships
+  * codecs for, deterministic stubs for everything else.
   *
-  * Real image/audio/video decode needs codec libraries (javacv/ffmpeg,
-  * TwelveMonkeys, javax.imageio plugins) that are NOT present in this
-  * container. Each function below is a clearly-marked deterministic fake
-  * that derives its outputs from the payload bytes alone, so the
-  * surrounding Spark plumbing — schemas, mapPartitions batch shape,
-  * partition-parallel decode, column contracts — is real, testable, and
-  * oracle-checkable. Swapping a real codec in changes ONLY these
-  * function bodies.
+  *  - Images: `javax.imageio` (PNG, JPEG, GIF, BMP readers are part of
+  *    the JDK). [[decodeImage]] / [[resize]] run the real decoder and
+  *    fall back to the old deterministic stubs when the payload is not a
+  *    decodable image — the stub path is what the documents-as-binary
+  *    oracle queries exercise (their payloads are UTF-8 text), and its
+  *    outputs are pure arithmetic on the byte length so DuckDB can
+  *    replicate them.
+  *  - Audio: `javax.sound.sampled` (WAV/AIFF/AU PCM). [[decodeWav]] /
+  *    [[audioFeatures]] decode real PCM; non-audio payloads fall back to
+  *    the byte-histogram stub.
+  *  - Video: no JDK codec exists; frame sampling stays a byte-window
+  *    stub ([[sampleFramesStub]]) with real Spark-side plumbing.
+  *
+  * Real-path correctness is proven two ways: MediaPipelineSpec decodes
+  * known-good byte arrays (exact pixels / exact PCM samples), and the
+  * multimodal_*_real oracle queries plant PNG/WAV fixtures whose decoded
+  * properties are arithmetic in doc_id — Spark decodes actual bytes,
+  * DuckDB recomputes the expected values.
   */
 object Codecs {
 
   final case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
 
-  /** STUB image decode: dimensions derived deterministically from the
-    * payload (real impl: ImageIO.read / ffmpeg probe).
+  /** REAL image decode via ImageIO; falls back to [[decodeImageStub]]
+    * when the payload is not an image the JDK can read.
+    */
+  def decodeImage(payload: Array[Byte]): ImageMeta = {
+    val img = readImage(payload)
+    if (img != null)
+      ImageMeta(img.getWidth, img.getHeight, img.getRaster.getNumBands,
+        magicFormat(payload))
+    else decodeImageStub(payload)
+  }
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+
+  /** STUB image decode (non-image payloads): dimensions derived
+    * deterministically from the payload length, replicable in SQL.
     */
   def decodeImageStub(payload: Array[Byte]): ImageMeta = {
-    // ??? real decode goes here; deterministic fake below (pure
-    // arithmetic on the byte length, so the DuckDB oracle can replicate
-    // the whole pipeline end-to-end).
     val n = payload.length
     ImageMeta(
       width = 64 + (n % 577),
@@ -30,9 +53,7 @@ object Codecs {
       format = magicFormat(payload))
   }
 
-  /** STUB format sniffing from magic bytes — this part is real logic
-    * (the signatures are public file-format magic numbers).
-    */
+  /** Format sniffing from magic bytes (public file-format signatures). */
   def magicFormat(payload: Array[Byte]): String = {
     def startsWith(sig: Int*): Boolean =
       payload.length >= sig.length && sig.zipWithIndex.forall { case (b, i) =>
@@ -44,11 +65,36 @@ object Codecs {
     else "bin"
   }
 
-  /** STUB resize: real impl scales pixels; the fake re-hashes the payload
-    * to a W*H-independent digest so downstream schema/flow is exercised.
+  /** REAL resize: nearest-neighbor resample (deterministic — no
+    * platform-dependent filtering) re-encoded as PNG. Non-image payloads
+    * fall back to [[resizeStub]].
+    */
+  def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = readImage(payload)
+    if (img == null) resizeStub(payload, w, h)
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val sy = y * img.getHeight / h
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / w, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** STUB resize (non-image payloads): re-hashes the payload to a
+    * length-contract digest so downstream schema/flow is exercised.
     */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // ??? real resample goes here; deterministic fake below.
     val out = new Array[Byte](math.min(payload.length, w * h / 64 + 16))
     var i = 0
     while (i < out.length) { out(i) = (payload(i % math.max(payload.length, 1)) ^ (w + h)).toByte; i += 1 }
@@ -56,7 +102,8 @@ object Codecs {
   }
 
   /** STUB frame sampling: treats the payload as `frameSize`-byte frames
-    * and returns every `stride`-th frame (real impl: ffmpeg -vf select).
+    * and returns every `stride`-th frame (a real impl needs a video
+    * codec, which the JDK does not ship).
     */
   def sampleFramesStub(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] = {
     payload.grouped(frameSize).zipWithIndex
@@ -64,8 +111,70 @@ object Codecs {
       .toSeq
   }
 
+  final case class WavMeta(sampleRate: Int, channels: Int, nSamples: Long)
+
+  /** REAL audio probe: container metadata via AudioSystem (WAV/AIFF/AU).
+    * Returns None for payloads no JDK codec accepts.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        Some(WavMeta(f.getSampleRate.toInt, f.getChannels, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** REAL PCM decode: interleaved 16-bit signed samples as doubles in
+    * [-1, 1) (v / 32768 — exact in binary floating point). Only
+    * PCM_SIGNED 16-bit payloads are supported; others return None.
+    */
+  def decodePcm16(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1)
+            val v = if (f.isBigEndian) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff))
+            else ((hi << 8) | lo)
+            out(i) = v / 32768.0
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Audio feature vector: REAL path buckets mean |amplitude| of the
+    * decoded PCM stream by sample index mod `dim`; non-audio payloads
+    * fall back to the byte-histogram stub.
+    */
+  def audioFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    decodePcm16(payload) match {
+      case Some(samples) =>
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var i = 0
+        while (i < samples.length) {
+          sums(i % dim) += math.abs(samples(i)); counts(i % dim) += 1; i += 1
+        }
+        Array.tabulate(dim)(j => if (counts(j) == 0) 0f else (sums(j) / counts(j)).toFloat)
+      case None => audioFeaturesStub(payload, dim)
+    }
+
   /** STUB audio feature: fixed-length "embedding" from byte histogram
-    * moments (real impl: mel spectrogram → encoder).
+    * moments (non-audio payloads).
     */
   def audioFeaturesStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -75,5 +184,52 @@ object Codecs {
       i += 1
     }
     out
+  }
+
+  // ---- deterministic fixture encoders (test + oracle plants) ---------------
+
+  /** Encode a solid-color RGB PNG — the planted fixture for the
+    * multimodal_*_real oracle queries (decoded properties arithmetic in
+    * the caller's id).
+    */
+  def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode an image payload to (width, height, r, g, b of pixel(0,0)) —
+    * the oracle-checkable probe of a decoded/resized image. Throws on
+    * non-image payloads (the real-fixture queries only feed it PNGs).
+    */
+  def probeImage(payload: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    val img = readImage(payload)
+    require(img != null, "probeImage: payload is not a decodable image")
+    val rgb = img.getRGB(0, 0)
+    (img.getWidth, img.getHeight, (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+  }
+
+  /** Encode mono 16-bit little-endian PCM WAV (44-byte RIFF header). */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
   }
 }

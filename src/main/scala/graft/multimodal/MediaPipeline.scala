@@ -6,8 +6,9 @@ import org.apache.spark.sql.types._
 
 /** Spark-side multimodal plumbing over opaque binary payload columns.
   *
-  * The decode itself is a stub (Codecs.scala — codec libs absent in this
-  * container); everything around it is the real 100 TB design:
+  * Decode is REAL for JDK-supported formats (ImageIO images, sampled
+  * WAV/AIFF PCM — see Codecs.scala) with deterministic stub fallback for
+  * everything else; the surrounding dataflow is the real 100 TB design:
   *
   *  - decode runs inside `mapPartitions` on the columnar scan output —
   *    per-partition batching, no driver involvement, no shuffle;
@@ -39,7 +40,7 @@ object MediaPipeline {
       it.map { r =>
         val id = r.getLong(idIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val meta = Codecs.decodeImageStub(payload)
+        val meta = Codecs.decodeImage(payload)
         Row(id, meta.format, meta.width, meta.height, meta.channels,
           payload.length.toLong,
           ((payload.length + frameSize - 1) / frameSize))
@@ -77,10 +78,10 @@ object MediaPipeline {
     StructField("n_bytes_in", LongType, nullable = false),
     StructField("resized", BinaryType)))
 
-  /** Resize each payload to target dimensions (stub resample —
-    * Codecs.resizeStub). Same partition-parallel, payload-in/payload-out
-    * shape a real thumbnailing pass has; downstream stages read
-    * `resized` instead of the original bytes.
+  /** Resize each payload to target dimensions (real nearest-neighbor
+    * resample for decodable images, stub otherwise — Codecs.resize).
+    * Partition-parallel, payload-in/payload-out shape; downstream stages
+    * read `resized` instead of the original bytes.
     */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
@@ -88,7 +89,7 @@ object MediaPipeline {
     val rows = media.rdd.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row(r.getLong(idIdx), payload.length.toLong, Codecs.resizeStub(payload, w, h))
+        Row(r.getLong(idIdx), payload.length.toLong, Codecs.resize(payload, w, h))
       }
     }
     spark.createDataFrame(rows, resizeSchema)
@@ -98,10 +99,11 @@ object MediaPipeline {
     StructField("media_id", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false))))
 
-  /** Fixed-dimension feature vector per payload (stub byte-histogram
-    * "embedding" — Codecs.audioFeaturesStub). Output shape feeds the
-    * Similarity/Ivf ANN operators directly (same Array[Float] contract
-    * as the embeddings table).
+  /** Fixed-dimension feature vector per payload (real PCM bucket means
+    * for decodable audio, byte-histogram stub otherwise —
+    * Codecs.audioFeatures). Output shape feeds the Similarity/Ivf ANN
+    * operators directly (same Array[Float] contract as the embeddings
+    * table).
     */
   def audioFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
@@ -109,7 +111,7 @@ object MediaPipeline {
     val rows = media.rdd.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row(r.getLong(idIdx), Codecs.audioFeaturesStub(payload, dim).toSeq)
+        Row(r.getLong(idIdx), Codecs.audioFeatures(payload, dim).toSeq)
       }
     }
     spark.createDataFrame(rows, audioFeatureSchema)

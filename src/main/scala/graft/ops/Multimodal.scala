@@ -129,15 +129,126 @@ object Multimodal {
       |       CAST(least(octet_length(CAST(text AS BLOB)), 64 * 48 // 64 + 16) AS BIGINT) AS n_bytes_out
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- REAL-codec fixtures ---------------------------------------------------
+  // Every 5th doc_id plants an actual PNG (solid color, dimensions and
+  // color arithmetic in doc_id) or WAV (constant-amplitude PCM16). Spark
+  // DECODES REAL BYTES through ImageIO / AudioSystem; DuckDB recomputes
+  // the expected properties arithmetically — so a broken decoder (or a
+  // stub silently taking over) fails the row. Encoded byte counts are
+  // excluded from the output: PNG/WAV container overhead is not
+  // SQL-predictable, and the point is decode(encode(x)) == x.
+
+  import graft.multimodal.Codecs
+
+  private val plantedPngSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType)))
+
+  /** One real PNG per selected doc: w = 16 + id%32, h = 16 + (id/3)%24,
+    * solid color (id%256, id*7%256, id*13%256). Executor-side encode —
+    * the driver never holds payloads.
+    */
+  private def plantedPng(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Catalog(spark, dir).ref("documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val rows = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      Row(id, Codecs.encodePng(
+        (16 + id % 32).toInt, (16 + (id / 3) % 24).toInt,
+        (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+    }
+    spark.createDataFrame(rows, plantedPngSchema)
+  }
+
+  /** Real ImageIO decode of planted PNGs through the standard pipeline. */
+  def decodeReal(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaPipeline.decodeFeatures(spark, plantedPng(spark, dir))
+      .select(col("media_id"), col("format"), col("width"), col("height"), col("channels"))
+      .orderBy("media_id")
+
+  val decodeRealSql: String =
+    """SELECT doc_id AS media_id, 'png' AS format,
+      |       CAST(16 + doc_id % 32 AS INT) AS width,
+      |       CAST(16 + (doc_id // 3) % 24 AS INT) AS height,
+      |       CAST(3 AS INT) AS channels
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin
+
+  /** Real resize: planted PNG → nearest-neighbor 20×12 → re-decode the
+    * output PNG and report its dimensions and pixel(0,0) color. Solid
+    * input ⇒ any correct resample preserves the color exactly.
+    */
+  def resizeReal(spark: SparkSession, dir: String): DataFrame = {
+    val resized = graft.multimodal.MediaPipeline
+      .resize(spark, plantedPng(spark, dir), w = 20, h = 12)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("r", IntegerType, nullable = false),
+      StructField("g", IntegerType, nullable = false),
+      StructField("b", IntegerType, nullable = false)))
+    val rows = resized.rdd.map { row =>
+      val (w, h, r, g, b) = Codecs.probeImage(row.getAs[Array[Byte]](2))
+      Row(row.getLong(0), w, h, r, g, b)
+    }
+    spark.createDataFrame(rows, schema).orderBy("media_id")
+  }
+
+  val resizeRealSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(20 AS INT) AS out_w, CAST(12 AS INT) AS out_h,
+      |       CAST(doc_id % 256 AS INT) AS r,
+      |       CAST((doc_id * 7) % 256 AS INT) AS g,
+      |       CAST((doc_id * 13) % 256 AS INT) AS b
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin
+
+  /** Real WAV PCM decode: planted constant-amplitude mono PCM16 at
+    * 8 kHz → AudioSystem metadata + bucketed mean |amplitude| (exact
+    * dyadic arithmetic, so the double compares bit-equal).
+    */
+  def audioReal(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Catalog(spark, dir).ref("documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("amp", DoubleType, nullable = false)))
+    val rows = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 128).toInt
+      val v = ((id % 1000) * 16).toShort
+      val wav = Codecs.encodeWav(Array.fill(n)(v), sampleRate = 8000)
+      val meta = Codecs.decodeWav(wav).getOrElse(
+        throw new IllegalStateException(s"WAV did not decode for id $id"))
+      val amp = Codecs.audioFeatures(wav, dim = 4)(0).toDouble
+      Row(id, meta.sampleRate, meta.nSamples, amp)
+    }
+    spark.createDataFrame(rows, schema).orderBy("media_id")
+  }
+
+  val audioRealSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(8000 AS INT) AS sample_rate,
+      |       CAST(64 + doc_id % 128 AS BIGINT) AS n_samples,
+      |       CAST((doc_id % 1000) * 16 AS DOUBLE) / 32768 AS amp
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary_meta" -> (binaryMeta _),
     "multimodal_decode" -> (decodeFeatures _),
     "multimodal_frames" -> (frameSample _),
-    "multimodal_resize" -> (resizeMeta _))
+    "multimodal_resize" -> (resizeMeta _),
+    "multimodal_decode_real" -> (decodeReal _),
+    "multimodal_resize_real" -> (resizeReal _),
+    "multimodal_audio_real" -> (audioReal _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_binary_meta" -> binaryMetaSql,
     "multimodal_decode" -> decodeFeaturesSql,
     "multimodal_frames" -> frameSampleSql,
-    "multimodal_resize" -> resizeMetaSql)
+    "multimodal_resize" -> resizeMetaSql,
+    "multimodal_decode_real" -> decodeRealSql,
+    "multimodal_resize_real" -> resizeRealSql,
+    "multimodal_audio_real" -> audioRealSql)
 }

@@ -55,6 +55,49 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("REAL codec: ImageIO decode of an encoded PNG recovers exact dims and pixels") {
+    val png = Codecs.encodePng(5, 3, 10, 20, 30)
+    assert(Codecs.magicFormat(png) === "png")
+    val meta = Codecs.decodeImage(png)
+    assert((meta.width, meta.height, meta.channels, meta.format) === ((5, 3, 3, "png")))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((img.getRGB(x, y) & 0xffffff) === ((10 << 16) | (20 << 8) | 30))
+  }
+
+  test("REAL codec: nearest-neighbor resize picks exactly in(2x, 2y) on a 4x4 gradient") {
+    val src = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) src.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8 | 7)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", baos)
+    val resized = Codecs.resize(baos.toByteArray, 2, 2)
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert((out.getWidth, out.getHeight) === ((2, 2)))
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((out.getRGB(x, y) & 0xffffff) === (((2 * x * 16) << 16) | ((2 * y * 16) << 8) | 7))
+  }
+
+  test("REAL codec: WAV PCM16 round-trip recovers exact samples and metadata") {
+    val samples = Array[Short](-3, 0, 1000, Short.MinValue, Short.MaxValue, 16384)
+    val wav = Codecs.encodeWav(samples, sampleRate = 8000)
+    val meta = Codecs.decodeWav(wav).get
+    assert((meta.sampleRate, meta.channels, meta.nSamples) === ((8000, 1, 6L)))
+    val pcm = Codecs.decodePcm16(wav).get
+    assert(pcm.toSeq === samples.map(_ / 32768.0).toSeq)
+    // constant-amplitude feature: every bucket is exactly v/32768
+    val const = Codecs.encodeWav(Array.fill[Short](100)(4096), 8000)
+    assert(Codecs.audioFeatures(const, 4).toSeq === Seq.fill(4)(0.125f))
+  }
+
+  test("REAL codec: pipeline dispatches decodable payloads to the real decoder") {
+    val real = Seq((9L, Codecs.encodePng(33, 21, 1, 2, 3))).toDF("media_id", "payload")
+    val row = MediaPipeline.decodeFeatures(spark, real).collect().head
+    assert(row.getAs[Int]("width") === 33)     // real dims, not 64 + n%577
+    assert(row.getAs[Int]("height") === 21)
+    assert(row.getAs[Int]("channels") === 3)
+    assert(row.getAs[String]("format") === "png")
+  }
+
   test("audioFeatures: ANN-contract shape (Array[Float] of fixed dim) per payload") {
     val out = MediaPipeline.audioFeatures(spark, media, dim = 16)
       .orderBy("media_id").collect()
