@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * (`repartition(1).sortWithinPartitions(rn)` + `mapPartitions`):
   * AES-CFB chaining makes one GPG message inherently serial — the
   * reference has the identical serialization point (`over (partition by
-  * null order by rn)`). The scale path for huge pushes is sharding the
-  * payload into one message per SFMC batch (the /100 batching upstream
-  * already defines the shard key), not parallelizing CFB.
+  * null order by rn)`). The scale path for huge pushes is
+  * [[fileWrapEncryptPackageChunkedReal]]: shard the payload into
+  * independent armored messages (parallelism ∝ chunks), not
+  * parallelizing CFB.
   *
   * Crypto: REAL RFC 4880 OpenPGP ([[Pgp]] — PKESK + literal + SEIPD/MDC,
   * pure JDK, GnuPG-interop-tested) whenever the configured key is an
@@ -152,6 +153,64 @@ object GpgPipeline {
           def hasNext: Boolean = { if (rest == null) rest = tail().iterator; rest.hasNext }
           def next(): Row = { hasNext; rest.next() }
         }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The SCALE path for encrypted pushes: shard the CSV stream into
+    * `rowsPerChunk`-row chunks in rn order and emit ONE INDEPENDENT
+    * OpenPGP MESSAGE PER CHUNK — each with its own random session key,
+    * PKESK, SEIPD, and armor, each decryptable by GnuPG on its own.
+    * Decrypting the messages in chunk order and concatenating the
+    * plaintexts reproduces the single-message file byte-for-byte
+    * (header row rn 0 lives in chunk 0; GpgRoundTripSpec proves it).
+    *
+    * Why: one RFC 4880 SEIPD message is a CFB chain — inherently serial,
+    * one core per message no matter the cluster ([[
+    * fileWrapEncryptPackageReal]] is that reference-faithful shape, one
+    * file per push). Chunking regains parallelism ∝ |chunks|: each chunk
+    * encrypts on whatever executor holds it after a hash shuffle on the
+    * chunk id, O(chunk) memory. This also matches the SFMC upload's own
+    * batching upstream (the /100 row batches), which already concedes
+    * the push is shardable. Pick `rowsPerChunk` so a chunk is a few MB.
+    *
+    * Output: (chunk, rn, message_part) — rn orders lines *within* a
+    * chunk; (chunk, rn) orders the whole relation.
+    */
+  def fileWrapEncryptPackageChunkedReal(spark: SparkSession, csv: DataFrame,
+      publicKey: String, rowsPerChunk: Long): DataFrame = {
+    require(rowsPerChunk > 0, s"rowsPerChunk must be positive, got $rowsPerChunk")
+    val schema = StructType(Seq(
+      StructField("chunk", LongType, nullable = false),
+      StructField("rn", LongType, nullable = false),
+      StructField("message_part", StringType)))
+    val withChunk = csv.select(
+      expr(s"rn div ${rowsPerChunk}L").as("chunk"), col("rn"), col("csv_line"))
+    val rows = withChunk.repartition(col("chunk"))
+      .sortWithinPartitions("chunk", "rn")
+      .queryExecution.toRdd.mapPartitions { it =>
+        val pub = Pgp.parsePublicKey(publicKey)
+        val rnd = new java.security.SecureRandom()
+        val rowsIt = it.map(ir => (ir.getLong(0), ir.getUTF8String(2).toString)).buffered
+        new Iterator[Seq[Row]] {
+          def hasNext: Boolean = rowsIt.hasNext
+          def next(): Seq[Row] = {
+            val chunk = rowsIt.head._1
+            val sk = new Array[Byte](32); rnd.nextBytes(sk)
+            val lit = new Pgp.LiteralStream("file")
+            val seipd = new Pgp.SeipdStream(sk, Pgp.derivedPrefix(sk))
+            val armor = new Pgp.ArmorStream()
+            val out = Seq.newBuilder[String]
+            out ++= armor.begin
+            out ++= armor.push(Pgp.pkesk(pub, sk))
+            while (rowsIt.hasNext && rowsIt.head._1 == chunk)
+              out ++= armor.push(seipd.push(lit.push(
+                (rowsIt.next()._2 + "\n").getBytes("UTF-8"))))
+            out ++= armor.push(seipd.push(lit.finish()) ++ seipd.finish())
+            out ++= armor.finish()
+            out.result().zipWithIndex.map { case (l, i) => Row(chunk, i.toLong, l) }
+          }
+        }.flatten
       }
     spark.createDataFrame(rows, schema)
   }

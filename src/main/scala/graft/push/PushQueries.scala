@@ -174,6 +174,67 @@ object PushQueries {
       |UNION ALL SELECT 9223372036854775807, '-----END PGP MESSAGE-----'
       |ORDER BY rn""".stripMargin
 
+  /** Oracle-checked CHUNKED-GPG push (the scale path): real RSA keypair,
+    * real chunked encryption ([[GpgPipeline.fileWrapEncryptPackageChunkedReal]],
+    * 256 rows/chunk → one independent armored message per chunk), then
+    * each chunk is DECRYPTED executor-side with the private key and its
+    * plaintext md5 compared against the expected CSV shard. Ciphertext
+    * is random (fresh session key per chunk), so the oracle pins what IS
+    * deterministic: the chunk partitioning arithmetic, per-chunk line
+    * counts, and `ok = decrypt(encrypt(shard)) == shard` — a row goes
+    * red if sharding, ordering, or either direction of the real crypto
+    * breaks.
+    */
+  def gpgChunked(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val recs = c.ref("customer")
+      .select(col("c_custkey"),
+        to_json(struct(col("c_name").as("Name"),
+          col("c_mktsegment").as("Segment"))).as("record"))
+    val numbered = graft.ops.Windows.globalRowNumber(recs, "rn", col("c_custkey"))
+      .select(col("rn"), col("record"))
+    val csv = GpgPipeline.jsonToCsv(spark, numbered)
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pubArmored = Pgp.armorPublicKey(
+      kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey])
+    val privBytes = kp.getPrivate.getEncoded // PKCS#8, rebuilt per executor
+    val rowsPerChunk = 100L // matches the SFMC /100 row batching upstream
+    val messages = GpgPipeline.fileWrapEncryptPackageChunkedReal(
+      spark, csv, pubArmored, rowsPerChunk)
+    val expected = csv
+      .select(expr(s"rn div ${rowsPerChunk}L").as("chunk"), col("rn"), col("csv_line"))
+      .groupBy("chunk").agg(
+        count(lit(1)).as("n_lines"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(rn, csv_line)))," +
+          " x -> concat(x.csv_line, chr(10))), ''))").as("want"))
+    val ascPerChunk = messages.groupBy("chunk").agg(
+      expr("array_join(transform(array_sort(collect_list(struct(rn, message_part)))," +
+        " x -> x.message_part), chr(10))").as("asc_text"))
+    val decryptMd5 = udf { (asc: String) =>
+      val kf = java.security.KeyFactory.getInstance("RSA")
+      val priv = kf.generatePrivate(
+          new java.security.spec.PKCS8EncodedKeySpec(privBytes))
+        .asInstanceOf[java.security.interfaces.RSAPrivateKey]
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(Pgp.decrypt(priv, asc + "\n")).map("%02x".format(_)).mkString
+    }
+    expected.join(ascPerChunk, Seq("chunk"))
+      .select(col("chunk"), col("n_lines"),
+        (decryptMd5(col("asc_text")) === col("want")).as("ok"))
+      .orderBy("chunk")
+  }
+
+  val gpgChunkedSql: String =
+    """WITH numbered AS (
+      |  SELECT row_number() OVER (ORDER BY c_custkey) AS rn FROM customer),
+      |rns AS (SELECT CAST(0 AS BIGINT) AS rn UNION ALL SELECT rn FROM numbered)
+      |SELECT rn // 100 AS chunk,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       true AS ok
+      |FROM rns GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle-checked END-TO-END push: runs the real EP1 pipeline (probe →
     * createJob → per-row connector UDF → tracking-table writes → close)
     * against mock connectors in a throwaway tracking dir, then returns
@@ -216,6 +277,7 @@ object PushQueries {
     "push_incremental_model" -> (incrementalPushModel _),
     "push_json_to_csv" -> (jsonToCsv _),
     "push_gpg_message" -> (gpgMessage _),
+    "push_gpg_chunked" -> (gpgChunked _),
     "push_e2e" -> (pushE2e _))
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +285,6 @@ object PushQueries {
     "push_incremental_model" -> incrementalPushModelSql,
     "push_json_to_csv" -> jsonToCsvSql,
     "push_gpg_message" -> gpgMessageSql,
+    "push_gpg_chunked" -> gpgChunkedSql,
     "push_e2e" -> pushE2eSql)
 }

@@ -61,6 +61,29 @@ class GpgRoundTripSpec extends SparkTestBase {
     assert(a.gpgPrefix === "85010c03") // 2048-bit RSA PKESK header, ref's exact value
   }
 
+  test("chunked path: independent messages, concatenated decrypts equal the single file") {
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pubArmored = Pgp.armorPublicKey(
+      kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey])
+    val priv = kp.getPrivate.asInstanceOf[java.security.interfaces.RSAPrivateKey]
+    val csv = GpgPipeline.jsonToCsv(spark, numbered) // rn 0..3
+    val out = GpgPipeline.fileWrapEncryptPackageChunkedReal(spark, csv, pubArmored, rowsPerChunk = 2)
+      .orderBy("chunk", "rn").as[(Long, Long, String)].collect()
+    val chunks = out.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(chunks.map(_._1) === Seq(0L, 1L)) // rn 0,1 | rn 2,3
+    val plains = chunks.map { case (_, rows) =>
+      val asc = rows.sortBy(_._2).map(_._3).mkString("\n") + "\n"
+      assert(asc.startsWith("-----BEGIN PGP MESSAGE-----"))
+      new String(Pgp.decrypt(priv, asc), "UTF-8") // each chunk decrypts ALONE
+    }
+    assert(plains.mkString === expectedCsv)
+    // chunk plaintexts are proper shards: header rides in chunk 0 only
+    assert(plains.head.startsWith("Name,City\n"))
+    assert(!plains(1).contains("Name,City"))
+  }
+
   test("GnuPG interop: gpg-generated key, our encrypt, gpg decrypt") {
     if (Seq("sh", "-c", "command -v gpg").! != 0) cancel("gpg binary not available")
     val home = tmpDir("gpghome")
