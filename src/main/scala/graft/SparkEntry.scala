@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.AsOf.queries ++
-      ops.RangeJoin.queries ++ push.PushQueries.queries
+      ops.RangeJoin.queries ++ push.PushQueries.queries ++
+      streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
     * compare sorts columns by name before hashing).
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ ops.AsOf.oracles ++
-      ops.RangeJoin.oracles ++ push.PushQueries.oracles
+      ops.RangeJoin.oracles ++ push.PushQueries.oracles ++
+      streaming.StreamingQueries.oracles
 }
