@@ -46,9 +46,43 @@ object Dedup {
     * repeatedly, so the split must become a bound attribute.
     */
   private def docShingleHashes(c: Catalog): DataFrame =
-    c.ref("documents")
+    docShingleHashesOn(c.ref("documents"))
+
+  private def docShingleHashesOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .select(col("doc_id"), ArrayExprs.shingleHashes(col("toks"), 3).as("shs"))
+
+  /** The shared adversarial corpus for the near-dup family: every run of
+    * five consecutive doc_ids shares one text (mass duplication), every
+    * 7th doc is emptied, every 13th-mod-5 is whitespace-only, and every
+    * 11th-mod-3 has its spaces replaced by U+00A0 (non-breaking space —
+    * NOT regex `\s` in either engine, so the whole phrase fuses into
+    * long tokens). Near-dup operators tuned on mostly-unique corpora
+    * break exactly here: degenerate tokenizations and pathological
+    * duplication rates.
+    */
+  private def adversarialDocs(c: Catalog): DataFrame = {
+    val docs = c.ref("documents").select(col("doc_id"), col("text"))
+    val heads = docs.select(col("doc_id").as("h_id"), col("text").as("h_text"))
+    docs
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 5).as("h_id"))
+      .join(heads, Seq("h_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(""))
+          .when(col("doc_id") % 13 === 5, lit("  \t "))
+          .when(col("doc_id") % 11 === 3, regexp_replace(col("h_text"), " ", "\u00A0"))
+          .otherwise(col("h_text")).as("text"))
+  }
+
+  /** DuckDB twin of [[adversarialDocs]], as a CTE body over `documents`. */
+  private val adversarialDocsSql: String =
+    """SELECT d.doc_id,
+      |       CASE WHEN d.doc_id % 7 = 0 THEN ''
+      |            WHEN d.doc_id % 13 = 5 THEN concat('  ', chr(9), ' ')
+      |            WHEN d.doc_id % 11 = 3 THEN replace(h.text, ' ', chr(160))
+      |            ELSE h.text END AS text
+      |FROM documents d JOIN documents h ON h.doc_id = d.doc_id - d.doc_id % 5""".stripMargin
 
   // ---- exact dedup -----------------------------------------------------------
   /** Exact-dedup groups: md5 over whitespace-normalized lowercase text;
@@ -134,9 +168,11 @@ object Dedup {
     * need the edge set (duplicateClustersAt) skip that extra range
     * shuffle + sort stage.
     */
-  private def ngramPairsAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
-    val c = Catalog(spark, dir)
-    docShingleHashes(c)
+  private def ngramPairsAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
+    ngramPairsOn(Catalog(spark, dir).ref("documents"), tau)
+
+  private def ngramPairsOn(docs: DataFrame, tau: Double): DataFrame = {
+    docShingleHashesOn(docs)
       // explode_outer, NOT explode: for a plain explode over an aliased
       // attribute, InferFiltersFromGenerate adds `size(shs)>0 AND
       // isnotnull(shs)` and pushes it through the defining projection,
@@ -156,10 +192,14 @@ object Dedup {
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
   }
 
-  val ngramJaccardSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-      |  FROM documents),
+  /** The oracle twin parameterized over its source relation (a CTE body)
+    * so the adversarial variant reuses it verbatim.
+    */
+  private def ngramJaccardSqlFrom(src: String): String =
+    s"""WITH src AS ($src),
+      |tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+      |  FROM src),
       |ds AS (
       |  SELECT DISTINCT doc_id, shingle
       |  FROM (SELECT doc_id,
@@ -178,6 +218,20 @@ object Dedup {
       |JOIN sizes s2 ON s2.doc_id = id2
       |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_shingles + s2.n_shingles - n_inter AS DOUBLE) >= 0.5
       |ORDER BY id1, id2""".stripMargin
+
+  val ngramJaccardSql: String =
+    ngramJaccardSqlFrom("SELECT doc_id, text FROM documents")
+
+  /** n-gram Jaccard over the adversarial corpus ([[adversarialDocs]]):
+    * mass duplication (runs of five identical docs ⇒ dense 1.0-Jaccard
+    * cliques), empty/whitespace-only docs (no shingles — must vanish,
+    * not crash or self-pair), and NBSP-fused tokens (degenerate shingle
+    * sets that must still compare exactly).
+    */
+  def ngramJaccardAdversarial(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsOn(adversarialDocs(Catalog(spark, dir)), 0.5).orderBy("id1", "id2")
+
+  val ngramJaccardAdversarialSql: String = ngramJaccardSqlFrom(adversarialDocsSql)
 
   /** Scale guard for the inverted-index join: drop shingles whose
     * document frequency exceeds `maxDf` before pairing. Boilerplate
@@ -259,9 +313,12 @@ object Dedup {
     minhashLshAt(spark, dir, numHashes = 64, bands = 16, tau = 0.5)
 
   def minhashLshAt(spark: SparkSession, dir: String, numHashes: Int,
+      bands: Int, tau: Double): DataFrame =
+    minhashLshOn(Catalog(spark, dir).ref("documents"), numHashes, bands, tau)
+
+  private def minhashLshOn(docs: DataFrame, numHashes: Int,
       bands: Int, tau: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val c = Catalog(spark, dir)
     // Per-row signature via the native MinHashSigMd5 expression: one
     // pass over the corpus, zero shuffle. At 100 TB a production
     // pipeline would persist this table (N × ~520 B) — localCheckpoint
@@ -272,7 +329,7 @@ object Dedup {
     // pass per row (observed in the executed plan). sig is null exactly
     // when the doc has fewer than 3 tokens, so the cheap predicate is
     // equivalent.
-    val sig = c.ref("documents")
+    val sig = docs
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -306,11 +363,12 @@ object Dedup {
     * md5_number_lower + HUGEINT modular arithmetic, band keys as
     * ordered value strings, candidate pairs by band-key equality.
     */
-  val minhashLshSql: String = {
+  private def minhashLshSqlFrom(src: String): String = {
     val p = "2305843009213693951" // 2^61 - 1, the MinHashSigMd5 modulus
-    s"""WITH tok AS (
+    s"""WITH src AS ($src),
+       |tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-       |  FROM documents),
+       |  FROM src),
        |sh AS (
        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
        |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
@@ -344,6 +402,19 @@ object Dedup {
        |WHERE CAST(n_agree AS DOUBLE) / 64 >= 0.5
        |ORDER BY id1, id2""".stripMargin
   }
+
+  val minhashLshSql: String =
+    minhashLshSqlFrom("SELECT doc_id, text FROM documents")
+
+  /** MinHash+LSH over the adversarial corpus: identical-text runs give
+    * identical signatures (every band collides — the bucket-join's own
+    * mass-duplication stress), while empty/whitespace/NBSP docs must be
+    * excluded by the <3-token guard, not crash signature generation.
+    */
+  def minhashLshAdversarial(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(adversarialDocs(Catalog(spark, dir)), numHashes = 64, bands = 16, tau = 0.5)
+
+  val minhashLshAdversarialSql: String = minhashLshSqlFrom(adversarialDocsSql)
 
   // ---- SimHash ---------------------------------------------------------------------
   /** 64-bit SimHash: per-token md5-derived hash (engine-portable, see
@@ -747,7 +818,9 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_adversarial" -> (exactAdversarial _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_ngram_adversarial" -> (ngramJaccardAdversarial _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_adversarial" -> (minhashLshAdversarial _),
     "dedup_simhash" -> (simhash _),
     "text_contamination" -> (contamination _))
 
@@ -756,8 +829,10 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_adversarial" -> exactAdversarialSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_adversarial" -> ngramJaccardAdversarialSql,
     "dedup_clusters" -> duplicateClustersSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_minhash_adversarial" -> minhashLshAdversarialSql,
     "dedup_simhash" -> simhashSql,
     "dedup_source_sim" -> sourceSimilaritySql,
     "text_contamination" -> contaminationSql)
