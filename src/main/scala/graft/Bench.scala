@@ -19,7 +19,10 @@ object Bench {
     // the machine (observed: identical code, 24.8s vs 32.5s an hour
     // apart) pollutes single-pass numbers. Min-of-2 is recorded in the
     // JSON ("passes"/"agg") so the methodology is explicit.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args = query-name filter (local iteration only; the driver
+    // invokes with no args and gets the full suite).
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = if (args.nonEmpty) all.filter(q => args.contains(q._1)) else all
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }

@@ -315,7 +315,6 @@ object TextAnalysis {
     * window.
     */
   def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Catalog(spark, dir)
     val budget = 512
     val scored = c.ref("documents")
@@ -323,10 +322,16 @@ object TextAnalysis {
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         md5(concat_ws(" ", split(trim(lower(col("text"))), "\\s+"))).as("fp"))
       .filter(col("n_tokens").between(10, 1000))
-    val dedupW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    // Exact dedup as a hash aggregate, NOT a row_number window: min_by
+    // partial-aggregates map-side, so duplicate fingerprints collapse
+    // BEFORE the shuffle (a window ships every row and sorts it). It also
+    // halves the cost of the range-bound sampling pass that
+    // repartitionByRange runs over this subtree inside groupedRunningSum.
     val kept = scored
-      .withColumn("rk", row_number().over(dedupW))
-      .filter(col("rk") === 1).drop("rk", "fp")
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id")).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.n_tokens").as("n_tokens"))
     Windows.groupedRunningSum(kept, "__rsum", col("lang"), col("n_tokens"), col("doc_id"))
       .withColumn("start_offset", col("__rsum") - col("n_tokens"))
       .withColumn("chunk_id", expr(s"start_offset div $budget"))
