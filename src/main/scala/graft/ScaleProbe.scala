@@ -61,12 +61,17 @@ object ScaleProbe {
         col("text"), col("source"), col("n_chars"))
       .write.parquet(s"$skewDir/documents.parquet")
     time("pack_skew90_8x")(ops.TextAnalysis.packSequences(spark, skewDir).count())
+    // Explicit 32 partitions: this measures the RANGE PARTITIONER's key
+    // distribution. Without it AQE coalesces the probe corpus (~640 KB of
+    // keys) into one partition BY SIZE — correct behavior at this scale,
+    // but it would mask the property under test (at 100 TB the same
+    // partitioner spreads the dominant language over ~bytes/64MB tasks).
     val spanned = spark.read.parquet(s"$skewDir/documents.parquet")
       .select(col("lang"), col("doc_id"))
-      .repartitionByRange(col("lang"), col("doc_id"))
+      .repartitionByRange(32, col("lang"), col("doc_id"))
       .withColumn("p", spark_partition_id())
       .filter(col("lang") === "en").select("p").distinct().count()
-    val spanLine = s"PROBE pack dominant-lang span      = $spanned partitions (was 1 under partitionBy(lang))"
+    val spanLine = s"PROBE pack dominant-lang span      = $spanned/32 partitions (was 1 under partitionBy(lang))"
     println(spanLine); report ++= spanLine + "\n"
 
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
