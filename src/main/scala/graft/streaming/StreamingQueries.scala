@@ -21,44 +21,113 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingQueries {
 
-  /** Streaming twin of g10_time_window: watermarked 1-hour tumbling
-    * windows over `events`, run as a genuine AvailableNow stream.
+  /** Stage `table`.parquet behind a fresh temp dir (the file stream
+    * source requires a DIRECTORY; the testdata ships single files —
+    * a symlink costs nothing), run `build` on the watermark-ready
+    * stream, drain it AvailableNow into a parquet sink, and return the
+    * sink pinned with `localCheckpoint` so the temp dir can be removed
+    * immediately. `sortCols` makes the returned frame deterministic for
+    * the driver's hash compare.
     */
-  def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+  private def runAvailableNow(spark: SparkSession, dir: String, table: String,
+      name: String, sortCols: Seq[String])(
+      build: DataFrame => DataFrame): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet (read as long — same
     // handling as catalog.Catalog)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
+    val path = s"$dir/$table.parquet"
     val schema = spark.read.parquet(path).schema
-    // the file stream source requires a DIRECTORY; the testdata ships
-    // single parquet files, so expose the file through a symlink dir
-    val tmp = java.nio.file.Files.createTempDirectory("stream_wc").toString
+    val tmp = java.nio.file.Files.createTempDirectory(name).toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
     java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/$table.parquet"),
       java.nio.file.Paths.get(path))
     val src = spark.readStream.schema(schema).parquet(s"$tmp/src")
-    val events =
-      if (schema("ts").dataType == LongType)
+    val withTs =
+      if (schema.fieldNames.contains("ts") && schema("ts").dataType == LongType)
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else src.withColumn("ts", col("ts").cast("timestamp"))
-    val q = EventStreams.windowedCounts(events,
-        watermark = "10 minutes", window_ = "1 hour")
-      .writeStream.format("parquet")
-      .option("path", s"$tmp/sink")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // pin the sink eagerly so the temp dir can be cleaned immediately
-    val out = spark.read.parquet(s"$tmp/sink")
-      .orderBy("window_start", "event_type").localCheckpoint()
+      else if (schema.fieldNames.contains("ts"))
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      else src
+    // Stateful streaming cost is dominated by state-store instances:
+    // a stream-stream join keeps FOUR stores per shuffle partition per
+    // side, each with its own checkpoint commit per micro-batch. Size
+    // the state partitioning to the data like a cluster deployment
+    // would (spark.sql.streaming.statefulOperator partitioning follows
+    // shuffle.partitions at FIRST run and is then pinned in the
+    // checkpoint) — scoped and restored, batch queries never see it.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val out = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = build(withTs)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$tmp/sink")
+        .orderBy(sortCols.map(col): _*).localCheckpoint()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
     out
   }
+
+  /** Streaming twin of g10_time_window: watermarked 1-hour tumbling
+    * windows over `events`, run as a genuine AvailableNow stream.
+    */
+  def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "events", "stream_wc",
+      Seq("window_start", "event_type")) { events =>
+      EventStreams.windowedCounts(events, watermark = "10 minutes",
+        window_ = "1 hour")
+    }
+
+  /** Streaming exact dedup through the state store:
+    * [[EventStreams.dedupByFingerprint]] over `documents` (event time
+    * synthesized deterministically from doc_id), run AvailableNow. Only
+    * the fingerprint column is emitted: WHICH duplicate the state store
+    * sees first depends on partition processing order, but the SET of
+    * distinct fingerprints does not — that is the deterministic contract
+    * a streaming dedup can make, and exactly what the DuckDB twin
+    * (SELECT DISTINCT md5(...)) checks. One source file = one
+    * micro-batch, so no state is evicted mid-stream and the set is
+    * complete.
+    */
+  def streamDedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "documents", "stream_dd", Seq("fp")) { docs =>
+      val stamped = docs.withColumn("ts",
+        timestamp_seconds(lit(1704067200L) + col("doc_id")))
+      EventStreams.dedupByFingerprint(stamped, watermark = "10 minutes")
+        .select("fp")
+    }
+
+  /** Stream-stream interval join ([[EventStreams.attributionJoin]]):
+    * clicks attribute to same-user views at most 60 minutes earlier.
+    * Both sides are independent file streams over the same staged
+    * events table; the inner interval join's output is exactly the
+    * batch join (single micro-batch per side — no state eviction before
+    * the slower side arrives), so the DuckDB twin is the plain SQL
+    * join. All output columns come from the data, so the row is fully
+    * hash-checked, not rows-only.
+    */
+  def streamAttributionJoin(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "events", "stream_attr",
+      Seq("click_id", "view_id")) { events =>
+      val views = events.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id").as("view_user"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      EventStreams.attributionJoin(views, clicks,
+          watermark = "10 minutes", window_ = "60 minutes")
+        .select(col("user_id"), col("click_id"), col("click_ts"),
+          col("view_id"), col("view_ts"))
+    }
 
   /** DuckDB batch twin: same rollup as g10_time_window, restricted to
     * windows finalized by the terminal watermark max(ts) − 10 min.
@@ -73,9 +142,33 @@ object StreamingQueries {
       |       <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events)
       |ORDER BY 1, 2""".stripMargin
 
+  /** DuckDB twin of streamDedupFingerprint: the distinct set of
+    * normalized-text fingerprints (same normalization as dedup_exact).
+    */
+  val streamDedupFingerprintSql: String =
+    """SELECT DISTINCT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+      |FROM documents ORDER BY fp""".stripMargin
+
+  /** DuckDB twin of streamAttributionJoin: the plain interval join —
+    * the streaming run must emit exactly the batch matches.
+    */
+  val streamAttributionJoinSql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |v AS (SELECT event_id AS view_id, ts AS view_ts, user_id AS view_user FROM e WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, ts AS click_ts, user_id FROM e WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts
+      |FROM c JOIN v ON v.view_user = c.user_id
+      |  AND v.view_ts <= c.click_ts
+      |  AND v.view_ts >= c.click_ts - INTERVAL 60 MINUTE
+      |ORDER BY c.click_id, v.view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_windowed_counts" -> (streamWindowedCounts _))
+    "stream_windowed_counts" -> (streamWindowedCounts _),
+    "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
+    "stream_attribution_join" -> (streamAttributionJoin _))
 
   val oracles: Map[String, String] = Map(
-    "stream_windowed_counts" -> streamWindowedCountsSql)
+    "stream_windowed_counts" -> streamWindowedCountsSql,
+    "stream_dedup_fingerprint" -> streamDedupFingerprintSql,
+    "stream_attribution_join" -> streamAttributionJoinSql)
 }
