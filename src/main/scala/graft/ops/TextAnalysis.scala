@@ -499,6 +499,131 @@ object TextAnalysis {
       |SELECT doc_id, source, pick FROM ranked WHERE pick <= 50
       |ORDER BY doc_id""".stripMargin
 
+  // ---- temperature-based mixture sampling ------------------------------------
+  /** Multi-group mixture resampling at temperature α = 0.5 — the
+    * "flatten the language/domain distribution" step of multilingual
+    * training-data assembly (target share ∝ √n instead of n, so
+    * dominant groups are downsampled and small groups kept whole; the
+    * smallest group binds the total, nothing is upsampled).
+    *
+    * Every step is INTEGER arithmetic so the keep decision is bit-exact
+    * across engines and runs: w_g = ⌊√n_g⌋ (IEEE sqrt is correctly
+    * rounded, so ⌊√int⌋ is engine-portable), W = Σw_g,
+    * T = min_g ⌊n_g·W/w_g⌋ (the achievable total), per-group keep
+    * count k_g = ⌊w_g·T/W⌋, rate ppm_g = ⌊k_g·10⁶/n_g⌋, and a doc
+    * survives iff its salted md5 draw mod 10⁶ < ppm_g. No RNG, no
+    * floating-point boundary, no dependence on row order.
+    *
+    * Scale shape: group rates derive from a |groups|-row aggregate
+    * (metadata); the keep decision is a broadcast join + scan-side
+    * predicate — zero data shuffles at any corpus size. (Group counts
+    * up to ~10¹² and |groups| up to ~10⁶ stay inside long arithmetic:
+    * n·W ≤ 10¹²·10⁹ overflows only past 9·10¹⁸ — document corpora sit
+    * orders below that.)
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val docs = c.ref("documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val withW = counts.withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val tot = withW.agg(sum(col("w")).as("bigw"))
+    val rates = withW.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(withW.crossJoin(broadcast(tot))
+        .agg(min(expr("n * bigw div w")).as("t"))))
+      .withColumn("k", expr("w * t div bigw"))
+      .withColumn("ppm", expr("k * 1000000 div n"))
+      .select(col("lang"), col("ppm"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(graft.functions.ArrayExprs.md5Mod(
+        concat_ws(":", lit("mix"), col("doc_id").cast("string")), 1000000L) < col("ppm"))
+      .select(col("doc_id"), col("lang"), col("ppm"))
+      .orderBy("doc_id")
+  }
+
+  val mixtureSampleSql: String =
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM counts),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM w),
+      |t AS (SELECT min((n * bigw) // w) AS t FROM w, tot),
+      |rates AS (
+      |  SELECT lang, ((((w * t) // bigw)) * 1000000) // n AS ppm
+      |  FROM w, tot, t)
+      |SELECT d.doc_id, d.lang, r.ppm
+      |FROM documents d JOIN rates r USING (lang)
+      |WHERE md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR)) % 1000000 < r.ppm
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- bigram LM familiarity scoring -----------------------------------------
+  /** Bigram language-model scoring (the CCNet-style "does this text look
+    * like the corpus" quality dial): train bigram counts over the whole
+    * corpus, prune singletons (count ≥ 2 — the deterministic equivalent
+    * of a top-K model cap: the singleton tail is most of a web corpus's
+    * bigram table and carries no signal), then score each document by
+    * model coverage (known bigrams / bigrams) and mean known-bigram
+    * frequency. Scores are ratios of corpus-derived INTEGERS — a single
+    * int/int division is exactly rounded, so the result hash-matches
+    * across engines, where a log-space perplexity would drift in the
+    * last ulp (ln is not correctly rounded; turning these counts into
+    * -Σ log p is a trivial client-side map).
+    *
+    * Scale shape: model = one (bigram, count) aggregate with map-side
+    * combine and the count≥2 prune BEFORE any join; scoring = one
+    * shuffle join keyed by bigram (AQE picks broadcast when the pruned
+    * model fits) + a per-doc rollup keyed by doc_id. Text itself never
+    * joins — only 8-byte-hashable bigram strings.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val toksDf = c.ref("documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val bg = toksDf.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array())).as("bigram"))
+    val model = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val scored = bg.join(model, Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("n")).as("n_known"),
+        coalesce(sum(col("n")), lit(0L)).as("known_mass"))
+    c.ref("documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(col("n_bigrams") > 0,
+          col("n_known").cast("double") / col("n_bigrams").cast("double"))
+          .as("coverage"),
+        when(col("n_bigrams") > 0,
+          col("known_mass").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bigram_freq"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |  FROM tok WHERE len(ts) >= 2),
+      |model AS (
+      |  SELECT bigram, count(*) AS n FROM bg GROUP BY 1 HAVING count(*) >= 2),
+      |scored AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams, count(m.n) AS n_known,
+      |         COALESCE(sum(m.n), 0) AS known_mass
+      |  FROM bg b LEFT JOIN model m USING (bigram) GROUP BY 1)
+      |SELECT d.doc_id,
+      |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(s.n_known, 0) AS n_known,
+      |       CASE WHEN s.n_bigrams > 0
+      |            THEN CAST(s.n_known AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) END AS coverage,
+      |       CASE WHEN s.n_bigrams > 0
+      |            THEN CAST(s.known_mass AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) END AS mean_bigram_freq
+      |FROM documents d LEFT JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- deterministic corpus shuffle -----------------------------------------
   /** Training-order shuffle: a reproducible global permutation of the
     * corpus, keyed by an md5 draw on doc_id (salted so re-shuffles with
@@ -594,6 +719,8 @@ object TextAnalysis {
     "text_split_assign" -> (splitAssign _),
     "text_source_quota" -> (sourceQuota _),
     "text_sample_stratified" -> (stratifiedSample _),
+    "text_mixture_sample" -> (mixtureSample _),
+    "text_bigram_lm" -> (bigramLm _),
     "text_vocab_topk" -> (vocabTopK _),
     "text_prep_pipeline" -> (prepPipeline _),
     "text_pack_sequences" -> (packSequences _),
@@ -611,6 +738,8 @@ object TextAnalysis {
     "text_split_assign" -> splitAssignSql,
     "text_source_quota" -> sourceQuotaSql,
     "text_sample_stratified" -> stratifiedSampleSql,
+    "text_mixture_sample" -> mixtureSampleSql,
+    "text_bigram_lm" -> bigramLmSql,
     "text_vocab_topk" -> vocabTopKSql,
     "text_prep_pipeline" -> prepPipelineSql,
     "text_pack_sequences" -> packSequencesSql,

@@ -50,6 +50,84 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf(bigger))
   }
 
+  test("mixtureSample: flattens toward uniform, smallest group kept whole, deterministic") {
+    val c = graft.catalog.Catalog(spark, sf)
+    val byLang = c.ref("documents").groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = TextAnalysis.mixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ppmByLang = rows.map(r => (r._2, r._3)).toMap
+    // bigger groups must get lower (or equal) keep rates — the
+    // flattening. w = ⌊√n⌋ is step-wise, so two groups within the same
+    // ~2√n-wide sqrt bucket can legitimately swap by a floor step;
+    // assert monotonicity only where the √ effect dominates that
+    // granularity (nb beyond na's bucket), with ppm-floor slack.
+    for ((la, na) <- byLang; (lb, nb) <- byLang
+         if nb > na + 2 * math.sqrt(na.toDouble) + 2)
+      assert(ppmByLang.getOrElse(la, 1000000L) + 2000L >= ppmByLang.getOrElse(lb, 0L),
+        s"$la (n=$na) must keep at a rate >= $lb (n=$nb)")
+    // the binding group (argmin n·W/w — the smallest up to ⌊√n⌋ steps)
+    // is kept whole minus at most ~2 docs of floor loss: each of the
+    // three floors (T, k, ppm) costs at most one doc's worth of rate,
+    // i.e. 10⁶/n ppm — significant only for small groups
+    val nMin = byLang.values.min
+    val floorLoss = 2L * 1000000L / nMin + 1
+    assert(ppmByLang.values.max >= 1000000L - floorLoss,
+      s"some group must bind the total and be kept ~whole: $ppmByLang")
+    val smallest = byLang.minBy(_._2)._1
+    assert(ppmByLang(smallest) >= 1000000L - 4L * floorLoss,
+      s"smallest group $smallest must be kept near-whole, got ${ppmByLang(smallest)} ppm")
+    // kept counts track the integer rates (hash draw is uniform; allow
+    // generous slack for a small corpus)
+    rows.groupBy(_._2).foreach { case (lang, grp) =>
+      val expected = byLang(lang) * ppmByLang(lang) / 1000000.0
+      assert(math.abs(grp.length - expected) <= math.max(6.0, 0.35 * expected),
+        s"$lang kept ${grp.length}, expected ~$expected")
+    }
+    val again = TextAnalysis.mixtureSample(spark, sf).collect().map(_.getLong(0))
+    assert(rows.map(_._1).toSeq === again.toSeq, "hash-draw sample must be stable")
+  }
+
+  test("bigramLm: singleton pruning zeroes unique text, coverage bounded, repeats score high") {
+    val rows = TextAnalysis.bigramLm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val c = graft.catalog.Catalog(spark, sf)
+    assert(rows.length === c.ref("documents").count(), "one score row per document")
+    rows.foreach { case (id, nBg, nKnown, cov) =>
+      assert(nKnown <= nBg, s"doc $id: known $nKnown > total $nBg")
+      if (nBg > 0) {
+        assert(cov >= 0.0 && cov <= 1.0, s"doc $id coverage $cov out of range")
+        assert(math.abs(cov - nKnown.toDouble / nBg) < 1e-12)
+      } else assert(cov.isNaN, s"doc $id: zero bigrams must yield null coverage")
+    }
+    // a bigram that occurs corpus-wide only once (inside one doc) is
+    // pruned from the model, so a doc of globally-unique gibberish
+    // scores zero coverage while a doc made of one repeated bigram pair
+    // scores full coverage — pin both on a tiny synthetic corpus
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "zqx wvu tsr qpo nml"),            // all bigrams unique corpus-wide
+      (2L, "alpha beta alpha beta alpha"),    // repeated bigrams
+      (3L, "beta alpha beta alpha"))          // shares doc 2's bigrams
+      .toDF("doc_id", "text")
+    tiny.createOrReplaceTempView("__bigram_tiny")
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val bg = tiny.select(col("doc_id"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array())).as("bigram"))
+    val model = bg.groupBy("bigram").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val m = bg.join(model, Seq("bigram"), "left").groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"), count(col("n")).as("nk")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L)._2 === 0L, "globally-unique bigrams must be pruned")
+    assert(m(2L)._2 === m(2L)._1, "repeated bigrams must be fully known")
+    assert(m(3L)._2 === m(3L)._1, "cross-doc shared bigrams must be known")
+  }
+
   test("vocabTopK: per-source ranks contiguous, counts non-increasing, ties lexical") {
     val rows = TextAnalysis.vocabTopK(spark, sf).collect()
     assert(rows.nonEmpty)
