@@ -158,6 +158,31 @@ class PlanQualitySpec extends SparkTestBase {
       s"the token stream must not shuffle to meet the vocabulary:\n$plan")
   }
 
+  test("mixture sample: rates broadcast into the scan; data rows never hash-shuffle") {
+    val plan = executed(TextAnalysis.mixtureSample(spark, sf)).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group rates must broadcast-join into the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle to meet a |groups|-row rate table:\n$plan")
+    // the only hash exchanges allowed are the metadata-sized rate
+    // aggregation (|groups| rows); the kept data path is scan + filter
+    val dataExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("lang")).toList
+    assert(dataExchanges.isEmpty,
+      s"data rows must not hash-shuffle:\n${dataExchanges.mkString("\n")}")
+  }
+
+  test("bigram lm: model prunes before the join; per-doc rollup partial-aggregates") {
+    val plan = executed(TextAnalysis.bigramLm(spark, sf)).split("== Initial Plan ==")(0)
+    // the count>=2 prune must run INSIDE the model aggregation subtree
+    // (on aggregated counts), never as a post-join filter on doc rows
+    assert(plan.contains("partial_count"),
+      s"model counts must map-side combine:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no single-partition funnel in LM scoring:\n$plan")
+  }
+
   test("o7 profile: no Expand; one base scan plus one pruned scan per distinct") {
     val plan = executed(Relational.o7Profile(spark, sf)).split("== Initial Plan ==")(0)
     // A combined multi-DISTINCT aggregate would plan an Expand (x|cols|
