@@ -214,6 +214,74 @@ object Codecs {
     (img.getWidth, img.getHeight, (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
   }
 
+  /** Encode a horizontal-band grayscale PNG: `size`×`size`, split into 8
+    * equal row bands; band j is `bright` iff bit j of `pattern` is set,
+    * else `dark` (r = g = b). The planted fixture for perceptual-hash
+    * dedup: two images with the same pattern but different shades have
+    * different bytes yet the same [[aHash64]].
+    */
+  def encodeBandPng(size: Int, pattern: Int, dark: Int, bright: Int): Array[Byte] = {
+    require(size % 8 == 0, "band fixture needs size divisible by 8")
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val band = size / 8
+    var y = 0
+    while (y < size) {
+      val v = if (((pattern >> (y / band)) & 1) == 1) bright else dark
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < size) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** 64-bit average hash (aHash), the classic perceptual image
+    * fingerprint: sample an 8×8 grid by nearest neighbor, grayscale each
+    * sample as (r+g+b)/3, and set bit (8·row + col) iff the sample is at
+    * or above the grid mean. The threshold compares `gray·64 ≥ Σgray` in
+    * integer arithmetic — no floating point, so the hash is exactly
+    * reproducible. Byte-level edits that do not cross the mean (shade
+    * jitter, re-encoding, resizing) preserve the hash; structural edits
+    * flip bits ∝ changed area. Throws on non-image payloads.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val img = readImage(payload)
+    require(img != null, "aHash64: payload is not a decodable image")
+    val gray = new Array[Int](64)
+    var j = 0
+    while (j < 8) {
+      val y = j * img.getHeight / 8
+      var i = 0
+      while (i < 8) {
+        val rgb = img.getRGB(i * img.getWidth / 8, y)
+        gray(8 * j + i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        i += 1
+      }
+      j += 1
+    }
+    val sum = gray.sum
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (gray(k) * 64 >= sum) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Grayscale value of pixel (x, y) — the oracle-checkable shade probe
+    * of a planted fixture. Throws on non-image payloads.
+    */
+  def probeGray(payload: Array[Byte], x: Int, y: Int): Int = {
+    val img = readImage(payload)
+    require(img != null, "probeGray: payload is not a decodable image")
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+  }
+
   /** Encode mono 16-bit little-endian PCM WAV (44-byte RIFF header). */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -234,6 +234,62 @@ object Multimodal {
       |       CAST((doc_id % 1000) * 16 AS DOUBLE) / 32768 AS amp
       |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin
 
+  /** Image perceptual near-dup via 64-bit average hash over REAL PNG
+    * decode. Every 5th doc plants a band-pattern PNG: family = doc_id%8
+    * decides WHICH bands are bright (the structure), while per-doc shade
+    * jitter (dark = 40+(id/8)%20, bright = 200-(id/40)%20) makes the
+    * pixel BYTES differ inside a family. [[Codecs.aHash64]] is invariant
+    * to the jitter but not the structure, so images group exactly by
+    * family — byte-distinct near-duplicates land in one perceptual
+    * bucket (n_shades > 1 proves the members aren't byte-identical).
+    * DuckDB recomputes the expected hash arithmetically (band j bright ⇒
+    * hash byte j = 0xFF), so a decoder or threshold bug fails the row.
+    *
+    * Scale shape: hash + shade are per-row scan work on executors
+    * (mapPartitions-style RDD stage, payloads never leave their
+    * partition); the rollup shuffles 20-byte (hash, shade) rows — the
+    * same one-aggregation shape as exact dedup, at any corpus size.
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Catalog(spark, dir).ref("documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("dark_shade", IntegerType, nullable = false)))
+    val rows = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val pattern = ((id % 8) * 2 + 1).toInt
+      val dark = (40 + (id / 8) % 20).toInt
+      val bright = (200 - (id / 40) % 20).toInt
+      val png = Codecs.encodeBandPng(16, pattern, dark, bright)
+      // pattern has bit 0 set and bits 4-7 clear, so band 7 (rows 14-15)
+      // is always dark — probe it for the per-doc shade
+      Row(id, Codecs.aHash64(png), Codecs.probeGray(png, 0, 15))
+    }
+    spark.createDataFrame(rows, schema)
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("media_id")).as("representative_id"),
+        countDistinct(col("dark_shade")).as("n_shades"))
+      .orderBy("representative_id")
+  }
+
+  val phashNearDupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, (doc_id % 8) * 2 + 1 AS p,
+      |         40 + (doc_id // 8) % 20 AS dark
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |h AS (
+      |  SELECT doc_id, dark,
+      |         (CASE WHEN (p & 1) = 1 THEN CAST(255 AS BIGINT) ELSE 0 END)
+      |       + (CASE WHEN (p & 2) = 2 THEN CAST(65280 AS BIGINT) ELSE 0 END)
+      |       + (CASE WHEN (p & 4) = 4 THEN CAST(16711680 AS BIGINT) ELSE 0 END)
+      |       + (CASE WHEN (p & 8) = 8 THEN CAST(4278190080 AS BIGINT) ELSE 0 END) AS ahash
+      |  FROM m)
+      |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS representative_id,
+      |       count(DISTINCT dark) AS n_shades
+      |FROM h GROUP BY 1 ORDER BY representative_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary_meta" -> (binaryMeta _),
     "multimodal_decode" -> (decodeFeatures _),
@@ -241,7 +297,8 @@ object Multimodal {
     "multimodal_resize" -> (resizeMeta _),
     "multimodal_decode_real" -> (decodeReal _),
     "multimodal_resize_real" -> (resizeReal _),
-    "multimodal_audio_real" -> (audioReal _))
+    "multimodal_audio_real" -> (audioReal _),
+    "multimodal_phash_neardup" -> (phashNearDup _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_binary_meta" -> binaryMetaSql,
@@ -250,5 +307,6 @@ object Multimodal {
     "multimodal_resize" -> resizeMetaSql,
     "multimodal_decode_real" -> decodeRealSql,
     "multimodal_resize_real" -> resizeRealSql,
-    "multimodal_audio_real" -> audioRealSql)
+    "multimodal_audio_real" -> audioRealSql,
+    "multimodal_phash_neardup" -> phashNearDupSql)
 }

@@ -98,6 +98,24 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(row.getAs[String]("format") === "png")
   }
 
+  test("aHash64: invariant to shade jitter and resize, sensitive to structure") {
+    val base = Codecs.encodeBandPng(16, pattern = 0x5, dark = 40, bright = 200)
+    val jittered = Codecs.encodeBandPng(16, pattern = 0x5, dark = 55, bright = 185)
+    assert(!java.util.Arrays.equals(base, jittered), "fixtures must be byte-distinct")
+    assert(Codecs.aHash64(base) === Codecs.aHash64(jittered),
+      "shade jitter must not change the perceptual hash")
+    // a resize (even through a re-encode) keeps the hash: band structure
+    // survives nearest-neighbor resampling of band-aligned sizes
+    assert(Codecs.aHash64(Codecs.resize(base, 32, 32)) === Codecs.aHash64(base),
+      "resize must not change the perceptual hash")
+    // flipping one band flips exactly that band's 8 bits
+    val other = Codecs.encodeBandPng(16, pattern = 0x7, dark = 40, bright = 200)
+    val diff = java.lang.Long.bitCount(Codecs.aHash64(base) ^ Codecs.aHash64(other))
+    assert(diff === 8, s"one changed band must flip exactly 8 bits, flipped $diff")
+    // expected bit layout: band j bright => hash byte j = 0xFF
+    assert(Codecs.aHash64(base) === 0xFF00FFL)
+  }
+
   test("audioFeatures: ANN-contract shape (Array[Float] of fixed dim) per payload") {
     val out = MediaPipeline.audioFeatures(spark, media, dim = 16)
       .orderBy("media_id").collect()
