@@ -249,6 +249,65 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** [[SortedPairsN]] variant for ASYMMETRIC similarity: emits
+    * (id1, id2, n1, n2) with id1 < id2 and each side's own set size, so
+    * containment I/min(n1,n2) (and either directed ratio) can be
+    * computed on the pair key. No length prune — unlike Jaccard,
+    * containment has no size-ratio bound (a 10-shingle excerpt can be
+    * fully contained in a 10,000-shingle document), so every co-bucket
+    * pair is a legitimate candidate; posting-list df caps remain the
+    * scale guard.
+    */
+  case class SortedPairsBoth(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false),
+        StructField("n1", IntegerType, nullable = false),
+        StructField("n2", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new Array[Long](m)
+      val ns = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val st = arr.getStruct(i, 2)
+        ids(i) = st.getLong(0)
+        ns(i) = st.getInt(1)
+        i += 1
+      }
+      i = 1
+      while (i < m) {
+        val id = ids(i); val n = ns(i)
+        var j = i - 1
+        while (j >= 0 && ids(j) > id) { ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1 }
+        ids(j + 1) = id; ns(j + 1) = n
+        i += 1
+      }
+      val out = new Array[Any](m * (m - 1) / 2)
+      var k = 0
+      i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          out(k) = InternalRow(ids(i), ids(j), ns(i), ns(j))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** k-permutation MinHash signature over an array of shingle hashes:
     * sig(i) = min over h of xxhash64(h, seed = i). One pass per seed over
     * a primitive long array — no string re-hashing, no boxing.
@@ -604,6 +663,7 @@ object ArrayExprs {
   def md5Mod(s: Column, m: Long): Column = c(Md5Mod(e(s), m))
   def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
   def sortedPairsN(idNs: Column, tau: Double = 0.0): Column = c(SortedPairsN(e(idNs), tau))
+  def sortedPairsBoth(idNs: Column): Column = c(SortedPairsBoth(e(idNs)))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =

@@ -116,4 +116,24 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() > 0)
     out.unpersist()
   }
+
+  test("containment: planted excerpts pair with their parent; Jaccard misses most of them") {
+    val pairs = Dedup.containmentAt(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, _, c) => assert(c >= 0.9 && c <= 1.0 + 1e-12) }
+    // every planted excerpt (doc_id+100000, from docs long enough to
+    // shingle) must surface with its own parent as a pair partner
+    val excerptPairs = pairs.filter(_._2 >= 100000L)
+    assert(excerptPairs.nonEmpty, "planted excerpts must produce containment pairs")
+    val parentHits = excerptPairs.count { case (id1, id2, _) => id2 - 100000L == id1 }
+    assert(parentHits > 0, "excerpts must pair with their parents")
+    // the point of the operator: most planted-excerpt pairs are invisible
+    // to symmetric Jaccard at tau = 0.5 (a 30% excerpt has J ~ 0.3)
+    val jaccardPairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missedByJaccard = excerptPairs.count { case (a, b, _) => !jaccardPairs((a, b)) }
+    assert(missedByJaccard > excerptPairs.length / 2,
+      s"containment must catch what Jaccard misses: $missedByJaccard of ${excerptPairs.length}")
+  }
 }
