@@ -308,6 +308,63 @@ object Dedup {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.9
       |ORDER BY id1, id2""".stripMargin
 
+  // ---- incremental dedup (new crawl vs kept corpus) ---------------------------
+  /** The production dedup shape: a NEW batch (every third 5-doc family —
+    * "the crawl that just landed") screened against the ALREADY-KEPT
+    * corpus without ever re-deduping the base. Three verdicts per delta
+    * doc: `dup_of_base` (fingerprint exists in the kept corpus — base
+    * wins regardless of id order), `dup_in_delta` (first occurrence
+    * inside the batch keeps), `new`. Runs over the adversarial corpus
+    * with the split at FAMILY granularity: whole duplicate families land
+    * in the batch (exercising in-batch dedup) while the corpus-wide
+    * empty/whitespace fingerprints straddle the split (exercising the
+    * base index), so all three verdicts appear under the oracle.
+    *
+    * Scale shape: base reduces to its DISTINCT fingerprint index — 16
+    * bytes/doc, the thing a production pipeline keeps as a bucketed
+    * table (then this join is exchange-free on the base side, see
+    * `tracking.BucketedTrackingTable` for the same pattern) — and all
+    * per-doc work is O(|delta|): the first-in-batch window and the
+    * index join both key on the delta's fingerprints. The base corpus
+    * text is never re-read beyond the one fingerprint scan.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Catalog(spark, dir)
+    val all = adversarialDocs(c)
+      .select(col("doc_id"), md5(concat_ws(" ", toks(col("text")))).as("fp"))
+    val isDelta = expr("(doc_id div 5) % 3") === 0
+    val delta = all.filter(isDelta)
+    val baseIdx = all.filter(!isDelta)
+      .select(col("fp")).distinct().withColumn("__in_base", lit(1))
+    delta
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(baseIdx, Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("__in_base") === 1, lit("dup_of_base"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_in_delta"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH src AS ($adversarialDocsSql),
+      |f AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp
+      |  FROM src),
+      |delta AS (SELECT doc_id, fp FROM f WHERE (doc_id // 5) % 3 = 0),
+      |base AS (SELECT DISTINCT fp FROM f WHERE (doc_id // 5) % 3 <> 0),
+      |firsts AS (SELECT fp, min(doc_id) AS first_id FROM delta GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CASE WHEN b.fp IS NOT NULL THEN 'dup_of_base'
+      |            WHEN d.doc_id <> fi.first_id THEN 'dup_in_delta'
+      |            ELSE 'new' END AS verdict
+      |FROM delta d
+      |LEFT JOIN base b ON d.fp = b.fp
+      |JOIN firsts fi ON d.fp = fi.fp
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Scale guard for the inverted-index join: drop shingles whose
     * document frequency exceeds `maxDf` before pairing. Boilerplate
     * shingles shared by millions of documents otherwise contribute
@@ -894,6 +951,7 @@ object Dedup {
     "dedup_exact_adversarial" -> (exactAdversarial _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment90 _),
+    "dedup_incremental" -> (incrementalDedup _),
     "dedup_ngram_adversarial" -> (ngramJaccardAdversarial _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_adversarial" -> (minhashLshAdversarial _),
@@ -906,6 +964,7 @@ object Dedup {
     "dedup_exact_adversarial" -> exactAdversarialSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentSql,
+    "dedup_incremental" -> incrementalDedupSql,
     "dedup_ngram_adversarial" -> ngramJaccardAdversarialSql,
     "dedup_clusters" -> duplicateClustersSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -117,6 +117,38 @@ class DedupSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("incrementalDedup: base wins, one keeper per batch-only fingerprint, all verdicts appear") {
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    val verdicts = rows.map(_._2).toSet
+    assert(verdicts.subsetOf(Set("dup_of_base", "dup_in_delta", "new")))
+    assert(verdicts === Set("dup_of_base", "dup_in_delta", "new"),
+      s"the fixture must exercise all three verdicts, got $verdicts")
+    // recompute the fingerprints independently to check the invariants
+    val c = graft.catalog.Catalog(spark, sf)
+    val docs = c.ref("documents").select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def text(id: Long): String = {
+      val h = docs(id - id % 5)
+      if (id % 7 == 0) "" else if (id % 13 == 5) "  \t "
+      else if (id % 11 == 3) h.replace(" ", "\u00A0") else h
+    }
+    def fp(id: Long): String = text(id).trim.toLowerCase.split("\\s+").mkString(" ")
+    val deltaIds = docs.keys.filter(id => (id / 5) % 3 == 0).toSeq.sorted
+    val baseFps = docs.keys.filterNot(id => (id / 5) % 3 == 0).map(fp).toSet
+    val byId = rows.toMap
+    deltaIds.groupBy(fp).foreach { case (f, ids) =>
+      if (baseFps(f))
+        ids.foreach(id => assert(byId(id) === "dup_of_base", s"doc $id: base must win"))
+      else {
+        assert(byId(ids.min) === "new", s"doc ${ids.min}: first in batch must keep")
+        ids.filter(_ != ids.min).foreach(id =>
+          assert(byId(id) === "dup_in_delta", s"doc $id must defer to ${ids.min}"))
+      }
+    }
+  }
+
   test("containment: planted excerpts pair with their parent; Jaccard misses most of them") {
     val pairs = Dedup.containmentAt(spark, sf, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
