@@ -42,6 +42,18 @@ object ScaleProbe {
     // worst case for the digest window
     time("paragraph_8x")(ops.Dedup.paragraphDedup(spark, dir).count())
 
+    // containment: no length prune and no df cap here — at 8x replication
+    // candidate pairs grow quadratically inside each 8-clique family, the
+    // honest cost of asymmetric matching on a duplicate-heavy corpus (the
+    // ngramJaccardCappedAt df-cap dial applies unchanged when needed)
+    time("containment_8x")(ops.Dedup.containmentAt(spark, dir, 0.9).count())
+    // incremental dedup: base fingerprint index + O(delta) batch work
+    time("dedup_incremental_8x")(ops.Dedup.incrementalDedup(spark, dir).count())
+    // bigram LM: model aggregate + one bigram-keyed scoring join
+    time("bigram_lm_8x")(ops.TextAnalysis.bigramLm(spark, dir).count())
+    // mixture sampling: |groups|-row rates + scan-side predicate
+    time("mixture_sample_8x")(ops.TextAnalysis.mixtureSample(spark, dir).count())
+
     // distributed cluster resolution, driver fast-path disabled: 8x
     // replicas make every doc family an 8-clique, so min-label
     // propagation converges in diameter+1 rounds over a dense edge set —
@@ -134,6 +146,14 @@ object ScaleProbe {
     report ++= "  converges in a handful of min-label rounds even on the dense 8x\n"
     report ++= "  clique graph; each round shuffles 16-byte (id,label) rows only,\n"
     report ++= "  so round cost tracks |edges|, not corpus bytes.\n"
+    report ++= "- containment pays the full quadratic candidate cost at 8x\n"
+    report ++= "  replication (no length prune exists for asymmetric matching --\n"
+    report ++= "  a tiny excerpt can be contained in anything); the df-cap dial is\n"
+    report ++= "  the scale guard, exactly as for the Jaccard join.\n"
+    report ++= "- incremental dedup is delta-proportional: 8x corpus, sub-second --\n"
+    report ++= "  the base side is one distinct-fingerprint scan, never re-deduped.\n"
+    report ++= "- bigram LM and mixture sampling stay scan-shaped at 8x: the model\n"
+    report ++= "  aggregate map-side combines and the rate table broadcasts.\n"
     report ++= "- On a 50%-hot-key join, salting beats both the plain shuffle join\n"
     report ++= "  and AQE (whose skew split does not engage below its 256MB\n"
     report ++= "  partition threshold at this size).\n"

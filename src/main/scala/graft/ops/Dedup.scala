@@ -239,7 +239,7 @@ object Dedup {
     * which symmetric Jaccard is blind to (a 30% excerpt has J ≈ 0.3 but
     * containment ≈ 1.0). The oracle corpus plants real excerpts: every
     * 10th document contributes a copy holding its first
-    * max(5, 3·len/10) tokens under doc_id+100000 — at τ = 0.9 the
+    * max(5, 3·len/10) tokens under doc_id+1000000000 — at τ = 0.9 the
     * planted (parent, excerpt) pairs surface and most are invisible to
     * the J ≥ 0.5 dedup (measured 56 of 81 pairs at sf0.01).
     *
@@ -259,7 +259,7 @@ object Dedup {
     // (trim+lower+\s+ split), first max(5, 3·len/10) tokens re-joined
     val ts = split(trim(lower(col("text"))), "\\s+")
     val excerpts = base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"),
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(ts, lit(1),
           greatest(lit(5), expr("3 * size(split(trim(lower(text)), '\\\\s+')) div 10"))
             .cast("int")), " ").as("text"))
@@ -286,7 +286,7 @@ object Dedup {
     """WITH src AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
+      |  SELECT doc_id + 1000000000 AS doc_id,
       |         array_to_string(
       |           (regexp_split_to_array(trim(lower(text)), '\s+'))[1:greatest(5, 3 * len(regexp_split_to_array(trim(lower(text)), '\s+')) // 10)],
       |           ' ') AS text

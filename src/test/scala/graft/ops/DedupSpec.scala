@@ -154,11 +154,11 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(pairs.nonEmpty)
     pairs.foreach { case (_, _, c) => assert(c >= 0.9 && c <= 1.0 + 1e-12) }
-    // every planted excerpt (doc_id+100000, from docs long enough to
+    // every planted excerpt (doc_id+1000000000, from docs long enough to
     // shingle) must surface with its own parent as a pair partner
-    val excerptPairs = pairs.filter(_._2 >= 100000L)
+    val excerptPairs = pairs.filter(_._2 >= 1000000000L)
     assert(excerptPairs.nonEmpty, "planted excerpts must produce containment pairs")
-    val parentHits = excerptPairs.count { case (id1, id2, _) => id2 - 100000L == id1 }
+    val parentHits = excerptPairs.count { case (id1, id2, _) => id2 - 1000000000L == id1 }
     assert(parentHits > 0, "excerpts must pair with their parents")
     // the point of the operator: most planted-excerpt pairs are invisible
     // to symmetric Jaccard at tau = 0.5 (a 30% excerpt has J ~ 0.3)
