@@ -250,6 +250,25 @@ object Codecs {
   def aHash64(payload: Array[Byte]): Long = {
     val img = readImage(payload)
     require(img != null, "aHash64: payload is not a decodable image")
+    aHashOf(img)
+  }
+
+  /** [[aHash64]] plus the gray value at (x, y), from a SINGLE decode —
+    * the per-row shape the perceptual-dedup scan uses (decoding is the
+    * dominant per-image cost; never pay it twice for two probes).
+    */
+  def aHash64AndGray(payload: Array[Byte], x: Int, y: Int): (Long, Int) = {
+    val img = readImage(payload)
+    require(img != null, "aHash64AndGray: payload is not a decodable image")
+    (aHashOf(img), grayAt(img, x, y))
+  }
+
+  private def grayAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+  }
+
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
     val gray = new Array[Int](64)
     var j = 0
     while (j < 8) {
@@ -278,8 +297,7 @@ object Codecs {
   def probeGray(payload: Array[Byte], x: Int, y: Int): Int = {
     val img = readImage(payload)
     require(img != null, "probeGray: payload is not a decodable image")
-    val rgb = img.getRGB(x, y)
-    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    grayAt(img, x, y)
   }
 
   /** Encode mono 16-bit little-endian PCM WAV (44-byte RIFF header). */

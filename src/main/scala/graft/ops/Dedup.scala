@@ -252,26 +252,38 @@ object Dedup {
   def containment90(spark: SparkSession, dir: String): DataFrame =
     containmentAt(spark, dir, 0.9)
 
-  def containmentAt(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+  def containmentAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
+    containmentCappedAt(spark, dir, tau, Int.MaxValue)
+
+  /** The df-capped scale guard, same contract as [[ngramJaccardCappedAt]]:
+    * posting lists longer than `maxDf` are dropped before the quadratic
+    * pair expansion. Because each side's size `n` rides the posting list
+    * unchanged, capping only ever LOWERS n_inter — containment is
+    * underestimated, never overestimated, so a capped run is a subset of
+    * the exact result (asserted in DedupSpec). Size the cap
+    * corpus-relative (max(64, N/100)) per the ngram-cap lesson in
+    * SCALE.md.
+    */
+  def containmentCappedAt(spark: SparkSession, dir: String, tau: Double,
+      maxDf: Int): DataFrame = {
     val c = Catalog(spark, dir)
     val base = c.ref("documents").select(col("doc_id"), col("text"))
-    // planted excerpts: the same normalization the shingler applies
-    // (trim+lower+\s+ split), first max(5, 3·len/10) tokens re-joined
     val ts = split(trim(lower(col("text"))), "\\s+")
     val excerpts = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(ts, lit(1),
           greatest(lit(5), expr("3 * size(split(trim(lower(text)), '\\\\s+')) div 10"))
             .cast("int")), " ").as("text"))
-    containmentPairsOn(base.unionByName(excerpts), tau)
+    containmentPairsOn(base.unionByName(excerpts), tau, maxDf)
   }
 
-  private def containmentPairsOn(docs: DataFrame, tau: Double): DataFrame =
+  private def containmentPairsOn(docs: DataFrame, tau: Double,
+      maxDf: Int = Int.MaxValue): DataFrame =
     docShingleHashesOn(docs)
       .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
       .filter(col("sh").isNotNull)
       .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
       .select(explode(ArrayExprs.sortedPairsBoth(col("docs"))).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
         col("p.n1").as("n1"), col("p.n2").as("n2"))

@@ -264,8 +264,9 @@ object Multimodal {
       val bright = (200 - (id / 40) % 20).toInt
       val png = Codecs.encodeBandPng(16, pattern, dark, bright)
       // pattern has bit 0 set and bits 4-7 clear, so band 7 (rows 14-15)
-      // is always dark — probe it for the per-doc shade
-      Row(id, Codecs.aHash64(png), Codecs.probeGray(png, 0, 15))
+      // is always dark — probe it for the per-doc shade (single decode)
+      val (hash, shade) = Codecs.aHash64AndGray(png, 0, 15)
+      Row(id, hash, shade)
     }
     spark.createDataFrame(rows, schema)
       .groupBy(col("ahash"))

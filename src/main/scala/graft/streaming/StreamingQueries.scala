@@ -57,7 +57,7 @@ object StreamingQueries {
     // shuffle.partitions at FIRST run and is then pinned in the
     // checkpoint) — scoped and restored, batch queries never see it.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val out = try {
+    try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = build(withTs)
         .writeStream.format("parquet")
@@ -67,13 +67,17 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // localCheckpoint pins the result, so the temp dir (source symlink,
+      // sink, checkpoint) is removable in the finally even on success —
+      // and a failed run cannot strand an 8x-corpus-sized directory
       spark.read.parquet(s"$tmp/sink")
         .orderBy(sortCols.map(col): _*).localCheckpoint()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-    out
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    }
   }
 
   /** Streaming twin of g10_time_window: watermarked 1-hour tumbling

@@ -117,6 +117,17 @@ class DedupSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("containment df cap: sane cap reproduces exact; aggressive cap only drops pairs") {
+    val exact = Dedup.containmentAt(spark, sf, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.containmentCappedAt(spark, sf, 0.9, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact, "df cap 64 must be inert on the testdata corpus")
+    val tiny = Dedup.containmentCappedAt(spark, sf, 0.9, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.subsetOf(exact), "capping must underestimate, never invent pairs")
+  }
+
   test("incrementalDedup: base wins, one keeper per batch-only fingerprint, all verdicts appear") {
     val rows = Dedup.incrementalDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
