@@ -20,6 +20,10 @@ object ScaleProbe {
       base.select((col("doc_id") + lit(i * 10L * n)).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))).reduce(_ union _)
     val dir = java.nio.file.Files.createTempDirectory("scale").toString
+    // skewDir is created later; declare here so the finally can reap
+    // BOTH corpora even when a probe throws mid-run
+    var skewDir: String = null
+    try {
     big.write.parquet(s"$dir/documents.parquet")
     println(s"DOCS=${n * 8}")
     def time(name: String)(f: => Long): Unit = {
@@ -67,7 +71,7 @@ object ScaleProbe {
     // packing on a 90%-one-language corpus: the old partitionBy(lang)
     // window ran the dominant lang in ONE task; groupedRunningSum must
     // span it over many range partitions.
-    val skewDir = java.nio.file.Files.createTempDirectory("scale_skew").toString
+    skewDir = java.nio.file.Files.createTempDirectory("scale_skew").toString
     big.select(col("doc_id"),
         when(col("doc_id") % 10 < 9, lit("en")).otherwise(col("lang")).as("lang"),
         col("text"), col("source"), col("n_chars"))
@@ -161,13 +165,11 @@ object ScaleProbe {
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")
     spark.stop()
-    // repeated probe runs must not accumulate 8x corpora in /tmp
-    Seq(dir, skewDir).foreach { d =>
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val root = Paths.get(d)
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    } finally {
+      // repeated probe runs must not accumulate 8x corpora in /tmp —
+      // including runs where a probe throws mid-way
+      graft.util.Fs.deleteRecursively(dir)
+      Option(skewDir).foreach(graft.util.Fs.deleteRecursively)
     }
   }
 }

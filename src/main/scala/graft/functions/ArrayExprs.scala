@@ -158,6 +158,8 @@ object ArrayExprs {
       val ids = input.asInstanceOf[ArrayData].toLongArray()
       java.util.Arrays.sort(ids)
       val m = ids.length
+      require(m <= 65536,
+        s"posting list df=$m exceeds the pair-expansion bound; apply a df cap")
       val out = new Array[Any](m * (m - 1) / 2)
       var k = 0
       var i = 0
@@ -221,6 +223,13 @@ object ArrayExprs {
         ids(j + 1) = id; ns(j + 1) = n
         i += 1
       }
+      // m*(m-1)/2 overflows Int past m = 65536 (the resulting negative
+      // allocation would kill the query); a posting list that long means
+      // the caller skipped the df-cap scale guard — fail with the dial
+      // to turn, not an allocator crash
+      require(m <= 65536,
+        s"posting list df=$m exceeds the pair-expansion bound; " +
+          "apply a df cap (ngramJaccardCappedAt / ngramJaccardAutoCapped)")
       val out = new Array[Any](m * (m - 1) / 2)
       var k = 0
       i = 0
@@ -289,6 +298,11 @@ object ArrayExprs {
         ids(j + 1) = id; ns(j + 1) = n
         i += 1
       }
+      // same Int-overflow bound as SortedPairsN — and containment has no
+      // length prune at all, so the df cap is the ONLY guard here
+      require(m <= 65536,
+        s"posting list df=$m exceeds the pair-expansion bound; " +
+          "apply a df cap (containmentCappedAt)")
       val out = new Array[Any](m * (m - 1) / 2)
       var k = 0
       i = 0

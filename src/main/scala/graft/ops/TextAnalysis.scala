@@ -524,12 +524,16 @@ object TextAnalysis {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val docs = c.ref("documents")
+    // localCheckpoint pins the |groups|-row aggregate: the rate
+    // derivation references it three times (weights, the min-T
+    // aggregate, the final rates), and without the pin each reference
+    // re-plans the corpus-wide groupBy scan
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val withW = counts.withColumn("w", floor(sqrt(col("n"))).cast("long"))
-    val tot = withW.agg(sum(col("w")).as("bigw"))
-    val rates = withW.crossJoin(broadcast(tot))
-      .crossJoin(broadcast(withW.crossJoin(broadcast(tot))
-        .agg(min(expr("n * bigw div w")).as("t"))))
+    val wTot = withW.crossJoin(broadcast(withW.agg(sum(col("w")).as("bigw"))))
+    val rates = wTot
+      .crossJoin(broadcast(wTot.agg(min(expr("n * bigw div w")).as("t"))))
       .withColumn("k", expr("w * t div bigw"))
       .withColumn("ppm", expr("k * 1000000 div n"))
       .select(col("lang"), col("ppm"))

@@ -247,12 +247,20 @@ object Pgp {
     val end = math.min(6 + hashedLen, sig.length)
     while (i < end) {
       val o1 = sig(i) & 0xFF
+      // a truncated signature can end mid-length-octets: bail to None
+      // (caller falls back to its no-flags heuristic) instead of reading
+      // past the array
+      val lo0 = if (o1 < 192) 1 else if (o1 < 255) 2 else 5
+      if (i + lo0 > sig.length) return None
       val (len, lo) =
         if (o1 < 192) (o1, 1)
         else if (o1 < 255) (((o1 - 192) << 8) + (sig(i + 1) & 0xFF) + 192, 2)
         else (((sig(i + 1) & 0xFF) << 24) | ((sig(i + 2) & 0xFF) << 16) |
           ((sig(i + 3) & 0xFF) << 8) | (sig(i + 4) & 0xFF), 5)
-      if (len >= 1 && i + lo + len <= sig.length) {
+      // len <= 0 (empty subpacket, or a hostile 5-octet length that
+      // overflowed Int negative) would stall or rewind the cursor
+      if (len <= 0) return None
+      if (i + lo + len <= sig.length) {
         val tpe = sig(i + lo) & 0x7F
         if (tpe == 27 && len >= 2) return Some(sig(i + lo + 1) & 0xFF)
       }

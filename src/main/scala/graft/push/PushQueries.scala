@@ -176,7 +176,7 @@ object PushQueries {
 
   /** Oracle-checked CHUNKED-GPG push (the scale path): real RSA keypair,
     * real chunked encryption ([[GpgPipeline.fileWrapEncryptPackageChunkedReal]],
-    * 256 rows/chunk → one independent armored message per chunk), then
+    * 100 rows/chunk, matching the SFMC batch size → one independent armored message per chunk), then
     * each chunk is DECRYPTED executor-side with the private key and its
     * plaintext md5 compared against the expected CSV shard. Ciphertext
     * is random (fresh session key per chunk), so the oracle pins what IS

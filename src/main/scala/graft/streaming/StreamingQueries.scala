@@ -39,9 +39,12 @@ object StreamingQueries {
     val schema = spark.read.parquet(path).schema
     val tmp = java.nio.file.Files.createTempDirectory(name).toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    // toAbsolutePath: a symlink target resolves relative to the LINK's
+    // directory, so a relative sfDir (fine for every batch query) would
+    // otherwise produce a dangling link under /tmp
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(s"$tmp/src/$table.parquet"),
-      java.nio.file.Paths.get(path))
+      java.nio.file.Paths.get(path).toAbsolutePath)
     val src = spark.readStream.schema(schema).parquet(s"$tmp/src")
     val withTs =
       if (schema.fieldNames.contains("ts") && schema("ts").dataType == LongType)
@@ -74,9 +77,7 @@ object StreamingQueries {
         .orderBy(sortCols.map(col): _*).localCheckpoint()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      graft.util.Fs.deleteRecursively(tmp)
     }
   }
 
