@@ -300,6 +300,57 @@ object Codecs {
     grayAt(img, x, y)
   }
 
+  /** 64-bit loudness-envelope hash — [[aHash64]]'s audio twin: REAL PCM
+    * decode, 64 equal time buckets, bit k set iff bucket k's mean
+    * |amplitude| is at or above the whole clip's mean. The threshold is
+    * the cross-multiplication `sum_k · n ≥ total · n_k` — every operand
+    * is an exact dyadic rational (PCM16 / 32768) or an int, so the hash
+    * is exactly reproducible. Level jitter that stays on one side of the
+    * mean (re-mastering, volume changes within a section) preserves the
+    * hash; structural edits (a section going loud↔quiet) flip that
+    * section's bits. Throws on non-PCM16 payloads.
+    */
+  def audioHash64(payload: Array[Byte]): Long =
+    envelopeHashOf(decodePcm16(payload).getOrElse(
+      throw new IllegalArgumentException("audioHash64: payload is not PCM16 audio")))
+
+  private def envelopeHashOf(s: Array[Double]): Long = {
+    val n = s.length
+    require(n >= 64, s"audioHash64: need >= 64 samples, got $n")
+    val sums = new Array[Double](64)
+    val counts = new Array[Int](64)
+    var total = 0.0
+    var k = 0
+    while (k < 64) {
+      val lo = k * n / 64
+      val hi = (k + 1) * n / 64
+      var i = lo
+      while (i < hi) { sums(k) += math.abs(s(i)); i += 1 }
+      counts(k) = hi - lo
+      total += sums(k)
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (sums(k) * n >= total * counts(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** [[audioHash64]] plus the peak |sample| as a PCM16 integer, from a
+    * single decode — the per-row shape of the audio near-dup scan.
+    */
+  def audioHash64AndPeak(payload: Array[Byte]): (Long, Int) = {
+    val s = decodePcm16(payload).getOrElse(
+      throw new IllegalArgumentException("audioHash64AndPeak: payload is not PCM16 audio"))
+    var peak = 0.0
+    var i = 0
+    while (i < s.length) { if (math.abs(s(i)) > peak) peak = math.abs(s(i)); i += 1 }
+    (envelopeHashOf(s), math.round(peak * 32768).toInt)
+  }
+
   /** Encode mono 16-bit little-endian PCM WAV (44-byte RIFF header). */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -291,6 +291,59 @@ object Multimodal {
       |       count(DISTINCT dark) AS n_shades
       |FROM h GROUP BY 1 ORDER BY representative_id""".stripMargin
 
+  /** Audio perceptual near-dup — [[phashNearDup]]'s twin over REAL WAV
+    * PCM16 decode. Every 5th doc plants an 8-section clip (64 samples
+    * per section): family = doc_id%8 decides WHICH sections are loud
+    * (the structure), per-doc level jitter (loud = (600+(id/8)%50)·16,
+    * quiet = (40+(id/40)%20)·16) changes the PCM bytes inside a family.
+    * [[Codecs.audioHash64]] is invariant to the jitter but not the
+    * structure — clips group exactly by family, and n_levels > 1 proves
+    * members are byte-distinct. Section j loud ⇒ its 8 envelope buckets
+    * all exceed the clip mean ⇒ hash byte j = 0xFF, so DuckDB recomputes
+    * the expected hash arithmetically (same layout as the image hash).
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Catalog(spark, dir).ref("documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("envhash", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val rows = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val pattern = ((id % 8) * 2 + 1).toInt
+      val loud = ((600 + (id / 8) % 50) * 16).toShort
+      val quiet = ((40 + (id / 40) % 20) * 16).toShort
+      val samples = Array.tabulate(512) { i =>
+        if (((pattern >> (i / 64)) & 1) == 1) loud else quiet
+      }
+      val wav = Codecs.encodeWav(samples, sampleRate = 8000)
+      val (hash, peak) = Codecs.audioHash64AndPeak(wav)
+      Row(id, hash, peak)
+    }
+    spark.createDataFrame(rows, schema)
+      .groupBy(col("envhash"))
+      .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("representative_id"),
+        countDistinct(col("peak")).as("n_levels"))
+      .orderBy("representative_id")
+  }
+
+  val audioNearDupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, (doc_id % 8) * 2 + 1 AS p,
+      |         (600 + (doc_id // 8) % 50) * 16 AS loud
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |h AS (
+      |  SELECT doc_id, loud,
+      |         (CASE WHEN (p & 1) = 1 THEN CAST(255 AS BIGINT) ELSE 0 END)
+      |       + (CASE WHEN (p & 2) = 2 THEN CAST(65280 AS BIGINT) ELSE 0 END)
+      |       + (CASE WHEN (p & 4) = 4 THEN CAST(16711680 AS BIGINT) ELSE 0 END)
+      |       + (CASE WHEN (p & 8) = 8 THEN CAST(4278190080 AS BIGINT) ELSE 0 END) AS envhash
+      |  FROM m)
+      |SELECT envhash, count(*) AS n_clips, min(doc_id) AS representative_id,
+      |       count(DISTINCT loud) AS n_levels
+      |FROM h GROUP BY 1 ORDER BY representative_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary_meta" -> (binaryMeta _),
     "multimodal_decode" -> (decodeFeatures _),
@@ -299,7 +352,8 @@ object Multimodal {
     "multimodal_decode_real" -> (decodeReal _),
     "multimodal_resize_real" -> (resizeReal _),
     "multimodal_audio_real" -> (audioReal _),
-    "multimodal_phash_neardup" -> (phashNearDup _))
+    "multimodal_phash_neardup" -> (phashNearDup _),
+    "multimodal_audio_neardup" -> (audioNearDup _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_binary_meta" -> binaryMetaSql,
@@ -309,5 +363,6 @@ object Multimodal {
     "multimodal_decode_real" -> decodeRealSql,
     "multimodal_resize_real" -> resizeRealSql,
     "multimodal_audio_real" -> audioRealSql,
-    "multimodal_phash_neardup" -> phashNearDupSql)
+    "multimodal_phash_neardup" -> phashNearDupSql,
+    "multimodal_audio_neardup" -> audioNearDupSql)
 }

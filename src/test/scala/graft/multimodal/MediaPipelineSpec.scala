@@ -116,6 +116,25 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(Codecs.aHash64(base) === 0xFF00FFL)
   }
 
+  test("audioHash64: invariant to level jitter, sensitive to section structure") {
+    def clip(pattern: Int, loud: Short, quiet: Short): Array[Byte] =
+      Codecs.encodeWav(Array.tabulate(512) { i =>
+        if (((pattern >> (i / 64)) & 1) == 1) loud else quiet
+      }, sampleRate = 8000)
+    val base = clip(0x5, 9600, 800)
+    val jittered = clip(0x5, 10080, 944)
+    assert(!java.util.Arrays.equals(base, jittered), "fixtures must be byte-distinct")
+    assert(Codecs.audioHash64(base) === Codecs.audioHash64(jittered),
+      "level jitter must not change the envelope hash")
+    val other = clip(0x7, 9600, 800)
+    val diff = java.lang.Long.bitCount(Codecs.audioHash64(base) ^ Codecs.audioHash64(other))
+    assert(diff === 8, s"one changed section must flip exactly 8 bits, flipped $diff")
+    // expected layout: section j loud => hash byte j = 0xFF
+    assert(Codecs.audioHash64(base) === 0xFF00FFL)
+    // the peak probe equals the planted loud level exactly (dyadic PCM16)
+    assert(Codecs.audioHash64AndPeak(base)._2 === 9600)
+  }
+
   test("audioFeatures: ANN-contract shape (Array[Float] of fixed dim) per payload") {
     val out = MediaPipeline.audioFeatures(spark, media, dim = 16)
       .orderBy("media_id").collect()
