@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard writer — the OUTPUT end of the data pipeline: lay the
+  * corpus on disk as deterministic, size-targeted shards in shuffled
+  * order, the layout a training loader streams sequentially.
+  *
+  * Guarantees:
+  *  - order: within and across shards, rows follow the salted-md5 global
+  *    permutation of [[TextAnalysis.globalShuffle]] — reshuffling with a
+  *    new salt is a new epoch order, independent of the old one;
+  *  - determinism: shard membership and in-shard order are functions of
+  *    (salt, doc_id) only — two writes of the same corpus produce
+  *    byte-identical shard contents regardless of partitioning, file
+  *    order, or cluster size;
+  *  - sizing: every shard holds exactly `docsPerShard` docs (the last
+  *    one holds the remainder), so loader-side work is balanced.
+  *
+  * Scale shape: the permutation is the two-pass global row number (range
+  * shuffle + broadcast offsets — no single-partition window), shard
+  * assignment is arithmetic on the position, and the write runs one task
+  * per shard (`repartition(shard)` + in-task sort), each streaming its
+  * rows once. Driver-side state is the |shards|-row manifest. At 100 TB
+  * with ~1 GB shards that is ~100k tasks/manifest rows — scheduler-sized,
+  * not data-sized.
+  *
+  * Reference frame: the reference's batched staging writes
+  * (`marketing_cloud_data_extension_upload.sql:57` — `row_number/100`
+  * batches) are the same pattern at SaaS-API scale; this is the
+  * training-corpus version.
+  */
+object ShardWriter {
+
+  /** Write `outDir/shard=K/` parquet shards; returns the manifest
+    * (shard_id, n_docs, min_pos, max_pos) — also written to
+    * `outDir/_manifest` so loaders can plan without listing files.
+    */
+  def writeShards(spark: SparkSession, dir: String, outDir: String,
+      docsPerShard: Long, salt: String = "epoch0"): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val shuffled = TextAnalysis.globalShuffleAt(spark, dir, salt)
+      .withColumn("shard_id", expr(s"(shuffle_pos - 1) div ${docsPerShard}L"))
+    shuffled
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("shuffle_pos"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    // partition-dir inference reads shard_id back as Int — pin the
+    // manifest schema to long so readers get one stable type
+    val manifest = spark.read.parquet(outDir)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("shuffle_pos")).as("min_pos"), max(col("shuffle_pos")).as("max_pos"))
+      .orderBy("shard_id")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest").orderBy("shard_id")
+  }
+}
