@@ -250,7 +250,7 @@ object Dedup {
     * division, engine-exact.
     */
   def containment90(spark: SparkSession, dir: String): DataFrame =
-    containmentAt(spark, dir, 0.9)
+    containmentAt(spark, dir, 0.9).orderBy("id1", "id2")
 
   def containmentAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
     containmentCappedAt(spark, dir, tau, Int.MaxValue)
@@ -268,12 +268,11 @@ object Dedup {
       maxDf: Int): DataFrame = {
     val c = Catalog(spark, dir)
     val base = c.ref("documents").select(col("doc_id"), col("text"))
-    val ts = split(trim(lower(col("text"))), "\\s+")
+    val ts = toks(col("text"))
     val excerpts = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(ts, lit(1),
-          greatest(lit(5), expr("3 * size(split(trim(lower(text)), '\\\\s+')) div 10"))
-            .cast("int")), " ").as("text"))
+          greatest(lit(5), floor(size(ts) * 3 / 10)).cast("int")), " ").as("text"))
     containmentPairsOn(base.unionByName(excerpts), tau, maxDf)
   }
 
@@ -292,7 +291,6 @@ object Dedup {
         col("n_inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
       .filter(col("containment") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("containment"))
-      .orderBy("id1", "id2")
 
   val containmentSql: String =
     """WITH src AS (
@@ -343,8 +341,11 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = Catalog(spark, dir)
+    // pin: both the delta branch and the base index reference `all`,
+    // and without the pin each one re-runs the corpus scan + md5
     val all = adversarialDocs(c)
       .select(col("doc_id"), md5(concat_ws(" ", toks(col("text")))).as("fp"))
+      .localCheckpoint(eager = false)
     val isDelta = expr("(doc_id div 5) % 3") === 0
     val delta = all.filter(isDelta)
     val baseIdx = all.filter(!isDelta)

@@ -275,17 +275,26 @@ object Multimodal {
       .orderBy("representative_id")
   }
 
+  /** The expected-hash layout both perceptual fixtures share: pattern
+    * bit j set ⇒ hash byte j = 0xFF (bands for images, sections for
+    * audio). One builder so the two oracle twins cannot diverge; planted
+    * patterns are (id%8)*2+1 ∈ [1,15], so 4 bytes cover every case.
+    */
+  private val patternHash64Sql: String =
+    (0 until 4).map { j =>
+      val bit = 1 << j
+      val byte = 255L << (8 * j)
+      s"(CASE WHEN (p & $bit) = $bit THEN CAST($byte AS BIGINT) ELSE 0 END)"
+    }.mkString("\n       + ")
+
   val phashNearDupSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT doc_id, (doc_id % 8) * 2 + 1 AS p,
       |         40 + (doc_id // 8) % 20 AS dark
       |  FROM documents WHERE doc_id % 5 = 0),
       |h AS (
       |  SELECT doc_id, dark,
-      |         (CASE WHEN (p & 1) = 1 THEN CAST(255 AS BIGINT) ELSE 0 END)
-      |       + (CASE WHEN (p & 2) = 2 THEN CAST(65280 AS BIGINT) ELSE 0 END)
-      |       + (CASE WHEN (p & 4) = 4 THEN CAST(16711680 AS BIGINT) ELSE 0 END)
-      |       + (CASE WHEN (p & 8) = 8 THEN CAST(4278190080 AS BIGINT) ELSE 0 END) AS ahash
+      |         $patternHash64Sql AS ahash
       |  FROM m)
       |SELECT ahash, count(*) AS n_imgs, min(doc_id) AS representative_id,
       |       count(DISTINCT dark) AS n_shades
@@ -329,16 +338,13 @@ object Multimodal {
   }
 
   val audioNearDupSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT doc_id, (doc_id % 8) * 2 + 1 AS p,
       |         (600 + (doc_id // 8) % 50) * 16 AS loud
       |  FROM documents WHERE doc_id % 5 = 0),
       |h AS (
       |  SELECT doc_id, loud,
-      |         (CASE WHEN (p & 1) = 1 THEN CAST(255 AS BIGINT) ELSE 0 END)
-      |       + (CASE WHEN (p & 2) = 2 THEN CAST(65280 AS BIGINT) ELSE 0 END)
-      |       + (CASE WHEN (p & 4) = 4 THEN CAST(16711680 AS BIGINT) ELSE 0 END)
-      |       + (CASE WHEN (p & 8) = 8 THEN CAST(4278190080 AS BIGINT) ELSE 0 END) AS envhash
+      |         $patternHash64Sql AS envhash
       |  FROM m)
       |SELECT envhash, count(*) AS n_clips, min(doc_id) AS representative_id,
       |       count(DISTINCT loud) AS n_levels

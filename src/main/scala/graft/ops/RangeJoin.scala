@@ -158,6 +158,8 @@ object RangeJoin {
         "RangeJoinBandingRule cap path did not fire for j6_range_join_sentinel")
       df.localCheckpoint() // eager: executes under the banding confs
     } finally {
+      spark.catalog.dropTempView("__rj_intervals")
+      spark.catalog.dropTempView("__rj_points")
       prevW.fold(spark.conf.unset("spark.graft.rangeJoin.bandWidth"))(
         spark.conf.set("spark.graft.rangeJoin.bandWidth", _))
       prevCap.fold(spark.conf.unset("spark.graft.rangeJoin.maxBandsPerInterval"))(

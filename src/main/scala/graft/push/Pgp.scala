@@ -275,8 +275,10 @@ object Pgp {
     * 1. the last RSA subkey (tag 14) whose binding signature carries an
     *    encrypt flag — skips signing-only subkeys that GnuPG would
     *    refuse to address a PKESK to;
-    * 2. the last RSA subkey regardless of flags (keys with no key-flags
-    *    subpacket, e.g. our own minimal [[armorPublicKey]] blocks);
+    * 2. the last RSA subkey carrying NO key-flags subpacket at all
+    *    (e.g. our own minimal [[armorPublicKey]] blocks) — a subkey
+    *    whose flags are present but encrypt-free is signing-only and
+    *    is skipped in favor of the primary;
     * 3. the primary key (tag 6).
     * Expiry/revocation are NOT checked — callers hold keys they control.
     */
@@ -297,7 +299,7 @@ object Pgp {
     }
     val sks = subkeys.result()
     sks.filter(_._2.exists(f => (f & 0x0C) != 0)).lastOption.map(_._1)
-      .orElse(sks.lastOption.map(_._1))
+      .orElse(sks.filter(_._2.isEmpty).lastOption.map(_._1))
       .orElse(ps.find(p => p.tag == 6 && isRsaKeyBody(p.body)))
       .map(p => rsaFromKeyBody(p.body))
       .getOrElse(throw new IllegalArgumentException("no RSA public key packet in block"))

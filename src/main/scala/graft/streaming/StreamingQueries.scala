@@ -62,7 +62,8 @@ object StreamingQueries {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = build(withTs)
+      val out = build(withTs)
+      val q = out
         .writeStream.format("parquet")
         .option("path", s"$tmp/sink")
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -72,8 +73,10 @@ object StreamingQueries {
       q.awaitTermination()
       // localCheckpoint pins the result, so the temp dir (source symlink,
       // sink, checkpoint) is removable in the finally even on success —
-      // and a failed run cannot strand an 8x-corpus-sized directory
-      spark.read.parquet(s"$tmp/sink")
+      // and a failed run cannot strand an 8x-corpus-sized directory.
+      // Explicit schema: a zero-row run leaves only _spark_metadata in
+      // the sink, where inference would throw instead of returning empty.
+      spark.read.schema(out.schema).parquet(s"$tmp/sink")
         .orderBy(sortCols.map(col): _*).localCheckpoint()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)

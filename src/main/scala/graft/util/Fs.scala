@@ -12,7 +12,10 @@ object Fs {
     */
   def deleteRecursively(dir: String): Unit = {
     val root: Path = Paths.get(dir)
-    if (Files.exists(root))
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally walk.close()
+    }
   }
 }

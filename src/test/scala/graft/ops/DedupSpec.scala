@@ -145,7 +145,15 @@ class DedupSpec extends SparkTestBase {
       if (id % 7 == 0) "" else if (id % 13 == 5) "  \t "
       else if (id % 11 == 3) h.replace(" ", "\u00A0") else h
     }
-    def fp(id: Long): String = text(id).trim.toLowerCase.split("\\s+").mkString(" ")
+    // mirror the ENGINE's normalization exactly: Spark trim strips only
+    // spaces (not tabs) and Spark split keeps trailing empties (limit -1)
+    // — Scala's String.trim/split would collapse whitespace-only and
+    // empty docs into one fingerprint the engine keeps distinct
+    def fp(id: Long): String = {
+      val t = text(id).toLowerCase
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      t.split("\\s+", -1).mkString(" ")
+    }
     val deltaIds = docs.keys.filter(id => (id / 5) % 3 == 0).toSeq.sorted
     val baseFps = docs.keys.filterNot(id => (id / 5) % 3 == 0).map(fp).toSet
     val byId = rows.toMap
