@@ -24,8 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.AsOf.queries ++
-      ops.RangeJoin.queries ++ push.PushQueries.queries ++
-      streaming.StreamingQueries.queries
+      ops.RangeJoin.queries ++ ops.Graph.queries ++ ops.Search.queries ++
+      push.PushQueries.queries ++ streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
     * compare sorts columns by name before hashing).
@@ -33,6 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ ops.AsOf.oracles ++
-      ops.RangeJoin.oracles ++ push.PushQueries.oracles ++
-      streaming.StreamingQueries.oracles
+      ops.RangeJoin.oracles ++ ops.Graph.oracles ++ ops.Search.oracles ++
+      push.PushQueries.oracles ++ streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Link-graph analytics for corpus curation. A 100 TB web-scale corpus
+  * carries a link graph, and graph centrality is a standard quality
+  * signal for training-data selection (harvest pages whose PageRank is
+  * high, down-weight link farms). The reference has no graph operator —
+  * this is extension scope like the dedup/similarity families.
+  *
+  * Engine-parity design: one PageRank iteration is
+  * `r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)`; the Σ is the only
+  * order-sensitive float op. The repo's usual decimal-accumulation
+  * pattern is NOT enough here: Spark casts double→decimal via exact
+  * BigDecimal expansion while DuckDB rounds through a double multiply,
+  * and at scale 18 the two differ in the last ulp (measured). Instead
+  * the Σ is a SORTED LEFT FOLD over the group's doubles —
+  * `aggregate(array_sort(collect_list(x)), 0.0, +)` in Spark,
+  * `list_reduce(list_sort(list(x)), +)` in DuckDB — identical addition
+  * order, identical IEEE ops, bit-identical ranks. Caveat the fold
+  * inherits from collect_list: a group must fit in memory, i.e.
+  * per-node IN-degree is bounded (true for every fixture; a web-scale
+  * hub node wants the mergeable decimal accumulator and an
+  * approximate-parity oracle instead — harness constraint, not an
+  * engine one).
+  *
+  * Scale shape (power iteration on a 1000-executor cluster):
+  *  - edges are joined by `src` and re-aggregated by `dst` every
+  *    iteration — two shuffles per iteration, the canonical PageRank
+  *    cost. The edge relation (with its outdeg) is computed ONCE and
+  *    pinned; only the |V|-row rank table moves between iterations.
+  *  - rank lineage is cut per iteration with a lazy `localCheckpoint`
+  *    (the dedup_clusters pattern): without it the plan doubles per
+  *    round and the optimizer re-derives the whole prefix.
+  *  - no driver-side state beyond the scalar |V|; ranks never collect.
+  */
+object Graph {
+
+  /** General power-iteration PageRank over an `(src: long, dst: long)`
+    * edge list. Nodes are the union of endpoints; nodes without
+    * in-edges receive the teleport mass `(1-d)/N` (the left join +
+    * coalesce). Dangling nodes (no OUT-edges) simply leak their mass —
+    * the fixture graph has none by construction; a production caller
+    * with dangling nodes should add a sink self-loop per convention.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    // (src, dst, outdeg) — pinned: referenced once per iteration
+    val ed = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint(eager = false)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val sums = ed.join(ranks, ed("src") === ranks("node"))
+        .select(ed("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy("node")
+        .agg(aggregate(array_sort(collect_list(col("contrib"))),
+          lit(0.0), (acc, x) => acc + x).as("msum"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** The deterministic pseudo-web over `documents`: node i links to
+    * `(i²+1) % N` (quadratic — irregular in-degree, residues hit
+    * multiple times), `(2i+1) % N` (odd targets only — even nodes get
+    * no mass from this family), and `(7i+3) % N` (a bijection for the
+    * testdata Ns, so every node keeps ≥1 in-edge). Self-loops dropped,
+    * duplicate targets collapsed (UNION semantics in the twin). The
+    * `7i+3` family never self-loops (6i ≡ -3 has no solution mod an
+    * even N), so no node is dangling.
+    */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"))
+    val n = docs.count()
+    def e(dst: Column) = docs.select(col("doc_id").as("src"), (dst % n).as("dst"))
+    e(col("doc_id") * col("doc_id") + 1)
+      .union(e(col("doc_id") * 2 + 1))
+      .union(e(col("doc_id") * 7 + 3))
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Oracle query: 5 damping-0.85 iterations over [[linkGraph]], every
+    * node's rank. 5 is past the interesting transient (ranks separate
+    * by in-degree structure) while keeping the DuckDB twin's unrolled
+    * CTE chain readable.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(linkGraph(spark, dir), iters = 5, damping = 0.85)
+      .orderBy("node")
+
+  /** The twin unrolls the 5 iterations as r0..r5 CTEs; each stage is
+    * the same left-join-coalesce expression tree as the engine's, with
+    * the identical decimal(38,18) accumulation.
+    */
+  val graphPagerankSql: String = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |           + CAST(0.85 AS DOUBLE) * COALESCE(s.msum, 0.0) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst AS node,
+         |           list_reduce(list_sort(list(r.rank / ed.outdeg)), (p, q) -> p + q) AS msum
+         |    FROM ed JOIN r${k - 1} r ON ed.src = r.node
+         |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT n FROM nn) FROM documents
+       |  UNION
+       |  SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+       |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       |ed AS (SELECT e.src, e.dst, d.outdeg
+       |       FROM e JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) d USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql)
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Corpus keyword search — BM25 top-k over the `documents` table. The
+  * retrieval side of a training-data pipeline: decontamination lookups,
+  * quality-probe queries, "find me the docs about X" curation passes all
+  * reduce to scoring a small query set against a huge corpus.
+  *
+  * Scale shape: the only corpus-sized work is one tokenize+explode scan
+  * filtered to the query vocabulary IMMEDIATELY (an `isin` on a literal
+  * set — Catalyst folds it to a hash-set probe, so non-matching tokens
+  * die in the scan stage and never shuffle). Everything after is
+  * per-(term, doc) aggregates of the surviving rows — at 100 TB the
+  * shuffle is proportional to the posting lists of the queried terms,
+  * not the corpus. The final per-query top-k is a rank window that
+  * Spark's `WindowGroupLimit` rewrites to per-partition partial top-k
+  * before the shuffle (pinned in PlanQualitySpec): a hot term with a
+  * billion-doc posting list moves only k rows per map partition.
+  *
+  * Engine parity: classic BM25 idf is `ln((N-df+0.5)/(df+0.5))` — but
+  * `ln` is libm, whose last-ulp behavior differs between the JVM and
+  * DuckDB's C runtime (the repo-wide rule: no libm in oracle queries,
+  * see TextAnalysis bigram-LM note). The oracle query therefore uses the
+  * RATIONAL idf `(N-df+0.5)/(df+0.5)` (the log's argument — same
+  * division, no transcendental): per-term ranking is identical (the
+  * transform is monotone), cross-term weighting skews toward rare terms,
+  * which for curation probes is the desired bias anyway. The true log
+  * variant is [[bm25Log]], spec-checked against a plain-Scala reference
+  * instead of DuckDB. k1 = 1.25 and b = 0.75 are exactly-representable
+  * doubles, and the per-(query,doc) term sum is a sorted left fold over
+  * ≤|query| doubles (see ops.Graph for why decimal accumulation is not
+  * cross-engine-exact at full precision), so every score is
+  * bit-identical to the twin's.
+  */
+object Search {
+
+  val K1 = 1.25
+  val B = 0.75
+
+  /** The fixture query set: three multi-term queries over the testdata
+    * vocabulary with deliberately spread document frequencies (stopword
+    * 'the' vs mid-frequency 'spark'/'stream') so idf weighting is
+    * exercised, not just tf.
+    */
+  val fixtureQueries: Seq[(String, String)] = Seq(
+    "q1" -> "spark", "q1" -> "merge",
+    "q2" -> "window", "q2" -> "hash", "q2" -> "stream",
+    "q3" -> "the", "q3" -> "fast", "q3" -> "table")
+
+  /** (query_id, doc_id, tf, df, dl, n_docs, sum_dl) — the integer
+    * sufficient statistics of BM25, shared by both scoring variants.
+    */
+  private def termStats(spark: SparkSession, dir: String,
+      qs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("sum_dl"))
+    val terms = qs.map(_._2).distinct
+    val tf = docs
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(qs.toDF("query_id", "term")), Seq("term"))
+      .crossJoin(broadcast(totals))
+  }
+
+  /** Per-term BM25 with a caller-supplied idf column (rational for the
+    * oracle, ln for [[bm25Log]]); top-k per query by decimal-summed
+    * score, ties broken by doc_id.
+    */
+  private def topK(stats: DataFrame, idf: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tfn = (col("tf") * (K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    stats
+      .select(col("query_id"), col("doc_id"), (idf * tfn).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(col("s"))),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val rationalIdf =
+    (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+
+  /** Oracle query: rational-idf BM25, top-5 per fixture query. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    topK(termStats(spark, dir, fixtureQueries), rationalIdf, 5)
+
+  /** True log-idf BM25 — production scoring; spec-checked against a
+    * plain-Scala fold (SearchSpec), not the DuckDB oracle (libm).
+    */
+  def bm25Log(spark: SparkSession, dir: String,
+      qs: Seq[(String, String)] = fixtureQueries, k: Int = 5): DataFrame =
+    topK(termStats(spark, dir, qs),
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), k)
+
+  val textBm25Sql: String = {
+    val vals = fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val terms = fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
+       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |         ((tf.tf * 2.25) /
+       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id,
+       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
+       |       FROM st GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, doc_id) AS rnk
+       |       FROM sc)
+       |SELECT query_id, doc_id, rnk, score FROM rk
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _))
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql)
+}

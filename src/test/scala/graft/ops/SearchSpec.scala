@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkTestBase {
+
+  /** Plain-Scala BM25 with the engine's float contract (same op order,
+    * sorted left fold over term scores) — the reference for the log-idf
+    * variant the DuckDB oracle can't check (libm).
+    */
+  private def reference(idf: (Long, Long) => Double, k: Int)
+      : Seq[(String, Long, Long, Double)] = {
+    val docs = graft.catalog.Catalog(spark, sf).ref("documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)
+        .toLowerCase.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .split("\\s+", -1)))
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs
+    val terms = Search.fixtureQueries.map(_._2).distinct
+    val tf = docs.flatMap { case (id, ts) =>
+      val dl = ts.length.toLong
+      ts.filter(terms.contains).groupBy(identity).map {
+        case (t, hits) => (t, id, dl, hits.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._1).map { case (t, xs) => (t, xs.length.toLong) }
+    Search.fixtureQueries
+      .flatMap { case (q, t) =>
+        tf.filter(_._1 == t).map { case (_, id, dl, f) =>
+          val tfn = (f * (Search.K1 + 1)) /
+            (f + Search.K1 * ((1 - Search.B) + Search.B * (dl / avgdl)))
+          ((q, id), idf(nDocs, df(t)) * tfn)
+        }
+      }
+      .groupBy(_._1).toSeq
+      .map { case ((q, id), xs) =>
+        (q, id, xs.map(_._2).sorted.foldLeft(0.0)(_ + _))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case ((q, id, s), i) => (q, id, (i + 1).toLong, s) }
+      }
+      .sortBy(r => (r._1, r._3))
+  }
+
+  test("bm25Log matches a plain-Scala reference bit-for-bit") {
+    val engine = Search.bm25Log(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = reference((n, df) => math.log((n - df + 0.5) / (df + 0.5)), 5)
+    assert(engine.toSeq === expect)
+  }
+
+  test("rational-idf oracle variant ranks identically per single term and bit-matches its own reference") {
+    val engine = Search.textBm25(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = reference((n, df) => (n - df + 0.5) / (df + 0.5), 5)
+    assert(engine.toSeq === expect)
+  }
+
+  test("top-k window plans as WindowGroupLimit (partial top-k before the shuffle)") {
+    val df = Search.textBm25(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push a group limit below the window shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no quadratic joins:\n$plan")
+  }
+}
