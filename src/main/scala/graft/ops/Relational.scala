@@ -1090,6 +1090,41 @@ object Relational {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- J8: salted skew join under the oracle --------------------------------
+  /** [[graft.sources.Skew.saltedJoin]] proven row-identical to the plain
+    * join by DuckDB (which knows nothing about salting): ~80% of events
+    * collapse onto one 'hot' key, the weight dim joins through 16 salts,
+    * and the weighted per-user-bucket rollup must hash-match the
+    * unsalted SQL. The correctness half of the skew story — the
+    * performance half is ScaleProbe's `join_skew_salted` (hot key spread
+    * over 16 reducers instead of 1). `value` is 2-decimal testdata and
+    * weights are integers, so the decimal(30,6) accumulation is exact.
+    */
+  def j8SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog(spark, dir)
+    val fact = c.ref("events").select(
+      when(col("event_type") === "purchase", col("event_type"))
+        .otherwise(lit("hot")).as("k"),
+      col("user_id"), col("value"))
+    val dim = Seq(("hot", 3L), ("purchase", 5L)).toDF("k", "weight")
+    graft.sources.Skew.saltedJoin(fact, dim, "k", salts = 16)
+      .groupBy((col("user_id") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value") * col("weight")).as("wsum"))
+      .orderBy("bucket")
+  }
+
+  val j8SaltedSkewJoinSql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN event_type ELSE 'hot' END AS k,
+      |         user_id, value
+      |  FROM events),
+      |dim(k, weight) AS (VALUES ('hot', 3), ('purchase', 5))
+      |SELECT fact.user_id % 100 AS bucket, count(*) AS n,
+      |       CAST(sum(CAST(fact.value * dim.weight AS DECIMAL(30,6))) AS DOUBLE) AS wsum
+      |FROM fact JOIN dim ON fact.k = dim.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- O7: table profiling --------------------------------------------------
   /** Column-profile summary over `orders` — row count, null count,
     * exact distinct count, numeric min/max (NULL for strings) and
@@ -1208,6 +1243,7 @@ object Relational {
     "w6_rank_family" -> (w6RankFamily _),
     "g13_histogram" -> (g13Histogram _),
     "j7_semi_join" -> (j7SemiJoin _),
+    "j8_salted_skew_join" -> (j8SaltedSkewJoin _),
     "o7_profile" -> (o7Profile _),
     "o5_latest_per_key" -> (o5LatestPerKey _),
     "m4_incremental" -> (m4Incremental _),
@@ -1250,6 +1286,7 @@ object Relational {
     "w6_rank_family" -> w6RankFamilySql,
     "g13_histogram" -> g13HistogramSql,
     "j7_semi_join" -> j7SemiJoinSql,
+    "j8_salted_skew_join" -> j8SaltedSkewJoinSql,
     "o7_profile" -> o7ProfileSql,
     "o5_latest_per_key" -> o5LatestPerKeySql,
     "m4_incremental" -> m4IncrementalSql,

@@ -138,9 +138,65 @@ object Search {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Per-document keyword extraction — top-3 TF-IDF terms per doc, the
+    * inverse of [[textBm25]]'s per-query ranking: here EVERY document is
+    * a window partition, so the rank filter's `WindowGroupLimit` rewrite
+    * is doing real work (3 rows per doc survive each map partition
+    * instead of the full vocabulary posting). Score = (tf/dl) · the
+    * rational idf — two exact-rounded divisions and one multiply, no
+    * term sum at all, so no fold is even needed for engine parity.
+    *
+    * Scale shape: tf and df are both map-side-combinable aggregates of
+    * the one tokenize scan; the tf⋈df join keys on term and AQE
+    * broadcasts the df side when the vocabulary is small (it shuffles
+    * when it isn't — a million-term vocab is not broadcastable, and
+    * nothing here assumes it is).
+    */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(totals))
+      .withColumn("score", (col("tf") / col("dl")) *
+        ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("rnk"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val textKeywordsSql: String =
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |             FROM documents),
+      |totals AS (SELECT count(*) AS n_docs FROM tok),
+      |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+      |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl GROUP BY 1, 2, 3),
+      |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         (tf.tf / tf.dl) * ((totals.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) AS score
+      |  FROM tf JOIN dfx USING (term) CROSS JOIN totals),
+      |rk AS (SELECT doc_id, term, score,
+      |              row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY score DESC, term) AS rnk
+      |       FROM sc)
+      |SELECT doc_id, term, rnk, score FROM rk
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25" -> (textBm25 _))
+    "text_bm25" -> (textBm25 _),
+    "text_keywords" -> (textKeywords _))
 
   val oracles: Map[String, String] = Map(
-    "text_bm25" -> textBm25Sql)
+    "text_bm25" -> textBm25Sql,
+    "text_keywords" -> textKeywordsSql)
 }

@@ -327,6 +327,12 @@ object TextAnalysis {
     // BEFORE the shuffle (a window ships every row and sorts it). It also
     // halves the cost of the range-bound sampling pass that
     // repartitionByRange runs over this subtree inside groupedRunningSum.
+    // NOT pinned: groupedRunningSum's range-bounds sampling job does
+    // re-traverse this subtree, but the min_by exchange's shuffle files
+    // persist across jobs of one execution, so the sampling pass skips
+    // the map stage and re-runs only the cheap post-shuffle projection.
+    // A localCheckpoint here measures SLOWER (0.88→1.02 s at sf0.1): it
+    // adds a materialization barrier to save work Spark already skips.
     val kept = scored
       .groupBy(col("fp"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id")).as("k"))

@@ -68,4 +68,27 @@ class SearchSpec extends SparkTestBase {
       s"rank filter must push a group limit below the window shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no quadratic joins:\n$plan")
   }
+
+  test("textKeywords: 3 ranked keywords per doc, scores monotone, WindowGroupLimit fires") {
+    val df = Search.textKeywords(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-3 must partial-limit before the window shuffle:\n$plan")
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, ks) =>
+      assert(ks.length <= 3 && ks.map(_._3).sorted.sameElements(1L to ks.length),
+        s"doc $id ranks: ${ks.toSeq}")
+      val ordered = ks.sortBy(_._3).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not monotone: ${ordered.toSeq}")
+    }
+    // idf must matter: the universal filler token never tops a doc that
+    // also contains rarer terms (df('a') is corpus-wide)
+    val tops = rows.filter(_._3 == 1L).map(_._2)
+    assert(tops.count(t => t == "a" || t == "the") < tops.length / 2,
+      "high-df fillers must not dominate rank-1 keywords")
+  }
 }
