@@ -57,6 +57,13 @@ object ScaleProbe {
     time("bigram_lm_8x")(ops.TextAnalysis.bigramLm(spark, dir).count())
     // mixture sampling: |groups|-row rates + scan-side predicate
     time("mixture_sample_8x")(ops.TextAnalysis.mixtureSample(spark, dir).count())
+    // PageRank: 40k nodes / ~120k edges, 5 iterations — cost is 2
+    // shuffles/iteration over (node, rank) rows, never corpus bytes
+    time("pagerank_8x")(ops.Graph.graphPagerank(spark, dir).count())
+    // BM25: posting lists of 8 query terms shuffle, the corpus doesn't
+    time("bm25_8x")(ops.Search.textBm25(spark, dir).count())
+    // keywords: full-vocab tf/df aggregates + per-doc WindowGroupLimit
+    time("keywords_8x")(ops.Search.textKeywords(spark, dir).count())
 
     // distributed cluster resolution, driver fast-path disabled: 8x
     // replicas make every doc family an 8-clique, so min-label
@@ -158,6 +165,10 @@ object ScaleProbe {
     report ++= "  the base side is one distinct-fingerprint scan, never re-deduped.\n"
     report ++= "- bigram LM and mixture sampling stay scan-shaped at 8x: the model\n"
     report ++= "  aggregate map-side combines and the rate table broadcasts.\n"
+    report ++= "- pagerank at 8x nodes/edges tracks |E| per iteration (rank rows\n"
+    report ++= "  are 16 bytes; edges+outdeg pinned once); bm25 cost follows the\n"
+    report ++= "  queried terms' posting lists, keywords the vocab aggregate --\n"
+    report ++= "  for all three the corpus text is read exactly once.\n"
     report ++= "- On a 50%-hot-key join, salting beats both the plain shuffle join\n"
     report ++= "  and AQE (whose skew split does not engage below its 256MB\n"
     report ++= "  partition threshold at this size).\n"
