@@ -137,6 +137,30 @@ object StreamingQueries {
           col("view_id"), col("view_ts"))
     }
 
+  /** Stateful sessionization through the state store
+    * ([[EventStreams.sessionize]], `flatMapGroupsWithState` with
+    * event-time timeout) run AvailableNow: gap-closed sessions emit
+    * inside the data micro-batch; the post-data no-data batch advances
+    * the watermark to max(ts) − 10 min and fires the timeout for every
+    * session idle ≥ 30 min at that point. Sessions still open at the
+    * terminal watermark are held in state and never emitted — the twin
+    * reproduces exactly that emission rule. All session arithmetic is
+    * in MILLISECONDS (the `GroupState` timeout domain — `Timestamp
+    * .getTime` floors the stored microseconds), so the twin sessionizes
+    * over `epoch_ms`, while emitted bounds keep full µs precision.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "events", "stream_sess",
+      Seq("user_id", "session_start")) { events =>
+      import spark.implicits._
+      val ds = events.select(col("ts"), col("user_id").as("userId"),
+        col("event_type").as("eventType"), col("value"))
+        .as[EventStreams.Event]
+      EventStreams.sessionize(ds, gapMs = 30 * 60 * 1000L).toDF()
+        .select(col("userId").as("user_id"), col("start").as("session_start"),
+          col("end").as("session_end"), col("nEvents").as("n_events"))
+    }
+
   /** DuckDB batch twin: same rollup as g10_time_window, restricted to
     * windows finalized by the terminal watermark max(ts) − 10 min.
     */
@@ -170,13 +194,50 @@ object StreamingQueries {
       |  AND v.view_ts >= c.click_ts - INTERVAL 60 MINUTE
       |ORDER BY c.click_id, v.view_id""".stripMargin
 
+  /** DuckDB twin of streamSessionize: ms-domain gap sessionization; a
+    * session surfaces iff a later same-user session exists (gap-closed
+    * in-batch) or its end is ≥ 30 min idle at the terminal watermark
+    * (timeout-closed in the no-data batch).
+    */
+  val streamSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      |  FROM events),
+      |wm AS (SELECT max(ms) - 600000 AS w FROM e),
+      |flagged AS (
+      |  SELECT user_id, ts, ms,
+      |         lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts, ms,
+      |         CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+      |                       THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY ms
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS seq
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, seq, min(ts) AS session_start, max(ts) AS session_end,
+      |         max(ms) AS end_ms, count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2),
+      |marked AS (
+      |  SELECT agg.*, (seq < max(seq) OVER (PARTITION BY user_id)) AS has_later
+      |  FROM agg)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM marked, wm
+      |WHERE has_later OR end_ms + 1800000 < wm.w
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
-    "stream_attribution_join" -> (streamAttributionJoin _))
+    "stream_attribution_join" -> (streamAttributionJoin _),
+    "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,
-    "stream_attribution_join" -> streamAttributionJoinSql)
+    "stream_attribution_join" -> streamAttributionJoinSql,
+    "stream_sessionize" -> streamSessionizeSql)
 }
