@@ -744,6 +744,66 @@ object Dedup {
       |SELECT id AS doc_id, min(label) AS cluster_rep, (id = min(label)) AS keep
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---- leak-free train/val/test split ---------------------------------------
+  /** Split assignment that cannot leak near-duplicates across splits:
+    * the unit of assignment is the DUPLICATE CLUSTER (J ≥ 0.5 connected
+    * component, [[duplicateClusters]]), not the document — every member
+    * of a cluster draws the same salted-md5 hash of its cluster
+    * representative, so an eval doc can never have a train-side
+    * near-twin. Docs outside any cluster are their own representative.
+    * The per-doc hash draw is the same engine-portable md5-mod used by
+    * the plain [[graft.ops.TextAnalysis.splitAssign]]; this operator is
+    * the upgrade a decontaminated pipeline actually ships.
+    *
+    * Scale: clusters cost is [[duplicateClusters]]'s (candidate graph +
+    * min-label rounds); the assignment itself is a broadcast-or-shuffle
+    * join of (doc_id → rep) — 16 bytes/row — plus a scan-side hash.
+    */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val reps = duplicateClusters(spark, dir).select(col("doc_id"), col("cluster_rep"))
+    val h = graft.functions.ArrayExprs.md5Mod(
+      concat_ws(":", lit("lfsplit"), col("cluster_rep").cast("string")), 10L)
+    c.ref("documents").select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split",
+        when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val leakFreeSplitSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM tok)),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+      |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_shingles + s2.n_shingles - n_inter AS DOUBLE) >= 0.5),
+      |sym AS (SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges),
+      |nodes AS (SELECT DISTINCT id1 AS id FROM sym),
+      |walk(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.id2, w.label FROM walk w JOIN sym s ON w.id = s.id1),
+      |reps AS (SELECT id AS doc_id, min(label) AS cluster_rep FROM walk GROUP BY id),
+      |assigned AS (
+      |  SELECT d.doc_id, COALESCE(r.cluster_rep, d.doc_id) AS cluster_rep
+      |  FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id)
+      |SELECT doc_id, cluster_rep,
+      |       CASE WHEN md5_number_lower('lfsplit:' || CAST(cluster_rep AS VARCHAR)) % 10 < 8 THEN 'train'
+      |            WHEN md5_number_lower('lfsplit:' || CAST(cluster_rep AS VARCHAR)) % 10 = 8 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM assigned ORDER BY doc_id""".stripMargin
+
   // ---- cross-source similarity via mergeable sketches -----------------------
   /** Estimated Jaccard similarity between every pair of `source` corpora
     * — per-source MinHash sketches via the mergeable MinHashMerge
@@ -959,6 +1019,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_clusters" -> (duplicateClusters _),
+    "dedup_split_leakfree" -> (leakFreeSplit _),
     "dedup_source_sim" -> (sourceSimilarity _),
     "dedup_exact" -> (exact _),
     "dedup_exact_adversarial" -> (exactAdversarial _),
@@ -980,6 +1041,7 @@ object Dedup {
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_ngram_adversarial" -> ngramJaccardAdversarialSql,
     "dedup_clusters" -> duplicateClustersSql,
+    "dedup_split_leakfree" -> leakFreeSplitSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_minhash_adversarial" -> minhashLshAdversarialSql,
     "dedup_simhash" -> simhashSql,

@@ -82,6 +82,73 @@ object TextAnalysis {
       |         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- Gopher-style rule filter ---------------------------------------------
+  /** Rule-based document filter in the style of the Gopher/MassiveText
+    * quality rules (Rae et al. 2021, table A1) adapted to what the
+    * corpus can exercise: token-count band, mean-word-length band,
+    * minimum stopword evidence, a repetition cap (most-frequent token
+    * ≤ 1/8 of the doc) and a type-token-ratio floor (≥ 0.3). Every rule
+    * is integer arithmetic or an exact int/int division, so the flags
+    * hash across engines; `pass` is the conjunction a curation pipeline
+    * filters on.
+    *
+    * Scale: entirely scan-shaped — the repetition/TTR stats come from
+    * array HOFs over the per-row token array (O(distinct·n) per row,
+    * zero shuffles), not an explode+groupBy; the only shuffle is the
+    * presentation sort.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(col("toks")).cast("long")
+    val topTok = array_max(transform(array_distinct(col("toks")),
+      t => size(filter(col("toks"), x => x === t)))).cast("long")
+    val nDistinct = size(array_distinct(col("toks"))).cast("long")
+    val stopHits = size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long")
+    val meanLen = (length(col("text")).cast("double") - (nTok.cast("double") - 1.0)) /
+      nTok.cast("double")
+    c.ref("documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), nTok.as("n_tokens"), stopHits.as("stop_hits"),
+        topTok.as("top_tok"), nDistinct.as("n_distinct"),
+        meanLen.as("mean_word_len"))
+      .withColumn("r_len", col("n_tokens").between(50, 1000))
+      .withColumn("r_wordlen",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("r_rep", col("top_tok") * 8 <= col("n_tokens"))
+      .withColumn("r_ttr", col("n_distinct") * 10 >= col("n_tokens") * 3)
+      .withColumn("pass",
+        col("r_len") && col("r_wordlen") && col("r_stop") && col("r_rep") && col("r_ttr"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(len(ts) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(ts,
+      |             x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS stop_hits,
+      |         CAST(list_max(list_transform(list_distinct(ts),
+      |             t2 -> len(list_filter(ts, x -> x = t2)))) AS BIGINT) AS top_tok,
+      |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+      |         (CAST(length(text) AS DOUBLE) - (CAST(len(ts) AS DOUBLE) - 1.0))
+      |           / CAST(len(ts) AS DOUBLE) AS mean_word_len
+      |  FROM t)
+      |SELECT doc_id, n_tokens, stop_hits, top_tok, n_distinct, mean_word_len,
+      |       n_tokens BETWEEN 50 AND 1000 AS r_len,
+      |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_wordlen,
+      |       stop_hits >= 2 AS r_stop,
+      |       top_tok * 8 <= n_tokens AS r_rep,
+      |       n_distinct * 10 >= n_tokens * 3 AS r_ttr,
+      |       (n_tokens BETWEEN 50 AND 1000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |         AND stop_hits >= 2 AND top_tok * 8 <= n_tokens
+      |         AND n_distinct * 10 >= n_tokens * 3 AS pass
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---- language ID ----------------------------------------------------------
   /** Marker-token language heuristic (n-gram-lite): score en/es/fr/de by
     * marker-word hits, CJK by char class; highest score wins, 'en' ties.
@@ -737,6 +804,7 @@ object TextAnalysis {
     "text_repetition" -> (repetition _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality" -> (qualityScore _),
+    "text_gopher_rules" -> (gopherRules _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_redact" -> (redact _),
@@ -756,6 +824,7 @@ object TextAnalysis {
     "text_repetition" -> repetitionSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality" -> qualityScoreSql,
+    "text_gopher_rules" -> gopherRulesSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_redact" -> redactSql,

@@ -168,6 +168,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("leakFreeSplit: every near-dup pair lands in ONE split; all docs assigned") {
+    val split = Dedup.leakFreeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val n = graft.catalog.Catalog(spark, sf).ref("documents").count()
+    assert(split.size === n, "every document must receive a split")
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // the property the operator exists for: a J >= 0.5 near-dup pair can
+    // never straddle a split boundary
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture needs near-dup pairs for the property to bite")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dups $a/$b split across ${split(a)}/${split(b)}")
+    }
+  }
+
   test("containment: planted excerpts pair with their parent; Jaccard misses most of them") {
     val pairs = Dedup.containmentAt(spark, sf, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))

@@ -144,4 +144,24 @@ class TextAnalysisSpec extends SparkTestBase {
       }
     }
   }
+
+  test("gopherRules: conjunction is exact, fixture discriminates on multiple rules") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ruleCols = Seq("r_len", "r_wordlen", "r_stop", "r_rep", "r_ttr")
+    val idx = ruleCols.map(c => c -> rows.head.fieldIndex(c)).toMap
+    val passIdx = rows.head.fieldIndex("pass")
+    rows.foreach { r =>
+      val expect = ruleCols.forall(c => r.getBoolean(idx(c)))
+      assert(r.getBoolean(passIdx) === expect, s"pass must be the AND of the rules: $r")
+    }
+    val passes = rows.count(_.getBoolean(passIdx))
+    assert(passes > 0 && passes < rows.length,
+      s"fixture must have both keepers and rejects, got $passes/${rows.length}")
+    val discriminating = ruleCols.count { c =>
+      val vs = rows.map(_.getBoolean(idx(c))).toSet; vs.size == 2
+    }
+    assert(discriminating >= 2,
+      s"at least two rules must fire both ways on the fixture ($discriminating did)")
+  }
 }
