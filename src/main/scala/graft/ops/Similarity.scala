@@ -343,7 +343,44 @@ object Similarity {
       |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** Per-label centroids — class prototypes over the embedding corpus
+    * (nearest-class-mean classification, cluster drift monitoring, the
+    * coarse quantizer a production IVF trains against real labels).
+    * Per-(label, dim) mean of the float column, summed as a SORTED LEFT
+    * FOLD of the doubles (see ops.Graph for why decimal accumulation is
+    * not cross-engine-exact): bit-identical to the DuckDB twin, which
+    * zips `unnest(range(...))` with `unnest(embedding)` for the same
+    * (dim, value) pairs.
+    *
+    * Scale: one posexplode scan (|V|·dims rows of 20 bytes) into one
+    * aggregation keyed by (label, dim) — the classic map-side-combinable
+    * shape except the fold, which needs the group's values together; at
+    * web scale swap the fold for a mergeable compensated sum and accept
+    * last-ulp oracle drift (harness constraint, same note as PageRank).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), (col("dim") + 1).cast("long").as("dim"))
+      .agg(aggregate(array_sort(collect_list(col("v").cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), (col("s") / col("n")).as("centroid"), col("n"))
+      .orderBy("label", "dim")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH x AS (
+      |  SELECT label, unnest(range(1, len(embedding) + 1)) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings)
+      |SELECT label, dim,
+      |       list_reduce(list_sort(list(v)), (p, q) -> p + q) / count(*) AS centroid,
+      |       count(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> (labelCentroids _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
@@ -351,6 +388,7 @@ object Similarity {
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
+    "sim_label_centroids" -> labelCentroidsSql,
     "sim_semantic_dedup" -> semanticDedupSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,

@@ -53,4 +53,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(col("id1") >= col("id2")).count() === 0)
     out.unpersist()
   }
+
+  test("labelCentroids: bit-identical to a plain-Scala sorted fold; full (label, dim) grid") {
+    val vecs = graft.catalog.Catalog(spark, sf).ref("embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val engine = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    val dims = vecs.head._2.length
+    val byLabel = vecs.groupBy(_._1)
+    assert(engine.size === byLabel.size * dims)
+    byLabel.foreach { case (label, vs) =>
+      (0 until dims).foreach { d =>
+        val sorted = vs.map(_._2(d).toDouble).sorted
+        val expect = sorted.foldLeft(0.0)(_ + _) / vs.length
+        val (got, n) = engine((label, d + 1L))
+        assert(n === vs.length.toLong)
+        assert(got === expect, s"label $label dim ${d + 1}: $got vs $expect")
+      }
+    }
+  }
 }
