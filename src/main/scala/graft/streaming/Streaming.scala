@@ -78,6 +78,41 @@ object EventStreams {
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
   final case class Session(userId: Long, start: Timestamp, end: Timestamp,
       nEvents: Long, closed: Boolean)
+  final case class UserProfile(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Running per-user activity profile on the NEW Spark 4 arbitrary-state
+    * API (`transformWithState` + `ValueState`, RocksDB state store —
+    * the HDFS-backed provider lacks the column families the API needs).
+    * Each micro-batch re-emits the updated running (event count, value
+    * total) for every user active in the batch; state persists across
+    * batches (spec-proven over two MemoryStream batches). The per-batch
+    * value fold is SORTED, so a single-batch run is bit-reproducible and
+    * oracle-checkable.
+    */
+  class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserProfile] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserProfile] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserProfile]("profile",
+        org.apache.spark.sql.Encoders.product[UserProfile], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserProfile] = {
+      val vs = rows.map(_.value).toArray.sorted
+      val base = if (state.exists()) state.get() else UserProfile(key, 0L, 0.0)
+      val updated = UserProfile(key, base.nEvents + vs.length,
+        vs.foldLeft(base.totalValue)(_ + _))
+      state.update(updated)
+      Iterator.single(updated)
+    }
+  }
+
+  def userProfiles(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 
   /** Gap-based sessionization with explicit state
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a session closes

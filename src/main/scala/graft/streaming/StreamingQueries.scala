@@ -161,6 +161,41 @@ object StreamingQueries {
           col("end").as("session_end"), col("nEvents").as("n_events"))
     }
 
+  /** Running user profiles on the Spark 4 `transformWithState` API
+    * ([[EventStreams.UserProfileProcessor]]): one AvailableNow batch →
+    * every user's running (n_events, total_value) — which for a single
+    * batch is the plain per-user aggregate, with the value total summed
+    * as the processor's sorted fold. The RocksDB state store the API
+    * requires is scoped to this query and restored after.
+    */
+  def streamUserProfile(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      runAvailableNow(spark, dir, "events", "stream_prof", Seq("user_id")) { events =>
+        import spark.implicits._
+        val ds = events.select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"))
+          .as[EventStreams.Event]
+        EventStreams.userProfiles(ds).toDF()
+          .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+            col("totalValue").as("total_value"))
+      }
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
+  /** DuckDB twin of streamUserProfile: the plain per-user rollup with
+    * the identical sorted-fold value total.
+    */
+  val streamUserProfileSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       list_reduce(list_sort(list(value)), (p, q) -> p + q) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB batch twin: same rollup as g10_time_window, restricted to
     * windows finalized by the terminal watermark max(ts) − 10 min.
     */
@@ -233,11 +268,13 @@ object StreamingQueries {
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
     "stream_attribution_join" -> (streamAttributionJoin _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_user_profile" -> (streamUserProfile _))
 
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,
     "stream_attribution_join" -> streamAttributionJoinSql,
-    "stream_sessionize" -> streamSessionizeSql)
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_user_profile" -> streamUserProfileSql)
 }

@@ -382,4 +382,35 @@ class StreamingSpec extends SparkTestBase {
     assert(mat.sfdcTasks.read().count() === 1)
     assert(sp.pushReports.map(_.recordsPushed).sum === 25)
   }
+
+  test("userProfiles (transformWithState): ValueState accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val profiles = EventStreams.userProfiles(
+      in.toDF().toDF("ts", "userId", "eventType", "value")
+        .as[EventStreams.Event])
+    val q = profiles.toDF().writeStream.format("memory").queryName("profiles")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, "click", 1.5), (ts(2), 1L, "view", 2.5), (ts(3), 2L, "click", 4.0))
+      q.processAllAvailable()
+      in.addData((ts(4), 1L, "click", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("profiles")
+        .as[EventStreams.UserProfile].collect().toSeq
+      // batch 1 emits running profiles for users 1 and 2; batch 2
+      // re-emits user 1 with state carried over (3 events, 14.0 total)
+      assert(rows.toSet === Set(
+        EventStreams.UserProfile(1L, 2L, 4.0),
+        EventStreams.UserProfile(2L, 1L, 4.0),
+        EventStreams.UserProfile(1L, 3L, 14.0)))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
 }
