@@ -167,8 +167,9 @@ object ScaleProbe {
     report ++= "  aggregate map-side combines and the rate table broadcasts.\n"
     report ++= "- pagerank at 8x nodes/edges tracks |E| per iteration (rank rows\n"
     report ++= "  are 16 bytes; edges+outdeg pinned once); bm25 cost follows the\n"
-    report ++= "  queried terms' posting lists, keywords the vocab aggregate --\n"
-    report ++= "  for all three the corpus text is read exactly once.\n"
+    report ++= "  queried terms' posting lists plus a (count, sum-dl) corpus-stats\n"
+    report ++= "  pass that production amortizes across queries; keywords is the\n"
+    report ++= "  full-vocab tf/df aggregate off the same scan.\n"
     report ++= "- On a 50%-hot-key join, salting beats both the plain shuffle join\n"
     report ++= "  and AQE (whose skew split does not engage below its 256MB\n"
     report ++= "  partition threshold at this size).\n"

@@ -720,8 +720,15 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
-  val duplicateClustersSql: String =
-    """WITH RECURSIVE tok AS (
+  /** The J ≥ 0.5 connected-component CTE chain (shingles → edges →
+    * min-label walk) — ONE definition shared by the clusters oracle and
+    * the leak-free-split oracle, so the two rows can never disagree on
+    * what a cluster is.
+    */
+  // lazy: referenced by leakFreeSplitSql, which initializes EARLIER in
+  // this object — an eager val here would be observed as null there
+  private lazy val clusterWalkCtesSql: String =
+    """tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
       |ds AS (
       |  SELECT DISTINCT doc_id, shingle
@@ -740,7 +747,10 @@ object Dedup {
       |walk(id, label) AS (
       |  SELECT id, id FROM nodes
       |  UNION
-      |  SELECT s.id2, w.label FROM walk w JOIN sym s ON w.id = s.id1)
+      |  SELECT s.id2, w.label FROM walk w JOIN sym s ON w.id = s.id1)""".stripMargin
+
+  val duplicateClustersSql: String =
+    s"""WITH RECURSIVE $clusterWalkCtesSql
       |SELECT id AS doc_id, min(label) AS cluster_rep, (id = min(label)) AS keep
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -774,26 +784,7 @@ object Dedup {
   }
 
   val leakFreeSplitSql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
-      |ds AS (
-      |  SELECT DISTINCT doc_id, shingle
-      |  FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
-      |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle FROM tok)),
-      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
-      |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |edges AS (
-      |  SELECT id1, id2 FROM inter
-      |  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
-      |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_shingles + s2.n_shingles - n_inter AS DOUBLE) >= 0.5),
-      |sym AS (SELECT id1, id2 FROM edges UNION ALL SELECT id2, id1 FROM edges),
-      |nodes AS (SELECT DISTINCT id1 AS id FROM sym),
-      |walk(id, label) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT s.id2, w.label FROM walk w JOIN sym s ON w.id = s.id1),
+    s"""WITH RECURSIVE $clusterWalkCtesSql,
       |reps AS (SELECT id AS doc_id, min(label) AS cluster_rep FROM walk GROUP BY id),
       |assigned AS (
       |  SELECT d.doc_id, COALESCE(r.cluster_rep, d.doc_id) AS cluster_rep

@@ -109,7 +109,7 @@ object Graph {
     def iter(k: Int): String =
       s"""r$k AS (
          |  SELECT nodes.node,
-         |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nc)
          |           + CAST(0.85 AS DOUBLE) * COALESCE(s.msum, 0.0) AS rank
          |  FROM nodes LEFT JOIN (
          |    SELECT ed.dst AS node,
@@ -127,7 +127,8 @@ object Graph {
        |ed AS (SELECT e.src, e.dst, d.outdeg
        |       FROM e JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) d USING (src)),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes),
        |${(1 to 5).map(iter).mkString(",\n")}
        |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
   }

@@ -9,10 +9,14 @@ import graft.catalog.Catalog
   * quality-probe queries, "find me the docs about X" curation passes all
   * reduce to scoring a small query set against a huge corpus.
   *
-  * Scale shape: the only corpus-sized work is one tokenize+explode scan
+  * Scale shape: the corpus-sized work is one tokenize+explode scan
   * filtered to the query vocabulary IMMEDIATELY (an `isin` on a literal
   * set — Catalyst folds it to a hash-set probe, so non-matching tokens
-  * die in the scan stage and never shuffle). Everything after is
+  * die in the scan stage and never shuffle), plus one (count, Σdl)
+  * stats pass over the same scan — a corpus CONSTANT a production
+  * deployment computes once and reuses across every query, not a
+  * per-query cost (the code recomputes it per call because the harness
+  * has no cross-query cache). Everything after is
   * per-(term, doc) aggregates of the surviving rows — at 100 TB the
   * shuffle is proportional to the posting lists of the queried terms,
   * not the corpus. The final per-query top-k is a rank window that
@@ -147,7 +151,8 @@ object Search {
     * term sum at all, so no fold is even needed for engine parity.
     *
     * Scale shape: tf and df are both map-side-combinable aggregates of
-    * the one tokenize scan; the tf⋈df join keys on term and AQE
+    * the one tokenize scan (plus the same amortizable corpus-stats pass
+    * as [[textBm25]] for n_docs); the tf⋈df join keys on term and AQE
     * broadcasts the df side when the vocabulary is small (it shuffles
     * when it isn't — a million-term vocab is not broadcastable, and
     * nothing here assumes it is).

@@ -132,7 +132,11 @@ object EventStreams {
             state.remove()
             Iterator(Session(userId, s.start, s.last, s.n, closed = true))
           } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
+            // order by (ms, nanos), not ms alone: iterator order after the
+            // shuffle is arbitrary, and with an ms-only key two events in
+            // the same millisecond would make the recorded session bounds
+            // run-dependent (the oracle twin takes min/max over full µs)
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
             var out = List.empty[Session]
             var cur = state.getOption
             evs.foreach { e =>

@@ -385,16 +385,19 @@ class StreamingSpec extends SparkTestBase {
 
   test("userProfiles (transformWithState): ValueState accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
+    // set + start INSIDE the try: a failure anywhere must still restore
+    // the shared session's provider and stop the query
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[(Timestamp, Long, String, Double)]
-    val profiles = EventStreams.userProfiles(
-      in.toDF().toDF("ts", "userId", "eventType", "value")
-        .as[EventStreams.Event])
-    val q = profiles.toDF().writeStream.format("memory").queryName("profiles")
-      .outputMode("append").start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[(Timestamp, Long, String, Double)]
+      val profiles = EventStreams.userProfiles(
+        in.toDF().toDF("ts", "userId", "eventType", "value")
+          .as[EventStreams.Event])
+      q = profiles.toDF().writeStream.format("memory").queryName("profiles")
+        .outputMode("append").start()
       in.addData((ts(1), 1L, "click", 1.5), (ts(2), 1L, "view", 2.5), (ts(3), 2L, "click", 4.0))
       q.processAllAvailable()
       in.addData((ts(4), 1L, "click", 10.0))
@@ -408,7 +411,7 @@ class StreamingSpec extends SparkTestBase {
         EventStreams.UserProfile(2L, 1L, 4.0),
         EventStreams.UserProfile(1L, 3L, 14.0)))
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     }
