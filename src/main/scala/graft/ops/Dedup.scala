@@ -754,6 +754,52 @@ object Dedup {
       |SELECT id AS doc_id, min(label) AS cluster_rep, (id = min(label)) AS keep
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---- source-priority dedup --------------------------------------------------
+  /** The production "which copy do we keep" rule: when a fingerprint
+    * appears in several sources, the winner is the doc from the
+    * HIGHEST-priority source (curated > crawled), doc_id breaking ties —
+    * not blind min-doc_id. Priority here is derived arithmetically from
+    * the source name (`int(suffix) % 3`) so the oracle can recompute it;
+    * a deployment swaps in its source-ranking dim table broadcast onto
+    * the same join. Runs over the adversarial corpus (80% duplication,
+    * families straddling sources) so priority genuinely overrides id
+    * order under the oracle.
+    *
+    * Scale shape: one fingerprint scan + ONE map-side-combinable
+    * `min_by` aggregate keyed by the 16-byte digest — identical cost to
+    * [[exact]]; the (pri, doc_id) struct rides as the ordering key, so
+    * no window, no second shuffle.
+    */
+  def sourcePriorityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val src = c.ref("documents").select(col("doc_id"), col("source"))
+    adversarialDocs(c).join(src, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", toks(col("text")))).as("fp"),
+        (expr("cast(substring(source, 4) as int)") % 3).as("pri"))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("source")),
+          struct(col("pri"), col("doc_id"))).as("w"),
+        count(lit(1)).as("n_dups"))
+      .select(col("fp"), col("w.doc_id").as("winner_id"),
+        col("w.source").as("winner_source"), col("n_dups"))
+      .orderBy("fp")
+  }
+
+  val sourcePriorityDedupSql: String =
+    s"""WITH adv AS ($adversarialDocsSql),
+      |f AS (
+      |  SELECT a.doc_id, d.source,
+      |         md5(array_to_string(regexp_split_to_array(trim(lower(a.text)), '\\s+'), ' ')) AS fp,
+      |         CAST(substr(d.source, 4) AS INT) % 3 AS pri
+      |  FROM adv a JOIN documents d ON d.doc_id = a.doc_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY pri, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY fp) AS n_dups
+      |  FROM f)
+      |SELECT fp, doc_id AS winner_id, source AS winner_source, n_dups
+      |FROM r WHERE rk = 1 ORDER BY fp""".stripMargin
+
   // ---- leak-free train/val/test split ---------------------------------------
   /** Split assignment that cannot leak near-duplicates across splits:
     * the unit of assignment is the DUPLICATE CLUSTER (J ≥ 0.5 connected
@@ -1011,6 +1057,7 @@ object Dedup {
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_clusters" -> (duplicateClusters _),
     "dedup_split_leakfree" -> (leakFreeSplit _),
+    "dedup_source_priority" -> (sourcePriorityDedup _),
     "dedup_source_sim" -> (sourceSimilarity _),
     "dedup_exact" -> (exact _),
     "dedup_exact_adversarial" -> (exactAdversarial _),
@@ -1033,6 +1080,7 @@ object Dedup {
     "dedup_ngram_adversarial" -> ngramJaccardAdversarialSql,
     "dedup_clusters" -> duplicateClustersSql,
     "dedup_split_leakfree" -> leakFreeSplitSql,
+    "dedup_source_priority" -> sourcePriorityDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_minhash_adversarial" -> minhashLshAdversarialSql,
     "dedup_simhash" -> simhashSql,

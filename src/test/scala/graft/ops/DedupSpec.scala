@@ -168,6 +168,43 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("sourcePriorityDedup: winner is argmin (priority, doc_id); priority overrides id order") {
+    val rows = Dedup.sourcePriorityDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // independent recomputation of the winners
+    val c = graft.catalog.Catalog(spark, sf)
+    val srcOf = c.ref("documents").select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val docs = c.ref("documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def text(id: Long): String = {
+      val h = docs(id - id % 5)
+      if (id % 7 == 0) "" else if (id % 13 == 5) "  \t "
+      else if (id % 11 == 3) h.replace(" ", " ") else h
+    }
+    def fp(id: Long): String = {
+      val t = text(id).toLowerCase.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      t.split("\\s+", -1).mkString(" ")
+    }
+    def pri(id: Long): Int = srcOf(id).drop(3).toInt % 3
+    val expected = docs.keys.groupBy(fp).map { case (_, ids) =>
+      val w = ids.minBy(id => (pri(id), id))
+      (w, ids.size.toLong)
+    }.toMap
+    assert(rows.length === expected.size)
+    rows.foreach { case (_, wid, wsrc, n) =>
+      assert(expected.contains(wid), s"unexpected winner $wid")
+      assert(expected(wid) === n)
+      assert(wsrc === srcOf(wid))
+    }
+    // the operator must differ from blind min-id on this fixture,
+    // otherwise priority is vacuous
+    val minIdWinners = docs.keys.groupBy(fp).map(_._2.min).toSet
+    assert(rows.exists(r => !minIdWinners.contains(r._2)),
+      "fixture must contain a group where priority overrides min doc_id")
+  }
+
   test("leakFreeSplit: every near-dup pair lands in ONE split; all docs assigned") {
     val split = Dedup.leakFreeSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(2))).toMap
