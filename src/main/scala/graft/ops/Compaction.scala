@@ -1,8 +1,8 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import graft.util.AtomicSwap
 
 /** Small-file compaction — the lake-maintenance sink every 100 TB
   * deployment runs on a schedule. Streaming ingests, incremental pushes
@@ -11,80 +11,91 @@ import org.apache.spark.sql.SparkSession
   * partition; at scale that murders scan planning (one task per tiny
   * file, listing/NameNode pressure, per-file row-group overhead).
   * Compaction rewrites a directory into ~`targetBytes` files and swaps
-  * the result in atomically.
+  * the result in with [[graft.util.AtomicSwap]] — the same discipline
+  * `tracking.TrackingTable` uses, shared rather than re-implemented.
   *
   * Design:
   *  - file PLANNING is driver-side metadata work: the input listing
   *    (path, bytes) fixes the output file count — `ceil(total /
   *    targetBytes)` — without reading a data byte;
   *  - the rewrite is one `repartition(n)` pass (row-group-preserving
-  *    coalesce would be even cheaper but parquet offers no safe
-  *    file-level concat; one read+write per maintenance window is the
-  *    accepted industry cost);
-  *  - the swap is atomic directory renames (same discipline as
-  *    `tracking.TrackingTable`): readers see the old file set or the
-  *    new one, never a mix;
+  *    file concat would be cheaper but parquet offers no safe one; one
+  *    read+write per maintenance window is the accepted industry cost);
+  *  - scratch/backup dirs are dot-prefixed siblings, invisible to
+  *    Spark's listings, so concurrent readers of the parent table never
+  *    see in-flight rewrite state as data or as a phantom partition;
+  *  - a crash between the swap's two renames is repaired by
+  *    `AtomicSwap.recover` on the next run — the stranded backup is
+  *    restored, not silently skipped;
   *  - content is preserved exactly — compaction only repacks rows into
   *    fewer files (spec-checked by full multiset equality).
   *
-  * Hive-style partitioned layouts compact per partition directory
-  * ([[compactTable]]), so a skewed partition gets its own file budget
-  * and untouched partitions are not rewritten (`minFiles` gate).
+  * Hadoop FS throughout (not NIO): the same code runs against HDFS/S3A
+  * in a real deployment, where the rename-based swap is exactly the
+  * contract object-store committers emulate.
   */
 object Compaction {
 
-  private def dataFiles(dir: Path): Seq[Path] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq
-      finally s.close()
-    }
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isData(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[(Path, Long)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && isData(s.getPath.getName))
+      .map(s => (s.getPath, s.getLen))
 
   /** Rewrite `dir`'s parquet files into `ceil(totalBytes/targetBytes)`
-    * files (if it currently has ≥ `minFiles`). Returns (files_before,
-    * files_after, bytes_total); a skipped dir returns files_after ==
-    * files_before.
+    * files (if it currently has ≥ `minFiles`; also repairs a
+    * crash-stranded swap first). Returns (files_before, files_after,
+    * bytes_total); a skipped dir returns files_after == files_before.
     */
   def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
       minFiles: Int = 2): (Int, Int, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val files = dataFiles(Paths.get(dir))
-    val bytes = files.map(Files.size).sum
+    // Hadoop Path normalizes trailing slashes, so the scratch siblings
+    // are true siblings, never children of the dir being swapped
+    val p = new Path(dir)
+    val fs = fsFor(spark, p)
+    AtomicSwap.recover(fs, p)
+    val files = dataFiles(fs, p)
+    val bytes = files.map(_._2).sum
     if (files.size < minFiles) return (files.size, files.size, bytes)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = dir + ".compact_tmp"
-    val old = dir + ".compact_old"
-    graft.util.Fs.deleteRecursively(tmp)
-    graft.util.Fs.deleteRecursively(old)
-    spark.read.parquet(dir).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
-    graft.util.Fs.deleteRecursively(old)
-    (files.size, dataFiles(Paths.get(dir)).size, bytes)
+    AtomicSwap.swapIn(fs, p) { tmp =>
+      spark.read.parquet(p.toString).repartition(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    (files.size, dataFiles(fs, p).size, bytes)
   }
 
-  /** Compact every `k=v` partition directory of a Hive-layout table
-    * independently; returns (partition, files_before, files_after)
-    * per compacted partition.
+  /** Compact every leaf `k=v` partition directory of a Hive-layout
+    * table independently (multi-level layouts descend to the leaves);
+    * returns (relative partition path, files_before, files_after) per
+    * visited leaf. Dot/underscore-prefixed siblings (metadata, in-flight
+    * swap scratch) are never treated as partitions.
     */
   def compactTable(spark: SparkSession, dir: String, targetBytes: Long,
       minFiles: Int = 2): Seq[(String, Int, Int)] = {
-    val root = Paths.get(dir)
-    val parts = {
-      val s = Files.list(root)
-      try s.iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-        .toSeq.sortBy(_.getFileName.toString)
-      finally s.close()
+    val root = new Path(dir)
+    val fs = fsFor(spark, root)
+    def partitionDirs(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath).sortBy(_.getName)
+    def leaves(p: Path): Seq[Path] = {
+      val subs = partitionDirs(p)
+      if (subs.isEmpty) Seq(p) else subs.flatMap(leaves)
     }
-    parts.map { p =>
-      val (before, after, _) = compactDir(spark, p.toString, targetBytes, minFiles)
-      (p.getFileName.toString, before, after)
+    val rootUri = root.toUri.getPath
+    partitionDirs(root).flatMap(leaves).map { leaf =>
+      val (before, after, _) = compactDir(spark, leaf.toString, targetBytes, minFiles)
+      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      (rel, before, after)
     }
   }
 }

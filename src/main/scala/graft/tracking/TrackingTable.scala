@@ -159,20 +159,17 @@ final class TrackingTable(
     atomicWrite(read().repartition(nFiles))
   }
 
-  /** Rewrite via temp dir + rename (atomic on a real FS; the Parquet
-    * analogue of the reference's backup-rename at `:19-27`). The plan is
-    * materialized to the temp dir BEFORE the old data is touched, so a
-    * failed write never corrupts the table.
+  /** Rewrite via the shared scratch-dir + rename swap
+    * ([[graft.util.AtomicSwap]]; the Parquet analogue of the reference's
+    * backup-rename at `:19-27`). The plan is materialized to the scratch
+    * dir BEFORE the old data is touched, so a failed write never
+    * corrupts the table, and a crash between the swap's renames is
+    * repaired on the next read/write cycle.
     */
-  private def atomicWrite(df: DataFrame): Unit = {
-    val tmp = new Path(path, s"tmp_${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val backup = new Path(path, "data__backup")
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(dataPath)) fs.rename(dataPath, backup)
-    fs.rename(tmp, dataPath)
-    fs.delete(backup, true)
-  }
+  private def atomicWrite(df: DataFrame): Unit =
+    graft.util.AtomicSwap.swapIn(fs, dataPath) { tmp =>
+      df.write.mode("overwrite").parquet(tmp.toString)
+    }
 }
 
 /** Partition-pruned tracking table — the 100 TB form of M2.

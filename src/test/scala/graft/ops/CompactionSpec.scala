@@ -52,4 +52,37 @@ class CompactionSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(after === before)
   }
+
+  test("compactTable: multi-level hive layout descends to leaf partitions") {
+    val dir = tmpDir("compact4") + "/t"
+    spark.range(8000)
+      .select(col("id"), (col("id") % 2).as("a"), (col("id") % 3).as("b"))
+      .repartition(8).write.partitionBy("a", "b").parquet(dir)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val results = Compaction.compactTable(spark, dir, targetBytes = Long.MaxValue)
+    assert(results.length === 6, s"2x3 leaves expected, got $results")
+    results.foreach { case (p, b, a) =>
+      assert(p.contains("a=") && p.contains("b="), s"leaf path expected, got $p")
+      assert(b > 1 && a === 1, s"leaf $p: $b -> $a")
+    }
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(after === before)
+  }
+
+  test("compactDir: a crash-stranded swap backup is restored, not silently skipped") {
+    val base = tmpDir("compact5")
+    val dir = base + "/t"
+    spark.range(5000).select(col("id")).repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    // simulate a crash between the swap's two renames: live dir gone,
+    // data sitting in the dot-prefixed backup sibling
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(base + "/.t.swap_old"))
+    val (b, a, _) = Compaction.compactDir(spark, dir, targetBytes = Long.MaxValue)
+    assert(b === 8 && a === 1, s"recovered dir must then compact: $b -> $a")
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before, "recovery must restore the stranded data exactly")
+  }
 }
