@@ -198,4 +198,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(plan).size <= 6,
       s"expected at most base scan + 5 distinct scans:\n$plan")
   }
+
+  test("pagerank: per-iteration lineage is CUT — the final plan reads checkpointed ranks, not 5 nested joins") {
+    val df = Graph.graphPagerank(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // without the localCheckpoint per iteration the plan would contain
+    // the full 5-iteration join pyramid (and double per round); with it,
+    // the final iteration's plan joins ONE checkpointed RDD scan
+    assert(plan.contains("Scan ExistingRDD"),
+      s"ranks must come from the checkpointed RDD:\n$plan")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 4,
+      s"iteration pyramid leaked into one plan:\n$plan")
+  }
+
+  test("j8 salted skew join: replicated dim broadcasts; no shuffle of the fact side for the join") {
+    val plan = executed(Relational.j8SaltedSkewJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 2-row x 16-salt dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"salting must stay an equi-join:\n$plan")
+  }
 }
