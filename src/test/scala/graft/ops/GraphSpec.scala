@@ -44,6 +44,20 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRank: dangling nodes leak mass per the documented contract, never crash") {
+    import spark.implicits._
+    // 0->1, 0->2, 1->0; node 2 is dangling (in-edges only)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 10, damping = 0.85).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r.size === 3)
+    assert(r.values.forall(_ > 0.0), s"ranks must stay positive: $r")
+    val mass = r.values.sum
+    assert(mass < 1.0 && mass > 0.3,
+      s"dangling node leaks mass (documented), within teleport bounds: $mass")
+    assert(r(0L) > r(2L), "the recirculating node must outrank the sink")
+  }
+
   test("pageRank: rank order follows in-degree structure") {
     // nodes hit by many quadratic-residue sources must outrank the
     // odd-only-starved ones on average; check the extremes correlate
