@@ -725,9 +725,7 @@ object Dedup {
     * the leak-free-split oracle, so the two rows can never disagree on
     * what a cluster is.
     */
-  // lazy: referenced by leakFreeSplitSql, which initializes EARLIER in
-  // this object — an eager val here would be observed as null there
-  private lazy val clusterWalkCtesSql: String =
+  private val clusterWalkCtesSql: String =
     """tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
       |ds AS (

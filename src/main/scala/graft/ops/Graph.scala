@@ -21,10 +21,17 @@ import graft.catalog.Catalog
   * `list_reduce(list_sort(list(x)), +)` in DuckDB — identical addition
   * order, identical IEEE ops, bit-identical ranks. Caveat the fold
   * inherits from collect_list: a group must fit in memory, i.e.
-  * per-node IN-degree is bounded (true for every fixture; a web-scale
-  * hub node wants the mergeable decimal accumulator and an
-  * approximate-parity oracle instead — harness constraint, not an
-  * engine one).
+  * per-node IN-degree is bounded. That is true for every fixture but
+  * NOT for a web graph, where a hub with 10^7 in-links would
+  * materialize a 10^7-element array in one aggregation buffer — so
+  * `hubSafe = true` swaps the fold for [[graft.functions.ExactDoubleSum]],
+  * a mergeable O(1)-buffer exact-decimal accumulator (map-side partial
+  * aggregation; the hub's adds spread across its input partitions).
+  * The exact sum is order-independent and correctly rounded — at least
+  * as accurate as the fold, equal to it within float tolerance (a
+  * GraphSpec case pins this on the fixture); the fold stays the
+  * default only because the cross-engine oracle hash pins ITS exact
+  * rounding sequence.
   *
   * Scale shape (power iteration on a 1000-executor cluster):
   *  - edges are joined by `src` and re-aggregated by `dst` every
@@ -41,32 +48,66 @@ object Graph {
   /** General power-iteration PageRank over an `(src: long, dst: long)`
     * edge list. Nodes are the union of endpoints; nodes without
     * in-edges receive the teleport mass `(1-d)/N` (the left join +
-    * coalesce). Dangling nodes (no OUT-edges) simply leak their mass —
-    * the fixture graph has none by construction; a production caller
-    * with dangling nodes should add a sink self-loop per convention.
+    * coalesce).
+    *
+    * `hubSafe = true` replaces the per-dst sorted fold (whole in-edge
+    * contribution list in one aggregation buffer — OOM on a web-scale
+    * hub) with the mergeable exact-decimal accumulator; see the object
+    * scaladoc for the parity contract.
+    *
+    * `danglingSink = true` conserves mass: each iteration the total
+    * rank held by dangling nodes (no out-edges) is redistributed
+    * uniformly — `r'(v) = (1-d)/N + d·(Σ contribs + DM/N)` with
+    * `DM = Σ_{u dangling} r(u)`, the standard sink convention. DM is a
+    * 1-row aggregate broadcast into the update (one extra |dangling|-row
+    * agg per iteration, zero cost when the flag is off). Default off:
+    * the fixture graph has no dangling nodes and the oracle pins the
+    * leak-by-contract semantics.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val spark = edges.sparkSession
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double,
+      hubSafe: Boolean = false,
+      danglingSink: Boolean = false): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(eager = false)
     val n = nodes.count()
+    val msum: Column => Column =
+      if (hubSafe) graft.functions.ExactDoubleSum.exactSum
+      else c => aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
     // (src, dst, outdeg) — pinned: referenced once per iteration
     val ed = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint(eager = false)
+    // dangling = nodes with no out-edges; empty unless the caller's
+    // graph has sinks, pinned once like the edge relation
+    val dangling =
+      if (danglingSink)
+        nodes.join(edges.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").localCheckpoint(eager = false)
+      else null
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val sums = ed.join(ranks, ed("src") === ranks("node"))
         .select(ed("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
         .groupBy("node")
-        .agg(aggregate(array_sort(collect_list(col("contrib"))),
-          lit(0.0), (acc, x) => acc + x).as("msum"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+        .agg(msum(col("contrib")).as("msum"))
+      var joined = nodes.join(sums, Seq("node"), "left")
+      var contribTotal = coalesce(col("msum"), lit(0.0))
+      if (danglingSink) {
+        // 1-row (null when no dangling nodes) mass scalar, broadcast in
+        val dm = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(msum(col("rank")).as("dm"))
+        joined = joined.crossJoin(broadcast(dm))
+        contribTotal = contribTotal + coalesce(col("dm"), lit(0.0)) / lit(n.toDouble)
+      }
+      ranks = joined
         .select(col("node"),
           (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+            lit(damping) * contribTotal).as("rank"))
         .localCheckpoint(eager = false)
     }
     ranks

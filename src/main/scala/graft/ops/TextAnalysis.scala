@@ -92,6 +92,11 @@ object TextAnalysis {
     * hash across engines; `pass` is the conjunction a curation pipeline
     * filters on.
     *
+    * Deviation from the cited rule: stopword matching is CASE-SENSITIVE
+    * (`tokens()` does not lowercase), so sentence-initial "The"/"It"
+    * do not count toward `stop_hits` — the DuckDB twin is identically
+    * case-sensitive, so the oracle pins this exact semantics.
+    *
     * Scale: entirely scan-shaped — the repetition/TTR stats come from
     * array HOFs over the per-row token array (O(distinct·n) per row,
     * zero shuffles), not an explode+groupBy; the only shuffle is the

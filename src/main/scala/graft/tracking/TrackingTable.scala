@@ -51,10 +51,17 @@ final class TrackingTable(
 
   def exists: Boolean = fs.exists(dataPath)
 
-  /** Ref `:17-18`: first run creates the (empty-schema) table. */
-  def createIfMissing(): Unit = if (!exists) {
-    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty.write.mode("overwrite").parquet(dataPath.toString)
+  /** Ref `:17-18`: first run creates the (empty-schema) table. A crash
+    * between a previous swap's two renames leaves the live dir absent but
+    * the backup present — restore it FIRST, or `exists` would be false and
+    * a fresh empty table would shadow (and permanently strand) the backup.
+    */
+  def createIfMissing(): Unit = {
+    graft.util.AtomicSwap.recover(fs, dataPath)
+    if (!exists) {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      empty.write.mode("overwrite").parquet(dataPath.toString)
+    }
   }
 
   def read(): DataFrame = {

@@ -25,8 +25,10 @@ object AtomicSwap {
     */
   def recover(fs: FileSystem, dir: Path): Boolean = {
     val backup = backupFor(dir)
-    if (!fs.exists(dir) && fs.exists(backup)) { fs.rename(backup, dir); true }
-    else false
+    if (!fs.exists(dir) && fs.exists(backup)) {
+      require(fs.rename(backup, dir), s"AtomicSwap.recover: rename($backup, $dir) failed")
+      true
+    } else false
   }
 
   /** Replace `dir` with whatever `write` materializes into the scratch
@@ -38,8 +40,12 @@ object AtomicSwap {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(backup)) fs.delete(backup, true)
     write(tmp)
-    if (fs.exists(dir)) fs.rename(dir, backup)
-    fs.rename(tmp, dir)
+    // Hadoop FileSystem.rename reports failure by returning false (it only
+    // throws for some error classes); an unchecked false here would leave the
+    // live dir in place and then nest tmp INSIDE it on the second rename.
+    if (fs.exists(dir))
+      require(fs.rename(dir, backup), s"AtomicSwap.swapIn: rename($dir, $backup) failed")
+    require(fs.rename(tmp, dir), s"AtomicSwap.swapIn: rename($tmp, $dir) failed")
     fs.delete(backup, true)
   }
 }

@@ -55,4 +55,30 @@ class GraftFunctionsSpec extends SparkTestBase {
     // applying the extension installer must not throw
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("ExactDoubleSum: true decimal sum, order-independent, null on empty") {
+    import org.apache.spark.sql.functions._
+    import ExactDoubleSum.exactSum
+    // values chosen so naive left-to-right double addition visibly
+    // loses low bits (1e16 + 7 repeated) — the exact sum must not
+    val xs = Seq.tabulate(1000)(i => if (i % 2 == 0) 1.0e16 else 7.0)
+    val expected = xs.map(new java.math.BigDecimal(_))
+      .reduce(_.add(_)).doubleValue()
+    val df = spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+    val a = df.repartition(7).agg(exactSum(col("x"))).head().getDouble(0)
+    val b = df.repartition(1).agg(exactSum(col("x"))).head().getDouble(0)
+    assert(a === expected && b === expected, s"$a / $b vs $expected")
+    assert(a !== xs.foldLeft(0.0)(_ + _), "fixture must expose naive-fold error")
+    // SQL SUM semantics: no non-null input -> NULL
+    val empty = df.filter(col("x") < 0).agg(exactSum(col("x"))).head()
+    assert(empty.isNullAt(0))
+    // survives serialize/deserialize across a group-by shuffle
+    val grouped = spark.createDataFrame(xs.zipWithIndex.map { case (x, i) => (i % 3, x) })
+      .toDF("g", "x").repartition(11)
+      .groupBy("g").agg(exactSum(col("x")).as("s"))
+      .orderBy("g").collect().map(_.getDouble(1))
+    val byGroup = xs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(p => new java.math.BigDecimal(p._1)).reduce(_.add(_)).doubleValue())
+    assert(grouped.toSeq === byGroup)
+  }
 }

@@ -44,6 +44,66 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRank: hub-safe exact accumulator equals the sorted fold on the fixture") {
+    val fold = Graph.graphPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exact = Graph.pageRank(Graph.linkGraph(spark, sf), iters = 5,
+        damping = 0.85, hubSafe = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(exact.keySet === fold.keySet)
+    // the exact sum rounds once where the fold rounds per add — equal
+    // within a few ulps per iteration, compounding over 5 iterations
+    fold.foreach { case (node, rf) =>
+      val re = exact(node)
+      assert(math.abs(re - rf) <= 16 * math.ulp(rf),
+        s"node $node: hubSafe $re vs fold $rf (diff ${math.abs(re - rf) / math.ulp(rf)} ulps)")
+    }
+  }
+
+  test("pageRank: hub-safe run is deterministic across repartitionings") {
+    import spark.implicits._
+    // a planted hub: every node feeds node 0; ring keeps 0 non-dangling
+    val n = 400L
+    val edges = spark.range(1, n).select(col("id").as("src"), lit(0L).as("dst"))
+      .union(spark.range(n).select(col("id").as("src"), ((col("id") + 1) % n).as("dst")))
+    val a = Graph.pageRank(edges.repartition(2), 3, 0.85, hubSafe = true)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(edges.repartition(13, col("dst")), 3, 0.85, hubSafe = true)
+      .as[(Long, Double)].collect().toMap
+    // exact decimal accumulation is order-independent: bit-identical
+    // ranks no matter how the hub's contributions split across buffers
+    assert(a === b)
+    // node 1 inherits the hub's whole rank via the ring edge 0->1, so
+    // compare against a plain ring node instead
+    assert(a(0L) > a(5L) * 10, s"hub must dominate ring nodes: ${a(0L)} vs ${a(5L)}")
+  }
+
+  test("pageRank: dangling sink conserves mass") {
+    import spark.implicits._
+    // 0->1, 0->2, 1->0; node 2 is dangling — with the sink its mass
+    // redistributes uniformly and total rank stays the fixed point 1
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 20, damping = 0.85,
+        hubSafe = true, danglingSink = true).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    val mass = r.values.sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"sink must conserve mass: $mass")
+    assert(r(0L) > r(2L), "the recirculating node must outrank the sink")
+    // plain-Scala reference with the same sink convention
+    var ref = Map(0L -> 1.0 / 3, 1L -> 1.0 / 3, 2L -> 1.0 / 3)
+    for (_ <- 1 to 20) {
+      val dm = ref(2L)
+      ref = Map(
+        0L -> (0.15 / 3 + 0.85 * (ref(1L) + dm / 3)),
+        1L -> (0.15 / 3 + 0.85 * (ref(0L) / 2 + dm / 3)),
+        2L -> (0.15 / 3 + 0.85 * (ref(0L) / 2 + dm / 3)))
+    }
+    r.foreach { case (node, rank) =>
+      assert(math.abs(rank - ref(node)) < 1e-12,
+        s"node $node: engine $rank vs sink reference ${ref(node)}")
+    }
+  }
+
   test("pageRank: dangling nodes leak mass per the documented contract, never crash") {
     import spark.implicits._
     // 0->1, 0->2, 1->0; node 2 is dangling (in-edges only)
