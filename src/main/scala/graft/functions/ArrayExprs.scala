@@ -322,6 +322,102 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Containment-join candidate generator — [[SortedPairsBoth]] gated by
+    * the PREFIX-FILTER principle. Input is
+    * `array<struct<doc_id: long, n: int, probe: boolean>>` for one
+    * shingle's posting list, where `probe` marks docs that posted this
+    * shingle from their (1−τ)-prefix (the `⌊n − ⌈τ·n⌉⌋ + 1` smallest
+    * shingles in canonical hash order). A pair can reach containment
+    * ≥ τ only if its MIN-size side shares a prefix shingle with the
+    * other side's FULL set — if none of the min side's first
+    * `n − ⌈τ·n⌉ + 1` sorted shingles hits, at most `⌈τ·n⌉ − 1 < τ·n`
+    * of its shingles can intersect, a contradiction. So emitting only
+    * pairs whose (n, doc_id)-lexicographic-min side has `probe = true`
+    * is LOSSLESS for the τ threshold while cutting the quadratic
+    * expansion to the probe fraction (≈ (1−τ) of postings). Ties in n
+    * are safe: either side is then a min side, and the lex order picks
+    * one deterministically.
+    */
+  case class ProbePairsBoth(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false),
+        StructField("n1", IntegerType, nullable = false),
+        StructField("n2", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new Array[Long](m)
+      val ns = new Array[Int](m)
+      val probe = new Array[Boolean](m)
+      var i = 0
+      while (i < m) {
+        val st = arr.getStruct(i, 3)
+        ids(i) = st.getLong(0)
+        ns(i) = st.getInt(1)
+        probe(i) = st.getBoolean(2)
+        i += 1
+      }
+      require(m <= 65536,
+        s"posting list df=$m exceeds the pair-expansion bound; " +
+          "apply a df cap (containmentCappedAt)")
+      val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+      i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          // lexicographic-min side by (n, doc_id)
+          val iMin = ns(i) < ns(j) || (ns(i) == ns(j) && ids(i) < ids(j))
+          if (if (iMin) probe(i) else probe(j)) {
+            if (ids(i) < ids(j)) out += InternalRow(ids(i), ids(j), ns(i), ns(j))
+            else out += InternalRow(ids(j), ids(i), ns(j), ns(i))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Merge-count of two SORTED long arrays — the exact-verify kernel for
+    * prefix-filtered containment candidates: |A ∩ B| in O(n1 + n2) with
+    * zero allocation. Inputs MUST be sorted ascending (callers sort once
+    * per doc, not per pair).
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val nx = xs.numElements()
+      val ny = ys.numElements()
+      var i = 0; var j = 0; var n = 0
+      while (i < nx && j < ny) {
+        val x = xs.getLong(i); val y = ys.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** k-permutation MinHash signature over an array of shingle hashes:
     * sig(i) = min over h of xxhash64(h, seed = i). One pass per seed over
     * a primitive long array — no string re-hashing, no boxing.
@@ -678,6 +774,8 @@ object ArrayExprs {
   def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
   def sortedPairsN(idNs: Column, tau: Double = 0.0): Column = c(SortedPairsN(e(idNs), tau))
   def sortedPairsBoth(idNs: Column): Column = c(SortedPairsBoth(e(idNs)))
+  def probePairsBoth(idNs: Column): Column = c(ProbePairsBoth(e(idNs)))
+  def sortedIntersectCount(a: Column, b: Column): Column = c(SortedIntersectCount(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =

@@ -243,11 +243,12 @@ object Dedup {
     * planted (parent, excerpt) pairs surface and most are invisible to
     * the J ≥ 0.5 dedup (measured 56 of 81 pairs at sf0.01).
     *
-    * Same inverted-index shape as [[ngramJaccard]] with
-    * `SortedPairsBoth` carrying each side's size (no length prune —
-    * containment has no size-ratio bound, so the posting-list df cap is
-    * the scale guard). Two shuffles; containment is a single int/int
-    * division, engine-exact.
+    * Same inverted-index shape as [[ngramJaccard]] but with the pair
+    * expansion gated by an EXACT prefix filter (see
+    * [[containmentPairsOn]]) — containment has no size-ratio length
+    * prune (a 10-shingle excerpt can live in a 10,000-shingle doc), so
+    * the prefix bound plus the posting-list df cap are the scale
+    * guards. Containment is a single int/int division, engine-exact.
     */
   def containment90(spark: SparkSession, dir: String): DataFrame =
     containmentAt(spark, dir, 0.9).orderBy("id1", "id2")
@@ -257,12 +258,12 @@ object Dedup {
 
   /** The df-capped scale guard, same contract as [[ngramJaccardCappedAt]]:
     * posting lists longer than `maxDf` are dropped before the quadratic
-    * pair expansion. Because each side's size `n` rides the posting list
-    * unchanged, capping only ever LOWERS n_inter — containment is
-    * underestimated, never overestimated, so a capped run is a subset of
-    * the exact result (asserted in DedupSpec). Size the cap
-    * corpus-relative (max(64, N/100)) per the ngram-cap lesson in
-    * SCALE.md.
+    * pair expansion. Capping can only remove CANDIDATE pairs (a pair
+    * whose every shared prefix shingle is over-df never surfaces), and
+    * every surfaced pair is verified against the full shingle sets, so a
+    * capped run is a subset of the exact result with EXACT scores
+    * (asserted in DedupSpec). Size the cap corpus-relative
+    * (max(64, N/100)) per the ngram-cap lesson in SCALE.md.
     */
   def containmentCappedAt(spark: SparkSession, dir: String, tau: Double,
       maxDf: Int): DataFrame = {
@@ -276,21 +277,54 @@ object Dedup {
     containmentPairsOn(base.unionByName(excerpts), tau, maxDf)
   }
 
+  /** Candidate generation is PREFIX-FILTERED (exact, not LSH-approximate):
+    * each doc's distinct shingle hashes are sorted once, and a posting is
+    * flagged `probe` when it falls in the doc's first `n − ⌈τ·n⌉ + 1`
+    * shingles. A pair reaching containment ≥ τ must have its min-size
+    * side's prefix intersect the other side's full set
+    * ([[graft.functions.ArrayExprs.ProbePairsBoth]] proves the bound), so
+    * expanding only probe-gated pairs is lossless while cutting the
+    * per-bucket quadratic to the ≈(1−τ) probe fraction. Survivors are
+    * verified EXACTLY by a sorted-array merge count
+    * ([[graft.functions.ArrayExprs.SortedIntersectCount]]) — two narrow
+    * candidate joins against the (doc_id, shs) relation, so `n_inter` is
+    * the true intersection regardless of which buckets produced the
+    * candidate. Three shuffles total (postings, candidate distinct, the
+    * verify joins share the sets relation); pair volume, not corpus
+    * bytes, dominates.
+    */
   private def containmentPairsOn(docs: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue): DataFrame =
-    docShingleHashesOn(docs)
-      .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sets = docShingleHashesOn(docs)
+      .select(col("doc_id"), array_sort(col("shs")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+      .filter(col("n") > 0)
+      .localCheckpoint(eager = false)
+    val prefixLen = (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int")
+    val cands = sets
+      .select(col("doc_id"), col("n"), prefixLen.as("k"),
+        posexplode(col("shs")).as(Seq("pos", "sh")))
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"),
+        (col("pos") < col("k")).as("probe"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
-      .select(explode(ArrayExprs.sortedPairsBoth(col("docs"))).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.n1").as("n1"), col("p.n2").as("n2"))
-      .agg(count(lit(1)).as("n_inter"))
+      .select(explode(ArrayExprs.probePairsBoth(col("docs"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2"),
+        col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        ArrayExprs.sortedIntersectCount(col("shs1"), col("shs2"))
+          .cast("long").as("n_inter"),
+        least(col("n1"), col("n2")).as("n_min"))
       .withColumn("containment",
-        col("n_inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
+        col("n_inter").cast("double") / col("n_min").cast("double"))
       .filter(col("containment") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("containment"))
+  }
 
   val containmentSql: String =
     """WITH src AS (

@@ -120,6 +120,67 @@ class ArrayExprsSpec extends SparkTestBase {
     assert(triples(1) === Seq((3L, 5L, 19)))
   }
 
+  test("probePairsBoth: emits exactly the pairs whose lex-min side probes") {
+    // (id, n, probe): min side by (n, id); pair emitted iff that side's probe
+    val docs = Seq((1L, 4, true), (2L, 4, false), (3L, 9, false), (4L, 2, false))
+    val df = Seq(Tuple1(docs)).toDF("docs")
+      .select(ArrayExprs.probePairsBoth(
+        col("docs").cast("array<struct<doc_id:bigint,n:int,probe:boolean>>")).as("ps"))
+    val got = df.head().getSeq[Row](0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // (1,2): tie n=4, lex-min is id 1 (probe) -> emit. (1,3): min is 1 -> emit.
+    // (1,4): min is 4 (n=2, no probe) -> drop. (2,3): min 2 no probe -> drop.
+    // (2,4)/(3,4): min is 4, no probe -> drop.
+    assert(got === Set((1L, 2L, 4, 4), (1L, 3L, 4, 9)))
+  }
+
+  test("probePairsBoth gate is lossless vs sortedPairsBoth for containment >= tau") {
+    // brute-force check on a random corpus: candidates surviving the
+    // prefix gate must include EVERY pair whose true containment >= tau
+    val rnd = new scala.util.Random(7)
+    val tau = 0.9
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      val shingles = Seq.fill(n)(rnd.nextInt(30).toLong).distinct.sorted
+      (id, shingles)
+    }
+    val k = docs.map { case (id, sh) =>
+      id -> (sh.length - math.ceil(tau * sh.length).toInt + 1)
+    }.toMap
+    val byShingle = docs.flatMap { case (id, sh) =>
+      sh.zipWithIndex.map { case (s, pos) => (s, id, sh.length, pos < k(id)) }
+    }.groupBy(_._1).values.filter(_.length > 1)
+    val gated = byShingle.flatMap { posting =>
+      for {
+        a <- posting; b <- posting if a._2 < b._2
+        aMin = a._3 < b._3 || (a._3 == b._3 && a._2 < b._2)
+        if (if (aMin) a._4 else b._4)
+      } yield (a._2, b._2)
+    }.toSet
+    val setOf = docs.toMap
+    for { (a, sa) <- docs; (b, sb) <- docs if a < b } {
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val cont = inter.toDouble / math.min(sa.length, sb.length)
+      if (cont >= tau)
+        assert(gated((a, b)),
+          s"prefix gate dropped a true pair ($a,$b) cont=$cont sa=$sa sb=$sb")
+    }
+    assert(setOf.size === 40)
+  }
+
+  test("sortedIntersectCount: merge count over sorted arrays, null intolerant") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L), Seq(4L)))
+      .toDF("a", "b")
+      .select(ArrayExprs.sortedIntersectCount(col("a"), col("b")).as("n"))
+    assert(df.as[Int].collect().toSeq === Seq(2, 0, 1))
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(ArrayExprs.sortedIntersectCount(col("a"), col("b")).as("n"))
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("md5Lower64 matches DuckDB md5_number_lower (pinned cross-engine values)") {
     // duckdb> SELECT md5_number_lower('abc'), md5_number_lower('');
     assert(ArrayExprs.md5Lower64("abc".getBytes("UTF-8")) === 8250560606382298838L)
