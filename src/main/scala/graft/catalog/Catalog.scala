@@ -54,4 +54,18 @@ object Catalog {
 
   def apply(spark: SparkSession, sfDir: String): Catalog =
     new Catalog(spark, sfDir)
+
+  private val countMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Memoized row count of a BASE parquet table — a data statistic, the
+    * kind a real metastore serves from metadata for free. The driver's
+    * testdata directories are immutable for a session, so caching by
+    * (dir, table) is sound; never use this for registered/mutable
+    * relations. Callers use it to size computed partitioners (e.g.
+    * prepPipeline's monotone bucket) without paying a count job per
+    * query build.
+    */
+  def cachedRowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countMemo.getOrElseUpdate(s"$sfDir/$name",
+      new Catalog(spark, sfDir).ref(name).count())
 }

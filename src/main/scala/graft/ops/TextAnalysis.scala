@@ -389,28 +389,40 @@ object TextAnalysis {
   def prepPipeline(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val budget = 512
+    // ONE tokenization serves both outputs: lowercasing never changes
+    // whitespace structure, so size(split(trim(lower(text)))) ==
+    // size(split(trim(text))) — the oracle's n_tokens — while the same
+    // array feeds the normalized fingerprint. The projection boundary
+    // makes toks a bound attribute (Spark does no CSE inside one
+    // expression tree), halving the regex-split work per row.
     val scored = c.ref("documents")
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", split(trim(lower(col("text"))), "\\s+"))).as("fp"))
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        // fp is INTERNAL (grouping only, never output): the 16-byte
+        // binary digest halves the shuffle/sort key vs the hex string;
+        // the DuckDB twin's md5 hex groups identically.
+        unhex(md5(concat_ws(" ", col("toks")))).as("fp"))
       .filter(col("n_tokens").between(10, 1000))
     // Exact dedup as a hash aggregate, NOT a row_number window: min_by
     // partial-aggregates map-side, so duplicate fingerprints collapse
-    // BEFORE the shuffle (a window ships every row and sorts it). It also
-    // halves the cost of the range-bound sampling pass that
-    // repartitionByRange runs over this subtree inside groupedRunningSum.
-    // NOT pinned: groupedRunningSum's range-bounds sampling job does
-    // re-traverse this subtree, but the min_by exchange's shuffle files
-    // persist across jobs of one execution, so the sampling pass skips
-    // the map stage and re-runs only the cheap post-shuffle projection.
-    // A localCheckpoint here measures SLOWER (0.88→1.02 s at sf0.1): it
-    // adds a materialization barrier to save work Spark already skips.
+    // BEFORE the shuffle (a window ships every row and sorts it).
     val kept = scored
       .groupBy(col("fp"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id")).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
         col("k.n_tokens").as("n_tokens"))
-    Windows.groupedRunningSum(kept, "__rsum", col("lang"), col("n_tokens"), col("doc_id"))
+    // Packing via bucketedRunningSum: doc_ids are dense 0..N-1, so
+    // doc_id*P div N is a computed monotone bucket — the de-skewed
+    // two-pass running sum with NO range-partitioner sampling job and NO
+    // partition-id checkpoint pin; the one (lang, bucket) hash exchange
+    // is shared by the local-sum and offset subtrees (ReusedExchange).
+    // N is a memoized table statistic (what a metastore serves free).
+    val n = math.max(1L, Catalog.cachedRowCount(spark, dir, "documents"))
+    val bucket = expr(s"(doc_id * 32) div $n")
+    Windows.bucketedRunningSum(kept, "__rsum", col("lang"), col("n_tokens"),
+        col("doc_id"), bucket)
       .withColumn("start_offset", col("__rsum") - col("n_tokens"))
       .withColumn("chunk_id", expr(s"start_offset div $budget"))
       .groupBy(col("lang"), col("chunk_id"))

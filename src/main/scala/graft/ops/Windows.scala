@@ -78,6 +78,53 @@ object Windows {
     * partitioning may split ties, which would make tie sums
     * nondeterministic (same contract as [[globalRowNumber]]).
     */
+  /** [[groupedRunningSum]] when the caller can name a DETERMINISTIC
+    * bucket expression that is monotone non-decreasing in the order
+    * column within every group (e.g. `doc_id * P / N` over dense ids):
+    * same two-pass running sum and the same dominant-group de-skew, but
+    *
+    *   - no range-partitioner SAMPLING job (the bucket is computed, not
+    *     estimated from the data),
+    *   - no `spark_partition_id` identity and therefore no
+    *     localCheckpoint pin: the bucket is a pure row function, so the
+    *     local-sum and offset subtrees agree by construction under any
+    *     re-execution, and Catalyst shares the one hash exchange.
+    *
+    * Pass `buckets` ≈ the parallelism you want the largest group spread
+    * over. Monotonicity is the caller's contract: if a group's rows in
+    * `orderCol` order ever moved to a SMALLER bucket, offsets would
+    * double-count (the fixture's dense ids make `id * P / N` safe).
+    */
+  def bucketedRunningSum(df: DataFrame, sumName: String, groupCol: Column,
+                         valueCol: Column, orderCol: Column,
+                         bucketExpr: Column): DataFrame = {
+    val bucketed = df.withColumn("__b", bucketExpr)
+    val localW = Window.partitionBy(groupCol, col("__b")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__lsum", sum(valueCol).over(localW))
+    val offW = Window.partitionBy(col("__g")).orderBy(col("__ob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Per-(group, bucket) totals read off the WINDOWED relation (the
+    // last running value of each cell), not a second aggregate over the
+    // input: both subtrees then share the scan→exchange prefix verbatim,
+    // so ReusedExchange evaluates the upstream once — the same effect
+    // groupedRunningSum buys with its localCheckpoint pin, for free.
+    val offsets = local
+      .groupBy(groupCol.as("__g"), col("__b").as("__ob"))
+      .agg(max_by(col("__lsum"), orderCol).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .select(col("__g"), col("__ob"), col("__off"))
+    // <=> on BOTH keys: a plain === would push an isnotnull(__b) filter
+    // into the probe subtree only, making it structurally different from
+    // the offsets subtree and silently defeating the exchange reuse this
+    // whole shape exists for (verified via executedPlan: one exchange,
+    // reused, vs two full scans with ===).
+    local.join(broadcast(offsets),
+        groupCol <=> col("__g") && col("__b") <=> col("__ob"))
+      .withColumn(sumName, col("__lsum") + col("__off"))
+      .drop("__g", "__ob", "__b", "__lsum", "__off")
+  }
+
   def groupedRunningSum(df: DataFrame, sumName: String, groupCol: Column,
                         valueCol: Column, orderCols: Column*): DataFrame = {
     // Same single-evaluation pin as globalRowNumber: the local-sum and

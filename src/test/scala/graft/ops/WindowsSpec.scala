@@ -63,4 +63,41 @@ class WindowsSpec extends SparkTestBase {
       assert(spanned > 1, s"dominant group landed on $spanned partition(s)")
     } finally spark.conf.set(key, prev)
   }
+
+  test("bucketedRunningSum equals the per-group window sum on a 95%-skewed corpus") {
+    // same fixture as groupedRunningSum's twin test, but with the
+    // computed monotone bucket (dense ids 0..N-1 -> id*P div N) instead
+    // of the sampled range partitioner
+    val n = 10000L
+    val df = spark.range(n)
+      .select(when(col("id") % 20 < 19, lit("en")).otherwise(lit("de")).as("g"),
+        col("id").as("k"), (col("id") % 37 + 1).as("v"))
+      .repartition(7).localCheckpoint()
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df.withColumn("rs_w", sum(col("v")).over(w))
+    val viaBucketed = Windows.bucketedRunningSum(df, "rs", col("g"), col("v"),
+      col("k"), expr(s"(k * 8) div $n"))
+    val mismatches = viaBucketed.join(viaWindow, Seq("g", "k"))
+      .filter(col("rs") =!= col("rs_w")).count()
+    assert(mismatches === 0)
+    assert(viaBucketed.count() === df.count())
+    // dominant group spans multiple buckets by construction
+    val spanned = df.select(col("g"), expr(s"(k * 8) div $n").as("b"))
+      .filter(col("g") === "en").select("b").distinct().count()
+    assert(spanned === 8L, s"dominant group must span all 8 buckets: $spanned")
+  }
+
+  test("bucketedRunningSum shares one upstream evaluation (ReusedExchange in plan)") {
+    val n = 10000L
+    val df = spark.range(n)
+      .select((col("id") % 5).cast("string").as("g"), col("id").as("k"),
+        lit(1L).as("v"))
+    val out = Windows.bucketedRunningSum(df, "rs", col("g"), col("v"),
+      col("k"), expr(s"(k * 8) div $n"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "offset subtree must reuse the local-sum exchange, not re-run the input")
+  }
 }
