@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Deterministic character-level BPE token counting (Sennrich et al.
+  * 2016's public algorithm, arXiv:1508.07909): a word starts as its
+  * codepoint sequence; repeatedly the LOWEST-RANK adjacent pair present
+  * in the merge table is merged at every non-overlapping occurrence
+  * left-to-right, until no table pair remains. The token budget a
+  * training pipeline actually packs/samples by is this count, not the
+  * whitespace-word count.
+  *
+  * The merge table is FIXED and shipped with the engine (the "tiny fixed
+  * merge table" option): ranks follow the classic public English bigram
+  * frequency order (th, he/the, in, er, an, ...), so the table is
+  * re-derivable from public letter-frequency tables and embeds no
+  * external data. Training merges from a corpus is deliberately NOT done
+  * here so the oracle twin (a DuckDB recursive CTE applying the same
+  * table) is a closed, engine-independent computation.
+  *
+  * Scale shape: pure scan work — one native-expression pass per row,
+  * zero shuffles. Natural-language words repeat heavily, so the
+  * expression memoizes word → count in a thread-confined, size-capped
+  * map (the MinHashSigMd5 thread-local pattern); the cache is an
+  * executor-local detail invisible to the plan.
+  */
+object Bpe {
+
+  /** Rank-ordered merges (rank = position + 1, lower merges first). */
+  val merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "e" -> "n", "a" -> "t", "e" -> "s",
+    "o" -> "r", "t" -> "e", "i" -> "s", "i" -> "t", "a" -> "l",
+    "a" -> "r", "n" -> "d", "an" -> "d", "in" -> "g", "o" -> "u",
+    "o" -> "f", "t" -> "o", "e" -> "d", "s" -> "t", "h" -> "a",
+    "s" -> "e", "l" -> "e", "v" -> "e", "m" -> "e", "c" -> "o",
+    "d" -> "e", "l" -> "l")
+
+  private val rankOf: Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+
+  /** Plain-Scala reference: the BPE token sequence of one word.
+    * Codepoint-level (surrogate pairs stay whole), so the result agrees
+    * with engines that slice strings by codepoint.
+    */
+  def tokenize(word: String): List[String] = {
+    var toks: List[String] = {
+      val b = List.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += word.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
+    var done = false
+    while (!done && toks.lengthCompare(1) > 0) {
+      // lowest-rank pair present
+      var best = Int.MaxValue
+      toks.zip(toks.tail).foreach { p =>
+        val r = rankOf.getOrElse(p, Int.MaxValue)
+        if (r < best) best = r
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(best - 1)
+        // merge all non-overlapping occurrences left-to-right
+        val out = List.newBuilder[String]
+        var rest = toks
+        while (rest.nonEmpty) {
+          rest match {
+            case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+            case a :: tail => out += a; rest = tail
+            case Nil => ()
+          }
+        }
+        toks = out.result()
+      }
+    }
+    toks
+  }
+
+  /** BPE token count of one word. */
+  def count(word: String): Int = if (word.isEmpty) 0 else tokenize(word).length
+
+  /** Σ over an array of words — the per-document budget. */
+  def countAll(words: Seq[String]): Long = words.map(count(_).toLong).sum
+}
+
+/** `BpeCountSum(words)` — sum of per-word BPE token counts over an
+  * `array<string>` column, null-in → null-out. Interpreted inner loop
+  * (CodegenFallback) with a thread-confined memo: corpora repeat words
+  * constantly, so most rows are pure cache hits.
+  */
+case class BpeCountSum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val memo: ThreadLocal[java.util.HashMap[String, Integer]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer](1 << 12))
+  private val MemoCap = 1 << 16
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = memo.get()
+    var sum = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        var c = m.get(w)
+        if (c == null) {
+          c = Int.box(Bpe.count(w))
+          if (m.size() < MemoCap) m.put(w, c)
+        }
+        sum += c.intValue()
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeCountSum {
+  def bpeCountSum(words: Column): Column =
+    bridge.column(BpeCountSum(bridge.expression(words)))
+}

@@ -41,6 +41,87 @@ object TextAnalysis {
       |       CAST(length(text) AS DOUBLE) / 4.0 AS n_tokens_char_est
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- real BPE token counting ----------------------------------------------
+  /** Per-document REAL BPE token budget ([[graft.functions.Bpe]]): the
+    * whitespace count beside the deterministic character-level BPE count
+    * over lowercased tokens. This is the column the packing/quota/mixture
+    * budgets accept via their tokenCount parameter — the r7 "BPE-ish
+    * regex estimate" ([[tokenCounts]]) stays for comparison.
+    *
+    * Scale: scan-shaped, zero shuffles before the presentation sort; the
+    * expression memoizes repeated words thread-locally.
+    */
+  def tokenCountsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    c.ref("documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.BpeCountSum.bpeCountSum(col("toks")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** The twin applies the IDENTICAL fixed merge table with a recursive
+    * CTE over the DISTINCT word set (each step: lowest-rank adjacent
+    * pair present, merged at every non-overlapping occurrence via a
+    * left fold), then joins counts back to documents. chr(2) separates
+    * the pair key, chr(1) the fold's token list — neither occurs in the
+    * corpus tokens.
+    */
+  /** Shared CTE block: distinct-word BPE application (st walks the merge
+    * loop; wc is the terminal word → count relation). Spliced into both
+    * BPE twins so they can never disagree on the tokenizer.
+    */
+  private val bpeWordCountCtes: String = {
+    val ms = graft.functions.Bpe.merges
+    val pairRank = ms.zipWithIndex
+      .map { case ((l, r), i) => s"'$l' || chr(2) || '$r': ${i + 1}" }
+      .mkString("MAP {", ", ", "}")
+    val rankPair = ms.zipWithIndex
+      .map { case ((l, r), i) => s"${i + 1}: '$l' || chr(2) || '$r'" }
+      .mkString("MAP {", ", ", "}")
+    s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |        FROM documents),
+       |words AS (SELECT DISTINCT word FROM tok WHERE word <> ''),
+       |st(word, toks, n) AS (
+       |  SELECT word, list_transform(range(1, len(word)+1), i -> word[i:i]), 0
+       |  FROM words
+       |  UNION ALL
+       |  SELECT word,
+       |    string_split(
+       |      list_reduce(toks, (acc, t) ->
+       |        CASE WHEN string_split(acc, chr(1))[-1] = string_split(lr, chr(2))[1]
+       |              AND t = string_split(lr, chr(2))[2]
+       |        THEN acc[1:len(acc) - len(string_split(lr, chr(2))[1])]
+       |             || string_split(lr, chr(2))[1] || string_split(lr, chr(2))[2]
+       |        ELSE acc || chr(1) || t END),
+       |      chr(1)),
+       |    n + 1
+       |  FROM (
+       |    SELECT word, toks, n,
+       |      ($rankPair[
+       |        list_min(list_filter(
+       |          list_transform(
+       |            list_transform(range(1, len(toks)), i -> toks[i] || chr(2) || toks[i+1]),
+       |            p -> ($pairRank[p])[1]),
+       |          x -> x IS NOT NULL))])[1] AS lr
+       |    FROM st) s
+       |  WHERE lr IS NOT NULL),
+       |wc AS (
+       |  SELECT word, len(toks) AS n_bpe FROM st
+       |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY n DESC) = 1)""".stripMargin
+  }
+
+  // NOTE: concatenation, not interpolation-into-stripMargin — the CTE
+  // block contains lines whose first non-blank char is `|` (the `||`
+  // operator), which a second stripMargin would eat.
+  val tokenCountsBpeSql: String =
+    "WITH RECURSIVE\n" + bpeWordCountCtes + "\n" +
+      """SELECT t.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(coalesce(wc.n_bpe, 0)) AS BIGINT) AS n_tokens_bpe
+        |FROM tok t LEFT JOIN wc USING (word)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ---- quality scoring ------------------------------------------------------
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -374,6 +455,39 @@ object TextAnalysis {
       |SELECT lang, doc_id, n_tokens, start_offset,
       |       start_offset // 512 AS chunk_id
       |FROM runs ORDER BY lang, doc_id""".stripMargin
+
+  /** [[packSequences]] with the REAL BPE budget: chunks are filled by
+    * `n_tokens_bpe` ([[tokenCountsBpe]]) instead of the whitespace word
+    * count — what an actual context-window packer consumes. Same
+    * de-skewed running-sum shape.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val base = c.ref("documents")
+      .select(col("lang"), col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("lang"), col("doc_id"),
+        graft.functions.BpeCountSum.bpeCountSum(col("toks")).as("n_tokens_bpe"))
+    Windows.groupedRunningSum(base, "__rsum", col("lang"), col("n_tokens_bpe"), col("doc_id"))
+      .withColumn("start_offset", col("__rsum") - col("n_tokens_bpe")).drop("__rsum")
+      .withColumn("chunk_id", expr("start_offset div 512"))
+      .select("lang", "doc_id", "n_tokens_bpe", "start_offset", "chunk_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  val packSequencesBpeSql: String =
+    "WITH RECURSIVE\n" + bpeWordCountCtes + ",\n" +
+      """bc AS (
+       |  SELECT t.doc_id, CAST(sum(coalesce(wc.n_bpe, 0)) AS BIGINT) AS n_tokens_bpe
+       |  FROM tok t LEFT JOIN wc USING (word) GROUP BY t.doc_id),
+       |runs AS (
+       |  SELECT d.lang, d.doc_id, bc.n_tokens_bpe,
+       |         CAST(sum(bc.n_tokens_bpe) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bc.n_tokens_bpe
+       |              AS BIGINT) AS start_offset
+       |  FROM documents d JOIN bc ON d.doc_id = bc.doc_id)
+       |SELECT lang, doc_id, n_tokens_bpe, start_offset,
+       |       start_offset // 512 AS chunk_id
+       |FROM runs ORDER BY lang, doc_id""".stripMargin
 
   // ---- end-to-end training-data prep ----------------------------------------
   /** The canonical LLM data-prep flow as ONE composed, oracle-checked
@@ -820,6 +934,8 @@ object TextAnalysis {
     "text_pack_sequences" -> (packSequences _),
     "text_repetition" -> (repetition _),
     "text_token_counts" -> (tokenCounts _),
+    "text_token_bpe" -> (tokenCountsBpe _),
+    "text_pack_bpe" -> (packSequencesBpe _),
     "text_quality" -> (qualityScore _),
     "text_gopher_rules" -> (gopherRules _),
     "text_langid" -> (langId _),
@@ -840,6 +956,8 @@ object TextAnalysis {
     "text_pack_sequences" -> packSequencesSql,
     "text_repetition" -> repetitionSql,
     "text_token_counts" -> tokenCountsSql,
+    "text_token_bpe" -> tokenCountsBpeSql,
+    "text_pack_bpe" -> packSequencesBpeSql,
     "text_quality" -> qualityScoreSql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_langid" -> langIdSql,
