@@ -236,57 +236,107 @@ object TextAnalysis {
       |FROM s ORDER BY doc_id""".stripMargin
 
   // ---- language ID ----------------------------------------------------------
-  /** Marker-token language heuristic (n-gram-lite): score en/es/fr/de by
-    * marker-word hits, CJK by char class; highest score wins, 'en' ties.
-    * Deliberately pure-SQL so the oracle can replicate it; a production
-    * fastText-style model would slot in behind the same column contract.
+  /** Statistical language ID — Cavnar–Trenkle rank-order classification
+    * ([[graft.functions.LangProfiles]]): the document's top-K character
+    * n-gram rank profile is compared to each trained language profile by
+    * out-of-place distance (missing gram = K penalty); minimum distance
+    * wins, ties break lexicographically, token-less docs → 'und'.
+    * Integer-exact end to end, so the twin replays it bit-for-bit.
+    * (Replaces the r7 marker-word heuristic.)
+    *
+    * Scale shape: gram explode → (doc, gram) count → per-doc top-K
+    * window (bounded groups: a doc's DISTINCT grams, never the corpus) →
+    * broadcast join against the 5×K profile table → one aggregate. No
+    * corpus-sized state; everything keys on doc_id.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LangProfiles.{K, langs, profiles}
     val c = Catalog(spark, dir)
-    // Lowercased tokens materialized once (see qualityScore note).
-    def score(markers: Seq[String]): Column = {
-      val arr = array(markers.map(lit): _*)
-      size(filter(col("toks"), t => array_contains(arr, t)))
-    }
-    val en = score(Seq("the", "and", "of", "is"))
-    val es = score(Seq("el", "la", "de", "que", "los"))
-    val fr = score(Seq("le", "la", "les", "et", "est"))
-    val de = score(Seq("der", "die", "das", "und", "ist"))
-    val cjk = length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
-    c.ref("documents")
-      .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), en.as("score_en"), es.as("score_es"),
-        fr.as("score_fr"), de.as("score_de"), cjk.as("score_cjk"))
-      .withColumn("predicted_lang",
-        when(col("score_cjk") > 0, "cjk")
-          .when(col("score_es") > col("score_en") && col("score_es") >= col("score_fr")
-            && col("score_es") >= col("score_de"), "es")
-          .when(col("score_fr") > col("score_en") && col("score_fr") >= col("score_de"), "fr")
-          .when(col("score_de") > col("score_en"), "de")
-          .otherwise("en"))
+    import spark.implicits._
+    val prof = broadcast(langs.flatMap(l =>
+      profiles(l).toSeq.map { case (g, r) => (l, g, r) }).toDF("lang", "gram", "rl"))
+    val grams = c.ref("documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), concat(lit("_"), col("w"), lit("_")).as("p"))
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(sequence(1, 3), n -> " +
+          "transform(sequence(1, char_length(p) - n + 1), i -> substring(p, i, n))))"))
+        .as("gram"))
+    val ranked = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rd", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rd") <= K)
+    val aggs = countDistinct(col("gram")).as("ng") +:
+      (langs.map(l => sum(when(col("lang") === l, abs(col("rd") - col("rl")))
+        .otherwise(lit(0))).as(s"s_$l")) ++
+        langs.map(l => count(when(col("lang") === l, lit(1))).as(s"c_$l")))
+    val dists = ranked.join(prof, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val withDist = langs.foldLeft(dists)((df, l) =>
+      df.withColumn(s"dist_$l",
+        (col(s"s_$l") + (col("ng") - col(s"c_$l")) * K).cast("long")))
+    val m = least(langs.map(l => col(s"dist_$l")): _*)
+    val predicted = langs.foldLeft(when(col("ng").isNull, "und"))(
+      (w, l) => w.when(col(s"dist_$l") === m, l))
+    c.ref("documents").select(col("doc_id"))
+      .join(withDist, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        langs.map(l => coalesce(col(s"dist_$l"), lit(0L)).as(s"dist_$l")) :+
+        predicted.as("predicted_lang"): _*)
       .orderBy("doc_id")
   }
 
-  val langIdSql: String =
-    """WITH scored AS (
-      |  SELECT doc_id,
-      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-      |        t -> list_contains(['the','and','of','is'], t))) AS score_en,
-      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-      |        t -> list_contains(['el','la','de','que','los'], t))) AS score_es,
-      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-      |        t -> list_contains(['le','la','les','et','est'], t))) AS score_fr,
-      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-      |        t -> list_contains(['der','die','das','und','ist'], t))) AS score_de,
-      |    length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS score_cjk
-      |  FROM documents)
-      |SELECT doc_id, score_en, score_es, score_fr, score_de, score_cjk,
-      |  CASE WHEN score_cjk > 0 THEN 'cjk'
-      |       WHEN score_es > score_en AND score_es >= score_fr AND score_es >= score_de THEN 'es'
-      |       WHEN score_fr > score_en AND score_fr >= score_de THEN 'fr'
-      |       WHEN score_de > score_en THEN 'de'
-      |       ELSE 'en' END AS predicted_lang
-      |FROM scored ORDER BY doc_id""".stripMargin
+  val langIdSql: String = {
+    import graft.functions.LangProfiles.{K, langs, profiles}
+    val profValues = langs.flatMap(l => profiles(l).toSeq.sorted.map {
+      case (g, r) => s"('$l', '$g', $r)"
+    }).mkString(", ")
+    val sums = langs.map(l =>
+      s"sum(CASE WHEN lang = '$l' THEN abs(rd - rl) ELSE 0 END) AS s_$l").mkString(",\n    ")
+    val cnts = langs.map(l =>
+      s"count(CASE WHEN lang = '$l' THEN 1 END) AS c_$l").mkString(",\n    ")
+    val distCols = langs.map(l =>
+      s"CAST(s_$l + (ng - c_$l) * $K AS BIGINT) AS dist_$l").mkString(",\n    ")
+    val outDist = langs.map(l =>
+      s"coalesce(dist_$l, 0) AS dist_$l").mkString(",\n  ")
+    val whens = langs.map(l =>
+      s"WHEN dist_$l = least(${langs.map(x => s"dist_$x").mkString(", ")}) THEN '$l'")
+      .mkString("\n       ")
+    s"""WITH prof(lang, gram, rl) AS (VALUES $profValues),
+       |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(flatten(list_transform([1, 2, 3], n ->
+       |           list_transform(range(1, len(p) - n + 2), i -> substring(p, CAST(i AS INT), n))))) AS gram
+       |  FROM (SELECT doc_id, '_' || w || '_' AS p FROM tok WHERE w <> '')),
+       |ranked AS (
+       |  SELECT doc_id, gram,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rd
+       |  FROM grams GROUP BY doc_id, gram
+       |  QUALIFY rd <= $K),
+       |d AS (
+       |  SELECT doc_id, count(DISTINCT gram) AS ng,
+       |    $sums,
+       |    $cnts
+       |  FROM ranked LEFT JOIN prof USING (gram)
+       |  GROUP BY doc_id),
+       |dist AS (
+       |  SELECT doc_id, ng,
+       |    $distCols
+       |  FROM d)
+       |SELECT doc.doc_id,
+       |  $outDist,
+       |  CASE WHEN ng IS NULL THEN 'und'
+       |       $whens
+       |       END AS predicted_lang
+       |FROM documents doc LEFT JOIN dist USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
 
   // ---- document fingerprinting ------------------------------------------------
   /** Content fingerprints: md5 of whitespace-normalized text (exact-dup
