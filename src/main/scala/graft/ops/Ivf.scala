@@ -143,6 +143,126 @@ object Ivf {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental ANN screening — the `dedup_incremental` shape for
+    * vectors: the ALREADY-INDEXED base corpus is persisted ONCE as a
+    * cell-partitioned parquet table (centroids + assignments — the IVF
+    * index as a real table), and a NEW embedding batch (every 10th
+    * vec_id — "the batch that just landed") is screened against it
+    * WITHOUT rescanning the base:
+    *
+    *   - per-batch work is O(Δ): the delta's cell assignment and probe
+    *     ranking are scan work over the batch only;
+    *   - the base is read through its partition layout: the probed cell
+    *     ids (≤ kCells, a bounded driver list) become a PartitionFilters
+    *     predicate on the index scan, so only ~nprobe/kCells of the
+    *     index's bytes are touched — at 100 TB this is literally
+    *     partition pruning on the index table, no shuffle of the base.
+    *
+    * Output: top-k base neighbors per batch vector, exact cosine within
+    * probed cells — the candidate set a dedup/link step consumes.
+    */
+  def ivfIncremental(spark: SparkSession, dir: String): DataFrame =
+    ivfIncrementalAt(spark, dir, k = 5, kCells = 16, nprobe = 4)
+
+  def ivfIncrementalAt(spark: SparkSession, dir: String, k: Int,
+      kCells: Int, nprobe: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings")
+      .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val centroids = kmeansCentroids(base, kCells, iters = 0)
+
+    // Build the index ONCE: cell-partitioned parquet (the persisted IVF
+    // index). A production pipeline does this when the base corpus lands
+    // and only appends new partitions on later batches.
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    base.withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+
+    // Probe list per batch vector: O(Δ) scan work.
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid"))
+    val probes = delta
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cscore",
+        Similarity.dot(col("qvec"), col("cent")) / Similarity.l2norm(col("cent")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
+      .localCheckpoint() // pinned: probed-cid collect + candidate join
+
+    // Bounded driver list (≤ kCells ints) → STATIC partition pruning on
+    // the index scan; the join then restricts per-query.
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    index.filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(probes), Seq("cid"))
+      .withColumn("score",
+        Similarity.dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Twin of [[ivfIncremental]]: same base/delta split, same iters = 0
+    * quantizer from the BASE sample, same probe ranking and candidate
+    * scoring — persistence is an engine-side layout detail invisible to
+    * the result.
+    */
+  val ivfIncrementalSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id % 10 = 0),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |cand AS (
+      |  SELECT q.query_id, en.vec_id,
+      |         list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cid = p.cid
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN en ON en.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Oracle twin of ivfAnn (iters = 0): the portable md5 sample order
     * picks the same 16 sample vectors as cells; assignment/probing/
     * scoring re-derive the identical doubles (left-fold list_sum =

@@ -385,6 +385,7 @@ object Similarity {
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
+    "sim_ivf_incremental" -> (Ivf.ivfIncremental _),
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
@@ -393,5 +394,6 @@ object Similarity {
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,
+    "sim_ivf_incremental" -> Ivf.ivfIncrementalSql,
     "sim_embedding_neardup" -> embeddingNearDupSql)
 }

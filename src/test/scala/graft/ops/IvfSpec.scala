@@ -75,4 +75,26 @@ class IvfSpec extends SparkTestBase {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ivfIncremental: batch screened against the persisted index, O(delta) shape") {
+    val df = Ivf.ivfIncremental(spark, sf)
+    val out = df.collect()
+    // only delta vectors (vec_id % 10 == 0) appear as queries; only base
+    // vectors appear as neighbors — the batch never matches itself
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 10 == 0), "queries must be the new batch")
+    assert(out.forall(_.getLong(2) % 10 != 0), "neighbors must come from the base index")
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the index scan is PARTITION-PRUNED to the probed cells: the probe
+    // list (bounded by kCells) reaches the parquet scan as a partition
+    // filter, so un-probed index partitions are never read — the O(delta)
+    // property at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.matches("(?s).*PartitionFilters: \\[.*cid.*IN.*"),
+      s"index scan must carry a cid partition filter:\n${plan.take(2000)}")
+  }
 }
