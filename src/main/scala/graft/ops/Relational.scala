@@ -1137,12 +1137,16 @@ object Relational {
     * count), cross-joined back as 1-row plans. A combined
     * multi-DISTINCT aggregate would instead plan an Expand — ×|cols|
     * row multiplication before the shuffle — which measured 6× slower
-    * at sf0.1. At 100 TB swap the exact distincts for
-    * approx_count_distinct (HLL) and even those extra scans fold into
-    * the first aggregate — same output shape, ~2% error, documented
-    * trade.
+    * at sf0.1. At 100 TB pass `approx = true`: the exact distincts
+    * become approx_count_distinct (HLL++), which FOLDS into the single
+    * first-pass aggregate — one scan, zero extra aggregates, same
+    * output shape, ~2% standard error (PlanQualitySpec pins the one-scan
+    * plan and bounds the error on the fixture).
     */
-  def o7Profile(spark: SparkSession, dir: String): DataFrame = {
+  def o7Profile(spark: SparkSession, dir: String): DataFrame =
+    o7ProfileAt(spark, dir, approx = false)
+
+  def o7ProfileAt(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val c = Catalog(spark, dir)
     val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val strCols = Seq("o_orderstatus", "o_orderpriority")
@@ -1155,14 +1159,19 @@ object Relational {
         (if (isNum) min(col(cn)).cast("double") else lit(null).cast("double")).as(s"${cn}__min_d"),
         (if (isNum) max(col(cn)).cast("double") else lit(null).cast("double")).as(s"${cn}__max_d"),
         (if (isNum) lit(null).cast("string") else min(col(cn))).as(s"${cn}__min_s"),
-        (if (isNum) lit(null).cast("string") else max(col(cn))).as(s"${cn}__max_s"))
+        (if (isNum) lit(null).cast("string") else max(col(cn))).as(s"${cn}__max_s")) ++
+        // HLL sketches ride the same buffer as count/min/max — the whole
+        // profile is ONE partial+final aggregate over one scan
+        (if (approx) Seq(approx_count_distinct(col(cn), 0.02).as(s"${cn}__distinct")) else Nil)
     }
     val base = df.agg(aggs.head, aggs.tail: _*)
-    val row = (numCols ++ strCols).foldLeft(base) { (acc, cn) =>
-      // COUNT(DISTINCT x) semantics: NULL is not a value
-      acc.crossJoin(df.select(col(cn)).filter(col(cn).isNotNull).distinct()
-        .agg(count(lit(1)).as(s"${cn}__distinct")))
-    }
+    val row =
+      if (approx) base
+      else (numCols ++ strCols).foldLeft(base) { (acc, cn) =>
+        // COUNT(DISTINCT x) semantics: NULL is not a value
+        acc.crossJoin(df.select(col(cn)).filter(col(cn).isNotNull).distinct()
+          .agg(count(lit(1)).as(s"${cn}__distinct")))
+      }
     val stacked = (numCols ++ strCols).map { cn =>
       s"'$cn', ${cn}__n, ${cn}__nulls, ${cn}__distinct, ${cn}__min_d, ${cn}__max_d, ${cn}__min_s, ${cn}__max_s"
     }.mkString(", ")

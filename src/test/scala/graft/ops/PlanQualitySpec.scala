@@ -199,6 +199,28 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected at most base scan + 5 distinct scans:\n$plan")
   }
 
+  test("o7 profile approx (HLL): ONE scan, zero extra aggregates, error < 5%") {
+    val df = Relational.o7ProfileAt(spark, sf, approx = true)
+    val plan = executed(df).split("== Initial Plan ==")(0)
+    // the HLL sketches fold into the single first-pass aggregate: one
+    // parquet scan total, no per-column distinct plans, no cross joins
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"approx profile must be one scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"approx profile must not cross-join 1-row distinct plans:\n$plan")
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"HLL must partial-aggregate map-side:\n$plan")
+    // accuracy: within 5% of the exact distincts on every column
+    val exact = Relational.o7Profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    df.collect().foreach { r =>
+      val (cn, approx) = (r.getString(0), r.getLong(3))
+      val e = exact(cn)
+      assert(math.abs(approx - e).toDouble / e < 0.05,
+        s"$cn: approx $approx vs exact $e")
+    }
+  }
+
   test("pagerank: per-iteration lineage is CUT — the final plan reads checkpointed ranks, not 5 nested joins") {
     val df = Graph.graphPagerank(spark, sf)
     df.collect()
