@@ -76,6 +76,10 @@ object ScaleProbe {
     // keywords: full-vocab tf/df aggregates + per-doc WindowGroupLimit
     time("keywords_8x")(ops.Search.textKeywords(spark, dir).count())
 
+    // composed curation pipeline: gopher -> paragraph dedup -> leak-free
+    // split -> mixture sample -> shard write + manifest, one plan
+    time("curation_e2e_8x")(ops.Curation.pipelineCurationE2e(spark, dir).count())
+
     // distributed cluster resolution, driver fast-path disabled: 8x
     // replicas make every doc family an 8-clique, so min-label
     // propagation converges in diameter+1 rounds over a dense edge set —
@@ -201,6 +205,11 @@ object ScaleProbe {
     report ++= "  queried terms' posting lists plus a (count, sum-dl) corpus-stats\n"
     report ++= "  pass that production amortizes across queries; keywords is the\n"
     report ++= "  full-vocab tf/df aggregate off the same scan.\n"
+    report ++= "- the composed curation pipeline (gopher -> paragraph dedup ->\n"
+    report ++= "  leak-free split -> mixture sample -> shard write) chains the\n"
+    report ++= "  operators' own scale shapes; text crosses a shuffle only to\n"
+    report ++= "  rebuild text_clean (keyed by unique doc_id) and in the final\n"
+    report ++= "  shard repartition, never as a key.\n"
     report ++= "- compaction repacks a 256-small-file corpus in one read+write\n"
     report ++= "  pass; file-count planning never reads data, and the dot-prefixed\n"
     report ++= "  swap keeps concurrent readers on a consistent file set.\n"

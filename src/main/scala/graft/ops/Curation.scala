@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.functions.ArrayExprs
+
+/** The composed curation pipeline — the PRODUCT the individual operators
+  * exist for, as ONE oracle-checked plan:
+  *
+  *   gopher rules → paragraph dedup → leak-free split (train)
+  *     → mixture sample → deterministic shard write + manifest
+  *
+  * Each stage is the standalone operator's exact shape (same expressions,
+  * same hash draws), so the composition can never drift from the pieces
+  * the driver already hash-checks individually. The mixture rates are
+  * recomputed over the SURVIVING train subset — a real pipeline balances
+  * what it ships, not the raw corpus.
+  *
+  * Scale shape: the stages chain scan→shuffle stages that each move
+  * digests, labels, or (doc_id, lang) rows; document text crosses a
+  * shuffle exactly twice — once keyed by unique doc_id to rebuild
+  * text_clean (paragraph dedup step 4), once in the final shard
+  * repartition — and is NEVER a shuffle key (PlanQualitySpec pins this
+  * and the exchange count). The shard write is one task per shard with
+  * the manifest derived from the written files.
+  */
+object Curation {
+
+  val DocsPerShard = 64L
+
+  /** The pre-write relation: every pipeline stage composed, ending in
+    * (doc_id, lang, text_clean, pos, shard_id). Exposed so the plan can
+    * be audited without the side-effecting write.
+    */
+  def curationPositioned(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    // 1. Gopher quality rules — keep passers.
+    val passed = TextAnalysis.gopherRules(spark, dir)
+      .filter(col("pass")).select(col("doc_id"))
+    // 2. Paragraph-level dedup (corpus-wide first-occurrence keeps), then
+    //    restrict to the quality-passed set.
+    val cleaned = Dedup.paragraphDedup(spark, dir)
+      .select(col("doc_id"), col("text_clean"))
+      .join(passed, Seq("doc_id"))
+    // 3. Leak-free split: train side only (cluster-granular assignment).
+    val train = cleaned
+      .join(Dedup.leakFreeSplit(spark, dir).select(col("doc_id"), col("split")),
+        Seq("doc_id"))
+      .filter(col("split") === "train")
+      .join(c.ref("documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // 4. Mixture sampling over the train subset: sqrt-weighted water-fill
+    //    rates (the mixtureSample derivation verbatim), broadcast into a
+    //    scan-side hash-draw predicate.
+    val counts = train.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val withW = counts.withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val wTot = withW.crossJoin(broadcast(withW.agg(sum(col("w")).as("bigw"))))
+    val rates = wTot
+      .crossJoin(broadcast(wTot.agg(min(expr("n * bigw div w")).as("t"))))
+      .withColumn("k", expr("w * t div bigw"))
+      .withColumn("ppm", expr("k * 1000000 div n"))
+      .select(col("lang"), col("ppm"))
+    val sampled = train.join(broadcast(rates), Seq("lang"))
+      .filter(ArrayExprs.md5Mod(
+        concat_ws(":", lit("curation"), col("doc_id").cast("string")), 1000000L)
+        < col("ppm"))
+      .select(col("doc_id"), col("lang"), col("text_clean"))
+    // 5. Deterministic global shuffle order → fixed-size shards.
+    val hashed = sampled.withColumn("h", ArrayExprs.md5Mod(
+      concat_ws(":", lit("cshuf"), col("doc_id").cast("string")), 1000003L))
+    Windows.globalRowNumber(hashed, "pos", col("h"), col("doc_id"))
+      .withColumn("shard_id", expr(s"(pos - 1) div ${DocsPerShard}L"))
+      .drop("h")
+  }
+
+  /** Runs the pipeline, writes the shards (one directory per shard_id,
+    * rows in shuffle order — a real training-shard layout), and returns
+    * the per-shard manifest COMPUTED FROM THE WRITTEN FILES, so the
+    * oracle row also proves the write round-trips.
+    */
+  def pipelineCurationE2e(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("curation_shards").toString
+    curationPositioned(spark, dir)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text_clean"), " ")).cast("long")).as("n_tokens"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+      .orderBy("shard_id")
+  }
+
+  /** Twin: the five stages re-derived relationally (paragraph dedup,
+    * gopher flags, the shared cluster-walk CTEs, the mixture water-fill,
+    * the shard positions) — one recursive query, same hash draws.
+    */
+  val pipelineCurationE2eSql: String =
+    "WITH RECURSIVE\n" +
+      // gopher (gopherRulesSql's s-CTE, renamed g*)
+      """gt AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |gs AS (
+        |  SELECT doc_id,
+        |         CAST(len(ts) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(ts,
+        |             x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS stop_hits,
+        |         CAST(list_max(list_transform(list_distinct(ts),
+        |             t2 -> len(list_filter(ts, x -> x = t2)))) AS BIGINT) AS top_tok,
+        |         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |         (CAST(length(text) AS DOUBLE) - (CAST(len(ts) AS DOUBLE) - 1.0))
+        |           / CAST(len(ts) AS DOUBLE) AS mean_word_len
+        |  FROM gt),
+        |passed AS (
+        |  SELECT doc_id FROM gs
+        |  WHERE (n_tokens BETWEEN 50 AND 1000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND stop_hits >= 2 AND top_tok * 8 <= n_tokens
+        |    AND n_distinct * 10 >= n_tokens * 3),
+        |""".stripMargin +
+      // paragraph dedup (paragraphDedupSql, renamed p*)
+      """pd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pr AS (SELECT doc_id, w,
+        |              unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+        |       FROM pd),
+        |pch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |               array_to_string(w[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ') AS chunk
+        |        FROM pr),
+        |pk AS (SELECT doc_id, chunk_idx, chunk,
+        |              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep
+        |       FROM pch),
+        |cleaned0 AS (
+        |  SELECT doc_id,
+        |         COALESCE(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '') AS text_clean
+        |  FROM pk GROUP BY doc_id),
+        |cleaned AS (SELECT c0.doc_id, c0.text_clean FROM cleaned0 c0 JOIN passed USING (doc_id)),
+        |""".stripMargin +
+      // the shared cluster walk (tok, ds, sizes, inter, edges, sym, nodes, walk)
+      Dedup.clusterWalkCtesSql + ",\n" +
+      """reps AS (SELECT id AS doc_id, min(label) AS cluster_rep FROM walk GROUP BY id),
+        |sp AS (
+        |  SELECT d2.doc_id,
+        |         CASE WHEN md5_number_lower('lfsplit:' || CAST(COALESCE(r.cluster_rep, d2.doc_id) AS VARCHAR)) % 10 < 8 THEN 'train'
+        |              WHEN md5_number_lower('lfsplit:' || CAST(COALESCE(r.cluster_rep, d2.doc_id) AS VARCHAR)) % 10 = 8 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents d2 LEFT JOIN reps r ON d2.doc_id = r.doc_id),
+        |train AS (
+        |  SELECT c.doc_id, doc.lang, c.text_clean
+        |  FROM cleaned c
+        |  JOIN sp ON sp.doc_id = c.doc_id
+        |  JOIN documents doc ON doc.doc_id = c.doc_id
+        |  WHERE sp.split = 'train'),
+        |mc AS (SELECT lang, count(*) AS n FROM train GROUP BY 1),
+        |mw AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM mc),
+        |mtot AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM mw),
+        |mt AS (SELECT min((n * bigw) // w) AS t FROM mw, mtot),
+        |rates AS (
+        |  SELECT lang, ((((w * t) // bigw)) * 1000000) // n AS ppm
+        |  FROM mw, mtot, mt),
+        |sampled AS (
+        |  SELECT train.doc_id, train.text_clean
+        |  FROM train JOIN rates USING (lang)
+        |  WHERE md5_number_lower('curation:' || CAST(doc_id AS VARCHAR)) % 1000000 < ppm),
+        |spos AS (
+        |  SELECT doc_id, text_clean,
+        |         row_number() OVER (ORDER BY
+        |           md5_number_lower('cshuf:' || CAST(doc_id AS VARCHAR)) % 1000003, doc_id) AS pos
+        |  FROM sampled),
+        |sh AS (SELECT *, (pos - 1) // 64 AS shard_id FROM spos)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text_clean, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(min(pos) AS BIGINT) AS first_pos,
+        |       CAST(max(pos) AS BIGINT) AS last_pos
+        |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation_e2e" -> (pipelineCurationE2e _))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_curation_e2e" -> pipelineCurationE2eSql)
+}

@@ -759,7 +759,7 @@ object Dedup {
     * the leak-free-split oracle, so the two rows can never disagree on
     * what a cluster is.
     */
-  private val clusterWalkCtesSql: String =
+  private[ops] val clusterWalkCtesSql: String =
     """tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents),
       |ds AS (
