@@ -351,6 +351,54 @@ object Codecs {
     (envelopeHashOf(s), math.round(peak * 32768).toInt)
   }
 
+  /** Encode an ANIMATED grayscale GIF — one solid-gray frame per
+    * `(w, h, gray)` triple — via the pure-JDK `javax.imageio` GIF writer
+    * (`writeToSequence`). Grayscale frames palettize losslessly (the
+    * 256-gray palette holds every value exactly), so decode(encode(x))
+    * round-trips bit-exact — the property the multimodal_frames_real
+    * oracle arithmetic depends on (verified per-value in
+    * MediaPipelineSpec).
+    */
+  def encodeGifGray(frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (w, h, gray) =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(gray, gray, gray))
+        g2.fillRect(0, 0, w, h)
+        g2.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** REAL per-frame decode of an animated GIF: `(width, height, gray of
+    * pixel(0,0))` for every frame, via the JDK GIF `ImageReader`
+    * (`getNumImages(true)` + indexed `read`) — the frame-extraction
+    * stage of a video-ish pipeline with an actual container codec, not
+    * byte chunking. Throws on non-GIF payloads.
+    */
+  def decodeGifFrames(payload: Array[Byte]): Seq[(Int, Int, Int)] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      (0 until reader.getNumImages(true)).map { i =>
+        val img = reader.read(i)
+        (img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xff)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
   /** Encode mono 16-bit little-endian PCM WAV (44-byte RIFF header). */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2

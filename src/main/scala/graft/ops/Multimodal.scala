@@ -234,6 +234,56 @@ object Multimodal {
       |       CAST((doc_id % 1000) * 16 AS DOUBLE) / 32768 AS amp
       |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin
 
+  /** REAL animated-GIF frame extraction (replacing byte-chunk framing
+    * for the container-codec case): every 5th doc plants an actual
+    * multi-frame GIF — `2 + id%4` solid-gray frames of
+    * `(8 + id%16) × (8 + (id/5)%8)` with frame k's gray
+    * `(id·7 + k·31) % 256` — encoded executor-side with the JDK GIF
+    * writer and decoded back frame-BY-frame through the JDK GIF reader
+    * ([[graft.multimodal.Codecs.decodeGifFrames]]). The oracle
+    * recomputes every frame's dimensions and pixel value arithmetically,
+    * so a broken container parse, frame miscount, or palette
+    * quantization fails the row. Scale: encode+decode are
+    * partition-parallel scan work; one row per frame fans out exactly
+    * like production frame sampling.
+    */
+  def framesReal(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Catalog(spark, dir).ref("documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("gray", IntegerType, nullable = false)))
+    val rows = ids.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val nf = (2 + id % 4).toInt
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 5) % 8).toInt
+      val gif = Codecs.encodeGifGray(
+        (0 until nf).map(k => (w, h, ((id * 7 + k * 31) % 256).toInt)))
+      val frames = Codecs.decodeGifFrames(gif)
+      frames.zipWithIndex.map { case ((fw, fh, gray), k) =>
+        Row(id, frames.length, k, fw, fh, gray)
+      }
+    }
+    spark.createDataFrame(rows, schema).orderBy("media_id", "frame_idx")
+  }
+
+  val framesRealSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf
+      |           FROM documents WHERE doc_id % 5 = 0),
+      |f AS (SELECT media_id, nf, unnest(range(0, nf)) AS k FROM m)
+      |SELECT media_id,
+      |       CAST(nf AS INT) AS n_frames,
+      |       CAST(k AS INT) AS frame_idx,
+      |       CAST(8 + media_id % 16 AS INT) AS width,
+      |       CAST(8 + (media_id // 5) % 8 AS INT) AS height,
+      |       CAST((media_id * 7 + k * 31) % 256 AS INT) AS gray
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   /** Image perceptual near-dup via 64-bit average hash over REAL PNG
     * decode. Every 5th doc plants a band-pattern PNG: family = doc_id%8
     * decides WHICH bands are bright (the structure), while per-doc shade
@@ -358,6 +408,7 @@ object Multimodal {
     "multimodal_decode_real" -> (decodeReal _),
     "multimodal_resize_real" -> (resizeReal _),
     "multimodal_audio_real" -> (audioReal _),
+    "multimodal_frames_real" -> (framesReal _),
     "multimodal_phash_neardup" -> (phashNearDup _),
     "multimodal_audio_neardup" -> (audioNearDup _))
 
@@ -369,6 +420,7 @@ object Multimodal {
     "multimodal_decode_real" -> decodeRealSql,
     "multimodal_resize_real" -> resizeRealSql,
     "multimodal_audio_real" -> audioRealSql,
+    "multimodal_frames_real" -> framesRealSql,
     "multimodal_phash_neardup" -> phashNearDupSql,
     "multimodal_audio_neardup" -> audioNearDupSql)
 }
