@@ -188,10 +188,11 @@ object ScaleProbe {
     report ++= "  converges in a handful of min-label rounds even on the dense 8x\n"
     report ++= "  clique graph; each round shuffles 16-byte (id,label) rows only,\n"
     report ++= "  so round cost tracks |edges|, not corpus bytes.\n"
-    report ++= "- containment pays the full quadratic candidate cost at 8x\n"
-    report ++= "  replication (no length prune exists for asymmetric matching --\n"
-    report ++= "  a tiny excerpt can be contained in anything); the df-cap dial is\n"
-    report ++= "  the scale guard, exactly as for the Jaccard join.\n"
+    report ++= "- containment's prefix-filter gate (each doc probes only its\n"
+    report ++= "  n-ceil(tau*n)+1 lex-min shingles; provably lossless for\n"
+    report ++= "  containment >= tau) cuts the 8x candidate expansion ~4x vs the\n"
+    report ++= "  full shared-shingle quadratic while returning identical pairs;\n"
+    report ++= "  the df-cap dial remains the guard for pathological shingles.\n"
     report ++= "- incremental dedup is delta-proportional: 8x corpus, sub-second --\n"
     report ++= "  the base side is one distinct-fingerprint scan, never re-deduped.\n"
     report ++= "- bigram LM and mixture sampling stay scan-shaped at 8x: the model\n"
