@@ -80,7 +80,7 @@ object Curation {
     * oracle row also proves the write round-trips.
     */
   def pipelineCurationE2e(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("curation_shards").toString
+    val outDir = graft.util.Fs.sessionTempDir("curation_shards")
     curationPositioned(spark, dir)
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("pos"))

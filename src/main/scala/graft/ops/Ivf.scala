@@ -176,7 +176,7 @@ object Ivf {
     // Build the index ONCE: cell-partitioned parquet (the persisted IVF
     // index). A production pipeline does this when the base corpus lands
     // and only appends new partitions on later batches.
-    val indexDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    val indexDir = graft.util.Fs.sessionTempDir("ivf_index")
     base.withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
       .write.mode("overwrite").partitionBy("cid").parquet(indexDir)
     val index = spark.read.parquet(indexDir)

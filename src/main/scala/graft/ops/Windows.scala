@@ -56,28 +56,6 @@ object Windows {
       .drop("__pid", "__lrn", "__off")
   }
 
-  /** Append `sumName` = per-group running sum of `valueCol` (inclusive of
-    * the current row), ordered by `orderCols` within `groupCol` — the
-    * exact semantics of `sum(value) over (partition by group order by ord
-    * rows unbounded preceding)` — WITHOUT ever giving a whole group to
-    * one task.
-    *
-    * `Window.partitionBy(group)` running sums are the classic skew trap:
-    * a 90%-English corpus runs its dominant group in ONE task no matter
-    * how many executors exist. This helper keeps the same two-pass shape
-    * as [[globalRowNumber]], generalized to grouped sums:
-    *   1. range-repartition on (group, orderCols) — a big group spans
-    *      many partitions, each holding a contiguous order-range of it —
-    *      and running-sum *within* (group, partition): parallel window,
-    *      bounded partitions.
-    *   2. per-(group, partition) totals (≤ |partitions| + |groups| rows —
-    *      metadata, not data) get a cumulative-offset window keyed by
-    *      partition id, and broadcast-join back.
-    *
-    * Requires (groupCol, orderCols) duplicate-free across rows — range
-    * partitioning may split ties, which would make tie sums
-    * nondeterministic (same contract as [[globalRowNumber]]).
-    */
   /** [[groupedRunningSum]] when the caller can name a DETERMINISTIC
     * bucket expression that is monotone non-decreasing in the order
     * column within every group (e.g. `doc_id * P / N` over dense ids):
@@ -125,6 +103,28 @@ object Windows {
       .drop("__g", "__ob", "__b", "__lsum", "__off")
   }
 
+  /** Append `sumName` = per-group running sum of `valueCol` (inclusive of
+    * the current row), ordered by `orderCols` within `groupCol` — the
+    * exact semantics of `sum(value) over (partition by group order by ord
+    * rows unbounded preceding)` — WITHOUT ever giving a whole group to
+    * one task.
+    *
+    * `Window.partitionBy(group)` running sums are the classic skew trap:
+    * a 90%-English corpus runs its dominant group in ONE task no matter
+    * how many executors exist. This helper keeps the same two-pass shape
+    * as [[globalRowNumber]], generalized to grouped sums:
+    *   1. range-repartition on (group, orderCols) — a big group spans
+    *      many partitions, each holding a contiguous order-range of it —
+    *      and running-sum *within* (group, partition): parallel window,
+    *      bounded partitions.
+    *   2. per-(group, partition) totals (≤ |partitions| + |groups| rows —
+    *      metadata, not data) get a cumulative-offset window keyed by
+    *      partition id, and broadcast-join back.
+    *
+    * Requires (groupCol, orderCols) duplicate-free across rows — range
+    * partitioning may split ties, which would make tie sums
+    * nondeterministic (same contract as [[globalRowNumber]]).
+    */
   def groupedRunningSum(df: DataFrame, sumName: String, groupCol: Column,
                         valueCol: Column, orderCols: Column*): DataFrame = {
     // Same single-evaluation pin as globalRowNumber: the local-sum and

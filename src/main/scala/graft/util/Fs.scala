@@ -18,4 +18,30 @@ object Fs {
       finally walk.close()
     }
   }
+
+  private val sessionDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var hookInstalled = false
+
+  /** One temp directory per `name` per JVM, deleted at JVM exit.
+    *
+    * Operators whose contract needs a scratch write location (shard
+    * output, a persisted index the oracle row rebuilds) use this
+    * instead of a fresh `createTempDirectory` per invocation: repeated
+    * runs (benchmark repetitions, verify + bench in one JVM) overwrite
+    * the SAME path via `mode("overwrite")` rather than leaking a new
+    * directory each time, and a single shutdown hook reclaims them all.
+    */
+  def sessionTempDir(name: String): String = {
+    if (!hookInstalled) synchronized {
+      if (!hookInstalled) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          sessionDirs.values().asScala.foreach { d =>
+            try deleteRecursively(d) catch { case _: Exception => () }
+          }))
+        hookInstalled = true
+      }
+    }
+    sessionDirs.computeIfAbsent(name,
+      n => Files.createTempDirectory(n).toString)
+  }
 }

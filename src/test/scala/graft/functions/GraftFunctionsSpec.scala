@@ -81,4 +81,20 @@ class GraftFunctionsSpec extends SparkTestBase {
       .map(_._2.map(p => new java.math.BigDecimal(p._1)).reduce(_.add(_)).doubleValue())
     assert(grouped.toSeq === byGroup)
   }
+
+  test("exactSum propagates NaN/Infinity like SQL SUM instead of throwing") {
+    import ExactDoubleSum.exactSum
+    import org.apache.spark.sql.functions.col
+    def sumOf(xs: Seq[Double]): Double =
+      spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+        .repartition(5) // forces serialize/deserialize + merge of partials
+        .agg(exactSum(col("x"))).head().getDouble(0)
+    assert(sumOf(Seq(1.0, Double.NaN, 2.0)).isNaN)
+    assert(sumOf(Seq(1.0, Double.PositiveInfinity, 2.0)).isPosInfinity)
+    assert(sumOf(Seq(Double.NegativeInfinity, 5.0)).isNegInfinity)
+    // +Inf + -Inf = NaN, exactly what SUM(double) yields
+    assert(sumOf(Seq(Double.PositiveInfinity, Double.NegativeInfinity)).isNaN)
+    // NaN is sticky over Inf regardless of arrival order
+    assert(sumOf(Seq(Double.PositiveInfinity, Double.NaN, 1.0e308)).isNaN)
+  }
 }
