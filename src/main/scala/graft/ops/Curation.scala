@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.catalog.Catalog
 import graft.functions.ArrayExprs
 
@@ -17,43 +18,92 @@ import graft.functions.ArrayExprs
   * recomputed over the SURVIVING train subset — a real pipeline balances
   * what it ships, not the raw corpus.
   *
-  * Scale shape: the stages chain scan→shuffle stages that each move
-  * digests, labels, or (doc_id, lang) rows; document text crosses a
-  * shuffle exactly twice — once keyed by unique doc_id to rebuild
-  * text_clean (paragraph dedup step 4), once in the final shard
-  * repartition — and is NEVER a shuffle key (PlanQualitySpec pins this
-  * and the exchange count). The shard write is one task per shard with
-  * the manifest derived from the written files.
+  * Scale shape: the corpus is SCANNED AND TOKENIZED EXACTLY ONCE — one
+  * projection computes both tokenizations the stages need (`\s+` gopher
+  * tokens and the space-split paragraph words; the shingle tokens are
+  * `lower` over the gopher tokens, which is identical to
+  * `split(trim(lower(text)), '\s+')` because lowercasing never maps a
+  * character into or out of whitespace) and is persisted
+  * MEMORY_AND_DISK for the duration of the run, then unpersisted after
+  * the shard write. At 100 TB the cached token working set trades
+  * executor storage for the THREE full tokenization passes the naive
+  * composition would burn — the same economics as any multi-consumer
+  * working set; spill-to-disk keeps it safe when memory is short. From
+  * the shared base the stages chain shuffles that each move digests,
+  * labels, or (doc_id, lang) rows; document text crosses a shuffle
+  * exactly twice — once keyed by unique doc_id to rebuild text_clean
+  * (paragraph dedup step 4), once in the final shard repartition — and
+  * is NEVER a shuffle key (CurationSpec pins this, the exchange count,
+  * and the single-scan property). The shard write is one task per shard
+  * with the manifest derived from the written files.
   */
 object Curation {
 
   val DocsPerShard = 64L
 
-  /** The pre-write relation: every pipeline stage composed, ending in
-    * (doc_id, lang, text_clean, pos, shard_id). Exposed so the plan can
-    * be audited without the side-effecting write.
+  /** The shared tokenized base + the pre-write relation. Internal: the
+    * caller that runs an action ([[pipelineCurationE2e]]) unpersists the
+    * base when done; plan audits go through [[curationPositioned]] /
+    * [[curationSampled]].
     */
-  def curationPositioned(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
-    // 1. Gopher quality rules — keep passers.
-    val passed = TextAnalysis.gopherRules(spark, dir)
+  private def curationStages(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = curationBase(spark, dir)
+    val sampled = curationSampledFrom(base)
+    // 5. Deterministic global shuffle order → fixed-size shards.
+    val hashed = sampled.withColumn("h", ArrayExprs.md5Mod(
+      concat_ws(":", lit("cshuf"), col("doc_id").cast("string")), 1000003L))
+    val positioned = Windows.globalRowNumber(hashed, "pos", col("h"), col("doc_id"))
+      .withColumn("shard_id", expr(s"(pos - 1) div ${DocsPerShard}L"))
+      .drop("h")
+    (base, positioned)
+  }
+
+  /** The ONE corpus scan: both tokenizations and the text length in a
+    * single projection, persisted so every stage reads the tokenized
+    * cache instead of re-scanning the parquet. Raw text is dropped —
+    * nothing downstream needs it.
+    */
+  private def curationBase(spark: SparkSession, dir: String): DataFrame =
+    Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        split(col("text"), " ").as("w"),
+        length(col("text")).as("tlen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Stages 1–4 from the shared base — the fully-visible (no shard
+    * positioning) plan the single-scan spec audits.
+    */
+  private def curationSampledFrom(base: DataFrame): DataFrame = {
+    // 1. Gopher quality rules — keep passers (the gopherRules flags over
+    //    the shared tokens).
+    val passed = TextAnalysis.gopherFlagsOn(
+      base.select(col("doc_id"), col("toks"), col("tlen")))
       .filter(col("pass")).select(col("doc_id"))
-    // 2. Paragraph-level dedup (corpus-wide first-occurrence keeps), then
-    //    restrict to the quality-passed set.
-    val cleaned = Dedup.paragraphDedup(spark, dir)
-      .select(col("doc_id"), col("text_clean"))
-      .join(passed, Seq("doc_id"))
-    // 3. Leak-free split: train side only (cluster-granular assignment).
-    val train = cleaned
-      .join(Dedup.leakFreeSplit(spark, dir).select(col("doc_id"), col("split")),
-        Seq("doc_id"))
+    // 3. Leak-free split: the cluster graph's shingles derive from the
+    //    shared tokens (lower ∘ tokens = the dedup family's tokenizer).
+    val shingled = base.select(col("doc_id"),
+      ArrayExprs.shingleHashes(transform(col("toks"), t => lower(t)), 3).as("shs"))
+    val reps = Dedup.clustersOf(spark = base.sparkSession,
+      pairs = Dedup.ngramPairsFromShingles(shingled, 0.5), driverThreshold = 1L << 20)
+    val splitDf = Dedup.leakFreeSplitFrom(base.select(col("doc_id")), reps)
+    // Membership is METADATA — (doc_id, lang) of the gopher-passed,
+    // train-split docs (paragraph dedup rewrites text but never drops a
+    // doc, so it cannot change membership). Pinned ONCE: the rate
+    // derivation and the final sampling draw both read this checkpoint,
+    // so the gopher flags and the split join evaluate exactly once and
+    // the mixture stage never drags the text path.
+    val membersTrain = passed
+      .join(splitDf.select(col("doc_id"), col("split")), Seq("doc_id"))
       .filter(col("split") === "train")
-      .join(c.ref("documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(base.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"))
+      .localCheckpoint()
     // 4. Mixture sampling over the train subset: sqrt-weighted water-fill
     //    rates (the mixtureSample derivation verbatim), broadcast into a
-    //    scan-side hash-draw predicate.
-    val counts = train.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    //    scan-side hash-draw predicate over the membership metadata
+    //    (tiny aggregates over the pinned members — no extra barrier).
+    val counts = membersTrain.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val withW = counts.withColumn("w", floor(sqrt(col("n"))).cast("long"))
     val wTot = withW.crossJoin(broadcast(withW.agg(sum(col("w")).as("bigw"))))
     val rates = wTot
@@ -61,18 +111,38 @@ object Curation {
       .withColumn("k", expr("w * t div bigw"))
       .withColumn("ppm", expr("k * 1000000 div n"))
       .select(col("lang"), col("ppm"))
-    val sampled = train.join(broadcast(rates), Seq("lang"))
+    val keep = membersTrain.join(broadcast(rates), Seq("lang"))
       .filter(ArrayExprs.md5Mod(
         concat_ws(":", lit("curation"), col("doc_id").cast("string")), 1000000L)
         < col("ppm"))
+      .select(col("doc_id"), col("lang"))
+    // 2. Paragraph-level dedup: keep DECISIONS over the whole corpus
+    //    (first-occurrence semantics need every doc's chunks), but the
+    //    text REBUILD runs only for the sampled membership — the kept
+    //    metadata broadcasts against the cached words, so text_clean is
+    //    built once, for shipped docs only, and crosses one
+    //    doc_id-keyed join.
+    val keepSet = Dedup.paragraphKeepSetOnW(base.select(col("doc_id"), col("w")), 10)
+    val sampledW = base.select(col("doc_id"), col("w"))
+      .join(broadcast(keep.select(col("doc_id"))), Seq("doc_id"))
+    Dedup.paragraphRebuildOnW(sampledW, keepSet, 10)
+      .join(broadcast(keep), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text_clean"))
-    // 5. Deterministic global shuffle order → fixed-size shards.
-    val hashed = sampled.withColumn("h", ArrayExprs.md5Mod(
-      concat_ws(":", lit("cshuf"), col("doc_id").cast("string")), 1000003L))
-    Windows.globalRowNumber(hashed, "pos", col("h"), col("doc_id"))
-      .withColumn("shard_id", expr(s"(pos - 1) div ${DocsPerShard}L"))
-      .drop("h")
   }
+
+  /** The pre-write relation: every pipeline stage composed, ending in
+    * (doc_id, lang, text_clean, pos, shard_id). Exposed so the plan can
+    * be audited without the side-effecting write.
+    */
+  def curationPositioned(spark: SparkSession, dir: String): DataFrame =
+    curationStages(spark, dir)._2
+
+  /** Stages 1–4 standalone — the spec uses this to pin the single-scan
+    * property (zero direct documents scans; one scan inside the shared
+    * cached base).
+    */
+  private[ops] def curationSampled(spark: SparkSession, dir: String): DataFrame =
+    curationSampledFrom(curationBase(spark, dir))
 
   /** Runs the pipeline, writes the shards (one directory per shard_id,
     * rows in shuffle order — a real training-shard layout), and returns
@@ -81,10 +151,18 @@ object Curation {
     */
   def pipelineCurationE2e(spark: SparkSession, dir: String): DataFrame = {
     val outDir = graft.util.Fs.sessionTempDir("curation_shards")
-    curationPositioned(spark, dir)
-      .repartition(col("shard_id"))
+    val (base, positioned) = curationStages(spark, dir)
+    // No repartition before the write: positioned leaves globalRowNumber
+    // range-partitioned with pos CONTIGUOUS per partition and ascending
+    // across them, and shard_id is monotone in pos — so a direct
+    // partitioned write already lands each shard's rows in order, in at
+    // most TWO files (a shard straddling one partition boundary), with
+    // zero extra text shuffle. The boundary split is a file-layout
+    // detail the manifest aggregation is insensitive to.
+    positioned
       .sortWithinPartitions(col("shard_id"), col("pos"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    base.unpersist(blocking = false)
     spark.read.parquet(outDir)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),

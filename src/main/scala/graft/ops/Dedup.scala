@@ -171,8 +171,16 @@ object Dedup {
   private def ngramPairsAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
     ngramPairsOn(Catalog(spark, dir).ref("documents"), tau)
 
-  private def ngramPairsOn(docs: DataFrame, tau: Double): DataFrame = {
-    docShingleHashesOn(docs)
+  private def ngramPairsOn(docs: DataFrame, tau: Double): DataFrame =
+    ngramPairsFromShingles(docShingleHashesOn(docs), tau)
+
+  /** The pair plan over a PRE-SHINGLED relation `(doc_id, shs)` (the
+    * [[docShingleHashesOn]] shape) — lets [[graft.ops.Curation]] derive
+    * the shingles from its shared tokenization instead of re-scanning
+    * the corpus.
+    */
+  private[ops] def ngramPairsFromShingles(shingled: DataFrame, tau: Double): DataFrame = {
+    shingled
       // explode_outer, NOT explode: for a plain explode over an aliased
       // attribute, InferFiltersFromGenerate adds `size(shs)>0 AND
       // isnotnull(shs)` and pushes it through the defining projection,
@@ -677,18 +685,25 @@ object Dedup {
   def duplicateClustersAt(spark: SparkSession, dir: String, tau: Double,
       driverThreshold: Long = 1L << 20): DataFrame = {
     // ngramPairsAt, not ngramJaccardAt: the edge set needs no
-    // presentation sort. The checkpoint materializes the pair plan once;
-    // the size probe collects AT MOST threshold+1 rows (CollectLimit —
-    // one bounded job instead of a count job followed by a collect).
-    val edges = ngramPairsAt(spark, dir, tau)
-      .select(col("id1"), col("id2")).localCheckpoint()
-    val probe = edges.limit(driverThreshold.toInt + 1).collect()
-    val result =
-      if (probe.length <= driverThreshold) clustersDriver(spark, probe)
-      else clustersDistributed(edges)
-    result
+    // presentation sort.
+    clustersOf(spark, ngramPairsAt(spark, dir, tau), driverThreshold)
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
       .orderBy("doc_id")
+  }
+
+  /** Component resolution over an arbitrary candidate-pair relation
+    * `(id1, id2, ...)` → `(doc_id, cluster_rep)` — shared by
+    * [[duplicateClustersAt]] and the composed curation pipeline. The
+    * checkpoint materializes the pair plan once; the size probe collects
+    * AT MOST threshold+1 rows (CollectLimit — one bounded job instead of
+    * a count job followed by a collect).
+    */
+  private[ops] def clustersOf(spark: SparkSession, pairs: DataFrame,
+      driverThreshold: Long): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val probe = edges.limit(driverThreshold.toInt + 1).collect()
+    if (probe.length <= driverThreshold) clustersDriver(spark, probe)
+    else clustersDistributed(edges)
   }
 
   /** Driver-side union-find over a collected edge list. */
@@ -849,16 +864,25 @@ object Dedup {
     */
   def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val reps = duplicateClusters(spark, dir).select(col("doc_id"), col("cluster_rep"))
+    leakFreeSplitFrom(c.ref("documents").select(col("doc_id")),
+      duplicateClusters(spark, dir).select(col("doc_id"), col("cluster_rep")))
+      .orderBy("doc_id")
+  }
+
+  /** The assignment step over caller-supplied `(doc_id)` ids and
+    * `(doc_id, cluster_rep)` cluster labels — shared with
+    * [[graft.ops.Curation]] so the composed pipeline draws the identical
+    * per-cluster hash without its own corpus scan.
+    */
+  private[ops] def leakFreeSplitFrom(docIds: DataFrame, reps: DataFrame): DataFrame = {
     val h = graft.functions.ArrayExprs.md5Mod(
       concat_ws(":", lit("lfsplit"), col("cluster_rep").cast("string")), 10L)
-    c.ref("documents").select(col("doc_id"))
+    docIds
       .join(reps, Seq("doc_id"), "left")
       .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
       .withColumn("split",
         when(h < 8, "train").when(h === 8, "val").otherwise("test"))
       .select(col("doc_id"), col("cluster_rep"), col("split"))
-      .orderBy("doc_id")
   }
 
   val leakFreeSplitSql: String =
@@ -1033,39 +1057,65 @@ object Dedup {
     paragraphDedupAt(spark, dir, 10)
 
   def paragraphDedupAt(spark: SparkSession, dir: String, chunkWords: Int): DataFrame = {
-    require(chunkWords > 0)
     val c = Catalog(spark, dir)
-    val docs = c.ref("documents").select(col("doc_id"), col("text"))
+    paragraphDedupOnW(
+      c.ref("documents").select(col("doc_id"), split(col("text"), " ").as("w")),
+      chunkWords)
+      .orderBy("doc_id")
+  }
+
+  /** The dedup over a PRE-SPLIT relation `(doc_id, w)` where
+    * `w = split(text, ' ')` — the entry point [[graft.ops.Curation]]
+    * feeds from its shared one-pass tokenization so the composed
+    * pipeline never re-splits the corpus.
+    */
+  private[ops] def paragraphDedupOnW(docsW: DataFrame, chunkWords: Int): DataFrame =
+    paragraphRebuildOnW(docsW, paragraphKeepSetOnW(docsW, chunkWords), chunkWords)
+
+  private def paragraphChunkOf(chunkWords: Int)(i: String): String =
+    s"array_join(slice(w, $i * $chunkWords + 1, $chunkWords), ' ')"
+
+  /** Steps 1–3: corpus-wide first-occurrence keep decisions — one
+    * METADATA row per doc `(doc_id, kept_idx, n_kept, n_dropped)`.
+    * Split from the rebuild so a consumer that only ships a SUBSET of
+    * docs ([[graft.ops.Curation]]'s sampled output) can still decide
+    * keeps over the whole corpus but rebuild text for the subset alone.
+    */
+  private[ops] def paragraphKeepSetOnW(docsW: DataFrame, chunkWords: Int): DataFrame = {
+    require(chunkWords > 0)
     // size(w) >= 1 even for empty text (split("") = [""]), so the
     // sequence upper bound never drops below 0 (Spark's sequence(a,b)
     // with b < a counts DOWN — it must never see that shape).
-    val chunkOf = (i: String) =>
-      s"array_join(slice(w, $i * $chunkWords + 1, $chunkWords), ' ')"
+    val chunkOf = paragraphChunkOf(chunkWords) _
     val nChunks = s"cast(ceil(size(w) / $chunkWords.0) as int)"
     // 1+2: digests only — 16 bytes per chunk cross the shuffle.
-    val hashed = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val hashed = docsW
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, $nChunks - 1), i -> unhex(md5(${chunkOf("i")})))")))
       .toDF("doc_id", "chunk_idx", "digest")
     val firstSeen = Window.partitionBy(col("digest"))
       .orderBy(col("doc_id"), col("chunk_idx"))
     // 3: one metadata row per doc.
-    val keepSet = hashed
+    hashed
       .withColumn("keep", row_number().over(firstSeen) === 1)
       .groupBy("doc_id")
       .agg(
         sort_array(collect_list(when(col("keep"), col("chunk_idx")))).as("kept_idx"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
-    // 4: text moves once, keyed by unique doc_id; re-chunk locally.
-    docs.join(keepSet, Seq("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"),
-        col("kept_idx"), col("n_kept"), col("n_dropped"))
+  }
+
+  /** Step 4: text moves once, keyed by unique doc_id; re-chunk locally.
+    * `docsW` may be a subset of the relation the keep set was computed
+    * over — only its docs are rebuilt (inner join).
+    */
+  private[ops] def paragraphRebuildOnW(docsW: DataFrame, keepSet: DataFrame,
+      chunkWords: Int): DataFrame = {
+    val chunkOf = paragraphChunkOf(chunkWords) _
+    docsW.join(keepSet, Seq("doc_id"))
       .select(col("doc_id"),
         array_join(expr(s"transform(kept_idx, i -> ${chunkOf("i")})"), " ").as("text_clean"),
         col("n_kept"), col("n_dropped"))
-      .orderBy("doc_id")
   }
 
   val paragraphDedupSql: String =

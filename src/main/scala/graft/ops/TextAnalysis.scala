@@ -185,16 +185,29 @@ object TextAnalysis {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    gopherFlagsOn(c.ref("documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        length(col("text")).as("tlen")))
+      .orderBy("doc_id")
+  }
+
+  /** The rule flags over a PRE-TOKENIZED relation `(doc_id, toks, tlen)`
+    * — the entry point the composed curation pipeline
+    * ([[graft.ops.Curation]]) uses so its shared one-pass tokenization
+    * feeds the same expressions [[gopherRules]] hash-checks standalone.
+    * `tlen` = `length(text)` (only the raw character count survives the
+    * projection; the text itself is not needed).
+    */
+  private[ops] def gopherFlagsOn(docs: DataFrame): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(col("toks")).cast("long")
     val topTok = array_max(transform(array_distinct(col("toks")),
       t => size(filter(col("toks"), x => x === t)))).cast("long")
     val nDistinct = size(array_distinct(col("toks"))).cast("long")
     val stopHits = size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long")
-    val meanLen = (length(col("text")).cast("double") - (nTok.cast("double") - 1.0)) /
+    val meanLen = (col("tlen").cast("double") - (nTok.cast("double") - 1.0)) /
       nTok.cast("double")
-    c.ref("documents")
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    docs
       .select(col("doc_id"), nTok.as("n_tokens"), stopHits.as("stop_hits"),
         topTok.as("top_tok"), nDistinct.as("n_distinct"),
         meanLen.as("mean_word_len"))
@@ -206,7 +219,6 @@ object TextAnalysis {
       .withColumn("r_ttr", col("n_distinct") * 10 >= col("n_tokens") * 3)
       .withColumn("pass",
         col("r_len") && col("r_wordlen") && col("r_stop") && col("r_rep") && col("r_ttr"))
-      .orderBy("doc_id")
   }
 
   val gopherRulesSql: String =

@@ -56,4 +56,34 @@ class CurationSpec extends SparkTestBase {
     assert("partitioning\\((text|chunk|w|text_clean)[,#]".r.findAllIn(plan).isEmpty,
       "document text must never be a shuffle key")
   }
+
+  test("curation pipeline reads documents ONCE: stages consume the shared tokenized cache") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE wraps stages in leaf nodes plain collect() won't descend into
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+      case q: QueryStageExec => p +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    def docScans(p: SparkPlan): Seq[SparkPlan] = expand(p).filter {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("documents"))
+      case _ => false
+    }
+    val sampled = Curation.curationSampled(spark, sf)
+    assert(sampled.count() > 0)
+    val plan = sampled.queryExecution.executedPlan
+    // every stage must read the cached tokenized base, never the parquet
+    assert(docScans(plan).isEmpty,
+      s"no stage may rescan documents directly:\n$plan")
+    val imts = expand(plan).collect { case s: InMemoryTableScanExec => s }
+    assert(imts.size >= 2, s"at least the gopher and dedup stages read the cache:\n$plan")
+    // ... and all cache reads resolve to ONE relation holding the single scan
+    val cachedPlans = imts.map(_.relation.cachedPlan).distinct
+    assert(cachedPlans.size === 1, "stages must share one cached base relation")
+    assert(docScans(cachedPlans.head).size === 1,
+      "the cached base is exactly one documents scan")
+  }
 }
