@@ -44,66 +44,93 @@ object Bpe {
   private val rankOf: Map[(String, String), Int] =
     merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
 
-  /** Plain-Scala reference: the BPE token sequence of one word.
-    * Codepoint-level (surrogate pairs stay whole), so the result agrees
-    * with engines that slice strings by codepoint.
+  /** Word → codepoint symbol sequence (surrogate pairs stay whole), so
+    * the result agrees with engines that slice strings by codepoint.
     */
-  def tokenize(word: String): List[String] = {
-    var toks: List[String] = {
-      val b = List.newBuilder[String]
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        val n = Character.charCount(cp)
-        b += word.substring(i, i + n)
-        i += n
-      }
-      b.result()
+  def codepoints(word: String): List[String] = {
+    val b = List.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      b += word.substring(i, i + n)
+      i += n
     }
+    b.result()
+  }
+
+  /** One left-to-right non-overlapping merge pass of (l, r) over a token
+    * sequence — the shared primitive of APPLICATION (below) and TRAINING
+    * ([[graft.ops.BpeTrain]]).
+    */
+  def mergeOnce(toks: List[String], l: String, r: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = toks
+    while (rest.nonEmpty) {
+      rest match {
+        case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+    }
+    out.result()
+  }
+
+  /** Plain-Scala reference: the BPE token sequence of one word under an
+    * arbitrary rank-ordered merge table.
+    */
+  def tokenize(word: String, table: IndexedSeq[(String, String)],
+      ranks: Map[(String, String), Int]): List[String] = {
+    var toks = codepoints(word)
     var done = false
     while (!done && toks.lengthCompare(1) > 0) {
       // lowest-rank pair present
       var best = Int.MaxValue
       toks.zip(toks.tail).foreach { p =>
-        val r = rankOf.getOrElse(p, Int.MaxValue)
+        val r = ranks.getOrElse(p, Int.MaxValue)
         if (r < best) best = r
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (l, r) = merges(best - 1)
-        // merge all non-overlapping occurrences left-to-right
-        val out = List.newBuilder[String]
-        var rest = toks
-        while (rest.nonEmpty) {
-          rest match {
-            case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
-            case a :: tail => out += a; rest = tail
-            case Nil => ()
-          }
-        }
-        toks = out.result()
+        val (l, r) = table(best - 1)
+        toks = mergeOnce(toks, l, r)
       }
     }
     toks
   }
 
+  /** The fixed-table tokenization. */
+  def tokenize(word: String): List[String] =
+    tokenize(word, merges.toIndexedSeq, rankOf)
+
   /** BPE token count of one word. */
   def count(word: String): Int = if (word.isEmpty) 0 else tokenize(word).length
+
+  def count(word: String, table: IndexedSeq[(String, String)],
+      ranks: Map[(String, String), Int]): Int =
+    if (word.isEmpty) 0 else tokenize(word, table, ranks).length
 
   /** Σ over an array of words — the per-document budget. */
   def countAll(words: Seq[String]): Long = words.map(count(_).toLong).sum
 }
 
-/** `BpeCountSum(words)` — sum of per-word BPE token counts over an
-  * `array<string>` column, null-in → null-out. Interpreted inner loop
-  * (CodegenFallback) with a thread-confined memo: corpora repeat words
-  * constantly, so most rows are pure cache hits.
+/** `BpeCountSum(words, table)` — sum of per-word BPE token counts over
+  * an `array<string>` column, null-in → null-out, under a caller-chosen
+  * rank-ordered merge table (the shipped fixed table by default; a
+  * corpus-trained one from [[graft.ops.BpeTrain]]). The table rides the
+  * expression as a literal — at 100 TB it serializes once per task with
+  * the closure, a few KB. Interpreted inner loop (CodegenFallback) with
+  * a thread-confined memo: corpora repeat words constantly, so most
+  * rows are pure cache hits.
   */
-case class BpeCountSum(child: Expression)
+case class BpeCountSum(child: Expression, table: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val indexed = table.toIndexedSeq
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    table.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
   @transient private lazy val memo: ThreadLocal[java.util.HashMap[String, Integer]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer](1 << 12))
   private val MemoCap = 1 << 16
@@ -119,7 +146,7 @@ case class BpeCountSum(child: Expression)
         val w = arr.getUTF8String(i).toString
         var c = m.get(w)
         if (c == null) {
-          c = Int.box(Bpe.count(w))
+          c = Int.box(Bpe.count(w, indexed, ranks))
           if (m.size() < MemoCap) m.put(w, c)
         }
         sum += c.intValue()
@@ -135,5 +162,8 @@ case class BpeCountSum(child: Expression)
 
 object BpeCountSum {
   def bpeCountSum(words: Column): Column =
-    bridge.column(BpeCountSum(bridge.expression(words)))
+    bpeCountSum(words, Bpe.merges)
+
+  def bpeCountSum(words: Column, table: Seq[(String, String)]): Column =
+    bridge.column(BpeCountSum(bridge.expression(words), table))
 }

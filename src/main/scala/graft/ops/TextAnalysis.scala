@@ -71,14 +71,8 @@ object TextAnalysis {
     * loop; wc is the terminal word → count relation). Spliced into both
     * BPE twins so they can never disagree on the tokenizer.
     */
-  private val bpeWordCountCtes: String = {
-    val ms = graft.functions.Bpe.merges
-    val pairRank = ms.zipWithIndex
-      .map { case ((l, r), i) => s"'$l' || chr(2) || '$r': ${i + 1}" }
-      .mkString("MAP {", ", ", "}")
-    val rankPair = ms.zipWithIndex
-      .map { case ((l, r), i) => s"${i + 1}: '$l' || chr(2) || '$r'" }
-      .mkString("MAP {", ", ", "}")
+  private def bpeWordCountCtesWith(pairRank: String, rankPair: String,
+      extraFrom: String): String =
     s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
        |        FROM documents),
        |words AS (SELECT DISTINCT word FROM tok WHERE word <> ''),
@@ -104,11 +98,21 @@ object TextAnalysis {
        |            list_transform(range(1, len(toks)), i -> toks[i] || chr(2) || toks[i+1]),
        |            p -> ($pairRank[p])[1]),
        |          x -> x IS NOT NULL))])[1] AS lr
-       |    FROM st) s
+       |    FROM st$extraFrom) s
        |  WHERE lr IS NOT NULL),
        |wc AS (
        |  SELECT word, len(toks) AS n_bpe FROM st
        |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY n DESC) = 1)""".stripMargin
+
+  private val bpeWordCountCtes: String = {
+    val ms = graft.functions.Bpe.merges
+    val pairRank = ms.zipWithIndex
+      .map { case ((l, r), i) => s"'$l' || chr(2) || '$r': ${i + 1}" }
+      .mkString("MAP {", ", ", "}")
+    val rankPair = ms.zipWithIndex
+      .map { case ((l, r), i) => s"${i + 1}: '$l' || chr(2) || '$r'" }
+      .mkString("MAP {", ", ", "}")
+    bpeWordCountCtesWith(pairRank, rankPair, "")
   }
 
   // NOTE: concatenation, not interpolation-into-stripMargin — the CTE
@@ -519,16 +523,21 @@ object TextAnalysis {
       |FROM runs ORDER BY lang, doc_id""".stripMargin
 
   /** [[packSequences]] with the REAL BPE budget: chunks are filled by
-    * `n_tokens_bpe` ([[tokenCountsBpe]]) instead of the whitespace word
-    * count — what an actual context-window packer consumes. Same
-    * de-skewed running-sum shape.
+    * the per-doc BPE count instead of the whitespace word count — what
+    * an actual context-window packer consumes. The merge table is
+    * TRAINED ON THE CORPUS being packed ([[BpeTrain.trainedMerges]]),
+    * so the budget prices the corpus's own vocabulary rather than a
+    * fixed English table. Same de-skewed running-sum shape; training
+    * adds one distributed word-count aggregate up front (memoized per
+    * corpus per session).
     */
   def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
+    val trained = BpeTrain.trainedMerges(spark, dir).map { case (l, r, _) => (l, r) }
     val base = c.ref("documents")
       .select(col("lang"), col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(col("lang"), col("doc_id"),
-        graft.functions.BpeCountSum.bpeCountSum(col("toks")).as("n_tokens_bpe"))
+        graft.functions.BpeCountSum.bpeCountSum(col("toks"), trained).as("n_tokens_bpe"))
     Windows.groupedRunningSum(base, "__rsum", col("lang"), col("n_tokens_bpe"), col("doc_id"))
       .withColumn("start_offset", col("__rsum") - col("n_tokens_bpe")).drop("__rsum")
       .withColumn("chunk_id", expr("start_offset div 512"))
@@ -536,8 +545,22 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** Twin: re-derives the trained table ([[BpeTrain.bpeTrainCtes]]),
+    * folds it into pair↔rank maps, and applies it with the SAME
+    * word-count recursion the fixed-table twin uses — training and
+    * application can never disagree on the tokenizer.
+    */
   val packSequencesBpeSql: String =
-    "WITH RECURSIVE\n" + bpeWordCountCtes + ",\n" +
+    "WITH RECURSIVE\n" + BpeTrain.bpeTrainCtes(BpeTrain.DefaultMerges) + ",\n" +
+      """btm AS (SELECT iter, l, r FROM bst WHERE iter >= 1),
+       |bmaps AS (SELECT
+       |  map(coalesce(list(l || chr(2) || r ORDER BY iter), CAST([] AS VARCHAR[])),
+       |      coalesce(list(CAST(iter AS INT) ORDER BY iter), CAST([] AS INT[]))) AS pr,
+       |  map(coalesce(list(CAST(iter AS INT) ORDER BY iter), CAST([] AS INT[])),
+       |      coalesce(list(l || chr(2) || r ORDER BY iter), CAST([] AS VARCHAR[]))) AS rp
+       |  FROM btm),
+       |""".stripMargin +
+      bpeWordCountCtesWith("bm.pr", "bm.rp", ", bmaps bm") + ",\n" +
       """bc AS (
        |  SELECT t.doc_id, CAST(sum(coalesce(wc.n_bpe, 0)) AS BIGINT) AS n_tokens_bpe
        |  FROM tok t LEFT JOIN wc USING (word) GROUP BY t.doc_id),
