@@ -1135,7 +1135,100 @@ object Dedup {
       |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- exact substring dedup (Lee et al. 2022) -------------------------------
+  /** Exact ≥k-token substring duplication — the public standard for
+    * training-data dedup (Lee et al. 2022, arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * k-token span that appears verbatim anywhere earlier in the corpus
+    * (earlier = smaller (doc_id, position)) is a duplicate, REGARDLESS
+    * OF ALIGNMENT. Lee et al. build a suffix array; the Spark-native
+    * equivalent is sliding k-shingles — a repeated span of length
+    * L ≥ k is exactly a maximal run of repeated k-shingles, so marking
+    * every position whose window digest has an earlier occurrence and
+    * merging overlapping/adjacent windows reconstructs the same maximal
+    * duplicate spans without any suffix sorting. Fixed 10-word CHUNKS
+    * ([[paragraphDedupAt]]) miss any duplicate shifted off the chunk
+    * grid; the sliding window catches every offset
+    * (SubstringDedupSpec's offset-by-5 fixture pins the difference).
+    *
+    * Output: one row per maximal duplicate span,
+    * (doc_id, span_start, span_end, span_len) in token positions
+    * (0-based, inclusive).
+    *
+    * Scale shape — the same discipline as [[paragraphDedupAt]]:
+    *  1. Window digests only — 16 bytes/position cross the one
+    *     corpus-sized shuffle keyed by digest (near-unique, no skew).
+    *  2. First-occurrence ranking is the bounded per-digest window.
+    *  3. Span merging is per-doc work on integer positions (lag +
+    *     running flag), partitioned by doc_id — group size bounded by
+    *     a document's length, never the corpus.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupAt(spark, dir, 10).orderBy("doc_id", "span_start")
+
+  def substringDedupAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    substringSpansOnW(
+      c.ref("documents").select(col("doc_id"), split(col("text"), " ").as("w")), k)
+  }
+
+  private[ops] def substringSpansOnW(docsW: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    // when-guard: sequence(0, n) counts DOWN for n < 0 (the paragraph
+    // trap); docs shorter than k tokens contribute no windows.
+    val shingles = docsW
+      .select(col("doc_id"), posexplode(when(size(col("w")) >= k,
+        expr(s"transform(sequence(0, size(w) - $k), " +
+          s"p -> unhex(md5(array_join(slice(w, p + 1, $k), ' '))))"))
+        .otherwise(array().cast("array<binary>"))))
+      .toDF("doc_id", "pos", "dig")
+    val firstSeen = Window.partitionBy(col("dig")).orderBy(col("doc_id"), col("pos"))
+    val dup = shingles
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands over the covered windows: window at pos covers
+    // [pos, pos+k-1]; a new span starts when the previous window cannot
+    // reach the current one (pos > prev + k ⇒ an uncovered token gap).
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("new_run",
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  val substringDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sw AS (SELECT doc_id, CAST(p AS INT) AS pos,
+      |              md5(array_to_string(w[CAST(p+1 AS INT):CAST(p+10 AS INT)], ' ')) AS dig
+      |       FROM d, unnest(range(0, greatest(len(w) - 9, 0))) AS t(p)),
+      |rk AS (SELECT doc_id, pos,
+      |              row_number() OVER (PARTITION BY dig ORDER BY doc_id, pos) AS rn
+      |       FROM sw),
+      |dup AS (SELECT doc_id, pos FROM rk WHERE rn > 1),
+      |m AS (SELECT doc_id, pos,
+      |             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+      |                  THEN 1 ELSE 0 END AS new_run
+      |      FROM dup),
+      |g AS (SELECT doc_id, pos,
+      |             sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |      FROM m)
+      |SELECT doc_id,
+      |       CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + 9 AS BIGINT) AS span_end,
+      |       CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_len
+      |FROM g GROUP BY doc_id, run_id
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (substringDedup _),
     "dedup_paragraph" -> (paragraphDedup _),
     "dedup_clusters" -> (duplicateClusters _),
     "dedup_split_leakfree" -> (leakFreeSplit _),
@@ -1167,5 +1260,6 @@ object Dedup {
     "dedup_minhash_adversarial" -> minhashLshAdversarialSql,
     "dedup_simhash" -> simhashSql,
     "dedup_source_sim" -> sourceSimilaritySql,
-    "text_contamination" -> contaminationSql)
+    "text_contamination" -> contaminationSql,
+    "dedup_substring" -> substringDedupSql)
 }
