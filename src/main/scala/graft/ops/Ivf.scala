@@ -161,32 +161,82 @@ object Ivf {
     * Output: top-k base neighbors per batch vector, exact cosine within
     * probed cells — the candidate set a dedup/link step consumes.
     */
-  def ivfIncremental(spark: SparkSession, dir: String): DataFrame =
-    ivfIncrementalAt(spark, dir, k = 5, kCells = 16, nprobe = 4)
+  // ---- persisted-index API ----------------------------------------------------
+  /** Handle to a persisted IVF index: the cell-partitioned parquet path
+    * plus its quantizer centroids. The centroids live in an
+    * underscore-prefixed sidecar INSIDE the index directory (parquet
+    * discovery ignores it), so a later session — or a later batch —
+    * screens against the index via [[loadIndex]] without retraining or
+    * rescanning the base corpus.
+    */
+  final case class IvfIndex(path: String, centroids: Seq[Array[Float]])
 
-  def ivfIncrementalAt(spark: SparkSession, dir: String, k: Int,
-      kCells: Int, nprobe: Int): DataFrame = {
-    val c = Catalog(spark, dir)
-    val emb = c.ref("embeddings")
+  private val CentroidSidecar = "_ivf_centroids.txt"
+
+  private def writeCentroids(path: String, cs: Seq[Array[Float]]): Unit = {
+    val body = cs.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, CentroidSidecar),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readCentroids(path: String): Seq[Array[Float]] = {
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, CentroidSidecar)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    body.split("\n").toSeq.map(_.split(",").map(_.toFloat))
+  }
+
+  /** Build (or overwrite) the persisted index for a `(vec_id, embedding)`
+    * base relation: train the quantizer, assign every vector in one scan,
+    * write cell-partitioned parquet, persist the centroid sidecar. The
+    * production pipeline calls this ONCE when the base corpus lands.
+    */
+  def buildIndex(base: DataFrame, path: String, kCells: Int, iters: Int): IvfIndex = {
+    val centroids = kmeansCentroids(base, kCells, iters)
+    base
       .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
-    val base = emb.filter(col("vec_id") % 10 =!= 0)
-    val delta = emb.filter(col("vec_id") % 10 === 0)
-    val centroids = kmeansCentroids(base, kCells, iters = 0)
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeCentroids(path, centroids)
+    IvfIndex(path, centroids)
+  }
 
-    // Build the index ONCE: cell-partitioned parquet (the persisted IVF
-    // index). A production pipeline does this when the base corpus lands
-    // and only appends new partitions on later batches.
-    val indexDir = graft.util.Fs.sessionTempDir("ivf_index")
-    base.withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
-      .write.mode("overwrite").partitionBy("cid").parquet(indexDir)
-    val index = spark.read.parquet(indexDir)
+  /** Reopen an existing index without touching its data files. */
+  def loadIndex(path: String): IvfIndex = IvfIndex(path, readCentroids(path))
 
-    // Probe list per batch vector: O(Δ) scan work.
+  /** Fold a new `(vec_id, embedding)` batch INTO the index: assign
+    * against the frozen quantizer (pure scan work over the batch) and
+    * append to the touched cell partitions — O(Δ) end to end, the base
+    * partitions are never rewritten.
+    */
+  def appendBatch(index: IvfIndex, batch: DataFrame): Unit =
+    batch
+      .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), index.centroids))
+      .write.mode("append").partitionBy("cid").parquet(index.path)
+
+  /** Screen a `(vec_id, embedding)` delta batch against an existing
+    * index: top-k base neighbors per batch vector, exact cosine within
+    * the probed cells. Per-batch work is O(Δ); the index is read through
+    * STATIC partition pruning on the bounded probed-cell list.
+    */
+  def screenBatch(spark: SparkSession, index: IvfIndex, delta: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    screenBatchProbed(spark, index, delta, k, nprobe)._1
+
+  /** [[screenBatch]] + the probed cell ids (IvfSpec asserts the index
+    * scan reads exactly these partitions and no others).
+    */
+  private[ops] def screenBatchProbed(spark: SparkSession, index: IvfIndex,
+      delta: DataFrame, k: Int, nprobe: Int): (DataFrame, Seq[Int]) = {
     import spark.implicits._
-    val centDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
+    val centDf = index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "cent")
+    // Probe list per batch vector: O(Δ) scan work.
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid"))
     val probes = delta
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        Similarity.l2norm(col("embedding")).as("qnrm"))
       .crossJoin(broadcast(centDf))
       .withColumn("cscore",
         Similarity.dot(col("qvec"), col("cent")) / Similarity.l2norm(col("cent")))
@@ -200,7 +250,8 @@ object Ivf {
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    index.filter(col("cid").isin(probedCids: _*))
+    val result = spark.read.parquet(index.path)
+      .filter(col("cid").isin(probedCids: _*))
       .join(broadcast(probes), Seq("cid"))
       .withColumn("score",
         Similarity.dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")))
@@ -208,6 +259,26 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
+    (result, probedCids)
+  }
+
+  /** The oracle row: [[buildIndex]] + [[screenBatch]] composed over the
+    * base/delta vec_id split. The rebuild-per-invocation keeps the row
+    * hash-closed; a production pipeline holds the [[IvfIndex]] handle
+    * (or [[loadIndex]]s it) and calls [[screenBatch]]/[[appendBatch]]
+    * per landing batch — IvfSpec proves that path touches only
+    * probed-cell partitions.
+    */
+  def ivfIncremental(spark: SparkSession, dir: String): DataFrame =
+    ivfIncrementalAt(spark, dir, k = 5, kCells = 16, nprobe = 4)
+
+  def ivfIncrementalAt(spark: SparkSession, dir: String, k: Int,
+      kCells: Int, nprobe: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val index = buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
+      graft.util.Fs.sessionTempDir("ivf_index"), kCells, iters = 0)
+    screenBatch(spark, index, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
   }
 
   /** Twin of [[ivfIncremental]]: same base/delta split, same iters = 0

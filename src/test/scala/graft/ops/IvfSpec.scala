@@ -97,4 +97,42 @@ class IvfSpec extends SparkTestBase {
       plan.matches("(?s).*PartitionFilters: \\[.*cid.*IN.*"),
       s"index scan must carry a cid partition filter:\n${plan.take(2000)}")
   }
+
+  test("index reuse: a later batch screens an EXISTING index, reading only probed-cell partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+      case q: QueryStageExec => p +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_reuse")
+    // base corpus lands once -> index built once
+    Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath, kCells = 8, iters = 2)
+    // ... a later session reopens it (sidecar roundtrip, NO retraining) ...
+    val reopened = Ivf.loadIndex(idxPath)
+    // ... and screens a small new batch
+    val batch = emb.filter(col("vec_id").isin(0L, 10L, 20L))
+    val (res, probed) = Ivf.screenBatchProbed(spark, reopened, batch, k = 3, nprobe = 2)
+    val out = res.collect()
+    assert(out.nonEmpty)
+    assert(probed.nonEmpty && probed.size < 8,
+      s"3 queries x 2 probes must not touch all 8 cells: $probed")
+    // the executed index scan reads EXACTLY the probed partitions
+    val scans = expand(res.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("ivf_reuse")) => s
+    }
+    assert(scans.nonEmpty, "index scan missing from plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "probed cids must prune as partition filters")
+    assert(scan.metrics("numPartitions").value === probed.size.toLong,
+      s"partitions read must equal probed cells ${probed.size}")
+    // appending a batch against the frozen quantizer leaves screening valid
+    Ivf.appendBatch(reopened, emb.filter(col("vec_id") === 30L))
+    val again = Ivf.screenBatch(spark, Ivf.loadIndex(idxPath), batch, k = 3, nprobe = 2)
+    assert(again.count() >= out.length.toLong,
+      "appended vectors can only add candidates")
+  }
 }
