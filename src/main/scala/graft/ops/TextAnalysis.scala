@@ -607,11 +607,20 @@ object TextAnalysis {
     // Exact dedup as a hash aggregate, NOT a row_number window: min_by
     // partial-aggregates map-side, so duplicate fingerprints collapse
     // BEFORE the shuffle (a window ships every row and sorts it).
+    // The checkpoint pins ONE evaluation of the scan→tokenize→fp-shuffle
+    // subtree. bucketedRunningSum's local-sum and offset branches are
+    // canonically identical up to the (lang, bucket) exchange, but AQE
+    // does NOT reuse that stage at runtime here (measured: the unpinned
+    // plan re-runs the scan + fp shuffle in the offsets branch, 0.72 s vs
+    // 0.34 s warm at sf0.1). The pinned relation is per-doc METADATA —
+    // (doc_id, lang, n_tokens), ~24 B/doc — so the materialization is
+    // cheap at any scale.
     val kept = scored
       .groupBy(col("fp"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id")).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
         col("k.n_tokens").as("n_tokens"))
+      .localCheckpoint()
     // Packing via bucketedRunningSum: doc_ids are dense 0..N-1, so
     // doc_id*P div N is a computed monotone bucket — the de-skewed
     // two-pass running sum with NO range-partitioner sampling job and NO
