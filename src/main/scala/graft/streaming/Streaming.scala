@@ -74,6 +74,30 @@ object EventStreams {
         col("view_id"), col("view_ts"))
   }
 
+  /** LEFT OUTER [[attributionJoin]] — the rows a real attribution
+    * pipeline bills on: every view (impression) is emitted, matched
+    * views paired with each qualifying click as they arrive, UNMATCHED
+    * views with null click columns once the watermark proves no
+    * qualifying click can still arrive (click_ts ≤ view_ts + window, so
+    * a view's state is complete when the watermark passes that bound —
+    * Spark's watermarked outer stream-stream join evicts-and-emits at
+    * exactly that point, each unmatched view exactly once). Views whose
+    * match window is still open when the stream pauses stay in state
+    * and are NOT emitted — the streaming-correct behavior the batch
+    * twin must (and does) reproduce with its terminal-watermark filter.
+    */
+  def attributionJoinOuter(views: DataFrame, clicks: DataFrame,
+      watermark: String = "10 minutes", window_ : String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark)
+    val c = clicks.withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""view_user = user_id AND
+         |view_ts <= click_ts AND
+         |view_ts >= click_ts - interval $window_""".stripMargin), "left_outer")
+      .select(col("view_user").as("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
   final case class Session(userId: Long, start: Timestamp, end: Timestamp,

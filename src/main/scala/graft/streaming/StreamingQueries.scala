@@ -137,6 +137,29 @@ object StreamingQueries {
           col("view_id"), col("view_ts"))
     }
 
+  /** LEFT OUTER attribution ([[EventStreams.attributionJoinOuter]]):
+    * every view emits — matched views once per qualifying click, and
+    * views with NO qualifying click emit with null click columns when
+    * the terminal watermark closes their match window
+    * (view_ts + 60 min < min-of-both-sides' max event time − 10 min).
+    * Views whose window is still open at stream end are held in state
+    * and absent from both engines. The no-data batch after the file
+    * drains is what advances the watermark and flushes the unmatched
+    * rows — the hard case the inner row never exercises.
+    */
+  def streamAttributionOuter(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "events", "stream_attro",
+      Seq("view_id", "click_id")) { events =>
+      val views = events.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id").as("view_user"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      EventStreams.attributionJoinOuter(views, clicks,
+        watermark = "10 minutes", window_ = "60 minutes")
+    }
+
   /** Stateful sessionization through the state store
     * ([[EventStreams.sessionize]], `flatMapGroupsWithState` with
     * event-time timeout) run AvailableNow: gap-closed sessions emit
@@ -229,6 +252,30 @@ object StreamingQueries {
       |  AND v.view_ts >= c.click_ts - INTERVAL 60 MINUTE
       |ORDER BY c.click_id, v.view_id""".stripMargin
 
+  /** DuckDB twin of streamAttributionOuter: the plain left interval
+    * join, with unmatched views KEPT only when their match window
+    * closed at the terminal watermark — min of the two sides' max event
+    * times minus the 10-minute delay, exactly the global watermark an
+    * AvailableNow run ends on (multipleWatermarkPolicy = min). NULLS
+    * FIRST mirrors Spark's ascending null ordering for the row-order
+    * compare.
+    */
+  val streamAttributionOuterSql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |v AS (SELECT event_id AS view_id, ts AS view_ts, user_id AS view_user FROM e WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, ts AS click_ts, user_id FROM e WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(view_ts) FROM v), (SELECT max(click_ts) FROM c))
+      |              - INTERVAL 10 MINUTE AS w),
+      |j AS (
+      |  SELECT v.view_user AS user_id, v.view_id, v.view_ts, c.click_id, c.click_ts
+      |  FROM v LEFT JOIN c ON v.view_user = c.user_id
+      |    AND v.view_ts <= c.click_ts
+      |    AND v.view_ts >= c.click_ts - INTERVAL 60 MINUTE)
+      |SELECT user_id, view_id, view_ts, click_id, click_ts
+      |FROM j, wm
+      |WHERE click_id IS NOT NULL OR view_ts + INTERVAL 60 MINUTE < wm.w
+      |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
+
   /** DuckDB twin of streamSessionize: ms-domain gap sessionization; a
     * session surfaces iff a later same-user session exists (gap-closed
     * in-batch) or its end is ≥ 30 min idle at the terminal watermark
@@ -268,6 +315,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
     "stream_attribution_join" -> (streamAttributionJoin _),
+    "stream_attribution_outer" -> (streamAttributionOuter _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_user_profile" -> (streamUserProfile _))
 
@@ -275,6 +323,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,
     "stream_attribution_join" -> streamAttributionJoinSql,
+    "stream_attribution_outer" -> streamAttributionOuterSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_user_profile" -> streamUserProfileSql)
 }

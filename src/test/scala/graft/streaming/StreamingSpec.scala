@@ -62,6 +62,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attributionJoinOuter: unmatched views emit null-extended EXACTLY ONCE, after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStreams.attributionJoinOuter(
+      views.toDF().toDF("view_ts", "view_user", "view_id"),
+      clicks.toDF().toDF("click_ts", "user_id", "click_id"),
+      watermark = "5 minutes", window_ = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    def rows() = spark.table("attrib_outer")
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    try {
+      // view 100 gets a click; view 101 (user 2) never does
+      views.addData((ts(1), 1L, 100L), (ts(2), 2L, 101L))
+      clicks.addData((ts(5), 1L, 500L))
+      q.processAllAvailable()
+      // watermark still at the start: the unmatched view must NOT emit yet
+      assert(rows() === Seq((100L, 500L)), s"got ${rows()}")
+      // advance BOTH sides' event time far past view 101's match window
+      // (distinct users so the advancement events cannot match each other)
+      views.addData((ts(120), 9L, 999L))
+      clicks.addData((ts(120), 10L, 998L))
+      q.processAllAvailable()
+      // 101 emits null-extended exactly once; 100 is not re-emitted
+      assert(rows() === Seq((100L, 500L), (101L, -1L)), s"got ${rows()}")
+      // further advancement closes 999's window too — and must NOT
+      // duplicate 101; view 997 stays open in state, absent from output
+      views.addData((ts(240), 8L, 997L))
+      clicks.addData((ts(240), 7L, 996L))
+      q.processAllAvailable()
+      assert(rows() === Seq((100L, 500L), (101L, -1L), (999L, -1L)),
+        s"exactly-once violated: ${rows()}")
+    } finally q.stop()
+  }
+
   test("attributionJoin agrees with the equivalent batch range join on random data") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(31)
