@@ -43,7 +43,21 @@ object LangProfiles {
       "welt und nichts wird jemals wieder so sein wie es war"),
     "zh" -> ("狗在街上跑孩子们和朋友们在街上走因为他们想看看战争结束后一切都" +
       "变了的城市里发生了什么人们开始建造新房子世界就是这样运转的一切都不会" +
-      "再和从前一样了他们说时间会改变所有的事情"))
+      "再和从前一样了他们说时间会改变所有的事情"),
+    "ru" -> ("собака бежит по улице и дети шли по улицам со своими друзьями " +
+      "потому что они хотели увидеть что происходит в городе где все " +
+      "изменилось после окончания войны и люди начали строить новые дома " +
+      "так устроен мир и ничто уже не будет прежним как раньше говорили " +
+      "старики время меняет все вещи и всех людей в этом мире"),
+    "ar" -> ("الكلب يركض في الشارع والاطفال كانوا يمشون في الشوارع مع " +
+      "اصدقائهم لانهم ارادوا ان يروا ما يحدث في المدينة حيث تغير كل شيء " +
+      "بعد انتهاء الحرب وبدا الناس في بناء منازل جديدة هكذا يعمل العالم " +
+      "ولن يكون اي شيء كما كان من قبل يقول الناس ان الوقت يغير كل شيء"),
+    "ja" -> ("犬が通りを走っていて子供たちは友達と一緒に通りを歩いていました" +
+      "なぜなら戦争が終わってからすべてが変わった町で何が起こっているのかを" +
+      "見たかったからです人々は新しい家を建て始めましたこれが世界の仕組み" +
+      "ですそして何も二度と同じにはなりません時間がすべてを変えると言われて" +
+      "います"))
 
   /** All 1..3-grams of one `_`-padded word (codepoint-level). */
   def wordGrams(word: String): Seq[String] = {
@@ -80,19 +94,38 @@ object LangProfiles {
 
   val langs: Seq[String] = profiles.keys.toSeq.sorted
 
-  /** Plain-Scala reference classifier (spec twin). Returns per-language
-    * out-of-place distances and the argmin (ties: lexicographic lang;
-    * gram-less text → "und").
+  /** `und` confidence rule: the best-vs-runner-up distance gap must be
+    * at least 1/MarginDenom of the maximum possible distance (ng·K) —
+    * integer-exact, so both engines agree bit-for-bit. A script none of
+    * the profiles cover scores every language at exactly ng·K (every
+    * gram missing), margin 0 → und; a tie between two languages is also
+    * margin 0 → und, which removes the old lexicographic tie-break.
+    *
+    * 1/25 (4%) calibrated on held-out fixtures: genuine short sentences
+    * in all eight languages carry margins ≥ 5% of ceiling (the closest:
+    * short Spanish against the fr/en Romance overlap), while Latin
+    * gibberish and digit runs stay ≤ 3%.
     */
-  def classify(text: String): (Map[String, Long], String) = {
+  val MarginDenom = 25
+
+  /** Plain-Scala reference classifier (spec twin). Returns per-language
+    * out-of-place distances, the margin (runner-up − best), and the
+    * prediction (gram-less text or sub-threshold margin → "und").
+    */
+  def classify(text: String): (Map[String, Long], Long, String) = {
     val doc = rank(textGrams(text))
-    if (doc.isEmpty) return (langs.map(_ -> 0L).toMap, "und")
+    if (doc.isEmpty) return (langs.map(_ -> 0L).toMap, 0L, "und")
     val dists = langs.map { lang =>
       val prof = profiles(lang)
       lang -> doc.map { case (g, rd) =>
         prof.get(g).map(rl => math.abs(rd - rl).toLong).getOrElse(K.toLong)
       }.sum
     }.toMap
-    (dists, dists.toSeq.sortBy { case (l, d) => (d, l) }.head._1)
+    val sorted = dists.values.toSeq.sorted
+    val margin = sorted(1) - sorted(0)
+    val predicted =
+      if (margin * MarginDenom < doc.size.toLong * K) "und"
+      else dists.toSeq.sortBy { case (l, d) => (d, l) }.head._1
+    (dists, margin, predicted)
   }
 }

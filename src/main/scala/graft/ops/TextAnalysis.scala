@@ -260,13 +260,23 @@ object TextAnalysis {
     * Integer-exact end to end, so the twin replays it bit-for-bit.
     * (Replaces the r7 marker-word heuristic.)
     *
+    * Confidence: `margin` = runner-up distance − best distance. A
+    * sub-threshold margin (less than 1/10 of the ng·K distance ceiling —
+    * [[graft.functions.LangProfiles.MarginDenom]]) predicts 'und': an
+    * uncovered script distances every profile identically (margin 0),
+    * and a genuine inter-language tie is also margin 0 — both are
+    * exactly the "don't know" cases.
+    *
     * Scale shape: gram explode → (doc, gram) count → per-doc top-K
     * window (bounded groups: a doc's DISTINCT grams, never the corpus) →
-    * broadcast join against the 5×K profile table → one aggregate. No
+    * broadcast join against the 8×K profile table → one aggregate. No
     * corpus-sized state; everything keys on doc_id.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.LangProfiles.{K, langs, profiles}
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdCore(spark, dir).orderBy("doc_id")
+
+  private[ops] def langIdCore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LangProfiles.{K, MarginDenom, langs, profiles}
     val c = Catalog(spark, dir)
     import spark.implicits._
     val prof = broadcast(langs.flatMap(l =>
@@ -295,19 +305,29 @@ object TextAnalysis {
     val withDist = langs.foldLeft(dists)((df, l) =>
       df.withColumn(s"dist_$l",
         (col(s"s_$l") + (col("ng") - col(s"c_$l")) * K).cast("long")))
+      .withColumn("margin", {
+        val arr = sort_array(array(langs.map(l => col(s"dist_$l")): _*))
+        element_at(arr, 2) - element_at(arr, 1)
+      })
     val m = least(langs.map(l => col(s"dist_$l")): _*)
-    val predicted = langs.foldLeft(when(col("ng").isNull, "und"))(
+    val predicted = langs.foldLeft(
+      when(col("ng").isNull, "und")
+        .when(col("margin") * MarginDenom < col("ng") * K, "und"))(
       (w, l) => w.when(col(s"dist_$l") === m, l))
     c.ref("documents").select(col("doc_id"))
       .join(withDist, Seq("doc_id"), "left")
       .select(col("doc_id") +:
         langs.map(l => coalesce(col(s"dist_$l"), lit(0L)).as(s"dist_$l")) :+
+        coalesce(col("margin"), lit(0L)).as("margin") :+
         predicted.as("predicted_lang"): _*)
-      .orderBy("doc_id")
   }
 
-  val langIdSql: String = {
-    import graft.functions.LangProfiles.{K, langs, profiles}
+  /** The classifier as reusable CTEs ending in
+    * `lid(doc_id, dist_*, margin, predicted_lang)` — spliced into both
+    * the langid oracle and the classifier-routed mixture oracle.
+    */
+  private val langIdCtes: String = {
+    import graft.functions.LangProfiles.{K, MarginDenom, langs, profiles}
     val profValues = langs.flatMap(l => profiles(l).toSeq.sorted.map {
       case (g, r) => s"('$l', '$g', $r)"
     }).mkString(", ")
@@ -322,7 +342,8 @@ object TextAnalysis {
     val whens = langs.map(l =>
       s"WHEN dist_$l = least(${langs.map(x => s"dist_$x").mkString(", ")}) THEN '$l'")
       .mkString("\n       ")
-    s"""WITH prof(lang, gram, rl) AS (VALUES $profValues),
+    val distList = langs.map(l => s"dist_$l").mkString("[", ", ", "]")
+    s"""prof(lang, gram, rl) AS (VALUES $profValues),
        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
        |        FROM documents),
        |grams AS (
@@ -344,15 +365,23 @@ object TextAnalysis {
        |dist AS (
        |  SELECT doc_id, ng,
        |    $distCols
-       |  FROM d)
-       |SELECT doc.doc_id,
-       |  $outDist,
-       |  CASE WHEN ng IS NULL THEN 'und'
-       |       $whens
-       |       END AS predicted_lang
-       |FROM documents doc LEFT JOIN dist USING (doc_id)
-       |ORDER BY doc.doc_id""".stripMargin
+       |  FROM d),
+       |dm AS (
+       |  SELECT *, CAST(list_sort($distList)[2] - list_sort($distList)[1] AS BIGINT) AS margin
+       |  FROM dist),
+       |lid AS (
+       |  SELECT doc.doc_id,
+       |    $outDist,
+       |    coalesce(margin, 0) AS margin,
+       |    CASE WHEN ng IS NULL THEN 'und'
+       |         WHEN margin * $MarginDenom < ng * $K THEN 'und'
+       |         $whens
+       |         END AS predicted_lang
+       |  FROM documents doc LEFT JOIN dm USING (doc_id))""".stripMargin
   }
+
+  val langIdSql: String =
+    "WITH " + langIdCtes + "\nSELECT * FROM lid ORDER BY doc_id"
 
   // ---- document fingerprinting ------------------------------------------------
   /** Content fingerprints: md5 of whitespace-normalized text (exact-dup
@@ -820,14 +849,17 @@ object TextAnalysis {
     * orders below that.)
     */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val c = Catalog(spark, dir)
-    val docs = c.ref("documents")
-    // localCheckpoint pins the |groups|-row aggregate: the rate
-    // derivation references it three times (weights, the min-T
-    // aggregate, the final rates), and without the pin each reference
-    // re-plans the corpus-wide groupBy scan
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // The mixture groups by the CLASSIFIER's language, not the metadata
+    // column — the end-to-end path a real pipeline runs (upstream lang
+    // labels are absent or untrusted at ingest). 'und' predictions form
+    // their own group and get balanced like any other. The pinned
+    // relation is per-doc metadata (doc_id, lang); the rate derivation
+    // and the sampling draw both read it, so the corpus-wide gram
+    // classification evaluates exactly once.
+    val lid = langIdCore(spark, dir)
+      .select(col("doc_id"), col("predicted_lang").as("lang"))
       .localCheckpoint()
+    val counts = lid.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val withW = counts.withColumn("w", floor(sqrt(col("n"))).cast("long"))
     val wTot = withW.crossJoin(broadcast(withW.agg(sum(col("w")).as("bigw"))))
     val rates = wTot
@@ -835,7 +867,7 @@ object TextAnalysis {
       .withColumn("k", expr("w * t div bigw"))
       .withColumn("ppm", expr("k * 1000000 div n"))
       .select(col("lang"), col("ppm"))
-    docs.join(broadcast(rates), Seq("lang"))
+    lid.join(broadcast(rates), Seq("lang"))
       .filter(graft.functions.ArrayExprs.md5Mod(
         concat_ws(":", lit("mix"), col("doc_id").cast("string")), 1000000L) < col("ppm"))
       .select(col("doc_id"), col("lang"), col("ppm"))
@@ -843,7 +875,9 @@ object TextAnalysis {
   }
 
   val mixtureSampleSql: String =
-    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    "WITH " + langIdCtes + ",\n" +
+      """lp AS (SELECT doc_id, predicted_lang AS lang FROM lid),
+      |counts AS (SELECT lang, count(*) AS n FROM lp GROUP BY 1),
       |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM counts),
       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM w),
       |t AS (SELECT min((n * bigw) // w) AS t FROM w, tot),
@@ -851,7 +885,7 @@ object TextAnalysis {
       |  SELECT lang, ((((w * t) // bigw)) * 1000000) // n AS ppm
       |  FROM w, tot, t)
       |SELECT d.doc_id, d.lang, r.ppm
-      |FROM documents d JOIN rates r USING (lang)
+      |FROM lp d JOIN rates r USING (lang)
       |WHERE md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR)) % 1000000 < r.ppm
       |ORDER BY d.doc_id""".stripMargin
 

@@ -51,8 +51,11 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 
   test("mixtureSample: flattens toward uniform, smallest group kept whole, deterministic") {
-    val c = graft.catalog.Catalog(spark, sf)
-    val byLang = c.ref("documents").groupBy("lang").count().collect()
+    // the mixture groups by the CLASSIFIER's language (end-to-end
+    // routing), so the expected group sizes come from langId, not the
+    // metadata lang column
+    val byLang = TextAnalysis.langId(spark, sf)
+      .groupBy(col("predicted_lang")).count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     val rows = TextAnalysis.mixtureSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
