@@ -174,9 +174,75 @@ object Graph {
        |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** [[linkGraph]] with PLANTED SINKS: every node with doc_id % 17 == 0
+    * loses all its out-edges (they keep their in-edges through the
+    * other families, so they hold rank but forward none) — the dangling
+    * case a real web graph always has and the base fixture deliberately
+    * lacks. Node set = endpoints of the FILTERED edges, identically in
+    * both engines.
+    */
+  def linkGraphSink(spark: SparkSession, dir: String): DataFrame =
+    linkGraph(spark, dir).filter(col("src") % 17 =!= 0)
+
+  /** Oracle row for the dangling-mass convention: 5 iterations over the
+    * planted-sink graph with `danglingSink = true` — each iteration
+    * redistributes the sink-held mass uniformly
+    * (`r' = (1-d)/N + d·(Σ contribs + DM/N)`), so total rank stays 1
+    * instead of leaking d·DM per round. GraphSpec asserts the
+    * conservation on both this row's engine output and (via the hash
+    * match) the twin.
+    */
+  def graphPagerankSink(spark: SparkSession, dir: String): DataFrame =
+    pageRank(linkGraphSink(spark, dir), iters = 5, damping = 0.85,
+      danglingSink = true)
+      .orderBy("node")
+
+  /** Twin of [[graphPagerankSink]]: the unrolled chain with the DM/N
+    * term — DM is the same sorted fold over the previous round's
+    * dangling ranks the engine computes, added before the damping
+    * multiply in the identical expression order.
+    */
+  val graphPagerankSinkSql: String = {
+    def iter(k: Int): String =
+      s"""rs$k AS (
+         |  SELECT nodes.node,
+         |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nc)
+         |           + CAST(0.85 AS DOUBLE)
+         |             * (COALESCE(s.msum, 0.0)
+         |                + COALESCE(dm$k.dm, 0.0) / (SELECT n FROM nc)) AS rank
+         |  FROM nodes
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS node,
+         |           list_reduce(list_sort(list(r.rank / ed.outdeg)), (p, q) -> p + q) AS msum
+         |    FROM ed JOIN rs${k - 1} r ON ed.src = r.node
+         |    GROUP BY 1) s ON nodes.node = s.node
+         |  CROSS JOIN (
+         |    SELECT list_reduce(list_sort(list(r.rank)), (p, q) -> p + q) AS dm
+         |    FROM rs${k - 1} r JOIN dangling d ON r.node = d.node) dm$k)""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT n FROM nn) FROM documents
+       |  UNION
+       |  SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+       |e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       |e AS (SELECT src, dst FROM e1 WHERE src % 17 <> 0),
+       |ed AS (SELECT e.src, e.dst, d.outdeg
+       |       FROM e JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) d USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |dangling AS (SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM e),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |rs0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM rs5 ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_sink" -> (graphPagerankSink _))
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_pagerank_sink" -> graphPagerankSinkSql)
 }

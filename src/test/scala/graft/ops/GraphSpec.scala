@@ -118,6 +118,25 @@ class GraphSpec extends SparkTestBase {
     assert(r(0L) > r(2L), "the recirculating node must outrank the sink")
   }
 
+  test("graph_pagerank_sink: planted sinks exist and the oracle row conserves mass") {
+    // the planted fixture really has dangling nodes...
+    val edges = Graph.linkGraphSink(spark, sf)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val dangling = nodes.join(
+      edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+    assert(dangling.count() > 0, "fixture must plant dangling nodes")
+    // ...the sink convention holds total rank at 1 after 5 iterations...
+    val withSink = Graph.graphPagerankSink(spark, sf).collect().map(_.getDouble(1))
+    assert(math.abs(withSink.sum - 1.0) < 1e-9,
+      s"sink redistribution must conserve mass: ${withSink.sum}")
+    // ...while the leak-by-contract run on the same graph loses d*DM/round
+    val leaky = Graph.pageRank(Graph.linkGraphSink(spark, sf),
+      iters = 5, damping = 0.85).collect().map(_.getDouble(1))
+    assert(leaky.sum < 1.0 - 1e-6,
+      s"without the sink term the same graph must leak: ${leaky.sum}")
+  }
+
   test("pageRank: rank order follows in-degree structure") {
     // nodes hit by many quadratic-residue sources must outrank the
     // odd-only-starved ones on average; check the extremes correlate
