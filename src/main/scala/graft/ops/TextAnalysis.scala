@@ -267,44 +267,28 @@ object TextAnalysis {
     * and a genuine inter-language tie is also margin 0 — both are
     * exactly the "don't know" cases.
     *
-    * Scale shape: gram explode → (doc, gram) count → per-doc top-K
-    * window (bounded groups: a doc's DISTINCT grams, never the corpus) →
-    * broadcast join against the 8×K profile table → one aggregate. No
-    * corpus-sized state; everything keys on doc_id.
+    * Scale shape: the WHOLE document side is one scan-local native
+    * expression ([[graft.functions.CtDistances]]): gram extraction,
+    * counting, top-K ranking and all 8 profile distances happen per
+    * row, so classification is shuffle-free at any corpus size (the r9
+    * gram-explode + (doc, gram) shuffle + per-doc window formulation
+    * measured 4.3 s at sf0.1; this is sub-second). The relational
+    * DuckDB twin is unchanged — in-row counting is still the arithmetic
+    * the oracle hash-checks.
     */
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdCore(spark, dir).orderBy("doc_id")
 
   private[ops] def langIdCore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.LangProfiles.{K, MarginDenom, langs, profiles}
+    import graft.functions.LangProfiles.{K, MarginDenom, langs}
     val c = Catalog(spark, dir)
-    import spark.implicits._
-    val prof = broadcast(langs.flatMap(l =>
-      profiles(l).toSeq.map { case (g, r) => (l, g, r) }).toDF("lang", "gram", "rl"))
-    val grams = c.ref("documents")
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("doc_id"), concat(lit("_"), col("w"), lit("_")).as("p"))
-      .select(col("doc_id"), explode(expr(
-        "flatten(transform(sequence(1, 3), n -> " +
-          "transform(sequence(1, char_length(p) - n + 1), i -> substring(p, i, n))))"))
-        .as("gram"))
-    val ranked = grams.groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rd", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("cnt").desc, col("gram"))))
-      .filter(col("rd") <= K)
-    val aggs = countDistinct(col("gram")).as("ng") +:
-      (langs.map(l => sum(when(col("lang") === l, abs(col("rd") - col("rl")))
-        .otherwise(lit(0))).as(s"s_$l")) ++
-        langs.map(l => count(when(col("lang") === l, lit(1))).as(s"c_$l")))
-    val dists = ranked.join(prof, Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-    val withDist = langs.foldLeft(dists)((df, l) =>
-      df.withColumn(s"dist_$l",
-        (col(s"s_$l") + (col("ng") - col(s"c_$l")) * K).cast("long")))
+    val d = c.ref("documents")
+      .select(col("doc_id"),
+        graft.functions.CtDistances.ctDistances(tokens(lower(col("text")))).as("d"))
+    val withDist = langs.zipWithIndex.foldLeft(d) { case (df, (l, i)) =>
+      df.withColumn(s"dist_$l", element_at(col("d.dists"), i + 1))
+    }
+      .withColumn("ng", col("d.ng"))
       .withColumn("margin", {
         val arr = sort_array(array(langs.map(l => col(s"dist_$l")): _*))
         element_at(arr, 2) - element_at(arr, 1)
@@ -314,8 +298,7 @@ object TextAnalysis {
       when(col("ng").isNull, "und")
         .when(col("margin") * MarginDenom < col("ng") * K, "und"))(
       (w, l) => w.when(col(s"dist_$l") === m, l))
-    c.ref("documents").select(col("doc_id"))
-      .join(withDist, Seq("doc_id"), "left")
+    withDist
       .select(col("doc_id") +:
         langs.map(l => coalesce(col(s"dist_$l"), lit(0L)).as(s"dist_$l")) :+
         coalesce(col("margin"), lit(0L)).as("margin") :+
