@@ -80,6 +80,20 @@ object ScaleProbe {
     // split -> mixture sample -> shard write + manifest, one plan
     time("curation_e2e_8x")(ops.Curation.pipelineCurationE2e(spark, dir).count())
 
+    // exact substring dedup (Lee et al. 2022): sliding k-token shingles —
+    // 8x replication makes ~every shingle a duplicate, the worst case for
+    // the first-occurrence ranking window and the per-doc span merge
+    time("substring_dedup_8x")(ops.Dedup.substringDedup(spark, dir).count())
+    // distributed BPE training, driver fast-path disabled: each iteration
+    // is one map-side-combined pair-count aggregate + a 1-row collect;
+    // per-iteration cost tracks |distinct vocab| (unchanged at 8x — the
+    // replicas add frequency, not words), never corpus bytes
+    time("bpe_train24_dist_8x")(
+      ops.BpeTrain.trainedMerges(spark, dir, n = 24, driverThreshold = 0).length.toLong)
+    // language ID: the whole classifier is one scan-local native
+    // expression (CtDistances) — zero shuffles at any corpus size
+    time("langid_8x")(ops.TextAnalysis.langId(spark, dir).count())
+
     // distributed cluster resolution, driver fast-path disabled: 8x
     // replicas make every doc family an 8-clique, so min-label
     // propagation converges in diameter+1 rounds over a dense edge set —
@@ -124,6 +138,20 @@ object ScaleProbe {
     time("ann_brute_8x")(ops.Similarity.bruteForceTopKAt(spark, dir, 5, 10).count())
     time("ann_lsh_8x")(ops.Similarity.lshAnnAt(spark, dir, 5, 10, 8, 8).count())
     time("ann_ivf_8x")(ops.Ivf.ivfAnnAt(spark, dir, 5, 10, 16, 4, 3).count())
+    // IVF index reuse: build once (the O(N) landing cost a production
+    // pipeline pays when the base corpus arrives), then screen a 1/10
+    // delta batch against the PERSISTED index — O(delta) probe work +
+    // statically-pruned reads of only the probed cell partitions
+    val embBig = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    var ivfIdx: ops.Ivf.IvfIndex = null
+    time("ivf_build_8x") {
+      ivfIdx = ops.Ivf.buildIndex(embBig.filter(col("vec_id") % 10 =!= 0),
+        s"$dir/ivf_index", kCells = 32, iters = 0)
+      1L
+    }
+    time("ivf_screen_delta_8x")(ops.Ivf.screenBatch(spark, ivfIdx,
+      embBig.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4).count())
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(
@@ -217,6 +245,19 @@ object ScaleProbe {
     report ++= "- On a 50%-hot-key join, salting beats both the plain shuffle join\n"
     report ++= "  and AQE (whose skew split does not engage below its 256MB\n"
     report ++= "  partition threshold at this size).\n"
+    report ++= "- substring dedup at 8x survives its worst case (~every shingle a\n"
+    report ++= "  duplicate): the corpus-sized shuffle carries 16-byte digests, the\n"
+    report ++= "  ranking window is bounded per digest, span merging is per-doc.\n"
+    report ++= "- distributed BPE training (driver fast-path off) pays one\n"
+    report ++= "  map-side-combined pair aggregate per iteration over the DISTINCT\n"
+    report ++= "  vocab -- 8x replicas change frequencies, not the vocab, so\n"
+    report ++= "  training cost is corpus-size-independent past the word count.\n"
+    report ++= "- langid is pure scan work (CtDistances folds gram extraction,\n"
+    report ++= "  counting, ranking and all 8 profile distances into one per-row\n"
+    report ++= "  expression) -- zero shuffles, trivially linear.\n"
+    report ++= "- IVF index reuse: the build pass is the one O(N) cost; screening a\n"
+    report ++= "  delta against the persisted index reads only probed-cell\n"
+    report ++= "  partitions (static pruning), so per-batch cost tracks the delta.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")
