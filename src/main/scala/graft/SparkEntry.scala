@@ -25,7 +25,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.AsOf.queries ++
       ops.RangeJoin.queries ++ ops.Graph.queries ++ ops.Search.queries ++
-      ops.Curation.queries ++ ops.BpeTrain.queries ++
+      ops.Curation.queries ++ ops.BpeTrain.queries ++ ops.Cleaning.queries ++
       push.PushQueries.queries ++ streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
@@ -35,6 +35,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ ops.AsOf.oracles ++
       ops.RangeJoin.oracles ++ ops.Graph.oracles ++ ops.Search.oracles ++
-      ops.Curation.oracles ++ ops.BpeTrain.oracles ++
+      ops.Curation.oracles ++ ops.BpeTrain.oracles ++ ops.Cleaning.oracles ++
       push.PushQueries.oracles ++ streaming.StreamingQueries.oracles
 }
