@@ -241,4 +241,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"salting must stay an equi-join:\n$plan")
   }
+
+  test("c4 rules / pii scrub: pure scan work — no joins, no hash shuffle (only the output sort)") {
+    Seq(Cleaning.c4Rules(spark, sf), Cleaning.piiScrub(spark, sf)).foreach { df =>
+      val plan = executed(df)
+      assert(!plan.contains("Join"), s"cleaning must not join:\n$plan")
+      assert(!plan.contains("hashpartitioning"),
+        s"cleaning must not hash-shuffle data rows:\n$plan")
+    }
+  }
+
+  test("nb quality scoring: model rides as a literal — no join, no hash shuffle in the scoring plan") {
+    val plan = executed(Dsir.nbQuality(spark, sf))
+    assert(!plan.contains("Join"),
+      s"scoring must fold the broadcast model scan-locally, not join it:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"scoring must not hash-shuffle data rows:\n$plan")
+  }
+
+  test("dsir resample: top-quartile selection is a distributed TakeOrdered, not a global sort") {
+    val df = Dsir.dsirResample(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must plan as TakeOrdered:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"selection must not hash-shuffle data rows:\n$plan")
+  }
 }
