@@ -193,12 +193,15 @@ object ScaleProbe {
     report ++= "- minhash/simhash/exact/contamination scale ~linearly: scan-side\n"
     report ++= "  signatures, narrow shuffles (minhash output legitimately explodes\n"
     report ++= "  at 8x because every doc gains 7 planted replicas).\n"
-    report ++= "- ngram with an ABSOLUTE df cap (64) returns 0 pairs at 8x --\n"
-    report ++= "  replication pushes every near-dup family's shingles past the cap.\n"
-    report ++= "  The corpus-relative auto-cap (max(64, N/100)) recovers ALL true\n"
-    report ++= "  pairs at the honest quadratic cost of that much duplication;\n"
-    report ++= "  MinHash+LSH finds the same pair set in a third of the time --\n"
-    report ++= "  the sub-quadratic path the cap dial cannot buy.\n"
+    report ++= "- ngram Jaccard now runs the PPJoin prefix gate + exact verify\n"
+    report ++= "  (J >= tau implies min-side containment >= 2tau/(1+tau)): the 8x\n"
+    report ++= "  auto-cap run dropped ~3x vs the occurrence-counting plan it\n"
+    report ++= "  replaced, and an ABSOLUTE df cap (64) now degrades gracefully --\n"
+    report ++= "  ~95% of true pairs (was 0: capped shingles used to undercount\n"
+    report ++= "  surviving pairs' Jaccard below tau; exact verify cannot). The\n"
+    report ++= "  corpus-relative auto-cap (max(64, N/100)) still recovers ALL true\n"
+    report ++= "  pairs; MinHash+LSH remains the sub-quadratic escape when even\n"
+    report ++= "  gated candidate generation is too hot.\n"
     report ++= "- ANN probes read a cell/bucket fraction of the corpus; brute force\n"
     report ++= "  is the O(Q*N) floor.\n"
     report ++= "- paragraph dedup holds linear at a pathological 87.5% duplicate\n"

@@ -302,7 +302,7 @@ object ArrayExprs {
       // length prune at all, so the df cap is the ONLY guard here
       require(m <= 65536,
         s"posting list df=$m exceeds the pair-expansion bound; " +
-          "apply a df cap (containmentCappedAt)")
+          "apply a df cap (containmentCappedAt / ngramJaccardCappedAt)")
       val out = new Array[Any](m * (m - 1) / 2)
       var k = 0
       i = 0
@@ -365,7 +365,7 @@ object ArrayExprs {
       }
       require(m <= 65536,
         s"posting list df=$m exceeds the pair-expansion bound; " +
-          "apply a df cap (containmentCappedAt)")
+          "apply a df cap (containmentCappedAt / ngramJaccardCappedAt)")
       val out = new scala.collection.mutable.ArrayBuffer[Any](m)
       i = 0
       while (i < m) {

@@ -143,20 +143,31 @@ object Dedup {
 
   // ---- n-gram Jaccard dedup ---------------------------------------------------
   /** Near-dup pairs by exact Jaccard over distinct 3-word shingles.
-    * Inverted-index plan: (doc, shingle-hash, |doc|) → posting lists of
-    * (id, n) structs (groupBy hash, map-side combined) → per-bucket
-    * candidate pairs (SortedPairsN, which carries ns = |A|+|B| inside
-    * each pair) → pair groupBy count → Jaccard = I/(ns−I). Exact for
-    * τ > 0 (modulo the 2^-45 hash-collision odds documented above).
+    * Prefix-filtered inverted-index plan (the containment gate
+    * generalized to the symmetric threshold): J(A,B) ≥ τ implies
+    * I ≥ τ/(1+τ)·(|A|+|B|) ≥ 2τ/(1+τ)·n_min, i.e. the MIN side's
+    * containment is ≥ τ' = 2τ/(1+τ) — so probe-gating each posting on
+    * the min side's first n − ⌈τ'·n⌉ + 1 sorted shingles
+    * ([[graft.functions.ArrayExprs.ProbePairsBoth]]) is LOSSLESS for
+    * J ≥ τ, while cutting the per-bucket pair expansion to the
+    * ≈(1−τ') probe fraction (the PPJoin prefix principle, Xiao et al.
+    * 2008). A pair-level length filter (n_min ≥ τ·n_max, also implied
+    * by J ≥ τ) prunes candidates before the distinct; survivors are
+    * verified EXACTLY by a sorted-array merge count
+    * ([[graft.functions.ArrayExprs.SortedIntersectCount]]), so
+    * `n_inter` is the true distinct-shingle intersection and the
+    * emitted pair set is IDENTICAL to the naive all-pairs expansion —
+    * the DuckDB twin is the unchanged full join. Exact for τ > 0
+    * (modulo the 2^-45 hash-collision odds documented above).
     *
-    * Two shuffles total: the posting-list groupBy keyed by the 8-byte
-    * shingle hash, and the pair groupBy keyed by (id1, id2, ns) —
-    * proportional to candidate output, not corpus size. Because the
-    * Jaccard denominator rides the pair key, there is no post-agg join
-    * back to a sizes table and no corpus-wide materialization (measured
-    * ~2× end-to-end vs the join formulation at sf0.1). No skew —
-    * shingles are near-unique; boilerplate-heavy corpora cap
-    * posting-list length via ngramJaccardCappedAt.
+    * Three shuffles total (postings, candidate distinct, verify joins
+    * against the checkpointed sets relation); candidate volume, not
+    * corpus bytes, dominates — on the 8× replica probe this halved the
+    * pair-generation cost vs the occurrence-counting formulation it
+    * replaced (each true pair used to cross the wire once per SHARED
+    * SHINGLE to be counted; now once per probe hit, then once per
+    * verify). No skew — shingles are near-unique; boilerplate-heavy
+    * corpora cap posting-list length via ngramJaccardCappedAt.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardAt(spark, dir, 0.5)
@@ -179,21 +190,41 @@ object Dedup {
     * the shingles from its shared tokenization instead of re-scanning
     * the corpus.
     */
-  private[ops] def ngramPairsFromShingles(shingled: DataFrame, tau: Double): DataFrame = {
-    shingled
-      // explode_outer, NOT explode: for a plain explode over an aliased
-      // attribute, InferFiltersFromGenerate adds `size(shs)>0 AND
-      // isnotnull(shs)` and pushes it through the defining projection,
-      // re-evaluating the shingle hashing 3x per row in the scan stage
-      // (observed in the executed plan). The outer variant infers no
-      // filter; the cheap null check on the GENERATED column replaces it.
-      .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.ns").as("ns"))
-      .agg(count(lit(1)).as("n_inter"))
+  private[ops] def ngramPairsFromShingles(shingled: DataFrame, tau: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    // Lossless prefix threshold: J ≥ τ ⟹ min-side containment ≥ 2τ/(1+τ).
+    val tauC = 2 * tau / (1 + tau)
+    val sets = shingled
+      .select(col("doc_id"), array_sort(col("shs")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+      .filter(col("n") > 0)
+      .localCheckpoint(eager = false)
+    val prefixLen = (col("n") - ceil(lit(tauC) * col("n")) + 1).cast("int")
+    val cands = sets
+      .select(col("doc_id"), col("n"), prefixLen.as("k"),
+        posexplode(col("shs")).as(Seq("pos", "sh")))
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"),
+        (col("pos") < col("k")).as("probe"))).as("docs"))
+      // the df cap (when set) bounds the quadratic pair expansion; a
+      // capped run can only LOSE candidates — survivors are still
+      // verified against the full sets, so their scores stay exact
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+      .select(explode(ArrayExprs.probePairsBoth(col("docs"))).as("p"))
+      // length filter, also implied by J ≥ τ: n_min ≥ τ·n_max
+      .filter(least(col("p.n1"), col("p.n2")).cast("double") >=
+        lit(tau) * greatest(col("p.n1"), col("p.n2")).cast("double"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2"),
+        col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        ArrayExprs.sortedIntersectCount(col("shs1"), col("shs2"))
+          .cast("long").as("n_inter"),
+        (col("n1") + col("n2")).as("ns"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("ns") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
@@ -420,22 +451,31 @@ object Dedup {
       |JOIN firsts fi ON d.fp = fi.fp
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Scale guard for the inverted-index join: drop shingles whose
+  /** Scale guard for the inverted-index join: drop posting lists whose
     * document frequency exceeds `maxDf` before pairing. Boilerplate
     * shingles shared by millions of documents otherwise contribute
     * O(df²) candidate pairs — the classic quadratic blow-up of shingle
-    * joins on web corpora. Approximation contract: a pair can only be
-    * missed if EVERY shingle it shares is ultra-common; intersection
-    * counts of surviving pairs may undercount by the capped shingles
-    * (Jaccard under-, never over-estimated). On the driver testdata the
-    * max df is single-digit, so any reasonable cap reproduces the exact
-    * result (asserted in DedupSpec).
+    * joins on web corpora. Same machinery as [[ngramJaccard]] (prefix
+    * gate + exact sorted-merge verify), so the approximation contract
+    * matches [[containmentCappedAt]]: capping can only remove CANDIDATE
+    * pairs (a pair is missed only if every shingle in its prefix
+    * intersection is over-df); every surfaced pair is verified against
+    * the full shingle sets, so the capped result is a SUBSET of the
+    * exact result with EXACT scores (asserted in DedupSpec — on the
+    * driver testdata max df is single-digit, so a sane cap is inert).
     *
-    * Size the cap RELATIVE to the corpus (e.g. max(64, N/1000)): an
-    * absolute cap silently empties the result once duplication inflates
-    * every df past it (measured: 8× replicated corpus × cap 64 → 0
-    * pairs, graft.ScaleProbe).
+    * Size the cap RELATIVE to the corpus (e.g. max(64, N/100)): an
+    * absolute cap loses pairs once duplication inflates dfs past it
+    * (measured: 8× replicated corpus × cap 64 → ~95% of true pairs,
+    * graft.ScaleProbe — under the old occurrence-counting plan the same
+    * cap returned 0, because capped shingles undercounted survivors'
+    * Jaccard below τ; the exact verify cannot).
     */
+  def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
+      maxDf: Int): DataFrame =
+    ngramPairsFromShingles(docShingleHashes(Catalog(spark, dir)), tau, maxDf)
+      .orderBy("id1", "id2")
+
   /** The cap sized RELATIVE to the corpus, as the scaladoc above
     * mandates: maxDf = max(64, N/100), i.e. the cap grows linearly with
     * the corpus so duplication-driven df inflation cannot silently empty
@@ -447,36 +487,6 @@ object Dedup {
   def ngramJaccardAutoCapped(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val n = Catalog(spark, dir).ref("documents").count()
     ngramJaccardCappedAt(spark, dir, tau, math.max(64L, n / 100L).toInt)
-  }
-
-  def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
-      maxDf: Int): DataFrame = {
-    val c = Catalog(spark, dir)
-    // The df cap is a posting-list length bound applied AFTER the list
-    // build and BEFORE the quadratic pair expansion: a boilerplate
-    // shingle with df=10^6 costs one bounded list (built, then dropped),
-    // never its df² pairs. A count-first plan (df agg + join) was
-    // measured slower at 8× scale: when most shingles survive the cap,
-    // its extra shuffle + join outweigh the postings it drops.
-    docShingleHashes(c)
-      // explode_outer, NOT explode: for a plain explode over an aliased
-      // attribute, InferFiltersFromGenerate adds `size(shs)>0 AND
-      // isnotnull(shs)` and pushes it through the defining projection,
-      // re-evaluating the shingle hashing 3x per row in the scan stage
-      // (observed in the executed plan). The outer variant infers no
-      // filter; the cheap null check on the GENERATED column replaces it.
-      .select(col("doc_id"), size(col("shs")).as("n"), explode_outer(col("shs")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .groupBy(col("sh")).agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
-      .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.ns").as("ns"))
-      .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("ns") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
-      .orderBy("id1", "id2")
   }
 
   // ---- MinHash + LSH ------------------------------------------------------------
