@@ -504,7 +504,13 @@ object Dedup {
     * 100 TB you would key the shuffle on an 8-byte hash of the slice and
     * keep slice equality as the residual check; the only joins carrying
     * the 512-byte signatures are the two candidate-side lookups,
-    * proportional to the candidate count, not the corpus.
+    * proportional to the candidate count, not the corpus. (Measured r9:
+    * a posting-list groupBy keyed on xxhash64(band, slice) with
+    * in-bucket pair expansion was NOT faster than this self-join at 8×
+    * or sf0.1 — AQE broadcasts/handles the collision join well at
+    * tested scales, and the higher-order-function expansion costs more
+    * CPU than it saves in shuffle bytes. The hash-keyed variant stays
+    * the documented fallback for when slice shuffle bytes dominate.)
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshAt(spark, dir, numHashes = 64, bands = 16, tau = 0.5)
