@@ -156,6 +156,14 @@ object ScaleProbe {
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(
       ops.Similarity.semanticDedupAt(spark, dir, kCells = 128, tau = 0.95, iters = 2).count())
+    // distributed k-means, mergeable-sum path: per iteration one
+    // scan-local assignment + one (cid, dim)-keyed partial-sum shuffle
+    // (map-side combined), so cost is iters x one corpus scan
+    time("kmeans32_8x")(
+      ops.Kmeans.kmeansAt(spark, dir, k = 32, iters = 3, mergeable = true).count())
+    // Count-Min heavy hitters over the 8x shingle stream: one scan into
+    // a <= d*w-row combine + the exact top-50 TakeOrdered baseline
+    time("cms_heavy_8x")(ops.Sketches.cmsHeavy(spark, dir).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.
@@ -215,6 +223,14 @@ object ScaleProbe {
     report ++= "- semantic dedup at 8x vectors runs 8x cells (128), holding in-cell\n"
     report ++= "  pair work ~constant per cell -- the k-proportional-to-N dial that\n"
     report ++= "  keeps SemDeDup's quadratic step bounded.\n"
+    report ++= "- k-means (mergeable exact-sum path) is iters x one corpus scan:\n"
+    report ++= "  assignment rides the scan as a k x D literal matrix, the update\n"
+    report ++= "  shuffles map-side-combined (cid, dim) partials -- corpus rows\n"
+    report ++= "  never cross the wire, so 8x vectors ~ 8x scan time, flat shuffle.\n"
+    report ++= "- Count-Min heavy hitters: the d x w counter table is one\n"
+    report ++= "  map-side-combined count (merging IS the combine), so the shuffle\n"
+    report ++= "  is bounded by d*w per map partition at any corpus size; the\n"
+    report ++= "  probe's cost is the scan plus the exact top-50 baseline.\n"
     report ++= "- distributed cluster resolution (driver fast-path disabled)\n"
     report ++= "  converges in a handful of min-label rounds even on the dense 8x\n"
     report ++= "  clique graph; each round shuffles 16-byte (id,label) rows only,\n"

@@ -761,6 +761,51 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Squared-L2 nearest centroid over DOUBLE centroids (the Lloyd
+    * assignment kernel): returns struct(cid, dist2) where dist2 is the
+    * left-to-right fold of (double(x_i) − c_i)² — the same accumulation
+    * order as DuckDB's `list_sum` over an index transform, so distances
+    * are bit-identical cross-engine (see [[DotProductF]]). Ties break to
+    * the LOWEST cid, matching the oracle's `ORDER BY d2, cid` pick.
+    * Unlike [[NearestCentroid]] (cosine, float centroids — the IVF probe
+    * kernel) this keeps centroid precision at double: k-means centroids
+    * are means of floats, and rounding them back to float would make the
+    * assignment diverge from the SQL twin's double arithmetic.
+    */
+  case class NearestCentroidSq(child: Expression, centroids: Seq[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("dist2", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var best = -1
+      var bestD2 = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var acc = 0.0
+        var j = 0
+        val n = math.min(dim, cent.length)
+        while (j < n) {
+          val d = v.getFloat(j).toDouble - cent(j)
+          acc += d * d
+          j += 1
+        }
+        // strict < keeps the FIRST (lowest) cid on exact ties
+        if (acc < bestD2) { bestD2 = acc; best = c }
+        c += 1
+      }
+      InternalRow(best, bestD2)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API wrappers ---------------------------------------------------
   private def c(e: Expression): Column = bridge.column(e)
   private def e(col: Column): Expression = bridge.expression(col)
@@ -782,4 +827,6 @@ object ArrayExprs {
     c(LshBuckets(e(vec), tables, bits))
   def nearestCentroid(vec: Column, centroids: Seq[Array[Float]]): Column =
     c(NearestCentroid(e(vec), centroids))
+  def nearestCentroidSq(vec: Column, centroids: Seq[Array[Double]]): Column =
+    c(NearestCentroidSq(e(vec), centroids))
 }

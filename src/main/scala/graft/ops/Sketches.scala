@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.functions.ArrayExprs.md5Mod
+
+/** Frequency sketches over the token stream — the approximate-counting
+  * primitives a 100 TB pipeline uses where exact per-item aggregation is
+  * the bottleneck (hot n-gram detection, boilerplate screens, stopword
+  * discovery on unbounded vocabularies).
+  *
+  * Count-Min (Cormode & Muthukrishnan 2005), Spark-first: the d×w
+  * counter table IS the sketch, built as one map-side-combinable
+  * count aggregate over (row, bucket) keys — "merging sketches" is
+  * exactly what the combine already does, so no custom aggregation
+  * buffer is needed and the shuffle carries at most d·w rows per map
+  * partition regardless of corpus size. Estimation for a query token
+  * set is a broadcast join against the ≤ d·w-row counter relation: no
+  * corpus rescan, which is the point — build once, query many.
+  *
+  * Hashes are the engine-portable md5 buckets
+  * ([[graft.functions.ArrayExprs.md5Mod]], row-salted), so the DuckDB
+  * twin rebuilds the identical counter table and estimates — the
+  * `text_cms_heavy` row is a full hash-match, not a tolerance check.
+  *
+  * The sketched stream is the 3-gram SHINGLE stream (16k+ distinct at
+  * sf0.01 vs 1024 buckets — real collisions, so the row demonstrates
+  * genuine overestimates, not a trivially exact table): hot-shingle
+  * estimates are exactly what sizes [[Dedup.ngramJaccardCappedAt]]'s df
+  * cap at scale without paying an exact full-vocabulary aggregate.
+  */
+object Sketches {
+
+  private val D = 4      // counter rows (independent hash functions)
+  private val W = 1024L  // buckets per row
+
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyAt(spark, dir, topN = 50)
+
+  /** Top-`topN` shingles by EXACT count (deterministic (n desc, token)
+    * tie-break, a distributed TakeOrdered) alongside their Count-Min
+    * estimate — the demonstration row for estimate quality: the CMS
+    * overestimate invariant (`n_est ≥ n_exact`, sketches never
+    * undercount) is asserted in SketchesSpec on every shingle, not just
+    * the heavy ones.
+    */
+  def cmsHeavyAt(spark: SparkSession, dir: String, topN: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ts = TextAnalysis.tokens(lower(col("text")))
+    val occ = c.ref("documents")
+      .select(ts.as("ts"))
+      .select(explode(when(size(col("ts")) >= 3,
+        transform(sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+        .otherwise(array())).as("w"))
+    val counters = cmsCounters(occ)
+    val heavy = occ.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w"))
+      .limit(topN)
+    cmsEstimate(heavy, counters)
+      .select(col("w").as("token"), col("n_exact"), col("n_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** The d×w counter relation from a token-occurrence relation `occ`
+    * (one row per occurrence, column `w`). ≤ d·w groups — the count
+    * aggregate map-side combines, so each map partition emits at most
+    * d·w partial rows however large its slice of the corpus.
+    */
+  private[ops] def cmsCounters(occ: DataFrame): DataFrame =
+    occ.select(col("w"), explode(sequence(lit(0), lit(D - 1))).as("j"))
+      .select(col("j"),
+        md5Mod(concat(lit("cms:"), col("j").cast("string"), lit(":"), col("w")), W)
+          .as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for the tokens of `q` (column `w`, other columns
+    * carried through): est(w) = min over j of counter[j][h_j(w)]. The
+    * counter relation broadcasts (≤ d·w rows); the query set never
+    * touches the corpus.
+    */
+  private[ops] def cmsEstimate(q: DataFrame, counters: DataFrame): DataFrame = {
+    val probes = q.select(q.columns.map(col): _*)
+      .withColumn("j", explode(sequence(lit(0), lit(D - 1))))
+      .withColumn("b",
+        md5Mod(concat(lit("cms:"), col("j").cast("string"), lit(":"), col("w")), W))
+    probes.join(broadcast(counters), Seq("j", "b"))
+      .groupBy(q.columns.map(col): _*)
+      .agg(min(col("cnt")).as("n_est"))
+  }
+
+  val cmsHeavySql: String =
+    s"""WITH tok AS (
+       |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |occ AS (
+       |  SELECT unnest(list_transform(range(1, len(ts) - 1),
+       |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS w
+       |  FROM tok WHERE len(ts) >= 3),
+       |counters AS (
+       |  SELECT j, md5_number_lower('cms:' || CAST(j AS VARCHAR) || ':' || w) % $W AS b,
+       |         count(*) AS cnt
+       |  FROM occ CROSS JOIN range($D) r(j)
+       |  GROUP BY 1, 2),
+       |heavy AS (
+       |  SELECT w, count(*) AS n_exact FROM occ GROUP BY 1
+       |  ORDER BY n_exact DESC, w LIMIT 50),
+       |est AS (
+       |  SELECT h.w, h.n_exact, min(c.cnt) AS n_est
+       |  FROM heavy h CROSS JOIN range($D) r(j)
+       |  JOIN counters c
+       |    ON c.j = r.j
+       |   AND c.b = md5_number_lower('cms:' || CAST(r.j AS VARCHAR) || ':' || h.w) % $W
+       |  GROUP BY 1, 2)
+       |SELECT w AS token, n_exact, n_est FROM est
+       |ORDER BY n_exact DESC, token""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_heavy" -> (cmsHeavy _))
+
+  val oracles: Map[String, String] = Map(
+    "text_cms_heavy" -> cmsHeavySql)
+}
