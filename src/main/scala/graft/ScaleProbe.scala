@@ -164,6 +164,8 @@ object ScaleProbe {
     // Count-Min heavy hitters over the 8x shingle stream: one scan into
     // a <= d*w-row combine + the exact top-50 TakeOrdered baseline
     time("cms_heavy_8x")(ops.Sketches.cmsHeavy(spark, dir).count())
+    // HLL per-source distincts: scan + (source, j)-keyed max-combine
+    time("hll_distinct_8x")(ops.Sketches.hllDistinct(spark, dir).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.

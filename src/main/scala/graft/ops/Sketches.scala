@@ -117,9 +117,107 @@ object Sketches {
        |SELECT w AS token, n_exact, n_est FROM est
        |ORDER BY n_exact DESC, token""".stripMargin
 
+  // ---- HyperLogLog distinct counting -----------------------------------------
+  // m = 256 registers: standard error 1.04/sqrt(256) ≈ 6.5%, and every
+  // per-source cardinality in the testdata sits above the 5/2·m
+  // small-range-correction threshold, so the RAW Flajolet estimate is
+  // the honest regime and no `ln` ever runs — important because libm
+  // rounding is not cross-engine-reproducible (see the PageRank /
+  // centroid notes), while everything the raw estimate touches is:
+  // the rank ladder is integer compares, 2^-rank is an exact double,
+  // and a sum of exact powers of two spanning < 53 bits of exponent
+  // never rounds, so it is order-free and bit-identical in any engine.
+  private val HllM = 256
+
+  /** The rank ladder 1..25 over the 24-bit suffix, emitted once for
+    * Spark (nested `when`) and once for DuckDB (CASE ladder) from the
+    * same thresholds so the two engines cannot drift.
+    */
+  private def hllRankSpark(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (24 to 1 by -1).foldLeft(lit(25): org.apache.spark.sql.Column) { (acc, r) =>
+      when(w >= lit(1L << (24 - r)), lit(r)).otherwise(acc)
+    }
+
+  private def hllRankSqlCase: String =
+    (1 to 24).map(r => s"WHEN w >= ${1L << (24 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 25 END")
+
+  /** Register table (source, j, m_j) from an occurrence relation with
+    * columns (source, sh): the 32-bit portable hash splits into an
+    * 8-bit register index and a 24-bit rank suffix, and the groupBy-max
+    * is both the sketch BUILD and the sketch UNION — merging two
+    * corpora's registers is the same max the map-side combine already
+    * runs (SketchesSpec pins split-and-merge ≡ union).
+    */
+  private[ops] def hllRegisters(occ: DataFrame): DataFrame =
+    occ.select(col("source"), md5Mod(col("sh"), 4294967296L).as("h32"))
+      .select(col("source"),
+        (col("h32").bitwiseAND(lit(255L))).as("j"),
+        shiftright(col("h32"), 8).as("w"))
+      .select(col("source"), col("j"), hllRankSpark(col("w")).as("rho"))
+      .groupBy("source", "j").agg(max("rho").as("m_j"))
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ts = TextAnalysis.tokens(lower(col("text")))
+    val occ = c.ref("documents")
+      .select(col("source"), ts.as("ts"))
+      .select(col("source"), explode(when(size(col("ts")) >= 3,
+        transform(sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+        .otherwise(array())).as("sh"))
+    val regs = hllRegisters(occ)
+    val per = regs.groupBy("source").agg(
+      sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m_j) AS DOUBLE)"))
+        .as("sp"),
+      count(lit(1)).as("v"))
+    val exact = occ.groupBy("source")
+      .agg(countDistinct(col("sh")).as("n_exact"))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+    exact.join(per, Seq("source"))
+      .select(col("source"), col("n_exact"),
+        (alphaM2 / (col("sp") + (lit(HllM) - col("v")).cast("double")))
+          .as("hll_est"))
+      .orderBy("source")
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |occ AS (
+       |  SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+       |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+       |  FROM tok WHERE len(ts) >= 3),
+       |h AS (
+       |  SELECT source, md5_number_lower(sh) % 4294967296 AS h32 FROM occ),
+       |b AS (
+       |  SELECT source, h32 % 256 AS j, h32 // 256 AS w FROM h),
+       |r AS (
+       |  SELECT source, j, max($hllRankSqlCase) AS m_j FROM b GROUP BY 1, 2),
+       |s AS (
+       |  -- literals pinned to DOUBLE: DuckDB parses bare 1.0 as DECIMAL
+       |  -- and decimal division is not IEEE double division
+       |  SELECT source,
+       |         sum(CAST(1.0 AS DOUBLE) / CAST(1 << m_j AS DOUBLE)) AS sp,
+       |         count(*) AS v
+       |  FROM r GROUP BY 1),
+       |ex AS (
+       |  SELECT source, count(DISTINCT sh) AS n_exact FROM occ GROUP BY 1)
+       |SELECT ex.source, ex.n_exact,
+       |       (CAST(0.7213 AS DOUBLE)
+       |          / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+       |          * CAST(65536.0 AS DOUBLE))
+       |         / (s.sp + CAST($HllM - s.v AS DOUBLE)) AS hll_est
+       |FROM ex JOIN s USING (source)
+       |ORDER BY ex.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_cms_heavy" -> (cmsHeavy _))
+    "text_cms_heavy" -> (cmsHeavy _),
+    "text_hll_distinct" -> (hllDistinct _))
 
   val oracles: Map[String, String] = Map(
-    "text_cms_heavy" -> cmsHeavySql)
+    "text_cms_heavy" -> cmsHeavySql,
+    "text_hll_distinct" -> hllDistinctSql)
 }

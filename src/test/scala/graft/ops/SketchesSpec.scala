@@ -53,4 +53,36 @@ class SketchesSpec extends SparkTestBase {
     out.foreach(r =>
       assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact")))
   }
+
+  test("HLL: every per-source estimate within 25% of the exact cardinality") {
+    // m = 256 → 6.5% standard error; 25% is ~4σ headroom. Every source
+    // in the testdata sits above the 5/2·m small-range threshold, so
+    // this exercises the raw-estimate regime the operator documents.
+    val out = Sketches.hllDistinct(spark, sf).collect()
+    assert(out.length > 1)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      assert(math.abs(est - exact) / exact < 0.25,
+        s"${r.getAs[String]("source")}: exact=$exact est=$est")
+    }
+  }
+
+  test("HLL registers merge by max: split-and-merge equals the union sketch") {
+    // The register table's groupBy-max IS the sketch union — the same
+    // map-side-combine argument as CMS linearity, pinned explicitly.
+    val docs = Catalog(spark, sf).ref("documents")
+    def regs(part: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(occOf(part).withColumnRenamed("w", "sh")
+        .withColumn("source", lit("all")))
+    val a = regs(docs.filter(col("doc_id") % 2 === 0))
+    val b = regs(docs.filter(col("doc_id") % 2 === 1))
+    val merged = a.unionByName(b).groupBy("source", "j")
+      .agg(max("m_j").as("m_j"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val full = regs(docs)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged === full)
+    assert(full.nonEmpty)
+  }
 }
