@@ -166,6 +166,9 @@ object ScaleProbe {
     time("cms_heavy_8x")(ops.Sketches.cmsHeavy(spark, dir).count())
     // HLL per-source distincts: scan + (source, j)-keyed max-combine
     time("hll_distinct_8x")(ops.Sketches.hllDistinct(spark, dir).count())
+    // Bloom screen at 8x: filter build is a <= m-row distinct; the eval
+    // side never shuffles train data (broadcast membership)
+    time("bloom_contamination_8x")(ops.Sketches.bloomContamination(spark, dir).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.
@@ -233,6 +236,11 @@ object ScaleProbe {
     report ++= "  map-side-combined count (merging IS the combine), so the shuffle\n"
     report ++= "  is bounded by d*w per map partition at any corpus size; the\n"
     report ++= "  probe's cost is the scan plus the exact top-50 baseline.\n"
+    report ++= "- Bloom contamination screen: train membership compresses to\n"
+    report ++= "  <= m distinct bit positions (merge IS the distinct) and\n"
+    report ++= "  broadcasts, so eval screening is scan-side -- the exact screen's\n"
+    report ++= "  train-shingle shuffle disappears; no false negatives by\n"
+    report ++= "  construction, FP rate deterministic from the md5 positions.\n"
     report ++= "- distributed cluster resolution (driver fast-path disabled)\n"
     report ++= "  converges in a handful of min-label rounds even on the dense 8x\n"
     report ++= "  clique graph; each round shuffles 16-byte (id,label) rows only,\n"

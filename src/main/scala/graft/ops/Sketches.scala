@@ -213,11 +213,103 @@ object Sketches {
        |FROM ex JOIN s USING (source)
        |ORDER BY ex.source""".stripMargin
 
+  // ---- Bloom-filter contamination screen -------------------------------------
+  // The scale story for benchmark-leak screening: the exact screen
+  // ([[Dedup.contamination]]) shuffles a distinct train-shingle set into
+  // a join — fine until the train side is the 100 TB corpus. The Bloom
+  // filter compresses train membership into ≤ m set-bit positions
+  // (built as one distinct over (pos) — merging filters IS that
+  // distinct/bit-OR), small enough to BROADCAST, so the eval side is
+  // screened scan-side with zero shuffle of train data. No false
+  // negatives ever (a leaked shingle always probes 4 set bits), false
+  // positives at a deterministic, hash-replayable rate — m = 2^17 and
+  // k = 4 give ~2-3% FP at the testdata's ~16k distinct train shingles
+  // (n·k/m ≈ 0.5), visible in the oracle row as n_bloom > n_exact.
+  private val BloomM = 131072L // 2^17 bits
+  private val BloomK = 4
+
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame =
+    bloomContaminationAt(spark, dir, "src0")
+
+  def bloomContaminationAt(spark: SparkSession, dir: String,
+      evalSource: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val ts = TextAnalysis.tokens(lower(col("text")))
+    val ds = c.ref("documents")
+      .select(col("doc_id"), col("source"), ts.as("ts"))
+      .select(col("doc_id"), col("source"), explode(when(size(col("ts")) >= 3,
+        transform(sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+        .otherwise(array())).as("sh"))
+      .distinct()
+    def pos(j: org.apache.spark.sql.Column) = md5Mod(
+      concat(lit("bloom:"), j.cast("string"), lit(":"), col("sh")), BloomM)
+    // the filter: distinct set-bit positions of every train shingle —
+    // ≤ m rows however large the train corpus, and build distributes as
+    // the distinct's map-side combine
+    val bits = ds.filter(col("source") =!= evalSource)
+      .select(explode(sequence(lit(0), lit(BloomK - 1))).as("j"), col("sh"))
+      .select(pos(col("j")).as("pos")).distinct()
+    // exact membership for the comparison column (the thing the Bloom
+    // screen replaces at scale)
+    val trainSh = ds.filter(col("source") =!= evalSource)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1))
+    val evalProbes = ds.filter(col("source") === evalSource)
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
+      .select(col("doc_id"), col("sh"), pos(col("j")).as("pos"))
+    val perShingle = evalProbes
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("sh"))
+      .agg((count(col("__set")) === BloomK).as("bloom_hit"))
+    perShingle
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
+        count(col("__hit")).as("n_exact"))
+      .orderBy("doc_id")
+  }
+
+  val bloomContaminationSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |ds AS (
+       |  SELECT DISTINCT doc_id, source, sh
+       |  FROM (SELECT doc_id, source,
+       |               unnest(list_transform(range(1, len(ts) - 1),
+       |                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+       |        FROM tok WHERE len(ts) >= 3)),
+       |bits AS (
+       |  SELECT DISTINCT
+       |         md5_number_lower('bloom:' || CAST(j AS VARCHAR) || ':' || sh) % $BloomM AS pos
+       |  FROM ds CROSS JOIN range($BloomK) r(j)
+       |  WHERE source <> 'src0'),
+       |train AS (SELECT DISTINCT sh FROM ds WHERE source <> 'src0'),
+       |probes AS (
+       |  SELECT e.doc_id, e.sh,
+       |         count(b.pos) = $BloomK AS bloom_hit
+       |  FROM (SELECT doc_id, sh FROM ds WHERE source = 'src0') e
+       |  CROSS JOIN range($BloomK) r(j)
+       |  LEFT JOIN bits b
+       |    ON b.pos = md5_number_lower('bloom:' || CAST(r.j AS VARCHAR) || ':' || e.sh) % $BloomM
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_id,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+       |       count(t.sh) AS n_exact
+       |FROM probes p LEFT JOIN train t ON t.sh = p.sh
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_cms_heavy" -> (cmsHeavy _),
-    "text_hll_distinct" -> (hllDistinct _))
+    "text_hll_distinct" -> (hllDistinct _),
+    "text_bloom_contamination" -> (bloomContamination _))
 
   val oracles: Map[String, String] = Map(
     "text_cms_heavy" -> cmsHeavySql,
-    "text_hll_distinct" -> hllDistinctSql)
+    "text_hll_distinct" -> hllDistinctSql,
+    "text_bloom_contamination" -> bloomContaminationSql)
 }

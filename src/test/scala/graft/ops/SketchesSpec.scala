@@ -68,6 +68,24 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("Bloom screen: no false negatives, per-doc n_bloom >= n_exact") {
+    // A shingle present in the train set always probes k set bits, so
+    // the Bloom count can only exceed the exact count — never trail it.
+    val out = Sketches.bloomContamination(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nb = r.getAs[Long]("n_bloom")
+      val ne = r.getAs[Long]("n_exact")
+      val ns = r.getAs[Long]("n_shingles")
+      assert(nb >= ne, s"false negative on doc ${r.getAs[Long]("doc_id")}")
+      assert(nb <= ns)
+    }
+    // the demonstration the row exists for: false positives are real at
+    // the documented load factor, not a degenerate always-exact table
+    val fps = out.map(r => r.getAs[Long]("n_bloom") - r.getAs[Long]("n_exact")).sum
+    assert(fps > 0, "expected visible false positives at n*k/m ~ 0.5")
+  }
+
   test("HLL registers merge by max: split-and-merge equals the union sketch") {
     // The register table's groupBy-max IS the sketch union — the same
     // map-side-combine argument as CMS linearity, pinned explicitly.
