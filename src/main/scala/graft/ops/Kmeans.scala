@@ -7,9 +7,12 @@ import graft.functions.{ArrayExprs, ExactDoubleSum}
 
 /** Distributed k-means (Lloyd) over the `embeddings` table — the
   * clustering primitive a curation pipeline reaches for when balancing
-  * domains, training an IVF coarse quantizer on the full corpus instead
-  * of a driver sample (see [[Ivf]]), or bounding SemDeDup's in-cell
-  * quadratic with data-driven cells.
+  * domains or bounding SemDeDup's in-cell quadratic with data-driven
+  * cells. Complements [[Ivf.kmeansCentroids]]: for a 16..4096-cell
+  * quantizer the driver-sample trainer is the right tool (its scaladoc
+  * argues why); this operator is for when k itself is large — say 10⁵
+  * cells over billions of vectors, where a 64·k sample no longer fits a
+  * driver — or when the clusters ARE the product, not just an index.
   *
   * Spark-first shape, per iteration:
   *  - ASSIGNMENT is pure scan work: the k×D centroid matrix rides into

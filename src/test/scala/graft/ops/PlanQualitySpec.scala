@@ -269,4 +269,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("hashpartitioning"),
       s"selection must not hash-shuffle data rows:\n$plan")
   }
+
+  test("cms heavy: counter lookup broadcasts; aggregates stay distributed") {
+    val plan = executed(Sketches.cmsHeavy(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"estimate pass must broadcast the counter table:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the sketch plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact top-N must be a distributed TakeOrdered:\n$plan")
+  }
+
+  test("hll distinct: register build is a combine-side aggregate, no corpus join") {
+    val plan = executed(Sketches.hllDistinct(spark, sf))
+    // the only join is the 20-source exact×estimate zip — never SMJ over
+    // corpus-sized relations
+    assert(!plan.contains("SortMergeJoin"),
+      s"HLL must not sort-merge anything:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"register max must partial-aggregate map-side:\n$plan")
+  }
+
+  test("bloom screen: membership join broadcasts the bit set, never the corpus") {
+    val plan = executed(Sketches.bloomContamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bit-set membership must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the screen plan:\n$plan")
+  }
 }
