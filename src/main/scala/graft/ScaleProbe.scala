@@ -169,6 +169,9 @@ object ScaleProbe {
     // Bloom screen at 8x: filter build is a <= m-row distinct; the eval
     // side never shuffles train data (broadcast membership)
     time("bloom_contamination_8x")(ops.Sketches.bloomContamination(spark, dir).count())
+    // A-ES weighted sample at 8x: integer-log keys ride the scan, the
+    // top-k is a TakeOrdered -- no shuffle of the corpus
+    time("weighted_sample_8x")(ops.TextAnalysis.weightedSampleAt(spark, dir, 100).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.

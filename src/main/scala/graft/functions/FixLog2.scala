@@ -56,6 +56,26 @@ object FixLog2 {
        |      THEN (((s // 65536) * (s // 65536)) >> 63) * 65536 + (s % 65536) * 2 + 1
        |      ELSE (((s // 65536) * (s // 65536)) >> 62) * 65536 + (s % 65536) * 2 END
        |) % 65536))""".stripMargin
+
+  /** [[log2Fix16]] as a per-row expression, for operators whose keys
+    * need an exact log on DATA rows (weighted sampling), not just on a
+    * bounded driver-side model table.
+    */
+  def log2Fix16Col(n: Column): Column = bridge.column(Log2Fix16Expr(bridge.expression(n)))
+}
+
+/** Per-row [[FixLog2.log2Fix16]]: floor(2^16 · log2 n) for a BIGINT
+  * column with n ≥ 1 — same pure-integer squaring fold, bit-identical
+  * to [[FixLog2.sqlL]]'s DuckDB HUGEINT emission.
+  */
+case class Log2Fix16Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    FixLog2.log2Fix16(input.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `Md5BucketDeltaSum(tokens)` — Σ over the token array of

@@ -699,6 +699,58 @@ object TextAnalysis {
       |WHERE md5_number_lower(source || ':' || CAST(doc_id AS VARCHAR)) % 1000 < 100
       |ORDER BY doc_id""".stripMargin
 
+  // ---- weighted sampling without replacement (A-ES) -----------------------
+  /** Efraimidis–Spirakis weighted reservoir sampling, deterministic and
+    * engine-exact: each document draws u = h/2^62 from the portable md5
+    * hash and ranks by u^(1/w) — equivalently by log2(u)/w. The usual
+    * implementation needs libm (pow or log), which is not cross-engine
+    * reproducible; here log2(u) = L(h) − 62·2^16 comes from the
+    * pure-integer [[graft.functions.FixLog2]] fold, and the ranking key
+    * is the NON-NEGATIVE integer ((62·2^16 − L(h)) · 2^20) div w, whose
+    * truncating division equals DuckDB's floor `//` because every
+    * operand is non-negative. Lowest key = largest u^(1/w), so the
+    * sample is the bottom-k — planned as a distributed TakeOrdered,
+    * never a global sort; the draw itself is pure scan work.
+    *
+    * Heavier documents win proportionally more often (the A-ES
+    * guarantee, asserted statistically in TextAnalysisSpec); ties break
+    * by doc_id. Zero-weight rows are excluded on both sides.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleAt(spark, dir, k = 100)
+
+  def weightedSampleAt(spark: SparkSession, dir: String, k: Int): DataFrame =
+    weightedSampleOn(Catalog(spark, dir).ref("documents"), k)
+
+  private[ops] def weightedSampleOn(docs: DataFrame, k: Int): DataFrame = {
+    val twoPow62 = 4611686018427387904L
+    docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("h", graft.functions.ArrayExprs.md5Mod(
+        concat(lit("ws:"), col("doc_id").cast("string")), twoPow62) + lit(1L))
+      .withColumn("l2f", graft.functions.FixLog2.log2Fix16Col(col("h")))
+      .withColumn("key", expr(s"((${62L * 65536L} - l2f) * 1048576) div w"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w"), col("key"))
+  }
+
+  val weightedSampleSql: String = {
+    val l = graft.functions.FixLog2.sqlL("h")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+       |         md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+       |           % 4611686018427387904 + 1 AS h
+       |  FROM documents WHERE n_chars >= 1),
+       |keyed AS (
+       |  SELECT doc_id, w,
+       |         CAST(((${62L * 65536L} - $l) * 1048576) // w AS BIGINT) AS key
+       |  FROM d)
+       |SELECT doc_id, w, key FROM keyed
+       |ORDER BY key, doc_id LIMIT 100""".stripMargin
+  }
+
   // ---- per-source vocabulary --------------------------------------------------
   /** Top-5 bigrams per source by frequency — the corpus-reporting /
     * vocabulary-drift check of a data pipeline. Bigram counts shuffle
@@ -1038,6 +1090,7 @@ object TextAnalysis {
     "text_split_assign" -> (splitAssign _),
     "text_source_quota" -> (sourceQuota _),
     "text_sample_stratified" -> (stratifiedSample _),
+    "text_weighted_sample" -> (weightedSample _),
     "text_mixture_sample" -> (mixtureSample _),
     "text_bigram_lm" -> (bigramLm _),
     "text_vocab_topk" -> (vocabTopK _),
@@ -1060,6 +1113,7 @@ object TextAnalysis {
     "text_split_assign" -> splitAssignSql,
     "text_source_quota" -> sourceQuotaSql,
     "text_sample_stratified" -> stratifiedSampleSql,
+    "text_weighted_sample" -> weightedSampleSql,
     "text_mixture_sample" -> mixtureSampleSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_vocab_topk" -> vocabTopKSql,

@@ -297,4 +297,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       s"no cartesian in the screen plan:\n$plan")
   }
+
+  test("weighted sample: scan-side keys into a TakeOrdered, no shuffle, no join") {
+    val plan = executed(TextAnalysis.weightedSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must be a distributed TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"the draw must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the draw must stay scan work:\n$plan")
+  }
 }

@@ -167,4 +167,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(discriminating >= 2,
       s"at least two rules must fire both ways on the fixture ($discriminating did)")
   }
+
+  test("weighted sample: exactly k rows, biased toward heavy documents, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.weightedSampleAt(spark, sf, k = 100).collect()
+    assert(out.length === 100)
+    assert(out.map(_.getLong(0)).distinct.length === 100, "without replacement")
+    // A-ES guarantee: inclusion probability rises with weight, so the
+    // sampled mean weight must sit clearly above the corpus mean
+    val sampledMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusMean = graft.catalog.Catalog(spark, sf).ref("documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampledMean > corpusMean * 1.05,
+      s"sample not weight-biased: sampled=$sampledMean corpus=$corpusMean")
+    // the draw is a pure function of doc_id, so the sample cannot depend
+    // on physical layout — same result after an arbitrary repartition
+    val ids = out.map(_.getLong(0)).toSet
+    val reShuffled = TextAnalysis.weightedSampleOn(
+      graft.catalog.Catalog(spark, sf).ref("documents").repartition(13), k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(reShuffled === ids)
+  }
 }
