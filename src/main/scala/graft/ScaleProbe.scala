@@ -172,6 +172,9 @@ object ScaleProbe {
     // A-ES weighted sample at 8x: integer-log keys ride the scan, the
     // top-k is a TakeOrdered -- no shuffle of the corpus
     time("weighted_sample_8x")(ops.TextAnalysis.weightedSampleAt(spark, dir, 100).count())
+    // z-value computation at 8x: two broadcast joins (20-row dict, 1-row
+    // stats) + scan-side bit math
+    time("zvalue_8x")(ops.Layout.zvalue(spark, dir).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.

@@ -26,7 +26,7 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.AsOf.queries ++
       ops.RangeJoin.queries ++ ops.Graph.queries ++ ops.Search.queries ++
       ops.Curation.queries ++ ops.BpeTrain.queries ++ ops.Cleaning.queries ++
-      ops.Dsir.queries ++ ops.Kmeans.queries ++ ops.Sketches.queries ++
+      ops.Dsir.queries ++ ops.Kmeans.queries ++ ops.Sketches.queries ++ ops.Layout.queries ++
       push.PushQueries.queries ++ streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
@@ -37,6 +37,6 @@ object SparkEntry {
       ops.TextAnalysis.oracles ++ ops.Multimodal.oracles ++ ops.AsOf.oracles ++
       ops.RangeJoin.oracles ++ ops.Graph.oracles ++ ops.Search.oracles ++
       ops.Curation.oracles ++ ops.BpeTrain.oracles ++ ops.Cleaning.oracles ++
-      ops.Dsir.oracles ++ ops.Kmeans.oracles ++ ops.Sketches.oracles ++
+      ops.Dsir.oracles ++ ops.Kmeans.oracles ++ ops.Sketches.oracles ++ ops.Layout.oracles ++
       push.PushQueries.oracles ++ streaming.StreamingQueries.oracles
 }
