@@ -722,18 +722,65 @@ object TextAnalysis {
   def weightedSampleAt(spark: SparkSession, dir: String, k: Int): DataFrame =
     weightedSampleOn(Catalog(spark, dir).ref("documents"), k)
 
-  private[ops] def weightedSampleOn(docs: DataFrame, k: Int): DataFrame = {
+  /** The scan-side A-ES key relation shared by the global and grouped
+    * samplers: (doc_id, source, w, key).
+    */
+  private def aesKeyed(docs: DataFrame): DataFrame = {
     val twoPow62 = 4611686018427387904L
     docs
-      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
       .filter(col("w") >= 1)
       .withColumn("h", graft.functions.ArrayExprs.md5Mod(
         concat(lit("ws:"), col("doc_id").cast("string")), twoPow62) + lit(1L))
       .withColumn("l2f", graft.functions.FixLog2.log2Fix16Col(col("h")))
       .withColumn("key", expr(s"((${62L * 65536L} - l2f) * 1048576) div w"))
+  }
+
+  private[ops] def weightedSampleOn(docs: DataFrame, k: Int): DataFrame =
+    aesKeyed(docs)
       .orderBy(col("key"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("w"), col("key"))
+
+  /** Per-GROUP weighted sampling — k docs per source by the same A-ES
+    * key, i.e. a stratified sample whose within-stratum draw is
+    * weighted. The per-group bottom-k is a rank window that Spark plans
+    * with WindowGroupLimit (plan-pinned): each map partition keeps at
+    * most k rows per group BEFORE the shuffle, so the exchange carries
+    * ~k·|groups| rows, not the corpus — the grouped analogue of the
+    * global sampler's TakeOrdered.
+    */
+  def weightedSampleGrouped(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleGroupedAt(spark, dir, kPerGroup = 5)
+
+  def weightedSampleGroupedAt(spark: SparkSession, dir: String,
+      kPerGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+    aesKeyed(Catalog(spark, dir).ref("documents"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPerGroup)
+      .select(col("source"), col("rank"), col("doc_id"), col("w"), col("key"))
+      .orderBy("source", "rank")
+  }
+
+  val weightedSampleGroupedSql: String = {
+    val l = graft.functions.FixLog2.sqlL("h")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+       |         md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+       |           % 4611686018427387904 + 1 AS h
+       |  FROM documents WHERE n_chars >= 1),
+       |keyed AS (
+       |  SELECT doc_id, source, w,
+       |         CAST(((${62L * 65536L} - $l) * 1048576) // w AS BIGINT) AS key
+       |  FROM d),
+       |ranked AS (
+       |  SELECT source, doc_id, w, key,
+       |         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rank
+       |  FROM keyed)
+       |SELECT source, rank, doc_id, w, key FROM ranked
+       |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
   }
 
   val weightedSampleSql: String = {
@@ -1091,6 +1138,7 @@ object TextAnalysis {
     "text_source_quota" -> (sourceQuota _),
     "text_sample_stratified" -> (stratifiedSample _),
     "text_weighted_sample" -> (weightedSample _),
+    "text_weighted_sample_grouped" -> (weightedSampleGrouped _),
     "text_mixture_sample" -> (mixtureSample _),
     "text_bigram_lm" -> (bigramLm _),
     "text_vocab_topk" -> (vocabTopK _),
@@ -1114,6 +1162,7 @@ object TextAnalysis {
     "text_source_quota" -> sourceQuotaSql,
     "text_sample_stratified" -> stratifiedSampleSql,
     "text_weighted_sample" -> weightedSampleSql,
+    "text_weighted_sample_grouped" -> weightedSampleGroupedSql,
     "text_mixture_sample" -> mixtureSampleSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_vocab_topk" -> vocabTopKSql,

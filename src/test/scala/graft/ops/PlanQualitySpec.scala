@@ -306,4 +306,11 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"the draw must stay scan work:\n$plan")
   }
+
+  test("grouped weighted sample: per-group k is a WindowGroupLimit, pre-shuffle") {
+    val plan = executed(TextAnalysis.weightedSampleGrouped(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rank filter must push a per-group limit below the exchange:\n$plan")
+    assert(!plan.contains("Join"), s"the grouped draw must not join:\n$plan")
+  }
 }

@@ -188,4 +188,17 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(reShuffled === ids)
   }
+
+  test("grouped weighted sample: k rows for every source, ranks dense from 1") {
+    val out = TextAnalysis.weightedSampleGroupedAt(spark, sf, kPerGroup = 3)
+      .collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.size > 1)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length === 3, s"$src must contribute exactly k rows")
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+    }
+    assert(out.map(_.getLong(2)).distinct.length === out.length,
+      "without replacement across the whole sample")
+  }
 }
