@@ -199,7 +199,13 @@ object Dedup {
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
       .filter(col("n") > 0)
       .localCheckpoint(eager = false)
-    val prefixLen = (col("n") - ceil(lit(tauC) * col("n")) + 1).cast("int")
+    // ceil over an epsilon-nudged product: tauC is a rounded double, and
+    // when tauC·n lands a hair ABOVE the true rational's integer ceiling
+    // (e.g. τ = 0.118, n = 559) a bare ceil would shorten the prefix by
+    // one and silently drop a true pair. Nudging down can only LENGTHEN
+    // the prefix (more probes, still lossless); the exact verify keeps
+    // the emitted pair set unchanged either way.
+    val prefixLen = (col("n") - ceil(lit(tauC) * col("n") - lit(1e-9)) + 1).cast("int")
     val cands = sets
       .select(col("doc_id"), col("n"), prefixLen.as("k"),
         posexplode(col("shs")).as(Seq("pos", "sh")))
@@ -339,7 +345,11 @@ object Dedup {
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
       .filter(col("n") > 0)
       .localCheckpoint(eager = false)
-    val prefixLen = (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int")
+    // epsilon-nudged ceil, same rounding hazard as ngramPairsFromShingles:
+    // a double τ·n landing a hair above the true integer ceiling would
+    // shorten the prefix and break losslessness; nudging down only
+    // lengthens it, and the exact verify keeps the pair set identical
+    val prefixLen = (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int")
     val cands = sets
       .select(col("doc_id"), col("n"), prefixLen.as("k"),
         posexplode(col("shs")).as(Seq("pos", "sh")))

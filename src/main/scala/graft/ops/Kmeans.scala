@@ -57,10 +57,11 @@ object Kmeans {
     val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false)
     // init: the k lowest-vec_id vectors, float→double widening (exact)
+    // corpus may hold fewer than k vectors — the effective k is then
+    // centroids.length and every vector seeds its own cell
     var centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val kEff = centroids.length // corpus may hold fewer than k vectors
 
     def assigned(cents: Array[Array[Double]]): DataFrame =
       emb.select(col("vec_id"), col("embedding"),
@@ -82,7 +83,7 @@ object Kmeans {
           exploded.groupBy("cid", "dim")
             .agg(aggregate(array_sort(collect_list(col("v"))), lit(0.0),
               (acc, x) => acc + x).as("s"), count(lit(1)).as("n"))
-      // ≤ kEff·D rows of (int, int, double, long) — bounded metadata
+      // ≤ centroids.length·D rows of (int, int, double, long) — bounded
       val next = centroids.map(_.clone()) // empty clusters keep position
       sums.collect().foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)

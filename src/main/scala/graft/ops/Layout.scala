@@ -63,14 +63,16 @@ object Layout {
       .withColumn("src_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("source"))) - 1)
-    val nSrc = ranks.count()
+    // all three normalization stats ride the one 1-row broadcast
+    // aggregate — no eager driver-side count() job at plan-build time
     val stats = docs.agg(min(col("n_chars")).cast("long").as("cmin"),
-      max(col("n_chars")).cast("long").as("cmax"))
+      max(col("n_chars")).cast("long").as("cmax"),
+      countDistinct(col("source")).cast("long").as("nsrc"))
     docs.select(col("doc_id"), col("source"), col("n_chars").cast("long").as("c"))
       .join(broadcast(ranks), Seq("source"))
       .crossJoin(broadcast(stats))
       .withColumn("src_bits",
-        expr(s"(src_rank * 255) div ${math.max(1L, nSrc - 1)}L"))
+        expr("(src_rank * 255) div greatest(1L, nsrc - 1)"))
       .withColumn("c_bits",
         expr("((c - cmin) * 255) div greatest(1L, cmax - cmin)"))
       .withColumn("z", expr(s"CAST(${zTermsSpark("src_bits", "c_bits")} AS BIGINT)"))

@@ -45,16 +45,32 @@ object Sketches {
     * undercount) is asserted in SketchesSpec on every shingle, not just
     * the heavy ones.
     */
-  def cmsHeavyAt(spark: SparkSession, dir: String, topN: Int): DataFrame = {
-    val c = Catalog(spark, dir)
-    val ts = TextAnalysis.tokens(lower(col("text")))
-    val occ = c.ref("documents")
-      .select(ts.as("ts"))
-      .select(explode(when(size(col("ts")) >= 3,
+  /** One row per 3-gram shingle occurrence, keeping `keep` columns.
+    * explode_outer, NOT explode: for a plain explode Spark's
+    * InferFiltersFromGenerate pushes a `size(e) > 0 AND isnotnull(e)`
+    * filter below the Generate and re-evaluates the whole shingle
+    * transform per row in the scan stage (the Dedup.scala lesson); the
+    * outer variant infers nothing, and the cheap null filter on the
+    * GENERATED column replaces it. Callers that consume the stream more
+    * than once pin it with localCheckpoint so the tokenize+shingle pass
+    * runs once, not once per consumer.
+    */
+  private def shingleStream(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
+    docs.select(kept :+ TextAnalysis.tokens(lower(col("text"))).as("ts"): _*)
+      .select(kept :+ explode_outer(when(size(col("ts")) >= 3,
         transform(sequence(lit(1), size(col("ts")) - 2),
           i => concat_ws(" ", element_at(col("ts"), i),
-            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
-        .otherwise(array())).as("w"))
+            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2)))))
+        .as("w"): _*)
+      .filter(col("w").isNotNull)
+  }
+
+  def cmsHeavyAt(spark: SparkSession, dir: String, topN: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    // two consumers (counter build + exact counts) — pin the stream
+    val occ = shingleStream(c.ref("documents"), Nil)
+      .localCheckpoint(eager = false)
     val counters = cmsCounters(occ)
     val heavy = occ.groupBy("w").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("w"))
@@ -79,16 +95,20 @@ object Sketches {
   /** Point estimates for the tokens of `q` (column `w`, other columns
     * carried through): est(w) = min over j of counter[j][h_j(w)]. The
     * counter relation broadcasts (≤ d·w rows); the query set never
-    * touches the corpus.
+    * touches the corpus. LEFT join + coalesce(0): a query token absent
+    * from the sketched stream can probe empty buckets, and the true CMS
+    * answer there is the zero counter — an inner join would silently
+    * drop the token (all buckets empty) or over-estimate it (min over
+    * only the collision-populated buckets).
     */
   private[ops] def cmsEstimate(q: DataFrame, counters: DataFrame): DataFrame = {
     val probes = q.select(q.columns.map(col): _*)
       .withColumn("j", explode(sequence(lit(0), lit(D - 1))))
       .withColumn("b",
         md5Mod(concat(lit("cms:"), col("j").cast("string"), lit(":"), col("w")), W))
-    probes.join(broadcast(counters), Seq("j", "b"))
+    probes.join(broadcast(counters), Seq("j", "b"), "left")
       .groupBy(q.columns.map(col): _*)
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
   val cmsHeavySql: String =
@@ -159,14 +179,10 @@ object Sketches {
 
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val ts = TextAnalysis.tokens(lower(col("text")))
-    val occ = c.ref("documents")
-      .select(col("source"), ts.as("ts"))
-      .select(col("source"), explode(when(size(col("ts")) >= 3,
-        transform(sequence(lit(1), size(col("ts")) - 2),
-          i => concat_ws(" ", element_at(col("ts"), i),
-            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
-        .otherwise(array())).as("sh"))
+    // two consumers (registers + the exact comparison column) — pin
+    val occ = shingleStream(c.ref("documents"), Seq("source"))
+      .withColumnRenamed("w", "sh")
+      .localCheckpoint(eager = false)
     val regs = hllRegisters(occ)
     val per = regs.groupBy("source").agg(
       sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m_j) AS DOUBLE)"))
@@ -234,14 +250,16 @@ object Sketches {
   def bloomContaminationAt(spark: SparkSession, dir: String,
       evalSource: String): DataFrame = {
     val c = Catalog(spark, dir)
-    val ts = TextAnalysis.tokens(lower(col("text")))
-    val ds = c.ref("documents")
-      .select(col("doc_id"), col("source"), ts.as("ts"))
-      .select(col("doc_id"), col("source"), explode(when(size(col("ts")) >= 3,
-        transform(sequence(lit(1), size(col("ts")) - 2),
-          i => concat_ws(" ", element_at(col("ts"), i),
-            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
-        .otherwise(array())).as("sh"))
+    // Three consumers (bit set, exact train set, eval probes) — but NOT
+    // checkpointed: each branch's source predicate pushes below the
+    // distinct to the parquet scan, so the train branches never touch
+    // eval rows and vice versa. A checkpoint here was measured 3× SLOWER
+    // at 8× (it materializes the corpus-wide distinct, shuffling every
+    // shingle string once, and then all three branches pay the read),
+    // where the "redundant" branches are filtered scans plus distincts
+    // over disjoint slices.
+    val ds = shingleStream(c.ref("documents"), Seq("doc_id", "source"))
+      .withColumnRenamed("w", "sh")
       .distinct()
     def pos(j: org.apache.spark.sql.Column) = md5Mod(
       concat(lit("bloom:"), j.cast("string"), lit(":"), col("sh")), BloomM)

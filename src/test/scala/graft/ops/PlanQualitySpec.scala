@@ -286,7 +286,7 @@ class PlanQualitySpec extends SparkTestBase {
     // corpus-sized relations
     assert(!plan.contains("SortMergeJoin"),
       s"HLL must not sort-merge anything:\n$plan")
-    assert(plan.contains("partial_max") || plan.contains("partial_"),
+    assert(plan.contains("partial_max"),
       s"register max must partial-aggregate map-side:\n$plan")
   }
 
