@@ -42,15 +42,18 @@ object BpeTrain {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  private val cache = TrieMap.empty[(String, Int), Seq[(String, String, Long)]]
+  private val cache = TrieMap.empty[(String, Int, Long), Seq[(String, String, Long)]]
 
   /** The learned table: (left, right, pairFreq) in rank order. Memoized
-    * per (dir, n) — training is deterministic, so one derivation per
-    * corpus per session serves every consumer.
+    * per (dir, n, driverThreshold) — training is deterministic, so one
+    * derivation per corpus per session serves every consumer; the
+    * threshold is part of the key so a caller that forces the
+    * distributed path (ScaleProbe's driverThreshold = 0 timing probe)
+    * can never be served a cached driver-path result.
     */
   def trainedMerges(spark: SparkSession, dir: String, n: Int = DefaultMerges,
       driverThreshold: Long = 1L << 20): Seq[(String, String, Long)] =
-    cache.getOrElseUpdate((dir, n), {
+    cache.getOrElseUpdate((dir, n, driverThreshold), {
       val vocab = vocabDf(spark, dir)
       val probe = vocab.limit(driverThreshold.toInt + 1).collect()
       if (probe.length <= driverThreshold)

@@ -62,14 +62,29 @@ object Curation {
     * single projection, persisted so every stage reads the tokenized
     * cache instead of re-scanning the parquet. Raw text is dropped —
     * nothing downstream needs it.
+    *
+    * Memoized per (session, dir): the plan-audit entry points
+    * ([[curationPositioned]], [[curationSampled]]) cannot unpersist the
+    * base they return lazily, so without the memo every audit call
+    * would pin a NEW corpus-sized cache — the memo bounds the leak to
+    * one cache per corpus, and [[pipelineCurationE2e]] releases it
+    * (memo entry included) in a finally.
     */
+  private val baseCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   private def curationBase(spark: SparkSession, dir: String): DataFrame =
-    Catalog(spark, dir).ref("documents")
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.tokens(col("text")).as("toks"),
-        split(col("text"), " ").as("w"),
-        length(col("text")).as("tlen"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    baseCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+      Catalog(spark, dir).ref("documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"),
+          split(col("text"), " ").as("w"),
+          length(col("text")).as("tlen"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  private def releaseBase(spark: SparkSession, dir: String): Unit =
+    baseCache.remove((System.identityHashCode(spark), dir))
+      .foreach(_.unpersist(blocking = false))
 
   /** Stages 1–4 from the shared base — the fully-visible (no shard
     * positioning) plan the single-scan spec audits.
@@ -118,15 +133,17 @@ object Curation {
       .select(col("doc_id"), col("lang"))
     // 2. Paragraph-level dedup: keep DECISIONS over the whole corpus
     //    (first-occurrence semantics need every doc's chunks), but the
-    //    text REBUILD runs only for the sampled membership — the kept
-    //    metadata broadcasts against the cached words, so text_clean is
-    //    built once, for shipped docs only, and crosses one
-    //    doc_id-keyed join.
+    //    text REBUILD runs only for the sampled membership. The `keep`
+    //    joins are plain doc_id equi-joins, NOT broadcast hints: the
+    //    sampled membership is corpus-PROPORTIONAL (the water-fill keeps
+    //    ~everything on a balanced corpus), so forcing a broadcast would
+    //    collect O(N) rows onto the driver at scale — AQE still
+    //    broadcasts it when it is actually small.
     val keepSet = Dedup.paragraphKeepSetOnW(base.select(col("doc_id"), col("w")), 10)
     val sampledW = base.select(col("doc_id"), col("w"))
-      .join(broadcast(keep.select(col("doc_id"))), Seq("doc_id"))
+      .join(keep.select(col("doc_id")), Seq("doc_id"))
     Dedup.paragraphRebuildOnW(sampledW, keepSet, 10)
-      .join(broadcast(keep), Seq("doc_id"))
+      .join(keep, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text_clean"))
   }
 
@@ -151,7 +168,7 @@ object Curation {
     */
   def pipelineCurationE2e(spark: SparkSession, dir: String): DataFrame = {
     val outDir = graft.util.Fs.sessionTempDir("curation_shards")
-    val (base, positioned) = curationStages(spark, dir)
+    val (_, positioned) = curationStages(spark, dir)
     // No repartition before the write: positioned leaves globalRowNumber
     // range-partitioned with pos CONTIGUOUS per partition and ascending
     // across them, and shard_id is monotone in pos — so a direct
@@ -159,10 +176,10 @@ object Curation {
     // most TWO files (a shard straddling one partition boundary), with
     // zero extra text shuffle. The boundary split is a file-layout
     // detail the manifest aggregation is insensitive to.
-    positioned
+    try positioned
       .sortWithinPartitions(col("shard_id"), col("pos"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-    base.unpersist(blocking = false)
+    finally releaseBase(spark, dir) // also drops the memo entry
     spark.read.parquet(outDir)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -25,9 +25,9 @@ import graft.functions.ArrayExprs.md5Mod
   *
   * The synthetic corpus draws every document's words from one
   * distribution, so class labels are PLANTED (the repo's md5-draw
-  * fixture pattern): ~20% of docs are "pos" and gain three marker
-  * tokens from a 16-word vocabulary; 1-in-7 neg docs gain one marker
-  * as label noise. The derivation replays verbatim in the DuckDB twin;
+  * fixture pattern): ~20% of docs are "pos" and gain eight marker
+  * tokens drawn from an 8-word vocabulary (hq0..hq7); 1-in-7 neg docs
+  * gain one marker as label noise. The derivation replays verbatim in the DuckDB twin;
   * what's exercised — count training, smoothing, broadcast scoring,
   * sign/quartile selection — is the honest algorithm a labeled corpus
   * would run, and DsirSpec checks it actually separates the classes.

@@ -256,16 +256,21 @@ object StreamingQueries {
     * join, with unmatched views KEPT only when their match window
     * closed at the terminal watermark — min of the two sides' max event
     * times minus the 10-minute delay, exactly the global watermark an
-    * AvailableNow run ends on (multipleWatermarkPolicy = min). NULLS
-    * FIRST mirrors Spark's ascending null ordering for the row-order
-    * compare.
+    * AvailableNow run ends on (multipleWatermarkPolicy = min). The
+    * watermark is NULL (flushing nothing) when EITHER side has no rows:
+    * DuckDB's least() would skip a NULL operand, but Spark's min policy
+    * pins the global watermark at epoch while an input is empty, so no
+    * unmatched row is ever emitted there. NULLS FIRST mirrors Spark's
+    * ascending null ordering for the row-order compare.
     */
   val streamAttributionOuterSql: String =
     """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
       |v AS (SELECT event_id AS view_id, ts AS view_ts, user_id AS view_user FROM e WHERE event_type = 'view'),
       |c AS (SELECT event_id AS click_id, ts AS click_ts, user_id FROM e WHERE event_type = 'click'),
-      |wm AS (SELECT least((SELECT max(view_ts) FROM v), (SELECT max(click_ts) FROM c))
-      |              - INTERVAL 10 MINUTE AS w),
+      |wm AS (SELECT CASE WHEN (SELECT max(view_ts) FROM v) IS NULL
+      |                      OR (SELECT max(click_ts) FROM c) IS NULL THEN NULL
+      |              ELSE least((SELECT max(view_ts) FROM v), (SELECT max(click_ts) FROM c))
+      |                   - INTERVAL 10 MINUTE END AS w),
       |j AS (
       |  SELECT v.view_user AS user_id, v.view_id, v.view_ts, c.click_id, c.click_ts
       |  FROM v LEFT JOIN c ON v.view_user = c.user_id
