@@ -175,6 +175,10 @@ object ScaleProbe {
     // z-value computation at 8x: two broadcast joins (20-row dict, 1-row
     // stats) + scan-side bit math
     time("zvalue_8x")(ops.Layout.zvalue(spark, dir).count())
+    // hamming-banded perceptual near-dup at 8x: hash+decode is the N/5
+    // PNG scan; pair work runs over DISTINCT hashes (24 planted values
+    // at ANY corpus size), so the banded self-join + verify is flat
+    time("phash_hamming_8x")(ops.Multimodal.phashHammingNearDup(spark, dir).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.
@@ -274,6 +278,10 @@ object ScaleProbe {
     report ++= "  operators' own scale shapes; text crosses a shuffle only to\n"
     report ++= "  rebuild text_clean (keyed by unique doc_id) and in the final\n"
     report ++= "  shard repartition, never as a key.\n"
+    report ++= "- hamming-banded perceptual near-dup collapses the corpus to\n"
+    report ++= "  DISTINCT hashes before any pair work (exact dedup for free),\n"
+    report ++= "  so the banded candidate join is corpus-size-independent on a\n"
+    report ++= "  bounded hash vocabulary; cost is the decode scan.\n"
     report ++= "- compaction repacks a 256-small-file corpus in one read+write\n"
     report ++= "  pass; file-count planning never reads data, and the dot-prefixed\n"
     report ++= "  swap keeps concurrent readers on a consistent file set.\n"

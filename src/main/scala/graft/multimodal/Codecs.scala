@@ -238,6 +238,36 @@ object Codecs {
     baos.toByteArray
   }
 
+  /** Encode an 8×8-cell grayscale PNG carrying a full 64-bit pattern:
+    * `size`×`size`, split into an 8×8 grid; cell (row j, col i) is
+    * `bright` iff bit (8·j + i) of `pattern` is set, else `dark`
+    * (r = g = b). As long as 0 < popcount(pattern) < 64 and
+    * dark < bright, [[aHash64]] recovers `pattern` exactly (every
+    * bright cell is above the grid mean, every dark cell below) — the
+    * planted fixture for HAMMING-distance perceptual dedup, where
+    * variants of a base pattern differ in 1–2 chosen bits.
+    */
+  def encodeCellPng(size: Int, pattern: Long, dark: Int, bright: Int): Array[Byte] = {
+    require(size % 8 == 0, "cell fixture needs size divisible by 8")
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cell = size / 8
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val bit = 8 * (y / cell) + (x / cell)
+        val v = if (((pattern >>> bit) & 1L) == 1L) bright else dark
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** 64-bit average hash (aHash), the classic perceptual image
     * fingerprint: sample an 8×8 grid by nearest neighbor, grayscale each
     * sample as (r+g+b)/3, and set bit (8·row + col) iff the sample is at

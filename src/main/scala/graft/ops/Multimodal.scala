@@ -299,6 +299,12 @@ object Multimodal {
     * (mapPartitions-style RDD stage, payloads never leave their
     * partition); the rollup shuffles 20-byte (hash, shade) rows — the
     * same one-aggregation shape as exact dedup, at any corpus size.
+    *
+    * LIMITATION: this variant groups by EXACT hash equality (hamming
+    * distance 0) — shade jitter inside a planted band pattern. A
+    * re-encoded/resized image whose hash differs by 1–3 bits does NOT
+    * group here; use [[phashHammingNearDup]] / [[hammingGroups]] for
+    * true hamming-distance near-dup.
     */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val ids = Catalog(spark, dir).ref("documents")
@@ -400,6 +406,113 @@ object Multimodal {
       |       count(DISTINCT loud) AS n_levels
       |FROM h GROUP BY 1 ORDER BY representative_id""".stripMargin
 
+  // ---- Hamming-banded perceptual near-dup -----------------------------------
+  // Exact-hash grouping (phashNearDup above) misses the entire point of a
+  // perceptual hash: a re-encoded/resized/cropped image lands 1–3 bits
+  // away, not 0. The sub-quadratic public pattern is multi-index hashing
+  // (Norouzi et al. 2012) — the same band-then-verify shape as MinHash
+  // LSH (Dedup.scala minhashLsh): split the 64-bit hash into d+1 bands;
+  // two hashes within hamming distance d must agree EXACTLY on at least
+  // one band (pigeonhole), so an exact-match band self-join finds every
+  // candidate pair with zero false negatives, and popcount(xor) ≤ d
+  // verifies. All-pairs is never materialized.
+
+  /** Group a `(id, hash64)` relation by hamming distance ≤ `maxDist`:
+    * band into `maxDist + 1` exact-match bands, verify candidates with
+    * `bit_count(a ^ b) <= maxDist`, resolve connected components via
+    * [[Dedup.clustersOf]] (driver union-find when the edge set is tiny,
+    * distributed min-label past the threshold).
+    *
+    * Scale shape: pair work runs over DISTINCT hashes, not rows — a
+    * corpus-proportional dup family collapses to one hash row before any
+    * join (the same "dedup at signature level" move as MinHash). Band
+    * rows are 3×8-byte; the verify join carries only (band-colliding
+    * distinct-hash pairs), sub-quadratic by construction.
+    * Returns (id, hash, group_rep) — every input row labeled with the
+    * min-id of its hamming component.
+    */
+  def hammingGroups(spark: SparkSession, hashed: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands       // last band absorbs the remainder bits
+    val h = hashed.select(col(idCol).cast("long").as("id"), col(hashCol).as("hash"))
+    // Distinct-hash relation: identical hashes group for free (exact
+    // dedup); hrep = min id carries the eventual group label.
+    val dh = h.groupBy("hash").agg(min(col("id")).as("hrep")).localCheckpoint()
+    val bandVals = array((0 until bands).map { b =>
+      val lo = b * width
+      val w = if (b == bands - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("hash"), lo).bitwiseAND(lit(mask))
+    }: _*)
+    val banded = dh.select(col("hash"), col("hrep"),
+        posexplode(bandVals).as(Seq("band", "bval")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val edges = a.join(b,
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.hrep") < col("b.hrep"))
+      .filter(expr("bit_count(a.hash ^ b.hash)") <= maxDist)
+      .select(col("a.hrep").as("id1"), col("b.hrep").as("id2"))
+      .distinct()
+    val comps = Dedup.clustersOf(spark, edges, 1L << 20)
+      .withColumnRenamed("doc_id", "hrep_key")
+      .withColumnRenamed("cluster_rep", "comp_rep")
+    h.join(dh, "hash")
+      .join(comps, col("hrep") === col("hrep_key"), "left")
+      .select(col("id"), col("hash"),
+        coalesce(col("comp_rep"), col("hrep")).as("group_rep"))
+  }
+
+  /** Oracle query: hamming-banded near-dup over planted 64-bit cell
+    * PNGs. Family f = doc_id%8 fixes a base pattern P(f) = (2f+1) |
+    * ((~f & 7) << 4) expanded byte-wise (bit j of P ⇒ hash byte j all
+    * bright) — every family has exactly 32 bright cells, and any two
+    * bases differ in ≥ 2 bytes = 16 bits. Variant v = (doc_id/8)%3
+    * flips bit 56 (v=1) or bits 56–57 (v=2) of the planted pattern:
+    * 1–2-bit hash differences that EXACT grouping ([[phashNearDup]])
+    * can never merge — within a family every pairwise distance ≤ 2,
+    * across families ≥ 12, so d = 3 groups exactly by family. Shade
+    * jitter keeps the pixel bytes distinct inside a variant. The real
+    * decode path runs end-to-end (encode PNG → ImageIO decode →
+    * aHash64); DuckDB recomputes groups arithmetically. n_hashes > 1
+    * in every group is the proof the fixture defeats exact grouping.
+    */
+  def phashHammingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Catalog(spark, dir).ref("documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val rows = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val f = (id % 8).toInt
+      val p = ((f << 1) | 1) | ((~f & 0x7) << 4)
+      var base = 0L
+      var j = 0
+      while (j < 8) { if (((p >> j) & 1) == 1) base |= 0xFFL << (8 * j); j += 1 }
+      val v = ((id / 8) % 3).toInt
+      val planted = base ^ (if (v == 0) 0L else if (v == 1) 1L << 56 else 3L << 56)
+      val dark = (40 + (id / 24) % 20).toInt
+      val bright = (180 + (id / 40) % 20).toInt
+      val png = Codecs.encodeCellPng(16, planted, dark, bright)
+      Row(id, Codecs.aHash64(png))
+    }
+    val hashed = spark.createDataFrame(rows, schema)
+    hammingGroups(spark, hashed, "media_id", "ahash", maxDist = 3)
+      .groupBy(col("group_rep").as("representative_id"))
+      .agg(count(lit(1)).as("n_imgs"), countDistinct(col("hash")).as("n_hashes"))
+      .orderBy("representative_id")
+  }
+
+  val phashHammingSql: String =
+    """WITH m AS (SELECT doc_id, doc_id % 8 AS f, (doc_id // 8) % 3 AS v
+      |           FROM documents WHERE doc_id % 5 = 0)
+      |SELECT min(doc_id) AS representative_id,
+      |       count(*) AS n_imgs,
+      |       count(DISTINCT v) AS n_hashes
+      |FROM m GROUP BY f ORDER BY representative_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary_meta" -> (binaryMeta _),
     "multimodal_decode" -> (decodeFeatures _),
@@ -410,6 +523,7 @@ object Multimodal {
     "multimodal_audio_real" -> (audioReal _),
     "multimodal_frames_real" -> (framesReal _),
     "multimodal_phash_neardup" -> (phashNearDup _),
+    "multimodal_phash_hamming" -> (phashHammingNearDup _),
     "multimodal_audio_neardup" -> (audioNearDup _))
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +536,6 @@ object Multimodal {
     "multimodal_audio_real" -> audioRealSql,
     "multimodal_frames_real" -> framesRealSql,
     "multimodal_phash_neardup" -> phashNearDupSql,
+    "multimodal_phash_hamming" -> phashHammingSql,
     "multimodal_audio_neardup" -> audioNearDupSql)
 }

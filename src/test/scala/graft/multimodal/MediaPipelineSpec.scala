@@ -116,6 +116,36 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(Codecs.aHash64(base) === 0xFF00FFL)
   }
 
+  test("encodeCellPng: aHash64 recovers the planted 64-bit pattern exactly") {
+    val p = 0x0F0F0F0F0F0F0F0FL ^ (3L << 56) // mixed bright/dark incl. a flip
+    assert(Codecs.aHash64(Codecs.encodeCellPng(16, p, 40, 200)) === p)
+    // jitter invariance carries over from the band fixture
+    assert(Codecs.aHash64(Codecs.encodeCellPng(16, p, 55, 185)) === p)
+    // a single-bit pattern edit moves the hash by exactly one bit
+    val q = p ^ (1L << 17)
+    assert(java.lang.Long.bitCount(
+      Codecs.aHash64(Codecs.encodeCellPng(16, q, 40, 200)) ^ p) === 1)
+  }
+
+  test("hammingGroups: bands find 1-3-bit variants, transitive closure, no false merges") {
+    import graft.ops.Multimodal
+    val base = 0x00FF00FF00FF00FFL
+    val rows = Seq(
+      (1L, base),                              // family A base
+      (2L, base ^ (1L << 3)),                  // 1 bit off base
+      (3L, base ^ (1L << 3) ^ (3L << 40)),     // 3 off #2, 4 off base: TRANSITIVE
+      (4L, base ^ 0xF0F0L << 16),              // 8 bits away: separate group
+      (5L, base ^ 0xF0F0L << 16),              // exact dup of #4
+      (6L, 0x123456789ABCDEF0L))               // unrelated singleton
+    val out = Multimodal.hammingGroups(spark,
+        rows.toDF("id", "h"), "id", "h", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 1-2 direct (dist 1); 2-3 direct (dist 3); 1-3 only via transitivity
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(4L) === 4L && out(5L) === 4L, "exact dups group via distinct-hash collapse")
+    assert(out(6L) === 6L, "far hash stays a singleton")
+  }
+
   test("audioHash64: invariant to level jitter, sensitive to section structure") {
     def clip(pattern: Int, loud: Short, quiet: Short): Array[Byte] =
       Codecs.encodeWav(Array.tabulate(512) { i =>
