@@ -47,6 +47,50 @@ class BpeTrainSpec extends SparkTestBase {
       s"top trained merge must compress its own pair: $w")
   }
 
+  test("batched training with B=1 IS the sequential algorithm") {
+    val vocab = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("aaaa", 4L), ("ab", 7L), ("xyzzy", 1L))
+    val seq = BpeTrain.trainDriver(vocab, 12)
+    val b1 = BpeTrain.trainDriverBatched(vocab, 12, b = 1, k = 4)
+    assert(b1.map { case (_, l, r, f) => (l, r, f) } === seq)
+    // with B=1 every pass accepts exactly one merge: pass == rank
+    assert(b1.map(_._1) === (1 to b1.size))
+  }
+
+  test("batched driver and distributed paths learn IDENTICAL (pass, merge) sequences") {
+    import spark.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("banana", 4L), ("bandana", 2L), ("ananas", 3L))
+    val df = words.toDF("word", "freq")
+    val driver = BpeTrain.trainDriverBatched(words.toArray, 24, b = 4, k = 16)
+    val dist = BpeTrain.trainDistributedBatched(df, 24, b = 4, k = 16)
+    assert(driver === dist)
+    assert(driver.nonEmpty)
+  }
+
+  test("greedy acceptance is symbol-disjoint within a pass and caps at B") {
+    val cands = Seq(("e", "s", 9L), ("s", "t", 9L), ("w", "e", 8L),
+      ("l", "o", 7L), ("o", "w", 7L), ("n", "e", 6L))
+    val acc = BpeTrain.greedyAccept(cands, 3)
+    // (e,s) accepted; (s,t) blocked on s; (w,e) blocked on e; (l,o)
+    // accepted; (o,w) blocked on o and w; (n,e) blocked on e
+    assert(acc === Seq(("e", "s", 9L), ("l", "o", 7L)))
+    assert(BpeTrain.greedyAccept(cands, 1) === Seq(("e", "s", 9L)))
+  }
+
+  test("batched training on the corpus stays under N/8 passes and matches merge set") {
+    val batched = BpeTrain.trainedMergesBatched(spark, sf, n = 256)
+    assert(batched.nonEmpty)
+    val passes = batched.map(_._1).max
+    assert(passes <= 256 / 8, s"pass count $passes must be <= N/8 = 32")
+    // every merge in the batched table has positive frequency and the
+    // first pass starts from the same snapshot as sequential training:
+    // its first accepted pair IS the sequential argmax
+    val seq = BpeTrain.trainedMerges(spark, sf)
+    assert(batched.head._1 === 1)
+    assert((batched.head._2, batched.head._3, batched.head._4) === seq.head)
+  }
+
   test("merge application fold == reference mergeOnce on overlap chains") {
     // aaaa with (a,a): LTR non-overlap -> [aa, aa]; then (aa,aa) -> [aaaa]
     assert(Bpe.mergeOnce(List("a", "a", "a", "a"), "a", "a") === List("aa", "aa"))
