@@ -146,8 +146,10 @@ object ScaleProbe {
       .select(col("vec_id"), col("embedding"))
     var ivfIdx: ops.Ivf.IvfIndex = null
     time("ivf_build_8x") {
+      // Sibling of the corpus dir, NOT inside it: the index is derived
+      // state, and nothing scanning the corpus directory should see it.
       ivfIdx = ops.Ivf.buildIndex(embBig.filter(col("vec_id") % 10 =!= 0),
-        s"$dir/ivf_index", kCells = 32, iters = 0)
+        graft.util.Fs.sessionTempDir("probe_ivf_index", dir), kCells = 32, iters = 0)
       1L
     }
     time("ivf_screen_delta_8x")(ops.Ivf.screenBatch(spark, ivfIdx,

@@ -741,6 +741,11 @@ object ArrayExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val dim = v.numElements()
+      // A malformed embedding must FAIL, not silently score a truncated
+      // prefix into a plausible-but-wrong assignment.
+      if (centroids.nonEmpty && dim != centroids(0).length)
+        throw new IllegalArgumentException(
+          s"NearestCentroid: embedding dimension $dim != centroid dimension ${centroids(0).length}")
       var best = 0
       var bestScore = Double.NegativeInfinity
       var c = 0
@@ -748,8 +753,7 @@ object ArrayExprs {
         val cent = centroids(c)
         var dot = 0.0
         var j = 0
-        val n = math.min(dim, cent.length)
-        while (j < n) { dot += v.getFloat(j).toDouble * cent(j).toDouble; j += 1 }
+        while (j < cent.length) { dot += v.getFloat(j).toDouble * cent(j).toDouble; j += 1 }
         val score = if (norms(c) == 0.0) Double.NegativeInfinity else dot / norms(c)
         if (score > bestScore) { bestScore = score; best = c }
         c += 1
@@ -782,6 +786,10 @@ object ArrayExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val dim = v.numElements()
+      // Same dimension contract as [[NearestCentroid]]: fail loudly.
+      if (centroids.nonEmpty && dim != centroids(0).length)
+        throw new IllegalArgumentException(
+          s"NearestCentroidSq: embedding dimension $dim != centroid dimension ${centroids(0).length}")
       var best = -1
       var bestD2 = Double.PositiveInfinity
       var c = 0
@@ -789,8 +797,7 @@ object ArrayExprs {
         val cent = centroids(c)
         var acc = 0.0
         var j = 0
-        val n = math.min(dim, cent.length)
-        while (j < n) {
+        while (j < cent.length) {
           val d = v.getFloat(j).toDouble - cent(j)
           acc += d * d
           j += 1

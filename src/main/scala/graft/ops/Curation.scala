@@ -167,7 +167,7 @@ object Curation {
     * oracle row also proves the write round-trips.
     */
   def pipelineCurationE2e(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = graft.util.Fs.sessionTempDir("curation_shards")
+    val outDir = graft.util.Fs.sessionTempDir("curation_shards", dir)
     val (_, positioned) = curationStages(spark, dir)
     // No repartition before the write: positioned leaves globalRowNumber
     // range-partitioned with pos CONTIGUOUS per partition and ascending

@@ -277,7 +277,7 @@ object Ivf {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
     val index = buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
-      graft.util.Fs.sessionTempDir("ivf_index"), kCells, iters = 0)
+      graft.util.Fs.sessionTempDir("ivf_index", dir), kCells, iters = 0)
     screenBatch(spark, index, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
   }
 

@@ -261,7 +261,7 @@ object TextAnalysis {
     * (Replaces the r7 marker-word heuristic.)
     *
     * Confidence: `margin` = runner-up distance − best distance. A
-    * sub-threshold margin (less than 1/10 of the ng·K distance ceiling —
+    * sub-threshold margin (less than 1/25 of the ng·K distance ceiling —
     * [[graft.functions.LangProfiles.MarginDenom]]) predicts 'und': an
     * uncovered script distances every profile identically (margin 0),
     * and a genuine inter-language tie is also margin 0 — both are

@@ -22,7 +22,8 @@ object Fs {
   private val sessionDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var hookInstalled = false
 
-  /** One temp directory per `name` per JVM, deleted at JVM exit.
+  /** One temp directory per (`name`, `key`) per JVM, deleted at JVM
+    * exit.
     *
     * Operators whose contract needs a scratch write location (shard
     * output, a persisted index the oracle row rebuilds) use this
@@ -30,8 +31,16 @@ object Fs {
     * runs (benchmark repetitions, verify + bench in one JVM) overwrite
     * the SAME path via `mode("overwrite")` rather than leaking a new
     * directory each time, and a single shutdown hook reclaims them all.
+    *
+    * `key` scopes the reuse: callers pass the logical input (the
+    * dataset directory), so two datasets processed in one JVM — or two
+    * concurrently-running specs over different inputs — get DISTINCT
+    * scratch paths and can never clobber each other mid-read. Reuse
+    * (and hence the overwrite) only ever happens for repeated runs of
+    * the same operator over the same input, where the rewrite is
+    * idempotent.
     */
-  def sessionTempDir(name: String): String = {
+  def sessionTempDir(name: String, key: String = ""): String = {
     if (!hookInstalled) synchronized {
       if (!hookInstalled) {
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -41,7 +50,8 @@ object Fs {
         hookInstalled = true
       }
     }
-    sessionDirs.computeIfAbsent(name,
-      n => Files.createTempDirectory(n).toString)
+    val mapKey = if (key.isEmpty) name else s"$name|$key"
+    sessionDirs.computeIfAbsent(mapKey,
+      _ => Files.createTempDirectory(name).toString)
   }
 }

@@ -219,6 +219,31 @@ class ArrayExprsSpec extends SparkTestBase {
     assert(got(1).isNullAt(0), "fewer than n tokens must yield a null signature")
   }
 
+  test("nearestCentroid(+Sq): a dimension-mismatched embedding fails loudly") {
+    val cents = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    val centsD = cents.map(_.map(_.toDouble))
+    // Well-formed rows assign; a malformed (2-dim vs 3-dim) row must
+    // throw, never silently score a truncated prefix.
+    val ok = Seq(Tuple1(Array(0.9f, 0.1f, 0.0f))).toDF("v")
+    assert(ok.select(ArrayExprs.nearestCentroid(col("v"), cents)).head().getInt(0) === 0)
+    assert(ok.select(ArrayExprs.nearestCentroidSq(col("v"), centsD)("cid")).head().getInt(0) === 0)
+    // Depending on whether the local relation folds on the driver or
+    // runs in a task, the IllegalArgumentException may arrive bare or
+    // wrapped in a SparkException — either way it must surface.
+    def rootMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(x => Option(x.getMessage).getOrElse(""))
+    val bad = Seq(Tuple1(Array(0.9f, 0.1f))).toDF("v")
+    val e1 = intercept[Exception] {
+      bad.select(ArrayExprs.nearestCentroid(col("v"), cents)).collect()
+    }
+    assert(rootMessages(e1).exists(_.contains("dimension")))
+    val e2 = intercept[Exception] {
+      bad.select(ArrayExprs.nearestCentroidSq(col("v"), centsD)).collect()
+    }
+    assert(rootMessages(e2).exists(_.contains("dimension")))
+  }
+
   test("simHash64Md5: order-free and equals a by-hand vote reference") {
     import java.security.MessageDigest
     def md5l(s: String): Long = {
