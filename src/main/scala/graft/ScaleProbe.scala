@@ -126,6 +126,23 @@ object ScaleProbe {
     val spanLine = s"PROBE pack dominant-lang span      = $spanned/32 partitions (was 1 under partitionBy(lang))"
     println(spanLine); report ++= spanLine + "\n"
 
+    // 8x events (800k rows): the mergeable quantile sketch vs the exact
+    // per-group percentile. Exact materializes every group's full value
+    // multiset in ONE aggregation buffer (unbounded memory — the thing
+    // that dies first at 100 TB); the sketch carries <= cap rows per
+    // group per map partition and combines map-side like any algebraic
+    // aggregate, so its memory and shuffle are corpus-size-independent.
+    val evBase = graft.catalog.Catalog(spark, "/root/testdata/sf0.1").ref("events")
+    val nev = evBase.count()
+    (0 until 8).map(i =>
+      evBase.select((col("event_id") + lit(i * 10L * nev)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"), col("props")))
+      .reduce(_ union _)
+      .write.parquet(s"$dir/events.parquet")
+    println(s"EVENTS=${nev * 8}")
+    time("quantile_sketch_8x")(ops.Sketches.quantileSketch(spark, dir).count())
+    time("quantile_exact_8x")(ops.Relational.g12GroupQuantiles(spark, dir).count())
+
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
     // fraction of N per query.
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

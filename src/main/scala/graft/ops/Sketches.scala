@@ -321,13 +321,115 @@ object Sketches {
        |FROM probes p LEFT JOIN train t ON t.sh = p.sh
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Mergeable quantile sketch ---------------------------------------------
+  // The missing member of the family: per-group latency/size percentiles
+  // where the exact per-group percentile (g12) is the bottleneck — exact
+  // percentile materializes every group's full value multiset in one
+  // aggregation buffer (unbounded memory, effectively a per-group sort),
+  // while the sketch holds ≤ QsCap rows per group per map partition and
+  // combines map-side like any algebraic aggregate. Design and the
+  // KLL-vs-hash-derandomization trade-off:
+  // [[graft.functions.QuantileSketch]].
+  private[ops] val QsCap = 1024
+  private val QsMod = 1L << 62 // keep md5's low 62 bits: tz unaffected
+
+  /** Trailing zeros of the row's portable id-hash — the per-row "coin"
+    * that decides how many compaction levels the row survives. Shared
+    * between the Spark aggregate and the closed-form twin: DuckDB
+    * computes `least(bit_count((h - 1) & ~h), 62)` over the identical
+    * md5 value, so survivorship is bit-equal cross-engine.
+    */
+  private[ops] def qsTz(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5Mod(concat(lit("qs:"), id.cast("string")), QsMod)
+    least(bit_count((h - lit(1L)).bitwiseAND(bitwise_not(h))), lit(62)).cast("int")
+  }
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchAt(spark, dir, QsCap)
+
+  def quantileSketchAt(spark: SparkSession, dir: String, cap: Int): DataFrame =
+    quantileSketchOf(Catalog(spark, dir).ref("events"), cap)
+
+  /** Per-event-type p50/p95/p99 estimates from the one-pass sketch,
+    * plus the sketch's own (level, n, m) so the oracle hash-checks the
+    * compaction structure itself, not just the picked values.
+    *
+    * Quantile selection is integer-exact: target rank t_p = ⌈n·p/100⌉;
+    * the sample's i-th order statistic estimates global rank i·2^level,
+    * so pick i = clamp(⌈t_p / 2^level⌉, 1, m). Estimates are actual
+    * data values — never interpolated — hence cross-engine exact.
+    */
+  private[ops] def quantileSketchOf(events: DataFrame, cap: Int): DataFrame = {
+    val rows = events.select(col("event_type"), col("value"),
+      qsTz(col("event_id")).as("tz"))
+    val sk = rows.groupBy("event_type")
+      .agg(graft.functions.QuantileSketch.hashLevelKll(col("value"), col("tz"), cap).as("sk"))
+      .select(col("event_type"),
+        col("sk.level").cast("long").as("level"),
+        col("sk.n").as("n"),
+        size(col("sk.sample")).cast("long").as("m"),
+        col("sk.sample").as("sample"))
+    def pick(p: Int) = expr(
+      s"""element_at(sample, cast(least(greatest(
+         |  ((n * $p + 99) div 100 + shiftleft(cast(1 as bigint), cast(level as int)) - 1)
+         |    div shiftleft(cast(1 as bigint), cast(level as int)), 1), m) as int))""".stripMargin)
+    sk.withColumn("p50_est", pick(50))
+      .withColumn("p95_est", pick(95))
+      .withColumn("p99_est", pick(99))
+      .drop("sample")
+      .orderBy("event_type")
+  }
+
+  /** Closed-form twin: the canonical-set-function property means the
+    * sketch is recomputable without replaying any merge order — level =
+    * min l with ≤ cap qualified rows, sample = the qualified rows, same
+    * integer rank picks.
+    */
+  val quantileSketchSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, value, least(bit_count((h - 1) & ~h), 62) AS tz
+       |  FROM (SELECT event_type, value,
+       |               CAST(md5_number_lower('qs:' || CAST(event_id AS VARCHAR))
+       |                    % 4611686018427387904 AS BIGINT) AS h
+       |        FROM events)),
+       |lv AS (
+       |  SELECT event_type, min(l) AS level FROM (
+       |    SELECT r.event_type, ls.l, count(*) FILTER (WHERE r.tz >= ls.l) AS cnt
+       |    FROM r CROSS JOIN range(0, 64) ls(l)
+       |    GROUP BY 1, 2)
+       |  WHERE cnt <= $QsCap GROUP BY 1),
+       |stats AS (SELECT event_type, count(*) AS n FROM r GROUP BY 1),
+       |samp AS (
+       |  SELECT r.event_type, r.value,
+       |         row_number() OVER (PARTITION BY r.event_type ORDER BY r.value) AS i
+       |  FROM r JOIN lv USING (event_type) WHERE r.tz >= lv.level),
+       |sm AS (SELECT event_type, count(*) AS m FROM samp GROUP BY 1),
+       |sel AS (
+       |  SELECT st.event_type, lv.level, st.n, sm.m,
+       |         least(greatest(((st.n * 50 + 99) // 100 + (CAST(1 AS BIGINT) << lv.level) - 1)
+       |             // (CAST(1 AS BIGINT) << lv.level), 1), sm.m) AS i50,
+       |         least(greatest(((st.n * 95 + 99) // 100 + (CAST(1 AS BIGINT) << lv.level) - 1)
+       |             // (CAST(1 AS BIGINT) << lv.level), 1), sm.m) AS i95,
+       |         least(greatest(((st.n * 99 + 99) // 100 + (CAST(1 AS BIGINT) << lv.level) - 1)
+       |             // (CAST(1 AS BIGINT) << lv.level), 1), sm.m) AS i99
+       |  FROM stats st JOIN lv USING (event_type) JOIN sm USING (event_type))
+       |SELECT s.event_type, s.level, s.n, s.m,
+       |       max(CASE WHEN sa.i = s.i50 THEN sa.value END) AS p50_est,
+       |       max(CASE WHEN sa.i = s.i95 THEN sa.value END) AS p95_est,
+       |       max(CASE WHEN sa.i = s.i99 THEN sa.value END) AS p99_est
+       |FROM sel s JOIN samp sa USING (event_type)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_cms_heavy" -> (cmsHeavy _),
     "text_hll_distinct" -> (hllDistinct _),
-    "text_bloom_contamination" -> (bloomContamination _))
+    "text_bloom_contamination" -> (bloomContamination _),
+    "text_quantile_sketch" -> (quantileSketch _))
 
   val oracles: Map[String, String] = Map(
     "text_cms_heavy" -> cmsHeavySql,
     "text_hll_distinct" -> hllDistinctSql,
-    "text_bloom_contamination" -> bloomContaminationSql)
+    "text_bloom_contamination" -> bloomContaminationSql,
+    "text_quantile_sketch" -> quantileSketchSql)
 }

@@ -86,6 +86,78 @@ class SketchesSpec extends SparkTestBase {
     assert(fps > 0, "expected visible false positives at n*k/m ~ 0.5")
   }
 
+  // ---- quantile sketch -------------------------------------------------------
+
+  /** Independent plain-Scala twin of the sketch's canonical closed form:
+    * level = min l with ≤ cap rows whose id-hash has ≥ l trailing
+    * zeros; sample = those rows; integer rank picks.
+    */
+  private def qsExpected(dir: String, cap: Int) = {
+    val rows = Catalog(spark, dir).ref("events")
+      .select(col("event_type"), col("value"), Sketches.qsTz(col("event_id")).as("tz"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    rows.groupBy(_._1).map { case (et, grp) =>
+      val n = grp.length.toLong
+      val level = Iterator.from(0).find(l => grp.count(_._3 >= l) <= cap).get
+      val sample = grp.filter(_._3 >= level).map(_._2).sorted
+      def pick(p: Int): Double = {
+        val target = (n * p + 99) / 100
+        val w = 1L << level
+        val i = math.min(math.max((target + w - 1) / w, 1L), sample.length.toLong).toInt
+        sample(i - 1)
+      }
+      et -> ((level.toLong, n, sample.length.toLong, pick(50), pick(95), pick(99)))
+    }
+  }
+
+  test("quantile sketch: one-pass aggregate equals the canonical closed form") {
+    // cap 64 at sf0.001 (~200 rows/group) forces real compactions
+    // (level ≥ 1), so this exercises the promote-and-retain path, not
+    // the everything-fits case.
+    val got = Sketches.quantileSketchAt(spark, sf, cap = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val want = qsExpected(sf, cap = 64)
+    assert(got === want)
+    assert(got.values.exists(_._1 >= 1), "expected at least one compacted group")
+  }
+
+  test("quantile sketch: canonical under any partitioning / arrival order") {
+    // The 100 TB property: partial sketches form per input split and
+    // merge in whatever order the combine runs — the result must not
+    // depend on either. Hash-survivorship makes the sketch a set
+    // function, so every layout below is bit-identical.
+    val ev = Catalog(spark, sf).ref("events")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSketchOf(df, cap = 64).collect().toSeq
+    val base = run(ev)
+    assert(run(ev.repartition(13)) === base)
+    assert(run(ev.repartition(1)) === base)
+    assert(run(ev.orderBy(col("value").desc)) === base)
+    assert(run(ev.orderBy(col("event_id").desc)) === base)
+  }
+
+  test("quantile sketch: rank error vs the exact percentile stays bounded") {
+    // sf0.01 (~2000 rows/group, cap 1024 → level 1-2, sample ≥ 500):
+    // Bernoulli(2^-L) sampling puts the q-quantile's relative rank
+    // error near sqrt(q(1-q)/m) ≈ 0.02; 0.08 is ~4σ headroom. The
+    // hash is fixed, so this is deterministic, not flaky.
+    val dir = "/root/testdata/sf0.01"
+    val ests = Sketches.quantileSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> Seq(50 -> r.getDouble(4), 95 -> r.getDouble(5),
+        99 -> r.getDouble(6))).toMap
+    val vals = Catalog(spark, dir).ref("events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((et, picks) <- ests; (p, est) <- picks) {
+      val grp = vals(et)
+      val rank = grp.count(_ <= est).toDouble / grp.length
+      assert(math.abs(rank - p / 100.0) <= 0.08,
+        s"$et p$p: est rank $rank vs target ${p / 100.0}")
+    }
+  }
+
   test("HLL registers merge by max: split-and-merge equals the union sketch") {
     // The register table's groupBy-max IS the sketch union — the same
     // map-side-combine argument as CMS linearity, pinned explicitly.
