@@ -198,6 +198,28 @@ object ScaleProbe {
     // PNG scan; pair work runs over DISTINCT hashes (24 planted values
     // at ANY corpus size), so the banded self-join + verify is flat
     time("phash_hamming_8x")(ops.Multimodal.phashHammingNearDup(spark, dir).count())
+    // hamming band-width dial (general multi-index hashing): on a
+    // realistic-density corpus (200k distinct md5-derived hashes +
+    // planted 1-3-bit chains) the m=4/t=0 exact 16-bit bands see
+    // ~m*N^2/2^16 band-collision candidates, while m=2/t=1 probes 33
+    // XOR masks into 2^32-value buckets — the exponential candidate cut
+    // the corpus-size dial exists for. Identical groups either way
+    // (pigeonhole; pinned by MediaPipelineSpec).
+    val mihN = 200000L
+    val mih = spark.range(mihN).select(col("id"),
+        graft.functions.ArrayExprs.md5Mod(
+          concat(lit("mih:"), (col("id") / 3).cast("long").cast("string")), 1L << 62)
+          .bitwiseXOR(expr(
+            """CASE CAST(id % 3 AS INT)
+              |  WHEN 0 THEN CAST(0 AS BIGINT)
+              |  WHEN 1 THEN shiftleft(CAST(1 AS BIGINT), CAST(id % 62 AS INT))
+              |  ELSE shiftleft(CAST(7 AS BIGINT), CAST(id % 59 AS INT)) END""".stripMargin))
+          .as("h"))
+      .localCheckpoint()
+    time("hamming_m4_t0_200k")(
+      ops.Multimodal.hammingGroupsBanded(spark, mih, "id", "h", 3, bands = 4).count())
+    time("hamming_m2_t1_200k")(
+      ops.Multimodal.hammingGroupsBanded(spark, mih, "id", "h", 3, bands = 2).count())
 
     // Compaction: fragment the 8x corpus into 256 small files (the
     // streaming-ingest pathology), then repack to 64 MB targets.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.catalog.Catalog
@@ -418,10 +418,26 @@ object Multimodal {
   // verifies. All-pairs is never materialized.
 
   /** Group a `(id, hash64)` relation by hamming distance ≤ `maxDist`:
-    * band into `maxDist + 1` exact-match bands, verify candidates with
-    * `bit_count(a ^ b) <= maxDist`, resolve connected components via
-    * [[Dedup.clustersOf]] (driver union-find when the edge set is tiny,
-    * distributed min-label past the threshold).
+    * general multi-index hashing — band the hash into `bands` pieces
+    * with per-band tolerance t = ⌊maxDist / bands⌋ (pigeonhole: if two
+    * hashes differ in ≤ maxDist bits, splitting into `bands` pieces
+    * leaves at least one piece differing in ≤ t bits — still zero
+    * false negatives), probe each band within radius t by XOR-mask
+    * enumeration, verify candidates with `bit_count(a ^ b) <= maxDist`,
+    * and resolve connected components via [[Dedup.clustersOf]] (driver
+    * union-find when the edge set is tiny, distributed min-label past
+    * the threshold).
+    *
+    * `bands` is the corpus-size dial. With m bands of width w = 64/m,
+    * expected band-collision candidates are ~m·N²/2^w while the probe
+    * enumeration emits Σ_{i≤t} C(w,i) rows per hash per band — so
+    * FEWER, WIDER bands trade a small linear enumeration factor for an
+    * exponential candidate-volume cut. The default m = maxDist+1 (t=0,
+    * pure exact-match bands, e.g. 16-bit bands at d=3) is right up to
+    * ~10⁷ distinct hashes; past that, pick m with 64/m ≥ log₂N (e.g.
+    * m=2: 32-bit bands, t=1, 33 probe masks — candidate volume drops
+    * by 2^16 while probe rows grow 33×). The 8× ScaleProbe records the
+    * crossover on a realistic-density corpus.
     *
     * Scale shape: pair work runs over DISTINCT hashes, not rows — a
     * corpus-proportional dup family collapses to one hash row before any
@@ -432,23 +448,45 @@ object Multimodal {
     * min-id of its hamming component.
     */
   def hammingGroups(spark: SparkSession, hashed: DataFrame, idCol: String,
-      hashCol: String, maxDist: Int): DataFrame = {
-    val bands = maxDist + 1
+      hashCol: String, maxDist: Int): DataFrame =
+    hammingGroupsBanded(spark, hashed, idCol, hashCol, maxDist, maxDist + 1)
+
+  def hammingGroupsBanded(spark: SparkSession, hashed: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
+    val tol = maxDist / bands    // per-band radius (pigeonhole-exact)
     val width = 64 / bands       // last band absorbs the remainder bits
     val h = hashed.select(col(idCol).cast("long").as("id"), col(hashCol).as("hash"))
     // Distinct-hash relation: identical hashes group for free (exact
     // dedup); hrep = min id carries the eventual group label.
     val dh = h.groupBy("hash").agg(min(col("id")).as("hrep")).localCheckpoint()
-    val bandVals = array((0 until bands).map { b =>
+    def bandVal(b: Int): Column = {
       val lo = b * width
       val w = if (b == bands - 1) 64 - lo else width
       val mask = if (w == 64) -1L else (1L << w) - 1L
       shiftrightunsigned(col("hash"), lo).bitwiseAND(lit(mask))
-    }: _*)
+    }
     val banded = dh.select(col("hash"), col("hrep"),
-        posexplode(bandVals).as(Seq("band", "bval")))
+        posexplode(array((0 until bands).map(bandVal): _*)).as(Seq("band", "bval")))
+    // Probe side: every band value XOR'd with every mask of popcount
+    // ≤ tol over that band's width — a STATIC mask list (data-
+    // independent), so the enumeration is one explode of a literal
+    // array. t=0 degenerates to the plain exact-match band join.
+    val probes =
+      if (tol == 0) banded
+      else {
+        val probeVals = (0 until bands).map { b =>
+          val lo = b * width
+          val w = if (b == bands - 1) 64 - lo else width
+          val masks = hammingMasks(w, tol)
+          when(col("band") === b,
+            array(masks.map(m => col("bval").bitwiseXOR(lit(m))): _*))
+        }.reduceRight(_.otherwise(_))
+        banded.select(col("hash"), col("hrep"), col("band"),
+          explode(probeVals).as("bval"))
+      }
     val a = banded.as("a")
-    val b = banded.as("b")
+    val b = probes.as("b")
     val edges = a.join(b,
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.hrep") < col("b.hrep"))
@@ -462,6 +500,20 @@ object Multimodal {
       .join(comps, col("hrep") === col("hrep_key"), "left")
       .select(col("id"), col("hash"),
         coalesce(col("comp_rep"), col("hrep")).as("group_rep"))
+  }
+
+  /** All XOR masks of popcount ≤ `tol` over `w` bits — the radius-`tol`
+    * hamming ball around any band value is {bval ^ m : m ∈ masks}.
+    * Data-independent, so probe enumeration is one explode of a literal
+    * array. Σ_{i≤tol} C(w,i) masks; the require keeps an absurd dial
+    * (wide band × deep radius) from silently exploding the plan.
+    */
+  private[graft] def hammingMasks(w: Int, tol: Int): Seq[Long] = {
+    val masks = (0 to tol).flatMap(k =>
+      (0 until w).combinations(k).map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+    require(masks.length <= 4096,
+      s"hamming probe ball too large: C($w, <=$tol) = ${masks.length} masks")
+    masks
   }
 
   /** Oracle query: hamming-banded near-dup over planted 64-bit cell

@@ -146,6 +146,42 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(out(6L) === 6L, "far hash stays a singleton")
   }
 
+  test("hammingGroupsBanded: wider bands with radius probes find the identical groups") {
+    import graft.ops.Multimodal
+    // Pseudo-random 64-bit corpus + planted near-dup chains: md5-derived
+    // bases (realistic bit density) with 1-3-bit variants. Pigeonhole
+    // holds for ANY m with t = floor(d/m), so m=4 (t=0, exact 16-bit
+    // bands) and m=2 (t=1, 32-bit bands probed through 33 XOR masks)
+    // must produce byte-identical components — the dial changes
+    // candidate volume, never the answer.
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (7 to 0 by -1).foldLeft(0L)((h, j) => (h << 8) | (d(8 + j) & 0xffL))
+    }
+    val rows = (0L until 200L).flatMap { i =>
+      val base = md5h(s"mih:$i")
+      Seq((i * 10, base), (i * 10 + 1, base ^ (1L << (i % 64).toInt)),
+        (i * 10 + 2, base ^ (7L << (i % 60).toInt)))
+    }
+    def groups(bands: Int) = Multimodal.hammingGroupsBanded(spark,
+        rows.toDF("id", "h"), "id", "h", maxDist = 3, bands = bands)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1).toSeq
+    val g4 = groups(4)
+    assert(groups(2) === g4, "m=2/t=1 must equal m=4/t=0")
+    // sanity: the planted variants actually grouped with their base
+    val byId = g4.toMap
+    assert((0L until 200L).forall(i => byId(i * 10 + 1) === byId(i * 10)))
+  }
+
+  test("hammingMasks: ball sizes are exactly sum of binomials, oversize dials refuse") {
+    import graft.ops.Multimodal
+    assert(Multimodal.hammingMasks(16, 0) === Seq(0L))
+    assert(Multimodal.hammingMasks(32, 1).length === 33)
+    assert(Multimodal.hammingMasks(32, 1).distinct.length === 33)
+    assert(Multimodal.hammingMasks(21, 2).length === 1 + 21 + 210)
+    intercept[IllegalArgumentException](Multimodal.hammingMasks(64, 3))
+  }
+
   test("audioHash64: invariant to level jitter, sensitive to section structure") {
     def clip(pattern: Int, loud: Short, quiet: Short): Array[Byte] =
       Codecs.encodeWav(Array.tabulate(512) { i =>
