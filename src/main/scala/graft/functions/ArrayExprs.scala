@@ -338,6 +338,63 @@ object ArrayExprs {
     * are safe: either side is then a min side, and the lex order picks
     * one deterministically.
     */
+  /** All unordered pairs (id1 < id2) of an `array<struct<doc_id,n>>`
+    * posting list that already pass the Jaccard length filter
+    * `min(n1,n2) ≥ τ·max(n1,n2)` — the pair-emission kernel of the
+    * UNCAPPED exact n-gram plan ([[graft.ops.Dedup]]), where bucket
+    * counting replaces verification and no probe flag exists. Filtering
+    * inside the expression keeps the failed pairs from ever being
+    * allocated; the same double arithmetic as the relational filter it
+    * replaces (`least(...).cast(double) >= τ * greatest(...)`).
+    */
+  case class LengthFilteredPairs(child: Expression, tau: Double)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false),
+        StructField("n1", IntegerType, nullable = false),
+        StructField("n2", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new Array[Long](m)
+      val ns = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val st = arr.getStruct(i, 2)
+        ids(i) = st.getLong(0)
+        ns(i) = st.getInt(1)
+        i += 1
+      }
+      require(m <= 65536,
+        s"posting list df=$m exceeds the pair-expansion bound; " +
+          "apply a df cap (containmentCappedAt / ngramJaccardCappedAt)")
+      val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+      i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val lo = math.min(ns(i), ns(j)).toDouble
+          val hi = math.max(ns(i), ns(j)).toDouble
+          if (lo >= tau * hi) {
+            if (ids(i) < ids(j)) out += InternalRow(ids(i), ids(j), ns(i), ns(j))
+            else out += InternalRow(ids(j), ids(i), ns(j), ns(i))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class ProbePairsBoth(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(
@@ -584,6 +641,53 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** One-pass token statistics for the Gopher-style rules: distinct
+    * token count, max token frequency, and stopword hits in a single
+    * O(n) hash-counting sweep. Replaces the array-HOF formulation
+    * `array_max(transform(array_distinct(toks), t => size(filter(toks,
+    * _ === t))))`, whose O(distinct·n) per-row cost made the rule pass
+    * the most expensive scan in the curation pipeline. Same integers —
+    * the DuckDB twin's list arithmetic is unchanged — and the same
+    * null semantics: an empty token array yields top_tok NULL (as
+    * `array_max([])` / `list_max([])` do), n_distinct 0, stop_hits 0.
+    */
+  case class TokenStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_tok", LongType, nullable = true),
+      StructField("stop_hits", LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val stopSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      stopwords.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return InternalRow(0L, null, 0L)
+      val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](n * 2)
+      var top = 0
+      var stop = 0L
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        val c = counts.getOrDefault(t, 0) + 1
+        counts.put(t, c)
+        if (c > top) top = c
+        if (stopSet.contains(t)) stop += 1
+        i += 1
+      }
+      InternalRow(counts.size.toLong, top.toLong, stop)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Unsigned (md5_number_lower(s) mod m) of a string — the
     * engine-portable pseudo-random draw used for deterministic sampling:
     * DuckDB computes the identical value as
@@ -823,10 +927,14 @@ object ArrayExprs {
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def simHash64Md5(tokens: Column): Column = c(SimHash64Md5(e(tokens)))
   def md5Mod(s: Column, m: Long): Column = c(Md5Mod(e(s), m))
+  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
+    c(TokenStats(e(toks), stopwords))
   def sortedPairs(ids: Column): Column = c(SortedPairs(e(ids)))
   def sortedPairsN(idNs: Column, tau: Double = 0.0): Column = c(SortedPairsN(e(idNs), tau))
   def sortedPairsBoth(idNs: Column): Column = c(SortedPairsBoth(e(idNs)))
   def probePairsBoth(idNs: Column): Column = c(ProbePairsBoth(e(idNs)))
+  def lengthFilteredPairs(idNs: Column, tau: Double): Column =
+    c(LengthFilteredPairs(e(idNs), tau))
   def sortedIntersectCount(a: Column, b: Column): Column = c(SortedIntersectCount(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))

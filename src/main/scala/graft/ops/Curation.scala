@@ -91,41 +91,57 @@ object Curation {
     */
   private def curationSampledFrom(base: DataFrame): DataFrame = {
     // 1. Gopher quality rules — keep passers (the gopherRules flags over
-    //    the shared tokens).
+    //    the shared tokens), with `lang` carried through the flag
+    //    projection so membership never joins back to the corpus for it.
     val passed = TextAnalysis.gopherFlagsOn(
-      base.select(col("doc_id"), col("toks"), col("tlen")))
-      .filter(col("pass")).select(col("doc_id"))
+      base.select(col("doc_id"), col("toks"), col("tlen"), col("lang")),
+      carry = Seq("lang"))
+      .filter(col("pass")).select(col("doc_id"), col("lang"))
     // 3. Leak-free split: the cluster graph's shingles derive from the
     //    shared tokens (lower ∘ tokens = the dedup family's tokenizer).
     val shingled = base.select(col("doc_id"),
       ArrayExprs.shingleHashes(transform(col("toks"), t => lower(t)), 3).as("shs"))
     val reps = Dedup.clustersOf(spark = base.sparkSession,
       pairs = Dedup.ngramPairsFromShingles(shingled, 0.5), driverThreshold = 1L << 20)
-    val splitDf = Dedup.leakFreeSplitFrom(base.select(col("doc_id")), reps)
     // Membership is METADATA — (doc_id, lang) of the gopher-passed,
     // train-split docs (paragraph dedup rewrites text but never drops a
-    // doc, so it cannot change membership). Pinned ONCE: the rate
-    // derivation and the final sampling draw both read this checkpoint,
-    // so the gopher flags and the split join evaluate exactly once and
-    // the mixture stage never drags the text path.
+    // doc, so it cannot change membership). The split draw is
+    // leakFreeSplitFrom's exact hash (md5 'lfsplit:' over the coalesced
+    // cluster rep — CurationSpec cross-checks membership against the
+    // standalone operator), inlined against the near-dup reps relation
+    // (one row per CLUSTERED doc, tiny; AQE broadcasts it unhinted)
+    // instead of materializing the corpus-wide split relation just to
+    // filter it back down. Pinned ONCE: the rate derivation and the
+    // final sampling draw both read this checkpoint, so the gopher
+    // flags and the split join evaluate exactly once and the mixture
+    // stage never drags the text path.
     val membersTrain = passed
-      .join(splitDf.select(col("doc_id"), col("split")), Seq("doc_id"))
-      .filter(col("split") === "train")
-      .join(base.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(reps.withColumnRenamed("doc_id", "rep_key"),
+        col("doc_id") === col("rep_key"), "left")
+      .filter(ArrayExprs.md5Mod(concat_ws(":", lit("lfsplit"),
+        coalesce(col("cluster_rep"), col("doc_id")).cast("string")), 10L) < 8)
       .select(col("doc_id"), col("lang"))
       .localCheckpoint()
     // 4. Mixture sampling over the train subset: sqrt-weighted water-fill
-    //    rates (the mixtureSample derivation verbatim), broadcast into a
-    //    scan-side hash-draw predicate over the membership metadata
-    //    (tiny aggregates over the pinned members — no extra barrier).
+    //    rates (the mixtureSample derivation verbatim) over the pinned
+    //    members. The per-language counts are |langs|-row METADATA, so
+    //    the water-fill arithmetic runs on the driver (the same
+    //    bounded-collect rule as k centroids / BPE candidates) instead
+    //    of chaining two broadcast-crossJoin aggregate stages — integer
+    //    arithmetic unchanged (floor∘sqrt, truncating div — the twin
+    //    replays it bit-for-bit), three fewer jobs per run.
+    val spark = base.sparkSession
     val counts = membersTrain.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val withW = counts.withColumn("w", floor(sqrt(col("n"))).cast("long"))
-    val wTot = withW.crossJoin(broadcast(withW.agg(sum(col("w")).as("bigw"))))
-    val rates = wTot
-      .crossJoin(broadcast(wTot.agg(min(expr("n * bigw div w")).as("t"))))
-      .withColumn("k", expr("w * t div bigw"))
-      .withColumn("ppm", expr("k * 1000000 div n"))
-      .select(col("lang"), col("ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ws = counts.map { case (l, n) => (l, n, math.floor(math.sqrt(n.toDouble)).toLong) }
+    val ratesSeq =
+      if (ws.isEmpty) Seq.empty[(String, Long)]
+      else {
+        val bigw = ws.map(_._3).sum
+        val t = ws.map { case (_, n, w) => n * bigw / w }.min
+        ws.map { case (l, n, w) => (l, (w * t / bigw) * 1000000L / n) }.toSeq
+      }
+    val rates = spark.createDataFrame(ratesSeq).toDF("lang", "ppm")
     val keep = membersTrain.join(broadcast(rates), Seq("lang"))
       .filter(ArrayExprs.md5Mod(
         concat_ws(":", lit("curation"), col("doc_id").cast("string")), 1000000L)
@@ -178,9 +194,25 @@ object Curation {
     // detail the manifest aggregation is insensitive to.
     try positioned
       .sortWithinPartitions(col("shard_id"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+      .write.mode("overwrite").partitionBy("shard_id")
+      // v2 commit: task outputs move to the destination at task commit
+      // instead of a second sequential driver-side rename pass at job
+      // commit — halves the per-file metadata ops the shard-per-dir
+      // layout pays (a public Hadoop committer knob, not a semantics
+      // change; overwrite-into-fresh-dir needs no v1 rollback safety).
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(outDir)
     finally releaseBase(spark, dir) // also drops the memo entry
-    spark.read.parquet(outDir)
+    // Explicit schema: the manifest read is |shards| small files, and
+    // schema inference would re-open footers on the driver before the
+    // aggregate even starts.
+    val writtenSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text_clean", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard_id", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(writtenSchema).parquet(outDir)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text_clean"), " ")).cast("long")).as("n_tokens"),

@@ -189,9 +189,57 @@ object Dedup {
     * [[docShingleHashesOn]] shape) — lets [[graft.ops.Curation]] derive
     * the shingles from its shared tokenization instead of re-scanning
     * the corpus.
+    *
+    * Two plans behind one contract:
+    *   - UNCAPPED (exact): posting lists carry every (doc, shingle)
+    *     occurrence, so for any pair the number of shared buckets IS
+    *     |a∩b| — one pair-count aggregate (map-side combined) replaces
+    *     candidate-distinct + two verify joins + the per-pair sorted
+    *     intersect, and the shingle ARRAYS never need a second
+    *     materialization. The honest cost is Σ C(df,2) pair rows, the
+    *     same quadratic the verify path also paid post-probe — right
+    *     whenever no df cap is in play.
+    *   - CAPPED (the 100 TB dial): with a df cap, dropped buckets make
+    *     bucket-counting undercount, so the capped path keeps the
+    *     PPJoin shape — min-side prefix probe, candidate distinct,
+    *     exact verify against the full sets — where survivors' scores
+    *     stay exact however hard the cap bites.
     */
   private[ops] def ngramPairsFromShingles(shingled: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame =
+    if (maxDf == Int.MaxValue) ngramPairsExactCount(shingled, tau)
+    else ngramPairsPrefixVerify(shingled, tau, maxDf)
+
+  /** Uncapped exact plan: bucket-count intersections directly. */
+  private def ngramPairsExactCount(shingled: DataFrame, tau: Double): DataFrame =
+    shingled
+      // explode_outer + null filter, size() over the carried attribute:
+      // a plain explode lets InferFiltersFromGenerate push a
+      // size(shs)>0 filter below the projection and re-evaluate the
+      // shingle hash 3× in the scan (the Dedup.scala lesson); the outer
+      // variant infers nothing, and hash values are never null
+      .select(col("doc_id"), col("shs"))
+      .withColumn("sh", explode_outer(col("shs")))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), size(col("shs")).as("n"), col("sh"))
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      // pair emission + the J ≥ τ length filter (n_min ≥ τ·n_max) fused
+      // into one kernel: failed pairs are never allocated
+      .select(explode(ArrayExprs.lengthFilteredPairs(col("docs"), tau)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
+
+  /** Capped plan: prefix probe + exact verify (see the contract note). */
+  private def ngramPairsPrefixVerify(shingled: DataFrame, tau: Double,
+      maxDf: Int): DataFrame = {
     // Lossless prefix threshold: J ≥ τ ⟹ min-side containment ≥ 2τ/(1+τ).
     val tauC = 2 * tau / (1 + tau)
     val sets = shingled

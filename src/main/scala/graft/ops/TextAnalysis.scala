@@ -183,9 +183,9 @@ object TextAnalysis {
     * case-sensitive, so the oracle pins this exact semantics.
     *
     * Scale: entirely scan-shaped — the repetition/TTR stats come from
-    * array HOFs over the per-row token array (O(distinct·n) per row,
-    * zero shuffles), not an explode+groupBy; the only shuffle is the
-    * presentation sort.
+    * one O(n) hash-counting pass over the per-row token array
+    * ([[graft.functions.ArrayExprs.TokenStats]], zero shuffles), not an
+    * explode+groupBy; the only shuffle is the presentation sort.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
@@ -202,19 +202,24 @@ object TextAnalysis {
     * `tlen` = `length(text)` (only the raw character count survives the
     * projection; the text itself is not needed).
     */
-  private[ops] def gopherFlagsOn(docs: DataFrame): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
-    val nTok = size(col("toks")).cast("long")
-    val topTok = array_max(transform(array_distinct(col("toks")),
-      t => size(filter(col("toks"), x => x === t)))).cast("long")
-    val nDistinct = size(array_distinct(col("toks"))).cast("long")
-    val stopHits = size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long")
-    val meanLen = (col("tlen").cast("double") - (nTok.cast("double") - 1.0)) /
-      nTok.cast("double")
+  private[ops] def gopherFlagsOn(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // One-pass native token stats (ArrayExprs.TokenStats): the previous
+    // array-HOF repetition/TTR stats were O(distinct·n) PER ROW and
+    // dominated the curation pipeline's scan cost. Identical integers
+    // and null semantics; the DuckDB twin is unchanged. `carry` columns
+    // ride through untouched (the curation pipeline keeps `lang` so its
+    // membership needs no join back to the corpus).
+    val carried = carry.map(col)
     docs
-      .select(col("doc_id"), nTok.as("n_tokens"), stopHits.as("stop_hits"),
-        topTok.as("top_tok"), nDistinct.as("n_distinct"),
-        meanLen.as("mean_word_len"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.ArrayExprs.tokenStats(col("toks"), stopwords).as("st"),
+        col("tlen")) ++ carried: _*)
+      .select(Seq(col("doc_id"), col("n_tokens"),
+        col("st.stop_hits").as("stop_hits"),
+        col("st.top_tok").as("top_tok"),
+        col("st.n_distinct").as("n_distinct"),
+        ((col("tlen").cast("double") - (col("n_tokens").cast("double") - 1.0)) /
+          col("n_tokens").cast("double")).as("mean_word_len")) ++ carried: _*)
       .withColumn("r_len", col("n_tokens").between(50, 1000))
       .withColumn("r_wordlen",
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)

@@ -77,14 +77,31 @@ class PlanQualitySpec extends SparkTestBase {
       s"CDC merge must stay distributed:\n$plan")
   }
 
-  test("ngram jaccard: prefix-gated candidates, checkpointed sets, distributed aggs") {
+  test("ngram jaccard (uncapped): one shingle pass, bucket-count aggregate, no verify joins") {
     // AQE prints Final and Initial plans; count only the executed one.
     val plan = executed(Dedup.ngramJaccard(spark, sf)).split("== Initial Plan ==")(0)
-    // Prefix-filter shape: postings groupBy → probe-gated pair explode →
-    // candidate distinct → two verify joins against the CHECKPOINTED
-    // sorted-sets relation (so shingle hashing runs once, not once per
-    // consumer). Shingle hashing must not appear in the executed plan at
-    // all — it happened when the checkpoint materialized.
+    // Exact bucket-count shape: ONE shingle pass feeds the posting-list
+    // aggregate; intersection counts come from the pair-count aggregate
+    // directly, so the shingle ARRAYS are never materialized a second
+    // time and no join appears anywhere in the plan.
+    assert("shinglehashes".r.findAllIn(plan.toLowerCase).size <= 1,
+      s"shingle hashing must run exactly once:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"bucket counting replaces the verify joins:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"pair aggregation must stay distributed:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic join shapes:\n$plan")
+  }
+
+  test("ngram jaccard (capped): prefix-gated candidates verify against checkpointed sets") {
+    // The 100 TB dial keeps the PPJoin shape: with a df cap, dropped
+    // buckets would corrupt bucket counts, so survivors verify exactly
+    // against the CHECKPOINTED sorted-sets relation (shingle hashing
+    // ran once, when the checkpoint materialized).
+    val plan = executed(Dedup.ngramJaccardCappedAt(spark, sf, 0.5, 64))
+      .split("== Initial Plan ==")(0)
     assert(plan.contains("Scan ExistingRDD"),
       s"verify must join the checkpointed sets, not re-derive shingles:\n$plan")
     assert(!plan.contains("shinglehashes"),
