@@ -171,6 +171,43 @@ object ScaleProbe {
     }
     time("ivf_screen_delta_8x")(ops.Ivf.screenBatch(spark, ivfIdx,
       embBig.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4).count())
+    // The nprobe recall dial: recall@50 of the IVF probe vs the exact
+    // brute-force top-50 over the same 20 queries (kCells = 32, 2 Lloyd
+    // refinement iterations — the recommended production quantizer).
+    // The table is what an ANN user picks nprobe FROM — measured in
+    // BOTH regimes, because the answer depends on the corpus:
+    //   - the driver's embeddings are ISOTROPIC (within-label cosine ≈
+    //     across-label ≈ 0), the worst case for any space partitioner:
+    //     neighbors spread uniformly over cells, so recall tracks the
+    //     scanned fraction and ≥ 0.95 honestly requires probing most
+    //     cells — the documented "don't use IVF on structureless
+    //     vectors" caveat;
+    //   - real embedding corpora are CLUSTERED (that is why IVF
+    //     exists); on a 128-center Gaussian-mixture corpus of the same
+    //     size, recall ≥ 0.95 lands at a small nprobe with ~nprobe/32
+    //     of the index bytes read.
+    def recallDial(tag: String, rdir: String, probes: Seq[Int]): Unit =
+      probes.foreach { np =>
+        val t0 = System.nanoTime()
+        val r = ops.Ivf.recallAtK(spark, rdir, nQueries = 20, k = 50,
+          kCells = 32, nprobe = np, iters = 2)
+        val line = f"PROBE ivf_recall@50 $tag%-10s nprobe=$np%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$r%.4f (kCells=32)"
+        println(line); report ++= line + "\n"
+      }
+    recallDial("isotropic", dir, Seq(1, 2, 4, 8, 16, 24, 32))
+    val clusDir = java.nio.file.Files.createTempDirectory("scale_clustered").toString
+    try {
+      val crnd = new scala.util.Random(7)
+      val centers = Array.fill(128)(Array.fill(64)(crnd.nextGaussian().toFloat * 5f))
+      val crows = (0 until 16000).map { i =>
+        val c = centers(i % 128)
+        (i.toLong, c.map(x => x + crnd.nextGaussian().toFloat * 0.5f))
+      }
+      import spark.implicits._
+      crows.toDF("vec_id", "embedding")
+        .repartition(8).write.parquet(s"$clusDir/embeddings.parquet")
+      recallDial("clustered", clusDir, Seq(1, 2, 4, 8))
+    } finally graft.util.Fs.deleteRecursively(clusDir)
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(

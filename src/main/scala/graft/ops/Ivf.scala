@@ -143,6 +143,26 @@ object Ivf {
       .orderBy("query_id", "rank")
   }
 
+  /** Measured recall@k of the IVF probe against the exact brute-force
+    * top-k over the same queries — the evidence an ANN user sets
+    * `nprobe` with. Recall is |IVF∩exact| / |exact| over all (query,
+    * neighbor) rows. Properties a correct probe must show (IvfSpec pins
+    * them; the 8× ScaleProbe records the dial table in SCALE.md):
+    * recall is non-decreasing in nprobe, and at nprobe = kCells the
+    * probe covers every cell, so IVF scores the full corpus with the
+    * exact ranking — recall is exactly 1.0, not approximately.
+    */
+  def recallAtK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      kCells: Int, nprobe: Int, iters: Int): Double = {
+    val truth = Similarity.bruteForceTopKAt(spark, dir, nQueries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val got = ivfAnnAt(spark, dir, nQueries, k, kCells, nprobe, iters)
+      .select(col("query_id"), col("vec_id"))
+    val denom = truth.count()
+    val hit = truth.join(got, Seq("query_id", "vec_id")).count()
+    if (denom == 0) 1.0 else hit.toDouble / denom.toDouble
+  }
+
   /** Incremental ANN screening — the `dedup_incremental` shape for
     * vectors: the ALREADY-INDEXED base corpus is persisted ONCE as a
     * cell-partitioned parquet table (centroids + assignments — the IVF

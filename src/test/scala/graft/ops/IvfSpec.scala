@@ -76,6 +76,31 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("recall dial: probed cells scale with nprobe; recall non-decreasing, exact at full probe") {
+    // The evidence an ANN user turns nprobe with. On the clustered
+    // fixture: each nprobe step widens the probe list cell-for-cell,
+    // recall@10 never decreases, and probing ALL cells makes IVF score
+    // the full corpus with the exact ranking — recall exactly 1.0.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_dial")
+    val index = Ivf.buildIndex(emb, idxPath, kCells = 8, iters = 2)
+    val batch = emb.filter(col("vec_id") < 3)
+    val probedCounts = Seq(1, 2, 4).map { np =>
+      Ivf.screenBatchProbed(spark, index, batch, k = 3, nprobe = np)._2.size
+    }
+    assert(probedCounts.zip(probedCounts.tail).forall { case (a, b) => a <= b },
+      s"probed-cell count must not shrink as nprobe grows: $probedCounts")
+    assert(probedCounts.last > probedCounts.head,
+      s"wider probes must actually touch more cells: $probedCounts")
+    val recalls = Seq(1, 2, 4, 8).map(np =>
+      Ivf.recallAtK(spark, dir, nQueries = 5, k = 10, kCells = 8, nprobe = np, iters = 2))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"recall must be non-decreasing in nprobe: $recalls")
+    assert(recalls.last === 1.0,
+      s"nprobe = kCells probes every cell => exact ranking: $recalls")
+    assert(recalls.head > 0.0, s"even one probed cell must find something: $recalls")
+  }
+
   test("ivfIncremental: batch screened against the persisted index, O(delta) shape") {
     val df = Ivf.ivfIncremental(spark, sf)
     val out = df.collect()
