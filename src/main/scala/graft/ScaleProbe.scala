@@ -274,6 +274,25 @@ object ScaleProbe {
     val compLine = s"PROBE compact files ${compacted._1} -> ${compacted._2} (64 MB target, atomic swap)"
     println(compLine); report ++= compLine + "\n"
 
+    // Z-order'd compaction (OPTIMIZE ZORDER): same 256-fragment
+    // pathology, but the repack range-partitions by the generalized
+    // z-value over (source, n_chars) — still one full-width read+write
+    // pass (the added cost is a column-pruned stats scan + the range
+    // exchange of rows being rewritten anyway), and the compacted files
+    // carry tight min/max footprints on BOTH dimensions.
+    val fragZDir = s"$dir/fragz"
+    spark.read.parquet(s"$dir/documents.parquet").repartition(256)
+      .write.parquet(fragZDir)
+    var compactedZ = (0, 0)
+    time("compact_zorder_256f_8x") {
+      val (zb, za, _) = ops.Compaction.compactDir(spark, fragZDir, 64L << 20,
+        zorderBy = Seq("source", "n_chars"))
+      compactedZ = (zb, za)
+      za.toLong
+    }
+    val compZLine = s"PROBE compact_zorder files ${compactedZ._1} -> ${compactedZ._2} (64 MB target, z(source,n_chars))"
+    println(compZLine); report ++= compZLine + "\n"
+
     // Skew: 4M-row fact where ONE key owns half the rows, joined to a
     // 200-row dim with broadcast disabled (forcing a shuffle join — the
     // regime where salting matters). Plain join lands 2M rows on one

@@ -52,9 +52,21 @@ object Compaction {
     * files (if it currently has ≥ `minFiles`; also repairs a
     * crash-stranded swap first). Returns (files_before, files_after,
     * bytes_total); a skipped dir returns files_after == files_before.
+    *
+    * `zorderBy` (OPTIMIZE ZORDER): when set, the rewrite
+    * range-partitions and sorts the output by the generalized z-value
+    * over the named columns ([[Layout.withZValue]]), so the repack
+    * RESTORES multi-dimensional file pruning instead of hash-scattering
+    * it — streaming-ingest fragments arrive unclustered, and a plain
+    * repack would freeze that scatter into the compacted files. Still
+    * one full-width read+write pass: the z dimensions add a
+    * column-pruned stats scan (1-row aggregate + per-string-dim rank
+    * dictionaries — catalog metadata at 100 TB) and a range exchange of
+    * the rows being rewritten anyway; CompactionSpec asserts the pre/
+    * post `input_file_name()` footprints physically.
     */
   def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
-      minFiles: Int = 2): (Int, Int, Long) = {
+      minFiles: Int = 2, zorderBy: Seq[String] = Nil): (Int, Int, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
     // Hadoop Path normalizes trailing slashes, so the scratch siblings
     // are true siblings, never children of the dir being swapped
@@ -66,8 +78,17 @@ object Compaction {
     if (files.size < minFiles) return (files.size, files.size, bytes)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     AtomicSwap.swapIn(fs, p) { tmp =>
-      spark.read.parquet(p.toString).repartition(nOut)
-        .write.mode("overwrite").parquet(tmp.toString)
+      val df = spark.read.parquet(p.toString)
+      val out =
+        if (zorderBy.isEmpty) df.repartition(nOut)
+        else Layout.withZValue(df, zorderBy)
+          .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__z"))
+          .sortWithinPartitions("__z")
+          // restore the input column ORDER too (the dictionary join
+          // moved string dims to the front): a maintenance rewrite must
+          // not change the table's schema in any way
+          .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+      out.write.mode("overwrite").parquet(tmp.toString)
     }
     (files.size, dataFiles(fs, p).size, bytes)
   }
@@ -79,7 +100,7 @@ object Compaction {
     * swap scratch) are never treated as partitions.
     */
   def compactTable(spark: SparkSession, dir: String, targetBytes: Long,
-      minFiles: Int = 2): Seq[(String, Int, Int)] = {
+      minFiles: Int = 2, zorderBy: Seq[String] = Nil): Seq[(String, Int, Int)] = {
     val root = new Path(dir)
     val fs = fsFor(spark, root)
     def partitionDirs(p: Path): Seq[Path] =
@@ -93,7 +114,7 @@ object Compaction {
     }
     val rootUri = root.toUri.getPath
     partitionDirs(root).flatMap(leaves).map { leaf =>
-      val (before, after, _) = compactDir(spark, leaf.toString, targetBytes, minFiles)
+      val (before, after, _) = compactDir(spark, leaf.toString, targetBytes, minFiles, zorderBy)
       val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       (rel, before, after)
     }

@@ -98,6 +98,63 @@ object Layout {
        |       CAST(${zTermsSql("src_bits", "c_bits")} AS BIGINT) AS z
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Generalized z-value over up to 7 named dimensions, appended as
+    * `zName` — the reusable form of [[zvalueOn]]'s (source, n_chars)
+    * derivation for OPTIMIZE-ZORDER-style maintenance
+    * ([[Compaction.compactDir]]): string dims integerize through a
+    * sorted-distinct rank dictionary (broadcast — the low-cardinality
+    * contract of a clustering key), numeric dims min/max-normalize into
+    * the same 8-bit range (1-row broadcast stats aggregate — what a
+    * table-stats catalog serves from metadata at 100 TB), and bit b of
+    * dim i interleaves to position b·k + (k−1−i), so k = 2 reproduces
+    * [[zvalueOn]]'s layout exactly. Null dimension values normalize to
+    * bucket 0 rather than dropping the row — a maintenance rewrite must
+    * never lose data.
+    */
+  private[graft] def withZValue(df: DataFrame, dims: Seq[String],
+      zName: String = "__z"): DataFrame = {
+    require(dims.nonEmpty && dims.length <= 7,
+      s"zorder supports 1..7 dimensions, got ${dims.length}")
+    val k = dims.length
+    val schema = df.schema
+    val isString = dims.map(d =>
+      schema(d).dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+    // one 1-row stats aggregate covers every dimension's normalizer
+    val statAggs = dims.zipWithIndex.flatMap { case (d, i) =>
+      if (isString(i)) Seq(countDistinct(col(d)).cast("long").as(s"__zn_$i"))
+      else Seq(min(col(d)).cast("long").as(s"__zmin_$i"),
+        max(col(d)).cast("long").as(s"__zmax_$i"))
+    }
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+    val withDicts = dims.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
+      case (acc, (d, i)) if isString(i) =>
+        val ranks = df.select(col(d)).distinct()
+          .withColumn(s"__zr_$i",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col(d))).cast("long") - 1)
+        acc.join(broadcast(ranks), Seq(d), "left")
+      case (acc, _) => acc
+    }
+    val bitCols = dims.zipWithIndex.map { case (d, i) =>
+      if (isString(i))
+        coalesce(expr(s"(__zr_$i * 255) div greatest(1L, __zn_$i - 1)"), lit(0L))
+      else
+        coalesce(expr(s"((CAST($d AS BIGINT) - __zmin_$i) * 255)" +
+          s" div greatest(1L, __zmax_$i - __zmin_$i)"), lit(0L))
+    }
+    val withBits = bitCols.zipWithIndex.foldLeft(withDicts) {
+      case (acc, (c, i)) => acc.withColumn(s"__zb_$i", c)
+    }
+    val zTerms = (0 until Bits).flatMap { b =>
+      (0 until k).map(i =>
+        s"(shiftright(__zb_$i, $b) & 1) * ${1L << (b * k + (k - 1 - i))}L")
+    }.mkString(" + ")
+    withBits
+      .withColumn(zName, expr(s"CAST($zTerms AS BIGINT)"))
+      .drop((0 until k).flatMap(i =>
+        Seq(s"__zb_$i", s"__zr_$i", s"__zn_$i", s"__zmin_$i", s"__zmax_$i")): _*)
+  }
+
   /** Write `docs` into `nFiles` files under the given layout:
     * "none" (hash repartition — the streaming-ingest default),
     * "source" (single-column range sort), or "zorder" (range by z).

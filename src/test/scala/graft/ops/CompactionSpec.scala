@@ -35,6 +35,60 @@ class CompactionSpec extends SparkTestBase {
     assert(a2 === expect, s"planned $expect files from $bytes2 bytes at $target, got $a2")
   }
 
+  test("compactDir zorder: repack restores 2-D file pruning, content preserved") {
+    import graft.catalog.Catalog
+    // Streaming-ingest pathology: the corpus arrives hash-scattered over
+    // 16 fragments, so every source and every length band touches ~every
+    // file. A z-ordered repack must fix BOTH footprints in the same
+    // single read+write pass a plain repack already pays.
+    val docs = Catalog(spark, sf).ref("documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dir = tmpDir("compactz") + "/t"
+    docs.repartition(16).write.parquet(dir)
+    def meanFiles(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column): Double = {
+      val per = df.groupBy(key).agg(countDistinct(col("file")).as("nf"))
+        .collect().map(_.getAs[Long]("nf"))
+      per.sum.toDouble / per.length
+    }
+    def qb(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cq", (col("n_chars") / 128).cast("int"))
+    val before = spark.read.parquet(dir).withColumn("file", input_file_name())
+    val preRows = before.drop("file").collect().map(_.toString).sorted.toSeq
+    val srcPre = meanFiles(before, col("source"))
+    val chPre = meanFiles(qb(before), col("cq"))
+    assert(srcPre > 12 && chPre > 12,
+      s"fixture must start scattered: src=$srcPre chars=$chPre of 16")
+    // same fragments, two repacks at the same ~8-file target: plain
+    // (hash) freezes the scatter into the compacted files; z-ordered
+    // restores pruning on BOTH dimensions
+    val dirPlain = tmpDir("compactp") + "/t"
+    docs.repartition(16).write.parquet(dirPlain)
+    val bytes = Compaction.compactDir(spark, dir, Long.MaxValue, minFiles = 999)._3
+    val target = math.max(1L, bytes / 8)
+    val (bp, ap, _) = Compaction.compactDir(spark, dirPlain, target)
+    val (b, a, _) = Compaction.compactDir(spark, dir, target,
+      zorderBy = Seq("source", "n_chars"))
+    assert(b === 16 && bp === 16 && a >= 6 && ap >= 6,
+      s"expected multi-file repacks, got z $b -> $a, plain $bp -> $ap")
+    val after = spark.read.parquet(dir).withColumn("file", input_file_name())
+    assert(after.drop("file").collect().map(_.toString).sorted.toSeq === preRows,
+      "z-ordered compaction must preserve content exactly")
+    val plain = spark.read.parquet(dirPlain).withColumn("file", input_file_name())
+    val srcPost = meanFiles(after, col("source"))
+    val chPost = meanFiles(qb(after), col("cq"))
+    val srcPlain = meanFiles(plain, col("source"))
+    val chPlain = meanFiles(qb(plain), col("cq"))
+    // plain repack scatters ~every output file on both dimensions
+    assert(srcPlain > ap * 0.8 && chPlain > ap * 0.8,
+      s"plain repack should stay scattered: src=$srcPlain chars=$chPlain of $ap")
+    // the z-order claim: BOTH footprints strictly better than both the
+    // scattered input and the plain repack at the same file count
+    assert(srcPost < srcPre / 2 && srcPost < srcPlain / 2,
+      s"source footprint $srcPost vs pre=$srcPre plain=$srcPlain")
+    assert(chPost < chPre / 2 && chPost < chPlain,
+      s"n_chars footprint $chPost vs pre=$chPre plain=$chPlain")
+  }
+
   test("compactTable: per-partition compaction keeps hive layout and content") {
     val dir = tmpDir("compact3") + "/t"
     spark.range(9000)
