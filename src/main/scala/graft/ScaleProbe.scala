@@ -104,6 +104,22 @@ object ScaleProbe {
       " (1 join + 1 min-agg shuffle per round, labels only -- 16 bytes/row)"
     println(roundsLine); report ++= roundsLine + "\n"
 
+    // hot-label cluster resolution: a 2M-edge star (one boilerplate doc
+    // near-dup to 2M others + disjoint pair chains). The per-round
+    // propagation join would land the hub's whole edge list on one
+    // reducer every round; Skew.detectSkew flags the static edge
+    // relation once and the salted fallback spreads it over 16 sub-keys
+    // — same components, no single-reducer wall.
+    val starN = 2000000L
+    val starEdges = spark.range(1, starN).select(lit(0L).as("id1"), col("id").as("id2"))
+      .union(spark.range(starN, starN + 100000L)
+        .select(col("id").as("id1"), (col("id") + 100000L).as("id2")))
+      .localCheckpoint()
+    time("clusters_star2M_plain")(
+      ops.Dedup.clustersDistributed(starEdges, saltWhenSkewed = false).count())
+    time("clusters_star2M_salted")(
+      ops.Dedup.clustersDistributed(starEdges).count())
+
     // packing on a 90%-one-language corpus: the old partitionBy(lang)
     // window ran the dominant lang in ONE task; groupedRunningSum must
     // span it over many range partitions.

@@ -816,10 +816,24 @@ object Dedup {
     */
   @volatile private[graft] var lastClusterRounds: Int = 0
 
-  private[ops] def clustersDistributed(
-      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def clustersDistributed(
+      edges: org.apache.spark.sql.DataFrame,
+      saltWhenSkewed: Boolean = true): org.apache.spark.sql.DataFrame = {
     val sym = edges.unionByName(
       edges.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(eager = false)
+    // Hot-label fallback: a mega-family hub (one doc near-dup to
+    // everything — boilerplate, empty pages) gives `sym` a power-law
+    // degree on id1, and the per-round propagation join would land the
+    // hub's whole edge list on ONE reducer, every round, where AQE
+    // cannot see it (checkpointed intermediate inside a loop). Detected
+    // ONCE on the static edge relation (graft.sources.Skew.detectSkew —
+    // a deterministic sampled load estimate); when hot, every round's
+    // join runs salted (sym's rows spread over 16 sub-keys, the thin
+    // (id, label) side replicated 16×) — row-identical, skew-free. The
+    // min-label aggregate needs no such help: partial aggregation
+    // combines the hub's proposals map-side.
+    val symSkewed = saltWhenSkewed && graft.sources.Skew.detectSkew(sym, "id1")
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
@@ -828,8 +842,13 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged) {
-      val prop = labels.join(sym, labels("id") === sym("id1"))
-        .select(col("id2").as("id"), col("label"))
+      val prop =
+        if (symSkewed)
+          graft.sources.Skew.saltedJoin(
+            sym, labels.select(col("id").as("id1"), col("label")), "id1", salts = 16)
+            .select(col("id2").as("id"), col("label"))
+        else labels.join(sym, labels("id") === sym("id1"))
+          .select(col("id2").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()

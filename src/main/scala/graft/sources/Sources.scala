@@ -76,4 +76,45 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** The documented skew-detection heuristic: would one reducer of a
+    * `key`-hashed shuffle of `df` carry more than `factor ×` the mean
+    * reducer load? Estimated from a deterministic 1/`sampleMod` ROW
+    * sample (rows whose full-row xxhash64 lands on 0 mod `sampleMod` —
+    * duplicate rows sample together, an acceptable bias for a load
+    * estimate), so the probe scans a fraction of the data and both the
+    * hottest-key count and the total scale by the same factor: the
+    * RATIO is unbiased, and the answer is reproducible run to run.
+    * Cost: one column-pruned filtered aggregate; use it once per static
+    * relation, not per iteration.
+    *
+    * `factor` is the tolerance AQE's skew-join uses by analogy
+    * (spark.sql.adaptive.skewJoin.skewedPartitionFactor defaults to 5):
+    * below it, hashing already balances well enough that salting's
+    * `salts ×` replication of the other side costs more than it saves.
+    */
+  def detectSkew(df: DataFrame, key: String, factor: Double = 5.0,
+      sampleMod: Long = 16L): Boolean = {
+    val cols = df.columns.map(col)
+    val s = df.filter(pmod(xxhash64(cols: _*), lit(sampleMod)) === 0)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .head()
+    if (s.isNullAt(0)) false
+    else {
+      val parallelism = df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toDouble
+      s.getLong(0) > factor * math.max(1.0, s.getLong(1) / parallelism)
+    }
+  }
+
+  /** [[saltedJoin]] gated by [[detectSkew]] on the LEFT (hot) side —
+    * the reusable fallback for joins whose skew AQE cannot see (e.g.
+    * an iterative join inside a convergence loop, where the skewed
+    * relation is a checkpointed intermediate). Plain join when balanced.
+    */
+  def saltedJoinIfSkewed(left: DataFrame, right: DataFrame, key: String,
+      salts: Int, joinType: String = "inner", factor: Double = 5.0): DataFrame =
+    if (detectSkew(left, key, factor)) saltedJoin(left, right, key, salts, joinType)
+    else left.join(right, Seq(key), joinType)
 }

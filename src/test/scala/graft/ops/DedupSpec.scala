@@ -82,6 +82,33 @@ class DedupSpec extends SparkTestBase {
     assert(viaDriver.nonEmpty)
   }
 
+  test("cluster propagation: hot-label star graph triggers salting, result unchanged") {
+    import spark.implicits._
+    // a mega-family hub: node 0 near-dup to 4000 others, plus a few
+    // disjoint pairs — sym degree on id1 is extreme power-law, so
+    // detectSkew must engage the salted propagation join; components
+    // must come out identical to the driver union-find
+    val star = (1L to 4000L).map(i => (0L, i)) ++
+      Seq((5001L, 5002L), (6001L, 6002L), (6002L, 6003L))
+    val edges = star.toDF("id1", "id2")
+    // parallelism-relative detection: pin a production-like partition
+    // count (see SourcesSpec's detectSkew test)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val sym = edges.unionByName(edges.select(col("id2").as("id1"), col("id1").as("id2")))
+      assert(graft.sources.Skew.detectSkew(sym, "id1"),
+        "the star hub must register as a hot label")
+      val dist = Dedup.clustersDistributed(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val driver = Dedup.clustersOf(spark, edges, driverThreshold = 1L << 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dist === driver)
+      assert(dist.count(_._2 == 0L) === 4001, "the star is one component labeled by the hub")
+      assert(dist((6003L, 6001L)), "chained pair components keep min-label semantics")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("MinHashMerge sketch equals the signature of the unioned shingle set") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String

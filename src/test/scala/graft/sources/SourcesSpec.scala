@@ -43,6 +43,44 @@ class SourcesSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("detectSkew: flags a planted hot key, passes a uniform one") {
+    // The heuristic is PARALLELISM-relative (hot = one reducer carries
+    // > factor x the mean load), so pin a production-like partition
+    // count: at the test harness's 4 partitions a half-the-rows key is
+    // legitimately only 2x the mean.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      // one key owns half the rows: its reducer would carry 0.5*N vs a
+      // mean of N/64 — far past any sane factor
+      val hot = spark.range(40000L)
+        .select(when(col("id") % 2 === 0, lit(0L)).otherwise(pmod(col("id"), lit(512L))).as("k"),
+          col("id").as("v"))
+      assert(Skew.detectSkew(hot, "k"), "half-the-rows key must register as skew")
+      // ~uniform keys: hottest ~ mean, below the factor
+      val uniform = spark.range(40000L)
+        .select(pmod(col("id"), lit(512L)).as("k"), col("id").as("v"))
+      assert(!Skew.detectSkew(uniform, "k"), "uniform keys must not trigger salting")
+      // empty relation: nothing to shuffle, nothing to salt
+      assert(!Skew.detectSkew(uniform.filter(col("k") < 0), "k"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("saltedJoinIfSkewed: row-identical to plain in BOTH detection branches") {
+    val right = (0 until 8).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "rv").orderBy("k", "v", "rv").collect().toSeq
+    val hot = spark.range(20000L)
+      .select(when(col("id") % 2 === 0, lit(0L)).otherwise(pmod(col("id"), lit(8L))).as("k"),
+        col("id").as("v"))
+    assert(rowsOf(Skew.saltedJoinIfSkewed(hot, right, "k", 4)) ===
+      rowsOf(hot.join(right, Seq("k"))))
+    val uniform = spark.range(2000L)
+      .select(pmod(col("id"), lit(8L)).as("k"), col("id").as("v"))
+    assert(rowsOf(Skew.saltedJoinIfSkewed(uniform, right, "k", 4)) ===
+      rowsOf(uniform.join(right, Seq("k"))))
+  }
+
   test("saltedJoin rejects right/full outer joins (right side is replicated)") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {
