@@ -119,6 +119,23 @@ object ScaleProbe {
       ops.Dedup.clustersDistributed(starEdges, saltWhenSkewed = false).count())
     time("clusters_star2M_salted")(
       ops.Dedup.clustersDistributed(starEdges).count())
+    // Wall-clock is ~flat at local[32] (the in-memory shuffle hides a
+    // single hot reducer behind 31 idle cores); the property salting
+    // buys is the PER-REDUCER max input — the number that decides
+    // whether one straggler executor OOMs/walls a real cluster. Measure
+    // the propagation join's shuffle spread directly:
+    val symStar = starEdges.unionByName(
+      starEdges.select(col("id2").as("id1"), col("id1").as("id2")))
+    def maxTask(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).head().getLong(0)
+    val plainMax = maxTask(symStar.repartition(col("id1")))
+    val saltMax = maxTask(symStar.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(16)).cast("int"))
+      .repartition(col("id1"), col("__salt")))
+    val spreadLine = "PROBE star hot-reducer spread: propagation-join shuffle " +
+      s"max-rows-per-task plain=$plainMax salted=$saltMax of ${symStar.count()} edges (32 reducers)"
+    println(spreadLine); report ++= spreadLine + "\n"
 
     // packing on a 90%-one-language corpus: the old partitionBy(lang)
     // window ran the dominant lang in ONE task; groupedRunningSum must
@@ -414,6 +431,32 @@ object ScaleProbe {
     report ++= "- IVF index reuse: the build pass is the one O(N) cost; screening a\n"
     report ++= "  delta against the persisted index reads only probed-cell\n"
     report ++= "  partitions (static pruning), so per-batch cost tracks the delta.\n"
+    report ++= "- ivf_recall: the nprobe dial is corpus-dependent. On the driver's\n"
+    report ++= "  ISOTROPIC embeddings (within-label cosine ~ across-label ~ 0,\n"
+    report ++= "  the worst case for any space partitioner) recall tracks the\n"
+    report ++= "  scanned fraction, so >= 0.95 honestly requires probing most of\n"
+    report ++= "  the 32 cells -- don't use IVF on structureless vectors. On the\n"
+    report ++= "  clustered corpus (the regime IVF exists for) a small nprobe\n"
+    report ++= "  reaches >= 0.95 reading ~nprobe/32 of the index bytes; pick the\n"
+    report ++= "  smallest nprobe whose measured recall clears the product bar.\n"
+    report ++= "- quantile_sketch vs exact: the sketch is one map-side-combined\n"
+    report ++= "  aggregate carrying <= 1024 (tz, value) rows per group per map\n"
+    report ++= "  partition; exact percentile materializes every group's full\n"
+    report ++= "  value multiset in ONE aggregation buffer. At 8x both read the\n"
+    report ++= "  same bytes -- the sketch's win is bounded memory and mergeable\n"
+    report ++= "  combine, the thing that still works when a group has 10^10 rows.\n"
+    report ++= "- hamming m-dial: m=4/t=0 exact 16-bit bands see ~m*N^2/2^16\n"
+    report ++= "  band-collision candidates; m=2/t=1 pays a 33x probe-row factor\n"
+    report ++= "  to bucket into 2^32 values -- the crossover favors wider bands\n"
+    report ++= "  as N grows past ~10^7 distinct hashes (band width >= log2 N).\n"
+    report ++= "- compact_zorder repacks the same 256 fragments in the same one\n"
+    report ++= "  read+write pass as plain compaction (plus a column-pruned stats\n"
+    report ++= "  scan), and the output files carry tight min/max footprints on\n"
+    report ++= "  BOTH z dimensions (CompactionSpec asserts the footprints).\n"
+    report ++= "- clusters_star2M: the hot-label fallback (Skew.detectSkew once on\n"
+    report ++= "  the static edge relation, salted propagation join when hot)\n"
+    report ++= "  removes the single-reducer wall a 2M-degree hub forces on every\n"
+    report ++= "  round of plain min-label propagation.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")
