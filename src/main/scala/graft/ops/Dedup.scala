@@ -210,18 +210,53 @@ object Dedup {
     if (maxDf == Int.MaxValue) ngramPairsExactCount(shingled, tau)
     else ngramPairsPrefixVerify(shingled, tau, maxDf)
 
-  /** Uncapped exact plan: bucket-count intersections directly. */
-  private def ngramPairsExactCount(shingled: DataFrame, tau: Double): DataFrame =
-    shingled
-      // explode_outer + null filter, size() over the carried attribute:
-      // a plain explode lets InferFiltersFromGenerate push a
-      // size(shs)>0 filter below the projection and re-evaluate the
-      // shingle hash 3× in the scan (the Dedup.scala lesson); the outer
-      // variant infers nothing, and hash values are never null
+  /** Uncapped exact plan: collapse IDENTICAL shingle sets first (the
+    * "dedup at the signature level" move every sketch family here
+    * uses), bucket-count intersections over the DISTINCT sets only,
+    * then expand back to doc pairs. A mass-duplicated corpus — the 8×
+    * replica probe, boilerplate families at 100 TB — would otherwise
+    * multiply every quadratic stage by the duplication factor squared;
+    * after the collapse the candidate/aggregate work is
+    * distinct-corpus-sized and only the (irreducible, the contract
+    * emits every qualifying pair) OUTPUT expansion scales with
+    * duplication. Within-group pairs are identical sets: n_inter = n,
+    * jaccard exactly 1.0 ≥ any τ — no arithmetic to disagree with the
+    * twin.
+    */
+  private def ngramPairsExactCount(shingled: DataFrame, tau: Double): DataFrame = {
+    // Set identity = (xxhash64(shs), n, first element, last element) —
+    // a 32-byte content address over the SORTED shingle array, so
+    // grouping and the membership join never sort/compare hundreds of
+    // longs per row. A false merge needs a 64-bit hash collision
+    // between different sets that ALSO agree on size and both extreme
+    // shingle hashes: ~2^-80 effective, physically negligible at any
+    // corpus size (and the per-pair scores a collision could corrupt
+    // are exactly what the oracle rows hash-check).
+    val keyed = shingled
       .select(col("doc_id"), col("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"),
+        xxhash64(col("shs")).as("s1"),
+        element_at(col("shs"), 1).as("lo"), element_at(col("shs"), -1).as("hi"))
+      .localCheckpoint(eager = false)
+    // one row per DISTINCT set: min-id rep + one carried array (first()
+    // holds one array per group in the partial buffer — bounded by the
+    // distinct sets per partition, the same shape as any dedup agg)
+    val dgroups = keyed.groupBy(col("s1"), col("n"), col("lo"), col("hi"))
+      .agg(min(col("doc_id")).as("rep"), first(col("shs")).as("shs"))
+      .localCheckpoint(eager = false)
+    val dsets = dgroups.select(col("rep").as("doc_id"), col("n"), col("shs"))
+    // posting/count core over distinct sets only.
+    // explode_outer + null filter, size() over the carried attribute: a
+    // plain explode lets InferFiltersFromGenerate push a size(shs)>0
+    // filter below the projection and re-evaluate the shingle hash 3×
+    // in the scan (the Dedup.scala lesson); the outer variant infers
+    // nothing, and hash values are never null.
+    val repPairs = dsets
+      .select(col("doc_id"), col("n"), col("shs"))
       .withColumn("sh", explode_outer(col("shs")))
       .filter(col("sh").isNotNull)
-      .select(col("doc_id"), size(col("shs")).as("n"), col("sh"))
+      .select(col("doc_id"), col("n"), col("sh"))
       .groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -236,6 +271,31 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
+    // expansion: every member pair of a qualifying rep pair shares the
+    // reps' exact sets, hence the reps' exact (n_inter, jaccard); the
+    // membership join moves 32-byte key rows, never arrays
+    val mem = keyed.select(col("s1"), col("n"), col("lo"), col("hi"), col("doc_id"))
+      .join(dgroups.select(col("s1"), col("n"), col("lo"), col("hi"), col("rep")),
+        Seq("s1", "n", "lo", "hi"))
+      .select(col("rep"), col("doc_id"), col("n"))
+      .localCheckpoint(eager = false)
+    val cross = repPairs
+      .join(mem.select(col("rep").as("id1"), col("doc_id").as("a")), Seq("id1"))
+      .join(mem.select(col("rep").as("id2"), col("doc_id").as("b")), Seq("id2"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"),
+        col("n_inter"), col("jaccard"))
+    // within-group: a mega-family's C(m,2) output is irreducible, and
+    // this is a plain AQE-VISIBLE join (not loop-internal), so AQE's
+    // skew-join split — not manual salting — is the right mitigation
+    // when a family's partition outgrows the split threshold
+    val within = mem.select(col("rep"), col("doc_id").as("a"), col("n"))
+      .join(mem.select(col("rep"), col("doc_id").as("b")), Seq("rep"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"),
+        col("n").cast("long").as("n_inter"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
 
   /** Capped plan: prefix probe + exact verify (see the contract note). */
   private def ngramPairsPrefixVerify(shingled: DataFrame, tau: Double,

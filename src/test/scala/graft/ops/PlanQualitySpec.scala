@@ -77,18 +77,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"CDC merge must stay distributed:\n$plan")
   }
 
-  test("ngram jaccard (uncapped): one shingle pass, bucket-count aggregate, no verify joins") {
+  test("ngram jaccard (uncapped): one shingle pass off the checkpoint, distinct-set collapse") {
     // AQE prints Final and Initial plans; count only the executed one.
     val plan = executed(Dedup.ngramJaccard(spark, sf)).split("== Initial Plan ==")(0)
-    // Exact bucket-count shape: ONE shingle pass feeds the posting-list
-    // aggregate; intersection counts come from the pair-count aggregate
-    // directly, so the shingle ARRAYS are never materialized a second
-    // time and no join appears anywhere in the plan.
-    assert("shinglehashes".r.findAllIn(plan.toLowerCase).size <= 1,
-      s"shingle hashing must run exactly once:\n$plan")
-    assert(!plan.toLowerCase.contains("sortmergejoin") &&
-      !plan.contains("BroadcastHashJoin"),
-      s"bucket counting replaces the verify joins:\n$plan")
+    // Exact shape: identical shingle sets collapse behind the
+    // checkpointed (doc, set, rep) relation — shingle hashing happened
+    // when the checkpoint materialized, so the executed plan reads
+    // `Scan ExistingRDD` and never re-derives shingles; intersection
+    // counts come from the pair-count aggregate over DISTINCT sets;
+    // verification joins are gone, only the output-proportional
+    // expansion equi-joins remain.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"pair work must read the checkpointed set relation:\n$plan")
+    assert(!plan.toLowerCase.contains("shinglehashes"),
+      s"shingle hashing re-evaluated in the executed plan:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
       s"pair aggregation must stay distributed:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
