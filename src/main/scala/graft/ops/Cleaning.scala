@@ -175,13 +175,103 @@ object Cleaning {
       |         '\b\d{8,}\b', '<NUM>', 'g') AS scrubbed
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---- Unicode normalization ----------------------------------------------
+
+  /** Invisible characters every public pipeline strips before hashing:
+    * C0 controls (except \t which the whitespace collapse owns and \n
+    * which is document structure), DEL, soft hyphen, the zero-width /
+    * directional-mark block, word joiner, and the BOM. An EXPLICIT
+    * class — not `\p{Cf}`/`\p{Cc}` — so Java regex (Spark) and RE2
+    * (DuckDB) match byte-identical spans regardless of property-table
+    * skew between the engines. `\x{…}` escape syntax is the Java ∩ RE2
+    * common subset.
+    */
+  private val InvisiblePat =
+    "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}\\x{00AD}\\x{200B}-\\x{200F}\\x{2060}\\x{FEFF}]"
+
+  /** Spaces/tabs collapse to one space (newlines survive — they are
+    * line structure, not padding). `\\t` stays an ESCAPE in the pattern
+    * string so the Spark and DuckDB pattern texts are identical.
+    */
+  private val SpaceRunPat = "[ \\t]+"
+
+  /** Canonical text normalization — the pass that runs BEFORE any
+    * hash-based operator (exact dedup, MinHash, fingerprints,
+    * contamination n-grams), because without it composed U+00E9 and
+    * decomposed `e`+U+0301 are different bytes and equal-looking
+    * documents silently miss each other. Steps, in contract order:
+    * NFC-compose ([[graft.functions.NfcNormalizeExpr]], ASCII fast
+    * path) → strip invisibles ([[InvisiblePat]]) → collapse space runs
+    * ([[SpaceRunPat]]) → trim.
+    *
+    * The synthetic corpus is pure ASCII, so the interesting cases ride
+    * a planted md5-draw suffix (the repo's adversarial-fixture
+    * pattern, replayed verbatim in the DuckDB twin): decomposed
+    * accents that NFC must compose, ZWSP/BOM/soft-hyphen/control
+    * bytes that stripping must remove, doubled spaces and tabs that
+    * the collapse must fold; draw 3 plants nothing, pinning the
+    * `changed = false` identity path.
+    *
+    * Scale shape: pure per-row scan work — one native expression plus
+    * two codegen'd regexp_replaces, zero shuffles, zero state; at
+    * 100 TB it runs at parquet-scan speed reading only (doc_id, text).
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val h = md5Mod(concat(lit("norm:"), col("doc_id").cast("string")), 4L)
+    val planted = c.ref("documents")
+      .select(col("doc_id"), concat(col("text"),
+        when(h === 0, lit(" Cafe\u0301  resume\u0301"))
+          .when(h === 1, lit(" na\u200Bive\uFEFF"))
+          .when(h === 2, lit(" x\u0007y\tz\u00AD"))
+          .otherwise(lit(""))).as("raw"))
+    planted
+      .withColumn("text_norm",
+        trim(regexp_replace(
+          regexp_replace(graft.functions.NfcNormalizeExpr(col("raw")), InvisiblePat, ""),
+          SpaceRunPat, " ")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("text_norm")).cast("long").as("n_norm"),
+        (col("raw") =!= col("text_norm")).as("changed"),
+        col("text_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** chr() code points = the Scala literals above: 769 = U+0301
+    * combining acute, 8203 = U+200B ZWSP, 65279 = U+FEFF BOM, 7 = BEL,
+    * 9 = TAB, 173 = U+00AD soft hyphen.
+    */
+  val normalizeTextSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE md5_number_lower('norm:' || CAST(doc_id AS VARCHAR)) % 4
+       |      WHEN 0 THEN ' Cafe' || chr(769) || '  resume' || chr(769)
+       |      WHEN 1 THEN ' na' || chr(8203) || 'ive' || chr(65279)
+       |      WHEN 2 THEN ' x' || chr(7) || 'y' || chr(9) || 'z' || chr(173)
+       |      ELSE '' END AS raw
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, raw,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+       |      '$InvisiblePat', '', 'g'), '$SpaceRunPat', ' ', 'g')) AS text_norm
+       |  FROM planted)
+       |SELECT doc_id,
+       |       CAST(length(raw) AS BIGINT) AS n_raw,
+       |       CAST(length(text_norm) AS BIGINT) AS n_norm,
+       |       raw <> text_norm AS changed,
+       |       text_norm
+       |FROM n ORDER BY doc_id""".stripMargin
+
   private def tokens(text: Column): Column = TextAnalysis.tokens(text)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_c4_rules" -> (c4Rules _),
-    "text_pii_scrub" -> (piiScrub _))
+    "text_pii_scrub" -> (piiScrub _),
+    "text_normalize" -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
     "text_c4_rules" -> c4RulesSql,
-    "text_pii_scrub" -> piiScrubSql)
+    "text_pii_scrub" -> piiScrubSql,
+    "text_normalize" -> normalizeTextSql)
 }

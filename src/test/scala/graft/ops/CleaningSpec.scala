@@ -65,6 +65,47 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("normalizeText: composes NFC, strips invisibles, collapses runs, and is idempotent") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "Cafe\u0301  bon"),            // decomposed accent + double space
+      (2L, "na\u200Bive\uFEFF plain"),    // ZWSP + BOM
+      (3L, "x\u0007y\tz\u00AD"),          // control + tab + soft hyphen
+      (4L, " edge  case "),               // trim + collapse only
+      (5L, "already clean"),              // identity
+      (6L, null.asInstanceOf[String]))    // null-in -> null-out
+      .toDF("doc_id", "raw")
+    val out = graft.functions.NfcNormalizeExpr(col("raw"))
+    val norm = dirty.withColumn("text_norm",
+      trim(regexp_replace(
+        regexp_replace(out,
+          "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}\\x{00AD}\\x{200B}-\\x{200F}\\x{2060}\\x{FEFF}]", ""),
+        "[ \\t]+", " ")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(norm(1L) == "Caf\u00e9 bon")       // U+0301 composed into U+00E9
+    assert(norm(2L) == "naive plain")
+    assert(norm(3L) == "xy z")                // BEL/SHY stripped, tab collapsed
+    assert(norm(4L) == "edge case")
+    assert(norm(5L) == "already clean")
+    assert(norm(6L) == null)
+  }
+
+  test("normalizeText: operator output is NFC-idempotent and flags exactly the altered docs") {
+    val rows = Cleaning.normalizeText(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var changed = 0
+    rows.foreach { r =>
+      val t = r.getAs[String]("text_norm")
+      assert(java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFC))
+      assert(!t.exists(c => (c < ' ' && c != '\n') || c == '\u200B' || c == '\uFEFF' || c == '\u00AD'))
+      assert(!t.contains("  "), s"uncollapsed run in doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_norm") == t.codePointCount(0, t.length))
+      if (r.getAs[Boolean]("changed")) changed += 1
+    }
+    assert(changed > 0, "no doc changed — fixture is vacuous")
+    assert(changed < rows.length, "every doc changed — identity path untested")
+  }
+
   private def Catalog(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.catalog.Catalog(spark, dir)
 }

@@ -262,8 +262,9 @@ class PlanQualitySpec extends SparkTestBase {
       s"salting must stay an equi-join:\n$plan")
   }
 
-  test("c4 rules / pii scrub: pure scan work — no joins, no hash shuffle (only the output sort)") {
-    Seq(Cleaning.c4Rules(spark, sf), Cleaning.piiScrub(spark, sf)).foreach { df =>
+  test("c4 rules / pii scrub / normalize: pure scan work — no joins, no hash shuffle (only the output sort)") {
+    Seq(Cleaning.c4Rules(spark, sf), Cleaning.piiScrub(spark, sf),
+        Cleaning.normalizeText(spark, sf)).foreach { df =>
       val plan = executed(df)
       assert(!plan.contains("Join"), s"cleaning must not join:\n$plan")
       assert(!plan.contains("hashpartitioning"),
