@@ -137,8 +137,15 @@ object ScaleProbe {
     val saltMax = maxTask(symStar.withColumn("__salt",
         pmod(xxhash64(monotonically_increasing_id()), lit(16)).cast("int"))
       .repartition(col("id1"), col("__salt")))
+    // what the ISOLATED plan actually shuffles: the cold remainder only
+    // (hot keys' edges go map-side against a broadcast, zero shuffle)
+    val hotIds = graft.sources.Skew.hotKeys(symStar, "id1")
+    val coldMax =
+      if (hotIds.isEmpty) plainMax
+      else maxTask(symStar.filter(!col("id1").isin(hotIds: _*)).repartition(col("id1")))
     val spreadLine = "PROBE star hot-reducer spread: propagation-join shuffle " +
-      s"max-rows-per-task plain=$plainMax salted=$saltMax of ${symStar.count()} edges (32 reducers)"
+      s"max-rows-per-task plain=$plainMax salted16=$saltMax isolated_cold=$coldMax " +
+      s"of ${symStar.count()} edges (32 reducers, ${hotIds.length} hot keys)"
     println(spreadLine); report ++= spreadLine + "\n"
 
     // packing on a 90%-one-language corpus: the old partitionBy(lang)
@@ -466,10 +473,14 @@ object ScaleProbe {
     report ++= "  removes the single-reducer wall a 2M-degree hub forces on every\n"
     report ++= "  round of plain min-label propagation -- without whole-relation\n"
     report ++= "  salting's salts-x replication of the label side, which measured\n"
-    report ++= "  2.3x SLOWER than plain at this scale. The spread line shows the\n"
-    report ++= "  per-reducer balance isolation buys; local wall-clock hides the\n"
-    report ++= "  hot reducer behind 31 idle cores, so the win shows on real\n"
-    report ++= "  clusters as the absent straggler/OOM, not here.\n"
+    report ++= "  2.3x SLOWER than plain at this scale, and an early isolation\n"
+    report ++= "  cut that re-checkpointed both edge splits paid ~20% in double\n"
+    report ++= "  materialization; plain filters over the one checkpointed edge\n"
+    report ++= "  relation make isolation match-or-beat plain even at local[32],\n"
+    report ++= "  where the in-memory shuffle already hides the hot reducer\n"
+    report ++= "  behind 31 idle cores. The spread line is the cluster-relevant\n"
+    report ++= "  number: isolated_cold is the max rows ANY reducer sees (the\n"
+    report ++= "  hub's edges never shuffle), i.e. the absent straggler/OOM.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")

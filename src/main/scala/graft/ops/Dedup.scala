@@ -900,10 +900,14 @@ object Dedup {
     // hub's proposals map-side.
     val hotIds =
       if (saltWhenSkewed) graft.sources.Skew.hotKeys(sym, "id1") else Seq.empty
+    // Plain filters over the checkpointed sym — NOT re-checkpointed:
+    // materializing both splits would double the edge relation's
+    // storage and add two full passes for what each round can re-derive
+    // with a predicate over the shallow checkpoint scan.
     val (hotEdges, coldEdges) =
       if (hotIds.isEmpty) (null, sym)
-      else (sym.filter(col("id1").isin(hotIds: _*)).localCheckpoint(eager = false),
-        sym.filter(!col("id1").isin(hotIds: _*)).localCheckpoint(eager = false))
+      else (sym.filter(col("id1").isin(hotIds: _*)),
+        sym.filter(!col("id1").isin(hotIds: _*)))
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
