@@ -48,7 +48,7 @@ object Dedup {
   private def docShingleHashes(c: Catalog): DataFrame =
     docShingleHashesOn(c.ref("documents"))
 
-  private def docShingleHashesOn(docs: DataFrame): DataFrame =
+  private[ops] def docShingleHashesOn(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .select(col("doc_id"), ArrayExprs.shingleHashes(col("toks"), 3).as("shs"))
@@ -223,7 +223,8 @@ object Dedup {
     * jaccard exactly 1.0 ≥ any τ — no arithmetic to disagree with the
     * twin.
     */
-  private def ngramPairsExactCount(shingled: DataFrame, tau: Double): DataFrame = {
+  private[ops] def ngramPairsExactCount(shingled: DataFrame, tau: Double,
+      collapseGate: Double = 0.9): DataFrame = {
     // Set identity = (xxhash64(shs), n, first element, last element) —
     // a 32-byte content address over the SORTED shingle array, so
     // grouping and the membership join never sort/compare hundreds of
@@ -239,6 +240,20 @@ object Dedup {
         xxhash64(col("shs")).as("s1"),
         element_at(col("shs"), 1).as("lo"), element_at(col("shs"), -1).as("hi"))
       .localCheckpoint(eager = false)
+    // Adaptive gate (same move as ngramJaccardAutoCapped): ONE partial-
+    // aggregated probe over the checkpoint's 8-byte hash column decides
+    // whether the collapse pays. On a low-duplication corpus distinct ≈
+    // total and the collapse's extra array shuffle + membership joins
+    // are pure overhead (~30% on the sf0.1 curation pipeline); on a
+    // duplicate-heavy one (the 8× probe) distinct ≪ total and skipping
+    // it would square the duplication factor into every quadratic
+    // stage. approx_count_distinct's ±2% error is harmless at a 0.9
+    // threshold. Both branches emit identical rows — identical sets
+    // pair with n_inter = n, jaccard exactly 1.0 either way.
+    val st = keyed.agg(count(lit(1)), approx_count_distinct(col("s1"))).head()
+    val (total, distinct) = (st.getLong(0), st.getLong(1))
+    if (distinct >= collapseGate * total)
+      return bucketCountPairs(keyed.select(col("doc_id"), col("n"), col("shs")), tau)
     // one row per DISTINCT set: min-id rep + one carried array (first()
     // holds one array per group in the partial buffer — bounded by the
     // distinct sets per partition, the same shape as any dedup agg)
@@ -246,31 +261,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"), first(col("shs")).as("shs"))
       .localCheckpoint(eager = false)
     val dsets = dgroups.select(col("rep").as("doc_id"), col("n"), col("shs"))
-    // posting/count core over distinct sets only.
-    // explode_outer + null filter, size() over the carried attribute: a
-    // plain explode lets InferFiltersFromGenerate push a size(shs)>0
-    // filter below the projection and re-evaluate the shingle hash 3×
-    // in the scan (the Dedup.scala lesson); the outer variant infers
-    // nothing, and hash values are never null.
-    val repPairs = dsets
-      .select(col("doc_id"), col("n"), col("shs"))
-      .withColumn("sh", explode_outer(col("shs")))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("n"), col("sh"))
-      .groupBy(col("sh"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      // pair emission + the J ≥ τ length filter (n_min ≥ τ·n_max) fused
-      // into one kernel: failed pairs are never allocated
-      .select(explode(ArrayExprs.lengthFilteredPairs(col("docs"), tau)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.n1").as("n1"), col("p.n2").as("n2"))
-      .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
+    val repPairs = bucketCountPairs(dsets, tau)
     // expansion: every member pair of a qualifying rep pair shares the
     // reps' exact sets, hence the reps' exact (n_inter, jaccard); the
     // membership join moves 32-byte key rows, never arrays
@@ -296,6 +287,35 @@ object Dedup {
         col("n").cast("long").as("n_inter"), lit(1.0).as("jaccard"))
     cross.unionByName(within)
   }
+
+  /** The posting-list bucket-count core over (doc_id, n, shs) rows:
+    * explode to (set, shingle) postings, bucket by shingle, emit
+    * length-filtered pairs, count intersections, keep J ≥ τ.
+    * explode_outer + null filter, size() precomputed as `n`: a plain
+    * explode lets InferFiltersFromGenerate push a size(shs)>0 filter
+    * below the projection and re-evaluate the shingle hash 3× in the
+    * scan (the Dedup.scala lesson); the outer variant infers nothing,
+    * and hash values are never null.
+    */
+  private def bucketCountPairs(sets: DataFrame, tau: Double): DataFrame =
+    sets
+      .withColumn("sh", explode_outer(col("shs")))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("n"), col("sh"))
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      // pair emission + the J ≥ τ length filter (n_min ≥ τ·n_max) fused
+      // into one kernel: failed pairs are never allocated
+      .select(explode(ArrayExprs.lengthFilteredPairs(col("docs"), tau)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
 
   /** Capped plan: prefix probe + exact verify (see the contract note). */
   private def ngramPairsPrefixVerify(shingled: DataFrame, tau: Double,

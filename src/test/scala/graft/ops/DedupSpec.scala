@@ -24,6 +24,19 @@ class DedupSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("ngram exact: collapsed and direct branches of the adaptive gate emit identical pairs") {
+    val shingled = Dedup.docShingleHashesOn(
+      graft.catalog.Catalog(spark, sf).ref("documents"))
+    def rows(gate: Double) =
+      Dedup.ngramPairsExactCount(shingled, 0.5, collapseGate = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+    val direct = rows(0.0)    // distinct >= 0 * total always: never collapse
+    val collapsed = rows(1.1) // distinct >= 1.1 * total never: always collapse
+    assert(direct.nonEmpty)
+    assert(direct === collapsed)
+  }
+
   test("minhashLsh finds the exact-Jaccard pairs (high recall, estimates close)") {
     val exact = Dedup.ngramJaccardAt(spark, sf, 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

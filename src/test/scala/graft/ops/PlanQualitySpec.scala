@@ -80,13 +80,13 @@ class PlanQualitySpec extends SparkTestBase {
   test("ngram jaccard (uncapped): one shingle pass off the checkpoint, distinct-set collapse") {
     // AQE prints Final and Initial plans; count only the executed one.
     val plan = executed(Dedup.ngramJaccard(spark, sf)).split("== Initial Plan ==")(0)
-    // Exact shape: identical shingle sets collapse behind the
-    // checkpointed (doc, set, rep) relation — shingle hashing happened
-    // when the checkpoint materialized, so the executed plan reads
-    // `Scan ExistingRDD` and never re-derives shingles; intersection
-    // counts come from the pair-count aggregate over DISTINCT sets;
-    // verification joins are gone, only the output-proportional
-    // expansion equi-joins remain.
+    // Exact shape (both sides of the adaptive collapse gate satisfy
+    // these): shingle hashing happened when the keyed checkpoint
+    // materialized, so the executed plan reads `Scan ExistingRDD` and
+    // never re-derives shingles; intersection counts come from the
+    // pair-count aggregate; any joins present are the
+    // output-proportional expansion equi-joins — verification joins
+    // are gone on either branch.
     assert(plan.contains("Scan ExistingRDD"),
       s"pair work must read the checkpointed set relation:\n$plan")
     assert(!plan.toLowerCase.contains("shinglehashes"),
