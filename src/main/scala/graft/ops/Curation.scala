@@ -101,8 +101,19 @@ object Curation {
     //    shared tokens (lower ∘ tokens = the dedup family's tokenizer).
     val shingled = base.select(col("doc_id"),
       ArrayExprs.shingleHashes(transform(col("toks"), t => lower(t)), 3).as("shs"))
+    // Duplication verdict for the pair plan's collapse dial, probed on
+    // the PERSISTED token cache (identical texts ⟺ identical token
+    // arrays — the mass-duplication signal the collapse exists for)
+    // instead of Dedup's internal shingle-checkpoint probe: one cheap
+    // cached-column aggregate that doubles as the cache's first
+    // materialization, and on the common low-duplication corpus the
+    // pair plan stays fully lazy (no checkpoint sync point).
+    val st = base.agg(count(lit(1)),
+      approx_count_distinct(xxhash64(col("toks")))).head()
+    val dupHeavy = st.getLong(1) < 0.9 * st.getLong(0)
     val reps = Dedup.clustersOf(spark = base.sparkSession,
-      pairs = Dedup.ngramPairsFromShingles(shingled, 0.5), driverThreshold = 1L << 20)
+      pairs = Dedup.ngramPairsFromShingles(shingled, 0.5, collapse = Some(dupHeavy)),
+      driverThreshold = 1L << 20)
     // Membership is METADATA — (doc_id, lang) of the gopher-passed,
     // train-split docs (paragraph dedup rewrites text but never drops a
     // doc, so it cannot change membership). The split draw is

@@ -205,9 +205,17 @@ object Dedup {
     *     exact verify against the full sets — where survivors' scores
     *     stay exact however hard the cap bites.
     */
+  /** `collapse`: None = probe the duplication ratio internally (the
+    * default for corpora whose shingle derivation is a real scan, where
+    * the probe's checkpoint is reused by the pair plan either way);
+    * Some(b) = the CALLER already knows — [[graft.ops.Curation]] probes
+    * its persisted token cache for free and passes the verdict down,
+    * skipping both the internal probe's sync point and (when false) the
+    * checkpoint materialization entirely.
+    */
   private[ops] def ngramPairsFromShingles(shingled: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue): DataFrame =
-    if (maxDf == Int.MaxValue) ngramPairsExactCount(shingled, tau)
+      maxDf: Int = Int.MaxValue, collapse: Option[Boolean] = None): DataFrame =
+    if (maxDf == Int.MaxValue) ngramPairsExactCount(shingled, tau, collapse = collapse)
     else ngramPairsPrefixVerify(shingled, tau, maxDf)
 
   /** Uncapped exact plan: collapse IDENTICAL shingle sets first (the
@@ -224,7 +232,15 @@ object Dedup {
     * twin.
     */
   private[ops] def ngramPairsExactCount(shingled: DataFrame, tau: Double,
-      collapseGate: Double = 0.9): DataFrame = {
+      collapseGate: Double = 0.9, collapse: Option[Boolean] = None): DataFrame = {
+    // Caller-decided direct path: fully LAZY — no checkpoint, no probe
+    // action, the d4de34a plan shape. The pair plan is consumed once
+    // (clustersOf checkpoints the edges), so there is nothing to reuse.
+    if (collapse.contains(false))
+      return bucketCountPairs(
+        shingled.select(col("doc_id"), col("shs"))
+          .filter(size(col("shs")) > 0)
+          .select(col("doc_id"), size(col("shs")).as("n"), col("shs")), tau)
     // Set identity = (xxhash64(shs), n, first element, last element) —
     // a 32-byte content address over the SORTED shingle array, so
     // grouping and the membership join never sort/compare hundreds of
@@ -250,9 +266,11 @@ object Dedup {
     // stage. approx_count_distinct's ±2% error is harmless at a 0.9
     // threshold. Both branches emit identical rows — identical sets
     // pair with n_inter = n, jaccard exactly 1.0 either way.
-    val st = keyed.agg(count(lit(1)), approx_count_distinct(col("s1"))).head()
-    val (total, distinct) = (st.getLong(0), st.getLong(1))
-    if (distinct >= collapseGate * total)
+    val doCollapse = collapse.getOrElse {
+      val st = keyed.agg(count(lit(1)), approx_count_distinct(col("s1"))).head()
+      st.getLong(1) < collapseGate * st.getLong(0)
+    }
+    if (!doCollapse)
       return bucketCountPairs(keyed.select(col("doc_id"), col("n"), col("shs")), tau)
     // one row per DISTINCT set: min-id rep + one carried array (first()
     // holds one array per group in the partial buffer — bounded by the
