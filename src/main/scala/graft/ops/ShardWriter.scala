@@ -57,4 +57,46 @@ object ShardWriter {
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
     spark.read.parquet(s"$outDir/_manifest").orderBy("shard_id")
   }
+
+  /** JSONL variant — the wire format training loaders actually consume
+    * (one JSON document per line, `outDir/shard_id=K/` text files, same
+    * deterministic salted permutation and manifest contract as
+    * [[writeShards]]).
+    *
+    * Scale shape: the permutation is the two-pass global row number
+    * over (hash, doc_id) METADATA; document text crosses a shuffle
+    * exactly twice — once keyed by unique doc_id to attach it to its
+    * position, once in the shard repartition — and the JSON encoding
+    * (`to_json`, field order fixed by the struct) is scan-local. The
+    * manifest pass re-reads the written lines (prunes to shard_id +
+    * one parsed field, but a text source must still scan whole lines —
+    * the price of auditing a text format; the parquet variant's audit
+    * reads 3 columns). `_manifest` is underscore-hidden, so line
+    * readers never see it.
+    */
+  def writeShardsJsonl(spark: SparkSession, dir: String, outDir: String,
+      docsPerShard: Long, salt: String = "epoch0"): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    import graft.catalog.Catalog
+    val shuffled = TextAnalysis.globalShuffleAt(spark, dir, salt)
+      .withColumn("shard_id", expr(s"(shuffle_pos - 1) div ${docsPerShard}L"))
+    val withText = shuffled.join(
+      Catalog(spark, dir).ref("documents").select(col("doc_id"), col("lang"), col("text")),
+      Seq("doc_id"))
+    withText
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("shuffle_pos"))
+      .select(col("shard_id"), to_json(struct(col("shuffle_pos"), col("doc_id"),
+        col("source"), col("lang"), col("text"))).as("value"))
+      .write.mode("overwrite").partitionBy("shard_id").text(outDir)
+    val manifest = spark.read.text(outDir)
+      .select(col("shard_id").cast("long"),
+        get_json_object(col("value"), "$.shuffle_pos").cast("long").as("pos"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+      .orderBy("shard_id")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest").orderBy("shard_id")
+  }
 }
