@@ -167,3 +167,76 @@ object BpeCountSum {
   def bpeCountSum(words: Column, table: Seq[(String, String)]): Column =
     bridge.column(BpeCountSum(bridge.expression(words), table))
 }
+
+/** `BpeEncodeIds(words, table, vocab)` — the flattened token-ID
+  * sequence of a document (`array<string>` words → `array<int>` ids):
+  * what a training loader actually reads. Same tokenizer recursion and
+  * thread-confined word memo as [[BpeCountSum]] (so `size(ids)` always
+  * equals the count the packing metadata was planned with); the vocab
+  * (base alphabet + merge outputs, a few KB) rides the expression as a
+  * literal. An out-of-vocabulary token fails loudly — the vocab is
+  * BUILT from the corpus alphabet, so a miss means the caller encoded
+  * a different corpus than it built the vocab for, and a silent UNK
+  * would corrupt training data downstream.
+  */
+case class BpeEncodeIds(child: Expression, table: Seq[(String, String)],
+    vocab: Map[String, Int])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val indexed = table.toIndexedSeq
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    table.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+  @transient private lazy val memo: ThreadLocal[java.util.HashMap[String, Array[Int]]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]](1 << 12))
+  private val MemoCap = 1 << 16
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = memo.get()
+    val out = new scala.collection.mutable.ArrayBuffer[Int](arr.numElements() * 2)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        var ids = m.get(w)
+        if (ids == null) {
+          ids = Bpe.tokenize(w, indexed, ranks).map { t =>
+            vocab.getOrElse(t, throw new IllegalArgumentException(
+              s"token '$t' of word '$w' not in the ${vocab.size}-entry vocab — " +
+                "encode called with a vocab built from a different corpus"))
+          }.toArray
+          if (m.size() < MemoCap) m.put(w, ids)
+        }
+        out ++= ids
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncodeIds {
+  def bpeEncodeIds(words: Column, table: Seq[(String, String)],
+      vocab: Map[String, Int]): Column =
+    bridge.column(BpeEncodeIds(bridge.expression(words), table, vocab))
+
+  /** The id contract: base alphabet symbols (sorted) take 0..B-1, the
+    * rank-i merge's output token takes B+i-1. A merge output string
+    * that collides with an earlier id (same surface string) keeps the
+    * FIRST id, so every token string has exactly one id.
+    */
+  def buildVocab(alphabet: Seq[String], table: Seq[(String, String)]): Map[String, Int] = {
+    val base = alphabet.distinct.sorted.zipWithIndex.toMap
+    val b = base.size
+    table.zipWithIndex.foldLeft(base) { case (v, ((l, r), i)) =>
+      val tok = l + r
+      if (v.contains(tok)) v else v + (tok -> (b + i))
+    }
+  }
+}

@@ -99,4 +99,64 @@ object ShardWriter {
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
     spark.read.parquet(s"$outDir/_manifest").orderBy("shard_id")
   }
+
+  /** Token-ID shards — the LAST mile of the pretrain export: documents
+    * BPE-encoded to id sequences (corpus-trained merges,
+    * [[graft.functions.BpeEncodeIds]]) and concatenated into the same
+    * per-lang 512-token chunks [[TextAnalysis.packSequencesBpe]] plans
+    * (identical tokenizer ⇒ identical counts ⇒ identical running sums
+    * ⇒ identical chunk boundaries), written `outDir/lang=K/` parquet.
+    * Returns the per-lang manifest (n_chunks, n_tokens).
+    *
+    * Scale shape: the vocab is driver-BOUNDED metadata (corpus
+    * alphabet + merge outputs — a few KB riding the expression as a
+    * literal); encoding is scan-local; the chunk assembly shuffles each
+    * id array exactly once (the range partition of the running sum is
+    * metadata-only — groupedRunningSum checkpoints (lang, doc_id,
+    * count) — and the groupBy moves the ids keyed by (lang, chunk));
+    * in-chunk doc order is pinned by array_sort on (doc_id, ids)
+    * structs, so the written bytes are partition-count-independent.
+    */
+  def writeTokenShards(spark: SparkSession, dir: String, outDir: String,
+      seqLen: Int = 512): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val c = graft.catalog.Catalog(spark, dir)
+    val table = BpeTrain.trainedMerges(spark, dir).map { case (l, r, _) => (l, r) }
+    val words = c.ref("documents")
+      .select(col("lang"), col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    // the corpus ALPHABET: a bounded driver collect (distinct codepoints)
+    val alphabet = words.select(explode(col("toks")).as("w"))
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = graft.functions.BpeEncodeIds.buildVocab(alphabet, table)
+    // ONE encode pass: both the metadata branch (running-sum chunk
+    // planning) and the chunk-assembly join read this checkpoint — the
+    // encoded corpus is the export's working set either way.
+    val base = words.select(col("lang"), col("doc_id"),
+        graft.functions.BpeEncodeIds.bpeEncodeIds(col("toks"), table, vocab).as("ids"))
+      .withColumn("n_tokens_bpe", size(col("ids")).cast("long"))
+      .localCheckpoint(eager = false)
+    val assigned = Windows.groupedRunningSum(
+        base.select(col("lang"), col("doc_id"), col("n_tokens_bpe")),
+        "__rsum", col("lang"), col("n_tokens_bpe"), col("doc_id"))
+      .withColumn("chunk_id", expr(s"(__rsum - n_tokens_bpe) div ${seqLen}L"))
+      .select(col("lang").as("alang"), col("doc_id").as("adoc"), col("chunk_id"))
+    val chunks = base
+      .join(assigned, col("lang") === col("alang") && col("doc_id") === col("adoc"))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("token_ids"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    chunks
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("lang"), col("chunk_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("lang")
+  }
 }

@@ -58,6 +58,51 @@ class ShardWriterSpec extends SparkTestBase {
     assert(linesA === linesB, "rewrites must be byte-identical")
   }
 
+  test("writeTokenShards: ids decode, chunks match the pack plan, totals conserve") {
+    val out = tmpDir("token_shards")
+    val manifest = ShardWriter.writeTokenShards(spark, sf, out).collect()
+    assert(manifest.nonEmpty)
+    // token totals conserve: Σ chunk tokens == Σ per-doc BPE counts
+    val trained = BpeTrain.trainedMerges(spark, sf).map { case (l, r, _) => (l, r) }
+    val c = graft.catalog.Catalog(spark, sf)
+    val expected = c.ref("documents")
+      .select(graft.functions.BpeCountSum.bpeCountSum(
+        TextAnalysis.tokens(lower(col("text"))), trained).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum === expected)
+    // chunk membership equals packSequencesBpe's plan (same tokenizer,
+    // same running sum): chunk counts per (lang, chunk_id) must agree
+    val packed = TextAnalysis.packSequencesBpe(spark, sf)
+      .groupBy("lang", "chunk_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val written = spark.read.parquet(out)
+      .select(col("lang"), col("chunk_id"), col("n_docs")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(written === packed, "chunk membership must match the planned packing")
+    // every id is in-vocab and the first chunk's prefix decodes to the
+    // min-doc's own tokenization
+    val chunk0 = spark.read.parquet(out)
+      .filter(col("chunk_id") === 0).orderBy("lang").head()
+    val ids0 = chunk0.getSeq[Int](chunk0.fieldIndex("token_ids")).toList
+    assert(ids0.forall(_ >= 0))
+    val lang0 = chunk0.getAs[String]("lang")
+    val firstDoc = c.ref("documents").filter(col("lang") === lang0)
+      .orderBy("doc_id").select(lower(col("text"))).head().getString(0)
+    val ranks = trained.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val firstWordToks = graft.functions.Bpe.tokenize(
+      firstDoc.trim.split("\\s+").head, trained.toIndexedSeq, ranks)
+    // rebuild the vocab the writer's contract defines and decode exactly
+    val alphabet = c.ref("documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = graft.functions.BpeEncodeIds.buildVocab(alphabet, trained)
+    assert(ids0.take(firstWordToks.length) === firstWordToks.map(vocab),
+      "chunk-0 prefix must be the min-doc's first word, id-for-id")
+    assert(ids0.forall(_ < vocab.size + trained.size))
+  }
+
   test("writeShards: deterministic across writes; a new salt is a new epoch order") {
     val (a, b, c) = (tmpDir("shards_a"), tmpDir("shards_b"), tmpDir("shards_c"))
     ShardWriter.writeShards(spark, sf, a, docsPerShard = 64)
