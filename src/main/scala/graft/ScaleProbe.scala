@@ -338,6 +338,19 @@ object ScaleProbe {
     val compZLine = s"PROBE compact_zorder files ${compactedZ._1} -> ${compactedZ._2} (64 MB target, z(source,n_chars))"
     println(compZLine); report ++= compZLine + "\n"
 
+    // Release-audit diff at 8×: both sides reduce to (doc_id, source,
+    // md5) at the scan, one doc_id SMJ, |sources|-row rollup.
+    time("corpus_diff_8x")(ops.Versioning.corpusDiff(spark, dir).count())
+
+    // Export sinks at 8×: the JSONL wire format (text shuffles twice —
+    // position join + shard repartition — then an audit line re-read),
+    // and token-id shards (BPE train + one encode pass via checkpoint +
+    // one id-array shuffle into the planned chunks).
+    time("jsonl_shards_8x")(
+      ops.ShardWriter.writeShardsJsonl(spark, dir, s"$dir/jsonl_shards", 2048L).count())
+    time("token_shards_8x")(
+      ops.ShardWriter.writeTokenShards(spark, dir, s"$dir/tok_shards").count())
+
     // Skew: 4M-row fact where ONE key owns half the rows, joined to a
     // 200-row dim with broadcast disabled (forcing a shuffle join — the
     // regime where salting matters). Plain join lands 2M rows on one
@@ -467,6 +480,15 @@ object ScaleProbe {
     report ++= "  read+write pass as plain compaction (plus a column-pruned stats\n"
     report ++= "  scan), and the output files carry tight min/max footprints on\n"
     report ++= "  BOTH z dimensions (CompactionSpec asserts the footprints).\n"
+    report ++= "- corpus_diff: linear in both snapshots -- each side is a scan\n"
+    report ++= "  projecting (doc_id, source, md5), so the full-outer SMJ and\n"
+    report ++= "  the per-source rollup never see document text; at 100 TB the\n"
+    report ++= "  doc_id exchange is reusable across daily runs of the audit.\n"
+    report ++= "- export sinks: jsonl pays the irreducible two text shuffles of\n"
+    report ++= "  a global permutation plus an audit line re-read (a text format\n"
+    report ++= "  cannot column-prune its own audit); token shards are dominated\n"
+    report ++= "  by the one-off BPE train + the encode scan, with id arrays\n"
+    report ++= "  crossing exactly one shuffle into their planned chunks.\n"
     report ++= "- clusters_star2M: hot-label ISOLATION (Skew.hotKeys once on the\n"
     report ++= "  static edge relation; the <= 64 hot labels broadcast against\n"
     report ++= "  their edges map-side, the balanced remainder shuffles normally)\n"
