@@ -338,63 +338,6 @@ object ArrayExprs {
     * are safe: either side is then a min side, and the lex order picks
     * one deterministically.
     */
-  /** All unordered pairs (id1 < id2) of an `array<struct<doc_id,n>>`
-    * posting list that already pass the Jaccard length filter
-    * `min(n1,n2) ≥ τ·max(n1,n2)` — the pair-emission kernel of the
-    * UNCAPPED exact n-gram plan ([[graft.ops.Dedup]]), where bucket
-    * counting replaces verification and no probe flag exists. Filtering
-    * inside the expression keeps the failed pairs from ever being
-    * allocated; the same double arithmetic as the relational filter it
-    * replaces (`least(...).cast(double) >= τ * greatest(...)`).
-    */
-  case class LengthFilteredPairs(child: Expression, tau: Double)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(
-      StructType(Seq(
-        StructField("id1", LongType, nullable = false),
-        StructField("id2", LongType, nullable = false),
-        StructField("n1", IntegerType, nullable = false),
-        StructField("n2", IntegerType, nullable = false))),
-      containsNull = false)
-    override def nullIntolerant: Boolean = true
-
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val ids = new Array[Long](m)
-      val ns = new Array[Int](m)
-      var i = 0
-      while (i < m) {
-        val st = arr.getStruct(i, 2)
-        ids(i) = st.getLong(0)
-        ns(i) = st.getInt(1)
-        i += 1
-      }
-      require(m <= 65536,
-        s"posting list df=$m exceeds the pair-expansion bound; " +
-          "apply a df cap (containmentCappedAt / ngramJaccardCappedAt)")
-      val out = new scala.collection.mutable.ArrayBuffer[Any](m)
-      i = 0
-      while (i < m) {
-        var j = i + 1
-        while (j < m) {
-          val lo = math.min(ns(i), ns(j)).toDouble
-          val hi = math.max(ns(i), ns(j)).toDouble
-          if (lo >= tau * hi) {
-            if (ids(i) < ids(j)) out += InternalRow(ids(i), ids(j), ns(i), ns(j))
-            else out += InternalRow(ids(j), ids(i), ns(j), ns(i))
-          }
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
-
-    override protected def withNewChildInternal(newChild: Expression): Expression =
-      copy(child = newChild)
-  }
-
   case class ProbePairsBoth(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(
@@ -933,8 +876,6 @@ object ArrayExprs {
   def sortedPairsN(idNs: Column, tau: Double = 0.0): Column = c(SortedPairsN(e(idNs), tau))
   def sortedPairsBoth(idNs: Column): Column = c(SortedPairsBoth(e(idNs)))
   def probePairsBoth(idNs: Column): Column = c(ProbePairsBoth(e(idNs)))
-  def lengthFilteredPairs(idNs: Column, tau: Double): Column =
-    c(LengthFilteredPairs(e(idNs), tau))
   def sortedIntersectCount(a: Column, b: Column): Column = c(SortedIntersectCount(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))

@@ -108,8 +108,11 @@ object Curation {
     // cached-column aggregate that doubles as the cache's first
     // materialization, and on the common low-duplication corpus the
     // pair plan stays fully lazy (no checkpoint sync point).
+    // hashed over the LOWERED tokens — the same normalization the
+    // shingles apply — so casing-only duplicate families count as
+    // duplication here exactly as the collapse would see them
     val st = base.agg(count(lit(1)),
-      approx_count_distinct(xxhash64(col("toks")))).head()
+      approx_count_distinct(xxhash64(transform(col("toks"), t => lower(t))))).head()
     val dupHeavy = st.getLong(1) < 0.9 * st.getLong(0)
     val reps = Dedup.clustersOf(spark = base.sparkSession,
       pairs = Dedup.ngramPairsFromShingles(shingled, 0.5, collapse = Some(dupHeavy)),
@@ -129,8 +132,8 @@ object Curation {
     val membersTrain = passed
       .join(reps.withColumnRenamed("doc_id", "rep_key"),
         col("doc_id") === col("rep_key"), "left")
-      .filter(ArrayExprs.md5Mod(concat_ws(":", lit("lfsplit"),
-        coalesce(col("cluster_rep"), col("doc_id")).cast("string")), 10L) < 8)
+      .filter(Dedup.splitDraw(coalesce(col("cluster_rep"), col("doc_id")))
+        < Dedup.TrainBuckets)
       .select(col("doc_id"), col("lang"))
       .localCheckpoint()
     // 4. Mixture sampling over the train subset: sqrt-weighted water-fill

@@ -324,14 +324,15 @@ object Dedup {
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
       // pair emission + the J ≥ τ length filter (n_min ≥ τ·n_max) fused
-      // into one kernel: failed pairs are never allocated
-      .select(explode(ArrayExprs.lengthFilteredPairs(col("docs"), tau)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      // into one kernel (the shared SortedPairsN, which carries
+      // ns = n1 + n2 — all the denominator needs): failed pairs are
+      // never allocated
+      .select(explode(ArrayExprs.sortedPairsN(col("docs"), tau)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.ns").as("ns"))
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")).cast("double"))
+          (col("ns") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
 
@@ -1080,14 +1081,23 @@ object Dedup {
     * [[graft.ops.Curation]] so the composed pipeline draws the identical
     * per-cluster hash without its own corpus scan.
     */
+  /** THE split draw — one definition of the 'lfsplit' hash and the
+    * 8/1/1 bucket boundaries, shared by [[leakFreeSplitFrom]] and the
+    * composed curation pipeline's inlined membership filter so the two
+    * can never desynchronize.
+    */
+  private[ops] def splitDraw(clusterRep: Column): Column =
+    graft.functions.ArrayExprs.md5Mod(
+      concat_ws(":", lit("lfsplit"), clusterRep.cast("string")), 10L)
+  private[ops] val TrainBuckets = 8
+
   private[ops] def leakFreeSplitFrom(docIds: DataFrame, reps: DataFrame): DataFrame = {
-    val h = graft.functions.ArrayExprs.md5Mod(
-      concat_ws(":", lit("lfsplit"), col("cluster_rep").cast("string")), 10L)
+    val h = splitDraw(col("cluster_rep"))
     docIds
       .join(reps, Seq("doc_id"), "left")
       .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
       .withColumn("split",
-        when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+        when(h < TrainBuckets, "train").when(h === TrainBuckets, "val").otherwise("test"))
       .select(col("doc_id"), col("cluster_rep"), col("split"))
   }
 

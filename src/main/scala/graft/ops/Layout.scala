@@ -128,7 +128,10 @@ object Layout {
     val stats = df.agg(statAggs.head, statAggs.tail: _*)
     val withDicts = dims.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
       case (acc, (d, i)) if isString(i) =>
-        val ranks = df.select(col(d)).distinct()
+        // NULLS are excluded from the dictionary (countDistinct skips
+        // them too): ranks run 0..n-1 so the top value maps to bucket
+        // 255 exactly; null rows miss the join and coalesce to 0.
+        val ranks = df.select(col(d)).filter(col(d).isNotNull).distinct()
           .withColumn(s"__zr_$i",
             row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(col(d))).cast("long") - 1)
@@ -139,8 +142,17 @@ object Layout {
       if (isString(i))
         coalesce(expr(s"(__zr_$i * 255) div greatest(1L, __zn_$i - 1)"), lit(0L))
       else
-        coalesce(expr(s"((CAST($d AS BIGINT) - __zmin_$i) * 255)" +
-          s" div greatest(1L, __zmax_$i - __zmin_$i)"), lit(0L))
+        // DOUBLE normalization: (v - min) * 255 in BIGINT overflows on
+        // wide-range columns (64-bit hashes/fingerprints) and even
+        // max - min can wrap; 256 buckets need 8 bits of precision, so
+        // double is exact wherever the integer div was (< 2^53) and
+        // merely approximate — never garbage — beyond it. Clamped to
+        // [0, 255]; null normalizes to bucket 0 (a maintenance rewrite
+        // must never lose the row).
+        coalesce(expr(
+          s"least(255L, greatest(0L, CAST(floor((CAST($d AS DOUBLE) - CAST(__zmin_$i AS DOUBLE)) * 255.0D" +
+            s" / greatest(1.0D, CAST(__zmax_$i AS DOUBLE) - CAST(__zmin_$i AS DOUBLE))) AS BIGINT)))"),
+          lit(0L))
     }
     val withBits = bitCols.zipWithIndex.foldLeft(withDicts) {
       case (acc, (c, i)) => acc.withColumn(s"__zb_$i", c)

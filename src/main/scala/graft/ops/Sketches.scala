@@ -369,10 +369,13 @@ object Sketches {
         col("sk.n").as("n"),
         size(col("sk.sample")).cast("long").as("m"),
         col("sk.sample").as("sample"))
+    // m = 0 (an all-null group, or a degenerate id-hash draw in a
+    // > cap-row group) must yield NULL estimates, not an element_at(0)
+    // runtime error that kills the whole query.
     def pick(p: Int) = expr(
-      s"""element_at(sample, cast(least(greatest(
+      s"""IF(m = 0, NULL, element_at(sample, cast(least(greatest(
          |  ((n * $p + 99) div 100 + shiftleft(cast(1 as bigint), cast(level as int)) - 1)
-         |    div shiftleft(cast(1 as bigint), cast(level as int)), 1), m) as int))""".stripMargin)
+         |    div shiftleft(cast(1 as bigint), cast(level as int)), 1), m) as int)))""".stripMargin)
     sk.withColumn("p50_est", pick(50))
       .withColumn("p95_est", pick(95))
       .withColumn("p99_est", pick(99))

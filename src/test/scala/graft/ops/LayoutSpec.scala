@@ -64,4 +64,26 @@ class LayoutSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).distinct.length > 10)
     assert(out.map(_.getLong(2)).distinct.length > 10)
   }
+
+  test("withZValue: null dims bucket to 0 without corrupting the top rank; wide longs don't overflow") {
+    import spark.implicits._
+    // low-cardinality string dim WITH nulls: ranks must stay <= 255
+    // (null excluded from the dictionary), null rows kept at bucket 0
+    val strDf = Seq(Some("a"), Some("b"), Some("c"), None, Some("c"))
+      .toDF("s").withColumn("id", monotonically_increasing_id())
+    val strZ = Layout.withZValue(strDf, Seq("s"), "z").collect()
+    assert(strZ.length === 5, "null-dim rows must never be dropped")
+    val zByS = strZ.map(r => Option(r.getAs[String]("s")) -> r.getAs[Long]("z")).toMap
+    assert(zByS(Some("c")) === 255L, "top rank must hit bucket 255 exactly")
+    assert(zByS(None) === 0L, "null must normalize to bucket 0")
+    assert(strZ.forall(_.getAs[Long]("z") <= 255L))
+    // full-range long dim: (v - min) * 255 would overflow BIGINT; the
+    // double path must still order min < mid < max
+    val wide = Seq(Long.MinValue, 0L, Long.MaxValue).toDF("v")
+    val wz = Layout.withZValue(wide, Seq("v"), "z").collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("z")).toMap
+    assert(wz(Long.MinValue) === 0L)
+    assert(wz(Long.MaxValue) === 255L)
+    assert(wz(0L) > 0L && wz(0L) < 255L)
+  }
 }

@@ -122,6 +122,21 @@ class SketchesSpec extends SparkTestBase {
     assert(got.values.exists(_._1 >= 1), "expected at least one compacted group")
   }
 
+  test("quantile sketch: an all-null group yields NULL estimates, not a crash") {
+    import spark.implicits._
+    val mixed = Seq(
+      ("empty", Option.empty[Double], 1L),
+      ("empty", Option.empty[Double], 2L),
+      ("full", Some(10.0), 3L),
+      ("full", Some(20.0), 4L))
+      .toDF("event_type", "value", "event_id")
+    val out = Sketches.quantileSketchOf(mixed, cap = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("empty").isNullAt(out("empty").fieldIndex("p50_est")))
+    assert(out("empty").getLong(out("empty").fieldIndex("m")) === 0L)
+    assert(out("full").getDouble(out("full").fieldIndex("p50_est")) === 10.0)
+  }
+
   test("quantile sketch: canonical under any partitioning / arrival order") {
     // The 100 TB property: partial sketches form per input split and
     // merge in whatever order the combine runs — the result must not
