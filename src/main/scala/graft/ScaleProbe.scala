@@ -252,6 +252,40 @@ object ScaleProbe {
       crows.toDF("vec_id", "embedding")
         .repartition(8).write.parquet(s"$clusDir/embeddings.parquet")
       recallDial("clustered", clusDir, Seq(1, 2, 4, 8))
+      // PQ/ADC on the same clustered corpus: the MEMORY-scale dial next
+      // to IVF's read-scale dial. Stored codes are m bytes/vector vs
+      // 256 B of raw floats; recall is measured against the exact L2
+      // top-50 (the metric ADC approximates), not cosine.
+      locally {
+        val emb = spark.read.parquet(s"$clusDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nrm = ops.Similarity.l2norm(col("embedding"))
+        val embN = emb.withColumn("nrm2", nrm * nrm)
+        val qs = embN.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("nrm2").as("qn2"))
+        val exact = embN.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (col("qn2") + col("nrm2")
+              - lit(2.0) * ops.Similarity.dot(col("qvec"), col("embedding"))).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("d2").asc, col("vec_id"))
+        val truth = exact.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 50)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Seq(4, 8, 16).foreach { m =>
+          val t0 = System.nanoTime()
+          val got = ops.Pq.pqAdcAt(spark, clusDir, nQueries = 20, k = 50,
+            m = m, kSub = 256, iters = 2)
+            .select("query_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = truth.count(got.contains).toDouble / truth.size
+          val line = f"PROBE pq_adc_recall@50 m=$m%-2d kSub=256 ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$rec%.4f (bytes/vec=$m vs 256 raw)"
+          println(line); report ++= line + "\n"
+        }
+      }
     } finally graft.util.Fs.deleteRecursively(clusDir)
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
@@ -466,6 +500,13 @@ object ScaleProbe {
     report ++= "  climbs 0.79 / 0.88 / 0.93 / 0.97 over nprobe 1/2/4/8 -- >= 0.95\n"
     report ++= "  at nprobe=8, reading ~8/32 of the index bytes; pick the\n"
     report ++= "  smallest nprobe whose measured recall clears the product bar.\n"
+    report ++= "- pq_adc: the m dial trades index bytes for recall against the\n"
+    report ++= "  exact L2 top-50 on the clustered corpus. Encoding is one scan\n"
+    report ++= "  (codebooks ride the plan as expression state) and the ADC query\n"
+    report ++= "  scan reads code columns only -- at 10^11 vectors the PQ index\n"
+    report ++= "  is m bytes/vector where raw floats are 256, the difference\n"
+    report ++= "  between an in-memory index and none; compose with IVF (probe\n"
+    report ++= "  cells, then ADC within) for read-scale times memory-scale.\n"
     report ++= "- quantile_sketch vs exact: the sketch is one map-side-combined\n"
     report ++= "  aggregate carrying <= 1024 (tz, value) rows per group per map\n"
     report ++= "  partition; exact percentile materializes every group's full\n"

@@ -27,7 +27,7 @@ object SparkEntry {
       ops.RangeJoin.queries ++ ops.Graph.queries ++ ops.Search.queries ++
       ops.Curation.queries ++ ops.BpeTrain.queries ++ ops.Cleaning.queries ++
       ops.Dsir.queries ++ ops.Kmeans.queries ++ ops.Sketches.queries ++ ops.Layout.queries ++
-      ops.Versioning.queries ++
+      ops.Versioning.queries ++ ops.Pq.queries ++ ops.SkipIndex.queries ++
       push.PushQueries.queries ++ streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
@@ -39,6 +39,6 @@ object SparkEntry {
       ops.RangeJoin.oracles ++ ops.Graph.oracles ++ ops.Search.oracles ++
       ops.Curation.oracles ++ ops.BpeTrain.oracles ++ ops.Cleaning.oracles ++
       ops.Dsir.oracles ++ ops.Kmeans.oracles ++ ops.Sketches.oracles ++ ops.Layout.oracles ++
-      ops.Versioning.oracles ++
+      ops.Versioning.oracles ++ ops.Pq.oracles ++ ops.SkipIndex.oracles ++
       push.PushQueries.oracles ++ streaming.StreamingQueries.oracles
 }

@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.Catalog
+import graft.functions.ArrayExprs
+
+/** Product quantization (PQ) — the memory-scale path for similarity
+  * search, next to the throughput-scale paths (LSH bucketing, IVF cell
+  * pruning): split each D-dim vector into `m` contiguous subspaces,
+  * quantize every subspace slice against its own `kSub`-entry codebook,
+  * and keep only the `m` code bytes per vector (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+  * public). A 64-dim float corpus costs 256 B/vector raw; PQ at
+  * m=8/kSub=256 stores 8 B/vector — a 32× compression that is the
+  * difference between an ANN index that fits executor memory at 10¹¹
+  * vectors and one that does not.
+  *
+  * Query-time scoring is ADC (asymmetric distance computation): the
+  * UNquantized query precomputes a m×kSub table of subspace distances
+  * to every codebook entry, and each stored vector's approximate
+  * distance is `m` table lookups summed — no float arrays are read at
+  * scan time at all.
+  *
+  * Spark-first shape:
+  *  - TRAINING is the IVF quantizer pattern ([[Ivf.kmeansCentroids]]):
+  *    a bounded deterministic sample (md5-ordered draw, ≤ 64·kSub rows)
+  *    trains all m sub-quantizers driver-side; the corpus is never
+  *    scanned by Lloyd.
+  *  - ENCODING is one scan, zero shuffles: each subspace code is
+  *    [[graft.functions.ArrayExprs.NearestCentroidSq]] over
+  *    `slice(embedding, …)`, the k×(D/m) codebook riding with the plan.
+  *  - ADC SCAN is one scan over the (vec_id, codes) relation: the
+  *    per-query lookup tables (nQueries × m × kSub doubles — driver
+  *    metadata, like the k-means centroid collect) broadcast-cross-join
+  *    onto the codes, and the score is `m` codegen'd `element_at` calls
+  *    summed left-to-right. Only (query_id, vec_id, d2) crosses the
+  *    top-k shuffle.
+  *
+  * Determinism/oracle contract (the `sim_pq_adc` row): the registered
+  * query trains with `iters = 0`, so codebook entries are sample-slice
+  * floats verbatim (exactly widened to double) and every distance is a
+  * left-to-right fold DuckDB replays bit-identically; ties in both the
+  * encode argmin and the top-k rank break to the lowest code / vec_id.
+  * Lloyd refinement (`iters > 0`, the real-corpus setting) changes only
+  * codebook quality and is covered by PqSpec's recall assertions.
+  *
+  * Reference scope: the reference package has no vector ops at all —
+  * this extends the engine for LLM-training-data curation (embedding
+  * dedup / retrieval at 100 TB), per the build brief.
+  */
+object Pq {
+
+  /** Sub-quantizer codebooks: `m` sequences of `kSub` double centroids
+    * of dimension D/m. Trained on the same bounded md5-ordered sample as
+    * the IVF coarse quantizer; `iters = 0` keeps sample slices verbatim
+    * (the oracle-replayable setting), `iters > 0` runs per-subspace
+    * Lloyd with squared-L2 assignment, lowest-code tie-break, empty
+    * codes keeping their previous centroid.
+    */
+  def trainCodebooks(emb: DataFrame, m: Int, kSub: Int, iters: Int): Seq[Seq[Array[Double]]] = {
+    val sampleSize = math.max(64 * kSub, 1024)
+    val sample: Array[Array[Double]] = emb
+      .orderBy(ArrayExprs.md5Mod(col("vec_id").cast("string"), 1000003L), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "PQ training: embeddings relation is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"PQ: dimension $dim not divisible by m=$m")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      var cb: Seq[Array[Double]] = slices.take(kSub).toSeq
+      val kEff = cb.size
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(kEff)(new Array[Double](subDim))
+        val counts = new Array[Long](kEff)
+        slices.foreach { v =>
+          val code = nearestSq(v, cb)
+          val acc = sums(code)
+          var i = 0
+          while (i < subDim) { acc(i) += v(i); i += 1 }
+          counts(code) += 1
+        }
+        cb = Seq.tabulate(kEff) { j =>
+          if (counts(j) == 0) cb(j)
+          else Array.tabulate(subDim)(i => sums(j)(i) / counts(j))
+        }
+      }
+      cb
+    }
+  }
+
+  /** Same ranking as NearestCentroidSq: strict < keeps the lowest code. */
+  private def nearestSq(v: Array[Double], cb: Seq[Array[Double]]): Int = {
+    var best = 0
+    var bestD2 = Double.PositiveInfinity
+    var j = 0
+    while (j < cb.length) {
+      val c = cb(j)
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      if (acc < bestD2) { bestD2 = acc; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** One-scan PQ encode: (vec_id, c0 … c(m-1)) int code columns. */
+  def encode(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      ArrayExprs.nearestCentroidSq(
+        slice(col("embedding"), s * subDim + 1, subDim), codebooks(s))
+        .getField("cid").as(s"c$s")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** ADC lookup table for one raw query vector: flattened m·kSub doubles,
+    * entry s·kSub + j = left-to-right fold of (q_i − c_i)² over the
+    * subspace — the same accumulation order as NearestCentroidSq and the
+    * DuckDB twin.
+    */
+  private def adcLut(q: Array[Double], codebooks: Seq[Seq[Array[Double]]]): Array[Double] = {
+    val m = codebooks.size
+    val kSub = codebooks.head.size
+    val subDim = codebooks.head.head.length
+    val lut = new Array[Double](m * kSub)
+    for (s <- 0 until m; j <- codebooks(s).indices) {
+      val c = codebooks(s)(j)
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) { val d = q(s * subDim + i) - c(i); acc += d * d; i += 1 }
+      lut(s * kSub + j) = acc
+    }
+    lut
+  }
+
+  /** The registered `sim_pq_adc` query: PQ-encode the corpus
+    * (m=4 × 16-dim subspaces, 16 codes each, iters=0) and answer the
+    * standard 5-query top-10 benchmark by ADC over codes only.
+    */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame =
+    pqAdcAt(spark, dir, nQueries = 5, k = 10, m = 4, kSub = 16, iters = 0)
+
+  def pqAdcAt(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      m: Int, kSub: Int, iters: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val codebooks = trainCodebooks(emb, m, kSub, iters)
+    val codes = encode(emb, codebooks)
+
+    // Query vectors: nQueries rows — bounded driver metadata, same
+    // contract as the quantizer sample collect.
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val lutSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qRows.toIndexedSeq.map { case (id, q) => Row(id, adcLut(q, codebooks).toSeq) }, 1),
+      lutSchema)
+
+    // ADC: m codegen'd lookups summed in subspace order (left-to-right,
+    // matching the oracle's ordered list fold).
+    val kEff = codebooks.head.size
+    val d2 = (0 until m).map { s =>
+      element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
+    }.reduceLeft(_ + _)
+
+    val scored = codes.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of `pqAdc` — replays the md5-ordered sample draw, the
+    * verbatim iters=0 codebooks, the per-subspace argmin encode, the ADC
+    * tables and the subspace-ordered distance fold.
+    */
+  val pqAdcSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cb AS (
+      |  SELECT sr - 1 AS code,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT en.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (vec[subs.s * 16 + i] - cvec[subs.s * 16 + i])
+      |              * (vec[subs.s * 16 + i] - cvec[subs.s * 16 + i]))) AS d2
+      |  FROM en CROSS JOIN subs CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en WHERE vec_id < 5),
+      |lut AS (
+      |  SELECT q.query_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (qvec[subs.s * 16 + i] - cvec[subs.s * 16 + i])
+      |              * (qvec[subs.s * 16 + i] - cvec[subs.s * 16 + i]))) AS d2
+      |  FROM queries q CROSS JOIN subs CROSS JOIN cb),
+      |scored AS (
+      |  SELECT l.query_id, c.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM codes c
+      |  JOIN lut l ON l.s = c.s AND l.code = c.code
+      |  WHERE c.vec_id <> l.query_id
+      |  GROUP BY l.query_id, c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_adc" -> (pqAdc _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> pqAdcSql)
+}

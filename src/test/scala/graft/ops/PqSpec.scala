@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Clustered synthetic embeddings (the IvfSpec fixture shape): 8
+    * well-separated Gaussian centers, 40 members each, plus a planted
+    * near-copy of each query vector — the regime a quantizer exists for.
+    */
+  private lazy val dir: String = {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian().toFloat * 5f))
+    val base = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.5f))
+    }
+    val planted = (0 until 5).map { i =>
+      ((320 + i).toLong, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val d = tmpDir("pq")
+    (base ++ planted).toDF("vec_id", "embedding")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("encode matches a driver-side recompute (scan expression == reference argmin)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbs = Pq.trainCodebooks(emb, m = 4, kSub = 8, iters = 2)
+    val sparkCodes = Pq.encode(emb, cbs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt).toSeq).toMap
+    val raw = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val subDim = cbs.head.head.length
+    raw.foreach { case (id, v) =>
+      val expect = (0 until 4).map { s =>
+        val slice = java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+        cbs(s).zipWithIndex.map { case (c, j) =>
+          (c.zip(slice).map { case (ci, vi) => (vi - ci) * (vi - ci) }.sum, j)
+        }.min._2
+      }
+      assert(sparkCodes(id) === expect, s"codes diverge for vec $id")
+    }
+  }
+
+  test("ADC recall: planted near-copies surface in the PQ top-10 on the clustered corpus") {
+    // Two bars: the 5 PLANTED near-identical copies (cosine >= 0.999,
+    // ADC distance ~0 — a quantizer that misses these is broken) must
+    // all surface; the broader >= 0.95-cosine neighbor set only needs a
+    // floor, because ADC ranks by L2 over quantized codes and the
+    // in-cluster tail ordering legitimately differs from exact cosine.
+    val exact = Similarity.bruteForceTopKAt(spark, dir, nQueries = 5, k = 10)
+    val planted = exact.filter(col("score") >= 0.999)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.size >= 5, s"expected planted near-copies, got ${planted.size}")
+    val close = exact.filter(col("score") >= 0.95)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pq.pqAdcAt(spark, dir, nQueries = 5, k = 10, m = 4, kSub = 32, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(approx.contains),
+      s"every planted near-copy must be in the PQ top-10: missing ${planted.filterNot(approx.contains)}")
+    val recall = close.count(approx.contains).toDouble / close.size
+    assert(recall >= 0.5, s"PQ/ADC floor on the broad close set: $recall over ${close.size}")
+  }
+
+  test("finer codebooks do not hurt top-10 agreement with the exact ranking") {
+    val exact = Similarity.bruteForceTopKAt(spark, dir, nQueries = 5, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = Seq(4, 16, 64).map { kSub =>
+      val approx = Pq.pqAdcAt(spark, dir, nQueries = 5, k = 10, m = 4, kSub = kSub, iters = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    // not asserting monotonicity pointwise (quantization noise), but the
+    // finest codebook must beat the coarsest and clear a floor
+    assert(overlap.last >= overlap.head,
+      s"kSub=64 should beat kSub=4 on top-10 overlap: $overlap")
+    assert(overlap.last >= 0.5, s"kSub=64 overlap floor: $overlap")
+  }
+
+  test("registered query: 5 queries x 10 ranked rows, distances ascending") {
+    val out = Pq.pqAdc(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 10)
+      val d2 = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
+      assert(d2.forall(_ >= 0.0))
+    }
+  }
+
+  test("oracle iters=0 codebooks are sample slices verbatim; dimension must divide") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbs = Pq.trainCodebooks(emb, m = 4, kSub = 8, iters = 0)
+    assert(cbs.size === 4)
+    assert(cbs.forall(_.size === 8))
+    assert(cbs.forall(_.forall(_.length === 8))) // 32 / 4
+    val e = intercept[IllegalArgumentException] {
+      Pq.trainCodebooks(emb, m = 5, kSub = 8, iters = 0)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("ADC scan plan: no shuffle before the top-k rank; query side broadcast") {
+    val df = Pq.pqAdc(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"LUT side must broadcast:\n$plan")
+    // exactly one real exchange: the (query_id) window rank — codes and
+    // lookups are scan-side
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 2, s"ADC should shuffle only the rank + output sort:\n$plan")
+  }
+}
