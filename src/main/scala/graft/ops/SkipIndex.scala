@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.functions.ArrayExprs
+import graft.util.Fs
+
+/** File-skipping point-lookup index — per-file zone maps (min/max key)
+  * plus a per-file Bloom filter over the key column, the lakehouse
+  * "data skipping" pattern (Delta/Iceberg file stats + bloom indexes).
+  *
+  * The 100 TB problem it solves: "fetch these K doc_ids" (a takedown
+  * request, an audit sample, a training-example traceback) against a
+  * corpus of ~10⁶ parquet files. A plain filter scans everything; with
+  * this index the scan is restricted to the files whose zone map AND
+  * Bloom filter admit one of the keys — for range-clustered layouts
+  * that is K files, for random layouts it is K·(1+FP·nFiles) ≪ nFiles.
+  *
+  * Spark-first shape:
+  *  - BUILD is one corpus scan projecting (key, input_file_name), a
+  *    narrow (file, pos) distinct shuffle (positions, never keys or
+  *    rows), and a (file, word) bit-OR rollup — the index is m/8 bytes
+  *    per file, stored as sparse (file, widx, word) rows so empty words
+  *    cost nothing.
+  *  - LOOKUP never collects index rows proportional to the corpus: the
+  *    K·k query positions broadcast onto the index scan, the per-(file,
+  *    key) hit count and zone check reduce to a candidate FILE LIST
+  *    (bounded driver metadata, like probed IVF cells), and the corpus
+  *    read plans only those files with the key predicate pushed to
+  *    parquet (row-group pruning inside each file stacks on top).
+  *
+  * No false negatives by construction (a key's k positions are always
+  * set in its home file's filter and min/max always covers it); false
+  * positives cost only extra candidate files, never wrong rows, because
+  * the final scan re-applies the exact predicate. Bloom positions are
+  * the md5-derived family the contamination screen uses
+  * (`Sketches.bloomContaminationAt`) — deterministic, no RNG state.
+  *
+  * Reference scope: the reference package has no storage-maintenance
+  * ops; this extends the engine per the build brief (lakehouse
+  * layout family: Compaction, Layout, SkipIndex).
+  */
+object SkipIndex {
+
+  /** Hash functions per key — n·k/m sized so the default build sits
+    * near the 16-bits-per-key sweet spot.
+    */
+  val K = 4
+
+  /** Build the skip index for the parquet table at `corpusPath`:
+    * `indexPath/stats`  = (file, n_keys, min_key, max_key),
+    * `indexPath/bits`   = (file, widx, word) sparse Bloom bitsets.
+    * `mBits` is the per-file filter width (power of two not required —
+    * positions are md5 mod mBits); size it ≥ ~16 × keys-per-file.
+    */
+  def build(spark: SparkSession, corpusPath: String, keyCol: String,
+      indexPath: String, mBits: Long): Unit = {
+    val rows = spark.read.parquet(corpusPath)
+      .select(col(keyCol).as("k"), input_file_name().as("file"))
+    // one scan feeds both outputs; tiny relations, so the double read
+    // under no cache would still be cheap — pin anyway for atomicity
+    val pinned = rows.localCheckpoint(eager = true)
+    pinned.groupBy(col("file"))
+      .agg(count(lit(1)).as("n_keys"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    pinned
+      .select(col("file"),
+        explode(sequence(lit(0), lit(K - 1))).as("j"), col("k"))
+      .select(col("file"),
+        ArrayExprs.md5Mod(
+          concat(lit("skip:"), col("j").cast("string"), lit(":"),
+            col("k").cast("string")), mBits).as("pos"))
+      .distinct()
+      .select(col("file"), (col("pos") / 64).cast("long").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("file"), col("widx"))
+      .agg(expr("bit_or(bit)").as("word"))
+      .write.mode("overwrite").parquet(s"$indexPath/bits")
+  }
+
+  /** Files that may contain any of `keys`: Bloom-pass (all K positions
+    * set) AND zone-map-pass (key within [min_key, max_key]). Returns
+    * bounded driver metadata — the candidate file list.
+    */
+  def candidateFiles(spark: SparkSession, indexPath: String,
+      keys: Seq[Long], mBits: Long): Seq[String] = {
+    if (keys.isEmpty) return Seq.empty
+    import spark.implicits._
+    val qpos = keys.toDF("k")
+      .select(col("k"), explode(sequence(lit(0), lit(K - 1))).as("j"))
+      .select(col("k"), col("j"),
+        ArrayExprs.md5Mod(
+          concat(lit("skip:"), col("j").cast("string"), lit(":"),
+            col("k").cast("string")), mBits).as("pos"))
+      .select(col("k"), col("j"), (col("pos") / 64).cast("long").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+    val bloomPass = spark.read.parquet(s"$indexPath/bits")
+      .join(broadcast(qpos), Seq("widx"))
+      .filter((col("word").bitwiseAND(col("bit"))) =!= 0)
+      .groupBy(col("file"), col("k"))
+      .agg(count_distinct(col("j")).as("n_hit"))
+      .filter(col("n_hit") === K)
+    bloomPass
+      .join(spark.read.parquet(s"$indexPath/stats"), Seq("file"))
+      .filter(col("k").between(col("min_key"), col("max_key")))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Point lookup through the index: read ONLY candidate files, exact
+    * predicate re-applied (and pushed to parquet row groups).
+    */
+  def lookup(spark: SparkSession, corpusPath: String, indexPath: String,
+      keyCol: String, keys: Seq[Long], mBits: Long): DataFrame = {
+    val cand = candidateFiles(spark, indexPath, keys, mBits)
+    val base =
+      if (cand.isEmpty)
+        spark.read.parquet(corpusPath).limit(0) // schema-only: no keys can match
+      else spark.read.parquet(cand: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Registered `layout_bloom_skip` query: range-cluster the documents
+    * table into an 8-file corpus, index it, and run a 5-key lookup (one
+    * key absent — a false positive there would surface as an extra row
+    * and fail the oracle hash). Pruning itself cannot change results
+    * (no false negatives), so the oracle is the plain IN-filter; the
+    * files-actually-read proof lives in SkipIndexSpec.
+    */
+  def bloomSkipLookup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Fs.sessionTempDir("skipidx_corpus", dir)
+    val idx = Fs.sessionTempDir("skipidx_index", dir)
+    val mBits = 8192L
+    Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(corpus)
+    build(spark, corpus, "doc_id", idx, mBits)
+    lookup(spark, corpus, idx, "doc_id",
+      Seq(7L, 123L, 250L, 444L, 999999L), mBits)
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomSkipLookupSql: String =
+    """SELECT doc_id, source, lang, n_chars FROM documents
+      |WHERE doc_id IN (7, 123, 250, 444, 999999)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_bloom_skip" -> (bloomSkipLookup _))
+
+  val oracles: Map[String, String] = Map(
+    "layout_bloom_skip" -> bloomSkipLookupSql)
+}

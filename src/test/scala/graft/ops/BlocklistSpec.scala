@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.MultiMatch
+import org.apache.spark.sql.functions._
+
+class BlocklistSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Naive per-pattern reference: distinct presence, earliest codepoint
+    * start (ties → lowest pattern index).
+    */
+  private def naive(text: String, pats: Seq[String]): (Long, Int, String) = {
+    val firsts = pats.zipWithIndex.flatMap { case (p, i) =>
+      val idx = text.indexOf(p)
+      if (idx < 0) None
+      else Some((text.codePointCount(0, idx) + 1, i, p))
+    }
+    if (firsts.isEmpty) (0L, 0, "")
+    else {
+      val (pos, _, pat) = firsts.minBy { case (pos, i, _) => (pos, i) }
+      (firsts.size.toLong, pos, pat)
+    }
+  }
+
+  private def run(texts: Seq[String], pats: Seq[String]): Seq[(Long, Int, String)] =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), MultiMatch.multiMatch(col("text"), pats).as("mm"))
+      .orderBy("id")
+      .collect()
+      .map { r =>
+        val s = r.getStruct(1)
+        (s.getLong(0), s.getInt(1), s.getString(2))
+      }.toSeq
+
+  test("matches a naive per-pattern reference on random word-salad") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("agg", "table", "fast", "join", "slow", "scan", "a", "the")
+    val texts = (0 until 200).map(_ =>
+      (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val pats = Seq("agg table", "table table", "fast join", "agg", "the a", "zz")
+    val got = run(texts, pats)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g === naive(t, pats), s"diverged on: $t")
+    }
+  }
+
+  test("prefix patterns and overlapping occurrences all register (output links)") {
+    // "aba" contains "a" (pos 1), "ab" (pos 1), "ba" (pos 2), "aba" (pos 1)
+    val got = run(Seq("aba"), Seq("a", "ab", "ba", "aba", "bb"))
+    assert(got.head === ((4L, 1, "a")))
+    // suffix-only match via fail links: "xab" hits "ab" but not "xa"-less pats
+    val got2 = run(Seq("xab"), Seq("ab", "xa", "cab"))
+    assert(got2.head._1 === 2L) // "ab" and "xa"
+  }
+
+  test("positions are codepoints, not UTF-16 units (astral-plane prefix)") {
+    // U+1F600 is 2 UTF-16 chars but 1 codepoint; "cat" starts at codepoint 3
+    val got = run(Seq("😀 cat"), Seq("cat"))
+    assert(got.head === ((1L, 3, "cat")))
+  }
+
+  test("clean documents report the zero sentinel triple") {
+    val got = run(Seq("nothing to see here"), Seq("zebra", "xylophone"))
+    assert(got.head === ((0L, 0, "")))
+  }
+
+  test("registered query screens the documents table; absent phrase never fires") {
+    val out = Blocklist.screen(spark, sf)
+    val rows = out.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.getString(3) != "zzzz never"))
+    // the demo phrases do occur in the synthetic corpus
+    assert(rows.count(_.getLong(1) > 0) > 100, "expected widespread hits")
+    // whenever anything hits, the first pattern/pos are consistent
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getInt(2) >= 1)
+      assert(Blocklist.DemoPatterns.contains(r.getString(3)))
+    }
+  }
+
+  test("screen plan is pure scan work: no exchange except the presentation sort") {
+    val plan = Blocklist.screen(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 0, s"blocklist screen must not shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SkipIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 16-file corpus, range-clustered on doc_id (0..1599, 100 per file). */
+  private lazy val corpus: String = {
+    val d = tmpDir("skipidx") + "/corpus"
+    (0L until 1600L).map(i => (i, s"doc body $i", (i % 7).toString))
+      .toDF("doc_id", "text", "source")
+      .repartitionByRange(16, col("doc_id"))
+      .write.parquet(d)
+    d
+  }
+
+  private val M = 4096L
+
+  private lazy val index: String = {
+    val idx = tmpDir("skipidx_ix")
+    SkipIndex.build(spark, corpus, "doc_id", idx, M)
+    idx
+  }
+
+  test("lookup returns exactly the naive-filter rows (no false positives in OUTPUT)") {
+    val keys = Seq(3L, 777L, 1234L, 1599L, 99999L)
+    val got = SkipIndex.lookup(spark, corpus, index, "doc_id", keys, M)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = spark.read.parquet(corpus).filter(col("doc_id").isin(keys: _*))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 4) // 99999 absent
+  }
+
+  test("candidate list prunes: few files read out of 16, never missing a home file") {
+    val allFiles = spark.read.parquet(corpus).inputFiles.toSet
+    assert(allFiles.size === 16)
+    val keys = Seq(3L, 777L, 1234L)
+    val cand = SkipIndex.candidateFiles(spark, index, keys, M).toSet
+    // no false negatives: each key's true home file must be a candidate
+    val homes = spark.read.parquet(corpus)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .filter(col("doc_id").isin(keys: _*))
+      .select("f").collect().map(_.getString(0)).toSet
+    assert(homes.subsetOf(cand), s"missing home files: ${homes -- cand}")
+    // zone maps alone pin each key to one file on this range-clustered
+    // layout; Bloom FPs could add a couple more, never most of the corpus
+    assert(cand.size <= 6, s"expected strong pruning, got ${cand.size} of 16 files")
+    // and the planned scan reads only the candidates
+    val df = SkipIndex.lookup(spark, corpus, index, "doc_id", keys, M)
+    assert(df.inputFiles.toSet.subsetOf(cand))
+    assert(df.inputFiles.length < allFiles.size)
+  }
+
+  test("absent keys: zero candidates outside zone range, empty result with corpus schema") {
+    val df = SkipIndex.lookup(spark, corpus, index, "doc_id", Seq(5000L, -3L), M)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("doc_id", "text", "source"))
+    val df2 = SkipIndex.lookup(spark, corpus, index, "doc_id", Seq.empty, M)
+    assert(df2.count() === 0)
+  }
+
+  test("exact key predicate is pushed to the pruned parquet scan") {
+    val df = SkipIndex.lookup(spark, corpus, index, "doc_id", Seq(777L, 778L), M)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(doc_id"),
+      s"IN predicate must reach parquet:\n$scan")
+    // a single key folds to EqualTo and still pushes
+    val one = SkipIndex.lookup(spark, corpus, index, "doc_id", Seq(777L), M)
+      .queryExecution.executedPlan.toString
+    assert(one.contains("PushedFilters") && one.contains("EqualTo(doc_id,777)"),
+      s"single-key predicate must reach parquet:\n$one")
+  }
+
+  test("index is sparse and small: words carry set bits only") {
+    val bits = spark.read.parquet(s"$index/bits")
+    assert(bits.columns.toSeq.sorted === Seq("file", "widx", "word"))
+    assert(bits.filter(col("word") === 0).count() === 0)
+    // 100 keys/file * K=4 positions <= 400 set bits -> <= 400 words/file
+    val perFile = bits.groupBy("file").count().agg(max("count")).head.getLong(0)
+    assert(perFile <= 400, s"bitset rows per file: $perFile")
+    val stats = spark.read.parquet(s"$index/stats")
+    assert(stats.count() === 16)
+    val r = stats.agg(sum("n_keys"), min("min_key"), max("max_key")).head
+    assert(r.getLong(0) === 1600L && r.getLong(1) === 0L && r.getLong(2) === 1599L)
+  }
+
+  test("registered query on driver testdata matches the plain filter") {
+    val got = SkipIndex.bloomSkipLookup(spark, sf).collect().map(_.getLong(0)).toSeq
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isin(7L, 123L, 250L, 444L, 999999L))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+  }
+}
