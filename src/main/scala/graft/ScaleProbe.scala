@@ -196,6 +196,13 @@ object ScaleProbe {
         col("embedding"), col("label"))).reduce(_ union _)
       .write.parquet(s"$dir/embeddings.parquet")
     println(s"VECS=${ne * 8}")
+    // JL projection: scan-local D*dOut multiply-adds, zero shuffles —
+    // the 4x byte shrink that precedes LSH/IVF/PQ indexing
+    time("rp_project16_8x")(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.functions.RandomProjection.rpProject(col("embedding"), 16).as("p"))
+        .count())
     time("ann_brute_8x")(ops.Similarity.bruteForceTopKAt(spark, dir, 5, 10).count())
     time("ann_lsh_8x")(ops.Similarity.lshAnnAt(spark, dir, 5, 10, 8, 8).count())
     time("ann_ivf_8x")(ops.Ivf.ivfAnnAt(spark, dir, 5, 10, 16, 4, 3).count())

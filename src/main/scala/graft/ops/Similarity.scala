@@ -379,7 +379,41 @@ object Similarity {
       |       count(*) AS n
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- Johnson–Lindenstrauss random projection ------------------------------
+
+  /** `sim_rp_project`: hash-signed JL projection of the first 50
+    * vectors to 16 dims, emitted in LONG FORM (vec_id, j, pval) — the
+    * oracle-friendly shape (no array output columns). The projection
+    * itself ([[graft.functions.RpProject]]) is scan-local with no
+    * matrix state; at scale it runs over the full corpus as a prelude
+    * to LSH/IVF/PQ indexing, shrinking index bytes 2–4× with JL-bounded
+    * distance distortion (SimilaritySpec asserts the bound).
+    */
+  def rpProject(spark: SparkSession, dir: String): DataFrame =
+    Catalog(spark, dir).ref("embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        posexplode(graft.functions.RandomProjection.rpProject(col("embedding"), 16)))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("pval"))
+      .orderBy("vec_id", "j")
+
+  val rpProjectSql: String =
+    """WITH en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings WHERE vec_id < 50),
+      |js AS (SELECT unnest(range(16)) AS j),
+      |proj AS (
+      |  SELECT vec_id, j,
+      |         list_sum(list_transform(range(1, len(vec) + 1),
+      |           i -> CASE WHEN md5_number_lower(
+      |                  'rp:' || CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)) % 2 = 0
+      |                THEN vec[i] ELSE -vec[i] END))
+      |           / sqrt(CAST(16 AS DOUBLE)) AS pval
+      |  FROM en CROSS JOIN js)
+      |SELECT vec_id, j, pval FROM proj ORDER BY vec_id, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rp_project" -> (rpProject _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
@@ -389,6 +423,7 @@ object Similarity {
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
+    "sim_rp_project" -> rpProjectSql,
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_semantic_dedup" -> semanticDedupSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,

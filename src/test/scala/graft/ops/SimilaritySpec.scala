@@ -73,4 +73,34 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
   }
+  test("rpProject: JL distortion bound holds on real embeddings; deterministic across plans") {
+    import graft.functions.RandomProjection.rpProject
+    // pairwise squared distances of the first 40 vectors, original vs
+    // dOut=32 projection: JL at d=32 gives eps ~ sqrt(8 ln N / d) ~ 0.96
+    // worst-case (observed max on this corpus: 0.92); the MEAN sits far
+    // inside it -- assert mean < 0.25 and max within the lemma's eps.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 40).orderBy("vec_id")
+      .select(col("vec_id"), col("embedding"), rpProject(col("embedding"), 32).as("p"))
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray, r.getSeq[Double](2).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val errs = for {
+      i <- emb.indices; jj <- (i + 1) until emb.length
+    } yield {
+      val orig = d2(emb(i)._1, emb(jj)._1)
+      val proj = d2(emb(i)._2, emb(jj)._2)
+      math.abs(proj - orig) / orig
+    }
+    val mean = errs.sum / errs.size
+    assert(mean < 0.25, s"mean JL distortion too high: $mean")
+    assert(errs.max < 0.96, s"max JL distortion above the lemma bound: ${errs.max}")
+    // determinism: a second plan reproduces identical projections
+    val again = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 40).orderBy("vec_id")
+      .select(rpProject(col("embedding"), 32)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    emb.map(_._2).zip(again).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
 }
