@@ -292,6 +292,18 @@ object ScaleProbe {
           val line = f"PROBE pq_adc_recall@50 m=$m%-2d kSub=256 ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$rec%.4f (bytes/vec=$m vs 256 raw)"
           println(line); report ++= line + "\n"
         }
+        // IVF-PQ composition: read prune (nprobe/32 cells) x byte prune
+        // (8 B codes); recall against the same exact-L2 truth
+        Seq(4, 8, 16).foreach { np =>
+          val t0 = System.nanoTime()
+          val got = ops.Pq.ivfPqAnnAt(spark, clusDir, nQueries = 20, k = 50,
+            kCells = 32, nprobe = np, m = 8, kSub = 256, iters = 2)
+            .select("query_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = truth.count(got.contains).toDouble / truth.size
+          val line = f"PROBE ivfpq_recall@50 nprobe=$np%-2d m=8    ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$rec%.4f (kCells=32)"
+          println(line); report ++= line + "\n"
+        }
       }
     } finally graft.util.Fs.deleteRecursively(clusDir)
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with

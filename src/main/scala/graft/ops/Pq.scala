@@ -240,9 +240,166 @@ object Pq {
       |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF-PQ composition ---------------------------------------------------
+
+  /** IVF-PQ — the production ANN shape at 10⁹⁺ vectors (FAISS's
+    * IndexIVFPQ, Jégou et al. 2011): the coarse quantizer prunes READS
+    * (a query scans ~nprobe/kCells of the index) and PQ prunes BYTES
+    * (m per vector), so the two dials compose multiplicatively. One
+    * scan assigns each vector its cell AND its codes; the query side
+    * broadcasts (query, probed-cell, LUT) rows onto the code relation,
+    * so candidate generation is a broadcast hash join on cid — at
+    * 100 TB, cid is the table's physical partition key and the join
+    * becomes static partition pruning, the [[Ivf.screenBatch]] shape.
+    *
+    * This variant encodes raw vectors per cell (not residuals): the
+    * residual refinement changes recall, not the plan shape, and would
+    * put a second subtraction between the oracle and the scan. The
+    * registered query runs iters = 0 (verbatim-sample quantizer AND
+    * codebooks — both read the same md5-ordered 1024-row draw), so the
+    * DuckDB twin replays cell assignment, codes, probe ranking and ADC
+    * bit-identically.
+    */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAnnAt(spark, dir, nQueries = 5, k = 10, kCells = 16, nprobe = 4,
+      m = 4, kSub = 16, iters = 0)
+
+  def ivfPqAnnAt(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      kCells: Int, nprobe: Int, m: Int, kSub: Int, iters: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val cents = Ivf.kmeansCentroids(emb, kCells, iters)
+    val codebooks = trainCodebooks(emb, m, kSub, iters)
+    val subDim = codebooks.head.head.length
+
+    // ONE scan: coarse cell + m PQ codes per vector.
+    val codeCols = (0 until m).map { s =>
+      ArrayExprs.nearestCentroidSq(
+        slice(col("embedding"), s * subDim + 1, subDim), codebooks(s))
+        .getField("cid").as(s"c$s")
+    }
+    val assigned = emb.select(
+      (col("vec_id") +: ArrayExprs.nearestCentroid(col("embedding"), cents).as("cid") +:
+        codeCols): _*)
+
+    // Query side: bounded collect → (query_id, probed cid, LUT) rows.
+    // Probe ranking replicates NearestCentroid: dot/|c| desc, cid asc.
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val probeRows = qRows.flatMap { case (id, q) =>
+      val lut = adcLut(q, codebooks).toSeq
+      cents.zipWithIndex.map { case (cv, cid) =>
+        var dot = 0.0; var nrm = 0.0
+        var i = 0
+        while (i < cv.length) {
+          dot += q(i) * cv(i).toDouble; nrm += cv(i).toDouble * cv(i); i += 1
+        }
+        (if (nrm == 0) Double.NegativeInfinity else dot / math.sqrt(nrm), cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe)
+        .map { case (_, cid) => Row(id, cid, lut) }
+    }
+    val probeSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
+
+    val kEff = codebooks.head.size
+    val d2 = (0 until m).map { s =>
+      element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    assigned.join(broadcast(probeDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of `ivfPqAnn`: the coarse cells and the PQ codebooks
+    * both read the first 16 rows of the SAME md5-ordered sample draw.
+    */
+  val ivfPqAnnSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |cb AS (
+      |  SELECT sr - 1 AS code,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT en.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (vec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i])
+      |              * (vec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM en CROSS JOIN subs CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |lut AS (
+      |  SELECT q.query_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (qvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i])
+      |              * (qvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM queries q CROSS JOIN subs CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid
+      |  WHERE a.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM cand cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.code = c.code
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_pq_adc" -> (pqAdc _))
+    "sim_pq_adc" -> (pqAdc _),
+    "sim_ivfpq_ann" -> (ivfPqAnn _))
 
   val oracles: Map[String, String] = Map(
-    "sim_pq_adc" -> pqAdcSql)
+    "sim_pq_adc" -> pqAdcSql,
+    "sim_ivfpq_ann" -> ivfPqAnnSql)
 }

@@ -97,6 +97,38 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: planted near-copies survive both prunes; wider probes never lose them") {
+    val exact = Similarity.bruteForceTopKAt(spark, dir, nQueries = 5, k = 10)
+    val planted = exact.filter(col("score") >= 0.999)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.size >= 5)
+    // nprobe=2 of 8 cells AND 32-entry codebooks: the read prune and the
+    // byte prune stack, and the ~identical copies still surface
+    val got = Pq.ivfPqAnnAt(spark, dir, nQueries = 5, k = 10, kCells = 8,
+      nprobe = 2, m = 4, kSub = 32, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(got.contains),
+      s"planted copies lost by IVF-PQ: ${planted.filterNot(got.contains)}")
+    // candidate volume grows with nprobe (the read dial is real)
+    val counts = Seq(1, 4, 8).map { np =>
+      Pq.ivfPqAnnAt(spark, dir, nQueries = 5, k = 1000, kCells = 8,
+        nprobe = np, m = 4, kSub = 32, iters = 3).count()
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => a <= b }, s"$counts")
+    assert(counts.last > counts.head, s"wider probes must rank more candidates: $counts")
+  }
+
+  test("IVF-PQ registered query: 5 x 10 ranked rows, broadcast cid join in the plan") {
+    val df = Pq.ivfPqAnn(spark, sf)
+    val out = df.collect()
+    assert(out.groupBy(_.getLong(0)).size === 5)
+    assert(out.length === 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe side must broadcast on cid:\n$plan")
+  }
+
   test("oracle iters=0 codebooks are sample slices verbatim; dimension must divide") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cbs = Pq.trainCodebooks(emb, m = 4, kSub = 8, iters = 0)
