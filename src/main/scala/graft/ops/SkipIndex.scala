@@ -58,13 +58,20 @@ object SkipIndex {
       indexPath: String, mBits: Long): Unit = {
     val rows = spark.read.parquet(corpusPath)
       .select(col(keyCol).as("k"), input_file_name().as("file"))
-    // one scan feeds both outputs; tiny relations, so the double read
-    // under no cache would still be cheap — pin anyway for atomicity
+    writeIndexRows(rows, indexPath, mBits, mode = "overwrite")
+  }
+
+  /** Shared index-row kernel for [[build]] (overwrite) and [[update]]
+    * (append): one pinned scan of (k, file) feeds the per-file stats
+    * rollup and the distinct-position bitset rollup.
+    */
+  private def writeIndexRows(rows: DataFrame, indexPath: String,
+      mBits: Long, mode: String): Unit = {
     val pinned = rows.localCheckpoint(eager = true)
     pinned.groupBy(col("file"))
       .agg(count(lit(1)).as("n_keys"), min(col("k")).as("min_key"),
         max(col("k")).as("max_key"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
+      .write.mode(mode).parquet(s"$indexPath/stats")
     pinned
       .select(col("file"),
         explode(sequence(lit(0), lit(K - 1))).as("j"), col("k"))
@@ -77,7 +84,34 @@ object SkipIndex {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy(col("file"), col("widx"))
       .agg(expr("bit_or(bit)").as("word"))
-      .write.mode("overwrite").parquet(s"$indexPath/bits")
+      .write.mode(mode).parquet(s"$indexPath/bits")
+  }
+
+  /** Incremental maintenance: index ONLY files that appeared since the
+    * last build/update, append their stats/bitset rows, and leave every
+    * existing index row untouched. Returns the number of newly indexed
+    * files (0 = the index was already current — nothing is written).
+    *
+    * O(Δ) by construction: the corpus side is a driver METADATA listing
+    * (`inputFiles` — no data read), the diff against the indexed file
+    * set is driver work over file names, and only the fresh files are
+    * scanned. The append keeps old parquet parts as-is, so a daily
+    * ingest indexes the day's files, never the corpus — the same delta
+    * contract as [[Dedup.incrementalDedup]] and [[Ivf.screenBatch]].
+    */
+  def update(spark: SparkSession, corpusPath: String, keyCol: String,
+      indexPath: String, mBits: Long): Int = {
+    def norm(p: String): String =
+      try new java.net.URI(p).getPath catch { case _: Exception => p }
+    val all = spark.read.parquet(corpusPath).inputFiles
+    val known = spark.read.parquet(s"$indexPath/stats")
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    val fresh = all.filter(f => !known.contains(norm(f)))
+    if (fresh.isEmpty) return 0
+    val rows = spark.read.parquet(fresh.toIndexedSeq: _*)
+      .select(col(keyCol).as("k"), input_file_name().as("file"))
+    writeIndexRows(rows, indexPath, mBits, mode = "append")
+    fresh.length
   }
 
   /** Files that may contain any of `keys`: Bloom-pass (all K positions

@@ -316,7 +316,43 @@ object StreamingQueries {
       |WHERE has_later OR end_ms + 1800000 < wm.w
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming blocklist screen: [[graft.functions.MultiMatch]] is
+    * stateless scan work, so it drops into a file stream unchanged —
+    * the shape of an ingest-time contamination/phrase filter running
+    * ahead of the batch curation pipeline. Stateless map ⇒ streaming
+    * output ≡ batch output, so the DuckDB twin is the batch screen
+    * restricted to hits.
+    */
+  def streamBlocklist(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "documents", "stream_bl", Seq("doc_id")) { docs =>
+      docs.select(col("doc_id"),
+        graft.functions.MultiMatch.multiMatch(
+          col("text"), graft.ops.Blocklist.DemoPatterns).as("mm"))
+        .filter(col("mm.n_hit") > 0)
+        .select(col("doc_id"), col("mm.n_hit").as("n_hit"),
+          col("mm.first_pos").as("first_pos"), col("mm.first_pat").as("first_pat"))
+    }
+
+  val streamBlocklistSql: String = {
+    val pats = graft.ops.Blocklist.DemoPatterns.zipWithIndex
+      .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH pats(pid, pat) AS (VALUES $pats),
+       |hits AS (
+       |  SELECT d.doc_id, p.pid, p.pat, strpos(d.text, p.pat) AS pos
+       |  FROM documents d CROSS JOIN pats p
+       |  WHERE strpos(d.text, p.pat) > 0),
+       |firsts AS (
+       |  SELECT doc_id, pat, pos,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos, pid) AS rk,
+       |         count(*) OVER (PARTITION BY doc_id) AS n_hit
+       |  FROM hits)
+       |SELECT doc_id, n_hit, pos AS first_pos, pat AS first_pat
+       |FROM firsts WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_blocklist" -> (streamBlocklist _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
     "stream_attribution_join" -> (streamAttributionJoin _),
@@ -325,6 +361,7 @@ object StreamingQueries {
     "stream_user_profile" -> (streamUserProfile _))
 
   val oracles: Map[String, String] = Map(
+    "stream_blocklist" -> streamBlocklistSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,
     "stream_attribution_join" -> streamAttributionJoinSql,

@@ -94,4 +94,27 @@ class SkipIndexSpec extends SparkTestBase {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got === want)
   }
+  test("incremental update indexes only new files; lookup spans old and new") {
+    val d = tmpDir("skipidx_inc")
+    val corp = s"$d/corpus"
+    (0L until 800L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartitionByRange(8, col("doc_id")).write.parquet(corp)
+    val idx = s"$d/idx"
+    SkipIndex.build(spark, corp, "doc_id", idx, M)
+    assert(spark.read.parquet(s"$idx/stats").count() === 8)
+    // day 2: 800 more docs arrive as appended part files
+    (800L until 1600L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartitionByRange(8, col("doc_id")).write.mode("append").parquet(corp)
+    val indexed = SkipIndex.update(spark, corp, "doc_id", idx, M)
+    assert(indexed === 8, s"expected the 8 new files, got $indexed")
+    assert(spark.read.parquet(s"$idx/stats").count() === 16)
+    // a second update is a no-op
+    assert(SkipIndex.update(spark, corp, "doc_id", idx, M) === 0)
+    // lookup finds keys living in the original AND the appended files
+    val got = SkipIndex.lookup(spark, corp, idx, "doc_id", Seq(5L, 1500L), M)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5L, 1500L))
+    val cand = SkipIndex.candidateFiles(spark, idx, Seq(5L, 1500L), M)
+    assert(cand.size <= 4, s"pruning must survive the append: ${cand.size} of 16")
+  }
 }

@@ -454,4 +454,12 @@ class StreamingSpec extends SparkTestBase {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     }
   }
+  test("streaming blocklist screen equals the batch screen restricted to hits") {
+    val streamed = graft.streaming.StreamingQueries.streamBlocklist(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val batch = graft.ops.Blocklist.screen(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("n_hit") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
