@@ -71,9 +71,49 @@ object Blocklist {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- scrub (mask in place) ------------------------------------------------
+
+  val Mask = "[MASKED]"
+
+  /** Per-document scrub: every blocklist phrase masked in one
+    * Aho–Corasick pass with leftmost-longest selection
+    * ([[graft.functions.MultiReplace]]). Only changed documents are
+    * returned — the delta a scrub materialization would write back.
+    */
+  def scrubAt(spark: SparkSession, dir: String, patterns: Seq[String]): DataFrame =
+    Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"),
+        graft.functions.MultiReplace.multiReplace(col("text"), patterns, Mask).as("mr"))
+      .select(col("doc_id"), col("mr.text_scrubbed").as("text_scrubbed"),
+        col("mr.n_masked").as("n_masked"))
+      .filter(col("n_masked") > 0)
+      .orderBy(col("doc_id"))
+
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubAt(spark, dir, DemoPatterns)
+
+  /** DuckDB twin: the length-desc literal alternation under
+    * `regexp_replace(…, 'g')` IS leftmost-longest non-overlapping
+    * masking (see MultiReplace scaladoc), so the oracle is one regex
+    * call — and doubles as an independent proof that the automaton
+    * matches regex semantics on the whole corpus.
+    */
+  val scrubSql: String = {
+    val re = graft.functions.MultiReplace.alternationRegex(DemoPatterns)
+      .replace("'", "''")
+    s"""SELECT doc_id,
+       |       regexp_replace(text, '$re', '$Mask', 'g') AS text_scrubbed,
+       |       len(regexp_extract_all(text, '$re')) AS n_masked
+       |FROM documents
+       |WHERE len(regexp_extract_all(text, '$re')) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_blocklist" -> (screen _))
+    "text_blocklist" -> (screen _),
+    "text_blocklist_scrub" -> (scrub _))
 
   val oracles: Map[String, String] = Map(
-    "text_blocklist" -> screenSql)
+    "text_blocklist" -> screenSql,
+    "text_blocklist_scrub" -> scrubSql)
 }

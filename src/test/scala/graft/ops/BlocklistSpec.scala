@@ -85,4 +85,51 @@ class BlocklistSpec extends SparkTestBase {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 0, s"blocklist screen must not shuffle:\n$plan")
   }
+  test("scrub: Aho-Corasick replacement equals Spark regexp_replace with the alternation") {
+    import graft.functions.MultiReplace
+    val rnd = new scala.util.Random(47)
+    val vocab = Seq("agg", "table", "fast", "a", "ab", "aba", "x")
+    val texts = (0 until 300).map(_ =>
+      (0 until 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val pats = Seq("agg table", "table", "ab", "aba", "a x", "zz")
+    val re = MultiReplace.alternationRegex(pats)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"),
+        MultiReplace.multiReplace(col("text"), pats, "[MASKED]").as("mr"),
+        regexp_replace(col("text"), lit(re), lit("[MASKED]")).as("viaRegex"))
+      .orderBy("id")
+    df.collect().foreach { r =>
+      val ac = r.getStruct(1).getString(0)
+      assert(ac === r.getString(2), s"AC vs regex diverge on row ${r.getLong(0)}")
+    }
+  }
+
+  test("scrub: leftmost-longest wins; count matches masked spans; clean docs filtered") {
+    import graft.functions.MultiReplace
+    val out = Seq((0L, "aba ab x"), (1L, "clean"), (2L, "ababa"))
+      .toDF("id", "text")
+      .select(col("id"), MultiReplace.multiReplace(col("text"),
+        Seq("ab", "aba"), "_").as("mr"))
+      .orderBy("id").collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getInt(1)))
+    // "aba ab x": "aba" (longest at 0) then "ab" -> "_ _ x", 2 masks
+    assert(out(0) === (("_ _ x", 2)))
+    assert(out(1) === (("clean", 0)))
+    // "ababa": "aba" (longest at 0) consumes [0,3); the remaining "ba"
+    // matches nothing -> "_ba" with one mask — no overlap re-entry
+    assert(out(2) === (("_ba", 1)))
+  }
+
+  test("registered scrub query only returns changed docs and masks every demo phrase") {
+    val out = Blocklist.scrub(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(2) > 0)
+      val t = r.getString(1)
+      Blocklist.DemoPatterns.filterNot(_ == "agg").foreach { p =>
+        assert(!t.contains(p), s"unmasked phrase '$p' in doc ${r.getLong(0)}")
+      }
+      assert(t.contains(Blocklist.Mask))
+    }
+  }
 }
