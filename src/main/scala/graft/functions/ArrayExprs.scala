@@ -778,6 +778,9 @@ object ArrayExprs {
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
 
+    // Array-backed copy for the per-row loop: a List-typed `centroids`
+    // (Seq.tabulate builds one) would make centroids(c) an O(c) walk
+    @transient private lazy val cents: Array[Array[Float]] = centroids.toArray
     @transient private lazy val norms: Array[Double] =
       centroids.map { c =>
         var s = 0.0; var i = 0
@@ -790,14 +793,14 @@ object ArrayExprs {
       val dim = v.numElements()
       // A malformed embedding must FAIL, not silently score a truncated
       // prefix into a plausible-but-wrong assignment.
-      if (centroids.nonEmpty && dim != centroids(0).length)
+      if (cents.nonEmpty && dim != cents(0).length)
         throw new IllegalArgumentException(
-          s"NearestCentroid: embedding dimension $dim != centroid dimension ${centroids(0).length}")
+          s"NearestCentroid: embedding dimension $dim != centroid dimension ${cents(0).length}")
       var best = 0
       var bestScore = Double.NegativeInfinity
       var c = 0
-      while (c < centroids.length) {
-        val cent = centroids(c)
+      while (c < cents.length) {
+        val cent = cents(c)
         var dot = 0.0
         var j = 0
         while (j < cent.length) { dot += v.getFloat(j).toDouble * cent(j).toDouble; j += 1 }
@@ -830,18 +833,20 @@ object ArrayExprs {
       StructField("dist2", DoubleType, nullable = false)))
     override def nullIntolerant: Boolean = true
 
+    @transient private lazy val cents: Array[Array[Double]] = centroids.toArray
+
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val dim = v.numElements()
       // Same dimension contract as [[NearestCentroid]]: fail loudly.
-      if (centroids.nonEmpty && dim != centroids(0).length)
+      if (cents.nonEmpty && dim != cents(0).length)
         throw new IllegalArgumentException(
-          s"NearestCentroidSq: embedding dimension $dim != centroid dimension ${centroids(0).length}")
+          s"NearestCentroidSq: embedding dimension $dim != centroid dimension ${cents(0).length}")
       var best = -1
       var bestD2 = Double.PositiveInfinity
       var c = 0
-      while (c < centroids.length) {
-        val cent = centroids(c)
+      while (c < cents.length) {
+        val cent = cents(c)
         var acc = 0.0
         var j = 0
         while (j < cent.length) {

@@ -48,9 +48,12 @@ object Ivf {
       .map(_.getSeq[Float](0).toArray)
     // If the table has fewer vectors than requested cells, the effective
     // k shrinks to the available count (every vector its own cell).
-    var centroids: Seq[Array[Float]] = sample.take(k).toSeq
+    // Array end to end: Seq.tabulate would build a List and turn both
+    // the Lloyd loop's and NearestCentroid's centroid indexing into
+    // O(cid) walks (the Pq.trainCodebooks lesson)
+    var centroids: Array[Array[Float]] = sample.take(k)
     val dim = centroids.head.length
-    val kEff = centroids.size
+    val kEff = centroids.length
     for (_ <- 0 until iters) {
       val sums = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
@@ -61,7 +64,7 @@ object Ivf {
         while (i < dim) { s(i) += v(i); i += 1 }
         counts(cid) += 1
       }
-      centroids = Seq.tabulate(kEff) { cid =>
+      centroids = Array.tabulate(kEff) { cid =>
         if (counts(cid) == 0) centroids(cid) // keep empty cells
         else {
           val c = new Array[Float](dim)
@@ -71,11 +74,11 @@ object Ivf {
         }
       }
     }
-    centroids
+    centroids.toIndexedSeq
   }
 
   /** Same ranking as ArrayExprs.NearestCentroid: argmax of dot/|c|. */
-  private def nearestLocal(v: Array[Float], cs: Seq[Array[Float]]): Int = {
+  private def nearestLocal(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestScore = Double.NegativeInfinity
     var cid = 0

@@ -73,8 +73,10 @@ object Pq {
     val subDim = dim / m
     (0 until m).map { s =>
       val slices = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
-      var cb: Seq[Array[Double]] = slices.take(kSub).toSeq
-      val kEff = cb.size
+      // Array end to end: an accidental List here turns the Lloyd inner
+      // loop's cb(j) into an O(j) walk — measured 30-70 s at kSub=256
+      var cb: Array[Array[Double]] = slices.take(kSub)
+      val kEff = cb.length
       for (_ <- 0 until iters) {
         val sums = Array.fill(kEff)(new Array[Double](subDim))
         val counts = new Array[Long](kEff)
@@ -85,17 +87,17 @@ object Pq {
           while (i < subDim) { acc(i) += v(i); i += 1 }
           counts(code) += 1
         }
-        cb = Seq.tabulate(kEff) { j =>
+        cb = Array.tabulate(kEff) { j =>
           if (counts(j) == 0) cb(j)
           else Array.tabulate(subDim)(i => sums(j)(i) / counts(j))
         }
       }
-      cb
+      cb.toIndexedSeq
     }
   }
 
   /** Same ranking as NearestCentroidSq: strict < keeps the lowest code. */
-  private def nearestSq(v: Array[Double], cb: Seq[Array[Double]]): Int = {
+  private def nearestSq(v: Array[Double], cb: Array[Array[Double]]): Int = {
     var best = 0
     var bestD2 = Double.PositiveInfinity
     var j = 0
