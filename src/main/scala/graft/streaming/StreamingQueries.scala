@@ -351,7 +351,50 @@ object StreamingQueries {
        |FROM firsts WHERE rk = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Streaming ANN ingest screen: new vectors land as a file stream and
+    * each micro-batch is screened against the PERSISTED IVF index via
+    * `foreachBatch` ([[graft.ops.Ivf.screenBatch]] — probed-cell static
+    * partition pruning, O(batch) work). The shape of "every incoming
+    * crawl shard gets its near-duplicate / retrieval check at ingest,
+    * against an index the nightly batch job maintains". Each query
+    * vector lives in exactly one micro-batch and screening touches only
+    * the frozen index, so the drained stream equals the batch
+    * [[graft.ops.Ivf.ivfIncremental]] run — the oracle reuses its SQL.
+    */
+  def streamIvfScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ivf
+    val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
+      graft.util.Fs.sessionTempDir("stream_ivf_index", dir), kCells = 16, iters = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("stream_ivf").toString
+    try {
+      emb.filter(col("vec_id") % 10 === 0).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val src = spark.readStream.schema(schema).parquet(s"$tmp/src")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Ivf.screenBatch(spark, index, batch, k = 5, nprobe = 4)
+            .write.mode("append").parquet(s"$tmp/sink")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("vec_id", LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.read.schema(outSchema).parquet(s"$tmp/sink")
+        .orderBy("query_id", "rank").localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ivf_screen" -> (streamIvfScreen _),
     "stream_blocklist" -> (streamBlocklist _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
@@ -361,6 +404,7 @@ object StreamingQueries {
     "stream_user_profile" -> (streamUserProfile _))
 
   val oracles: Map[String, String] = Map(
+    "stream_ivf_screen" -> graft.ops.Ivf.ivfIncrementalSql,
     "stream_blocklist" -> streamBlocklistSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,

@@ -462,4 +462,12 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
     assert(streamed.toSeq === batch.toSeq)
   }
+  test("streaming IVF screen equals the batch incremental screen") {
+    val streamed = graft.streaming.StreamingQueries.streamIvfScreen(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val batch = graft.ops.Ivf.ivfIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
 }
