@@ -50,7 +50,7 @@ object Bench {
     // queries that fit a 1600-char budget.
     val full = line(results, 0, 0.0)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      full.getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val out =
       if (full.length <= 1600) full
