@@ -412,7 +412,48 @@ object Similarity {
       |  FROM en CROSS JOIN js)
       |SELECT vec_id, j, pval FROM proj ORDER BY vec_id, j""".stripMargin
 
+  // ---- int8 scalar quantization ---------------------------------------------
+
+  /** `sim_int8_quantize`: symmetric per-vector max-abs int8 quantization
+    * — the 4× storage shrink (float32 → int8 + one scale) that
+    * a vector index applies before/instead of PQ. Emitted long-form
+    * (vec_id, j, q, scale) for the first 30 vectors; scan-local
+    * arithmetic, zero shuffles before the presentation sort.
+    *
+    * Rounding is pinned to `floor(x + 0.5)` explicitly — ROUND()'s
+    * half-away/half-even conventions differ across engines, floor does
+    * not. Zero vectors quantize to all-zero codes (scale-0 guard on
+    * both sides). Reconstruction error ≤ scale/254 per coordinate by
+    * construction (SimilaritySpec asserts it on real embeddings).
+    */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Catalog(spark, dir).ref("embeddings")
+      .filter(col("vec_id") < 30)
+      .withColumn("scale",
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("j"),
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          floor(col("col").cast("double") * 127.0 / col("scale") + 0.5).cast("long"))
+          .as("q"),
+        col("scale"))
+      .orderBy("vec_id", "j")
+
+  val int8QuantizeSql: String =
+    """WITH en AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings WHERE vec_id < 30)
+      |SELECT vec_id, i - 1 AS j,
+      |       CASE WHEN scale = 0 THEN 0
+      |            ELSE CAST(floor(vec[i] * 127.0 / scale + 0.5) AS BIGINT) END AS q,
+      |       scale
+      |FROM en, LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i)
+      |ORDER BY vec_id, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_int8_quantize" -> (int8Quantize _),
     "sim_rp_project" -> (rpProject _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_semantic_dedup" -> (semanticDedup _),
@@ -423,6 +464,7 @@ object Similarity {
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
+    "sim_int8_quantize" -> int8QuantizeSql,
     "sim_rp_project" -> rpProjectSql,
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_semantic_dedup" -> semanticDedupSql,

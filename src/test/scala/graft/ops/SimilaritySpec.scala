@@ -103,4 +103,20 @@ class SimilaritySpec extends SparkTestBase {
       .map(_.getSeq[Double](0).toArray)
     emb.map(_._2).zip(again).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
+  test("int8 quantization: codes in range, reconstruction within scale/254 per coordinate") {
+    val rows = Similarity.int8Quantize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, j, q, scale) =>
+      assert(q >= -127 && q <= 127, s"code out of range: $q")
+      val x = orig(id)(j).toDouble
+      assert(math.abs(x) <= scale + 1e-12)
+      val rec = q * scale / 127.0
+      assert(math.abs(x - rec) <= scale / 254.0 + 1e-9,
+        s"vec $id dim $j: x=$x rec=$rec scale=$scale")
+    }
+  }
 }
