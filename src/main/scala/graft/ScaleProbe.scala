@@ -416,6 +416,19 @@ object ScaleProbe {
         ops.Blocklist.screenAt(spark, dir, pats).filter(col("n_hit") > 0).count())
     }
 
+    // WordPiece at 8×: 8 replicas change word FREQUENCIES, not the word
+    // set, so the substring-explode training cost is vocabulary-bound
+    // and flat; apply is one scan with the trie in the plan.
+    time("wordpiece_8x")(ops.Subword.wordpieceStats(spark, dir).count())
+    // Batch/chunk planning at 8×: arithmetic over (doc_id, n_tokens) —
+    // text never ships in either plan.
+    time("length_batching_8x")(ops.Batching.lengthBatching(spark, dir).count())
+    time("chunk_overlap_8x")(ops.Batching.chunkOverlap(spark, dir).count())
+    // Augmentation at 8×: upsample = broadcast rate join + explode,
+    // FIM = scan-side substring arithmetic on the hash-drawn half.
+    time("mixture_upsample_8x")(ops.Augment.mixtureUpsample(spark, dir).count())
+    time("fim_transform_8x")(ops.Augment.fimTransform(spark, dir).count())
+
     // File-skipping point lookup at 8×: range-clustered 64-file corpus,
     // per-file zone map + Bloom index; the 5-key lookup plans only the
     // candidate files instead of the full corpus.
@@ -590,6 +603,11 @@ object ScaleProbe {
     report ++= "- blocklist512: the Aho-Corasick automaton ships with the plan,\n"
     report ++= "  so a 512-phrase screen is ONE corpus scan with zero shuffles --\n"
     report ++= "  per-pattern contains() would be 512 scans; cost is |text|, not P.\n"
+    report ++= "- wordpiece/batching/augment: training is vocabulary-bound (8x\n"
+    report ++= "  replicas leave the distinct-word substring explode unchanged);\n"
+    report ++= "  batch/chunk planning and the augmentation transforms are\n"
+    report ++= "  (doc_id, n_tokens) arithmetic or scan-side rewrites -- linear,\n"
+    report ++= "  no text in any exchange.\n"
     report ++= "- skipindex: build is one scan + a (file, pos)-distinct shuffle of\n"
     report ++= "  positions (never rows); the index is sparse (file, word) rows.\n"
     report ++= "  The 5-key lookup broadcasts K*k query positions onto the index,\n"

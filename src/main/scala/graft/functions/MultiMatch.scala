@@ -46,10 +46,76 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
     StructField("first_pat", StringType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
-  // ---- automaton (built once per task from the pattern literal) ----
-  // nodes: goto maps over codepoints; fail links; out = pattern ids
-  // ending at the node; outLink = nearest fail-ancestor with output.
-  @transient private lazy val (gotoMaps, failArr, outArr, outLinkArr, patLens) = {
+  // automaton (built once per task from the pattern literal)
+  @transient private lazy val ac = AhoCorasick.build(patterns)
+  @transient private lazy val patLens: Array[Int] =
+    patterns.map(p => p.codePointCount(0, p.length)).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val nPat = patterns.size
+    val firstStart = new Array[Int](nPat) // 0 = unseen; else 1-based start
+    var nFound = 0
+    var state = 0
+    var cpPos = 0
+    var i = 0
+    while (i < text.length && nFound < nPat) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      cpPos += 1
+      state = ac.step(state, cp)
+      var o = if (ac.out(state).nonEmpty) state else ac.outLink(state)
+      while (o != 0) {
+        ac.out(o).foreach { pid =>
+          if (firstStart(pid) == 0) {
+            firstStart(pid) = cpPos - patLens(pid) + 1
+            nFound += 1
+          }
+        }
+        o = ac.outLink(o)
+      }
+    }
+    var bestPos = 0
+    var bestPid = -1
+    var pid = 0
+    while (pid < nPat) {
+      val s = firstStart(pid)
+      if (s > 0 && (bestPid == -1 || s < bestPos)) { bestPos = s; bestPid = pid }
+      pid += 1
+    }
+    InternalRow(nFound.toLong, bestPos,
+      UTF8String.fromString(if (bestPid >= 0) patterns(bestPid) else ""))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MultiMatch {
+  def multiMatch(text: Column, patterns: Seq[String]): Column =
+    bridge.column(MultiMatch(bridge.expression(text), patterns))
+}
+
+/** Shared Aho–Corasick automaton for [[MultiMatch]] and
+  * [[MultiReplace]]: goto maps over codepoints, BFS fail links,
+  * per-node output pattern ids, and outLink = nearest fail-ancestor
+  * with output (the textbook construction, built once per task).
+  */
+private[functions] final class AcAutomaton(
+    gotos: Array[Map[Int, Int]],
+    fail: Array[Int],
+    val out: Array[List[Int]],
+    val outLink: Array[Int]) extends Serializable {
+  /** One transition: follow fail links until a goto matches (or root). */
+  def step(state: Int, cp: Int): Int = {
+    var s = state
+    while (s != 0 && !gotos(s).contains(cp)) s = fail(s)
+    gotos(s).getOrElse(cp, 0)
+  }
+}
+
+private[functions] object AhoCorasick {
+  def build(patterns: Seq[String]): AcAutomaton = {
     val gotos = mutable.ArrayBuffer(mutable.HashMap.empty[Int, Int])
     val outs = mutable.ArrayBuffer(List.empty[Int])
     patterns.zipWithIndex.foreach { case (p, pid) =>
@@ -81,52 +147,6 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
       }
       outLink(u) = if (outs(fail(u)).nonEmpty) fail(u) else outLink(fail(u))
     }
-    (gotos.map(m => m.toMap).toArray, fail, outs.toArray, outLink,
-      patterns.map(p => p.codePointCount(0, p.length)).toArray)
+    new AcAutomaton(gotos.map(_.toMap).toArray, fail, outs.toArray, outLink)
   }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val nPat = patterns.size
-    val firstStart = new Array[Int](nPat) // 0 = unseen; else 1-based start
-    var nFound = 0
-    var state = 0
-    var cpPos = 0
-    var i = 0
-    while (i < text.length && nFound < nPat) {
-      val cp = text.codePointAt(i)
-      i += Character.charCount(cp)
-      cpPos += 1
-      while (state != 0 && !gotoMaps(state).contains(cp)) state = failArr(state)
-      state = gotoMaps(state).getOrElse(cp, 0)
-      var o = if (outArr(state).nonEmpty) state else outLinkArr(state)
-      while (o != 0) {
-        outArr(o).foreach { pid =>
-          if (firstStart(pid) == 0) {
-            firstStart(pid) = cpPos - patLens(pid) + 1
-            nFound += 1
-          }
-        }
-        o = outLinkArr(o)
-      }
-    }
-    var bestPos = 0
-    var bestPid = -1
-    var pid = 0
-    while (pid < nPat) {
-      val s = firstStart(pid)
-      if (s > 0 && (bestPid == -1 || s < bestPos)) { bestPos = s; bestPid = pid }
-      pid += 1
-    }
-    InternalRow(nFound.toLong, bestPos,
-      UTF8String.fromString(if (bestPid >= 0) patterns(bestPid) else ""))
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MultiMatch {
-  def multiMatch(text: Column, patterns: Seq[String]): Column =
-    bridge.column(MultiMatch(bridge.expression(text), patterns))
 }

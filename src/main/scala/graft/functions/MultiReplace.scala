@@ -41,52 +41,15 @@ case class MultiReplace(child: Expression, patterns: Seq[String], mask: String)
     StructField("n_masked", IntegerType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val patChars: Array[String] = patterns.toArray
-
-  // Local automaton copy: goto maps, fail links, outputs per node.
-  @transient private lazy val (gotoMaps, failArr, outArr, outLinkArr) = {
-    // same construction as MultiMatch's automaton (kept private there;
-    // the ~30 shared lines are the classic textbook build)
-    val gotos = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.HashMap.empty[Int, Int])
-    val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-    patterns.zipWithIndex.foreach { case (p, pid) =>
-      var s = 0
-      var i = 0
-      while (i < p.length) {
-        val cp = p.codePointAt(i)
-        i += Character.charCount(cp)
-        s = gotos(s).getOrElseUpdate(cp, {
-          gotos += scala.collection.mutable.HashMap.empty[Int, Int]
-          outs += Nil
-          gotos.size - 1
-        })
-      }
-      outs(s) = outs(s) :+ pid
-    }
-    val n = gotos.size
-    val fail = new Array[Int](n)
-    val outLink = new Array[Int](n)
-    val queue = scala.collection.mutable.Queue.empty[Int]
-    gotos(0).values.foreach { s => fail(s) = 0; queue += s }
-    while (queue.nonEmpty) {
-      val u = queue.dequeue()
-      gotos(u).foreach { case (cp, v) =>
-        var f = fail(u)
-        while (f != 0 && !gotos(f).contains(cp)) f = fail(f)
-        fail(v) = if (f != u && gotos(f).contains(cp)) gotos(f)(cp) else 0
-        queue += v
-      }
-      outLink(u) = if (outs(fail(u)).nonEmpty) fail(u) else outLink(fail(u))
-    }
-    (gotos.map(_.toMap).toArray, fail, outs.toArray, outLink)
-  }
+  // pattern lengths in UTF-16 units: match starts are recovered from
+  // automaton end positions in the same unit the StringBuilder splices
+  @transient private lazy val patLen16: Array[Int] = patterns.map(_.length).toArray
+  @transient private lazy val ac = AhoCorasick.build(patterns)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     // Pass 1: collect every match as (startChar, endChar) UTF-16 spans.
     // AC reports END positions; pattern length in chars recovers starts.
-    val patLen16 = patChars.map(_.length)
     var state = 0
     var i = 0
     // matches keyed by start: keep only the LONGEST (then lowest pid)
@@ -94,17 +57,16 @@ case class MultiReplace(child: Expression, patterns: Seq[String], mask: String)
     while (i < text.length) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
-      while (state != 0 && !gotoMaps(state).contains(cp)) state = failArr(state)
-      state = gotoMaps(state).getOrElse(cp, 0)
+      state = ac.step(state, cp)
       val end = i + w
-      var o = if (outArr(state).nonEmpty) state else outLinkArr(state)
+      var o = if (ac.out(state).nonEmpty) state else ac.outLink(state)
       while (o != 0) {
-        outArr(o).foreach { pid =>
+        ac.out(o).foreach { pid =>
           val start = end - patLen16(pid)
           val prev = bestEnd.get(start)
           if (prev == null || end > prev) bestEnd.put(start, end)
         }
-        o = outLinkArr(o)
+        o = ac.outLink(o)
       }
       i += w
     }
