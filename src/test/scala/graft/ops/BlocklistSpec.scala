@@ -132,4 +132,16 @@ class BlocklistSpec extends SparkTestBase {
       assert(t.contains(Blocklist.Mask))
     }
   }
+  test("scrub splices correctly around astral-plane characters") {
+    import graft.functions.MultiReplace
+    import spark.implicits._
+    val out = Seq((0L, "\ud83d\ude00cat and cat"), (1L, "a\ud83d\ude00b"))
+      .toDF("id", "text")
+      .select(col("id"), MultiReplace.multiReplace(col("text"),
+        Seq("cat", "a\ud83d\ude00b"), "[X]").as("mr"))
+      .orderBy("id").collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getInt(1)))
+    assert(out(0) === (("\ud83d\ude00[X] and [X]", 2)))
+    assert(out(1) === (("[X]", 1))) // pattern containing the astral char itself
+  }
 }
