@@ -29,7 +29,7 @@ object SparkEntry {
       ops.Dsir.queries ++ ops.Kmeans.queries ++ ops.Sketches.queries ++ ops.Layout.queries ++
       ops.Versioning.queries ++ ops.Pq.queries ++ ops.SkipIndex.queries ++
       ops.Blocklist.queries ++ ops.Subword.queries ++ ops.Augment.queries ++
-      ops.Batching.queries ++
+      ops.Batching.queries ++ ops.Datacard.queries ++
       push.PushQueries.queries ++ streaming.StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL twins (same column names — the driver's
@@ -43,6 +43,6 @@ object SparkEntry {
       ops.Dsir.oracles ++ ops.Kmeans.oracles ++ ops.Sketches.oracles ++ ops.Layout.oracles ++
       ops.Versioning.oracles ++ ops.Pq.oracles ++ ops.SkipIndex.oracles ++
       ops.Blocklist.oracles ++ ops.Subword.oracles ++ ops.Augment.oracles ++
-      ops.Batching.oracles ++
+      ops.Batching.oracles ++ ops.Datacard.oracles ++
       push.PushQueries.oracles ++ streaming.StreamingQueries.oracles
 }
