@@ -416,6 +416,9 @@ object ScaleProbe {
         ops.Blocklist.screenAt(spark, dir, pats).filter(col("n_hit") > 0).count())
     }
 
+    // Datacard at 8×: one scan + a (source, fp)-keyed distinct rollup —
+    // the exact-percentile buffer is the flagged KLL-swap candidate.
+    time("datacard_8x")(ops.Datacard.datacard(spark, dir).count())
     // WordPiece at 8×: 8 replicas change word FREQUENCIES, not the word
     // set, so the substring-explode training cost is vocabulary-bound
     // and flat; apply is one scan with the trie in the plan.
