@@ -58,10 +58,19 @@ object Search {
     * sufficient statistics of BM25, shared by both scoring variants.
     */
   private def termStats(spark: SparkSession, dir: String,
+      qs: Seq[(String, String)]): DataFrame =
+    termStatsOver(
+      Catalog(spark, dir).ref("documents")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t")),
+      qs)
+
+  /** Same statistics over any (doc_id, t: array<string>) unit relation —
+    * documents for [[textBm25]], token-sliced chunks for [[chunkBm25]].
+    */
+  private def termStatsOver(docs: DataFrame,
       qs: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Catalog(spark, dir).ref("documents")
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
     val totals = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(col("t")).cast("long")).as("sum_dl"))
     val terms = qs.map(_._2).distinct
@@ -197,11 +206,81 @@ object Search {
       |SELECT doc_id, term, rnk, score FROM rk
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- chunk-level retrieval (RAG indexing) ---------------------------------
+
+  /** `search_chunk_bm25`: BM25 over the CHUNKED corpus — the retrieval
+    * unit becomes the [[Batching.chunkOverlap]] sliding window instead
+    * of the whole document, the standard RAG indexing shape (rank
+    * passages, not books). Chunk keys encode (doc_id, chunk_idx) as
+    * doc_id·10⁵ + idx so the whole BM25 pipeline ([[termStatsOver]] +
+    * the WindowGroupLimit top-k) applies unchanged; df becomes chunk
+    * frequency, dl the chunk length — which is the point: a hit inside
+    * a 10⁶-token document scores like the passage it is, not like the
+    * document around it. Same scale shape as text_bm25 (query-vocab
+    * prefilter at the scan, posting-list-proportional shuffles); the
+    * chunk explode multiplies rows before the filter kills non-matches,
+    * never materializing chunk text.
+    */
+  def chunkBm25(spark: SparkSession, dir: String): DataFrame = {
+    val cl = Batching.ChunkLen
+    val step = cl - Batching.ChunkOverlap
+    val chunks = Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t0"))
+      .withColumn("n_tokens", size(col("t0")).cast("long"))
+      .withColumn("n_chunks", when(col("n_tokens") <= cl, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n_tokens - $cl + $step - 1) div $step")))
+      .select(col("doc_id"), col("t0"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
+        expr(s"slice(t0, CAST(chunk_idx * $step + 1 AS INT), $cl)").as("t"))
+    topK(termStatsOver(chunks, fixtureQueries), rationalIdf, 5)
+      .withColumnRenamed("doc_id", "chunk_key")
+  }
+
+  val chunkBm25Sql: String = {
+    val vals = fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val terms = fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val cl = Batching.ChunkLen
+    val step = cl - Batching.ChunkOverlap
+    s"""WITH q(query_id, term) AS (VALUES $vals),
+       |tok0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t0
+       |         FROM documents),
+       |geom AS (SELECT doc_id, t0,
+       |                CASE WHEN len(t0) <= $cl THEN 1
+       |                     ELSE 1 + (len(t0) - $cl + $step - 1) // $step END AS n_chunks
+       |         FROM tok0),
+       |tok AS (SELECT g.doc_id * 100000 + u.i AS chunk_key,
+       |               t0[(u.i * $step + 1):(u.i * $step + $cl)] AS t
+       |        FROM geom g, LATERAL (SELECT unnest(range(0, g.n_chunks)) AS i) u),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
+       |tl AS (SELECT chunk_key, len(t) AS dl, unnest(t) AS term FROM tok),
+       |tf AS (SELECT chunk_key, term, dl, count(*) AS tf FROM tl
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT q.query_id, tf.chunk_key,
+       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |         ((tf.tf * 2.25) /
+       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, chunk_key,
+       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
+       |       FROM st GROUP BY 1, 2),
+       |rk AS (SELECT query_id, chunk_key, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, chunk_key) AS rnk
+       |       FROM sc)
+       |SELECT query_id, chunk_key, rnk, score FROM rk
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
-    "text_keywords" -> (textKeywords _))
+    "text_keywords" -> (textKeywords _),
+    "search_chunk_bm25" -> (chunkBm25 _))
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
-    "text_keywords" -> textKeywordsSql)
+    "text_keywords" -> textKeywordsSql,
+    "search_chunk_bm25" -> chunkBm25Sql)
 }

@@ -91,4 +91,27 @@ class SearchSpec extends SparkTestBase {
     assert(tops.count(t => t == "a" || t == "the") < tops.length / 2,
       "high-df fillers must not dominate rank-1 keywords")
   }
+  test("chunk BM25: keys decode to real (doc, chunk) pairs and hits contain a query term") {
+    val out = Search.chunkBm25(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("text")).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val step = Batching.ChunkLen - Batching.ChunkOverlap
+    val queryTerms = Search.fixtureQueries.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (qid, key) = (r.getString(0), r.getLong(1))
+      val (docId, chunkIdx) = (key / 100000L, key % 100000L)
+      assert(docs.contains(docId), s"decoded doc $docId missing")
+      val toks = docs(docId).trim.split("\\s+")
+      val start = (chunkIdx * step).toInt
+      assert(start < toks.length, s"chunk start $start beyond doc ${toks.length}")
+      val chunk = toks.slice(start, start + Batching.ChunkLen)
+      assert(chunk.exists(queryTerms(qid).contains),
+        s"ranked chunk ($docId, $chunkIdx) holds no term of $qid")
+    }
+  }
 }
