@@ -452,7 +452,53 @@ object Similarity {
       |FROM en, LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i)
       |ORDER BY vec_id, j""".stripMargin
 
+  // ---- reciprocal-rank fusion -----------------------------------------------
+
+  /** `sim_rrf_fusion`: fuse the exact cosine ranking with the LSH-ANN
+    * ranking by reciprocal-rank fusion (Cormack, Clarke & Büttcher,
+    * SIGIR 2009 — public): score = Σ 1/(60 + rank) over the lists an
+    * item appears in, the standard score-free way to ensemble retrieval
+    * systems with incomparable scores (BM25 + vectors, two ANN indexes,
+    * …). Plan: the two ranked lists full-outer join on (query, item) —
+    * tiny relations, |Q|·k rows each, regardless of corpus size; all
+    * corpus-scale work lives in the base rankings. RRF terms are exact
+    * double divisions summed in list order, so the DuckDB twin (the two
+    * base oracle queries composed as CTEs) hash-matches.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rank").as("r1"))
+    val lsh = lshAnn(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rank").as("r2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    bf.join(lsh, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r2")), lit(0.0))).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val rrfFusionSql: String =
+    s"""WITH bf AS (SELECT query_id, vec_id, rank FROM ($bruteForceTopKSql)),
+       |lshr AS (SELECT query_id, vec_id, rank FROM ($lshAnnSql)),
+       |u AS (
+       |  SELECT COALESCE(bf.query_id, lshr.query_id) AS query_id,
+       |         COALESCE(bf.vec_id, lshr.vec_id) AS vec_id,
+       |         COALESCE(1.0 / (60 + bf.rank), 0) + COALESCE(1.0 / (60 + lshr.rank), 0) AS score
+       |  FROM bf FULL OUTER JOIN lshr
+       |    ON bf.query_id = lshr.query_id AND bf.vec_id = lshr.vec_id),
+       |rk AS (
+       |  SELECT query_id, vec_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM u)
+       |SELECT query_id, rnk, vec_id, score FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rrf_fusion" -> (rrfFusion _),
     "sim_int8_quantize" -> (int8Quantize _),
     "sim_rp_project" -> (rpProject _),
     "sim_label_centroids" -> (labelCentroids _),
@@ -464,6 +510,7 @@ object Similarity {
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
+    "sim_rrf_fusion" -> rrfFusionSql,
     "sim_int8_quantize" -> int8QuantizeSql,
     "sim_rp_project" -> rpProjectSql,
     "sim_label_centroids" -> labelCentroidsSql,

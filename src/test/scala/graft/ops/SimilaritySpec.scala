@@ -119,4 +119,33 @@ class SimilaritySpec extends SparkTestBase {
         s"vec $id dim $j: x=$x rec=$rec scale=$scale")
     }
   }
+  test("RRF fusion: consensus outranks single-list items; scores bounded; exact top-1 retained") {
+    val fused = Similarity.rrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.groupBy(_._1).size === 5)
+    fused.foreach { case (_, _, _, score) =>
+      assert(score > 0.0 && score <= 2.0 / 61.0 + 1e-12)
+    }
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1))).toMap
+    val lsh = Similarity.lshAnn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1))).toMap
+    // any item on BOTH lists beats any item on one list with the same best rank
+    fused.groupBy(_._1).foreach { case (qid, rows) =>
+      val both = rows.filter { case (q, _, v, _) => bf.contains((q, v)) && lsh.contains((q, v)) }
+      val single = rows.filter { case (q, _, v, _) =>
+        bf.contains((q, v)) ^ lsh.contains((q, v)) }
+      for {
+        (q1, _, v1, s1) <- both
+        (q2, _, v2, s2) <- single
+        r1 = math.min(bf.getOrElse((q1, v1), 99), lsh.getOrElse((q1, v1), 99))
+        r2 = math.min(bf.getOrElse((q2, v2), 99), lsh.getOrElse((q2, v2), 99))
+        if r1 <= r2
+      } assert(s1 > s2, s"consensus ($qid, $v1) must outrank single-list ($qid, $v2)")
+      // the exact ranking's #1 must survive fusion into the top-10
+      val exactTop = bf.collect { case ((q, v), 1) if q == qid => v }
+      exactTop.foreach(v => assert(rows.exists(_._3 == v),
+        s"exact top-1 $v of query $qid lost by fusion"))
+    }
+  }
 }
