@@ -416,6 +416,10 @@ object ScaleProbe {
         ops.Blocklist.screenAt(spark, dir, pats).filter(col("n_hit") > 0).count())
     }
 
+    // Chunk-level BM25 at 8×: the chunk explode multiplies rows BEFORE
+    // the query-vocab filter kills non-matches; cost still tracks the
+    // queried terms' posting lists, now at passage granularity.
+    time("chunk_bm25_8x")(ops.Search.chunkBm25(spark, dir).count())
     // Datacard at 8×: one scan + a (source, fp)-keyed distinct rollup —
     // the exact-percentile buffer is the flagged KLL-swap candidate.
     time("datacard_8x")(ops.Datacard.datacard(spark, dir).count())
