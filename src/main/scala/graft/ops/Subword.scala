@@ -133,9 +133,129 @@ object Subword {
        |GROUP BY t.source
        |ORDER BY t.source""".stripMargin
 
+  // ---- unigram Viterbi segmentation -----------------------------------------
+
+  /** Maximum unrolled DP depth in the oracle twin: words longer than
+    * this have no oracle row, which the driver's row-count compare
+    * flags loudly (the corpus maxes out at 8-codepoint words; the
+    * engine expression handles any length < 64).
+    */
+  val ViterbiUnroll = 16
+
+  /** Scored piece inventory for the unigram model: substrings of length
+    * 1..maxLen over distinct words, freq = occurrence-weighted word
+    * frequency; vocab = top-V by (freq desc, piece asc) ∪ every
+    * single-codepoint piece; score = the [[graft.functions.FixLog2]]
+    * fixed-point log2 of freq — pure-integer, hash-checkable.
+    */
+  def trainScoredVocab(spark: SparkSession, dir: String, topV: Int,
+      maxLen: Int): Map[String, Long] = {
+    val subs = distinctWords(spark, dir)
+      .withColumn("i", explode(sequence(lit(1), length(col("word")))))
+      .withColumn("j", explode(sequence(lit(1), lit(maxLen))))
+      .filter(col("i") + col("j") - lit(1) <= length(col("word")))
+      .select(expr("substr(word, i, j)").as("piece"), col("wfreq"))
+      .groupBy("piece").agg(sum("wfreq").as("freq"))
+      .localCheckpoint(eager = false)
+    val top = subs.orderBy(col("freq").desc, col("piece"))
+      .limit(topV).collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (top ++ chars).toMap.map { case (p, f) =>
+      p -> graft.functions.FixLog2.log2Fix16(f)
+    }
+  }
+
+  /** Registered `text_unigram_viterbi` query: per-source word/piece
+    * counts and total fixed-point log-score under OPTIMAL unigram
+    * segmentation ([[graft.functions.ViterbiPieces]]) — the Viterbi
+    * counterpart to [[wordpieceStats]]' greedy pass, completing the
+    * tokenizer family (BPE train/apply, greedy WordPiece, unigram
+    * Viterbi). Same scale shape: vocabulary-bound training, scan-local
+    * apply, one rollup shuffle.
+    */
+  def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = trainScoredVocab(spark, dir, TopV, MaxPieceLen)
+    tokenInstances(spark, dir)
+      .select(col("source"),
+        graft.functions.Viterbi.viterbiPieces(col("word"), vocab).as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("v.n_pieces").cast("long")).as("n_pieces"),
+        sum(col("v.sum_score")).as("sum_score"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin: the DP unrolled position by position — `b_i` holds
+    * every word's best packed state ending at codepoint i, each step a
+    * max over the ≤ maxLen piece lengths that can end there (the
+    * [[Kmeans]] unrolled-CTE precedent, applied to a DP instead of
+    * Lloyd iterations).
+    */
+  val unigramViterbiSql: String = {
+    val L = graft.functions.FixLog2.sqlL("freq")
+    val steps = (1 to ViterbiUnroll).map { i =>
+      val branches = (1 to math.min(MaxPieceLen, i)).map { j =>
+        s"""    SELECT m.word, b.packed + m.score * 64 - 1 AS packed
+           |    FROM b${i - j} b JOIN m ON m.word = b.word AND m.start = ${i - j + 1} AND m.len = $j"""
+          .stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""b$i AS MATERIALIZED (
+         |  SELECT word, max(packed) AS packed FROM (
+         |$branches) GROUP BY word)"""
+        .stripMargin
+    }.mkString(",\n")
+    val resUnion = (1 to ViterbiUnroll)
+      .map(i => s"  SELECT word, packed, $i AS wl FROM b$i")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |tokf AS MATERIALIZED (SELECT source, word FROM tok WHERE word <> ''),
+       |dw AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM tokf GROUP BY word),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(dw.word, s.i, l.j) AS piece, sum(dw.wfreq) AS freq
+       |  FROM dw,
+       |  LATERAL (SELECT unnest(range(1, length(dw.word) + 1)) AS i) s
+       |  CROSS JOIN (SELECT unnest(range(1, ${MaxPieceLen + 1})) AS j) l
+       |  WHERE s.i + l.j - 1 <= length(dw.word)
+       |  GROUP BY 1),
+       |topv AS (SELECT piece, freq FROM subs ORDER BY freq DESC, piece LIMIT $TopV),
+       |vocabf AS (
+       |  SELECT piece, max(freq) AS freq FROM (
+       |    SELECT piece, freq FROM topv
+       |    UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |v AS MATERIALIZED (SELECT piece, CAST($L AS BIGINT) AS score FROM vocabf),
+       |m AS MATERIALIZED (
+       |  SELECT dw.word, s.i AS start, length(v.piece) AS len, v.score
+       |  FROM dw,
+       |  LATERAL (SELECT unnest(range(1, length(dw.word) + 1)) AS i) s
+       |  JOIN v ON v.piece = substr(dw.word, s.i, length(v.piece))),
+       |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS packed FROM dw),
+       |$steps,
+       |res AS (
+       |$resUnion),
+       |seg AS (
+       |  SELECT r.word, r.packed FROM res r
+       |  JOIN dw ON dw.word = r.word AND length(dw.word) = r.wl),
+       |pw AS (
+       |  SELECT word,
+       |         (64 - ((packed % 64) + 64) % 64) % 64 AS n_pieces,
+       |         (packed + (64 - ((packed % 64) + 64) % 64) % 64) // 64 AS sum_score
+       |  FROM seg)
+       |SELECT t.source, count(*) AS n_words,
+       |       CAST(sum(pw.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(pw.sum_score) AS BIGINT) AS sum_score
+       |FROM tokf t JOIN pw ON pw.word = t.word
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_wordpiece" -> (wordpieceStats _))
+    "text_wordpiece" -> (wordpieceStats _),
+    "text_unigram_viterbi" -> (unigramViterbi _))
 
   val oracles: Map[String, String] = Map(
-    "text_wordpiece" -> wordpieceStatsSql)
+    "text_wordpiece" -> wordpieceStatsSql,
+    "text_unigram_viterbi" -> unigramViterbiSql)
 }

@@ -87,4 +87,67 @@ class SubwordSpec extends SparkTestBase {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, s"apply side must shuffle only the rollup:\n$plan")
   }
+  test("viterbi: matches brute-force enumeration of all segmentations") {
+    import graft.functions.Viterbi
+    val vocab = Map("a" -> 3L, "b" -> 1L, "ab" -> 5L, "ba" -> 2L, "aba" -> 6L, "bb" -> 4L)
+    def enumerate(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to w.length).flatMap { l =>
+        val p = w.substring(0, l)
+        if (vocab.contains(p)) enumerate(w.substring(l)).map(p :: _) else Nil
+      }
+    val rnd = new scala.util.Random(61)
+    val words = (0 until 150).map(_ =>
+      (0 until (1 + rnd.nextInt(9))).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    val got = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "word")
+      .select(col("id"), Viterbi.viterbiPieces(col("word"), vocab).as("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getStruct(1).getInt(0), r.getStruct(1).getLong(1)))
+    words.zip(got).foreach { case (w, (n, score)) =>
+      val segs = enumerate(w)
+      assert(segs.nonEmpty)
+      val best = segs.map(seg => (seg.map(vocab).sum, -seg.length)).max
+      assert(score === best._1, s"'$w': score $score vs optimal ${best._1}")
+      assert(n === -best._2, s"'$w': pieces $n vs optimal ${-best._2}")
+    }
+  }
+
+  test("viterbi: equal-score ties resolve to fewer pieces") {
+    import graft.functions.Viterbi
+    val v = Seq((0L, "aa")).toDF("id", "word")
+      .select(Viterbi.viterbiPieces(col("word"), Map("a" -> 1L, "aa" -> 2L)).as("v"))
+      .head.getStruct(0)
+    assert(v.getInt(0) === 1 && v.getLong(1) === 2L) // "aa" beats "a|a"
+  }
+
+  test("registered viterbi query: per-source rows; optimal never scores below single-chars") {
+    val out = Subword.unigramViterbi(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
+      assert(r.getLong(3) > 0L)
+    }
+    // cross-check against the scored vocab: for each word the DP result
+    // must dominate the all-single-codepoints segmentation
+    val vocab = Subword.trainScoredVocab(spark, sf, Subword.TopV, Subword.MaxPieceLen)
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    import graft.functions.Viterbi
+    val res = words.toSeq.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "word")
+      .select(col("word"), Viterbi.viterbiPieces(col("word"), vocab).as("v"))
+      .collect()
+    res.foreach { r =>
+      val w = r.getString(0)
+      val chars = (0 until w.codePointCount(0, w.length)).map { k =>
+        val off = w.offsetByCodePoints(0, k)
+        new String(Character.toChars(w.codePointAt(off)))
+      }
+      val charScore = chars.map(vocab).sum
+      assert(r.getStruct(1).getLong(1) >= charScore,
+        s"'$w': DP ${r.getStruct(1).getLong(1)} below single-char $charScore")
+    }
+  }
 }
