@@ -427,6 +427,7 @@ object ScaleProbe {
     // set, so the substring-explode training cost is vocabulary-bound
     // and flat; apply is one scan with the trie in the plan.
     time("wordpiece_8x")(ops.Subword.wordpieceStats(spark, dir).count())
+    time("unigram_viterbi_8x")(ops.Subword.unigramViterbi(spark, dir).count())
     // Batch/chunk planning at 8×: arithmetic over (doc_id, n_tokens) —
     // text never ships in either plan.
     time("length_batching_8x")(ops.Batching.lengthBatching(spark, dir).count())
