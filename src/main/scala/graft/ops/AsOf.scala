@@ -32,7 +32,7 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightCols: Seq[String]): DataFrame = {
     val l = left.withColumn("__side", lit(1))
-    val r = right.select((key +: time +: rightCols).map(col): _*)
+    val r = right.select((key +: time +: rightCols).map(col).toIndexedSeq: _*)
       .select(col(key), col(time), struct(rightCols.map(col): _*).as("__r"))
       .withColumn("__side", lit(0))
     // left rows get __r = NULL via unionByName; the struct is carried (or
@@ -45,8 +45,8 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = combined.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        rightCols.map(c => col("__r").getField(c).as(c)): _*)
+      .select((left.columns.map(col).toIndexedSeq ++
+        rightCols.map(c => col("__r").getField(c).as(c))): _*)
   }
 
   /** Oracle-checked query: every event joined to the user's most recent
@@ -85,7 +85,7 @@ object AsOf {
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String, time: String,
       rightCols: Seq[String]): DataFrame = {
     val l = left.withColumn("__side", lit(0))
-    val r = right.select((key +: time +: rightCols).map(col): _*)
+    val r = right.select((key +: time +: rightCols).map(col).toIndexedSeq: _*)
       .select(col(key), col(time), struct(rightCols.map(col): _*).as("__r"))
       .withColumn("__side", lit(1))
     val combined = l.unionByName(r, allowMissingColumns = true)
@@ -95,8 +95,8 @@ object AsOf {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = combined.withColumn("__r", first(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 0)
-      .select(left.columns.map(col) ++
-        rightCols.map(c => col("__r").getField(c).as(c)): _*)
+      .select((left.columns.map(col).toIndexedSeq ++
+        rightCols.map(c => col("__r").getField(c).as(c))): _*)
   }
 
   /** Oracle-checked forward query: every view event joined to the

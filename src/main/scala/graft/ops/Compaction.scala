@@ -87,7 +87,7 @@ object Compaction {
           // restore the input column ORDER too (the dictionary join
           // moved string dims to the front): a maintenance rewrite must
           // not change the table's schema in any way
-          .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+          .select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       out.write.mode("overwrite").parquet(tmp.toString)
     }
     (files.size, dataFiles(fs, p).size, bytes)

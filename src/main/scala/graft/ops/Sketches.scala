@@ -102,12 +102,12 @@ object Sketches {
     * only the collision-populated buckets).
     */
   private[ops] def cmsEstimate(q: DataFrame, counters: DataFrame): DataFrame = {
-    val probes = q.select(q.columns.map(col): _*)
+    val probes = q.select(q.columns.map(col).toIndexedSeq: _*)
       .withColumn("j", explode(sequence(lit(0), lit(D - 1))))
       .withColumn("b",
         md5Mod(concat(lit("cms:"), col("j").cast("string"), lit(":"), col("w")), W))
     probes.join(broadcast(counters), Seq("j", "b"), "left")
-      .groupBy(q.columns.map(col): _*)
+      .groupBy(q.columns.map(col).toIndexedSeq: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 

@@ -23,7 +23,7 @@ object Seeds {
       .option("header", "true")
       .option("inferSchema", "true")
       .csv(path)
-    df.toDF(df.columns.map(_.toUpperCase): _*)
+    df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
   }
 }
 
@@ -112,7 +112,7 @@ object Skew {
   def hotKeys(df: DataFrame, key: String, factor: Double = 5.0,
       sampleMod: Long = 16L, maxKeys: Int = 64): Seq[Any] = {
     val cols = df.columns.map(col)
-    val sampled = df.filter(pmod(xxhash64(cols: _*), lit(sampleMod)) === 0)
+    val sampled = df.filter(pmod(xxhash64(cols.toIndexedSeq: _*), lit(sampleMod)) === 0)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false)
     val tot = sampled.agg(sum(col("c"))).head()

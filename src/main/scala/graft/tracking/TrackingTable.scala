@@ -224,7 +224,7 @@ final class PartitionedTrackingTable(
     // Driver-side partition list: |touched partitions| values, not rows.
     val touched = in.select(partitionCol).distinct().collect().map(_.get(0))
     val existingTouched = read()
-      .filter(col(partitionCol).isin(touched: _*)) // → partition pruning
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*)) // → partition pruning
       .join(in.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
     // Per-write option, not session conf: a concurrent writer in the same
     // session never observes the mutated mode, and there is no
