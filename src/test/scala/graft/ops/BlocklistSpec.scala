@@ -144,4 +144,15 @@ class BlocklistSpec extends SparkTestBase {
     assert(out(0) === (("\ud83d\ude00[X] and [X]", 2)))
     assert(out(1) === (("[X]", 1))) // pattern containing the astral char itself
   }
+  test("empty text: screen reports the zero triple, scrub returns it unchanged") {
+    import graft.functions.{MultiMatch, MultiReplace}
+    val row = Seq((0L, "")).toDF("id", "text")
+      .select(MultiMatch.multiMatch(col("text"), Seq("x")).as("mm"),
+        MultiReplace.multiReplace(col("text"), Seq("x"), "_").as("mr"))
+      .head
+    assert(row.getStruct(0).getLong(0) === 0L)
+    assert(row.getStruct(0).getString(2) === "")
+    assert(row.getStruct(1).getString(0) === "")
+    assert(row.getStruct(1).getInt(1) === 0)
+  }
 }

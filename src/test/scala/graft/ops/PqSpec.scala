@@ -152,4 +152,22 @@ class PqSpec extends SparkTestBase {
       l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
     assert(exchanges <= 2, s"ADC should shuffle only the rank + output sort:\n$plan")
   }
+  test("zero vectors encode deterministically and never corrupt ADC ranking") {
+    import spark.implicits._
+    val d = tmpDir("pq_zero")
+    val rnd = new scala.util.Random(71)
+    val rows = (0L until 40L).map { i =>
+      if (i % 10 == 3) (i, Array.fill(32)(0.0f))
+      else (i, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val out = Pq.pqAdcAt(spark, d, nQueries = 3, k = 5, m = 4, kSub = 8, iters = 2)
+      .collect()
+    assert(out.groupBy(_.getLong(0)).size === 3)
+    out.foreach(r => assert(!r.getDouble(3).isNaN && r.getDouble(3) >= 0.0))
+    // determinism across plans with the degenerate vectors present
+    val again = Pq.pqAdcAt(spark, d, nQueries = 3, k = 5, m = 4, kSub = 8, iters = 2)
+      .collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

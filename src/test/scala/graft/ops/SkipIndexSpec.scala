@@ -117,4 +117,25 @@ class SkipIndexSpec extends SparkTestBase {
     val cand = SkipIndex.candidateFiles(spark, idx, Seq(5L, 1500L), M)
     assert(cand.size <= 4, s"pruning must survive the append: ${cand.size} of 16")
   }
+  test("a key present in several files yields ALL its home files as candidates") {
+    val d = tmpDir("skipidx_dup")
+    val corp = s"$d/corpus"
+    // key 42 appears in every one of 4 files
+    (0 until 4).foreach { part =>
+      Seq((42L, s"copy $part"), (100L + part, s"unique $part"))
+        .toDF("doc_id", "text")
+        .repartition(1).write.mode("append").parquet(corp)
+    }
+    val idx = s"$d/idx"
+    SkipIndex.build(spark, corp, "doc_id", idx, M)
+    val homes = spark.read.parquet(corp)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .filter(col("doc_id") === 42L)
+      .select("f").collect().map(_.getString(0)).toSet
+    assert(homes.size === 4)
+    val cand = SkipIndex.candidateFiles(spark, idx, Seq(42L), M).toSet
+    assert(homes.subsetOf(cand), s"missing duplicate-key homes: ${homes -- cand}")
+    val got = SkipIndex.lookup(spark, corp, idx, "doc_id", Seq(42L), M).count()
+    assert(got === 4L, "every copy of the key must surface")
+  }
 }
