@@ -365,7 +365,8 @@ object StreamingQueries {
     import graft.ops.Ivf
     val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
       .select(col("vec_id"), col("embedding"))
-    val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
+    val index = Ivf.buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
       graft.util.Fs.sessionTempDir("stream_ivf_index", dir), kCells = 16, iters = 0)
     val tmp = java.nio.file.Files.createTempDirectory("stream_ivf").toString
     try {

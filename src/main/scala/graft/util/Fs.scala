@@ -6,6 +6,28 @@ import scala.jdk.CollectionConverters._
 /** Local-filesystem helpers shared by the probe/verify harnesses. */
 object Fs {
 
+  /** Filesystem fingerprint of a data directory: a fold over every
+    * regular file's (size, mtime). Cheap (metadata only) and changes
+    * whenever the data at `dir` is rewritten — the memo-invalidation
+    * key for per-JVM derived-artifact caches (trained BPE merges,
+    * built ANN indexes), so an in-place corpus rewrite (ScaleProbe
+    * regenerates datasets within one JVM) can never serve stale state.
+    */
+  def dirFingerprint(dir: String): Long = {
+    val root: Path = Paths.get(dir)
+    if (!Files.exists(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foldLeft(0L) { (h, p) =>
+          31L * (31L * h + Files.size(p)) +
+            Files.getLastModifiedTime(p).toMillis
+        }
+      finally s.close()
+    }
+  }
+
   /** Recursively delete `dir` if it exists (children before parents).
     * Harness-side only — the engine's data paths go through Hadoop
     * filesystems, never this.

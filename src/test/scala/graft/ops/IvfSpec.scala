@@ -160,4 +160,24 @@ class IvfSpec extends SparkTestBase {
     assert(again.count() >= out.length.toLong,
       "appended vectors can only add candidates")
   }
+  test("buildIndexCached: session memo serves repeats; source rewrite invalidates") {
+    import spark.implicits._
+    val d = tmpDir("ivf_memo_src")
+    val rnd = new scala.util.Random(83)
+    (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val idxPath = tmpDir("ivf_memo_idx")
+    val a = Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", idxPath, 4, 1)
+    val b = Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", idxPath, 4, 1)
+    assert(a eq b, "second call must hit the memo")
+    // new data lands in the source dir -> fingerprint changes -> rebuild
+    Thread.sleep(10)
+    (100L until 120L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$d/embeddings.parquet")
+    val emb2 = spark.read.parquet(s"$d/embeddings.parquet")
+    val c = Ivf.buildIndexCached(emb2, s"$d/embeddings.parquet", idxPath, 4, 1)
+    assert(!(c eq a), "rewritten source must invalidate the memo")
+  }
 }
