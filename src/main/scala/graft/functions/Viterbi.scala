@@ -28,6 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * sentinel marks an unreachable position (impossible under the
   * all-single-codepoints vocab contract — and the oracle twin drops
   * such words, turning drift into a loud row-count mismatch).
+  *
+  * Words of ≥ 64 codepoints (URLs, base64 runs — real in web corpora)
+  * exceed the per-word packing bound, so they are segmented in
+  * ≤ 63-codepoint windows: the DP runs per window (each window's piece
+  * count stays < 64, keeping the packing exact) and `n_pieces` /
+  * `sum_score` accumulate across windows in plain integers. Pieces
+  * cannot straddle a window boundary — a bounded, deterministic
+  * approximation for the long-word tail rather than a silent -1
+  * corrupting per-source totals.
   */
 case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
     extends UnaryExpression with CodegenFallback {
@@ -41,12 +50,10 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
   @transient private lazy val maxPieceCp: Int =
     vocab.keys.map(p => p.codePointCount(0, p.length)).max
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val word = input.asInstanceOf[UTF8String].toString
-    val cps = word.codePoints().toArray
-    val n = cps.length
-    if (n == 0) return InternalRow(0, 0L)
-    if (n >= 64) return InternalRow(-1, -1L) // packing bound; see scaladoc
+  /** DP over one ≤ 63-codepoint window; returns (n_pieces, sum_score)
+    * or null when some position is unreachable.
+    */
+  private def segmentWindow(cps: Array[Int], off: Int, n: Int): (Long, Long) = {
     val NEG = Long.MinValue
     val best = Array.fill(n + 1)(NEG)
     best(0) = 0L
@@ -56,7 +63,7 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
       val jMax = math.min(maxPieceCp, i)
       while (j <= jMax) {
         if (best(i - j) != NEG) {
-          val piece = new String(cps, i - j, j)
+          val piece = new String(cps, off + i - j, j)
           vocab.get(piece) match {
             case Some(score) =>
               val cand = best(i - j) + score * 64L - 1L
@@ -68,11 +75,30 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
       }
       i += 1
     }
-    if (best(n) == NEG) return InternalRow(-1, -1L)
+    if (best(n) == NEG) return null
     val packed = best(n)
     val nPieces = (64L - (((packed % 64L) + 64L) % 64L)) % 64L
     val sumScore = (packed + nPieces) / 64L
-    InternalRow(nPieces.toInt, sumScore)
+    (nPieces, sumScore)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return InternalRow(0, 0L)
+    var off = 0
+    var totPieces = 0L
+    var totScore = 0L
+    while (off < n) {
+      val win = math.min(63, n - off)
+      val res = segmentWindow(cps, off, win)
+      if (res == null) return InternalRow(-1, -1L)
+      totPieces += res._1
+      totScore += res._2
+      off += win
+    }
+    InternalRow(totPieces.toInt, totScore)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -7,11 +7,16 @@ import scala.jdk.CollectionConverters._
 object Fs {
 
   /** Filesystem fingerprint of a data directory: a fold over every
-    * regular file's (size, mtime). Cheap (metadata only) and changes
-    * whenever the data at `dir` is rewritten — the memo-invalidation
-    * key for per-JVM derived-artifact caches (trained BPE merges,
-    * built ANN indexes), so an in-place corpus rewrite (ScaleProbe
-    * regenerates datasets within one JVM) can never serve stale state.
+    * regular file's (relative path, size, mtime-nanos), sorted by
+    * relative path so the result is independent of `Files.walk`
+    * traversal order. Cheap (metadata only) and changes whenever the
+    * data at `dir` is rewritten — the memo-invalidation key for
+    * per-JVM derived-artifact caches (trained BPE merges, built ANN
+    * indexes), so an in-place corpus rewrite (ScaleProbe regenerates
+    * datasets within one JVM) can never serve stale state. Folding the
+    * path means a rewrite that lands different FILE NAMES (Spark part-
+    * file UUIDs change on every write) invalidates even when sizes and
+    * mtimes collide within one millisecond.
     */
   def dirFingerprint(dir: String): Long = {
     val root: Path = Paths.get(dir)
@@ -20,9 +25,14 @@ object Fs {
       val s = Files.walk(root)
       try s.iterator().asScala
         .filter(Files.isRegularFile(_))
-        .foldLeft(0L) { (h, p) =>
-          31L * (31L * h + Files.size(p)) +
-            Files.getLastModifiedTime(p).toMillis
+        .map { p =>
+          (root.relativize(p).toString, Files.size(p),
+            Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+        }
+        .toSeq.sortBy(_._1)
+        .foldLeft(0L) { case (h, (rel, size, mtime)) =>
+          val hp = rel.foldLeft(h)((a, c) => 31L * a + c)
+          31L * (31L * hp + size) + mtime
         }
       finally s.close()
     }
