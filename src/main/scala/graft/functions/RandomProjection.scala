@@ -34,12 +34,15 @@ case class RpProject(child: Expression, dOut: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  // sign matrix cache, keyed by the observed input dimension
+  // Sign matrix pinned to the FIRST observed input dimension: a mixed-
+  // dimension embedding column is corrupt data, and silently re-deriving
+  // the matrix per dimension flip would both hide that and cost
+  // O(D·dOut) hashing per alternating row — throw instead.
   @transient private var cachedDim: Int = -1
   @transient private var signs: Array[Array[Boolean]] = _ // [j][i] = positive?
 
   private def signMatrix(dim: Int): Array[Array[Boolean]] = {
-    if (cachedDim != dim) {
+    if (cachedDim == -1) {
       signs = Array.tabulate(dOut) { j =>
         Array.tabulate(dim) { i =>
           val h = ArrayExprs.md5Lower64(s"rp:$j:$i".getBytes("UTF-8"))
@@ -47,6 +50,10 @@ case class RpProject(child: Expression, dOut: Int)
         }
       }
       cachedDim = dim
+    } else if (cachedDim != dim) {
+      throw new IllegalStateException(
+        s"RpProject: input dimension changed from $cachedDim to $dim — " +
+          "the embedding column mixes vector dimensions")
     }
     signs
   }

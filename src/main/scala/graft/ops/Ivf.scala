@@ -238,13 +238,52 @@ object Ivf {
     * without paying the build on every call.
     */
   def buildIndexCached(base: DataFrame, srcDir: String, path: String,
-      kCells: Int, iters: Int): IvfIndex =
-    indexCache.getOrElseUpdate(
-      (path, graft.util.Fs.dirFingerprint(srcDir), kCells, iters),
-      buildIndex(base, path, kCells, iters))
+      kCells: Int, iters: Int): IvfIndex = {
+    val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, iters)
+    cacheGet(key).getOrElse {
+      // Serialize builds PER INDEX PATH: two concurrent misses for the
+      // same path must not race overlapping mode-overwrite writes.
+      // TrieMap.getOrElseUpdate may run the by-name twice, but for a
+      // plain lock Object that's harmless — both callers receive the
+      // winning instance, so both synchronize on the same monitor.
+      val lock = buildLocks.getOrElseUpdate(path, new Object)
+      lock.synchronized {
+        cacheGet(key).getOrElse {
+          val built = buildIndex(base, path, kCells, iters)
+          indexCache.synchronized {
+            // Entries for the same path with another fingerprint/shape
+            // describe overwritten data — drop them eagerly; the
+            // LinkedHashMap's LRU bound handles the rest.
+            indexCache.keySet.removeIf(k => k._1 == path && k != key)
+            indexCache.put(key, built)
+          }
+          built
+        }
+      }
+    }
+  }
 
+  private def cacheGet(key: (String, Long, Int, Int)): Option[IvfIndex] =
+    indexCache.synchronized(Option(indexCache.get(key)))
+
+  private[ops] def indexCacheSnapshot: Seq[(String, Long, Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    indexCache.synchronized(indexCache.keySet.asScala.toList)
+  }
+
+  /** Access-ordered, bounded: a session touches a handful of distinct
+    * indexes; stale fingerprints age out instead of accumulating.
+    */
+  private val IndexCacheMax = 8
   private val indexCache =
-    new scala.collection.concurrent.TrieMap[(String, Long, Int, Int), IvfIndex]()
+    new java.util.LinkedHashMap[(String, Long, Int, Int), IvfIndex](
+        IndexCacheMax, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int, Int), IvfIndex]): Boolean =
+        size() > IndexCacheMax
+    }
+  private val buildLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
 
   /** Fold a new `(vec_id, embedding)` batch INTO the index: assign
     * against the frozen quantizer (pure scan work over the batch) and

@@ -208,6 +208,12 @@ object Search {
 
   // ---- chunk-level retrieval (RAG indexing) ---------------------------------
 
+  /** Chunk-key packing radix: chunk_key = doc_id·radix + chunk_idx.
+    * [[chunkBm25]] raises rather than emitting a colliding key for a
+    * document with ≥radix chunks (≈4.8M tokens at the default geometry).
+    */
+  val ChunkKeyRadix = 100000L
+
   /** `search_chunk_bm25`: BM25 over the CHUNKED corpus — the retrieval
     * unit becomes the [[Batching.chunkOverlap]] sliding window instead
     * of the whole document, the standard RAG indexing shape (rank
@@ -229,9 +235,18 @@ object Search {
       .withColumn("n_tokens", size(col("t0")).cast("long"))
       .withColumn("n_chunks", when(col("n_tokens") <= cl, lit(1L))
         .otherwise(lit(1L) + expr(s"(n_tokens - $cl + $step - 1) div $step")))
+      // chunk_key = doc_id·ChunkKeyRadix + idx collides past the radix
+      // (a ≥$ChunkKeyRadix-chunk document ≈ 4.8M tokens): fail loudly
+      // instead of silently merging two chunks' postings.
+      .withColumn("n_chunks",
+        when(col("n_chunks") > ChunkKeyRadix, raise_error(concat(
+          lit("chunkBm25: doc_id "), col("doc_id"),
+          lit(s" has more than $ChunkKeyRadix chunks; chunk_key would collide")))
+          .cast("long"))
+        .otherwise(col("n_chunks")))
       .select(col("doc_id"), col("t0"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-      .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
+      .select((col("doc_id") * ChunkKeyRadix + col("chunk_idx")).as("doc_id"),
         expr(s"slice(t0, CAST(chunk_idx * $step + 1 AS INT), $cl)").as("t"))
     topK(termStatsOver(chunks, fixtureQueries), rationalIdf, 5)
       .withColumnRenamed("doc_id", "chunk_key")

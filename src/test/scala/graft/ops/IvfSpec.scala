@@ -179,5 +179,37 @@ class IvfSpec extends SparkTestBase {
     val emb2 = spark.read.parquet(s"$d/embeddings.parquet")
     val c = Ivf.buildIndexCached(emb2, s"$d/embeddings.parquet", idxPath, 4, 1)
     assert(!(c eq a), "rewritten source must invalidate the memo")
+    // the stale fingerprint's entry for the SAME path must be evicted,
+    // not accumulate: exactly one cache key may reference idxPath now
+    assert(Ivf.indexCacheSnapshot.count(_._1 == idxPath) === 1,
+      "stale same-path entry must be dropped on rebuild")
+  }
+  test("buildIndexCached: cache is LRU-bounded; concurrent same-path builds share one instance") {
+    import spark.implicits._
+    val d = tmpDir("ivf_bound_src")
+    val rnd = new scala.util.Random(97)
+    (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    // 10 distinct index paths > the bound of 8: the cache must not grow
+    // past the cap (the two oldest age out)
+    (0 until 10).foreach { i =>
+      Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", tmpDir(s"ivf_bound_$i"), 2, 0)
+    }
+    assert(Ivf.indexCacheSnapshot.size <= 8,
+      s"index cache exceeded its bound: ${Ivf.indexCacheSnapshot.size}")
+    // two threads miss the same (path, fingerprint) at once: the
+    // per-path lock serializes the overwrite build and both callers
+    // land on the one winning instance
+    val racePath = tmpDir("ivf_race_idx")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => results.add(
+        Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", racePath, 2, 0)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val got = results.toArray
+    assert(got.length === 2)
+    assert(got(0) eq got(1), "racing builders must resolve to one shared index")
   }
 }

@@ -114,4 +114,20 @@ class SearchSpec extends SparkTestBase {
         s"ranked chunk ($docId, $chunkIdx) holds no term of $qid")
     }
   }
+  test("chunk BM25: a document exceeding the chunk-key radix raises instead of colliding") {
+    import spark.implicits._
+    val step = Batching.ChunkLen - Batching.ChunkOverlap
+    // n_chunks > ChunkKeyRadix needs > ChunkLen + (radix-1)*step tokens
+    val nTokens = Batching.ChunkLen + Search.ChunkKeyRadix.toInt * step + 1
+    val sb = new StringBuilder(nTokens * 2)
+    var i = 0
+    while (i < nTokens) { sb.append("a "); i += 1 }
+    val d = tmpDir("chunk_radix")
+    Seq((1L, sb.toString)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val ex = intercept[Throwable] { Search.chunkBm25(spark, d).collect() }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("chunk_key would collide"), s"unexpected failure: $msgs")
+  }
 }

@@ -103,6 +103,21 @@ class SimilaritySpec extends SparkTestBase {
       .map(_.getSeq[Double](0).toArray)
     emb.map(_._2).zip(again).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
+  test("rpProject: mixed input dimensions throw instead of silently re-deriving signs") {
+    import graft.functions.RandomProjection.rpProject
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f))) // corrupt: different dimension
+      .toDF("vec_id", "embedding")
+      .coalesce(1) // one task => one expression instance sees both rows
+    val ex = intercept[Throwable] {
+      mixed.select(rpProject(col("embedding"), 4)).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("mixes vector dimensions"), s"unexpected failure: $msgs")
+  }
   test("int8 quantization: codes in range, reconstruction within scale/254 per coordinate") {
     val rows = Similarity.int8Quantize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
