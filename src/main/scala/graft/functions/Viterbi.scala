@@ -14,7 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * ties broken toward FEWER pieces. Scores are the integer fixed-point
   * log-frequencies ([[FixLog2]]), so the whole DP is integer arithmetic
   * and the DuckDB twin (an unrolled per-position max, see
-  * [[graft.ops.Subword.unigramViterbiSql]]) replays it exactly.
+  * [[graft.ops.Subword.unigramViterbiSql]]) replays it exactly —
+  * INCLUDING the ≥ 64-codepoint window split below: the twin pre-splits
+  * every word into the same [[Viterbi.WindowCp]]-codepoint windows and
+  * unrolls the DP to that bound, so long words verify against the
+  * oracle instead of falling outside its domain.
   *
   * The lexicographic objective (max Σscore, then min pieces) is packed
   * into one long per DP state: each consumed piece adds
@@ -91,7 +95,7 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
     var totPieces = 0L
     var totScore = 0L
     while (off < n) {
-      val win = math.min(63, n - off)
+      val win = math.min(Viterbi.WindowCp, n - off)
       val res = segmentWindow(cps, off, win)
       if (res == null) return InternalRow(-1, -1L)
       totPieces += res._1
@@ -106,6 +110,14 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
 }
 
 object Viterbi {
+  /** Segmentation window in codepoints: the widest DP the per-word
+    * packing supports (piece count must stay < 64). Shared with the
+    * oracle twin's unroll depth and window pre-split
+    * ([[graft.ops.Subword.ViterbiUnroll]]) so both engines run the
+    * identical windowed DP.
+    */
+  val WindowCp = 63
+
   def viterbiPieces(word: Column, vocab: Map[String, Long]): Column =
     bridge.column(ViterbiPieces(bridge.expression(word), vocab))
 }

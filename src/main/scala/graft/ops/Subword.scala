@@ -135,12 +135,17 @@ object Subword {
 
   // ---- unigram Viterbi segmentation -----------------------------------------
 
-  /** Maximum unrolled DP depth in the oracle twin: words longer than
-    * this have no oracle row, which the driver's row-count compare
-    * flags loudly (the corpus maxes out at 8-codepoint words; the
-    * engine expression handles any length < 64).
+  /** Unrolled DP depth in the oracle twin = the engine's segmentation
+    * window ([[graft.functions.Viterbi.WindowCp]]): the twin pre-splits
+    * every word into ≤ this many codepoints per window (the SAME split
+    * the engine applies to ≥ 64-cp words) and replays the windowed DP
+    * exactly, so arbitrarily long words (URLs, base64 runs) verify
+    * instead of silently leaving the oracle's domain. A word whose
+    * window is UNREACHABLE (vocab contract violation) is dropped by the
+    * twin while the engine counts it with the -1 sentinel — a loud
+    * row-count mismatch, as before.
     */
-  val ViterbiUnroll = 16
+  val ViterbiUnroll: Int = graft.functions.Viterbi.WindowCp
 
   /** Scored piece inventory for the unigram model: substrings of length
     * 1..maxLen over distinct words, freq = occurrence-weighted word
@@ -186,27 +191,32 @@ object Subword {
       .orderBy("source")
   }
 
-  /** DuckDB twin: the DP unrolled position by position — `b_i` holds
-    * every word's best packed state ending at codepoint i, each step a
-    * max over the ≤ maxLen piece lengths that can end there (the
-    * [[Kmeans]] unrolled-CTE precedent, applied to a DP instead of
-    * Lloyd iterations).
+  /** DuckDB twin: words pre-split into ≤ [[ViterbiUnroll]]-codepoint
+    * windows (the engine's long-word split, identity for short words),
+    * then the DP unrolled position by position over DISTINCT window
+    * texts — `b_i` holds every window's best packed state ending at
+    * codepoint i, each step a max over the ≤ maxLen piece lengths that
+    * can end there (the [[Kmeans]] unrolled-CTE precedent, applied to a
+    * DP instead of Lloyd iterations). Per-word totals are the integer
+    * sums of the per-window unpacked (n_pieces, sum_score), exactly the
+    * engine's accumulation.
     */
   val unigramViterbiSql: String = {
     val L = graft.functions.FixLog2.sqlL("freq")
+    val W = ViterbiUnroll
     val steps = (1 to ViterbiUnroll).map { i =>
       val branches = (1 to math.min(MaxPieceLen, i)).map { j =>
-        s"""    SELECT m.word, b.packed + m.score * 64 - 1 AS packed
-           |    FROM b${i - j} b JOIN m ON m.word = b.word AND m.start = ${i - j + 1} AND m.len = $j"""
+        s"""    SELECT m.wtext, b.packed + m.score * 64 - 1 AS packed
+           |    FROM b${i - j} b JOIN m ON m.wtext = b.wtext AND m.start = ${i - j + 1} AND m.len = $j"""
           .stripMargin
       }.mkString("\n    UNION ALL\n")
       s"""b$i AS MATERIALIZED (
-         |  SELECT word, max(packed) AS packed FROM (
-         |$branches) GROUP BY word)"""
+         |  SELECT wtext, max(packed) AS packed FROM (
+         |$branches) GROUP BY wtext)"""
         .stripMargin
     }.mkString(",\n")
     val resUnion = (1 to ViterbiUnroll)
-      .map(i => s"  SELECT word, packed, $i AS wl FROM b$i")
+      .map(i => s"  SELECT wtext, packed, $i AS wl FROM b$i")
       .mkString("\n  UNION ALL\n")
     s"""WITH tok AS (
        |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
@@ -227,23 +237,35 @@ object Subword {
        |    UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1)
        |  GROUP BY piece),
        |v AS MATERIALIZED (SELECT piece, CAST($L AS BIGINT) AS score FROM vocabf),
-       |m AS MATERIALIZED (
-       |  SELECT dw.word, s.i AS start, length(v.piece) AS len, v.score
+       |win AS MATERIALIZED (
+       |  SELECT dw.word, substr(dw.word, w.k * $W + 1, $W) AS wtext
        |  FROM dw,
-       |  LATERAL (SELECT unnest(range(1, length(dw.word) + 1)) AS i) s
-       |  JOIN v ON v.piece = substr(dw.word, s.i, length(v.piece))),
-       |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS packed FROM dw),
+       |  LATERAL (SELECT unnest(range(0, (length(dw.word) + ${W - 1}) // $W)) AS k) w),
+       |dwin AS MATERIALIZED (SELECT DISTINCT wtext FROM win),
+       |m AS MATERIALIZED (
+       |  SELECT dwin.wtext, s.i AS start, length(v.piece) AS len, v.score
+       |  FROM dwin,
+       |  LATERAL (SELECT unnest(range(1, length(dwin.wtext) + 1)) AS i) s
+       |  JOIN v ON v.piece = substr(dwin.wtext, s.i, length(v.piece))),
+       |b0 AS MATERIALIZED (SELECT wtext, CAST(0 AS BIGINT) AS packed FROM dwin),
        |$steps,
        |res AS (
        |$resUnion),
-       |seg AS (
-       |  SELECT r.word, r.packed FROM res r
-       |  JOIN dw ON dw.word = r.word AND length(dw.word) = r.wl),
-       |pw AS (
-       |  SELECT word,
+       |segw AS (
+       |  SELECT r.wtext, r.packed FROM res r
+       |  JOIN dwin d ON d.wtext = r.wtext AND length(d.wtext) = r.wl),
+       |pww AS MATERIALIZED (
+       |  SELECT wtext,
        |         (64 - ((packed % 64) + 64) % 64) % 64 AS n_pieces,
        |         (packed + (64 - ((packed % 64) + 64) % 64) % 64) // 64 AS sum_score
-       |  FROM seg)
+       |  FROM segw),
+       |pw AS (
+       |  SELECT win.word,
+       |         sum(pww.n_pieces) AS n_pieces,
+       |         sum(pww.sum_score) AS sum_score
+       |  FROM win JOIN pww ON pww.wtext = win.wtext
+       |  GROUP BY win.word
+       |  HAVING count(*) = (length(win.word) + ${W - 1}) // $W)
        |SELECT t.source, count(*) AS n_words,
        |       CAST(sum(pw.n_pieces) AS BIGINT) AS n_pieces,
        |       CAST(sum(pw.sum_score) AS BIGINT) AS sum_score

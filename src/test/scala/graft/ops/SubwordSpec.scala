@@ -150,4 +150,90 @@ class SubwordSpec extends SparkTestBase {
         s"'$w': DP ${r.getStruct(1).getLong(1)} below single-char $charScore")
     }
   }
+
+  /** Driver-side reference for the WINDOWED segmentation: split into
+    * [[graft.functions.Viterbi.WindowCp]]-cp windows, brute-DP each
+    * (max score, then fewest pieces), sum across windows; None when a
+    * window is unreachable — exactly the expression's documented
+    * contract, derived independently of its packed-long arithmetic.
+    */
+  private def windowedRef(word: String, vocab: Map[String, Long]): Option[(Int, Long)] = {
+    val w = graft.functions.Viterbi.WindowCp
+    val cps = word.codePoints().toArray
+    val maxLen = vocab.keys.map(p => p.codePointCount(0, p.length)).max
+    def dpWindow(off: Int, n: Int): Option[(Int, Long)] = {
+      // best(i) = (score, -pieces) lexicographic max over segmentations of cps[off, off+i)
+      val best = Array.fill[Option[(Long, Int)]](n + 1)(None)
+      best(0) = Some((0L, 0))
+      for (i <- 1 to n; j <- 1 to math.min(maxLen, i); prev <- best(i - j);
+           s <- vocab.get(new String(cps, off + i - j, j))) {
+        val cand = (prev._1 + s, prev._2 - 1)
+        import scala.math.Ordering.Implicits._
+        if (best(i).forall(b => cand > b)) best(i) = Some(cand)
+      }
+      best(n).map { case (score, negN) => (-negN, score) }
+    }
+    val windows = Iterator.range(0, cps.length, w)
+      .map(off => dpWindow(off, math.min(w, cps.length - off))).toSeq
+    if (cps.isEmpty) Some((0, 0L))
+    else if (windows.exists(_.isEmpty)) None
+    else Some((windows.map(_.get._1).sum, windows.map(_.get._2).sum))
+  }
+
+  private def viterbiOne(word: String, vocab: Map[String, Long]): (Int, Long) = {
+    val v = Seq(Tuple1(word)).toDF("word")
+      .select(graft.functions.Viterbi.viterbiPieces(col("word"), vocab).as("v"))
+      .head.getStruct(0)
+    (v.getInt(0), v.getLong(1))
+  }
+
+  test("viterbi windowed long words: boundary approximation, exact mid-range, loud unreachable") {
+    val vocab = Map("a" -> 1L, "aa" -> 3L)
+    // 64 cp: windows [63, 1]; window 1 forces a lone 'a' the global
+    // optimum (32×"aa" = 32 pieces / 96) would avoid — documents the
+    // boundary approximation: (33, 95)
+    assert(viterbiOne("a" * 64, vocab) === ((33, 95L)))
+    assert(windowedRef("a" * 64, vocab) === Some((33, 95L)))
+    // 40 cp: a single window — EXACT DP, beyond the old 16-step oracle
+    assert(viterbiOne("a" * 40, vocab) === ((20, 60L)))
+    // 130 cp, zero-score vocab: windows [63, 63, 4], all singles
+    assert(viterbiOne("a" * 130, Map("a" -> 0L)) === ((130, 0L)))
+    // unreachable inside the SECOND window -> whole-word sentinel
+    assert(viterbiOne("a" * 70 + "z", vocab) === ((-1, -1L)))
+    assert(windowedRef("a" * 70 + "z", vocab) === None)
+    // randomized agreement engine vs driver reference across the window
+    // boundary, mixed piece lengths
+    val rnd = new scala.util.Random(73)
+    val rvocab = Map("a" -> 2L, "b" -> 1L, "ab" -> 5L, "ba" -> 4L, "aab" -> 9L)
+    (0 until 40).foreach { _ =>
+      val w = (0 until (50 + rnd.nextInt(120))).map(_ => "ab"(rnd.nextInt(2))).mkString
+      val got = viterbiOne(w, rvocab)
+      val ref = windowedRef(w, rvocab).getOrElse((-1, -1L))
+      assert(got === ref, s"windowed mismatch on ${w.length}-cp word")
+    }
+  }
+
+  test("registered viterbi query matches the windowed driver reference on a long-word corpus") {
+    val d = tmpDir("subword_longword")
+    Seq(
+      (1L, "the " + "x" * 130 + " scan and " + "y" * 70 + " merge", "src0"),
+      (2L, "z" * 40 + " spark " + "x" * 130, "src1"),
+      (3L, "plain short words only here", "src0"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val vocab = Subword.trainScoredVocab(spark, d, Subword.TopV, Subword.MaxPieceLen)
+    val got = Subword.unigramViterbi(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver reference over the same tokenization
+    val words = Seq(
+      ("src0", "the " + "x" * 130 + " scan and " + "y" * 70 + " merge"),
+      ("src1", "z" * 40 + " spark " + "x" * 130),
+      ("src0", "plain short words only here"))
+      .flatMap { case (s, t) => t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _) }
+    val expect = words.groupBy(_._1).map { case (s, ws) =>
+      val refs = ws.map(w => windowedRef(w._2, vocab).get)
+      s -> ((ws.size.toLong, refs.map(_._1.toLong).sum, refs.map(_._2).sum))
+    }
+    assert(got === expect, s"engine $got vs driver reference $expect")
+  }
 }
