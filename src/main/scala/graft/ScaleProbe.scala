@@ -310,6 +310,46 @@ object ScaleProbe {
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(
       ops.Similarity.semanticDedupAt(spark, dir, kCells = 128, tau = 0.95, iters = 2).count())
+    // SemDeDup's structural blind spot, MEASURED: plant near-dup pairs
+    // at midpoints between distinct cluster centers (cos ≈ 0.98 ≥ τ) so
+    // their PRIMARY cells straddle a boundary, then compare the planted
+    // miss rate of single-cell assignment vs the nprobeAssign = 2 dial.
+    // Expectation: 1-probe misses ≈ every straddling pair (the blind
+    // spot), 2-probe misses ≈ 0 at ~≤4x the pair work.
+    locally {
+      val sdir = java.nio.file.Files.createTempDirectory("scale_semdedup").toString
+      try {
+        val srnd = new scala.util.Random(13)
+        val centers = Array.fill(128)(Array.fill(64)(srnd.nextGaussian().toFloat * 5f))
+        val rows = (0 until 16000).map { i =>
+          val c = centers(i % 128)
+          (i.toLong, c.map(x => x + srnd.nextGaussian().toFloat * 1.0f))
+        }
+        // 64 pairs over DISTINCT center pairs (2p, 2p+1): no cross-pair
+        // similarity to confound the measurement
+        val planted = (0 until 64).flatMap { p =>
+          val a = centers(2 * p); val b = centers(2 * p + 1)
+          val v1 = Array.tabulate(64)(j => 0.55f * a(j) + 0.45f * b(j))
+          val v2 = Array.tabulate(64)(j => 0.45f * a(j) + 0.55f * b(j))
+          Seq((20000L + 2 * p, v1), (20001L + 2 * p, v2))
+        }
+        import spark.implicits._
+        (rows ++ planted).toDF("vec_id", "embedding").repartition(8)
+          .write.parquet(s"$sdir/embeddings.parquet")
+        Seq(1, 2).foreach { np =>
+          val t0 = System.nanoTime()
+          val out = ops.Similarity.semanticDedupAt(spark, sdir, kCells = 128,
+            tau = 0.95, iters = 2, nprobeAssign = np)
+            .filter(col("vec_id") >= 20000L)
+            .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+          val straddling = (0 until 64)
+            .count(p => out(20000L + 2 * p)._1 != out(20001L + 2 * p)._1)
+          val missed = (0 until 64).count(p => !out(20001L + 2 * p)._2)
+          val line = f"PROBE semdedup_boundary nprobeAssign=$np ${(System.nanoTime() - t0) / 1e9}%6.2f s planted=64 straddling=$straddling missed=$missed (kCells=128)"
+          println(line); report ++= line + "\n"
+        }
+      } finally graft.util.Fs.deleteRecursively(sdir)
+    }
     // distributed k-means, mergeable-sum path: per iteration one
     // scan-local assignment + one (cid, dim)-keyed partial-sum shuffle
     // (map-side combined), so cost is iters x one corpus scan

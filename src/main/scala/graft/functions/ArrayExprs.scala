@@ -815,6 +815,69 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Top-`p` nearest centroids by cosine similarity, ordered score desc
+    * then cid asc — multi-probe ASSIGNMENT for SemDeDup ([[Similarity
+    * .semanticDedupAt]]'s `nprobeAssign` dial): a vector near a cell
+    * boundary lands in BOTH adjacent cells, so a near-dup pair split by
+    * the boundary still meets in a shared cell. Same scan-local shape
+    * as [[NearestCentroid]] (k×dim matrix rides in the plan); the
+    * ordering matches the oracle twin's `row_number() OVER (ORDER BY
+    * score DESC, cid)` exactly, including the zero-norm → −∞ guard.
+    */
+  case class NearestCentroids(child: Expression, centroids: Seq[Array[Float]], p: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(p >= 1, s"NearestCentroids: p must be ≥ 1, got $p")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val cents: Array[Array[Float]] = centroids.toArray
+    @transient private lazy val norms: Array[Double] =
+      centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      if (cents.nonEmpty && dim != cents(0).length)
+        throw new IllegalArgumentException(
+          s"NearestCentroids: embedding dimension $dim != centroid dimension ${cents(0).length}")
+      val k = cents.length
+      val scores = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = cents(c)
+        var dot = 0.0
+        var j = 0
+        while (j < cent.length) { dot += v.getFloat(j).toDouble * cent(j).toDouble; j += 1 }
+        scores(c) = if (norms(c) == 0.0) Double.NegativeInfinity else dot / norms(c)
+        c += 1
+      }
+      val take = math.min(p, k)
+      val out = new Array[Any](take)
+      val used = new Array[Boolean](k)
+      var r = 0
+      while (r < take) { // selection pass: k is the bounded cell count
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < k) {
+          if (!used(i) && scores(i) > bestScore) { bestScore = scores(i); best = i }
+          i += 1
+        }
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Squared-L2 nearest centroid over DOUBLE centroids (the Lloyd
     * assignment kernel): returns struct(cid, dist2) where dist2 is the
     * left-to-right fold of (double(x_i) − c_i)² — the same accumulation
@@ -888,6 +951,8 @@ object ArrayExprs {
     c(LshBuckets(e(vec), tables, bits))
   def nearestCentroid(vec: Column, centroids: Seq[Array[Float]]): Column =
     c(NearestCentroid(e(vec), centroids))
+  def nearestCentroids(vec: Column, centroids: Seq[Array[Float]], p: Int): Column =
+    c(NearestCentroids(e(vec), centroids, p))
   def nearestCentroidSq(vec: Column, centroids: Seq[Array[Double]]): Column =
     c(NearestCentroidSq(e(vec), centroids))
 }

@@ -275,18 +275,42 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupAt(spark, dir, kCells = 16, tau = 0.95, iters = 0)
 
+  /** `sim_semantic_dedup_probe2`: the same pipeline with the
+    * `nprobeAssign = 2` boundary dial engaged — oracle-checked end to
+    * end like the single-probe row.
+    */
+  def semanticDedupProbe2(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupAt(spark, dir, kCells = 16, tau = 0.95, iters = 0, nprobeAssign = 2)
+
+  /** `nprobeAssign` is the CELL-BOUNDARY dial: each vector is assigned
+    * to its top-`nprobeAssign` cells (primary = nearest, reported as
+    * `cid`), and the quadratic pair step runs over every SHARED probe
+    * cell — a near-dup pair straddling a cell boundary, invisible to
+    * single-cell SemDeDup by construction, meets in the neighbor cell
+    * it co-probes. Cost scales ≤ nprobeAssign² per pair-step (still
+    * Σ|cell|²-shaped, never all-pairs); a pair sharing several probe
+    * cells is scored once per shared cell, which the `min` rollup
+    * absorbs — cheaper than a distinct-pair shuffle at small nprobe.
+    * [[graft.ScaleProbe]] measures the planted cross-boundary miss rate
+    * of 1-probe vs 2-probe at two scales.
+    */
   def semanticDedupAt(spark: SparkSession, dir: String, kCells: Int,
-      tau: Double, iters: Int): DataFrame = {
+      tau: Double, iters: Int, nprobeAssign: Int = 1): DataFrame = {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val centroids = Ivf.kmeansCentroids(emb, kCells, iters)
+    val p = math.min(nprobeAssign, centroids.size)
     val assigned = emb
-      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .withColumn("probes", ArrayExprs.nearestCentroids(col("embedding"), centroids, p))
+      .withColumn("cid", col("probes").getItem(0))
       .localCheckpoint()
-    val dups = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+    val probed = assigned
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("probes")).as("pcid"))
+    val dups = probed.as("a")
+      .join(probed.as("b"),
+        col("a.pcid") === col("b.pcid") && col("b.vec_id") < col("a.vec_id"))
       .withColumn("score",
         dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("score") >= tau)
@@ -342,6 +366,50 @@ object Similarity {
       |       COALESCE(d.dup_of, -1) AS dup_of
       |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
+
+  /** Oracle twin of [[semanticDedupProbe2]]: identical CTEs except the
+    * assignment window keeps r ≤ 2 (the probe list) and the pair join
+    * runs over shared PROBE cells; the reported cid stays r = 1.
+    */
+  val semanticDedupProbe2Sql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |probes AS MATERIALIZED (
+      |  SELECT vec_id, cid, r FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r <= 2),
+      |dups AS (
+      |  SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+      |  FROM probes a
+      |  JOIN probes b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  JOIN en ea ON ea.vec_id = a.vec_id
+      |  JOIN en eb ON eb.vec_id = b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(ea.vec) + 1), i -> ea.vec[i] * eb.vec[i]))
+      |          / (ea.nrm * eb.nrm) >= 0.95
+      |  GROUP BY 1)
+      |SELECT p.vec_id, CAST(p.cid AS INT) AS cid,
+      |       d.dup_of IS NOT NULL AS is_dup,
+      |       COALESCE(d.dup_of, -1) AS dup_of
+      |FROM probes p LEFT JOIN dups d ON d.vec_id = p.vec_id
+      |WHERE p.r = 1
+      |ORDER BY p.vec_id""".stripMargin
 
   /** Per-label centroids — class prototypes over the embedding corpus
     * (nearest-class-mean classification, cluster drift monitoring, the
@@ -503,6 +571,7 @@ object Similarity {
     "sim_rp_project" -> (rpProject _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_semantic_dedup" -> (semanticDedup _),
+    "sim_semantic_dedup_probe2" -> (semanticDedupProbe2 _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
@@ -515,6 +584,7 @@ object Similarity {
     "sim_rp_project" -> rpProjectSql,
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_semantic_dedup" -> semanticDedupSql,
+    "sim_semantic_dedup_probe2" -> semanticDedupProbe2Sql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,

@@ -57,6 +57,44 @@ class SemanticDedupSpec extends SparkTestBase {
       .filter(col("cid") =!= col("rep_cid")).count() === 0)
   }
 
+  test("cell-boundary near-dup pair: single-probe provably misses, nprobeAssign=2 catches") {
+    // three tight clusters on orthogonal axes + a near-dup pair planted
+    // ACROSS the A/B boundary: vA leans to cluster A, vB to cluster B
+    // (cosine(vA, vB) ≈ 0.9965 ≥ τ) — their PRIMARY cells differ, so
+    // single-cell SemDeDup cannot see the pair; with 2 probe cells they
+    // co-probe and the pair is caught. k = 3 > p = 2: multi-probe is
+    // not probe-everything.
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    def clusterVec(axis: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+      v(axis) += 5f
+      v
+    }
+    val base = (0 until 90).map(i => (i.toLong, clusterVec(i % 3)))
+    val vA = Array.tabulate(dim)(j => if (j == 0) 1.0f else if (j == 1) 0.92f else 0f)
+    val vB = Array.tabulate(dim)(j => if (j == 0) 0.92f else if (j == 1) 1.0f else 0f)
+    val dir = tmpDir("semdedup_boundary")
+    (base :+ (90L, vA) :+ (91L, vB)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val single = Similarity.semanticDedupAt(spark, dir, kCells = 3, tau = 0.95,
+        iters = 3, nprobeAssign = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(single(90L)._1 !== single(91L)._1,
+      "planted pair must straddle two cells for this test to bite")
+    assert(!single(91L)._2, "single-probe must miss the cross-boundary pair")
+
+    val multi = Similarity.semanticDedupAt(spark, dir, kCells = 3, tau = 0.95,
+        iters = 3, nprobeAssign = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(multi(91L)._2 && multi(91L)._3 === 90L,
+      s"2-probe must catch the boundary pair, got ${multi(91L)}")
+    assert(!multi(90L)._2, "the earlier member stays the keeper")
+    // primary cell ids are unchanged by the probe dial
+    single.foreach { case (id, (cid, _, _)) => assert(multi(id)._1 === cid) }
+  }
+
   test("tau = 1.0 keeps everything except exact copies; tau tightens monotonically") {
     val dir = plantedDir()
     def nDups(tau: Double): Long =
