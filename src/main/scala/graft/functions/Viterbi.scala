@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,28 +59,8 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
     * or null when some position is unreachable.
     */
   private def segmentWindow(cps: Array[Int], off: Int, n: Int): (Long, Long) = {
-    val NEG = Long.MinValue
-    val best = Array.fill(n + 1)(NEG)
-    best(0) = 0L
-    var i = 1
-    while (i <= n) {
-      var j = 1
-      val jMax = math.min(maxPieceCp, i)
-      while (j <= jMax) {
-        if (best(i - j) != NEG) {
-          val piece = new String(cps, off + i - j, j)
-          vocab.get(piece) match {
-            case Some(score) =>
-              val cand = best(i - j) + score * 64L - 1L
-              if (cand > best(i)) best(i) = cand
-            case None => ()
-          }
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (best(n) == NEG) return null
+    val best = Viterbi.windowBest(cps, off, n, vocab, maxPieceCp)
+    if (best(n) == Viterbi.NEG) return null
     val packed = best(n)
     val nPieces = (64L - (((packed % 64L) + 64L) % 64L)) % 64L
     val sumScore = (packed + nPieces) / 64L
@@ -109,6 +90,82 @@ case class ViterbiPieces(child: Expression, vocab: Map[String, Long])
     copy(child = newChild)
 }
 
+/** `ViterbiSegmentPieces(word, vocab)` — the PIECES of the optimal
+  * unigram segmentation, as `array<string>`: the same windowed DP as
+  * [[ViterbiPieces]] plus a deterministic backwalk — at each reachable
+  * end position, consume the SHORTEST piece length that attains the
+  * position's optimal packed value (the rule the DuckDB twin replays
+  * as `min(len)` over the equality-filtered backpointer join). This is
+  * the E-step kernel of Viterbi-EM unigram training
+  * ([[graft.ops.Subword.emVocabs]]): exploding the array and summing
+  * word frequencies per piece IS the expected-count aggregate under
+  * hard assignment.
+  *
+  * Returns null when any window is unreachable (vocab contract
+  * violation — the trainer always keeps every single-codepoint piece,
+  * so this cannot happen in the registered pipeline; on a violating
+  * corpus the oracle's counts diverge loudly).
+  */
+case class ViterbiSegmentPieces(child: Expression, vocab: Map[String, Long])
+    extends UnaryExpression with CodegenFallback {
+  require(vocab.nonEmpty, "ViterbiSegmentPieces: vocab must be non-empty")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val maxPieceCp: Int =
+    vocab.keys.map(p => p.codePointCount(0, p.length)).max
+
+  /** Backwalk one window; appends pieces (in order) to `out`, or
+    * returns false when the window end is unreachable.
+    */
+  private def windowPieces(cps: Array[Int], off: Int, n: Int,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Boolean = {
+    val best = Viterbi.windowBest(cps, off, n, vocab, maxPieceCp)
+    if (best(n) == Viterbi.NEG) return false
+    val rev = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var pos = n
+    while (pos > 0) {
+      var j = 1
+      var found = -1
+      val jMax = math.min(maxPieceCp, pos)
+      while (found < 0 && j <= jMax) {
+        if (best(pos - j) != Viterbi.NEG) {
+          val piece = new String(cps, off + pos - j, j)
+          vocab.get(piece) match {
+            case Some(score) if best(pos - j) + score * 64L - 1L == best(pos) =>
+              found = j
+              rev += UTF8String.fromString(piece)
+            case _ => ()
+          }
+        }
+        j += 1
+      }
+      // DP invariant: a reachable position always has a predecessor
+      pos -= found
+    }
+    out ++= rev.reverseIterator
+    true
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val cps = word.codePoints().toArray
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](math.max(n, 1))
+    var off = 0
+    while (off < n) {
+      val win = math.min(Viterbi.WindowCp, n - off)
+      if (!windowPieces(cps, off, win, out)) return null
+      off += win
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Viterbi {
   /** Segmentation window in codepoints: the widest DP the per-word
     * packing supports (piece count must stay < 64). Shared with the
@@ -118,6 +175,43 @@ object Viterbi {
     */
   val WindowCp = 63
 
+  /** Unreachable-position sentinel in the packed DP table. */
+  private[functions] val NEG = Long.MinValue
+
+  /** Forward DP over `cps[off, off+n)`: `best(i)` = the max packed
+    * value (Σ score·64 − 1 over consumed pieces) of any segmentation
+    * of the first i codepoints, [[NEG]] when unreachable — shared by
+    * the stats and backwalk expressions so both consume the identical
+    * table.
+    */
+  private[functions] def windowBest(cps: Array[Int], off: Int, n: Int,
+      vocab: Map[String, Long], maxPieceCp: Int): Array[Long] = {
+    val best = Array.fill(n + 1)(NEG)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      val jMax = math.min(maxPieceCp, i)
+      while (j <= jMax) {
+        if (best(i - j) != NEG) {
+          val piece = new String(cps, off + i - j, j)
+          vocab.get(piece) match {
+            case Some(score) =>
+              val cand = best(i - j) + score * 64L - 1L
+              if (cand > best(i)) best(i) = cand
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
+
   def viterbiPieces(word: Column, vocab: Map[String, Long]): Column =
     bridge.column(ViterbiPieces(bridge.expression(word), vocab))
+
+  def viterbiSegmentPieces(word: Column, vocab: Map[String, Long]): Column =
+    bridge.column(ViterbiSegmentPieces(bridge.expression(word), vocab))
 }

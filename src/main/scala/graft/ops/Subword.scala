@@ -273,11 +273,219 @@ object Subword {
        |GROUP BY t.source ORDER BY t.source""".stripMargin
   }
 
+  // ---- unigram-LM EM training ----------------------------------------------
+
+  /** EM rounds the registered `text_unigram_em` query trains for. */
+  val EmRounds = 2
+
+  /** SentencePiece-style Viterbi-EM unigram training (Kudo 2018,
+    * arXiv:1804.10959 §3.2, hard-assignment variant): starting from the
+    * substring-frequency seed vocabulary ([[trainScoredVocab]]),
+    * each round re-segments every DISTINCT word under the current model
+    * (E-step: [[graft.functions.ViterbiSegmentPieces]] exploded +
+    * wfreq-weighted piece counts — a distributed aggregate bounded by
+    * |vocab| output rows) and re-scores pieces from their counts
+    * (M-step: score = L(max(count,1)) − L(Σcounts) in [[graft
+    * .functions.FixLog2]] fixed point — the integer log-probability —
+    * with unused multi-codepoint pieces PRUNED and every
+    * single-codepoint piece kept at the count-1 floor so segmentation
+    * stays total). Returns the seed plus one vocab per round.
+    *
+    * Scale shape: per round, one distinct-word scan (pieces ride the
+    * expression, no join) into a ≤|vocab|-row aggregate; the model is
+    * bounded driver metadata throughout — corpus size only changes the
+    * scan, exactly the [[BpeTrain]] argument.
+    */
+  def emVocabs(spark: SparkSession, dir: String, rounds: Int): Seq[Map[String, Long]] = {
+    import graft.functions.FixLog2
+    val dw = distinctWords(spark, dir).localCheckpoint()
+    val seed = trainScoredVocab(spark, dir, TopV, MaxPieceLen)
+    val singles = seed.keySet.filter(p => p.codePointCount(0, p.length) == 1)
+    val out = scala.collection.mutable.ArrayBuffer(seed)
+    var vocab = seed
+    (1 to rounds).foreach { _ =>
+      val counts = dw
+        .select(col("wfreq"),
+          explode(graft.functions.Viterbi.viterbiSegmentPieces(col("word"), vocab)).as("piece"))
+        .groupBy("piece").agg(sum(col("wfreq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val lt = FixLog2.log2Fix16(counts.values.sum)
+      vocab = (counts.keySet ++ singles).iterator.map { p =>
+        p -> (FixLog2.log2Fix16(math.max(counts.getOrElse(p, 0L), 1L)) - lt)
+      }.toMap
+      out += vocab
+    }
+    out.toSeq
+  }
+
+  /** Registered `text_unigram_em` query: the [[unigramViterbi]] rollup
+    * under the EM-trained model — per-source word/piece counts and
+    * total fixed-point log-probability after [[EmRounds]] rounds.
+    */
+  def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = emVocabs(spark, dir, EmRounds).last
+    tokenInstances(spark, dir)
+      .select(col("source"),
+        graft.functions.Viterbi.viterbiPieces(col("word"), vocab).as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("v.n_pieces").cast("long")).as("n_pieces"),
+        sum(col("v.sum_score")).as("sum_score"))
+      .orderBy("source")
+  }
+
+  // -- oracle twin assembly helpers (per-round DP forward + backwalk) --------
+
+  /** Forward DP step CTEs `<p>1..<p>63` over window texts, reading
+    * matches from `<mName>` (same shape as the stats twin's steps).
+    */
+  private def dpStepsSql(p: String, mName: String): String =
+    (1 to ViterbiUnroll).map { i =>
+      val branches = (1 to math.min(MaxPieceLen, i)).map { j =>
+        s"""    SELECT m.wtext, b.packed + m.score * 64 - 1 AS packed
+           |    FROM $p${i - j} b JOIN $mName m ON m.wtext = b.wtext AND m.start = ${i - j + 1} AND m.len = $j"""
+          .stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""$p$i AS MATERIALIZED (
+         |  SELECT wtext, max(packed) AS packed FROM (
+         |$branches) GROUP BY wtext)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** One EM round as CTE text: matches `<mName>` against vocab CTE
+    * `<vIn>`, forward DP (prefix `<p>`), shortest-piece backwalk, piece
+    * counts, and the re-scored vocab CTE `<vOut>`. The backwalk is the
+    * SQL mirror of [[graft.functions.ViterbiSegmentPieces]]: `pick` =
+    * min piece length attaining each position's optimal packed value,
+    * `walk` the recursive descent from each window's end.
+    */
+  private def emRoundSql(r: Int, vIn: String, vOut: String): String = {
+    val p = s"x${r}_"
+    val L = graft.functions.FixLog2
+    s"""m$r AS MATERIALIZED (
+       |  SELECT dwin.wtext, s.i AS start, length($vIn.piece) AS len, $vIn.score
+       |  FROM dwin,
+       |  LATERAL (SELECT unnest(range(1, length(dwin.wtext) + 1)) AS i) s
+       |  JOIN $vIn ON $vIn.piece = substr(dwin.wtext, s.i, length($vIn.piece))),
+       |${p}0 AS MATERIALIZED (SELECT wtext, CAST(0 AS BIGINT) AS packed FROM dwin),
+       |${dpStepsSql(p, s"m$r")},
+       |allb$r AS MATERIALIZED (
+       |  SELECT wtext, 0 AS pos, CAST(0 AS BIGINT) AS packed FROM dwin
+       |  UNION ALL
+       |${(1 to ViterbiUnroll).map(i => s"  SELECT wtext, $i AS pos, packed FROM $p$i").mkString("\n  UNION ALL\n")}),
+       |pick$r AS MATERIALIZED (
+       |  SELECT cur.wtext, cur.pos, min(m.len) AS len
+       |  FROM allb$r cur
+       |  JOIN m$r m ON m.wtext = cur.wtext AND m.start = cur.pos - m.len + 1
+       |  JOIN allb$r prev ON prev.wtext = cur.wtext AND prev.pos = cur.pos - m.len
+       |  WHERE cur.pos > 0 AND prev.packed + m.score * 64 - 1 = cur.packed
+       |  GROUP BY 1, 2),
+       |walk$r AS MATERIALIZED (
+       |  WITH RECURSIVE w AS (
+       |    SELECT wtext, length(wtext) AS pos FROM dwin
+       |    UNION ALL
+       |    SELECT w.wtext, w.pos - p.len
+       |    FROM w JOIN pick$r p ON p.wtext = w.wtext AND p.pos = w.pos
+       |    WHERE w.pos > 0)
+       |  SELECT * FROM w),
+       |eseg$r AS (
+       |  SELECT w.wtext, substr(w.wtext, w.pos - p.len + 1, p.len) AS piece
+       |  FROM walk$r w JOIN pick$r p ON p.wtext = w.wtext AND p.pos = w.pos
+       |  WHERE w.pos > 0),
+       |ecnt$r AS MATERIALIZED (
+       |  SELECT s.piece, CAST(sum(dw.wfreq) AS BIGINT) AS cnt
+       |  FROM win JOIN eseg$r s ON s.wtext = win.wtext
+       |  JOIN dw ON dw.word = win.word
+       |  GROUP BY 1),
+       |tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ecnt$r),
+       |vc$r AS (
+       |  SELECT piece, cnt FROM ecnt$r
+       |  UNION ALL
+       |  SELECT c.piece, CAST(0 AS BIGINT) AS cnt FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM ecnt$r e WHERE e.piece = c.piece)),
+       |$vOut AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(${L.sqlL("greatest(cnt, 1)")} AS BIGINT)
+       |           - CAST(${L.sqlL("t")} AS BIGINT) AS score
+       |  FROM vc$r CROSS JOIN tot$r)""".stripMargin
+  }
+
+  /** DuckDB twin of [[unigramEm]]: the seed-vocab CTEs of the stats
+    * twin, then [[EmRounds]] E/M rounds CTE-for-CTE (forward DP +
+    * shortest-piece backwalk + FixLog2 re-scoring), then the stats DP
+    * under the final vocab — every step integer/fixed-point, so the
+    * whole trained pipeline hash-checks across engines.
+    */
+  val unigramEmSql: String = {
+    val L = graft.functions.FixLog2.sqlL("freq")
+    val W = ViterbiUnroll
+    val rounds = (1 to EmRounds)
+      .map(r => emRoundSql(r, s"v${r - 1}", s"v$r")).mkString(",\n")
+    val fp = "f_"
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |tokf AS MATERIALIZED (SELECT source, word FROM tok WHERE word <> ''),
+       |dw AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM tokf GROUP BY word),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(dw.word, s.i, l.j) AS piece, sum(dw.wfreq) AS freq
+       |  FROM dw,
+       |  LATERAL (SELECT unnest(range(1, length(dw.word) + 1)) AS i) s
+       |  CROSS JOIN (SELECT unnest(range(1, ${MaxPieceLen + 1})) AS j) l
+       |  WHERE s.i + l.j - 1 <= length(dw.word)
+       |  GROUP BY 1),
+       |topv AS (SELECT piece, freq FROM subs ORDER BY freq DESC, piece LIMIT $TopV),
+       |vocabf AS (
+       |  SELECT piece, max(freq) AS freq FROM (
+       |    SELECT piece, freq FROM topv
+       |    UNION ALL SELECT piece, freq FROM subs WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece FROM vocabf WHERE length(piece) = 1),
+       |v0 AS MATERIALIZED (SELECT piece, CAST($L AS BIGINT) AS score FROM vocabf),
+       |win AS MATERIALIZED (
+       |  SELECT dw.word, substr(dw.word, w.k * $W + 1, $W) AS wtext
+       |  FROM dw,
+       |  LATERAL (SELECT unnest(range(0, (length(dw.word) + ${W - 1}) // $W)) AS k) w),
+       |dwin AS MATERIALIZED (SELECT DISTINCT wtext FROM win),
+       |$rounds,
+       |mf AS MATERIALIZED (
+       |  SELECT dwin.wtext, s.i AS start, length(v$EmRounds.piece) AS len, v$EmRounds.score
+       |  FROM dwin,
+       |  LATERAL (SELECT unnest(range(1, length(dwin.wtext) + 1)) AS i) s
+       |  JOIN v$EmRounds ON v$EmRounds.piece = substr(dwin.wtext, s.i, length(v$EmRounds.piece))),
+       |${fp}0 AS MATERIALIZED (SELECT wtext, CAST(0 AS BIGINT) AS packed FROM dwin),
+       |${dpStepsSql(fp, "mf")},
+       |resf AS (
+       |${(1 to ViterbiUnroll).map(i => s"  SELECT wtext, packed, $i AS wl FROM $fp$i").mkString("\n  UNION ALL\n")}),
+       |segwf AS (
+       |  SELECT r.wtext, r.packed FROM resf r
+       |  JOIN dwin d ON d.wtext = r.wtext AND length(d.wtext) = r.wl),
+       |pwwf AS MATERIALIZED (
+       |  SELECT wtext,
+       |         (64 - ((packed % 64) + 64) % 64) % 64 AS n_pieces,
+       |         (packed + (64 - ((packed % 64) + 64) % 64) % 64) // 64 AS sum_score
+       |  FROM segwf),
+       |pwf AS (
+       |  SELECT win.word,
+       |         sum(pwwf.n_pieces) AS n_pieces,
+       |         sum(pwwf.sum_score) AS sum_score
+       |  FROM win JOIN pwwf ON pwwf.wtext = win.wtext
+       |  GROUP BY win.word
+       |  HAVING count(*) = (length(win.word) + ${W - 1}) // $W)
+       |SELECT t.source, count(*) AS n_words,
+       |       CAST(sum(pwf.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(pwf.sum_score) AS BIGINT) AS sum_score
+       |FROM tokf t JOIN pwf ON pwf.word = t.word
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordpiece" -> (wordpieceStats _),
-    "text_unigram_viterbi" -> (unigramViterbi _))
+    "text_unigram_viterbi" -> (unigramViterbi _),
+    "text_unigram_em" -> (unigramEm _))
 
   val oracles: Map[String, String] = Map(
     "text_wordpiece" -> wordpieceStatsSql,
-    "text_unigram_viterbi" -> unigramViterbiSql)
+    "text_unigram_viterbi" -> unigramViterbiSql,
+    "text_unigram_em" -> unigramEmSql)
 }

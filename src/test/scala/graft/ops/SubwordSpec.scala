@@ -213,6 +213,100 @@ class SubwordSpec extends SparkTestBase {
     }
   }
 
+  /** Driver-side shortest-piece backwalk over the same windowed DP —
+    * the independent reference for [[graft.functions
+    * .ViterbiSegmentPieces]] and the EM E-step.
+    */
+  private def segmentRef(word: String, vocab: Map[String, Long]): Option[Seq[String]] = {
+    val w = graft.functions.Viterbi.WindowCp
+    val cps = word.codePoints().toArray
+    val maxLen = vocab.keys.map(p => p.codePointCount(0, p.length)).max
+    def window(off: Int, n: Int): Option[Seq[String]] = {
+      val NEG = Long.MinValue
+      val best = Array.fill(n + 1)(NEG)
+      best(0) = 0L
+      for (i <- 1 to n; j <- 1 to math.min(maxLen, i) if best(i - j) != NEG;
+           s <- vocab.get(new String(cps, off + i - j, j))) {
+        val cand = best(i - j) + s * 64L - 1L
+        if (cand > best(i)) best(i) = cand
+      }
+      if (best(n) == NEG) return None
+      var pos = n
+      val rev = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) {
+        val j = (1 to math.min(maxLen, pos)).find { j =>
+          best(pos - j) != NEG && vocab.get(new String(cps, off + pos - j, j))
+            .exists(s => best(pos - j) + s * 64L - 1L == best(pos))
+        }.get
+        rev += new String(cps, off + pos - j, j)
+        pos -= j
+      }
+      Some(rev.toSeq.reverse)
+    }
+    val windows = Iterator.range(0, cps.length, w)
+      .map(off => window(off, math.min(w, cps.length - off))).toSeq
+    if (windows.exists(_.isEmpty)) None else Some(windows.flatMap(_.get))
+  }
+
+  test("viterbiSegmentPieces: pieces reassemble the word and agree with the stats expression") {
+    import graft.functions.Viterbi
+    val vocab = Map("a" -> 2L, "b" -> 1L, "ab" -> 5L, "ba" -> 4L, "aab" -> 9L, "bb" -> 3L)
+    val rnd = new scala.util.Random(59)
+    val words = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(100))).map(_ => "ab"(rnd.nextInt(2))).mkString)
+    val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "word")
+      .select(col("id"), col("word"),
+        Viterbi.viterbiSegmentPieces(col("word"), vocab).as("pieces"),
+        Viterbi.viterbiPieces(col("word"), vocab).as("v"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      val (w, pieces) = (r.getString(1), r.getSeq[String](2))
+      assert(pieces.mkString === w, s"pieces must reassemble '$w'")
+      assert(pieces.length === r.getStruct(3).getInt(0),
+        s"'$w': piece count disagrees with the stats expression")
+      assert(pieces.map(vocab).sum === r.getStruct(3).getLong(1),
+        s"'$w': piece scores disagree with the stats expression")
+      assert(pieces === segmentRef(w, vocab).get, s"'$w': backwalk tie-break drifted")
+    }
+  }
+
+  test("EM: distributed training equals the driver reference; likelihood improves monotonically") {
+    import graft.functions.FixLog2
+    val vocabs = Subword.emVocabs(spark, sf, rounds = 3)
+    assert(vocabs.length === 4)
+    // driver reference EM from the same seed
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val singles = vocabs.head.keySet.filter(p => p.codePointCount(0, p.length) == 1)
+    var vref = vocabs.head
+    (1 to 3).foreach { r =>
+      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      words.foreach { case (w, f) =>
+        segmentRef(w, vref).get.foreach(p => counts(p) += f)
+      }
+      val lt = FixLog2.log2Fix16(counts.values.sum)
+      vref = (counts.keySet ++ singles).iterator.map { p =>
+        p -> (FixLog2.log2Fix16(math.max(counts(p), 1L)) - lt)
+      }.toMap
+      assert(vocabs(r) === vref, s"round $r: distributed vocab != driver reference")
+      // pruning: unused multi-codepoint pieces disappear, singles never do
+      assert(singles.subsetOf(vocabs(r).keySet))
+    }
+    // hard-EM monotonicity in the shared normalized score space:
+    // L_r = corpus-optimal total log-probability under model r
+    def likelihood(vocab: Map[String, Long]): Long =
+      words.iterator.map { case (w, f) =>
+        val pieces = segmentRef(w, vocab).get
+        f * pieces.map(vocab).sum
+      }.sum
+    val l = (1 to 3).map(r => likelihood(vocabs(r)))
+    assert(l(0) <= l(1) && l(1) <= l(2),
+      s"EM likelihood must not degrade: $l")
+  }
+
   test("registered viterbi query matches the windowed driver reference on a long-word corpus") {
     val d = tmpDir("subword_longword")
     Seq(
