@@ -306,6 +306,89 @@ object ScaleProbe {
         }
       }
     } finally graft.util.Fs.deleteRecursively(clusDir)
+    // IVF index maintenance under drift: appends from a SHIFTED
+    // distribution (new clusters on the cosine bisector between old
+    // centers, rotated 45° out of their plane — equally angled to both
+    // parents, so per-member noise splits each new cluster across two
+    // frozen cells) erode the recall the build-time SCALE table
+    // documents. driftStats sees it (fit/skew dials), rebalance
+    // (retrain from a bounded sample of CURRENT contents + one remap
+    // scan + atomic swap) restores it.
+    locally {
+      val ddir = java.nio.file.Files.createTempDirectory("scale_ivfdrift").toString
+      try {
+        import spark.implicits._
+        val drnd = new scala.util.Random(29)
+        val dim = 64
+        val centers = Array.fill(32)(Array.fill(dim)(drnd.nextGaussian().toFloat * 5f))
+        val baseRows = (0 until 16000).map { i =>
+          val c = centers(i % 32)
+          (i.toLong, c.map(x => x + drnd.nextGaussian().toFloat * 0.5f))
+        }
+        baseRows.toDF("vec_id", "embedding").repartition(8)
+          .write.parquet(s"$ddir/base.parquet")
+        var t0 = System.nanoTime()
+        var index = ops.Ivf.buildIndex(spark.read.parquet(s"$ddir/base.parquet"),
+          s"$ddir/index", kCells = 32, iters = 2)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val cShift = (0 until 16).map { j =>
+          val a = centers(2 * j); val b = centers(2 * j + 1)
+          val an = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val bn = math.sqrt(b.map(x => x.toDouble * x).sum)
+          val mid = Array.tabulate(dim)(i => a(i) / an + b(i) / bn)
+          val u = Array.fill(dim)(drnd.nextGaussian())
+          Seq(a, b).foreach { w =>
+            val dd = (0 until dim).map(i => u(i) * w(i)).sum
+            val n2 = w.map(x => x.toDouble * x).sum
+            (0 until dim).foreach(i => u(i) -= dd / n2 * w(i))
+          }
+          val un = math.sqrt(u.map(x => x * x).sum)
+          val mn = math.sqrt(mid.map(x => x * x).sum)
+          Array.tabulate(dim)(i =>
+            ((mid(i) / mn + u(i) / un) / math.sqrt(2.0) * (an + bn) / 2.0).toFloat)
+        }
+        val shiftRows = (0 until 8000).map { i =>
+          ((100000 + i).toLong, cShift(i % 16).map(x => x + drnd.nextGaussian().toFloat * 0.8f))
+        }
+        ops.Ivf.appendBatch(index, shiftRows.toDF("vec_id", "embedding"))
+        t0 = System.nanoTime()
+        val dr = ops.Ivf.driftStats(spark, index)
+        val driftS = (System.nanoTime() - t0) / 1e9
+        val line1 = f"PROBE ivf_drift_stats      $driftS%7.2f s meanCos ${dr.meanCosBuild}%.4f->${dr.meanCosNow}%.4f skew ${dr.skewBuild}%.2f->${dr.skewNow}%.2f drifted=${dr.drifted()} (build ${buildS}%.2f s)"
+        println(line1); report ++= line1 + "\n"
+        val queries = (0 until 20).map { q =>
+          ((900000 + q).toLong, cShift(q % 16).map(x => x + drnd.nextGaussian().toFloat * 0.8f))
+        }.toDF("vec_id", "embedding").localCheckpoint()
+        def recall50(ix: ops.Ivf.IvfIndex): Double = {
+          val corpus = spark.read.parquet(ix.path)
+            .select(col("vec_id"), col("embedding"), col("nrm"))
+          val q = queries.select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec"),
+            ops.Similarity.l2norm(col("embedding")).as("qnrm"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+          val truth = corpus.crossJoin(broadcast(q))
+            .select(col("query_id"), col("vec_id"),
+              (ops.Similarity.dot(col("embedding"), col("qvec"))
+                / (col("nrm") * col("qnrm"))).as("score"))
+            .withColumn("rk", row_number().over(w)).filter(col("rk") <= 50)
+            .select("query_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val got = ops.Ivf.screenBatch(spark, ix, queries, k = 50, nprobe = 4)
+            .select("query_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          truth.count(got.contains).toDouble / truth.size
+        }
+        val before = recall50(index)
+        t0 = System.nanoTime()
+        index = ops.Ivf.rebalance(spark, index, iters = 2)
+        val rebS = (System.nanoTime() - t0) / 1e9
+        val after = recall50(index)
+        val dr2 = ops.Ivf.driftStats(spark, index)
+        val line2 = f"PROBE ivf_rebalance        $rebS%7.2f s recall@50 nprobe=4 $before%.4f->$after%.4f meanCos ${dr2.meanCosNow}%.4f drifted=${dr2.drifted()}"
+        println(line2); report ++= line2 + "\n"
+      } finally graft.util.Fs.deleteRecursively(ddir)
+    }
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(

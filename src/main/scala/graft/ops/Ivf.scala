@@ -221,7 +221,12 @@ object Ivf {
       .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     writeCentroids(path, centroids)
-    IvfIndex(path, centroids)
+    val index = IvfIndex(path, centroids)
+    // Build-time per-cell stats ride a second sidecar: the reference
+    // frame [[driftStats]] later compares the index's drifted contents
+    // against.
+    writeCellStats(path, cellStatsOf(base.sparkSession, index))
+    index
   }
 
   /** Reopen an existing index without touching its data files. */
@@ -295,6 +300,119 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
       .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), index.centroids))
       .write.mode("append").partitionBy("cid").parquet(index.path)
+
+  // ---- index maintenance: drift detection + rebalance -----------------------
+
+  /** Per-cell occupancy and mean cosine-to-own-centroid — the bounded
+    * (k rows) health summary of an index's contents.
+    */
+  final case class CellStats(cid: Int, n: Long, meanCos: Double)
+
+  /** Build-time vs current cell stats. The two dials a maintenance job
+    * alerts on:
+    *  - `skew` (max/mean cell occupancy): read amplification — a probed
+    *    hot cell costs its occupancy in bytes, so a quantizer whose
+    *    cells ballooned is an index degenerating toward a full scan;
+    *  - `meanCos` (occupancy-weighted mean cosine of vectors to their
+    *    own centroid): quantizer fit — appended batches from a shifted
+    *    distribution sit far from every frozen centroid, splitting true
+    *    neighbor sets across cell boundaries (the recall cliff
+    *    ScaleProbe measures).
+    */
+  final case class DriftReport(build: Seq[CellStats], now: Seq[CellStats]) {
+    private def skewOf(s: Seq[CellStats]): Double =
+      if (s.isEmpty) Double.NaN
+      else s.map(_.n).max.toDouble * s.length / math.max(1L, s.map(_.n).sum)
+    private def meanOf(s: Seq[CellStats]): Double =
+      if (s.isEmpty) Double.NaN
+      else s.map(c => c.meanCos * c.n).sum / math.max(1L, s.map(_.n).sum)
+    def skewBuild: Double = skewOf(build)
+    def skewNow: Double = skewOf(now)
+    def meanCosBuild: Double = meanOf(build)
+    def meanCosNow: Double = meanOf(now)
+    /** Rebalance trigger: quantizer fit dropped or occupancy skew grew. */
+    def drifted(cosDrop: Double = 0.05, skewGrowth: Double = 2.0): Boolean =
+      meanCosNow < meanCosBuild - cosDrop || skewNow > skewBuild * skewGrowth
+  }
+
+  private val CellStatsSidecar = "_ivf_cellstats.txt"
+
+  private def writeCellStats(path: String, stats: Seq[CellStats]): Unit = {
+    val body = stats.map(s => s"${s.cid},${s.n},${s.meanCos}").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, CellStatsSidecar),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readCellStats(path: String): Seq[CellStats] = {
+    val p = java.nio.file.Paths.get(path, CellStatsSidecar)
+    if (!java.nio.file.Files.exists(p)) return Nil
+    new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val f = line.split(",")
+        CellStats(f(0).toInt, f(1).toLong, f(2).toDouble)
+      }
+  }
+
+  /** Current per-cell stats: ONE index scan into a k-row aggregate (the
+    * centroid matrix broadcast-joins by cid; no data shuffle beyond the
+    * k-row rollup).
+    */
+  private def cellStatsOf(spark: SparkSession, index: IvfIndex): Seq[CellStats] = {
+    import spark.implicits._
+    val centDf = index.centroids.zipWithIndex.map { case (v, i) =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j).toDouble * v(j).toDouble; j += 1 }
+      (i, v, math.sqrt(s))
+    }.toDF("cid", "cent", "cnrm")
+    spark.read.parquet(index.path)
+      .join(broadcast(centDf), Seq("cid"))
+      .select(col("cid"),
+        when(col("cnrm") === 0.0 || col("nrm") === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col("embedding"), col("cent"))
+            / (col("nrm") * col("cnrm"))).as("cos"))
+      .groupBy("cid").agg(count(lit(1)).as("n"), avg("cos").as("mc"))
+      .collect().map(r => CellStats(r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_.cid).toSeq
+  }
+
+  /** Measure drift: the index's CURRENT per-cell stats against the
+    * build-time sidecar. O(index scan) work, k rows of metadata out —
+    * cheap enough to run after every append wave.
+    */
+  def driftStats(spark: SparkSession, index: IvfIndex): DriftReport =
+    DriftReport(build = readCellStats(index.path),
+      now = cellStatsOf(spark, index))
+
+  /** Retrain the quantizer from a fresh bounded sample of the index's
+    * CURRENT contents (same cell count), remap every vector in one
+    * scan into a sibling directory, then atomically swap directories —
+    * the periodic O(N) maintenance op that restores the recall and
+    * occupancy the append-only path erodes. On an object store the
+    * swap is a manifest/pointer flip; here the directory rename stands
+    * in for it. Readers holding the old handle must [[loadIndex]]
+    * again — the session memo for this path is invalidated.
+    */
+  def rebalance(spark: SparkSession, index: IvfIndex, iters: Int = 2): IvfIndex = {
+    val data = spark.read.parquet(index.path).select("vec_id", "embedding")
+    val centroids = kmeansCentroids(data, index.centroids.size, iters)
+    val tmp = index.path + ".rebuild"
+    data
+      .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    writeCentroids(tmp, centroids)
+    writeCellStats(tmp, cellStatsOf(spark, IvfIndex(tmp, centroids)))
+    val live = java.nio.file.Paths.get(index.path)
+    val old = java.nio.file.Paths.get(index.path + ".old")
+    java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
+    graft.util.Fs.deleteRecursively(index.path + ".old")
+    indexCache.synchronized {
+      indexCache.keySet.removeIf(_._1 == index.path); ()
+    }
+    IvfIndex(index.path, centroids)
+  }
 
   /** Screen a `(vec_id, embedding)` delta batch against an existing
     * index: top-k base neighbors per batch vector, exact cosine within

@@ -184,6 +184,97 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.indexCacheSnapshot.count(_._1 == idxPath) === 1,
       "stale same-path entry must be dropped on rebuild")
   }
+  test("drift + rebalance: shifted appends flag drift and drop recall; rebalance restores both") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val dim = 32
+    def around(c: Array[Float]): Array[Float] =
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+    // base distribution: 8 tight clusters
+    val cBase = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val base = (0 until 320).map(i => (i.toLong, around(cBase(i % 8))))
+    val d = tmpDir("ivf_drift_src")
+    base.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val idxPath = tmpDir("ivf_drift_idx")
+    var index = Ivf.buildIndex(
+      spark.read.parquet(s"$d/embeddings.parquet"), idxPath, kCells = 8, iters = 3)
+    val fresh = Ivf.driftStats(spark, index)
+    assert(fresh.build.nonEmpty && !fresh.drifted(),
+      s"a just-built index must not report drift: $fresh")
+
+    // distribution shift: 4 NEW clusters, each the midpoint direction of
+    // two old centers rotated 45° OUT of the parents' plane (toward a
+    // random orthogonal direction): still equally angled to both parent
+    // centroids — so per-member noise splits each cluster across the two
+    // frozen cells (the recall cliff) — while the cosine to EVERY frozen
+    // centroid shrinks by cos 45° (the fit drop the drift dial sees)
+    val cNew = (0 until 4).map { j =>
+      val a = cBase(2 * j); val b = cBase(2 * j + 1)
+      val an = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val bn = math.sqrt(b.map(x => x.toDouble * x).sum)
+      // exact cosine bisector of the two parents...
+      val mid = Array.tabulate(dim)(i => a(i) / an + b(i) / bn)
+      val u = Array.fill(dim)(rnd.nextGaussian())
+      Seq(a, b).foreach { w =>
+        val d = (0 until dim).map(i => u(i) * w(i)).sum
+        val n2 = w.map(x => x.toDouble * x).sum
+        (0 until dim).foreach(i => u(i) -= d / n2 * w(i))
+      }
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val mn = math.sqrt(mid.map(x => x * x).sum)
+      // ...rotated 45° toward an orthogonal direction, at parent scale
+      Array.tabulate(dim)(i =>
+        ((mid(i) / mn + u(i) / un) / math.sqrt(2.0) * (an + bn) / 2.0).toFloat)
+    }
+    // wider per-member noise than the quantizer's centroid-estimate
+    // error, so membership genuinely flips between the two parent cells
+    val shifted = (0 until 400).map { i =>
+      ((1000 + i).toLong,
+        cNew(i % 4).map(x => x + rnd.nextGaussian().toFloat * 0.8f))
+    }
+    Ivf.appendBatch(index, shifted.toDF("vec_id", "embedding"))
+    val drifted = Ivf.driftStats(spark, index)
+    assert(drifted.meanCosNow < drifted.meanCosBuild,
+      s"shifted appends must lower quantizer fit: $drifted")
+    assert(drifted.drifted(),
+      s"drift dial must fire after shifted appends: cos ${drifted.meanCosBuild} -> " +
+        s"${drifted.meanCosNow}, skew ${drifted.skewBuild} -> ${drifted.skewNow}")
+
+    // recall@10 at nprobe=1 for queries from the SHIFTED distribution,
+    // truth = exact cosine over the index contents
+    val queries = (0 until 20).map { q =>
+      ((5000 + q).toLong, cNew(q % 4).map(x => x + rnd.nextGaussian().toFloat * 0.8f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    def recall(ix: Ivf.IvfIndex): Double = {
+      val corpus = spark.read.parquet(ix.path)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        Similarity.l2norm(col("embedding")).as("qnrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          (Similarity.dot(col("embedding"), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Ivf.screenBatch(spark, ix, queries, k = 10, nprobe = 1)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val before = recall(index)
+    index = Ivf.rebalance(spark, index, iters = 3)
+    val after = recall(index)
+    assert(after > before + 0.1,
+      s"rebalance must restore boundary-split recall: before=$before after=$after")
+    assert(after >= 0.9, s"post-rebalance recall@10 too low: $after")
+    val healed = Ivf.driftStats(spark, index)
+    assert(!healed.drifted(), s"a rebalanced index must not report drift: $healed")
+    // the swap kept the same path and the sidecars follow the new data
+    val reopened = Ivf.loadIndex(idxPath)
+    assert(reopened.centroids.length === 8)
+    assert(spark.read.parquet(idxPath).count() === 720)
+  }
+
   test("buildIndexCached: cache is LRU-bounded; concurrent same-path builds share one instance") {
     import spark.implicits._
     val d = tmpDir("ivf_bound_src")
