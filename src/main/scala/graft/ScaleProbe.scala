@@ -26,40 +26,79 @@ object ScaleProbe {
     try {
     big.write.parquet(s"$dir/documents.parquet")
     println(s"DOCS=${n * 8}")
-    def time(name: String)(f: => Long): Unit = {
+    // Per-probe task metrics: shuffle write bytes + disk spill,
+    // accumulated by a listener and flushed (listener bus is async)
+    // before each read — the "is this operator's data movement linear
+    // in the corpus?" column next to wall-clock.
+    val accShuffle = new java.util.concurrent.atomic.AtomicLong()
+    val accSpill = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          accShuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          accSpill.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
+    def measured(f: => Long): (Double, Long, Long, Long) = {
+      org.apache.spark.graft.listeners.waitForListeners(spark.sparkContext)
+      val (s0, p0) = (accShuffle.get, accSpill.get)
       val t0 = System.nanoTime()
       val r = f
-      val line = f"PROBE $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$r"
+      org.apache.spark.graft.listeners.waitForListeners(spark.sparkContext)
+      ((System.nanoTime() - t0) / 1e9, r, accShuffle.get - s0, accSpill.get - p0)
+    }
+    def fmtSpill(sp: Long): String = if (sp > 0) f" spill=${sp / 1e6}%.1fMB" else ""
+    def time(name: String)(f: => Long): Unit = {
+      val (t, r, sh, sp) = measured(f)
+      val line = f"PROBE $name%-22s $t%7.2f s rows=$r shuffle=${sh / 1e6}%.1fMB" + fmtSpill(sp)
       println(line)
       report ++= line + "\n"
     }
-    time("minhash_lsh_8x")(ops.Dedup.minhashLsh(spark, dir).count())
-    time("ngram_capped_8x")(ops.Dedup.ngramJaccardCappedAt(spark, dir, 0.5, 64).count())
-    time("ngram_autocap_8x")(ops.Dedup.ngramJaccardAutoCapped(spark, dir, 0.5).count())
-    time("simhash_8x")(ops.Dedup.simhash(spark, dir).count())
-    time("exact_8x")(ops.Dedup.exact(spark, dir).count())
+    // Run the probe at 1x AND 8x: the shuffle-bytes ratio against the
+    // 8.0 linear expectation is the super-linear-grower flag the
+    // wall-clock column alone can't give (time mixes in fixed overhead;
+    // bytes don't lie). > 16x (2x over linear) earns the flag.
+    val sf1x = "/root/testdata/sf0.1"
+    def scaled(name: String)(f: String => Long): Unit = {
+      val (t1, _, sh1, _) = measured(f(sf1x))
+      val (t8, r8, sh8, sp8) = measured(f(dir))
+      val shx = if (sh1 > 0) sh8.toDouble / sh1 else Double.NaN
+      val flag = if (shx > 16.0) " SUPER-LINEAR" else ""
+      val line = f"PROBE $name%-22s $t8%7.2f s rows=$r8 shuffle=${sh8 / 1e6}%.1fMB [vs 1x: t=${t8 / t1}%.1fx sh=$shx%.1fx]" +
+        fmtSpill(sp8) + flag
+      println(line)
+      report ++= line + "\n"
+    }
+    scaled("minhash_lsh_8x")(d => ops.Dedup.minhashLsh(spark, d).count())
+    scaled("ngram_capped_8x")(d => ops.Dedup.ngramJaccardCappedAt(spark, d, 0.5, 64).count())
+    scaled("ngram_autocap_8x")(d => ops.Dedup.ngramJaccardAutoCapped(spark, d, 0.5).count())
+    scaled("simhash_8x")(d => ops.Dedup.simhash(spark, d).count())
+    scaled("exact_8x")(d => ops.Dedup.exact(spark, d).count())
     // contamination: eval side is 1/20th of the corpus; train side reduces
     // to a distinct hash set before the join
-    time("contamination_8x")(ops.Dedup.contamination(spark, dir).count())
+    scaled("contamination_8x")(d => ops.Dedup.contamination(spark, d).count())
     // paragraph dedup: keep-decisions shuffle 16-byte digests only; text
     // crosses once keyed by doc_id. 8x replicas = 7/8 duplicate chunks —
     // worst case for the digest window
-    time("paragraph_8x")(ops.Dedup.paragraphDedup(spark, dir).count())
+    scaled("paragraph_8x")(d => ops.Dedup.paragraphDedup(spark, d).count())
 
     // containment: no length prune and no df cap here — at 8x replication
     // candidate pairs grow quadratically inside each 8-clique family, the
     // honest cost of asymmetric matching on a duplicate-heavy corpus (the
     // ngramJaccardCappedAt df-cap dial applies unchanged when needed)
-    time("containment_8x")(ops.Dedup.containmentAt(spark, dir, 0.9).count())
+    scaled("containment_8x")(d => ops.Dedup.containmentAt(spark, d, 0.9).count())
     // incremental dedup: base fingerprint index + O(delta) batch work
-    time("dedup_incremental_8x")(ops.Dedup.incrementalDedup(spark, dir).count())
+    scaled("dedup_incremental_8x")(d => ops.Dedup.incrementalDedup(spark, d).count())
     // bigram LM: model aggregate + one bigram-keyed scoring join
-    time("bigram_lm_8x")(ops.TextAnalysis.bigramLm(spark, dir).count())
+    scaled("bigram_lm_8x")(d => ops.TextAnalysis.bigramLm(spark, d).count())
     // mixture sampling: |groups|-row rates + scan-side predicate
-    time("mixture_sample_8x")(ops.TextAnalysis.mixtureSample(spark, dir).count())
+    scaled("mixture_sample_8x")(d => ops.TextAnalysis.mixtureSample(spark, d).count())
     // PageRank: 40k nodes / ~120k edges, 5 iterations — cost is 2
     // shuffles/iteration over (node, rank) rows, never corpus bytes
-    time("pagerank_8x")(ops.Graph.graphPagerank(spark, dir).count())
+    scaled("pagerank_8x")(d => ops.Graph.graphPagerank(spark, d).count())
     // planted hub: 1M nodes, EVERY node links to node 0 (in-degree 10^6)
     // plus a ring so nothing dangles. The sorted fold materializes the
     // hub's full 10^6-element contribution array in ONE aggregation
@@ -72,18 +111,18 @@ object ScaleProbe {
     time("pagerank_hub1M_fold")(ops.Graph.pageRank(hubEdges, 3, 0.85).count())
     time("pagerank_hub1M_safe")(ops.Graph.pageRank(hubEdges, 3, 0.85, hubSafe = true).count())
     // BM25: posting lists of 8 query terms shuffle, the corpus doesn't
-    time("bm25_8x")(ops.Search.textBm25(spark, dir).count())
+    scaled("bm25_8x")(d => ops.Search.textBm25(spark, d).count())
     // keywords: full-vocab tf/df aggregates + per-doc WindowGroupLimit
-    time("keywords_8x")(ops.Search.textKeywords(spark, dir).count())
+    scaled("keywords_8x")(d => ops.Search.textKeywords(spark, d).count())
 
     // composed curation pipeline: gopher -> paragraph dedup -> leak-free
     // split -> mixture sample -> shard write + manifest, one plan
-    time("curation_e2e_8x")(ops.Curation.pipelineCurationE2e(spark, dir).count())
+    scaled("curation_e2e_8x")(d => ops.Curation.pipelineCurationE2e(spark, d).count())
 
     // exact substring dedup (Lee et al. 2022): sliding k-token shingles —
     // 8x replication makes ~every shingle a duplicate, the worst case for
     // the first-occurrence ranking window and the per-doc span merge
-    time("substring_dedup_8x")(ops.Dedup.substringDedup(spark, dir).count())
+    scaled("substring_dedup_8x")(d => ops.Dedup.substringDedup(spark, d).count())
     // distributed BPE training, driver fast-path disabled: each iteration
     // is one map-side-combined pair-count aggregate + a 1-row collect;
     // per-iteration cost tracks |distinct vocab| (unchanged at 8x — the
@@ -92,7 +131,7 @@ object ScaleProbe {
       ops.BpeTrain.trainedMerges(spark, dir, n = 24, driverThreshold = 0).length.toLong)
     // language ID: the whole classifier is one scan-local native
     // expression (CtDistances) — zero shuffles at any corpus size
-    time("langid_8x")(ops.TextAnalysis.langId(spark, dir).count())
+    scaled("langid_8x")(d => ops.TextAnalysis.langId(spark, d).count())
 
     // distributed cluster resolution, driver fast-path disabled: 8x
     // replicas make every doc family an 8-clique, so min-label
@@ -184,8 +223,8 @@ object ScaleProbe {
       .reduce(_ union _)
       .write.parquet(s"$dir/events.parquet")
     println(s"EVENTS=${nev * 8}")
-    time("quantile_sketch_8x")(ops.Sketches.quantileSketch(spark, dir).count())
-    time("quantile_exact_8x")(ops.Relational.g12GroupQuantiles(spark, dir).count())
+    scaled("quantile_sketch_8x")(d => ops.Sketches.quantileSketch(spark, d).count())
+    scaled("quantile_exact_8x")(d => ops.Relational.g12GroupQuantiles(spark, d).count())
 
     // 8x embeddings (16k vectors): brute force is O(Q*N); LSH/IVF read a
     // fraction of N per query.
@@ -203,9 +242,9 @@ object ScaleProbe {
         .select(col("vec_id"),
           graft.functions.RandomProjection.rpProject(col("embedding"), 16).as("p"))
         .count())
-    time("ann_brute_8x")(ops.Similarity.bruteForceTopKAt(spark, dir, 5, 10).count())
-    time("ann_lsh_8x")(ops.Similarity.lshAnnAt(spark, dir, 5, 10, 8, 8).count())
-    time("ann_ivf_8x")(ops.Ivf.ivfAnnAt(spark, dir, 5, 10, 16, 4, 3).count())
+    scaled("ann_brute_8x")(d => ops.Similarity.bruteForceTopKAt(spark, d, 5, 10).count())
+    scaled("ann_lsh_8x")(d => ops.Similarity.lshAnnAt(spark, d, 5, 10, 8, 8).count())
+    scaled("ann_ivf_8x")(d => ops.Ivf.ivfAnnAt(spark, d, 5, 10, 16, 4, 3).count())
     // IVF index reuse: build once (the O(N) landing cost a production
     // pipeline pays when the base corpus arrives), then screen a 1/10
     // delta batch against the PERSISTED index — O(delta) probe work +
@@ -440,18 +479,18 @@ object ScaleProbe {
       ops.Kmeans.kmeansAt(spark, dir, k = 32, iters = 3, mergeable = true).count())
     // Count-Min heavy hitters over the 8x shingle stream: one scan into
     // a <= d*w-row combine + the exact top-50 TakeOrdered baseline
-    time("cms_heavy_8x")(ops.Sketches.cmsHeavy(spark, dir).count())
+    scaled("cms_heavy_8x")(d => ops.Sketches.cmsHeavy(spark, d).count())
     // HLL per-source distincts: scan + (source, j)-keyed max-combine
-    time("hll_distinct_8x")(ops.Sketches.hllDistinct(spark, dir).count())
+    scaled("hll_distinct_8x")(d => ops.Sketches.hllDistinct(spark, d).count())
     // Bloom screen at 8x: filter build is a <= m-row distinct; the eval
     // side never shuffles train data (broadcast membership)
-    time("bloom_contamination_8x")(ops.Sketches.bloomContamination(spark, dir).count())
+    scaled("bloom_contamination_8x")(d => ops.Sketches.bloomContamination(spark, d).count())
     // A-ES weighted sample at 8x: integer-log keys ride the scan, the
     // top-k is a TakeOrdered -- no shuffle of the corpus
-    time("weighted_sample_8x")(ops.TextAnalysis.weightedSampleAt(spark, dir, 100).count())
+    scaled("weighted_sample_8x")(d => ops.TextAnalysis.weightedSampleAt(spark, d, 100).count())
     // z-value computation at 8x: two broadcast joins (20-row dict, 1-row
     // stats) + scan-side bit math
-    time("zvalue_8x")(ops.Layout.zvalue(spark, dir).count())
+    scaled("zvalue_8x")(d => ops.Layout.zvalue(spark, d).count())
     // hamming-banded perceptual near-dup at 8x: hash+decode is the N/5
     // PNG scan; pair work runs over DISTINCT hashes (24 planted values
     // at ANY corpus size), so the banded self-join + verify is flat
@@ -516,7 +555,7 @@ object ScaleProbe {
 
     // Release-audit diff at 8×: both sides reduce to (doc_id, source,
     // md5) at the scan, one doc_id SMJ, |sources|-row rollup.
-    time("corpus_diff_8x")(ops.Versioning.corpusDiff(spark, dir).count())
+    scaled("corpus_diff_8x")(d => ops.Versioning.corpusDiff(spark, d).count())
 
     // Export sinks at 8×: the JSONL wire format (text shuffles twice —
     // position join + shard repartition — then an audit line re-read),
@@ -542,23 +581,43 @@ object ScaleProbe {
     // Chunk-level BM25 at 8×: the chunk explode multiplies rows BEFORE
     // the query-vocab filter kills non-matches; cost still tracks the
     // queried terms' posting lists, now at passage granularity.
-    time("chunk_bm25_8x")(ops.Search.chunkBm25(spark, dir).count())
+    scaled("chunk_bm25_8x")(d => ops.Search.chunkBm25(spark, d).count())
     // Datacard at 8×: one scan + a (source, fp)-keyed distinct rollup —
     // the exact-percentile buffer is the flagged KLL-swap candidate.
-    time("datacard_8x")(ops.Datacard.datacard(spark, dir).count())
+    scaled("datacard_8x")(d => ops.Datacard.datacard(spark, d).count())
+    // Incremental datacard at 8×: the landing init pays the corpus
+    // scan once; each subsequent release audit folds a 1/10 delta into
+    // the bounded sketch state — O(Δ), the line below shows the gap.
+    locally {
+      val stateDir = java.nio.file.Files.createTempDirectory("scale_dcstate").toString
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+        var t0 = System.nanoTime()
+        ops.Datacard.datacardInit(spark, docs8.filter(col("doc_id") % 10 =!= 0), stateDir)
+        val initS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        ops.Datacard.datacardUpdate(spark, docs8.filter(col("doc_id") % 10 === 0), stateDir)
+        val updS = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nrows = ops.Datacard.datacardRender(spark, stateDir).count()
+        val rendS = (System.nanoTime() - t0) / 1e9
+        val line = f"PROBE datacard_incr_8x     init=$initS%6.2f s update(0.1x delta)=$updS%6.2f s render(state-only)=$rendS%5.2f s rows=$nrows"
+        println(line); report ++= line + "\n"
+      } finally graft.util.Fs.deleteRecursively(stateDir)
+    }
     // WordPiece at 8×: 8 replicas change word FREQUENCIES, not the word
     // set, so the substring-explode training cost is vocabulary-bound
     // and flat; apply is one scan with the trie in the plan.
-    time("wordpiece_8x")(ops.Subword.wordpieceStats(spark, dir).count())
-    time("unigram_viterbi_8x")(ops.Subword.unigramViterbi(spark, dir).count())
+    scaled("wordpiece_8x")(d => ops.Subword.wordpieceStats(spark, d).count())
+    scaled("unigram_viterbi_8x")(d => ops.Subword.unigramViterbi(spark, d).count())
     // Batch/chunk planning at 8×: arithmetic over (doc_id, n_tokens) —
     // text never ships in either plan.
-    time("length_batching_8x")(ops.Batching.lengthBatching(spark, dir).count())
-    time("chunk_overlap_8x")(ops.Batching.chunkOverlap(spark, dir).count())
+    scaled("length_batching_8x")(d => ops.Batching.lengthBatching(spark, d).count())
+    scaled("chunk_overlap_8x")(d => ops.Batching.chunkOverlap(spark, d).count())
     // Augmentation at 8×: upsample = broadcast rate join + explode,
     // FIM = scan-side substring arithmetic on the hash-drawn half.
-    time("mixture_upsample_8x")(ops.Augment.mixtureUpsample(spark, dir).count())
-    time("fim_transform_8x")(ops.Augment.fimTransform(spark, dir).count())
+    scaled("mixture_upsample_8x")(d => ops.Augment.mixtureUpsample(spark, d).count())
+    scaled("fim_transform_8x")(d => ops.Augment.fimTransform(spark, d).count())
 
     // File-skipping point lookup at 8×: range-clustered 64-file corpus,
     // per-file zone map + Bloom index; the 5-key lookup plans only the
@@ -602,7 +661,109 @@ object ScaleProbe {
     time("join_skew_salted")(sources.Skew.saltedJoin(fact, dim2, "k", 16).count())
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     time("join_skew_aqe")(fact.join(dim2, Seq("k")).count())
+    // Streaming state-store evidence: feed 8 time-shifted replicas of
+    // the events table ONE FILE PER MICRO-BATCH (each +2h of event
+    // time), and read stateOperators' numRowsTotal after every batch.
+    // The watermark closes each replica's sessions / join matches
+    // before the next replica arrives, so state rows stay ~FLAT across
+    // batches instead of accumulating 8x — the "watermark eviction
+    // bounds state" claim as per-batch numbers rather than prose.
+    locally {
+      val stDir = java.nio.file.Files.createTempDirectory("scale_streamstate").toString
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        val srcDir = s"$stDir/src"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+        val shift = 2L * 3600 * 1000000000L // +2h of event time per replica (ts is nanos)
+        (0 until 8).foreach { i =>
+          val stage = s"$stDir/stage$i"
+          ev.select((col("ts") + lit(i * shift)).as("ts"),
+            (col("event_id") + lit(i * 10000000L)).as("event_id"),
+            col("event_type"), col("user_id"), col("value"))
+            .coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          // file-stream orders by modification time — pin it explicitly
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        val schema = spark.read.parquet(srcDir).schema
+        def streamStateProbe(name: String)(build: org.apache.spark.sql.DataFrame
+            => org.apache.spark.sql.DataFrame): Unit = {
+          val run = s"$stDir/run_$name"
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val t0 = System.nanoTime()
+          val q = build(src).writeStream.format("parquet")
+            .option("path", s"$run/sink")
+            .option("checkpointLocation", s"$run/ckpt")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          val rows = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+          val memMb = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes)).max / 1e6
+          val line = f"PROBE stream_state_$name%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s batches=${progs.length} stateRows=[${rows.mkString(",")}] maxStoreMB=$memMb%.1f"
+          println(line); report ++= line + "\n"
+        }
+        streamStateProbe("sessionize") { events =>
+          import spark.implicits._
+          val ds = events.select(col("ts"), col("user_id").as("userId"),
+            col("event_type").as("eventType"), col("value"))
+            .as[streaming.EventStreams.Event]
+          streaming.EventStreams.sessionize(ds, gapMs = 30 * 60 * 1000L).toDF()
+        }
+        streamStateProbe("attribution") { events =>
+          val views = events.filter(col("event_type") === "view")
+            .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+              col("user_id").as("view_user"))
+          val clicks = events.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+              col("user_id"))
+          streaming.EventStreams.attributionJoin(views, clicks,
+            watermark = "10 minutes", window_ = "60 minutes")
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        graft.util.Fs.deleteRecursively(stDir)
+      }
+    }
     report ++= "```\n\nReadings:\n"
+    report ++= "- shuffle column: every scaled probe ran at 1x AND 8x; the\n"
+    report ++= "  [vs 1x: sh=...] ratio against the 8.0 linear expectation is the\n"
+    report ++= "  super-linear-grower detector (wall-clock mixes in fixed overhead;\n"
+    report ++= "  shuffle bytes don't). Probes exceeding 16x earn an explicit\n"
+    report ++= "  SUPER-LINEAR flag in their line; dedup families whose output\n"
+    report ++= "  legitimately explodes under 8x replication (every doc gains 7\n"
+    report ++= "  planted near-copies, so PAIR counts grow ~quadratically inside\n"
+    report ++= "  each clique) are the expected flag-bearers — their input-side\n"
+    report ++= "  movement stays linear.\n"
+    report ++= "- semdedup_boundary: the planted cross-cell near-dup pairs are\n"
+    report ++= "  INVISIBLE to single-cell assignment (missed ~= straddling) and\n"
+    report ++= "  recovered by nprobeAssign=2 at bounded extra pair work — the\n"
+    report ++= "  measured answer to SemDeDup's structural recall cap.\n"
+    report ++= "- ivf_drift_stats / ivf_rebalance: distribution-shifted appends\n"
+    report ++= "  degrade quantizer fit (meanCos drop) and boundary-split recall;\n"
+    report ++= "  the k-row drift report detects it after every append wave, and\n"
+    report ++= "  the one-scan rebalance (retrain + remap + atomic swap) restores\n"
+    report ++= "  recall@50 — run it when drifted() fires, not on a timer.\n"
+    report ++= "- datacard_incr: the release audit is O(delta) — update folds a\n"
+    report ++= "  0.1x delta into bounded sketch state in a fraction of the init\n"
+    report ++= "  scan, and render touches state only; the merged card is\n"
+    report ++= "  hash-identical to a full rebuild (canonical-set sketches), the\n"
+    report ++= "  property text_datacard_incremental verifies against DuckDB.\n"
+    report ++= "- stream_state_*: per-micro-batch stateOperators rows stay ~flat\n"
+    report ++= "  across 8 time-shifted replays (each +2h event time): the\n"
+    report ++= "  watermark closes prior batches' sessions/join windows before new\n"
+    report ++= "  ones arrive, so state is bounded by the ACTIVE window, not by\n"
+    report ++= "  stream length — the eviction claim as numbers.\n"
     report ++= "- minhash/simhash/exact/contamination scale ~linearly: scan-side\n"
     report ++= "  signatures, narrow shuffles (minhash output legitimately explodes\n"
     report ++= "  at 8x because every doc gains 7 planted replicas).\n"

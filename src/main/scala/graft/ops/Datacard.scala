@@ -71,9 +71,275 @@ object Datacard {
       |       n_len_pass * 1000000 // n_docs AS len_pass_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---- incremental datacard -------------------------------------------------
+  //
+  // The full card recomputes from the whole corpus every time; with
+  // every card column mergeable — counts are sums, duplication is an
+  // HLL register max, and the length quantiles come from the canonical
+  // hash-level KLL sketch ([[graft.functions.QuantileSketch]]) — the
+  // release audit becomes O(Δ): per-source sketch STATE persists as a
+  // versioned parquet directory, `datacardUpdate(delta)` folds a new
+  // batch in by scanning ONLY the delta plus the bounded state, and
+  // `datacardRender` reads state alone (no corpus access at all).
+  // Because every state component is a canonical SET function
+  // (order- and partition-independent), the merged card is
+  // HASH-IDENTICAL to a from-scratch rebuild over the full corpus —
+  // which is exactly what the `text_datacard_incremental` oracle
+  // checks: Spark renders base-state ⊕ delta, DuckDB recomputes the
+  // same sketch card over the full corpus in closed form.
+
+  /** KLL cap per (source, metric): state is ≤ cap rows per group. */
+  private val Cap = Sketches.QsCap
+
+  /** One corpus/delta scan into the four mergeable state relations:
+    * counts (per-source sums), hll (fingerprint registers), kll meta
+    * (row totals) and kll rows (tz-qualified value sample — unfiltered
+    * here; [[levelFilter]] trims to the canonical level).
+    */
+  private def statify(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col("source"), col("lang"),
+      md5(col("text")).as("fp"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      Sketches.qsTz(col("doc_id")).as("tz"))
+      .localCheckpoint(eager = false)
+    val counts = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("n_tokens").between(20, 10000), 1L).otherwise(0L)).as("n_len_pass"))
+    val hll = Sketches.hllRegisters(base.select(col("source"), col("fp").as("sh")))
+    val rows = base.select(col("source"), lit("chars").as("metric"),
+        col("tz"), col("n_chars").cast("double").as("value"))
+      .unionByName(base.select(col("source"), lit("tokens").as("metric"),
+        col("tz"), col("n_tokens").cast("double").as("value")))
+    val meta = rows.groupBy("source", "metric").agg(count(lit(1)).as("n"))
+    (counts, hll, meta, rows)
+  }
+
+  /** Canonical KLL level + sample per (source, metric): level = min
+    * l ≥ floor with |{tz ≥ l}| ≤ cap, sample = the qualified rows —
+    * the set-function form that makes merge ≡ rebuild. `floors` carries
+    * the contributing sketches' levels on the merge path (the merged
+    * level can never sit below either input's — rows below it are
+    * already gone); distinct-tz counts keep every candidate l present,
+    * so the computation never misses an all-zero tail level.
+    */
+  private def levelFilter(rows: DataFrame,
+      floors: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val spark = rows.sparkSession
+    val tzCounts = rows.groupBy("source", "metric", "tz").agg(count(lit(1)).as("c"))
+    val lrange = spark.range(0, 64).select(col("id").cast("int").as("l"))
+    val qc = tzCounts.crossJoin(broadcast(lrange))
+      .groupBy("source", "metric", "l")
+      .agg(sum(when(col("tz") >= col("l"), col("c")).otherwise(0L)).as("qc"))
+    val qcf = floors match {
+      case Some(f) => qc.join(f, Seq("source", "metric"))
+        .filter(col("l") >= col("floor")).drop("floor")
+      case None => qc
+    }
+    val levels = qcf.filter(col("qc") <= Cap)
+      .groupBy("source", "metric").agg(min(col("l")).as("level"))
+    val filtered = rows.join(levels, Seq("source", "metric"))
+      .filter(col("tz") >= col("level"))
+      .select("source", "metric", "tz", "value")
+    (filtered, levels)
+  }
+
+  private def stateVersion(stateDir: String): Int = {
+    val p = java.nio.file.Paths.get(stateDir, "_current")
+    if (!java.nio.file.Files.exists(p)) -1
+    else new String(java.nio.file.Files.readAllBytes(p)).trim.toInt
+  }
+
+  private def writeState(stateDir: String, v: Int, counts: DataFrame,
+      hll: DataFrame, meta: DataFrame, rows: DataFrame): Unit = {
+    val d = s"$stateDir/v$v"
+    counts.write.mode("overwrite").parquet(s"$d/counts")
+    hll.write.mode("overwrite").parquet(s"$d/hll")
+    meta.write.mode("overwrite").parquet(s"$d/kllmeta")
+    rows.write.mode("overwrite").parquet(s"$d/kllrows")
+    // version pointer flip = the atomic commit (a manifest swap on an
+    // object store); stale versions are reaped after the flip
+    java.nio.file.Files.write(java.nio.file.Paths.get(stateDir, "_current"),
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prev = java.nio.file.Paths.get(stateDir, s"v${v - 1}")
+    if (java.nio.file.Files.exists(prev))
+      graft.util.Fs.deleteRecursively(prev.toString)
+  }
+
+  private def readState(spark: SparkSession, stateDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val d = s"$stateDir/v${stateVersion(stateDir)}"
+    (spark.read.parquet(s"$d/counts"), spark.read.parquet(s"$d/hll"),
+      spark.read.parquet(s"$d/kllmeta"), spark.read.parquet(s"$d/kllrows"))
+  }
+
+  /** Build fresh state from a corpus scan (the landing cost, paid once). */
+  def datacardInit(spark: SparkSession, docs: DataFrame, stateDir: String): Unit = {
+    val (counts, hll, meta, rows) = statify(docs)
+    val (rowsF, levels) = levelFilter(rows, None)
+    writeState(stateDir, stateVersion(stateDir) + 1, counts, hll,
+      meta.join(levels, Seq("source", "metric")), rowsF)
+  }
+
+  /** Fold a delta batch into persisted state: one DELTA scan plus the
+    * bounded state read — the corpus is never touched. Every merge is
+    * the state component's natural monoid: sum for counts, register max
+    * for HLL, filter-to-merged-level union for the KLL sample.
+    */
+  def datacardUpdate(spark: SparkSession, delta: DataFrame, stateDir: String): Unit = {
+    val (dc, dh, dm, drows) = statify(delta)
+    val (drowsF, dlevels) = levelFilter(drows, None)
+    val (oc, oh, om, orows) = readState(spark, stateDir)
+    val counts = oc.unionByName(dc).groupBy("source").agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens_total")).as("n_tokens_total"),
+      sum(col("n_en")).as("n_en"),
+      sum(col("n_len_pass")).as("n_len_pass"))
+    val hll = oh.unionByName(dh).groupBy("source", "j").agg(max(col("m_j")).as("m_j"))
+    val floors = om.select(col("source"), col("metric"), col("level"))
+      .unionByName(dlevels)
+      .groupBy("source", "metric").agg(max(col("level")).as("floor"))
+    val (rowsF, levels) = levelFilter(orows.unionByName(drowsF), Some(floors))
+    val meta = om.select(col("source"), col("metric"), col("n"))
+      .unionByName(dm)
+      .groupBy("source", "metric").agg(sum(col("n")).as("n"))
+      .join(levels, Seq("source", "metric"))
+    writeState(stateDir, stateVersion(stateDir) + 1, counts, hll, meta, rowsF)
+  }
+
+  /** Render the card from STATE ALONE — counts, the HLL estimate, and
+    * the sketch quantile picks; no corpus access (DatacardSpec pins the
+    * plan's input files to the state directory).
+    */
+  def datacardRender(spark: SparkSession, stateDir: String): DataFrame = {
+    val (counts, hll, meta, rows) = readState(spark, stateDir)
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+    val est = hll.groupBy("source").agg(
+      sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), m_j) AS DOUBLE)")).as("sp"),
+      count(lit(1)).as("v"))
+      .select(col("source"),
+        (alphaM2 / (col("sp") + (lit(Sketches.HllM) - col("v")).cast("double")))
+          .as("fp_hll_est"))
+    val samples = rows.groupBy("source", "metric")
+      .agg(sort_array(collect_list(col("value"))).as("sample"))
+      .join(meta, Seq("source", "metric"))
+      .withColumn("m", size(col("sample")).cast("long"))
+    def pick(p: Int) = expr(
+      s"""IF(m = 0, NULL, element_at(sample, cast(least(greatest(
+         |  ((n * $p + 99) div 100 + shiftleft(cast(1 as bigint), cast(level as int)) - 1)
+         |    div shiftleft(cast(1 as bigint), cast(level as int)), 1), m) as int)))""".stripMargin)
+    val p50chars = samples.filter(col("metric") === "chars")
+      .select(col("source"), pick(50).as("p50_chars_est"))
+    val p95tokens = samples.filter(col("metric") === "tokens")
+      .select(col("source"), pick(95).as("p95_tokens_est"))
+    counts.join(est, Seq("source"))
+      .join(p50chars, Seq("source"))
+      .join(p95tokens, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens_total"),
+        expr("n_en * 1000000 div n_docs").as("en_ppm"),
+        expr("n_len_pass * 1000000 div n_docs").as("len_pass_ppm"),
+        col("fp_hll_est"), col("p50_chars_est"), col("p95_tokens_est"))
+      .orderBy("source")
+  }
+
+  /** Registered `text_datacard_incremental`: land 9/10 of the corpus as
+    * base state, fold the remaining 1/10 in as a delta, render from
+    * state — the oracle recomputes the identical sketch card over the
+    * FULL corpus in closed form, so the hash match IS the
+    * merge ≡ rebuild proof.
+    */
+  def datacardIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents")
+    val stateDir = java.nio.file.Files.createTempDirectory("datacard_state").toString
+    try {
+      datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), stateDir)
+      datacardUpdate(spark, docs.filter(col("doc_id") % 10 === 0), stateDir)
+      datacardRender(spark, stateDir).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(stateDir)
+  }
+
+  val datacardIncrementalSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang, md5(text) AS fp,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         least(bit_count((h - 1) & ~h), 62) AS tz
+       |  FROM (SELECT *,
+       |          CAST(md5_number_lower('qs:' || CAST(doc_id AS VARCHAR))
+       |               % ${Sketches.QsMod} AS BIGINT) AS h
+       |        FROM documents)),
+       |counts AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |         CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_pass
+       |  FROM base GROUP BY source),
+       |hb AS (
+       |  SELECT source, md5_number_lower(fp) % 4294967296 AS h32 FROM base),
+       |hr AS (
+       |  SELECT source, h32 % 256 AS j,
+       |         max(${Sketches.hllRankSqlCase}) AS m_j
+       |  FROM (SELECT source, h32, h32 // 256 AS w FROM hb) GROUP BY 1, 2),
+       |hs AS (
+       |  SELECT source,
+       |         sum(CAST(1.0 AS DOUBLE) / CAST(1 << m_j AS DOUBLE)) AS sp,
+       |         count(*) AS v
+       |  FROM hr GROUP BY 1),
+       |hest AS (
+       |  SELECT source,
+       |         (CAST(0.7213 AS DOUBLE)
+       |            / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+       |            * CAST(65536.0 AS DOUBLE))
+       |           / (sp + CAST(${Sketches.HllM} - v AS DOUBLE)) AS fp_hll_est
+       |  FROM hs),
+       |r AS (
+       |  SELECT source, 'chars' AS metric, tz, CAST(n_chars AS DOUBLE) AS value FROM base
+       |  UNION ALL
+       |  SELECT source, 'tokens' AS metric, tz, CAST(n_tokens AS DOUBLE) AS value FROM base),
+       |lv AS (
+       |  SELECT source, metric, min(l) AS level FROM (
+       |    SELECT r.source, r.metric, ls.l,
+       |           count(*) FILTER (WHERE r.tz >= ls.l) AS cnt
+       |    FROM r CROSS JOIN range(0, 64) ls(l)
+       |    GROUP BY 1, 2, 3)
+       |  WHERE cnt <= $Cap GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT r.source, r.metric, lv.level,
+       |         count(*) AS n_all,
+       |         list(r.value ORDER BY r.value) FILTER (WHERE r.tz >= lv.level) AS sample
+       |  FROM r JOIN lv ON lv.source = r.source AND lv.metric = r.metric
+       |  GROUP BY 1, 2, 3),
+       |picks AS (
+       |  SELECT source, metric, level, n_all AS n, len(sample) AS m, sample FROM sk),
+       |p50c AS (
+       |  SELECT source,
+       |         CASE WHEN m = 0 THEN NULL ELSE sample[CAST(least(greatest(
+       |           ((n * 50 + 99) // 100 + (1 << level) - 1) // (1 << level),
+       |           1), m) AS INT)] END AS p50_chars_est
+       |  FROM picks WHERE metric = 'chars'),
+       |p95t AS (
+       |  SELECT source,
+       |         CASE WHEN m = 0 THEN NULL ELSE sample[CAST(least(greatest(
+       |           ((n * 95 + 99) // 100 + (1 << level) - 1) // (1 << level),
+       |           1), m) AS INT)] END AS p95_tokens_est
+       |  FROM picks WHERE metric = 'tokens')
+       |SELECT c.source, c.n_docs, c.n_tokens_total,
+       |       c.n_en * 1000000 // c.n_docs AS en_ppm,
+       |       c.n_len_pass * 1000000 // c.n_docs AS len_pass_ppm,
+       |       hest.fp_hll_est, p50c.p50_chars_est, p95t.p95_tokens_est
+       |FROM counts c
+       |JOIN hest USING (source)
+       |JOIN p50c USING (source)
+       |JOIN p95t USING (source)
+       |ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_datacard" -> (datacard _))
+    "text_datacard" -> (datacard _),
+    "text_datacard_incremental" -> (datacardIncremental _))
 
   val oracles: Map[String, String] = Map(
-    "text_datacard" -> datacardSql)
+    "text_datacard" -> datacardSql,
+    "text_datacard_incremental" -> datacardIncrementalSql)
 }

@@ -147,7 +147,7 @@ object Sketches {
   // the rank ladder is integer compares, 2^-rank is an exact double,
   // and a sum of exact powers of two spanning < 53 bits of exponent
   // never rounds, so it is order-free and bit-identical in any engine.
-  private val HllM = 256
+  private[ops] val HllM = 256
 
   /** The rank ladder 1..25 over the 24-bit suffix, emitted once for
     * Spark (nested `when`) and once for DuckDB (CASE ladder) from the
@@ -158,7 +158,7 @@ object Sketches {
       when(w >= lit(1L << (24 - r)), lit(r)).otherwise(acc)
     }
 
-  private def hllRankSqlCase: String =
+  private[ops] def hllRankSqlCase: String =
     (1 to 24).map(r => s"WHEN w >= ${1L << (24 - r)} THEN $r")
       .mkString("CASE ", " ", " ELSE 25 END")
 
@@ -331,7 +331,7 @@ object Sketches {
   // KLL-vs-hash-derandomization trade-off:
   // [[graft.functions.QuantileSketch]].
   private[ops] val QsCap = 1024
-  private val QsMod = 1L << 62 // keep md5's low 62 bits: tz unaffected
+  private[ops] val QsMod = 1L << 62 // keep md5's low 62 bits: tz unaffected
 
   /** Trailing zeros of the row's portable id-hash — the per-row "coin"
     * that decides how many compaction levels the row survives. Shared

