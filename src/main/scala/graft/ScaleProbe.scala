@@ -63,6 +63,7 @@ object ScaleProbe {
     // bytes don't lie). > 16x (2x over linear) earns the flag.
     val sf1x = "/root/testdata/sf0.1"
     def scaled(name: String)(f: String => Long): Unit = {
+      f(sf1x) // warm: JIT/codegen/file-index, so t-ratios compare steady state
       val (t1, _, sh1, _) = measured(f(sf1x))
       val (t8, r8, sh8, sp8) = measured(f(dir))
       val shx = if (sh1 > 0) sh8.toDouble / sh1 else Double.NaN
@@ -413,7 +414,7 @@ object ScaleProbe {
             .withColumn("rk", row_number().over(w)).filter(col("rk") <= 50)
             .select("query_id", "vec_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val got = ops.Ivf.screenBatch(spark, ix, queries, k = 50, nprobe = 4)
+          val got = ops.Ivf.screenBatch(spark, ix, queries, k = 50, nprobe = 1)
             .select("query_id", "vec_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           truth.count(got.contains).toDouble / truth.size
@@ -424,7 +425,7 @@ object ScaleProbe {
         val rebS = (System.nanoTime() - t0) / 1e9
         val after = recall50(index)
         val dr2 = ops.Ivf.driftStats(spark, index)
-        val line2 = f"PROBE ivf_rebalance        $rebS%7.2f s recall@50 nprobe=4 $before%.4f->$after%.4f meanCos ${dr2.meanCosNow}%.4f drifted=${dr2.drifted()}"
+        val line2 = f"PROBE ivf_rebalance        $rebS%7.2f s recall@50 nprobe=1 $before%.4f->$after%.4f meanCos ${dr2.meanCosNow}%.4f drifted=${dr2.drifted()}"
         println(line2); report ++= line2 + "\n"
       } finally graft.util.Fs.deleteRecursively(ddir)
     }
@@ -672,15 +673,14 @@ object ScaleProbe {
       val stDir = java.nio.file.Files.createTempDirectory("scale_streamstate").toString
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       try {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        // Catalog normalizes the nanos-typed ts to TIMESTAMP
+        val ev = graft.catalog.Catalog(spark, "/root/testdata/sf0.1").ref("events")
         val srcDir = s"$stDir/src"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-        val shift = 2L * 3600 * 1000000000L // +2h of event time per replica (ts is nanos)
         (0 until 8).foreach { i =>
           val stage = s"$stDir/stage$i"
-          ev.select((col("ts") + lit(i * shift)).as("ts"),
+          ev.select((col("ts") + expr(s"INTERVAL ${i * 2} HOURS")).as("ts"),
             (col("event_id") + lit(i * 10000000L)).as("event_id"),
             col("event_type"), col("user_id"), col("value"))
             .coalesce(1).write.parquet(stage)
@@ -698,7 +698,6 @@ object ScaleProbe {
           val run = s"$stDir/run_$name"
           val src = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(srcDir)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           val t0 = System.nanoTime()
           val q = build(src).writeStream.format("parquet")
             .option("path", s"$run/sink")
