@@ -586,25 +586,42 @@ object ScaleProbe {
     // Datacard at 8×: one scan + a (source, fp)-keyed distinct rollup —
     // the exact-percentile buffer is the flagged KLL-swap candidate.
     scaled("datacard_8x")(d => ops.Datacard.datacard(spark, d).count())
-    // Incremental datacard at 8×: the landing init pays the corpus
-    // scan once; each subsequent release audit folds a 1/10 delta into
-    // the bounded sketch state — O(Δ), the line below shows the gap.
+    // Incremental datacard: the O(Δ) claim, shown as BASE-SIZE
+    // INDEPENDENCE — fold the SAME delta into a 1x-base state and an
+    // 8x-base state. Init cost tracks the base (8x scan ≈ 8x work);
+    // update cost doesn't move, because its inputs are the delta plus
+    // bounded sketch state (at this corpus size both updates sit on
+    // the fixed micro-job floor — the point is the flat line, which at
+    // 100 TB is the difference between a release audit that rescans
+    // the corpus and one that doesn't). Render reads state only.
     locally {
-      val stateDir = java.nio.file.Files.createTempDirectory("scale_dcstate").toString
+      val st1 = java.nio.file.Files.createTempDirectory("scale_dcstate1").toString
+      val st8 = java.nio.file.Files.createTempDirectory("scale_dcstate8").toString
       try {
+        val docs1 = spark.read.parquet(s"$sf1x/documents.parquet")
         val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+        val delta = docs1.filter(col("doc_id") % 10 === 0).localCheckpoint()
         var t0 = System.nanoTime()
-        ops.Datacard.datacardInit(spark, docs8.filter(col("doc_id") % 10 =!= 0), stateDir)
-        val initS = (System.nanoTime() - t0) / 1e9
+        ops.Datacard.datacardInit(spark, docs1.filter(col("doc_id") % 10 =!= 0), st1)
+        val init1 = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
-        ops.Datacard.datacardUpdate(spark, docs8.filter(col("doc_id") % 10 === 0), stateDir)
-        val updS = (System.nanoTime() - t0) / 1e9
+        ops.Datacard.datacardUpdate(spark, delta, st1)
+        val upd1 = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
-        val nrows = ops.Datacard.datacardRender(spark, stateDir).count()
+        ops.Datacard.datacardInit(spark, docs8, st8)
+        val init8 = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        ops.Datacard.datacardUpdate(spark, delta, st8)
+        val upd8 = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nrows = ops.Datacard.datacardRender(spark, st8).count()
         val rendS = (System.nanoTime() - t0) / 1e9
-        val line = f"PROBE datacard_incr_8x     init=$initS%6.2f s update(0.1x delta)=$updS%6.2f s render(state-only)=$rendS%5.2f s rows=$nrows"
+        val line = f"PROBE datacard_incr        init 1x=$init1%5.2f s 8x=$init8%5.2f s | same-delta update vs 1x=$upd1%5.2f s vs 8x=$upd8%5.2f s (flat = O(delta)) | render(state-only)=$rendS%5.2f s rows=$nrows"
         println(line); report ++= line + "\n"
-      } finally graft.util.Fs.deleteRecursively(stateDir)
+      } finally {
+        graft.util.Fs.deleteRecursively(st1)
+        graft.util.Fs.deleteRecursively(st8)
+      }
     }
     // WordPiece at 8×: 8 replicas change word FREQUENCIES, not the word
     // set, so the substring-explode training cost is vocabulary-bound
@@ -663,8 +680,9 @@ object ScaleProbe {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     time("join_skew_aqe")(fact.join(dim2, Seq("k")).count())
     // Streaming state-store evidence: feed 8 time-shifted replicas of
-    // the events table ONE FILE PER MICRO-BATCH (each +2h of event
-    // time), and read stateOperators' numRowsTotal after every batch.
+    // the events table ONE FILE PER MICRO-BATCH (each +31 days of
+    // event time — past the table's 30-day span, so replicas never
+    // overlap), and read stateOperators' numRowsTotal after every batch.
     // The watermark closes each replica's sessions / join matches
     // before the next replica arrives, so state rows stay ~FLAT across
     // batches instead of accumulating 8x — the "watermark eviction
@@ -680,7 +698,7 @@ object ScaleProbe {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
         (0 until 8).foreach { i =>
           val stage = s"$stDir/stage$i"
-          ev.select((col("ts") + expr(s"INTERVAL ${i * 2} HOURS")).as("ts"),
+          ev.select((col("ts") + expr(s"INTERVAL ${i * 31} DAYS")).as("ts"),
             (col("event_id") + lit(i * 10000000L)).as("event_id"),
             col("event_type"), col("user_id"), col("value"))
             .coalesce(1).write.parquet(stage)
@@ -698,6 +716,8 @@ object ScaleProbe {
           val run = s"$stDir/run_$name"
           val src = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            // watermarks demand TIMESTAMP (LTZ); the staged files carry NTZ
+            .withColumn("ts", col("ts").cast("timestamp"))
           val t0 = System.nanoTime()
           val q = build(src).writeStream.format("parquet")
             .option("path", s"$run/sink")
@@ -753,13 +773,15 @@ object ScaleProbe {
     report ++= "  the k-row drift report detects it after every append wave, and\n"
     report ++= "  the one-scan rebalance (retrain + remap + atomic swap) restores\n"
     report ++= "  recall@50 — run it when drifted() fires, not on a timer.\n"
-    report ++= "- datacard_incr: the release audit is O(delta) — update folds a\n"
-    report ++= "  0.1x delta into bounded sketch state in a fraction of the init\n"
-    report ++= "  scan, and render touches state only; the merged card is\n"
+    report ++= "- datacard_incr: the release audit is O(delta), shown as\n"
+    report ++= "  base-size independence — the SAME delta folds into a 1x-base\n"
+    report ++= "  and an 8x-base state in the same time (both on the fixed\n"
+    report ++= "  micro-job floor) while init tracks the base scan; render\n"
+    report ++= "  touches state only; the merged card is\n"
     report ++= "  hash-identical to a full rebuild (canonical-set sketches), the\n"
     report ++= "  property text_datacard_incremental verifies against DuckDB.\n"
     report ++= "- stream_state_*: per-micro-batch stateOperators rows stay ~flat\n"
-    report ++= "  across 8 time-shifted replays (each +2h event time): the\n"
+    report ++= "  across 8 time-shifted replays (each +31d event time): the\n"
     report ++= "  watermark closes prior batches' sessions/join windows before new\n"
     report ++= "  ones arrive, so state is bounded by the ACTIVE window, not by\n"
     report ++= "  stream length — the eviction claim as numbers.\n"
