@@ -333,4 +333,22 @@ class PlanQualitySpec extends SparkTestBase {
       s"the rank filter must push a per-group limit below the exchange:\n$plan")
     assert(!plan.contains("Join"), s"the grouped draw must not join:\n$plan")
   }
+
+  test("unigram EM apply: trained model rides the plan — no join, one rollup exchange") {
+    val plan = executed(Subword.unigramEm(spark, sf))
+    assert(!plan.contains("Join"), s"the EM apply must not join:\n$plan")
+    // AQE's toString repeats the plan under "== Initial Plan =="; count
+    // exchanges in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"apply side must shuffle only the rollup:\n$plan")
+  }
+
+  test("semantic dedup multi-probe: pair step keys on probe cells, no cartesian") {
+    val plan = executed(Similarity.semanticDedupProbe2(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"multi-probe pairs must stay cell-keyed:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"probe fan-out must be a scan-side explode:\n$plan")
+  }
 }
