@@ -244,6 +244,15 @@ object Datacard {
       .orderBy("source")
   }
 
+  /** Fold a batch into the state dir, initializing on first touch —
+    * the production entry a pipeline (or a streaming `foreachBatch`
+    * sink, see [[graft.streaming.StreamingQueries]]) calls per
+    * arriving batch without tracking whether state exists yet.
+    */
+  def datacardFold(spark: SparkSession, batch: DataFrame, stateDir: String): Unit =
+    if (stateVersion(stateDir) < 0) datacardInit(spark, batch, stateDir)
+    else datacardUpdate(spark, batch, stateDir)
+
   /** Registered `text_datacard_incremental`: land 9/10 of the corpus as
     * base state, fold the remaining 1/10 in as a delta, render from
     * state — the oracle recomputes the identical sketch card over the

@@ -394,7 +394,54 @@ object StreamingQueries {
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
+  /** Streaming incremental datacard: the corpus lands as FOUR separate
+    * micro-batches (file stream, one file per trigger) and every batch
+    * folds into the persisted sketch state via `foreachBatch` +
+    * [[graft.ops.Datacard.datacardFold]]; the drained stream renders
+    * the card from state alone. Because every state component is a
+    * canonical SET function (sums, register max, hash-level KLL), the
+    * result is HASH-IDENTICAL to a one-shot batch build regardless of
+    * how the stream happened to batch — the oracle is the same
+    * full-corpus closed form as `text_datacard_incremental`. This is
+    * the release audit as a live pipeline: state is always current,
+    * rendering is O(state), and no batch ever rescans the corpus.
+    */
+  def streamDatacard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Datacard
+    val docs = graft.catalog.Catalog(spark, dir).ref("documents")
+    val tmp = java.nio.file.Files.createTempDirectory("stream_datacard").toString
+    try {
+      val srcDir = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      (0 until 4).foreach { i =>
+        val stage = s"$tmp/stage$i"
+        docs.filter(col("doc_id") % 4 === i).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val stateDir = s"$tmp/state"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+      val schema = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Datacard.datacardFold(spark, batch, stateDir)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Datacard.datacardRender(spark, stateDir).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_datacard" -> (streamDatacard _),
     "stream_ivf_screen" -> (streamIvfScreen _),
     "stream_blocklist" -> (streamBlocklist _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
@@ -405,6 +452,7 @@ object StreamingQueries {
     "stream_user_profile" -> (streamUserProfile _))
 
   val oracles: Map[String, String] = Map(
+    "stream_datacard" -> graft.ops.Datacard.datacardIncrementalSql,
     "stream_ivf_screen" -> graft.ops.Ivf.ivfIncrementalSql,
     "stream_blocklist" -> streamBlocklistSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,

@@ -470,4 +470,19 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming datacard equals a one-shot batch build — batching is invisible") {
+    // the stream folds FOUR micro-batches into state; the one-shot path
+    // inits state from the whole corpus at once. Canonical-set state
+    // components make the two renders identical row for row.
+    val streamed = graft.streaming.StreamingQueries.streamDatacard(spark, sf)
+      .collect().map(_.toString)
+    val stateDir = tmpDir("stream_dc_batch")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.ops.Datacard.datacardFold(spark, docs, stateDir)
+    val oneShot = graft.ops.Datacard.datacardRender(spark, stateDir)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === oneShot.toSeq)
+  }
 }
