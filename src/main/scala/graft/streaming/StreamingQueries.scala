@@ -394,7 +394,7 @@ object StreamingQueries {
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
-  /** Streaming incremental datacard: the corpus lands as FOUR separate
+  /** Streaming incremental datacard: the corpus lands as TWO separate
     * micro-batches (file stream, one file per trigger) and every batch
     * folds into the persisted sketch state via `foreachBatch` +
     * [[graft.ops.Datacard.datacardFold]]; the drained stream renders
@@ -413,9 +413,9 @@ object StreamingQueries {
     try {
       val srcDir = s"$tmp/src"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      (0 until 4).foreach { i =>
+      (0 until 2).foreach { i =>
         val stage = s"$tmp/stage$i"
-        docs.filter(col("doc_id") % 4 === i).coalesce(1).write.parquet(stage)
+        docs.filter(col("doc_id") % 2 === i).coalesce(1).write.parquet(stage)
         val part = new java.io.File(stage).listFiles
           .find(_.getName.endsWith(".parquet")).get
         val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
