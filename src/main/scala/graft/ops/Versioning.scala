@@ -33,11 +33,10 @@ object Versioning {
   private def draw(salt: String, m: Long): Column =
     md5Mod(concat(lit(salt + ":"), col("doc_id").cast("string")), m)
 
-  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Catalog(spark, dir).ref("documents")
-      .select(col("doc_id"), col("source"), col("text"))
-    val v1 = docs.select(col("doc_id"), col("source").as("s1"),
-      md5(col("text")).as("h1"))
+  /** The derived second version's fingerprint relation (the fixture
+    * pattern shared by both diff paths and the DuckDB twin).
+    */
+  private def v2Fingerprints(docs: DataFrame): DataFrame = {
     val v2base = docs.filter(draw("vdrop", 20L) =!= 0)
       .select(col("doc_id"), col("source").as("s2"),
         md5(when(draw("vmod", 10L) === 0, concat(col("text"), lit(" rev2")))
@@ -45,7 +44,11 @@ object Versioning {
     val v2added = docs.filter(draw("vadd", 25L) === 0)
       .select((col("doc_id") + lit(AddedIdOffset)).as("doc_id"),
         col("source").as("s2"), md5(concat(col("text"), lit(" new"))).as("h2"))
-    val v2 = v2base.unionByName(v2added)
+    v2base.unionByName(v2added)
+  }
+
+  /** Diff rollup over two (doc_id, source, hash) relations. */
+  private def diffOf(v1: DataFrame, v2: DataFrame): DataFrame =
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(coalesce(col("s1"), col("s2")).as("source"),
         when(col("h1").isNull, lit("added"))
@@ -59,6 +62,55 @@ object Versioning {
         sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
         sum(when(col("st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
       .orderBy("source")
+
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val v1 = docs.select(col("doc_id"), col("source").as("s1"),
+      md5(col("text")).as("h1"))
+    diffOf(v1, v2Fingerprints(docs))
+  }
+
+  // ---- manifest-based (incremental) diff ------------------------------------
+
+  /** Persist a release MANIFEST: the (doc_id, source, md5) scan
+    * reduction, ~40 bytes/doc. Every future diff against this version
+    * reads the manifest instead of re-scanning and re-hashing the old
+    * corpus — at 100 TB that is the difference between diffing two
+    * corpora and diffing one corpus against a table 1000× smaller.
+    * Write it once per release, at release time (the text is already
+    * streaming through the shard writer then — the hash is free).
+    */
+  def writeManifest(docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Diff a new corpus against a persisted manifest: the old side costs
+    * a manifest read (no text, no hashing), the new side one
+    * fingerprint scan — then the same doc_id equi-join + |sources|-row
+    * rollup as [[corpusDiff]].
+    */
+  def diffAgainstManifest(spark: SparkSession, manifestPath: String,
+      newFps: DataFrame): DataFrame = {
+    val v1 = spark.read.parquet(manifestPath)
+      .select(col("doc_id"), col("source").as("s1"), col("h").as("h1"))
+    diffOf(v1, newFps)
+  }
+
+  /** Registered `corpus_diff_incremental`: write the v1 manifest, then
+    * diff the derived v2 against it WITHOUT touching v1's text again —
+    * result identical to [[corpusDiff]] (the oracle reuses its SQL), so
+    * the hash match proves manifest-based ≡ rescan-based.
+    */
+  def corpusDiffIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val manifest = java.nio.file.Files.createTempDirectory("corpus_manifest").toString
+    try {
+      writeManifest(docs, s"$manifest/v1")
+      diffAgainstManifest(spark, s"$manifest/v1", v2Fingerprints(docs))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(manifest)
   }
 
   val corpusDiffSql: String =
@@ -89,8 +141,10 @@ object Versioning {
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_diff" -> (corpusDiff _))
+    "corpus_diff" -> (corpusDiff _),
+    "corpus_diff_incremental" -> (corpusDiffIncremental _))
 
   val oracles: Map[String, String] = Map(
-    "corpus_diff" -> corpusDiffSql)
+    "corpus_diff" -> corpusDiffSql,
+    "corpus_diff_incremental" -> corpusDiffSql)
 }

@@ -45,4 +45,30 @@ class VersioningSpec extends SparkTestBase {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
       s"text must not cross a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("manifest diff equals the rescan diff; the old corpus is read as manifest only") {
+    import org.apache.spark.sql.functions._
+    val rescan = Versioning.corpusDiff(spark, sf).collect().map(_.toString)
+    val incremental = Versioning.corpusDiffIncremental(spark, sf)
+      .collect().map(_.toString)
+    assert(incremental.nonEmpty)
+    assert(incremental.toSeq === rescan.toSeq)
+    // reusable manifest: two diffs against ONE persisted manifest, and
+    // the diff plan's v1 side reads the manifest parquet, not documents
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val mdir = tmpDir("manifest_reuse")
+    Versioning.writeManifest(docs, s"$mdir/v1")
+    val fps = docs.select(col("doc_id"), col("source").as("s2"),
+      md5(col("text")).as("h2"))
+    val d1 = Versioning.diffAgainstManifest(spark, s"$mdir/v1", fps)
+    val selfDiff = d1.collect()
+    // identical corpora: everything unchanged
+    selfDiff.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+      assert(r.getLong(4) > 0L)
+    }
+    val manifestInputs = d1.inputFiles.filter(_.contains("manifest_reuse"))
+    assert(manifestInputs.nonEmpty, "the v1 side must read the manifest")
+  }
 }
