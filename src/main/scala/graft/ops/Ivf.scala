@@ -393,7 +393,14 @@ object Ivf {
     * in for it. Readers holding the old handle must [[loadIndex]]
     * again — the session memo for this path is invalidated.
     */
-  def rebalance(spark: SparkSession, index: IvfIndex, iters: Int = 2): IvfIndex = {
+  def rebalance(spark: SparkSession, index: IvfIndex, iters: Int = 2): IvfIndex =
+    // same per-path monitor as buildIndexCached: a concurrent cached
+    // build must not interleave with the directory swap
+    buildLocks.getOrElseUpdate(index.path, new Object).synchronized {
+      rebalanceLocked(spark, index, iters)
+    }
+
+  private def rebalanceLocked(spark: SparkSession, index: IvfIndex, iters: Int): IvfIndex = {
     val data = spark.read.parquet(index.path).select("vec_id", "embedding")
     val centroids = kmeansCentroids(data, index.centroids.size, iters)
     val tmp = index.path + ".rebuild"
