@@ -864,7 +864,12 @@ object ArrayExprs {
         var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < k) {
-          if (!used(i) && scores(i) > bestScore) { bestScore = scores(i); best = i }
+          // `>=` on the first unused candidate: all-(−∞) scores (every
+          // centroid zero-norm) still select the lowest cid instead of
+          // leaving best = −1
+          if (!used(i) && (best == -1 || scores(i) > bestScore)) {
+            bestScore = scores(i); best = i
+          }
           i += 1
         }
         used(best) = true

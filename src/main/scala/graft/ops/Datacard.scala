@@ -169,12 +169,17 @@ object Datacard {
       Future(rows.write.mode("overwrite").parquet(s"$d/kllrows")))),
       scala.concurrent.duration.Duration.Inf)
     // version pointer flip = the atomic commit (a manifest swap on an
-    // object store); stale versions are reaped after the flip
+    // object store); ALL stale versions are reaped after the flip, so a
+    // crash between a previous flip and its reap cannot leak a version
+    // dir forever
     java.nio.file.Files.write(java.nio.file.Paths.get(stateDir, "_current"),
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val prev = java.nio.file.Paths.get(stateDir, s"v${v - 1}")
-    if (java.nio.file.Files.exists(prev))
-      graft.util.Fs.deleteRecursively(prev.toString)
+    val dirFile = new java.io.File(stateDir)
+    Option(dirFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.matches("v\\d+") &&
+          f.getName.drop(1).toInt < v)
+        graft.util.Fs.deleteRecursively(f.getPath)
+    }
   }
 
   private def readState(spark: SparkSession, stateDir: String)
