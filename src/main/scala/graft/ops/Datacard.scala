@@ -155,19 +155,17 @@ object Datacard {
   private def writeState(stateDir: String, v: Int, counts: DataFrame,
       hll: DataFrame, meta: DataFrame, rows: DataFrame): Unit = {
     val d = s"$stateDir/v$v"
-    // The four component writes are independent small jobs — submit
-    // them from separate threads so the update's wall-clock pays
-    // max(write) instead of Σ(write) (Spark schedules concurrent jobs
-    // from one session fine; the version pointer flips only after all
-    // four land).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(counts.write.mode("overwrite").parquet(s"$d/counts")),
-      Future(hll.write.mode("overwrite").parquet(s"$d/hll")),
-      Future(meta.write.mode("overwrite").parquet(s"$d/kllmeta")),
-      Future(rows.write.mode("overwrite").parquet(s"$d/kllrows")))),
-      scala.concurrent.duration.Duration.Inf)
+    // Deliberately SEQUENTIAL: a parallel-Futures version of these four
+    // writes deadlocked intermittently (one write's AQE stage-event
+    // loop parked forever while sibling writes held the LazyTry locks
+    // of shared uncomputed lineage — observed live in a Verify run).
+    // Concurrent actions over DataFrames that share unmaterialized
+    // plan fragments are not a supported fast path; the ~1 s saved is
+    // not worth a wedged driver.
+    counts.write.mode("overwrite").parquet(s"$d/counts")
+    hll.write.mode("overwrite").parquet(s"$d/hll")
+    meta.write.mode("overwrite").parquet(s"$d/kllmeta")
+    rows.write.mode("overwrite").parquet(s"$d/kllrows")
     // version pointer flip = the atomic commit (a manifest swap on an
     // object store); ALL stale versions are reaped after the flip, so a
     // crash between a previous flip and its reap cannot leak a version

@@ -471,6 +471,80 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming IVF ingest maintains itself: drift fires on the shifted batch, rebalance repairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val dim = 32
+    val cBase = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    def around(c: Array[Float], noise: Float) =
+      c.map(x => x + rnd.nextGaussian().toFloat * noise)
+    val tmp = tmpDir("ivf_ingest")
+    // base index: 320 vectors over the 8 clusters
+    (0 until 320).map(i => (i.toLong, around(cBase(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = graft.ops.Ivf.buildIndex(
+      spark.read.parquet(s"$tmp/base"), s"$tmp/index", kCells = 8, iters = 3)
+    // staged stream: two batches FROM the base distribution, then two
+    // from bisector-rotated shifted clusters (the IvfSpec drift corpus)
+    val cShift = (0 until 4).map { j =>
+      val a = cBase(2 * j); val b = cBase(2 * j + 1)
+      val an = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val bn = math.sqrt(b.map(x => x.toDouble * x).sum)
+      val mid = Array.tabulate(dim)(i => a(i) / an + b(i) / bn)
+      val u = Array.fill(dim)(rnd.nextGaussian())
+      Seq(a, b).foreach { w =>
+        val d = (0 until dim).map(i => u(i) * w(i)).sum
+        val n2 = w.map(x => x.toDouble * x).sum
+        (0 until dim).foreach(i => u(i) -= d / n2 * w(i))
+      }
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val mn = math.sqrt(mid.map(x => x * x).sum)
+      Array.tabulate(dim)(i =>
+        ((mid(i) / mn + u(i) / un) / math.sqrt(2.0) * (an + bn) / 2.0).toFloat)
+    }
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val batches = Seq(
+      (1000 until 1100).map(i => (i.toLong, around(cBase(i % 8), 0.3f))),
+      (1100 until 1200).map(i => (i.toLong, around(cBase(i % 8), 0.3f))),
+      (2000 until 2400).map(i => (i.toLong, around(cShift(i % 4), 0.8f))),
+      (2400 until 2800).map(i => (i.toLong, around(cShift(i % 4), 0.8f))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val reports = graft.streaming.IvfIngest.ingestStream(
+      spark, srcDir, index0, k = 10, nprobe = 1, s"$tmp/sink")
+    assert(reports.length === 4, s"one report per micro-batch: $reports")
+    // base-distribution batches must NOT fire the dial; the shifted
+    // wave must fire it at least once; the LAST batch leaves the index
+    // healthy (either its own rebalance or the prior one repaired it)
+    assert(!reports(0).rebalanced && !reports(1).rebalanced,
+      s"base batches must not trigger maintenance: $reports")
+    assert(reports.drop(2).exists(_.rebalanced),
+      s"the shifted wave must trigger a rebalance: $reports")
+    val healed = graft.ops.Ivf.driftStats(spark, graft.ops.Ivf.loadIndex(s"$tmp/index"))
+    assert(!healed.drifted(), s"the stream must leave a healthy index: $healed")
+    // the repaired quantizer serves the shifted distribution: nprobe=1
+    // screening of fresh shifted queries finds planted near-copies
+    val repaired = graft.ops.Ivf.loadIndex(s"$tmp/index")
+    val queries = (0 until 20).map { q =>
+      ((9000 + q).toLong, around(cShift(q % 4), 0.8f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val hits = graft.ops.Ivf.screenBatch(spark, repaired, queries, k = 10, nprobe = 1)
+      .filter(col("score") >= 0.9).select("query_id").distinct().count()
+    assert(hits >= 18, s"post-repair nprobe=1 screening must find shifted neighbors: $hits/20")
+    // every batch's screening output landed
+    assert(spark.read.parquet(s"$tmp/sink").count() > 0)
+  }
+
   test("streaming datacard equals a one-shot batch build — batching is invisible") {
     // the stream folds FOUR micro-batches into state; the one-shot path
     // inits state from the whole corpus at once. Canonical-set state
