@@ -429,6 +429,72 @@ object ScaleProbe {
         println(line2); report ++= line2 + "\n"
       } finally graft.util.Fs.deleteRecursively(ddir)
     }
+    // The full self-maintaining ingest loop (screen → append → drift
+    // check → evidence-triggered rebalance) as a stream: two
+    // base-distribution batches leave the dial silent, two shifted
+    // waves fire it, and the loop repairs the index mid-stream.
+    locally {
+      val idir = java.nio.file.Files.createTempDirectory("scale_ivfingest").toString
+      try {
+        import spark.implicits._
+        val irnd = new scala.util.Random(43)
+        val dim = 64
+        val centers = Array.fill(32)(Array.fill(dim)(irnd.nextGaussian().toFloat * 5f))
+        (0 until 16000).map { i =>
+          val c = centers(i % 32)
+          (i.toLong, c.map(x => x + irnd.nextGaussian().toFloat * 0.5f))
+        }.toDF("vec_id", "embedding").repartition(8)
+          .write.parquet(s"$idir/base.parquet")
+        val index0 = ops.Ivf.buildIndex(spark.read.parquet(s"$idir/base.parquet"),
+          s"$idir/index", kCells = 32, iters = 2)
+        val cShift = (0 until 16).map { j =>
+          val a = centers(2 * j); val b = centers(2 * j + 1)
+          val an = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val bn = math.sqrt(b.map(x => x.toDouble * x).sum)
+          val mid = Array.tabulate(dim)(i => a(i) / an + b(i) / bn)
+          val u = Array.fill(dim)(irnd.nextGaussian())
+          Seq(a, b).foreach { w =>
+            val dd = (0 until dim).map(i => u(i) * w(i)).sum
+            val n2 = w.map(x => x.toDouble * x).sum
+            (0 until dim).foreach(i => u(i) -= dd / n2 * w(i))
+          }
+          val un = math.sqrt(u.map(x => x * x).sum)
+          val mn = math.sqrt(mid.map(x => x * x).sum)
+          Array.tabulate(dim)(i =>
+            ((mid(i) / mn + u(i) / un) / math.sqrt(2.0) * (an + bn) / 2.0).toFloat)
+        }
+        val srcDir = s"$idir/src"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+        val waves = Seq(
+          (100000 until 102000).map(i => (i.toLong,
+            centers(i % 32).map(x => x + irnd.nextGaussian().toFloat * 0.5f))),
+          (102000 until 104000).map(i => (i.toLong,
+            centers(i % 32).map(x => x + irnd.nextGaussian().toFloat * 0.5f))),
+          (200000 until 204000).map(i => (i.toLong,
+            cShift(i % 16).map(x => x + irnd.nextGaussian().toFloat * 0.8f))),
+          (204000 until 208000).map(i => (i.toLong,
+            cShift(i % 16).map(x => x + irnd.nextGaussian().toFloat * 0.8f))))
+        waves.zipWithIndex.foreach { case (rows, i) =>
+          val stage = s"$idir/stage$i"
+          rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        val t0 = System.nanoTime()
+        val reports = streaming.IvfIngest.ingestStream(spark, srcDir, index0,
+          k = 10, nprobe = 4, s"$idir/sink")
+        val tot = (System.nanoTime() - t0) / 1e9
+        val per = reports.map(r =>
+          f"b${r.batchId}%d(cos=${r.meanCos}%.3f${if (r.rebalanced) " REBALANCED" else ""})")
+          .mkString(" ")
+        val line = f"PROBE ivf_ingest_stream    $tot%7.2f s batches=${reports.length} $per"
+        println(line); report ++= line + "\n"
+      } finally graft.util.Fs.deleteRecursively(idir)
+    }
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(
@@ -773,6 +839,11 @@ object ScaleProbe {
     report ++= "  the k-row drift report detects it after every append wave, and\n"
     report ++= "  the one-scan rebalance (retrain + remap + atomic swap) restores\n"
     report ++= "  recall@50 — run it when drifted() fires, not on a timer.\n"
+    report ++= "- ivf_ingest_stream: the self-maintaining ingest loop end to end —\n"
+    report ++= "  per-batch screen (probed-cell pruning) + O(delta) append + k-row\n"
+    report ++= "  drift check; the base-distribution batches leave the dial silent\n"
+    report ++= "  and the shifted waves trigger the in-stream rebalance, so the\n"
+    report ++= "  index never serves more than one drifted batch before repair.\n"
     report ++= "- datacard_incr: the release audit is O(delta), shown as\n"
     report ++= "  base-size independence — the SAME delta folds into a 1x-base\n"
     report ++= "  and an 8x-base state in the same time (both on the fixed\n"
