@@ -864,9 +864,9 @@ object ArrayExprs {
         var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < k) {
-          // `>=` on the first unused candidate: all-(−∞) scores (every
-          // centroid zero-norm) still select the lowest cid instead of
-          // leaving best = −1
+          // the first unused index always becomes a candidate: all-(−∞)
+          // scores (every centroid zero-norm) still select the lowest
+          // cid instead of leaving best = −1
           if (!used(i) && (best == -1 || scores(i) > bestScore)) {
             bestScore = scores(i); best = i
           }
