@@ -325,6 +325,117 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** `sim_semantic_dedup_int8`: SemDeDup with the quadratic pair step
+    * on INT8 CODES — the bandwidth dial for the in-cell O(|cell|²)
+    * work. Each vector quantizes once at the scan (symmetric max-abs,
+    * the [[int8Quantize]] contract: q = floor(x·127/scale + 0.5)), and
+    * pair similarity is the cosine of the CODE vectors:
+    * dot(qa, qb) / (√Σqa²·√Σqb²) — the per-vector scales cancel, so the
+    * score is derived entirely from exact integer sums and IEEE sqrt/
+    * division, hash-checkable cross-engine with no float-fold contract.
+    * The pair step reads 8-byte code entries instead of float arrays —
+    * at production width (int8 storage) 4× less bandwidth through the
+    * hot quadratic loop, for a ≤~1% similarity perturbation (the
+    * documented quantization trade; planted near-copies still collapse,
+    * SemanticDedupSpec).
+    */
+  def semanticDedupInt8(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupInt8At(spark, dir, kCells = 16, tau = 0.95, iters = 0)
+
+  def semanticDedupInt8At(spark: SparkSession, dir: String, kCells: Int,
+      tau: Double, iters: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val centroids = Ivf.kmeansCentroids(
+      emb.withColumn("nrm", l2norm(col("embedding"))), kCells, iters)
+    val q = emb
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .withColumn("scale",
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("codes", expr(
+        """transform(embedding, x ->
+          |  IF(scale = CAST(0 AS DOUBLE), CAST(0 AS BIGINT),
+          |     CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)))""".stripMargin))
+      .withColumn("qn2",
+        expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .select("vec_id", "cid", "codes", "qn2")
+      .localCheckpoint()
+    val left = q.select(col("vec_id").as("a_id"), col("cid"),
+      col("codes").as("qa"), col("qn2").as("an2"))
+    val right = q.select(col("vec_id").as("b_id"), col("cid"),
+      col("codes").as("qb"), col("qn2").as("bn2"))
+    val dups = left.join(right,
+        left("cid") === right("cid") && col("b_id") < col("a_id"))
+      .filter(col("an2") > 0L && col("bn2") > 0L)
+      .withColumn("dotq", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("score", col("dotq").cast("double")
+        / (sqrt(col("an2").cast("double")) * sqrt(col("bn2").cast("double"))))
+      .filter(col("score") >= tau)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("b_id")).as("dup_of0"))
+    q.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        col("dup_of0").isNotNull.as("is_dup"),
+        coalesce(col("dup_of0"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle twin of [[semanticDedupInt8]]: the single-probe assignment
+    * CTEs plus the quantization and the integer-dot pair filter.
+    */
+  val semanticDedupInt8Sql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
+      |qv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         CASE WHEN scale = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(vec, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+      |         END AS q
+      |  FROM (SELECT vec_id, vec,
+      |               list_max(list_transform(vec, x -> abs(x))) AS scale
+      |        FROM en)),
+      |qn AS MATERIALIZED (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      |  FROM qv),
+      |dups AS (
+      |  SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+      |  FROM assigned a
+      |  JOIN assigned b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  JOIN qn qa ON qa.vec_id = a.vec_id
+      |  JOIN qn qb ON qb.vec_id = b.vec_id
+      |  WHERE qa.n2 > 0 AND qb.n2 > 0
+      |    AND CAST(list_sum(list_transform(range(1, len(qa.q) + 1),
+      |              i -> qa.q[i] * qb.q[i])) AS DOUBLE)
+      |          / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) >= 0.95
+      |  GROUP BY 1)
+      |SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+      |       d.dup_of IS NOT NULL AS is_dup,
+      |       COALESCE(d.dup_of, -1) AS dup_of
+      |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   /** Oracle twin: same sample/assignment CTEs as Ivf.ivfAnnSql, then the
     * in-cell pair filter and earliest-representative choice in SQL.
     */
@@ -572,6 +683,7 @@ object Similarity {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_semantic_dedup_probe2" -> (semanticDedupProbe2 _),
+    "sim_semantic_dedup_int8" -> (semanticDedupInt8 _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
@@ -585,6 +697,7 @@ object Similarity {
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_semantic_dedup" -> semanticDedupSql,
     "sim_semantic_dedup_probe2" -> semanticDedupProbe2Sql,
+    "sim_semantic_dedup_int8" -> semanticDedupInt8Sql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,

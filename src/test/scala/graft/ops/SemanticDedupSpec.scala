@@ -57,6 +57,26 @@ class SemanticDedupSpec extends SparkTestBase {
       .filter(col("cid") =!= col("rep_cid")).count() === 0)
   }
 
+  test("int8 pair step: planted copies still collapse; decisions track the float variant") {
+    val dir = plantedDir()
+    val f = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    val q = Similarity.semanticDedupInt8At(spark, dir, kCells = 8, tau = 0.95, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    // near-identical copies (cosine ~0.9999) survive the <=1% similarity
+    // perturbation of int8 codes
+    (0 until 6).foreach { i =>
+      val (isDup, dupOf) = q(120L + i)
+      assert(isDup, s"planted copy ${120 + i} must survive quantization")
+      assert(dupOf === i.toLong)
+      assert(!q(i.toLong)._1, s"original $i must stay the keeper")
+    }
+    // the two variants agree except near the tau boundary: allow a few
+    // flips on random pairs, never on the planted ones checked above
+    val flips = f.keys.count(k => f(k)._1 != q(k)._1)
+    assert(flips <= f.size / 20, s"int8 flipped $flips of ${f.size} decisions")
+  }
+
   test("cell-boundary near-dup pair: single-probe provably misses, nprobeAssign=2 catches") {
     // three tight clusters on orthogonal axes + a near-dup pair planted
     // ACROSS the A/B boundary: vA leans to cluster A, vB to cluster B
