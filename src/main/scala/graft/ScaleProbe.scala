@@ -484,14 +484,19 @@ object ScaleProbe {
           java.nio.file.Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
         }
+        val scans0 = ops.Ivf.driftScans.get()
         val t0 = System.nanoTime()
+        // checkEvery=2: the O(index) drift scan runs on every SECOND
+        // applied batch — half the maintenance scans of the per-batch
+        // loop, and the shifted wave still gets caught and repaired
         val reports = streaming.IvfIngest.ingestStream(spark, srcDir, index0,
-          k = 10, nprobe = 4, s"$idir/sink")
+          k = 10, nprobe = 4, s"$idir/sink", checkEvery = 2)
         val tot = (System.nanoTime() - t0) / 1e9
+        val scans = ops.Ivf.driftScans.get() - scans0
         val per = reports.map(r =>
-          f"b${r.batchId}%d(cos=${r.meanCos}%.3f${if (r.rebalanced) " REBALANCED" else ""})")
+          f"b${r.batchId}%d(${if (r.checked) f"cos=${r.meanCos}%.3f" else "unchecked"}${if (r.rebalanced) " REBALANCED" else ""})")
           .mkString(" ")
-        val line = f"PROBE ivf_ingest_stream    $tot%7.2f s batches=${reports.length} $per"
+        val line = f"PROBE ivf_ingest_stream    $tot%7.2f s batches=${reports.length} driftScans=$scans (checkEvery=2) $per"
         println(line); report ++= line + "\n"
       } finally graft.util.Fs.deleteRecursively(idir)
     }
@@ -538,6 +543,56 @@ object ScaleProbe {
           println(line); report ++= line + "\n"
         }
       } finally graft.util.Fs.deleteRecursively(sdir)
+    }
+    // SemDeDup cell-occupancy skew, MEASURED: half the corpus in ONE
+    // cluster puts that cell's whole |cell|²/2 pair work on one reducer
+    // (the join keys on the cell id). saltBlocks=8 re-keys the pair join
+    // on (cell, blockA, blockB): per-task pair work drops ~g², verdicts
+    // identical. The spread number is the per-task PAIR count on the
+    // hot cell — the thing that OOMs/walls one executor on a real
+    // cluster, invisible in local[32] wall-clock.
+    locally {
+      val kdir = java.nio.file.Files.createTempDirectory("scale_semskew").toString
+      try {
+        val krnd = new scala.util.Random(17)
+        val centers = Array.fill(32)(Array.fill(64)(krnd.nextGaussian().toFloat * 5f))
+        // 8000 of 16000 vectors in cluster 0 -> one mega-cell
+        val rows = (0 until 16000).map { i =>
+          val c = if (i < 8000) centers(0) else centers(1 + i % 31)
+          (i.toLong, c.map(x => x + krnd.nextGaussian().toFloat * 1.0f))
+        }
+        import spark.implicits._
+        rows.toDF("vec_id", "embedding").repartition(8)
+          .write.parquet(s"$kdir/embeddings.parquet")
+        val results = Seq(1, 8).map { g =>
+          val t0 = System.nanoTime()
+          val out = ops.Similarity.semanticDedupAt(spark, kdir, kCells = 32,
+            tau = 0.95, iters = 2, saltBlocks = g)
+            .collect().map(_.toString).sorted.toSeq
+          val sec = (System.nanoTime() - t0) / 1e9
+          // per-task pair volume on the pair join's key layout: rows per
+          // (cid[, pb, ob]) task, pairs ~ n_a * n_b per task
+          val emb = spark.read.parquet(s"$kdir/embeddings.parquet")
+          val cents = ops.Ivf.kmeansCentroids(emb, 32, 2)
+          val cid = graft.functions.ArrayExprs.nearestCentroid(col("embedding"), cents)
+          val perTask =
+            if (g == 1)
+              emb.select(cid.as("cid")).groupBy("cid").count()
+                .agg(max(expr("count * (count - 1) div 2"))).head().getLong(0)
+            else
+              emb.select(cid.as("cid"),
+                  pmod(xxhash64(col("vec_id")), lit(g.toLong)).cast("int").as("b"))
+                .groupBy("cid", "b").count()
+                .groupBy("cid").agg(max("count").as("mx"), sum("count").as("n"))
+                .agg(max(expr("mx * mx"))).head().getLong(0)
+          (g, sec, perTask, out)
+        }
+        val (g1, s1, p1, o1) = results(0)
+        val (g8, s8, p8, o8) = results(1)
+        val same = if (o1 == o8) "verdicts-identical" else "VERDICTS-DIVERGED"
+        val line = f"PROBE semdedup_cell_skew   plain=$s1%.2f s salt8=$s8%.2f s max-pairs-per-task plain=$p1 salted=$p8 (${p1 / math.max(1L, p8)}x spread) $same"
+        println(line); report ++= line + "\n"
+      } finally graft.util.Fs.deleteRecursively(kdir)
     }
     // distributed k-means, mergeable-sum path: per iteration one
     // scan-local assignment + one (cid, dim)-keyed partial-sum shuffle

@@ -726,7 +726,9 @@ object ArrayExprs {
     @transient private var planes: Array[Array[Double]] = _
 
     private def planesFor(dim: Int): Array[Array[Double]] = {
-      if (planeDim != dim) {
+      // `planes == null` guard: deserialization zeroes planeDim, so a
+      // zero-length vector would otherwise match planeDim==0 and NPE.
+      if (planes == null || planeDim != dim) {
         val p = Array.tabulate(tables * bits) { tb =>
           val t = tb / bits
           val b = tb % bits

@@ -38,11 +38,17 @@ case class RpProject(child: Expression, dOut: Int)
   // dimension embedding column is corrupt data, and silently re-deriving
   // the matrix per dimension flip would both hide that and cost
   // O(D·dOut) hashing per alternating row — throw instead.
+  //
+  // The "not yet derived" sentinel is `signs == null`, NOT a cachedDim
+  // sentinel value: both fields are @transient, and a Java-serialization
+  // round-trip (executor task binaries on a real cluster) resets an Int
+  // to 0 and a reference to null. Keying on cachedDim == -1 made every
+  // deserialized copy take the dimension-changed branch on valid data.
   @transient private var cachedDim: Int = -1
   @transient private var signs: Array[Array[Boolean]] = _ // [j][i] = positive?
 
   private def signMatrix(dim: Int): Array[Array[Boolean]] = {
-    if (cachedDim == -1) {
+    if (signs == null) {
       signs = Array.tabulate(dOut) { j =>
         Array.tabulate(dim) { i =>
           val h = ArrayExprs.md5Lower64(s"rp:$j:$i".getBytes("UTF-8"))

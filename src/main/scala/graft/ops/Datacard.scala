@@ -167,18 +167,32 @@ object Datacard {
     meta.write.mode("overwrite").parquet(s"$d/kllmeta")
     rows.write.mode("overwrite").parquet(s"$d/kllrows")
     // version pointer flip = the atomic commit (a manifest swap on an
-    // object store); ALL stale versions are reaped after the flip, so a
-    // crash between a previous flip and its reap cannot leak a version
-    // dir forever
+    // object store). Reaping keeps ONE previous generation (v-1): a
+    // lazy DataFrame handed out by datacardRender/readState against the
+    // prior version survives one subsequent update before its files
+    // vanish (an object store would scope this with manifest leases).
+    // Leakage stays bounded — at most one stale dir — and a crash
+    // between a flip and its reap is cleaned by the next flip.
     java.nio.file.Files.write(java.nio.file.Paths.get(stateDir, "_current"),
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dirFile = new java.io.File(stateDir)
     Option(dirFile.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory && f.getName.matches("v\\d+") &&
-          f.getName.drop(1).toInt < v)
+          f.getName.drop(1).toInt < v - 1)
         graft.util.Fs.deleteRecursively(f.getPath)
     }
   }
+
+  /** Per-stateDir write monitor (the [[Ivf]] buildLocks pattern): a
+    * batch update racing a streaming fold must not interleave two
+    * read-state→write-state→flip sequences — both would read the same
+    * version and one fold would be silently lost.
+    */
+  private val stateLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
+
+  private def withStateLock[A](stateDir: String)(body: => A): A =
+    stateLocks.getOrElseUpdate(stateDir, new Object).synchronized(body)
 
   private def readState(spark: SparkSession, stateDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -188,19 +202,20 @@ object Datacard {
   }
 
   /** Build fresh state from a corpus scan (the landing cost, paid once). */
-  def datacardInit(spark: SparkSession, docs: DataFrame, stateDir: String): Unit = {
-    val (counts, hll, meta, rows) = statify(docs)
-    val (rowsF, levels) = levelFilter(rows, None)
-    writeState(stateDir, stateVersion(stateDir) + 1, counts, hll,
-      meta.join(levels, Seq("source", "metric")), rowsF)
-  }
+  def datacardInit(spark: SparkSession, docs: DataFrame, stateDir: String): Unit =
+    withStateLock(stateDir) {
+      val (counts, hll, meta, rows) = statify(docs)
+      val (rowsF, levels) = levelFilter(rows, None)
+      writeState(stateDir, stateVersion(stateDir) + 1, counts, hll,
+        meta.join(levels, Seq("source", "metric")), rowsF)
+    }
 
   /** Fold a delta batch into persisted state: one DELTA scan plus the
     * bounded state read — the corpus is never touched. Every merge is
     * the state component's natural monoid: sum for counts, register max
     * for HLL, filter-to-merged-level union for the KLL sample.
     */
-  def datacardUpdate(spark: SparkSession, delta: DataFrame, stateDir: String): Unit = {
+  def datacardUpdate(spark: SparkSession, delta: DataFrame, stateDir: String): Unit = withStateLock(stateDir) {
     val (dc, dh, dm, drows) = statify(delta)
     val (drowsF, dlevels) = levelFilter(drows, None)
     val (oc, oh, om, orows) = readState(spark, stateDir)
@@ -262,8 +277,12 @@ object Datacard {
     * arriving batch without tracking whether state exists yet.
     */
   def datacardFold(spark: SparkSession, batch: DataFrame, stateDir: String): Unit =
-    if (stateVersion(stateDir) < 0) datacardInit(spark, batch, stateDir)
-    else datacardUpdate(spark, batch, stateDir)
+    // version check + dispatch under the SAME monitor the init/update
+    // bodies take (re-entrant), so two first-touch folds can't both init
+    withStateLock(stateDir) {
+      if (stateVersion(stateDir) < 0) datacardInit(spark, batch, stateDir)
+      else datacardUpdate(spark, batch, stateDir)
+    }
 
   /** Registered `text_datacard_incremental`: land 9/10 of the corpus as
     * base state, fold the remaining 1/10 in as a delta, render from

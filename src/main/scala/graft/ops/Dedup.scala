@@ -177,13 +177,17 @@ object Dedup {
 
   /** The pair plan without the presentation sort — consumers that only
     * need the edge set (duplicateClustersAt) skip that extra range
-    * shuffle + sort stage.
+    * shuffle + sort stage. Registered paths run under the default
+    * [[PairBudget]] — candidate explosion fails loudly (see
+    * [[enforceBudget]]), it does not silently launch a doomed shuffle.
     */
-  private def ngramPairsAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
-    ngramPairsOn(Catalog(spark, dir).ref("documents"), tau)
+  private def ngramPairsAt(spark: SparkSession, dir: String, tau: Double,
+      budget: Option[PairBudget] = Some(PairBudget())): DataFrame =
+    ngramPairsOn(Catalog(spark, dir).ref("documents"), tau, budget)
 
-  private def ngramPairsOn(docs: DataFrame, tau: Double): DataFrame =
-    ngramPairsFromShingles(docShingleHashesOn(docs), tau)
+  private def ngramPairsOn(docs: DataFrame, tau: Double,
+      budget: Option[PairBudget] = Some(PairBudget())): DataFrame =
+    ngramPairsFromShingles(docShingleHashesOn(docs), tau, budget = budget)
 
   /** The pair plan over a PRE-SHINGLED relation `(doc_id, shs)` (the
     * [[docShingleHashesOn]] shape) — lets [[graft.ops.Curation]] derive
@@ -214,9 +218,11 @@ object Dedup {
     * checkpoint materialization entirely.
     */
   private[ops] def ngramPairsFromShingles(shingled: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue, collapse: Option[Boolean] = None): DataFrame =
-    if (maxDf == Int.MaxValue) ngramPairsExactCount(shingled, tau, collapse = collapse)
-    else ngramPairsPrefixVerify(shingled, tau, maxDf)
+      maxDf: Int = Int.MaxValue, collapse: Option[Boolean] = None,
+      budget: Option[PairBudget] = None): DataFrame =
+    if (maxDf == Int.MaxValue)
+      ngramPairsExactCount(shingled, tau, collapse = collapse, budget = budget)
+    else ngramPairsPrefixVerify(shingled, tau, maxDf, budget = budget)
 
   /** Uncapped exact plan: collapse IDENTICAL shingle sets first (the
     * "dedup at the signature level" move every sketch family here
@@ -232,7 +238,8 @@ object Dedup {
     * twin.
     */
   private[ops] def ngramPairsExactCount(shingled: DataFrame, tau: Double,
-      collapseGate: Double = 0.9, collapse: Option[Boolean] = None): DataFrame = {
+      collapseGate: Double = 0.9, collapse: Option[Boolean] = None,
+      budget: Option[PairBudget] = None): DataFrame = {
     // Caller-decided direct path: fully LAZY — no checkpoint, no probe
     // action, the d4de34a plan shape. The pair plan is consumed once
     // (clustersOf checkpoints the edges), so there is nothing to reuse.
@@ -240,7 +247,7 @@ object Dedup {
       return bucketCountPairs(
         shingled.select(col("doc_id"), col("shs"))
           .filter(size(col("shs")) > 0)
-          .select(col("doc_id"), size(col("shs")).as("n"), col("shs")), tau)
+          .select(col("doc_id"), size(col("shs")).as("n"), col("shs")), tau, budget)
     // Set identity = (xxhash64(shs), n, first element, last element) —
     // a 32-byte content address over the SORTED shingle array, so
     // grouping and the membership join never sort/compare hundreds of
@@ -271,7 +278,7 @@ object Dedup {
       st.getLong(1) < collapseGate * st.getLong(0)
     }
     if (!doCollapse)
-      return bucketCountPairs(keyed.select(col("doc_id"), col("n"), col("shs")), tau)
+      return bucketCountPairs(keyed.select(col("doc_id"), col("n"), col("shs")), tau, budget)
     // one row per DISTINCT set: min-id rep + one carried array (first()
     // holds one array per group in the partial buffer — bounded by the
     // distinct sets per partition, the same shape as any dedup agg)
@@ -279,7 +286,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"), first(col("shs")).as("shs"))
       .localCheckpoint(eager = false)
     val dsets = dgroups.select(col("rep").as("doc_id"), col("n"), col("shs"))
-    val repPairs = bucketCountPairs(dsets, tau)
+    val repPairs = bucketCountPairs(dsets, tau, budget)
     // expansion: every member pair of a qualifying rep pair shares the
     // reps' exact sets, hence the reps' exact (n_inter, jaccard); the
     // membership join moves 32-byte key rows, never arrays
@@ -306,6 +313,66 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  // ---- candidate-pair budget (the loud scale guard) ---------------------------
+
+  /** Budget on the QUADRATIC candidate step of the inverted-index dedup
+    * families — the enforced answer to the SUPER-LINEAR shuffle growth
+    * the 8× probes flag: candidate-pair volume Σ C(df, 2) grows with
+    * the SQUARE of the corpus duplication rate, so on a
+    * duplicate-heavy crawl these are the first jobs to die, silently
+    * and expensively. Before expanding pairs, each guarded path
+    * estimates the candidate volume from its (already materialized)
+    * posting lists — one metadata-cheap aggregate — and FAILS LOUDLY
+    * past the budget instead of launching a doomed shuffle.
+    *
+    * `maxPairs` = absolute cap; when None the cap is CORPUS-RELATIVE:
+    * max(4M, `perPosting` × posting count), i.e. an average candidate
+    * fan-out per posting — duplication inflates Σ C(df,2) quadratically
+    * but postings only linearly, so the ratio is exactly the explosion
+    * detector. The remedy the error message points at is the df-capped
+    * variant ([[ngramJaccardCappedAt]] / [[containmentCappedAt]]),
+    * whose posting-list cap bounds the same quadratic by construction.
+    */
+  final case class PairBudget(maxPairs: Option[Long] = None, perPosting: Long = 50L) {
+    def limit(postings: Long): Long =
+      maxPairs.getOrElse(math.max(4000000L, perPosting * postings))
+  }
+
+  /** Telemetry of the last budget check: (operator, estimated pairs,
+    * enforced limit) — what ScaleProbe prints next to the 8× lines.
+    */
+  @volatile private[graft] var lastBudgetCheck: Option[(String, Long, Long)] = None
+
+  /** One aggregate over the grouped posting relation (expects a `docs`
+    * array column): Σ C(|bucket|, 2) candidate pairs + Σ |bucket|
+    * postings, then enforce. Callers pass the relation ALREADY lazily
+    * checkpointed, so this action materializes the postings the pair
+    * expansion reuses — the estimate costs a checkpoint scan, not a
+    * recompute of the shingle pipeline.
+    */
+  private def enforceBudget(op: String, grouped: DataFrame, b: PairBudget): Unit =
+    enforceBudgetOn(op, grouped, "size(docs)", b)
+
+  /** Same enforcement over any relation with a bucket-size expression
+    * (`minhashLsh` feeds per-(band, slice) collision counts).
+    */
+  private def enforceBudgetOn(op: String, grouped: DataFrame, sizeExpr: String,
+      b: PairBudget): Unit = {
+    val r = grouped.agg(
+      sum(expr(s"CAST($sizeExpr AS BIGINT) * ($sizeExpr - 1) div 2")).as("est"),
+      sum(expr(s"CAST($sizeExpr AS BIGINT)")).as("postings")).head()
+    val est = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val postings = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val lim = b.limit(postings)
+    lastBudgetCheck = Some((op, est, lim))
+    if (est > lim)
+      throw new IllegalStateException(
+        s"$op: candidate-pair budget exceeded — estimated $est candidate pairs over " +
+          s"$postings postings (limit $lim). The corpus is too duplication-heavy for " +
+          "the exact path; use the df-capped variant (ngramJaccardCappedAt / " +
+          "containmentCappedAt, cap ~ max(64, N/100)) or pass a larger PairBudget.")
+  }
+
   /** The posting-list bucket-count core over (doc_id, n, shs) rows:
     * explode to (set, shingle) postings, bucket by shingle, emit
     * length-filtered pairs, count intersections, keep J ≥ τ.
@@ -314,15 +381,27 @@ object Dedup {
     * below the projection and re-evaluate the shingle hash 3× in the
     * scan (the Dedup.scala lesson); the outer variant infers nothing,
     * and hash values are never null.
+    *
+    * With `budget` set, the grouped postings are checkpointed and the
+    * candidate volume is enforced BEFORE the quadratic expansion.
     */
-  private def bucketCountPairs(sets: DataFrame, tau: Double): DataFrame =
-    sets
+  private def bucketCountPairs(sets: DataFrame, tau: Double,
+      budget: Option[PairBudget] = None): DataFrame = {
+    val grouped0 = sets
       .withColumn("sh", explode_outer(col("shs")))
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), col("n"), col("sh"))
       .groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
+    val grouped = budget match {
+      case Some(b) =>
+        val g = grouped0.localCheckpoint(eager = false)
+        enforceBudget("ngramJaccard", g, b)
+        g
+      case None => grouped0
+    }
+    grouped
       // pair emission + the J ≥ τ length filter (n_min ≥ τ·n_max) fused
       // into one kernel (the shared SortedPairsN, which carries
       // ns = n1 + n2 — all the denominator needs): failed pairs are
@@ -335,10 +414,11 @@ object Dedup {
           (col("ns") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
+  }
 
   /** Capped plan: prefix probe + exact verify (see the contract note). */
   private def ngramPairsPrefixVerify(shingled: DataFrame, tau: Double,
-      maxDf: Int): DataFrame = {
+      maxDf: Int, budget: Option[PairBudget] = None): DataFrame = {
     // Lossless prefix threshold: J ≥ τ ⟹ min-side containment ≥ 2τ/(1+τ).
     val tauC = 2 * tau / (1 + tau)
     val sets = shingled
@@ -353,7 +433,7 @@ object Dedup {
     // the prefix (more probes, still lossless); the exact verify keeps
     // the emitted pair set unchanged either way.
     val prefixLen = (col("n") - ceil(lit(tauC) * col("n") - lit(1e-9)) + 1).cast("int")
-    val cands = sets
+    val grouped0 = sets
       .select(col("doc_id"), col("n"), prefixLen.as("k"),
         posexplode(col("shs")).as(Seq("pos", "sh")))
       .groupBy(col("sh"))
@@ -363,6 +443,14 @@ object Dedup {
       // capped run can only LOSE candidates — survivors are still
       // verified against the full sets, so their scores stay exact
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+    val grouped = budget match {
+      case Some(b) =>
+        val g = grouped0.localCheckpoint(eager = false)
+        enforceBudget("ngramJaccard(capped)", g, b)
+        g
+      case None => grouped0
+    }
+    val cands = grouped
       .select(explode(ArrayExprs.probePairsBoth(col("docs"))).as("p"))
       // length filter, also implied by J ≥ τ: n_min ≥ τ·n_max
       .filter(least(col("p.n1"), col("p.n2")).cast("double") >=
@@ -446,7 +534,7 @@ object Dedup {
     containmentAt(spark, dir, 0.9).orderBy("id1", "id2")
 
   def containmentAt(spark: SparkSession, dir: String, tau: Double): DataFrame =
-    containmentCappedAt(spark, dir, tau, Int.MaxValue)
+    containmentCappedAt(spark, dir, tau, Int.MaxValue, Some(PairBudget()))
 
   /** The df-capped scale guard, same contract as [[ngramJaccardCappedAt]]:
     * posting lists longer than `maxDf` are dropped before the quadratic
@@ -458,7 +546,7 @@ object Dedup {
     * (max(64, N/100)) per the ngram-cap lesson in SCALE.md.
     */
   def containmentCappedAt(spark: SparkSession, dir: String, tau: Double,
-      maxDf: Int): DataFrame = {
+      maxDf: Int, budget: Option[PairBudget] = None): DataFrame = {
     val c = Catalog(spark, dir)
     val base = c.ref("documents").select(col("doc_id"), col("text"))
     val ts = toks(col("text"))
@@ -466,7 +554,7 @@ object Dedup {
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(ts, lit(1),
           greatest(lit(5), floor(size(ts) * 3 / 10)).cast("int")), " ").as("text"))
-    containmentPairsOn(base.unionByName(excerpts), tau, maxDf)
+    containmentPairsOn(base.unionByName(excerpts), tau, maxDf, budget)
   }
 
   /** Candidate generation is PREFIX-FILTERED (exact, not LSH-approximate):
@@ -486,7 +574,7 @@ object Dedup {
     * bytes, dominates.
     */
   private def containmentPairsOn(docs: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue, budget: Option[PairBudget] = None): DataFrame = {
     val sets = docShingleHashesOn(docs)
       .select(col("doc_id"), array_sort(col("shs")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
@@ -497,13 +585,21 @@ object Dedup {
     // shorten the prefix and break losslessness; nudging down only
     // lengthens it, and the exact verify keeps the pair set identical
     val prefixLen = (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int")
-    val cands = sets
+    val grouped0 = sets
       .select(col("doc_id"), col("n"), prefixLen.as("k"),
         posexplode(col("shs")).as(Seq("pos", "sh")))
       .groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n"),
         (col("pos") < col("k")).as("probe"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+    val grouped = budget match {
+      case Some(b) =>
+        val g = grouped0.localCheckpoint(eager = false)
+        enforceBudget("containment", g, b)
+        g
+      case None => grouped0
+    }
+    val cands = grouped
       .select(explode(ArrayExprs.probePairsBoth(col("docs"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
@@ -629,8 +725,9 @@ object Dedup {
     * Jaccard below τ; the exact verify cannot).
     */
   def ngramJaccardCappedAt(spark: SparkSession, dir: String, tau: Double,
-      maxDf: Int): DataFrame =
-    ngramPairsFromShingles(docShingleHashes(Catalog(spark, dir)), tau, maxDf)
+      maxDf: Int, budget: Option[PairBudget] = Some(PairBudget())): DataFrame =
+    ngramPairsFromShingles(docShingleHashes(Catalog(spark, dir)), tau, maxDf,
+      budget = budget)
       .orderBy("id1", "id2")
 
   /** The cap sized RELATIVE to the corpus, as the scaladoc above
@@ -673,11 +770,13 @@ object Dedup {
     minhashLshAt(spark, dir, numHashes = 64, bands = 16, tau = 0.5)
 
   def minhashLshAt(spark: SparkSession, dir: String, numHashes: Int,
-      bands: Int, tau: Double): DataFrame =
-    minhashLshOn(Catalog(spark, dir).ref("documents"), numHashes, bands, tau)
+      bands: Int, tau: Double,
+      budget: Option[PairBudget] = Some(PairBudget())): DataFrame =
+    minhashLshOn(Catalog(spark, dir).ref("documents"), numHashes, bands, tau, budget)
 
   private def minhashLshOn(docs: DataFrame, numHashes: Int,
-      bands: Int, tau: Double): DataFrame = {
+      bands: Int, tau: Double,
+      budget: Option[PairBudget] = Some(PairBudget())): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Per-row signature via the native MinHashSigMd5 expression: one
     // pass over the corpus, zero shuffle. At 100 TB a production
@@ -701,6 +800,16 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bslice")
+    // Candidate-budget guard BEFORE the collision join: per-(band,
+    // slice) bucket sizes are one partial-aggregated count over the
+    // checkpointed signatures (banded is a narrow projection of sig),
+    // and Σ C(bucket, 2) is exactly the join's output volume — the
+    // quadratic a duplication-heavy corpus explodes.
+    budget.foreach { bud =>
+      enforceBudgetOn("minhashLsh",
+        banded.groupBy(col("band"), col("bslice")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), "c", bud)
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,

@@ -229,8 +229,66 @@ object Ivf {
     index
   }
 
-  /** Reopen an existing index without touching its data files. */
-  def loadIndex(path: String): IvfIndex = IvfIndex(path, readCentroids(path))
+  /** Reopen an existing index without touching its data files.
+    *
+    * Crash recovery: [[rebalance]]'s two-move directory swap has a
+    * window where the live directory is absent and only `path + ".old"`
+    * exists (crash between the moves). A loader that finds no live
+    * directory but a `.old` sibling restores the old generation and
+    * serves it — the rebalance is simply lost and re-fires on the next
+    * drift check. On an object store the swap is a single manifest
+    * pointer flip and this path never triggers.
+    */
+  def loadIndex(path: String): IvfIndex =
+    buildLocks.getOrElseUpdate(path, new Object).synchronized {
+      val live = java.nio.file.Paths.get(path)
+      val old = java.nio.file.Paths.get(path + ".old")
+      if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
+        java.nio.file.Files.move(old, live)
+      IvfIndex(path, readCentroids(path))
+    }
+
+  // ---- idempotent append (streaming at-least-once replay) -------------------
+
+  private val AppliedSidecar = "_ivf_applied.txt"
+
+  /** Tokens of batches already folded into the index (bounded: one short
+    * line per applied batch).
+    */
+  def appliedTokens(index: IvfIndex): Set[String] = {
+    val p = java.nio.file.Paths.get(index.path, AppliedSidecar)
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).toSet
+  }
+
+  /** [[appendBatch]] guarded by a per-batch token so an at-least-once
+    * replay (streaming checkpoint replays the last uncommitted batch on
+    * restart) does NOT re-append the same vectors: if `token` is already
+    * recorded in the index's applied-batches sidecar the call is a
+    * no-op and returns false. The token is recorded after the parquet
+    * append commits; the residual window (crash between the append's
+    * output commit and the token line) is the same non-transactional
+    * gap any file sink has — an object-store manifest commit merges the
+    * two writes and closes it. [[rebalance]] carries the sidecar into
+    * the new generation, so batches already re-encoded by a rebalance
+    * stay deduplicated across the swap.
+    */
+  def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
+    buildLocks.getOrElseUpdate(index.path, new Object).synchronized {
+      require(!token.contains("\n"), "append token must be a single line")
+      if (appliedTokens(index).contains(token)) false
+      else {
+        appendBatch(index, batch)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(index.path, AppliedSidecar),
+          (token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        true
+      }
+    }
 
   /** [[buildIndex]] memoized per (path, source fingerprint, kCells,
     * iters) for the session — the [[BpeTrain.trainedMerges]] pattern:
@@ -376,13 +434,28 @@ object Ivf {
       .sortBy(_.cid).toSeq
   }
 
-  /** Measure drift: the index's CURRENT per-cell stats against the
-    * build-time sidecar. O(index scan) work, k rows of metadata out —
-    * cheap enough to run after every append wave.
+  /** Invocation counter for [[driftStats]] — the instrumentation the
+    * ingest-loop amortization spec counts index scans with.
     */
-  def driftStats(spark: SparkSession, index: IvfIndex): DriftReport =
+  private[graft] val driftScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Measure drift: the index's CURRENT per-cell stats against the
+    * build-time sidecar. O(index scan) work, k rows of metadata out.
+    * Run it per append WAVE, not per micro-batch: the scan is O(index),
+    * so an ingest loop amortizes it (see IvfIngest's `checkEvery`).
+    *
+    * Reader contract (also applies to [[screenBatch]]): callers read
+    * `index.path` outside the per-path build lock, so a CONCURRENT
+    * [[rebalance]] swap can momentarily remove the live directory —
+    * don't run either concurrently with a rebalance of the same index;
+    * after a crash mid-swap, [[loadIndex]] restores the `.old`
+    * generation.
+    */
+  def driftStats(spark: SparkSession, index: IvfIndex): DriftReport = {
+    driftScans.incrementAndGet()
     DriftReport(build = readCellStats(index.path),
       now = cellStatsOf(spark, index))
+  }
 
   /** Retrain the quantizer from a fresh bounded sample of the index's
     * CURRENT contents (same cell count), remap every vector in one
@@ -410,6 +483,12 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     writeCentroids(tmp, centroids)
     writeCellStats(tmp, cellStatsOf(spark, IvfIndex(tmp, centroids)))
+    // Applied-batch tokens describe CONTENT already in the index; the
+    // rebuild re-encodes that content, so the tokens carry over — a
+    // post-swap replay of an old batch must still no-op.
+    val applied = java.nio.file.Paths.get(index.path, AppliedSidecar)
+    if (java.nio.file.Files.exists(applied))
+      java.nio.file.Files.copy(applied, java.nio.file.Paths.get(tmp, AppliedSidecar))
     val live = java.nio.file.Paths.get(index.path)
     val old = java.nio.file.Paths.get(index.path + ".old")
     java.nio.file.Files.move(live, old)

@@ -397,6 +397,240 @@ object Pq {
       |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- persisted-index API + codebook drift maintenance ---------------------
+  //
+  // The PQ mirror of [[Ivf]]'s r13 maintenance loop: encoded codes keep
+  // their codebooks forever, so under distribution shift the sub-
+  // codebooks rot exactly like the coarse quantizer — ADC recall decays
+  // silently while every query still "works". The index persists codes
+  // NEXT TO the raw vectors (the stand-in for the source table an
+  // object-store deployment would re-encode from), per-subspace fit
+  // stats ride a build-time sidecar, and [[pqDriftStats]]/[[rebalance]]
+  // close the detect→repair loop.
+
+  /** Handle to a persisted PQ index: parquet of
+    * (vec_id, embedding, c0 … c(m-1)) plus the codebook sidecar.
+    */
+  final case class PqIndex(path: String, codebooks: Seq[Seq[Array[Double]]])
+
+  /** Per-subspace occupancy and mean squared quantization error — the
+    * bounded (m rows) health summary. Quantization error is THE fit
+    * metric for PQ: ADC distance error is bounded by it (Jégou et al.
+    * 2011, §III), so when shifted appends push vectors far from every
+    * codebook entry, meanD2 grows before recall visibly dies.
+    */
+  final case class SubStats(s: Int, n: Long, meanD2: Double)
+
+  final case class PqDriftReport(build: Seq[SubStats], now: Seq[SubStats]) {
+    private def meanOf(x: Seq[SubStats]): Double =
+      if (x.isEmpty) Double.NaN
+      else x.map(t => t.meanD2 * t.n).sum / math.max(1L, x.map(_.n).sum)
+    def meanD2Build: Double = meanOf(build)
+    def meanD2Now: Double = meanOf(now)
+    /** Rebalance trigger: occupancy-weighted quantization error grew
+      * past `growth`× its build-time level.
+      */
+    def drifted(growth: Double = 1.5): Boolean = meanD2Now > meanD2Build * growth
+  }
+
+  private val CodebookSidecar = "_pq_codebooks.txt"
+  private val SubStatsSidecar = "_pq_substats.txt"
+
+  private def writeCodebooks(path: String, cbs: Seq[Seq[Array[Double]]]): Unit = {
+    val body = (for ((cb, s) <- cbs.zipWithIndex; (c, j) <- cb.zipWithIndex)
+      yield s"$s,$j,${c.mkString(";")}").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, CodebookSidecar),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readCodebooks(path: String): Seq[Seq[Array[Double]]] = {
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, CodebookSidecar)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    body.split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(s, j, vs) = line.split(",", 3)
+        (s.toInt, j.toInt, vs.split(";").map(_.toDouble))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+  }
+
+  private def writeSubStats(path: String, stats: Seq[SubStats]): Unit = {
+    val body = stats.map(t => s"${t.s},${t.n},${t.meanD2}").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, SubStatsSidecar),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readSubStats(path: String): Seq[SubStats] = {
+    val p = java.nio.file.Paths.get(path, SubStatsSidecar)
+    if (!java.nio.file.Files.exists(p)) return Nil
+    new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val f = line.split(",")
+        SubStats(f(0).toInt, f(1).toLong, f(2).toDouble)
+      }
+  }
+
+  /** (vec_id, embedding, c0 … c(m-1), d0 … d(m-1)) — codes AND their
+    * quantization errors from ONE NearestCentroidSq per subspace.
+    */
+  private def encodeWithD2(emb: DataFrame, cbs: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = cbs.size
+    val subDim = cbs.head.head.length
+    val cols = (0 until m).flatMap { s =>
+      val nc = ArrayExprs.nearestCentroidSq(
+        slice(col("embedding"), s * subDim + 1, subDim), cbs(s))
+      Seq(nc.getField("cid").as(s"c$s"), nc.getField("dist2").as(s"d$s"))
+    }
+    emb.select(col("vec_id") +: col("embedding") +: cols: _*)
+  }
+
+  private def subStatsOf(encoded: DataFrame, m: Int): Seq[SubStats] = {
+    val aggs = (0 until m).flatMap(s =>
+      Seq(count(col(s"d$s")).as(s"n$s"), avg(col(s"d$s")).as(s"m$s")))
+    val r = encoded.agg(aggs.head, aggs.tail: _*).head()
+    (0 until m).map(s => SubStats(s, r.getLong(2 * s),
+      if (r.isNullAt(2 * s + 1)) Double.NaN else r.getDouble(2 * s + 1)))
+  }
+
+  /** Build (or overwrite) the persisted index: train sub-codebooks,
+    * encode in one scan, persist codes + raw vectors, write the
+    * codebook sidecar AND the encode-time fit-stats sidecar (one
+    * aggregate off the same checkpointed encode, no second corpus
+    * pass).
+    */
+  def buildIndex(base: DataFrame, path: String, m: Int, kSub: Int,
+      iters: Int): PqIndex = {
+    val cbs = trainCodebooks(base, m, kSub, iters)
+    val encoded = encodeWithD2(
+      base.select(col("vec_id"), col("embedding")), cbs).localCheckpoint()
+    val dataCols = col("vec_id") +: col("embedding") +:
+      (0 until m).map(s => col(s"c$s"))
+    encoded.select(dataCols: _*).write.mode("overwrite").parquet(path)
+    writeCodebooks(path, cbs)
+    writeSubStats(path, subStatsOf(encoded, m))
+    PqIndex(path, cbs)
+  }
+
+  /** Reopen an index; after a crash mid-[[rebalance]] swap, restore the
+    * `.old` generation (the [[Ivf.loadIndex]] contract).
+    */
+  def loadIndex(path: String): PqIndex =
+    pqLocks.getOrElseUpdate(path, new Object).synchronized {
+      val live = java.nio.file.Paths.get(path)
+      val old = java.nio.file.Paths.get(path + ".old")
+      if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
+        java.nio.file.Files.move(old, live)
+      PqIndex(path, readCodebooks(path))
+    }
+
+  /** Encode a new batch against the FROZEN codebooks and append its
+    * cells — O(Δ). This is the path that erodes fit under shift.
+    */
+  def appendBatch(index: PqIndex, batch: DataFrame): Unit = {
+    val m = index.codebooks.size
+    val dataCols = col("vec_id") +: col("embedding") +:
+      (0 until m).map(s => col(s"c$s"))
+    encodeWithD2(batch.select(col("vec_id"), col("embedding")), index.codebooks)
+      .select(dataCols: _*)
+      .write.mode("append").parquet(index.path)
+  }
+
+  /** Current per-subspace fit vs the build-time sidecar: one index scan
+    * into an m-row aggregate. Codes are frozen-nearest, so recomputing
+    * NearestCentroidSq's dist2 IS the assigned entry's error.
+    */
+  def pqDriftStats(spark: SparkSession, index: PqIndex): PqDriftReport = {
+    val m = index.codebooks.size
+    val now = subStatsOf(encodeWithD2(
+      spark.read.parquet(index.path).select(col("vec_id"), col("embedding")),
+      index.codebooks), m)
+    PqDriftReport(build = readSubStats(index.path), now = now)
+  }
+
+  /** Retrain the sub-codebooks from a bounded sample of the index's
+    * CURRENT contents, re-encode every vector in one scan into a
+    * sibling directory, swap atomically (pointer flip on an object
+    * store; two moves + `.old` cleanup here, with [[loadIndex]] as the
+    * crash-recovery path). Same per-path monitor as the build.
+    */
+  def rebalance(spark: SparkSession, index: PqIndex, iters: Int = 2): PqIndex =
+    pqLocks.getOrElseUpdate(index.path, new Object).synchronized {
+      val data = spark.read.parquet(index.path).select("vec_id", "embedding")
+      val m = index.codebooks.size
+      val kSub = index.codebooks.head.size
+      val cbs = trainCodebooks(data, m, kSub, iters)
+      val tmp = index.path + ".rebuild"
+      val encoded = encodeWithD2(data, cbs).localCheckpoint()
+      val dataCols = col("vec_id") +: col("embedding") +:
+        (0 until m).map(s => col(s"c$s"))
+      encoded.select(dataCols: _*).write.mode("overwrite").parquet(tmp)
+      writeCodebooks(tmp, cbs)
+      writeSubStats(tmp, subStatsOf(encoded, m))
+      val live = java.nio.file.Paths.get(index.path)
+      val old = java.nio.file.Paths.get(index.path + ".old")
+      java.nio.file.Files.move(live, old)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
+      graft.util.Fs.deleteRecursively(index.path + ".old")
+      PqIndex(index.path, cbs)
+    }
+
+  private val pqLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
+
+  /** ADC top-k of raw query vectors against the persisted codes —
+    * the recall probe PqSpec and ScaleProbe measure drift with.
+    */
+  def adcTopK(spark: SparkSession, index: PqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    val m = index.codebooks.size
+    val kEff = index.codebooks.head.size
+    val lutSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        queryVecs.toIndexedSeq.map { case (id, q) =>
+          Row(id, adcLut(q, index.codebooks).toSeq)
+        }, 1), lutSchema)
+    val d2 = (0 until m).map { s =>
+      element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    spark.read.parquet(index.path).crossJoin(broadcast(lutDf))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
+  /** Measured ADC recall@k against the exact L2 top-k over the index's
+    * stored vectors — the dial a PQ user watches rot under shift.
+    */
+  def recallAtK(spark: SparkSession, index: PqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int): Double = {
+    import spark.implicits._
+    val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
+    val exact = spark.read.parquet(index.path)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qDf))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(embedding, qvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val approx = adcTopK(spark, index, queryVecs, k)
+      .select(col("query_id"), col("vec_id"))
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else exact.join(approx, Seq("query_id", "vec_id")).count().toDouble / denom
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (pqAdc _),
     "sim_ivfpq_ann" -> (ivfPqAnn _))

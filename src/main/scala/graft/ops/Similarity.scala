@@ -294,8 +294,22 @@ object Similarity {
     * [[graft.ScaleProbe]] measures the planted cross-boundary miss rate
     * of 1-probe vs 2-probe at two scales.
     */
+  /** `saltBlocks` is the CELL-SKEW dial: the in-cell pair step keys the
+    * self-join on the cell id, so one over-occupied cell (boilerplate
+    * embeddings, a templated document family) lands its whole |cell|²
+    * pair work on ONE reducer — the SemDeDup mirror of the hot-label
+    * star problem. With g = saltBlocks > 1, members hash into g blocks
+    * and the join keys on (cell, blockA, blockB): pair (x, y) meets in
+    * exactly the (b(x), b(y)) block task, so the emitted pair set — and
+    * every dedup verdict — is IDENTICAL, while per-task pair work drops
+    * to (|cell|/g)² across g² tasks. Replication cost is g× on each
+    * join input (rows, not pairs) — cheap against a quadratic hot task.
+    * ScaleProbe measures the spread on a skewed-cell fixture.
+    */
   def semanticDedupAt(spark: SparkSession, dir: String, kCells: Int,
-      tau: Double, iters: Int, nprobeAssign: Int = 1): DataFrame = {
+      tau: Double, iters: Int, nprobeAssign: Int = 1,
+      saltBlocks: Int = 1): DataFrame = {
+    require(saltBlocks >= 1, s"saltBlocks must be >= 1, got $saltBlocks")
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
@@ -308,9 +322,25 @@ object Similarity {
     val probed = assigned
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(col("probes")).as("pcid"))
-    val dups = probed.as("a")
-      .join(probed.as("b"),
-        col("a.pcid") === col("b.pcid") && col("b.vec_id") < col("a.vec_id"))
+    val dups = (if (saltBlocks == 1) {
+      probed.as("a")
+        .join(probed.as("b"),
+          col("a.pcid") === col("b.pcid") && col("b.vec_id") < col("a.vec_id"))
+    } else {
+      val g = saltBlocks
+      val blk = pmod(xxhash64(col("vec_id")), lit(g.toLong)).cast("int")
+      // left row x lives in block row pb = b(x) and visits every ob;
+      // right row y lives in ob = b(y) and visits every pb — pair (x, y)
+      // meets exactly once, in the (b(x), b(y)) task
+      val leftS = probed.withColumn("pb", blk)
+        .withColumn("ob", explode(sequence(lit(0), lit(g - 1))))
+      val rightS = probed.withColumn("ob", blk)
+        .withColumn("pb", explode(sequence(lit(0), lit(g - 1))))
+      leftS.as("a")
+        .join(rightS.as("b"),
+          col("a.pcid") === col("b.pcid") && col("a.pb") === col("b.pb") &&
+            col("a.ob") === col("b.ob") && col("b.vec_id") < col("a.vec_id"))
+    })
       .withColumn("score",
         dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("score") >= tau)
@@ -342,14 +372,27 @@ object Similarity {
   def semanticDedupInt8(spark: SparkSession, dir: String): DataFrame =
     semanticDedupInt8At(spark, dir, kCells = 16, tau = 0.95, iters = 0)
 
+  /** `sim_semantic_dedup_int8_probe2`: BOTH dials composed — the int8
+    * bandwidth dial through the quadratic loop AND the `nprobeAssign=2`
+    * boundary dial, since at scale you want cheap pair work and
+    * boundary recall at the same time. The explode/shared-probe-cell
+    * join is orthogonal to what the pair step scores, so the
+    * composition is exactly [[semanticDedupAt]]'s probe machinery over
+    * [[semanticDedupInt8At]]'s code vectors.
+    */
+  def semanticDedupInt8Probe2(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupInt8At(spark, dir, kCells = 16, tau = 0.95, iters = 0, nprobeAssign = 2)
+
   def semanticDedupInt8At(spark: SparkSession, dir: String, kCells: Int,
-      tau: Double, iters: Int): DataFrame = {
+      tau: Double, iters: Int, nprobeAssign: Int = 1): DataFrame = {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
     val centroids = Ivf.kmeansCentroids(
       emb.withColumn("nrm", l2norm(col("embedding"))), kCells, iters)
+    val p = math.min(nprobeAssign, centroids.size)
     val q = emb
-      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+      .withColumn("probes", ArrayExprs.nearestCentroids(col("embedding"), centroids, p))
+      .withColumn("cid", col("probes").getItem(0))
       .withColumn("scale",
         expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
       .withColumn("codes", expr(
@@ -358,14 +401,18 @@ object Similarity {
           |     CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)))""".stripMargin))
       .withColumn("qn2",
         expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
-      .select("vec_id", "cid", "codes", "qn2")
+      .select("vec_id", "cid", "probes", "codes", "qn2")
       .localCheckpoint()
-    val left = q.select(col("vec_id").as("a_id"), col("cid"),
+    // a pair sharing both probe cells is scored once per shared cell;
+    // the min rollup absorbs the duplicate, same as semanticDedupAt
+    val probed = q.select(col("vec_id"), col("codes"), col("qn2"),
+      explode(col("probes")).as("pcid"))
+    val left = probed.select(col("vec_id").as("a_id"), col("pcid"),
       col("codes").as("qa"), col("qn2").as("an2"))
-    val right = q.select(col("vec_id").as("b_id"), col("cid"),
+    val right = probed.select(col("vec_id").as("b_id"), col("pcid"),
       col("codes").as("qb"), col("qn2").as("bn2"))
     val dups = left.join(right,
-        left("cid") === right("cid") && col("b_id") < col("a_id"))
+        left("pcid") === right("pcid") && col("b_id") < col("a_id"))
       .filter(col("an2") > 0L && col("bn2") > 0L)
       .withColumn("dotq", expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
@@ -435,6 +482,64 @@ object Similarity {
       |       COALESCE(d.dup_of, -1) AS dup_of
       |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
+
+  /** Oracle twin of [[semanticDedupInt8Probe2]]: the probe2 twin's
+    * r ≤ 2 probe CTE composed with the int8 twin's quantization CTEs —
+    * the pair join runs over shared probe cells and scores CODE
+    * vectors; the reported cid stays r = 1.
+    */
+  val semanticDedupInt8Probe2Sql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |probes AS MATERIALIZED (
+      |  SELECT vec_id, cid, r FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r <= 2),
+      |qv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         CASE WHEN scale = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(vec, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+      |         END AS q
+      |  FROM (SELECT vec_id, vec,
+      |               list_max(list_transform(vec, x -> abs(x))) AS scale
+      |        FROM en)),
+      |qn AS MATERIALIZED (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      |  FROM qv),
+      |dups AS (
+      |  SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+      |  FROM probes a
+      |  JOIN probes b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  JOIN qn qa ON qa.vec_id = a.vec_id
+      |  JOIN qn qb ON qb.vec_id = b.vec_id
+      |  WHERE qa.n2 > 0 AND qb.n2 > 0
+      |    AND CAST(list_sum(list_transform(range(1, len(qa.q) + 1),
+      |              i -> qa.q[i] * qb.q[i])) AS DOUBLE)
+      |          / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) >= 0.95
+      |  GROUP BY 1)
+      |SELECT p.vec_id, CAST(p.cid AS INT) AS cid,
+      |       d.dup_of IS NOT NULL AS is_dup,
+      |       COALESCE(d.dup_of, -1) AS dup_of
+      |FROM probes p LEFT JOIN dups d ON d.vec_id = p.vec_id
+      |WHERE p.r = 1
+      |ORDER BY p.vec_id""".stripMargin
 
   /** Oracle twin: same sample/assignment CTEs as Ivf.ivfAnnSql, then the
     * in-cell pair filter and earliest-representative choice in SQL.
@@ -684,6 +789,7 @@ object Similarity {
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_semantic_dedup_probe2" -> (semanticDedupProbe2 _),
     "sim_semantic_dedup_int8" -> (semanticDedupInt8 _),
+    "sim_semantic_dedup_int8_probe2" -> (semanticDedupInt8Probe2 _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
@@ -698,6 +804,7 @@ object Similarity {
     "sim_semantic_dedup" -> semanticDedupSql,
     "sim_semantic_dedup_probe2" -> semanticDedupProbe2Sql,
     "sim_semantic_dedup_int8" -> semanticDedupInt8Sql,
+    "sim_semantic_dedup_int8_probe2" -> semanticDedupInt8Probe2Sql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,

@@ -147,6 +147,42 @@ object Subword {
     */
   val ViterbiUnroll: Int = graft.functions.Viterbi.WindowCp
 
+  /** Planted long-word document UNIONed into the two unigram queries'
+    * corpus, engine and twin alike (the [[Dedup.adversarialDocs]]
+    * fixture pattern): the shared corpus's longest word is 8 codepoints,
+    * so without it CORRECTNESS never drives the ≥[[ViterbiUnroll]]-cp
+    * window machinery through the driver's oracle — the windowed DP was
+    * spec-covered but oracle-idle. The 130-cp word splits 63+63+4, the
+    * 72-cp word 63+9; both now hash-check end to end in
+    * `text_unigram_viterbi` and `text_unigram_em`.
+    */
+  private[ops] val LongWordText: String =
+    ("abcdefghij" * 13) + " " + ("tokenization" * 6)
+  private[ops] val LongWordSource = "zz_planted_longword"
+
+  private def unigramDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Catalog(spark, dir).ref("documents").select(col("source"), col("text"))
+      .unionByName(Seq((LongWordSource, LongWordText)).toDF("source", "text"))
+  }
+
+  private def unigramTokenInstances(spark: SparkSession, dir: String): DataFrame =
+    unigramDocs(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+
+  private def unigramDistinctWords(spark: SparkSession, dir: String): DataFrame =
+    unigramTokenInstances(spark, dir).groupBy("word")
+      .agg(count(lit(1)).as("wfreq"))
+
+  /** The union CTE prefix both unigram twins read `tok` from. */
+  private def unigramDocsSql: String =
+    s"""docs_u AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL SELECT '$LongWordSource' AS source, '$LongWordText' AS text)"""
+      .stripMargin
+
   /** Scored piece inventory for the unigram model: substrings of length
     * 1..maxLen over distinct words, freq = occurrence-weighted word
     * frequency; vocab = top-V by (freq desc, piece asc) ∪ every
@@ -154,8 +190,12 @@ object Subword {
     * fixed-point log2 of freq — pure-integer, hash-checkable.
     */
   def trainScoredVocab(spark: SparkSession, dir: String, topV: Int,
+      maxLen: Int): Map[String, Long] =
+    trainScoredVocabOn(distinctWords(spark, dir), topV, maxLen)
+
+  private def trainScoredVocabOn(dw: DataFrame, topV: Int,
       maxLen: Int): Map[String, Long] = {
-    val subs = distinctWords(spark, dir)
+    val subs = dw
       .withColumn("i", explode(sequence(lit(1), length(col("word")))))
       .withColumn("j", explode(sequence(lit(1), lit(maxLen))))
       .filter(col("i") + col("j") - lit(1) <= length(col("word")))
@@ -180,8 +220,8 @@ object Subword {
     * apply, one rollup shuffle.
     */
   def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = trainScoredVocab(spark, dir, TopV, MaxPieceLen)
-    tokenInstances(spark, dir)
+    val vocab = trainScoredVocabOn(unigramDistinctWords(spark, dir), TopV, MaxPieceLen)
+    unigramTokenInstances(spark, dir)
       .select(col("source"),
         graft.functions.Viterbi.viterbiPieces(col("word"), vocab).as("v"))
       .groupBy("source")
@@ -218,9 +258,10 @@ object Subword {
     val resUnion = (1 to ViterbiUnroll)
       .map(i => s"  SELECT wtext, packed, $i AS wl FROM b$i")
       .mkString("\n  UNION ALL\n")
-    s"""WITH tok AS (
+    s"""WITH $unigramDocsSql,
+       |tok AS (
        |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-       |  FROM documents),
+       |  FROM docs_u),
        |tokf AS MATERIALIZED (SELECT source, word FROM tok WHERE word <> ''),
        |dw AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM tokf GROUP BY word),
        |subs AS MATERIALIZED (
@@ -298,8 +339,8 @@ object Subword {
     */
   def emVocabs(spark: SparkSession, dir: String, rounds: Int): Seq[Map[String, Long]] = {
     import graft.functions.FixLog2
-    val dw = distinctWords(spark, dir).localCheckpoint()
-    val seed = trainScoredVocab(spark, dir, TopV, MaxPieceLen)
+    val dw = unigramDistinctWords(spark, dir).localCheckpoint()
+    val seed = trainScoredVocabOn(dw, TopV, MaxPieceLen)
     val singles = seed.keySet.filter(p => p.codePointCount(0, p.length) == 1)
     val out = scala.collection.mutable.ArrayBuffer(seed)
     var vocab = seed
@@ -324,7 +365,7 @@ object Subword {
     */
   def unigramEm(spark: SparkSession, dir: String): DataFrame = {
     val vocab = emVocabs(spark, dir, EmRounds).last
-    tokenInstances(spark, dir)
+    unigramTokenInstances(spark, dir)
       .select(col("source"),
         graft.functions.Viterbi.viterbiPieces(col("word"), vocab).as("v"))
       .groupBy("source")
@@ -362,6 +403,7 @@ object Subword {
   private def emRoundSql(r: Int, vIn: String, vOut: String): String = {
     val p = s"x${r}_"
     val L = graft.functions.FixLog2
+    val W = ViterbiUnroll
     s"""m$r AS MATERIALIZED (
        |  SELECT dwin.wtext, s.i AS start, length($vIn.piece) AS len, $vIn.score
        |  FROM dwin,
@@ -392,10 +434,22 @@ object Subword {
        |  SELECT w.wtext, substr(w.wtext, w.pos - p.len + 1, p.len) AS piece
        |  FROM walk$r w JOIN pick$r p ON p.wtext = w.wtext AND p.pos = w.pos
        |  WHERE w.pos > 0),
+       |wok$r AS MATERIALIZED (
+       |  -- words with EVERY window reachable under this round's vocab:
+       |  -- the engine's ViterbiSegmentPieces returns null for the WHOLE
+       |  -- word when any window is unreachable (vocab-contract
+       |  -- violation), so a word missing one window must contribute
+       |  -- zero counts here too, not its reachable windows' pieces
+       |  SELECT win.word
+       |  FROM win JOIN allb$r b
+       |    ON b.wtext = win.wtext AND b.pos = length(win.wtext)
+       |  GROUP BY win.word
+       |  HAVING count(*) = (length(win.word) + ${W - 1}) // $W),
        |ecnt$r AS MATERIALIZED (
        |  SELECT s.piece, CAST(sum(dw.wfreq) AS BIGINT) AS cnt
        |  FROM win JOIN eseg$r s ON s.wtext = win.wtext
        |  JOIN dw ON dw.word = win.word
+       |  JOIN wok$r ON wok$r.word = win.word
        |  GROUP BY 1),
        |tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ecnt$r),
        |vc$r AS (
@@ -422,9 +476,10 @@ object Subword {
     val rounds = (1 to EmRounds)
       .map(r => emRoundSql(r, s"v${r - 1}", s"v$r")).mkString(",\n")
     val fp = "f_"
-    s"""WITH tok AS (
+    s"""WITH $unigramDocsSql,
+       |tok AS (
        |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-       |  FROM documents),
+       |  FROM docs_u),
        |tokf AS MATERIALIZED (SELECT source, word FROM tok WHERE word <> ''),
        |dw AS MATERIALIZED (SELECT word, count(*) AS wfreq FROM tokf GROUP BY word),
        |subs AS MATERIALIZED (

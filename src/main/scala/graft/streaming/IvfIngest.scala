@@ -9,36 +9,57 @@ import graft.ops.Ivf
   * arriving micro-batch is (1) screened against the CURRENT index
   * (near-dup / retrieval check at ingest, probed-cell partition
   * pruning, O(batch)), (2) appended into its cells (O(Δ), frozen
-  * quantizer), and (3) followed by the k-row drift check; when
-  * [[Ivf.DriftReport.drifted]] fires, the index is rebalanced in place
-  * (bounded-sample retrain + one remap scan + atomic swap) and later
-  * batches screen against the repaired quantizer.
+  * quantizer), and — every `checkEvery`-th applied batch — (3) the
+  * k-row drift check runs; when [[Ivf.DriftReport.drifted]] fires, the
+  * index is rebalanced in place (bounded-sample retrain + one remap
+  * scan + atomic swap) and later batches screen against the repaired
+  * quantizer.
   *
   * This closes the loop the batch APIs leave open: [[Ivf.appendBatch]]
   * erodes recall under distribution shift, [[Ivf.driftStats]] sees it,
   * [[Ivf.rebalance]] repairs it — here the stream runs all three on an
-  * evidence-based trigger instead of a timer. At 100 TB the same loop
-  * runs with the screen/append per batch and driftStats amortized
-  * (every Nth batch): the report row is bounded metadata either way.
+  * evidence-based trigger instead of a timer. The drift check is the
+  * one O(index) step in the loop, so it is AMORTIZED: screen/append
+  * run per batch, `driftStats` every `checkEvery`-th batch — at 100 TB
+  * maintenance cost per batch stays O(Δ + index/checkEvery) instead of
+  * growing linearly with index size on every trigger.
+  *
+  * Replay safety: foreachBatch under a streaming checkpoint is
+  * at-least-once — after a crash the last uncommitted batch re-runs.
+  * Both writes are idempotent per batchId: the screen result lands
+  * under a `batch_id=<id>` partition directory in overwrite mode (a
+  * replay overwrites its own output, never duplicates it), and the
+  * index append goes through [[Ivf.appendBatchIdempotent]] with the
+  * batchId as token (a replay no-ops, even across an intervening
+  * rebalance — the token sidecar survives the swap).
   */
 object IvfIngest {
 
-  /** One row of maintenance telemetry per micro-batch. */
+  /** One row of maintenance telemetry per micro-batch. `checked` marks
+    * the batches whose drift scan actually ran (the `checkEvery`
+    * cadence); on unchecked batches `meanCos` is NaN and
+    * `drifted`/`rebalanced` are false. `replayed` marks batches whose
+    * append was skipped because the token was already applied.
+    */
   final case class BatchReport(batchId: Long, screenedPairs: Long,
-      appended: Long, meanCos: Double, drifted: Boolean, rebalanced: Boolean)
+      appended: Long, meanCos: Double, checked: Boolean, drifted: Boolean,
+      rebalanced: Boolean, replayed: Boolean)
 
   /** Drain `srcDir` (a staged file-stream directory, one file per
     * trigger) through the screen→append→maintain loop against the
-    * index at `index0`. Screening output accumulates under `sinkDir`;
-    * returns the per-batch maintenance telemetry.
+    * index at `index0`. Screening output accumulates under
+    * `sinkDir/batch_id=<id>/`; returns the per-batch maintenance
+    * telemetry.
     */
   def ingestStream(spark: SparkSession, srcDir: String, index0: Ivf.IvfIndex,
-      k: Int, nprobe: Int, sinkDir: String): Seq[BatchReport] = {
+      k: Int, nprobe: Int, sinkDir: String, checkEvery: Int = 4): Seq[BatchReport] = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val schema = spark.read.parquet(srcDir).schema
     // foreachBatch closes over the MUTABLE index handle: a rebalance
     // swaps the directory atomically and later batches pick up the new
     // quantizer through this reference
     var index = index0
+    var applied = 0L // batches folded in THIS run — drives the check cadence
     val reports = scala.collection.mutable.ArrayBuffer.empty[BatchReport]
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -49,13 +70,19 @@ object IvfIngest {
         // share one computation
         val screened = Ivf.screenBatch(spark, index, pinned, k, nprobe)
           .localCheckpoint()
-        screened.write.mode("append").parquet(sinkDir)
-        Ivf.appendBatch(index, pinned)
-        val dr = Ivf.driftStats(spark, index)
-        val fire = dr.drifted()
+        // overwrite INTO the batch's own partition dir: replay-idempotent
+        screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
+        val fresh = Ivf.appendBatchIdempotent(index, pinned, token = s"ingest:$id")
+        if (fresh) applied += 1
+        val check = fresh && applied % checkEvery == 0
+        val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
+        val fire = dr.exists(_.drifted())
         if (fire) index = Ivf.rebalance(spark, index)
-        reports += BatchReport(id, screened.count(), pinned.count(),
-          dr.meanCosNow, fire, fire)
+        reports += BatchReport(id, screened.count(),
+          if (fresh) pinned.count() else 0L,
+          dr.map(_.meanCosNow).getOrElse(Double.NaN),
+          checked = check, drifted = fire, rebalanced = fire,
+          replayed = !fresh)
         ()
       }
       .option("checkpointLocation", s"$sinkDir.ckpt")

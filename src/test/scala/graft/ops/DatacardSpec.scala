@@ -78,4 +78,43 @@ class DatacardSpec extends SparkTestBase {
     // and the rendered card equals the registered query's shape
     assert(rendered.collect().length > 0)
   }
+
+  test("many-fold churn: generations pruned to <= 2, state bounded, prior-version reader survives one update") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val stateDir = tmpDir("dc_churn")
+    val folds = 12
+    (0 until folds).foreach { i =>
+      Datacard.datacardFold(spark, docs.filter(col("doc_id") % folds === i), stateDir)
+    }
+    // old-version pruning under churn: exactly the live generation and
+    // ONE predecessor remain (the reader-grace generation), not 12 dirs
+    val vdirs = new java.io.File(stateDir).listFiles
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sortBy(_.drop(1).toInt)
+    assert(vdirs.toSeq === Seq(s"v${folds - 2}", s"v${folds - 1}"),
+      s"churn must prune stale generations, got ${vdirs.mkString(",")}")
+    // state stays bounded after 12 folds: the KLL sample is still under
+    // its cap and the HLL register set is still <= 256 per source
+    spark.read.parquet(s"$stateDir/v${folds - 1}/kllrows")
+      .groupBy("source", "metric").count().collect()
+      .foreach(r => assert(r.getLong(2) <= 1024, s"kll state over cap after churn: $r"))
+    spark.read.parquet(s"$stateDir/v${folds - 1}/hll")
+      .groupBy("source").count().collect()
+      .foreach(r => assert(r.getLong(1) <= 256))
+    // a lazy render taken against the current version survives ONE
+    // subsequent fold (its files are the kept predecessor generation)
+    val before = Datacard.datacardRender(spark, stateDir)
+    Datacard.datacardFold(spark, docs.filter(col("doc_id") === 1L), stateDir)
+    assert(before.collect().nonEmpty,
+      "a pre-update render must still materialize after one fold")
+    // and the churned card equals a one-shot full build (order-insensitive
+    // monoid folds): doc_id===1 was folded twice, so compare against the
+    // matching duplicate-aware corpus
+    val full = docs.unionByName(docs.filter(col("doc_id") === 1L))
+    val oneShotDir = tmpDir("dc_churn_full")
+    Datacard.datacardInit(spark, full, oneShotDir)
+    val a = Datacard.datacardRender(spark, stateDir).collect().map(_.toString).toSeq
+    val b = Datacard.datacardRender(spark, oneShotDir).collect().map(_.toString).toSeq
+    assert(a === b, "churned incremental card must equal the one-shot build")
+  }
 }

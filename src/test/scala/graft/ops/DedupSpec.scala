@@ -280,4 +280,39 @@ class DedupSpec extends SparkTestBase {
     assert(missedByJaccard > excerptPairs.length / 2,
       s"containment must catch what Jaccard misses: $missedByJaccard of ${excerptPairs.length}")
   }
+
+  test("pair budget: explosion fails loudly on all three guarded paths; default budget is inert") {
+    // a 1-pair absolute budget forces the guard to fire on any corpus
+    val tiny = Dedup.PairBudget(maxPairs = Some(1L))
+    def msgOf(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("; ")
+    Seq[(String, () => Unit)](
+      "minhashLsh" -> (() =>
+        Dedup.minhashLshAt(spark, sf, 64, 16, 0.5, budget = Some(tiny)).count()),
+      "ngramJaccard(capped)" -> (() =>
+        Dedup.ngramJaccardCappedAt(spark, sf, 0.5, 64, budget = Some(tiny)).count()),
+      "containment" -> (() =>
+        Dedup.containmentCappedAt(spark, sf, 0.9, Int.MaxValue, Some(tiny)).count())
+    ).foreach { case (op, run) =>
+      val ex = intercept[Throwable](run())
+      val msg = msgOf(ex)
+      assert(msg.contains("candidate-pair budget exceeded"),
+        s"$op must fail loudly, got: $msg")
+      assert(msg.contains("ngramJaccardCappedAt"),
+        s"$op error must point at the capped remedy")
+      // telemetry recorded the estimate and the enforced limit
+      val (tOp, est, lim) = Dedup.lastBudgetCheck.get
+      assert(est > lim, s"$tOp telemetry: est=$est lim=$lim")
+    }
+    // the DEFAULT corpus-relative budget does not bite on the shared
+    // corpus: the guarded registered paths emit the same pairs as an
+    // unguarded run
+    val guarded = Dedup.ngramJaccard(spark, sf).collect().map(_.toString).toSeq
+    val open = Dedup.ngramJaccardCappedAt(spark, sf, 0.5, Int.MaxValue, budget = None)
+      .collect().map(_.toString).toSeq
+    assert(guarded === open)
+    val (opN, estN, limN) = Dedup.lastBudgetCheck.get
+    assert(estN <= limN, s"default budget must be inert at test scale: $opN $estN/$limN")
+  }
 }

@@ -160,6 +160,52 @@ class IvfSpec extends SparkTestBase {
     assert(again.count() >= out.length.toLong,
       "appended vectors can only add candidates")
   }
+  test("appendBatchIdempotent: a replayed batch no-ops, even across a rebalance swap") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_idem")
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath,
+      kCells = 8, iters = 1)
+    val n0 = spark.read.parquet(idxPath).count()
+    val batch = emb.filter(col("vec_id").isin(0L, 10L, 20L)).localCheckpoint()
+    // first application folds the batch in
+    assert(Ivf.appendBatchIdempotent(index, batch, token = "ingest:7"))
+    val n1 = spark.read.parquet(idxPath).count()
+    assert(n1 === n0 + 3)
+    // at-least-once replay of the SAME batchId: no-op, no duplicates
+    assert(!Ivf.appendBatchIdempotent(index, batch, token = "ingest:7"))
+    assert(spark.read.parquet(idxPath).count() === n1)
+    // a rebalance re-encodes current contents into a new generation;
+    // the applied-token sidecar must survive the swap so a post-swap
+    // replay STILL no-ops (the batch is already inside the rebuilt index)
+    val rebuilt = Ivf.rebalance(spark, index, iters = 1)
+    assert(!Ivf.appendBatchIdempotent(rebuilt, batch, token = "ingest:7"))
+    assert(spark.read.parquet(idxPath).count() === n1)
+    // a genuinely new batch still lands
+    val batch2 = emb.filter(col("vec_id") === 30L).localCheckpoint()
+    assert(Ivf.appendBatchIdempotent(rebuilt, batch2, token = "ingest:8"))
+    assert(spark.read.parquet(idxPath).count() === n1 + 1)
+  }
+
+  test("loadIndex restores the .old generation after a crash mid-swap") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_crash")
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath,
+      kCells = 8, iters = 1)
+    val n0 = spark.read.parquet(idxPath).count()
+    // simulate a crash between rebalance's two moves: live dir renamed
+    // away, replacement never moved in
+    java.nio.file.Files.move(java.nio.file.Paths.get(idxPath),
+      java.nio.file.Paths.get(idxPath + ".old"))
+    val recovered = Ivf.loadIndex(idxPath)
+    assert(recovered.centroids.size === index.centroids.size)
+    assert(spark.read.parquet(idxPath).count() === n0,
+      "the restored generation must serve the pre-swap contents")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath + ".old")))
+    // and screening against the recovered handle works
+    val batch = emb.filter(col("vec_id") === 0L)
+    assert(Ivf.screenBatch(spark, recovered, batch, k = 3, nprobe = 2).count() > 0)
+  }
+
   test("buildIndexCached: session memo serves repeats; source rewrite invalidates") {
     import spark.implicits._
     val d = tmpDir("ivf_memo_src")

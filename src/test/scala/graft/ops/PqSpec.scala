@@ -170,4 +170,66 @@ class PqSpec extends SparkTestBase {
       .collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("codebook drift: shifted appends fire the dial and drop ADC recall@50; rebalance restores both") {
+    val rnd = new scala.util.Random(67)
+    val dim = 64
+    val cBase = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    def around(c: Array[Float], noise: Float) =
+      c.map(x => x + rnd.nextGaussian().toFloat * noise)
+    val tmp = tmpDir("pq_drift")
+    (0 until 400).map(i => (i.toLong, around(cBase(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = Pq.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/index",
+      m = 4, kSub = 16, iters = 2)
+    // fresh index: fit-stat sidecar matches current contents, dial silent
+    val dr0 = Pq.pqDriftStats(spark, index0)
+    assert(!dr0.drifted(), s"fresh index must not read as drifted: ${dr0.meanD2Build} -> ${dr0.meanD2Now}")
+    // a SAME-distribution append keeps the dial silent
+    Pq.appendBatch(index0, (500 until 600)
+      .map(i => (i.toLong, around(cBase(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding"))
+    assert(!Pq.pqDriftStats(spark, index0).drifted(),
+      "same-distribution appends must not fire the dial")
+    // shifted wave: new clusters in a region the codebooks never saw
+    val cShift = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    Pq.appendBatch(index0, (1000 until 1500)
+      .map(i => (i.toLong, around(cShift(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding"))
+    val dr1 = Pq.pqDriftStats(spark, index0)
+    assert(dr1.drifted(),
+      s"shifted appends must fire the dial: ${dr1.meanD2Build} -> ${dr1.meanD2Now}")
+    // ADC recall@50 on shifted queries rots under the stale codebooks...
+    val queries = (0 until 10).map { q =>
+      ((9000 + q).toLong, around(cShift(q % 8), 0.3f).map(_.toDouble))
+    }
+    val before = Pq.recallAtK(spark, index0, queries, 50)
+    // ...and the retrain + one-scan re-encode + atomic swap restores it
+    val rebuilt = Pq.rebalance(spark, index0, iters = 2)
+    val after = Pq.recallAtK(spark, rebuilt, queries, 50)
+    assert(after > before,
+      s"rebalance must improve shifted-query recall: $before -> $after")
+    assert(after >= 0.8, s"post-rebalance recall@50 too low: $after")
+    assert(!Pq.pqDriftStats(spark, rebuilt).drifted(),
+      "rebalance must leave a healthy index")
+    // the swap preserved every vector and the sidecars reopened cleanly
+    val reopened = Pq.loadIndex(s"$tmp/index")
+    assert(reopened.codebooks.size === 4)
+    assert(spark.read.parquet(s"$tmp/index").count() === 1000L)
+  }
+
+  test("loadIndex restores the .old generation after a crash mid-swap") {
+    val rnd = new scala.util.Random(31)
+    val tmp = tmpDir("pq_crash")
+    (0 until 200).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index = Pq.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/index",
+      m = 4, kSub = 8, iters = 1)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/index"),
+      java.nio.file.Paths.get(s"$tmp/index.old"))
+    val recovered = Pq.loadIndex(s"$tmp/index")
+    assert(recovered.codebooks.size === index.codebooks.size)
+    assert(spark.read.parquet(s"$tmp/index").count() === 200L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/index.old")))
+  }
 }

@@ -115,6 +115,59 @@ class SemanticDedupSpec extends SparkTestBase {
     single.foreach { case (id, (cid, _, _)) => assert(multi(id)._1 === cid) }
   }
 
+  test("saltBlocks: the blocked pair join emits identical verdicts — the skew dial is invisible") {
+    val dir = plantedDir()
+    val plain = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95, iters = 2)
+      .collect().map(_.toString).toSeq
+    val salted = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95,
+        iters = 2, saltBlocks = 4)
+      .collect().map(_.toString).toSeq
+    assert(salted === plain, "salting must not change any verdict")
+    // and it composes with the boundary dial
+    val plain2 = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95,
+        iters = 2, nprobeAssign = 2)
+      .collect().map(_.toString).toSeq
+    val salted2 = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95,
+        iters = 2, nprobeAssign = 2, saltBlocks = 4)
+      .collect().map(_.toString).toSeq
+    assert(salted2 === plain2, "salting must compose with nprobeAssign unchanged")
+  }
+
+  test("int8 x multi-probe compose: the straddling pair is caught under int8 scoring") {
+    // same boundary fixture as the float test: the dials must COMPOSE —
+    // int8 single-probe still misses the cross-cell pair (the boundary
+    // blind spot is orthogonal to the scoring), int8 2-probe catches it
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    def clusterVec(axis: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+      v(axis) += 5f
+      v
+    }
+    val base = (0 until 90).map(i => (i.toLong, clusterVec(i % 3)))
+    val vA = Array.tabulate(dim)(j => if (j == 0) 1.0f else if (j == 1) 0.92f else 0f)
+    val vB = Array.tabulate(dim)(j => if (j == 0) 0.92f else if (j == 1) 1.0f else 0f)
+    val dir = tmpDir("semdedup_int8_boundary")
+    (base :+ (90L, vA) :+ (91L, vB)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val single = Similarity.semanticDedupInt8At(spark, dir, kCells = 3, tau = 0.95,
+        iters = 3, nprobeAssign = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(single(90L)._1 !== single(91L)._1,
+      "planted pair must straddle two cells for this test to bite")
+    assert(!single(91L)._2, "int8 single-probe must miss the cross-boundary pair")
+
+    val multi = Similarity.semanticDedupInt8At(spark, dir, kCells = 3, tau = 0.95,
+        iters = 3, nprobeAssign = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(multi(91L)._2 && multi(91L)._3 === 90L,
+      s"int8 2-probe must catch the boundary pair, got ${multi(91L)}")
+    assert(!multi(90L)._2, "the earlier member stays the keeper")
+    // primary cell ids are unchanged by the probe dial
+    single.foreach { case (id, (cid, _, _)) => assert(multi(id)._1 === cid) }
+  }
+
   test("tau = 1.0 keeps everything except exact copies; tau tightens monotonically") {
     val dir = plantedDir()
     def nDups(tau: Double): Long =

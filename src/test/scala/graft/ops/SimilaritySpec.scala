@@ -118,6 +118,34 @@ class SimilaritySpec extends SparkTestBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
     assert(msgs.contains("mixes vector dimensions"), s"unexpected failure: $msgs")
   }
+  test("rpProject: evals correctly after a Java-serialization round-trip (executor task binary)") {
+    // On a real cluster the expression reaches executors via Java
+    // serialization, which nulls the @transient sign-matrix cache and
+    // zeroes @transient Ints. The lazy-init sentinel must therefore be
+    // `signs == null`, not a cachedDim magic value — this spec freezes
+    // that by round-tripping the expression BEFORE first eval.
+    import graft.functions.RpProject
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val expr = RpProject(
+      BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false), 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(expr); oos.close()
+    val thawed = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject().asInstanceOf[RpProject]
+    val row = InternalRow(ArrayData.toArrayData(Array(1.0f, -2.0f, 0.5f)))
+    val direct = expr.eval(row).asInstanceOf[ArrayData].toDoubleArray()
+    val after = thawed.eval(row).asInstanceOf[ArrayData].toDoubleArray()
+    assert(after.toSeq === direct.toSeq)
+    // and the corrupt-data guard still fires on the thawed copy
+    val ex = intercept[IllegalStateException] {
+      thawed.eval(InternalRow(ArrayData.toArrayData(Array(1.0f, 2.0f))))
+    }
+    assert(ex.getMessage.contains("mixes vector dimensions"))
+  }
   test("int8 quantization: codes in range, reconstruction within scale/254 per coordinate") {
     val rows = Similarity.int8Quantize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

@@ -128,6 +128,11 @@ class SubwordSpec extends SparkTestBase {
       assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
       assert(r.getLong(3) > 0L)
     }
+    // the planted ≥WindowCp-cp words ride the ORACLE-CHECKED path: their
+    // source row is present with both long words counted
+    val planted = out.find(_.getString(0) == Subword.LongWordSource)
+    assert(planted.exists(_.getLong(1) === 2L),
+      s"planted long-word source missing from the registered query: ${out.map(_.getString(0)).toSeq}")
     // cross-check against the scored vocab: for each word the DP result
     // must dominate the all-single-codepoints segmentation
     val vocab = Subword.trainScoredVocab(spark, sf, Subword.TopV, Subword.MaxPieceLen)
@@ -275,10 +280,12 @@ class SubwordSpec extends SparkTestBase {
     import graft.functions.FixLog2
     val vocabs = Subword.emVocabs(spark, sf, rounds = 3)
     assert(vocabs.length === 4)
-    // driver reference EM from the same seed
-    val words = spark.read.parquet(s"$sf/documents.parquet")
+    // driver reference EM from the same seed — over the corpus PLUS the
+    // planted long-word doc the registered unigram queries union in
+    val words = (spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(col("w") =!= "").collect().map(_.getString(0))
+      ++ Subword.LongWordText.split(" "))
       .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
     val singles = vocabs.head.keySet.filter(p => p.codePointCount(0, p.length) == 1)
     var vref = vocabs.head
@@ -315,14 +322,17 @@ class SubwordSpec extends SparkTestBase {
       (3L, "plain short words only here", "src0"))
       .toDF("doc_id", "text", "source")
       .write.parquet(s"$d/documents.parquet")
-    val vocab = Subword.trainScoredVocab(spark, d, Subword.TopV, Subword.MaxPieceLen)
+    // the registered query trains on the corpus PLUS its own planted
+    // long-word doc; emVocabs' seed (rounds = 0) is exactly that vocab
+    val vocab = Subword.emVocabs(spark, d, rounds = 0).head
     val got = Subword.unigramViterbi(spark, d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    // driver reference over the same tokenization
+    // driver reference over the same tokenization, planted doc included
     val words = Seq(
       ("src0", "the " + "x" * 130 + " scan and " + "y" * 70 + " merge"),
       ("src1", "z" * 40 + " spark " + "x" * 130),
-      ("src0", "plain short words only here"))
+      ("src0", "plain short words only here"),
+      (Subword.LongWordSource, Subword.LongWordText))
       .flatMap { case (s, t) => t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _) }
     val expect = words.groupBy(_._1).map { case (s, ws) =>
       val refs = ws.map(w => windowedRef(w._2, vocab).get)

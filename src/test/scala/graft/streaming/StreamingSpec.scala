@@ -520,8 +520,17 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
+    val scans0 = graft.ops.Ivf.driftScans.get()
     val reports = graft.streaming.IvfIngest.ingestStream(
       spark, srcDir, index0, k = 10, nprobe = 1, s"$tmp/sink")
+    // the O(index) drift check is AMORTIZED (default checkEvery=4):
+    // four applied batches cost ONE index scan, not four — and the
+    // shifted wave still gets caught and repaired below
+    val driftScanCount = graft.ops.Ivf.driftScans.get() - scans0
+    assert(driftScanCount === 1L,
+      s"4 batches at checkEvery=4 must run exactly 1 drift scan, ran $driftScanCount")
+    assert(reports.count(_.checked) === 1 && reports.last.checked,
+      s"only the 4th applied batch is checked: $reports")
     assert(reports.length === 4, s"one report per micro-batch: $reports")
     // base-distribution batches must NOT fire the dial; the shifted
     // wave must fire it at least once; the LAST batch leaves the index
