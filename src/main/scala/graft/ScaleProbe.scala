@@ -73,9 +73,26 @@ object ScaleProbe {
       println(line)
       report ++= line + "\n"
     }
-    scaled("minhash_lsh_8x")(d => ops.Dedup.minhashLsh(spark, d).count())
+    // The three flagged candidate growers run under the ENFORCED default
+    // PairBudget: the line carries the guard's own estimate vs its
+    // corpus-relative cap, so "SUPER-LINEAR" here reads as
+    // "quadratic-in-duplication output, measured and bounded — past the
+    // cap the job fails loudly instead of dying slowly" (the
+    // pair_budget_guard probe below shows the failure mode).
+    def budgetNote(): String = ops.Dedup.lastBudgetCheck
+      .map { case (_, est, lim) => s" budget[est=$est cap=$lim ENFORCED]" }
+      .getOrElse("")
+    def scaledBudget(name: String)(f: String => Long): Unit = {
+      scaled(name)(f)
+      val note = budgetNote()
+      if (note.nonEmpty) {
+        report.setLength(report.length - 1); report ++= note + "\n"
+        println(s"  ^$note")
+      }
+    }
+    scaledBudget("minhash_lsh_8x")(d => ops.Dedup.minhashLsh(spark, d).count())
     scaled("ngram_capped_8x")(d => ops.Dedup.ngramJaccardCappedAt(spark, d, 0.5, 64).count())
-    scaled("ngram_autocap_8x")(d => ops.Dedup.ngramJaccardAutoCapped(spark, d, 0.5).count())
+    scaledBudget("ngram_autocap_8x")(d => ops.Dedup.ngramJaccardAutoCapped(spark, d, 0.5).count())
     scaled("simhash_8x")(d => ops.Dedup.simhash(spark, d).count())
     scaled("exact_8x")(d => ops.Dedup.exact(spark, d).count())
     // contamination: eval side is 1/20th of the corpus; train side reduces
@@ -90,7 +107,24 @@ object ScaleProbe {
     // candidate pairs grow quadratically inside each 8-clique family, the
     // honest cost of asymmetric matching on a duplicate-heavy corpus (the
     // ngramJaccardCappedAt df-cap dial applies unchanged when needed)
-    scaled("containment_8x")(d => ops.Dedup.containmentAt(spark, d, 0.9).count())
+    scaledBudget("containment_8x")(d => ops.Dedup.containmentAt(spark, d, 0.9).count())
+    // the guard FIRING: a 1M-pair absolute budget on the 8x corpus dies
+    // loudly BEFORE the pair expansion, naming the remedy — this is the
+    // behavior a duplicate-heavy 100 TB crawl hits instead of a
+    // slow-death shuffle
+    locally {
+      val fired = try {
+        ops.Dedup.minhashLshAt(spark, dir, 64, 16, 0.5,
+          budget = Some(ops.Dedup.PairBudget(maxPairs = Some(1000000L)))).count()
+        "NOT-FIRED"
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("budget exceeded") =>
+          val (_, est, lim) = ops.Dedup.lastBudgetCheck.get
+          s"fired pre-expansion: est=$est > cap=$lim"
+      }
+      val line = s"PROBE pair_budget_guard    minhash@8x under maxPairs=1M -> $fired"
+      println(line); report ++= line + "\n"
+    }
     // incremental dedup: base fingerprint index + O(delta) batch work
     scaled("dedup_incremental_8x")(d => ops.Dedup.incrementalDedup(spark, d).count())
     // bigram LM: model aggregate + one bigram-keyed scoring join
@@ -429,6 +463,62 @@ object ScaleProbe {
         println(line2); report ++= line2 + "\n"
       } finally graft.util.Fs.deleteRecursively(ddir)
     }
+    // PQ codebook drift — the sub-codebooks rot under the same shifted
+    // appends as the coarse quantizer: per-subspace quantization error
+    // (the m-row drift report) inflates, ADC recall@50 on shifted
+    // queries decays silently, and Pq.rebalance (bounded-sample
+    // retrain + one-scan re-encode + atomic swap) restores both.
+    locally {
+      val pdir = java.nio.file.Files.createTempDirectory("scale_pqdrift").toString
+      try {
+        import spark.implicits._
+        val prnd = new scala.util.Random(37)
+        val dim = 64
+        // Fixture geometry matters: ADC discriminates at CLUSTER level
+        // (codebook entries ≈ cluster regions), not within a cluster —
+        // so recall@k is the meaningful dial only when k ≈ cluster size
+        // and the entry budget covers the cluster count. 64 clusters of
+        // 150 against kSub = 64 entries, recall@150.
+        val centers = Array.fill(32)(Array.fill(dim)(prnd.nextGaussian().toFloat * 5f))
+        (0 until 4800).map { i =>
+          val c = centers(i % 32)
+          (i.toLong, c.map(x => x + prnd.nextGaussian().toFloat * 0.5f))
+        }.toDF("vec_id", "embedding").repartition(8)
+          .write.parquet(s"$pdir/base.parquet")
+        var t0 = System.nanoTime()
+        var pidx = ops.Pq.buildIndex(spark.read.parquet(s"$pdir/base.parquet"),
+          s"$pdir/index", m = 4, kSub = 64, iters = 3)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        // the shifted wave is a COMPACT ball far from the base region:
+        // its 32 clusters sit within the attraction zone of a handful of
+        // stale entries, so stale encoding collapses them onto shared
+        // code tuples (ADC can no longer tell shifted clusters apart —
+        // the genuine rot mode), while a retrain re-allocates entries
+        // into the ball at its own scale
+        val tOff = Array.fill(dim)(6f)
+        val cShift = Array.fill(32)(Array.tabulate(dim)(j =>
+          tOff(j) + prnd.nextGaussian().toFloat * 1.2f))
+        ops.Pq.appendBatch(pidx, (0 until 4800).map { i =>
+          ((100000 + i).toLong, cShift(i % 32).map(x => x + prnd.nextGaussian().toFloat * 0.5f))
+        }.toDF("vec_id", "embedding"))
+        t0 = System.nanoTime()
+        val pd = ops.Pq.pqDriftStats(spark, pidx)
+        val driftS = (System.nanoTime() - t0) / 1e9
+        val line1 = f"PROBE pq_drift             $driftS%7.2f s meanD2 ${pd.meanD2Build}%.1f->${pd.meanD2Now}%.1f drifted=${pd.drifted()} (build ${buildS}%.2f s)"
+        println(line1); report ++= line1 + "\n"
+        val queries = (0 until 20).map { q =>
+          ((900000 + q).toLong, cShift(q % 32).map(x => (x + prnd.nextGaussian().toFloat * 0.5f).toDouble))
+        }
+        val before = ops.Pq.recallAtK(spark, pidx, queries, 150)
+        t0 = System.nanoTime()
+        pidx = ops.Pq.rebalance(spark, pidx, iters = 3)
+        val rebS = (System.nanoTime() - t0) / 1e9
+        val after = ops.Pq.recallAtK(spark, pidx, queries, 150)
+        val pd2 = ops.Pq.pqDriftStats(spark, pidx)
+        val line2 = f"PROBE pq_rebalance         $rebS%7.2f s ADC recall@150 $before%.4f->$after%.4f meanD2 ${pd2.meanD2Now}%.1f drifted=${pd2.drifted()}"
+        println(line2); report ++= line2 + "\n"
+      } finally graft.util.Fs.deleteRecursively(pdir)
+    }
     // The full self-maintaining ingest loop (screen → append → drift
     // check → evidence-triggered rebalance) as a stream: two
     // base-distribution batches leave the dial silent, two shifted
@@ -744,6 +834,47 @@ object ScaleProbe {
         graft.util.Fs.deleteRecursively(st8)
       }
     }
+    // Datacard state under CHURN: 50 delta folds into one state dir.
+    // What must hold for the incremental card to survive a production
+    // update cadence: old-version pruning keeps <= 2 generation dirs
+    // (live + one reader-grace predecessor), on-disk state stays
+    // bounded (canonical-set sketch caps, not fold count), and render
+    // reads state only so its cost is FLAT in how many folds happened.
+    locally {
+      val st = java.nio.file.Files.createTempDirectory("scale_dcchurn").toString
+      try {
+        val docs1 = spark.read.parquet(s"$sf1x/documents.parquet")
+        ops.Datacard.datacardInit(spark, docs1, st)
+        val delta = docs1.filter(col("doc_id") % 50 === 0).localCheckpoint()
+        def stateMB: Double = {
+          var b = 0L
+          java.nio.file.Files.walk(java.nio.file.Paths.get(st)).forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p)) b += java.nio.file.Files.size(p)
+          }
+          b / 1e6
+        }
+        var render10 = 0.0
+        var mb10 = 0.0
+        val tAll0 = System.nanoTime()
+        (1 to 50).foreach { i =>
+          ops.Datacard.datacardFold(spark, delta, st)
+          if (i == 10) {
+            mb10 = stateMB
+            val t0 = System.nanoTime()
+            ops.Datacard.datacardRender(spark, st).count()
+            render10 = (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val foldTot = (System.nanoTime() - tAll0) / 1e9
+        val t0 = System.nanoTime()
+        ops.Datacard.datacardRender(spark, st).count()
+        val render50 = (System.nanoTime() - t0) / 1e9
+        val gens = new java.io.File(st).listFiles
+          .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+        val line = f"PROBE datacard_churn50     $foldTot%6.2f s for 50 folds | gens=$gens stateMB@10=$mb10%.2f @50=$stateMB%.2f | render@10=$render10%5.2f s @50=$render50%5.2f s (flat = state-only)"
+        println(line); report ++= line + "\n"
+      } finally graft.util.Fs.deleteRecursively(st)
+    }
     // WordPiece at 8×: 8 replicas change word FREQUENCIES, not the word
     // set, so the substring-explode training cost is vocabulary-bound
     // and flat; apply is one scan with the trie in the plan.
@@ -884,7 +1015,25 @@ object ScaleProbe {
     report ++= "  legitimately explodes under 8x replication (every doc gains 7\n"
     report ++= "  planted near-copies, so PAIR counts grow ~quadratically inside\n"
     report ++= "  each clique) are the expected flag-bearers — their input-side\n"
-    report ++= "  movement stays linear.\n"
+    report ++= "  movement stays linear. The three flagged dedup growers now run\n"
+    report ++= "  under an ENFORCED corpus-relative PairBudget (their lines carry\n"
+    report ++= "  budget[est/cap]): candidate volume is estimated from the posting\n"
+    report ++= "  lists BEFORE the quadratic expansion, and past the cap the job\n"
+    report ++= "  fails loudly naming the df-capped remedy (pair_budget_guard\n"
+    report ++= "  shows the firing) instead of dying slowly in the shuffle.\n"
+    report ++= "- semdedup_cell_skew: one mega-cell's |cell|^2/2 pair work lands\n"
+    report ++= "  on a single reducer under the plain cid-keyed join; saltBlocks=8\n"
+    report ++= "  re-keys on (cell, blockA, blockB), cutting max-pairs-per-task\n"
+    report ++= "  ~g^2 with verdicts identical — the hot-label isolation idea\n"
+    report ++= "  applied to SemDeDup's quadratic step.\n"
+    report ++= "- datacard_churn50: 50 folds leave <= 2 generation dirs (pruning\n"
+    report ++= "  keeps one reader-grace predecessor), state bytes bounded by the\n"
+    report ++= "  sketch caps, and render flat — the update cadence cannot grow\n"
+    report ++= "  the audit's cost.\n"
+    report ++= "- pq_drift / pq_rebalance: the PQ mirror of the IVF loop —\n"
+    report ++= "  shifted appends inflate per-subspace quantization error (the\n"
+    report ++= "  m-row drift report) and rot ADC recall@50; retrain + one-scan\n"
+    report ++= "  re-encode + atomic swap restores both.\n"
     report ++= "- semdedup_boundary: the planted cross-cell near-dup pairs are\n"
     report ++= "  INVISIBLE to single-cell assignment (missed ~= straddling) and\n"
     report ++= "  recovered by nprobeAssign=2 at bounded extra pair work — the\n"
