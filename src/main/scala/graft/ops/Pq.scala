@@ -631,11 +631,96 @@ object Pq {
     else exact.join(approx, Seq("query_id", "vec_id")).count().toDouble / denom
   }
 
+  /** Registered `sim_pq_incremental`: the PERSISTED-index production
+    * shape under the oracle — the base corpus (vec_id % 10 ≠ 0) builds
+    * the index ONCE (codes + codebook/fit-stat sidecars on disk), and a
+    * delta batch screens against the stored CODES via ADC without
+    * touching base embeddings at query time. The [[Ivf.ivfIncremental]]
+    * contract applied to the byte-prune dial: rebuild-per-invocation
+    * keeps the row hash-closed; production holds the [[PqIndex]] handle
+    * (or [[loadIndex]]s it) and calls [[appendBatch]]/[[adcTopK]] per
+    * landing batch, with [[pqDriftStats]]/[[rebalance]] as the
+    * maintenance loop.
+    */
+  def pqIncremental(spark: SparkSession, dir: String): DataFrame =
+    pqIncrementalAt(spark, dir, k = 5, m = 4, kSub = 16)
+
+  def pqIncrementalAt(spark: SparkSession, dir: String, k: Int,
+      m: Int, kSub: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val index = buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
+      graft.util.Fs.sessionTempDir("pq_index", dir), m, kSub, iters = 0)
+    val queryVecs = emb
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq
+    adcTopK(spark, index, queryVecs, k).orderBy("query_id", "rank")
+  }
+
+  /** Twin of [[pqIncremental]]: the base-only md5 sample draw trains
+    * the verbatim iters=0 codebooks, codes cover base vectors only, and
+    * the delta queries replay the ADC fold — persistence is an
+    * engine-side layout detail invisible to the result.
+    */
+  val pqIncrementalSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cb AS (
+      |  SELECT sr - 1 AS code,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT en.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (vec[subs.s * 16 + i] - cvec[subs.s * 16 + i])
+      |              * (vec[subs.s * 16 + i] - cvec[subs.s * 16 + i]))) AS d2
+      |  FROM en CROSS JOIN subs CROSS JOIN cb
+      |  WHERE en.vec_id % 10 <> 0),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en
+      |  WHERE vec_id % 10 = 0 AND vec_id < 500),
+      |lut AS (
+      |  SELECT q.query_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (qvec[subs.s * 16 + i] - cvec[subs.s * 16 + i])
+      |              * (qvec[subs.s * 16 + i] - cvec[subs.s * 16 + i]))) AS d2
+      |  FROM queries q CROSS JOIN subs CROSS JOIN cb),
+      |scored AS (
+      |  SELECT l.query_id, c.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM codes c
+      |  JOIN lut l ON l.s = c.s AND l.code = c.code
+      |  GROUP BY l.query_id, c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (pqAdc _),
-    "sim_ivfpq_ann" -> (ivfPqAnn _))
+    "sim_ivfpq_ann" -> (ivfPqAnn _),
+    "sim_pq_incremental" -> (pqIncremental _))
 
   val oracles: Map[String, String] = Map(
     "sim_pq_adc" -> pqAdcSql,
-    "sim_ivfpq_ann" -> ivfPqAnnSql)
+    "sim_ivfpq_ann" -> ivfPqAnnSql,
+    "sim_pq_incremental" -> pqIncrementalSql)
 }

@@ -272,6 +272,12 @@ object Similarity {
     * DuckDB and hash-checks end-to-end; Lloyd refinement is covered by
     * IvfSpec/SimilaritySpec recall tests.
     */
+  /** g = ceil(maxOcc / √(2·targetPairs)): the smallest block count that
+    * holds every (blockA, blockB) task under ~targetPairs scored pairs.
+    */
+  private[ops] def autoSaltBlocks(maxOcc: Long, targetPairs: Long): Int =
+    math.max(1L, math.ceil(maxOcc / math.sqrt(2.0 * targetPairs)).toLong).toInt
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupAt(spark, dir, kCells = 16, tau = 0.95, iters = 0)
 
@@ -305,11 +311,21 @@ object Similarity {
     * to (|cell|/g)² across g² tasks. Replication cost is g× on each
     * join input (rows, not pairs) — cheap against a quadratic hot task.
     * ScaleProbe measures the spread on a skewed-cell fixture.
+    *
+    * `saltBlocks = 0` (the DEFAULT, and the registered rows' setting)
+    * derives g AUTOMATICALLY from the measured max cell occupancy — one
+    * k-row aggregate off the checkpointed assignment — so a skewed
+    * corpus is bounded without anyone remembering to set the dial (the
+    * same probe-then-bound principle as [[Dedup.PairBudget]]): g =
+    * ceil(maxOcc / √(2·saltTargetPairs)), which caps any task at about
+    * `saltTargetPairs` scored pairs. On a balanced corpus (every cell ≤
+    * ~2.8k members at the 4M default) the derivation returns g = 1 and
+    * the plan is exactly the unsalted one.
     */
   def semanticDedupAt(spark: SparkSession, dir: String, kCells: Int,
       tau: Double, iters: Int, nprobeAssign: Int = 1,
-      saltBlocks: Int = 1): DataFrame = {
-    require(saltBlocks >= 1, s"saltBlocks must be >= 1, got $saltBlocks")
+      saltBlocks: Int = 0, saltTargetPairs: Long = 4000000L): DataFrame = {
+    require(saltBlocks >= 0, s"saltBlocks must be >= 0 (0 = auto), got $saltBlocks")
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings")
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
@@ -322,12 +338,19 @@ object Similarity {
     val probed = assigned
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(col("probes")).as("pcid"))
-    val dups = (if (saltBlocks == 1) {
+    val g0 =
+      if (saltBlocks >= 1) saltBlocks
+      else {
+        val r = probed.groupBy(col("pcid")).count().agg(max(col("count"))).head()
+        val maxOcc = if (r.isNullAt(0)) 0L else r.getLong(0)
+        autoSaltBlocks(maxOcc, saltTargetPairs)
+      }
+    val dups = (if (g0 == 1) {
       probed.as("a")
         .join(probed.as("b"),
           col("a.pcid") === col("b.pcid") && col("b.vec_id") < col("a.vec_id"))
     } else {
-      val g = saltBlocks
+      val g = g0
       val blk = pmod(xxhash64(col("vec_id")), lit(g.toLong)).cast("int")
       // left row x lives in block row pb = b(x) and visits every ob;
       // right row y lives in ob = b(y) and visits every pb — pair (x, y)

@@ -133,6 +133,23 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(salted2 === plain2, "salting must compose with nprobeAssign unchanged")
   }
 
+  test("auto-salt: the default derives g from occupancy; a tiny target forces g>1 with identical verdicts") {
+    // derivation math: g = ceil(maxOcc / sqrt(2*target))
+    assert(Similarity.autoSaltBlocks(0L, 4000000L) === 1)
+    assert(Similarity.autoSaltBlocks(2828L, 4000000L) === 1) // just under sqrt(8M)
+    assert(Similarity.autoSaltBlocks(28284L, 4000000L) === 10)
+    val dir = plantedDir()
+    // target 50 pairs/task: every cell overflows it, so auto must salt —
+    // and the result must still equal the unsalted run exactly
+    val auto = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95,
+        iters = 2, saltTargetPairs = 50L)
+      .collect().map(_.toString).toSeq
+    val plain = Similarity.semanticDedupAt(spark, dir, kCells = 8, tau = 0.95,
+        iters = 2, saltBlocks = 1)
+      .collect().map(_.toString).toSeq
+    assert(auto === plain, "auto-salted verdicts must equal the unsalted run")
+  }
+
   test("int8 x multi-probe compose: the straddling pair is caught under int8 scoring") {
     // same boundary fixture as the float test: the dials must COMPOSE —
     // int8 single-probe still misses the cross-cell pair (the boundary
