@@ -935,6 +935,50 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** [[NearestCentroidSq]] over a DOUBLE-typed input array — the
+    * residual-PQ encode kernel ([[graft.ops.Pq.ivfPqResidual]]): the
+    * residual (vec − coarse centroid) is computed in double and must be
+    * quantized WITHOUT a float round-trip, or the engine and the SQL
+    * twin would disagree in the last ulp. Same ranking contract:
+    * strict < keeps the lowest code on exact ties.
+    */
+  case class NearestCentroidSqD(child: Expression, centroids: Seq[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("dist2", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val cents: Array[Array[Double]] = centroids.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      if (cents.nonEmpty && dim != cents(0).length)
+        throw new IllegalArgumentException(
+          s"NearestCentroidSqD: input dimension $dim != centroid dimension ${cents(0).length}")
+      var best = -1
+      var bestD2 = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0
+        var j = 0
+        while (j < cent.length) {
+          val d = v.getDouble(j) - cent(j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bestD2) { bestD2 = acc; best = c }
+        c += 1
+      }
+      InternalRow(best, bestD2)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API wrappers ---------------------------------------------------
   private def c(e: Expression): Column = bridge.column(e)
   private def e(col: Column): Expression = bridge.expression(col)
@@ -962,4 +1006,6 @@ object ArrayExprs {
     c(NearestCentroids(e(vec), centroids, p))
   def nearestCentroidSq(vec: Column, centroids: Seq[Array[Double]]): Column =
     c(NearestCentroidSq(e(vec), centroids))
+  def nearestCentroidSqD(vec: Column, centroids: Seq[Array[Double]]): Column =
+    c(NearestCentroidSqD(e(vec), centroids))
 }

@@ -77,8 +77,11 @@ object Ivf {
     centroids.toIndexedSeq
   }
 
-  /** Same ranking as ArrayExprs.NearestCentroid: argmax of dot/|c|. */
-  private def nearestLocal(v: Array[Float], cs: Array[Array[Float]]): Int = {
+  /** Same ranking as ArrayExprs.NearestCentroid: argmax of dot/|c|.
+    * private[ops]: Pq's residual encoder assigns its driver-side sample
+    * with the identical ranking.
+    */
+  private[ops] def nearestLocal(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0
     var bestScore = Double.NegativeInfinity
     var cid = 0

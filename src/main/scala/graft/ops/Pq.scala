@@ -68,6 +68,15 @@ object Pq {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "PQ training: embeddings relation is empty")
+    codebooksFromSample(sample, m, kSub, iters)
+  }
+
+  /** Per-subspace sub-quantizer training over an in-memory sample —
+    * shared by the raw path ([[trainCodebooks]]) and the residual path
+    * ([[ivfPqResidualAt]] trains on sample residuals).
+    */
+  private def codebooksFromSample(sample: Array[Array[Double]], m: Int,
+      kSub: Int, iters: Int): Seq[Seq[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"PQ: dimension $dim not divisible by m=$m")
     val subDim = dim / m
@@ -631,6 +640,205 @@ object Pq {
     else exact.join(approx, Seq("query_id", "vec_id")).count().toDouble / denom
   }
 
+  // ---- residual IVF-PQ ------------------------------------------------------
+
+  /** Residual IVF-PQ — the actual FAISS `IndexIVFPQ` encoding (Jégou et
+    * al. 2011 §IV.B): PQ quantizes the RESIDUAL `r = v − c(cell)` of
+    * each vector to its coarse centroid, not the raw vector. Residuals
+    * concentrate around the origin regardless of which cell a vector
+    * came from, so the same `kSub` codebook entries resolve much finer
+    * structure than on raw vectors whose variance is dominated by the
+    * between-cell offsets — the standard recall upgrade at identical
+    * bytes/vector. The ADC table is computed per (query, probed cell),
+    * because the query's residual differs per cell.
+    *
+    * Arithmetic contract for the oracle: residuals stay in DOUBLE end
+    * to end (the zip_with subtraction casts both sides; the encode
+    * kernel is [[graft.functions.ArrayExprs.NearestCentroidSqD]] — no
+    * float round-trip for the twin to disagree with), the sub-codebook
+    * entries are the md5-sample rows' residual slices verbatim
+    * (iters = 0), and every fold is the established left-to-right
+    * order.
+    */
+  def ivfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualAt(spark, dir, nQueries = 5, k = 10, kCells = 16, nprobe = 4,
+      m = 4, kSub = 16, iters = 0)
+
+  def ivfPqResidualAt(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      kCells: Int, nprobe: Int, m: Int, kSub: Int, iters: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val cents = Ivf.kmeansCentroids(emb, kCells, iters)
+    val centArr: Seq[Seq[Float]] = cents.map(_.toSeq)
+
+    // Bounded md5-ordered sample (the shared quantizer draw): each
+    // sample row's residual w.r.t. its assigned cell, computed driver
+    // side with the SAME ranking the scan expression applies.
+    val sampleSize = math.max(64 * kSub, 1024)
+    val centsA = cents.map(identity).toArray
+    val sample = emb
+      .orderBy(ArrayExprs.md5Mod(col("vec_id").cast("string"), 1000003L), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"residual PQ: dimension $dim not divisible by m=$m")
+    val subDim = dim / m
+    val sampleResid: Array[Array[Double]] = sample.map { v =>
+      val cid = Ivf.nearestLocal(v, centsA)
+      val cvec = centsA(cid)
+      Array.tabulate(dim)(i => v(i).toDouble - cvec(i).toDouble)
+    }
+    // Sub-codebooks over the sample RESIDUALS: iters = 0 keeps the
+    // slices verbatim (the oracle-replayable setting); iters > 0 runs
+    // the shared per-subspace Lloyd on them (the real-corpus setting).
+    val codebooks: Seq[Seq[Array[Double]]] =
+      codebooksFromSample(sampleResid, m, kSub, iters)
+
+    // ONE scan: coarse cell, double residual, m residual codes.
+    val centLit = typedLit(centArr)
+    val assigned0 = emb
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), cents))
+      .withColumn("cent", element_at(centLit, col("cid") + 1))
+      .withColumn("resid",
+        zip_with(col("embedding"), col("cent"),
+          (x, cc) => x.cast("double") - cc.cast("double")))
+    val codeCols = (0 until m).map { s =>
+      ArrayExprs.nearestCentroidSqD(
+        slice(col("resid"), s * subDim + 1, subDim), codebooks(s))
+        .getField("cid").as(s"c$s")
+    }
+    val assigned = assigned0.select(
+      (col("vec_id") +: col("cid") +: codeCols): _*)
+
+    // Query side: per (query, probed cell) LUT over the query's
+    // PER-CELL residual — bounded driver metadata (nQueries × nprobe
+    // rows of m·kSub doubles).
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val probeRows = qRows.flatMap { case (id, q) =>
+      cents.zipWithIndex.map { case (cv, cid) =>
+        var dot = 0.0; var nrm = 0.0
+        var i = 0
+        while (i < cv.length) {
+          dot += q(i) * cv(i).toDouble; nrm += cv(i).toDouble * cv(i); i += 1
+        }
+        (if (nrm == 0) Double.NegativeInfinity else dot / math.sqrt(nrm), cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe)
+        .map { case (_, cid) =>
+          val cvec = centsA(cid)
+          val qresid = Array.tabulate(dim)(i => q(i) - cvec(i).toDouble)
+          Row(id, cid, adcLut(qresid, codebooks).toSeq)
+        }
+    }
+    val probeSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
+
+    val d2 = (0 until m).map { s =>
+      element_at(col("lut"), col(s"c$s") + lit(s * kSub + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    assigned.join(broadcast(probeDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[ivfPqResidual]]: the shared sample draw feeds the
+    * coarse cells AND the residual sub-codebooks; `resid` replays the
+    * double subtraction, `cb` takes the first 16 sample residuals
+    * verbatim, and the per-(query, probed-cell) LUT subtracts the
+    * cell's centroid from the query before the ADC fold.
+    */
+  val ivfPqResidualSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
+      |resid AS (
+      |  SELECT en.vec_id, a.cid,
+      |         list_transform(range(1, len(vec) + 1), i -> vec[i] - c.cvec[i]) AS rvec
+      |  FROM en JOIN assigned a ON a.vec_id = en.vec_id
+      |  JOIN cnorm c ON c.cid = a.cid),
+      |cb AS (
+      |  SELECT s.sr - 1 AS code, r.rvec AS cvec
+      |  FROM samp s JOIN resid r ON r.vec_id = s.vec_id
+      |  WHERE s.sr <= 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT r.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i])
+      |              * (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM resid r CROSS JOIN subs CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |lut AS (
+      |  SELECT p.query_id, p.cid, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i])
+      |              * ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM probes p
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN cnorm cc ON cc.cid = p.cid
+      |  CROSS JOIN subs CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id, a.cid
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid
+      |  WHERE a.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM cand cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.cid = cd.cid
+      |             AND l.s = c.s AND l.code = c.code
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Registered `sim_pq_incremental`: the PERSISTED-index production
     * shape under the oracle — the base corpus (vec_id % 10 ≠ 0) builds
     * the index ONCE (codes + codebook/fit-stat sidecars on disk), and a
@@ -717,10 +925,12 @@ object Pq {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (pqAdc _),
     "sim_ivfpq_ann" -> (ivfPqAnn _),
+    "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_pq_incremental" -> (pqIncremental _))
 
   val oracles: Map[String, String] = Map(
     "sim_pq_adc" -> pqAdcSql,
     "sim_ivfpq_ann" -> ivfPqAnnSql,
+    "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_pq_incremental" -> pqIncrementalSql)
 }

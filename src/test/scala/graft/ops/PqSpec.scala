@@ -120,6 +120,55 @@ class PqSpec extends SparkTestBase {
     assert(counts.last > counts.head, s"wider probes must rank more candidates: $counts")
   }
 
+  test("residual IVF-PQ: planted copies survive; residual encoding is no worse than raw at identical bytes") {
+    val exact = Similarity.bruteForceTopKAt(spark, dir, nQueries = 5, k = 10)
+    val planted = exact.filter(col("score") >= 0.999)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.size >= 5)
+    // trained setting (iters=3, kSub=32, 2-of-8 probes — the raw
+    // variant's planted test settings): the near-identical copies must
+    // survive the residual encoding too
+    val resid = Pq.ivfPqResidualAt(spark, dir, nQueries = 5, k = 10,
+        kCells = 8, nprobe = 2, m = 4, kSub = 32, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(resid.contains),
+      s"planted copies lost by residual IVF-PQ: ${planted.filterNot(resid.contains)}")
+    // full probe (nprobe = kCells) isolates ENCODING quality from read
+    // pruning: both variants rank the whole corpus at identical bytes,
+    // differing only in what the m x kSub entries quantize
+    val exactSet = exact.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val residFull = Pq.ivfPqResidualAt(spark, dir, nQueries = 5, k = 10,
+        kCells = 8, nprobe = 8, m = 4, kSub = 16, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Pq.ivfPqAnnAt(spark, dir, nQueries = 5, k = 10,
+        kCells = 8, nprobe = 8, m = 4, kSub = 16, iters = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ovResid = exactSet.count(residFull.contains).toDouble / exactSet.size
+    val ovRaw = exactSet.count(raw.contains).toDouble / exactSet.size
+    assert(ovResid >= ovRaw,
+      s"residual encoding must not lose to raw at identical bytes: $ovResid vs $ovRaw")
+    assert(ovResid >= 0.5, s"residual top-10 overlap floor: $ovResid")
+  }
+
+  test("residual IVF-PQ registered query: 5 x 10 ranked rows, ascending distances, deterministic") {
+    val df = Pq.ivfPqResidual(spark, sf)
+    val out = df.collect()
+    assert(out.groupBy(_.getLong(0)).size === 5)
+    assert(out.length === 50)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val d2 = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
+      assert(d2.forall(_ >= 0.0))
+    }
+    val again = Pq.ivfPqResidual(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("IVF-PQ registered query: 5 x 10 ranked rows, broadcast cid join in the plan") {
     val df = Pq.ivfPqAnn(spark, sf)
     val out = df.collect()
