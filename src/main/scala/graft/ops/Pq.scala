@@ -552,6 +552,7 @@ object Pq {
     * NearestCentroidSq's dist2 IS the assigned entry's error.
     */
   def pqDriftStats(spark: SparkSession, index: PqIndex): PqDriftReport = {
+    driftScans.incrementAndGet()
     val m = index.codebooks.size
     val now = subStatsOf(encodeWithD2(
       spark.read.parquet(index.path).select(col("vec_id"), col("embedding")),
@@ -578,6 +579,11 @@ object Pq {
       encoded.select(dataCols: _*).write.mode("overwrite").parquet(tmp)
       writeCodebooks(tmp, cbs)
       writeSubStats(tmp, subStatsOf(encoded, m))
+      // applied-batch tokens describe content already re-encoded into
+      // the rebuild — carry them so a post-swap replay still no-ops
+      val applied = java.nio.file.Paths.get(index.path, AppliedSidecar)
+      if (java.nio.file.Files.exists(applied))
+        java.nio.file.Files.copy(applied, java.nio.file.Paths.get(tmp, AppliedSidecar))
       val live = java.nio.file.Paths.get(index.path)
       val old = java.nio.file.Paths.get(index.path + ".old")
       java.nio.file.Files.move(live, old)
@@ -588,6 +594,80 @@ object Pq {
 
   private val pqLocks =
     new scala.collection.concurrent.TrieMap[String, Object]()
+
+  /** Fully DISTRIBUTED ADC screen of a `(vec_id, embedding)` delta
+    * batch against the persisted codes — no driver-side LUTs: the m×kSub
+    * codebook rides the plan as a literal (m·kSub·subDim doubles — for
+    * m=4/kSub=256/sub=16 that is 131 kB, broadcast-class metadata), the
+    * small delta side broadcasts, and each (candidate, query) pair sums
+    * m subspace distances computed from the code-resolved entry. This is
+    * the formulation a streaming ingest loop needs: per-batch work is
+    * O(codes × Δ) with only code BYTES read — PQ prunes bytes, not
+    * reads; compose with the IVF coarse quantizer ([[ivfPqAnn]]) when
+    * read pruning is also required.
+    */
+  def screenBatchAdc(spark: SparkSession, index: PqIndex, delta: DataFrame,
+      k: Int): DataFrame = {
+    val m = index.codebooks.size
+    val kEff = index.codebooks.head.size
+    val subDim = index.codebooks.head.head.length
+    val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
+    val q = broadcast(delta
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec")))
+    val d2 = (0 until m).map { s =>
+      val entry = element_at(element_at(cbLit, s + 1), col(s"c$s") + 1)
+      aggregate(
+        zip_with(slice(col("qvec"), s * subDim + 1, subDim), entry,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    spark.read.parquet(index.path).crossJoin(q)
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- idempotent append + instrumentation (streaming replay safety) --------
+
+  private val AppliedSidecar = "_pq_applied.txt"
+
+  /** Tokens of batches already folded into the index. */
+  def appliedTokens(index: PqIndex): Set[String] = {
+    val p = java.nio.file.Paths.get(index.path, AppliedSidecar)
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).toSet
+  }
+
+  /** [[appendBatch]] guarded by a per-batch token (the
+    * [[Ivf.appendBatchIdempotent]] contract): an at-least-once replay
+    * no-ops instead of duplicating the batch's codes; [[rebalance]]
+    * carries the sidecar into the new generation.
+    */
+  def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
+    pqLocks.getOrElseUpdate(index.path, new Object).synchronized {
+      require(!token.contains("\n"), "append token must be a single line")
+      if (appliedTokens(index).contains(token)) false
+      else {
+        appendBatch(index, batch)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(index.path, AppliedSidecar),
+          (token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        true
+      }
+    }
+
+  /** [[pqDriftStats]] invocation counter — the amortization evidence
+    * counter for the streaming ingest spec.
+    */
+  private[graft] val driftScans = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** ADC top-k of raw query vectors against the persisted codes —
     * the recall probe PqSpec and ScaleProbe measure drift with.

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Pq
+
+/** Streaming PQ ingest WITH codebook maintenance — [[IvfIngest]]'s
+  * contract on the byte-prune index: every arriving micro-batch is
+  * (1) ADC-screened against the CURRENT codes (fully distributed — the
+  * codebook rides the plan, no driver LUTs), (2) encoded against the
+  * frozen sub-codebooks and appended O(Δ), and — every `checkEvery`-th
+  * applied batch — (3) the m-row quantization-error drift check runs;
+  * when [[Pq.PqDriftReport.drifted]] fires, the sub-codebooks retrain
+  * from a bounded sample of current contents and every vector re-encodes
+  * in one scan behind an atomic swap, so later batches screen against
+  * codes that actually fit the drifted distribution.
+  *
+  * Replay safety and amortization follow [[IvfIngest]] exactly: the
+  * screen result lands in a `batch_id=<id>` partition in overwrite mode,
+  * the append goes through [[Pq.appendBatchIdempotent]] (token sidecar
+  * survives the rebalance swap), and the O(index) drift scan is
+  * amortized behind `checkEvery`.
+  */
+object PqIngest {
+
+  /** Per-micro-batch maintenance telemetry ([[IvfIngest.BatchReport]]
+    * shape; `meanD2` is NaN on unchecked batches).
+    */
+  final case class BatchReport(batchId: Long, screenedPairs: Long,
+      appended: Long, meanD2: Double, checked: Boolean, drifted: Boolean,
+      rebalanced: Boolean, replayed: Boolean)
+
+  def ingestStream(spark: SparkSession, srcDir: String, index0: Pq.PqIndex,
+      k: Int, sinkDir: String, checkEvery: Int = 4): Seq[BatchReport] = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val schema = spark.read.parquet(srcDir).schema
+    var index = index0
+    var applied = 0L
+    val reports = scala.collection.mutable.ArrayBuffer.empty[BatchReport]
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pinned = batch.localCheckpoint()
+        val screened = Pq.screenBatchAdc(spark, index, pinned, k)
+          .localCheckpoint()
+        screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
+        val fresh = Pq.appendBatchIdempotent(index, pinned, token = s"ingest:$id")
+        if (fresh) applied += 1
+        val check = fresh && applied % checkEvery == 0
+        val dr = if (check) Some(Pq.pqDriftStats(spark, index)) else None
+        val fire = dr.exists(_.drifted())
+        if (fire) index = Pq.rebalance(spark, index)
+        reports += BatchReport(id, screened.count(),
+          if (fresh) pinned.count() else 0L,
+          dr.map(_.meanD2Now).getOrElse(Double.NaN),
+          checked = check, drifted = fire, rebalanced = fire,
+          replayed = !fresh)
+        ()
+      }
+      .option("checkpointLocation", s"$sinkDir.ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    reports.toSeq
+  }
+}

@@ -267,6 +267,44 @@ class PqSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/index").count() === 1000L)
   }
 
+  test("appendBatchIdempotent: a replayed batch no-ops, even across a rebalance swap") {
+    val rnd = new scala.util.Random(53)
+    val tmp = tmpDir("pq_idem")
+    (0 until 300).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index = Pq.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/index",
+      m = 4, kSub = 8, iters = 1)
+    val batch = (1000 until 1010).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    assert(Pq.appendBatchIdempotent(index, batch, token = "ingest:3"))
+    assert(spark.read.parquet(s"$tmp/index").count() === 310L)
+    assert(!Pq.appendBatchIdempotent(index, batch, token = "ingest:3"))
+    assert(spark.read.parquet(s"$tmp/index").count() === 310L)
+    val rebuilt = Pq.rebalance(spark, index, iters = 1)
+    assert(!Pq.appendBatchIdempotent(rebuilt, batch, token = "ingest:3"),
+      "the applied-token sidecar must survive the rebalance swap")
+    assert(spark.read.parquet(s"$tmp/index").count() === 310L)
+  }
+
+  test("screenBatchAdc (distributed, no driver LUTs) ranks exactly like adcTopK") {
+    val rnd = new scala.util.Random(59)
+    val tmp = tmpDir("pq_screen")
+    (0 until 300).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index = Pq.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/index",
+      m = 4, kSub = 8, iters = 2)
+    // float source vectors so both paths widen the SAME values to double
+    val qf = (0 until 5).map(q => ((900 + q).toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val qvecs = qf.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val delta = qf.toDF("vec_id", "embedding")
+    val viaLut = Pq.adcTopK(spark, index, qvecs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val distributed = Pq.screenBatchAdc(spark, index, delta, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(distributed === viaLut,
+      "the distributed ADC screen must rank identically to the LUT path")
+  }
+
   test("loadIndex restores the .old generation after a crash mid-swap") {
     val rnd = new scala.util.Random(31)
     val tmp = tmpDir("pq_crash")

@@ -554,6 +554,64 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/sink").count() > 0)
   }
 
+  test("streaming PQ ingest maintains itself: shifted wave fires the codebook dial, rebalance repairs, scans amortized") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val dim = 32
+    val cBase = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    def around(c: Array[Float], noise: Float) =
+      c.map(x => x + rnd.nextGaussian().toFloat * noise)
+    val tmp = tmpDir("pq_ingest")
+    (0 until 400).map(i => (i.toLong, around(cBase(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = graft.ops.Pq.buildIndex(
+      spark.read.parquet(s"$tmp/base"), s"$tmp/index", m = 4, kSub = 16, iters = 2)
+    // shifted wave: a COMPACT ball far from the base region (the
+    // geometry where stale codebooks genuinely rot — see ScaleProbe)
+    val tOff = Array.fill(dim)(6f)
+    val cShift = Array.fill(8)(Array.tabulate(dim)(j =>
+      tOff(j) + rnd.nextGaussian().toFloat * 1.2f))
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val batches = Seq(
+      (1000 until 1100).map(i => (i.toLong, around(cBase(i % 8), 0.3f))),
+      (1100 until 1200).map(i => (i.toLong, around(cBase(i % 8), 0.3f))),
+      (2000 until 2200).map(i => (i.toLong, around(cShift(i % 8), 0.3f))),
+      (2200 until 2400).map(i => (i.toLong, around(cShift(i % 8), 0.3f))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val scans0 = graft.ops.Pq.driftScans.get()
+    val reports = graft.streaming.PqIngest.ingestStream(
+      spark, srcDir, index0, k = 10, s"$tmp/sink")
+    // amortization: 4 applied batches at checkEvery=4 -> ONE drift scan
+    assert(graft.ops.Pq.driftScans.get() - scans0 === 1L)
+    assert(reports.length === 4 && reports.count(_.checked) === 1)
+    assert(!reports(0).rebalanced && !reports(1).rebalanced,
+      s"base batches must not trigger maintenance: $reports")
+    assert(reports.last.rebalanced,
+      s"the checked shifted batch must fire the codebook dial: $reports")
+    // the stream leaves a healthy index whose codes serve the shifted
+    // distribution: recall@50 of fresh shifted queries is restored
+    val repaired = graft.ops.Pq.loadIndex(s"$tmp/index")
+    assert(!graft.ops.Pq.pqDriftStats(spark, repaired).drifted())
+    val queries = (0 until 10).map { q =>
+      ((9000 + q).toLong, around(cShift(q % 8), 0.3f).map(_.toDouble))
+    }
+    val rec = graft.ops.Pq.recallAtK(spark, repaired, queries, 50)
+    assert(rec >= 0.8, s"post-repair ADC recall@50 on shifted queries: $rec")
+    // every batch's screening output landed under its own partition
+    assert(spark.read.parquet(s"$tmp/sink").select("batch_id").distinct().count() === 4)
+  }
+
   test("streaming datacard equals a one-shot batch build — batching is invisible") {
     // the stream folds FOUR micro-batches into state; the one-shot path
     // inits state from the whole corpus at once. Canonical-set state
