@@ -523,6 +523,41 @@ object Pq {
     PqIndex(path, cbs)
   }
 
+  /** [[buildIndex]] memoized per (path, source fingerprint, shape) for
+    * the session — the [[Ivf.buildIndexCached]] pattern: the build is
+    * deterministic, so one derivation serves every consumer in the JVM
+    * while the filesystem fingerprint invalidates the memo if the
+    * source is rewritten. Production holds the [[PqIndex]] handle.
+    */
+  def buildIndexCached(base: DataFrame, srcDir: String, path: String,
+      m: Int, kSub: Int, iters: Int): PqIndex = {
+    val key = (path, graft.util.Fs.dirFingerprint(srcDir), m, kSub, iters)
+    cacheGet(key).getOrElse {
+      pqLocks.getOrElseUpdate(path, new Object).synchronized {
+        cacheGet(key).getOrElse {
+          val built = buildIndex(base, path, m, kSub, iters)
+          pqIndexCache.synchronized {
+            pqIndexCache.keySet.removeIf(k => k._1 == path && k != key)
+            pqIndexCache.put(key, built)
+          }
+          built
+        }
+      }
+    }
+  }
+
+  private def cacheGet(key: (String, Long, Int, Int, Int)): Option[PqIndex] =
+    pqIndexCache.synchronized(Option(pqIndexCache.get(key)))
+
+  private val PqIndexCacheMax = 8
+  private val pqIndexCache =
+    new java.util.LinkedHashMap[(String, Long, Int, Int, Int), PqIndex](
+        PqIndexCacheMax, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int, Int, Int), PqIndex]): Boolean =
+        size() > PqIndexCacheMax
+    }
+
   /** Reopen an index; after a crash mid-[[rebalance]] swap, restore the
     * `.old` generation (the [[Ivf.loadIndex]] contract).
     */
@@ -589,6 +624,9 @@ object Pq {
       java.nio.file.Files.move(live, old)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
       graft.util.Fs.deleteRecursively(index.path + ".old")
+      pqIndexCache.synchronized {
+        pqIndexCache.keySet.removeIf(_._1 == index.path); ()
+      }
       PqIndex(index.path, cbs)
     }
 
@@ -937,7 +975,8 @@ object Pq {
       m: Int, kSub: Int): DataFrame = {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
-    val index = buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
+    val index = buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
       graft.util.Fs.sessionTempDir("pq_index", dir), m, kSub, iters = 0)
     val queryVecs = emb
       .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)

@@ -406,8 +406,15 @@ object Similarity {
   def semanticDedupInt8Probe2(spark: SparkSession, dir: String): DataFrame =
     semanticDedupInt8At(spark, dir, kCells = 16, tau = 0.95, iters = 0, nprobeAssign = 2)
 
+  /** Same dials as [[semanticDedupAt]]: `nprobeAssign` (boundary),
+    * `saltBlocks` (cell skew, 0 = auto-derive from occupancy) — all
+    * three compose because they touch orthogonal parts of the plan
+    * (what's scored / which cells pair / how the pair join is keyed).
+    */
   def semanticDedupInt8At(spark: SparkSession, dir: String, kCells: Int,
-      tau: Double, iters: Int, nprobeAssign: Int = 1): DataFrame = {
+      tau: Double, iters: Int, nprobeAssign: Int = 1,
+      saltBlocks: Int = 0, saltTargetPairs: Long = 4000000L): DataFrame = {
+    require(saltBlocks >= 0, s"saltBlocks must be >= 0 (0 = auto), got $saltBlocks")
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
     val centroids = Ivf.kmeansCentroids(
@@ -430,12 +437,32 @@ object Similarity {
     // the min rollup absorbs the duplicate, same as semanticDedupAt
     val probed = q.select(col("vec_id"), col("codes"), col("qn2"),
       explode(col("probes")).as("pcid"))
+    val g0 =
+      if (saltBlocks >= 1) saltBlocks
+      else {
+        val r = probed.groupBy(col("pcid")).count().agg(max(col("count"))).head()
+        val maxOcc = if (r.isNullAt(0)) 0L else r.getLong(0)
+        autoSaltBlocks(maxOcc, saltTargetPairs)
+      }
     val left = probed.select(col("vec_id").as("a_id"), col("pcid"),
       col("codes").as("qa"), col("qn2").as("an2"))
     val right = probed.select(col("vec_id").as("b_id"), col("pcid"),
       col("codes").as("qb"), col("qn2").as("bn2"))
-    val dups = left.join(right,
+    val dups = (if (g0 == 1) {
+      left.join(right,
         left("pcid") === right("pcid") && col("b_id") < col("a_id"))
+    } else {
+      val g = g0
+      val leftS = left
+        .withColumn("pb", pmod(xxhash64(col("a_id")), lit(g.toLong)).cast("int"))
+        .withColumn("ob", explode(sequence(lit(0), lit(g - 1))))
+      val rightS = right
+        .withColumn("ob", pmod(xxhash64(col("b_id")), lit(g.toLong)).cast("int"))
+        .withColumn("pb", explode(sequence(lit(0), lit(g - 1))))
+      leftS.join(rightS,
+        leftS("pcid") === rightS("pcid") && leftS("pb") === rightS("pb") &&
+          leftS("ob") === rightS("ob") && col("b_id") < col("a_id"))
+    })
       .filter(col("an2") > 0L && col("bn2") > 0L)
       .withColumn("dotq", expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
