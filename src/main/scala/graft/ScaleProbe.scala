@@ -665,6 +665,10 @@ object ScaleProbe {
           val emb = spark.read.parquet(s"$kdir/embeddings.parquet")
           val cents = ops.Ivf.kmeansCentroids(emb, 32, 2)
           val cid = graft.functions.ArrayExprs.nearestCentroid(col("embedding"), cents)
+          // comparable metric both arms: pairs the busiest TASK scores.
+          // Plain task = the whole cell, C(n,2). Salted max task = the
+          // largest (blockA, blockB) product — the b<a id filter halves
+          // uniformly, so div 2 keeps the two arms on the same scale.
           val perTask =
             if (g == 1)
               emb.select(cid.as("cid")).groupBy("cid").count()
@@ -674,7 +678,7 @@ object ScaleProbe {
                   pmod(xxhash64(col("vec_id")), lit(g.toLong)).cast("int").as("b"))
                 .groupBy("cid", "b").count()
                 .groupBy("cid").agg(max("count").as("mx"), sum("count").as("n"))
-                .agg(max(expr("mx * mx"))).head().getLong(0)
+                .agg(max(expr("mx * mx div 2"))).head().getLong(0)
           (g, sec, perTask, out)
         }
         val (g1, s1, p1, o1) = results(0)
@@ -848,9 +852,10 @@ object ScaleProbe {
         val delta = docs1.filter(col("doc_id") % 50 === 0).localCheckpoint()
         def stateMB: Double = {
           var b = 0L
-          java.nio.file.Files.walk(java.nio.file.Paths.get(st)).forEach { p =>
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(st))
+          try walk.forEach { p =>
             if (java.nio.file.Files.isRegularFile(p)) b += java.nio.file.Files.size(p)
-          }
+          } finally walk.close()
           b / 1e6
         }
         var render10 = 0.0
@@ -1032,8 +1037,9 @@ object ScaleProbe {
     report ++= "  the audit's cost.\n"
     report ++= "- pq_drift / pq_rebalance: the PQ mirror of the IVF loop —\n"
     report ++= "  shifted appends inflate per-subspace quantization error (the\n"
-    report ++= "  m-row drift report) and rot ADC recall@50; retrain + one-scan\n"
-    report ++= "  re-encode + atomic swap restores both.\n"
+    report ++= "  m-row drift report) and rot ADC recall@k (k = cluster size,\n"
+    report ++= "  150 here — ADC discriminates at cluster level); retrain +\n"
+    report ++= "  one-scan re-encode + atomic swap restores both.\n"
     report ++= "- semdedup_boundary: the planted cross-cell near-dup pairs are\n"
     report ++= "  INVISIBLE to single-cell assignment (missed ~= straddling) and\n"
     report ++= "  recovered by nprobeAssign=2 at bounded extra pair work — the\n"

@@ -295,6 +295,18 @@ object Dedup {
         Seq("s1", "n", "lo", "hi"))
       .select(col("rep"), col("doc_id"), col("n"))
       .localCheckpoint(eager = false)
+    // The collapse bounds CANDIDATE work, but the contract still EMITS
+    // every within-family pair — on a mass-duplicated corpus the OUTPUT
+    // itself is Σ C(family, 2) and would launch the very shuffle the
+    // guard exists to prevent, while the rep-level estimate below reads
+    // tiny. Enforce the budget on that output volume here too (a
+    // per-rep count off the checkpointed membership); a firing means
+    // "collapse exact duplicates first", not "use a df cap".
+    budget.foreach { b =>
+      enforceBudgetOn("ngramJaccard(duplicate-family output)",
+        mem.groupBy(col("rep")).agg(count(lit(1)).as("c")).filter(col("c") > 1),
+        "c", b)
+    }
     val cross = repPairs
       .join(mem.select(col("rep").as("id1"), col("doc_id").as("a")), Seq("id1"))
       .join(mem.select(col("rep").as("id2"), col("doc_id").as("b")), Seq("id2"))

@@ -248,6 +248,11 @@ object Ivf {
       val old = java.nio.file.Paths.get(path + ".old")
       if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
         java.nio.file.Files.move(old, live)
+      else if (java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
+        // crash AFTER the second move but BEFORE the reap: .old is a
+        // superseded generation — clean it now, or the next rebalance's
+        // move(live, .old) hits the leftover and throws
+        graft.util.Fs.deleteRecursively(path + ".old")
       IvfIndex(path, readCentroids(path))
     }
 
@@ -494,6 +499,10 @@ object Ivf {
       java.nio.file.Files.copy(applied, java.nio.file.Paths.get(tmp, AppliedSidecar))
     val live = java.nio.file.Paths.get(index.path)
     val old = java.nio.file.Paths.get(index.path + ".old")
+    // a leftover .old from a crash-between-move-and-reap would make the
+    // rename below throw — reap it first (same recovery as loadIndex)
+    if (java.nio.file.Files.exists(old))
+      graft.util.Fs.deleteRecursively(index.path + ".old")
     java.nio.file.Files.move(live, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
     graft.util.Fs.deleteRecursively(index.path + ".old")

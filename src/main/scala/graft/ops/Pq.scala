@@ -567,6 +567,11 @@ object Pq {
       val old = java.nio.file.Paths.get(path + ".old")
       if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
         java.nio.file.Files.move(old, live)
+      else if (java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
+        // crash after the second move but before the reap: .old is a
+        // superseded generation — clean it, or the next rebalance's
+        // rename hits the leftover and throws
+        graft.util.Fs.deleteRecursively(path + ".old")
       PqIndex(path, readCodebooks(path))
     }
 
@@ -589,10 +594,26 @@ object Pq {
   def pqDriftStats(spark: SparkSession, index: PqIndex): PqDriftReport = {
     driftScans.incrementAndGet()
     val m = index.codebooks.size
-    val now = subStatsOf(encodeWithD2(
-      spark.read.parquet(index.path).select(col("vec_id"), col("embedding")),
-      index.codebooks), m)
-    PqDriftReport(build = readSubStats(index.path), now = now)
+    val subDim = index.codebooks.head.head.length
+    // Codes are frozen-nearest, so the ASSIGNED entry's distance IS the
+    // fit stat — resolve it from the stored c0..c(m-1) via the
+    // plan-riding codebook literal instead of re-running the kSub-way
+    // argmin: O(N·dim) per check, kSub× cheaper on the amortized
+    // maintenance path, identical values (PqSpec pins build == now on a
+    // fresh index to the last bit).
+    val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
+    val dCols = (0 until m).map { s =>
+      val entry = element_at(element_at(cbLit, s + 1), col(s"c$s") + 1)
+      aggregate(
+        zip_with(
+          expr(s"transform(slice(embedding, ${s * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))"),
+          entry, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as(s"d$s")
+    }
+    val withD2 = spark.read.parquet(index.path)
+      .select((col("vec_id") +: dCols): _*)
+    PqDriftReport(build = readSubStats(index.path),
+      now = subStatsOf(withD2, m))
   }
 
   /** Retrain the sub-codebooks from a bounded sample of the index's
@@ -621,6 +642,10 @@ object Pq {
         java.nio.file.Files.copy(applied, java.nio.file.Paths.get(tmp, AppliedSidecar))
       val live = java.nio.file.Paths.get(index.path)
       val old = java.nio.file.Paths.get(index.path + ".old")
+      // reap a leftover .old (crash between move and reap) before the
+      // rename that would otherwise throw on it
+      if (java.nio.file.Files.exists(old))
+        graft.util.Fs.deleteRecursively(index.path + ".old")
       java.nio.file.Files.move(live, old)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
       graft.util.Fs.deleteRecursively(index.path + ".old")
@@ -647,7 +672,6 @@ object Pq {
   def screenBatchAdc(spark: SparkSession, index: PqIndex, delta: DataFrame,
       k: Int): DataFrame = {
     val m = index.codebooks.size
-    val kEff = index.codebooks.head.size
     val subDim = index.codebooks.head.head.length
     val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
     val q = broadcast(delta

@@ -65,24 +65,38 @@ object IvfIngest {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val pinned = batch.localCheckpoint()
-        // pin the screen result so the write and the telemetry count
-        // share one computation
-        val screened = Ivf.screenBatch(spark, index, pinned, k, nprobe)
-          .localCheckpoint()
-        // overwrite INTO the batch's own partition dir: replay-idempotent
-        screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
-        val fresh = Ivf.appendBatchIdempotent(index, pinned, token = s"ingest:$id")
-        if (fresh) applied += 1
-        val check = fresh && applied % checkEvery == 0
-        val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
-        val fire = dr.exists(_.drifted())
-        if (fire) index = Ivf.rebalance(spark, index)
-        reports += BatchReport(id, screened.count(),
-          if (fresh) pinned.count() else 0L,
-          dr.map(_.meanCosNow).getOrElse(Double.NaN),
-          checked = check, drifted = fire, rebalanced = fire,
-          replayed = !fresh)
+        val token = s"ingest:$id"
+        // Replay detection FIRST: if the token is already applied, the
+        // batch's vectors are inside the index — re-screening would let
+        // every delta vector match ITSELF at rank 1 and overwrite the
+        // original (correct) sink partition with self-polluted rows.
+        // The original output is already on disk; skip everything.
+        // (A crash between the sink write and the token commit replays
+        // with no token: the index does not contain the batch yet, so
+        // re-screening overwrites the partition with identical rows.)
+        if (Ivf.appliedTokens(index).contains(token)) {
+          reports += BatchReport(id, 0L, 0L, Double.NaN,
+            checked = false, drifted = false, rebalanced = false,
+            replayed = true)
+        } else {
+          val pinned = batch.localCheckpoint()
+          // pin the screen result so the write and the telemetry count
+          // share one computation
+          val screened = Ivf.screenBatch(spark, index, pinned, k, nprobe)
+            .localCheckpoint()
+          // overwrite INTO the batch's own partition dir: replay-idempotent
+          screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
+          val fresh = Ivf.appendBatchIdempotent(index, pinned, token = token)
+          if (fresh) applied += 1
+          val check = fresh && applied % checkEvery == 0
+          val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
+          val fire = dr.exists(_.drifted())
+          if (fire) index = Ivf.rebalance(spark, index)
+          reports += BatchReport(id, screened.count(), pinned.count(),
+            dr.map(_.meanCosNow).getOrElse(Double.NaN),
+            checked = check, drifted = fire, rebalanced = fire,
+            replayed = false)
+        }
         ()
       }
       .option("checkpointLocation", s"$sinkDir.ckpt")

@@ -41,21 +41,32 @@ object PqIngest {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val pinned = batch.localCheckpoint()
-        val screened = Pq.screenBatchAdc(spark, index, pinned, k)
-          .localCheckpoint()
-        screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
-        val fresh = Pq.appendBatchIdempotent(index, pinned, token = s"ingest:$id")
-        if (fresh) applied += 1
-        val check = fresh && applied % checkEvery == 0
-        val dr = if (check) Some(Pq.pqDriftStats(spark, index)) else None
-        val fire = dr.exists(_.drifted())
-        if (fire) index = Pq.rebalance(spark, index)
-        reports += BatchReport(id, screened.count(),
-          if (fresh) pinned.count() else 0L,
-          dr.map(_.meanD2Now).getOrElse(Double.NaN),
-          checked = check, drifted = fire, rebalanced = fire,
-          replayed = !fresh)
+        val token = s"ingest:$id"
+        // Replay detection FIRST (the [[IvfIngest]] contract): once the
+        // token is applied the batch is inside the index, so a re-screen
+        // would self-match every vector at d2≈0 and overwrite the
+        // original sink partition with polluted rows — skip everything,
+        // the original output is already on disk.
+        if (Pq.appliedTokens(index).contains(token)) {
+          reports += BatchReport(id, 0L, 0L, Double.NaN,
+            checked = false, drifted = false, rebalanced = false,
+            replayed = true)
+        } else {
+          val pinned = batch.localCheckpoint()
+          val screened = Pq.screenBatchAdc(spark, index, pinned, k)
+            .localCheckpoint()
+          screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
+          val fresh = Pq.appendBatchIdempotent(index, pinned, token = token)
+          if (fresh) applied += 1
+          val check = fresh && applied % checkEvery == 0
+          val dr = if (check) Some(Pq.pqDriftStats(spark, index)) else None
+          val fire = dr.exists(_.drifted())
+          if (fire) index = Pq.rebalance(spark, index)
+          reports += BatchReport(id, screened.count(), pinned.count(),
+            dr.map(_.meanD2Now).getOrElse(Double.NaN),
+            checked = check, drifted = fire, rebalanced = fire,
+            replayed = false)
+        }
         ()
       }
       .option("checkpointLocation", s"$sinkDir.ckpt")

@@ -234,6 +234,13 @@ class PqSpec extends SparkTestBase {
     // fresh index: fit-stat sidecar matches current contents, dial silent
     val dr0 = Pq.pqDriftStats(spark, index0)
     assert(!dr0.drifted(), s"fresh index must not read as drifted: ${dr0.meanD2Build} -> ${dr0.meanD2Now}")
+    // the stored-code drift path (assigned-entry distance resolved from
+    // c0..c(m-1)) must reproduce the encode-time kSub-way argmin's
+    // distances — same folds, so equal up to avg's partition-combine
+    // reorder of the identical addends
+    assert(math.abs(dr0.meanD2Now - dr0.meanD2Build)
+        <= 1e-9 * math.max(1.0, dr0.meanD2Build),
+      s"stored-code stats must match encode-time stats: ${dr0.meanD2Build} vs ${dr0.meanD2Now}")
     // a SAME-distribution append keeps the dial silent
     Pq.appendBatch(index0, (500 until 600)
       .map(i => (i.toLong, around(cBase(i % 8), 0.3f)))

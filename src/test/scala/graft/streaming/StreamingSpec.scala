@@ -612,6 +612,53 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/sink").select("batch_id").distinct().count() === 4)
   }
 
+  test("ingest replay: an already-applied batch is skipped whole — no self-match screen, no re-append") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val tmp = tmpDir("ivf_replay")
+    (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = graft.ops.Ivf.buildIndex(
+      spark.read.parquet(s"$tmp/base"), s"$tmp/index", kCells = 4, iters = 1)
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val batches = Seq(
+      (1000 until 1020).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))),
+      (1100 until 1120).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet"))
+    }
+    // simulate the at-least-once replay of batch 0: its vectors are
+    // ALREADY in the index with the token recorded (crash happened after
+    // append+token, before the streaming checkpoint committed)
+    val pre = batches.head.toDF("vec_id", "embedding").localCheckpoint()
+    assert(graft.ops.Ivf.appendBatchIdempotent(index0, pre, token = "ingest:0"))
+    val n0 = spark.read.parquet(s"$tmp/index").count()
+    val reports = graft.streaming.IvfIngest.ingestStream(
+      spark, srcDir, index0, k = 5, nprobe = 2, s"$tmp/sink", checkEvery = 1)
+    assert(reports.length === 2)
+    // batch 0 replays: skipped whole — no append (row count moves only
+    // by batch 1), no drift check, and NO sink partition for it (its
+    // original output would already be on disk in a real replay; a
+    // re-screen here would self-match every vector at rank 1)
+    assert(reports(0).replayed && reports(0).appended === 0L && !reports(0).checked,
+      s"replayed batch must be skipped whole: ${reports(0)}")
+    assert(!reports(1).replayed && reports(1).appended === 20L)
+    assert(spark.read.parquet(s"$tmp/index").count() === n0 + 20L)
+    val sinkBatches = spark.read.parquet(s"$tmp/sink")
+      .select("batch_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(sinkBatches === Set(1), s"only the fresh batch writes its partition: $sinkBatches")
+    // and the fresh batch's screen results contain no self-matches
+    assert(spark.read.parquet(s"$tmp/sink")
+      .filter(col("query_id") === col("vec_id")).count() === 0L)
+  }
+
   test("streaming datacard equals a one-shot batch build — batching is invisible") {
     // the stream folds FOUR micro-batches into state; the one-shot path
     // inits state from the whole corpus at once. Canonical-set state
