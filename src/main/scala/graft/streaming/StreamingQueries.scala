@@ -394,6 +394,48 @@ object StreamingQueries {
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
+  /** Streaming PQ screen: the delta batch arrives as a STREAM and every
+    * micro-batch ADC-screens against the persisted PQ codes via the
+    * fully distributed [[graft.ops.Pq.screenBatchAdc]] (codebook rides
+    * the plan, no driver LUTs) — the byte-prune mirror of
+    * [[streamIvfScreen]]. The drained sink equals the batch
+    * [[graft.ops.Pq.pqIncremental]] row for row, so the oracle is the
+    * same closed-form SQL: streaming is invisible to the result.
+    */
+  def streamPqScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = Pq.buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("stream_pq_index", dir), m = 4, kSub = 16, iters = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("stream_pq").toString
+    try {
+      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+        .write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val src = spark.readStream.schema(schema).parquet(s"$tmp/src")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Pq.screenBatchAdc(spark, index, batch, k = 5)
+            .write.mode("append").parquet(s"$tmp/sink")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("vec_id", LongType),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.read.schema(outSchema).parquet(s"$tmp/sink")
+        .orderBy("query_id", "rank").localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   /** Streaming incremental datacard: the corpus lands as TWO separate
     * micro-batches (file stream, one file per trigger) and every batch
     * folds into the persisted sketch state via `foreachBatch` +
@@ -443,6 +485,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_datacard" -> (streamDatacard _),
     "stream_ivf_screen" -> (streamIvfScreen _),
+    "stream_pq_screen" -> (streamPqScreen _),
     "stream_blocklist" -> (streamBlocklist _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
@@ -454,6 +497,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "stream_datacard" -> graft.ops.Datacard.datacardIncrementalSql,
     "stream_ivf_screen" -> graft.ops.Ivf.ivfIncrementalSql,
+    "stream_pq_screen" -> graft.ops.Pq.pqIncrementalSql,
     "stream_blocklist" -> streamBlocklistSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,
