@@ -351,4 +351,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("Generate explode"),
       s"probe fan-out must be a scan-side explode:\n$plan")
   }
+
+  test("residual IVF-PQ: probe rows broadcast onto the code relation; corpus scanned once") {
+    val df = Pq.ivfPqResidual(spark, sf)
+    val plan = executed(df)
+    // the (query, probed cell, LUT) side must broadcast — candidate
+    // generation is a broadcast hash join on cid, never a shuffle of
+    // the encoded corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast on cid:\n$plan")
+    // the embeddings table is read exactly once by the scan that
+    // assigns cell + residual + codes (the quantizer sample collect and
+    // the query collect are separate bounded actions, not part of THIS
+    // plan); count in the AQE final section only — the toString repeats
+    // the plan under "== Initial Plan =="
+    val scans = plan.split("== Initial Plan ==").head.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(scans === 1, s"residual encode must be one corpus scan, saw $scans:\n$plan")
+  }
+
+  test("persisted-PQ screen: delta broadcasts; only the rank exchange shuffles the scored rows") {
+    val df = Pq.pqIncremental(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the bounded query side must broadcast:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 2,
+      s"ADC screening should shuffle only the rank + presentation sort:\n$plan")
+  }
 }
