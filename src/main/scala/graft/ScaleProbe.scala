@@ -477,8 +477,9 @@ object ScaleProbe {
         // Fixture geometry matters: ADC discriminates at CLUSTER level
         // (codebook entries ≈ cluster regions), not within a cluster —
         // so recall@k is the meaningful dial only when k ≈ cluster size
-        // and the entry budget covers the cluster count. 64 clusters of
-        // 150 against kSub = 64 entries, recall@150.
+        // and the entry budget covers the cluster count. 32 base + 32
+        // shifted clusters of 150 each against kSub = 64 entries,
+        // recall@150.
         val centers = Array.fill(32)(Array.fill(dim)(prnd.nextGaussian().toFloat * 5f))
         (0 until 4800).map { i =>
           val c = centers(i % 32)

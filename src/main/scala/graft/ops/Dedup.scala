@@ -369,10 +369,21 @@ object Dedup {
     * (`minhashLsh` feeds per-(band, slice) collision counts).
     */
   private def enforceBudgetOn(op: String, grouped: DataFrame, sizeExpr: String,
-      b: PairBudget): Unit = {
+      b: PairBudget): Unit =
+    enforceBudgetExprs(op, grouped,
+      s"CAST($sizeExpr AS BIGINT) * ($sizeExpr - 1) div 2",
+      s"CAST($sizeExpr AS BIGINT)", b)
+
+  /** Core enforcement with explicit per-bucket estimate/posting
+    * expressions — the PREFIX-GATED paths pass a probe-aware estimate
+    * (only pairs touching a probe row are ever expanded), so the guard
+    * measures what the plan will actually shuffle, not the full C(df,2).
+    */
+  private def enforceBudgetExprs(op: String, grouped: DataFrame,
+      estExpr: String, postExpr: String, b: PairBudget): Unit = {
     val r = grouped.agg(
-      sum(expr(s"CAST($sizeExpr AS BIGINT) * ($sizeExpr - 1) div 2")).as("est"),
-      sum(expr(s"CAST($sizeExpr AS BIGINT)")).as("postings")).head()
+      sum(expr(estExpr)).as("est"),
+      sum(expr(postExpr)).as("postings")).head()
     val est = if (r.isNullAt(0)) 0L else r.getLong(0)
     val postings = if (r.isNullAt(1)) 0L else r.getLong(1)
     val lim = b.limit(postings)
@@ -381,8 +392,19 @@ object Dedup {
       throw new IllegalStateException(
         s"$op: candidate-pair budget exceeded — estimated $est candidate pairs over " +
           s"$postings postings (limit $lim). The corpus is too duplication-heavy for " +
-          "the exact path; use the df-capped variant (ngramJaccardCappedAt / " +
-          "containmentCappedAt, cap ~ max(64, N/100)) or pass a larger PairBudget.")
+          "this setting; tighten the df cap (ngramJaccardCappedAt / " +
+          "containmentCappedAt with a LOWER maxDf, cap ~ max(64, N/100)), collapse " +
+          "exact duplicates first (dedup_exact), or pass a larger PairBudget.")
+  }
+
+  /** Probe-aware estimate for buckets of `(…, probe)` structs: pairs
+    * with at least one probe member = C(n,2) − C(n−nP,2) — the pairs
+    * ProbePairsBoth can actually emit.
+    */
+  private val ProbeAwareEst: String = {
+    val n = "size(docs)"
+    val c = "size(filter(docs, d -> NOT d.probe))"
+    s"(CAST($n AS BIGINT) * ($n - 1) div 2) - (CAST($c AS BIGINT) * ($c - 1) div 2)"
   }
 
   /** The posting-list bucket-count core over (doc_id, n, shs) rows:
@@ -458,7 +480,8 @@ object Dedup {
     val grouped = budget match {
       case Some(b) =>
         val g = grouped0.localCheckpoint(eager = false)
-        enforceBudget("ngramJaccard(capped)", g, b)
+        enforceBudgetExprs("ngramJaccard(capped)", g, ProbeAwareEst,
+          "CAST(size(docs) AS BIGINT)", b)
         g
       case None => grouped0
     }
@@ -607,7 +630,8 @@ object Dedup {
     val grouped = budget match {
       case Some(b) =>
         val g = grouped0.localCheckpoint(eager = false)
-        enforceBudget("containment", g, b)
+        enforceBudgetExprs("containment", g, ProbeAwareEst,
+          "CAST(size(docs) AS BIGINT)", b)
         g
       case None => grouped0
     }

@@ -243,16 +243,8 @@ object Ivf {
     * pointer flip and this path never triggers.
     */
   def loadIndex(path: String): IvfIndex =
-    buildLocks.getOrElseUpdate(path, new Object).synchronized {
-      val live = java.nio.file.Paths.get(path)
-      val old = java.nio.file.Paths.get(path + ".old")
-      if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-        java.nio.file.Files.move(old, live)
-      else if (java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-        // crash AFTER the second move but BEFORE the reap: .old is a
-        // superseded generation — clean it now, or the next rebalance's
-        // move(live, .old) hits the leftover and throws
-        graft.util.Fs.deleteRecursively(path + ".old")
+    graft.util.IndexMaint.lockFor(path).synchronized {
+      graft.util.IndexMaint.recoverLive(path)
       IvfIndex(path, readCentroids(path))
     }
 
@@ -263,13 +255,8 @@ object Ivf {
   /** Tokens of batches already folded into the index (bounded: one short
     * line per applied batch).
     */
-  def appliedTokens(index: IvfIndex): Set[String] = {
-    val p = java.nio.file.Paths.get(index.path, AppliedSidecar)
-    if (!java.nio.file.Files.exists(p)) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator.filter(_.nonEmpty).toSet
-  }
+  def appliedTokens(index: IvfIndex): Set[String] =
+    graft.util.IndexMaint.readTokens(index.path, AppliedSidecar)
 
   /** [[appendBatch]] guarded by a per-batch token so an at-least-once
     * replay (streaming checkpoint replays the last uncommitted batch on
@@ -284,16 +271,11 @@ object Ivf {
     * stay deduplicated across the swap.
     */
   def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
-    buildLocks.getOrElseUpdate(index.path, new Object).synchronized {
-      require(!token.contains("\n"), "append token must be a single line")
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
       if (appliedTokens(index).contains(token)) false
       else {
         appendBatch(index, batch)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(index.path, AppliedSidecar),
-          (token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        graft.util.IndexMaint.recordToken(index.path, AppliedSidecar, token)
         true
       }
     }
@@ -317,7 +299,7 @@ object Ivf {
       // TrieMap.getOrElseUpdate may run the by-name twice, but for a
       // plain lock Object that's harmless — both callers receive the
       // winning instance, so both synchronize on the same monitor.
-      val lock = buildLocks.getOrElseUpdate(path, new Object)
+      val lock = graft.util.IndexMaint.lockFor(path)
       lock.synchronized {
         cacheGet(key).getOrElse {
           val built = buildIndex(base, path, kCells, iters)
@@ -353,9 +335,6 @@ object Ivf {
           e: java.util.Map.Entry[(String, Long, Int, Int), IvfIndex]): Boolean =
         size() > IndexCacheMax
     }
-  private val buildLocks =
-    new scala.collection.concurrent.TrieMap[String, Object]()
-
   /** Fold a new `(vec_id, embedding)` batch INTO the index: assign
     * against the frozen quantizer (pure scan work over the batch) and
     * append to the touched cell partitions — O(Δ) end to end, the base
@@ -477,7 +456,7 @@ object Ivf {
   def rebalance(spark: SparkSession, index: IvfIndex, iters: Int = 2): IvfIndex =
     // same per-path monitor as buildIndexCached: a concurrent cached
     // build must not interleave with the directory swap
-    buildLocks.getOrElseUpdate(index.path, new Object).synchronized {
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
       rebalanceLocked(spark, index, iters)
     }
 
@@ -491,21 +470,8 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     writeCentroids(tmp, centroids)
     writeCellStats(tmp, cellStatsOf(spark, IvfIndex(tmp, centroids)))
-    // Applied-batch tokens describe CONTENT already in the index; the
-    // rebuild re-encodes that content, so the tokens carry over — a
-    // post-swap replay of an old batch must still no-op.
-    val applied = java.nio.file.Paths.get(index.path, AppliedSidecar)
-    if (java.nio.file.Files.exists(applied))
-      java.nio.file.Files.copy(applied, java.nio.file.Paths.get(tmp, AppliedSidecar))
-    val live = java.nio.file.Paths.get(index.path)
-    val old = java.nio.file.Paths.get(index.path + ".old")
-    // a leftover .old from a crash-between-move-and-reap would make the
-    // rename below throw — reap it first (same recovery as loadIndex)
-    if (java.nio.file.Files.exists(old))
-      graft.util.Fs.deleteRecursively(index.path + ".old")
-    java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
-    graft.util.Fs.deleteRecursively(index.path + ".old")
+    graft.util.IndexMaint.carryTokens(index.path, tmp, AppliedSidecar)
+    graft.util.IndexMaint.swapLive(index.path, tmp)
     indexCache.synchronized {
       indexCache.keySet.removeIf(_._1 == index.path); ()
     }

@@ -533,7 +533,7 @@ object Pq {
       m: Int, kSub: Int, iters: Int): PqIndex = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir), m, kSub, iters)
     cacheGet(key).getOrElse {
-      pqLocks.getOrElseUpdate(path, new Object).synchronized {
+      graft.util.IndexMaint.lockFor(path).synchronized {
         cacheGet(key).getOrElse {
           val built = buildIndex(base, path, m, kSub, iters)
           pqIndexCache.synchronized {
@@ -562,16 +562,8 @@ object Pq {
     * `.old` generation (the [[Ivf.loadIndex]] contract).
     */
   def loadIndex(path: String): PqIndex =
-    pqLocks.getOrElseUpdate(path, new Object).synchronized {
-      val live = java.nio.file.Paths.get(path)
-      val old = java.nio.file.Paths.get(path + ".old")
-      if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-        java.nio.file.Files.move(old, live)
-      else if (java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-        // crash after the second move but before the reap: .old is a
-        // superseded generation — clean it, or the next rebalance's
-        // rename hits the leftover and throws
-        graft.util.Fs.deleteRecursively(path + ".old")
+    graft.util.IndexMaint.lockFor(path).synchronized {
+      graft.util.IndexMaint.recoverLive(path)
       PqIndex(path, readCodebooks(path))
     }
 
@@ -623,7 +615,7 @@ object Pq {
     * crash-recovery path). Same per-path monitor as the build.
     */
   def rebalance(spark: SparkSession, index: PqIndex, iters: Int = 2): PqIndex =
-    pqLocks.getOrElseUpdate(index.path, new Object).synchronized {
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
       val data = spark.read.parquet(index.path).select("vec_id", "embedding")
       val m = index.codebooks.size
       val kSub = index.codebooks.head.size
@@ -635,28 +627,13 @@ object Pq {
       encoded.select(dataCols: _*).write.mode("overwrite").parquet(tmp)
       writeCodebooks(tmp, cbs)
       writeSubStats(tmp, subStatsOf(encoded, m))
-      // applied-batch tokens describe content already re-encoded into
-      // the rebuild — carry them so a post-swap replay still no-ops
-      val applied = java.nio.file.Paths.get(index.path, AppliedSidecar)
-      if (java.nio.file.Files.exists(applied))
-        java.nio.file.Files.copy(applied, java.nio.file.Paths.get(tmp, AppliedSidecar))
-      val live = java.nio.file.Paths.get(index.path)
-      val old = java.nio.file.Paths.get(index.path + ".old")
-      // reap a leftover .old (crash between move and reap) before the
-      // rename that would otherwise throw on it
-      if (java.nio.file.Files.exists(old))
-        graft.util.Fs.deleteRecursively(index.path + ".old")
-      java.nio.file.Files.move(live, old)
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
-      graft.util.Fs.deleteRecursively(index.path + ".old")
+      graft.util.IndexMaint.carryTokens(index.path, tmp, AppliedSidecar)
+      graft.util.IndexMaint.swapLive(index.path, tmp)
       pqIndexCache.synchronized {
         pqIndexCache.keySet.removeIf(_._1 == index.path); ()
       }
       PqIndex(index.path, cbs)
     }
-
-  private val pqLocks =
-    new scala.collection.concurrent.TrieMap[String, Object]()
 
   /** Fully DISTRIBUTED ADC screen of a `(vec_id, embedding)` delta
     * batch against the persisted codes — no driver-side LUTs: the m×kSub
@@ -698,13 +675,8 @@ object Pq {
   private val AppliedSidecar = "_pq_applied.txt"
 
   /** Tokens of batches already folded into the index. */
-  def appliedTokens(index: PqIndex): Set[String] = {
-    val p = java.nio.file.Paths.get(index.path, AppliedSidecar)
-    if (!java.nio.file.Files.exists(p)) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator.filter(_.nonEmpty).toSet
-  }
+  def appliedTokens(index: PqIndex): Set[String] =
+    graft.util.IndexMaint.readTokens(index.path, AppliedSidecar)
 
   /** [[appendBatch]] guarded by a per-batch token (the
     * [[Ivf.appendBatchIdempotent]] contract): an at-least-once replay
@@ -712,16 +684,11 @@ object Pq {
     * carries the sidecar into the new generation.
     */
   def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
-    pqLocks.getOrElseUpdate(index.path, new Object).synchronized {
-      require(!token.contains("\n"), "append token must be a single line")
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
       if (appliedTokens(index).contains(token)) false
       else {
         appendBatch(index, batch)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(index.path, AppliedSidecar),
-          (token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        graft.util.IndexMaint.recordToken(index.path, AppliedSidecar, token)
         true
       }
     }

@@ -274,9 +274,17 @@ object Similarity {
     */
   /** g = ceil(maxOcc / √(2·targetPairs)): the smallest block count that
     * holds every (blockA, blockB) task under ~targetPairs scored pairs.
+    * Clamped to ≤ 1024: replication cost is g× per join input, so a
+    * derivation past that says the cell/target combination needs a
+    * different remedy (bigger target, more cells) — not a million-way
+    * explode. targetPairs must be positive (√0 would overflow the
+    * ceil into a negative g).
     */
-  private[ops] def autoSaltBlocks(maxOcc: Long, targetPairs: Long): Int =
-    math.max(1L, math.ceil(maxOcc / math.sqrt(2.0 * targetPairs)).toLong).toInt
+  private[ops] def autoSaltBlocks(maxOcc: Long, targetPairs: Long): Int = {
+    require(targetPairs > 0, s"saltTargetPairs must be positive, got $targetPairs")
+    math.min(1024L,
+      math.max(1L, math.ceil(maxOcc / math.sqrt(2.0 * targetPairs)).toLong)).toInt
+  }
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupAt(spark, dir, kCells = 16, tau = 0.95, iters = 0)

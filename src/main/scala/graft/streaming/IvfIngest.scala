@@ -71,9 +71,16 @@ object IvfIngest {
         // every delta vector match ITSELF at rank 1 and overwrite the
         // original (correct) sink partition with self-polluted rows.
         // The original output is already on disk; skip everything.
-        // (A crash between the sink write and the token commit replays
-        // with no token: the index does not contain the batch yet, so
-        // re-screening overwrites the partition with identical rows.)
+        // Window accounting: a crash between the sink write and the
+        // APPEND replays with no token and the index does not yet
+        // contain the batch — the re-screen overwrites the partition
+        // with identical rows. The one remaining hole is a crash INSIDE
+        // appendBatchIdempotent between the parquet commit and the
+        // token line (its scaladoc's documented gap): that replay would
+        // re-append and self-match. Closing it needs the append and the
+        // token in ONE commit — exactly what an object-store manifest
+        // swap provides; a local filesystem cannot, so the gap is
+        // narrow, documented, and inherited — not hidden.
         if (Ivf.appliedTokens(index).contains(token)) {
           reports += BatchReport(id, 0L, 0L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,

@@ -46,7 +46,11 @@ object PqIngest {
         // token is applied the batch is inside the index, so a re-screen
         // would self-match every vector at d2≈0 and overwrite the
         // original sink partition with polluted rows — skip everything,
-        // the original output is already on disk.
+        // the original output is already on disk. Same residual window
+        // as IvfIngest: a crash between the append's parquet commit and
+        // the token line replays un-detected — closing it needs append
+        // + token in one manifest commit (object store), see the
+        // window-accounting note there.
         if (Pq.appliedTokens(index).contains(token)) {
           reports += BatchReport(id, 0L, 0L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,
