@@ -183,7 +183,8 @@ object Datacard {
     }
   }
 
-  /** Per-stateDir write monitor (the [[Ivf]] buildLocks pattern): a
+  /** Per-stateDir write monitor (the [[graft.util.IndexMaint.lockFor]]
+    * pattern): a
     * batch update racing a streaming fold must not interleave two
     * read-state→write-state→flip sequences — both would read the same
     * version and one fold would be silently lost.

@@ -272,6 +272,7 @@ object Ivf {
     */
   def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.requireValidToken(token)
       if (appliedTokens(index).contains(token)) false
       else {
         appendBatch(index, batch)

@@ -685,6 +685,7 @@ object Pq {
     */
   def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.requireValidToken(token)
       if (appliedTokens(index).contains(token)) false
       else {
         appendBatch(index, batch)

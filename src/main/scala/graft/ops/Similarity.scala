@@ -274,16 +274,23 @@ object Similarity {
     */
   /** g = ceil(maxOcc / √(2·targetPairs)): the smallest block count that
     * holds every (blockA, blockB) task under ~targetPairs scored pairs.
-    * Clamped to ≤ 1024: replication cost is g× per join input, so a
-    * derivation past that says the cell/target combination needs a
-    * different remedy (bigger target, more cells) — not a million-way
-    * explode. targetPairs must be positive (√0 would overflow the
-    * ceil into a negative g).
+    * A derivation past 1024 FAILS LOUDLY (the [[Dedup.PairBudget]]
+    * philosophy — never silently stop honoring the documented per-task
+    * cap): replication cost is g× per join input, so a four-digit g
+    * says the cell/target combination needs a different remedy (more
+    * cells so occupancy drops, or a bigger target), not a thousand-way
+    * explode. targetPairs must be positive (√0 would overflow the ceil
+    * into a negative g).
     */
   private[ops] def autoSaltBlocks(maxOcc: Long, targetPairs: Long): Int = {
     require(targetPairs > 0, s"saltTargetPairs must be positive, got $targetPairs")
-    math.min(1024L,
-      math.max(1L, math.ceil(maxOcc / math.sqrt(2.0 * targetPairs)).toLong)).toInt
+    val g = math.max(1L, math.ceil(maxOcc / math.sqrt(2.0 * targetPairs)).toLong)
+    if (g > 1024L)
+      throw new IllegalStateException(
+        s"semantic dedup cell skew beyond the salting dial: max cell occupancy $maxOcc " +
+          s"needs $g blocks to hold ~$targetPairs pairs/task (cap 1024). Increase kCells " +
+          "so occupancy drops, or raise saltTargetPairs.")
+    g.toInt
   }
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =

@@ -361,22 +361,25 @@ object StreamingQueries {
     * the frozen index, so the drained stream equals the batch
     * [[graft.ops.Ivf.ivfIncremental]] run — the oracle reuses its SQL.
     */
-  def streamIvfScreen(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Ivf
-    val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val index = Ivf.buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
-      s"$dir/embeddings.parquet",
-      graft.util.Fs.sessionTempDir("stream_ivf_index", dir), kCells = 16, iters = 0)
-    val tmp = java.nio.file.Files.createTempDirectory("stream_ivf").toString
+  /** Shared drain harness for the "screen a staged delta as a stream"
+    * rows: stage `srcDf` as a file-stream directory, screen every
+    * micro-batch into a parquet sink via `foreachBatch`, drain with
+    * AvailableNow, read the sink back under the screen's
+    * (query_id, rank, vec_id, `scoreCol`) schema. ONE copy of the
+    * checkpoint/sink/schema plumbing for both index families — the
+    * [[graft.util.IndexMaint]] lesson applied to the stream scaffolding.
+    */
+  private def drainScreenStream(spark: SparkSession, srcDf: DataFrame,
+      scoreCol: String,
+      screen: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_screen").toString
     try {
-      emb.filter(col("vec_id") % 10 === 0).write.parquet(s"$tmp/src")
+      srcDf.write.parquet(s"$tmp/src")
       val schema = spark.read.parquet(s"$tmp/src").schema
       val src = spark.readStream.schema(schema).parquet(s"$tmp/src")
       val q = src.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          Ivf.screenBatch(spark, index, batch, k = 5, nprobe = 4)
-            .write.mode("append").parquet(s"$tmp/sink")
+          screen(batch).write.mode("append").parquet(s"$tmp/sink")
         }
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -387,11 +390,22 @@ object StreamingQueries {
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("vec_id", LongType),
-        org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.StructField(scoreCol,
           org.apache.spark.sql.types.DoubleType)))
       spark.read.schema(outSchema).parquet(s"$tmp/sink")
         .orderBy("query_id", "rank").localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
+  def streamIvfScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ivf
+    val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = Ivf.buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("stream_ivf_index", dir), kCells = 16, iters = 0)
+    drainScreenStream(spark, emb.filter(col("vec_id") % 10 === 0), "score",
+      batch => Ivf.screenBatch(spark, index, batch, k = 5, nprobe = 4))
   }
 
   /** Streaming PQ screen: the delta batch arrives as a STREAM and every
@@ -409,31 +423,9 @@ object StreamingQueries {
     val index = Pq.buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
       s"$dir/embeddings.parquet",
       graft.util.Fs.sessionTempDir("stream_pq_index", dir), m = 4, kSub = 16, iters = 0)
-    val tmp = java.nio.file.Files.createTempDirectory("stream_pq").toString
-    try {
-      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
-        .write.parquet(s"$tmp/src")
-      val schema = spark.read.parquet(s"$tmp/src").schema
-      val src = spark.readStream.schema(schema).parquet(s"$tmp/src")
-      val q = src.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          Pq.screenBatchAdc(spark, index, batch, k = 5)
-            .write.mode("append").parquet(s"$tmp/sink")
-        }
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val outSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", LongType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("vec_id", LongType),
-        org.apache.spark.sql.types.StructField("d2",
-          org.apache.spark.sql.types.DoubleType)))
-      spark.read.schema(outSchema).parquet(s"$tmp/sink")
-        .orderBy("query_id", "rank").localCheckpoint()
-    } finally graft.util.Fs.deleteRecursively(tmp)
+    drainScreenStream(spark,
+      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500), "d2",
+      batch => Pq.screenBatchAdc(spark, index, batch, k = 5))
   }
 
   /** Streaming incremental datacard: the corpus lands as TWO separate

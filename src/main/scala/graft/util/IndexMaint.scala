@@ -31,8 +31,16 @@ object IndexMaint {
       .split("\n").iterator.filter(_.nonEmpty).toSet
   }
 
-  def recordToken(path: String, sidecar: String, token: String): Unit = {
+  /** Token shape check — callers run this BEFORE mutating the index so
+    * a malformed token fails fast instead of after the append committed
+    * (which would leave applied-but-untracked vectors that a retried
+    * sanitized token then duplicates).
+    */
+  def requireValidToken(token: String): Unit =
     require(!token.contains("\n"), "append token must be a single line")
+
+  def recordToken(path: String, sidecar: String, token: String): Unit = {
+    requireValidToken(token)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, sidecar),
       (token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
