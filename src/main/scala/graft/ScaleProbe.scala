@@ -108,6 +108,23 @@ object ScaleProbe {
     // honest cost of asymmetric matching on a duplicate-heavy corpus (the
     // ngramJaccardCappedAt df-cap dial applies unchanged when needed)
     scaledBudget("containment_8x")(d => ops.Dedup.containmentAt(spark, d, 0.9).count())
+    // byte-budget caps on the same two growers: the df cap is derived
+    // FROM a fixed shuffle-byte budget (dfCapForBytes), so duplication
+    // inflating dfs bends the cap DOWN and the candidate shuffle stays
+    // near the budget instead of growing super-linearly toward the
+    // PairBudget kill — the "bend before the loud failure" dial
+    def scaledByteCap(name: String)(f: String => Long): Unit = {
+      scaled(name)(f)
+      ops.Dedup.lastByteCap.foreach { case (_, cap, est, bud) =>
+        val note = s" bytecap[cap=$cap estBytes=$est budget=$bud]"
+        report.setLength(report.length - 1); report ++= note + "\n"
+        println(s"  ^$note")
+      }
+    }
+    scaledByteCap("ngram_bytecap_8x")(d =>
+      ops.Dedup.ngramJaccardByteBudgeted(spark, d, 0.5).count())
+    scaledByteCap("containment_bytecap_8x")(d =>
+      ops.Dedup.containmentByteBudgeted(spark, d, 0.9).count())
     // the guard FIRING: a 1M-pair absolute budget on the 8x corpus dies
     // loudly BEFORE the pair expansion, naming the remedy — this is the
     // behavior a duplicate-heavy 100 TB crawl hits instead of a

@@ -301,7 +301,12 @@ object Datacard {
     } finally graft.util.Fs.deleteRecursively(stateDir)
   }
 
-  val datacardIncrementalSql: String =
+  /** The closed-form sketch card over `documents` restricted by
+    * `where` (empty = full corpus) — the body [[datacardIncrementalSql]]
+    * runs once and [[datacardDiffSql]] instantiates twice (base vs
+    * full) as nested-WITH subqueries.
+    */
+  private def sketchCardSql(where: String): String =
     s"""WITH base AS (
        |  SELECT source, lang, md5(text) AS fp,
        |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -310,7 +315,7 @@ object Datacard {
        |  FROM (SELECT *,
        |          CAST(md5_number_lower('qs:' || CAST(doc_id AS VARCHAR))
        |               % ${Sketches.QsMod} AS BIGINT) AS h
-       |        FROM documents)),
+       |        FROM documents$where)),
        |counts AS (
        |  SELECT source, count(*) AS n_docs,
        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
@@ -376,11 +381,134 @@ object Datacard {
        |JOIN p95t USING (source)
        |ORDER BY c.source""".stripMargin
 
+  val datacardIncrementalSql: String = sketchCardSql("")
+
+  // ---- release-gate datacard diff -------------------------------------------
+  //
+  // The release audit a dataset owner actually runs: "did this release
+  // move the corpus's shape?" — per-source deltas between two datacard
+  // STATES with threshold flags. Reads the two bounded states only
+  // (both sides render via [[datacardRender]], which DatacardSpec pins
+  // to state files); the corpus is never scanned, so the gate costs the
+  // same whether the release added 1 GB or 10 TB.
+
+  /** Per-source diff of two datacard states (old → new): deltas on
+    * volume, language mix, length-quality pass rate, duplication ppm
+    * and the sketch length quantiles, each with a threshold flag.
+    * `ppmTol` bounds absolute ppm moves (default 5 percentage points);
+    * `relTol` bounds relative moves of volume and the quantile
+    * estimates. A source present on only one side surfaces with null
+    * deltas and `flag_source_change` — a release silently dropping or
+    * inventing a source is itself a gate failure.
+    *
+    * Flag determinism: every compared quantity is the bit-exact render
+    * arithmetic the `text_datacard_incremental` oracle already
+    * hash-matches, so comparing them to literal thresholds yields the
+    * same booleans on any engine.
+    */
+  def datacardDiff(spark: SparkSession, oldStateDir: String,
+      newStateDir: String, ppmTol: Long = 50000L,
+      relTol: Double = 0.2): DataFrame = {
+    def side(d: String, tag: String): DataFrame = {
+      val r = datacardRender(spark, d)
+      r.select(col("source") +: r.columns.filter(_ != "source")
+        .map(c => col(c).as(s"${tag}_$c")).toSeq: _*)
+    }
+    val a = side(oldStateDir, "old")
+    val b = side(newStateDir, "new")
+    val dupPpm = (tag: String) =>
+      (col(s"${tag}_n_docs").cast("double") - col(s"${tag}_fp_hll_est")) *
+        lit(1000000.0) / col(s"${tag}_n_docs").cast("double")
+    a.join(b, Seq("source"), "full_outer")
+      .withColumn("old_dup_ppm_est", dupPpm("old"))
+      .withColumn("new_dup_ppm_est", dupPpm("new"))
+      .select(col("source"),
+        (col("new_n_docs") - col("old_n_docs")).as("n_docs_delta"),
+        (col("new_en_ppm") - col("old_en_ppm")).as("en_ppm_delta"),
+        (col("new_len_pass_ppm") - col("old_len_pass_ppm")).as("len_pass_ppm_delta"),
+        (col("new_dup_ppm_est") - col("old_dup_ppm_est")).as("dup_ppm_delta"),
+        (col("new_p50_chars_est") - col("old_p50_chars_est")).as("p50_chars_delta"),
+        (col("new_p95_tokens_est") - col("old_p95_tokens_est")).as("p95_tokens_delta"),
+        (col("old_n_docs").isNull || col("new_n_docs").isNull).as("flag_source_change"),
+        coalesce(abs(col("new_en_ppm") - col("old_en_ppm")) > ppmTol,
+          lit(false)).as("flag_en"),
+        coalesce(abs(col("new_len_pass_ppm") - col("old_len_pass_ppm")) > ppmTol,
+          lit(false)).as("flag_len_pass"),
+        coalesce(abs(col("new_dup_ppm_est") - col("old_dup_ppm_est")) > ppmTol.toDouble,
+          lit(false)).as("flag_dup"),
+        coalesce(abs(col("new_n_docs") - col("old_n_docs")).cast("double") >
+          lit(relTol) * col("old_n_docs").cast("double"), lit(false)).as("flag_volume"),
+        coalesce(abs(col("new_p50_chars_est") - col("old_p50_chars_est")) >
+          lit(relTol) * col("old_p50_chars_est"), lit(false)).as("flag_p50_chars"),
+        coalesce(abs(col("new_p95_tokens_est") - col("old_p95_tokens_est")) >
+          lit(relTol) * col("old_p95_tokens_est"), lit(false)).as("flag_p95_tokens"))
+      .orderBy("source")
+  }
+
+  /** Registered `text_datacard_diff`: state A = the base 9/10 corpus,
+    * state B = A plus the last-tenth delta folded in (the release), diff
+    * from STATE ALONE. The oracle recomputes both sketch cards in closed
+    * form over the respective corpora and diffs them — hash equality
+    * proves state-diff ≡ full-rebuild-diff on every delta and flag.
+    */
+  def datacardDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents")
+    val sA = java.nio.file.Files.createTempDirectory("datacard_diff_a").toString
+    val sB = java.nio.file.Files.createTempDirectory("datacard_diff_b").toString
+    try {
+      datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), sA)
+      datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), sB)
+      datacardUpdate(spark, docs.filter(col("doc_id") % 10 === 0), sB)
+      datacardDiff(spark, sA, sB).localCheckpoint()
+    } finally {
+      graft.util.Fs.deleteRecursively(sA)
+      graft.util.Fs.deleteRecursively(sB)
+    }
+  }
+
+  val datacardDiffSql: String = {
+    val ppmTol = 50000L
+    val relTol = 0.2
+    s"""WITH card_old AS MATERIALIZED (
+       |${sketchCardSql(" WHERE doc_id % 10 <> 0")}
+       |),
+       |card_new AS MATERIALIZED (
+       |${sketchCardSql("")}
+       |)
+       |SELECT
+       |  coalesce(o.source, n.source) AS source,
+       |  n.n_docs - o.n_docs AS n_docs_delta,
+       |  n.en_ppm - o.en_ppm AS en_ppm_delta,
+       |  n.len_pass_ppm - o.len_pass_ppm AS len_pass_ppm_delta,
+       |  (CAST(n.n_docs AS DOUBLE) - n.fp_hll_est) * 1000000.0 / CAST(n.n_docs AS DOUBLE)
+       |    - (CAST(o.n_docs AS DOUBLE) - o.fp_hll_est) * 1000000.0 / CAST(o.n_docs AS DOUBLE)
+       |    AS dup_ppm_delta,
+       |  n.p50_chars_est - o.p50_chars_est AS p50_chars_delta,
+       |  n.p95_tokens_est - o.p95_tokens_est AS p95_tokens_delta,
+       |  (o.n_docs IS NULL OR n.n_docs IS NULL) AS flag_source_change,
+       |  coalesce(abs(n.en_ppm - o.en_ppm) > $ppmTol, false) AS flag_en,
+       |  coalesce(abs(n.len_pass_ppm - o.len_pass_ppm) > $ppmTol, false) AS flag_len_pass,
+       |  coalesce(abs((CAST(n.n_docs AS DOUBLE) - n.fp_hll_est) * 1000000.0 / CAST(n.n_docs AS DOUBLE)
+       |    - (CAST(o.n_docs AS DOUBLE) - o.fp_hll_est) * 1000000.0 / CAST(o.n_docs AS DOUBLE))
+       |    > CAST($ppmTol AS DOUBLE), false) AS flag_dup,
+       |  coalesce(abs(CAST(n.n_docs - o.n_docs AS DOUBLE)) > $relTol * CAST(o.n_docs AS DOUBLE),
+       |    false) AS flag_volume,
+       |  coalesce(abs(n.p50_chars_est - o.p50_chars_est) > $relTol * o.p50_chars_est,
+       |    false) AS flag_p50_chars,
+       |  coalesce(abs(n.p95_tokens_est - o.p95_tokens_est) > $relTol * o.p95_tokens_est,
+       |    false) AS flag_p95_tokens
+       |FROM card_old o
+       |FULL OUTER JOIN card_new n ON n.source = o.source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_datacard" -> (datacard _),
-    "text_datacard_incremental" -> (datacardIncremental _))
+    "text_datacard_incremental" -> (datacardIncremental _),
+    "text_datacard_diff" -> (datacardDiffQuery _))
 
   val oracles: Map[String, String] = Map(
     "text_datacard" -> datacardSql,
-    "text_datacard_incremental" -> datacardIncrementalSql)
+    "text_datacard_incremental" -> datacardIncrementalSql,
+    "text_datacard_diff" -> datacardDiffSql)
 }

@@ -286,7 +286,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"), first(col("shs")).as("shs"))
       .localCheckpoint(eager = false)
     val dsets = dgroups.select(col("rep").as("doc_id"), col("n"), col("shs"))
-    val repPairs = bucketCountPairs(dsets, tau, budget)
+    val repPairs0 = bucketCountPairs(dsets, tau, budget)
+    // pinned when a budget is set: the cross-volume estimate below reads
+    // the rep pairs once before the expansion consumes them
+    val repPairs =
+      if (budget.isDefined) repPairs0.localCheckpoint(eager = false) else repPairs0
     // expansion: every member pair of a qualifying rep pair shares the
     // reps' exact sets, hence the reps' exact (n_inter, jaccard); the
     // membership join moves 32-byte key rows, never arrays
@@ -303,9 +307,21 @@ object Dedup {
     // per-rep count off the checkpointed membership); a firing means
     // "collapse exact duplicates first", not "use a df cap".
     budget.foreach { b =>
+      val famCounts = mem.groupBy(col("rep")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
       enforceBudgetOn("ngramJaccard(duplicate-family output)",
-        mem.groupBy(col("rep")).agg(count(lit(1)).as("c")).filter(col("c") > 1),
-        "c", b)
+        famCounts.filter(col("c") > 1), "c", b)
+      // The CROSS expansion joins each qualifying rep pair against both
+      // member families and emits |fam1|·|fam2| rows per pair — e.g.
+      // ~1000 near-dup families of ~50 exact copies passes both the
+      // rep-level and within-family checks yet emits ~10⁹ cross rows.
+      // Enforce on that volume too: Σ c1·c2 over the pinned rep pairs,
+      // one metadata-cheap join against the per-rep counts.
+      enforceBudgetExprs("ngramJaccard(cross-family output)",
+        repPairs
+          .join(famCounts.select(col("rep").as("id1"), col("c").as("c1")), Seq("id1"))
+          .join(famCounts.select(col("rep").as("id2"), col("c").as("c2")), Seq("id2")),
+        "CAST(c1 AS BIGINT) * c2", "CAST(c1 AS BIGINT) + c2", b)
     }
     val cross = repPairs
       .join(mem.select(col("rep").as("id1"), col("doc_id").as("a")), Seq("id1"))
@@ -581,15 +597,21 @@ object Dedup {
     * (max(64, N/100)) per the ngram-cap lesson in SCALE.md.
     */
   def containmentCappedAt(spark: SparkSession, dir: String, tau: Double,
-      maxDf: Int, budget: Option[PairBudget] = None): DataFrame = {
-    val c = Catalog(spark, dir)
+      maxDf: Int, budget: Option[PairBudget] = None): DataFrame =
+    containmentPairsOn(containmentCorpus(Catalog(spark, dir)), tau, maxDf, budget)
+
+  /** The containment oracle corpus: documents plus planted excerpts
+    * (every 10th doc's first max(5, 3·len/10) tokens under
+    * doc_id + 10⁹).
+    */
+  private def containmentCorpus(c: Catalog): DataFrame = {
     val base = c.ref("documents").select(col("doc_id"), col("text"))
     val ts = toks(col("text"))
     val excerpts = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(ts, lit(1),
           greatest(lit(5), floor(size(ts) * 3 / 10)).cast("int")), " ").as("text"))
-    containmentPairsOn(base.unionByName(excerpts), tau, maxDf, budget)
+    base.unionByName(excerpts)
   }
 
   /** Candidate generation is PREFIX-FILTERED (exact, not LSH-approximate):
@@ -609,12 +631,21 @@ object Dedup {
     * bytes, dominates.
     */
   private def containmentPairsOn(docs: DataFrame, tau: Double,
-      maxDf: Int = Int.MaxValue, budget: Option[PairBudget] = None): DataFrame = {
-    val sets = docShingleHashesOn(docs)
+      maxDf: Int = Int.MaxValue, budget: Option[PairBudget] = None): DataFrame =
+    containmentPairsOnSets(sortedSetsOf(docShingleHashesOn(docs)), tau, maxDf, budget)
+
+  /** `(doc_id, shs)` → the checkpointed sorted-sets relation both the
+    * pair pipeline and the byte-budget df histogram read.
+    */
+  private def sortedSetsOf(shingled: DataFrame): DataFrame =
+    shingled
       .select(col("doc_id"), array_sort(col("shs")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
       .filter(col("n") > 0)
       .localCheckpoint(eager = false)
+
+  private def containmentPairsOnSets(sets: DataFrame, tau: Double,
+      maxDf: Int = Int.MaxValue, budget: Option[PairBudget] = None): DataFrame = {
     // epsilon-nudged ceil, same rounding hazard as ngramPairsFromShingles:
     // a double τ·n landing a hair above the true integer ceiling would
     // shorten the prefix and break losslessness; nudging down only
@@ -777,6 +808,90 @@ object Dedup {
   def ngramJaccardAutoCapped(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val n = Catalog(spark, dir).ref("documents").count()
     ngramJaccardCappedAt(spark, dir, tau, math.max(64L, n / 100L).toInt)
+  }
+
+  // ---- shuffle-byte-aware cap derivation --------------------------------------
+
+  /** Telemetry of the last [[dfCapForBytes]] derivation:
+    * (operator, derived cap, estimated candidate bytes under the cap,
+    * budget bytes) — what ScaleProbe prints next to the bytecap lines.
+    */
+  @volatile private[graft] var lastByteCap: Option[(String, Int, Long, Long)] = None
+
+  /** Derive the df cap FROM a shuffle-byte budget instead of a
+    * corpus-size heuristic: the candidate volume of an inverted-index
+    * pair join is Σ_buckets C(df, 2) rows of ~`bytesPerPair` serialized
+    * bytes (pair keys through the distinct + the verify-join key
+    * traffic), so given the posting-list df histogram — one
+    * metadata-cheap aggregate over 8-byte shingle hashes — the largest
+    * cap whose cumulative pair bytes fit the budget is an exact greedy:
+    * accumulate ascending df (pair cost is monotone in df) and stop at
+    * the first df stratum that no longer fits. Unlike the
+    * corpus-relative max(64, N/100) cap — which GROWS with a
+    * duplication-inflated corpus and lets the candidate shuffle grow
+    * super-linearly until [[PairBudget]] kills the job — a byte budget
+    * holds the shuffle roughly FLAT under duplication: inflated dfs
+    * cross the budget earlier and the cap bends down instead of up.
+    *
+    * `floor` is the usability minimum: a budget too small for even the
+    * floor still runs AT the floor (capping is lossy-but-exact by the
+    * subset contract, and [[PairBudget]] remains the hard guard), it
+    * just reports estimated bytes over budget in [[lastByteCap]].
+    */
+  private[ops] def dfCapForBytes(op: String, postings: DataFrame,
+      budgetBytes: Long, bytesPerPair: Long = 48L, floor: Int = 64): Int = {
+    val hist = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("nsh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // double accumulation: df ~ 10⁹ would overflow a long at C(df,2)
+    var cum = 0.0
+    var cap = floor.toLong
+    var i = 0
+    var fits = true
+    while (i < hist.length && fits) {
+      val (df, nsh) = hist(i)
+      val add = nsh.toDouble * (df.toDouble * (df - 1).toDouble / 2.0) * bytesPerPair
+      if (cum + add <= budgetBytes.toDouble) {
+        cum += add
+        if (df > cap) cap = df
+      } else fits = false
+      i += 1
+    }
+    val derived = math.min(cap, Int.MaxValue.toLong).toInt
+    lastByteCap = Some((op, derived,
+      math.min(cum, Long.MaxValue.toDouble).toLong, budgetBytes))
+    derived
+  }
+
+  /** [[ngramJaccardCappedAt]] with the cap derived from a shuffle-byte
+    * budget ([[dfCapForBytes]]): the SUPER-LINEAR candidate growth the
+    * 8× probes flag bends at the budget instead of only failing loudly
+    * at the [[PairBudget]] cap. Same subset-with-exact-scores contract
+    * as every capped variant; the shingle scan is shared between the
+    * histogram and the pair pipeline through one lazy checkpoint.
+    */
+  def ngramJaccardByteBudgeted(spark: SparkSession, dir: String, tau: Double,
+      shuffleBudgetBytes: Long = 64L << 20): DataFrame = {
+    val shingled = docShingleHashes(Catalog(spark, dir)).localCheckpoint(eager = false)
+    val posts = shingled.select(explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val cap = dfCapForBytes("ngramJaccard(byte-budget)", posts, shuffleBudgetBytes)
+    ngramPairsFromShingles(shingled, tau, cap, budget = Some(PairBudget()))
+      .orderBy("id1", "id2")
+  }
+
+  /** [[containmentCappedAt]] under a shuffle-byte budget — the same
+    * derivation over the containment corpus's posting histogram, reusing
+    * the checkpointed sorted-sets relation for both the histogram and
+    * the prefix-probe pipeline.
+    */
+  def containmentByteBudgeted(spark: SparkSession, dir: String, tau: Double,
+      shuffleBudgetBytes: Long = 64L << 20): DataFrame = {
+    val sets = sortedSetsOf(docShingleHashesOn(containmentCorpus(Catalog(spark, dir))))
+    val posts = sets.select(explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val cap = dfCapForBytes("containment(byte-budget)", posts, shuffleBudgetBytes)
+    containmentPairsOnSets(sets, tau, cap, budget = Some(PairBudget()))
   }
 
   // ---- MinHash + LSH ------------------------------------------------------------

@@ -117,4 +117,48 @@ class DatacardSpec extends SparkTestBase {
     val b = Datacard.datacardRender(spark, oneShotDir).collect().map(_.toString).toSeq
     assert(a === b, "churned incremental card must equal the one-shot build")
   }
+
+  test("release gate: a planted distribution shift fires exactly the drifted source's flags") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcs = docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0))
+    val shifted = srcs.head
+    // the release: one source gains a wave of short, non-en, exact-dup
+    // docs equal to its own size — en_ppm, len_pass, dup and volume all
+    // move on that source; other sources receive nothing
+    val wave = docs.filter(col("source") === shifted)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("lang", lit("zz"))
+      .withColumn("text", lit("tiny dup"))
+    val sOld = tmpDir("dc_gate_old")
+    val sNew = tmpDir("dc_gate_new")
+    Datacard.datacardInit(spark, docs, sOld)
+    Datacard.datacardInit(spark, docs, sNew)
+    Datacard.datacardUpdate(spark, wave, sNew)
+    val diff = Datacard.datacardDiff(spark, sOld, sNew).collect()
+    assert(diff.map(_.getString(0)).toSeq === srcs.toSeq, "one diff row per source")
+    val bySrc = diff.map(r => r.getString(0) -> r).toMap
+    val hot = bySrc(shifted)
+    def flag(r: org.apache.spark.sql.Row, name: String): Boolean =
+      r.getBoolean(r.fieldIndex(name))
+    assert(flag(hot, "flag_volume"), "doubled source must trip the volume flag")
+    assert(flag(hot, "flag_en"), "en share halved must trip flag_en")
+    assert(flag(hot, "flag_len_pass"), "short docs must trip flag_len_pass")
+    assert(flag(hot, "flag_dup"), "exact-dup wave must trip flag_dup")
+    assert(!flag(hot, "flag_source_change"))
+    (srcs.tail).foreach { s =>
+      val r = bySrc(s)
+      Seq("flag_volume", "flag_en", "flag_len_pass", "flag_dup",
+        "flag_p50_chars", "flag_p95_tokens", "flag_source_change")
+        .foreach(f => assert(!flag(r, f), s"untouched source $s fired $f"))
+      assert(r.getLong(r.fieldIndex("n_docs_delta")) === 0L)
+    }
+    // a dropped source surfaces as flag_source_change with null deltas
+    val sDrop = tmpDir("dc_gate_drop")
+    Datacard.datacardInit(spark, docs.filter(col("source") =!= shifted), sDrop)
+    val dropDiff = Datacard.datacardDiff(spark, sOld, sDrop).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(flag(dropDiff(shifted), "flag_source_change"))
+    assert(dropDiff(shifted).isNullAt(dropDiff(shifted).fieldIndex("n_docs_delta")))
+  }
 }

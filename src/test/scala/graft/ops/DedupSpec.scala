@@ -84,6 +84,70 @@ class DedupSpec extends SparkTestBase {
     assert(tiny.subsetOf(exact.map(t => (t._1, t._2))))
   }
 
+  test("byte-budget cap: generous budget reproduces exact; starved budget bends to the floor, still a subset with exact scores") {
+    val exact = Dedup.ngramJaccardAt(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a generous budget derives a cap above the corpus's max df — exact
+    val wide = Dedup.ngramJaccardByteBudgeted(spark, sf, 0.5,
+      shuffleBudgetBytes = 1L << 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide === exact)
+    val (_, capWide, estWide, _) = Dedup.lastByteCap.get
+    assert(estWide >= 0L)
+    // a starved budget bends the cap to its floor (64) — never below —
+    // and the survivors keep EXACT verified scores (tuple-level subset)
+    val starved = Dedup.ngramJaccardByteBudgeted(spark, sf, 0.5,
+      shuffleBudgetBytes = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (_, capStarved, _, _) = Dedup.lastByteCap.get
+    assert(capStarved === 64, s"starved budget must land on the floor, got $capStarved")
+    assert(capWide >= capStarved)
+    assert(starved.subsetOf(exact), "byte-capping must drop, never invent or corrupt")
+    // containment variant: same contract over the excerpt corpus
+    val cExact = Dedup.containmentAt(spark, sf, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cWide = Dedup.containmentByteBudgeted(spark, sf, 0.9,
+      shuffleBudgetBytes = 1L << 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cWide === cExact)
+    val cStarved = Dedup.containmentByteBudgeted(spark, sf, 0.9,
+      shuffleBudgetBytes = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cStarved.subsetOf(cExact))
+  }
+
+  test("cross-family output budget: many mid-size near-dup families of exact copies fail loudly pre-expansion") {
+    import spark.implicits._
+    // 60 families x 12 exact copies; consecutive families are near-dups
+    // of each other (one token changed), so rep pairs qualify and the
+    // cross expansion would emit ~families x 12 x 12 rows. Rep-level
+    // candidates and within-family output both pass a 5k budget; only
+    // the cross-volume check can catch it.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 12 families x 12 exact copies, each family distinguished by one
+    // trailing token: families share 8 of 9 shingles pairwise (J = 0.8,
+    // all 66 rep pairs qualify). Budget 5000: rep-level candidates
+    // (8*C(12,2) = 528) and within-family output (12*C(12,2) = 792)
+    // both pass; the cross volume (66 * 12 * 12 = 9504) must not.
+    val docs = (0 until 12).flatMap { f =>
+      (0 until 12).map(c => (f * 100L + c, s"$base u$f"))
+    }.toDF("doc_id", "text")
+    val shingled = Dedup.docShingleHashesOn(docs)
+    val err = intercept[IllegalStateException] {
+      Dedup.ngramPairsExactCount(shingled, 0.5, collapse = Some(true),
+        budget = Some(Dedup.PairBudget(maxPairs = Some(5000L)))).count()
+    }
+    assert(err.getMessage.contains("budget exceeded"))
+    val (op, est, _) = Dedup.lastBudgetCheck.get
+    assert(op.contains("cross-family"), s"the CROSS check must fire, got $op")
+    assert(est === 66L * 144L, s"estimate must be the family product sum, got $est")
+    // and with the budget sized for the output, the same corpus emits
+    // every cross pair — the guard gates, it does not truncate
+    val n = Dedup.ngramPairsExactCount(shingled, 0.5, collapse = Some(true),
+      budget = Some(Dedup.PairBudget(maxPairs = Some(20000L)))).count()
+    assert(n === (66L * 144L) + 12L * 66L)
+  }
+
   test("duplicateClusters: driver union-find and distributed propagation agree") {
     val viaDriver = Dedup.duplicateClustersAt(spark, sf, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
