@@ -451,7 +451,7 @@ object ScaleProbe {
           ((900000 + q).toLong, cShift(q % 16).map(x => x + drnd.nextGaussian().toFloat * 0.8f))
         }.toDF("vec_id", "embedding").localCheckpoint()
         def recall50(ix: ops.Ivf.IvfIndex): Double = {
-          val corpus = spark.read.parquet(ix.path)
+          val corpus = ops.Ivf.indexData(spark, ix.path)
             .select(col("vec_id"), col("embedding"), col("nrm"))
           val q = queries.select(col("vec_id").as("query_id"),
             col("embedding").as("qvec"),

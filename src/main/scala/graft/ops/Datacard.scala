@@ -184,16 +184,31 @@ object Datacard {
   }
 
   /** Per-stateDir write monitor (the [[graft.util.IndexMaint.lockFor]]
-    * pattern): a
-    * batch update racing a streaming fold must not interleave two
-    * read-state→write-state→flip sequences — both would read the same
-    * version and one fold would be silently lost.
+    * pattern) PLUS the cross-process lease
+    * ([[graft.util.IndexMaint.withLease]]): a batch update racing a
+    * streaming fold — in this JVM or another process — must not
+    * interleave two read-state→write-state→flip sequences, or both
+    * would read the same version and one fold would be silently lost.
+    * Re-entrant per thread (datacardFold dispatches to init/update
+    * under the same lock).
     */
   private val stateLocks =
     new scala.collection.concurrent.TrieMap[String, Object]()
 
+  private val leaseHeld = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
+
   private def withStateLock[A](stateDir: String)(body: => A): A =
-    stateLocks.getOrElseUpdate(stateDir, new Object).synchronized(body)
+    stateLocks.getOrElseUpdate(stateDir, new Object).synchronized {
+      if (leaseHeld.get.contains(stateDir)) body
+      else {
+        leaseHeld.get.add(stateDir)
+        try graft.util.IndexMaint.withLease(stateDir, op = "datacard-fold")(body)
+        finally leaseHeld.get.remove(stateDir)
+      }
+    }
 
   private def readState(spark: SparkSession, stateDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {

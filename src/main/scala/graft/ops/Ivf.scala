@@ -188,96 +188,121 @@ object Ivf {
     * probed cells — the candidate set a dedup/link step consumes.
     */
   // ---- persisted-index API ----------------------------------------------------
-  /** Handle to a persisted IVF index: the cell-partitioned parquet path
-    * plus its quantizer centroids. The centroids live in an
-    * underscore-prefixed sidecar INSIDE the index directory (parquet
-    * discovery ignores it), so a later session — or a later batch —
-    * screens against the index via [[loadIndex]] without retraining or
-    * rescanning the base corpus.
+  /** Handle to a persisted IVF index: the index ROOT (a directory of
+    * generations behind an atomically-replaced live pointer — the
+    * [[graft.util.IndexMaint]] commit protocol) plus its quantizer
+    * centroids. Centroids live in an underscore-prefixed sidecar inside
+    * the generation (parquet discovery ignores it), so a later session —
+    * or a later batch — screens against the index via [[loadIndex]]
+    * without retraining or rescanning the base corpus.
     */
   final case class IvfIndex(path: String, centroids: Seq[Array[Float]])
 
   private val CentroidSidecar = "_ivf_centroids.txt"
 
-  private def writeCentroids(path: String, cs: Seq[Array[Float]]): Unit = {
+  private def writeCentroids(genDir: String, cs: Seq[Array[Float]]): Unit = {
     val body = cs.map(_.mkString(",")).mkString("\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, CentroidSidecar),
+    java.nio.file.Files.write(java.nio.file.Paths.get(genDir, CentroidSidecar),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def readCentroids(path: String): Seq[Array[Float]] = {
+  private def readCentroids(genDir: String): Seq[Array[Float]] = {
     val body = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, CentroidSidecar)),
+      java.nio.file.Paths.get(genDir, CentroidSidecar)),
       java.nio.charset.StandardCharsets.UTF_8)
     body.split("\n").toSeq.map(_.split(",").map(_.toFloat))
   }
 
-  /** Build (or overwrite) the persisted index for a `(vec_id, embedding)`
-    * base relation: train the quantizer, assign every vector in one scan,
-    * write cell-partitioned parquet, persist the centroid sidecar. The
-    * production pipeline calls this ONCE when the base corpus lands.
+  /** The index's live data as a DataFrame — resolves the live
+    * generation once and reads it. Reader contract: the resolved
+    * generation survives ONE subsequent rebalance (the commit keeps the
+    * predecessor generation), so an in-flight query never observes a
+    * half-swapped directory; only a handle held across TWO rebalances
+    * loses its files. Carries partition columns `seg` (commit unit) and
+    * `cid` (cell) — filters on `cid` still prune partitions.
     */
-  def buildIndex(base: DataFrame, path: String, kCells: Int, iters: Int): IvfIndex = {
-    val centroids = kmeansCentroids(base, kCells, iters)
-    base
-      .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
-      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    writeCentroids(path, centroids)
-    val index = IvfIndex(path, centroids)
-    // Build-time per-cell stats ride a second sidecar: the reference
-    // frame [[driftStats]] later compares the index's drifted contents
-    // against.
-    writeCellStats(path, cellStatsOf(base.sparkSession, index))
-    index
-  }
+  def indexData(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(graft.util.IndexMaint.liveGen(path))
 
-  /** Reopen an existing index without touching its data files.
-    *
-    * Crash recovery: [[rebalance]]'s two-move directory swap has a
-    * window where the live directory is absent and only `path + ".old"`
-    * exists (crash between the moves). A loader that finds no live
-    * directory but a `.old` sibling restores the old generation and
-    * serves it — the rebalance is simply lost and re-fires on the next
-    * drift check. On an object store the swap is a single manifest
-    * pointer flip and this path never triggers.
+  /** Build the persisted index for a `(vec_id, embedding)` base
+    * relation: train the quantizer, assign every vector in one scan,
+    * stage cell-partitioned parquet + sidecars as a complete
+    * generation, commit with one atomic pointer flip (any previously
+    * committed generations — and their applied tokens — are
+    * superseded: a rebuild from source by definition re-lands
+    * everything). The production pipeline calls this ONCE when the
+    * base corpus lands.
+    */
+  def buildIndex(base: DataFrame, path: String, kCells: Int, iters: Int): IvfIndex =
+    graft.util.IndexMaint.lockFor(path).synchronized {
+      graft.util.IndexMaint.withLease(path, op = "build") {
+        graft.util.IndexMaint.reapStages(path)
+        val centroids = kmeansCentroids(base, kCells, iters)
+        val stage = graft.util.IndexMaint.newStageDir(path, "build")
+        base
+          .select(col("vec_id"), col("embedding"),
+            Similarity.l2norm(col("embedding")).as("nrm"))
+          .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+        writeCentroids(stage, centroids)
+        // Build-time per-cell stats ride a second sidecar: the reference
+        // frame [[driftStats]] later compares drifted contents against.
+        writeCellStats(stage,
+          cellStatsOf(base.sparkSession, s"$stage/seg=base", centroids))
+        graft.util.IndexMaint.commitGeneration(path, stage)
+        IvfIndex(path, centroids)
+      }
+    }
+
+  /** Reopen an existing index without touching its data files. No
+    * recovery dance: generation commits are a single atomic pointer
+    * flip, so the live generation is always complete — a crash
+    * mid-build/rebalance leaves the previous generation live and only
+    * invisible stage garbage (reaped by the next mutation).
     */
   def loadIndex(path: String): IvfIndex =
     graft.util.IndexMaint.lockFor(path).synchronized {
-      graft.util.IndexMaint.recoverLive(path)
-      IvfIndex(path, readCentroids(path))
+      IvfIndex(path, readCentroids(graft.util.IndexMaint.liveGen(path)))
     }
 
   // ---- idempotent append (streaming at-least-once replay) -------------------
 
-  private val AppliedSidecar = "_ivf_applied.txt"
-
-  /** Tokens of batches already folded into the index (bounded: one short
-    * line per applied batch).
+  /** Tokens of batches already folded into the index (bounded: one
+    * committed segment or consolidated line per applied batch).
     */
   def appliedTokens(index: IvfIndex): Set[String] =
-    graft.util.IndexMaint.readTokens(index.path, AppliedSidecar)
+    graft.util.IndexMaint.appliedTokens(graft.util.IndexMaint.liveGen(index.path))
 
   /** [[appendBatch]] guarded by a per-batch token so an at-least-once
     * replay (streaming checkpoint replays the last uncommitted batch on
-    * restart) does NOT re-append the same vectors: if `token` is already
-    * recorded in the index's applied-batches sidecar the call is a
-    * no-op and returns false. The token is recorded after the parquet
-    * append commits; the residual window (crash between the append's
-    * output commit and the token line) is the same non-transactional
-    * gap any file sink has — an object-store manifest commit merges the
-    * two writes and closes it. [[rebalance]] carries the sidecar into
-    * the new generation, so batches already re-encoded by a rebalance
-    * stay deduplicated across the swap.
+    * restart) does NOT re-append the same vectors: if `token` is
+    * already applied the call is a no-op and returns false. The encoded
+    * batch and its token are staged together and committed by ONE
+    * atomic segment rename ([[graft.util.IndexMaint.commitSegment]]) —
+    * a crash at any point leaves either an invisible stage (the replay
+    * re-runs and commits once) or the fully-committed segment with its
+    * token (the replay is detected); there is no applied-but-unrecorded
+    * state. [[rebalance]] carries applied tokens into the new
+    * generation, so batches already re-encoded stay deduplicated across
+    * generations.
     */
   def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.lockFor(index.path).synchronized {
       graft.util.IndexMaint.requireValidToken(token)
-      if (appliedTokens(index).contains(token)) false
-      else {
-        appendBatch(index, batch)
-        graft.util.IndexMaint.recordToken(index.path, AppliedSidecar, token)
-        true
+      graft.util.IndexMaint.withLease(index.path, op = s"append:$token") {
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+        else {
+          graft.util.IndexMaint.reapStages(index.path)
+          // live-generation quantizer (see appendBatch): stale handles
+          // must not commit cells from a superseded quantizer
+          val live = IvfIndex(index.path, readCentroids(gen))
+          val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+          encodeBatch(live, batch)
+            .write.mode("overwrite").partitionBy("cid").parquet(stage)
+          graft.util.IndexMaint.commitSegment(gen, stage, token)
+          true
+        }
       }
     }
 
@@ -336,16 +361,31 @@ object Ivf {
           e: java.util.Map.Entry[(String, Long, Int, Int), IvfIndex]): Boolean =
         size() > IndexCacheMax
     }
-  /** Fold a new `(vec_id, embedding)` batch INTO the index: assign
-    * against the frozen quantizer (pure scan work over the batch) and
-    * append to the touched cell partitions — O(Δ) end to end, the base
-    * partitions are never rewritten.
-    */
-  def appendBatch(index: IvfIndex, batch: DataFrame): Unit =
+  private def encodeBatch(index: IvfIndex, batch: DataFrame): DataFrame =
     batch
       .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
       .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), index.centroids))
-      .write.mode("append").partitionBy("cid").parquet(index.path)
+
+  /** Fold a new `(vec_id, embedding)` batch INTO the index: assign
+    * against the frozen quantizer (pure scan work over the batch) and
+    * commit an anonymous segment into the live generation — O(Δ) end to
+    * end, existing data files are never rewritten. No replay token:
+    * callers that can be replayed use [[appendBatchIdempotent]].
+    */
+  def appendBatch(index: IvfIndex, batch: DataFrame): Unit =
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.withLease(index.path, op = "append") {
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        // assign against the LIVE generation's quantizer, not the
+        // handle's: a rebalance may have committed since the caller
+        // loaded it, and cells must match the centroids they live with
+        val live = IvfIndex(index.path, readCentroids(gen))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+        encodeBatch(live, batch)
+          .write.mode("overwrite").partitionBy("cid").parquet(stage)
+        graft.util.IndexMaint.commitSegmentAnon(gen, stage)
+      }
+    }
 
   // ---- index maintenance: drift detection + rebalance -----------------------
 
@@ -383,14 +423,14 @@ object Ivf {
 
   private val CellStatsSidecar = "_ivf_cellstats.txt"
 
-  private def writeCellStats(path: String, stats: Seq[CellStats]): Unit = {
+  private def writeCellStats(genDir: String, stats: Seq[CellStats]): Unit = {
     val body = stats.map(s => s"${s.cid},${s.n},${s.meanCos}").mkString("\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, CellStatsSidecar),
+    java.nio.file.Files.write(java.nio.file.Paths.get(genDir, CellStatsSidecar),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def readCellStats(path: String): Seq[CellStats] = {
-    val p = java.nio.file.Paths.get(path, CellStatsSidecar)
+  private def readCellStats(genDir: String): Seq[CellStats] = {
+    val p = java.nio.file.Paths.get(genDir, CellStatsSidecar)
     if (!java.nio.file.Files.exists(p)) return Nil
     new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -400,18 +440,19 @@ object Ivf {
       }
   }
 
-  /** Current per-cell stats: ONE index scan into a k-row aggregate (the
-    * centroid matrix broadcast-joins by cid; no data shuffle beyond the
-    * k-row rollup).
+  /** Current per-cell stats over `dataDir` (a generation or a staged
+    * one): ONE scan into a k-row aggregate (the centroid matrix
+    * broadcast-joins by cid; no data shuffle beyond the k-row rollup).
     */
-  private def cellStatsOf(spark: SparkSession, index: IvfIndex): Seq[CellStats] = {
+  private def cellStatsOf(spark: SparkSession, dataDir: String,
+      centroids: Seq[Array[Float]]): Seq[CellStats] = {
     import spark.implicits._
-    val centDf = index.centroids.zipWithIndex.map { case (v, i) =>
+    val centDf = centroids.zipWithIndex.map { case (v, i) =>
       var s = 0.0; var j = 0
       while (j < v.length) { s += v(j).toDouble * v(j).toDouble; j += 1 }
       (i, v, math.sqrt(s))
     }.toDF("cid", "cent", "cnrm")
-    spark.read.parquet(index.path)
+    spark.read.parquet(dataDir)
       .join(broadcast(centDf), Seq("cid"))
       .select(col("cid"),
         when(col("cnrm") === 0.0 || col("nrm") === 0.0, lit(0.0))
@@ -431,48 +472,51 @@ object Ivf {
     * build-time sidecar. O(index scan) work, k rows of metadata out.
     * Run it per append WAVE, not per micro-batch: the scan is O(index),
     * so an ingest loop amortizes it (see IvfIngest's `checkEvery`).
-    *
-    * Reader contract (also applies to [[screenBatch]]): callers read
-    * `index.path` outside the per-path build lock, so a CONCURRENT
-    * [[rebalance]] swap can momentarily remove the live directory —
-    * don't run either concurrently with a rebalance of the same index;
-    * after a crash mid-swap, [[loadIndex]] restores the `.old`
-    * generation.
+    * Reader-safe against a concurrent rebalance: the generation is
+    * resolved once and survives one subsequent commit (the
+    * [[indexData]] contract).
     */
   def driftStats(spark: SparkSession, index: IvfIndex): DriftReport = {
     driftScans.incrementAndGet()
-    DriftReport(build = readCellStats(index.path),
-      now = cellStatsOf(spark, index))
+    val gen = graft.util.IndexMaint.liveGen(index.path)
+    DriftReport(build = readCellStats(gen),
+      now = cellStatsOf(spark, gen, index.centroids))
   }
 
   /** Retrain the quantizer from a fresh bounded sample of the index's
     * CURRENT contents (same cell count), remap every vector in one
-    * scan into a sibling directory, then atomically swap directories —
-    * the periodic O(N) maintenance op that restores the recall and
-    * occupancy the append-only path erodes. On an object store the
-    * swap is a manifest/pointer flip; here the directory rename stands
-    * in for it. Readers holding the old handle must [[loadIndex]]
-    * again — the session memo for this path is invalidated.
+    * scan into a STAGED new generation (data + sidecars + carried
+    * applied tokens), then commit with one atomic pointer flip — the
+    * periodic O(N) maintenance op that restores the recall and
+    * occupancy the append-only path erodes. The previous generation is
+    * kept until the NEXT commit, so concurrent readers survive this
+    * one. Readers holding the old handle must [[loadIndex]] again —
+    * the session memo for this path is invalidated.
     */
   def rebalance(spark: SparkSession, index: IvfIndex, iters: Int = 2): IvfIndex =
     // same per-path monitor as buildIndexCached: a concurrent cached
-    // build must not interleave with the directory swap
+    // build must not interleave with the generation commit
     graft.util.IndexMaint.lockFor(index.path).synchronized {
-      rebalanceLocked(spark, index, iters)
+      graft.util.IndexMaint.withLease(index.path, op = "rebalance") {
+        rebalanceLocked(spark, index, iters)
+      }
     }
 
   private def rebalanceLocked(spark: SparkSession, index: IvfIndex, iters: Int): IvfIndex = {
-    val data = spark.read.parquet(index.path).select("vec_id", "embedding")
+    graft.util.IndexMaint.reapStages(index.path)
+    val gen = graft.util.IndexMaint.liveGen(index.path)
+    val data = spark.read.parquet(gen).select("vec_id", "embedding")
     val centroids = kmeansCentroids(data, index.centroids.size, iters)
-    val tmp = index.path + ".rebuild"
+    val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
     data
       .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
       .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), centroids))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    writeCentroids(tmp, centroids)
-    writeCellStats(tmp, cellStatsOf(spark, IvfIndex(tmp, centroids)))
-    graft.util.IndexMaint.carryTokens(index.path, tmp, AppliedSidecar)
-    graft.util.IndexMaint.swapLive(index.path, tmp)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+    writeCentroids(stage, centroids)
+    writeCellStats(stage, cellStatsOf(spark, s"$stage/seg=base", centroids))
+    graft.util.IndexMaint.writeConsolidatedTokens(stage,
+      graft.util.IndexMaint.appliedTokens(gen))
+    graft.util.IndexMaint.commitGeneration(index.path, stage)
     indexCache.synchronized {
       indexCache.keySet.removeIf(_._1 == index.path); ()
     }
@@ -514,7 +558,7 @@ object Ivf {
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    val result = spark.read.parquet(index.path)
+    val result = indexData(spark, index.path)
       .filter(col("cid").isin(probedCids: _*))
       .join(broadcast(probes), Seq("cid"))
       .withColumn("score",

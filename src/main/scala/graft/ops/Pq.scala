@@ -504,24 +504,39 @@ object Pq {
       if (r.isNullAt(2 * s + 1)) Double.NaN else r.getDouble(2 * s + 1)))
   }
 
-  /** Build (or overwrite) the persisted index: train sub-codebooks,
-    * encode in one scan, persist codes + raw vectors, write the
-    * codebook sidecar AND the encode-time fit-stats sidecar (one
-    * aggregate off the same checkpointed encode, no second corpus
-    * pass).
+  /** The index's live data as a DataFrame — the [[Ivf.indexData]]
+    * reader contract: the resolved generation survives one subsequent
+    * rebalance (the commit keeps the predecessor), so in-flight queries
+    * never observe a half-swapped directory.
+    */
+  def indexData(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(graft.util.IndexMaint.liveGen(path))
+
+  /** Build the persisted index: train sub-codebooks, encode in one
+    * scan, stage codes + raw vectors + the codebook and encode-time
+    * fit-stats sidecars as a complete generation, commit with one
+    * atomic pointer flip (the [[graft.util.IndexMaint]] protocol —
+    * a rebuild supersedes prior generations and their tokens).
     */
   def buildIndex(base: DataFrame, path: String, m: Int, kSub: Int,
-      iters: Int): PqIndex = {
-    val cbs = trainCodebooks(base, m, kSub, iters)
-    val encoded = encodeWithD2(
-      base.select(col("vec_id"), col("embedding")), cbs).localCheckpoint()
-    val dataCols = col("vec_id") +: col("embedding") +:
-      (0 until m).map(s => col(s"c$s"))
-    encoded.select(dataCols: _*).write.mode("overwrite").parquet(path)
-    writeCodebooks(path, cbs)
-    writeSubStats(path, subStatsOf(encoded, m))
-    PqIndex(path, cbs)
-  }
+      iters: Int): PqIndex =
+    graft.util.IndexMaint.lockFor(path).synchronized {
+      graft.util.IndexMaint.withLease(path, op = "build") {
+        graft.util.IndexMaint.reapStages(path)
+        val cbs = trainCodebooks(base, m, kSub, iters)
+        val encoded = encodeWithD2(
+          base.select(col("vec_id"), col("embedding")), cbs).localCheckpoint()
+        val dataCols = col("vec_id") +: col("embedding") +:
+          (0 until m).map(s => col(s"c$s"))
+        val stage = graft.util.IndexMaint.newStageDir(path, "build")
+        encoded.select(dataCols: _*)
+          .write.mode("overwrite").parquet(s"$stage/seg=base")
+        writeCodebooks(stage, cbs)
+        writeSubStats(stage, subStatsOf(encoded, m))
+        graft.util.IndexMaint.commitGeneration(path, stage)
+        PqIndex(path, cbs)
+      }
+    }
 
   /** [[buildIndex]] memoized per (path, source fingerprint, shape) for
     * the session — the [[Ivf.buildIndexCached]] pattern: the build is
@@ -558,26 +573,40 @@ object Pq {
         size() > PqIndexCacheMax
     }
 
-  /** Reopen an index; after a crash mid-[[rebalance]] swap, restore the
-    * `.old` generation (the [[Ivf.loadIndex]] contract).
+  /** Reopen an index. No recovery dance ([[Ivf.loadIndex]] contract):
+    * generation commits are atomic pointer flips, so the live
+    * generation is always complete.
     */
   def loadIndex(path: String): PqIndex =
     graft.util.IndexMaint.lockFor(path).synchronized {
-      graft.util.IndexMaint.recoverLive(path)
-      PqIndex(path, readCodebooks(path))
+      PqIndex(path, readCodebooks(graft.util.IndexMaint.liveGen(path)))
     }
 
-  /** Encode a new batch against the FROZEN codebooks and append its
-    * cells — O(Δ). This is the path that erodes fit under shift.
-    */
-  def appendBatch(index: PqIndex, batch: DataFrame): Unit = {
+  private def encodeBatchCols(index: PqIndex, batch: DataFrame): DataFrame = {
     val m = index.codebooks.size
     val dataCols = col("vec_id") +: col("embedding") +:
       (0 until m).map(s => col(s"c$s"))
     encodeWithD2(batch.select(col("vec_id"), col("embedding")), index.codebooks)
       .select(dataCols: _*)
-      .write.mode("append").parquet(index.path)
   }
+
+  /** Encode a new batch against the FROZEN codebooks and commit it as
+    * an anonymous segment — O(Δ). This is the path that erodes fit
+    * under shift. Replayable callers use [[appendBatchIdempotent]].
+    */
+  def appendBatch(index: PqIndex, batch: DataFrame): Unit =
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.withLease(index.path, op = "append") {
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        // encode against the LIVE generation's codebooks, not the
+        // handle's: a rebalance may have committed since the caller
+        // loaded it, and codes must match the codebooks they live with
+        val live = PqIndex(index.path, readCodebooks(gen))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+        encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
+        graft.util.IndexMaint.commitSegmentAnon(gen, stage)
+      }
+    }
 
   /** Current per-subspace fit vs the build-time sidecar: one index scan
     * into an m-row aggregate. Codes are frozen-nearest, so recomputing
@@ -602,37 +631,45 @@ object Pq {
           entry, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v).as(s"d$s")
     }
-    val withD2 = spark.read.parquet(index.path)
+    val gen = graft.util.IndexMaint.liveGen(index.path)
+    val withD2 = spark.read.parquet(gen)
       .select((col("vec_id") +: dCols): _*)
-    PqDriftReport(build = readSubStats(index.path),
+    PqDriftReport(build = readSubStats(gen),
       now = subStatsOf(withD2, m))
   }
 
   /** Retrain the sub-codebooks from a bounded sample of the index's
     * CURRENT contents, re-encode every vector in one scan into a
-    * sibling directory, swap atomically (pointer flip on an object
-    * store; two moves + `.old` cleanup here, with [[loadIndex]] as the
-    * crash-recovery path). Same per-path monitor as the build.
+    * STAGED new generation (data + sidecars + carried applied tokens),
+    * commit with one atomic pointer flip. The previous generation
+    * survives until the next commit, so concurrent readers are safe.
+    * Same per-path monitor + cross-process lease as the build.
     */
   def rebalance(spark: SparkSession, index: PqIndex, iters: Int = 2): PqIndex =
     graft.util.IndexMaint.lockFor(index.path).synchronized {
-      val data = spark.read.parquet(index.path).select("vec_id", "embedding")
-      val m = index.codebooks.size
-      val kSub = index.codebooks.head.size
-      val cbs = trainCodebooks(data, m, kSub, iters)
-      val tmp = index.path + ".rebuild"
-      val encoded = encodeWithD2(data, cbs).localCheckpoint()
-      val dataCols = col("vec_id") +: col("embedding") +:
-        (0 until m).map(s => col(s"c$s"))
-      encoded.select(dataCols: _*).write.mode("overwrite").parquet(tmp)
-      writeCodebooks(tmp, cbs)
-      writeSubStats(tmp, subStatsOf(encoded, m))
-      graft.util.IndexMaint.carryTokens(index.path, tmp, AppliedSidecar)
-      graft.util.IndexMaint.swapLive(index.path, tmp)
-      pqIndexCache.synchronized {
-        pqIndexCache.keySet.removeIf(_._1 == index.path); ()
+      graft.util.IndexMaint.withLease(index.path, op = "rebalance") {
+        graft.util.IndexMaint.reapStages(index.path)
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        val data = spark.read.parquet(gen).select("vec_id", "embedding")
+        val m = index.codebooks.size
+        val kSub = index.codebooks.head.size
+        val cbs = trainCodebooks(data, m, kSub, iters)
+        val encoded = encodeWithD2(data, cbs).localCheckpoint()
+        val dataCols = col("vec_id") +: col("embedding") +:
+          (0 until m).map(s => col(s"c$s"))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
+        encoded.select(dataCols: _*)
+          .write.mode("overwrite").parquet(s"$stage/seg=base")
+        writeCodebooks(stage, cbs)
+        writeSubStats(stage, subStatsOf(encoded, m))
+        graft.util.IndexMaint.writeConsolidatedTokens(stage,
+          graft.util.IndexMaint.appliedTokens(gen))
+        graft.util.IndexMaint.commitGeneration(index.path, stage)
+        pqIndexCache.synchronized {
+          pqIndexCache.keySet.removeIf(_._1 == index.path); ()
+        }
+        PqIndex(index.path, cbs)
       }
-      PqIndex(index.path, cbs)
     }
 
   /** Fully DISTRIBUTED ADC screen of a `(vec_id, embedding)` delta
@@ -662,7 +699,7 @@ object Pq {
         lit(0.0), (acc, v) => acc + v)
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    spark.read.parquet(index.path).crossJoin(q)
+    indexData(spark, index.path).crossJoin(q)
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -672,25 +709,34 @@ object Pq {
 
   // ---- idempotent append + instrumentation (streaming replay safety) --------
 
-  private val AppliedSidecar = "_pq_applied.txt"
-
   /** Tokens of batches already folded into the index. */
   def appliedTokens(index: PqIndex): Set[String] =
-    graft.util.IndexMaint.readTokens(index.path, AppliedSidecar)
+    graft.util.IndexMaint.appliedTokens(graft.util.IndexMaint.liveGen(index.path))
 
   /** [[appendBatch]] guarded by a per-batch token (the
-    * [[Ivf.appendBatchIdempotent]] contract): an at-least-once replay
-    * no-ops instead of duplicating the batch's codes; [[rebalance]]
-    * carries the sidecar into the new generation.
+    * [[Ivf.appendBatchIdempotent]] contract): the encoded batch and its
+    * token stage together and commit by ONE atomic segment rename, so
+    * an at-least-once replay either re-runs a crashed stage (commits
+    * once) or detects the committed token (no-ops) — no
+    * applied-but-unrecorded state exists. [[rebalance]] carries applied
+    * tokens into the new generation.
     */
   def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.lockFor(index.path).synchronized {
       graft.util.IndexMaint.requireValidToken(token)
-      if (appliedTokens(index).contains(token)) false
-      else {
-        appendBatch(index, batch)
-        graft.util.IndexMaint.recordToken(index.path, AppliedSidecar, token)
-        true
+      graft.util.IndexMaint.withLease(index.path, op = s"append:$token") {
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+        else {
+          graft.util.IndexMaint.reapStages(index.path)
+          // live-generation codebooks (see appendBatch): stale handles
+          // must not commit codes from a superseded codebook
+          val live = PqIndex(index.path, readCodebooks(gen))
+          val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+          encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
+          graft.util.IndexMaint.commitSegment(gen, stage, token)
+          true
+        }
       }
     }
 
@@ -718,7 +764,7 @@ object Pq {
       element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    spark.read.parquet(index.path).crossJoin(broadcast(lutDf))
+    indexData(spark, index.path).crossJoin(broadcast(lutDf))
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -732,7 +778,7 @@ object Pq {
       queryVecs: Seq[(Long, Array[Double])], k: Int): Double = {
     import spark.implicits._
     val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
-    val exact = spark.read.parquet(index.path)
+    val exact = indexData(spark, index.path)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qDf))
       .withColumn("d2", expr(

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import graft.ops.Ivf
 
@@ -12,26 +12,31 @@ import graft.ops.Ivf
   * quantizer), and — every `checkEvery`-th applied batch — (3) the
   * k-row drift check runs; when [[Ivf.DriftReport.drifted]] fires, the
   * index is rebalanced in place (bounded-sample retrain + one remap
-  * scan + atomic swap) and later batches screen against the repaired
-  * quantizer.
+  * scan + atomic generation commit) and later batches screen against
+  * the repaired quantizer.
   *
   * This closes the loop the batch APIs leave open: [[Ivf.appendBatch]]
   * erodes recall under distribution shift, [[Ivf.driftStats]] sees it,
   * [[Ivf.rebalance]] repairs it — here the stream runs all three on an
   * evidence-based trigger instead of a timer. The drift check is the
   * one O(index) step in the loop, so it is AMORTIZED: screen/append
-  * run per batch, `driftStats` every `checkEvery`-th batch — at 100 TB
-  * maintenance cost per batch stays O(Δ + index/checkEvery) instead of
-  * growing linearly with index size on every trigger.
+  * run per batch, `driftStats` every `checkEvery`-th applied batch —
+  * at 100 TB maintenance cost per batch stays O(Δ + index/checkEvery)
+  * instead of growing linearly with index size on every trigger. The
+  * cadence counts DURABLE applied tokens, not an in-memory counter,
+  * so it survives a restart: after a crash the (N+1)-th applied batch
+  * is still the (N+1)-th, wherever N batches landed from.
   *
   * Replay safety: foreachBatch under a streaming checkpoint is
   * at-least-once — after a crash the last uncommitted batch re-runs.
   * Both writes are idempotent per batchId: the screen result lands
   * under a `batch_id=<id>` partition directory in overwrite mode (a
   * replay overwrites its own output, never duplicates it), and the
-  * index append goes through [[Ivf.appendBatchIdempotent]] with the
-  * batchId as token (a replay no-ops, even across an intervening
-  * rebalance — the token sidecar survives the swap).
+  * index append goes through [[Ivf.appendBatchIdempotent]], whose
+  * data + token commit is ONE atomic segment rename — a crash at any
+  * point either replays a never-committed stage (applies once) or
+  * finds the committed token (no-ops), so no replay can duplicate
+  * vectors or self-match pollute the sink.
   */
 object IvfIngest {
 
@@ -39,7 +44,10 @@ object IvfIngest {
     * the batches whose drift scan actually ran (the `checkEvery`
     * cadence); on unchecked batches `meanCos` is NaN and
     * `drifted`/`rebalanced` are false. `replayed` marks batches whose
-    * append was skipped because the token was already applied.
+    * append was skipped because the token was already applied — their
+    * `screenedPairs`/`appended` are UNKNOWN (reported as -1, not 0):
+    * the original run's counts are not recoverable, though its sink
+    * partition holds the real rows.
     */
   final case class BatchReport(batchId: Long, screenedPairs: Long,
       appended: Long, meanCos: Double, checked: Boolean, drifted: Boolean,
@@ -56,10 +64,9 @@ object IvfIngest {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val schema = spark.read.parquet(srcDir).schema
     // foreachBatch closes over the MUTABLE index handle: a rebalance
-    // swaps the directory atomically and later batches pick up the new
+    // commits a new generation and later batches pick up the new
     // quantizer through this reference
     var index = index0
-    var applied = 0L // batches folded in THIS run — drives the check cadence
     val reports = scala.collection.mutable.ArrayBuffer.empty[BatchReport]
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -71,18 +78,8 @@ object IvfIngest {
         // every delta vector match ITSELF at rank 1 and overwrite the
         // original (correct) sink partition with self-polluted rows.
         // The original output is already on disk; skip everything.
-        // Window accounting: a crash between the sink write and the
-        // APPEND replays with no token and the index does not yet
-        // contain the batch — the re-screen overwrites the partition
-        // with identical rows. The one remaining hole is a crash INSIDE
-        // appendBatchIdempotent between the parquet commit and the
-        // token line (its scaladoc's documented gap): that replay would
-        // re-append and self-match. Closing it needs the append and the
-        // token in ONE commit — exactly what an object-store manifest
-        // swap provides; a local filesystem cannot, so the gap is
-        // narrow, documented, and inherited — not hidden.
         if (Ivf.appliedTokens(index).contains(token)) {
-          reports += BatchReport(id, 0L, 0L, Double.NaN,
+          reports += BatchReport(id, -1L, -1L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,
             replayed = true)
         } else {
@@ -94,8 +91,8 @@ object IvfIngest {
           // overwrite INTO the batch's own partition dir: replay-idempotent
           screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
           val fresh = Ivf.appendBatchIdempotent(index, pinned, token = token)
-          if (fresh) applied += 1
-          val check = fresh && applied % checkEvery == 0
+          // durable cadence: count applied tokens in the index itself
+          val check = fresh && Ivf.appliedTokens(index).size % checkEvery == 0
           val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Ivf.rebalance(spark, index)

@@ -12,19 +12,21 @@ import graft.ops.Pq
   * applied batch — (3) the m-row quantization-error drift check runs;
   * when [[Pq.PqDriftReport.drifted]] fires, the sub-codebooks retrain
   * from a bounded sample of current contents and every vector re-encodes
-  * in one scan behind an atomic swap, so later batches screen against
-  * codes that actually fit the drifted distribution.
+  * in one scan behind an atomic generation commit, so later batches
+  * screen against codes that actually fit the drifted distribution.
   *
   * Replay safety and amortization follow [[IvfIngest]] exactly: the
-  * screen result lands in a `batch_id=<id>` partition in overwrite mode,
-  * the append goes through [[Pq.appendBatchIdempotent]] (token sidecar
-  * survives the rebalance swap), and the O(index) drift scan is
-  * amortized behind `checkEvery`.
+  * screen result lands in a `batch_id=<id>` partition in overwrite
+  * mode, the append goes through [[Pq.appendBatchIdempotent]] (data +
+  * token commit in ONE atomic segment rename — no replay window), the
+  * drift cadence counts DURABLE applied tokens (restart-proof), and
+  * the O(index) drift scan is amortized behind `checkEvery`.
   */
 object PqIngest {
 
   /** Per-micro-batch maintenance telemetry ([[IvfIngest.BatchReport]]
-    * shape; `meanD2` is NaN on unchecked batches).
+    * shape; `meanD2` is NaN on unchecked batches; a replayed batch's
+    * `screenedPairs`/`appended` are UNKNOWN and reported as -1).
     */
   final case class BatchReport(batchId: Long, screenedPairs: Long,
       appended: Long, meanD2: Double, checked: Boolean, drifted: Boolean,
@@ -35,7 +37,6 @@ object PqIngest {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val schema = spark.read.parquet(srcDir).schema
     var index = index0
-    var applied = 0L
     val reports = scala.collection.mutable.ArrayBuffer.empty[BatchReport]
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -46,13 +47,9 @@ object PqIngest {
         // token is applied the batch is inside the index, so a re-screen
         // would self-match every vector at d2≈0 and overwrite the
         // original sink partition with polluted rows — skip everything,
-        // the original output is already on disk. Same residual window
-        // as IvfIngest: a crash between the append's parquet commit and
-        // the token line replays un-detected — closing it needs append
-        // + token in one manifest commit (object store), see the
-        // window-accounting note there.
+        // the original output is already on disk.
         if (Pq.appliedTokens(index).contains(token)) {
-          reports += BatchReport(id, 0L, 0L, Double.NaN,
+          reports += BatchReport(id, -1L, -1L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,
             replayed = true)
         } else {
@@ -61,8 +58,8 @@ object PqIngest {
             .localCheckpoint()
           screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
           val fresh = Pq.appendBatchIdempotent(index, pinned, token = token)
-          if (fresh) applied += 1
-          val check = fresh && applied % checkEvery == 0
+          // durable cadence: count applied tokens in the index itself
+          val check = fresh && Pq.appliedTokens(index).size % checkEvery == 0
           val dr = if (check) Some(Pq.pqDriftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Pq.rebalance(spark, index)

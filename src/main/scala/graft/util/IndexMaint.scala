@@ -1,91 +1,295 @@
 package graft.util
 
+import java.nio.channels.{FileChannel, FileLock, OverlappingFileLockException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
 /** Shared maintenance plumbing for persisted ANN index directories
-  * ([[graft.ops.Ivf]] and [[graft.ops.Pq]]): per-path monitors,
-  * applied-batch token sidecars (streaming replay idempotence), and the
-  * two-move atomic swap with `.old` crash recovery. ONE implementation
-  * so a fix to the swap or replay protocol cannot silently reach one
-  * index family and miss the other (the prior copies drifted exactly
-  * that way). Distinct from [[AtomicSwap]] (Hadoop-FS, dot-prefixed
-  * scratch siblings for tracking tables): the index contract is
-  * java.nio with the spec-pinned `.old` / `.rebuild` sibling names.
+  * ([[graft.ops.Ivf]] and [[graft.ops.Pq]]) — ONE implementation so a
+  * protocol fix cannot silently reach one index family and miss the
+  * other (earlier per-family copies drifted exactly that way).
+  *
+  * == Durable commit protocol ==
+  *
+  * An index root is a directory of GENERATIONS plus an atomically
+  * replaced pointer file:
+  *
+  * {{{
+  * <root>/
+  *   _live.txt              current generation name (atomic replace)
+  *   gen-000000000/         a generation
+  *     seg=base/…           build/rebalance output (cid=… dirs inside
+  *                          for a cell-partitioned index)
+  *     seg=b<hash16>/…      one committed append batch, with its
+  *                          _token.txt INSIDE the segment
+  *     _applied.txt         consolidated tokens carried from prior
+  *                          generations at rebalance
+  *     _…sidecars           quantizer/codebook/fit-stat sidecars
+  *   .stage-…/              uncommitted staging (invisible to readers;
+  *                          crashed leftovers reaped under the lease)
+  * <root>.lock              cross-process lease file
+  * }}}
+  *
+  * Every mutation is staged fully and committed by a SINGLE atomic
+  * rename on the same filesystem:
+  *  - an APPEND stages its encoded parquet plus `_token.txt` and
+  *    commits by moving the stage to `gen-N/seg=b<hash>` — the data
+  *    and its replay token become visible together, so the old
+  *    "parquet committed but token line lost" replay window does not
+  *    exist;
+  *  - a BUILD/REBALANCE stages a complete new generation (data,
+  *    sidecars, carried tokens) and commits by atomically replacing
+  *    `_live.txt` — a crash at any point leaves the previous
+  *    generation live and only reapable garbage behind.
+  *
+  * Readers resolve `_live.txt` once and then read that generation
+  * directory; [[commitGeneration]] keeps ONE predecessor generation,
+  * so an in-flight query (or a held DataFrame) survives one
+  * subsequent rebalance — the live directory is never absent, there
+  * is no half-swapped state to observe. On an object store both
+  * commits map to the native conditional-put / manifest-pointer flip.
+  *
+  * == Cross-process lease ==
+  *
+  * Mutations additionally hold an OS file lock on `<root>.lock`
+  * ([[withLease]]): a second JVM (or a second thread — in-JVM
+  * contention degrades to the same wait loop) attempting to mutate
+  * the same index waits, then FAILS LOUDLY naming the holder instead
+  * of interleaving stage/commit sequences. Reads take no lease.
   */
 object IndexMaint {
 
   private val locks =
     new scala.collection.concurrent.TrieMap[String, Object]()
 
-  /** One monitor per index path — serializes builds, swaps, token
-    * appends, and recovery (paths are globally unique, so IVF and PQ
-    * sharing the map is harmless).
+  /** One monitor per index path — the in-JVM serialization layer under
+    * which mutators acquire the cross-process lease (paths are globally
+    * unique, so IVF and PQ sharing the map is harmless).
     */
   def lockFor(path: String): Object = locks.getOrElseUpdate(path, new Object)
 
-  // ---- applied-batch token sidecar ------------------------------------------
+  // ---- cross-process lease --------------------------------------------------
 
-  def readTokens(path: String, sidecar: String): Set[String] = {
-    val p = java.nio.file.Paths.get(path, sidecar)
-    if (!java.nio.file.Files.exists(p)) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator.filter(_.nonEmpty).toSet
+  /** Default wait before a contended mutation fails loudly; specs dial
+    * it down to exercise the timeout path.
+    */
+  @volatile var defaultLeaseTimeoutMs: Long = 120000L
+
+  /** Run `f` holding an exclusive OS file lock on `<root>.lock`. Waits
+    * up to `timeoutMs` for a holder (another process's fcntl lock, or
+    * another thread of this JVM — [[OverlappingFileLockException]] is
+    * treated as "held, wait"), then throws naming the recorded holder.
+    * Advisory, like every file lease: it serializes cooperating graft
+    * processes, it cannot stop an arbitrary foreign writer.
+    */
+  def withLease[A](root: String, timeoutMs: Long = -1L,
+      op: String = "maintenance")(f: => A): A = {
+    val waitMs = if (timeoutMs >= 0) timeoutMs else defaultLeaseTimeoutMs
+    val lockPath = Paths.get(root + ".lock")
+    Option(lockPath.getParent).foreach(Files.createDirectories(_))
+    val ch = FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.READ, StandardOpenOption.WRITE)
+    try {
+      var lock: FileLock = null
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      while (lock == null) {
+        lock =
+          try ch.tryLock()
+          catch { case _: OverlappingFileLockException => null }
+        if (lock == null) {
+          if (System.nanoTime() > deadline) {
+            val holder =
+              try new String(Files.readAllBytes(lockPath), UTF_8).trim
+              catch { case _: Exception => "unknown" }
+            throw new IllegalStateException(
+              s"index lease on $root is held by [$holder] — refused to mutate " +
+                s"after ${waitMs} ms. Another process (or thread) is appending or " +
+                "rebalancing this index; retry when it finishes, or raise the " +
+                "lease timeout (IndexMaint.defaultLeaseTimeoutMs).")
+          }
+          Thread.sleep(50)
+        }
+      }
+      try {
+        val info = s"pid=${ProcessHandle.current().pid()} op=$op " +
+          s"since=${java.time.Instant.now()}"
+        ch.truncate(0)
+        ch.write(java.nio.ByteBuffer.wrap(info.getBytes(UTF_8)))
+        f
+      } finally lock.release()
+    } finally ch.close()
   }
 
-  /** Token shape check — callers run this BEFORE mutating the index so
-    * a malformed token fails fast instead of after the append committed
-    * (which would leave applied-but-untracked vectors that a retried
-    * sanitized token then duplicates).
+  // ---- generations ----------------------------------------------------------
+
+  private val LivePointer = "_live.txt"
+  private val GenPattern = "gen-(\\d{9})".r
+
+  private def genNumber(name: String): Option[Long] = name match {
+    case GenPattern(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  private def genDirs(root: String): Seq[(Long, Path)] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Nil
+    else {
+      val s = Files.list(r)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .flatMap(p => genNumber(p.getFileName.toString).map(_ -> p))
+          .toSeq.sortBy(_._1)
+      } finally s.close()
+    }
+  }
+
+  /** The live generation's absolute path, or None if the index has
+    * never committed one (a crashed first build leaves only stages).
+    */
+  def liveGenOpt(root: String): Option[String] = {
+    val p = Paths.get(root, LivePointer)
+    if (!Files.exists(p)) None
+    else {
+      val name = new String(Files.readAllBytes(p), UTF_8).trim
+      val d = Paths.get(root, name)
+      if (Files.isDirectory(d)) Some(d.toString) else None
+    }
+  }
+
+  def liveGen(root: String): String = liveGenOpt(root).getOrElse(
+    throw new IllegalStateException(
+      s"$root has no live generation — the index was never committed " +
+        "(a crashed build leaves only stage directories; rebuild it)"))
+
+  /** Fresh staging directory inside the root (same filesystem as the
+    * commit target, so every commit rename is atomic). Dot-prefixed:
+    * invisible to parquet discovery, reapable garbage after a crash.
+    */
+  def newStageDir(root: String, tag: String): String = {
+    Files.createDirectories(Paths.get(root))
+    Files.createTempDirectory(Paths.get(root), s".stage-$tag-").toString
+  }
+
+  /** Reap crashed staging leftovers. Callers hold the lease: any stage
+    * directory observed while WE hold it belongs to a crashed mutation.
+    */
+  def reapStages(root: String): Unit = {
+    val r = Paths.get(root)
+    if (Files.isDirectory(r)) {
+      val s = Files.list(r)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".stage-"))
+          .toSeq.foreach(p => Fs.deleteRecursively(p.toString))
+      } finally s.close()
+    }
+  }
+
+  /** Commit a fully-staged generation: move the stage in as
+    * `gen-<next>`, atomically replace the live pointer, reap
+    * generations older than the PREDECESSOR (kept so an in-flight
+    * reader of the previous generation survives this commit). Returns
+    * the committed generation's path. Callers hold [[lockFor]] +
+    * [[withLease]].
+    */
+  def commitGeneration(root: String, stage: String): String = {
+    val next = genDirs(root).lastOption.map(_._1 + 1).getOrElse(0L)
+    val name = f"gen-$next%09d"
+    val target = Paths.get(root, name)
+    Files.move(Paths.get(stage), target)
+    val tmp = Paths.get(root, LivePointer + ".tmp")
+    Files.write(tmp, name.getBytes(UTF_8))
+    Files.move(tmp, Paths.get(root, LivePointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    genDirs(root).foreach { case (n, p) =>
+      if (n < next - 1) Fs.deleteRecursively(p.toString)
+    }
+    target.toString
+  }
+
+  // ---- segments (atomic append commit) --------------------------------------
+
+  private val TokenFile = "_token.txt"
+  private val ConsolidatedTokens = "_applied.txt"
+
+  /** Token shape check — run BEFORE staging so a malformed token fails
+    * fast.
     */
   def requireValidToken(token: String): Unit =
-    require(!token.contains("\n"), "append token must be a single line")
+    require(token.nonEmpty && !token.contains("\n") && !token.contains("\r"),
+      "append token must be a non-empty single line")
 
-  def recordToken(path: String, sidecar: String, token: String): Unit = {
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+
+  /** Deterministic segment directory name for a token. */
+  def segmentName(token: String): String = "seg=b" + md5Hex(token).take(16)
+
+  /** Commit a staged append: write the token INSIDE the stage, then one
+    * atomic rename into the live generation. A crash before the rename
+    * leaves an invisible stage (reaped later); after it, the data and
+    * its token are both visible — there is no state in which the batch
+    * is applied but unrecorded. Callers hold [[lockFor]] + [[withLease]]
+    * and have already checked [[appliedTokens]].
+    */
+  def commitSegment(genDir: String, stage: String, token: String): Unit = {
     requireValidToken(token)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, sidecar),
-      (token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    Files.write(Paths.get(stage, TokenFile), (token + "\n").getBytes(UTF_8))
+    val target = Paths.get(genDir, segmentName(token))
+    if (Files.exists(target)) Fs.deleteRecursively(stage)
+    else Files.move(Paths.get(stage), target)
   }
 
-  /** Carry the token sidecar into a rebuild directory before the swap:
-    * the rebuild re-encodes content already in the index, so a
-    * post-swap replay of an old batch must still no-op.
+  /** Commit a tokenless segment (the non-idempotent append path —
+    * callers that manage their own replay story). Name is unique, not
+    * content-derived.
     */
-  def carryTokens(from: String, to: String, sidecar: String): Unit = {
-    val src = java.nio.file.Paths.get(from, sidecar)
-    if (java.nio.file.Files.exists(src))
-      java.nio.file.Files.copy(src, java.nio.file.Paths.get(to, sidecar))
+  def commitSegmentAnon(genDir: String, stage: String): Unit = {
+    val name = "seg=a" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    Files.move(Paths.get(stage), Paths.get(genDir, name))
   }
 
-  // ---- two-move swap + crash recovery ---------------------------------------
-
-  /** Swap `tmp` in as the live generation: reap a leftover `.old`
-    * (crash between a previous swap's second move and its reap — the
-    * rename below would throw on it), live → `.old`, tmp → live, reap
-    * `.old`. On an object store this whole sequence is one manifest
-    * pointer flip; callers hold [[lockFor]] `path`.
+  /** Tokens of batches already folded into this generation: the
+    * consolidated sidecar (carried across rebalances) plus each
+    * committed segment's own token file.
     */
-  def swapLive(path: String, tmp: String): Unit = {
-    val live = java.nio.file.Paths.get(path)
-    val old = java.nio.file.Paths.get(path + ".old")
-    if (java.nio.file.Files.exists(old)) Fs.deleteRecursively(path + ".old")
-    java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
-    Fs.deleteRecursively(path + ".old")
+  def appliedTokens(genDir: String): Set[String] = {
+    val consolidated = {
+      val p = Paths.get(genDir, ConsolidatedTokens)
+      if (!Files.exists(p)) Set.empty[String]
+      else new String(Files.readAllBytes(p), UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).toSet
+    }
+    val g = Paths.get(genDir)
+    val segTokens =
+      if (!Files.isDirectory(g)) Set.empty[String]
+      else {
+        val s = Files.list(g)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("seg=b"))
+            .flatMap { p =>
+              val t = p.resolve(TokenFile)
+              if (Files.exists(t))
+                Some(new String(Files.readAllBytes(t), UTF_8).trim)
+              else None
+            }.toSet
+        } finally s.close()
+      }
+    consolidated ++ segTokens
   }
 
-  /** Loader-side recovery: live missing + `.old` present (crash between
-    * the two moves) → restore the old generation; both present (crash
-    * between the second move and the reap) → reap the stale `.old` so
-    * the next swap's rename cannot hit it. Callers hold [[lockFor]].
+  /** Write the consolidated token sidecar into a STAGED generation
+    * (whole-file; becomes visible with the generation commit). A
+    * rebalance carries `appliedTokens(oldGen)` forward so batches
+    * already re-encoded into the new generation stay deduplicated.
     */
-  def recoverLive(path: String): Unit = {
-    val live = java.nio.file.Paths.get(path)
-    val old = java.nio.file.Paths.get(path + ".old")
-    if (!java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-      java.nio.file.Files.move(old, live)
-    else if (java.nio.file.Files.exists(live) && java.nio.file.Files.exists(old))
-      Fs.deleteRecursively(path + ".old")
-  }
+  def writeConsolidatedTokens(stageDir: String, tokens: Set[String]): Unit =
+    Files.write(Paths.get(stageDir, ConsolidatedTokens),
+      tokens.toSeq.sorted.mkString("", "\n", if (tokens.isEmpty) "" else "\n")
+        .getBytes(UTF_8))
 }

@@ -165,45 +165,108 @@ class IvfSpec extends SparkTestBase {
     val idxPath = tmpDir("ivf_idem")
     val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath,
       kCells = 8, iters = 1)
-    val n0 = spark.read.parquet(idxPath).count()
+    val n0 = Ivf.indexData(spark, idxPath).count()
     val batch = emb.filter(col("vec_id").isin(0L, 10L, 20L)).localCheckpoint()
     // first application folds the batch in
     assert(Ivf.appendBatchIdempotent(index, batch, token = "ingest:7"))
-    val n1 = spark.read.parquet(idxPath).count()
+    val n1 = Ivf.indexData(spark, idxPath).count()
     assert(n1 === n0 + 3)
     // at-least-once replay of the SAME batchId: no-op, no duplicates
     assert(!Ivf.appendBatchIdempotent(index, batch, token = "ingest:7"))
-    assert(spark.read.parquet(idxPath).count() === n1)
+    assert(Ivf.indexData(spark, idxPath).count() === n1)
     // a rebalance re-encodes current contents into a new generation;
     // the applied-token sidecar must survive the swap so a post-swap
     // replay STILL no-ops (the batch is already inside the rebuilt index)
     val rebuilt = Ivf.rebalance(spark, index, iters = 1)
     assert(!Ivf.appendBatchIdempotent(rebuilt, batch, token = "ingest:7"))
-    assert(spark.read.parquet(idxPath).count() === n1)
+    assert(Ivf.indexData(spark, idxPath).count() === n1)
     // a genuinely new batch still lands
     val batch2 = emb.filter(col("vec_id") === 30L).localCheckpoint()
     assert(Ivf.appendBatchIdempotent(rebuilt, batch2, token = "ingest:8"))
-    assert(spark.read.parquet(idxPath).count() === n1 + 1)
+    assert(Ivf.indexData(spark, idxPath).count() === n1 + 1)
   }
 
-  test("loadIndex restores the .old generation after a crash mid-swap") {
+  test("crash injection: a mutation that dies before its commit rename leaves the live generation intact; the replay applies exactly once") {
+    import graft.util.IndexMaint
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idxPath = tmpDir("ivf_crash")
     val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath,
       kCells = 8, iters = 1)
-    val n0 = spark.read.parquet(idxPath).count()
-    // simulate a crash between rebalance's two moves: live dir renamed
-    // away, replacement never moved in
-    java.nio.file.Files.move(java.nio.file.Paths.get(idxPath),
-      java.nio.file.Paths.get(idxPath + ".old"))
-    val recovered = Ivf.loadIndex(idxPath)
-    assert(recovered.centroids.size === index.centroids.size)
-    assert(spark.read.parquet(idxPath).count() === n0,
-      "the restored generation must serve the pre-swap contents")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath + ".old")))
-    // and screening against the recovered handle works
-    val batch = emb.filter(col("vec_id") === 0L)
-    assert(Ivf.screenBatch(spark, recovered, batch, k = 3, nprobe = 2).count() > 0)
+    val n0 = Ivf.indexData(spark, idxPath).count()
+    val batch = emb.filter(col("vec_id").isin(0L, 10L, 20L)).localCheckpoint()
+    // simulate the crash: the append's stage is fully written (data AND
+    // token file) but the process dies before the single commit rename
+    val stage = IndexMaint.newStageDir(idxPath, "append")
+    batch.write.mode("overwrite").parquet(stage)
+    java.nio.file.Files.write(java.nio.file.Paths.get(stage, "_token.txt"),
+      "ingest:9\n".getBytes())
+    // readers are unaffected: the stage is invisible, the live
+    // generation serves the pre-crash contents, the token is NOT applied
+    assert(Ivf.indexData(spark, idxPath).count() === n0)
+    assert(!Ivf.appliedTokens(Ivf.loadIndex(idxPath)).contains("ingest:9"),
+      "an uncommitted stage must not count as applied")
+    // the at-least-once replay re-runs the batch: applies exactly once,
+    // and the crashed stage is reaped
+    assert(Ivf.appendBatchIdempotent(index, batch, token = "ingest:9"))
+    assert(Ivf.indexData(spark, idxPath).count() === n0 + 3)
+    val stale = new java.io.File(idxPath).listFiles()
+      .filter(_.getName.startsWith(".stage-"))
+    assert(stale.isEmpty, s"crashed stages must be reaped: ${stale.mkString(",")}")
+    // a second replay of the same token no-ops — no duplicate vectors
+    assert(!Ivf.appendBatchIdempotent(index, batch, token = "ingest:9"))
+    assert(Ivf.indexData(spark, idxPath).count() === n0 + 3)
+  }
+
+  test("generation commits: one predecessor is kept for in-flight readers, older generations are reaped") {
+    import graft.util.IndexMaint
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_gens")
+    var index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath,
+      kCells = 4, iters = 1)
+    def gens(): Seq[String] = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).sorted.toSeq
+    assert(gens() === Seq("gen-000000000"))
+    // a reader resolves the CURRENT generation before the next commit…
+    val preSwap = Ivf.indexData(spark, idxPath).localCheckpoint(eager = false)
+    index = Ivf.rebalance(spark, index, iters = 1)
+    assert(gens() === Seq("gen-000000000", "gen-000000001"),
+      "the predecessor generation must survive one commit")
+    // …and still materializes after that commit (its files were kept)
+    assert(preSwap.count() > 0)
+    index = Ivf.rebalance(spark, index, iters = 1)
+    assert(gens() === Seq("gen-000000001", "gen-000000002"),
+      "generations older than the predecessor must be reaped")
+    assert(IndexMaint.liveGen(idxPath).endsWith("gen-000000002"))
+  }
+
+  test("cross-process lease: a held lease makes a concurrent mutation wait, then fail loudly naming the holder") {
+    import graft.util.IndexMaint
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_lease")
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") % 10 =!= 0), idxPath,
+      kCells = 4, iters = 1)
+    val batch = emb.filter(col("vec_id") === 0L).localCheckpoint()
+    val old = IndexMaint.defaultLeaseTimeoutMs
+    IndexMaint.defaultLeaseTimeoutMs = 500L
+    try {
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        IndexMaint.withLease(idxPath, timeoutMs = 5000L, op = "spec-holder") {
+          started.countDown(); release.await()
+        })
+      holder.start(); started.await()
+      val e = intercept[IllegalStateException] {
+        Ivf.appendBatchIdempotent(index, batch, token = "ingest:z")
+      }
+      assert(e.getMessage.contains("lease"), e.getMessage)
+      assert(e.getMessage.contains("spec-holder"),
+        s"the failure must name the holder: ${e.getMessage}")
+      release.countDown(); holder.join()
+      // after the holder releases, the same mutation goes through
+      assert(Ivf.appendBatchIdempotent(index, batch, token = "ingest:z"))
+    } finally IndexMaint.defaultLeaseTimeoutMs = old
   }
 
   test("buildIndexCached: session memo serves repeats; source rewrite invalidates") {
@@ -292,7 +355,7 @@ class IvfSpec extends SparkTestBase {
       ((5000 + q).toLong, cNew(q % 4).map(x => x + rnd.nextGaussian().toFloat * 0.8f))
     }.toDF("vec_id", "embedding").localCheckpoint()
     def recall(ix: Ivf.IvfIndex): Double = {
-      val corpus = spark.read.parquet(ix.path)
+      val corpus = Ivf.indexData(spark, ix.path)
         .select(col("vec_id"), col("embedding"), col("nrm"))
       val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         Similarity.l2norm(col("embedding")).as("qnrm"))
@@ -318,7 +381,7 @@ class IvfSpec extends SparkTestBase {
     // the swap kept the same path and the sidecars follow the new data
     val reopened = Ivf.loadIndex(idxPath)
     assert(reopened.centroids.length === 8)
-    assert(spark.read.parquet(idxPath).count() === 720)
+    assert(Ivf.indexData(spark, idxPath).count() === 720)
   }
 
   test("buildIndexCached: cache is LRU-bounded; concurrent same-path builds share one instance") {

@@ -271,7 +271,7 @@ class PqSpec extends SparkTestBase {
     // the swap preserved every vector and the sidecars reopened cleanly
     val reopened = Pq.loadIndex(s"$tmp/index")
     assert(reopened.codebooks.size === 4)
-    assert(spark.read.parquet(s"$tmp/index").count() === 1000L)
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 1000L)
   }
 
   test("appendBatchIdempotent: a replayed batch no-ops, even across a rebalance swap") {
@@ -284,13 +284,13 @@ class PqSpec extends SparkTestBase {
     val batch = (1000 until 1010).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding").localCheckpoint()
     assert(Pq.appendBatchIdempotent(index, batch, token = "ingest:3"))
-    assert(spark.read.parquet(s"$tmp/index").count() === 310L)
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 310L)
     assert(!Pq.appendBatchIdempotent(index, batch, token = "ingest:3"))
-    assert(spark.read.parquet(s"$tmp/index").count() === 310L)
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 310L)
     val rebuilt = Pq.rebalance(spark, index, iters = 1)
     assert(!Pq.appendBatchIdempotent(rebuilt, batch, token = "ingest:3"),
       "the applied-token sidecar must survive the rebalance swap")
-    assert(spark.read.parquet(s"$tmp/index").count() === 310L)
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 310L)
   }
 
   test("screenBatchAdc (distributed, no driver LUTs) ranks exactly like adcTopK") {
@@ -312,18 +312,67 @@ class PqSpec extends SparkTestBase {
       "the distributed ADC screen must rank identically to the LUT path")
   }
 
-  test("loadIndex restores the .old generation after a crash mid-swap") {
+  test("crash injection: a crashed rebalance stage never becomes visible; loadIndex serves the committed generation") {
+    import graft.util.IndexMaint
     val rnd = new scala.util.Random(31)
     val tmp = tmpDir("pq_crash")
     (0 until 200).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
     val index = Pq.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/index",
       m = 4, kSub = 8, iters = 1)
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/index"),
-      java.nio.file.Paths.get(s"$tmp/index.old"))
+    // simulate a rebalance crash: a fully-written stage that never got
+    // its generation commit (pointer flip)
+    val stage = IndexMaint.newStageDir(s"$tmp/index", "rebalance")
+    (0 until 7).map(i => (i.toLong, Array.fill(32)(0.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$stage/seg=base")
     val recovered = Pq.loadIndex(s"$tmp/index")
     assert(recovered.codebooks.size === index.codebooks.size)
-    assert(spark.read.parquet(s"$tmp/index").count() === 200L)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/index.old")))
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 200L,
+      "the live generation must be the last COMMITTED one, not the crashed stage")
+    // the next mutation reaps the crashed stage
+    val batch = (500 until 505).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    assert(Pq.appendBatchIdempotent(recovered, batch, token = "ingest:r"))
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 205L)
+    val stale = new java.io.File(s"$tmp/index").listFiles()
+      .filter(_.getName.startsWith(".stage-"))
+    assert(stale.isEmpty, s"crashed stages must be reaped: ${stale.mkString(",")}")
+  }
+
+  test("two writers: concurrent append and rebalance on the same index serialize; screens agree with a batch rebuild") {
+    val rnd = new scala.util.Random(37)
+    val tmp = tmpDir("pq_two_writer")
+    (0 until 400).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index = Pq.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/index",
+      m = 4, kSub = 8, iters = 1)
+    val batches = (0 until 4).map { b =>
+      ((1000 + 10 * b) until (1010 + 10 * b))
+        .map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding").localCheckpoint()
+    }
+    // writer A: four tokened appends; writer B: two rebalances — racing
+    // on the same root, serialized by the per-path monitor + lease
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val a = new Thread(() => try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Pq.appendBatchIdempotent(Pq.loadIndex(s"$tmp/index"), b, token = s"ingest:$i")
+      }
+    } catch { case t: Throwable => errs.add(t) })
+    val b = new Thread(() => try {
+      (0 until 2).foreach { _ =>
+        Pq.rebalance(spark, Pq.loadIndex(s"$tmp/index"), iters = 1)
+      }
+    } catch { case t: Throwable => errs.add(t) })
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"two-writer race must serialize, got ${errs.toArray.mkString(";")}")
+    // nothing lost, nothing duplicated: 400 base + 40 appended
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 440L)
+    assert(Pq.indexData(spark, s"$tmp/index").select("vec_id").distinct().count() === 440L)
+    // replays of every token still no-op after the rebalances
+    batches.zipWithIndex.foreach { case (bt, i) =>
+      assert(!Pq.appendBatchIdempotent(Pq.loadIndex(s"$tmp/index"), bt, token = s"ingest:$i"))
+    }
   }
 }

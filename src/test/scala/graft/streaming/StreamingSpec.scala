@@ -639,7 +639,7 @@ class StreamingSpec extends SparkTestBase {
     // append+token, before the streaming checkpoint committed)
     val pre = batches.head.toDF("vec_id", "embedding").localCheckpoint()
     assert(graft.ops.Ivf.appendBatchIdempotent(index0, pre, token = "ingest:0"))
-    val n0 = spark.read.parquet(s"$tmp/index").count()
+    val n0 = graft.ops.Ivf.indexData(spark, s"$tmp/index").count()
     val reports = graft.streaming.IvfIngest.ingestStream(
       spark, srcDir, index0, k = 5, nprobe = 2, s"$tmp/sink", checkEvery = 1)
     assert(reports.length === 2)
@@ -647,10 +647,12 @@ class StreamingSpec extends SparkTestBase {
     // by batch 1), no drift check, and NO sink partition for it (its
     // original output would already be on disk in a real replay; a
     // re-screen here would self-match every vector at rank 1)
-    assert(reports(0).replayed && reports(0).appended === 0L && !reports(0).checked,
+    assert(reports(0).replayed && !reports(0).checked,
       s"replayed batch must be skipped whole: ${reports(0)}")
+    assert(reports(0).appended === -1L && reports(0).screenedPairs === -1L,
+      s"a replayed batch's counts are UNKNOWN, not zero: ${reports(0)}")
     assert(!reports(1).replayed && reports(1).appended === 20L)
-    assert(spark.read.parquet(s"$tmp/index").count() === n0 + 20L)
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index").count() === n0 + 20L)
     val sinkBatches = spark.read.parquet(s"$tmp/sink")
       .select("batch_id").distinct().collect().map(_.getInt(0)).toSet
     assert(sinkBatches === Set(1), s"only the fresh batch writes its partition: $sinkBatches")
