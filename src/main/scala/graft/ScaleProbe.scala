@@ -395,6 +395,37 @@ object ScaleProbe {
           val line = f"PROBE ivfpq_recall@50 nprobe=$np%-2d m=8    ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$rec%.4f (kCells=32)"
           println(line); report ++= line + "\n"
         }
+        // PERSISTED-path code quality at EQUAL bytes/vector (8 B codes):
+        // residual codes (IvfPqIndex) vs raw codes (PqIndex), both
+        // recall@50 against the exact L2 truth over index contents.
+        // nprobe = kCells isolates ENCODING quality (no read-prune
+        // loss) — the FAISS IndexIVFPQ recall upgrade; nprobe=8 shows
+        // the composed read-pruned operating point.
+        locally {
+          val qv = embN.filter(col("vec_id") < 20).orderBy("vec_id")
+            .select("vec_id", "embedding").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+            .toSeq
+          val rawDir = java.nio.file.Files.createTempDirectory("scale_pqraw").toString
+          val resDir = java.nio.file.Files.createTempDirectory("scale_pqres").toString
+          try {
+            var t0 = System.nanoTime()
+            val rawIdx = ops.Pq.buildIndex(emb, rawDir, m = 8, kSub = 256, iters = 2)
+            val recRaw = ops.Pq.recallAtK(spark, rawIdx, qv, 50)
+            val tRaw = (System.nanoTime() - t0) / 1e9
+            t0 = System.nanoTime()
+            val resIdx = ops.Pq.buildIndexResidual(emb, resDir,
+              kCells = 32, m = 8, kSub = 256, iters = 2)
+            val recResFull = ops.Pq.recallAtKResidual(spark, resIdx, qv, 50, nprobe = 32)
+            val recRes8 = ops.Pq.recallAtKResidual(spark, resIdx, qv, 50, nprobe = 8)
+            val tRes = (System.nanoTime() - t0) / 1e9
+            val line = f"PROBE ivfpq_residual_persisted raw=$recRaw%.4f residual(np=32)=$recResFull%.4f residual(np=8)=$recRes8%.4f @8B/vec (raw $tRaw%.1f s, residual $tRes%.1f s)"
+            println(line); report ++= line + "\n"
+          } finally {
+            graft.util.Fs.deleteRecursively(rawDir)
+            graft.util.Fs.deleteRecursively(resDir)
+          }
+        }
       }
     } finally graft.util.Fs.deleteRecursively(clusDir)
     // IVF index maintenance under drift: appends from a SHIFTED

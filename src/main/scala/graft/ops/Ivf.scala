@@ -200,13 +200,16 @@ object Ivf {
 
   private val CentroidSidecar = "_ivf_centroids.txt"
 
-  private def writeCentroids(genDir: String, cs: Seq[Array[Float]]): Unit = {
+  /** private[ops]: the residual IVF-PQ index ([[Pq.IvfPqIndex]]) persists
+    * its coarse quantizer with the same sidecar.
+    */
+  private[ops] def writeCentroids(genDir: String, cs: Seq[Array[Float]]): Unit = {
     val body = cs.map(_.mkString(",")).mkString("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(genDir, CentroidSidecar),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def readCentroids(genDir: String): Seq[Array[Float]] = {
+  private[ops] def readCentroids(genDir: String): Seq[Array[Float]] = {
     val body = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(genDir, CentroidSidecar)),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -105,6 +105,34 @@ object Pq {
     }
   }
 
+  /** Residual sub-codebooks from the bounded md5-ordered sample draw:
+    * each sample row's residual w.r.t. its assigned coarse cell is
+    * computed driver-side with the SAME ranking the scan expression
+    * applies ([[Ivf.nearestLocal]] ≡ NearestCentroid), then the shared
+    * per-subspace trainer runs over the residuals. Shared by the
+    * per-call query ([[ivfPqResidualAt]]) and the persisted index
+    * ([[buildIndexResidual]] / [[rebalanceResidual]]).
+    */
+  private def residualCodebooksFromSample(emb: DataFrame,
+      cents: Seq[Array[Float]], m: Int, kSub: Int, iters: Int): Seq[Seq[Array[Double]]] = {
+    val sampleSize = math.max(64 * kSub, 1024)
+    val centsA = cents.map(identity).toArray
+    val sample = emb
+      .orderBy(ArrayExprs.md5Mod(col("vec_id").cast("string"), 1000003L), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "residual PQ training: embeddings relation is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"residual PQ: dimension $dim not divisible by m=$m")
+    val sampleResid: Array[Array[Double]] = sample.map { v =>
+      val cid = Ivf.nearestLocal(v, centsA)
+      val cvec = centsA(cid)
+      Array.tabulate(dim)(i => v(i).toDouble - cvec(i).toDouble)
+    }
+    codebooksFromSample(sampleResid, m, kSub, iters)
+  }
+
   /** Same ranking as NearestCentroidSq: strict < keeps the lowest code. */
   private def nearestSq(v: Array[Double], cb: Array[Array[Double]]): Int = {
     var best = 0
@@ -827,29 +855,15 @@ object Pq {
     val cents = Ivf.kmeansCentroids(emb, kCells, iters)
     val centArr: Seq[Seq[Float]] = cents.map(_.toSeq)
 
-    // Bounded md5-ordered sample (the shared quantizer draw): each
-    // sample row's residual w.r.t. its assigned cell, computed driver
-    // side with the SAME ranking the scan expression applies.
-    val sampleSize = math.max(64 * kSub, 1024)
-    val centsA = cents.map(identity).toArray
-    val sample = emb
-      .orderBy(ArrayExprs.md5Mod(col("vec_id").cast("string"), 1000003L), col("vec_id"))
-      .limit(sampleSize)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val dim = sample.head.length
+    val dim = cents.head.length
     require(dim % m == 0, s"residual PQ: dimension $dim not divisible by m=$m")
     val subDim = dim / m
-    val sampleResid: Array[Array[Double]] = sample.map { v =>
-      val cid = Ivf.nearestLocal(v, centsA)
-      val cvec = centsA(cid)
-      Array.tabulate(dim)(i => v(i).toDouble - cvec(i).toDouble)
-    }
+    val centsA = cents.map(identity).toArray
     // Sub-codebooks over the sample RESIDUALS: iters = 0 keeps the
     // slices verbatim (the oracle-replayable setting); iters > 0 runs
     // the shared per-subspace Lloyd on them (the real-corpus setting).
     val codebooks: Seq[Seq[Array[Double]]] =
-      codebooksFromSample(sampleResid, m, kSub, iters)
+      residualCodebooksFromSample(emb, cents, m, kSub, iters)
 
     // ONE scan: coarse cell, double residual, m residual codes.
     val centLit = typedLit(centArr)
@@ -1079,15 +1093,402 @@ object Pq {
       |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---- persisted residual IVF-PQ index --------------------------------------
+  //
+  // The production form of [[ivfPqResidual]]: the FAISS IndexIVFPQ
+  // layout as a real table — cid-partitioned parquet of
+  // (vec_id, embedding, c0 … c(m-1)) residual codes, with the coarse
+  // centroids, residual sub-codebooks and encode-time fit stats as
+  // generation sidecars. Composes BOTH scale dials durably: a screen
+  // reads ~nprobe/kCells of the partitions (read pruning) and scores
+  // code BYTES via per-cell residual LUTs (byte pruning). Maintenance
+  // follows the [[PqIndex]] loop — appends erode fit, the residual
+  // drift dial sees it, [[rebalanceResidual]] runs the COMPOSED repair:
+  // coarse retrain → residual sub-codebook retrain → one-scan re-encode
+  // → atomic generation commit with carried tokens.
+
+  /** Handle: index root + coarse centroids + residual sub-codebooks. */
+  final case class IvfPqIndex(path: String, centroids: Seq[Array[Float]],
+      codebooks: Seq[Seq[Array[Double]]])
+
+  /** One scan: coarse cell, double residual, m residual codes AND their
+    * quantization errors (the encode-time fit stats).
+    */
+  private def residualEncodeWithD2(emb: DataFrame, cents: Seq[Array[Float]],
+      cbs: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = cbs.size
+    val subDim = cbs.head.head.length
+    val centLit = typedLit(cents.map(_.toSeq))
+    val assigned0 = emb
+      .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), cents))
+      .withColumn("cent", element_at(centLit, col("cid") + 1))
+      .withColumn("resid",
+        zip_with(col("embedding"), col("cent"),
+          (x, cc) => x.cast("double") - cc.cast("double")))
+    val cols = (0 until m).flatMap { s =>
+      val nc = ArrayExprs.nearestCentroidSqD(
+        slice(col("resid"), s * subDim + 1, subDim), cbs(s))
+      Seq(nc.getField("cid").as(s"c$s"), nc.getField("dist2").as(s"d$s"))
+    }
+    assigned0.select(col("vec_id") +: col("embedding") +: col("cid") +: cols: _*)
+  }
+
+  private def residualDataCols(m: Int) =
+    col("vec_id") +: col("embedding") +: col("cid") +:
+      (0 until m).map(s => col(s"c$s"))
+
+  /** Build the persisted residual index — the [[buildIndex]] protocol
+    * with the coarse quantizer trained first and the sub-codebooks
+    * trained on the SAME sample draw's residuals.
+    */
+  def buildIndexResidual(base: DataFrame, path: String, kCells: Int,
+      m: Int, kSub: Int, iters: Int): IvfPqIndex =
+    graft.util.IndexMaint.lockFor(path).synchronized {
+      graft.util.IndexMaint.withLease(path, op = "build") {
+        graft.util.IndexMaint.reapStages(path)
+        val emb = base.select(col("vec_id"), col("embedding"))
+        val cents = Ivf.kmeansCentroids(emb, kCells, iters)
+        val cbs = residualCodebooksFromSample(emb, cents, m, kSub, iters)
+        val encoded = residualEncodeWithD2(emb, cents, cbs).localCheckpoint()
+        val stage = graft.util.IndexMaint.newStageDir(path, "build")
+        encoded.select(residualDataCols(m): _*)
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+        Ivf.writeCentroids(stage, cents)
+        writeCodebooks(stage, cbs)
+        writeSubStats(stage, subStatsOf(encoded, m))
+        graft.util.IndexMaint.commitGeneration(path, stage)
+        IvfPqIndex(path, cents, cbs)
+      }
+    }
+
+  def loadIndexResidual(path: String): IvfPqIndex =
+    graft.util.IndexMaint.lockFor(path).synchronized {
+      val gen = graft.util.IndexMaint.liveGen(path)
+      IvfPqIndex(path, Ivf.readCentroids(gen), readCodebooks(gen))
+    }
+
+  def appliedTokensResidual(index: IvfPqIndex): Set[String] =
+    graft.util.IndexMaint.appliedTokens(graft.util.IndexMaint.liveGen(index.path))
+
+  /** Token-guarded O(Δ) append — the [[appendBatchIdempotent]] contract
+    * on the residual layout: the batch's cells + residual codes stage
+    * with the token and commit by one atomic segment rename; encoding
+    * resolves the LIVE generation's quantizer + codebooks so a stale
+    * handle cannot commit codes from a superseded generation.
+    */
+  def appendBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
+      token: String): Boolean =
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.requireValidToken(token)
+      graft.util.IndexMaint.withLease(index.path, op = s"append:$token") {
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+        else {
+          graft.util.IndexMaint.reapStages(index.path)
+          val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
+          val m = live.codebooks.size
+          val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+          residualEncodeWithD2(batch.select(col("vec_id"), col("embedding")),
+            live.centroids, live.codebooks)
+            .select(residualDataCols(m): _*)
+            .write.mode("overwrite").partitionBy("cid").parquet(stage)
+          graft.util.IndexMaint.commitSegment(gen, stage, token)
+          true
+        }
+      }
+    }
+
+  /** Residual-fit drift: recompute each stored vector's residual
+    * quantization error from (embedding, cid, c0 … c(m-1)) against the
+    * FROZEN codebooks — one index scan into an m-row aggregate,
+    * compared to the encode-time sidecar. Same dial semantics as
+    * [[pqDriftStats]]: shifted appends push residuals away from every
+    * codebook entry and meanD2 grows before recall visibly dies.
+    */
+  def ivfPqDriftStats(spark: SparkSession, index: IvfPqIndex): PqDriftReport = {
+    driftScans.incrementAndGet()
+    val m = index.codebooks.size
+    val subDim = index.codebooks.head.head.length
+    val gen = graft.util.IndexMaint.liveGen(index.path)
+    val centLit = typedLit(index.centroids.map(_.toSeq))
+    val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
+    val resid = zip_with(col("embedding"), element_at(centLit, col("cid") + 1),
+      (x, cc) => x.cast("double") - cc.cast("double"))
+    val dCols = (0 until m).map { s =>
+      val entry = element_at(element_at(cbLit, s + 1), col(s"c$s") + 1)
+      aggregate(
+        zip_with(slice(resid, s * subDim + 1, subDim), entry,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as(s"d$s")
+    }
+    val withD2 = spark.read.parquet(gen).select((col("vec_id") +: dCols): _*)
+    PqDriftReport(build = readSubStats(gen), now = subStatsOf(withD2, m))
+  }
+
+  /** The COMPOSED repair: coarse retrain from a bounded sample of
+    * current contents → residual sub-codebook retrain on the new
+    * residuals → one-scan re-encode → atomic generation commit with
+    * carried tokens.
+    */
+  def rebalanceResidual(spark: SparkSession, index: IvfPqIndex,
+      iters: Int = 2): IvfPqIndex =
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.withLease(index.path, op = "rebalance") {
+        graft.util.IndexMaint.reapStages(index.path)
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        val data = spark.read.parquet(gen).select("vec_id", "embedding")
+        val m = index.codebooks.size
+        val kSub = index.codebooks.head.size
+        val cents = Ivf.kmeansCentroids(data, index.centroids.size, iters)
+        val cbs = residualCodebooksFromSample(data, cents, m, kSub, iters)
+        val encoded = residualEncodeWithD2(data, cents, cbs).localCheckpoint()
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
+        encoded.select(residualDataCols(m): _*)
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+        Ivf.writeCentroids(stage, cents)
+        writeCodebooks(stage, cbs)
+        writeSubStats(stage, subStatsOf(encoded, m))
+        graft.util.IndexMaint.writeConsolidatedTokens(stage,
+          graft.util.IndexMaint.appliedTokens(gen))
+        graft.util.IndexMaint.commitGeneration(index.path, stage)
+        ivfPqIndexCache.synchronized {
+          ivfPqIndexCache.keySet.removeIf(_._1 == index.path); ()
+        }
+        IvfPqIndex(index.path, cents, cbs)
+      }
+    }
+
+  /** Probed-cell ADC screen of raw query vectors against the persisted
+    * residual codes: per (query, probed cell) the query's RESIDUAL LUT
+    * is bounded driver metadata (nQueries × nprobe rows of m·kSub
+    * doubles), the probed cid list prunes the index scan to
+    * ~nprobe/kCells of its partitions, and each candidate costs m
+    * lookups summed — both dials, one plan.
+    */
+  def screenTopKResidual(spark: SparkSession, index: IvfPqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int): DataFrame = {
+    val m = index.codebooks.size
+    val kSub = index.codebooks.head.size
+    val dim = index.centroids.head.length
+    val centsA = index.centroids.map(identity).toArray
+    val probeRows = queryVecs.flatMap { case (id, q) =>
+      centsA.zipWithIndex.map { case (cv, cid) =>
+        var dot = 0.0; var nrm = 0.0
+        var i = 0
+        while (i < cv.length) {
+          dot += q(i) * cv(i).toDouble; nrm += cv(i).toDouble * cv(i); i += 1
+        }
+        (if (nrm == 0) Double.NegativeInfinity else dot / math.sqrt(nrm), cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe)
+        .map { case (_, cid) =>
+          val cvec = centsA(cid)
+          val qresid = Array.tabulate(dim)(i => q(i) - cvec(i).toDouble)
+          Row(id, cid, adcLut(qresid, index.codebooks).toSeq)
+        }
+    }
+    val probeSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probeSchema)
+    val probedCids = probeRows.map(_.getInt(1)).distinct.sorted
+    val d2 = (0 until m).map { s =>
+      element_at(col("lut"), col(s"c$s") + lit(s * kSub + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    indexData(spark, index.path)
+      .filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(probeDf), Seq("cid"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
+  /** Measured ADC recall@k of the persisted residual screen against the
+    * exact L2 top-k over the index's stored vectors — the ScaleProbe
+    * dial comparing residual vs raw codes at equal bytes/vector.
+    */
+  def recallAtKResidual(spark: SparkSession, index: IvfPqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int): Double = {
+    import spark.implicits._
+    val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
+    val exact = indexData(spark, index.path)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qDf))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(embedding, qvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val approx = screenTopKResidual(spark, index, queryVecs, k, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val denom = exact.count()
+    if (denom == 0) 1.0
+    else exact.join(approx, Seq("query_id", "vec_id")).count().toDouble / denom
+  }
+
+  /** [[buildIndexResidual]] memoized per (path, source fingerprint,
+    * shape) — the [[buildIndexCached]] pattern for the residual layout.
+    */
+  def buildIndexResidualCached(base: DataFrame, srcDir: String, path: String,
+      kCells: Int, m: Int, kSub: Int, iters: Int): IvfPqIndex = {
+    val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, m, kSub, iters)
+    ivfPqCacheGet(key).getOrElse {
+      graft.util.IndexMaint.lockFor(path).synchronized {
+        ivfPqCacheGet(key).getOrElse {
+          val built = buildIndexResidual(base, path, kCells, m, kSub, iters)
+          ivfPqIndexCache.synchronized {
+            ivfPqIndexCache.keySet.removeIf(k => k._1 == path && k != key)
+            ivfPqIndexCache.put(key, built)
+          }
+          built
+        }
+      }
+    }
+  }
+
+  private def ivfPqCacheGet(key: (String, Long, Int, Int, Int, Int)): Option[IvfPqIndex] =
+    ivfPqIndexCache.synchronized(Option(ivfPqIndexCache.get(key)))
+
+  private val ivfPqIndexCache =
+    new java.util.LinkedHashMap[(String, Long, Int, Int, Int, Int), IvfPqIndex](
+        PqIndexCacheMax, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int, Int, Int, Int), IvfPqIndex]): Boolean =
+        size() > PqIndexCacheMax
+    }
+
+  /** Registered `sim_ivfpq_residual_incremental`: the persisted
+    * residual index under the oracle — the base corpus
+    * (vec_id % 10 ≠ 0) builds the index ONCE (cid-partitioned residual
+    * codes + all three sidecars on disk), and the delta queries screen
+    * against the stored codes via probed-cell residual ADC. Twin of
+    * [[pqIncremental]]'s contract for the composed index: persistence
+    * is a layout detail invisible to the result, so the row hash-proves
+    * the persisted screen ≡ the closed-form residual IVF-PQ SQL.
+    */
+  def ivfPqResidualIncremental(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualIncrementalAt(spark, dir, k = 5, kCells = 16, nprobe = 4,
+      m = 4, kSub = 16)
+
+  def ivfPqResidualIncrementalAt(spark: SparkSession, dir: String, k: Int,
+      kCells: Int, nprobe: Int, m: Int, kSub: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val index = buildIndexResidualCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivfpq_index", dir), kCells, m, kSub, iters = 0)
+    val queryVecs = emb
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq
+    screenTopKResidual(spark, index, queryVecs, k, nprobe)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Twin of [[ivfPqResidualIncremental]]: [[ivfPqResidualSql]]'s
+    * arithmetic with the base/delta split — the sample draw, cells,
+    * residuals and codes read the BASE corpus only; the delta queries
+    * replay the per-(query, probed-cell) residual LUT fold.
+    */
+  val ivfPqResidualIncrementalSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |resid AS (
+      |  SELECT en.vec_id, a.cid,
+      |         list_transform(range(1, len(vec) + 1), i -> vec[i] - c.cvec[i]) AS rvec
+      |  FROM en JOIN assigned a ON a.vec_id = en.vec_id
+      |  JOIN cnorm c ON c.cid = a.cid),
+      |cb AS (
+      |  SELECT s.sr - 1 AS code, r.rvec AS cvec
+      |  FROM samp s JOIN resid r ON r.vec_id = s.vec_id
+      |  WHERE s.sr <= 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT r.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i])
+      |              * (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM resid r CROSS JOIN subs CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en
+      |  WHERE vec_id % 10 = 0 AND vec_id < 500),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |lut AS (
+      |  SELECT p.query_id, p.cid, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i])
+      |              * ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM probes p
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN cnorm cc ON cc.cid = p.cid
+      |  CROSS JOIN subs CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id, a.cid
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM cand cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.cid = cd.cid
+      |             AND l.s = c.s AND l.code = c.code
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (pqAdc _),
     "sim_ivfpq_ann" -> (ivfPqAnn _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
+    "sim_ivfpq_residual_incremental" -> (ivfPqResidualIncremental _),
     "sim_pq_incremental" -> (pqIncremental _))
 
   val oracles: Map[String, String] = Map(
     "sim_pq_adc" -> pqAdcSql,
     "sim_ivfpq_ann" -> ivfPqAnnSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
+    "sim_ivfpq_residual_incremental" -> ivfPqResidualIncrementalSql,
     "sim_pq_incremental" -> pqIncrementalSql)
 }

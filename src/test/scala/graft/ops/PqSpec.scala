@@ -312,6 +312,84 @@ class PqSpec extends SparkTestBase {
       "the distributed ADC screen must rank identically to the LUT path")
   }
 
+  test("residual index: drift dial + composed rebalance (coarse retrain, codebook retrain, re-encode) restore shifted recall") {
+    val rnd = new scala.util.Random(73)
+    val dim = 64
+    val cBase = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    def around(c: Array[Float], noise: Float) =
+      c.map(x => x + rnd.nextGaussian().toFloat * noise)
+    val tmp = tmpDir("ivfpq_drift")
+    (0 until 400).map(i => (i.toLong, around(cBase(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = Pq.buildIndexResidual(spark.read.parquet(s"$tmp/base"),
+      s"$tmp/index", kCells = 8, m = 4, kSub = 16, iters = 2)
+    // fresh index: the stored-code residual drift path reproduces the
+    // encode-time stats (same folds, avg partition-reorder tolerance)
+    val dr0 = Pq.ivfPqDriftStats(spark, index0)
+    assert(!dr0.drifted(), s"fresh residual index must not drift: ${dr0.meanD2Build} -> ${dr0.meanD2Now}")
+    assert(math.abs(dr0.meanD2Now - dr0.meanD2Build)
+        <= 1e-9 * math.max(1.0, dr0.meanD2Build),
+      s"stored-code residual stats must match encode-time: ${dr0.meanD2Build} vs ${dr0.meanD2Now}")
+    // shifted wave through the TOKENED append: fires the residual dial
+    val cShift = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val wave = (1000 until 1500).map(i => (i.toLong, around(cShift(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    assert(Pq.appendBatchIdempotentResidual(index0, wave, token = "ingest:w"))
+    val dr1 = Pq.ivfPqDriftStats(spark, index0)
+    assert(dr1.drifted(),
+      s"shifted appends must fire the residual dial: ${dr1.meanD2Build} -> ${dr1.meanD2Now}")
+    // probed-cell recall@50 on shifted queries rots, the COMPOSED
+    // rebalance (coarse + codebooks + re-encode) restores it
+    val queries = (0 until 10).map { q =>
+      ((9000 + q).toLong, around(cShift(q % 8), 0.3f).map(_.toDouble))
+    }
+    val before = Pq.recallAtKResidual(spark, index0, queries, 50, nprobe = 2)
+    val rebuilt = Pq.rebalanceResidual(spark, index0, iters = 2)
+    val after = Pq.recallAtKResidual(spark, rebuilt, queries, 50, nprobe = 2)
+    assert(after > before,
+      s"composed rebalance must improve shifted recall: $before -> $after")
+    assert(after >= 0.8, s"post-rebalance residual recall@50 too low: $after")
+    assert(!Pq.ivfPqDriftStats(spark, rebuilt).drifted(),
+      "composed rebalance must leave a healthy index")
+    // replay of the pre-rebalance token still no-ops (tokens carried)
+    assert(!Pq.appendBatchIdempotentResidual(rebuilt, wave, token = "ingest:w"),
+      "applied tokens must survive the composed rebalance")
+    val reopened = Pq.loadIndexResidual(s"$tmp/index")
+    assert(reopened.centroids.length === 8 && reopened.codebooks.size === 4)
+    assert(Pq.indexData(spark, s"$tmp/index").count() === 900L)
+  }
+
+  test("residual screen prunes the index scan to probed-cell partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: expand(a.executedPlan)
+      case q: QueryStageExec => pl +: expand(q.plan)
+      case _ => pl +: pl.children.flatMap(expand)
+    }
+    val rnd = new scala.util.Random(79)
+    val tmp = tmpDir("ivfpq_prune")
+    val cBase = Array.fill(8)(Array.fill(32)(rnd.nextGaussian().toFloat * 5f))
+    (0 until 400).map(i => (i.toLong,
+      cBase(i % 8).map(x => x + rnd.nextGaussian().toFloat * 0.3f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index = Pq.buildIndexResidual(spark.read.parquet(s"$tmp/base"),
+      s"$tmp/index", kCells = 8, m = 4, kSub = 8, iters = 2)
+    val q = Seq((9000L,
+      cBase(3).map(x => (x + rnd.nextGaussian().toFloat * 0.3f).toDouble).toArray))
+    val res = Pq.screenTopKResidual(spark, index, q, k = 5, nprobe = 2)
+    assert(res.collect().nonEmpty)
+    val scans = expand(res.queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("ivfpq_prune")) => sc
+    }
+    assert(scans.nonEmpty, "index scan missing from plan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "probed cids must prune as partition filters")
+    assert(scans.head.metrics("numPartitions").value <= 2L,
+      s"1 query x 2 probes must read at most 2 cell partitions, read ${scans.head.metrics("numPartitions").value}")
+  }
+
   test("crash injection: a crashed rebalance stage never becomes visible; loadIndex serves the committed generation") {
     import graft.util.IndexMaint
     val rnd = new scala.util.Random(31)
