@@ -313,6 +313,29 @@ object ScaleProbe {
     }
     time("ivf_screen_delta_8x")(ops.Ivf.screenBatch(spark, ivfIdx,
       embBig.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4).count())
+    // incremental semantic dedup is O(delta), proven by base-size
+    // INDEPENDENCE: the SAME 200-vector delta screens against the 1x
+    // base (kCells=16) and the 8x base (kCells=128 — cells sized with
+    // the base, the standard IVF sizing), so probed bytes per delta
+    // vector stay constant and per-delta work must be ~flat, not 8x
+    locally {
+      val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val delta = emb1.filter(col("vec_id") % 10 === 0 && col("vec_id") < 2000)
+        .localCheckpoint()
+      val idx1 = ops.Ivf.buildIndex(emb1.filter(col("vec_id") % 10 =!= 0),
+        graft.util.Fs.sessionTempDir("probe_semdd_1x", dir), kCells = 16, iters = 0)
+      val idx8 = ops.Ivf.buildIndex(embBig.filter(col("vec_id") % 10 =!= 0),
+        graft.util.Fs.sessionTempDir("probe_semdd_8x", dir), kCells = 128, iters = 0)
+      ops.Similarity.semanticDedupScreenDelta(spark, idx1, delta, 0.95).count() // warm
+      val (t1, _, sh1, _) = measured(
+        ops.Similarity.semanticDedupScreenDelta(spark, idx1, delta, 0.95).count())
+      val (t8, _, sh8, _) = measured(
+        ops.Similarity.semanticDedupScreenDelta(spark, idx8, delta, 0.95).count())
+      val shx = if (sh1 > 0) sh8.toDouble / sh1 else Double.NaN
+      val line = f"PROBE semdedup_incr_flat   same delta: 1x base(k=16) $t1%5.2f s sh=${sh1 / 1e6}%.1fMB -> 8x base(k=128) $t8%5.2f s sh=${sh8 / 1e6}%.1fMB [t=${t8 / t1}%.2fx sh=$shx%.2fx vs 8.0 linear]"
+      println(line); report ++= line + "\n"
+    }
     // The nprobe recall dial: recall@50 of the IVF probe vs the exact
     // brute-force top-50 over the same 20 queries (kCells = 32, 2 Lloyd
     // refinement iterations — the recommended production quantizer).

@@ -707,6 +707,208 @@ object Similarity {
     * web scale swap the fold for a mergeable compensated sum and accept
     * last-ulp oracle drift (harness constraint, same note as PageRank).
     */
+  // ---- incremental semantic dedup (delta vs the persisted base index) -------
+  //
+  // The O(Δ) production form of SemDeDup: the already-curated corpus is
+  // a PERSISTED IVF index ([[Ivf.buildIndex]] — frozen quantizer,
+  // cell-partitioned vectors), and each arriving batch is screened
+  // against it without ever re-deduping the base. Per-batch work:
+  //   - delta assignment + probe list: scan work over the batch only;
+  //   - the base is read through STATIC partition pruning on the
+  //     bounded probed-cid list — ~nprobe/kCells of the index's bytes,
+  //     and with kCells grown ∝ base size (the standard IVF sizing)
+  //     the probed bytes per delta vector stay CONSTANT as the base
+  //     grows (ScaleProbe measures 1× vs 8× base at the same delta);
+  //   - both pair joins carry the auto-salting skew dial.
+  // Verdicts follow the [[Dedup.incrementalDedup]] contract with
+  // BASE-WINS precedence: `dup_of_base` (a base member within a probed
+  // cell at cos ≥ τ — base wins regardless of id order), `dup_in_delta`
+  // (an earlier in-batch member in a shared probe cell), else `new`.
+  // Boundary recall matches [[semanticDedupAt]]'s nprobeAssign dial
+  // from the DELTA side: a straddling pair meets in any base cell the
+  // delta vector co-probes.
+
+  def semanticDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupIncrementalAt(spark, dir, kCells = 16, tau = 0.95,
+      nprobeAssign = 2)
+
+  /** The registered row: base = vec_id % 10 ≠ 0 lands ONCE as the
+    * persisted index, the delta screens against it. Rebuild-per-
+    * invocation keeps the row hash-closed; production holds the
+    * [[Ivf.IvfIndex]] handle and calls [[semanticDedupScreenDelta]] per
+    * batch.
+    */
+  def semanticDedupIncrementalAt(spark: SparkSession, dir: String,
+      kCells: Int, tau: Double, nprobeAssign: Int = 2, saltBlocks: Int = 0,
+      saltTargetPairs: Long = 4000000L): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val index = Ivf.buildIndexCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("semdedup_ivf_index", dir), kCells, iters = 0)
+    semanticDedupScreenDelta(spark, index,
+      emb.filter(col("vec_id") % 10 === 0), tau, nprobeAssign,
+      saltBlocks, saltTargetPairs)
+  }
+
+  /** Screen a `(vec_id, embedding)` delta batch against an EXISTING
+    * persisted base index — the entry a pipeline calls per landing
+    * batch. All [[semanticDedupAt]] dials compose: `nprobeAssign`
+    * (boundary, from the delta side), `saltBlocks` (0 = auto-derive
+    * from the measured max probed-cell occupancy across both join
+    * sides).
+    */
+  def semanticDedupScreenDelta(spark: SparkSession, index: Ivf.IvfIndex,
+      delta: DataFrame, tau: Double, nprobeAssign: Int = 2,
+      saltBlocks: Int = 0, saltTargetPairs: Long = 4000000L): DataFrame = {
+    require(saltBlocks >= 0, s"saltBlocks must be >= 0 (0 = auto), got $saltBlocks")
+    val p = math.min(nprobeAssign, index.centroids.size)
+    val d = delta
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .withColumn("probes",
+        ArrayExprs.nearestCentroids(col("embedding"), index.centroids, p))
+      .withColumn("cid", col("probes").getItem(0))
+      .localCheckpoint()
+    val dprobed = d.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(col("probes")).as("pcid"))
+      .localCheckpoint(eager = false)
+    // bounded driver list (≤ kCells ints) → static partition pruning
+    val probedCids = dprobed.select(col("pcid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // NOT checkpointed: the auto-salt occupancy aggregate below touches
+    // only the cid partition column (parquet footer row counts, no data
+    // pages), so the one real base read is the pair join — which keeps
+    // the probed-cid partition pruning visible in the executed plan
+    val baseProbed = Ivf.indexData(spark, index.path)
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cid").cast("int").as("pcid"))
+    val g0 =
+      if (saltBlocks >= 1) saltBlocks
+      else {
+        val r = dprobed.groupBy(col("pcid")).count()
+          .unionByName(baseProbed.groupBy(col("pcid")).count())
+          .groupBy(col("pcid")).agg(sum(col("count")).as("occ"))
+          .agg(max(col("occ"))).head()
+        val maxOcc = if (r.isNullAt(0)) 0L else r.getLong(0)
+        autoSaltBlocks(maxOcc, saltTargetPairs)
+      }
+    // delta × base within shared probe cells (base wins, any id order)
+    val baseJoined = (if (g0 == 1) {
+      dprobed.join(baseProbed, Seq("pcid"))
+    } else {
+      val g = g0
+      val leftS = dprobed
+        .withColumn("pb", pmod(xxhash64(col("vec_id")), lit(g.toLong)).cast("int"))
+        .withColumn("ob", explode(sequence(lit(0), lit(g - 1))))
+      val rightS = baseProbed
+        .withColumn("ob", pmod(xxhash64(col("b_id")), lit(g.toLong)).cast("int"))
+        .withColumn("pb", explode(sequence(lit(0), lit(g - 1))))
+      leftS.join(rightS, Seq("pcid", "pb", "ob"))
+    })
+    val baseHits = baseJoined
+      .withColumn("score",
+        dot(col("embedding"), col("b_emb")) / (col("nrm") * col("b_nrm")))
+      .filter(col("score") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("b_id")).as("base_rep"))
+    // delta × earlier delta within shared probe cells (in-batch dedup)
+    val deltaJoined = (if (g0 == 1) {
+      dprobed.as("a")
+        .join(dprobed.as("b"),
+          col("a.pcid") === col("b.pcid") && col("b.vec_id") < col("a.vec_id"))
+    } else {
+      val g = g0
+      val blk = pmod(xxhash64(col("vec_id")), lit(g.toLong)).cast("int")
+      val leftS = dprobed.withColumn("pb", blk)
+        .withColumn("ob", explode(sequence(lit(0), lit(g - 1))))
+      val rightS = dprobed.withColumn("ob", blk)
+        .withColumn("pb", explode(sequence(lit(0), lit(g - 1))))
+      leftS.as("a")
+        .join(rightS.as("b"),
+          col("a.pcid") === col("b.pcid") && col("a.pb") === col("b.pb") &&
+            col("a.ob") === col("b.ob") && col("b.vec_id") < col("a.vec_id"))
+    })
+    val deltaHits = deltaJoined
+      .withColumn("score",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("score") >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("delta_rep"))
+    d.join(baseHits, Seq("vec_id"), "left")
+      .join(deltaHits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        when(col("base_rep").isNotNull, lit("dup_of_base"))
+          .when(col("delta_rep").isNotNull, lit("dup_in_delta"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("base_rep"), col("delta_rep"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Twin of [[semanticDedupIncremental]]: base-sample cells (the
+    * frozen persisted quantizer), top-1 base assignment, top-2 delta
+    * probes, cosine in double, base-wins precedence — the closed-form
+    * union semantics the O(Δ) screen must reproduce.
+    */
+  val semanticDedupIncrementalSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |baseassign AS MATERIALIZED (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |dprobe AS MATERIALIZED (
+      |  SELECT vec_id, cid, prank FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS prank
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 = 0) WHERE prank <= 2),
+      |basehit AS (
+      |  SELECT dp.vec_id, min(ba.vec_id) AS dup_of
+      |  FROM dprobe dp
+      |  JOIN baseassign ba ON ba.cid = dp.cid
+      |  JOIN en a ON a.vec_id = dp.vec_id
+      |  JOIN en b ON b.vec_id = ba.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+      |          / (a.nrm * b.nrm) >= 0.95
+      |  GROUP BY 1),
+      |deltahit AS (
+      |  SELECT pa.vec_id, min(pb.vec_id) AS dup_of
+      |  FROM dprobe pa
+      |  JOIN dprobe pb ON pb.cid = pa.cid AND pb.vec_id < pa.vec_id
+      |  JOIN en a ON a.vec_id = pa.vec_id
+      |  JOIN en b ON b.vec_id = pb.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+      |          / (a.nrm * b.nrm) >= 0.95
+      |  GROUP BY 1)
+      |SELECT p.vec_id, p.cid,
+      |       CASE WHEN bh.dup_of IS NOT NULL THEN 'dup_of_base'
+      |            WHEN dh.dup_of IS NOT NULL THEN 'dup_in_delta'
+      |            ELSE 'new' END AS verdict,
+      |       coalesce(bh.dup_of, dh.dup_of, -1) AS dup_of
+      |FROM (SELECT vec_id, cid FROM dprobe WHERE prank = 1) p
+      |LEFT JOIN basehit bh ON bh.vec_id = p.vec_id
+      |LEFT JOIN deltahit dh ON dh.vec_id = p.vec_id
+      |ORDER BY p.vec_id""".stripMargin
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     c.ref("embeddings")
@@ -855,6 +1057,7 @@ object Similarity {
     "sim_semantic_dedup_probe2" -> (semanticDedupProbe2 _),
     "sim_semantic_dedup_int8" -> (semanticDedupInt8 _),
     "sim_semantic_dedup_int8_probe2" -> (semanticDedupInt8Probe2 _),
+    "sim_semantic_dedup_incremental" -> (semanticDedupIncremental _),
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
@@ -870,6 +1073,7 @@ object Similarity {
     "sim_semantic_dedup_probe2" -> semanticDedupProbe2Sql,
     "sim_semantic_dedup_int8" -> semanticDedupInt8Sql,
     "sim_semantic_dedup_int8_probe2" -> semanticDedupInt8Probe2Sql,
+    "sim_semantic_dedup_incremental" -> semanticDedupIncrementalSql,
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,

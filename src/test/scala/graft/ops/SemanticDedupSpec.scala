@@ -195,4 +195,103 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(loose >= tight, s"tau=0.8 dropped $loose < tau=0.99 dropped $tight")
     assert(tight >= 6) // the planted copies sit near cosine 1.0
   }
+
+  test("incremental screen: base-wins verdicts on planted fixtures; base scan reads only probed partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: expand(a.executedPlan)
+      case q: QueryStageExec => pl +: expand(q.plan)
+      case _ => pl +: pl.children.flatMap(expand)
+    }
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    // 8 well-separated clusters; base = 240 members over all clusters
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    def around(c: Array[Float]) = c.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val baseRows = (0 until 240).map(i => (i.toLong, around(centers(i % 8))))
+    val idxDir = tmpDir("semdedup_incr_idx")
+    val srcDir = tmpDir("semdedup_incr_src")
+    baseRows.toDF("vec_id", "embedding")
+      .write.parquet(s"$srcDir/embeddings.parquet")
+    val index = Ivf.buildIndex(
+      spark.read.parquet(s"$srcDir/embeddings.parquet"), idxDir,
+      kCells = 8, iters = 3)
+    // delta: a near-copy of base member 5 (dup_of_base, even though its
+    // id is HIGHER — base wins), twin in-batch near-copies (first keeps
+    // as new, second dup_in_delta), and one genuinely new vector
+    val novel = Array.fill(dim)(rnd.nextGaussian().toFloat * 5f)
+    val inBatch = around(centers(3).map(-_))
+    val delta = Seq(
+      (1000L, baseRows(5)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat)),
+      (1001L, inBatch),
+      (1002L, inBatch.map(x => x + 0.001f * rnd.nextGaussian().toFloat)),
+      (1003L, novel)
+    ).toDF("vec_id", "embedding").localCheckpoint()
+    val res = Similarity.semanticDedupScreenDelta(spark, index, delta,
+      tau = 0.95, nprobeAssign = 2)
+    val rows = res.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(rows(1000L) === ("dup_of_base", 5L),
+      s"near-copy of a base member must dedup onto it: ${rows(1000L)}")
+    assert(rows(1001L)._1 === "new", s"first in-batch member keeps: ${rows(1001L)}")
+    assert(rows(1002L) === ("dup_in_delta", 1001L),
+      s"second in-batch member defers to the first: ${rows(1002L)}")
+    assert(rows(1003L)._1 === "new" && rows(1003L)._2 === -1L)
+    // O(delta) read: the base index scan touches only probed partitions
+    val scans = expand(res.queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("semdedup_incr_idx")) => sc
+    }
+    assert(scans.nonEmpty, "base index scan missing from plan")
+    scans.foreach(sc => assert(sc.partitionFilters.nonEmpty,
+      "probed cids must prune the base scan as partition filters"))
+    val readPartitions = scans.map(_.metrics("numPartitions").value).max
+    assert(readPartitions < 8,
+      s"4 delta vectors x 2 probes must not read all 8 cells: $readPartitions")
+    // salting dial: a forced g > 1 emits identical verdicts
+    val salted = Similarity.semanticDedupScreenDelta(spark, index, delta,
+      tau = 0.95, nprobeAssign = 2, saltBlocks = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(salted === rows, "the skew dial must be invisible in verdicts")
+  }
+
+  test("incremental screen: a base near-dup straddling a cell boundary is caught from the delta side at nprobeAssign=2") {
+    // the proven straddling geometry from the batch boundary test:
+    // three tight axis clusters, vA leans to cluster A (in the BASE),
+    // its near-copy vB leans to cluster B (in the DELTA) — cosine
+    // ~0.9965 >= tau but their primary cells differ
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    def clusterVec(axis: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+      v(axis) += 5f
+      v
+    }
+    val vA = Array.tabulate(dim)(j => if (j == 0) 1.0f else if (j == 1) 0.92f else 0f)
+    val vB = Array.tabulate(dim)(j => if (j == 0) 0.92f else if (j == 1) 1.0f else 0f)
+    val baseRows = (0 until 90).map(i => (i.toLong, clusterVec(i % 3))) :+ (90L -> vA)
+    val srcDir = tmpDir("semdedup_incr_bnd_src")
+    val idxDir = tmpDir("semdedup_incr_bnd_idx")
+    baseRows.toDF("vec_id", "embedding")
+      .write.parquet(s"$srcDir/embeddings.parquet")
+    val index = Ivf.buildIndex(
+      spark.read.parquet(s"$srcDir/embeddings.parquet"), idxDir,
+      kCells = 3, iters = 3)
+    val delta = Seq((1000L, vB)).toDF("vec_id", "embedding").localCheckpoint()
+    val at1 = Similarity.semanticDedupScreenDelta(spark, index, delta,
+      tau = 0.95, nprobeAssign = 1).collect().head
+    val at2 = Similarity.semanticDedupScreenDelta(spark, index, delta,
+      tau = 0.95, nprobeAssign = 2).collect().head
+    // the pair is only meaningful if the two sides landed in different
+    // primary cells — assert the fixture bites, then the dial
+    val baseCid = Ivf.indexData(spark, idxDir)
+      .filter(col("vec_id") === 90L).select("cid").head().getInt(0)
+    assert(at1.getInt(1) !== baseCid,
+      "fixture: the copy's primary cell must differ from the base member's")
+    assert(at1.getString(2) === "new",
+      s"single-probe must miss the cross-boundary base dup: $at1")
+    assert(at2.getString(2) === "dup_of_base" && at2.getLong(3) === 90L,
+      s"2-probe must catch the cross-boundary base dup: $at2")
+  }
 }
