@@ -662,6 +662,91 @@ object ScaleProbe {
         println(line); report ++= line + "\n"
       } finally graft.util.Fs.deleteRecursively(idir)
     }
+    // TWO-PROCESS smoke: a batch rebalance fired from a SECOND session
+    // races a 4-batch streaming ingest on the SAME index root. The
+    // per-path monitor + cross-process lease serialize every mutation
+    // (stage → single atomic commit), so whatever the interleaving, the
+    // final index holds base ∪ all four batches exactly once — proven
+    // by screenBatch at nprobe = kCells (exact cosine over index
+    // contents) matching the brute-force top-k over the union.
+    locally {
+      val wdir = java.nio.file.Files.createTempDirectory("scale_twowriter").toString
+      try {
+        import spark.implicits._
+        val wrnd = new scala.util.Random(59)
+        val dim = 32
+        val baseRows = (0 until 8000).map(i =>
+          (i.toLong, Array.fill(dim)(wrnd.nextGaussian().toFloat)))
+        baseRows.toDF("vec_id", "embedding").repartition(4)
+          .write.parquet(s"$wdir/base.parquet")
+        val index0 = ops.Ivf.buildIndex(spark.read.parquet(s"$wdir/base.parquet"),
+          s"$wdir/index", kCells = 16, iters = 1)
+        val srcDir = s"$wdir/src"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+        val batches = (0 until 4).map { b =>
+          ((100000 + 500 * b) until (100500 + 500 * b)).map(i =>
+            (i.toLong, Array.fill(dim)(wrnd.nextGaussian().toFloat)))
+        }
+        batches.zipWithIndex.foreach { case (rows, i) =>
+          val stage = s"$wdir/stage$i"
+          rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet"))
+        }
+        val sparkB = spark.newSession()
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val t0 = System.nanoTime()
+        val ingest = new Thread(() => try {
+          // checkEvery high: the CONCURRENT rebalance is thread B's job
+          streaming.IvfIngest.ingestStream(spark, srcDir, index0,
+            k = 5, nprobe = 4, s"$wdir/sink", checkEvery = 100)
+          ()
+        } catch { case t: Throwable => errs.add(t); () })
+        val rebalance = new Thread(() => try {
+          Thread.sleep(400) // land mid-stream
+          ops.Ivf.rebalance(sparkB, ops.Ivf.loadIndex(s"$wdir/index"), iters = 1)
+          ()
+        } catch { case t: Throwable => errs.add(t); () })
+        ingest.start(); rebalance.start(); ingest.join(); rebalance.join()
+        val tot = (System.nanoTime() - t0) / 1e9
+        val finalIdx = ops.Ivf.loadIndex(s"$wdir/index")
+        val n = ops.Ivf.indexData(spark, s"$wdir/index").count()
+        val nDistinct = ops.Ivf.indexData(spark, s"$wdir/index")
+          .select("vec_id").distinct().count()
+        // equality: full-probe screen == brute-force cosine top-10 over
+        // the union (same dot/l2norm expressions, same tie-break)
+        val queries = (0 until 10).map(q =>
+          ((900000 + q).toLong, Array.fill(dim)(wrnd.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding").localCheckpoint()
+        val got = ops.Ivf.screenBatch(spark, finalIdx, queries, k = 10, nprobe = 16)
+          .select("query_id", "rank", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val union = spark.read.parquet(s"$wdir/base.parquet")
+          .unionByName(batches.flatten.toDF("vec_id", "embedding"))
+          .select(col("vec_id"), col("embedding"),
+            ops.Similarity.l2norm(col("embedding")).as("nrm"))
+        val q2 = queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"),
+          ops.Similarity.l2norm(col("embedding")).as("qnrm"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+        val want = union.crossJoin(broadcast(q2))
+          .select(col("query_id"), col("vec_id"),
+            (ops.Similarity.dot(col("qvec"), col("embedding"))
+              / (col("qnrm") * col("nrm"))).as("score"))
+          .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 10)
+          .select("query_id", "rank", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val eq = got == want
+        val line = f"PROBE ivf_two_writer       $tot%7.2f s ingest(4 batches) x mid-stream rebalance from a 2nd session: errors=${errs.size} rows=$n distinct=$nDistinct screen==union-exact: $eq"
+        println(line); report ++= line + "\n"
+        if (!eq || errs.size > 0 || n != 10000L || n != nDistinct)
+          throw new IllegalStateException(
+            s"two-writer probe failed: eq=$eq errs=${errs.toArray.mkString(";")} n=$n distinct=$nDistinct")
+      } finally graft.util.Fs.deleteRecursively(wdir)
+    }
     // semantic dedup: in-cell pairs are quadratic per cell; k grows with
     // N (here 8x cells for 8x vectors) to hold cell size ~constant
     time("semantic_dedup_8x")(
@@ -957,6 +1042,10 @@ object ScaleProbe {
     // and flat; apply is one scan with the trie in the plan.
     scaled("wordpiece_8x")(d => ops.Subword.wordpieceStats(spark, d).count())
     scaled("unigram_viterbi_8x")(d => ops.Subword.unigramViterbi(spark, d).count())
+    // EM at 8× WITH the planted 130-cp/72-cp long words riding the
+    // corpus (the unigramDocs union): the ≥63-cp Viterbi window
+    // machinery's cost at scale is on record, not just oracle-checked
+    scaled("unigram_em_8x")(d => ops.Subword.unigramEm(spark, d).count())
     // Batch/chunk planning at 8×: arithmetic over (doc_id, n_tokens) —
     // text never ships in either plan.
     scaled("length_batching_8x")(d => ops.Batching.lengthBatching(spark, d).count())
