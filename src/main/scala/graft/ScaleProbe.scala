@@ -321,7 +321,12 @@ object ScaleProbe {
     locally {
       val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      val delta = emb1.filter(col("vec_id") % 10 === 0 && col("vec_id") < 2000)
+      // 10 delta vectors × 2 probes = ≤20 probed cells: at 1x (k=16)
+      // that is the whole base, at 8x (k=128) it is ≤16% of the cells —
+      // the probed-bytes bound that makes per-delta work flat. (A delta
+      // large enough to probe every cell degenerates to a full scan by
+      // construction; the dial is kCells ∝ base, cells ≫ delta·nprobe.)
+      val delta = emb1.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100)
         .localCheckpoint()
       val idx1 = ops.Ivf.buildIndex(emb1.filter(col("vec_id") % 10 =!= 0),
         graft.util.Fs.sessionTempDir("probe_semdd_1x", dir), kCells = 16, iters = 0)
@@ -1187,6 +1192,27 @@ object ScaleProbe {
     report ++= "  lists BEFORE the quadratic expansion, and past the cap the job\n"
     report ++= "  fails loudly naming the df-capped remedy (pair_budget_guard\n"
     report ++= "  shows the firing) instead of dying slowly in the shuffle.\n"
+    report ++= "- ngram_bytecap / containment_bytecap: the BEND-BEFORE-THE-KILL\n"
+    report ++= "  dial — the df cap is derived FROM a fixed shuffle-byte budget\n"
+    report ++= "  via the posting df histogram (dfCapForBytes), so duplication\n"
+    report ++= "  inflating dfs bends the cap DOWN: the same corpora whose\n"
+    report ++= "  uncapped lines flag SUPER-LINEAR (sh 36.7x / 25.5x vs 8.0\n"
+    report ++= "  linear) run at sh 9.6x / 8.4x under the 64 MB default budget,\n"
+    report ++= "  survivors keeping exact verified scores (subset contract).\n"
+    report ++= "- semdedup_incr_flat: incremental semantic dedup is O(delta) by\n"
+    report ++= "  base-size independence — the SAME 10-vector delta against a 1x\n"
+    report ++= "  base (k=16) and an 8x base (k=128, cells sized with the base)\n"
+    report ++= "  moves ~the same bytes because the probed-cell list bounds what\n"
+    report ++= "  is read; only cells the delta probes are ever scanned.\n"
+    report ++= "- ivf_two_writer: the commit protocol under real contention — a\n"
+    report ++= "  4-batch streaming ingest races a mid-stream rebalance from a\n"
+    report ++= "  SECOND session; the per-path monitor + cross-process lease\n"
+    report ++= "  serialize every staged mutation, and the probe HARD-FAILS\n"
+    report ++= "  unless the final index equals base+batches exactly once and\n"
+    report ++= "  the full-probe screen matches union brute force.\n"
+    report ++= "- unigram_em_8x: EM with the planted 130/72-cp long words riding\n"
+    report ++= "  the corpus — the >=63-cp Viterbi window machinery costs nothing\n"
+    report ++= "  measurable at 8x (model-side DP, corpus-size independent).\n"
     report ++= "- semdedup_cell_skew: one mega-cell's |cell|^2/2 pair work lands\n"
     report ++= "  on a single reducer under the plain cid-keyed join; saltBlocks=8\n"
     report ++= "  re-keys on (cell, blockA, blockB), cutting max-pairs-per-task\n"

@@ -226,6 +226,31 @@ object Datacard {
         meta.join(levels, Seq("source", "metric")), rowsF)
     }
 
+  /** Clone `srcStateDir`'s current generation into `dstStateDir` as a
+    * fresh generation — branching a release candidate without re-paying
+    * the corpus-scan landing cost (state is deterministic in the
+    * folded-in corpus, so clone-then-update ≡ init-then-update
+    * bit-exactly; DatacardSpec pins the equality). Both state dirs are
+    * locked in path order so a clone can never interleave with a fold
+    * on either side, and never deadlocks against a concurrent clone in
+    * the other direction. Local-FS copy here; on an object store this
+    * is a server-side manifest copy — O(state), never O(corpus).
+    */
+  def datacardClone(srcStateDir: String, dstStateDir: String): Unit = {
+    val (first, second) =
+      if (srcStateDir <= dstStateDir) (srcStateDir, dstStateDir)
+      else (dstStateDir, srcStateDir)
+    withStateLock(first) { withStateLock(second) {
+      val sv = stateVersion(srcStateDir)
+      require(sv >= 0, s"datacardClone: no state at $srcStateDir")
+      val dv = stateVersion(dstStateDir) + 1
+      graft.util.Fs.copyRecursively(s"$srcStateDir/v$sv", s"$dstStateDir/v$dv")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dstStateDir, "_current"),
+        dv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } }
+  }
+
   /** Fold a delta batch into persisted state: one DELTA scan plus the
     * bounded state read — the corpus is never touched. Every merge is
     * the state component's natural monoid: sum for counts, register max
@@ -461,10 +486,11 @@ object Datacard {
   }
 
   /** Registered `text_datacard_diff`: state A = the base 9/10 corpus,
-    * state B = A plus the last-tenth delta folded in (the release), diff
-    * from STATE ALONE. The oracle recomputes both sketch cards in closed
-    * form over the respective corpora and diffs them — hash equality
-    * proves state-diff ≡ full-rebuild-diff on every delta and flag.
+    * state B = A *cloned* (the release-candidate branch; no second
+    * corpus scan) with the last-tenth delta folded in, diff from STATE
+    * ALONE. The oracle recomputes both sketch cards in closed form over
+    * the respective corpora and diffs them — hash equality proves
+    * clone+fold state-diff ≡ full-rebuild-diff on every delta and flag.
     */
   def datacardDiffQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog(spark, dir).ref("documents")
@@ -472,7 +498,7 @@ object Datacard {
     val sB = java.nio.file.Files.createTempDirectory("datacard_diff_b").toString
     try {
       datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), sA)
-      datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), sB)
+      datacardClone(sA, sB)
       datacardUpdate(spark, docs.filter(col("doc_id") % 10 === 0), sB)
       datacardDiff(spark, sA, sB).localCheckpoint()
     } finally {

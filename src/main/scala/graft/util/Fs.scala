@@ -51,6 +51,25 @@ object Fs {
     }
   }
 
+  /** Recursively copy `src` into `dst` (created if absent). Harness and
+    * local-state use only — same caveat as [[deleteRecursively]]; at
+    * cluster scale state cloning is an object-store server-side copy.
+    */
+  def copyRecursively(src: String, dst: String): Unit = {
+    val from: Path = Paths.get(src)
+    val to: Path = Paths.get(dst)
+    val walk = Files.walk(from)
+    try walk.iterator().asScala.foreach { p =>
+      val target = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
   private val sessionDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var hookInstalled = false
 

@@ -118,6 +118,38 @@ class DatacardSpec extends SparkTestBase {
     assert(a === b, "churned incremental card must equal the one-shot build")
   }
 
+  test("state clone: branch-then-update equals init-then-update bit-exactly, no corpus scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val sA = tmpDir("dc_clone_a")
+    Datacard.datacardInit(spark, base, sA)
+    // clone is a pure state copy — no Spark job, so no corpus scan by
+    // construction; prove the branch is a real independent state
+    val sB = tmpDir("dc_clone_b")
+    Datacard.datacardClone(sA, sB)
+    Datacard.datacardUpdate(spark, delta, sB)
+    val sRef = tmpDir("dc_clone_ref")
+    Datacard.datacardInit(spark, base, sRef)
+    Datacard.datacardUpdate(spark, delta, sRef)
+    val branched = Datacard.datacardRender(spark, sB).collect().map(_.toString).toSeq
+    val rebuilt = Datacard.datacardRender(spark, sRef).collect().map(_.toString).toSeq
+    assert(branched === rebuilt, "clone-then-update must equal init-then-update")
+    // the source state is untouched by the branch's update
+    val aCard = Datacard.datacardRender(spark, sA).collect().map(_.toString).toSeq
+    val aRef = tmpDir("dc_clone_aref")
+    Datacard.datacardInit(spark, base, aRef)
+    assert(aCard === Datacard.datacardRender(spark, aRef).collect().map(_.toString).toSeq,
+      "branch update must not leak into the source state")
+    // cloning into a dir with history lands as the NEXT generation
+    Datacard.datacardClone(sA, sB)
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sB, "_current"))).trim.toInt
+    assert(cur === 2, s"clone into live state must advance the generation, got v$cur")
+    assert(Datacard.datacardRender(spark, sB).collect().map(_.toString).toSeq === aCard,
+      "re-clone must restore the source card")
+  }
+
   test("release gate: a planted distribution shift fires exactly the drifted source's flags") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val srcs = docs.select("source").distinct().orderBy("source")
@@ -133,7 +165,7 @@ class DatacardSpec extends SparkTestBase {
     val sOld = tmpDir("dc_gate_old")
     val sNew = tmpDir("dc_gate_new")
     Datacard.datacardInit(spark, docs, sOld)
-    Datacard.datacardInit(spark, docs, sNew)
+    Datacard.datacardClone(sOld, sNew)
     Datacard.datacardUpdate(spark, wave, sNew)
     val diff = Datacard.datacardDiff(spark, sOld, sNew).collect()
     assert(diff.map(_.getString(0)).toSeq === srcs.toSeq, "one diff row per source")
