@@ -297,6 +297,11 @@ object ScaleProbe {
     scaled("ann_brute_8x")(d => ops.Similarity.bruteForceTopKAt(spark, d, 5, 10).count())
     scaled("ann_lsh_8x")(d => ops.Similarity.lshAnnAt(spark, d, 5, 10, 8, 8).count())
     scaled("ann_ivf_8x")(d => ops.Ivf.ivfAnnAt(spark, d, 5, 10, 16, 4, 3).count())
+    // filtered vector search: the ~10%-selective label predicate prunes
+    // candidate rows INSIDE the probed cells even at the doubled probe
+    // width, so the filter pays for its wider probe with fewer scored
+    // candidates — shuffle stays ~linear in corpus size
+    scaled("ann_filtered_8x")(d => ops.Ivf.ivfAnnFilteredAt(spark, d, 5, 10, 16, 8, 3, label = 3).count())
     // IVF index reuse: build once (the O(N) landing cost a production
     // pipeline pays when the base corpus arrives), then screen a 1/10
     // delta batch against the PERSISTED index — O(delta) probe work +
@@ -313,6 +318,49 @@ object ScaleProbe {
     }
     time("ivf_screen_delta_8x")(ops.Ivf.screenBatch(spark, ivfIdx,
       embBig.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4).count())
+    // segment compaction: 16 committed append batches leave 16 file
+    // sets per probed cell; compactIndex re-lands the index one file
+    // per cell — screens must be row-identical and open far fewer files
+    locally {
+      val e1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ipath = java.nio.file.Files.createTempDirectory("probe_compact").toString
+      try {
+        val idx = ops.Ivf.buildIndex(e1.filter(col("vec_id") % 10 =!= 0),
+          ipath, kCells = 32, iters = 0)
+        (0 until 16).foreach { b =>
+          ops.Ivf.appendBatchIdempotent(idx,
+            e1.filter(col("vec_id") % 10 === 0 && (col("vec_id") / 10) % 16 === b),
+            s"pc:$b")
+        }
+        def nFiles(): Int = {
+          val walk = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(graft.util.IndexMaint.liveGen(ipath)))
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+          } finally walk.close()
+        }
+        val qb = e1.filter(col("vec_id") % 100 === 1).localCheckpoint()
+        def screen(): Array[org.apache.spark.sql.Row] =
+          ops.Ivf.screenBatch(spark, ops.Ivf.loadIndex(ipath), qb,
+            k = 5, nprobe = 4).collect()
+        screen() // warm
+        var t0 = System.nanoTime()
+        val before = screen()
+        val tBefore = (System.nanoTime() - t0) / 1e9
+        val filesBefore = nFiles()
+        ops.Ivf.compactIndex(spark, ops.Ivf.loadIndex(ipath))
+        screen() // warm the compacted layout's file index
+        t0 = System.nanoTime()
+        val after = screen()
+        val tAfter = (System.nanoTime() - t0) / 1e9
+        val same = before.map(_.toString).sorted.sameElements(after.map(_.toString).sorted)
+        val line = f"PROBE ivf_compact          files $filesBefore->${nFiles()} screen $tBefore%.2f s -> $tAfter%.2f s rows-identical=$same (16 append segments, kCells=32)"
+        println(line); report ++= line + "\n"
+        require(same, "ivf_compact: screens diverged across compaction")
+      } finally graft.util.Fs.deleteRecursively(ipath)
+    }
     // incremental semantic dedup is O(delta), proven by base-size
     // INDEPENDENCE: the SAME 200-vector delta screens against the 1x
     // base (kCells=16) and the 8x base (kCells=128 — cells sized with
@@ -409,6 +457,21 @@ object ScaleProbe {
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           val rec = truth.count(got.contains).toDouble / truth.size
           val line = f"PROBE pq_adc_recall@50 m=$m%-2d kSub=256 ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$rec%.4f (bytes/vec=$m vs 256 raw)"
+          println(line); report ++= line + "\n"
+        }
+        // Two-stage retrieval: the ADC screen keeps rr candidates per
+        // query, exact L2 reranks just those — recall@50 bought back
+        // for nQueries x rr exact distances instead of a second corpus
+        // pass. m=4 (the weakest screen above) shows the full dial:
+        // rr=50 is pure ADC ordering, rr growth converges on exact.
+        Seq(50, 100, 200, 400).foreach { rr =>
+          val t0 = System.nanoTime()
+          val got = ops.Pq.pqRerankAt(spark, clusDir, nQueries = 20, k = 50,
+            rr = rr, m = 4, kSub = 256, iters = 2)
+            .select("query_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = truth.count(got.contains).toDouble / truth.size
+          val line = f"PROBE pq_rerank_recall@50 m=4 rr=$rr%-4d ${(System.nanoTime() - t0) / 1e9}%6.2f s recall=$rec%.4f (exact pass touches 20x$rr vectors)"
           println(line); report ++= line + "\n"
         }
         // IVF-PQ composition: read prune (nprobe/32 cells) x byte prune
@@ -1213,6 +1276,21 @@ object ScaleProbe {
     report ++= "- unigram_em_8x: EM with the planted 130/72-cp long words riding\n"
     report ++= "  the corpus — the >=63-cp Viterbi window machinery costs nothing\n"
     report ++= "  measurable at 8x (model-side DP, corpus-size independent).\n"
+    report ++= "- ann_filtered: predicate + vector search composed — the label\n"
+    report ++= "  filter prunes candidates INSIDE the probed cells (scan-side,\n"
+    report ++= "  under the cid partition filter on a persisted index), so the\n"
+    report ++= "  doubled probe width costs less than the unfiltered query and\n"
+    report ++= "  shuffle stays linear; a post-rank filter would silently\n"
+    report ++= "  return < k instead.\n"
+    report ++= "- ivf_compact: 16 streamed append segments multiply per-cell\n"
+    report ++= "  file opens 17x; compactIndex re-lands one file per cell with\n"
+    report ++= "  the SAME rows, tokens and drift baseline (screens asserted\n"
+    report ++= "  row-identical in-probe) — the between-rebalances maintenance\n"
+    report ++= "  op that keeps footer/open overhead off the screen path.\n"
+    report ++= "- pq_rerank_recall: the two-stage dial — the m=4 ADC screen's\n"
+    report ++= "  recall ceiling is bought back by exact-reranking rr survivors\n"
+    report ++= "  per query (20 x rr vectors touched, never a second corpus\n"
+    report ++= "  pass); rr is the serving-latency/recall knob.\n"
     report ++= "- semdedup_cell_skew: one mega-cell's |cell|^2/2 pair work lands\n"
     report ++= "  on a single reducer under the plain cid-keyed join; saltBlocks=8\n"
     report ++= "  re-keys on (cell, blockA, blockB), cutting max-pairs-per-task\n"

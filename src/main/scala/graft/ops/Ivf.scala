@@ -111,10 +111,42 @@ object Ivf {
     ivfAnnAt(spark, dir, nQueries = 5, k = 10, kCells = 16, nprobe = 4, iters = 0)
 
   def ivfAnnAt(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      kCells: Int, nprobe: Int, iters: Int): DataFrame = {
+      kCells: Int, nprobe: Int, iters: Int): DataFrame =
+    ivfAnnCore(spark, dir, nQueries, k, kCells, nprobe, iters, labelEq = None)
+
+  /** Filtered vector search — the production composition every vector
+    * store exposes (Qdrant/Vespa/Milvus "pre-filtered search"): top-k
+    * among the vectors satisfying a METADATA predicate (here the
+    * index-resident `label` column — tenant, class, language). The
+    * predicate applies to the CANDIDATE side inside the probed cells,
+    * before ranking: on the persisted cell-partitioned index this is a
+    * data filter UNDER the cid partition filter, i.e. it reaches the
+    * parquet scan and prunes candidate bytes, never a post-rank
+    * re-filter (which would return < k silently whenever the filter
+    * and the top-k overlap poorly). Queries are NOT filtered — a query
+    * from any tenant may search label-L space.
+    *
+    * The registered query widens `nprobe` 4 → 8: with a ~10%-selective
+    * predicate each probed cell yields ~10× fewer candidates, so a
+    * filtered search probes more cells to keep the candidate pool at
+    * the unfiltered query's size — the dial a store turns with
+    * predicate selectivity.
+    */
+  def ivfAnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnFilteredAt(spark, dir, nQueries = 5, k = 10, kCells = 16,
+      nprobe = 8, iters = 0, label = 3)
+
+  def ivfAnnFilteredAt(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, kCells: Int, nprobe: Int, iters: Int, label: Int): DataFrame =
+    ivfAnnCore(spark, dir, nQueries, k, kCells, nprobe, iters, Some(label))
+
+  private def ivfAnnCore(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      kCells: Int, nprobe: Int, iters: Int, labelEq: Option[Int]): DataFrame = {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings")
-      .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
+      .select(col("vec_id") +: col("embedding") +:
+        Similarity.l2norm(col("embedding")).as("nrm") +:
+        labelEq.map(_ => col("label")).toSeq: _*)
     val centroids = kmeansCentroids(emb, kCells, iters)
 
     // One scan assigns every vector to its cell (zero shuffle).
@@ -138,8 +170,15 @@ object Ivf {
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
 
     // Search only the probed cells; exact cosine rank within candidates.
+    // The metadata predicate (if any) lands on the candidate relation
+    // BEFORE the probe join — on the persisted index this is the scan's
+    // data filter under the cid partition filter.
+    val cands = labelEq match {
+      case Some(l) => assigned.filter(col("label") === l)
+      case None => assigned
+    }
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
+    cands.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score",
         Similarity.dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")))
@@ -390,6 +429,47 @@ object Ivf {
       }
     }
 
+  /** Compact the live generation WITHOUT retraining: the O(N)-rewrite /
+    * O(1)-semantics maintenance op between rebalances. The append-only
+    * path accrues one file set per committed batch per cell, so after B
+    * appends a probed cell costs B file opens (and B footer reads) —
+    * at 100 TB with minute-level streaming batches that is thousands of
+    * small files per cell within a day, and open-cost starts to rival
+    * scan cost. Compaction re-lands the SAME rows (same quantizer, same
+    * assignments — `cid` is carried, never recomputed) as ONE
+    * cell-partitioned segment with one file per cell (`repartition` on
+    * cid; a skewed mega-cell would use the (cid, salt) split the
+    * SemDeDup path derives), carries the centroid + cell-stat sidecars
+    * and every applied token verbatim, and commits atomically — so
+    * replay detection, drift baselines and screen results are all
+    * byte-identical before and after (IvfSpec + the `sim_ivf_compacted`
+    * oracle row prove it; ScaleProbe records the file-count collapse).
+    */
+  def compactIndex(spark: SparkSession, index: IvfIndex): IvfIndex =
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.withLease(index.path, op = "compact") {
+        graft.util.IndexMaint.reapStages(index.path)
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        val centroids = readCentroids(gen)
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
+        spark.read.parquet(gen)
+          .select("vec_id", "embedding", "nrm", "cid")
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+        writeCentroids(stage, centroids)
+        // contents are identical, so the drift BASELINE is carried, not
+        // recomputed — compaction must not mask quantizer rot
+        writeCellStats(stage, readCellStats(gen))
+        graft.util.IndexMaint.writeConsolidatedTokens(stage,
+          graft.util.IndexMaint.appliedTokens(gen))
+        graft.util.IndexMaint.commitGeneration(index.path, stage)
+        indexCache.synchronized {
+          indexCache.keySet.removeIf(_._1 == index.path); ()
+        }
+        IvfIndex(index.path, centroids)
+      }
+    }
+
   // ---- index maintenance: drift detection + rebalance -----------------------
 
   /** Per-cell occupancy and mean cosine-to-own-centroid — the bounded
@@ -593,6 +673,34 @@ object Ivf {
     screenBatch(spark, index, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
   }
 
+  /** Registered `sim_ivf_compacted`: the full append-lifecycle
+    * composition under the oracle — build the persisted index on a base
+    * (vec_id % 10 ∉ {0, 9}), fold in TWO idempotent append batches (the
+    * 9-and-19 mod-20 halves of the remaining tenth), [[compactIndex]]
+    * the accrued segments, then [[screenBatch]] the %10 == 0 delta. The
+    * DuckDB twin knows nothing of segments or compaction: it assigns
+    * all non-delta vectors against the base-sample quantizer and
+    * screens — hash equality proves append + compact + screen ≡ one
+    * logical index. Repeated runs in one session exercise token replay
+    * across compaction: the appends no-op (tokens carried through the
+    * compacted generation) and re-compacting is idempotent.
+    */
+  def ivfCompacted(spark: SparkSession, dir: String): DataFrame =
+    ivfCompactedAt(spark, dir, k = 5, kCells = 16, nprobe = 4)
+
+  def ivfCompactedAt(spark: SparkSession, dir: String, k: Int,
+      kCells: Int, nprobe: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 9)
+    val path = graft.util.Fs.sessionTempDir("ivf_index_compact", dir)
+    val index = buildIndexCached(base, s"$dir/embeddings.parquet", path, kCells, iters = 0)
+    appendBatchIdempotent(index, emb.filter(col("vec_id") % 20 === 9), "compactq:a")
+    appendBatchIdempotent(index, emb.filter(col("vec_id") % 20 === 19), "compactq:b")
+    val compacted = compactIndex(spark, index)
+    screenBatch(spark, compacted, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
+  }
+
   /** Twin of [[ivfIncremental]]: same base/delta split, same iters = 0
     * quantizer from the BASE sample, same probe ranking and candidate
     * scoring — persistence is an engine-side layout detail invisible to
@@ -699,5 +807,113 @@ object Ivf {
       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
       |  FROM cand)
       |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of [[ivfAnnFiltered]]: [[ivfAnnSql]] with the label predicate
+    * on the candidate relation (and the widened prank ≤ 8 probe list) —
+    * the filter composes under the probe exactly like the engine's
+    * scan-side filter, so survivors and ranks replay bit-identically.
+    */
+  val ivfAnnFilteredSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, label AS lbl,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 8),
+      |cand AS (
+      |  SELECT q.query_id, en.vec_id,
+      |         list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cid = p.cid
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN en ON en.vec_id = a.vec_id
+      |  WHERE en.lbl = 3 AND en.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of [[ivfCompacted]]: [[ivfIncrementalSql]] with the sample
+    * drawn from the append-lifecycle BASE (% 10 ∉ {0, 9}) and the
+    * candidate relation spanning base ∪ appends (% 10 ≠ 0) — segments
+    * and compaction have no SQL shadow, which is exactly the claim.
+    */
+  val ivfCompactedSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 NOT IN (0, 9)),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id % 10 = 0),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |cand AS (
+      |  SELECT q.query_id, en.vec_id,
+      |         list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cid = p.cid
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN en ON en.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 }

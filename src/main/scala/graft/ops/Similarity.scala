@@ -1061,7 +1061,9 @@ object Similarity {
     "sim_bruteforce_topk" -> (bruteForceTopK _),
     "sim_lsh_ann" -> (lshAnn _),
     "sim_ivf_ann" -> (Ivf.ivfAnn _),
+    "sim_ivf_filtered" -> (Ivf.ivfAnnFiltered _),
     "sim_ivf_incremental" -> (Ivf.ivfIncremental _),
+    "sim_ivf_compacted" -> (Ivf.ivfCompacted _),
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
@@ -1077,6 +1079,8 @@ object Similarity {
     "sim_bruteforce_topk" -> bruteForceTopKSql,
     "sim_lsh_ann" -> lshAnnSql,
     "sim_ivf_ann" -> Ivf.ivfAnnSql,
+    "sim_ivf_filtered" -> Ivf.ivfAnnFilteredSql,
     "sim_ivf_incremental" -> Ivf.ivfIncrementalSql,
+    "sim_ivf_compacted" -> Ivf.ivfCompactedSql,
     "sim_embedding_neardup" -> embeddingNearDupSql)
 }

@@ -412,4 +412,91 @@ class IvfSpec extends SparkTestBase {
     assert(got.length === 2)
     assert(got(0) eq got(1), "racing builders must resolve to one shared index")
   }
+
+  test("filtered ANN: every neighbor satisfies the predicate; full probe equals the exact filtered ranking") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labels = rows.map(e => e._1 -> e._3).toMap
+    val vecs = rows.map(e => e._1 -> e._2.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // full probe: the filter composes under an exhaustive cell scan, so
+    // the result IS the exact label-restricted ranking
+    val got = Ivf.ivfAnnFilteredAt(spark, dir, nQueries = 5, k = 10,
+      kCells = 8, nprobe = 8, iters = 2, label = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(labels(r.getLong(2)) === 3,
+      s"neighbor ${r.getLong(2)} violates the label predicate"))
+    (0L until 5L).foreach { q =>
+      val expect = rows.filter(e => e._3 == 3 && e._1 != q)
+        .map(e => (cos(vecs(q), vecs(e._1)), e._1))
+        .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      val gotQ = got.filter(_.getLong(0) == q).map(_.getLong(2)).toSet
+      assert(gotQ === expect, s"query $q: filtered top-10 must match the exact filtered ranking")
+    }
+    // query 3's planted near-copy (vec 323) carries label 3 and must win
+    // rank 1 even under a narrow probe — its cell is the first probed
+    val narrow = Ivf.ivfAnnFilteredAt(spark, dir, nQueries = 5, k = 10,
+      kCells = 8, nprobe = 2, iters = 2, label = 3).collect()
+    val q3 = narrow.filter(_.getLong(0) == 3L).minBy(_.getInt(1))
+    assert(q3.getLong(2) === 323L, "the label-matching planted copy must rank first")
+    // query 0's planted copy (vec 320, label 0) is filtered out everywhere
+    assert(!got.exists(r => r.getLong(0) == 0L && r.getLong(2) == 320L))
+  }
+
+  test("compactIndex: segment files collapse; tokens, drift baseline and screens are byte-identical") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_cmp")
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") < 280), idxPath,
+      kCells = 8, iters = 1)
+    (0 until 4).foreach { b =>
+      assert(Ivf.appendBatchIdempotent(index,
+        emb.filter(col("vec_id") >= 280 + b * 10 && col("vec_id") < 290 + b * 10),
+        s"seg:$b"))
+    }
+    val delta = emb.filter(col("vec_id") >= 320).localCheckpoint()
+    def dataFiles(): Seq[String] = {
+      val live = java.nio.file.Paths.get(graft.util.IndexMaint.liveGen(idxPath))
+      val walk = java.nio.file.Files.walk(live)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.toString)
+          .filter(f => f.endsWith(".parquet") && !f.contains("_token"))
+          .toSeq
+      } finally walk.close()
+    }
+    def screen(): Seq[String] =
+      Ivf.screenBatch(spark, Ivf.loadIndex(idxPath), delta, k = 5, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq
+    val filesBefore = dataFiles().size
+    val screenBefore = screen()
+    val driftBefore = Ivf.driftStats(spark, Ivf.loadIndex(idxPath))
+    val compacted = Ivf.compactIndex(spark, Ivf.loadIndex(idxPath))
+    // 1 build + 4 append segments x per-cell files collapse to <= one
+    // file per cell
+    assert(dataFiles().size < filesBefore,
+      s"compaction must reduce files ($filesBefore -> ${dataFiles().size})")
+    assert(dataFiles().size <= 8, s"expected <= one file per cell, got ${dataFiles().size}")
+    assert(Ivf.indexData(spark, idxPath).count() === 320)
+    assert(screen() === screenBefore, "screens must be byte-identical across compaction")
+    // replay of an applied batch still no-ops: tokens survived the rewrite
+    assert(!Ivf.appendBatchIdempotent(compacted,
+      emb.filter(col("vec_id") >= 280 && col("vec_id") < 290), "seg:0"))
+    assert(Ivf.indexData(spark, idxPath).count() === 320)
+    // the build-time drift baseline is carried, not recomputed — and the
+    // contents' CURRENT stats are unchanged too (same rows, same cells)
+    val driftAfter = Ivf.driftStats(spark, compacted)
+    assert(driftAfter.build === driftBefore.build, "compaction must not reset the drift baseline")
+    // current stats recompute over re-laid-out files: occupancies are
+    // exact, mean cosines equal up to summation-order ulps
+    assert(driftAfter.now.map(c => (c.cid, c.n)) === driftBefore.now.map(c => (c.cid, c.n)))
+    driftAfter.now.zip(driftBefore.now).foreach { case (a, b) =>
+      assert(math.abs(a.meanCos - b.meanCos) < 1e-9) }
+    // a genuinely new batch still lands on the compacted generation
+    assert(Ivf.appendBatchIdempotent(compacted, delta, "seg:new"))
+    assert(Ivf.indexData(spark, idxPath).count() === 325)
+  }
 }

@@ -453,4 +453,110 @@ class PqSpec extends SparkTestBase {
       assert(!Pq.appendBatchIdempotent(Pq.loadIndex(s"$tmp/index"), bt, token = s"ingest:$i"))
     }
   }
+
+  test("compactIndex: files collapse; ADC screens, tokens and the fit baseline are identical") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("pq_cmp")
+    val index = Pq.buildIndex(emb.filter(col("vec_id") < 280), idxPath,
+      m = 4, kSub = 8, iters = 2)
+    (0 until 4).foreach { b =>
+      assert(Pq.appendBatchIdempotent(index,
+        emb.filter(col("vec_id") >= 280 + b * 10 && col("vec_id") < 290 + b * 10),
+        s"seg:$b"))
+    }
+    val queryVecs = emb.filter(col("vec_id") >= 320).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    def dataFiles(): Seq[String] = {
+      val live = java.nio.file.Paths.get(graft.util.IndexMaint.liveGen(idxPath))
+      val walk = java.nio.file.Files.walk(live)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      } finally walk.close()
+    }
+    def screen(): Seq[String] =
+      Pq.adcTopK(spark, Pq.loadIndex(idxPath), queryVecs, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+    val filesBefore = dataFiles().size
+    val screenBefore = screen()
+    val driftBefore = Pq.pqDriftStats(spark, Pq.loadIndex(idxPath))
+    val compacted = Pq.compactIndex(spark, Pq.loadIndex(idxPath))
+    assert(dataFiles().size === 1,
+      s"numFiles=1 compaction must leave one data file, got ${dataFiles().size}")
+    assert(dataFiles().size < filesBefore)
+    assert(Pq.indexData(spark, idxPath).count() === 320)
+    assert(screen() === screenBefore, "ADC screens must be identical across compaction")
+    assert(!Pq.appendBatchIdempotent(compacted,
+      emb.filter(col("vec_id") >= 280 && col("vec_id") < 290), "seg:0"),
+      "applied tokens must survive compaction")
+    val driftAfter = Pq.pqDriftStats(spark, compacted)
+    assert(driftAfter.build === driftBefore.build, "compaction must not reset the fit baseline")
+    assert(driftAfter.now.map(_.n) === driftBefore.now.map(_.n))
+    // a fresh batch still lands on the compacted generation
+    assert(Pq.appendBatchIdempotent(compacted,
+      emb.filter(col("vec_id") >= 320), "seg:new"))
+    assert(Pq.indexData(spark, idxPath).count() === 325)
+  }
+
+  test("rerankTopK serves from the persisted index alone: exact stored-vector distances, copies right behind self") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("pq_rr")
+    val index = Pq.buildIndex(emb, idxPath, m = 4, kSub = 8, iters = 2)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    val got = Pq.rerankTopK(spark, index, queryVecs, k = 10, rr = 80).collect()
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { r =>
+      val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(2)))
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      assert(r.getDouble(3) === s, "rerankTopK must report exact stored-vector L2")
+    }
+    // the query is an index member: exact rerank puts it at distance 0,
+    // its planted ~0.01-radius copy immediately after — an ordering the
+    // quantized codes cannot express (both collapse to the same codes)
+    (0L until 5L).foreach { q =>
+      val mine = got.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(mine.head.getLong(2) === q && mine.head.getDouble(3) === 0.0)
+      assert(mine(1).getLong(2) === 320L + q,
+        s"query $q: the planted copy must follow the query itself")
+    }
+  }
+
+  test("rerank buys back screen misses: exact distances, planted copies at rank 1") {
+    // rr = 80 > cluster size: mates can share the query's exact codes
+    // (coarse kSub=8 codebooks), and an ADC tie breaks by vec_id — the
+    // high-id planted copy must not be cut by a screen the size of its
+    // own tie group
+    val got = Pq.pqRerankAt(spark, dir, nQueries = 5, k = 10, rr = 80,
+      m = 4, kSub = 8, iters = 2).collect()
+    assert(got.length === 50)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def exactD2(q: Long, v: Long): Double = {
+      val (a, b) = (vecs(q), vecs(v)); var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    // every reported distance is the TRUE L2 — the defining property of
+    // the rerank stage (ADC distances are approximations)
+    got.foreach { r =>
+      assert(r.getDouble(3) === exactD2(r.getLong(0), r.getLong(2)),
+        s"rerank must report exact distances (query ${r.getLong(0)}, vec ${r.getLong(2)})")
+    }
+    // per query: ranks 1..10, distances ascending, planted copy first —
+    // the copy shares the query's codes so it survives any screen, and
+    // exact rerank puts it where ADC cannot (quantization collapses the
+    // ~0.01-radius gap between the copy and cluster mates)
+    (0L until 5L).foreach { q =>
+      val mine = got.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(mine.map(_.getInt(1)).toSeq === (1 to 10))
+      val d2s = mine.map(_.getDouble(3))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b })
+      assert(mine.head.getLong(2) === 320L + q,
+        s"query $q: exact rerank must surface the planted copy at rank 1")
+    }
+  }
 }
