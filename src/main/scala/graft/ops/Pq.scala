@@ -1482,6 +1482,98 @@ object Pq {
       .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
   }
 
+  /** [[screenTopKResidual]] for a DELTA DataFrame — fully distributed
+    * (the [[screenBatchAdc]] contract on the residual layout): probe
+    * ranking, per-(query, cell) residuals and per-candidate ADC
+    * distances all ride the plan as expressions over the broadcast
+    * probe relation and the centroid/codebook literals; no driver LUT
+    * is ever materialized, so a streaming micro-batch of any width
+    * screens without driver round-trips. The only driver-side value is
+    * the probed-cid list (≤ kCells ints) that statically prunes the
+    * index scan — the same bounded collect every probed screen makes.
+    * Distances are bit-identical to [[screenTopKResidual]] (PqSpec
+    * pins it): the per-subspace fold replays `adcLut`'s accumulation
+    * order.
+    */
+  def screenBatchResidual(spark: SparkSession, index: IvfPqIndex,
+      delta: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val m = index.codebooks.size
+    val subDim = index.codebooks.head.head.length
+    val centDf = index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "cent")
+    // Probe list per batch vector — the Ivf.screenBatchProbed ranking
+    // (dot / |centroid| over float-widened doubles, ties on low cid).
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid"))
+    val probes = delta
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cscore",
+        graft.ops.Similarity.dot(col("embedding"), col("cent"))
+          / graft.ops.Similarity.l2norm(col("cent")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("embedding"), col("cid"))
+      .localCheckpoint() // pinned: probed-cid collect + candidate join
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // Per-(query, probed cell) residual, computed in-plan.
+    val centLit = typedLit(index.centroids.map(_.toSeq))
+    val qr = zip_with(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+      element_at(centLit, col("cid") + 1),
+      (x, c) => x - c.cast("double"))
+    val probeRel = probes.select(col("query_id"), col("cid"), qr.as("qr"))
+    val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
+    val d2 = (0 until m).map { s =>
+      val entry = element_at(element_at(cbLit, s + 1), col(s"c$s") + 1)
+      aggregate(
+        zip_with(slice(col("qr"), s * subDim + 1, subDim), entry,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    indexData(spark, index.path)
+      .filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(probeRel), Seq("cid"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[Ivf.compactIndex]] on the residual layout: re-land the live
+    * generation's append segments as ONE cell-partitioned segment with
+    * the quantizer, sub-codebooks, fit baseline and applied tokens
+    * carried verbatim — O(N) rewrite, O(1) semantics, between
+    * rebalances.
+    */
+  def compactIndexResidual(spark: SparkSession, index: IvfPqIndex): IvfPqIndex =
+    graft.util.IndexMaint.lockFor(index.path).synchronized {
+      graft.util.IndexMaint.withLease(index.path, op = "compact") {
+        graft.util.IndexMaint.reapStages(index.path)
+        val gen = graft.util.IndexMaint.liveGen(index.path)
+        val cents = Ivf.readCentroids(gen)
+        val cbs = readCodebooks(gen)
+        val m = cbs.size
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
+        spark.read.parquet(gen).select(residualDataCols(m): _*)
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+        Ivf.writeCentroids(stage, cents)
+        writeCodebooks(stage, cbs)
+        writeSubStats(stage, readSubStats(gen))
+        graft.util.IndexMaint.writeConsolidatedTokens(stage,
+          graft.util.IndexMaint.appliedTokens(gen))
+        graft.util.IndexMaint.commitGeneration(index.path, stage)
+        ivfPqIndexCache.synchronized {
+          ivfPqIndexCache.keySet.removeIf(_._1 == index.path); ()
+        }
+        IvfPqIndex(index.path, cents, cbs)
+      }
+    }
+
   /** Measured ADC recall@k of the persisted residual screen against the
     * exact L2 top-k over the index's stored vectors — the ScaleProbe
     * dial comparing residual vs raw codes at equal bytes/vector.

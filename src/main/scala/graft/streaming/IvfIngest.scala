@@ -60,8 +60,10 @@ object IvfIngest {
     * telemetry.
     */
   def ingestStream(spark: SparkSession, srcDir: String, index0: Ivf.IvfIndex,
-      k: Int, nprobe: Int, sinkDir: String, checkEvery: Int = 4): Seq[BatchReport] = {
+      k: Int, nprobe: Int, sinkDir: String, checkEvery: Int = 4,
+      compactEvery: Int = 0): Seq[BatchReport] = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val schema = spark.read.parquet(srcDir).schema
     // foreachBatch closes over the MUTABLE index handle: a rebalance
     // commits a new generation and later batches pick up the new
@@ -96,6 +98,14 @@ object IvfIngest {
           val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Ivf.rebalance(spark, index)
+          // segment hygiene on the same durable cadence: every
+          // compactEvery-th applied batch re-lands the accrued append
+          // segments as one file set per cell, so per-cell file opens
+          // stay bounded however long the stream runs. A rebalance
+          // already re-lands everything — skip compaction on its batch.
+          else if (compactEvery > 0 &&
+              Ivf.appliedTokens(index).size % compactEvery == 0)
+            index = Ivf.compactIndex(spark, index)
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanCosNow).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,

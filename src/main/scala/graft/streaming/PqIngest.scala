@@ -33,8 +33,10 @@ object PqIngest {
       rebalanced: Boolean, replayed: Boolean)
 
   def ingestStream(spark: SparkSession, srcDir: String, index0: Pq.PqIndex,
-      k: Int, sinkDir: String, checkEvery: Int = 4): Seq[BatchReport] = {
+      k: Int, sinkDir: String, checkEvery: Int = 4,
+      compactEvery: Int = 0): Seq[BatchReport] = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val schema = spark.read.parquet(srcDir).schema
     var index = index0
     val reports = scala.collection.mutable.ArrayBuffer.empty[BatchReport]
@@ -63,6 +65,68 @@ object PqIngest {
           val dr = if (check) Some(Pq.pqDriftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Pq.rebalance(spark, index)
+          // segment hygiene ([[IvfIngest]] contract): bounded file
+          // counts however long the stream runs; a rebalance already
+          // re-lands everything, so its batch skips compaction
+          else if (compactEvery > 0 &&
+              Pq.appliedTokens(index).size % compactEvery == 0)
+            index = Pq.compactIndex(spark, index)
+          reports += BatchReport(id, screened.count(), pinned.count(),
+            dr.map(_.meanD2Now).getOrElse(Double.NaN),
+            checked = check, drifted = fire, rebalanced = fire,
+            replayed = false)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$sinkDir.ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    reports.toSeq
+  }
+
+  /** [[ingestStream]] on the PERSISTED RESIDUAL index — the same
+    * screen→append→maintain loop with both scale dials durable: every
+    * micro-batch is screened by the fully distributed probed-cell
+    * residual ADC ([[Pq.screenBatchResidual]] — read pruning × byte
+    * pruning, no driver LUTs), appended O(Δ) against the frozen coarse
+    * quantizer + sub-codebooks, and on the durable `checkEvery` cadence
+    * the residual-fit drift dial runs; a firing triggers the COMPOSED
+    * repair ([[Pq.rebalanceResidual]]: coarse retrain → residual
+    * codebook retrain → one-scan re-encode → atomic commit). Replay
+    * safety, token durability and the amortization story are
+    * [[ingestStream]]'s verbatim.
+    */
+  def ingestStreamResidual(spark: SparkSession, srcDir: String,
+      index0: Pq.IvfPqIndex, k: Int, nprobe: Int, sinkDir: String,
+      checkEvery: Int = 4, compactEvery: Int = 0): Seq[BatchReport] = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    val schema = spark.read.parquet(srcDir).schema
+    var index = index0
+    val reports = scala.collection.mutable.ArrayBuffer.empty[BatchReport]
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val token = s"ingest:$id"
+        if (Pq.appliedTokensResidual(index).contains(token)) {
+          reports += BatchReport(id, -1L, -1L, Double.NaN,
+            checked = false, drifted = false, rebalanced = false,
+            replayed = true)
+        } else {
+          val pinned = batch.localCheckpoint()
+          val screened = Pq.screenBatchResidual(spark, index, pinned, k, nprobe)
+            .localCheckpoint()
+          screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
+          val fresh = Pq.appendBatchIdempotentResidual(index, pinned, token = token)
+          val check = fresh && Pq.appliedTokensResidual(index).size % checkEvery == 0
+          val dr = if (check) Some(Pq.ivfPqDriftStats(spark, index)) else None
+          val fire = dr.exists(_.drifted())
+          if (fire) index = Pq.rebalanceResidual(spark, index)
+          else if (compactEvery > 0 &&
+              Pq.appliedTokensResidual(index).size % compactEvery == 0)
+            index = Pq.compactIndexResidual(spark, index)
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,

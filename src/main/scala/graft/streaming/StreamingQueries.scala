@@ -428,6 +428,26 @@ object StreamingQueries {
       batch => Pq.screenBatchAdc(spark, index, batch, k = 5))
   }
 
+  /** Streaming residual IVF-PQ screen: the delta arrives as a stream
+    * and every micro-batch runs the fully distributed probed-cell
+    * residual ADC ([[graft.ops.Pq.screenBatchResidual]] — read pruning
+    * × byte pruning, no driver LUTs) against the persisted residual
+    * index. Oracle = the batch `sim_ivfpq_residual_incremental` closed
+    * form: how the delta happened to batch is invisible to the result.
+    */
+  def streamIvfPqScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = Pq.buildIndexResidualCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivfpq_index", dir),
+      kCells = 16, m = 4, kSub = 16, iters = 0)
+    drainScreenStream(spark,
+      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500), "d2",
+      batch => Pq.screenBatchResidual(spark, index, batch, k = 5, nprobe = 4))
+  }
+
   /** Streaming incremental datacard: the corpus lands as TWO separate
     * micro-batches (file stream, one file per trigger) and every batch
     * folds into the persisted sketch state via `foreachBatch` +
@@ -478,6 +498,7 @@ object StreamingQueries {
     "stream_datacard" -> (streamDatacard _),
     "stream_ivf_screen" -> (streamIvfScreen _),
     "stream_pq_screen" -> (streamPqScreen _),
+    "stream_ivfpq_screen" -> (streamIvfPqScreen _),
     "stream_blocklist" -> (streamBlocklist _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_dedup_fingerprint" -> (streamDedupFingerprint _),
@@ -490,6 +511,7 @@ object StreamingQueries {
     "stream_datacard" -> graft.ops.Datacard.datacardIncrementalSql,
     "stream_ivf_screen" -> graft.ops.Ivf.ivfIncrementalSql,
     "stream_pq_screen" -> graft.ops.Pq.pqIncrementalSql,
+    "stream_ivfpq_screen" -> graft.ops.Pq.ivfPqResidualIncrementalSql,
     "stream_blocklist" -> streamBlocklistSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_dedup_fingerprint" -> streamDedupFingerprintSql,

@@ -312,6 +312,27 @@ class PqSpec extends SparkTestBase {
       "the distributed ADC screen must rank identically to the LUT path")
   }
 
+  test("screenBatchResidual (distributed, no driver LUTs) ranks exactly like screenTopKResidual") {
+    val rnd = new scala.util.Random(61)
+    val tmp = tmpDir("pq_res_screen")
+    (0 until 300).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index = Pq.buildIndexResidual(spark.read.parquet(s"$tmp/base"),
+      s"$tmp/index", kCells = 8, m = 4, kSub = 8, iters = 2)
+    // float source vectors so both paths widen the SAME values to double
+    val qf = (0 until 5).map(q => ((900 + q).toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val qvecs = qf.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val delta = qf.toDF("vec_id", "embedding")
+    val viaLut = Pq.screenTopKResidual(spark, index, qvecs, k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val distributed = Pq.screenBatchResidual(spark, index, delta, k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(distributed === viaLut,
+      "the distributed residual screen must rank (and score) identically to the driver-LUT path")
+  }
+
   test("residual index: drift dial + composed rebalance (coarse retrain, codebook retrain, re-encode) restore shifted recall") {
     val rnd = new scala.util.Random(73)
     val dim = 64

@@ -661,6 +661,113 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("query_id") === col("vec_id")).count() === 0L)
   }
 
+  test("streaming residual ingest maintains itself: shifted wave fires the residual dial, composed rebalance repairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(89)
+    val dim = 32
+    val cBase = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    def around(c: Array[Float], noise: Float) =
+      c.map(x => x + rnd.nextGaussian().toFloat * noise)
+    val tmp = tmpDir("ivfpq_ingest")
+    (0 until 400).map(i => (i.toLong, around(cBase(i % 8), 0.3f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = graft.ops.Pq.buildIndexResidual(
+      spark.read.parquet(s"$tmp/base"), s"$tmp/index",
+      kCells = 8, m = 4, kSub = 16, iters = 2)
+    val tOff = Array.fill(dim)(6f)
+    val cShift = Array.fill(8)(Array.tabulate(dim)(j =>
+      tOff(j) + rnd.nextGaussian().toFloat * 1.2f))
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val batches = Seq(
+      (1000 until 1100).map(i => (i.toLong, around(cBase(i % 8), 0.3f))),
+      (1100 until 1200).map(i => (i.toLong, around(cBase(i % 8), 0.3f))),
+      (2000 until 2200).map(i => (i.toLong, around(cShift(i % 8), 0.3f))),
+      (2200 until 2400).map(i => (i.toLong, around(cShift(i % 8), 0.3f))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val scans0 = graft.ops.Pq.driftScans.get()
+    val reports = graft.streaming.PqIngest.ingestStreamResidual(
+      spark, srcDir, index0, k = 10, nprobe = 4, s"$tmp/sink")
+    // amortization holds on the residual loop: 4 applied batches at
+    // checkEvery=4 -> ONE residual drift scan
+    assert(graft.ops.Pq.driftScans.get() - scans0 === 1L)
+    assert(reports.length === 4 && reports.count(_.checked) === 1)
+    assert(!reports(0).rebalanced && !reports(1).rebalanced,
+      s"base batches must not trigger maintenance: $reports")
+    assert(reports.last.rebalanced,
+      s"the checked shifted batch must fire the residual-fit dial: $reports")
+    // the composed repair leaves a healthy index serving the shifted
+    // distribution from residual codes
+    val repaired = graft.ops.Pq.loadIndexResidual(s"$tmp/index")
+    assert(!graft.ops.Pq.ivfPqDriftStats(spark, repaired).drifted())
+    val queries = (0 until 10).map { q =>
+      ((9000 + q).toLong, around(cShift(q % 8), 0.3f).map(_.toDouble))
+    }
+    val rec = graft.ops.Pq.recallAtKResidual(spark, repaired, queries, 50, nprobe = 8)
+    assert(rec >= 0.8, s"post-repair residual recall@50 on shifted queries: $rec")
+    assert(spark.read.parquet(s"$tmp/sink").select("batch_id").distinct().count() === 4)
+    // no self-matches anywhere in the screen output
+    assert(spark.read.parquet(s"$tmp/sink")
+      .filter(col("query_id") === col("vec_id")).count() === 0L)
+  }
+
+  test("compactEvery keeps streamed segment counts bounded without disturbing tokens or contents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val tmp = tmpDir("ivf_autocompact")
+    (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = graft.ops.Ivf.buildIndex(
+      spark.read.parquet(s"$tmp/base"), s"$tmp/index", kCells = 4, iters = 1)
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val batches = (0 until 4).map { b =>
+      (1000 + b * 100 until 1020 + b * 100)
+        .map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    }
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val reports = graft.streaming.IvfIngest.ingestStream(
+      spark, srcDir, index0, k = 5, nprobe = 2, s"$tmp/sink",
+      checkEvery = 100, compactEvery = 2)
+    assert(reports.length === 4 && reports.forall(!_.replayed))
+    // after the 4th batch the cadence compacted at batches 2 and 4:
+    // the live generation holds ONE re-landed segment, not base + 4
+    val segs = new java.io.File(graft.util.IndexMaint.liveGen(s"$tmp/index"))
+      .listFiles.filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName).toSeq
+    assert(segs === Seq("seg=base"),
+      s"compaction must re-land streamed segments into one, got $segs")
+    // contents and tokens intact: all 80 appended rows present exactly
+    // once, every applied token still no-ops
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index").count() === 280L)
+    val live = graft.ops.Ivf.loadIndex(s"$tmp/index")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      assert(!graft.ops.Ivf.appendBatchIdempotent(live,
+        rows.toDF("vec_id", "embedding"), token = s"ingest:$i"),
+        s"token ingest:$i must survive auto-compaction")
+    }
+  }
+
   test("streaming datacard equals a one-shot batch build — batching is invisible") {
     // the stream folds FOUR micro-batches into state; the one-shot path
     // inits state from the whole corpus at once. Canonical-set state
