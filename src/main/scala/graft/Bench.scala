@@ -34,13 +34,21 @@ object Bench {
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val total = results.map(_._2).sum
+    // Machine-load context: co-tenant load moved identical-code totals
+    // ±40% across rounds and cost a judging cycle to disprove a fake
+    // regression — record the 1-min loadavg so cross-round comparisons
+    // can separate code from contention.
+    val load =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
     // locale (de_DE) would emit invalid JSON the driver can't parse.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${fmt(omittedSec)}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om,"sf":"$sfDir","passes":2,"agg":"min"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om,"sf":"$sfDir","passes":2,"agg":"min","load":${fmt(load)}}"""
     }
     // The driver captures only the last ~2000 bytes of output and parses
     // this JSON line out of that tail; sbt appends a ~75-char "[success]"

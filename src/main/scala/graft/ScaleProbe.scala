@@ -318,6 +318,82 @@ object ScaleProbe {
     }
     time("ivf_screen_delta_8x")(ops.Ivf.screenBatch(spark, ivfIdx,
       embBig.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4).count())
+    // deletes at 8x: a ~5% takedown wave is a bounded-metadata mutation
+    // (tombstone sidecar), screens honor it immediately at full page
+    // size, and compaction reclaims it physically with screens
+    // row-identical across the rewrite
+    locally {
+      val delta = embBig.filter(col("vec_id") % 10 === 0).localCheckpoint()
+      val doomed = embBig
+        .filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 20 === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val t0 = System.nanoTime()
+      ops.Ivf.deleteIds(ivfIdx, doomed)
+      val tDel = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val after = ops.Ivf.screenBatch(spark, ivfIdx, delta, k = 5, nprobe = 4)
+        .localCheckpoint()
+      val nAfter = after.count()
+      val tScr = (System.nanoTime() - t1) / 1e9
+      val doomedSet = doomed.toSet
+      val leaked = after.select("vec_id").collect().count(r => doomedSet(r.getLong(0)))
+      val fullPages = after.groupBy("query_id").count()
+        .filter(col("count") =!= 5).count() == 0L
+      val t2 = System.nanoTime()
+      val compacted = ops.Ivf.compactIndex(spark, ivfIdx)
+      val tCmp = (System.nanoTime() - t2) / 1e9
+      val reclaimed = spark.read.parquet(
+        graft.util.IndexMaint.liveGen(compacted.path))
+        .filter(col("vec_id").isin(doomed.take(64).map(Long.box): _*)).count() == 0L
+      val sameRows = ops.Ivf.screenBatch(spark, compacted, delta, k = 5, nprobe = 4)
+        .exceptAll(after).count() == 0L
+      val line = f"PROBE ivf_delete_8x        del(${doomed.size})=$tDel%.2f s screen=$tScr%.2f s rows=$nAfter leaked=$leaked fullPages=$fullPages | compact=$tCmp%.2f s reclaimed=$reclaimed screen-identical=$sameRows"
+      println(line); report ++= line + "\n"
+      if (leaked > 0 || !fullPages || !reclaimed || !sameRows)
+        throw new IllegalStateException(s"delete probe failed: $line")
+    }
+    // CROSS-PROCESS lease: a REAL second JVM (graft.util.LeaseHold, no
+    // Spark) holds the fcntl lock on the index root; this process's
+    // mutation waits its timeout and fails loudly naming the child —
+    // the OS file-lock path itself, which the in-JVM two-writer probe
+    // below cannot reach (its contention resolves on the process-local
+    // monitor)
+    locally {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val child = new ProcessBuilder(
+        javaBin, "-cp", System.getProperty("java.class.path"),
+        "graft.util.LeaseHold", ivfIdx.path, "20000")
+        .redirectErrorStream(true).start()
+      val rdr = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val oldTimeout = graft.util.IndexMaint.defaultLeaseTimeoutMs
+      try {
+        var ln = rdr.readLine()
+        while (ln != null && !ln.contains("HELD")) ln = rdr.readLine()
+        graft.util.IndexMaint.defaultLeaseTimeoutMs = 700L
+        val t0 = System.nanoTime()
+        // a REAL mutation (deleteIds → withMutation → withLease) hits
+        // the child's fcntl lock — not a synthetic withLease call
+        val failed =
+          try {
+            ops.Ivf.deleteIds(ops.Ivf.IvfIndex(ivfIdx.path, ivfIdx.centroids), Seq(999999L))
+            "NO-CONTENTION"
+          } catch {
+            case e: IllegalStateException if e.getMessage.contains("child-hold") &&
+              e.getMessage.contains(s"pid=${child.pid()}") => "LOUD-FAIL-NAMED-HOLDER"
+            case _: IllegalStateException => "LOUD-FAIL-UNNAMED"
+          }
+        val tWait = (System.nanoTime() - t0) / 1e9
+        val line = f"PROBE lease_two_process    $tWait%7.2f s child-JVM fcntl holder vs parent mutation: $failed (timeout=700 ms)"
+        println(line); report ++= line + "\n"
+        if (failed != "LOUD-FAIL-NAMED-HOLDER")
+          throw new IllegalStateException(s"cross-process lease probe failed: $line")
+      } finally {
+        graft.util.IndexMaint.defaultLeaseTimeoutMs = oldTimeout
+        child.destroyForcibly(); child.waitFor(); rdr.close()
+      }
+    }
     // segment compaction: 16 committed append batches leave 16 file
     // sets per probed cell; compactIndex re-lands the index one file
     // per cell — screens must be row-identical and open far fewer files
@@ -730,13 +806,15 @@ object ScaleProbe {
         println(line); report ++= line + "\n"
       } finally graft.util.Fs.deleteRecursively(idir)
     }
-    // TWO-PROCESS smoke: a batch rebalance fired from a SECOND session
-    // races a 4-batch streaming ingest on the SAME index root. The
-    // per-path monitor + cross-process lease serialize every mutation
-    // (stage → single atomic commit), so whatever the interleaving, the
-    // final index holds base ∪ all four batches exactly once — proven
-    // by screenBatch at nprobe = kCells (exact cosine over index
-    // contents) matching the brute-force top-k over the union.
+    // TWO-WRITER (two threads, one JVM) smoke: a batch rebalance fired
+    // from a second session THREAD races a 4-batch streaming ingest on
+    // the SAME index root — contention here resolves on the per-path
+    // in-JVM monitor (the genuine fcntl cross-process path is exercised
+    // by lease_two_process above with a real child JVM). Whatever the
+    // interleaving, the final index holds base ∪ all four batches
+    // exactly once — proven by screenBatch at nprobe = kCells (exact
+    // cosine over index contents) matching the brute-force top-k over
+    // the union.
     locally {
       val wdir = java.nio.file.Files.createTempDirectory("scale_twowriter").toString
       try {
@@ -808,7 +886,7 @@ object ScaleProbe {
           .select("query_id", "rank", "vec_id").collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
         val eq = got == want
-        val line = f"PROBE ivf_two_writer       $tot%7.2f s ingest(4 batches) x mid-stream rebalance from a 2nd session: errors=${errs.size} rows=$n distinct=$nDistinct screen==union-exact: $eq"
+        val line = f"PROBE ivf_two_writer       $tot%7.2f s ingest(4 batches) x mid-stream rebalance from a 2nd session thread (in-JVM monitor path; fcntl path: lease_two_process): errors=${errs.size} rows=$n distinct=$nDistinct screen==union-exact: $eq"
         println(line); report ++= line + "\n"
         if (!eq || errs.size > 0 || n != 10000L || n != nDistinct)
           throw new IllegalStateException(
@@ -1147,6 +1225,51 @@ object ScaleProbe {
       }
       val pruneLine = s"PROBE skipindex lookup planned $filesRead of 64 files (zone map + bloom)"
       println(pruneLine); report ++= pruneLine + "\n"
+    }
+
+    // Persisted BM25 postings at 8x (40k docs): the corpus-sized
+    // tokenize/tf work happens ONCE at build; a query then reads ONLY
+    // the tb buckets its terms hash into (static partition pruning) with
+    // the term equality pushed into the scan — O(query-terms' posting
+    // lists), never a corpus scan. The files-read fraction is the
+    // evidence; rankings hash-match text_bm25 in CORRECTNESS.
+    locally {
+      val lexPath = java.nio.file.Files.createTempDirectory("probe_lex").toString + "/index"
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        ops.LexIndex.buildIndex(docs8, lexPath)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val rows = ops.LexIndex.bm25TopK(spark, lexPath,
+          ops.Search.fixtureQueries, 5).count()
+        val tQ = (System.nanoTime() - t1) / 1e9
+        val terms = ops.Search.fixtureQueries.map(_._2).distinct
+        val buckets = ops.LexIndex.bucketsOf(spark, terms)
+        val all = ops.LexIndex.indexData(spark, lexPath)
+        val totalFiles = all.inputFiles.length
+        // planned files come from the EXECUTED scan's metrics —
+        // DataFrame.inputFiles reports the unpruned base relation
+        val pruned = all.filter(col("tb").isin(buckets: _*))
+          .filter(col("term").isin(terms: _*))
+        pruned.count()
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def expandP(pl: SparkPlan): Seq[SparkPlan] = pl match {
+          case a: AdaptiveSparkPlanExec => pl +: expandP(a.executedPlan)
+          case q: QueryStageExec => pl +: expandP(q.plan)
+          case _ => pl +: pl.children.flatMap(expandP)
+        }
+        val prunedFiles = expandP(pruned.queryExecution.executedPlan).collect {
+          case sc: FileSourceScanExec => sc.metrics("numFiles").value
+        }.sum
+        val line = f"PROBE bm25_persisted       build=$tBuild%.2f s query=$tQ%.2f s rows=$rows files-planned $prunedFiles/$totalFiles (buckets ${buckets.size}/${ops.LexIndex.NBuckets} for ${terms.size} terms)"
+        println(line); report ++= line + "\n"
+        if (prunedFiles >= totalFiles)
+          throw new IllegalStateException(s"bm25 postings prune failed: $line")
+      } finally graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(lexPath).getParent.toString)
     }
 
     // Skew: 4M-row fact where ONE key owns half the rows, joined to a

@@ -28,6 +28,7 @@ object SparkEntry {
       ops.Curation.queries ++ ops.BpeTrain.queries ++ ops.Cleaning.queries ++
       ops.Dsir.queries ++ ops.Kmeans.queries ++ ops.Sketches.queries ++ ops.Layout.queries ++
       ops.Versioning.queries ++ ops.Pq.queries ++ ops.SkipIndex.queries ++
+      ops.LexIndex.queries ++
       ops.Blocklist.queries ++ ops.Subword.queries ++ ops.Augment.queries ++
       ops.Batching.queries ++ ops.Datacard.queries ++
       push.PushQueries.queries ++ streaming.StreamingQueries.queries
@@ -42,6 +43,7 @@ object SparkEntry {
       ops.Curation.oracles ++ ops.BpeTrain.oracles ++ ops.Cleaning.oracles ++
       ops.Dsir.oracles ++ ops.Kmeans.oracles ++ ops.Sketches.oracles ++ ops.Layout.oracles ++
       ops.Versioning.oracles ++ ops.Pq.oracles ++ ops.SkipIndex.oracles ++
+      ops.LexIndex.oracles ++
       ops.Blocklist.oracles ++ ops.Subword.oracles ++ ops.Augment.oracles ++
       ops.Batching.oracles ++ ops.Datacard.oracles ++
       push.PushQueries.oracles ++ streaming.StreamingQueries.oracles

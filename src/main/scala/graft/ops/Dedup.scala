@@ -858,8 +858,17 @@ object Dedup {
       i += 1
     }
     val derived = math.min(cap, Int.MaxValue.toLong).toInt
+    // Telemetry reports the estimated bytes at the cap the job ACTUALLY
+    // runs with: when even the first stratum blows the budget the greedy
+    // accumulated 0, but the job still runs at the floor — recompute the
+    // estimate over all strata with df <= derived so over-budget floors
+    // report their true (over-budget) cost.
+    val estAtCap = hist.iterator.takeWhile(_._1 <= derived).map {
+      case (df, nsh) =>
+        nsh.toDouble * (df.toDouble * (df - 1).toDouble / 2.0) * bytesPerPair
+    }.sum
     lastByteCap = Some((op, derived,
-      math.min(cum, Long.MaxValue.toDouble).toLong, budgetBytes))
+      math.min(estAtCap, Long.MaxValue.toDouble).toLong, budgetBytes))
     derived
   }
 

@@ -1,0 +1,344 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+
+/** Persisted lexical (BM25) index — the postings-on-disk form of
+  * [[Search.textBm25]], making retrieval O(query terms) instead of
+  * O(corpus): the tokenize/tf/dl work happens ONCE at build time, lands
+  * as a term-hash-bucketed parquet postings table behind the
+  * [[graft.util.IndexMaint]] generation/lease protocol (the same
+  * durable-commit story as the vector indexes), and a query reads only
+  * the buckets its terms hash into — at 100 TB the postings scan is
+  * partition pruning on `tb` plus a pushed `term` filter, proportional
+  * to the queried terms' posting lists, never the corpus.
+  *
+  * Layout per generation:
+  * {{{
+  * gen-N/seg=base/tb=…/…parquet   (term, doc_id, tf, dl) postings
+  * gen-N/seg=base/_lex_stats.txt  n_docs,sum_dl of the segment's docs
+  * gen-N/seg=b<hash>/…            one committed append batch (+ stats)
+  * }}}
+  * Corpus constants (n_docs, Σdl) ride per-SEGMENT stats sidecars summed
+  * at read, so an idempotent append updates them with the same atomic
+  * segment rename that lands its postings — no second commit to tear.
+  * Term df is NOT persisted: it is the posting-list length, recomputed
+  * exactly from the fetched postings (bounded by the query's lists), so
+  * appends never have to rewrite global df rows.
+  *
+  * Scoring is [[Search.topK]] verbatim (same rational idf, same sorted
+  * fold), which is the whole claim of the registered
+  * `search_bm25_persisted` row: persisted ≡ in-memory, proven by hash
+  * equality against the SAME DuckDB twin as `text_bm25`.
+  */
+object LexIndex {
+
+  /** Term-hash partition fanout. 64 buckets keeps per-bucket file sizes
+    * scan-efficient at 100 TB while a 3-term query touches ≤ 3
+    * partitions; the dial trades partition-prune selectivity against
+    * small-file pressure.
+    */
+  val NBuckets = 64
+
+  final case class LexStats(nDocs: Long, sumDl: Long)
+
+  private val StatsFile = "_lex_stats.txt"
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+
+  /** One tokenize scan → (tb, term, doc_id, tf, dl) postings. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(NBuckets.toLong)))
+
+  private def statsOf(docs: DataFrame): LexStats = {
+    val r = tokenized(docs)
+      .agg(count(lit(1)).as("n"), sum(size(col("t")).cast("long")).as("s")).head()
+    LexStats(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def writeStats(segDir: String, s: LexStats): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(segDir, StatsFile),
+      s"${s.nDocs},${s.sumDl}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Corpus constants of the live generation: the per-segment sidecars
+    * summed — bounded metadata (one file per committed batch, collapsed
+    * by compaction/rebuild like every segment).
+    */
+  def readStats(path: String): LexStats = {
+    val live = java.nio.file.Paths.get(graft.util.IndexMaint.liveGen(path))
+    val walk = java.nio.file.Files.walk(live, 2)
+    try {
+      import scala.jdk.CollectionConverters._
+      val parts = walk.iterator().asScala
+        .filter(_.getFileName.toString == StatsFile)
+        .map { p =>
+          val Array(n, s) = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+          (n.toLong, s.toLong)
+        }.toSeq
+      LexStats(parts.map(_._1).sum, parts.map(_._2).sum)
+    } finally walk.close()
+  }
+
+  /** Build the persisted postings for a `(doc_id, text)` corpus: ONE
+    * tokenize scan, bucketed write, stats sidecar, atomic generation
+    * commit. The production pipeline calls this once per corpus release.
+    */
+  def buildIndex(docs: DataFrame, path: String): String =
+    graft.util.IndexMaint.withMutation(path, op = "build") {
+      val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+      val stage = graft.util.IndexMaint.newStageDir(path, "build")
+      postingsOf(pinned)
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
+      writeStats(s"$stage/seg=base", statsOf(pinned))
+      graft.util.IndexMaint.commitGeneration(path, stage)
+    }
+
+  /** Token-guarded O(Δ) postings append (the
+    * [[Ivf.appendBatchIdempotent]] contract): the batch's postings AND
+    * its stats sidecar land with the token in ONE atomic segment
+    * rename, so a replay can neither double-count postings nor
+    * double-count n_docs/Σdl. Appended doc_ids are assumed disjoint
+    * from the indexed corpus (the vector-index append contract).
+    */
+  def appendDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(path, op = s"append:$token") {
+      val gen = graft.util.IndexMaint.liveGen(path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+        val stage = graft.util.IndexMaint.newStageDir(path, "append")
+        postingsOf(pinned)
+          .repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(stage)
+        writeStats(stage, statsOf(pinned))
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
+  /** The live postings relation (partition columns `seg`, `tb`). */
+  def indexData(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(graft.util.IndexMaint.liveGen(path))
+
+  /** BM25 top-k over the PERSISTED postings — the serving path: the
+    * query's terms resolve to ≤ |terms| `tb` buckets (static partition
+    * pruning) with the `term` equality pushed into the scan, df is the
+    * fetched posting-list length, the corpus constants come from the
+    * stats sidecars, and scoring is [[Search.topK]] verbatim. Work is
+    * proportional to the queried terms' posting lists — the index
+    * never pays a corpus scan at query time.
+    */
+  /** The `tb` buckets a term list hashes into — derived with the SAME
+    * Spark hash expression the writer used (a driver-side
+    * reimplementation of xxhash64 could drift); ≤ |terms| longs.
+    */
+  def bucketsOf(spark: SparkSession, terms: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(NBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  def bm25TopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = qs.map(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val stats = readStats(path)
+    val posts = indexData(spark, path)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint() // one postings fetch feeds df AND the score join
+    val df = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val shaped = posts
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qs.toDF("query_id", "term")), Seq("term"))
+      .withColumn("n_docs", lit(stats.nDocs))
+      .withColumn("sum_dl", lit(stats.sumDl))
+    Search.topK(shaped, Search.rationalIdf, k)
+  }
+
+  // ---- session memo (rebuild-per-invocation harness contract) ---------------
+
+  private val builtMemo =
+    new scala.collection.concurrent.TrieMap[(String, Long), Unit]()
+
+  /** [[buildIndex]] memoized per (path, source fingerprint) — the
+    * [[Ivf.buildIndexCached]] pattern: deterministic build, one
+    * derivation per session, fingerprint invalidation on rewrite.
+    */
+  def buildIndexCached(docs: DataFrame, srcDir: String, path: String): String = {
+    val key = (path, graft.util.Fs.dirFingerprint(srcDir))
+    if (!builtMemo.contains(key)) {
+      graft.util.IndexMaint.lockFor(path).synchronized {
+        if (!builtMemo.contains(key)) {
+          buildIndex(docs, path)
+          builtMemo.filterInPlace { case ((p, _), _) => p != path }
+          builtMemo.put(key, ())
+        }
+      }
+    }
+    path
+  }
+
+  /** Registered `search_bm25_persisted`: build the postings once, serve
+    * the fixture queries from them. The oracle is `text_bm25`'s twin
+    * VERBATIM — hash equality IS the persisted ≡ in-memory claim.
+    */
+  def bm25Persisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    bm25TopK(spark, path, Search.fixtureQueries, 5)
+  }
+
+  /** Registered `search_hybrid_rrf`: hybrid retrieval over the two
+    * persisted indexes' access patterns — stage 1 ranks lexically from
+    * the postings ([[bm25TopK]]), stage 2 ranks semantically by
+    * pseudo-relevance feedback (the classic PRF shape: the query vector
+    * is the mean embedding of the top-3 embedded lexical hits, scored
+    * against the embedding corpus), and the two rankings fuse by
+    * reciprocal-rank fusion ([[Similarity.rrfFusion]]'s formula). This
+    * is the standard RAG serving composition (BM25 ∥ vectors → RRF)
+    * with every stage exact-replayable: rank-ordered folds for the
+    * centroid, the established left-to-right dot/norm folds for the
+    * scores, 1/(60+r) for the fusion.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    val lex = bm25TopK(spark, path, Search.fixtureQueries, 10)
+      .localCheckpoint() // feeds PRF, the fusion's r1 side — one derivation
+    val emb = Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // PRF centroid: the top-3 lexical hits THAT HAVE embeddings, mean'd
+    // coordinate-wise with a rank-ordered fold (cross-engine-exact)
+    val lexEmb = lex.join(emb, lex("doc_id") === emb("vec_id"))
+      .select(col("query_id"), col("rnk"), col("embedding"))
+      .withColumn("erank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("rnk"))))
+      .filter(col("erank") <= 3)
+    val centroid = lexEmb
+      .select(col("query_id"), col("erank"), posexplode(col("embedding")))
+      .groupBy(col("query_id"), col("pos"))
+      .agg((aggregate(
+        array_sort(collect_list(struct(col("erank"), col("col").cast("double").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1))).as("mval"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pv"))
+      .select(col("query_id"), expr("transform(pv, x -> x.mval)").as("qvec"))
+    // semantic ranking: dot(centroid, candidate)/|candidate| — the same
+    // ordering as cosine (|centroid| is constant per query), with both
+    // folds left-to-right so scores replay bit-identically
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val sem = emb.crossJoin(broadcast(centroid))
+      .withColumn("score",
+        expr("""aggregate(zip_with(qvec, embedding, (x, y) -> x * CAST(y AS DOUBLE)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          / Similarity.l2norm(col("embedding")))
+      .withColumn("r2", row_number().over(w2).cast("long"))
+      .filter(col("r2") <= 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r2"))
+    // reciprocal-rank fusion of the two lists (Cormack et al. 2009)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    lex.select(col("query_id"), col("doc_id"), col("rnk").as("r1"))
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r2")), lit(0.0))).as("score"))
+      .withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Twin of [[hybridRrf]]: `text_bm25`'s twin as the lexical CTE, the
+    * PRF centroid as rank-ordered folds, the semantic scores as the
+    * established dot/norm folds, RRF composed exactly.
+    */
+  val hybridRrfSql: String = {
+    val vals = Search.fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val terms = Search.fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
+       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |         ((tf.tf * 2.25) /
+       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id,
+       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
+       |       FROM st GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, score,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY score DESC, doc_id) AS rnk
+       |        FROM sc QUALIFY rnk <= 10),
+       |en AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |       FROM embeddings),
+       |lexemb AS (
+       |  SELECT l.query_id, en.vec,
+       |         row_number() OVER (PARTITION BY l.query_id ORDER BY l.rnk) AS erank
+       |  FROM lex l JOIN en ON en.vec_id = l.doc_id),
+       |top3 AS (SELECT query_id, vec, erank FROM lexemb WHERE erank <= 3),
+       |cpos AS (
+       |  SELECT query_id, i AS pos,
+       |         list_sum(list(vec[i] ORDER BY erank)) / count(*) AS mval
+       |  FROM top3, LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i)
+       |  GROUP BY query_id, i),
+       |cent AS (SELECT query_id, list(mval ORDER BY pos) AS qvec
+       |         FROM cpos GROUP BY query_id),
+       |sem AS (
+       |  SELECT query_id, vec_id AS doc_id, r2 FROM (
+       |    SELECT c.query_id, en.vec_id,
+       |           row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * vec[i]))
+       |               / sqrt(list_sum(list_transform(vec, x -> x * x)))
+       |             DESC, en.vec_id) AS r2
+       |    FROM cent c CROSS JOIN en) WHERE r2 <= 10),
+       |fused AS (
+       |  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+       |         COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |         COALESCE(1.0 / (60 + lex.rnk), 0) + COALESCE(1.0 / (60 + sem.r2), 0) AS score
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+       |rk AS (SELECT query_id, doc_id, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, doc_id) AS rnk
+       |       FROM fused)
+       |SELECT query_id, rnk, doc_id, score FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25_persisted" -> (bm25Persisted _),
+    "search_hybrid_rrf" -> (hybridRrf _))
+
+  val oracles: Map[String, String] = Map(
+    // the persisted index must reproduce the in-memory ranking EXACTLY:
+    // same twin as text_bm25, different engine path
+    "search_bm25_persisted" -> Search.textBm25Sql,
+    "search_hybrid_rrf" -> hybridRrfSql)
+}

@@ -622,19 +622,29 @@ object Pq {
       }
   }
 
-  /** (vec_id, embedding, c0 … c(m-1), d0 … d(m-1)) — codes AND their
-    * quantization errors from ONE NearestCentroidSq per subspace.
+  /** (vec_id, embedding, …metadata, c0 … c(m-1), d0 … d(m-1)) — codes
+    * AND their quantization errors from ONE NearestCentroidSq per
+    * subspace. Extra input columns pass through: the metadata a
+    * filtered ADC screen predicates on lives next to the codes.
     */
   private def encodeWithD2(emb: DataFrame, cbs: Seq[Seq[Array[Double]]]): DataFrame = {
     val m = cbs.size
     val subDim = cbs.head.head.length
+    val extras = emb.columns.toIndexedSeq
+      .filter(c => c != "vec_id" && c != "embedding").map(col)
     val cols = (0 until m).flatMap { s =>
       val nc = ArrayExprs.nearestCentroidSq(
         slice(col("embedding"), s * subDim + 1, subDim), cbs(s))
       Seq(nc.getField("cid").as(s"c$s"), nc.getField("dist2").as(s"d$s"))
     }
-    emb.select(col("vec_id") +: col("embedding") +: cols: _*)
+    emb.select(col("vec_id") +: col("embedding") +: (extras ++ cols): _*)
   }
+
+  /** Drop the d0 … d(m-1) error columns after the fit-stat aggregate —
+    * what a generation's data files store (everything else rides).
+    */
+  private def dropD2(encoded: DataFrame, m: Int): DataFrame =
+    encoded.drop((0 until m).map(s => s"d$s"): _*)
 
   private def subStatsOf(encoded: DataFrame, m: Int): Seq[SubStats] = {
     val aggs = (0 until m).flatMap(s =>
@@ -647,10 +657,14 @@ object Pq {
   /** The index's live data as a DataFrame — the [[Ivf.indexData]]
     * reader contract: the resolved generation survives one subsequent
     * rebalance (the commit keeps the predecessor), so in-flight queries
-    * never observe a half-swapped directory.
+    * never observe a half-swapped directory. Tombstoned ids are
+    * subtracted here, so every ADC/residual screen honors deletes
+    * through the one shared read.
     */
-  def indexData(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(graft.util.IndexMaint.liveGen(path))
+  def indexData(spark: SparkSession, path: String): DataFrame = {
+    val gen = graft.util.IndexMaint.liveGen(path)
+    graft.util.IndexMaint.minusTombstones(spark.read.parquet(gen), gen)
+  }
 
   /** Build the persisted index: train sub-codebooks, encode in one
     * scan, stage codes + raw vectors + the codebook and encode-time
@@ -660,22 +674,16 @@ object Pq {
     */
   def buildIndex(base: DataFrame, path: String, m: Int, kSub: Int,
       iters: Int): PqIndex =
-    graft.util.IndexMaint.lockFor(path).synchronized {
-      graft.util.IndexMaint.withLease(path, op = "build") {
-        graft.util.IndexMaint.reapStages(path)
-        val cbs = trainCodebooks(base, m, kSub, iters)
-        val encoded = encodeWithD2(
-          base.select(col("vec_id"), col("embedding")), cbs).localCheckpoint()
-        val dataCols = col("vec_id") +: col("embedding") +:
-          (0 until m).map(s => col(s"c$s"))
-        val stage = graft.util.IndexMaint.newStageDir(path, "build")
-        encoded.select(dataCols: _*)
-          .write.mode("overwrite").parquet(s"$stage/seg=base")
-        writeCodebooks(stage, cbs)
-        writeSubStats(stage, subStatsOf(encoded, m))
-        graft.util.IndexMaint.commitGeneration(path, stage)
-        PqIndex(path, cbs)
-      }
+    graft.util.IndexMaint.withMutation(path, op = "build") {
+      val cbs = trainCodebooks(base, m, kSub, iters)
+      val encoded = encodeWithD2(base, cbs).localCheckpoint()
+      val stage = graft.util.IndexMaint.newStageDir(path, "build")
+      dropD2(encoded, m)
+        .write.mode("overwrite").parquet(s"$stage/seg=base")
+      writeCodebooks(stage, cbs)
+      writeSubStats(stage, subStatsOf(encoded, m))
+      graft.util.IndexMaint.commitGeneration(path, stage)
+      PqIndex(path, cbs)
     }
 
   /** [[buildIndex]] memoized per (path, source fingerprint, shape) for
@@ -687,31 +695,19 @@ object Pq {
   def buildIndexCached(base: DataFrame, srcDir: String, path: String,
       m: Int, kSub: Int, iters: Int): PqIndex = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir), m, kSub, iters)
-    cacheGet(key).getOrElse {
+    pqIndexCache.get(key).getOrElse {
       graft.util.IndexMaint.lockFor(path).synchronized {
-        cacheGet(key).getOrElse {
+        pqIndexCache.get(key).getOrElse {
           val built = buildIndex(base, path, m, kSub, iters)
-          pqIndexCache.synchronized {
-            pqIndexCache.keySet.removeIf(k => k._1 == path && k != key)
-            pqIndexCache.put(key, built)
-          }
+          pqIndexCache.putReplacing(key, built)(k => k._1 == path && k != key)
           built
         }
       }
     }
   }
 
-  private def cacheGet(key: (String, Long, Int, Int, Int)): Option[PqIndex] =
-    pqIndexCache.synchronized(Option(pqIndexCache.get(key)))
-
-  private val PqIndexCacheMax = 8
   private val pqIndexCache =
-    new java.util.LinkedHashMap[(String, Long, Int, Int, Int), PqIndex](
-        PqIndexCacheMax, 0.75f, true) {
-      override protected def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Int, Int, Int), PqIndex]): Boolean =
-        size() > PqIndexCacheMax
-    }
+    new graft.util.BoundedCache[(String, Long, Int, Int, Int), PqIndex](8)
 
   /** Reopen an index. No recovery dance ([[Ivf.loadIndex]] contract):
     * generation commits are atomic pointer flips, so the live
@@ -722,30 +718,23 @@ object Pq {
       PqIndex(path, readCodebooks(graft.util.IndexMaint.liveGen(path)))
     }
 
-  private def encodeBatchCols(index: PqIndex, batch: DataFrame): DataFrame = {
-    val m = index.codebooks.size
-    val dataCols = col("vec_id") +: col("embedding") +:
-      (0 until m).map(s => col(s"c$s"))
-    encodeWithD2(batch.select(col("vec_id"), col("embedding")), index.codebooks)
-      .select(dataCols: _*)
-  }
+  private def encodeBatchCols(index: PqIndex, batch: DataFrame): DataFrame =
+    dropD2(encodeWithD2(batch, index.codebooks), index.codebooks.size)
 
   /** Encode a new batch against the FROZEN codebooks and commit it as
     * an anonymous segment — O(Δ). This is the path that erodes fit
     * under shift. Replayable callers use [[appendBatchIdempotent]].
     */
   def appendBatch(index: PqIndex, batch: DataFrame): Unit =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.withLease(index.path, op = "append") {
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        // encode against the LIVE generation's codebooks, not the
-        // handle's: a rebalance may have committed since the caller
-        // loaded it, and codes must match the codebooks they live with
-        val live = PqIndex(index.path, readCodebooks(gen))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-        encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
-        graft.util.IndexMaint.commitSegmentAnon(gen, stage)
-      }
+    graft.util.IndexMaint.withMutation(index.path, op = "append") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      // encode against the LIVE generation's codebooks, not the
+      // handle's: a rebalance may have committed since the caller
+      // loaded it, and codes must match the codebooks they live with
+      val live = PqIndex(index.path, readCodebooks(gen))
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+      encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
+      graft.util.IndexMaint.commitSegmentAnon(gen, stage)
     }
 
   /** Compact the live generation's accrued append segments into one
@@ -759,47 +748,51 @@ object Pq {
     */
   def compactIndex(spark: SparkSession, index: PqIndex,
       numFiles: Int = 1): PqIndex =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.withLease(index.path, op = "compact") {
-        graft.util.IndexMaint.reapStages(index.path)
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        val cbs = readCodebooks(gen)
-        val m = cbs.size
-        val dataCols = col("vec_id") +: col("embedding") +:
-          (0 until m).map(s => col(s"c$s"))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
-        spark.read.parquet(gen).select(dataCols: _*)
-          .repartition(numFiles)
-          .write.mode("overwrite").parquet(s"$stage/seg=base")
-        writeCodebooks(stage, cbs)
-        // codes are unchanged, so the encode-time fit baseline is
-        // carried — compaction must not reset the drift reference
-        writeSubStats(stage, readSubStats(gen))
-        graft.util.IndexMaint.writeConsolidatedTokens(stage,
-          graft.util.IndexMaint.appliedTokens(gen))
-        graft.util.IndexMaint.commitGeneration(index.path, stage)
-        pqIndexCache.synchronized {
-          pqIndexCache.keySet.removeIf(_._1 == index.path); ()
-        }
-        PqIndex(index.path, cbs)
-      }
+    graft.util.IndexMaint.withMutation(index.path, op = "compact") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      val cbs = readCodebooks(gen)
+      val m = cbs.size
+      val hadDeletes = graft.util.IndexMaint.readTombstones(gen).nonEmpty
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
+      // indexData subtracts tombstones: compaction is the physical
+      // reclamation point, and the new generation carries no sidecar
+      indexData(spark, index.path).drop("seg")
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(s"$stage/seg=base")
+      writeCodebooks(stage, cbs)
+      // codes are unchanged, so the encode-time fit baseline is carried
+      // — compaction must not reset the drift reference. Deletion is
+      // the exception: the old baseline weights subspaces by dropped
+      // rows, so it is recomputed over the survivors' stored codes.
+      if (hadDeletes)
+        writeSubStats(stage,
+          subStatsOf(withStoredCodeD2(indexData(spark, index.path), cbs), m))
+      else writeSubStats(stage, readSubStats(gen))
+      graft.util.IndexMaint.writeConsolidatedTokens(stage,
+        graft.util.IndexMaint.appliedTokens(gen))
+      graft.util.IndexMaint.commitGeneration(index.path, stage)
+      pqIndexCache.evict(_._1 == index.path)
+      PqIndex(index.path, cbs)
     }
 
   /** Current per-subspace fit vs the build-time sidecar: one index scan
     * into an m-row aggregate. Codes are frozen-nearest, so recomputing
     * NearestCentroidSq's dist2 IS the assigned entry's error.
     */
-  def pqDriftStats(spark: SparkSession, index: PqIndex): PqDriftReport = {
-    driftScans.incrementAndGet()
-    val m = index.codebooks.size
-    val subDim = index.codebooks.head.head.length
-    // Codes are frozen-nearest, so the ASSIGNED entry's distance IS the
-    // fit stat — resolve it from the stored c0..c(m-1) via the
-    // plan-riding codebook literal instead of re-running the kSub-way
-    // argmin: O(N·dim) per check, kSub× cheaper on the amortized
-    // maintenance path, identical values (PqSpec pins build == now on a
-    // fresh index to the last bit).
-    val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
+  /** Recompute each stored vector's quantization error from its stored
+    * codes — codes are frozen-nearest, so the ASSIGNED entry's distance
+    * IS the fit stat: resolve it from c0..c(m-1) via the plan-riding
+    * codebook literal instead of re-running the kSub-way argmin —
+    * O(N·dim) per check, kSub× cheaper on the amortized maintenance
+    * path, identical values (PqSpec pins build == now on a fresh index
+    * to the last bit). Shared by [[pqDriftStats]] and the post-delete
+    * baseline recompute at [[compactIndex]].
+    */
+  private def withStoredCodeD2(data: DataFrame,
+      cbs: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = cbs.size
+    val subDim = cbs.head.head.length
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq)))
     val dCols = (0 until m).map { s =>
       val entry = element_at(element_at(cbLit, s + 1), col(s"c$s") + 1)
       aggregate(
@@ -808,11 +801,17 @@ object Pq {
           entry, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v).as(s"d$s")
     }
+    data.select((col("vec_id") +: dCols): _*)
+  }
+
+  def pqDriftStats(spark: SparkSession, index: PqIndex): PqDriftReport = {
+    driftScans.incrementAndGet()
     val gen = graft.util.IndexMaint.liveGen(index.path)
-    val withD2 = spark.read.parquet(gen)
-      .select((col("vec_id") +: dCols): _*)
+    // live contents only (indexData subtracts tombstones): deleted rows
+    // are no longer served, so they must not count toward fit either
     PqDriftReport(build = readSubStats(gen),
-      now = subStatsOf(withD2, m))
+      now = subStatsOf(withStoredCodeD2(indexData(spark, index.path),
+        index.codebooks), index.codebooks.size))
   }
 
   /** Retrain the sub-codebooks from a bounded sample of the index's
@@ -823,30 +822,26 @@ object Pq {
     * Same per-path monitor + cross-process lease as the build.
     */
   def rebalance(spark: SparkSession, index: PqIndex, iters: Int = 2): PqIndex =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.withLease(index.path, op = "rebalance") {
-        graft.util.IndexMaint.reapStages(index.path)
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        val data = spark.read.parquet(gen).select("vec_id", "embedding")
-        val m = index.codebooks.size
-        val kSub = index.codebooks.head.size
-        val cbs = trainCodebooks(data, m, kSub, iters)
-        val encoded = encodeWithD2(data, cbs).localCheckpoint()
-        val dataCols = col("vec_id") +: col("embedding") +:
-          (0 until m).map(s => col(s"c$s"))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
-        encoded.select(dataCols: _*)
-          .write.mode("overwrite").parquet(s"$stage/seg=base")
-        writeCodebooks(stage, cbs)
-        writeSubStats(stage, subStatsOf(encoded, m))
-        graft.util.IndexMaint.writeConsolidatedTokens(stage,
-          graft.util.IndexMaint.appliedTokens(gen))
-        graft.util.IndexMaint.commitGeneration(index.path, stage)
-        pqIndexCache.synchronized {
-          pqIndexCache.keySet.removeIf(_._1 == index.path); ()
-        }
-        PqIndex(index.path, cbs)
-      }
+    graft.util.IndexMaint.withMutation(index.path, op = "rebalance") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      val m = index.codebooks.size
+      val kSub = index.codebooks.head.size
+      // survivors only (tombstones reclaimed here too); metadata rides,
+      // stale codes dropped before the re-encode
+      val data = indexData(spark, index.path)
+        .drop("seg").drop((0 until m).map(s => s"c$s"): _*)
+      val cbs = trainCodebooks(data, m, kSub, iters)
+      val encoded = encodeWithD2(data, cbs).localCheckpoint()
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
+      dropD2(encoded, m)
+        .write.mode("overwrite").parquet(s"$stage/seg=base")
+      writeCodebooks(stage, cbs)
+      writeSubStats(stage, subStatsOf(encoded, m))
+      graft.util.IndexMaint.writeConsolidatedTokens(stage,
+        graft.util.IndexMaint.appliedTokens(gen))
+      graft.util.IndexMaint.commitGeneration(index.path, stage)
+      pqIndexCache.evict(_._1 == index.path)
+      PqIndex(index.path, cbs)
     }
 
   /** Fully DISTRIBUTED ADC screen of a `(vec_id, embedding)` delta
@@ -898,23 +893,32 @@ object Pq {
     * applied-but-unrecorded state exists. [[rebalance]] carries applied
     * tokens into the new generation.
     */
-  def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.requireValidToken(token)
-      graft.util.IndexMaint.withLease(index.path, op = s"append:$token") {
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-        else {
-          graft.util.IndexMaint.reapStages(index.path)
-          // live-generation codebooks (see appendBatch): stale handles
-          // must not commit codes from a superseded codebook
-          val live = PqIndex(index.path, readCodebooks(gen))
-          val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-          encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
-          graft.util.IndexMaint.commitSegment(gen, stage, token)
-          true
-        }
+  def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(index.path, op = s"append:$token") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        // live-generation codebooks (see appendBatch): stale handles
+        // must not commit codes from a superseded codebook
+        val live = PqIndex(index.path, readCodebooks(gen))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+        encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
       }
+    }
+  }
+
+  /** Delete ids from the index ([[Ivf.deleteIds]] contract): logical
+    * tombstone now — honored immediately by every ADC screen through
+    * [[indexData]] — physical reclamation at [[compactIndex]] /
+    * [[rebalance]]; a later append of the same id re-inserts it.
+    */
+  def deleteIds(index: PqIndex, ids: Seq[Long]): Int =
+    graft.util.IndexMaint.withMutation(index.path, op = "delete") {
+      graft.util.IndexMaint.addTombstones(
+        graft.util.IndexMaint.liveGen(index.path), ids)
     }
 
   /** [[pqDriftStats]] invocation counter — the amortization evidence
@@ -924,9 +928,13 @@ object Pq {
 
   /** ADC top-k of raw query vectors against the persisted codes —
     * the recall probe PqSpec and ScaleProbe measure drift with.
+    * `candFilter` (a predicate over the index's metadata columns)
+    * lands on the index scan BEFORE ranking — filtered search prunes
+    * bytes, never re-filters ranks.
     */
   def adcTopK(spark: SparkSession, index: PqIndex,
-      queryVecs: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+      queryVecs: Seq[(Long, Array[Double])], k: Int,
+      candFilter: Option[Column] = None): DataFrame = {
     val m = index.codebooks.size
     val kEff = index.codebooks.head.size
     val lutSchema = StructType(Seq(
@@ -941,7 +949,8 @@ object Pq {
       element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    indexData(spark, index.path).crossJoin(broadcast(lutDf))
+    val data = indexData(spark, index.path)
+    candFilter.map(data.filter).getOrElse(data).crossJoin(broadcast(lutDf))
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -957,8 +966,11 @@ object Pq {
     * from the index directory.
     */
   def rerankTopK(spark: SparkSession, index: PqIndex,
-      queryVecs: Seq[(Long, Array[Double])], k: Int, rr: Int): DataFrame = {
-    val screened = adcTopK(spark, index, queryVecs, rr)
+      queryVecs: Seq[(Long, Array[Double])], k: Int, rr: Int,
+      candFilter: Option[Column] = None): DataFrame = {
+    // the filter applies at the SCREEN (bytes pruned before ranking);
+    // the rerank fetch joins on screened ids, so it inherits the filter
+    val screened = adcTopK(spark, index, queryVecs, rr, candFilter)
       .select(col("query_id"), col("vec_id"))
     import spark.implicits._
     val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
@@ -1294,6 +1306,8 @@ object Pq {
       cbs: Seq[Seq[Array[Double]]]): DataFrame = {
     val m = cbs.size
     val subDim = cbs.head.head.length
+    val extras = emb.columns.toIndexedSeq
+      .filter(c => c != "vec_id" && c != "embedding").map(col)
     val centLit = typedLit(cents.map(_.toSeq))
     val assigned0 = emb
       .withColumn("cid", ArrayExprs.nearestCentroid(col("embedding"), cents))
@@ -1306,12 +1320,9 @@ object Pq {
         slice(col("resid"), s * subDim + 1, subDim), cbs(s))
       Seq(nc.getField("cid").as(s"c$s"), nc.getField("dist2").as(s"d$s"))
     }
-    assigned0.select(col("vec_id") +: col("embedding") +: col("cid") +: cols: _*)
+    assigned0.select(col("vec_id") +: col("embedding") +: col("cid") +:
+      (extras ++ cols): _*)
   }
-
-  private def residualDataCols(m: Int) =
-    col("vec_id") +: col("embedding") +: col("cid") +:
-      (0 until m).map(s => col(s"c$s"))
 
   /** Build the persisted residual index — the [[buildIndex]] protocol
     * with the coarse quantizer trained first and the sub-codebooks
@@ -1319,22 +1330,18 @@ object Pq {
     */
   def buildIndexResidual(base: DataFrame, path: String, kCells: Int,
       m: Int, kSub: Int, iters: Int): IvfPqIndex =
-    graft.util.IndexMaint.lockFor(path).synchronized {
-      graft.util.IndexMaint.withLease(path, op = "build") {
-        graft.util.IndexMaint.reapStages(path)
-        val emb = base.select(col("vec_id"), col("embedding"))
-        val cents = Ivf.kmeansCentroids(emb, kCells, iters)
-        val cbs = residualCodebooksFromSample(emb, cents, m, kSub, iters)
-        val encoded = residualEncodeWithD2(emb, cents, cbs).localCheckpoint()
-        val stage = graft.util.IndexMaint.newStageDir(path, "build")
-        encoded.select(residualDataCols(m): _*)
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
-        Ivf.writeCentroids(stage, cents)
-        writeCodebooks(stage, cbs)
-        writeSubStats(stage, subStatsOf(encoded, m))
-        graft.util.IndexMaint.commitGeneration(path, stage)
-        IvfPqIndex(path, cents, cbs)
-      }
+    graft.util.IndexMaint.withMutation(path, op = "build") {
+      val cents = Ivf.kmeansCentroids(base, kCells, iters)
+      val cbs = residualCodebooksFromSample(base, cents, m, kSub, iters)
+      val encoded = residualEncodeWithD2(base, cents, cbs).localCheckpoint()
+      val stage = graft.util.IndexMaint.newStageDir(path, "build")
+      dropD2(encoded, m)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+      Ivf.writeCentroids(stage, cents)
+      writeCodebooks(stage, cbs)
+      writeSubStats(stage, subStatsOf(encoded, m))
+      graft.util.IndexMaint.commitGeneration(path, stage)
+      IvfPqIndex(path, cents, cbs)
     }
 
   def loadIndexResidual(path: String): IvfPqIndex =
@@ -1353,25 +1360,28 @@ object Pq {
     * handle cannot commit codes from a superseded generation.
     */
   def appendBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
-      token: String): Boolean =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.requireValidToken(token)
-      graft.util.IndexMaint.withLease(index.path, op = s"append:$token") {
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-        else {
-          graft.util.IndexMaint.reapStages(index.path)
-          val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
-          val m = live.codebooks.size
-          val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-          residualEncodeWithD2(batch.select(col("vec_id"), col("embedding")),
-            live.centroids, live.codebooks)
-            .select(residualDataCols(m): _*)
-            .write.mode("overwrite").partitionBy("cid").parquet(stage)
-          graft.util.IndexMaint.commitSegment(gen, stage, token)
-          true
-        }
+      token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(index.path, op = s"append:$token") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
+        val m = live.codebooks.size
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
+        dropD2(residualEncodeWithD2(batch, live.centroids, live.codebooks), m)
+          .write.mode("overwrite").partitionBy("cid").parquet(stage)
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
       }
+    }
+  }
+
+  /** Delete ids from the residual index ([[Ivf.deleteIds]] contract). */
+  def deleteIdsResidual(index: IvfPqIndex, ids: Seq[Long]): Int =
+    graft.util.IndexMaint.withMutation(index.path, op = "delete") {
+      graft.util.IndexMaint.addTombstones(
+        graft.util.IndexMaint.liveGen(index.path), ids)
     }
 
   /** Residual-fit drift: recompute each stored vector's residual
@@ -1381,13 +1391,15 @@ object Pq {
     * [[pqDriftStats]]: shifted appends push residuals away from every
     * codebook entry and meanD2 grows before recall visibly dies.
     */
-  def ivfPqDriftStats(spark: SparkSession, index: IvfPqIndex): PqDriftReport = {
-    driftScans.incrementAndGet()
-    val m = index.codebooks.size
-    val subDim = index.codebooks.head.head.length
-    val gen = graft.util.IndexMaint.liveGen(index.path)
-    val centLit = typedLit(index.centroids.map(_.toSeq))
-    val cbLit = typedLit(index.codebooks.map(_.map(_.toSeq)))
+  /** [[withStoredCodeD2]] on the residual layout: the stored (cid,
+    * c0..c(m-1)) resolve the residual and its assigned entries in-plan.
+    */
+  private def withStoredCodeD2Residual(data: DataFrame,
+      cents: Seq[Array[Float]], cbs: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = cbs.size
+    val subDim = cbs.head.head.length
+    val centLit = typedLit(cents.map(_.toSeq))
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq)))
     val resid = zip_with(col("embedding"), element_at(centLit, col("cid") + 1),
       (x, cc) => x.cast("double") - cc.cast("double"))
     val dCols = (0 until m).map { s =>
@@ -1397,8 +1409,16 @@ object Pq {
           (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v).as(s"d$s")
     }
-    val withD2 = spark.read.parquet(gen).select((col("vec_id") +: dCols): _*)
-    PqDriftReport(build = readSubStats(gen), now = subStatsOf(withD2, m))
+    data.select((col("vec_id") +: dCols): _*)
+  }
+
+  def ivfPqDriftStats(spark: SparkSession, index: IvfPqIndex): PqDriftReport = {
+    driftScans.incrementAndGet()
+    val gen = graft.util.IndexMaint.liveGen(index.path)
+    // live contents only: indexData subtracts tombstones
+    PqDriftReport(build = readSubStats(gen),
+      now = subStatsOf(withStoredCodeD2Residual(indexData(spark, index.path),
+        index.centroids, index.codebooks), index.codebooks.size))
   }
 
   /** The COMPOSED repair: coarse retrain from a bounded sample of
@@ -1408,30 +1428,28 @@ object Pq {
     */
   def rebalanceResidual(spark: SparkSession, index: IvfPqIndex,
       iters: Int = 2): IvfPqIndex =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.withLease(index.path, op = "rebalance") {
-        graft.util.IndexMaint.reapStages(index.path)
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        val data = spark.read.parquet(gen).select("vec_id", "embedding")
-        val m = index.codebooks.size
-        val kSub = index.codebooks.head.size
-        val cents = Ivf.kmeansCentroids(data, index.centroids.size, iters)
-        val cbs = residualCodebooksFromSample(data, cents, m, kSub, iters)
-        val encoded = residualEncodeWithD2(data, cents, cbs).localCheckpoint()
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
-        encoded.select(residualDataCols(m): _*)
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
-        Ivf.writeCentroids(stage, cents)
-        writeCodebooks(stage, cbs)
-        writeSubStats(stage, subStatsOf(encoded, m))
-        graft.util.IndexMaint.writeConsolidatedTokens(stage,
-          graft.util.IndexMaint.appliedTokens(gen))
-        graft.util.IndexMaint.commitGeneration(index.path, stage)
-        ivfPqIndexCache.synchronized {
-          ivfPqIndexCache.keySet.removeIf(_._1 == index.path); ()
-        }
-        IvfPqIndex(index.path, cents, cbs)
-      }
+    graft.util.IndexMaint.withMutation(index.path, op = "rebalance") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      val m = index.codebooks.size
+      val kSub = index.codebooks.head.size
+      // survivors only (tombstones reclaimed); metadata rides, stale
+      // cell/code columns dropped before the composed re-encode
+      val data = indexData(spark, index.path)
+        .drop("seg", "cid").drop((0 until m).map(s => s"c$s"): _*)
+      val cents = Ivf.kmeansCentroids(data, index.centroids.size, iters)
+      val cbs = residualCodebooksFromSample(data, cents, m, kSub, iters)
+      val encoded = residualEncodeWithD2(data, cents, cbs).localCheckpoint()
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "rebalance")
+      dropD2(encoded, m)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+      Ivf.writeCentroids(stage, cents)
+      writeCodebooks(stage, cbs)
+      writeSubStats(stage, subStatsOf(encoded, m))
+      graft.util.IndexMaint.writeConsolidatedTokens(stage,
+        graft.util.IndexMaint.appliedTokens(gen))
+      graft.util.IndexMaint.commitGeneration(index.path, stage)
+      ivfPqIndexCache.evict(_._1 == index.path)
+      IvfPqIndex(index.path, cents, cbs)
     }
 
   /** Probed-cell ADC screen of raw query vectors against the persisted
@@ -1442,7 +1460,8 @@ object Pq {
     * lookups summed — both dials, one plan.
     */
   def screenTopKResidual(spark: SparkSession, index: IvfPqIndex,
-      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int): DataFrame = {
+      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      candFilter: Option[Column] = None): DataFrame = {
     val m = index.codebooks.size
     val kSub = index.codebooks.head.size
     val dim = index.centroids.head.length
@@ -1473,11 +1492,45 @@ object Pq {
       element_at(col("lut"), col(s"c$s") + lit(s * kSub + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    indexData(spark, index.path)
+    val pruned = indexData(spark, index.path)
       .filter(col("cid").isin(probedCids: _*))
+    // metadata predicate UNDER the cid partition filter: filter ×
+    // partition prune × byte prune, all three dials in one plan
+    candFilter.map(pruned.filter).getOrElse(pruned)
       .join(broadcast(probeDf), Seq("cid"))
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
+  /** [[rerankTopK]] on the PERSISTED RESIDUAL index — FAISS's
+    * `IndexRefineFlat`-over-IVFPQ, the production serving default: the
+    * probed-cell residual ADC screen ranks ~nprobe/kCells of the codes
+    * at m bytes/vector, the top-`rr` survivors per query are fetched
+    * from the index's own stored embeddings (broadcast candidate join —
+    * never a second corpus pass) and exact-L2 reranked to top-k. Where
+    * pure residual ADC tie-collapses quantized near-neighbors, the
+    * rerank restores exact order for a per-query constant. Composes
+    * with `candFilter`: the filter prunes the screen's bytes, and the
+    * rerank inherits it through the screened-id join.
+    */
+  def rerankTopKResidual(spark: SparkSession, index: IvfPqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int, rr: Int, nprobe: Int,
+      candFilter: Option[Column] = None): DataFrame = {
+    val screened = screenTopKResidual(spark, index, queryVecs, rr, nprobe, candFilter)
+      .select(col("query_id"), col("vec_id"))
+    import spark.implicits._
+    val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
+    val exact = indexData(spark, index.path)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(screened), Seq("vec_id"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(embedding, qvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
   }
@@ -1550,28 +1603,29 @@ object Pq {
     * rebalances.
     */
   def compactIndexResidual(spark: SparkSession, index: IvfPqIndex): IvfPqIndex =
-    graft.util.IndexMaint.lockFor(index.path).synchronized {
-      graft.util.IndexMaint.withLease(index.path, op = "compact") {
-        graft.util.IndexMaint.reapStages(index.path)
-        val gen = graft.util.IndexMaint.liveGen(index.path)
-        val cents = Ivf.readCentroids(gen)
-        val cbs = readCodebooks(gen)
-        val m = cbs.size
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
-        spark.read.parquet(gen).select(residualDataCols(m): _*)
-          .repartition(col("cid"))
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
-        Ivf.writeCentroids(stage, cents)
-        writeCodebooks(stage, cbs)
-        writeSubStats(stage, readSubStats(gen))
-        graft.util.IndexMaint.writeConsolidatedTokens(stage,
-          graft.util.IndexMaint.appliedTokens(gen))
-        graft.util.IndexMaint.commitGeneration(index.path, stage)
-        ivfPqIndexCache.synchronized {
-          ivfPqIndexCache.keySet.removeIf(_._1 == index.path); ()
-        }
-        IvfPqIndex(index.path, cents, cbs)
-      }
+    graft.util.IndexMaint.withMutation(index.path, op = "compact") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      val cents = Ivf.readCentroids(gen)
+      val cbs = readCodebooks(gen)
+      val hadDeletes = graft.util.IndexMaint.readTombstones(gen).nonEmpty
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
+      // physical reclamation: survivors only, no tombstone carry
+      indexData(spark, index.path).drop("seg")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+      Ivf.writeCentroids(stage, cents)
+      writeCodebooks(stage, cbs)
+      // fit baseline carried unless rows were dropped (the delete
+      // exception — recomputed over survivors' stored codes)
+      if (hadDeletes)
+        writeSubStats(stage, subStatsOf(withStoredCodeD2Residual(
+          indexData(spark, index.path), cents, cbs), cbs.size))
+      else writeSubStats(stage, readSubStats(gen))
+      graft.util.IndexMaint.writeConsolidatedTokens(stage,
+        graft.util.IndexMaint.appliedTokens(gen))
+      graft.util.IndexMaint.commitGeneration(index.path, stage)
+      ivfPqIndexCache.evict(_._1 == index.path)
+      IvfPqIndex(index.path, cents, cbs)
     }
 
   /** Measured ADC recall@k of the persisted residual screen against the
@@ -1606,30 +1660,19 @@ object Pq {
   def buildIndexResidualCached(base: DataFrame, srcDir: String, path: String,
       kCells: Int, m: Int, kSub: Int, iters: Int): IvfPqIndex = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, m, kSub, iters)
-    ivfPqCacheGet(key).getOrElse {
+    ivfPqIndexCache.get(key).getOrElse {
       graft.util.IndexMaint.lockFor(path).synchronized {
-        ivfPqCacheGet(key).getOrElse {
+        ivfPqIndexCache.get(key).getOrElse {
           val built = buildIndexResidual(base, path, kCells, m, kSub, iters)
-          ivfPqIndexCache.synchronized {
-            ivfPqIndexCache.keySet.removeIf(k => k._1 == path && k != key)
-            ivfPqIndexCache.put(key, built)
-          }
+          ivfPqIndexCache.putReplacing(key, built)(k => k._1 == path && k != key)
           built
         }
       }
     }
   }
 
-  private def ivfPqCacheGet(key: (String, Long, Int, Int, Int, Int)): Option[IvfPqIndex] =
-    ivfPqIndexCache.synchronized(Option(ivfPqIndexCache.get(key)))
-
   private val ivfPqIndexCache =
-    new java.util.LinkedHashMap[(String, Long, Int, Int, Int, Int), IvfPqIndex](
-        PqIndexCacheMax, 0.75f, true) {
-      override protected def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Int, Int, Int, Int), IvfPqIndex]): Boolean =
-        size() > PqIndexCacheMax
-    }
+    new graft.util.BoundedCache[(String, Long, Int, Int, Int, Int), IvfPqIndex](8)
 
   /** Registered `sim_ivfpq_residual_incremental`: the persisted
     * residual index under the oracle — the base corpus
@@ -1657,6 +1700,64 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
       .toSeq
     screenTopKResidual(spark, index, queryVecs, k, nprobe)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Registered `sim_ivfpq_filtered`: FILTERED search on the persisted
+    * residual index — the full production vector-store query: metadata
+    * (`label`) rides the index files ([[buildIndexResidual]]
+    * pass-through), the predicate lands on the scan UNDER the probed-cid
+    * partition filter ([[screenTopKResidual]]'s `candFilter`), residual
+    * ADC prunes the bytes, and the probe list widens 4 → 8 for the
+    * ~10%-selective predicate. Filter × partition prune × ADC — all
+    * three dials in one durable plan (VERDICT r15's missing #2).
+    */
+  def ivfPqFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfPqFilteredAt(spark, dir, k = 5, kCells = 16, nprobe = 8,
+      m = 4, kSub = 16, label = 3)
+
+  def ivfPqFilteredAt(spark: SparkSession, dir: String, k: Int, kCells: Int,
+      nprobe: Int, m: Int, kSub: Int, label: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val index = buildIndexResidualCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivfpq_index_lbl", dir), kCells, m, kSub, iters = 0)
+    val queryVecs = emb
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq
+    screenTopKResidual(spark, index, queryVecs, k, nprobe,
+      candFilter = Some(col("label") === label))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Registered `sim_ivfpq_rerank`: [[rerankTopKResidual]] under the
+    * oracle — the persisted residual index screens the delta queries to
+    * top-rr by probed-cell ADC, then exact-L2 reranks the survivors
+    * from the stored embeddings. The twin computes TRUE distances for
+    * the rerank stage, so hash equality proves the exact arithmetic,
+    * not just the ordering.
+    */
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRerankAt(spark, dir, k = 5, rr = 40, kCells = 16, nprobe = 4,
+      m = 4, kSub = 16)
+
+  def ivfPqRerankAt(spark: SparkSession, dir: String, k: Int, rr: Int,
+      kCells: Int, nprobe: Int, m: Int, kSub: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val index = buildIndexResidualCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivfpq_index", dir), kCells, m, kSub, iters = 0)
+    val queryVecs = emb
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq
+    rerankTopKResidual(spark, index, queryVecs, k, rr, nprobe)
       .orderBy("query_id", "rank")
   }
 
@@ -1746,11 +1847,199 @@ object Pq {
       |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Twin of [[ivfPqFiltered]]: [[ivfPqResidualIncrementalSql]] with
+    * the label carried through `assigned`, the widened prank ≤ 8 probe
+    * list, and the predicate on the candidate relation — the scan-side
+    * filter placement has no SQL shadow, which is exactly the claim.
+    */
+  val ivfPqFilteredSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, label AS lbl,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid, lbl FROM (
+      |    SELECT en.vec_id, c.cid, en.lbl,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |resid AS (
+      |  SELECT en.vec_id, a.cid,
+      |         list_transform(range(1, len(vec) + 1), i -> vec[i] - c.cvec[i]) AS rvec
+      |  FROM en JOIN assigned a ON a.vec_id = en.vec_id
+      |  JOIN cnorm c ON c.cid = a.cid),
+      |cb AS (
+      |  SELECT s.sr - 1 AS code, r.rvec AS cvec
+      |  FROM samp s JOIN resid r ON r.vec_id = s.vec_id
+      |  WHERE s.sr <= 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT r.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i])
+      |              * (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM resid r CROSS JOIN subs CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en
+      |  WHERE vec_id % 10 = 0 AND vec_id < 500),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 8),
+      |lut AS (
+      |  SELECT p.query_id, p.cid, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i])
+      |              * ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM probes p
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN cnorm cc ON cc.cid = p.cid
+      |  CROSS JOIN subs CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id, a.cid
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid
+      |  WHERE a.lbl = 3),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM cand cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.cid = cd.cid
+      |             AND l.s = c.s AND l.code = c.code
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of [[ivfPqRerank]]: [[ivfPqResidualIncrementalSql]]'s screen
+    * capped at rr = 40, then the exact double L2 on the survivors —
+    * the same left-to-right list_sum fold as the engine's zip_with
+    * aggregate, so the reranked distances hash bit-identically.
+    */
+  val ivfPqRerankSql: String =
+    """WITH ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |resid AS (
+      |  SELECT en.vec_id, a.cid,
+      |         list_transform(range(1, len(vec) + 1), i -> vec[i] - c.cvec[i]) AS rvec
+      |  FROM en JOIN assigned a ON a.vec_id = en.vec_id
+      |  JOIN cnorm c ON c.cid = a.cid),
+      |cb AS (
+      |  SELECT s.sr - 1 AS code, r.rvec AS cvec
+      |  FROM samp s JOIN resid r ON r.vec_id = s.vec_id
+      |  WHERE s.sr <= 16),
+      |subs AS (SELECT unnest(range(4)) AS s),
+      |subd AS (
+      |  SELECT r.vec_id, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i])
+      |              * (r.rvec[subs.s * 16 + i] - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM resid r CROSS JOIN subs CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |    FROM subd) WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM en
+      |  WHERE vec_id % 10 = 0 AND vec_id < 500),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * c.cvec[i])) / c.cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |lut AS (
+      |  SELECT p.query_id, p.cid, subs.s, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i])
+      |              * ((qvec[subs.s * 16 + i] - cc.cvec[subs.s * 16 + i]) - cb.cvec[subs.s * 16 + i]))) AS d2
+      |  FROM probes p
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN cnorm cc ON cc.cid = p.cid
+      |  CROSS JOIN subs CROSS JOIN cb),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id, a.cid
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid),
+      |scored AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |         list_sum(list(l.d2 ORDER BY l.s)) AS d2
+      |  FROM cand cd
+      |  JOIN codes c ON c.vec_id = cd.vec_id
+      |  JOIN lut l ON l.query_id = cd.query_id AND l.cid = cd.cid
+      |             AND l.s = c.s AND l.code = c.code
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |screened AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |    FROM scored) WHERE rank <= 40),
+      |rr AS (
+      |  SELECT s.query_id, s.vec_id,
+      |         list_sum(list_transform(range(1, len(en.vec) + 1),
+      |           i -> (en.vec[i] - q.qvec[i]) * (en.vec[i] - q.qvec[i]))) AS d2
+      |  FROM screened s
+      |  JOIN en ON en.vec_id = s.vec_id
+      |  JOIN queries q ON q.query_id = s.query_id),
+      |rranked AS (
+      |  SELECT query_id, vec_id, d2,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+      |  FROM rr)
+      |SELECT query_id, rank, vec_id, d2 FROM rranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (pqAdc _),
     "sim_ivfpq_ann" -> (ivfPqAnn _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_ivfpq_residual_incremental" -> (ivfPqResidualIncremental _),
+    "sim_ivfpq_filtered" -> (ivfPqFiltered _),
+    "sim_ivfpq_rerank" -> (ivfPqRerank _),
     "sim_pq_incremental" -> (pqIncremental _),
     "sim_pq_rerank" -> (pqRerank _))
 
@@ -1760,5 +2049,7 @@ object Pq {
     "sim_ivfpq_ann" -> ivfPqAnnSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_ivfpq_residual_incremental" -> ivfPqResidualIncrementalSql,
+    "sim_ivfpq_filtered" -> ivfPqFilteredSql,
+    "sim_ivfpq_rerank" -> ivfPqRerankSql,
     "sim_pq_incremental" -> pqIncrementalSql)
 }

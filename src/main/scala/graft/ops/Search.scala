@@ -90,7 +90,7 @@ object Search {
     * oracle, ln for [[bm25Log]]); top-k per query by decimal-summed
     * score, ties broken by doc_id.
     */
-  private def topK(stats: DataFrame, idf: org.apache.spark.sql.Column,
+  private[ops] def topK(stats: DataFrame, idf: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tfn = (col("tf") * (K1 + 1)) /
@@ -108,7 +108,7 @@ object Search {
       .orderBy("query_id", "rnk")
   }
 
-  private val rationalIdf =
+  private[ops] val rationalIdf =
     (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
 
   /** Oracle query: rational-idf BM25, top-5 per fixture query. */

@@ -1064,6 +1064,8 @@ object Similarity {
     "sim_ivf_filtered" -> (Ivf.ivfAnnFiltered _),
     "sim_ivf_incremental" -> (Ivf.ivfIncremental _),
     "sim_ivf_compacted" -> (Ivf.ivfCompacted _),
+    "sim_ivf_deleted" -> (Ivf.ivfDeleted _),
+    "sim_ivf_filtered_persisted" -> (Ivf.ivfFilteredPersisted _),
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
@@ -1082,5 +1084,7 @@ object Similarity {
     "sim_ivf_filtered" -> Ivf.ivfAnnFilteredSql,
     "sim_ivf_incremental" -> Ivf.ivfIncrementalSql,
     "sim_ivf_compacted" -> Ivf.ivfCompactedSql,
+    "sim_ivf_deleted" -> Ivf.ivfDeletedSql,
+    "sim_ivf_filtered_persisted" -> Ivf.ivfFilteredPersistedSql,
     "sim_embedding_neardup" -> embeddingNearDupSql)
 }

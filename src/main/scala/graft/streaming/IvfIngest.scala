@@ -75,12 +75,16 @@ object IvfIngest {
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val token = s"ingest:$id"
+        // ONE durable token read per batch: replay detection and both
+        // maintenance cadences share it (appliedTokens lists segment
+        // directories — reading it thrice per trigger tripled that IO).
+        val applied0 = Ivf.appliedTokens(index)
         // Replay detection FIRST: if the token is already applied, the
         // batch's vectors are inside the index — re-screening would let
         // every delta vector match ITSELF at rank 1 and overwrite the
         // original (correct) sink partition with self-polluted rows.
         // The original output is already on disk; skip everything.
-        if (Ivf.appliedTokens(index).contains(token)) {
+        if (applied0.contains(token)) {
           reports += BatchReport(id, -1L, -1L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,
             replayed = true)
@@ -93,8 +97,14 @@ object IvfIngest {
           // overwrite INTO the batch's own partition dir: replay-idempotent
           screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
           val fresh = Ivf.appendBatchIdempotent(index, pinned, token = token)
-          // durable cadence: count applied tokens in the index itself
-          val check = fresh && Ivf.appliedTokens(index).size % checkEvery == 0
+          // Durable cadence over THIS STREAM's tokens only (the
+          // `ingest:` prefix): batch appends or other producers landing
+          // tokens on the same index must not skip or double-fire the
+          // maintenance schedule. Restart-proof: the count lives in the
+          // index, not in memory.
+          val streamApplied = applied0.count(_.startsWith("ingest:")) +
+            (if (fresh) 1 else 0)
+          val check = fresh && streamApplied % checkEvery == 0
           val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Ivf.rebalance(spark, index)
@@ -103,8 +113,7 @@ object IvfIngest {
           // segments as one file set per cell, so per-cell file opens
           // stay bounded however long the stream runs. A rebalance
           // already re-lands everything — skip compaction on its batch.
-          else if (compactEvery > 0 &&
-              Ivf.appliedTokens(index).size % compactEvery == 0)
+          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Ivf.compactIndex(spark, index)
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanCosNow).getOrElse(Double.NaN),

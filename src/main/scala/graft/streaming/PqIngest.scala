@@ -45,12 +45,14 @@ object PqIngest {
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val token = s"ingest:$id"
+        // ONE durable token read per batch ([[IvfIngest]] contract).
+        val applied0 = Pq.appliedTokens(index)
         // Replay detection FIRST (the [[IvfIngest]] contract): once the
         // token is applied the batch is inside the index, so a re-screen
         // would self-match every vector at d2≈0 and overwrite the
         // original sink partition with polluted rows — skip everything,
         // the original output is already on disk.
-        if (Pq.appliedTokens(index).contains(token)) {
+        if (applied0.contains(token)) {
           reports += BatchReport(id, -1L, -1L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,
             replayed = true)
@@ -60,16 +62,19 @@ object PqIngest {
             .localCheckpoint()
           screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
           val fresh = Pq.appendBatchIdempotent(index, pinned, token = token)
-          // durable cadence: count applied tokens in the index itself
-          val check = fresh && Pq.appliedTokens(index).size % checkEvery == 0
+          // durable cadence over THIS STREAM's tokens only (`ingest:`
+          // prefix) — other producers on the same index must not skew
+          // the maintenance schedule; one token read serves all uses
+          val streamApplied = applied0.count(_.startsWith("ingest:")) +
+            (if (fresh) 1 else 0)
+          val check = fresh && streamApplied % checkEvery == 0
           val dr = if (check) Some(Pq.pqDriftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Pq.rebalance(spark, index)
           // segment hygiene ([[IvfIngest]] contract): bounded file
           // counts however long the stream runs; a rebalance already
           // re-lands everything, so its batch skips compaction
-          else if (compactEvery > 0 &&
-              Pq.appliedTokens(index).size % compactEvery == 0)
+          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Pq.compactIndex(spark, index)
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),
@@ -110,7 +115,8 @@ object PqIngest {
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val token = s"ingest:$id"
-        if (Pq.appliedTokensResidual(index).contains(token)) {
+        val applied0 = Pq.appliedTokensResidual(index)
+        if (applied0.contains(token)) {
           reports += BatchReport(id, -1L, -1L, Double.NaN,
             checked = false, drifted = false, rebalanced = false,
             replayed = true)
@@ -120,12 +126,13 @@ object PqIngest {
             .localCheckpoint()
           screened.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$id")
           val fresh = Pq.appendBatchIdempotentResidual(index, pinned, token = token)
-          val check = fresh && Pq.appliedTokensResidual(index).size % checkEvery == 0
+          val streamApplied = applied0.count(_.startsWith("ingest:")) +
+            (if (fresh) 1 else 0)
+          val check = fresh && streamApplied % checkEvery == 0
           val dr = if (check) Some(Pq.ivfPqDriftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Pq.rebalanceResidual(spark, index)
-          else if (compactEvery > 0 &&
-              Pq.appliedTokensResidual(index).size % compactEvery == 0)
+          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Pq.compactIndexResidual(spark, index)
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),

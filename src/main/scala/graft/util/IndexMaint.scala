@@ -27,7 +27,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   *     _…sidecars           quantizer/codebook/fit-stat sidecars
   *   .stage-…/              uncommitted staging (invisible to readers;
   *                          crashed leftovers reaped under the lease)
-  * <root>.lock              cross-process lease file
+  *   .lock                  cross-process lease file (dies with the root)
   * }}}
   *
   * Every mutation is staged fully and committed by a SINGLE atomic
@@ -51,7 +51,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   *
   * == Cross-process lease ==
   *
-  * Mutations additionally hold an OS file lock on `<root>.lock`
+  * Mutations additionally hold an OS file lock on `<root>/.lock`
   * ([[withLease]]): a second JVM (or a second thread — in-JVM
   * contention degrades to the same wait loop) attempting to mutate
   * the same index waits, then FAILS LOUDLY naming the holder instead
@@ -75,7 +75,7 @@ object IndexMaint {
     */
   @volatile var defaultLeaseTimeoutMs: Long = 120000L
 
-  /** Run `f` holding an exclusive OS file lock on `<root>.lock`. Waits
+  /** Run `f` holding an exclusive OS file lock on `<root>/.lock`. Waits
     * up to `timeoutMs` for a holder (another process's fcntl lock, or
     * another thread of this JVM — [[OverlappingFileLockException]] is
     * treated as "held, wait"), then throws naming the recorded holder.
@@ -85,8 +85,10 @@ object IndexMaint {
   def withLease[A](root: String, timeoutMs: Long = -1L,
       op: String = "maintenance")(f: => A): A = {
     val waitMs = if (timeoutMs >= 0) timeoutMs else defaultLeaseTimeoutMs
-    val lockPath = Paths.get(root + ".lock")
-    Option(lockPath.getParent).foreach(Files.createDirectories(_))
+    // Inside the root (dot-prefixed, so parquet discovery ignores it):
+    // deleting the index directory deletes its lease file with it.
+    val lockPath = Paths.get(root, ".lock")
+    Files.createDirectories(lockPath.getParent)
     val ch = FileChannel.open(lockPath,
       StandardOpenOption.CREATE, StandardOpenOption.READ, StandardOpenOption.WRITE)
     try {
@@ -119,6 +121,19 @@ object IndexMaint {
       } finally lock.release()
     } finally ch.close()
   }
+
+  /** The shared mutation choreography every index-family write runs
+    * under: the per-path in-JVM monitor, the cross-process lease, and a
+    * reap of crashed staging leftovers. ONE implementation so the
+    * ordering (monitor → lease → reap) cannot drift between families.
+    */
+  def withMutation[A](root: String, op: String)(f: => A): A =
+    lockFor(root).synchronized {
+      withLease(root, op = op) {
+        reapStages(root)
+        f
+      }
+    }
 
   // ---- generations ----------------------------------------------------------
 
@@ -195,6 +210,13 @@ object IndexMaint {
     * [[withLease]].
     */
   def commitGeneration(root: String, stage: String): String = {
+    // The kept set derives from the LIVE POINTER, not directory
+    // numbering: a crash between the gen-dir move and the pointer flip
+    // leaves an orphan generation newer than live, and number-based
+    // reaping would keep the orphan while deleting the real
+    // predecessor a reader may still hold.
+    val prevLive = liveGenOpt(root)
+      .map(p => Paths.get(p).getFileName.toString)
     val next = genDirs(root).lastOption.map(_._1 + 1).getOrElse(0L)
     val name = f"gen-$next%09d"
     val target = Paths.get(root, name)
@@ -203,8 +225,9 @@ object IndexMaint {
     Files.write(tmp, name.getBytes(UTF_8))
     Files.move(tmp, Paths.get(root, LivePointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    genDirs(root).foreach { case (n, p) =>
-      if (n < next - 1) Fs.deleteRecursively(p.toString)
+    genDirs(root).foreach { case (_, p) =>
+      val n = p.getFileName.toString
+      if (n != name && !prevLive.contains(n)) Fs.deleteRecursively(p.toString)
     }
     target.toString
   }
@@ -292,4 +315,110 @@ object IndexMaint {
     Files.write(Paths.get(stageDir, ConsolidatedTokens),
       tokens.toSeq.sorted.mkString("", "\n", if (tokens.isEmpty) "" else "\n")
         .getBytes(UTF_8))
+
+  /** The generation's committed segment values — what the `seg`
+    * partition column reads as (`seg=base` → "base"). Bounded: one per
+    * commit unit, collapsed by compaction.
+    */
+  def segmentValues(genDir: String): Seq[String] = {
+    val g = Paths.get(genDir)
+    if (!Files.isDirectory(g)) Nil
+    else {
+      val s = Files.list(g)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("seg="))
+          .map(_.stripPrefix("seg=")).toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  // ---- tombstones (deletes) --------------------------------------------------
+  //
+  // Deletion is LOGICAL first, PHYSICAL later — the LSM/Iceberg shape,
+  // and the engine's own tracking-table semantics (delete-then-insert
+  // upsert, reference macros/tracking_table_materialization.sql:34).
+  // A delete records (segment, id) pairs in a per-generation tombstone
+  // sidecar: the id is hidden in every segment PRESENT at delete time,
+  // so a LATER append — a new segment by construction — re-inserts the
+  // id without resurrecting the old rows and without any tombstone
+  // rewrite on the append path (later insert wins, structurally). The
+  // sidecar is bounded metadata — |ids| × |segments|, with takedown
+  // lists small and segment counts bounded by the compaction cadence —
+  // and the next compaction/rebalance drops the rows physically and
+  // clears it.
+  //
+  // Crash safety: the sidecar is rewritten whole via tmp + ATOMIC_MOVE
+  // under the mutation lease, so readers observe the old or the new
+  // set, never a torn file — a delete is all-or-nothing across the
+  // generation's segments. Idempotence is structural (set union), so a
+  // replayed delete needs no token.
+
+  private val TombstoneFile = "_tombstones.txt"
+
+  /** The generation's (segment, deleted id) pairs, sorted. */
+  def readTombstones(genDir: String): Array[(String, Long)] = {
+    val p = Paths.get(genDir, TombstoneFile)
+    if (!Files.exists(p)) Array.empty
+    else new String(Files.readAllBytes(p), UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(',')
+        (line.substring(0, i), line.substring(i + 1).toLong)
+      }.toArray.sorted
+  }
+
+  /** The distinct deleted ids (the user-facing view of the set). */
+  def tombstonedIds(genDir: String): Array[Long] =
+    readTombstones(genDir).map(_._2).distinct.sorted
+
+  private def writeTombstonesAtomic(genDir: String,
+      pairs: Array[(String, Long)]): Unit = {
+    val tmp = Paths.get(genDir, TombstoneFile + ".tmp")
+    Files.write(tmp, pairs.sorted.map { case (s, id) => s"$s,$id" }
+      .mkString("", "\n", if (pairs.isEmpty) "" else "\n").getBytes(UTF_8))
+    Files.move(tmp, Paths.get(genDir, TombstoneFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete `ids` from every segment currently committed in the
+    * generation (callers hold the mutation lease). Returns the distinct
+    * deleted-id count after the union.
+    */
+  def addTombstones(genDir: String, ids: Iterable[Long]): Int = {
+    val segs = segmentValues(genDir)
+    val merged = (readTombstones(genDir).toSet ++
+      (for (s <- segs; id <- ids) yield (s, id))).toArray
+    writeTombstonesAtomic(genDir, merged)
+    merged.map(_._2).distinct.length
+  }
+
+  /** Subtract the generation's tombstones from an index read — the ONE
+    * place every screen honors deletes through. The subtraction is
+    * segment-scoped: a row dies only if its `seg` partition value was
+    * present at delete time, so re-inserted ids in later segments
+    * survive. A bounded pair set rides the plan as a hash-set probe on
+    * a (seg, id) key; a drained-by-compaction-overdue set falls back to
+    * a broadcast anti-join so the plan never carries an unbounded
+    * literal.
+    */
+  def minusTombstones(df: org.apache.spark.sql.DataFrame, genDir: String,
+      idCol: String = "vec_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat_ws, lit, not}
+    val tombs = readTombstones(genDir)
+    if (tombs.isEmpty) df
+    else {
+      val key = concat_ws(" ", col("seg"), col(idCol).cast("string"))
+      if (tombs.length <= 4096)
+        df.filter(not(key.isin(tombs.map { case (s, id) => s + " " + id }
+          .toIndexedSeq: _*)))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val tombDf = tombs.toIndexedSeq.toDF("seg", idCol)
+          .select(concat_ws(" ", col("seg"), col(idCol).cast("string")).as("__tk"))
+        df.join(broadcast(tombDf), key === col("__tk"), "left_anti")
+      }
+    }
+  }
 }

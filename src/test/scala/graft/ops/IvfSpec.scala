@@ -499,4 +499,115 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.appendBatchIdempotent(compacted, delta, "seg:new"))
     assert(Ivf.indexData(spark, idxPath).count() === 325)
   }
+
+  test("deleteIds: deleted ids vanish from every screen immediately; compaction reclaims them physically and recomputes the baseline") {
+    import graft.util.IndexMaint
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_del")
+    val index = Ivf.buildIndex(emb, idxPath, kCells = 8, iters = 2)
+    // queries 0..4 have planted near-copies 320..324 at rank 1
+    val queries = emb.filter(col("vec_id") < 5).localCheckpoint()
+    // k = 15 head, so the survivor-filtered prefix still covers a full
+    // post-delete top-10 per query
+    val before = Ivf.screenBatch(spark, index, queries, k = 15, nprobe = 8).collect()
+    assert(before.exists(r => r.getLong(0) == 0L && r.getLong(2) == 320L && r.getInt(1) <= 2),
+      "precondition: planted copy 320 sits at the head for query 0 (behind self)")
+    // the takedown: all five planted copies
+    val doomed = Seq(320L, 321L, 322L, 323L, 324L)
+    assert(Ivf.deleteIds(index, doomed) === 5)
+    assert(Ivf.indexData(spark, idxPath).count() === 320)
+    val after = Ivf.screenBatch(spark, index, queries, k = 10, nprobe = 8).collect()
+    assert(!after.exists(r => doomed.contains(r.getLong(2))),
+      "deleted ids must be invisible to screens")
+    // not a post-rank page filter: every query still gets a FULL top-10
+    // over the survivors
+    assert(after.groupBy(_.getLong(0)).values.forall(_.length == 10))
+    // screens equal the same screen over an index that never held the
+    // deleted rows in its DATA (same quantizer: deletion never retrains)
+    val droppedSet = doomed.toSet
+    val expect = before // full-probe exact: survivors keep relative order
+      .filter(r => !droppedSet.contains(r.getLong(2)))
+      .groupBy(_.getLong(0)).values.flatMap(_.sortBy(_.getInt(1)).take(10).zipWithIndex
+        .map { case (r, i) => (r.getLong(0), i + 1, r.getLong(2)) }).toSet
+    assert(after.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === expect,
+      "post-delete ranking must equal the survivor-filtered pre-delete ranking (full probe)")
+    // drift health reflects live contents only
+    val drifted = Ivf.driftStats(spark, index)
+    assert(drifted.now.map(_.n).sum === 320L, "tombstoned rows must not count toward drift stats")
+    // physical reclamation at compaction: raw files lose the rows, the
+    // sidecar clears, the baseline recomputes over survivors
+    val compacted = Ivf.compactIndex(spark, index)
+    val liveGen = IndexMaint.liveGen(idxPath)
+    assert(IndexMaint.readTombstones(liveGen).isEmpty,
+      "compaction must clear the tombstone sidecar")
+    assert(spark.read.parquet(liveGen).count() === 320,
+      "compaction must drop tombstoned rows from the data files")
+    val healedBaseline = Ivf.driftStats(spark, compacted)
+    assert(healedBaseline.build.map(_.n).sum === 320L,
+      "post-delete compaction must recompute the baseline over survivors")
+    assert(Ivf.screenBatch(spark, compacted, queries, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === expect,
+      "screens must be identical before and after physical reclamation")
+  }
+
+  test("delete then append-same-id: later insert wins (the delete-then-insert upsert contract)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_del_readd")
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") < 320), idxPath,
+      kCells = 8, iters = 1)
+    Ivf.deleteIds(index, Seq(30L, 31L))
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 30L).count() === 0)
+    // a NEW append re-adds id 30 (not a replay — fresh token): it must
+    // come back, while 31 stays deleted
+    assert(Ivf.appendBatchIdempotent(index,
+      emb.filter(col("vec_id") === 30L), token = "readd:1"))
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 30L).count() === 1)
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 31L).count() === 0)
+    assert(graft.util.IndexMaint.tombstonedIds(
+      graft.util.IndexMaint.liveGen(idxPath)).toSeq === Seq(30L, 31L),
+      "re-adding does not rewrite the tombstone set — the new segment is simply newer")
+  }
+
+  test("delete x replay token: a replayed append cannot resurrect a deleted id") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_del_replay")
+    val index = Ivf.buildIndex(emb.filter(col("vec_id") < 300), idxPath,
+      kCells = 8, iters = 1)
+    val batch = emb.filter(col("vec_id").isin(300L, 301L, 302L)).localCheckpoint()
+    assert(Ivf.appendBatchIdempotent(index, batch, token = "ingest:42"))
+    Ivf.deleteIds(index, Seq(301L))
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 301L).count() === 0)
+    // the at-least-once replay of the ALREADY-APPLIED batch no-ops: the
+    // token detects it, so the delete survives — only a genuinely new
+    // insert (new token) may resurrect
+    assert(!Ivf.appendBatchIdempotent(index, batch, token = "ingest:42"))
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 301L).count() === 0)
+    // deletes survive a rebalance (rows physically gone from the new
+    // generation) AND the replay still no-ops across it
+    val rebuilt = Ivf.rebalance(spark, index, iters = 1)
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 301L).count() === 0)
+    assert(spark.read.parquet(graft.util.IndexMaint.liveGen(idxPath))
+      .filter(col("vec_id") === 301L).count() === 0,
+      "rebalance must reclaim tombstoned rows physically")
+    assert(!Ivf.appendBatchIdempotent(rebuilt, batch, token = "ingest:42"))
+    assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 301L).count() === 0)
+  }
+
+  test("deletes under two writers: concurrent disjoint takedowns serialize under the lease; the union lands") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_del_race")
+    val index = Ivf.buildIndex(emb, idxPath, kCells = 4, iters = 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(3L, 4L, 100L)).map { ids =>
+      new Thread(() => try { Ivf.deleteIds(index, ids); () }
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent deletes must serialize, got ${errs.toArray.mkString(";")}")
+    val tombs = graft.util.IndexMaint.tombstonedIds(
+      graft.util.IndexMaint.liveGen(idxPath)).toSet
+    assert(tombs === Set(1L, 2L, 3L, 4L, 5L, 6L, 100L),
+      s"the union of racing deletes must land atomically: $tombs")
+    assert(Ivf.indexData(spark, idxPath).count() === 325 - 7)
+  }
 }

@@ -580,4 +580,150 @@ class PqSpec extends SparkTestBase {
         s"query $q: exact rerank must surface the planted copy at rank 1")
     }
   }
+
+  test("residual rerank: exact stored-vector distances where residual ADC tie-collapses; self at 0, copy right behind") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivfpq_rr")
+    val index = Pq.buildIndexResidual(emb, idxPath, kCells = 8, m = 4,
+      kSub = 8, iters = 2)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    val got = Pq.rerankTopKResidual(spark, index, queryVecs, k = 10, rr = 80,
+      nprobe = 2).collect()
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { r =>
+      val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(2)))
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      assert(r.getDouble(3) === s, "residual rerank must report exact stored-vector L2")
+    }
+    // pure residual ADC collapses the query, its ~0.01-radius planted
+    // copy and close cluster mates onto few code tuples; the exact
+    // rerank restores the true order: self at distance 0, copy second
+    (0L until 5L).foreach { q =>
+      val mine = got.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(mine.map(_.getInt(1)).toSeq === (1 to 10))
+      assert(mine.head.getLong(2) === q && mine.head.getDouble(3) === 0.0)
+      assert(mine(1).getLong(2) === 320L + q,
+        s"query $q: the planted copy must follow the query itself")
+      val d2s = mine.map(_.getDouble(3))
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("deletes: honored by ADC screen and rerank on the flat index; physically reclaimed with a recomputed fit baseline at compaction") {
+    import graft.util.IndexMaint
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("pq_del")
+    val index = Pq.buildIndex(emb, idxPath, m = 4, kSub = 8, iters = 2)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    val doomed = Seq(320L, 321L, 322L, 323L, 324L)
+    // precondition via the exact rerank (ADC tie groups at kSub=8 can
+    // legitimately push high-id copies off a k=10 page): the copy sits
+    // right behind self before deletion
+    assert(Pq.rerankTopK(spark, index, queryVecs, k = 10, rr = 80).collect()
+      .exists(r => r.getLong(0) == 0L && r.getLong(2) == 320L),
+      "precondition: copy 320 ranks before deletion")
+    assert(Pq.deleteIds(index, doomed) === 5)
+    assert(Pq.indexData(spark, idxPath).count() === 320)
+    assert(!Pq.adcTopK(spark, index, queryVecs, k = 10).collect()
+      .exists(r => doomed.contains(r.getLong(2))), "ADC screen must not serve deleted ids")
+    val rr = Pq.rerankTopK(spark, index, queryVecs, k = 10, rr = 80).collect()
+    assert(!rr.exists(r => doomed.contains(r.getLong(2))), "rerank must not serve deleted ids")
+    assert(rr.groupBy(_.getLong(0)).values.forall(_.length == 10),
+      "deletion must not shrink the page below k (no post-rank filtering)")
+    // drift sees live contents only
+    assert(Pq.pqDriftStats(spark, index).now.map(_.n).sum === 320L * 4)
+    // compaction: rows dropped from the files, sidecar cleared, fit
+    // baseline recomputed over survivors (NOT carried)
+    val screenBefore = Pq.adcTopK(spark, index, queryVecs, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val compacted = Pq.compactIndex(spark, index)
+    val liveGen = IndexMaint.liveGen(idxPath)
+    assert(IndexMaint.readTombstones(liveGen).isEmpty)
+    assert(spark.read.parquet(liveGen).count() === 320)
+    assert(Pq.pqDriftStats(spark, compacted).build.map(_.n).sum === 320L * 4,
+      "post-delete compaction must recompute the fit baseline over survivors")
+    assert(Pq.adcTopK(spark, compacted, queryVecs, k = 10)
+      .collect().map(_.toString).sorted.toSeq === screenBefore,
+      "screens identical across physical reclamation")
+  }
+
+  test("deletes on the residual index: screen + rerank honor them; a new append re-inserts; replay cannot resurrect") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivfpq_del")
+    val index = Pq.buildIndexResidual(emb.filter(col("vec_id") < 320), idxPath,
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    val batch = emb.filter(col("vec_id") >= 320).localCheckpoint()
+    assert(Pq.appendBatchIdempotentResidual(index, batch, token = "ingest:c"))
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    val doomed = Seq(320L, 321L)
+    Pq.deleteIdsResidual(index, doomed)
+    val scr = Pq.screenTopKResidual(spark, index, queryVecs, k = 10, nprobe = 8).collect()
+    assert(!scr.exists(r => doomed.contains(r.getLong(2))))
+    val rr = Pq.rerankTopKResidual(spark, index, queryVecs, k = 10, rr = 40, nprobe = 8).collect()
+    assert(!rr.exists(r => doomed.contains(r.getLong(2))))
+    // the REPLAY of the applied batch no-ops: deletes survive it
+    assert(!Pq.appendBatchIdempotentResidual(index, batch, token = "ingest:c"))
+    assert(Pq.indexData(spark, idxPath).filter(col("vec_id") === 320L).count() === 0)
+    // a genuinely NEW append re-inserts 320 (later insert wins); 321 stays gone
+    assert(Pq.appendBatchIdempotentResidual(index,
+      emb.filter(col("vec_id") === 320L), token = "readd:1"))
+    assert(Pq.indexData(spark, idxPath).filter(col("vec_id") === 320L).count() === 1)
+    assert(Pq.indexData(spark, idxPath).filter(col("vec_id") === 321L).count() === 0)
+    // residual compaction reclaims the remaining tombstone physically
+    val compacted = Pq.compactIndexResidual(spark, index)
+    val liveGen = graft.util.IndexMaint.liveGen(idxPath)
+    assert(graft.util.IndexMaint.readTombstones(liveGen).isEmpty)
+    assert(spark.read.parquet(liveGen).filter(col("vec_id") === 321L).count() === 0)
+    assert(Pq.indexData(spark, idxPath).count() === 324)
+    assert(Pq.ivfPqDriftStats(spark, compacted).build.map(_.n).sum === 324L * 4)
+  }
+
+  test("filtered residual screen: predicate binds under the cid partition filter; every hit satisfies it; full page at k") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: expand(a.executedPlan)
+      case q: QueryStageExec => pl +: expand(q.plan)
+      case _ => pl +: pl.children.flatMap(expand)
+    }
+    val rnd = new scala.util.Random(41)
+    val tmp = tmpDir("ivfpq_filter")
+    val cBase = Array.fill(8)(Array.fill(32)(rnd.nextGaussian().toFloat * 5f))
+    (0 until 400).map(i => (i.toLong,
+      cBase(i % 8).map(x => x + rnd.nextGaussian().toFloat * 0.3f), i % 4))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$tmp/base")
+    // metadata pass-through: label lands in the index files
+    val index = Pq.buildIndexResidual(spark.read.parquet(s"$tmp/base"),
+      s"$tmp/index", kCells = 8, m = 4, kSub = 8, iters = 2)
+    val labels = spark.read.parquet(s"$tmp/base").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val q = Seq((9000L,
+      cBase(3).map(x => (x + rnd.nextGaussian().toFloat * 0.3f).toDouble).toArray))
+    val res = Pq.screenTopKResidual(spark, index, q, k = 5, nprobe = 4,
+      candFilter = Some(col("label") === 2))
+    val out = res.collect()
+    assert(out.length === 5, "a ~25%-selective filter over 4 probed cells must still fill the page")
+    out.foreach(r => assert(labels(r.getLong(2)) === 2,
+      s"hit ${r.getLong(2)} violates the predicate"))
+    // plan shape: cid partition filter AND a pushed label data filter on
+    // the SAME scan — filter x partition prune x ADC in one plan
+    val scans = expand(res.queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("ivfpq_filter")) => sc
+    }
+    assert(scans.nonEmpty, "index scan missing from plan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "probed cids must prune as partition filters")
+    assert(scans.head.metadata.get("PushedFilters").exists(_.contains("label")),
+      s"label predicate must push to the scan: ${scans.head.metadata.get("PushedFilters")}")
+    // filtered rerank inherits the predicate through the screened-id join
+    val rr = Pq.rerankTopKResidual(spark, index, q, k = 5, rr = 20, nprobe = 4,
+      candFilter = Some(col("label") === 2)).collect()
+    assert(rr.length === 5)
+    rr.foreach(r => assert(labels(r.getLong(2)) === 2))
+  }
 }
