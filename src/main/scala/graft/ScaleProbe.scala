@@ -1268,6 +1268,29 @@ object ScaleProbe {
         println(line); report ++= line + "\n"
         if (prunedFiles >= totalFiles)
           throw new IllegalStateException(s"bm25 postings prune failed: $line")
+        // Takedown at 8x: a delete touches the (doc_id, dl) doc-dir
+        // sidecars and the tombstone file — NEVER the term-bucketed
+        // postings — so it stays O(takedown list), and the post-delete
+        // query pays the same pruned-read shape (deletion is a bounded
+        // subtraction riding the plan, physically reclaimed at compact)
+        val doomed = docs8.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        val t2 = System.nanoTime()
+        ops.LexIndex.deleteDocs(spark, lexPath, doomed)
+        val tDel = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val rowsAfter = ops.LexIndex.bm25TopK(spark, lexPath,
+          ops.Search.fixtureQueries, 5).count()
+        val tQ2 = (System.nanoTime() - t3) / 1e9
+        val t4 = System.nanoTime()
+        ops.LexIndex.compactIndex(spark, lexPath)
+        val tC = (System.nanoTime() - t4) / 1e9
+        val tombsLeft = graft.util.IndexMaint.readTombstones(
+          graft.util.IndexMaint.liveGen(lexPath)).length
+        val line2 = f"PROBE bm25_delete_8x       del(${doomed.size})=$tDel%.2f s query=$tQ2%.2f s rows=$rowsAfter compact=$tC%.2f s tombstones-after-compact=$tombsLeft"
+        println(line2); report ++= line2 + "\n"
+        if (tombsLeft != 0)
+          throw new IllegalStateException(s"compaction left tombstones: $line2")
       } finally graft.util.Fs.deleteRecursively(
         java.nio.file.Paths.get(lexPath).getParent.toString)
     }

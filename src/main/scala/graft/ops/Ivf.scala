@@ -368,6 +368,44 @@ object Ivf {
         graft.util.IndexMaint.liveGen(index.path), ids)
     }
 
+  /** Delete-then-insert in ONE leased mutation — the reference's
+    * tracking-table upsert semantics (`incremental_upsert`: delete
+    * matching keys, insert the batch) on the vector index, for the most
+    * common production mutation: re-embedded documents. The batch's ids
+    * are tombstoned across the segments present NOW, then the batch
+    * commits as a new segment that postdates the delete — so the new
+    * vectors win structurally. Token-guarded end to end: a replayed
+    * upsert no-ops entirely (the tombstones it would re-add are already
+    * set-union no-ops, and the segment's token is detected first).
+    *
+    * Crash ordering matters and is deliberate: tombstones land BEFORE
+    * the segment commit. The only torn state — ids hidden, new rows not
+    * yet visible — is exactly what the at-least-once retry heals,
+    * because the token only becomes visible with the segment commit, so
+    * the retry re-runs both halves. The reverse order would record the
+    * token first and leave permanent duplicates. The id list is driver
+    * metadata (one upsert batch's keys — the tombstone contract).
+    */
+  def upsertBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(index.path, op = s"upsert:$token") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val pinned = batch.localCheckpoint()
+        val ids = pinned.select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        graft.util.IndexMaint.addTombstones(gen, ids)
+        val live = IvfIndex(index.path, readCentroids(gen))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "upsert")
+        encodeBatch(live, pinned)
+          .write.mode("overwrite").partitionBy("cid").parquet(stage)
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
   /** [[buildIndex]] memoized per (path, source fingerprint, kCells,
     * iters) for the session — the [[BpeTrain.trainedMerges]] pattern:
     * the build is deterministic, so one derivation serves every
@@ -762,6 +800,36 @@ object Ivf {
     screenBatch(spark, index, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
   }
 
+  /** Registered `sim_ivf_upserted`: the delete-then-insert lifecycle
+    * under the oracle — build on the base (vec_id % 10 ≠ 0), then
+    * [[upsertBatchIdempotent]] a "re-embedded" wave: every % 9 == 4 id
+    * whose successor exists takes its successor's embedding (a donor
+    * join, so the new vectors are real table values — no float
+    * arithmetic to drift cross-engine). The DuckDB twin knows nothing
+    * of tombstones or segments: it screens the post-upsert corpus with
+    * each id's EFFECTIVE embedding, assignment recomputed against the
+    * frozen build-time quantizer — hash equality proves old copies are
+    * invisible to every rank and score while the replacements landed in
+    * their new cells. Replays no-op on the token.
+    */
+  def ivfUpserted(spark: SparkSession, dir: String): DataFrame =
+    ivfUpsertedAt(spark, dir, k = 5, kCells = 16, nprobe = 4)
+
+  def ivfUpsertedAt(spark: SparkSession, dir: String, k: Int,
+      kCells: Int, nprobe: Int): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val index = buildIndexCached(base, s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivf_index_ups", dir), kCells, iters = 0)
+    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val batch = base.filter(col("vec_id") % 9 === 4)
+      .join(donor, col("did") === col("vec_id") + 1)
+      .select(col("vec_id"), col("demb").as("embedding"))
+    upsertBatchIdempotent(index, batch, "upsq:1")
+    screenBatch(spark, index, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
+  }
+
   /** Registered `sim_ivf_filtered_persisted`: filtered search on the
     * PERSISTED index — the metadata (`label`) rides the index files
     * ([[buildIndex]] pass-through), the predicate lands on the scan
@@ -808,6 +876,66 @@ object Ivf {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
       |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
       |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id % 10 = 0),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |cand AS (
+      |  SELECT q.query_id, en.vec_id,
+      |         list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cid = p.cid
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN en ON en.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of [[ivfUpserted]]: [[ivfIncrementalSql]] with the candidate
+    * relation swapped for the EFFECTIVE post-upsert corpus (the donor
+    * join inlined as a CASE), assignment recomputed for every candidate
+    * against the frozen build-time quantizer sample — which matches the
+    * engine because unchanged rows keep their build cells and upserted
+    * rows are re-encoded by the same centroids at commit.
+    */
+  val ivfUpsertedSql: String =
+    """WITH eff AS (
+      |  SELECT e.vec_id,
+      |         CASE WHEN e.vec_id % 10 <> 0 AND e.vec_id % 9 = 4 AND n.vec_id IS NOT NULL
+      |              THEN n.embedding ELSE e.embedding END AS embedding
+      |  FROM embeddings e LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1),
+      |ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM eff),
       |assigned AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT en.vec_id, c.cid,

@@ -45,6 +45,23 @@ object LexIndex {
 
   private val StatsFile = "_lex_stats.txt"
 
+  /** Per-segment doc directory: one (doc_id, dl) row per indexed doc,
+    * ~16 B each — the sidecar a takedown reads to adjust the corpus
+    * constants WITHOUT touching the term-bucketed postings (a doc's
+    * postings are scattered across every bucket its terms hash into,
+    * so without this a delete would pay a full postings scan to learn
+    * one dl). Underscore-prefixed: invisible to the postings partition
+    * discovery, committed atomically with its segment.
+    */
+  private val DocDirName = "_docdir"
+
+  /** Per-generation cumulative takedown adjustment ("n,sum_dl" of the
+    * tombstoned docs), atomically replaced under the mutation lease —
+    * [[liveStats]] subtracts it so scoring constants track survivors
+    * exactly. Cleared (with the tombstones) when compaction reclaims.
+    */
+  private val RemovedFile = "_lex_removed.txt"
+
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
 
@@ -87,6 +104,124 @@ object LexIndex {
     } finally walk.close()
   }
 
+  private def readRemoved(gen: String): (Long, Long) = {
+    val p = java.nio.file.Paths.get(gen, RemovedFile)
+    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    else {
+      val Array(n, s) = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+      (n.toLong, s.toLong)
+    }
+  }
+
+  private def writeRemovedAtomic(gen: String, n: Long, s: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(gen, RemovedFile + ".tmp")
+    java.nio.file.Files.write(tmp,
+      s"$n,$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(gen, RemovedFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The SERVING corpus constants: the segment sidecars' sums minus the
+    * takedown adjustment — what [[bm25TopK]] scores with, so deleted
+    * docs stop contributing to n_docs/avgdl the moment the delete
+    * commits, not at the next compaction.
+    */
+  def liveStats(path: String): LexStats = {
+    val raw = readStats(path)
+    val (n, s) = readRemoved(graft.util.IndexMaint.liveGen(path))
+    LexStats(raw.nDocs - n, raw.sumDl - s)
+  }
+
+  /** Takedown: hide `ids` from every query and from the scoring
+    * constants, without touching the term-bucketed postings — the
+    * [[Ivf.deleteIds]] contract on the lexical index. Segment-scoped
+    * tombstones give "later insert wins" structurally (an append is a
+    * new segment, outside every prior delete's scope), and the doc-dir
+    * sidecars supply the deleted docs' dl so the stats adjustment is
+    * O(doc-dir of affected segments), never a postings scan. Delta-based
+    * accounting keeps replays exact: re-deleting an id adjusts nothing.
+    * Physical reclamation happens at [[compactIndex]]. Returns the
+    * distinct tombstoned-id count.
+    */
+  def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Int =
+    graft.util.IndexMaint.withMutation(path, op = "delete") {
+      deleteCore(spark, graft.util.IndexMaint.liveGen(path), ids)
+    }
+
+  /** The delete body, for callers already holding the mutation lease
+    * (the lease is not reentrant — a nested withMutation would wait on
+    * itself).
+    */
+  private def deleteCore(spark: SparkSession, gen: String, ids: Seq[Long]): Int = {
+      val before = graft.util.IndexMaint.readTombstones(gen).toSet
+      val total = graft.util.IndexMaint.addTombstones(gen, ids)
+      val delta = graft.util.IndexMaint.readTombstones(gen).toSet -- before
+      if (delta.nonEmpty) {
+        var nRem = 0L
+        var dlRem = 0L
+        delta.groupBy(_._1).foreach { case (seg, pairs) =>
+          val dd = java.nio.file.Paths.get(gen, s"seg=$seg", DocDirName)
+          if (java.nio.file.Files.isDirectory(dd)) {
+            val doomed = pairs.map(_._2).toSeq
+            val docs = spark.read.parquet(dd.toString)
+            val hit =
+              if (doomed.size <= 4096) docs.filter(col("doc_id").isin(doomed: _*))
+              else {
+                import spark.implicits._
+                docs.join(broadcast(doomed.toDF("doc_id")), Seq("doc_id"), "left_semi")
+              }
+            val r = hit.agg(count(lit(1)).as("n"),
+              coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+            nRem += r.getLong(0)
+            dlRem += r.getLong(1)
+          }
+        }
+        if (nRem > 0) {
+          val (n0, s0) = readRemoved(gen)
+          writeRemovedAtomic(gen, n0 + nRem, s0 + dlRem)
+        }
+      }
+      total
+    }
+
+  /** Re-land the live generation as ONE segment with tombstoned rows
+    * physically dropped: postings rewritten bucket-partitioned, the doc
+    * dir and stats recomputed over survivors, tombstones and the
+    * takedown adjustment cleared, applied tokens carried verbatim (a
+    * replayed append still no-ops), committed by the standard atomic
+    * generation flip. The [[Ivf.compactIndex]] contract for postings.
+    */
+  def compactIndex(spark: SparkSession, path: String): String =
+    graft.util.IndexMaint.withMutation(path, op = "compact") {
+      val gen = graft.util.IndexMaint.liveGen(path)
+      val survivors = graft.util.IndexMaint
+        .minusTombstones(indexData(spark, path), gen, idCol = "doc_id")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+        .localCheckpoint()
+      // a fully-deleted index has no schema to re-land — refuse loudly
+      // (drop the index instead) rather than committing an unreadable
+      // generation
+      require(!survivors.isEmpty,
+        s"compactIndex($path): every document is tombstoned; drop the index")
+      val stage = graft.util.IndexMaint.newStageDir(path, "compact")
+      survivors.repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
+      // every doc has >= 1 posting row (an empty text still tokenizes to
+      // one empty-string term), so the doc dir is exactly the distinct
+      // (doc_id, dl) of the surviving postings
+      val dd = survivors.select(col("doc_id"), col("dl")).distinct()
+        .localCheckpoint()
+      dd.write.mode("overwrite").parquet(s"$stage/seg=base/$DocDirName")
+      val st = dd.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      writeStats(s"$stage/seg=base", LexStats(st.getLong(0), st.getLong(1)))
+      graft.util.IndexMaint.writeConsolidatedTokens(stage,
+        graft.util.IndexMaint.appliedTokens(gen))
+      graft.util.IndexMaint.commitGeneration(path, stage)
+    }
+
   /** Build the persisted postings for a `(doc_id, text)` corpus: ONE
     * tokenize scan, bucketed write, stats sidecar, atomic generation
     * commit. The production pipeline calls this once per corpus release.
@@ -98,9 +233,15 @@ object LexIndex {
       postingsOf(pinned)
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
+      writeDocDir(pinned, s"$stage/seg=base")
       writeStats(s"$stage/seg=base", statsOf(pinned))
       graft.util.IndexMaint.commitGeneration(path, stage)
     }
+
+  private def writeDocDir(docs: DataFrame, segDir: String): Unit =
+    tokenized(docs)
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$segDir/$DocDirName")
 
   /** Token-guarded O(Δ) postings append (the
     * [[Ivf.appendBatchIdempotent]] contract): the batch's postings AND
@@ -120,6 +261,41 @@ object LexIndex {
         postingsOf(pinned)
           .repartition(col("tb"))
           .write.mode("overwrite").partitionBy("tb").parquet(stage)
+        writeDocDir(pinned, stage)
+        writeStats(stage, statsOf(pinned))
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
+  /** Delete-then-insert in ONE leased mutation — [[appendDocsIdempotent]]
+    * without the disjoint-ids assumption (the
+    * [[Ivf.upsertBatchIdempotent]] contract, the reference's
+    * tracking-table upsert): the batch's doc_ids are tombstoned across
+    * the segments present now (with the doc-dir-sourced stats
+    * adjustment), then the batch commits as a new segment that
+    * postdates the delete — re-crawled documents replace their old
+    * postings atomically from any reader's view. Tombstones land BEFORE
+    * the segment commit: the only torn crash state (old postings
+    * hidden, new not yet visible) is healed by the at-least-once retry,
+    * since the token is only visible once the segment commits.
+    */
+  def upsertDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(path, op = s"upsert:$token") {
+      val gen = graft.util.IndexMaint.liveGen(path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+        val ids = pinned.select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        deleteCore(pinned.sparkSession, gen, ids)
+        val stage = graft.util.IndexMaint.newStageDir(path, "upsert")
+        postingsOf(pinned)
+          .repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(stage)
+        writeDocDir(pinned, stage)
         writeStats(stage, statsOf(pinned))
         graft.util.IndexMaint.commitSegment(gen, stage, token)
         true
@@ -155,10 +331,14 @@ object LexIndex {
     import spark.implicits._
     val terms = qs.map(_._2).distinct
     val buckets = bucketsOf(spark, terms)
-    val stats = readStats(path)
-    val posts = indexData(spark, path)
-      .filter(col("tb").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
+    val stats = liveStats(path)
+    // tombstones subtract BEFORE df: a deleted doc must leave the
+    // posting-list lengths, not just the result page
+    val posts = graft.util.IndexMaint.minusTombstones(
+        indexData(spark, path)
+          .filter(col("tb").isin(buckets: _*))
+          .filter(col("term").isin(terms: _*)),
+        graft.util.IndexMaint.liveGen(path), idCol = "doc_id")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .localCheckpoint() // one postings fetch feeds df AND the score join
     val df = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -201,6 +381,46 @@ object LexIndex {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
+    bm25TopK(spark, path, Search.fixtureQueries, 5)
+  }
+
+  /** Registered `search_bm25_deleted`: takedown on the persisted
+    * postings — build, tombstone ~14% of the corpus, serve. The oracle
+    * is the in-memory twin over the SURVIVING docs only, so the hash
+    * claim covers the whole delete story at once: tombstoned postings
+    * leave the rankings, df shrinks to surviving posting lengths, and
+    * n_docs/avgdl track the takedown adjustment. Idempotent across
+    * bench replays: the memoized build plus delta-based delete
+    * accounting make a second pass a no-op.
+    */
+  def bm25Deleted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_del", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    val doomed = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    deleteDocs(spark, path, doomed)
+    bm25TopK(spark, path, Search.fixtureQueries, 5)
+  }
+
+  /** Registered `search_bm25_upserted`: re-crawl on the persisted
+    * postings — every % 7 == 3 doc whose successor exists takes its
+    * successor's text via ONE [[upsertDocsIdempotent]] (a donor join,
+    * so the replacement texts are real table values). The oracle is the
+    * in-memory twin over the EFFECTIVE corpus: old postings invisible,
+    * replacements scored with their new tf/dl, n_docs unchanged (an
+    * update, not a shrink), Σdl shifted by the re-crawl — the whole
+    * delete-then-insert contract in one hash claim. Replays no-op.
+    */
+  def bm25Upserted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_ups", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+      .join(donor, col("did") === col("doc_id") + 1)
+      .select(col("doc_id"), col("dtext").as("text"))
+    upsertDocsIdempotent(path, batch, "upsq:1")
     bm25TopK(spark, path, Search.fixtureQueries, 5)
   }
 
@@ -334,11 +554,24 @@ object LexIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25_persisted" -> (bm25Persisted _),
+    "search_bm25_deleted" -> (bm25Deleted _),
+    "search_bm25_upserted" -> (bm25Upserted _),
     "search_hybrid_rrf" -> (hybridRrf _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
     // same twin as text_bm25, different engine path
     "search_bm25_persisted" -> Search.textBm25Sql,
+    // after a takedown it must reproduce the twin over SURVIVORS —
+    // deletion reaches stats, df, and ranks, not just the result page
+    "search_bm25_deleted" -> Search.textBm25SqlWhere("doc_id % 7 <> 3"),
+    // after a re-crawl upsert it must reproduce the twin over the
+    // EFFECTIVE corpus (donor texts in place of the % 7 == 3 docs)
+    "search_bm25_upserted" -> Search.textBm25SqlOverRel(
+      """(SELECT d.doc_id,
+        |        CASE WHEN d.doc_id % 7 = 3 AND n.doc_id IS NOT NULL
+        |             THEN n.text ELSE d.text END AS text
+        | FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1)"""
+        .stripMargin),
     "search_hybrid_rrf" -> hybridRrfSql)
 }

@@ -910,6 +910,32 @@ object Pq {
     }
   }
 
+  /** Delete-then-insert in ONE leased mutation — the
+    * [[Ivf.upsertBatchIdempotent]] contract on the PQ index: tombstone
+    * the batch's ids across the segments present now, then commit the
+    * re-encoded batch as a new segment that postdates the delete.
+    * Tombstones-first ordering so the at-least-once retry heals the
+    * only torn crash state (see the IVF variant's scaladoc).
+    */
+  def upsertBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(index.path, op = s"upsert:$token") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val pinned = batch.localCheckpoint()
+        val ids = pinned.select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        graft.util.IndexMaint.addTombstones(gen, ids)
+        val live = PqIndex(index.path, readCodebooks(gen))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "upsert")
+        encodeBatchCols(live, pinned).write.mode("overwrite").parquet(stage)
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
   /** Delete ids from the index ([[Ivf.deleteIds]] contract): logical
     * tombstone now — honored immediately by every ADC screen through
     * [[indexData]] — physical reclamation at [[compactIndex]] /
@@ -1377,6 +1403,32 @@ object Pq {
     }
   }
 
+  /** Delete-then-insert on the residual index — the
+    * [[Ivf.upsertBatchIdempotent]] contract with residual re-encoding
+    * against the live coarse quantizer + codebooks.
+    */
+  def upsertBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
+      token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(index.path, op = s"upsert:$token") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val pinned = batch.localCheckpoint()
+        val ids = pinned.select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        graft.util.IndexMaint.addTombstones(gen, ids)
+        val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
+        val m = live.codebooks.size
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "upsert")
+        dropD2(residualEncodeWithD2(pinned, live.centroids, live.codebooks), m)
+          .write.mode("overwrite").partitionBy("cid").parquet(stage)
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
   /** Delete ids from the residual index ([[Ivf.deleteIds]] contract). */
   def deleteIdsResidual(index: IvfPqIndex, ids: Seq[Long]): Int =
     graft.util.IndexMaint.withMutation(index.path, op = "delete") {
@@ -1587,7 +1639,7 @@ object Pq {
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
     indexData(spark, index.path)
-      .filter(col("cid").isin(probedCids: _*))
+      .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
       .join(broadcast(probeRel), Seq("cid"))
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))

@@ -123,12 +123,26 @@ object Search {
     topK(termStats(spark, dir, qs),
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), k)
 
-  val textBm25Sql: String = {
+  val textBm25Sql: String = textBm25SqlOver("documents")
+
+  /** The same twin over a restricted corpus — what a takedown's oracle
+    * needs: BM25 after a delete must equal this twin with the deleted
+    * docs excluded AT THE SOURCE (stats, df, and ranks all shift).
+    */
+  def textBm25SqlWhere(pred: String): String =
+    textBm25SqlOver(s"(SELECT * FROM documents WHERE $pred)")
+
+  /** The twin over an arbitrary (doc_id, text) relation — an upsert's
+    * oracle substitutes the effective post-upsert corpus.
+    */
+  def textBm25SqlOverRel(rel: String): String = textBm25SqlOver(rel)
+
+  private def textBm25SqlOver(rel: String): String = {
     val vals = fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
     val terms = fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $vals),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-       |        FROM documents),
+       |        FROM $rel),
        |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
        |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
        |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl

@@ -408,15 +408,15 @@ object IndexMaint {
     val tombs = readTombstones(genDir)
     if (tombs.isEmpty) df
     else {
-      val key = concat_ws(" ", col("seg"), col(idCol).cast("string"))
+      val key = concat_ws("\u0000", col("seg"), col(idCol).cast("string"))
       if (tombs.length <= 4096)
-        df.filter(not(key.isin(tombs.map { case (s, id) => s + " " + id }
+        df.filter(not(key.isin(tombs.map { case (s, id) => s + "\u0000" + id }
           .toIndexedSeq: _*)))
       else {
         val spark = df.sparkSession
         import spark.implicits._
         val tombDf = tombs.toIndexedSeq.toDF("seg", idCol)
-          .select(concat_ws(" ", col("seg"), col(idCol).cast("string")).as("__tk"))
+          .select(concat_ws("\u0000", col("seg"), col(idCol).cast("string")).as("__tk"))
         df.join(broadcast(tombDf), key === col("__tk"), "left_anti")
       }
     }

@@ -593,6 +593,48 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.indexData(spark, idxPath).filter(col("vec_id") === 301L).count() === 0)
   }
 
+  test("upsertBatchIdempotent: one leased delete-then-insert == deleteIds + append composed; replay no-ops; compaction reclaims the hidden copies") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    // re-embed ids 10..12 with the planted-copy vectors of queries 0..2
+    // — real table values, the registered query's donor-join shape
+    val batch = emb.filter(col("vec_id").isin(320L, 321L, 322L))
+      .select((col("vec_id") - 310L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val pUp = tmpDir("ivf_ups")
+    val a = Ivf.buildIndex(base, pUp, kCells = 8, iters = 2)
+    val b = Ivf.buildIndex(base, tmpDir("ivf_ups_cmp"), kCells = 8, iters = 2)
+    assert(Ivf.upsertBatchIdempotent(a, batch, "ups:1"))
+    // the composed form on an identical (deterministic) build
+    Ivf.deleteIds(b, Seq(10L, 11L, 12L))
+    assert(Ivf.appendBatchIdempotent(b, batch, "ups:1"))
+    val queries = emb.filter(col("vec_id") < 5).localCheckpoint()
+    val sa = Ivf.screenBatch(spark, a, queries, k = 10, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val sb = Ivf.screenBatch(spark, b, queries, k = 10, nprobe = 8).collect()
+    assert(sa === sb.map(_.toString).sorted.toSeq,
+      "upsert must equal deleteIds + appendBatchIdempotent composed")
+    // the re-embedding is effective: id 10 (now query 0's planted copy)
+    // screens at the head, right behind self
+    assert(sb.exists(r => r.getLong(0) == 0L && r.getLong(2) == 10L && r.getInt(1) <= 2),
+      "the new vector must win the ranking for its donor's query")
+    // exactly one live copy per upserted id; corpus size preserved
+    assert(Ivf.indexData(spark, pUp)
+      .filter(col("vec_id").isin(10L, 11L, 12L)).count() === 3)
+    assert(Ivf.indexData(spark, pUp).count() === 320)
+    // a replayed upsert no-ops entirely (no new tombstones, no segment)
+    assert(!Ivf.upsertBatchIdempotent(a, batch, "ups:1"))
+    assert(Ivf.indexData(spark, pUp).count() === 320)
+    assert(graft.util.IndexMaint.tombstonedIds(
+      graft.util.IndexMaint.liveGen(pUp)).toSeq === Seq(10L, 11L, 12L))
+    // compaction drops the three hidden old copies physically
+    val compacted = Ivf.compactIndex(spark, a)
+    assert(spark.read.parquet(graft.util.IndexMaint.liveGen(pUp)).count() === 320,
+      "the hidden pre-upsert copies must be reclaimed")
+    assert(Ivf.screenBatch(spark, compacted, queries, k = 10, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq === sa)
+  }
+
   test("deletes under two writers: concurrent disjoint takedowns serialize under the lease; the union lands") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idxPath = tmpDir("ivf_del_race")

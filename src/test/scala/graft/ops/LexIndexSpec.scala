@@ -94,6 +94,140 @@ class LexIndexSpec extends SparkTestBase {
     assert(res.collect().map(_.toString).sorted.toSeq === want.toSeq)
   }
 
+  // the append test's in-memory BM25 over an explicit corpus: one term,
+  // explicit corpus constants — the exact scorer every takedown state
+  // below must match
+  private def inMemoryBm25(docs: org.apache.spark.sql.DataFrame, term: String,
+      nDocs: Long, sumDl: Long, k: Int): Seq[String] =
+    Search.topK(
+      {
+        val tok = docs.select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("t"))
+        val tf = tok.select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          explode(col("t")).as("term"))
+          .filter(col("term") === term)
+          .groupBy(col("doc_id"), col("term"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df"))), Seq("term"))
+          .join(broadcast(Seq(("q", term)).toDF("query_id", "term")), Seq("term"))
+          .withColumn("n_docs", lit(nDocs)).withColumn("sum_dl", lit(sumDl))
+      }, Search.rationalIdf, k).collect().map(_.toString).sorted.toSeq
+
+  test("takedown: deletes reach rankings, df and stats; re-delete adjusts nothing; a later append re-inserts; replay cannot resurrect") {
+    val d1 = (0 until 100).map(i => (i.toLong, s"alpha filler$i beta")).toDF("doc_id", "text")
+    val path = tmpDir("lex_delete") + "/index"
+    LexIndex.buildIndex(d1, path)
+    assert(LexIndex.deleteDocs(spark, path, (0L until 50L)) === 50)
+    // stats track survivors immediately (50 docs x dl 3)
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(50L, 150L))
+    // raw segment sidecars are untouched — the adjustment is a sidecar,
+    // not a rewrite
+    assert(LexIndex.readStats(path) === LexIndex.LexStats(100L, 300L))
+    val got = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 100)
+    assert(got.count() === 50L, "tombstoned docs must leave the ranking")
+    assert(got.filter(col("doc_id") < 50).count() === 0L)
+    // and the scores equal the in-memory scorer over SURVIVORS — i.e.
+    // df shrank to the surviving posting length, n_docs/avgdl adjusted
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      inMemoryBm25(d1.filter(col("doc_id") >= 50), "alpha", 50L, 150L, 100))
+    // idempotent: re-deleting the same ids must not double-subtract
+    assert(LexIndex.deleteDocs(spark, path, (0L until 50L)) === 50)
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(50L, 150L))
+    // later insert wins: doc 7 comes back as a NEW segment with new text
+    val readd = Seq((7L, "alpha resurrected")).toDF("doc_id", "text")
+    assert(LexIndex.appendDocsIdempotent(path, readd, "readd:7"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(51L, 152L))
+    val after = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 100)
+    assert(after.count() === 51L)
+    assert(after.filter(col("doc_id") === 7L).count() === 1L,
+      "a post-delete append must re-insert exactly once")
+    // a REPLAY of that append cannot resurrect anything further
+    assert(!LexIndex.appendDocsIdempotent(path, readd, "readd:7"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(51L, 152L))
+    // deleting doc 7 again covers the NEW segment too
+    assert(LexIndex.deleteDocs(spark, path, Seq(7L)) === 50)
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(50L, 150L))
+    assert(LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 100)
+      .filter(col("doc_id") === 7L).count() === 0L)
+  }
+
+  test("upsert: re-crawled docs replace their postings atomically; n_docs holds, sum_dl shifts; replay no-ops") {
+    val d1 = (0 until 100).map(i => (i.toLong, s"alpha filler$i beta")).toDF("doc_id", "text")
+    val path = tmpDir("lex_upsert") + "/index"
+    LexIndex.buildIndex(d1, path)
+    // re-crawl docs 5 and 6: new text drops 'alpha', shrinks dl 3 -> 2
+    val recrawl = Seq((5L, "gamma delta"), (6L, "gamma epsilon")).toDF("doc_id", "text")
+    assert(LexIndex.upsertDocsIdempotent(path, recrawl, "crawl:1"))
+    // an update, not a shrink: n_docs unchanged, sum_dl tracks the edit
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(100L, 298L))
+    val alpha = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+    assert(alpha.count() === 98L, "old postings of the re-crawled docs must be gone")
+    assert(alpha.filter(col("doc_id").isin(5L, 6L)).count() === 0L)
+    val gamma = LexIndex.bm25TopK(spark, path, Seq("q" -> "gamma"), 200)
+    assert(gamma.count() === 2L, "the replacement postings must serve")
+    // exact scores: the in-memory scorer over the EFFECTIVE corpus agrees
+    val effective = d1.filter(!col("doc_id").isin(5L, 6L)).unionByName(recrawl)
+    assert(alpha.collect().map(_.toString).sorted.toSeq ===
+      inMemoryBm25(effective, "alpha", 100L, 298L, 200))
+    assert(gamma.collect().map(_.toString).sorted.toSeq ===
+      inMemoryBm25(effective, "gamma", 100L, 298L, 200))
+    // a replayed upsert no-ops entirely — stats, postings, tombstones
+    assert(!LexIndex.upsertDocsIdempotent(path, recrawl, "crawl:1"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(100L, 298L))
+    assert(LexIndex.bm25TopK(spark, path, Seq("q" -> "gamma"), 200).count() === 2L)
+    // a SECOND re-crawl of doc 5 (new token) wins over the first
+    assert(LexIndex.upsertDocsIdempotent(path,
+      Seq((5L, "alpha restored zeta")).toDF("doc_id", "text"), "crawl:2"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(100L, 299L))
+    val alpha2 = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+    assert(alpha2.count() === 99L)
+    assert(alpha2.filter(col("doc_id") === 5L).count() === 1L,
+      "exactly one live copy after two upserts of the same doc")
+    // compaction reclaims both hidden generations of doc 5's postings
+    LexIndex.compactIndex(spark, path)
+    assert(LexIndex.indexData(spark, path)
+      .filter(col("doc_id") === 5L && col("term") === "gamma").count() === 0L)
+    assert(LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+      .collect().map(_.toString).sorted.toSeq ===
+      alpha2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("compaction physically reclaims tombstoned postings: one segment, rankings identical, tombstones cleared, tokens carried") {
+    val d1 = (0 until 80).map(i => (i.toLong, s"alpha word$i")).toDF("doc_id", "text")
+    val d2 = (80 until 120).map(i => (i.toLong, s"alpha extra$i tail")).toDF("doc_id", "text")
+    val path = tmpDir("lex_compact") + "/index"
+    LexIndex.buildIndex(d1, path)
+    assert(LexIndex.appendDocsIdempotent(path, d2, "batch:c1"))
+    LexIndex.deleteDocs(spark, path, Seq(3L, 90L, 91L))
+    val before = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+      .collect().map(_.toString).sorted.toSeq
+    val statsBefore = LexIndex.liveStats(path)
+    LexIndex.compactIndex(spark, path)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    assert(graft.util.IndexMaint.segmentValues(gen) === Seq("base"),
+      "compaction must re-land the index as one segment")
+    assert(graft.util.IndexMaint.readTombstones(gen).isEmpty,
+      "physical reclamation must clear the tombstones")
+    // the takedown adjustment is gone too: raw sidecars now ARE the
+    // survivors' stats
+    assert(LexIndex.readStats(path) === statsBefore)
+    assert(LexIndex.liveStats(path) === statsBefore)
+    val after = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "compaction must not change any score or rank")
+    assert(after.size === 117)
+    // tombstoned postings are PHYSICALLY gone, not filtered at read
+    assert(LexIndex.indexData(spark, path)
+      .filter(col("doc_id").isin(3L, 90L, 91L)).count() === 0L)
+    // applied tokens carried: the replayed batch still no-ops
+    assert(!LexIndex.appendDocsIdempotent(path, d2, "batch:c1"))
+    // and fresh appends land on the compacted generation
+    assert(LexIndex.appendDocsIdempotent(path,
+      Seq((200L, "alpha fresh")).toDF("doc_id", "text"), "batch:c2"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(
+      statsBefore.nDocs + 1, statsBefore.sumDl + 2))
+  }
+
   test("hybrid RRF: lexical and PRF-semantic lists fuse; doc in both lists outranks single-list docs at equal ranks") {
     val out = LexIndex.hybridRrf(spark, sf).collect()
     assert(out.nonEmpty)

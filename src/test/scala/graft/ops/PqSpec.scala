@@ -682,6 +682,47 @@ class PqSpec extends SparkTestBase {
     assert(Pq.ivfPqDriftStats(spark, compacted).build.map(_.n).sum === 324L * 4)
   }
 
+  test("upsert == delete-then-insert composed, on the flat and residual indexes; replay no-ops; the rerank serves the new vector") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    val batch = emb.filter(col("vec_id").isin(320L, 321L, 322L))
+      .select((col("vec_id") - 310L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    // flat PQ: identical deterministic builds, upsert vs the composition
+    val a = Pq.buildIndex(base, tmpDir("pq_ups_a"), m = 4, kSub = 8, iters = 2)
+    val b = Pq.buildIndex(base, tmpDir("pq_ups_b"), m = 4, kSub = 8, iters = 2)
+    assert(Pq.upsertBatchIdempotent(a, batch, "ups:1"))
+    Pq.deleteIds(b, Seq(10L, 11L, 12L))
+    assert(Pq.appendBatchIdempotent(b, batch, "ups:1"))
+    assert(Pq.adcTopK(spark, a, queryVecs, k = 10).collect().map(_.toString).sorted.toSeq
+      === Pq.adcTopK(spark, b, queryVecs, k = 10).collect().map(_.toString).sorted.toSeq,
+      "PQ upsert must equal deleteIds + append composed")
+    assert(!Pq.upsertBatchIdempotent(a, batch, "ups:1"))
+    assert(Pq.indexData(spark, a.path).count() === 320)
+    // residual IVF-PQ: same claim, plus the exact rerank serving the
+    // re-embedded vector at the head of its donor's query
+    val ra = Pq.buildIndexResidual(base, tmpDir("ivfpq_ups_a"),
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    val rb = Pq.buildIndexResidual(base, tmpDir("ivfpq_ups_b"),
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    assert(Pq.upsertBatchIdempotentResidual(ra, batch, "ups:1"))
+    Pq.deleteIdsResidual(rb, Seq(10L, 11L, 12L))
+    assert(Pq.appendBatchIdempotentResidual(rb, batch, "ups:1"))
+    assert(Pq.screenTopKResidual(spark, ra, queryVecs, k = 10, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+      === Pq.screenTopKResidual(spark, rb, queryVecs, k = 10, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq,
+      "residual upsert must equal deleteIdsResidual + append composed")
+    val rr = Pq.rerankTopKResidual(spark, ra, queryVecs, k = 10, rr = 40, nprobe = 8)
+      .collect()
+    assert(rr.exists(r => r.getLong(0) == 0L && r.getLong(2) == 10L && r.getInt(1) <= 2),
+      "the exact rerank must serve the re-embedded vector at the head")
+    assert(!Pq.upsertBatchIdempotentResidual(ra, batch, "ups:1"))
+    assert(Pq.indexData(spark, ra.path).count() === 320)
+  }
+
   test("filtered residual screen: predicate binds under the cid partition filter; every hit satisfies it; full page at k") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
