@@ -465,6 +465,34 @@ object ScaleProbe {
       val line = f"PROBE semdedup_incr_flat   same delta: 1x base(k=16) $t1%5.2f s sh=${sh1 / 1e6}%.1fMB -> 8x base(k=128) $t8%5.2f s sh=${sh8 / 1e6}%.1fMB [t=${t8 / t1}%.2fx sh=$shx%.2fx vs 8.0 linear]"
       println(line); report ++= line + "\n"
     }
+    // CDC apply is O(delta + bounded metadata), proven the same way —
+    // base-size INDEPENDENCE: the SAME 30-row op-tagged batch (10
+    // inserts, 10 upserts, 10 deletes) applies to a 1x and an 8x index
+    // in ~the same time, because the mutation touches the encoded
+    // batch, the tombstone sidecar and one segment commit — never the
+    // resident corpus
+    locally {
+      val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val idx1 = ops.Ivf.buildIndex(emb1.filter(col("vec_id") % 10 =!= 0),
+        graft.util.Fs.sessionTempDir("probe_cdc_1x", dir), kCells = 16, iters = 0)
+      val idx8 = ops.Ivf.buildIndex(embBig.filter(col("vec_id") % 10 =!= 0),
+        graft.util.Fs.sessionTempDir("probe_cdc_8x", dir), kCells = 128, iters = 0)
+      val batch = emb1.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100)
+          .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
+            lit("insert").as("op"))
+        .unionByName(emb1.filter(col("vec_id") % 10 === 1 && col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding"), lit("upsert").as("op")))
+        .unionByName(emb1.filter(col("vec_id") % 10 === 2 && col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding"), lit("delete").as("op")))
+        .localCheckpoint()
+      val (t1c, _, _, _) = measured(
+        { ops.Ivf.applyCdcIdempotent(idx1, batch, "cdc:p1"); 1L })
+      val (t8c, _, _, _) = measured(
+        { ops.Ivf.applyCdcIdempotent(idx8, batch, "cdc:p1"); 1L })
+      val line = f"PROBE ivf_cdc_flat         same 30-row CDC batch: 1x(k=16) $t1c%5.2f s -> 8x(k=128) $t8c%5.2f s [t=${t8c / t1c}%.2fx vs 8.0 linear]"
+      println(line); report ++= line + "\n"
+    }
     // The nprobe recall dial: recall@50 of the IVF probe vs the exact
     // brute-force top-50 over the same 20 queries (kCells = 32, 2 Lloyd
     // refinement iterations — the recommended production quantizer).
@@ -1413,6 +1441,10 @@ object ScaleProbe {
     report ++= "  base (k=16) and an 8x base (k=128, cells sized with the base)\n"
     report ++= "  moves ~the same bytes because the probed-cell list bounds what\n"
     report ++= "  is read; only cells the delta probes are ever scanned.\n"
+    report ++= "- ivf_cdc_flat: one op-tagged CDC batch (inserts + upserts +\n"
+    report ++= "  deletes in a single token-guarded mutation) costs the same\n"
+    report ++= "  against a 1x and an 8x index — apply work is O(delta) encode +\n"
+    report ++= "  bounded tombstone/segment metadata, never a corpus rewrite.\n"
     report ++= "- ivf_two_writer: the commit protocol under real contention — a\n"
     report ++= "  4-batch streaming ingest races a mid-stream rebalance from a\n"
     report ++= "  SECOND session; the per-path monitor + cross-process lease\n"

@@ -406,6 +406,58 @@ object Ivf {
     }
   }
 
+  /** The CDC verbs [[applyCdcIdempotent]] accepts — the reference's
+    * `load_type` surface (delete, hardDelete, insert, update, upsert;
+    * README.md:68) collapsed to the three an index can mean: `update`
+    * on an index IS `upsert` (re-encode the vector), and `hardDelete`
+    * ≡ `delete` (tombstones already are the soft state; compaction is
+    * the hard reclamation).
+    */
+  val CdcOps: Set[String] = Set("insert", "upsert", "delete")
+
+  /** Apply one CDC micro-batch — rows tagged by an `op` column with a
+    * [[CdcOps]] verb — as ONE leased, token-guarded mutation: the
+    * delete+upsert ids are tombstoned across the segments present now,
+    * then the insert+upsert rows commit as one new segment carrying
+    * the token ([[upsertBatchIdempotent]]'s crash ordering: tombstones
+    * BEFORE the segment commit, so the at-least-once retry heals the
+    * only torn state). `insert` rows skip the tombstone write — the
+    * producer is asserting the id is new, so the delete probe would be
+    * wasted metadata churn at takedown-sidecar scale.
+    *
+    * A PURE-DELETE batch still commits a (zero-row) segment: the token
+    * must become durable, because a replayed delete re-tombstones
+    * against the segments present AT REPLAY TIME — which may include a
+    * later batch's legitimate re-insert of the same id. Token-first
+    * detection makes the replay a structural no-op instead.
+    */
+  def applyCdcIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean = {
+    graft.util.IndexMaint.requireValidToken(token)
+    graft.util.IndexMaint.withMutation(index.path, op = s"cdc:$token") {
+      val gen = graft.util.IndexMaint.liveGen(index.path)
+      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
+      else {
+        val pinned = batch.localCheckpoint()
+        val ops = pinned.select(col("op")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val unknown = ops -- CdcOps
+        require(unknown.isEmpty, s"applyCdc($token): unknown op(s) " +
+          s"${unknown.mkString(", ")} — expected ${CdcOps.mkString("/")}")
+        val doomed = pinned.filter(col("op").isin("delete", "upsert"))
+          .select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
+        val live = IvfIndex(index.path, readCentroids(gen))
+        val stage = graft.util.IndexMaint.newStageDir(index.path, "cdc")
+        encodeBatch(live,
+          pinned.filter(col("op").isin("insert", "upsert")).drop("op"))
+          .write.mode("overwrite").partitionBy("cid").parquet(stage)
+        graft.util.IndexMaint.commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
   /** [[buildIndex]] memoized per (path, source fingerprint, kCells,
     * iters) for the session — the [[BpeTrain.trainedMerges]] pattern:
     * the build is deterministic, so one derivation serves every
@@ -945,6 +997,78 @@ object Ivf {
       |    FROM en CROSS JOIN cnorm c WHERE en.vec_id % 10 <> 0) WHERE r = 1),
       |queries AS (
       |  SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM en WHERE vec_id % 10 = 0),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid,
+      |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS prank
+      |    FROM queries q CROSS JOIN cnorm c) WHERE prank <= 4),
+      |cand AS (
+      |  SELECT q.query_id, en.vec_id,
+      |         list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * en.vec[i]))
+      |           / (q.qnrm * en.nrm) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON a.cid = p.cid
+      |  JOIN queries q ON q.query_id = p.query_id
+      |  JOIN en ON en.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of `stream_ivf_cdc`
+    * ([[graft.streaming.StreamingQueries.streamIvfCdc]]): the
+    * [[ivfUpsertedSql]] shape with the candidate relation swapped for
+    * the post-CDC EFFECTIVE corpus — deletes excluded at the source,
+    * upserted ids carrying their donor embedding, inserted ids
+    * (re-keyed +1000000 copies) unioned in — all assigned against the
+    * frozen build-time quantizer sample, exactly what the engine's
+    * frozen-centroid encoders do at each CDC commit. The three op sets
+    * are id-disjoint by construction, so the effective corpus (and the
+    * hash) is independent of how the stream happened to batch.
+    */
+  val ivfCdcSql: String =
+    """WITH eff AS (
+      |  SELECT e.vec_id,
+      |         CASE WHEN e.vec_id % 9 = 4 AND n.vec_id IS NOT NULL
+      |              THEN n.embedding ELSE e.embedding END AS embedding
+      |  FROM embeddings e LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1
+      |  WHERE e.vec_id % 10 <> 0
+      |    AND NOT (e.vec_id % 7 = 2 AND e.vec_id % 9 <> 4)
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |ho AS (
+      |  SELECT vec_id, embedding,
+      |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |samp AS (
+      |  SELECT vec_id, embedding, row_number() OVER (ORDER BY hord, vec_id) AS sr
+      |  FROM ho ORDER BY hord, vec_id LIMIT 1024),
+      |cnorm AS (
+      |  SELECT sr - 1 AS cid,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      |  FROM samp WHERE sr <= 16),
+      |en AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM eff),
+      |queries AS (
+      |  SELECT vec_id AS query_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qnrm
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT en.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY en.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * cvec[i])) / cn
+      |             DESC, c.cid) AS r
+      |    FROM en CROSS JOIN cnorm c) WHERE r = 1),
       |probes AS (
       |  SELECT query_id, cid FROM (
       |    SELECT q.query_id, c.cid,

@@ -448,6 +448,63 @@ object StreamingQueries {
       batch => Pq.screenBatchResidual(spark, index, batch, k = 5, nprobe = 4))
   }
 
+  /** Registered `stream_ivf_cdc`: the index tracks a MUTATING upstream
+    * corpus as a live CDC stream — three op-tagged micro-batches
+    * (inserts: +1000000-keyed copies of the query stratum; deletes: the
+    * %7==2 non-upsert stratum; upserts: %9==4 ids re-embedded with
+    * their successor's vector — all real table values, id-disjoint by
+    * construction) drain through [[graft.streaming.CdcIngest]] against
+    * the persisted IVF index, each applied as one atomic token-guarded
+    * mutation. The final screen must equal the closed form over the
+    * EFFECTIVE corpus with the frozen build-time quantizer: hash
+    * equality proves deleted vectors left every rank, upserted ids
+    * landed in their new cells, inserts serve at score 1.0 for their
+    * donors — and that none of it depends on how the stream batched.
+    * Bench replays no-op on the durable `cdc:` tokens.
+    */
+  def streamIvfCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ivf
+    val emb = graft.catalog.Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val index = Ivf.buildIndexCached(base, s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivf_index_cdc", dir), kCells = 16, iters = 0)
+    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val batches = Seq(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          lit("insert").as("op")),
+      base.filter(col("vec_id") % 7 === 2 && col("vec_id") % 9 =!= 4)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")),
+      base.filter(col("vec_id") % 9 === 4)
+        .join(donor, col("did") === col("vec_id") + 1)
+        .select(col("vec_id"), col("demb").as("embedding"),
+          lit("upsert").as("op")))
+    val tmp = java.nio.file.Files.createTempDirectory("stream_cdc").toString
+    try {
+      val srcDir = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val stage = s"$tmp/stage$i"
+        rows.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      // checkEvery past the stream length: the maintenance cadence is
+      // exercised in specs; here a drift-triggered rebalance would
+      // retrain the quantizer the oracle froze at build time
+      CdcIngest.ingestStreamCdc(spark, srcDir,
+        Ivf.loadIndex(index.path), checkEvery = 100)
+      Ivf.screenBatch(spark, Ivf.loadIndex(index.path),
+        emb.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4)
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   /** Streaming incremental datacard: the corpus lands as TWO separate
     * micro-batches (file stream, one file per trigger) and every batch
     * folds into the persisted sketch state via `foreachBatch` +
@@ -497,6 +554,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_datacard" -> (streamDatacard _),
     "stream_ivf_screen" -> (streamIvfScreen _),
+    "stream_ivf_cdc" -> (streamIvfCdc _),
     "stream_pq_screen" -> (streamPqScreen _),
     "stream_ivfpq_screen" -> (streamIvfPqScreen _),
     "stream_blocklist" -> (streamBlocklist _),
@@ -510,6 +568,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "stream_datacard" -> graft.ops.Datacard.datacardIncrementalSql,
     "stream_ivf_screen" -> graft.ops.Ivf.ivfIncrementalSql,
+    "stream_ivf_cdc" -> graft.ops.Ivf.ivfCdcSql,
     "stream_pq_screen" -> graft.ops.Pq.pqIncrementalSql,
     "stream_ivfpq_screen" -> graft.ops.Pq.ivfPqResidualIncrementalSql,
     "stream_blocklist" -> streamBlocklistSql,

@@ -635,6 +635,41 @@ class IvfSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq === sa)
   }
 
+  test("applyCdcIdempotent: unknown op fails loudly before any mutation; a pure-delete batch commits a durable token; a mixed batch applies atomically") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    val idx = Ivf.buildIndex(base, tmpDir("ivf_cdc"), kCells = 8, iters = 2)
+    // unknown verb: loud failure, nothing tombstoned, nothing committed
+    val bad = emb.filter(col("vec_id") === 5L)
+      .select(col("vec_id"), col("embedding"), lit("merge").as("op"))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.applyCdcIdempotent(idx, bad, "cdc:bad")
+    }
+    assert(e.getMessage.contains("merge"))
+    assert(!Ivf.appliedTokens(idx).contains("cdc:bad"))
+    assert(graft.util.IndexMaint.tombstonedIds(
+      graft.util.IndexMaint.liveGen(idx.path)).isEmpty)
+    // pure-delete batch: ids leave every read NOW, and the token is
+    // durable (zero-row segment) so the replay no-ops
+    val del = base.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    assert(Ivf.applyCdcIdempotent(idx, del, "cdc:d1"))
+    assert(Ivf.appliedTokens(idx).contains("cdc:d1"))
+    assert(Ivf.indexData(spark, idx.path).filter(col("vec_id") < 3).count() === 0)
+    assert(!Ivf.applyCdcIdempotent(idx, del, "cdc:d1"))
+    // mixed batch: insert a new id and upsert an existing one, one commit
+    val mixed = emb.filter(col("vec_id") === 320L)
+      .select(lit(900L).as("vec_id"), col("embedding"), lit("insert").as("op"))
+      .unionByName(emb.filter(col("vec_id") === 321L)
+        .select(lit(7L).as("vec_id"), col("embedding"), lit("upsert").as("op")))
+    assert(Ivf.applyCdcIdempotent(idx, mixed, "cdc:m1"))
+    val data = Ivf.indexData(spark, idx.path)
+    assert(data.filter(col("vec_id") === 900L).count() === 1)
+    assert(data.filter(col("vec_id") === 7L).count() === 1,
+      "an upserted id must have exactly one live copy")
+    assert(data.count() === 320 - 3 + 1)
+  }
+
   test("deletes under two writers: concurrent disjoint takedowns serialize under the lease; the union lands") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idxPath = tmpDir("ivf_del_race")

@@ -471,6 +471,76 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CDC ingest: op-tagged batches apply atomically and equal the composed mutations; a full replay no-ops — including its deletes after a re-insert") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    val tmp = tmpDir("cdc_ingest")
+    val index0 = graft.ops.Ivf.buildIndex(base, s"$tmp/index", kCells = 8, iters = 2)
+    // b0: PURE-DELETE batch (the zero-row-segment case), b1: inserts of
+    // new ids, b2: upserts re-embedding ids 20..22 — all real table rows
+    val batches = Seq(
+      base.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")),
+      emb.filter(col("vec_id") >= 320 && col("vec_id") < 325)
+        .select((col("vec_id") + 680L).as("vec_id"), col("embedding"),
+          lit("insert").as("op")),
+      emb.filter(col("vec_id") >= 330 && col("vec_id") < 333)
+        .select((col("vec_id") - 310L).as("vec_id"), col("embedding"),
+          lit("upsert").as("op")))
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val reports = graft.streaming.CdcIngest.ingestStreamCdc(
+      spark, srcDir, index0, checkEvery = 2)
+    assert(reports.length === 3 && reports.forall(!_.replayed))
+    assert(reports.map(r => (r.inserted, r.upserted, r.deleted)) ===
+      Seq((0L, 0L, 10L), (5L, 0L, 0L), (0L, 3L, 0L)))
+    // the drift cadence counts DURABLE cdc: tokens: only the 2nd fires
+    assert(reports.map(_.checked) === Seq(false, true, false))
+    // final state == the composed batch mutations on an identical build
+    val cmp = graft.ops.Ivf.buildIndex(base, s"$tmp/cmp", kCells = 8, iters = 2)
+    graft.ops.Ivf.deleteIds(cmp, (10L until 20L))
+    assert(graft.ops.Ivf.appendBatchIdempotent(cmp, batches(1).drop("op"), "x:1"))
+    assert(graft.ops.Ivf.upsertBatchIdempotent(cmp, batches(2).drop("op"), "x:2"))
+    val queries = emb.filter(col("vec_id") < 5).localCheckpoint()
+    def page(ix: graft.ops.Ivf.IvfIndex): Seq[String] =
+      graft.ops.Ivf.screenBatch(spark, ix, queries, k = 10, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq
+    assert(page(graft.ops.Ivf.loadIndex(s"$tmp/index")) === page(cmp),
+      "CDC drain must equal deleteIds + append + upsert composed")
+    // a deleted id comes back through a later legitimate append …
+    assert(graft.ops.Ivf.appendBatchIdempotent(
+      graft.ops.Ivf.loadIndex(s"$tmp/index"),
+      emb.filter(col("vec_id") === 340L)
+        .select(lit(10L).as("vec_id"), col("embedding")), "readd:10"))
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index")
+      .filter(col("vec_id") === 10L).count() === 1)
+    // … and a FULL stream replay (fresh checkpoint, same files — the
+    // at-least-once worst case) no-ops on every token: the replayed
+    // delete must NOT re-hide the re-inserted id
+    val replay = graft.streaming.CdcIngest.ingestStreamCdc(spark, srcDir,
+      graft.ops.Ivf.loadIndex(s"$tmp/index"), checkEvery = 2,
+      checkpointDir = s"$tmp/ckpt2")
+    assert(replay.length === 3 && replay.forall(_.replayed))
+    val data = graft.ops.Ivf.indexData(spark, s"$tmp/index")
+    assert(data.filter(col("vec_id") === 10L).count() === 1,
+      "a replayed delete must not resurrect the tombstone over a later insert")
+    assert(data.filter(col("vec_id") >= 11 && col("vec_id") < 20).count() === 0)
+    assert(data.filter(col("vec_id").isin(20L, 21L, 22L)).count() === 3)
+    assert(data.count() === 320 - 10 + 5 + 1)
+  }
+
   test("streaming IVF ingest maintains itself: drift fires on the shifted batch, rebalance repairs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
