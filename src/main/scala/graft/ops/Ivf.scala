@@ -332,23 +332,13 @@ object Ivf {
     * generation, so batches already re-encoded stay deduplicated across
     * generations.
     */
-  def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"append:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        // live-generation quantizer (see appendBatch): stale handles
-        // must not commit cells from a superseded quantizer
-        val live = IvfIndex(index.path, readCentroids(gen))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-        encodeBatch(live, batch)
-          .write.mode("overwrite").partitionBy("cid").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "append") { (gen, stage) =>
+      // live-generation quantizer (see appendBatch): stale handles
+      // must not commit cells from a superseded quantizer
+      encodeBatch(IvfIndex(index.path, readCentroids(gen)), batch)
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
-  }
 
   /** Delete ids from the index — the takedown/GDPR path every 100 TB
     * corpus index needs and the engine's tracking-table delete-matching-
@@ -386,34 +376,20 @@ object Ivf {
     * token first and leave permanent duplicates. The id list is driver
     * metadata (one upsert batch's keys — the tombstone contract).
     */
-  def upsertBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"upsert:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val pinned = batch.localCheckpoint()
-        val ids = pinned.select(col("vec_id")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        graft.util.IndexMaint.addTombstones(gen, ids)
-        val live = IvfIndex(index.path, readCentroids(gen))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "upsert")
-        encodeBatch(live, pinned)
-          .write.mode("overwrite").partitionBy("cid").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def upsertBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "upsert") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val ids = pinned.select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.util.IndexMaint.addTombstones(gen, ids)
+      encodeBatch(IvfIndex(index.path, readCentroids(gen)), pinned)
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
-  }
 
-  /** The CDC verbs [[applyCdcIdempotent]] accepts — the reference's
-    * `load_type` surface (delete, hardDelete, insert, update, upsert;
-    * README.md:68) collapsed to the three an index can mean: `update`
-    * on an index IS `upsert` (re-encode the vector), and `hardDelete`
-    * ≡ `delete` (tombstones already are the soft state; compaction is
-    * the hard reclamation).
+  /** The CDC verbs [[applyCdcIdempotent]] accepts — see
+    * [[graft.util.IndexMaint.CdcOps]] (shared by every family).
     */
-  val CdcOps: Set[String] = Set("insert", "upsert", "delete")
+  val CdcOps: Set[String] = graft.util.IndexMaint.CdcOps
 
   /** Apply one CDC micro-batch — rows tagged by an `op` column with a
     * [[CdcOps]] verb — as ONE leased, token-guarded mutation: the
@@ -431,32 +407,22 @@ object Ivf {
     * later batch's legitimate re-insert of the same id. Token-first
     * detection makes the replay a structural no-op instead.
     */
-  def applyCdcIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"cdc:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val pinned = batch.localCheckpoint()
-        val ops = pinned.select(col("op")).distinct()
-          .collect().map(_.getString(0)).toSet
-        val unknown = ops -- CdcOps
-        require(unknown.isEmpty, s"applyCdc($token): unknown op(s) " +
-          s"${unknown.mkString(", ")} — expected ${CdcOps.mkString("/")}")
-        val doomed = pinned.filter(col("op").isin("delete", "upsert"))
-          .select(col("vec_id")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
-        val live = IvfIndex(index.path, readCentroids(gen))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "cdc")
-        encodeBatch(live,
-          pinned.filter(col("op").isin("insert", "upsert")).drop("op"))
-          .write.mode("overwrite").partitionBy("cid").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def applyCdcIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val ops = pinned.select(col("op")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val unknown = ops -- CdcOps
+      require(unknown.isEmpty, s"applyCdc($token): unknown op(s) " +
+        s"${unknown.mkString(", ")} — expected ${CdcOps.mkString("/")}")
+      val doomed = pinned.filter(col("op").isin("delete", "upsert"))
+        .select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
+      encodeBatch(IvfIndex(index.path, readCentroids(gen)),
+        pinned.filter(col("op").isin("insert", "upsert")).drop("op"))
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
-  }
 
   /** [[buildIndex]] memoized per (path, source fingerprint, kCells,
     * iters) for the session — the [[BpeTrain.trainedMerges]] pattern:

@@ -250,24 +250,15 @@ object LexIndex {
     * double-count n_docs/Σdl. Appended doc_ids are assumed disjoint
     * from the indexed corpus (the vector-index append contract).
     */
-  def appendDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(path, op = s"append:$token") {
-      val gen = graft.util.IndexMaint.liveGen(path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
-        val stage = graft.util.IndexMaint.newStageDir(path, "append")
-        postingsOf(pinned)
-          .repartition(col("tb"))
-          .write.mode("overwrite").partitionBy("tb").parquet(stage)
-        writeDocDir(pinned, stage)
-        writeStats(stage, statsOf(pinned))
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def appendDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(path, token, "append") { (_, stage) =>
+      val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+      postingsOf(pinned)
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(stage)
+      writeDocDir(pinned, stage)
+      writeStats(stage, statsOf(pinned))
     }
-  }
 
   /** Delete-then-insert in ONE leased mutation — [[appendDocsIdempotent]]
     * without the disjoint-ids assumption (the
@@ -281,27 +272,18 @@ object LexIndex {
     * hidden, new not yet visible) is healed by the at-least-once retry,
     * since the token is only visible once the segment commits.
     */
-  def upsertDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(path, op = s"upsert:$token") {
-      val gen = graft.util.IndexMaint.liveGen(path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
-        val ids = pinned.select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        deleteCore(pinned.sparkSession, gen, ids)
-        val stage = graft.util.IndexMaint.newStageDir(path, "upsert")
-        postingsOf(pinned)
-          .repartition(col("tb"))
-          .write.mode("overwrite").partitionBy("tb").parquet(stage)
-        writeDocDir(pinned, stage)
-        writeStats(stage, statsOf(pinned))
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def upsertDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(path, token, "upsert") { (gen, stage) =>
+      val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+      val ids = pinned.select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      deleteCore(pinned.sparkSession, gen, ids)
+      postingsOf(pinned)
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(stage)
+      writeDocDir(pinned, stage)
+      writeStats(stage, statsOf(pinned))
     }
-  }
 
   /** The live postings relation (partition columns `seg`, `tb`). */
   def indexData(spark: SparkSession, path: String): DataFrame =

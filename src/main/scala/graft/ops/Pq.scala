@@ -893,22 +893,13 @@ object Pq {
     * applied-but-unrecorded state exists. [[rebalance]] carries applied
     * tokens into the new generation.
     */
-  def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"append:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        // live-generation codebooks (see appendBatch): stale handles
-        // must not commit codes from a superseded codebook
-        val live = PqIndex(index.path, readCodebooks(gen))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-        encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "append") { (gen, stage) =>
+      // live-generation codebooks (see appendBatch): stale handles
+      // must not commit codes from a superseded codebook
+      encodeBatchCols(PqIndex(index.path, readCodebooks(gen)), batch)
+        .write.mode("overwrite").parquet(stage)
     }
-  }
 
   /** Delete-then-insert in ONE leased mutation — the
     * [[Ivf.upsertBatchIdempotent]] contract on the PQ index: tombstone
@@ -917,24 +908,15 @@ object Pq {
     * Tombstones-first ordering so the at-least-once retry heals the
     * only torn crash state (see the IVF variant's scaladoc).
     */
-  def upsertBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"upsert:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val pinned = batch.localCheckpoint()
-        val ids = pinned.select(col("vec_id")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        graft.util.IndexMaint.addTombstones(gen, ids)
-        val live = PqIndex(index.path, readCodebooks(gen))
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "upsert")
-        encodeBatchCols(live, pinned).write.mode("overwrite").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+  def upsertBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "upsert") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val ids = pinned.select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.util.IndexMaint.addTombstones(gen, ids)
+      encodeBatchCols(PqIndex(index.path, readCodebooks(gen)), pinned)
+        .write.mode("overwrite").parquet(stage)
     }
-  }
 
   /** Delete ids from the index ([[Ivf.deleteIds]] contract): logical
     * tombstone now — honored immediately by every ADC screen through
@@ -1386,48 +1368,30 @@ object Pq {
     * handle cannot commit codes from a superseded generation.
     */
   def appendBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
-      token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"append:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
-        val m = live.codebooks.size
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-        dropD2(residualEncodeWithD2(batch, live.centroids, live.codebooks), m)
-          .write.mode("overwrite").partitionBy("cid").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+      token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "append") { (gen, stage) =>
+      val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
+      dropD2(residualEncodeWithD2(batch, live.centroids, live.codebooks),
+        live.codebooks.size)
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
-  }
 
   /** Delete-then-insert on the residual index — the
     * [[Ivf.upsertBatchIdempotent]] contract with residual re-encoding
     * against the live coarse quantizer + codebooks.
     */
   def upsertBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
-      token: String): Boolean = {
-    graft.util.IndexMaint.requireValidToken(token)
-    graft.util.IndexMaint.withMutation(index.path, op = s"upsert:$token") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      if (graft.util.IndexMaint.appliedTokens(gen).contains(token)) false
-      else {
-        val pinned = batch.localCheckpoint()
-        val ids = pinned.select(col("vec_id")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        graft.util.IndexMaint.addTombstones(gen, ids)
-        val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
-        val m = live.codebooks.size
-        val stage = graft.util.IndexMaint.newStageDir(index.path, "upsert")
-        dropD2(residualEncodeWithD2(pinned, live.centroids, live.codebooks), m)
-          .write.mode("overwrite").partitionBy("cid").parquet(stage)
-        graft.util.IndexMaint.commitSegment(gen, stage, token)
-        true
-      }
+      token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "upsert") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val ids = pinned.select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.util.IndexMaint.addTombstones(gen, ids)
+      val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
+      dropD2(residualEncodeWithD2(pinned, live.centroids, live.codebooks),
+        live.codebooks.size)
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
-  }
 
   /** Delete ids from the residual index ([[Ivf.deleteIds]] contract). */
   def deleteIdsResidual(index: IvfPqIndex, ids: Seq[Long]): Int =

@@ -135,6 +135,43 @@ object IndexMaint {
       }
     }
 
+  /** The CDC verbs every index family's `applyCdc*` accepts — the
+    * reference's `load_type` surface (delete, hardDelete, insert,
+    * update, upsert; README.md:68) collapsed to the three an index can
+    * mean: `update` on an index IS `upsert` (re-encode), and
+    * `hardDelete` ≡ `delete` (tombstones already are the soft state;
+    * compaction is the hard reclamation).
+    */
+  val CdcOps: Set[String] = Set("insert", "upsert", "delete")
+
+  /** The token-guarded segment-commit choreography shared by every
+    * index family's append / upsert / CDC mutation: resolve the live
+    * generation under the mutation lease, no-op (false) if `token` is
+    * already applied, otherwise run `mutate(gen, stage)` — the family's
+    * tombstone writes and staged data writes — and commit the stage as
+    * the token's segment in one atomic rename. ONE implementation so
+    * the families cannot drift on the ordering the protocol's safety
+    * rests on: token check FIRST (a replay is a structural no-op, and
+    * in particular cannot re-add tombstones over a later re-insert),
+    * tombstones inside `mutate` land BEFORE the commit (the
+    * at-least-once retry heals the only torn crash state), and the
+    * token becomes visible WITH the data, never separately.
+    */
+  def tokenGuardedSegment(root: String, token: String, tag: String)(
+      mutate: (String, String) => Unit): Boolean = {
+    requireValidToken(token)
+    withMutation(root, op = s"$tag:$token") {
+      val gen = liveGen(root)
+      if (appliedTokens(gen).contains(token)) false
+      else {
+        val stage = newStageDir(root, tag)
+        mutate(gen, stage)
+        commitSegment(gen, stage, token)
+        true
+      }
+    }
+  }
+
   // ---- generations ----------------------------------------------------------
 
   private val LivePointer = "_live.txt"
