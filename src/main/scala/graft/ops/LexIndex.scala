@@ -285,6 +285,40 @@ object LexIndex {
       writeStats(stage, statsOf(pinned))
     }
 
+  /** Apply one CDC micro-batch of documents — rows tagged by an `op`
+    * column with a [[graft.util.IndexMaint.CdcOps]] verb — as ONE
+    * leased, token-guarded mutation (the [[Ivf.applyCdcIdempotent]]
+    * contract on the lexical index): delete+upsert doc_ids are
+    * tombstoned with their doc-dir-sourced stats adjustment, then the
+    * insert+upsert docs commit as one new segment (postings + doc dir
+    * + stats sidecar) carrying the token. A pure-delete batch commits
+    * a zero-row segment so its token is durable and a replayed delete
+    * cannot re-hide a later batch's legitimate re-insert. Unknown
+    * verbs fail loudly before any mutation.
+    */
+  def applyCdcDocs(path: String, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(path, token, "cdc") { (gen, stage) =>
+      val pinned = batch.select(col("doc_id"), col("text"), col("op"))
+        .localCheckpoint()
+      val ops = pinned.select(col("op")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val unknown = ops -- graft.util.IndexMaint.CdcOps
+      require(unknown.isEmpty, s"applyCdcDocs($token): unknown op(s) " +
+        s"${unknown.mkString(", ")} — expected " +
+        graft.util.IndexMaint.CdcOps.mkString("/"))
+      val doomed = pinned.filter(col("op").isin("delete", "upsert"))
+        .select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      if (doomed.nonEmpty) deleteCore(pinned.sparkSession, gen, doomed)
+      val adds = pinned.filter(col("op").isin("insert", "upsert")).drop("op")
+        .localCheckpoint()
+      postingsOf(adds)
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(stage)
+      writeDocDir(adds, stage)
+      writeStats(stage, statsOf(adds))
+    }
+
   /** The live postings relation (partition columns `seg`, `tb`). */
   def indexData(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(graft.util.IndexMaint.liveGen(path))
@@ -404,6 +438,51 @@ object LexIndex {
       .select(col("doc_id"), col("dtext").as("text"))
     upsertDocsIdempotent(path, batch, "upsq:1")
     bm25TopK(spark, path, Search.fixtureQueries, 5)
+  }
+
+  /** Registered `stream_bm25_cdc`: the lexical index tracks a mutating
+    * corpus as a live CDC stream — three id-disjoint op-tagged batches
+    * (inserts: +1000000-keyed copies of the %11==0 docs; deletes: the
+    * %7==3 non-upsert stratum; upserts: %5==2 docs re-crawled with
+    * their successor's text — all real table values) drain through
+    * [[graft.streaming.DocIngest]], each applied as one atomic
+    * token-guarded mutation. The oracle is the in-memory BM25 twin
+    * over the EFFECTIVE corpus: hash equality proves deleted postings
+    * left stats, df and ranks, upserted docs score with their new
+    * tf/dl, and inserts serve — independent of how the stream batched.
+    * Bench replays no-op on the durable `docs:` tokens.
+    */
+  def bm25StreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_cdc", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val batches = Seq(
+      docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("insert").as("op")),
+      docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), col("text"), lit("delete").as("op")),
+      docs.filter(col("doc_id") % 5 === 2)
+        .join(donor, col("did") === col("doc_id") + 1)
+        .select(col("doc_id"), col("dtext").as("text"), lit("upsert").as("op")))
+    val tmp = java.nio.file.Files.createTempDirectory("stream_bm25_cdc").toString
+    try {
+      val srcDir = s"$tmp/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val stage = s"$tmp/stage$i"
+        rows.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      graft.streaming.DocIngest.ingestStreamDocs(spark, srcDir, path)
+      bm25TopK(spark, path, Search.fixtureQueries, 5).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
   /** Registered `search_hybrid_rrf`: hybrid retrieval over the two
@@ -538,6 +617,7 @@ object LexIndex {
     "search_bm25_persisted" -> (bm25Persisted _),
     "search_bm25_deleted" -> (bm25Deleted _),
     "search_bm25_upserted" -> (bm25Upserted _),
+    "stream_bm25_cdc" -> (bm25StreamCdc _),
     "search_hybrid_rrf" -> (hybridRrf _))
 
   val oracles: Map[String, String] = Map(
@@ -555,5 +635,17 @@ object LexIndex {
         |             THEN n.text ELSE d.text END AS text
         | FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1)"""
         .stripMargin),
+    // after a CDC stream it must reproduce the twin over the effective
+    // corpus: inserts unioned, deletes excluded at the source, upserts
+    // carrying the donor text — independent of batching
+    "stream_bm25_cdc" -> Search.textBm25SqlOverRel(
+      """(SELECT d.doc_id,
+        |        CASE WHEN d.doc_id % 5 = 2 AND n.doc_id IS NOT NULL
+        |             THEN n.text ELSE d.text END AS text
+        | FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        | WHERE NOT (d.doc_id % 7 = 3 AND d.doc_id % 5 <> 2)
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text
+        | FROM documents WHERE doc_id % 11 = 0)""".stripMargin),
     "search_hybrid_rrf" -> hybridRrfSql)
 }

@@ -192,6 +192,40 @@ class LexIndexSpec extends SparkTestBase {
       alpha2.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("applyCdcDocs: unknown op fails before any mutation; a pure-delete batch is durable; a mixed batch lands postings, doc dir and stats atomically") {
+    val d1 = (0 until 60).map(i => (i.toLong, s"alpha word$i")).toDF("doc_id", "text")
+    val path = tmpDir("lex_cdc") + "/index"
+    LexIndex.buildIndex(d1, path)
+    // unknown verb: loud failure, nothing tombstoned, stats untouched
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.applyCdcDocs(path,
+        Seq((1L, "x", "merge")).toDF("doc_id", "text", "op"), "cdc:bad")
+    }
+    assert(e.getMessage.contains("merge"))
+    assert(graft.util.IndexMaint.readTombstones(
+      graft.util.IndexMaint.liveGen(path)).isEmpty)
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(60L, 120L))
+    // pure-delete batch: stats adjust, token durable, replay no-ops
+    val del = (0 until 5).map(i => (i.toLong, "", "delete")).toDF("doc_id", "text", "op")
+    assert(LexIndex.applyCdcDocs(path, del, "cdc:d1"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(55L, 110L))
+    assert(!LexIndex.applyCdcDocs(path, del, "cdc:d1"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(55L, 110L))
+    // mixed batch: one insert (new id), one upsert (re-crawl doc 7)
+    val mixed = Seq((900L, "alpha fresh gamma", "insert"),
+      (7L, "gamma beta", "upsert")).toDF("doc_id", "text", "op")
+    assert(LexIndex.applyCdcDocs(path, mixed, "cdc:m1"))
+    // n_docs: -5 deletes +1 insert (the upsert holds); sum_dl tracks
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(56L, 113L))
+    val alpha = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 100)
+    assert(alpha.filter(col("doc_id") === 7L).count() === 0L,
+      "the upserted doc's old postings must be gone")
+    assert(alpha.filter(col("doc_id") === 900L).count() === 1L)
+    val gamma = LexIndex.bm25TopK(spark, path, Seq("q" -> "gamma"), 100)
+    assert(gamma.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(7L, 900L))
+  }
+
   test("compaction physically reclaims tombstoned postings: one segment, rankings identical, tombstones cleared, tokens carried") {
     val d1 = (0 until 80).map(i => (i.toLong, s"alpha word$i")).toDF("doc_id", "text")
     val d2 = (80 until 120).map(i => (i.toLong, s"alpha extra$i tail")).toDF("doc_id", "text")

@@ -541,6 +541,60 @@ class StreamingSpec extends SparkTestBase {
     assert(data.count() === 320 - 10 + 5 + 1)
   }
 
+  test("streaming doc ingest: lexical CDC batches apply atomically with compaction on cadence; a full replay no-ops after a re-insert") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = tmpDir("doc_ingest")
+    val path = s"$tmp/index"
+    graft.ops.LexIndex.buildIndex(
+      (0 until 80).map(i => (i.toLong, s"alpha word$i")).toDF("doc_id", "text"), path)
+    // b0: pure delete, b1: inserts, b2: upserts (re-crawl 20 and 21)
+    val batches = Seq(
+      (0 until 10).map(i => (i.toLong, "", "delete")),
+      (200 until 205).map(i => (i.toLong, s"alpha extra$i tail", "insert")),
+      Seq((20L, "gamma delta", "upsert"), (21L, "gamma epsilon", "upsert")))
+    val srcDir = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/stage$i"
+      rows.toDF("doc_id", "text", "op").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val reports = graft.streaming.DocIngest.ingestStreamDocs(
+      spark, srcDir, path, compactEvery = 3)
+    assert(reports.map(r => (r.inserted, r.upserted, r.deleted)) ===
+      Seq((0L, 0L, 10L), (5L, 0L, 0L), (0L, 2L, 0L)))
+    // the 3rd applied batch compacted: one segment, tombstones reclaimed
+    assert(reports.map(_.compacted) === Seq(false, false, true))
+    val gen = graft.util.IndexMaint.liveGen(path)
+    assert(graft.util.IndexMaint.segmentValues(gen) === Seq("base"))
+    assert(graft.util.IndexMaint.readTombstones(gen).isEmpty)
+    // stats track the effective corpus: n = 80 - 10 + 5 (upserts hold
+    // n), sum_dl = 160 - 20 + 15 - 4 + 4
+    assert(graft.ops.LexIndex.liveStats(path) ===
+      graft.ops.LexIndex.LexStats(75L, 155L))
+    // a deleted doc comes back through a later legitimate append …
+    assert(graft.ops.LexIndex.appendDocsIdempotent(path,
+      Seq((3L, "alpha resurrected")).toDF("doc_id", "text"), "readd:3"))
+    // … and a FULL stream replay (fresh checkpoint) no-ops every token:
+    // tokens survive compaction, so even the compacted delete cannot
+    // re-hide the re-inserted doc
+    val replay = graft.streaming.DocIngest.ingestStreamDocs(
+      spark, srcDir, path, compactEvery = 3, checkpointDir = s"$tmp/ckpt2")
+    assert(replay.length === 3 && replay.forall(_.replayed))
+    val alpha = graft.ops.LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+    assert(alpha.filter(col("doc_id") === 3L).count() === 1L,
+      "a replayed delete must not resurrect over the re-insert")
+    assert(alpha.filter(col("doc_id") < 10 && col("doc_id") =!= 3L).count() === 0L)
+    assert(graft.ops.LexIndex.liveStats(path) ===
+      graft.ops.LexIndex.LexStats(76L, 157L))
+  }
+
   test("streaming IVF ingest maintains itself: drift fires on the shifted batch, rebalance repairs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
