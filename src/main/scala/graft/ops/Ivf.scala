@@ -399,7 +399,10 @@ object Ivf {
     * BEFORE the segment commit, so the at-least-once retry heals the
     * only torn state). `insert` rows skip the tombstone write — the
     * producer is asserting the id is new, so the delete probe would be
-    * wasted metadata churn at takedown-sidecar scale.
+    * wasted metadata churn at takedown-sidecar scale. A producer that
+    * violates that contract (insert for an existing id) creates a
+    * duplicate that [[compactIndex]] detects and fails loudly on
+    * ([[graft.util.IndexMaint.requireUniqueIds]], remedy: `upsert`).
     *
     * A PURE-DELETE batch still commits a (zero-row) segment: the token
     * must become durable, because a replayed delete re-tombstones
@@ -410,17 +413,11 @@ object Ivf {
   def applyCdcIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
       val pinned = batch.localCheckpoint()
-      val ops = pinned.select(col("op")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val unknown = ops -- CdcOps
-      require(unknown.isEmpty, s"applyCdc($token): unknown op(s) " +
-        s"${unknown.mkString(", ")} — expected ${CdcOps.mkString("/")}")
-      val doomed = pinned.filter(col("op").isin("delete", "upsert"))
-        .select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
+      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "vec_id",
+        s"applyCdc($token)")
       if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
       encodeBatch(IvfIndex(index.path, readCentroids(gen)),
-        pinned.filter(col("op").isin("insert", "upsert")).drop("op"))
+        graft.util.IndexMaint.cdcAdds(pinned))
         .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
 
@@ -519,6 +516,9 @@ object Ivf {
         .drop("seg")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+      graft.util.IndexMaint.requireUniqueIds(
+        spark.read.parquet(s"$stage/seg=base").select(col("vec_id")),
+        "vec_id", s"compactIndex(${index.path})")
       writeCentroids(stage, centroids)
       // Without deletes the contents are identical, so the drift
       // BASELINE is carried — compaction must not mask quantizer rot.

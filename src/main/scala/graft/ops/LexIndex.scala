@@ -196,8 +196,9 @@ object LexIndex {
   def compactIndex(spark: SparkSession, path: String): String =
     graft.util.IndexMaint.withMutation(path, op = "compact") {
       val gen = graft.util.IndexMaint.liveGen(path)
-      val survivors = graft.util.IndexMaint
-        .minusTombstones(indexData(spark, path), gen, idCol = "doc_id")
+      // indexData subtracts tombstones: compaction is the physical
+      // reclamation point, and the new generation carries no sidecar
+      val survivors = indexData(spark, path)
         .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
         .localCheckpoint()
       // a fully-deleted index has no schema to re-land — refuse loudly
@@ -300,18 +301,10 @@ object LexIndex {
     graft.util.IndexMaint.tokenGuardedSegment(path, token, "cdc") { (gen, stage) =>
       val pinned = batch.select(col("doc_id"), col("text"), col("op"))
         .localCheckpoint()
-      val ops = pinned.select(col("op")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val unknown = ops -- graft.util.IndexMaint.CdcOps
-      require(unknown.isEmpty, s"applyCdcDocs($token): unknown op(s) " +
-        s"${unknown.mkString(", ")} — expected " +
-        graft.util.IndexMaint.CdcOps.mkString("/"))
-      val doomed = pinned.filter(col("op").isin("delete", "upsert"))
-        .select(col("doc_id")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
+      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "doc_id",
+        s"applyCdcDocs($token)")
       if (doomed.nonEmpty) deleteCore(pinned.sparkSession, gen, doomed)
-      val adds = pinned.filter(col("op").isin("insert", "upsert")).drop("op")
-        .localCheckpoint()
+      val adds = graft.util.IndexMaint.cdcAdds(pinned).localCheckpoint()
       postingsOf(adds)
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(stage)
@@ -319,9 +312,17 @@ object LexIndex {
       writeStats(stage, statsOf(adds))
     }
 
-  /** The live postings relation (partition columns `seg`, `tb`). */
-  def indexData(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(graft.util.IndexMaint.liveGen(path))
+  /** The live postings relation (partition columns `seg`, `tb`), MINUS
+    * tombstoned docs — the [[Ivf.indexData]] reader contract: every
+    * read path honors takedowns through this one read, so a new
+    * consumer (export, stats job, retrieval stage) cannot resurrect
+    * deleted documents by forgetting the subtraction.
+    */
+  def indexData(spark: SparkSession, path: String): DataFrame = {
+    val gen = graft.util.IndexMaint.liveGen(path)
+    graft.util.IndexMaint.minusTombstones(
+      spark.read.parquet(gen), gen, idCol = "doc_id")
+  }
 
   /** BM25 top-k over the PERSISTED postings — the serving path: the
     * query's terms resolve to ≤ |terms| `tb` buckets (static partition
@@ -348,13 +349,11 @@ object LexIndex {
     val terms = qs.map(_._2).distinct
     val buckets = bucketsOf(spark, terms)
     val stats = liveStats(path)
-    // tombstones subtract BEFORE df: a deleted doc must leave the
-    // posting-list lengths, not just the result page
-    val posts = graft.util.IndexMaint.minusTombstones(
-        indexData(spark, path)
-          .filter(col("tb").isin(buckets: _*))
-          .filter(col("term").isin(terms: _*)),
-        graft.util.IndexMaint.liveGen(path), idCol = "doc_id")
+    // indexData subtracts tombstones BEFORE df: a deleted doc leaves
+    // the posting-list lengths, not just the result page
+    val posts = indexData(spark, path)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .localCheckpoint() // one postings fetch feeds df AND the score join
     val df = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -369,24 +368,24 @@ object LexIndex {
   // ---- session memo (rebuild-per-invocation harness contract) ---------------
 
   private val builtMemo =
-    new scala.collection.concurrent.TrieMap[(String, Long), Unit]()
+    new graft.util.BoundedCache[(String, Long), String](max = 64)
 
   /** [[buildIndex]] memoized per (path, source fingerprint) — the
-    * [[Ivf.buildIndexCached]] pattern: deterministic build, one
-    * derivation per session, fingerprint invalidation on rewrite.
+    * [[Ivf.buildIndexCached]] pattern verbatim (one BoundedCache idiom
+    * across families): deterministic build, one derivation per session,
+    * stale-fingerprint entries for the same path evicted on rebuild.
     */
   def buildIndexCached(docs: DataFrame, srcDir: String, path: String): String = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir))
-    if (!builtMemo.contains(key)) {
+    builtMemo.get(key).getOrElse {
       graft.util.IndexMaint.lockFor(path).synchronized {
-        if (!builtMemo.contains(key)) {
+        builtMemo.get(key).getOrElse {
           buildIndex(docs, path)
-          builtMemo.filterInPlace { case ((p, _), _) => p != path }
-          builtMemo.put(key, ())
+          builtMemo.putReplacing(key, path)(k => k._1 == path && k != key)
+          path
         }
       }
     }
-    path
   }
 
   /** Registered `search_bm25_persisted`: build the postings once, serve

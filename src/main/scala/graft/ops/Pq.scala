@@ -759,14 +759,19 @@ object Pq {
       indexData(spark, index.path).drop("seg")
         .repartition(numFiles)
         .write.mode("overwrite").parquet(s"$stage/seg=base")
+      graft.util.IndexMaint.requireUniqueIds(
+        spark.read.parquet(s"$stage/seg=base").select(col("vec_id")),
+        "vec_id", s"compactIndex(${index.path})")
       writeCodebooks(stage, cbs)
       // codes are unchanged, so the encode-time fit baseline is carried
       // — compaction must not reset the drift reference. Deletion is
       // the exception: the old baseline weights subspaces by dropped
       // rows, so it is recomputed over the survivors' stored codes.
+      // survivors were just written tombstone-free: recompute from the
+      // stage, not a second old-generation scan through the anti-join
       if (hadDeletes)
-        writeSubStats(stage,
-          subStatsOf(withStoredCodeD2(indexData(spark, index.path), cbs), m))
+        writeSubStats(stage, subStatsOf(withStoredCodeD2(
+          spark.read.parquet(s"$stage/seg=base"), cbs), m))
       else writeSubStats(stage, readSubStats(gen))
       graft.util.IndexMaint.writeConsolidatedTokens(stage,
         graft.util.IndexMaint.appliedTokens(gen))
@@ -1629,13 +1634,17 @@ object Pq {
       indexData(spark, index.path).drop("seg")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
+      graft.util.IndexMaint.requireUniqueIds(
+        spark.read.parquet(s"$stage/seg=base").select(col("vec_id")),
+        "vec_id", s"compactIndexResidual(${index.path})")
       Ivf.writeCentroids(stage, cents)
       writeCodebooks(stage, cbs)
       // fit baseline carried unless rows were dropped (the delete
       // exception — recomputed over survivors' stored codes)
+      // recompute from the just-written survivor stage (see compactIndex)
       if (hadDeletes)
         writeSubStats(stage, subStatsOf(withStoredCodeD2Residual(
-          indexData(spark, index.path), cents, cbs), cbs.size))
+          spark.read.parquet(s"$stage/seg=base"), cents, cbs), cbs.size))
       else writeSubStats(stage, readSubStats(gen))
       graft.util.IndexMaint.writeConsolidatedTokens(stage,
         graft.util.IndexMaint.appliedTokens(gen))

@@ -144,6 +144,51 @@ object IndexMaint {
     */
   val CdcOps: Set[String] = Set("insert", "upsert", "delete")
 
+  /** Validate a CDC batch's `op` column (loudly, before any mutation)
+    * and return the ids the mutation must tombstone — the delete+upsert
+    * rows' `idCol`, distinct, as driver metadata (the tombstone
+    * contract). Shared by every family's applyCdc so the verb set and
+    * the delete/upsert split cannot drift between families.
+    */
+  def cdcDoomedIds(pinned: org.apache.spark.sql.DataFrame, idCol: String,
+      context: String): IndexedSeq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val ops = pinned.select(col("op")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val unknown = ops -- CdcOps
+    require(unknown.isEmpty, s"$context: unknown op(s) " +
+      s"${unknown.mkString(", ")} — expected ${CdcOps.mkString("/")}")
+    pinned.filter(col("op").isin("delete", "upsert"))
+      .select(col(idCol)).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+  }
+
+  /** The rows a CDC mutation inserts — insert+upsert, op dropped. */
+  def cdcAdds(pinned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    pinned.filter(col("op").isin("insert", "upsert")).drop("op")
+  }
+
+  /** Fail loudly if a survivor relation carries duplicate ids — the
+    * post-reclamation invariant every screen's top-k page relies on. A
+    * duplicate here means a producer violated the `insert` contract
+    * (sent insert for an id that already existed; insert skips the
+    * tombstone write by design, so both copies survive) — the remedy is
+    * `upsert`. Checked at compaction, where the survivors were just
+    * written: one id-column aggregate over the fresh stage, never a
+    * second corpus pass.
+    */
+  def requireUniqueIds(survivors: org.apache.spark.sql.DataFrame,
+      idCol: String, context: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val r = survivors.agg(
+      count(lit(1)).as("n"), countDistinct(col(idCol)).as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$context: ${r.getLong(0) - r.getLong(1)} duplicate $idCol rows in the " +
+        "compacted survivors — a CDC producer sent `insert` for ids that " +
+        "already existed; use `upsert` (delete-then-insert) for existing ids")
+  }
+
   /** The token-guarded segment-commit choreography shared by every
     * index family's append / upsert / CDC mutation: resolve the live
     * generation under the mutation lease, no-op (false) if `token` is

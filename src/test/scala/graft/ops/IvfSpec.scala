@@ -668,6 +668,16 @@ class IvfSpec extends SparkTestBase {
     assert(data.filter(col("vec_id") === 7L).count() === 1,
       "an upserted id must have exactly one live copy")
     assert(data.count() === 320 - 3 + 1)
+    // a producer violating the insert contract (insert for an EXISTING
+    // id) creates a duplicate that compaction detects and refuses,
+    // naming the upsert remedy — never silently re-lands
+    val badInsert = emb.filter(col("vec_id") === 322L)
+      .select(lit(7L).as("vec_id"), col("embedding"), lit("insert").as("op"))
+    assert(Ivf.applyCdcIdempotent(idx, badInsert, "cdc:dup"))
+    val dup = intercept[IllegalArgumentException] {
+      Ivf.compactIndex(spark, idx)
+    }
+    assert(dup.getMessage.contains("upsert"))
   }
 
   test("deletes under two writers: concurrent disjoint takedowns serialize under the lease; the union lands") {
