@@ -198,9 +198,22 @@ object LexIndex {
       val gen = graft.util.IndexMaint.liveGen(path)
       // indexData subtracts tombstones: compaction is the physical
       // reclamation point, and the new generation carries no sidecar
-      val survivors = indexData(spark, path)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+      val withSeg = indexData(spark, path)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"),
+          col("seg"))
         .localCheckpoint()
+      // the lexical form of the duplicate-id refusal (the vector
+      // compactions' requireUniqueIds): a SURVIVING doc legitimately
+      // lives in exactly one segment — its old copies are tombstoned by
+      // upsert/delete — so a doc spanning two segments means a producer
+      // re-added it without tombstoning (same- or different-text, both
+      // caught; a (doc_id, term)-level check would miss disjoint-vocab
+      // re-adds)
+      graft.util.IndexMaint.requireUniqueIds(
+        withSeg.select(col("doc_id"), col("seg")).distinct()
+          .select(col("doc_id")),
+        "doc_id", s"compactIndex($path)")
+      val survivors = withSeg.drop("seg")
       // a fully-deleted index has no schema to re-land — refuse loudly
       // (drop the index instead) rather than committing an unreadable
       // generation

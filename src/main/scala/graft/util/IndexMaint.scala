@@ -185,8 +185,10 @@ object IndexMaint {
       count(lit(1)).as("n"), countDistinct(col(idCol)).as("d")).head()
     require(r.getLong(0) == r.getLong(1),
       s"$context: ${r.getLong(0) - r.getLong(1)} duplicate $idCol rows in the " +
-        "compacted survivors — a CDC producer sent `insert` for ids that " +
-        "already existed; use `upsert` (delete-then-insert) for existing ids")
+        "compacted survivors — a producer re-added existing ids without " +
+        "tombstoning the old copies (a CDC `insert` for an existing id, or " +
+        "overlapping append batches); use `upsert` (delete-then-insert) " +
+        "for existing ids")
   }
 
   /** The token-guarded segment-commit choreography shared by every

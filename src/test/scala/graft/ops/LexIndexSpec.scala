@@ -224,6 +224,16 @@ class LexIndexSpec extends SparkTestBase {
     val gamma = LexIndex.bm25TopK(spark, path, Seq("q" -> "gamma"), 100)
     assert(gamma.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(7L, 900L))
+    // an insert-contract violation (insert for the EXISTING doc 30, new
+    // disjoint-vocab text) is refused loudly at compaction — the doc
+    // now spans two segments, which only a tombstoned re-add may
+    assert(LexIndex.applyCdcDocs(path,
+      Seq((30L, "zeta eta theta", "insert")).toDF("doc_id", "text", "op"),
+      "cdc:dup"))
+    val dup = intercept[IllegalArgumentException] {
+      LexIndex.compactIndex(spark, path)
+    }
+    assert(dup.getMessage.contains("upsert"))
   }
 
   test("compaction physically reclaims tombstoned postings: one segment, rankings identical, tombstones cleared, tokens carried") {
