@@ -503,17 +503,47 @@ object Ivf {
     * oracle row prove it; ScaleProbe records the file-count collapse).
     */
   def compactIndex(spark: SparkSession, index: IvfIndex): IvfIndex =
-    graft.util.IndexMaint.withMutation(index.path, op = "compact") {
+    compactCore(spark, index, doomed = None)
+
+  /** Bulk delete by predicate — the retention/TTL path. A mass removal
+    * (drop a source, an age stratum, a whole month) would blow the
+    * bounded-metadata tombstone contract — millions of (seg, id) pairs
+    * in a driver-side sidecar slowing every screen's anti-join — so it
+    * is instead ONE filtered compaction: survivors rewritten as a
+    * fresh generation with the predicate applied scan-side, the drift
+    * baseline recomputed over survivors, any prior tombstones subsumed
+    * by the rewrite, applied tokens carried. The complement of
+    * [[deleteIds]]: tombstones for bounded takedown lists, a rewrite
+    * for corpus-scale strata — both end in the same generation
+    * protocol, so readers never see a half-applied delete.
+    */
+  def deleteWhere(spark: SparkSession, index: IvfIndex,
+      doomed: org.apache.spark.sql.Column): IvfIndex =
+    compactCore(spark, index, Some(doomed))
+
+  private def compactCore(spark: SparkSession, index: IvfIndex,
+      doomed: Option[org.apache.spark.sql.Column]): IvfIndex =
+    graft.util.IndexMaint.withMutation(index.path,
+      op = if (doomed.isDefined) "deleteWhere" else "compact") {
       val gen = graft.util.IndexMaint.liveGen(index.path)
       val centroids = readCentroids(gen)
-      val hadDeletes = graft.util.IndexMaint.readTombstones(gen).nonEmpty
+      val hadDeletes =
+        graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
       val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
       // indexData subtracts the tombstone set, so compaction IS the
       // physical reclamation: deleted rows are dropped from the rewrite
       // and the new generation carries no tombstone sidecar. Metadata
       // columns (filtered search) ride through the star projection.
-      indexData(spark, index.path)
-        .drop("seg")
+      val survivors = {
+        val d = indexData(spark, index.path).drop("seg")
+        doomed.map(p => d.filter(!p)).getOrElse(d)
+      }
+      doomed.foreach { _ =>
+        require(!survivors.isEmpty,
+          s"deleteWhere(${index.path}): every vector matches the predicate; " +
+            "drop the index instead of committing an unreadable generation")
+      }
+      survivors
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
       graft.util.IndexMaint.requireUniqueIds(
@@ -818,6 +848,25 @@ object Ivf {
     screenBatch(spark, index, emb.filter(col("vec_id") % 10 === 0), k, nprobe)
   }
 
+  /** Registered `sim_ivf_retention`: the CORPUS-SCALE delete — a whole
+    * stratum (% 5 == 1 of the base, ~18%) leaves via [[deleteWhere]]'s
+    * one filtered compaction instead of a tombstone list, and the
+    * post-rewrite screen must equal the closed form over survivors —
+    * same claim as `sim_ivf_deleted` but through the rewrite path the
+    * tombstone contract hands off to at retention scale. Idempotent
+    * across bench replays: re-filtering an already-filtered index
+    * rewrites identical rows.
+    */
+  def ivfRetention(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val index = buildIndexCached(base, s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivf_index_ret", dir), kCells = 16, iters = 0)
+    val after = deleteWhere(spark, loadIndex(index.path), col("vec_id") % 5 === 1)
+    screenBatch(spark, after, emb.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4)
+  }
+
   /** Registered `sim_ivf_upserted`: the delete-then-insert lifecycle
     * under the oracle — build on the base (vec_id % 10 ≠ 0), then
     * [[upsertBatchIdempotent]] a "re-embedded" wave: every % 9 == 4 id
@@ -1062,8 +1111,17 @@ object Ivf {
     * sample and cell assignment replay over the full base, because
     * deletion neither retrains nor re-encodes.
     */
-  val ivfDeletedSql: String =
-    """WITH ho AS (
+  val ivfDeletedSql: String = ivfScreenMinusSql("a.vec_id % 7 <> 3")
+
+  /** Twin of [[ivfRetention]]: the same survivors-only closed form with
+    * the retention stratum — the tombstone path and the filtered-
+    * compaction rewrite are indistinguishable to a reader, which is
+    * exactly the claim.
+    */
+  val ivfRetentionSql: String = ivfScreenMinusSql("a.vec_id % 5 <> 1")
+
+  private def ivfScreenMinusSql(candPred: String): String =
+    s"""WITH ho AS (
       |  SELECT vec_id, embedding,
       |         md5_number_lower(CAST(vec_id AS VARCHAR)) % 1000003 AS hord
       |  FROM embeddings WHERE vec_id % 10 <> 0),
@@ -1103,7 +1161,7 @@ object Ivf {
       |  JOIN assigned a ON a.cid = p.cid
       |  JOIN queries q ON q.query_id = p.query_id
       |  JOIN en ON en.vec_id = a.vec_id
-      |  WHERE a.vec_id % 7 <> 3),
+      |  WHERE $candPred),
       |ranked AS (
       |  SELECT query_id, vec_id, score,
       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank

@@ -194,14 +194,33 @@ object LexIndex {
     * generation flip. The [[Ivf.compactIndex]] contract for postings.
     */
   def compactIndex(spark: SparkSession, path: String): String =
-    graft.util.IndexMaint.withMutation(path, op = "compact") {
+    compactCore(spark, path, doomed = None)
+
+  /** Bulk delete by doc predicate — the [[Ivf.deleteWhere]] retention
+    * path on the postings: a corpus-scale removal would blow both
+    * bounded-metadata contracts (the tombstone sidecar AND the doc-dir
+    * stats walk), so it is ONE filtered compaction — survivors
+    * rewritten bucket-partitioned, doc dir + stats recomputed over
+    * them, prior tombstones and takedown adjustments subsumed, tokens
+    * carried.
+    */
+  def deleteDocsWhere(spark: SparkSession, path: String,
+      doomed: org.apache.spark.sql.Column): String =
+    compactCore(spark, path, Some(doomed))
+
+  private def compactCore(spark: SparkSession, path: String,
+      doomed: Option[org.apache.spark.sql.Column]): String =
+    graft.util.IndexMaint.withMutation(path,
+      op = if (doomed.isDefined) "deleteWhere" else "compact") {
       val gen = graft.util.IndexMaint.liveGen(path)
       // indexData subtracts tombstones: compaction is the physical
       // reclamation point, and the new generation carries no sidecar
-      val withSeg = indexData(spark, path)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"),
-          col("seg"))
-        .localCheckpoint()
+      val withSeg = {
+        val d = indexData(spark, path)
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"),
+            col("seg"))
+        doomed.map(p => d.filter(!p)).getOrElse(d)
+      }.localCheckpoint()
       // the lexical form of the duplicate-id refusal (the vector
       // compactions' requireUniqueIds): a SURVIVING doc legitimately
       // lives in exactly one segment — its old copies are tombstoned by
@@ -218,7 +237,8 @@ object LexIndex {
       // (drop the index instead) rather than committing an unreadable
       // generation
       require(!survivors.isEmpty,
-        s"compactIndex($path): every document is tombstoned; drop the index")
+        s"compactIndex($path): no document survives (all tombstoned or " +
+          "matching the deleteWhere predicate); drop the index instead")
       val stage = graft.util.IndexMaint.newStageDir(path, "compact")
       survivors.repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
@@ -452,6 +472,22 @@ object LexIndex {
     bm25TopK(spark, path, Search.fixtureQueries, 5)
   }
 
+  /** Registered `search_bm25_retention`: the corpus-scale delete on the
+    * postings — a whole stratum (% 5 == 1) leaves via [[deleteDocsWhere]]'s
+    * one filtered compaction, and BM25 must equal the in-memory twin
+    * over survivors (stats, df and ranks all track) — the same claim as
+    * `search_bm25_deleted` through the rewrite path the tombstone
+    * contract hands off to at retention scale. Replay-idempotent:
+    * re-filtering rewrites identical rows.
+    */
+  def bm25Retention(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_ret", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    deleteDocsWhere(spark, path, col("doc_id") % 5 === 1)
+    bm25TopK(spark, path, Search.fixtureQueries, 5)
+  }
+
   /** Registered `stream_bm25_cdc`: the lexical index tracks a mutating
     * corpus as a live CDC stream — three id-disjoint op-tagged batches
     * (inserts: +1000000-keyed copies of the %11==0 docs; deletes: the
@@ -629,6 +665,7 @@ object LexIndex {
     "search_bm25_persisted" -> (bm25Persisted _),
     "search_bm25_deleted" -> (bm25Deleted _),
     "search_bm25_upserted" -> (bm25Upserted _),
+    "search_bm25_retention" -> (bm25Retention _),
     "stream_bm25_cdc" -> (bm25StreamCdc _),
     "search_hybrid_rrf" -> (hybridRrf _))
 
@@ -647,6 +684,9 @@ object LexIndex {
         |             THEN n.text ELSE d.text END AS text
         | FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1)"""
         .stripMargin),
+    // a retention rewrite must be indistinguishable from a takedown to
+    // any reader: the SAME survivors-only twin shape
+    "search_bm25_retention" -> Search.textBm25SqlWhere("doc_id % 5 <> 1"),
     // after a CDC stream it must reproduce the twin over the effective
     // corpus: inserts unioned, deletes excluded at the source, upserts
     // carrying the donor text — independent of batching

@@ -748,15 +748,38 @@ object Pq {
     */
   def compactIndex(spark: SparkSession, index: PqIndex,
       numFiles: Int = 1): PqIndex =
-    graft.util.IndexMaint.withMutation(index.path, op = "compact") {
+    compactCore(spark, index, numFiles, doomed = None)
+
+  /** Bulk delete by predicate — the [[Ivf.deleteWhere]] retention path
+    * on the PQ codes: one filtered compaction instead of a
+    * corpus-scale tombstone list.
+    */
+  def deleteWhere(spark: SparkSession, index: PqIndex,
+      doomed: org.apache.spark.sql.Column): PqIndex =
+    compactCore(spark, index, numFiles = 1, Some(doomed))
+
+  private def compactCore(spark: SparkSession, index: PqIndex,
+      numFiles: Int, doomed: Option[org.apache.spark.sql.Column]): PqIndex =
+    graft.util.IndexMaint.withMutation(index.path,
+      op = if (doomed.isDefined) "deleteWhere" else "compact") {
       val gen = graft.util.IndexMaint.liveGen(index.path)
       val cbs = readCodebooks(gen)
       val m = cbs.size
-      val hadDeletes = graft.util.IndexMaint.readTombstones(gen).nonEmpty
+      val hadDeletes =
+        graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
       val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
       // indexData subtracts tombstones: compaction is the physical
       // reclamation point, and the new generation carries no sidecar
-      indexData(spark, index.path).drop("seg")
+      val survivors = {
+        val d = indexData(spark, index.path).drop("seg")
+        doomed.map(p => d.filter(!p)).getOrElse(d)
+      }
+      doomed.foreach { _ =>
+        require(!survivors.isEmpty,
+          s"deleteWhere(${index.path}): every vector matches the predicate; " +
+            "drop the index instead")
+      }
+      survivors
         .repartition(numFiles)
         .write.mode("overwrite").parquet(s"$stage/seg=base")
       graft.util.IndexMaint.requireUniqueIds(
@@ -920,6 +943,24 @@ object Pq {
         .collect().map(_.getLong(0)).toIndexedSeq
       graft.util.IndexMaint.addTombstones(gen, ids)
       encodeBatchCols(PqIndex(index.path, readCodebooks(gen)), pinned)
+        .write.mode("overwrite").parquet(stage)
+    }
+
+  /** Apply one CDC micro-batch — the [[Ivf.applyCdcIdempotent]]
+    * contract on the PQ index: delete+upsert ids tombstoned across the
+    * segments present now, insert+upsert rows re-encoded and committed
+    * as one token-carrying segment (zero-row for a pure-delete batch,
+    * so its token is durable and a replayed delete cannot re-hide a
+    * later re-insert).
+    */
+  def applyCdcIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "vec_id",
+        s"applyCdc($token)")
+      if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
+      encodeBatchCols(PqIndex(index.path, readCodebooks(gen)),
+        graft.util.IndexMaint.cdcAdds(pinned))
         .write.mode("overwrite").parquet(stage)
     }
 
@@ -1398,6 +1439,23 @@ object Pq {
         .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
 
+  /** Apply one CDC micro-batch on the residual index — the
+    * [[Ivf.applyCdcIdempotent]] contract with residual re-encoding
+    * against the live coarse quantizer + codebooks.
+    */
+  def applyCdcIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
+      token: String): Boolean =
+    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "vec_id",
+        s"applyCdcResidual($token)")
+      if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
+      val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
+      dropD2(residualEncodeWithD2(graft.util.IndexMaint.cdcAdds(pinned),
+        live.centroids, live.codebooks), live.codebooks.size)
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
+    }
+
   /** Delete ids from the residual index ([[Ivf.deleteIds]] contract). */
   def deleteIdsResidual(index: IvfPqIndex, ids: Seq[Long]): Int =
     graft.util.IndexMaint.withMutation(index.path, op = "delete") {
@@ -1624,14 +1682,36 @@ object Pq {
     * rebalances.
     */
   def compactIndexResidual(spark: SparkSession, index: IvfPqIndex): IvfPqIndex =
-    graft.util.IndexMaint.withMutation(index.path, op = "compact") {
+    compactCoreResidual(spark, index, doomed = None)
+
+  /** Bulk delete by predicate on the residual index — the
+    * [[Ivf.deleteWhere]] retention path.
+    */
+  def deleteWhereResidual(spark: SparkSession, index: IvfPqIndex,
+      doomed: org.apache.spark.sql.Column): IvfPqIndex =
+    compactCoreResidual(spark, index, Some(doomed))
+
+  private def compactCoreResidual(spark: SparkSession, index: IvfPqIndex,
+      doomed: Option[org.apache.spark.sql.Column]): IvfPqIndex =
+    graft.util.IndexMaint.withMutation(index.path,
+      op = if (doomed.isDefined) "deleteWhere" else "compact") {
       val gen = graft.util.IndexMaint.liveGen(index.path)
       val cents = Ivf.readCentroids(gen)
       val cbs = readCodebooks(gen)
-      val hadDeletes = graft.util.IndexMaint.readTombstones(gen).nonEmpty
+      val hadDeletes =
+        graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
       val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
       // physical reclamation: survivors only, no tombstone carry
-      indexData(spark, index.path).drop("seg")
+      val survivors = {
+        val d = indexData(spark, index.path).drop("seg")
+        doomed.map(p => d.filter(!p)).getOrElse(d)
+      }
+      doomed.foreach { _ =>
+        require(!survivors.isEmpty,
+          s"deleteWhereResidual(${index.path}): every vector matches the " +
+            "predicate; drop the index instead")
+      }
+      survivors
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
       graft.util.IndexMaint.requireUniqueIds(

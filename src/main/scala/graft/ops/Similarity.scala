@@ -1065,6 +1065,7 @@ object Similarity {
     "sim_ivf_incremental" -> (Ivf.ivfIncremental _),
     "sim_ivf_compacted" -> (Ivf.ivfCompacted _),
     "sim_ivf_deleted" -> (Ivf.ivfDeleted _),
+    "sim_ivf_retention" -> (Ivf.ivfRetention _),
     "sim_ivf_upserted" -> (Ivf.ivfUpserted _),
     "sim_ivf_filtered_persisted" -> (Ivf.ivfFilteredPersisted _),
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
@@ -1086,6 +1087,7 @@ object Similarity {
     "sim_ivf_incremental" -> Ivf.ivfIncrementalSql,
     "sim_ivf_compacted" -> Ivf.ivfCompactedSql,
     "sim_ivf_deleted" -> Ivf.ivfDeletedSql,
+    "sim_ivf_retention" -> Ivf.ivfRetentionSql,
     "sim_ivf_upserted" -> Ivf.ivfUpsertedSql,
     "sim_ivf_filtered_persisted" -> Ivf.ivfFilteredPersistedSql,
     "sim_embedding_neardup" -> embeddingNearDupSql)

@@ -680,6 +680,34 @@ class IvfSpec extends SparkTestBase {
     assert(dup.getMessage.contains("upsert"))
   }
 
+  test("deleteWhere: a filtered compaction equals deleteIds + compact composed; all-matching predicate refused; tombstones subsumed") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    val a = Ivf.buildIndex(base, tmpDir("ivf_dw_a"), kCells = 8, iters = 2)
+    val b = Ivf.buildIndex(base, tmpDir("ivf_dw_b"), kCells = 8, iters = 2)
+    // a: one bulk rewrite; b: the bounded-takedown path then compaction
+    // — plus a pre-existing tombstone on a that the rewrite subsumes
+    Ivf.deleteIds(a, Seq(300L))
+    val a2 = Ivf.deleteWhere(spark, a, col("vec_id") % 4 === 1 || col("vec_id") === 300L)
+    Ivf.deleteIds(b, (0L until 320L).filter(i => i % 4 == 1 || i == 300L))
+    val b2 = Ivf.compactIndex(spark, b)
+    val queries = emb.filter(col("vec_id") < 5).localCheckpoint()
+    def page(ix: Ivf.IvfIndex): Seq[String] =
+      Ivf.screenBatch(spark, ix, queries, k = 10, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq
+    assert(page(a2) === page(b2),
+      "the rewrite and the tombstone path must serve identical screens")
+    // no tombstone sidecar remains: the rewrite IS the reclamation
+    val gen = graft.util.IndexMaint.liveGen(a2.path)
+    assert(graft.util.IndexMaint.readTombstones(gen).isEmpty)
+    assert(spark.read.parquet(gen).filter(col("vec_id") % 4 === 1).count() === 0)
+    // a predicate matching everything is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Ivf.deleteWhere(spark, a2, col("vec_id") >= 0L)
+    }
+    assert(e.getMessage.contains("drop the index"))
+  }
+
   test("deletes under two writers: concurrent disjoint takedowns serialize under the lease; the union lands") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idxPath = tmpDir("ivf_del_race")

@@ -236,6 +236,31 @@ class LexIndexSpec extends SparkTestBase {
     assert(dup.getMessage.contains("upsert"))
   }
 
+  test("deleteDocsWhere: the retention rewrite serves exactly the survivors' scores; stats recomputed; tombstones subsumed") {
+    val d1 = (0 until 90).map(i => (i.toLong, s"alpha filler$i beta")).toDF("doc_id", "text")
+    val path = tmpDir("lex_dw") + "/index"
+    LexIndex.buildIndex(d1, path)
+    // mix the two delete paths: a bounded takedown, then a retention
+    // sweep whose rewrite subsumes the tombstones
+    LexIndex.deleteDocs(spark, path, Seq(5L))
+    LexIndex.deleteDocsWhere(spark, path, col("doc_id") % 3 === 1)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    assert(graft.util.IndexMaint.readTombstones(gen).isEmpty)
+    assert(graft.util.IndexMaint.segmentValues(gen) === Seq("base"))
+    // survivors: drop %3==1 (30 docs) and doc 5 -> 59 docs x dl 3
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(59L, 177L))
+    assert(LexIndex.readStats(path) === LexIndex.LexStats(59L, 177L))
+    val got = LexIndex.bm25TopK(spark, path, Seq("q" -> "alpha"), 200)
+    assert(got.count() === 59L)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      inMemoryBm25(d1.filter(col("doc_id") % 3 =!= 1 && col("doc_id") =!= 5L),
+        "alpha", 59L, 177L, 200))
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.deleteDocsWhere(spark, path, col("doc_id") >= 0L)
+    }
+    assert(e.getMessage.contains("drop the index"))
+  }
+
   test("compaction physically reclaims tombstoned postings: one segment, rankings identical, tombstones cleared, tokens carried") {
     val d1 = (0 until 80).map(i => (i.toLong, s"alpha word$i")).toDF("doc_id", "text")
     val d2 = (80 until 120).map(i => (i.toLong, s"alpha extra$i tail")).toDF("doc_id", "text")

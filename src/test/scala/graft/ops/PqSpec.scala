@@ -723,6 +723,84 @@ class PqSpec extends SparkTestBase {
     assert(Pq.indexData(spark, ra.path).count() === 320)
   }
 
+  test("applyCdcIdempotent: one mixed CDC batch == delete+append+upsert composed, on the flat and residual indexes; replays no-op") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    // one batch: delete ids 0..2, insert new ids 900..901 (embeddings
+    // of 320..321), upsert id 10 with 322's embedding
+    val cdc = base.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+      .unionByName(emb.filter(col("vec_id").isin(320L, 321L))
+        .select((col("vec_id") + 580L).as("vec_id"), col("embedding"),
+          lit("insert").as("op")))
+      .unionByName(emb.filter(col("vec_id") === 322L)
+        .select(lit(10L).as("vec_id"), col("embedding"), lit("upsert").as("op")))
+      .localCheckpoint()
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    // flat PQ
+    val a = Pq.buildIndex(base, tmpDir("pq_cdc_a"), m = 4, kSub = 8, iters = 2)
+    val b = Pq.buildIndex(base, tmpDir("pq_cdc_b"), m = 4, kSub = 8, iters = 2)
+    assert(Pq.applyCdcIdempotent(a, cdc, "cdc:1"))
+    Pq.deleteIds(b, Seq(0L, 1L, 2L))
+    assert(Pq.appendBatchIdempotent(b, emb.filter(col("vec_id").isin(320L, 321L))
+      .select((col("vec_id") + 580L).as("vec_id"), col("embedding")), "x:1"))
+    assert(Pq.upsertBatchIdempotent(b, emb.filter(col("vec_id") === 322L)
+      .select(lit(10L).as("vec_id"), col("embedding")), "x:2"))
+    assert(Pq.adcTopK(spark, a, queryVecs, k = 10).collect().map(_.toString).sorted.toSeq
+      === Pq.adcTopK(spark, b, queryVecs, k = 10).collect().map(_.toString).sorted.toSeq,
+      "flat-PQ CDC must equal the composed mutations")
+    assert(!Pq.applyCdcIdempotent(a, cdc, "cdc:1"))
+    assert(Pq.indexData(spark, a.path).count() === 320 - 3 + 2)
+    // residual IVF-PQ
+    val ra = Pq.buildIndexResidual(base, tmpDir("ivfpq_cdc_a"),
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    val rb = Pq.buildIndexResidual(base, tmpDir("ivfpq_cdc_b"),
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    assert(Pq.applyCdcIdempotentResidual(ra, cdc, "cdc:1"))
+    Pq.deleteIdsResidual(rb, Seq(0L, 1L, 2L))
+    assert(Pq.appendBatchIdempotentResidual(rb,
+      emb.filter(col("vec_id").isin(320L, 321L))
+        .select((col("vec_id") + 580L).as("vec_id"), col("embedding")), "x:1"))
+    assert(Pq.upsertBatchIdempotentResidual(rb, emb.filter(col("vec_id") === 322L)
+      .select(lit(10L).as("vec_id"), col("embedding")), "x:2"))
+    assert(Pq.screenTopKResidual(spark, ra, queryVecs, k = 10, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+      === Pq.screenTopKResidual(spark, rb, queryVecs, k = 10, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq,
+      "residual CDC must equal the composed mutations")
+    assert(!Pq.applyCdcIdempotentResidual(ra, cdc, "cdc:1"))
+    assert(Pq.indexData(spark, ra.path).count() === 320 - 3 + 2)
+  }
+
+  test("deleteWhere: the retention rewrite equals the tombstone path, flat and residual") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 320).localCheckpoint()
+    val doomedIds = (0L until 320L).filter(_ % 4 == 1)
+    val queryVecs = emb.filter(col("vec_id") < 5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toSeq
+    val a = Pq.buildIndex(base, tmpDir("pq_dw_a"), m = 4, kSub = 8, iters = 2)
+    val b = Pq.buildIndex(base, tmpDir("pq_dw_b"), m = 4, kSub = 8, iters = 2)
+    val a2 = Pq.deleteWhere(spark, a, col("vec_id") % 4 === 1)
+    Pq.deleteIds(b, doomedIds)
+    val b2 = Pq.compactIndex(spark, b)
+    assert(Pq.adcTopK(spark, a2, queryVecs, k = 10).collect().map(_.toString).sorted.toSeq
+      === Pq.adcTopK(spark, b2, queryVecs, k = 10).collect().map(_.toString).sorted.toSeq)
+    assert(graft.util.IndexMaint.readTombstones(
+      graft.util.IndexMaint.liveGen(a2.path)).isEmpty)
+    val ra = Pq.buildIndexResidual(base, tmpDir("ivfpq_dw_a"),
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    val rb = Pq.buildIndexResidual(base, tmpDir("ivfpq_dw_b"),
+      kCells = 8, m = 4, kSub = 8, iters = 2)
+    val ra2 = Pq.deleteWhereResidual(spark, ra, col("vec_id") % 4 === 1)
+    Pq.deleteIdsResidual(rb, doomedIds)
+    val rb2 = Pq.compactIndexResidual(spark, rb)
+    assert(Pq.screenTopKResidual(spark, ra2, queryVecs, k = 10, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+      === Pq.screenTopKResidual(spark, rb2, queryVecs, k = 10, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("filtered residual screen: predicate binds under the cid partition filter; every hit satisfies it; full page at k") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
