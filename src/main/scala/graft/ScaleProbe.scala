@@ -351,6 +351,26 @@ object ScaleProbe {
       println(line); report ++= line + "\n"
       if (leaked > 0 || !fullPages || !reclaimed || !sameRows)
         throw new IllegalStateException(s"delete probe failed: $line")
+      // retention at 8x: a corpus-scale stratum leaves via ONE filtered
+      // compaction (deleteWhere) — a single survivor rewrite, no
+      // tombstone metadata, screens immediately full-page on survivors
+      val t3 = System.nanoTime()
+      val retained = ops.Ivf.deleteWhere(spark, compacted,
+        col("vec_id") % 10 === 3)
+      val tRet = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val rAfter = ops.Ivf.screenBatch(spark, retained, delta, k = 5, nprobe = 4)
+        .localCheckpoint()
+      val rLeaked = rAfter.filter(col("vec_id") % 10 === 3).count()
+      val rFull = rAfter.groupBy("query_id").count()
+        .filter(col("count") =!= 5).count() == 0L
+      val tScr2 = (System.nanoTime() - t4) / 1e9
+      val tombs = graft.util.IndexMaint.readTombstones(
+        graft.util.IndexMaint.liveGen(retained.path)).length
+      val line3 = f"PROBE ivf_retention_8x     rewrite=$tRet%.2f s screen=$tScr2%.2f s leaked=$rLeaked fullPages=$rFull tombstones=$tombs (one filtered compaction, ~10%% stratum)"
+      println(line3); report ++= line3 + "\n"
+      if (rLeaked > 0 || !rFull || tombs != 0)
+        throw new IllegalStateException(s"retention probe failed: $line3")
     }
     // CROSS-PROCESS lease: a REAL second JVM (graft.util.LeaseHold, no
     // Spark) holds the fcntl lock on the index root; this process's
@@ -1441,6 +1461,11 @@ object ScaleProbe {
     report ++= "  base (k=16) and an 8x base (k=128, cells sized with the base)\n"
     report ++= "  moves ~the same bytes because the probed-cell list bounds what\n"
     report ++= "  is read; only cells the delta probes are ever scanned.\n"
+    report ++= "- ivf_retention_8x: the corpus-scale delete path — a whole\n"
+    report ++= "  stratum leaves via deleteWhere's ONE filtered survivor rewrite\n"
+    report ++= "  (no tombstone metadata to drag through every later screen);\n"
+    report ++= "  the bounded-takedown tombstone path and this rewrite are\n"
+    report ++= "  reader-indistinguishable (oracle rows pin both).\n"
     report ++= "- ivf_cdc_flat: one op-tagged CDC batch (inserts + upserts +\n"
     report ++= "  deletes in a single token-guarded mutation) costs the same\n"
     report ++= "  against a 1x and an 8x index — apply work is O(delta) encode +\n"
