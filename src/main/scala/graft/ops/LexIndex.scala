@@ -549,10 +549,37 @@ object LexIndex {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
+    hybridCore(spark, dir, path, semSurvivor = None)
+  }
+
+  /** Registered `search_hybrid_rrf_deleted`: the takedown honored
+    * ACROSS the retrieval stack — the same doc ids leave the lexical
+    * index (tombstones reaching stats, df and ranks through the one
+    * shared read) and the semantic candidate set, and the fused page
+    * must equal the closed form over survivors on BOTH sides. This is
+    * the GDPR/takedown claim a RAG serving stack actually needs: not
+    * "each index can delete" but "no stage of the composed query can
+    * resurrect a deleted document".
+    */
+  def hybridRrfDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_hd", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    val doomed = docs.filter(col("doc_id") % 6 === 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    deleteDocs(spark, path, doomed)
+    hybridCore(spark, dir, path, semSurvivor = Some(col("vec_id") % 6 =!= 2))
+  }
+
+  private def hybridCore(spark: SparkSession, dir: String, path: String,
+      semSurvivor: Option[org.apache.spark.sql.Column]): DataFrame = {
     val lex = bm25TopK(spark, path, Search.fixtureQueries, 10)
       .localCheckpoint() // feeds PRF, the fusion's r1 side — one derivation
-    val emb = Catalog(spark, dir).ref("embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val emb = {
+      val e = Catalog(spark, dir).ref("embeddings")
+        .select(col("vec_id"), col("embedding"))
+      semSurvivor.map(e.filter).getOrElse(e)
+    }
     // PRF centroid: the top-3 lexical hits THAT HAVE embeddings, mean'd
     // coordinate-wise with a rank-ordered fold (cross-engine-exact)
     val lexEmb = lex.join(emb, lex("doc_id") === emb("vec_id"))
@@ -601,12 +628,21 @@ object LexIndex {
     * PRF centroid as rank-ordered folds, the semantic scores as the
     * established dot/norm folds, RRF composed exactly.
     */
-  val hybridRrfSql: String = {
+  val hybridRrfSql: String = hybridRrfSqlOver("documents", "embeddings")
+
+  /** Twin of [[hybridRrfDeleted]]: the same composition with BOTH
+    * relations restricted to survivors at the source.
+    */
+  val hybridRrfDeletedSql: String = hybridRrfSqlOver(
+    "(SELECT * FROM documents WHERE doc_id % 6 <> 2)",
+    "(SELECT * FROM embeddings WHERE vec_id % 6 <> 2)")
+
+  private def hybridRrfSqlOver(docsRel: String, embRel: String): String = {
     val vals = Search.fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
     val terms = Search.fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $vals),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-       |        FROM documents),
+       |        FROM $docsRel),
        |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
        |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
        |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
@@ -626,7 +662,7 @@ object LexIndex {
        |                                  ORDER BY score DESC, doc_id) AS rnk
        |        FROM sc QUALIFY rnk <= 10),
        |en AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-       |       FROM embeddings),
+       |       FROM $embRel),
        |lexemb AS (
        |  SELECT l.query_id, en.vec,
        |         row_number() OVER (PARTITION BY l.query_id ORDER BY l.rnk) AS erank
@@ -667,7 +703,8 @@ object LexIndex {
     "search_bm25_upserted" -> (bm25Upserted _),
     "search_bm25_retention" -> (bm25Retention _),
     "stream_bm25_cdc" -> (bm25StreamCdc _),
-    "search_hybrid_rrf" -> (hybridRrf _))
+    "search_hybrid_rrf" -> (hybridRrf _),
+    "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
@@ -699,5 +736,8 @@ object LexIndex {
         | UNION ALL
         | SELECT doc_id + 1000000 AS doc_id, text
         | FROM documents WHERE doc_id % 11 = 0)""".stripMargin),
-    "search_hybrid_rrf" -> hybridRrfSql)
+    "search_hybrid_rrf" -> hybridRrfSql,
+    // the takedown must hold through the COMPOSED query: both sides'
+    // closed forms restricted to survivors
+    "search_hybrid_rrf_deleted" -> hybridRrfDeletedSql)
 }

@@ -465,14 +465,32 @@ object IndexMaint {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The bounded-metadata contract on the tombstone sidecar: (seg, id)
+    * pairs are driver-side state carried into every screen's anti-join,
+    * so the takedown path is for BOUNDED lists — past this cap a delete
+    * fails loudly naming the corpus-scale remedies (the PairBudget
+    * philosophy: never silently degrade every later read) instead of
+    * quietly growing a sidecar that taxes each query. Overridable for
+    * specs ([[graft.ops.Dedup.lastByteCap]]'s telemetry-var precedent).
+    */
+  @volatile private[graft] var tombstonePairCap: Int = 1 << 20
+
   /** Delete `ids` from every segment currently committed in the
     * generation (callers hold the mutation lease). Returns the distinct
-    * deleted-id count after the union.
+    * deleted-id count after the union. Refuses loudly past
+    * [[tombstonePairCap]] — a corpus-scale removal belongs on the
+    * `deleteWhere` rewrite path, and an accumulated set is reclaimed by
+    * `compactIndex`.
     */
   def addTombstones(genDir: String, ids: Iterable[Long]): Int = {
     val segs = segmentValues(genDir)
     val merged = (readTombstones(genDir).toSet ++
       (for (s <- segs; id <- ids) yield (s, id))).toArray
+    require(merged.length <= tombstonePairCap,
+      s"addTombstones($genDir): ${merged.length} (seg, id) pairs exceed the " +
+        s"bounded-metadata cap ($tombstonePairCap). A corpus-scale delete " +
+        "belongs on deleteWhere (one filtered survivor rewrite, no sidecar); " +
+        "an accumulated takedown set is reclaimed by compactIndex")
     writeTombstonesAtomic(genDir, merged)
     merged.map(_._2).distinct.length
   }

@@ -297,6 +297,17 @@ class LexIndexSpec extends SparkTestBase {
       statsBefore.nDocs + 1, statsBefore.sumDl + 2))
   }
 
+  test("hybrid RRF after a takedown: no stage of the composed query resurrects a deleted doc") {
+    val page = LexIndex.hybridRrfDeleted(spark, sf).collect()
+    assert(page.nonEmpty)
+    assert(!page.exists(_.getLong(2) % 6 == 2),
+      "a deleted doc must not appear in the fused page from either list")
+    // and the takedown genuinely moved the result (rankings shifted vs
+    // the undeleted hybrid page)
+    val full = LexIndex.hybridRrf(spark, sf).collect()
+    assert(page.map(_.toString).toSeq !== full.map(_.toString).toSeq)
+  }
+
   test("hybrid RRF: lexical and PRF-semantic lists fuse; doc in both lists outranks single-list docs at equal ranks") {
     val out = LexIndex.hybridRrf(spark, sf).collect()
     assert(out.nonEmpty)

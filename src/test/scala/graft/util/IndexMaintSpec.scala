@@ -62,6 +62,24 @@ class IndexMaintSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(gen, "_tombstones.txt.tmp")))
   }
 
+  test("tombstone sidecar is capped: past the bounded-metadata limit a delete refuses loudly, naming the deleteWhere rewrite") {
+    val root = tmpRoot("tombcap")
+    val gen = commitTrivialGen(root, "g0")
+    Files.createDirectories(Paths.get(gen, "seg=base"))
+    val cap0 = IndexMaint.tombstonePairCap
+    try {
+      IndexMaint.tombstonePairCap = 8
+      assert(IndexMaint.addTombstones(gen, 0L until 8L) === 8)
+      val e = intercept[IllegalArgumentException] {
+        IndexMaint.addTombstones(gen, Seq(99L))
+      }
+      assert(e.getMessage.contains("deleteWhere"))
+      // the refused delete mutated NOTHING: the sidecar still holds
+      // exactly the prior set
+      assert(IndexMaint.tombstonedIds(gen).toSeq === (0L until 8L))
+    } finally IndexMaint.tombstonePairCap = cap0
+  }
+
   test("the lease file lives INSIDE the root: deleting the index deletes its lease (no sibling litter)") {
     val root = tmpRoot("leaseloc")
     IndexMaint.withLease(root, op = "probe") { () }
