@@ -215,11 +215,13 @@ object LexIndex {
       val gen = graft.util.IndexMaint.liveGen(path)
       // indexData subtracts tombstones: compaction is the physical
       // reclamation point, and the new generation carries no sidecar
+      // NULL predicate results keep the row (only a definite match
+      // deletes — see Ivf.compactCore)
       val withSeg = {
         val d = indexData(spark, path)
           .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"),
             col("seg"))
-        doomed.map(p => d.filter(!p)).getOrElse(d)
+        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
       }.localCheckpoint()
       // the lexical form of the duplicate-id refusal (the vector
       // compactions' requireUniqueIds): a SURVIVING doc legitimately
@@ -263,6 +265,7 @@ object LexIndex {
   def buildIndex(docs: DataFrame, path: String): String =
     graft.util.IndexMaint.withMutation(path, op = "build") {
       val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+      requireDistinctDocs(pinned, s"buildIndex($path)")
       val stage = graft.util.IndexMaint.newStageDir(path, "build")
       postingsOf(pinned)
         .repartition(col("tb"))
@@ -271,6 +274,22 @@ object LexIndex {
       writeStats(s"$stage/seg=base", statsOf(pinned))
       graft.util.IndexMaint.commitGeneration(path, stage)
     }
+
+  /** Within-batch duplicate doc_ids corrupt the ENCODE itself:
+    * [[postingsOf]] groups by (doc_id, term), so a doc arriving twice
+    * in one batch folds into one posting row with doubled tf and two
+    * doc-dir rows — no post-hoc check (row- or segment-level) can see
+    * it. Every ingest therefore validates the batch up front: O(Δ),
+    * loud, at the only point the corruption is still visible.
+    */
+  private def requireDistinctDocs(pinned: DataFrame, context: String): Unit = {
+    val r = pinned.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$context: ${r.getLong(0) - r.getLong(1)} duplicate doc_id rows " +
+        "within one batch — deduplicate before ingest (a re-crawl of an " +
+        "existing doc is an upsert, not a second row)")
+  }
 
   private def writeDocDir(docs: DataFrame, segDir: String): Unit =
     tokenized(docs)
@@ -287,6 +306,7 @@ object LexIndex {
   def appendDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.tokenGuardedSegment(path, token, "append") { (_, stage) =>
       val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+      requireDistinctDocs(pinned, s"appendDocs($token)")
       postingsOf(pinned)
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(stage)
@@ -309,6 +329,7 @@ object LexIndex {
   def upsertDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean =
     graft.util.IndexMaint.tokenGuardedSegment(path, token, "upsert") { (gen, stage) =>
       val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
+      requireDistinctDocs(pinned, s"upsertDocs($token)")
       val ids = pinned.select(col("doc_id")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
       deleteCore(pinned.sparkSession, gen, ids)
@@ -337,7 +358,11 @@ object LexIndex {
       val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "doc_id",
         s"applyCdcDocs($token)")
       if (doomed.nonEmpty) deleteCore(pinned.sparkSession, gen, doomed)
+      // only the ADD rows need distinctness: a delete and an insert of
+      // the same id in one batch is meaningful (segment-scoped), and
+      // repeated delete rows union harmlessly
       val adds = graft.util.IndexMaint.cdcAdds(pinned).localCheckpoint()
+      requireDistinctDocs(adds, s"applyCdcDocs($token)")
       postingsOf(adds)
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(stage)
@@ -565,9 +590,11 @@ object LexIndex {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index_hd", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
-    val doomed = docs.filter(col("doc_id") % 6 === 2)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    deleteDocs(spark, path, doomed)
+    // a whole stratum is a corpus-scale delete: the rewrite path, not a
+    // driver-collected id list (the tombstone cap exists for a reason);
+    // the bounded-takedown route through hybrid is already pinned by
+    // search_bm25_deleted + the tombstone specs
+    deleteDocsWhere(spark, path, col("doc_id") % 6 === 2)
     hybridCore(spark, dir, path, semSurvivor = Some(col("vec_id") % 6 =!= 2))
   }
 

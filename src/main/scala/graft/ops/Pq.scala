@@ -767,18 +767,18 @@ object Pq {
       val m = cbs.size
       val hadDeletes =
         graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
       // indexData subtracts tombstones: compaction is the physical
-      // reclamation point, and the new generation carries no sidecar
+      // reclamation point, and the new generation carries no sidecar.
+      // NULL predicate results keep the row; the emptiness refusal runs
+      // on BOTH paths and before any staging (see Ivf.compactCore).
       val survivors = {
         val d = indexData(spark, index.path).drop("seg")
-        doomed.map(p => d.filter(!p)).getOrElse(d)
+        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
       }
-      doomed.foreach { _ =>
-        require(!survivors.isEmpty,
-          s"deleteWhere(${index.path}): every vector matches the predicate; " +
-            "drop the index instead")
-      }
+      require(!survivors.isEmpty,
+        s"compact/deleteWhere(${index.path}): no vector survives; " +
+          "drop the index instead")
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
       survivors
         .repartition(numFiles)
         .write.mode("overwrite").parquet(s"$stage/seg=base")
@@ -1700,17 +1700,17 @@ object Pq {
       val cbs = readCodebooks(gen)
       val hadDeletes =
         graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
-      // physical reclamation: survivors only, no tombstone carry
+      // physical reclamation: survivors only, no tombstone carry. NULL
+      // predicate results keep the row; emptiness refused on both paths
+      // before any staging (see Ivf.compactCore).
       val survivors = {
         val d = indexData(spark, index.path).drop("seg")
-        doomed.map(p => d.filter(!p)).getOrElse(d)
+        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
       }
-      doomed.foreach { _ =>
-        require(!survivors.isEmpty,
-          s"deleteWhereResidual(${index.path}): every vector matches the " +
-            "predicate; drop the index instead")
-      }
+      require(!survivors.isEmpty,
+        s"compact/deleteWhereResidual(${index.path}): no vector survives; " +
+          "drop the index instead")
+      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
       survivors
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")

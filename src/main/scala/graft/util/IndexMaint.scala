@@ -488,9 +488,11 @@ object IndexMaint {
       (for (s <- segs; id <- ids) yield (s, id))).toArray
     require(merged.length <= tombstonePairCap,
       s"addTombstones($genDir): ${merged.length} (seg, id) pairs exceed the " +
-        s"bounded-metadata cap ($tombstonePairCap). A corpus-scale delete " +
-        "belongs on deleteWhere (one filtered survivor rewrite, no sidecar); " +
-        "an accumulated takedown set is reclaimed by compactIndex")
+        s"bounded-metadata cap ($tombstonePairCap). Remedies: a corpus-scale " +
+        "DELETE belongs on deleteWhere (one filtered survivor rewrite, no " +
+        "sidecar); a large UPSERT/CDC re-embed wave on a many-segment index " +
+        "should compactIndex first (pairs scale with segment count) and " +
+        "retry; an accumulated takedown set is reclaimed by compactIndex")
     writeTombstonesAtomic(genDir, merged)
     merged.map(_._2).distinct.length
   }
