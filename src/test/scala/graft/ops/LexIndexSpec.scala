@@ -261,6 +261,35 @@ class LexIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("drop the index"))
   }
 
+  test("within-batch duplicate doc_ids are refused at ingest on every mutation path — the only point the tf corruption is visible") {
+    val path = tmpDir("lex_dup") + "/index"
+    val dup = Seq((1L, "alpha beta"), (1L, "alpha gamma")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] { LexIndex.buildIndex(dup, path) }
+    assert(e1.getMessage.contains("duplicate doc_id"))
+    LexIndex.buildIndex(Seq((0L, "alpha")).toDF("doc_id", "text"), path)
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.appendDocsIdempotent(path, dup, "b:1")
+    }.getMessage.contains("duplicate doc_id"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.upsertDocsIdempotent(path, dup, "b:2")
+    }.getMessage.contains("duplicate doc_id"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.applyCdcDocs(path, dup.withColumn("op", lit("insert")), "b:3")
+    }.getMessage.contains("duplicate doc_id"))
+    // none of the refused mutations recorded a token or landed postings
+    val gen = graft.util.IndexMaint.liveGen(path)
+    assert(graft.util.IndexMaint.appliedTokens(gen).isEmpty)
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(1L, 1L))
+    // a CDC batch pairing a DELETE and an INSERT of the same id is
+    // legitimate (segment-scoped: the delete covers old segments, the
+    // insert postdates it) — distinctness binds only within the adds
+    assert(LexIndex.applyCdcDocs(path,
+      Seq((0L, "", "delete"), (0L, "alpha reborn", "insert"))
+        .toDF("doc_id", "text", "op"), "b:4"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(1L, 2L))
+    assert(LexIndex.bm25TopK(spark, path, Seq("q" -> "reborn"), 10).count() === 1L)
+  }
+
   test("compaction physically reclaims tombstoned postings: one segment, rankings identical, tombstones cleared, tokens carried") {
     val d1 = (0 until 80).map(i => (i.toLong, s"alpha word$i")).toDF("doc_id", "text")
     val d2 = (80 until 120).map(i => (i.toLong, s"alpha extra$i tail")).toDF("doc_id", "text")
