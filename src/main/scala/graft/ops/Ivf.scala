@@ -731,23 +731,53 @@ object Ivf {
       candFilter: org.apache.spark.sql.Column): DataFrame =
     screenBatchProbed(spark, index, delta, k, nprobe, Some(candFilter))._1
 
+  /** [[screenBatch]] for a DOUBLE-typed query batch — the derived-query
+    * serving path (a PRF centroid, a cluster mean, any query vector
+    * COMPUTED in double rather than read from a float column): the
+    * query-side folds run in double with the oracle-established
+    * `zip_with`/`aggregate` shape, so a derived vector never round-trips
+    * through float32 (a cast could flip near-tie ranks against a
+    * double-computed closed form). Candidate order is cosine's — |q| is
+    * a per-query constant — and the index side is untouched: same
+    * partition pruning, tombstone subtraction and filter pushdown as
+    * every other screen.
+    */
+  def screenBatchDouble(spark: SparkSession, index: IvfIndex,
+      delta: DataFrame, k: Int, nprobe: Int,
+      candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    screenBatchProbed(spark, index, delta, k, nprobe, candFilter,
+      queryIsDouble = true)._1
+
   /** [[screenBatch]] + the probed cell ids (IvfSpec asserts the index
     * scan reads exactly these partitions and no others).
     */
   private[ops] def screenBatchProbed(spark: SparkSession, index: IvfIndex,
       delta: DataFrame, k: Int, nprobe: Int,
-      candFilter: Option[org.apache.spark.sql.Column] = None): (DataFrame, Seq[Int]) = {
+      candFilter: Option[org.apache.spark.sql.Column] = None,
+      queryIsDouble: Boolean = false): (DataFrame, Seq[Int]) = {
     import spark.implicits._
+    // query-side folds: the float-array kernel for float queries, the
+    // oracle's double zip_with/aggregate fold for double queries (same
+    // left-to-right accumulation, no float round-trip)
+    val qdot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (queryIsDouble)
+        (q, v) => aggregate(zip_with(q, v, (x, y) => x * y.cast("double")),
+          lit(0.0), (acc, p) => acc + p)
+      else Similarity.dot
+    val qnorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (queryIsDouble)
+        q => sqrt(aggregate(q, lit(0.0), (acc, x) => acc + x * x))
+      else Similarity.l2norm
     val centDf = index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "cent")
     // Probe list per batch vector: O(Δ) scan work.
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid"))
     val probes = delta
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        Similarity.l2norm(col("embedding")).as("qnrm"))
+        qnorm(col("embedding")).as("qnrm"))
       .crossJoin(broadcast(centDf))
       .withColumn("cscore",
-        Similarity.dot(col("qvec"), col("cent")) / Similarity.l2norm(col("cent")))
+        qdot(col("qvec"), col("cent")) / Similarity.l2norm(col("cent")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
@@ -766,7 +796,7 @@ object Ivf {
     val result = cands
       .join(broadcast(probes), Seq("cid"))
       .withColumn("score",
-        Similarity.dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")))
+        qdot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))

@@ -88,8 +88,11 @@ object LexIndex {
     * summed — bounded metadata (one file per committed batch, collapsed
     * by compaction/rebuild like every segment).
     */
-  def readStats(path: String): LexStats = {
-    val live = java.nio.file.Paths.get(graft.util.IndexMaint.liveGen(path))
+  def readStats(path: String): LexStats =
+    readStatsAt(graft.util.IndexMaint.liveGen(path))
+
+  private def readStatsAt(gen: String): LexStats = {
+    val live = java.nio.file.Paths.get(gen)
     val walk = java.nio.file.Files.walk(live, 2)
     try {
       import scala.jdk.CollectionConverters._
@@ -128,9 +131,18 @@ object LexIndex {
     * docs stop contributing to n_docs/avgdl the moment the delete
     * commits, not at the next compaction.
     */
-  def liveStats(path: String): LexStats = {
-    val raw = readStats(path)
-    val (n, s) = readRemoved(graft.util.IndexMaint.liveGen(path))
+  def liveStats(path: String): LexStats =
+    liveStatsAt(graft.util.IndexMaint.liveGen(path))
+
+  /** [[liveStats]] against an ALREADY-RESOLVED generation — the reader
+    * contract the vector families uphold ("resolve the generation
+    * once"): a query that resolved `_live.txt` independently for stats
+    * and postings could mix one generation's scoring constants with
+    * another's posting lists if a mutation committed in between.
+    */
+  private def liveStatsAt(gen: String): LexStats = {
+    val raw = readStatsAt(gen)
+    val (n, s) = readRemoved(gen)
     LexStats(raw.nDocs - n, raw.sumDl - s)
   }
 
@@ -155,36 +167,45 @@ object LexIndex {
     * itself).
     */
   private def deleteCore(spark: SparkSession, gen: String, ids: Seq[Long]): Int = {
-      val before = graft.util.IndexMaint.readTombstones(gen).toSet
-      val total = graft.util.IndexMaint.addTombstones(gen, ids)
-      val delta = graft.util.IndexMaint.readTombstones(gen).toSet -- before
-      if (delta.nonEmpty) {
-        var nRem = 0L
-        var dlRem = 0L
-        delta.groupBy(_._1).foreach { case (seg, pairs) =>
-          val dd = java.nio.file.Paths.get(gen, s"seg=$seg", DocDirName)
-          if (java.nio.file.Files.isDirectory(dd)) {
-            val doomed = pairs.map(_._2).toSeq
-            val docs = spark.read.parquet(dd.toString)
-            val hit =
-              if (doomed.size <= 4096) docs.filter(col("doc_id").isin(doomed: _*))
-              else {
-                import spark.implicits._
-                docs.join(broadcast(doomed.toDF("doc_id")), Seq("doc_id"), "left_semi")
-              }
-            val r = hit.agg(count(lit(1)).as("n"),
-              coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-            nRem += r.getLong(0)
-            dlRem += r.getLong(1)
-          }
-        }
-        if (nRem > 0) {
-          val (n0, s0) = readRemoved(gen)
-          writeRemovedAtomic(gen, n0 + nRem, s0 + dlRem)
+    val total = graft.util.IndexMaint.addTombstones(gen, ids)
+    refreshRemoved(spark, gen)
+    total
+  }
+
+  /** Recompute the takedown stats adjustment from the FULL tombstone
+    * set (bounded by [[graft.util.IndexMaint.tombstonePairCap]])
+    * against the doc-dir sidecars and atomically REPLACE the sidecar —
+    * derivable state, never delta-accumulated: a crash between the
+    * tombstone write and this one is healed by the at-least-once retry
+    * (or any later delete), because the recompute always reproduces the
+    * adjustment the current tombstone set implies. The earlier
+    * delta-based accounting skipped the adjustment permanently on
+    * retry — the post-crash delta was empty — leaving n_docs/Σdl
+    * overcounting deleted docs until the next compaction. Work is one
+    * Spark aggregate over the affected segments' doc dirs ((doc_id, dl)
+    * rows — bounded metadata, not postings).
+    */
+  private def refreshRemoved(spark: SparkSession, gen: String): Unit = {
+    import spark.implicits._
+    val hits = graft.util.IndexMaint.readTombstones(gen)
+      .groupBy(_._1).toSeq.flatMap { case (seg, pairs) =>
+        val dd = java.nio.file.Paths.get(gen, s"seg=$seg", DocDirName)
+        if (!java.nio.file.Files.isDirectory(dd)) None
+        else {
+          val doomed = pairs.map(_._2).toIndexedSeq
+          val docs = spark.read.parquet(dd.toString)
+          Some(
+            if (doomed.size <= 4096) docs.filter(col("doc_id").isin(doomed: _*))
+            else docs.join(broadcast(doomed.toDF("doc_id")), Seq("doc_id"), "left_semi"))
         }
       }
-      total
-    }
+    val (n, s) = hits.reduceOption(_ unionByName _).map { all =>
+      val r = all.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
+    writeRemovedAtomic(gen, n, s)
+  }
 
   /** Re-land the live generation as ONE segment with tombstoned rows
     * physically dropped: postings rewritten bucket-partitioned, the doc
@@ -357,12 +378,16 @@ object LexIndex {
         .localCheckpoint()
       val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "doc_id",
         s"applyCdcDocs($token)")
-      if (doomed.nonEmpty) deleteCore(pinned.sparkSession, gen, doomed)
       // only the ADD rows need distinctness: a delete and an insert of
       // the same id in one batch is meaningful (segment-scoped), and
-      // repeated delete rows union harmlessly
+      // repeated delete rows union harmlessly. Validated BEFORE the
+      // tombstone write (the same fail-loudly-pre-mutation ordering as
+      // the unknown-verb check): a refusal after deleteCore would
+      // half-apply the batch — upserted docs hidden with no
+      // replacements and no token — until a corrected batch arrived.
       val adds = graft.util.IndexMaint.cdcAdds(pinned).localCheckpoint()
       requireDistinctDocs(adds, s"applyCdcDocs($token)")
+      if (doomed.nonEmpty) deleteCore(pinned.sparkSession, gen, doomed)
       postingsOf(adds)
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(stage)
@@ -376,11 +401,12 @@ object LexIndex {
     * consumer (export, stats job, retrieval stage) cannot resurrect
     * deleted documents by forgetting the subtraction.
     */
-  def indexData(spark: SparkSession, path: String): DataFrame = {
-    val gen = graft.util.IndexMaint.liveGen(path)
+  def indexData(spark: SparkSession, path: String): DataFrame =
+    indexDataAt(spark, graft.util.IndexMaint.liveGen(path))
+
+  private def indexDataAt(spark: SparkSession, gen: String): DataFrame =
     graft.util.IndexMaint.minusTombstones(
       spark.read.parquet(gen), gen, idCol = "doc_id")
-  }
 
   /** BM25 top-k over the PERSISTED postings — the serving path: the
     * query's terms resolve to ≤ |terms| `tb` buckets (static partition
@@ -406,10 +432,15 @@ object LexIndex {
     import spark.implicits._
     val terms = qs.map(_._2).distinct
     val buckets = bucketsOf(spark, terms)
-    val stats = liveStats(path)
-    // indexData subtracts tombstones BEFORE df: a deleted doc leaves
+    // ONE generation resolve for the whole query (the vector families'
+    // reader contract): stats, tombstones and postings all read the
+    // same generation, so a mutation committing mid-query cannot mix
+    // one generation's scoring constants with another's posting lists
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val stats = liveStatsAt(gen)
+    // the tombstone subtraction happens BEFORE df: a deleted doc leaves
     // the posting-list lengths, not just the result page
-    val posts = indexData(spark, path)
+    val posts = indexDataAt(spark, gen)
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -591,7 +622,25 @@ object LexIndex {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
-    hybridCore(spark, dir, path, semSurvivor = None)
+    hybridCore(spark, path, hybridVecIndex(spark, dir))
+  }
+
+  /** The hybrid stack's PERSISTED vector index — built once per session
+    * beside the lexical postings, so BOTH retrieval stages serve from
+    * index access paths: the lexical stage reads O(query terms) posting
+    * buckets, and the semantic stage reads the IVF index through the
+    * probed-cell screen instead of scanning the embedding corpus (the
+    * one O(corpus) serving-path plan this composition used to carry).
+    * The registered rows screen at FULL probe (nprobe = kCells), which
+    * is provably exact (IvfSpec: full probe ≡ brute force), so the
+    * oracle stays hash-identical; production dials nprobe down and the
+    * screen's cid partition pruning takes over.
+    */
+  private def hybridVecIndex(spark: SparkSession, dir: String): Ivf.IvfIndex = {
+    val emb = Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("hybrid_ivf", dir), kCells = 16, iters = 0)
   }
 
   /** Registered `search_hybrid_rrf_deleted`: the takedown honored
@@ -614,18 +663,36 @@ object LexIndex {
     sweepOnce(path, s"$dir/documents.parquet") {
       deleteDocsWhere(spark, path, col("doc_id") % 6 === 2)
     }
-    hybridCore(spark, dir, path, semSurvivor = Some(col("vec_id") % 6 =!= 2))
+    // the SAME takedown on the vector index — the semantic stage now
+    // honors it through the index's own delete machinery (a filtered
+    // compaction here; tombstones for a bounded list), not a predicate
+    // bolted onto a corpus scan: no stage of the composed query can
+    // resurrect a deleted doc because no stage reads anything but the
+    // two indexes
+    val emb = Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_hd", dir)
+    Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
+      kCells = 16, iters = 0)
+    sweepOnce(vecPath, s"$dir/embeddings.parquet") {
+      Ivf.deleteWhere(spark, Ivf.loadIndex(vecPath), col("vec_id") % 6 === 2)
+    }
+    hybridCore(spark, path, Ivf.loadIndex(vecPath))
   }
 
-  private def hybridCore(spark: SparkSession, dir: String, path: String,
-      semSurvivor: Option[org.apache.spark.sql.Column]): DataFrame = {
+  private def hybridCore(spark: SparkSession, path: String,
+      vecIndex: Ivf.IvfIndex): DataFrame = {
     val lex = bm25TopK(spark, path, Search.fixtureQueries, 10)
       .localCheckpoint() // feeds PRF, the fusion's r1 side — one derivation
-    val emb = {
-      val e = Catalog(spark, dir).ref("embeddings")
-        .select(col("vec_id"), col("embedding"))
-      semSurvivor.map(e.filter).getOrElse(e)
-    }
+    // the PRF embedding fetch reads the VECTOR INDEX, not the raw
+    // corpus: the index's effective contents (tombstones subtracted,
+    // upserts re-embedded, CDC inserts present) are exactly the corpus
+    // the composed query is supposed to see, and no hybrid stage
+    // touches anything but the two index directories at serving time —
+    // the fetch itself is a ≤30-row broadcast join against the
+    // column-pruned index scan
+    val emb = Ivf.indexData(spark, vecIndex.path)
+      .select(col("vec_id"), col("embedding"))
     // PRF centroid: the top-3 lexical hits THAT HAVE embeddings, mean'd
     // coordinate-wise with a rank-ordered fold (cross-engine-exact)
     val lexEmb = lex.join(emb, lex("doc_id") === emb("vec_id"))
@@ -643,19 +710,18 @@ object LexIndex {
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pv"))
       .select(col("query_id"), expr("transform(pv, x -> x.mval)").as("qvec"))
-    // semantic ranking: dot(centroid, candidate)/|candidate| — the same
-    // ordering as cosine (|centroid| is constant per query), with both
-    // folds left-to-right so scores replay bit-identically
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    val sem = emb.crossJoin(broadcast(centroid))
-      .withColumn("score",
-        expr("""aggregate(zip_with(qvec, embedding, (x, y) -> x * CAST(y AS DOUBLE)),
-          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-          / Similarity.l2norm(col("embedding")))
-      .withColumn("r2", row_number().over(w2).cast("long"))
-      .filter(col("r2") <= 10)
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("r2"))
+    // semantic ranking THROUGH THE PERSISTED IVF INDEX — the probed-cell
+    // screen, not a corpus scan: rank order equals the closed form's
+    // dot/|candidate| (cosine divides it by the per-query |centroid|
+    // constant; same double folds, same vec_id tie-break), and the
+    // registered rows run at FULL probe, which IvfSpec proves exact, so
+    // the oracle hash holds while production dials nprobe down onto the
+    // screen's cid partition pruning
+    val sem = Ivf.screenBatchDouble(spark, vecIndex,
+        centroid.select(col("query_id").as("vec_id"), col("qvec").as("embedding")),
+        k = 10, nprobe = vecIndex.centroids.size)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("r2"))
     // reciprocal-rank fusion of the two lists (Cormack et al. 2009)
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
@@ -670,6 +736,80 @@ object LexIndex {
       .orderBy("query_id", "rnk")
   }
 
+  /** Registered `search_hybrid_cdc`: the FUSED page after a CDC drain —
+    * the actually-served artifact of a live RAG stack. The same
+    * op-tagged mutation wave lands on BOTH indexes as two CDC streams
+    * (documents through [[graft.streaming.DocIngest]], vectors through
+    * [[graft.streaming.CdcIngest]]): inserts (+1000000-keyed copies of
+    * the %11==0 docs with their embeddings), deletes (the %7==3
+    * non-upsert stratum from both sides), upserts (%5==2 re-crawled
+    * with the successor's text AND re-embedded with the successor's
+    * vector — all real table values). The oracle is the hybrid twin
+    * over the EFFECTIVE corpus on both relations, so hash equality
+    * lifts the per-index CDC claims (`stream_bm25_cdc`,
+    * `stream_ivf_cdc`) to the composition: lexical ranks, PRF
+    * centroids, semantic ranks and the fused page all track the
+    * mutation wave, independent of how either stream batched. Replays
+    * no-op on the durable `docs:`/`cdc:` tokens.
+    */
+  def hybridCdc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val emb = Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lexPath = graft.util.Fs.sessionTempDir("lex_index_hcdc", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", lexPath)
+    val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_cdc", dir)
+    Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
+      kCells = 16, iters = 0)
+    val docDonor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val vecDonor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val docBatches = Seq(
+      docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("insert").as("op")),
+      docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), col("text"), lit("delete").as("op")),
+      docs.filter(col("doc_id") % 5 === 2)
+        .join(docDonor, col("did") === col("doc_id") + 1)
+        .select(col("doc_id"), col("dtext").as("text"), lit("upsert").as("op")))
+    val vecBatches = Seq(
+      emb.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          lit("insert").as("op")),
+      emb.filter(col("vec_id") % 7 === 3 && col("vec_id") % 5 =!= 2)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")),
+      emb.filter(col("vec_id") % 5 === 2)
+        .join(vecDonor, col("did") === col("vec_id") + 1)
+        .select(col("vec_id"), col("demb").as("embedding"),
+          lit("upsert").as("op")))
+    val tmp = java.nio.file.Files.createTempDirectory("hybrid_cdc").toString
+    try {
+      def stageBatches(sub: String, batches: Seq[DataFrame]): String = {
+        val srcDir = s"$tmp/$sub"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+        batches.zipWithIndex.foreach { case (rows, i) =>
+          val stage = s"$tmp/stage_$sub$i"
+          rows.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        srcDir
+      }
+      graft.streaming.DocIngest.ingestStreamDocs(spark,
+        stageBatches("docsrc", docBatches), lexPath)
+      // checkEvery past the stream length: a drift-fired rebalance would
+      // retrain the quantizer the oracle froze (the stream_ivf_cdc note)
+      graft.streaming.CdcIngest.ingestStreamCdc(spark,
+        stageBatches("vecsrc", vecBatches), Ivf.loadIndex(vecPath),
+        checkEvery = 100)
+      hybridCore(spark, lexPath, Ivf.loadIndex(vecPath)).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   /** Twin of [[hybridRrf]]: `text_bm25`'s twin as the lexical CTE, the
     * PRF centroid as rank-ordered folds, the semantic scores as the
     * established dot/norm folds, RRF composed exactly.
@@ -682,6 +822,28 @@ object LexIndex {
   val hybridRrfDeletedSql: String = hybridRrfSqlOver(
     "(SELECT * FROM documents WHERE doc_id % 6 <> 2)",
     "(SELECT * FROM embeddings WHERE vec_id % 6 <> 2)")
+
+  /** Twin of [[hybridCdc]]: the same composition over the EFFECTIVE
+    * corpus on both relations — deletes excluded at the source, upserts
+    * carrying the donor text/vector, inserts unioned in.
+    */
+  val hybridCdcSql: String = hybridRrfSqlOver(
+    """(SELECT d.doc_id,
+      |        CASE WHEN d.doc_id % 5 = 2 AND n.doc_id IS NOT NULL
+      |             THEN n.text ELSE d.text END AS text
+      | FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+      | WHERE NOT (d.doc_id % 7 = 3 AND d.doc_id % 5 <> 2)
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text
+      | FROM documents WHERE doc_id % 11 = 0)""".stripMargin,
+    """(SELECT e.vec_id,
+      |        CASE WHEN e.vec_id % 5 = 2 AND m.vec_id IS NOT NULL
+      |             THEN m.embedding ELSE e.embedding END AS embedding
+      | FROM embeddings e LEFT JOIN embeddings m ON m.vec_id = e.vec_id + 1
+      | WHERE NOT (e.vec_id % 7 = 3 AND e.vec_id % 5 <> 2)
+      | UNION ALL
+      | SELECT vec_id + 1000000 AS vec_id, embedding
+      | FROM embeddings WHERE vec_id % 11 = 0)""".stripMargin)
 
   private def hybridRrfSqlOver(docsRel: String, embRel: String): String = {
     val vals = Search.fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
@@ -750,7 +912,8 @@ object LexIndex {
     "search_bm25_retention" -> (bm25Retention _),
     "stream_bm25_cdc" -> (bm25StreamCdc _),
     "search_hybrid_rrf" -> (hybridRrf _),
-    "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _))
+    "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
+    "search_hybrid_cdc" -> (hybridCdc _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
@@ -785,5 +948,9 @@ object LexIndex {
     "search_hybrid_rrf" -> hybridRrfSql,
     // the takedown must hold through the COMPOSED query: both sides'
     // closed forms restricted to survivors
-    "search_hybrid_rrf_deleted" -> hybridRrfDeletedSql)
+    "search_hybrid_rrf_deleted" -> hybridRrfDeletedSql,
+    // the fused page after a two-stream CDC drain equals the closed
+    // form over the effective corpus — the per-index CDC claims lifted
+    // to the actually-served composition
+    "search_hybrid_cdc" -> hybridCdcSql)
 }

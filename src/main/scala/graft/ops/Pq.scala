@@ -661,10 +661,18 @@ object Pq {
     * subtracted here, so every ADC/residual screen honors deletes
     * through the one shared read.
     */
-  def indexData(spark: SparkSession, path: String): DataFrame = {
-    val gen = graft.util.IndexMaint.liveGen(path)
+  def indexData(spark: SparkSession, path: String): DataFrame =
+    indexDataAt(spark, graft.util.IndexMaint.liveGen(path))
+
+  /** [[indexData]] against an ALREADY-RESOLVED generation — what a
+    * multi-read query (screen + rerank fetch) threads through so both
+    * reads observe the SAME generation: two independent `liveGen`
+    * resolves around a concurrent rebalance/compact/deleteWhere commit
+    * would silently drop screened candidates from the rerank join
+    * (fewer than k rows, or a wrong final order).
+    */
+  private def indexDataAt(spark: SparkSession, gen: String): DataFrame =
     graft.util.IndexMaint.minusTombstones(spark.read.parquet(gen), gen)
-  }
 
   /** Build the persisted index: train sub-codebooks, encode in one
     * scan, stage codes + raw vectors + the codebook and encode-time
@@ -988,7 +996,13 @@ object Pq {
     */
   def adcTopK(spark: SparkSession, index: PqIndex,
       queryVecs: Seq[(Long, Array[Double])], k: Int,
-      candFilter: Option[Column] = None): DataFrame = {
+      candFilter: Option[Column] = None): DataFrame =
+    adcTopKAt(spark, index, queryVecs, k, candFilter,
+      graft.util.IndexMaint.liveGen(index.path))
+
+  private def adcTopKAt(spark: SparkSession, index: PqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int,
+      candFilter: Option[Column], gen: String): DataFrame = {
     val m = index.codebooks.size
     val kEff = index.codebooks.head.size
     val lutSchema = StructType(Seq(
@@ -1003,7 +1017,7 @@ object Pq {
       element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    val data = indexData(spark, index.path)
+    val data = indexDataAt(spark, gen)
     candFilter.map(data.filter).getOrElse(data).crossJoin(broadcast(lutDf))
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
@@ -1022,13 +1036,17 @@ object Pq {
   def rerankTopK(spark: SparkSession, index: PqIndex,
       queryVecs: Seq[(Long, Array[Double])], k: Int, rr: Int,
       candFilter: Option[Column] = None): DataFrame = {
+    // ONE generation resolve for screen AND rerank fetch: a generation
+    // flip between two independent resolves would drop screened
+    // candidates from the join (see indexDataAt)
+    val gen = graft.util.IndexMaint.liveGen(index.path)
     // the filter applies at the SCREEN (bytes pruned before ranking);
     // the rerank fetch joins on screened ids, so it inherits the filter
-    val screened = adcTopK(spark, index, queryVecs, rr, candFilter)
+    val screened = adcTopKAt(spark, index, queryVecs, rr, candFilter, gen)
       .select(col("query_id"), col("vec_id"))
     import spark.implicits._
     val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
-    val exact = indexData(spark, index.path)
+    val exact = indexDataAt(spark, gen)
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(screened), Seq("vec_id"))
       .join(broadcast(qDf), Seq("query_id"))
@@ -1540,7 +1558,13 @@ object Pq {
     */
   def screenTopKResidual(spark: SparkSession, index: IvfPqIndex,
       queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
-      candFilter: Option[Column] = None): DataFrame = {
+      candFilter: Option[Column] = None): DataFrame =
+    screenTopKResidualAt(spark, index, queryVecs, k, nprobe, candFilter,
+      graft.util.IndexMaint.liveGen(index.path))
+
+  private def screenTopKResidualAt(spark: SparkSession, index: IvfPqIndex,
+      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      candFilter: Option[Column], gen: String): DataFrame = {
     val m = index.codebooks.size
     val kSub = index.codebooks.head.size
     val dim = index.centroids.head.length
@@ -1571,7 +1595,7 @@ object Pq {
       element_at(col("lut"), col(s"c$s") + lit(s * kSub + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    val pruned = indexData(spark, index.path)
+    val pruned = indexDataAt(spark, gen)
       .filter(col("cid").isin(probedCids: _*))
     // metadata predicate UNDER the cid partition filter: filter ×
     // partition prune × byte prune, all three dials in one plan
@@ -1597,11 +1621,14 @@ object Pq {
   def rerankTopKResidual(spark: SparkSession, index: IvfPqIndex,
       queryVecs: Seq[(Long, Array[Double])], k: Int, rr: Int, nprobe: Int,
       candFilter: Option[Column] = None): DataFrame = {
-    val screened = screenTopKResidual(spark, index, queryVecs, rr, nprobe, candFilter)
+    // ONE generation resolve for screen AND rerank fetch (indexDataAt)
+    val gen = graft.util.IndexMaint.liveGen(index.path)
+    val screened = screenTopKResidualAt(spark, index, queryVecs, rr, nprobe,
+      candFilter, gen)
       .select(col("query_id"), col("vec_id"))
     import spark.implicits._
     val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
-    val exact = indexData(spark, index.path)
+    val exact = indexDataAt(spark, gen)
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(screened), Seq("vec_id"))
       .join(broadcast(qDf), Seq("query_id"))

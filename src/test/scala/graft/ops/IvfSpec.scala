@@ -725,4 +725,39 @@ class IvfSpec extends SparkTestBase {
       s"the union of racing deletes must land atomically: $tombs")
     assert(Ivf.indexData(spark, idxPath).count() === 325 - 7)
   }
+
+  test("screenBatchDouble: a derived double query (the PRF-centroid shape) ranks exactly at full probe; low nprobe plans only its cells") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val path = tmpDir("ivf_dq") + "/index"
+    val index = Ivf.buildIndex(emb, path, kCells = 8, iters = 2)
+    // a DERIVED double query: the coordinate mean of two same-cluster
+    // vectors, computed in double and never round-tripped through float
+    val q = emb.filter(col("vec_id").isin(0L, 8L))
+      .select(posexplode(col("embedding")))
+      .groupBy(col("pos")).agg(avg(col("col").cast("double")).as("v"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(lit(77L).as("vec_id"), expr("transform(pv, x -> x.v)").as("embedding"))
+      .localCheckpoint()
+    val (got, probed) = Ivf.screenBatchProbed(spark, index, q, k = 10,
+      nprobe = 8, queryIsDouble = true)
+    assert(probed.size === 8)
+    // exact at full probe: the brute-force double ranking over the corpus
+    val want = emb.crossJoin(broadcast(q.select(col("embedding").as("qvec"))))
+      .withColumn("score",
+        expr("""aggregate(zip_with(qvec, embedding, (x, y) -> x * CAST(y AS DOUBLE)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          / (sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x))
+            * Similarity.l2norm(col("embedding"))))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(got.select("vec_id").collect().map(_.getLong(0)).toSeq === want,
+      "full probe must reproduce the brute-force double ranking exactly")
+    // production dial: one query at nprobe=2 plans exactly two cells —
+    // the partition pruning the hybrid serving path inherits
+    val (got2, probed2) = Ivf.screenBatchProbed(spark, index, q, k = 10,
+      nprobe = 2, queryIsDouble = true)
+    assert(probed2.size === 2, s"one query at nprobe=2 must plan two cells: $probed2")
+    assert(got2.count() === 10)
+  }
 }

@@ -151,6 +151,32 @@ class LexIndexSpec extends SparkTestBase {
       .filter(col("doc_id") === 7L).count() === 0L)
   }
 
+  test("takedown stats adjustment is derivable: a crash between the tombstone write and the stats write is healed by the retry") {
+    val d1 = (0 until 100).map(i => (i.toLong, s"alpha filler$i beta")).toDF("doc_id", "text")
+    val path = tmpDir("lex_heal") + "/index"
+    LexIndex.buildIndex(d1, path)
+    LexIndex.deleteDocs(spark, path, (0L until 30L))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(70L, 210L))
+    // simulate the torn crash state: tombstones durable, the stats
+    // adjustment lost (the crash window the delta-based accounting
+    // could never heal — its retry delta was empty)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(gen, "_lex_removed.txt"))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(100L, 300L),
+      "torn state: scoring constants overcount until a retry heals them")
+    // the at-least-once retry of the SAME delete recomputes the
+    // adjustment from the full tombstone set — fully healed, not
+    // delta-skipped
+    LexIndex.deleteDocs(spark, path, (0L until 30L))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(70L, 210L),
+      "the retry must rederive the adjustment from the full tombstone set")
+    // and any LATER unrelated delete heals it too (derivable state)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(gen, "_lex_removed.txt"))
+    LexIndex.deleteDocs(spark, path, Seq(99L))
+    assert(LexIndex.liveStats(path) === LexIndex.LexStats(69L, 207L),
+      "an unrelated later delete must still reproduce the full adjustment")
+  }
+
   test("upsert: re-crawled docs replace their postings atomically; n_docs holds, sum_dl shifts; replay no-ops") {
     val d1 = (0 until 100).map(i => (i.toLong, s"alpha filler$i beta")).toDF("doc_id", "text")
     val path = tmpDir("lex_upsert") + "/index"
@@ -356,5 +382,29 @@ class LexIndexSpec extends SparkTestBase {
     // (1/61) < min two-list score (2/70) at the fused depths here
     val twoList = out.filter(_.getDouble(3) > 1.0 / 61)
     assert(twoList.nonEmpty, "the fixture must produce at least one doc in both lists")
+  }
+
+  test("hybrid serving plan: the semantic stage reads the persisted IVF index, never a nested-loop scan of the embedding corpus") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def expand(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: expand(a.executedPlan)
+      case q: QueryStageExec => pl +: expand(q.plan)
+      case _ => pl +: pl.children.flatMap(expand)
+    }
+    val out = LexIndex.hybridRrf(spark, sf)
+    out.collect()
+    val plans = expand(out.queryExecution.executedPlan)
+    assert(!plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the one O(corpus) serving-path plan this composition used to carry: " +
+        "the semantic stage must screen through the IVF index, never " +
+        "cross-join the corpus against the PRF centroids")
+    val idxScans = plans.collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("hybrid_ivf")) => sc
+    }
+    assert(idxScans.nonEmpty,
+      "the fused page must serve its semantic ranks from the persisted vector index")
   }
 }
