@@ -65,13 +65,21 @@ object LexIndex {
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
 
-  /** One tokenize scan → (tb, term, doc_id, tf, dl) postings. */
+  /** One tokenize scan → (tb, term, doc_id, tf, dl, pos) postings.
+    * `pos` is the term's sorted 1-based position list within the doc —
+    * the Lucene-standard positional payload phrase/proximity queries
+    * intersect on ([[phraseTopK]]); Σ|pos| per doc = dl, so positions
+    * grow the postings by O(corpus tokens), the same class as the
+    * postings themselves. BM25 reads never touch the column (parquet
+    * column pruning drops it at the scan).
+    */
   private def postingsOf(docs: DataFrame): DataFrame =
     tokenized(docs)
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        explode(col("t")).as("term"))
+        posexplode(col("t")).as(Seq("p", "term")))
       .groupBy(col("doc_id"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p") + 1)).as("pos"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(NBuckets.toLong)))
 
   private def statsOf(docs: DataFrame): LexStats = {
@@ -240,8 +248,8 @@ object LexIndex {
       // deletes — see Ivf.compactCore)
       val withSeg = {
         val d = indexData(spark, path)
-          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tb"),
-            col("seg"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
+            col("tb"), col("seg"))
         doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
       }.localCheckpoint()
       // the lexical form of the duplicate-id refusal (the vector
@@ -452,6 +460,107 @@ object LexIndex {
       .withColumn("n_docs", lit(stats.nDocs))
       .withColumn("sum_dl", lit(stats.sumDl))
     Search.topK(shaped, Search.rationalIdf, k)
+  }
+
+  /** Quoted-phrase top-k over the positional postings — the first query
+    * a retrieval user types that bag-of-words BM25 cannot answer. Each
+    * phrase tokenizes to (term, offset) pairs; the postings fetch is
+    * the SAME O(query terms) read as [[bm25TopK]] (tb partition prune +
+    * pushed term filter — positions ride the fetched rows, never a
+    * second scan), and adjacency is the classic anchor intersection:
+    * a position p of the term at offset o witnesses anchor p − o, and
+    * a doc position where ALL offsets agree on one anchor is a phrase
+    * occurrence. Docs rank by occurrence count (desc, doc_id tie-break).
+    * Work is proportional to the queried terms' posting lists — the
+    * phrase never pays a corpus scan or a document re-read.
+    */
+  def phraseTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val qterms = qs.flatMap { case (q, phrase) =>
+      phrase.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
+        .map { case (t, i) => (q, t, i.toLong) }
+    }
+    val qn = qs.map { case (q, phrase) =>
+      (q, phrase.trim.toLowerCase.split("\\s+").length.toLong) }
+    val terms = qterms.map(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+    val hits = posts
+      .join(broadcast(qterms.toDF("query_id", "term", "off")), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        explode(col("pos")).as("p"))
+      .withColumn("anchor", col("p") - col("off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("n_matches").desc, col("doc_id"))
+    hits.groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("c"))
+      .join(broadcast(qn.toDF("query_id", "n")), Seq("query_id"))
+      .filter(col("c") === col("n"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_matches"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The phrase fixture set: a common bigram, a trigram, and a trigram
+    * that repeats within documents (multiple anchors per doc) — so the
+    * occurrence count, not just the match set, is exercised.
+    */
+  val phraseFixtures: Seq[(String, String)] = Seq(
+    "p1" -> "table hash",
+    "p2" -> "stream table hash",
+    "p3" -> "slow hash batch")
+
+  /** Registered `search_phrase`: quoted-phrase retrieval from the same
+    * persisted positional postings the BM25 rows serve from. The DuckDB
+    * twin re-derives positions from the text (range + list-index — the
+    * established ordinal idiom) and intersects anchors; hash equality
+    * proves the positional payload round-trips the index exactly and
+    * adjacency excludes every bag-of-words-only co-occurrence.
+    */
+  def phrasePersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    phraseTopK(spark, path, phraseFixtures, 10)
+  }
+
+  /** Twin of [[phrasePersisted]]: positions via range + list indexing,
+    * anchors intersected per (query, doc), occurrences counted.
+    */
+  val phraseSql: String = {
+    val qtVals = phraseFixtures.flatMap { case (q, phrase) =>
+      phrase.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
+        .map { case (t, i) => s"('$q', '$t', $i)" }
+    }.mkString(", ")
+    val qnVals = phraseFixtures.map { case (q, phrase) =>
+      s"('$q', ${phrase.trim.toLowerCase.split("\\s+").length})" }.mkString(", ")
+    s"""WITH q(query_id, term, off) AS (VALUES $qtVals),
+       |qn(query_id, n) AS (VALUES $qnVals),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |pos AS (SELECT doc_id, t[i] AS term, i AS p
+       |        FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+       |hits AS (SELECT q.query_id, pos.doc_id, pos.p - q.off AS anchor, q.off
+       |         FROM pos JOIN q USING (term)),
+       |anch AS (SELECT query_id, doc_id, anchor, count(DISTINCT off) AS c
+       |         FROM hits GROUP BY 1, 2, 3),
+       |ph AS (SELECT a.query_id, a.doc_id, count(*) AS n_matches
+       |       FROM anch a JOIN qn ON qn.query_id = a.query_id
+       |       WHERE a.c = qn.n GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, n_matches,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY n_matches DESC, doc_id) AS rnk
+       |       FROM ph)
+       |SELECT query_id, rnk, doc_id, n_matches FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   // ---- session memo (rebuild-per-invocation harness contract) ---------------
@@ -913,7 +1022,8 @@ object LexIndex {
     "stream_bm25_cdc" -> (bm25StreamCdc _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
-    "search_hybrid_cdc" -> (hybridCdc _))
+    "search_hybrid_cdc" -> (hybridCdc _),
+    "search_phrase" -> (phrasePersisted _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
@@ -952,5 +1062,8 @@ object LexIndex {
     // the fused page after a two-stream CDC drain equals the closed
     // form over the effective corpus — the per-index CDC claims lifted
     // to the actually-served composition
-    "search_hybrid_cdc" -> hybridCdcSql)
+    "search_hybrid_cdc" -> hybridCdcSql,
+    // the positional payload round-trips the index exactly: adjacency
+    // excludes every bag-of-words co-occurrence the twin excludes
+    "search_phrase" -> phraseSql)
 }

@@ -384,6 +384,31 @@ class LexIndexSpec extends SparkTestBase {
     assert(twoList.nonEmpty, "the fixture must produce at least one doc in both lists")
   }
 
+  test("phrase queries: adjacency excludes bag-of-words co-occurrence; occurrences count; positions honor tombstones and survive compaction") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),      // the phrase, once
+      (2L, "alpha gamma beta"),      // both words, NOT adjacent — excluded
+      (3L, "beta alpha"),            // reversed — excluded
+      (4L, "alpha beta alpha beta"), // two occurrences
+      (5L, "x alpha beta y")).toDF("doc_id", "text")
+    val path = tmpDir("lex_phrase") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val got = LexIndex.phraseTopK(spark, path, Seq("p" -> "alpha beta"), 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((4L, 2L), (1L, 1L), (5L, 1L)),
+      "a bag-of-words co-occurrence without adjacency must not match; " +
+        "repeated phrases must count occurrences")
+    // takedowns reach phrase reads through the same one shared read
+    LexIndex.deleteDocs(spark, path, Seq(4L))
+    assert(LexIndex.phraseTopK(spark, path, Seq("p" -> "alpha beta"), 10)
+      .collect().map(_.getLong(2)).toSeq === Seq(1L, 5L))
+    // the positional payload survives physical reclamation
+    LexIndex.compactIndex(spark, path)
+    assert(LexIndex.phraseTopK(spark, path, Seq("p" -> "alpha beta"), 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((1L, 1L), (5L, 1L)))
+  }
+
   test("hybrid serving plan: the semantic stage reads the persisted IVF index, never a nested-loop scan of the embedding corpus") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
