@@ -817,8 +817,6 @@ object ScaleProbe {
           Array.tabulate(dim)(i =>
             ((mid(i) / mn + u(i) / un) / math.sqrt(2.0) * (an + bn) / 2.0).toFloat)
         }
-        val srcDir = s"$idir/src"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
         val waves = Seq(
           (100000 until 102000).map(i => (i.toLong,
             centers(i % 32).map(x => x + irnd.nextGaussian().toFloat * 0.5f))),
@@ -828,16 +826,8 @@ object ScaleProbe {
             cShift(i % 16).map(x => x + irnd.nextGaussian().toFloat * 0.8f))),
           (204000 until 208000).map(i => (i.toLong,
             cShift(i % 16).map(x => x + irnd.nextGaussian().toFloat * 0.8f))))
-        waves.zipWithIndex.foreach { case (rows, i) =>
-          val stage = s"$idir/stage$i"
-          rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage)
-          val part = new java.io.File(stage).listFiles
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
+        val srcDir = graft.util.Fs.stageBatchFiles(idir, "src",
+          waves.map(_.toDF("vec_id", "embedding")))
         val scans0 = ops.Ivf.driftScans.get()
         val t0 = System.nanoTime()
         // checkEvery=2: the O(index) drift scan runs on every SECOND
@@ -1374,22 +1364,13 @@ object ScaleProbe {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         // Catalog normalizes the nanos-typed ts to TIMESTAMP
         val ev = graft.catalog.Catalog(spark, "/root/testdata/sf0.1").ref("events")
-        val srcDir = s"$stDir/src"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-        (0 until 8).foreach { i =>
-          val stage = s"$stDir/stage$i"
-          ev.select((col("ts") + expr(s"INTERVAL ${i * 31} DAYS")).as("ts"),
-            (col("event_id") + lit(i * 10000000L)).as("event_id"),
-            col("event_type"), col("user_id"), col("value"))
-            .coalesce(1).write.parquet(stage)
-          val part = new java.io.File(stage).listFiles
-            .find(f => f.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          // file-stream orders by modification time — pin it explicitly
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
+        // file-stream orders by modification time — stageBatchFiles
+        // pins it explicitly
+        val srcDir = graft.util.Fs.stageBatchFiles(stDir, "src",
+          (0 until 8).map(i =>
+            ev.select((col("ts") + expr(s"INTERVAL ${i * 31} DAYS")).as("ts"),
+              (col("event_id") + lit(i * 10000000L)).as("event_id"),
+              col("event_type"), col("user_id"), col("value"))))
         val schema = spark.read.parquet(srcDir).schema
         def streamStateProbe(name: String)(build: org.apache.spark.sql.DataFrame
             => org.apache.spark.sql.DataFrame): Unit = {

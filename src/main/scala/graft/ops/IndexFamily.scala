@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.IndexMaint
+
+/** The shared mutation surface of a persisted index family — ONE
+  * implementation of the verb choreography (append / upsert / CDC /
+  * deleteIds / compact / deleteWhere) that [[Ivf]], [[Pq]] (flat and
+  * residual) and [[LexIndex]] each used to carry as near-parallel
+  * copies. The protocol invariants live HERE, once, so a fix cannot
+  * reach one family and miss the others (the drift that motivated
+  * [[graft.util.IndexMaint]] for the commit layer, now lifted to the
+  * verb layer):
+  *
+  *  - token check FIRST ([[IndexMaint.tokenGuardedSegment]]): a replay
+  *    is a structural no-op — in particular a replayed delete cannot
+  *    re-tombstone ids a later batch legitimately re-inserted;
+  *  - batch validation BEFORE any durable write: a refused batch
+  *    leaves the index untouched, never half-applied;
+  *  - tombstones land BEFORE the segment commit: the only torn crash
+  *    state (old rows hidden, new not yet visible) is healed by the
+  *    at-least-once retry, because the token only becomes visible with
+  *    the segment commit;
+  *  - compaction/deleteWhere: NULL-safe survivor predicate
+  *    (`not(coalesce(p, false))` — a NULL metadata cell must not
+  *    destroy a row), emptiness refused before any staging, the
+  *    duplicate-id invariant checked on the fresh stage, applied
+  *    tokens carried verbatim, one atomic generation commit.
+  *
+  * A family provides only what genuinely differs: how a batch encodes
+  * into a staged segment, what validation its encode needs, which
+  * sidecars a delete must adjust and a compaction must rewrite.
+  */
+private[ops] trait IndexFamily {
+
+  /** The id column the tombstone/upsert machinery keys on. */
+  protected def idCol: String = "vec_id"
+
+  /** Human label for CDC verb errors (kept per-family so existing
+    * diagnostics and specs are unchanged).
+    */
+  protected def cdcContext(token: String): String
+
+  /** Re-encode `batch` against the LIVE generation's sidecars (frozen
+    * quantizer/codebooks — a stale handle must not commit codes from a
+    * superseded generation) and write it into `stage` as one staged
+    * segment, including any per-segment sidecars that must commit
+    * atomically WITH the data.
+    */
+  protected def encodeToStage(gen: String, batch: DataFrame, stage: String): Unit
+
+  /** Validate an incoming add-batch BEFORE any durable write and
+    * return the frame the encode should read (pinned if validation
+    * already paid an action over it). Default: no validation, no pin.
+    */
+  protected def validateAndPin(batch: DataFrame, verb: String,
+      token: String): DataFrame = batch
+
+  /** Family hook after tombstones land under the lease (e.g. the
+    * lexical corpus-stats adjustment). Default: nothing.
+    */
+  protected def afterTombstones(spark: SparkSession, gen: String): Unit = ()
+
+  /** Token-guarded O(Δ) append — disjoint-ids contract (an existing id
+    * belongs on [[upsertSegment]]).
+    */
+  final def appendSegment(path: String, batch: DataFrame, token: String): Boolean =
+    IndexMaint.tokenGuardedSegment(path, token, "append") { (gen, stage) =>
+      encodeToStage(gen, validateAndPin(batch, "append", token), stage)
+    }
+
+  /** Tokenless O(Δ) append — callers that manage their own replay
+    * story; still encoded against the LIVE generation's sidecars and
+    * committed by one atomic segment rename.
+    */
+  final def appendAnonSegment(path: String, batch: DataFrame): Unit =
+    IndexMaint.withMutation(path, op = "append") {
+      val gen = IndexMaint.liveGen(path)
+      val stage = IndexMaint.newStageDir(path, "append")
+      encodeToStage(gen, batch, stage)
+      IndexMaint.commitSegmentAnon(gen, stage)
+    }
+
+  /** Delete-then-insert in ONE leased mutation (the reference's
+    * `incremental_upsert` contract): the batch's ids are tombstoned
+    * across the segments present NOW, then the batch commits as a new
+    * segment that postdates the delete.
+    */
+  final def upsertSegment(path: String, batch: DataFrame, token: String): Boolean =
+    IndexMaint.tokenGuardedSegment(path, token, "upsert") { (gen, stage) =>
+      val pinned = validateAndPin(batch.localCheckpoint(), "upsert", token)
+      val ids = pinned.select(col(idCol)).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      IndexMaint.addTombstones(gen, ids)
+      afterTombstones(pinned.sparkSession, gen)
+      encodeToStage(gen, pinned, stage)
+    }
+
+  /** Apply one op-tagged CDC micro-batch as ONE leased token-guarded
+    * mutation: verbs validated and adds validated BEFORE the tombstone
+    * write, delete+upsert ids tombstoned, insert+upsert rows committed
+    * as one token-carrying segment — zero-row for a pure-delete batch,
+    * so its token is durable.
+    */
+  final def cdcSegment(path: String, batch: DataFrame, token: String): Boolean =
+    IndexMaint.tokenGuardedSegment(path, token, "cdc") { (gen, stage) =>
+      val pinned = batch.localCheckpoint()
+      val doomed = IndexMaint.cdcDoomedIds(pinned, idCol, cdcContext(token))
+      val adds = validateAndPin(IndexMaint.cdcAdds(pinned), "cdc", token)
+      if (doomed.nonEmpty) {
+        IndexMaint.addTombstones(gen, doomed)
+        afterTombstones(pinned.sparkSession, gen)
+      }
+      encodeToStage(gen, adds, stage)
+    }
+
+  /** Logical takedown: tombstone `ids` across the segments present now
+    * (bounded metadata, capped), honored immediately by every read
+    * through the family's `indexData`; physical reclamation at the
+    * next compact/rebalance. Returns the distinct tombstoned-id count.
+    */
+  final def deleteIdsCore(spark: SparkSession, path: String, ids: Seq[Long]): Int =
+    IndexMaint.withMutation(path, op = "delete") {
+      val gen = IndexMaint.liveGen(path)
+      val n = IndexMaint.addTombstones(gen, ids)
+      afterTombstones(spark, gen)
+      n
+    }
+
+  // ---- compaction / retention rewrite ---------------------------------------
+
+  /** Diagnostic label for compaction refusals/invariants (kept
+    * per-family so existing messages and specs are unchanged).
+    */
+  protected def compactLabel(path: String): String
+
+  /** What a survivor row represents in refusal text ("vector" /
+    * "document").
+    */
+  protected def rowNoun: String = "vector"
+
+  /** The live survivors relation WITH its `seg` column (tombstones
+    * already subtracted through the family's one shared read).
+    */
+  protected def compactSurvivors(spark: SparkSession, path: String): DataFrame
+
+  /** Write the survivor rows (seg dropped) as the new `seg=base`,
+    * including any per-segment sidecars derived from them.
+    */
+  protected def writeSurvivorStage(spark: SparkSession, survivors: DataFrame,
+      segBase: String): Unit
+
+  /** Enforce the duplicate-id invariant over the fresh survivors —
+    * default: row-per-id families count the just-written stage (never
+    * a second old-generation scan). Posting-shaped families override
+    * with a (id, seg)-level check on the pre-stage relation.
+    */
+  protected def requireUniqueSurvivors(spark: SparkSession,
+      withSeg: DataFrame, segBase: String, path: String): Unit =
+    IndexMaint.requireUniqueIds(
+      spark.read.parquet(segBase).select(col(idCol)), idCol, compactLabel(path))
+
+  /** Write the generation-level sidecars (quantizer/codebooks, drift
+    * baselines — carried verbatim unless rows were dropped, the delete
+    * exception that must recompute over survivors).
+    */
+  protected def writeGenSidecars(spark: SparkSession, stage: String,
+      gen: String, hadDeletes: Boolean): Unit
+
+  /** Family hook after a generation commit (cache eviction). */
+  protected def afterCommit(path: String): Unit = ()
+
+  /** Pin the survivor relation before staging — for families whose
+    * survivor write pays several actions over it (postings + doc dir +
+    * stats + the multi-row unique check). Row-per-id families pay ONE
+    * action (the stage write) and read everything else from the fresh
+    * stage, so they skip the materialization.
+    */
+  protected def pinSurvivors: Boolean = false
+
+  /** Re-land the live generation as ONE segment with tombstoned rows
+    * (and `doomed` matches, if given) physically dropped — compaction
+    * and the corpus-scale `deleteWhere` retention rewrite are the SAME
+    * protocol with and without the predicate. Returns the committed
+    * generation path.
+    */
+  final def compactGeneration(spark: SparkSession, path: String,
+      doomed: Option[Column]): String =
+    IndexMaint.withMutation(path,
+      op = if (doomed.isDefined) "deleteWhere" else "compact") {
+      val gen = IndexMaint.liveGen(path)
+      val hadDeletes = IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
+      // NULL predicate results keep the row: only a definite match is a
+      // delete — a NULL metadata cell must not destroy a row
+      val withSeg = {
+        val d0 = compactSurvivors(spark, path)
+        val d = doomed.map(p => d0.filter(not(coalesce(p, lit(false))))).getOrElse(d0)
+        if (pinSurvivors) d.localCheckpoint() else d
+      }
+      // a fully-deleted index has no schema to re-land — refuse loudly
+      // (drop the index instead), on BOTH paths, before any staging
+      require(!withSeg.isEmpty,
+        s"${compactLabel(path)}: no $rowNoun survives (all tombstoned or " +
+          "matching the deleteWhere predicate); drop the index instead")
+      val stage = IndexMaint.newStageDir(path, "compact")
+      val segBase = s"$stage/seg=base"
+      writeSurvivorStage(spark, withSeg.drop("seg"), segBase)
+      requireUniqueSurvivors(spark, withSeg, segBase, path)
+      writeGenSidecars(spark, stage, gen, hadDeletes)
+      IndexMaint.writeConsolidatedTokens(stage, IndexMaint.appliedTokens(gen))
+      val committed = IndexMaint.commitGeneration(path, stage)
+      afterCommit(path)
+      committed
+    }
+}

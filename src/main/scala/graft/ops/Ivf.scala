@@ -23,7 +23,45 @@ import graft.functions.ArrayExprs
   * same, only the storage layout changes. Centroid updates shuffle
   * (cid, pos) partial sums — k·dim rows — regardless of corpus size.
   */
-object Ivf {
+object Ivf extends IndexFamily {
+
+  // ---- IndexFamily hooks: the shared verb choreography parameterized
+  // by the IVF encode (cell assignment against the LIVE generation's
+  // quantizer) and the cell-partitioned layout -------------------------------
+  override protected def cdcContext(token: String): String = s"applyCdc($token)"
+  override protected def compactLabel(path: String): String = s"compactIndex($path)"
+
+  override protected def encodeToStage(gen: String, batch: DataFrame,
+      stage: String): Unit = {
+    val path = java.nio.file.Paths.get(gen).getParent.toString
+    encodeBatch(IvfIndex(path, readCentroids(gen)), batch)
+      .write.mode("overwrite").partitionBy("cid").parquet(stage)
+  }
+
+  override protected def compactSurvivors(spark: SparkSession,
+      path: String): DataFrame = indexData(spark, path)
+
+  override protected def writeSurvivorStage(spark: SparkSession,
+      survivors: DataFrame, segBase: String): Unit =
+    survivors.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(segBase)
+
+  override protected def writeGenSidecars(spark: SparkSession, stage: String,
+      gen: String, hadDeletes: Boolean): Unit = {
+    val centroids = readCentroids(gen)
+    writeCentroids(stage, centroids)
+    // Without deletes the contents are identical, so the drift BASELINE
+    // is carried — compaction must not mask quantizer rot. Deletion is
+    // the one case where it must NOT be carried: the old baseline
+    // weights cells by occupancies that include the dropped rows, so it
+    // is recomputed over the survivors.
+    if (hadDeletes)
+      writeCellStats(stage, cellStatsOf(spark, s"$stage/seg=base", centroids))
+    else writeCellStats(stage, readCellStats(gen))
+  }
+
+  override protected def afterCommit(path: String): Unit =
+    indexCache.evict(_._1 == path)
 
   /** Lloyd k-means for the coarse quantizer, trained driver-side on a
     * bounded deterministic sample — the standard IVF shape (FAISS trains
@@ -333,12 +371,7 @@ object Ivf {
     * generations.
     */
   def appendBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "append") { (gen, stage) =>
-      // live-generation quantizer (see appendBatch): stale handles
-      // must not commit cells from a superseded quantizer
-      encodeBatch(IvfIndex(index.path, readCentroids(gen)), batch)
-        .write.mode("overwrite").partitionBy("cid").parquet(stage)
-    }
+    appendSegment(index.path, batch, token)
 
   /** Delete ids from the index — the takedown/GDPR path every 100 TB
     * corpus index needs and the engine's tracking-table delete-matching-
@@ -353,10 +386,7 @@ object Ivf {
     * compacts on.
     */
   def deleteIds(index: IvfIndex, ids: Seq[Long]): Int =
-    graft.util.IndexMaint.withMutation(index.path, op = "delete") {
-      graft.util.IndexMaint.addTombstones(
-        graft.util.IndexMaint.liveGen(index.path), ids)
-    }
+    deleteIdsCore(org.apache.spark.sql.SparkSession.active, index.path, ids)
 
   /** Delete-then-insert in ONE leased mutation — the reference's
     * tracking-table upsert semantics (`incremental_upsert`: delete
@@ -377,14 +407,7 @@ object Ivf {
     * metadata (one upsert batch's keys — the tombstone contract).
     */
   def upsertBatchIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "upsert") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
-      val ids = pinned.select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      graft.util.IndexMaint.addTombstones(gen, ids)
-      encodeBatch(IvfIndex(index.path, readCentroids(gen)), pinned)
-        .write.mode("overwrite").partitionBy("cid").parquet(stage)
-    }
+    upsertSegment(index.path, batch, token)
 
   /** The CDC verbs [[applyCdcIdempotent]] accepts — see
     * [[graft.util.IndexMaint.CdcOps]] (shared by every family).
@@ -411,15 +434,7 @@ object Ivf {
     * detection makes the replay a structural no-op instead.
     */
   def applyCdcIdempotent(index: IvfIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
-      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "vec_id",
-        s"applyCdc($token)")
-      if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
-      encodeBatch(IvfIndex(index.path, readCentroids(gen)),
-        graft.util.IndexMaint.cdcAdds(pinned))
-        .write.mode("overwrite").partitionBy("cid").parquet(stage)
-    }
+    cdcSegment(index.path, batch, token)
 
   /** [[buildIndex]] memoized per (path, source fingerprint, kCells,
     * iters) for the session — the [[BpeTrain.trainedMerges]] pattern:
@@ -434,20 +449,8 @@ object Ivf {
   def buildIndexCached(base: DataFrame, srcDir: String, path: String,
       kCells: Int, iters: Int): IvfIndex = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, iters)
-    indexCache.get(key).getOrElse {
-      // Serialize builds PER INDEX PATH: two concurrent misses for the
-      // same path must not race overlapping mode-overwrite writes.
-      // TrieMap.getOrElseUpdate may run the by-name twice, but for a
-      // plain lock Object that's harmless — both callers receive the
-      // winning instance, so both synchronize on the same monitor.
-      graft.util.IndexMaint.lockFor(path).synchronized {
-        indexCache.get(key).getOrElse {
-          val built = buildIndex(base, path, kCells, iters)
-          indexCache.putReplacing(key, built)(k => k._1 == path && k != key)
-          built
-        }
-      }
-    }
+    indexCache.memoized(key, graft.util.IndexMaint.lockFor(path))(
+      k => k._1 == path && k != key)(buildIndex(base, path, kCells, iters))
   }
 
   private[ops] def indexCacheSnapshot: Seq[(String, Long, Int, Int)] =
@@ -474,17 +477,7 @@ object Ivf {
     * callers that can be replayed use [[appendBatchIdempotent]].
     */
   def appendBatch(index: IvfIndex, batch: DataFrame): Unit =
-    graft.util.IndexMaint.withMutation(index.path, op = "append") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      // assign against the LIVE generation's quantizer, not the
-      // handle's: a rebalance may have committed since the caller
-      // loaded it, and cells must match the centroids they live with
-      val live = IvfIndex(index.path, readCentroids(gen))
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-      encodeBatch(live, batch)
-        .write.mode("overwrite").partitionBy("cid").parquet(stage)
-      graft.util.IndexMaint.commitSegmentAnon(gen, stage)
-    }
+    appendAnonSegment(index.path, batch)
 
   /** Compact the live generation WITHOUT retraining: the O(N)-rewrite /
     * O(1)-semantics maintenance op between rebalances. The append-only
@@ -522,50 +515,15 @@ object Ivf {
     compactCore(spark, index, Some(doomed))
 
   private def compactCore(spark: SparkSession, index: IvfIndex,
-      doomed: Option[org.apache.spark.sql.Column]): IvfIndex =
-    graft.util.IndexMaint.withMutation(index.path,
-      op = if (doomed.isDefined) "deleteWhere" else "compact") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      val centroids = readCentroids(gen)
-      val hadDeletes =
-        graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
-      // indexData subtracts the tombstone set, so compaction IS the
-      // physical reclamation: deleted rows are dropped from the rewrite
-      // and the new generation carries no tombstone sidecar. Metadata
-      // columns (filtered search) ride through the star projection.
-      // NULL predicate results keep the row (only a definite match is a
-      // delete — a NULL metadata cell must not destroy the vector).
-      val survivors = {
-        val d = indexData(spark, index.path).drop("seg")
-        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
-      }
-      // refused BEFORE any staging, on BOTH paths: a fully-tombstoned
-      // index has no schema to re-land either
-      require(!survivors.isEmpty,
-        s"compact/deleteWhere(${index.path}): no vector survives (all " +
-          "tombstoned or matching the predicate); drop the index instead")
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
-      survivors
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
-      graft.util.IndexMaint.requireUniqueIds(
-        spark.read.parquet(s"$stage/seg=base").select(col("vec_id")),
-        "vec_id", s"compactIndex(${index.path})")
-      writeCentroids(stage, centroids)
-      // Without deletes the contents are identical, so the drift
-      // BASELINE is carried — compaction must not mask quantizer rot.
-      // Deletion is the one case where it must NOT be carried: the old
-      // baseline weights cells by occupancies that include the dropped
-      // rows, so it is recomputed over the survivors.
-      if (hadDeletes)
-        writeCellStats(stage, cellStatsOf(spark, s"$stage/seg=base", centroids))
-      else writeCellStats(stage, readCellStats(gen))
-      graft.util.IndexMaint.writeConsolidatedTokens(stage,
-        graft.util.IndexMaint.appliedTokens(gen))
-      graft.util.IndexMaint.commitGeneration(index.path, stage)
-      indexCache.evict(_._1 == index.path)
-      IvfIndex(index.path, centroids)
-    }
+      doomed: Option[org.apache.spark.sql.Column]): IvfIndex = {
+    // the shared skeleton: indexData subtracts the tombstone set, so
+    // compaction IS the physical reclamation — deleted rows are dropped
+    // from the rewrite and the new generation carries no tombstone
+    // sidecar; metadata columns (filtered search) ride through the star
+    // projection
+    val committed = compactGeneration(spark, index.path, doomed)
+    IvfIndex(index.path, readCentroids(committed))
+  }
 
   // ---- index maintenance: drift detection + rebalance -----------------------
 

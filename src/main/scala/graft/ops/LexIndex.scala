@@ -32,7 +32,87 @@ import graft.catalog.Catalog
   * `search_bm25_persisted` row: persisted ≡ in-memory, proven by hash
   * equality against the SAME DuckDB twin as `text_bm25`.
   */
-object LexIndex {
+object LexIndex extends IndexFamily {
+
+  // ---- IndexFamily hooks: the shared verb choreography parameterized
+  // by the postings encode (tokenize → tb-bucketed postings + doc dir +
+  // stats sidecar, all committing atomically with the segment) --------------
+  override protected def idCol: String = "doc_id"
+  override protected def cdcContext(token: String): String = s"applyCdcDocs($token)"
+  override protected def compactLabel(path: String): String = s"compactIndex($path)"
+  override protected def rowNoun: String = "document"
+  // the survivor write pays several actions (postings + doc dir + stats
+  // + the (doc, seg)-level unique check) — pin once
+  override protected def pinSurvivors: Boolean = true
+
+  override protected def validateAndPin(batch: org.apache.spark.sql.DataFrame,
+      verb: String, token: String): org.apache.spark.sql.DataFrame = {
+    val label = verb match {
+      case "append" => s"appendDocs($token)"
+      case "upsert" => s"upsertDocs($token)"
+      case _ => s"applyCdcDocs($token)"
+    }
+    // append arrives raw — pin it (the validation aggregate and the
+    // encode both act on it); upsert/CDC frames are already pinned by
+    // the skeleton, so the projection is cheap lineage over a checkpoint
+    val p =
+      if (verb == "append")
+        batch.select(col("doc_id"), col("text")).localCheckpoint()
+      else batch.select(col("doc_id"), col("text"))
+    requireDistinctDocs(p, label)
+    p
+  }
+
+  override protected def afterTombstones(spark: SparkSession, gen: String): Unit =
+    refreshRemoved(spark, gen)
+
+  override protected def encodeToStage(gen: String,
+      batch: org.apache.spark.sql.DataFrame, stage: String): Unit = {
+    postingsOf(batch)
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(stage)
+    writeDocDir(batch, stage)
+    writeStats(stage, statsOf(batch))
+  }
+
+  override protected def compactSurvivors(spark: SparkSession,
+      path: String): DataFrame =
+    indexData(spark, path)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
+        col("tb"), col("seg"))
+
+  // the lexical form of the duplicate-id refusal (the vector families'
+  // stage-count check): a SURVIVING doc legitimately lives in exactly
+  // one segment — its old copies are tombstoned by upsert/delete — so a
+  // doc spanning two segments means a producer re-added it without
+  // tombstoning (same- or different-text, both caught; a (doc_id,
+  // term)-level check would miss disjoint-vocab re-adds)
+  override protected def requireUniqueSurvivors(spark: SparkSession,
+      withSeg: DataFrame, segBase: String, path: String): Unit =
+    graft.util.IndexMaint.requireUniqueIds(
+      withSeg.select(col("doc_id"), col("seg")).distinct()
+        .select(col("doc_id")),
+      "doc_id", compactLabel(path))
+
+  override protected def writeSurvivorStage(spark: SparkSession,
+      survivors: DataFrame, segBase: String): Unit = {
+    survivors.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(segBase)
+    // every doc has >= 1 posting row (an empty text still tokenizes to
+    // one empty-string term), so the doc dir is exactly the distinct
+    // (doc_id, dl) of the surviving postings
+    val dd = survivors.select(col("doc_id"), col("dl")).distinct()
+      .localCheckpoint()
+    dd.write.mode("overwrite").parquet(s"$segBase/$DocDirName")
+    val st = dd.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    writeStats(segBase, LexStats(st.getLong(0), st.getLong(1)))
+  }
+
+  // corpus constants are per-segment sidecars (written with the
+  // survivors above); there are no generation-level sidecars to carry
+  override protected def writeGenSidecars(spark: SparkSession, stage: String,
+      gen: String, hadDeletes: Boolean): Unit = ()
 
   /** Term-hash partition fanout. 64 buckets keeps per-bucket file sizes
     * scan-efficient at 100 TB while a 3-term query touches ≤ 3
@@ -166,19 +246,7 @@ object LexIndex {
     * distinct tombstoned-id count.
     */
   def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Int =
-    graft.util.IndexMaint.withMutation(path, op = "delete") {
-      deleteCore(spark, graft.util.IndexMaint.liveGen(path), ids)
-    }
-
-  /** The delete body, for callers already holding the mutation lease
-    * (the lease is not reentrant — a nested withMutation would wait on
-    * itself).
-    */
-  private def deleteCore(spark: SparkSession, gen: String, ids: Seq[Long]): Int = {
-    val total = graft.util.IndexMaint.addTombstones(gen, ids)
-    refreshRemoved(spark, gen)
-    total
-  }
+    deleteIdsCore(spark, path, ids)
 
   /** Recompute the takedown stats adjustment from the FULL tombstone
     * set (bounded by [[graft.util.IndexMaint.tombstonePairCap]])
@@ -223,7 +291,7 @@ object LexIndex {
     * generation flip. The [[Ivf.compactIndex]] contract for postings.
     */
   def compactIndex(spark: SparkSession, path: String): String =
-    compactCore(spark, path, doomed = None)
+    compactGeneration(spark, path, doomed = None)
 
   /** Bulk delete by doc predicate — the [[Ivf.deleteWhere]] retention
     * path on the postings: a corpus-scale removal would blow both
@@ -231,61 +299,11 @@ object LexIndex {
     * stats walk), so it is ONE filtered compaction — survivors
     * rewritten bucket-partitioned, doc dir + stats recomputed over
     * them, prior tombstones and takedown adjustments subsumed, tokens
-    * carried.
+    * carried ([[IndexFamily.compactGeneration]] with the hooks above).
     */
   def deleteDocsWhere(spark: SparkSession, path: String,
       doomed: org.apache.spark.sql.Column): String =
-    compactCore(spark, path, Some(doomed))
-
-  private def compactCore(spark: SparkSession, path: String,
-      doomed: Option[org.apache.spark.sql.Column]): String =
-    graft.util.IndexMaint.withMutation(path,
-      op = if (doomed.isDefined) "deleteWhere" else "compact") {
-      val gen = graft.util.IndexMaint.liveGen(path)
-      // indexData subtracts tombstones: compaction is the physical
-      // reclamation point, and the new generation carries no sidecar
-      // NULL predicate results keep the row (only a definite match
-      // deletes — see Ivf.compactCore)
-      val withSeg = {
-        val d = indexData(spark, path)
-          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"),
-            col("tb"), col("seg"))
-        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
-      }.localCheckpoint()
-      // the lexical form of the duplicate-id refusal (the vector
-      // compactions' requireUniqueIds): a SURVIVING doc legitimately
-      // lives in exactly one segment — its old copies are tombstoned by
-      // upsert/delete — so a doc spanning two segments means a producer
-      // re-added it without tombstoning (same- or different-text, both
-      // caught; a (doc_id, term)-level check would miss disjoint-vocab
-      // re-adds)
-      graft.util.IndexMaint.requireUniqueIds(
-        withSeg.select(col("doc_id"), col("seg")).distinct()
-          .select(col("doc_id")),
-        "doc_id", s"compactIndex($path)")
-      val survivors = withSeg.drop("seg")
-      // a fully-deleted index has no schema to re-land — refuse loudly
-      // (drop the index instead) rather than committing an unreadable
-      // generation
-      require(!survivors.isEmpty,
-        s"compactIndex($path): no document survives (all tombstoned or " +
-          "matching the deleteWhere predicate); drop the index instead")
-      val stage = graft.util.IndexMaint.newStageDir(path, "compact")
-      survivors.repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
-      // every doc has >= 1 posting row (an empty text still tokenizes to
-      // one empty-string term), so the doc dir is exactly the distinct
-      // (doc_id, dl) of the surviving postings
-      val dd = survivors.select(col("doc_id"), col("dl")).distinct()
-        .localCheckpoint()
-      dd.write.mode("overwrite").parquet(s"$stage/seg=base/$DocDirName")
-      val st = dd.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-      writeStats(s"$stage/seg=base", LexStats(st.getLong(0), st.getLong(1)))
-      graft.util.IndexMaint.writeConsolidatedTokens(stage,
-        graft.util.IndexMaint.appliedTokens(gen))
-      graft.util.IndexMaint.commitGeneration(path, stage)
-    }
+    compactGeneration(spark, path, Some(doomed))
 
   /** Build the persisted postings for a `(doc_id, text)` corpus: ONE
     * tokenize scan, bucketed write, stats sidecar, atomic generation
@@ -333,15 +351,7 @@ object LexIndex {
     * from the indexed corpus (the vector-index append contract).
     */
   def appendDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(path, token, "append") { (_, stage) =>
-      val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
-      requireDistinctDocs(pinned, s"appendDocs($token)")
-      postingsOf(pinned)
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(stage)
-      writeDocDir(pinned, stage)
-      writeStats(stage, statsOf(pinned))
-    }
+    appendSegment(path, docs, token)
 
   /** Delete-then-insert in ONE leased mutation — [[appendDocsIdempotent]]
     * without the disjoint-ids assumption (the
@@ -356,18 +366,7 @@ object LexIndex {
     * since the token is only visible once the segment commits.
     */
   def upsertDocsIdempotent(path: String, docs: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(path, token, "upsert") { (gen, stage) =>
-      val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
-      requireDistinctDocs(pinned, s"upsertDocs($token)")
-      val ids = pinned.select(col("doc_id")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      deleteCore(pinned.sparkSession, gen, ids)
-      postingsOf(pinned)
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(stage)
-      writeDocDir(pinned, stage)
-      writeStats(stage, statsOf(pinned))
-    }
+    upsertSegment(path, docs, token)
 
   /** Apply one CDC micro-batch of documents — rows tagged by an `op`
     * column with a [[graft.util.IndexMaint.CdcOps]] verb — as ONE
@@ -381,27 +380,7 @@ object LexIndex {
     * verbs fail loudly before any mutation.
     */
   def applyCdcDocs(path: String, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(path, token, "cdc") { (gen, stage) =>
-      val pinned = batch.select(col("doc_id"), col("text"), col("op"))
-        .localCheckpoint()
-      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "doc_id",
-        s"applyCdcDocs($token)")
-      // only the ADD rows need distinctness: a delete and an insert of
-      // the same id in one batch is meaningful (segment-scoped), and
-      // repeated delete rows union harmlessly. Validated BEFORE the
-      // tombstone write (the same fail-loudly-pre-mutation ordering as
-      // the unknown-verb check): a refusal after deleteCore would
-      // half-apply the batch — upserted docs hidden with no
-      // replacements and no token — until a corrected batch arrived.
-      val adds = graft.util.IndexMaint.cdcAdds(pinned).localCheckpoint()
-      requireDistinctDocs(adds, s"applyCdcDocs($token)")
-      if (doomed.nonEmpty) deleteCore(pinned.sparkSession, gen, doomed)
-      postingsOf(adds)
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(stage)
-      writeDocDir(adds, stage)
-      writeStats(stage, statsOf(adds))
-    }
+    cdcSegment(path, batch, token)
 
   /** The live postings relation (partition columns `seg`, `tb`), MINUS
     * tombstoned docs — the [[Ivf.indexData]] reader contract: every
@@ -590,15 +569,8 @@ object LexIndex {
     */
   def buildIndexCached(docs: DataFrame, srcDir: String, path: String): String = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir))
-    builtMemo.get(key).getOrElse {
-      graft.util.IndexMaint.lockFor(path).synchronized {
-        builtMemo.get(key).getOrElse {
-          buildIndex(docs, path)
-          builtMemo.putReplacing(key, path)(k => k._1 == path && k != key)
-          path
-        }
-      }
-    }
+    builtMemo.memoized(key, graft.util.IndexMaint.lockFor(path))(
+      k => k._1 == path && k != key) { buildIndex(docs, path); path }
   }
 
   /** Registered `search_bm25_persisted`: build the postings once, serve
@@ -698,19 +670,8 @@ object LexIndex {
         .select(col("doc_id"), col("dtext").as("text"), lit("upsert").as("op")))
     val tmp = java.nio.file.Files.createTempDirectory("stream_bm25_cdc").toString
     try {
-      val srcDir = s"$tmp/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      batches.zipWithIndex.foreach { case (rows, i) =>
-        val stage = s"$tmp/stage$i"
-        rows.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
-      graft.streaming.DocIngest.ingestStreamDocs(spark, srcDir, path)
+      graft.streaming.DocIngest.ingestStreamDocs(spark,
+        graft.util.Fs.stageBatchFiles(tmp, "src", batches), path)
       bm25TopK(spark, path, Search.fixtureQueries, 5).localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
@@ -893,28 +854,13 @@ object LexIndex {
           lit("upsert").as("op")))
     val tmp = java.nio.file.Files.createTempDirectory("hybrid_cdc").toString
     try {
-      def stageBatches(sub: String, batches: Seq[DataFrame]): String = {
-        val srcDir = s"$tmp/$sub"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-        batches.zipWithIndex.foreach { case (rows, i) =>
-          val stage = s"$tmp/stage_$sub$i"
-          rows.coalesce(1).write.parquet(stage)
-          val part = new java.io.File(stage).listFiles
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
-        srcDir
-      }
       graft.streaming.DocIngest.ingestStreamDocs(spark,
-        stageBatches("docsrc", docBatches), lexPath)
+        graft.util.Fs.stageBatchFiles(tmp, "docsrc", docBatches), lexPath)
       // checkEvery past the stream length: a drift-fired rebalance would
       // retrain the quantizer the oracle froze (the stream_ivf_cdc note)
       graft.streaming.CdcIngest.ingestStreamCdc(spark,
-        stageBatches("vecsrc", vecBatches), Ivf.loadIndex(vecPath),
-        checkEvery = 100)
+        graft.util.Fs.stageBatchFiles(tmp, "vecsrc", vecBatches),
+        Ivf.loadIndex(vecPath), checkEvery = 100)
       hybridCore(spark, lexPath, Ivf.loadIndex(vecPath)).localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(tmp)
   }

@@ -703,15 +703,8 @@ object Pq {
   def buildIndexCached(base: DataFrame, srcDir: String, path: String,
       m: Int, kSub: Int, iters: Int): PqIndex = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir), m, kSub, iters)
-    pqIndexCache.get(key).getOrElse {
-      graft.util.IndexMaint.lockFor(path).synchronized {
-        pqIndexCache.get(key).getOrElse {
-          val built = buildIndex(base, path, m, kSub, iters)
-          pqIndexCache.putReplacing(key, built)(k => k._1 == path && k != key)
-          built
-        }
-      }
-    }
+    pqIndexCache.memoized(key, graft.util.IndexMaint.lockFor(path))(
+      k => k._1 == path && k != key)(buildIndex(base, path, m, kSub, iters))
   }
 
   private val pqIndexCache =
@@ -729,21 +722,56 @@ object Pq {
   private def encodeBatchCols(index: PqIndex, batch: DataFrame): DataFrame =
     dropD2(encodeWithD2(batch, index.codebooks), index.codebooks.size)
 
+  /** The flat-PQ side of the shared [[IndexFamily]] verb choreography:
+    * encode = code assignment against the LIVE generation's codebooks,
+    * layout = plain parquet (codes are m bytes/vector — `numFiles`
+    * bounds the compacted rewrite), fit baseline recomputed over the
+    * survivors' stored codes when rows were dropped.
+    */
+  private final class FlatFamily(numFiles: Int) extends IndexFamily {
+    override protected def cdcContext(token: String): String = s"applyCdc($token)"
+    override protected def compactLabel(path: String): String = s"compactIndex($path)"
+
+    override protected def encodeToStage(gen: String, batch: DataFrame,
+        stage: String): Unit = {
+      val path = java.nio.file.Paths.get(gen).getParent.toString
+      encodeBatchCols(PqIndex(path, readCodebooks(gen)), batch)
+        .write.mode("overwrite").parquet(stage)
+    }
+
+    override protected def compactSurvivors(spark: SparkSession,
+        path: String): DataFrame = indexData(spark, path)
+
+    override protected def writeSurvivorStage(spark: SparkSession,
+        survivors: DataFrame, segBase: String): Unit =
+      survivors.repartition(numFiles).write.mode("overwrite").parquet(segBase)
+
+    override protected def writeGenSidecars(spark: SparkSession, stage: String,
+        gen: String, hadDeletes: Boolean): Unit = {
+      val cbs = readCodebooks(gen)
+      writeCodebooks(stage, cbs)
+      // codes are unchanged, so the encode-time fit baseline is carried
+      // — compaction must not reset the drift reference. Deletion is
+      // the exception: recomputed from the just-written survivor stage,
+      // never a second old-generation scan through the anti-join
+      if (hadDeletes)
+        writeSubStats(stage, subStatsOf(withStoredCodeD2(
+          spark.read.parquet(s"$stage/seg=base"), cbs), cbs.size))
+      else writeSubStats(stage, readSubStats(gen))
+    }
+
+    override protected def afterCommit(path: String): Unit =
+      pqIndexCache.evict(_._1 == path)
+  }
+
+  private val flatFamily = new FlatFamily(numFiles = 1)
+
   /** Encode a new batch against the FROZEN codebooks and commit it as
     * an anonymous segment — O(Δ). This is the path that erodes fit
     * under shift. Replayable callers use [[appendBatchIdempotent]].
     */
   def appendBatch(index: PqIndex, batch: DataFrame): Unit =
-    graft.util.IndexMaint.withMutation(index.path, op = "append") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      // encode against the LIVE generation's codebooks, not the
-      // handle's: a rebalance may have committed since the caller
-      // loaded it, and codes must match the codebooks they live with
-      val live = PqIndex(index.path, readCodebooks(gen))
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "append")
-      encodeBatchCols(live, batch).write.mode("overwrite").parquet(stage)
-      graft.util.IndexMaint.commitSegmentAnon(gen, stage)
-    }
+    flatFamily.appendAnonSegment(index.path, batch)
 
   /** Compact the live generation's accrued append segments into one
     * re-laid-out segment WITHOUT re-encoding — [[Ivf.compactIndex]]'s
@@ -767,49 +795,11 @@ object Pq {
     compactCore(spark, index, numFiles = 1, Some(doomed))
 
   private def compactCore(spark: SparkSession, index: PqIndex,
-      numFiles: Int, doomed: Option[org.apache.spark.sql.Column]): PqIndex =
-    graft.util.IndexMaint.withMutation(index.path,
-      op = if (doomed.isDefined) "deleteWhere" else "compact") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      val cbs = readCodebooks(gen)
-      val m = cbs.size
-      val hadDeletes =
-        graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
-      // indexData subtracts tombstones: compaction is the physical
-      // reclamation point, and the new generation carries no sidecar.
-      // NULL predicate results keep the row; the emptiness refusal runs
-      // on BOTH paths and before any staging (see Ivf.compactCore).
-      val survivors = {
-        val d = indexData(spark, index.path).drop("seg")
-        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
-      }
-      require(!survivors.isEmpty,
-        s"compact/deleteWhere(${index.path}): no vector survives; " +
-          "drop the index instead")
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
-      survivors
-        .repartition(numFiles)
-        .write.mode("overwrite").parquet(s"$stage/seg=base")
-      graft.util.IndexMaint.requireUniqueIds(
-        spark.read.parquet(s"$stage/seg=base").select(col("vec_id")),
-        "vec_id", s"compactIndex(${index.path})")
-      writeCodebooks(stage, cbs)
-      // codes are unchanged, so the encode-time fit baseline is carried
-      // — compaction must not reset the drift reference. Deletion is
-      // the exception: the old baseline weights subspaces by dropped
-      // rows, so it is recomputed over the survivors' stored codes.
-      // survivors were just written tombstone-free: recompute from the
-      // stage, not a second old-generation scan through the anti-join
-      if (hadDeletes)
-        writeSubStats(stage, subStatsOf(withStoredCodeD2(
-          spark.read.parquet(s"$stage/seg=base"), cbs), m))
-      else writeSubStats(stage, readSubStats(gen))
-      graft.util.IndexMaint.writeConsolidatedTokens(stage,
-        graft.util.IndexMaint.appliedTokens(gen))
-      graft.util.IndexMaint.commitGeneration(index.path, stage)
-      pqIndexCache.evict(_._1 == index.path)
-      PqIndex(index.path, cbs)
-    }
+      numFiles: Int, doomed: Option[org.apache.spark.sql.Column]): PqIndex = {
+    val committed = new FlatFamily(numFiles)
+      .compactGeneration(spark, index.path, doomed)
+    PqIndex(index.path, readCodebooks(committed))
+  }
 
   /** Current per-subspace fit vs the build-time sidecar: one index scan
     * into an m-row aggregate. Codes are frozen-nearest, so recomputing
@@ -930,12 +920,7 @@ object Pq {
     * tokens into the new generation.
     */
   def appendBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "append") { (gen, stage) =>
-      // live-generation codebooks (see appendBatch): stale handles
-      // must not commit codes from a superseded codebook
-      encodeBatchCols(PqIndex(index.path, readCodebooks(gen)), batch)
-        .write.mode("overwrite").parquet(stage)
-    }
+    flatFamily.appendSegment(index.path, batch, token)
 
   /** Delete-then-insert in ONE leased mutation — the
     * [[Ivf.upsertBatchIdempotent]] contract on the PQ index: tombstone
@@ -945,14 +930,7 @@ object Pq {
     * only torn crash state (see the IVF variant's scaladoc).
     */
   def upsertBatchIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "upsert") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
-      val ids = pinned.select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      graft.util.IndexMaint.addTombstones(gen, ids)
-      encodeBatchCols(PqIndex(index.path, readCodebooks(gen)), pinned)
-        .write.mode("overwrite").parquet(stage)
-    }
+    flatFamily.upsertSegment(index.path, batch, token)
 
   /** Apply one CDC micro-batch — the [[Ivf.applyCdcIdempotent]]
     * contract on the PQ index: delete+upsert ids tombstoned across the
@@ -962,15 +940,7 @@ object Pq {
     * later re-insert).
     */
   def applyCdcIdempotent(index: PqIndex, batch: DataFrame, token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
-      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "vec_id",
-        s"applyCdc($token)")
-      if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
-      encodeBatchCols(PqIndex(index.path, readCodebooks(gen)),
-        graft.util.IndexMaint.cdcAdds(pinned))
-        .write.mode("overwrite").parquet(stage)
-    }
+    flatFamily.cdcSegment(index.path, batch, token)
 
   /** Delete ids from the index ([[Ivf.deleteIds]] contract): logical
     * tombstone now — honored immediately by every ADC screen through
@@ -978,10 +948,8 @@ object Pq {
     * [[rebalance]]; a later append of the same id re-inserts it.
     */
   def deleteIds(index: PqIndex, ids: Seq[Long]): Int =
-    graft.util.IndexMaint.withMutation(index.path, op = "delete") {
-      graft.util.IndexMaint.addTombstones(
-        graft.util.IndexMaint.liveGen(index.path), ids)
-    }
+    flatFamily.deleteIdsCore(org.apache.spark.sql.SparkSession.active,
+      index.path, ids)
 
   /** [[pqDriftStats]] invocation counter — the amortization evidence
     * counter for the streaming ingest spec.
@@ -1042,13 +1010,22 @@ object Pq {
     val gen = graft.util.IndexMaint.liveGen(index.path)
     // the filter applies at the SCREEN (bytes pruned before ranking);
     // the rerank fetch joins on screened ids, so it inherits the filter
-    val screened = adcTopKAt(spark, index, queryVecs, rr, candFilter, gen)
-      .select(col("query_id"), col("vec_id"))
+    exactRerank(spark, gen,
+      adcTopKAt(spark, index, queryVecs, rr, candFilter, gen), queryVecs, k)
+  }
+
+  /** The exact rerank both persisted reranks share: the screened
+    * candidate ids fetch their stored embeddings from the SAME resolved
+    * generation via a broadcast join — never a second corpus pass — and
+    * exact double L2 restores the order quantized codes tie-collapse.
+    */
+  private def exactRerank(spark: SparkSession, gen: String, screened: DataFrame,
+      queryVecs: Seq[(Long, Array[Double])], k: Int): DataFrame = {
     import spark.implicits._
     val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
     val exact = indexDataAt(spark, gen)
       .select(col("vec_id"), col("embedding"))
-      .join(broadcast(screened), Seq("vec_id"))
+      .join(broadcast(screened.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
       .join(broadcast(qDf), Seq("query_id"))
       .withColumn("d2", expr(
         """aggregate(zip_with(embedding, qvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
@@ -1431,14 +1408,54 @@ object Pq {
     * resolves the LIVE generation's quantizer + codebooks so a stale
     * handle cannot commit codes from a superseded generation.
     */
-  def appendBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
-      token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "append") { (gen, stage) =>
-      val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
-      dropD2(residualEncodeWithD2(batch, live.centroids, live.codebooks),
-        live.codebooks.size)
+  /** The residual side of the shared [[IndexFamily]] verb choreography:
+    * encode = residual re-encoding against the LIVE coarse quantizer +
+    * codebooks, layout = cell-partitioned, fit baseline recomputed on
+    * the residual stats when rows were dropped.
+    */
+  private object ResidualFamily extends IndexFamily {
+    override protected def cdcContext(token: String): String =
+      s"applyCdcResidual($token)"
+    override protected def compactLabel(path: String): String =
+      s"compactIndexResidual($path)"
+
+    override protected def encodeToStage(gen: String, batch: DataFrame,
+        stage: String): Unit = {
+      val cents = Ivf.readCentroids(gen)
+      val cbs = readCodebooks(gen)
+      dropD2(residualEncodeWithD2(batch, cents, cbs), cbs.size)
         .write.mode("overwrite").partitionBy("cid").parquet(stage)
     }
+
+    override protected def compactSurvivors(spark: SparkSession,
+        path: String): DataFrame = indexData(spark, path)
+
+    override protected def writeSurvivorStage(spark: SparkSession,
+        survivors: DataFrame, segBase: String): Unit =
+      survivors.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(segBase)
+
+    override protected def writeGenSidecars(spark: SparkSession, stage: String,
+        gen: String, hadDeletes: Boolean): Unit = {
+      val cents = Ivf.readCentroids(gen)
+      val cbs = readCodebooks(gen)
+      Ivf.writeCentroids(stage, cents)
+      writeCodebooks(stage, cbs)
+      // fit baseline carried unless rows were dropped (the delete
+      // exception — recomputed from the just-written survivor stage)
+      if (hadDeletes)
+        writeSubStats(stage, subStatsOf(withStoredCodeD2Residual(
+          spark.read.parquet(s"$stage/seg=base"), cents, cbs), cbs.size))
+      else writeSubStats(stage, readSubStats(gen))
+    }
+
+    override protected def afterCommit(path: String): Unit =
+      ivfPqIndexCache.evict(_._1 == path)
+  }
+
+  def appendBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
+      token: String): Boolean =
+    ResidualFamily.appendSegment(index.path, batch, token)
 
   /** Delete-then-insert on the residual index — the
     * [[Ivf.upsertBatchIdempotent]] contract with residual re-encoding
@@ -1446,16 +1463,7 @@ object Pq {
     */
   def upsertBatchIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
       token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "upsert") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
-      val ids = pinned.select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
-      graft.util.IndexMaint.addTombstones(gen, ids)
-      val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
-      dropD2(residualEncodeWithD2(pinned, live.centroids, live.codebooks),
-        live.codebooks.size)
-        .write.mode("overwrite").partitionBy("cid").parquet(stage)
-    }
+    ResidualFamily.upsertSegment(index.path, batch, token)
 
   /** Apply one CDC micro-batch on the residual index — the
     * [[Ivf.applyCdcIdempotent]] contract with residual re-encoding
@@ -1463,23 +1471,12 @@ object Pq {
     */
   def applyCdcIdempotentResidual(index: IvfPqIndex, batch: DataFrame,
       token: String): Boolean =
-    graft.util.IndexMaint.tokenGuardedSegment(index.path, token, "cdc") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
-      val doomed = graft.util.IndexMaint.cdcDoomedIds(pinned, "vec_id",
-        s"applyCdcResidual($token)")
-      if (doomed.nonEmpty) graft.util.IndexMaint.addTombstones(gen, doomed)
-      val live = IvfPqIndex(index.path, Ivf.readCentroids(gen), readCodebooks(gen))
-      dropD2(residualEncodeWithD2(graft.util.IndexMaint.cdcAdds(pinned),
-        live.centroids, live.codebooks), live.codebooks.size)
-        .write.mode("overwrite").partitionBy("cid").parquet(stage)
-    }
+    ResidualFamily.cdcSegment(index.path, batch, token)
 
   /** Delete ids from the residual index ([[Ivf.deleteIds]] contract). */
   def deleteIdsResidual(index: IvfPqIndex, ids: Seq[Long]): Int =
-    graft.util.IndexMaint.withMutation(index.path, op = "delete") {
-      graft.util.IndexMaint.addTombstones(
-        graft.util.IndexMaint.liveGen(index.path), ids)
-    }
+    ResidualFamily.deleteIdsCore(org.apache.spark.sql.SparkSession.active,
+      index.path, ids)
 
   /** Residual-fit drift: recompute each stored vector's residual
     * quantization error from (embedding, cid, c0 … c(m-1)) against the
@@ -1623,22 +1620,9 @@ object Pq {
       candFilter: Option[Column] = None): DataFrame = {
     // ONE generation resolve for screen AND rerank fetch (indexDataAt)
     val gen = graft.util.IndexMaint.liveGen(index.path)
-    val screened = screenTopKResidualAt(spark, index, queryVecs, rr, nprobe,
-      candFilter, gen)
-      .select(col("query_id"), col("vec_id"))
-    import spark.implicits._
-    val qDf = queryVecs.map { case (id, q) => (id, q) }.toDF("query_id", "qvec")
-    val exact = indexDataAt(spark, gen)
-      .select(col("vec_id"), col("embedding"))
-      .join(broadcast(screened), Seq("vec_id"))
-      .join(broadcast(qDf), Seq("query_id"))
-      .withColumn("d2", expr(
-        """aggregate(zip_with(embedding, qvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+    exactRerank(spark, gen,
+      screenTopKResidualAt(spark, index, queryVecs, rr, nprobe, candFilter, gen),
+      queryVecs, k)
   }
 
   /** [[screenTopKResidual]] for a DELTA DataFrame — fully distributed
@@ -1719,46 +1703,10 @@ object Pq {
     compactCoreResidual(spark, index, Some(doomed))
 
   private def compactCoreResidual(spark: SparkSession, index: IvfPqIndex,
-      doomed: Option[org.apache.spark.sql.Column]): IvfPqIndex =
-    graft.util.IndexMaint.withMutation(index.path,
-      op = if (doomed.isDefined) "deleteWhere" else "compact") {
-      val gen = graft.util.IndexMaint.liveGen(index.path)
-      val cents = Ivf.readCentroids(gen)
-      val cbs = readCodebooks(gen)
-      val hadDeletes =
-        graft.util.IndexMaint.readTombstones(gen).nonEmpty || doomed.isDefined
-      // physical reclamation: survivors only, no tombstone carry. NULL
-      // predicate results keep the row; emptiness refused on both paths
-      // before any staging (see Ivf.compactCore).
-      val survivors = {
-        val d = indexData(spark, index.path).drop("seg")
-        doomed.map(p => d.filter(not(coalesce(p, lit(false))))).getOrElse(d)
-      }
-      require(!survivors.isEmpty,
-        s"compact/deleteWhereResidual(${index.path}): no vector survives; " +
-          "drop the index instead")
-      val stage = graft.util.IndexMaint.newStageDir(index.path, "compact")
-      survivors
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$stage/seg=base")
-      graft.util.IndexMaint.requireUniqueIds(
-        spark.read.parquet(s"$stage/seg=base").select(col("vec_id")),
-        "vec_id", s"compactIndexResidual(${index.path})")
-      Ivf.writeCentroids(stage, cents)
-      writeCodebooks(stage, cbs)
-      // fit baseline carried unless rows were dropped (the delete
-      // exception — recomputed over survivors' stored codes)
-      // recompute from the just-written survivor stage (see compactIndex)
-      if (hadDeletes)
-        writeSubStats(stage, subStatsOf(withStoredCodeD2Residual(
-          spark.read.parquet(s"$stage/seg=base"), cents, cbs), cbs.size))
-      else writeSubStats(stage, readSubStats(gen))
-      graft.util.IndexMaint.writeConsolidatedTokens(stage,
-        graft.util.IndexMaint.appliedTokens(gen))
-      graft.util.IndexMaint.commitGeneration(index.path, stage)
-      ivfPqIndexCache.evict(_._1 == index.path)
-      IvfPqIndex(index.path, cents, cbs)
-    }
+      doomed: Option[org.apache.spark.sql.Column]): IvfPqIndex = {
+    val committed = ResidualFamily.compactGeneration(spark, index.path, doomed)
+    IvfPqIndex(index.path, Ivf.readCentroids(committed), readCodebooks(committed))
+  }
 
   /** Measured ADC recall@k of the persisted residual screen against the
     * exact L2 top-k over the index's stored vectors — the ScaleProbe
@@ -1792,15 +1740,9 @@ object Pq {
   def buildIndexResidualCached(base: DataFrame, srcDir: String, path: String,
       kCells: Int, m: Int, kSub: Int, iters: Int): IvfPqIndex = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, m, kSub, iters)
-    ivfPqIndexCache.get(key).getOrElse {
-      graft.util.IndexMaint.lockFor(path).synchronized {
-        ivfPqIndexCache.get(key).getOrElse {
-          val built = buildIndexResidual(base, path, kCells, m, kSub, iters)
-          ivfPqIndexCache.putReplacing(key, built)(k => k._1 == path && k != key)
-          built
-        }
-      }
-    }
+    ivfPqIndexCache.memoized(key, graft.util.IndexMaint.lockFor(path))(
+      k => k._1 == path && k != key)(
+      buildIndexResidual(base, path, kCells, m, kSub, iters))
   }
 
   private val ivfPqIndexCache =

@@ -482,22 +482,11 @@ object StreamingQueries {
           lit("upsert").as("op")))
     val tmp = java.nio.file.Files.createTempDirectory("stream_cdc").toString
     try {
-      val srcDir = s"$tmp/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      batches.zipWithIndex.foreach { case (rows, i) =>
-        val stage = s"$tmp/stage$i"
-        rows.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
       // checkEvery past the stream length: the maintenance cadence is
       // exercised in specs; here a drift-triggered rebalance would
       // retrain the quantizer the oracle froze at build time
-      CdcIngest.ingestStreamCdc(spark, srcDir,
+      CdcIngest.ingestStreamCdc(spark,
+        graft.util.Fs.stageBatchFiles(tmp, "src", batches),
         Ivf.loadIndex(index.path), checkEvery = 100)
       Ivf.screenBatch(spark, Ivf.loadIndex(index.path),
         emb.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4)
@@ -522,18 +511,8 @@ object StreamingQueries {
     val docs = graft.catalog.Catalog(spark, dir).ref("documents")
     val tmp = java.nio.file.Files.createTempDirectory("stream_datacard").toString
     try {
-      val srcDir = s"$tmp/src"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      (0 until 2).foreach { i =>
-        val stage = s"$tmp/stage$i"
-        docs.filter(col("doc_id") % 2 === i).coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = java.nio.file.Paths.get(srcDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      val srcDir = graft.util.Fs.stageBatchFiles(tmp, "src",
+        (0 until 2).map(i => docs.filter(col("doc_id") % 2 === i)))
       val stateDir = s"$tmp/state"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
       val schema = spark.read.parquet(srcDir).schema

@@ -33,4 +33,22 @@ final class BoundedCache[K, V](max: Int) {
     import scala.jdk.CollectionConverters._
     m.keySet.asScala.toList
   }
+
+  /** The build-memo choreography every index family's
+    * `buildIndexCached` runs: double-checked under the caller's
+    * per-path monitor (two concurrent misses for the same path must
+    * not race overlapping mode-overwrite writes), stale keys for the
+    * same path — another fingerprint or build shape — evicted on
+    * rebuild. One implementation; the per-family copies drifted before.
+    */
+  def memoized(key: K, monitor: AnyRef)(stale: K => Boolean)(build: => V): V =
+    get(key).getOrElse {
+      monitor.synchronized {
+        get(key).getOrElse {
+          val built = build
+          putReplacing(key, built)(stale)
+          built
+        }
+      }
+    }
 }

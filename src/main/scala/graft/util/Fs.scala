@@ -42,6 +42,29 @@ object Fs {
     * Harness-side only — the engine's data paths go through Hadoop
     * filesystems, never this.
     */
+  /** Stage DataFrame batches as an ordered file-stream source: one
+    * parquet file per batch under `<tmp>/<sub>`, named `batchNN` with
+    * mtimes spaced a minute apart, so a `maxFilesPerTrigger=1` reader
+    * drains them as ordered micro-batches — the one staging shape every
+    * CDC/ingest harness query uses. Returns the source directory.
+    */
+  def stageBatchFiles(tmp: String, sub: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val srcDir = s"$tmp/$sub"
+    Files.createDirectories(Paths.get(srcDir))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$tmp/.stage_$sub$i"
+      rows.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, f"batch$i%02d.parquet")
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    srcDir
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val root: Path = Paths.get(dir)
     if (Files.exists(root)) {
