@@ -1333,6 +1333,83 @@ object ScaleProbe {
         java.nio.file.Paths.get(lexPath).getParent.toString)
     }
 
+    // Postings CDC at 8x — the steepest file-growth family (an append
+    // touches up to 64 tb partitions): drive the SAME six insert
+    // batches through DocIngest twice, without and with the
+    // compactEvery cadence, and record live-generation file counts.
+    // The bounded run proves per-bucket file growth stays flat however
+    // long the stream runs; the unbounded run is the counterfactual.
+    locally {
+      val cdcBase = java.nio.file.Files.createTempDirectory("probe_lexcdc").toString
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        def stageSrc(tag: String): String = graft.util.Fs.stageBatchFiles(
+          cdcBase, tag, (0 until 6).map(i =>
+            docs8.filter(col("doc_id") % 40 === i)
+              .select((col("doc_id") + 2000000L + i * 1000000L).as("doc_id"),
+                col("text"), lit("insert").as("op"))))
+        def filesOf(path: String): Int =
+          spark.read.parquet(graft.util.IndexMaint.liveGen(path)).inputFiles.length
+        val p0 = s"$cdcBase/idx0"
+        ops.LexIndex.buildIndex(docs8, p0)
+        val fBase = filesOf(p0)
+        graft.streaming.DocIngest.ingestStreamDocs(spark, stageSrc("s0"), p0,
+          compactEvery = 0)
+        val fGrow = filesOf(p0)
+        val p1 = s"$cdcBase/idx1"
+        ops.LexIndex.buildIndex(docs8, p1)
+        val tD0 = System.nanoTime()
+        graft.streaming.DocIngest.ingestStreamDocs(spark, stageSrc("s1"), p1,
+          compactEvery = 3)
+        val tDrain = (System.nanoTime() - tD0) / 1e9
+        val fBound = filesOf(p1)
+        val rows = ops.LexIndex.bm25TopK(spark, p1,
+          ops.Search.fixtureQueries, 5).count()
+        val lineCdc = f"PROBE bm25_cdc_8x          6 insert batches: files base=$fBase no-compact=$fGrow compactEvery=3=$fBound drain=$tDrain%.2f s rows=$rows"
+        println(lineCdc); report ++= lineCdc + "\n"
+        if (fBound >= fGrow)
+          throw new IllegalStateException(s"postings compaction cadence did not bound file growth: $lineCdc")
+      } finally graft.util.Fs.deleteRecursively(cdcBase)
+    }
+
+    // Hybrid retrieval at 8x: BOTH stages serve from persisted indexes
+    // (the r17 composition — no corpus join anywhere in the page), and
+    // the semantic screen inherits the IVF nprobe dial: the production
+    // width reads ~nprobe/kCells of the index vs the full-probe exact
+    // page. Embeddings re-keyed with the DOC shift so the PRF join hits
+    // in every replica.
+    locally {
+      val hBase = java.nio.file.Files.createTempDirectory("probe_hybrid").toString
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        (0 until 8).map(i =>
+          emb1.select((col("vec_id") + lit(i * 10L * n)).as("vec_id"),
+            col("embedding"))).reduce(_ union _)
+          .write.parquet(s"$hBase/embeddings.parquet")
+        val emb8 = spark.read.parquet(s"$hBase/embeddings.parquet")
+        val lexPath = s"$hBase/lex"
+        val vecPath = s"$hBase/vec"
+        val tB0 = System.nanoTime()
+        ops.LexIndex.buildIndex(docs8, lexPath)
+        ops.Ivf.buildIndex(emb8, vecPath, kCells = 16, iters = 0)
+        val tBuild = (System.nanoTime() - tB0) / 1e9
+        val vecIdx = ops.Ivf.loadIndex(vecPath)
+        val tF0 = System.nanoTime()
+        val rowsFull = ops.LexIndex.hybridPage(spark, lexPath, vecIdx,
+          ops.Search.fixtureQueries, nprobe = 16).count()
+        val tFull = (System.nanoTime() - tF0) / 1e9
+        val tP0 = System.nanoTime()
+        val rowsP4 = ops.LexIndex.hybridPage(spark, lexPath, vecIdx,
+          ops.Search.fixtureQueries, nprobe = 4).count()
+        val tP4 = (System.nanoTime() - tP0) / 1e9
+        val lineH = f"PROBE hybrid_8x            build(both)=$tBuild%.2f s page(full-probe)=$tFull%.2f s page(nprobe=4)=$tP4%.2f s rows=$rowsFull/$rowsP4"
+        println(lineH); report ++= lineH + "\n"
+      } finally graft.util.Fs.deleteRecursively(hBase)
+    }
+
     // Skew: 4M-row fact where ONE key owns half the rows, joined to a
     // 200-row dim with broadcast disabled (forcing a shuffle join — the
     // regime where salting matters). Plain join lands 2M rows on one
@@ -1671,6 +1748,17 @@ object ScaleProbe {
     report ++= "  behind 31 idle cores. The spread line is the cluster-relevant\n"
     report ++= "  number: isolated_cold is the max rows ANY reducer sees (the\n"
     report ++= "  hub's edges never shuffle), i.e. the absent straggler/OOM.\n"
+    report ++= "- bm25_cdc_8x: six insert batches through DocIngest. An append\n"
+    report ++= "  touches up to 64 tb partitions, so the postings index is the\n"
+    report ++= "  steepest file-growth family; the compactEvery=3 cadence\n"
+    report ++= "  re-lands accrued segments and the final file count stays at the\n"
+    report ++= "  one-segment floor regardless of stream length, where the\n"
+    report ++= "  no-compact run grows linearly with batches.\n"
+    report ++= "- hybrid_8x: the fused lexical x semantic page with BOTH stages\n"
+    report ++= "  on persisted indexes (r17: no corpus join anywhere in the\n"
+    report ++= "  serving plan — spec-pinned). full-probe is the oracle-exact\n"
+    report ++= "  width; nprobe=4 is the production dial reading ~4/16 of the\n"
+    report ++= "  vector index through cid partition pruning.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")

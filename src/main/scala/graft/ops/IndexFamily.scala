@@ -50,6 +50,17 @@ private[ops] trait IndexFamily {
     */
   protected def encodeToStage(gen: String, batch: DataFrame, stage: String): Unit
 
+  /** The columns a mutation actually encodes, or None for all — applied
+    * BEFORE the mutation pins the batch, so a wide producer frame
+    * (raw HTML, metadata blobs next to the encoded columns) does not
+    * materialize its extra columns into the checkpoint.
+    */
+  protected def mutationColumns: Option[Seq[String]] = None
+
+  private def projected(batch: DataFrame, extra: Seq[String]): DataFrame =
+    mutationColumns.map(cs => batch.select((cs ++ extra).map(col): _*))
+      .getOrElse(batch)
+
   /** Validate an incoming add-batch BEFORE any durable write and
     * return the frame the encode should read (pinned if validation
     * already paid an action over it). Default: no validation, no pin.
@@ -67,7 +78,8 @@ private[ops] trait IndexFamily {
     */
   final def appendSegment(path: String, batch: DataFrame, token: String): Boolean =
     IndexMaint.tokenGuardedSegment(path, token, "append") { (gen, stage) =>
-      encodeToStage(gen, validateAndPin(batch, "append", token), stage)
+      encodeToStage(gen, validateAndPin(projected(batch, Nil), "append", token),
+        stage)
     }
 
   /** Tokenless O(Δ) append — callers that manage their own replay
@@ -89,7 +101,8 @@ private[ops] trait IndexFamily {
     */
   final def upsertSegment(path: String, batch: DataFrame, token: String): Boolean =
     IndexMaint.tokenGuardedSegment(path, token, "upsert") { (gen, stage) =>
-      val pinned = validateAndPin(batch.localCheckpoint(), "upsert", token)
+      val pinned = validateAndPin(projected(batch, Nil).localCheckpoint(),
+        "upsert", token)
       val ids = pinned.select(col(idCol)).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
       IndexMaint.addTombstones(gen, ids)
@@ -105,7 +118,7 @@ private[ops] trait IndexFamily {
     */
   final def cdcSegment(path: String, batch: DataFrame, token: String): Boolean =
     IndexMaint.tokenGuardedSegment(path, token, "cdc") { (gen, stage) =>
-      val pinned = batch.localCheckpoint()
+      val pinned = projected(batch, Seq("op")).localCheckpoint()
       val doomed = IndexMaint.cdcDoomedIds(pinned, idCol, cdcContext(token))
       val adds = validateAndPin(IndexMaint.cdcAdds(pinned), "cdc", token)
       if (doomed.nonEmpty) {
@@ -154,12 +167,20 @@ private[ops] trait IndexFamily {
   /** Enforce the duplicate-id invariant over the fresh survivors —
     * default: row-per-id families count the just-written stage (never
     * a second old-generation scan). Posting-shaped families override
-    * with a (id, seg)-level check on the pre-stage relation.
+    * with a (id, seg)-level check on the pre-stage relation and flip
+    * [[uniqueCheckReadsStage]] so the refusal fires BEFORE the survivor
+    * rewrite is paid.
     */
   protected def requireUniqueSurvivors(spark: SparkSession,
       withSeg: DataFrame, segBase: String, path: String): Unit =
     IndexMaint.requireUniqueIds(
       spark.read.parquet(segBase).select(col(idCol)), idCol, compactLabel(path))
+
+  /** Whether [[requireUniqueSurvivors]] reads the written stage (must
+    * run after the write) or the pre-stage relation (runs before it,
+    * failing fast without paying the rewrite).
+    */
+  protected def uniqueCheckReadsStage: Boolean = true
 
   /** Write the generation-level sidecars (quantizer/codebooks, drift
     * baselines — carried verbatim unless rows were dropped, the delete
@@ -205,8 +226,9 @@ private[ops] trait IndexFamily {
           "matching the deleteWhere predicate); drop the index instead")
       val stage = IndexMaint.newStageDir(path, "compact")
       val segBase = s"$stage/seg=base"
+      if (!uniqueCheckReadsStage) requireUniqueSurvivors(spark, withSeg, segBase, path)
       writeSurvivorStage(spark, withSeg.drop("seg"), segBase)
-      requireUniqueSurvivors(spark, withSeg, segBase, path)
+      if (uniqueCheckReadsStage) requireUniqueSurvivors(spark, withSeg, segBase, path)
       writeGenSidecars(spark, stage, gen, hadDeletes)
       IndexMaint.writeConsolidatedTokens(stage, IndexMaint.appliedTokens(gen))
       val committed = IndexMaint.commitGeneration(path, stage)

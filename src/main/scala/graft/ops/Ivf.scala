@@ -695,10 +695,11 @@ object Ivf extends IndexFamily {
     * query-side folds run in double with the oracle-established
     * `zip_with`/`aggregate` shape, so a derived vector never round-trips
     * through float32 (a cast could flip near-tie ranks against a
-    * double-computed closed form). Candidate order is cosine's — |q| is
-    * a per-query constant — and the index side is untouched: same
-    * partition pruning, tombstone subtraction and filter pushdown as
-    * every other screen.
+    * double-computed closed form). Scores are `dot(q, v)/|v|` — rank ≡
+    * cosine (|q| is a per-query constant), computed WITHOUT the |q|
+    * division so the ordering is bit-identical to the closed form's
+    * fold. The index side is untouched: same partition pruning,
+    * tombstone subtraction and filter pushdown as every other screen.
     */
   def screenBatchDouble(spark: SparkSession, index: IvfIndex,
       delta: DataFrame, k: Int, nprobe: Int,
@@ -722,9 +723,14 @@ object Ivf extends IndexFamily {
         (q, v) => aggregate(zip_with(q, v, (x, y) => x * y.cast("double")),
           lit(0.0), (acc, p) => acc + p)
       else Similarity.dot
+    // double-query scores are dot/|candidate| — NOT divided by |q|: the
+    // quotient is rank-equivalent mathematically (|q| is a per-query
+    // constant) but not under IEEE rounding, where dividing two
+    // near-tie doubles by the same constant can collapse a strict order
+    // to equality and flip the vec_id tie-break against a closed form
+    // computed without the division
     val qnorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (queryIsDouble)
-        q => sqrt(aggregate(q, lit(0.0), (acc, x) => acc + x * x))
+      if (queryIsDouble) _ => lit(1.0)
       else Similarity.l2norm
     val centDf = index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "cent")

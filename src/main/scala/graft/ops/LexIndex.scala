@@ -45,6 +45,15 @@ object LexIndex extends IndexFamily {
   // + the (doc, seg)-level unique check) — pin once
   override protected def pinSurvivors: Boolean = true
 
+  // the skeleton projects to these BEFORE pinning, so a wide producer
+  // frame never materializes its extra columns into the checkpoint
+  override protected def mutationColumns: Option[Seq[String]] =
+    Some(Seq("doc_id", "text"))
+
+  // the (doc, seg)-level check runs on the pre-stage relation — fail
+  // fast, before the survivor rewrite is paid
+  override protected def uniqueCheckReadsStage: Boolean = false
+
   override protected def validateAndPin(batch: org.apache.spark.sql.DataFrame,
       verb: String, token: String): org.apache.spark.sql.DataFrame = {
     val label = verb match {
@@ -54,11 +63,8 @@ object LexIndex extends IndexFamily {
     }
     // append arrives raw — pin it (the validation aggregate and the
     // encode both act on it); upsert/CDC frames are already pinned by
-    // the skeleton, so the projection is cheap lineage over a checkpoint
-    val p =
-      if (verb == "append")
-        batch.select(col("doc_id"), col("text")).localCheckpoint()
-      else batch.select(col("doc_id"), col("text"))
+    // the skeleton
+    val p = if (verb == "append") batch.localCheckpoint() else batch
     requireDistinctDocs(p, label)
     p
   }
@@ -240,10 +246,12 @@ object LexIndex extends IndexFamily {
     * tombstones give "later insert wins" structurally (an append is a
     * new segment, outside every prior delete's scope), and the doc-dir
     * sidecars supply the deleted docs' dl so the stats adjustment is
-    * O(doc-dir of affected segments), never a postings scan. Delta-based
-    * accounting keeps replays exact: re-deleting an id adjusts nothing.
-    * Physical reclamation happens at [[compactIndex]]. Returns the
-    * distinct tombstoned-id count.
+    * O(doc-dir of affected segments), never a postings scan. The
+    * adjustment is DERIVABLE state — recomputed from the full tombstone
+    * set on every delete ([[refreshRemoved]]) — so replays and retries
+    * after a crash between the two sidecar writes always land the exact
+    * value. Physical reclamation happens at [[compactIndex]]. Returns
+    * the distinct tombstoned-id count.
     */
   def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Int =
     deleteIdsCore(spark, path, ids)
@@ -590,8 +598,8 @@ object LexIndex extends IndexFamily {
     * claim covers the whole delete story at once: tombstoned postings
     * leave the rankings, df shrinks to surviving posting lengths, and
     * n_docs/avgdl track the takedown adjustment. Idempotent across
-    * bench replays: the memoized build plus delta-based delete
-    * accounting make a second pass a no-op.
+    * bench replays: the memoized build plus the set-union tombstones
+    * (and their derivable stats recompute) make a second pass a no-op.
     */
   def bm25Deleted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
@@ -738,21 +746,47 @@ object LexIndex extends IndexFamily {
     // compaction here; tombstones for a bounded list), not a predicate
     // bolted onto a corpus scan: no stage of the composed query can
     // resurrect a deleted doc because no stage reads anything but the
-    // two indexes
-    val emb = Catalog(spark, dir).ref("embeddings")
-      .select(col("vec_id"), col("embedding"))
+    // two indexes. The memo holds the POST-REWRITE handle (the
+    // Ivf.retentionMemo pattern) — pairing the evictable BUILD cache
+    // with a memoized sweep is the replay-resurrection bug: deleteWhere
+    // evicts the build memo, so a bench replay would REBUILD the full
+    // corpus while the sweep memo skipped the re-delete, and the page
+    // would serve resurrected takedown victims.
     val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_hd", dir)
-    Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
-      kCells = 16, iters = 0)
-    sweepOnce(vecPath, s"$dir/embeddings.parquet") {
+    val vkey = (vecPath, graft.util.Fs.dirFingerprint(s"$dir/embeddings.parquet"))
+    val served = hybridDelMemo.memoized(vkey,
+      graft.util.IndexMaint.lockFor(vecPath))(
+      k => k._1 == vecPath && k != vkey) {
+      val emb = Catalog(spark, dir).ref("embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
+        kCells = 16, iters = 0)
       Ivf.deleteWhere(spark, Ivf.loadIndex(vecPath), col("vec_id") % 6 === 2)
     }
-    hybridCore(spark, path, Ivf.loadIndex(vecPath))
+    hybridCore(spark, path, served)
   }
 
+  /** Post-rewrite vector-index handles for [[hybridRrfDeleted]] — one
+    * build+deleteWhere per (path, source fingerprint) per session.
+    */
+  private val hybridDelMemo =
+    new graft.util.BoundedCache[(String, Long), Ivf.IvfIndex](max = 8)
+
   private def hybridCore(spark: SparkSession, path: String,
-      vecIndex: Ivf.IvfIndex): DataFrame = {
-    val lex = bm25TopK(spark, path, Search.fixtureQueries, 10)
+      vecIndex: Ivf.IvfIndex): DataFrame =
+    // registered rows run at FULL probe: provably exact (IvfSpec), so
+    // the oracle hash holds; production (and the ScaleProbe line) dials
+    // nprobe down onto the screen's cid partition pruning
+    hybridPage(spark, path, vecIndex, Search.fixtureQueries,
+      nprobe = vecIndex.centroids.size)
+
+  /** The hybrid serving page over the two persisted indexes at an
+    * explicit probe width — the production entry point ([[hybridRrf]]
+    * is this at full probe over the fixture queries).
+    */
+  def hybridPage(spark: SparkSession, path: String, vecIndex: Ivf.IvfIndex,
+      qs: Seq[(String, String)], nprobe: Int): DataFrame = {
+    val lex = bm25TopK(spark, path, qs, 10)
       .localCheckpoint() // feeds PRF, the fusion's r1 side — one derivation
     // the PRF embedding fetch reads the VECTOR INDEX, not the raw
     // corpus: the index's effective contents (tombstones subtracted,
@@ -789,7 +823,7 @@ object LexIndex extends IndexFamily {
     // screen's cid partition pruning
     val sem = Ivf.screenBatchDouble(spark, vecIndex,
         centroid.select(col("query_id").as("vec_id"), col("qvec").as("embedding")),
-        k = 10, nprobe = vecIndex.centroids.size)
+        k = 10, nprobe = nprobe)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("r2"))
     // reciprocal-rank fusion of the two lists (Cormack et al. 2009)

@@ -550,6 +550,27 @@ class IvfSpec extends SparkTestBase {
       "screens must be identical before and after physical reclamation")
   }
 
+  test("a concentrated takedown shifts occupancy skew in driftStats immediately — the rebalance dial is neither masked nor deferred by pending deletes") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxPath = tmpDir("ivf_drift_del")
+    val index = Ivf.buildIndex(emb, idxPath, kCells = 8, iters = 2)
+    val fresh = Ivf.driftStats(spark, index)
+    assert(math.abs(fresh.skewNow - fresh.skewBuild) < 1e-12,
+      "a fresh index reads its own baseline")
+    // hollow out ONE cell: tombstone 30 of cluster 0's ~41 members — a
+    // ~30% single-cell takedown wave, still far below the rewrite bar
+    val doomed = emb.filter(col("vec_id") % 8 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).take(30).toSeq
+    Ivf.deleteIds(index, doomed)
+    val d = Ivf.driftStats(spark, index)
+    assert(d.now.map(_.n).sum === fresh.now.map(_.n).sum - 30,
+      "tombstoned rows must leave the occupancy scan before any compaction")
+    assert(d.skewNow > fresh.skewNow + 0.05,
+      s"the hollowed cell must shift skew NOW (${fresh.skewNow} -> ${d.skewNow})")
+    assert(d.skewBuild === fresh.skewBuild,
+      "the build baseline is untouched by a logical delete")
+  }
+
   test("delete then append-same-id: later insert wins (the delete-then-insert upsert contract)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idxPath = tmpDir("ivf_del_readd")
@@ -742,13 +763,15 @@ class IvfSpec extends SparkTestBase {
     val (got, probed) = Ivf.screenBatchProbed(spark, index, q, k = 10,
       nprobe = 8, queryIsDouble = true)
     assert(probed.size === 8)
-    // exact at full probe: the brute-force double ranking over the corpus
+    // exact at full probe: the brute-force double ranking over the
+    // corpus (dot/|candidate| — the screen's documented score, computed
+    // without the per-query |q| division so strict orders can't
+    // collapse under IEEE rounding)
     val want = emb.crossJoin(broadcast(q.select(col("embedding").as("qvec"))))
       .withColumn("score",
         expr("""aggregate(zip_with(qvec, embedding, (x, y) -> x * CAST(y AS DOUBLE)),
           |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-          / (sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x))
-            * Similarity.l2norm(col("embedding"))))
+          / Similarity.l2norm(col("embedding")))
       .orderBy(col("score").desc, col("vec_id")).limit(10)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     assert(got.select("vec_id").collect().map(_.getLong(0)).toSeq === want,

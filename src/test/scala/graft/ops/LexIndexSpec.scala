@@ -361,6 +361,16 @@ class LexIndexSpec extends SparkTestBase {
     // the undeleted hybrid page)
     val full = LexIndex.hybridRrf(spark, sf).collect()
     assert(page.map(_.toString).toSeq !== full.map(_.toString).toSeq)
+    // bench REPLAY: a second invocation must serve the identical page.
+    // The replay-resurrection bug: deleteWhere's generation commit
+    // evicts the build memo, so a replay paired with a memoized sweep
+    // would REBUILD the full corpus (deleted stratum included) while
+    // skipping the re-delete — the memo must hold the post-rewrite
+    // handle, never the (build, sweep) pair separately.
+    val replay = LexIndex.hybridRrfDeleted(spark, sf).collect()
+    assert(replay.map(_.toString).toSeq === page.map(_.toString).toSeq,
+      "a replayed hybridRrfDeleted must not resurrect the takedown stratum")
+    assert(!replay.exists(_.getLong(2) % 6 == 2))
   }
 
   test("hybrid RRF: lexical and PRF-semantic lists fuse; doc in both lists outranks single-list docs at equal ranks") {
