@@ -1344,10 +1344,15 @@ object ScaleProbe {
       try {
         val docs8 = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
+        // insert ids re-keyed RELATIVE to the corpus: the 8x ids live
+        // below 80n, so batch i's stratum at +80n(i+1) is disjoint from
+        // every existing doc AND from every other batch — an absolute
+        // offset would collide at a bigger n and trip the duplicate-doc
+        // refusal at compaction
         def stageSrc(tag: String): String = graft.util.Fs.stageBatchFiles(
           cdcBase, tag, (0 until 6).map(i =>
             docs8.filter(col("doc_id") % 40 === i)
-              .select((col("doc_id") + 2000000L + i * 1000000L).as("doc_id"),
+              .select((col("doc_id") + lit(80L * n * (i + 1))).as("doc_id"),
                 col("text"), lit("insert").as("op"))))
         def filesOf(path: String): Int =
           spark.read.parquet(graft.util.IndexMaint.liveGen(path)).inputFiles.length

@@ -856,24 +856,36 @@ object Ivf extends IndexFamily {
   private val retentionMemo =
     new graft.util.BoundedCache[(String, Long), IvfIndex](max = 8)
 
+  /** Cached build composed with [[deleteWhere]], memoized per (path,
+    * source fingerprint) as the POST-REWRITE handle — the ONE safe memo
+    * shape for a build-then-delete composition: deleteWhere's
+    * generation commit evicts the build memo (stale-handle safety), so
+    * memoizing the build and the sweep SEPARATELY is the
+    * replay-resurrection bug — a replay rebuilds the full corpus
+    * (deleted stratum included) while the sweep memo skips the
+    * re-delete. Double-checked under the path monitor so two concurrent
+    * first calls cannot double-build. Shared by the retention row and
+    * the hybrid takedown serving path.
+    */
+  def deleteWhereCached(base: => DataFrame, srcDir: String, path: String,
+      kCells: Int, iters: Int,
+      doomed: org.apache.spark.sql.Column): IvfIndex = {
+    val key = (path, graft.util.Fs.dirFingerprint(srcDir))
+    retentionMemo.memoized(key, graft.util.IndexMaint.lockFor(path))(
+      k => k._1 == path && k != key) {
+      val pinned = base
+      buildIndexCached(pinned, srcDir, path, kCells, iters)
+      deleteWhere(pinned.sparkSession, loadIndex(path), doomed)
+    }
+  }
+
   def ivfRetention(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)
     val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
-    val base = emb.filter(col("vec_id") % 10 =!= 0)
-    // memoize the POST-REWRITE handle: deleteWhere evicts the build
-    // cache for its path (stale-handle safety), so without this a bench
-    // replay would measure a full rebuild + rewrite instead of the
-    // steady-state screen (deterministic either way, but the timing
-    // evidence would lie)
-    val key = (dir, graft.util.Fs.dirFingerprint(s"$dir/embeddings.parquet"))
-    val after = retentionMemo.get(key).getOrElse {
-      val index = buildIndexCached(base, s"$dir/embeddings.parquet",
-        graft.util.Fs.sessionTempDir("ivf_index_ret", dir), kCells = 16, iters = 0)
-      val rewritten = deleteWhere(spark, loadIndex(index.path),
-        col("vec_id") % 5 === 1)
-      retentionMemo.putReplacing(key, rewritten)(k => k._1 == dir && k != key)
-      rewritten
-    }
+    val after = deleteWhereCached(emb.filter(col("vec_id") % 10 =!= 0),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("ivf_index_ret", dir),
+      kCells = 16, iters = 0, doomed = col("vec_id") % 5 === 1)
     screenBatch(spark, after, emb.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4)
   }
 

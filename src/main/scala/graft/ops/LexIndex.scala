@@ -496,6 +496,82 @@ object LexIndex extends IndexFamily {
       .orderBy("query_id", "rnk")
   }
 
+  /** Proximity (NEAR) top-k over the positional postings: docs where
+    * the two query terms co-occur within `maxSpan` tokens, ranked by
+    * their MINIMAL span (then doc_id) — the relevance signal between
+    * bag-of-words and exact phrase. Same O(query-terms) read as
+    * [[phraseTopK]]; the span join is posting-local (tf_a × tf_b
+    * position pairs per candidate doc, never a document re-read).
+    */
+  def proximityTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String, String)], k: Int, maxSpan: Int): DataFrame = {
+    import spark.implicits._
+    val terms = qs.flatMap(q => Seq(q._2, q._3)).distinct
+    val buckets = bucketsOf(spark, terms)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+      .localCheckpoint() // one postings fetch feeds both sides
+    val qdf = broadcast(qs.toDF("query_id", "ta", "tb2"))
+    def side(termCol: String, out: String) = posts
+      .join(qdf, col("term") === col(termCol))
+      .select(col("query_id"), col("doc_id"), explode(col("pos")).as(out))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("span").asc, col("doc_id"))
+    side("ta", "pa").join(side("tb2", "pb"), Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("span"))
+      .filter(col("span") <= maxSpan)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("span"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Proximity fixtures: mid-frequency pairs whose minimal spans spread
+    * across the 1..5 window (not just adjacency).
+    */
+  val proximityFixtures: Seq[(String, String, String)] = Seq(
+    ("n1", "customer", "vector"),
+    ("n2", "big", "vector"),
+    ("n3", "merge", "customer"))
+
+  /** Registered `search_proximity`: NEAR retrieval from the persisted
+    * positional postings. The twin re-derives positions and minimizes
+    * |p_a − p_b| per (query, doc) — hash equality proves the span
+    * arithmetic and the window cut, not just the match set.
+    */
+  def proximityPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    proximityTopK(spark, path, proximityFixtures, 10, maxSpan = 5)
+  }
+
+  /** Twin of [[proximityPersisted]]. */
+  val proximitySql: String = {
+    val vals = proximityFixtures.map { case (q, a, b) => s"('$q', '$a', '$b')" }
+      .mkString(", ")
+    s"""WITH q(query_id, ta, tb) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |pos AS (SELECT doc_id, t[i] AS term, i AS p
+       |        FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+       |pa AS (SELECT q.query_id, pos.doc_id, pos.p FROM pos JOIN q ON pos.term = q.ta),
+       |pb AS (SELECT q.query_id, pos.doc_id, pos.p FROM pos JOIN q ON pos.term = q.tb),
+       |sp AS (SELECT pa.query_id, pa.doc_id, min(abs(pa.p - pb.p)) AS span
+       |       FROM pa JOIN pb ON pa.query_id = pb.query_id AND pa.doc_id = pb.doc_id
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, span,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY span, doc_id) AS rnk
+       |       FROM sp WHERE span <= 5)
+       |SELECT query_id, rnk, doc_id, span FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The phrase fixture set: a common bigram, a trigram, and a trigram
     * that repeats within documents (multiple anchors per doc) — so the
     * occurrence count, not just the match set, is exercised.
@@ -746,31 +822,16 @@ object LexIndex extends IndexFamily {
     // compaction here; tombstones for a bounded list), not a predicate
     // bolted onto a corpus scan: no stage of the composed query can
     // resurrect a deleted doc because no stage reads anything but the
-    // two indexes. The memo holds the POST-REWRITE handle (the
-    // Ivf.retentionMemo pattern) — pairing the evictable BUILD cache
-    // with a memoized sweep is the replay-resurrection bug: deleteWhere
-    // evicts the build memo, so a bench replay would REBUILD the full
-    // corpus while the sweep memo skipped the re-delete, and the page
-    // would serve resurrected takedown victims.
-    val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_hd", dir)
-    val vkey = (vecPath, graft.util.Fs.dirFingerprint(s"$dir/embeddings.parquet"))
-    val served = hybridDelMemo.memoized(vkey,
-      graft.util.IndexMaint.lockFor(vecPath))(
-      k => k._1 == vecPath && k != vkey) {
-      val emb = Catalog(spark, dir).ref("embeddings")
-        .select(col("vec_id"), col("embedding"))
-      Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
-        kCells = 16, iters = 0)
-      Ivf.deleteWhere(spark, Ivf.loadIndex(vecPath), col("vec_id") % 6 === 2)
-    }
+    // two indexes. deleteWhereCached memoizes the POST-REWRITE handle —
+    // pairing the evictable build cache with a separately-memoized
+    // sweep is the replay-resurrection bug (see its scaladoc).
+    val served = Ivf.deleteWhereCached(
+      Catalog(spark, dir).ref("embeddings").select(col("vec_id"), col("embedding")),
+      s"$dir/embeddings.parquet",
+      graft.util.Fs.sessionTempDir("hybrid_ivf_hd", dir),
+      kCells = 16, iters = 0, doomed = col("vec_id") % 6 === 2)
     hybridCore(spark, path, served)
   }
-
-  /** Post-rewrite vector-index handles for [[hybridRrfDeleted]] — one
-    * build+deleteWhere per (path, source fingerprint) per session.
-    */
-  private val hybridDelMemo =
-    new graft.util.BoundedCache[(String, Long), Ivf.IvfIndex](max = 8)
 
   private def hybridCore(spark: SparkSession, path: String,
       vecIndex: Ivf.IvfIndex): DataFrame =
@@ -1003,7 +1064,8 @@ object LexIndex extends IndexFamily {
     "search_hybrid_rrf" -> (hybridRrf _),
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
     "search_hybrid_cdc" -> (hybridCdc _),
-    "search_phrase" -> (phrasePersisted _))
+    "search_phrase" -> (phrasePersisted _),
+    "search_proximity" -> (proximityPersisted _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
@@ -1045,5 +1107,8 @@ object LexIndex extends IndexFamily {
     "search_hybrid_cdc" -> hybridCdcSql,
     // the positional payload round-trips the index exactly: adjacency
     // excludes every bag-of-words co-occurrence the twin excludes
-    "search_phrase" -> phraseSql)
+    "search_phrase" -> phraseSql,
+    // NEAR retrieval: the minimal-span arithmetic and the window cut
+    // must match the closed form, not just the match set
+    "search_proximity" -> proximitySql)
 }

@@ -560,7 +560,7 @@ class IvfSpec extends SparkTestBase {
     // hollow out ONE cell: tombstone 30 of cluster 0's ~41 members — a
     // ~30% single-cell takedown wave, still far below the rewrite bar
     val doomed = emb.filter(col("vec_id") % 8 === 0)
-      .select("vec_id").collect().map(_.getLong(0)).take(30).toSeq
+      .select("vec_id").collect().map(_.getLong(0)).sorted.take(30).toSeq
     Ivf.deleteIds(index, doomed)
     val d = Ivf.driftStats(spark, index)
     assert(d.now.map(_.n).sum === fresh.now.map(_.n).sum - 30,

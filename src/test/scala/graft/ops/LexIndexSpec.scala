@@ -419,6 +419,23 @@ class LexIndexSpec extends SparkTestBase {
       Seq((1L, 1L), (5L, 1L)))
   }
 
+  test("proximity queries: minimal span ranks; the window cut excludes far co-occurrence; direction doesn't matter") {
+    val docs = Seq(
+      (1L, "alpha x beta"),         // span 2
+      (2L, "alpha beta"),           // span 1
+      (3L, "beta y y alpha"),       // span 3, reversed order still counts
+      (4L, "alpha y y y y y beta"), // span 6 — outside maxSpan=5
+      (5L, "alpha z beta z alpha")  // positions {1,5} x {3}: minimal span 2
+    ).toDF("doc_id", "text")
+    val path = tmpDir("lex_prox") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val got = LexIndex.proximityTopK(spark, path,
+      Seq(("p", "alpha", "beta")), 10, maxSpan = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 1L, 2L), (3L, 5L, 2L), (4L, 3L, 3L)),
+      s"span ranking must be (minimal span, doc_id) with the window cut applied: $got")
+  }
+
   test("hybrid serving plan: the semantic stage reads the persisted IVF index, never a nested-loop scan of the embedding corpus") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
