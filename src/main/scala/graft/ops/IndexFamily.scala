@@ -200,6 +200,42 @@ private[ops] trait IndexFamily {
     */
   protected def pinSurvivors: Boolean = false
 
+  // ---- fsck (operator health check) ------------------------------------------
+
+  /** Family data-level invariants over the LIVE contents (tombstones
+    * already subtracted) — default: the duplicate-id check every
+    * row-per-id screen's top-k page relies on. Posting-shaped families
+    * override with their multiplicity and sidecar-arithmetic checks.
+    * O(one index scan): a maintenance op, never a serving-path cost.
+    */
+  protected def fsckData(spark: SparkSession, path: String,
+      gen: String): Seq[String] = {
+    val r = compactSurvivors(spark, path)
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("d")).head()
+    if (r.getLong(0) == r.getLong(1)) Nil
+    else Seq(s"${r.getLong(0) - r.getLong(1)} duplicate $idCol rows in the " +
+      "live contents — a producer re-added existing ids without tombstoning " +
+      "(CDC `insert` for an existing id, or overlapping append batches); " +
+      "remedy: upsert, then compact")
+  }
+
+  /** Read-only structural + data fsck of a persisted index — what an
+    * operator runs after an incident (crashed writer, restored backup,
+    * suspected foreign interference) before trusting the index again.
+    * Returns (violations, notes): violations mean the commit protocol
+    * was BYPASSED (hand-edited directory, partial restore) or a
+    * producer contract broke; notes are crash states the protocol
+    * already self-heals. Takes no lease — safe against live traffic
+    * (the generation is resolved once, the reader contract).
+    */
+  final def fsckIndex(spark: SparkSession, path: String): (Seq[String], Seq[String]) = {
+    val (bad, note) = IndexMaint.fsckRoot(path)
+    IndexMaint.liveGenOpt(path) match {
+      case Some(gen) if bad.isEmpty => (fsckData(spark, path, gen), note)
+      case _ => (bad, note)
+    }
+  }
+
   /** Re-land the live generation as ONE segment with tombstoned rows
     * (and `doomed` matches, if given) physically dropped — compaction
     * and the corpus-scale `deleteWhere` retention rewrite are the SAME

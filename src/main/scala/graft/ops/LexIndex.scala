@@ -120,6 +120,59 @@ object LexIndex extends IndexFamily {
   override protected def writeGenSidecars(spark: SparkSession, stage: String,
       gen: String, hadDeletes: Boolean): Unit = ()
 
+  /** The postings fsck layer: (doc, seg)-level multiplicity (a doc
+    * spanning segments means an untombstoned re-add), doc-dir ≡
+    * distinct (doc_id, dl) of each segment's RAW postings, stats
+    * sidecar ≡ the doc-dir aggregate, and the takedown adjustment ≡
+    * the recompute the current tombstone set implies.
+    */
+  override protected def fsckData(spark: SparkSession, path: String,
+      gen: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val live = compactSurvivors(spark, path)
+    val r = live.select(col("doc_id"), col("seg")).distinct()
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d")).head()
+    if (r.getLong(0) != r.getLong(1))
+      out += s"${r.getLong(0) - r.getLong(1)} live doc(s) span multiple " +
+        "segments — a producer re-added existing doc_ids without " +
+        "tombstoning; remedy: upsert, then compact"
+    val raw = spark.read.parquet(gen)
+    graft.util.IndexMaint.segmentValues(gen).foreach { seg =>
+      val dd = java.nio.file.Paths.get(gen, s"seg=$seg", DocDirName)
+      if (!java.nio.file.Files.isDirectory(dd))
+        out += s"seg=$seg: doc-dir sidecar missing (takedown stats cannot adjust)"
+      else {
+        val docdir = spark.read.parquet(dd.toString)
+        val fromPosts = raw.filter(col("seg") === seg)
+          .select(col("doc_id"), col("dl")).distinct()
+        val mismatch = docdir.unionByName(fromPosts)
+          .groupBy(col("doc_id"), col("dl")).count()
+          .filter(col("count") =!= 2).count()
+        if (mismatch != 0)
+          out += s"seg=$seg: doc-dir disagrees with the postings' distinct " +
+            s"(doc_id, dl) on $mismatch row(s)"
+        val a = docdir.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+        val st = java.nio.file.Paths.get(gen, s"seg=$seg", StatsFile)
+        if (!java.nio.file.Files.exists(st))
+          out += s"seg=$seg: stats sidecar missing"
+        else {
+          val Array(n, s) = new String(java.nio.file.Files.readAllBytes(st),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+          if (n.toLong != a.getLong(0) || s.toLong != a.getLong(1))
+            out += s"seg=$seg: stats sidecar ($n,$s) != doc-dir aggregate " +
+              s"(${a.getLong(0)},${a.getLong(1)})"
+        }
+      }
+    }
+    val persisted = readRemoved(gen)
+    val implied = computeRemoved(spark, gen)
+    if (persisted != implied)
+      out += s"takedown adjustment sidecar $persisted != the value the " +
+        s"tombstone set implies $implied (healed by any delete retry)"
+    out.result()
+  }
+
   /** Term-hash partition fanout. 64 buckets keeps per-bucket file sizes
     * scan-efficient at 100 TB while a 3-term query touches ≤ 3
     * partitions; the dial trades partition-prune selectivity against
@@ -270,6 +323,15 @@ object LexIndex extends IndexFamily {
     * rows — bounded metadata, not postings).
     */
   private def refreshRemoved(spark: SparkSession, gen: String): Unit = {
+    val (n, s) = computeRemoved(spark, gen)
+    writeRemovedAtomic(gen, n, s)
+  }
+
+  /** The (n_docs, Σdl) the current tombstone set implies — the pure
+    * recompute [[refreshRemoved]] persists and [[fsckData]] audits the
+    * persisted sidecar against.
+    */
+  private def computeRemoved(spark: SparkSession, gen: String): (Long, Long) = {
     import spark.implicits._
     val hits = graft.util.IndexMaint.readTombstones(gen)
       .groupBy(_._1).toSeq.flatMap { case (seg, pairs) =>
@@ -283,12 +345,11 @@ object LexIndex extends IndexFamily {
             else docs.join(broadcast(doomed.toDF("doc_id")), Seq("doc_id"), "left_semi"))
         }
       }
-    val (n, s) = hits.reduceOption(_ unionByName _).map { all =>
+    hits.reduceOption(_ unionByName _).map { all =>
       val r = all.agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s")).head()
       (r.getLong(0), r.getLong(1))
     }.getOrElse((0L, 0L))
-    writeRemovedAtomic(gen, n, s)
   }
 
   /** Re-land the live generation as ONE segment with tombstoned rows

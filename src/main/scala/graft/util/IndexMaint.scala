@@ -418,6 +418,89 @@ object IndexMaint {
     }
   }
 
+  // ---- fsck (structural health check) ----------------------------------------
+
+  /** Protocol-level health check of an index root — the read-only fsck
+    * an operator runs after an incident (crashed writer, restored
+    * backup, suspected foreign interference) BEFORE trusting the index
+    * again. Returns human-readable violations (empty = healthy).
+    * Checks exactly the invariants the commit protocol maintains, so a
+    * violation means the protocol was bypassed (a hand-edited
+    * directory, a partial restore), not that a crash occurred — every
+    * crash state the protocol can produce is either invisible
+    * (stages), reapable (orphan generations) or self-healing (sidecar
+    * tmp files), and those are reported as NOTEs, not violations.
+    * Data-level invariants (duplicate ids, sidecar arithmetic) are the
+    * families' [[graft.ops.IndexFamily.fsckIndex]] layer on top.
+    */
+  def fsckRoot(root: String): (Seq[String], Seq[String]) = {
+    val bad = Seq.newBuilder[String]
+    val note = Seq.newBuilder[String]
+    liveGenOpt(root) match {
+      case None =>
+        bad += (if (Files.exists(Paths.get(root, LivePointer)))
+          s"live pointer names a missing generation directory"
+        else s"no live pointer — the index was never committed (or the pointer was deleted)")
+      case Some(gen) =>
+        val genName = Paths.get(gen).getFileName.toString
+        val others = genDirs(root).map(_._2.getFileName.toString).filterNot(_ == genName)
+        if (others.size > 1)
+          bad += s"${others.size} non-live generations (protocol keeps ONE predecessor): ${others.mkString(", ")}"
+        else if (others.size == 1)
+          note += s"predecessor generation ${others.head} present (reclaimed at the next commit)"
+        val r = Paths.get(root)
+        val stages = {
+          val s = Files.list(r)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith(".stage-")).toSeq
+          } finally s.close()
+        }
+        if (stages.nonEmpty)
+          note += s"${stages.size} crashed staging dir(s) (invisible to readers; reaped by the next mutation)"
+        // segments: every token-committed segment carries its token;
+        // tokens unique across segments and the consolidated sidecar
+        // (token segments are b<md5-16>; "base" also starts with 'b')
+        val tokenSeg = "^b[0-9a-f]{16}$".r
+        val segs = segmentValues(gen)
+        val tokenless = segs.filter(s => tokenSeg.matches(s) &&
+          !Files.exists(Paths.get(gen, s"seg=$s", TokenFile)))
+        if (tokenless.nonEmpty)
+          bad += s"token-committed segment(s) missing _token.txt: ${tokenless.map("seg=" + _).mkString(", ")}"
+        val segTokens = segs.flatMap { s =>
+          val t = Paths.get(gen, s"seg=$s", TokenFile)
+          if (Files.exists(t)) Some(new String(Files.readAllBytes(t), UTF_8).trim)
+          else None
+        }
+        val dupTokens = segTokens.groupBy(identity).collect { case (t, v) if v.size > 1 => t }
+        if (dupTokens.nonEmpty)
+          bad += s"duplicate applied token(s) across segments: ${dupTokens.mkString(", ")}"
+        // tombstones: pairs must reference committed segments and
+        // respect the bounded-metadata cap
+        val tombs = readTombstones(gen)
+        val segSet = segs.toSet
+        val orphanTombs = tombs.map(_._1).distinct.filterNot(segSet.contains)
+        if (orphanTombs.nonEmpty)
+          bad += s"tombstone pairs reference missing segment(s): ${orphanTombs.mkString(", ")}"
+        if (tombs.length > tombstonePairCap)
+          bad += s"tombstone sidecar over the bounded-metadata cap (${tombs.length} > $tombstonePairCap)"
+        // torn sidecar writes leave only .tmp files — self-healing
+        // (next atomic replace), but worth a note
+        val tmps = {
+          val s = Files.list(Paths.get(gen))
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".tmp")).toSeq
+          } finally s.close()
+        }
+        if (tmps.nonEmpty)
+          note += s"leftover sidecar tmp file(s) (overwritten by the next atomic replace): ${tmps.mkString(", ")}"
+    }
+    (bad.result(), note.result())
+  }
+
   // ---- tombstones (deletes) --------------------------------------------------
   //
   // Deletion is LOGICAL first, PHYSICAL later — the LSM/Iceberg shape,

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The operator fsck: healthy indexes report clean, every planted
+  * protocol bypass or producer-contract breach is named, and the crash
+  * states the protocol self-heals surface as NOTES, not violations.
+  */
+class IndexFsckSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(n: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("healthy vector index: no violations; crash states (stage dirs, sidecar tmp, predecessor gen) are notes") {
+    val path = tmpDir("fsck_ivf") + "/index"
+    val index = Ivf.buildIndex(vecs(100), path, kCells = 4, iters = 1)
+    assert(Ivf.fsckIndex(spark, path)._1.isEmpty)
+    // crash debris: an uncommitted stage, a torn sidecar tmp, and the
+    // predecessor generation a compaction legitimately keeps
+    Ivf.compactIndex(spark, index)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    Files.createDirectories(Paths.get(path, ".stage-crashed-xyz"))
+    Files.write(Paths.get(gen, "_tombstones.txt.tmp"), "junk".getBytes(UTF_8))
+    val (bad, notes) = Ivf.fsckIndex(spark, path)
+    assert(bad.isEmpty, s"self-healing crash states must not be violations: $bad")
+    assert(notes.exists(_.contains("staging")), notes.mkString("; "))
+    assert(notes.exists(_.contains("tmp")), notes.mkString("; "))
+    assert(notes.exists(_.contains("predecessor")), notes.mkString("; "))
+  }
+
+  test("protocol bypasses are named: missing token file, orphan tombstone segment, deleted live pointer") {
+    val path = tmpDir("fsck_bypass") + "/index"
+    val index = Ivf.buildIndex(vecs(80), path, kCells = 4, iters = 1)
+    Ivf.appendBatchIdempotent(index,
+      Seq((200L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"), "fsck:a")
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val segDir = Files.list(Paths.get(gen))
+      .filter(p => p.getFileName.toString.matches("seg=b[0-9a-f]{16}"))
+      .findFirst().get()
+    // bypass 1: someone deleted a committed segment's token file
+    Files.delete(segDir.resolve("_token.txt"))
+    val bad1 = Ivf.fsckIndex(spark, path)._1
+    assert(bad1.exists(_.contains("_token.txt")), bad1.mkString("; "))
+    Files.write(segDir.resolve("_token.txt"), "fsck:a\n".getBytes(UTF_8))
+    // bypass 2: a hand-edited tombstone file referencing a segment that
+    // does not exist (a partial restore)
+    Files.write(Paths.get(gen, "_tombstones.txt"), "nosuchseg,7\n".getBytes(UTF_8))
+    val bad2 = Ivf.fsckIndex(spark, path)._1
+    assert(bad2.exists(_.contains("missing segment")), bad2.mkString("; "))
+    Files.delete(Paths.get(gen, "_tombstones.txt"))
+    // bypass 3: the live pointer is gone
+    Files.delete(Paths.get(path, "_live.txt"))
+    val bad3 = Ivf.fsckIndex(spark, path)._1
+    assert(bad3.exists(_.contains("live pointer")) || bad3.exists(_.contains("never committed")),
+      bad3.mkString("; "))
+  }
+
+  test("producer-contract breach: a CDC insert of an existing id surfaces as a live duplicate") {
+    val path = tmpDir("fsck_dup") + "/index"
+    val index = Ivf.buildIndex(vecs(60), path, kCells = 4, iters = 1)
+    assert(Ivf.fsckIndex(spark, path)._1.isEmpty)
+    // `insert` skips the tombstone write by design — re-adding id 3
+    // violates the contract and leaves two live copies
+    Ivf.applyCdcIdempotent(index,
+      Seq((3L, Array.fill(8)(0.1f), "insert")).toDF("vec_id", "embedding", "op"),
+      "fsck:dup")
+    val bad = Ivf.fsckIndex(spark, path)._1
+    assert(bad.exists(b => b.contains("duplicate") && b.contains("upsert")),
+      bad.mkString("; "))
+  }
+
+  test("lexical fsck: sidecar arithmetic audited — tampered stats, lost takedown adjustment, missing doc dir all named") {
+    val docs = (0 until 60).map(i => (i.toLong, s"alpha w$i beta")).toDF("doc_id", "text")
+    val path = tmpDir("fsck_lex") + "/index"
+    LexIndex.buildIndex(docs, path)
+    assert(LexIndex.fsckIndex(spark, path)._1.isEmpty)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    // tamper 1: stats sidecar no longer matches the doc dir
+    val st = Paths.get(gen, "seg=base", "_lex_stats.txt")
+    val orig = new String(Files.readAllBytes(st), UTF_8)
+    Files.write(st, "999,9999".getBytes(UTF_8))
+    val bad1 = LexIndex.fsckIndex(spark, path)._1
+    assert(bad1.exists(_.contains("stats sidecar")), bad1.mkString("; "))
+    Files.write(st, orig.getBytes(UTF_8))
+    // tamper 2: the takedown adjustment is lost after a delete (the
+    // torn crash window) — reported, and named healable
+    LexIndex.deleteDocs(spark, path, Seq(1L, 2L))
+    Files.delete(Paths.get(gen, "_lex_removed.txt"))
+    val bad2 = LexIndex.fsckIndex(spark, path)._1
+    assert(bad2.exists(_.contains("takedown adjustment")), bad2.mkString("; "))
+    LexIndex.deleteDocs(spark, path, Seq(1L)) // retry heals
+    assert(LexIndex.fsckIndex(spark, path)._1.isEmpty)
+    // tamper 3: doc dir removed
+    graft.util.Fs.deleteRecursively(
+      Paths.get(gen, "seg=base", "_docdir").toString)
+    val bad3 = LexIndex.fsckIndex(spark, path)._1
+    assert(bad3.exists(_.contains("doc-dir")), bad3.mkString("; "))
+  }
+
+  test("fsck is clean across the full mutation lifecycle on all four families' shared protocol") {
+    // lexical: build -> append -> upsert -> delete -> CDC -> compact
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha w$i")).toDF("doc_id", "text")
+    val lexPath = tmpDir("fsck_life") + "/lex"
+    LexIndex.buildIndex(docs, lexPath)
+    LexIndex.appendDocsIdempotent(lexPath,
+      Seq((100L, "alpha new")).toDF("doc_id", "text"), "l:a")
+    LexIndex.upsertDocsIdempotent(lexPath,
+      Seq((5L, "beta recrawl")).toDF("doc_id", "text"), "l:u")
+    LexIndex.deleteDocs(spark, lexPath, Seq(7L))
+    LexIndex.applyCdcDocs(lexPath,
+      Seq((200L, "gamma", "insert"), (9L, "x", "delete")).toDF("doc_id", "text", "op"),
+      "l:c")
+    assert(LexIndex.fsckIndex(spark, lexPath)._1.isEmpty)
+    LexIndex.compactIndex(spark, lexPath)
+    assert(LexIndex.fsckIndex(spark, lexPath)._1.isEmpty)
+    // vector: the same verbs through the same shared choreography
+    val vecPath = tmpDir("fsck_life") + "/ivf"
+    val idx = Ivf.buildIndex(vecs(50), vecPath, kCells = 4, iters = 1)
+    Ivf.appendBatchIdempotent(idx,
+      Seq((300L, Array.fill(8)(0.2f))).toDF("vec_id", "embedding"), "v:a")
+    Ivf.upsertBatchIdempotent(idx,
+      Seq((5L, Array.fill(8)(0.3f))).toDF("vec_id", "embedding"), "v:u")
+    Ivf.deleteIds(idx, Seq(7L))
+    assert(Ivf.fsckIndex(spark, vecPath)._1.isEmpty)
+    Ivf.compactIndex(spark, Ivf.loadIndex(vecPath))
+    assert(Ivf.fsckIndex(spark, vecPath)._1.isEmpty)
+  }
+}
