@@ -202,21 +202,24 @@ private[ops] trait IndexFamily {
 
   // ---- fsck (operator health check) ------------------------------------------
 
-  /** Family data-level invariants over the LIVE contents (tombstones
-    * already subtracted) — default: the duplicate-id check every
-    * row-per-id screen's top-k page relies on. Posting-shaped families
-    * override with their multiplicity and sidecar-arithmetic checks.
-    * O(one index scan): a maintenance op, never a serving-path cost.
+  /** Family data-level invariants over the LIVE contents of the GIVEN
+    * generation (tombstones already subtracted) — default: the
+    * duplicate-id check every row-per-id screen's top-k page relies on.
+    * Posting-shaped families override with their multiplicity and
+    * sidecar-arithmetic checks. Returns (violations, notes). O(one
+    * index scan): a maintenance op, never a serving-path cost. Reads
+    * MUST come from `gen`, not a fresh resolve — the whole fsck audits
+    * one snapshot.
     */
   protected def fsckData(spark: SparkSession, path: String,
-      gen: String): Seq[String] = {
-    val r = compactSurvivors(spark, path)
+      gen: String): (Seq[String], Seq[String]) = {
+    val r = IndexMaint.minusTombstones(spark.read.parquet(gen), gen, idCol)
       .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("d")).head()
-    if (r.getLong(0) == r.getLong(1)) Nil
-    else Seq(s"${r.getLong(0) - r.getLong(1)} duplicate $idCol rows in the " +
+    if (r.getLong(0) == r.getLong(1)) (Nil, Nil)
+    else (Seq(s"${r.getLong(0) - r.getLong(1)} duplicate $idCol rows in the " +
       "live contents — a producer re-added existing ids without tombstoning " +
       "(CDC `insert` for an existing id, or overlapping append batches); " +
-      "remedy: upsert, then compact")
+      "remedy: upsert, then compact"), Nil)
   }
 
   /** Read-only structural + data fsck of a persisted index — what an
@@ -225,13 +228,17 @@ private[ops] trait IndexFamily {
     * Returns (violations, notes): violations mean the commit protocol
     * was BYPASSED (hand-edited directory, partial restore) or a
     * producer contract broke; notes are crash states the protocol
-    * already self-heals. Takes no lease — safe against live traffic
-    * (the generation is resolved once, the reader contract).
+    * already self-heals. Takes no lease — the generation is resolved
+    * ONCE and every layer audits that snapshot, which (the reader
+    * contract) survives one concurrent commit; a sidecar the audit
+    * cannot parse is itself a finding, never an fsck crash.
     */
   final def fsckIndex(spark: SparkSession, path: String): (Seq[String], Seq[String]) = {
-    val (bad, note) = IndexMaint.fsckRoot(path)
-    IndexMaint.liveGenOpt(path) match {
-      case Some(gen) if bad.isEmpty => (fsckData(spark, path, gen), note)
+    val ((bad, note), genOpt) = IndexMaint.fsckRootResolved(path)
+    genOpt match {
+      case Some(gen) if bad.isEmpty =>
+        val (dBad, dNote) = fsckData(spark, path, gen)
+        (dBad, note ++ dNote)
       case _ => (bad, note)
     }
   }

@@ -854,7 +854,7 @@ object Ivf extends IndexFamily {
     * rewrites identical rows.
     */
   private val retentionMemo =
-    new graft.util.BoundedCache[(String, Long), IvfIndex](max = 8)
+    new graft.util.BoundedCache[(String, Long, String), IvfIndex](max = 8)
 
   /** Cached build composed with [[deleteWhere]], memoized per (path,
     * source fingerprint) as the POST-REWRITE handle — the ONE safe memo
@@ -870,7 +870,13 @@ object Ivf extends IndexFamily {
   def deleteWhereCached(base: => DataFrame, srcDir: String, path: String,
       kCells: Int, iters: Int,
       doomed: org.apache.spark.sql.Column): IvfIndex = {
-    val key = (path, graft.util.Fs.dirFingerprint(srcDir))
+    // the build SHAPE and the delete PREDICATE are part of the key: a
+    // second caller sharing the path/source but deleting a different
+    // stratum must rebuild, not silently receive the first caller's
+    // post-delete handle (Column.toString is the expression text —
+    // deterministic for identically-constructed predicates)
+    val key = (path, graft.util.Fs.dirFingerprint(srcDir),
+      s"$kCells|$iters|$doomed")
     retentionMemo.memoized(key, graft.util.IndexMaint.lockFor(path))(
       k => k._1 == path && k != key) {
       val pinned = base

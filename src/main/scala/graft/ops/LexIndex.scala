@@ -122,32 +122,38 @@ object LexIndex extends IndexFamily {
 
   /** The postings fsck layer: (doc, seg)-level multiplicity (a doc
     * spanning segments means an untombstoned re-add), doc-dir ≡
-    * distinct (doc_id, dl) of each segment's RAW postings, stats
-    * sidecar ≡ the doc-dir aggregate, and the takedown adjustment ≡
-    * the recompute the current tombstone set implies.
+    * distinct (doc_id, dl) of each segment's RAW postings
+    * (multiplicity-aware: exceptAll both ways, so a duplicated doc-dir
+    * row paired with a lost posting cannot cancel out), stats sidecar ≡
+    * the doc-dir aggregate. The takedown-adjustment mismatch is a NOTE,
+    * not a violation: it is exactly the torn crash window between the
+    * two delete-path writes, and any delete retry heals it
+    * ([[refreshRemoved]]). Every read comes from the PASSED generation
+    * (one snapshot); unparseable sidecars are findings, not crashes.
     */
   override protected def fsckData(spark: SparkSession, path: String,
-      gen: String): Seq[String] = {
+      gen: String): (Seq[String], Seq[String]) = {
     val out = Seq.newBuilder[String]
-    val live = compactSurvivors(spark, path)
+    val notes = Seq.newBuilder[String]
+    val raw = spark.read.parquet(gen)
+    val live = graft.util.IndexMaint.minusTombstones(raw, gen, idCol = "doc_id")
     val r = live.select(col("doc_id"), col("seg")).distinct()
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d")).head()
     if (r.getLong(0) != r.getLong(1))
       out += s"${r.getLong(0) - r.getLong(1)} live doc(s) span multiple " +
         "segments — a producer re-added existing doc_ids without " +
         "tombstoning; remedy: upsert, then compact"
-    val raw = spark.read.parquet(gen)
     graft.util.IndexMaint.segmentValues(gen).foreach { seg =>
       val dd = java.nio.file.Paths.get(gen, s"seg=$seg", DocDirName)
       if (!java.nio.file.Files.isDirectory(dd))
         out += s"seg=$seg: doc-dir sidecar missing (takedown stats cannot adjust)"
       else {
         val docdir = spark.read.parquet(dd.toString)
+          .select(col("doc_id"), col("dl"))
         val fromPosts = raw.filter(col("seg") === seg)
           .select(col("doc_id"), col("dl")).distinct()
-        val mismatch = docdir.unionByName(fromPosts)
-          .groupBy(col("doc_id"), col("dl")).count()
-          .filter(col("count") =!= 2).count()
+        val mismatch = docdir.exceptAll(fromPosts).count() +
+          fromPosts.exceptAll(docdir).count()
         if (mismatch != 0)
           out += s"seg=$seg: doc-dir disagrees with the postings' distinct " +
             s"(doc_id, dl) on $mismatch row(s)"
@@ -156,21 +162,32 @@ object LexIndex extends IndexFamily {
         val st = java.nio.file.Paths.get(gen, s"seg=$seg", StatsFile)
         if (!java.nio.file.Files.exists(st))
           out += s"seg=$seg: stats sidecar missing"
-        else {
+        else try {
           val Array(n, s) = new String(java.nio.file.Files.readAllBytes(st),
             java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
           if (n.toLong != a.getLong(0) || s.toLong != a.getLong(1))
             out += s"seg=$seg: stats sidecar ($n,$s) != doc-dir aggregate " +
               s"(${a.getLong(0)},${a.getLong(1)})"
+        } catch {
+          case e: Exception =>
+            out += s"seg=$seg: stats sidecar unparseable " +
+              s"(${e.getClass.getSimpleName}) — not written by this protocol"
         }
       }
     }
-    val persisted = readRemoved(gen)
-    val implied = computeRemoved(spark, gen)
-    if (persisted != implied)
-      out += s"takedown adjustment sidecar $persisted != the value the " +
-        s"tombstone set implies $implied (healed by any delete retry)"
-    out.result()
+    try {
+      val persisted = readRemoved(gen)
+      val implied = computeRemoved(spark, gen)
+      if (persisted != implied)
+        notes += s"takedown adjustment sidecar $persisted != the value the " +
+          s"tombstone set implies $implied — the torn crash window between " +
+          "the delete path's two writes; any delete retry heals it"
+    } catch {
+      case e: Exception =>
+        out += s"takedown adjustment sidecar unparseable " +
+          s"(${e.getClass.getSimpleName}) — not written by this protocol"
+    }
+    (out.result(), notes.result())
   }
 
   /** Term-hash partition fanout. 64 buckets keeps per-bucket file sizes

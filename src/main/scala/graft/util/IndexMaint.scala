@@ -433,10 +433,18 @@ object IndexMaint {
     * Data-level invariants (duplicate ids, sidecar arithmetic) are the
     * families' [[graft.ops.IndexFamily.fsckIndex]] layer on top.
     */
-  def fsckRoot(root: String): (Seq[String], Seq[String]) = {
+  def fsckRoot(root: String): (Seq[String], Seq[String]) =
+    fsckRootResolved(root)._1
+
+  /** [[fsckRoot]] plus the generation it audited — the data layer reads
+    * the SAME generation, so the whole fsck observes one snapshot (and,
+    * per the reader contract, survives one subsequent commit).
+    */
+  def fsckRootResolved(root: String): ((Seq[String], Seq[String]), Option[String]) = {
     val bad = Seq.newBuilder[String]
     val note = Seq.newBuilder[String]
-    liveGenOpt(root) match {
+    val genOpt = liveGenOpt(root)
+    genOpt match {
       case None =>
         bad += (if (Files.exists(Paths.get(root, LivePointer)))
           s"live pointer names a missing generation directory"
@@ -473,18 +481,35 @@ object IndexMaint {
           if (Files.exists(t)) Some(new String(Files.readAllBytes(t), UTF_8).trim)
           else None
         }
-        val dupTokens = segTokens.groupBy(identity).collect { case (t, v) if v.size > 1 => t }
+        // duplicates across segment token files AND the consolidated
+        // carried-token sidecar: a token appearing in both means the
+        // batch's rows exist twice (compacted into base AND as a
+        // restored segment)
+        val consolidated = {
+          val p = Paths.get(gen, ConsolidatedTokens)
+          if (!Files.exists(p)) Seq.empty[String]
+          else new String(Files.readAllBytes(p), UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty)
+        }
+        val dupTokens = (segTokens ++ consolidated).groupBy(identity)
+          .collect { case (t, v) if v.size > 1 => t }
         if (dupTokens.nonEmpty)
-          bad += s"duplicate applied token(s) across segments: ${dupTokens.mkString(", ")}"
-        // tombstones: pairs must reference committed segments and
-        // respect the bounded-metadata cap
-        val tombs = readTombstones(gen)
-        val segSet = segs.toSet
-        val orphanTombs = tombs.map(_._1).distinct.filterNot(segSet.contains)
-        if (orphanTombs.nonEmpty)
-          bad += s"tombstone pairs reference missing segment(s): ${orphanTombs.mkString(", ")}"
-        if (tombs.length > tombstonePairCap)
-          bad += s"tombstone sidecar over the bounded-metadata cap (${tombs.length} > $tombstonePairCap)"
+          bad += s"duplicate applied token(s) across segments/consolidated sidecar: ${dupTokens.mkString(", ")}"
+        // tombstones: pairs must parse, reference committed segments,
+        // and respect the bounded-metadata cap. A sidecar the audit
+        // itself cannot parse IS the finding, never an fsck crash.
+        try {
+          val tombs = readTombstones(gen)
+          val segSet = segs.toSet
+          val orphanTombs = tombs.map(_._1).distinct.filterNot(segSet.contains)
+          if (orphanTombs.nonEmpty)
+            bad += s"tombstone pairs reference missing segment(s): ${orphanTombs.mkString(", ")}"
+          if (tombs.length > tombstonePairCap)
+            bad += s"tombstone sidecar over the bounded-metadata cap (${tombs.length} > $tombstonePairCap)"
+        } catch {
+          case e: Exception =>
+            bad += s"tombstone sidecar unparseable (${e.getClass.getSimpleName}) — not written by this protocol"
+        }
         // torn sidecar writes leave only .tmp files — self-healing
         // (next atomic replace), but worth a note
         val tmps = {
@@ -498,7 +523,7 @@ object IndexMaint {
         if (tmps.nonEmpty)
           note += s"leftover sidecar tmp file(s) (overwritten by the next atomic replace): ${tmps.mkString(", ")}"
     }
-    (bad.result(), note.result())
+    ((bad.result(), note.result()), genOpt)
   }
 
   // ---- tombstones (deletes) --------------------------------------------------

@@ -54,6 +54,11 @@ class IndexFsckSpec extends SparkTestBase {
     Files.write(Paths.get(gen, "_tombstones.txt"), "nosuchseg,7\n".getBytes(UTF_8))
     val bad2 = Ivf.fsckIndex(spark, path)._1
     assert(bad2.exists(_.contains("missing segment")), bad2.mkString("; "))
+    // bypass 2b: a tombstone file the audit cannot parse is a named
+    // finding, not an fsck crash
+    Files.write(Paths.get(gen, "_tombstones.txt"), "garbage-no-comma\n".getBytes(UTF_8))
+    val bad2b = Ivf.fsckIndex(spark, path)._1
+    assert(bad2b.exists(_.contains("unparseable")), bad2b.mkString("; "))
     Files.delete(Paths.get(gen, "_tombstones.txt"))
     // bypass 3: the live pointer is gone
     Files.delete(Paths.get(path, "_live.txt"))
@@ -89,13 +94,24 @@ class IndexFsckSpec extends SparkTestBase {
     val bad1 = LexIndex.fsckIndex(spark, path)._1
     assert(bad1.exists(_.contains("stats sidecar")), bad1.mkString("; "))
     Files.write(st, orig.getBytes(UTF_8))
-    // tamper 2: the takedown adjustment is lost after a delete (the
-    // torn crash window) — reported, and named healable
+    // tamper 1b: a stats sidecar fsck itself cannot parse IS the
+    // finding — never an fsck crash
+    Files.write(st, "total garbage".getBytes(UTF_8))
+    val bad1b = LexIndex.fsckIndex(spark, path)._1
+    assert(bad1b.exists(_.contains("unparseable")), bad1b.mkString("; "))
+    Files.write(st, orig.getBytes(UTF_8))
+    // crash window 2: the takedown adjustment is lost after a delete —
+    // that is the torn state the protocol itself can produce, so it is
+    // a NOTE naming the heal, not a violation
     LexIndex.deleteDocs(spark, path, Seq(1L, 2L))
     Files.delete(Paths.get(gen, "_lex_removed.txt"))
-    val bad2 = LexIndex.fsckIndex(spark, path)._1
-    assert(bad2.exists(_.contains("takedown adjustment")), bad2.mkString("; "))
+    val (bad2, notes2) = LexIndex.fsckIndex(spark, path)
+    assert(bad2.isEmpty, s"a protocol-producible crash state must not be a violation: $bad2")
+    assert(notes2.exists(n => n.contains("takedown adjustment") && n.contains("heals")),
+      notes2.mkString("; "))
     LexIndex.deleteDocs(spark, path, Seq(1L)) // retry heals
+    assert(LexIndex.fsckIndex(spark, path)._2
+      .forall(!_.contains("takedown adjustment")))
     assert(LexIndex.fsckIndex(spark, path)._1.isEmpty)
     // tamper 3: doc dir removed
     graft.util.Fs.deleteRecursively(
