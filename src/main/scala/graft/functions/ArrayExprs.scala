@@ -418,6 +418,62 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Minimal cover span over a SORTED packed (pos, slot) event list:
+    * the smallest max(pos)−min(pos) of any window containing at least
+    * one event of EVERY slot 0..slots-1 — the classic two-pointer
+    * minimal-window scan, O(n) per row where an m-way position join is
+    * O(∏ tf_i). Events pack as pos * 64 + slot (slot < 64; sorting the
+    * packed longs IS position order, ties slot-ordered). Null if some
+    * slot never occurs. This is the multi-term proximity kernel: at
+    * 100 TB the per-document event list is bounded by the document's
+    * matched-term occurrences, and the scan is expression-local — no
+    * joins, no shuffles beyond the per-doc collect.
+    */
+  case class MinCoverSpan(child: Expression, slots: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(slots >= 1 && slots <= 64, s"slots must be 1..64, got $slots")
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    // null on NON-null input too (a slot never occurs) — without this
+    // the default child-derived nullability lets generated projections
+    // unbox the null result (NPE)
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val seen = new Array[Int](slots)
+      var covered = 0
+      var lo = 0
+      var best = -1
+      var hi = 0
+      while (hi < n) {
+        val e = xs.getLong(hi)
+        val s = (e & 63L).toInt
+        if (s < slots) {
+          if (seen(s) == 0) covered += 1
+          seen(s) += 1
+        }
+        // shrink from the left while still covered; record the window
+        while (covered == slots) {
+          val span = ((e >> 6) - (xs.getLong(lo) >> 6)).toInt
+          if (best < 0 || span < best) best = span
+          val f = (xs.getLong(lo) & 63L).toInt
+          if (f < slots) {
+            seen(f) -= 1
+            if (seen(f) == 0) covered -= 1
+          }
+          lo += 1
+        }
+        hi += 1
+      }
+      if (best < 0) null else best
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** k-permutation MinHash signature over an array of shingle hashes:
     * sig(i) = min over h of xxhash64(h, seed = i). One pass per seed over
     * a primitive long array — no string re-hashing, no boxing.
@@ -996,6 +1052,7 @@ object ArrayExprs {
   def sortedPairsBoth(idNs: Column): Column = c(SortedPairsBoth(e(idNs)))
   def probePairsBoth(idNs: Column): Column = c(ProbePairsBoth(e(idNs)))
   def sortedIntersectCount(a: Column, b: Column): Column = c(SortedIntersectCount(e(a), e(b)))
+  def minCoverSpan(events: Column, slots: Int): Column = c(MinCoverSpan(e(events), slots))
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def l2normF(a: Column): Column = c(L2NormF(e(a)))
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =

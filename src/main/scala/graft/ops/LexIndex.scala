@@ -650,6 +650,107 @@ object LexIndex extends IndexFamily {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Minimal-cover proximity for ARBITRARY-length term queries: docs
+    * where every query term co-occurs within `maxSpan` tokens, ranked
+    * by the smallest window containing ALL of them (then doc_id) —
+    * [[proximityTopK]] generalized past two terms. The kernel is the
+    * two-pointer minimal-window scan over each candidate doc's sorted
+    * (pos, slot) events ([[graft.functions.ArrayExprs.minCoverSpan]]):
+    * O(matched occurrences) per doc and expression-local, where the
+    * m-way position join a naive plan would use is O(∏ tf_i) per doc —
+    * the difference between a NEAR query and a blow-up on stopword-ish
+    * terms at 100 TB. Same O(query-terms) tb-pruned postings read as
+    * every positional query; queries of different lengths plan per
+    * length and union (the slot count is a literal in the kernel).
+    */
+  def coverTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int, maxSpan: Int): DataFrame = {
+    import spark.implicits._
+    val parsed = qs.map { case (q, phrase) =>
+      (q, phrase.trim.toLowerCase.split("\\s+").toSeq) }
+    val terms = parsed.flatMap(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+      .localCheckpoint() // one postings fetch feeds every length group
+    val perLen = parsed.groupBy(_._2.length).toSeq.sortBy(_._1).map {
+      case (m, group) =>
+        val qterms = group.flatMap { case (q, ts) =>
+          ts.zipWithIndex.map { case (t, i) => (q, t, i) } }
+        posts
+          .join(broadcast(qterms.toDF("query_id", "term", "slot")), Seq("term"))
+          .select(col("query_id"), col("doc_id"), col("slot"),
+            explode(col("pos")).as("p"))
+          .select(col("query_id"), col("doc_id"),
+            (col("p").cast("long") * 64 + col("slot")).as("ev"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(graft.functions.ArrayExprs.minCoverSpan(
+            sort_array(collect_list(col("ev"))), m).cast("long").as("span"))
+          .filter(col("span").isNotNull && col("span") <= maxSpan)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("span").asc, col("doc_id"))
+    perLen.reduce(_ unionByName _)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("span"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Cover fixtures: two trigram queries and a pair query, so the
+    * per-length plan split and the union both exercise.
+    */
+  val coverFixtures: Seq[(String, String)] = Seq(
+    "c1" -> "spark merge batch",
+    "c2" -> "window stream hash",
+    "c3" -> "customer vector")
+
+  /** Registered `search_cover`: minimal-cover NEAR retrieval from the
+    * persisted positional postings. The twin brute-forces the cover as
+    * min over position combinations of (greatest − least) — definition
+    * equality, so the hash proves the two-pointer kernel exact.
+    */
+  def coverPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    coverTopK(spark, path, coverFixtures, 10, maxSpan = 6)
+  }
+
+  /** Twin of [[coverPersisted]]: the cover by definition (min over the
+    * position cross product), per query length.
+    */
+  val coverSql: String =
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |pos AS (SELECT doc_id, t[i] AS term, i AS p
+       |        FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+       |q3(query_id, ta, tb, tc) AS (VALUES ('c1','spark','merge','batch'),
+       |                                    ('c2','window','stream','hash')),
+       |q2(query_id, ta, tb) AS (VALUES ('c3','customer','vector')),
+       |s3 AS (SELECT q.query_id, a.doc_id,
+       |              min(greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p)) AS span
+       |       FROM q3 q
+       |       JOIN pos a ON a.term = q.ta
+       |       JOIN pos b ON b.term = q.tb AND b.doc_id = a.doc_id
+       |       JOIN pos c ON c.term = q.tc AND c.doc_id = a.doc_id
+       |       GROUP BY 1, 2),
+       |s2 AS (SELECT q.query_id, a.doc_id, min(abs(a.p - b.p)) AS span
+       |       FROM q2 q
+       |       JOIN pos a ON a.term = q.ta
+       |       JOIN pos b ON b.term = q.tb AND b.doc_id = a.doc_id
+       |       GROUP BY 1, 2),
+       |sp AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2),
+       |rk AS (SELECT query_id, doc_id, span,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY span, doc_id) AS rnk
+       |       FROM sp WHERE span <= 6)
+       |SELECT query_id, rnk, doc_id, span FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** The phrase fixture set: a common bigram, a trigram, and a trigram
     * that repeats within documents (multiple anchors per doc) — so the
     * occurrence count, not just the match set, is exercised.
@@ -1143,7 +1244,8 @@ object LexIndex extends IndexFamily {
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
     "search_hybrid_cdc" -> (hybridCdc _),
     "search_phrase" -> (phrasePersisted _),
-    "search_proximity" -> (proximityPersisted _))
+    "search_proximity" -> (proximityPersisted _),
+    "search_cover" -> (coverPersisted _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
@@ -1188,5 +1290,8 @@ object LexIndex extends IndexFamily {
     "search_phrase" -> phraseSql,
     // NEAR retrieval: the minimal-span arithmetic and the window cut
     // must match the closed form, not just the match set
-    "search_proximity" -> proximitySql)
+    "search_proximity" -> proximitySql,
+    // the two-pointer minimal-cover kernel must equal the cover BY
+    // DEFINITION (min over the position cross product)
+    "search_cover" -> coverSql)
 }

@@ -263,4 +263,35 @@ class ArrayExprsSpec extends SparkTestBase {
     assert(got(0) === expected)
     assert(got(1) === expected, "simhash must be order-free")
   }
+
+  test("minCoverSpan: two-pointer minimal window equals the brute-force cover over random event lists; missing slot is null") {
+    val rnd = new scala.util.Random(42)
+    def brute(events: Seq[(Int, Int)], slots: Int): Option[Int] = {
+      val bySlot = (0 until slots).map(s => events.filter(_._2 == s).map(_._1))
+      if (bySlot.exists(_.isEmpty)) None
+      else {
+        // min over the position cross product of (max - min) — the
+        // definition (the DuckDB twin's form)
+        def combos(ls: Seq[Seq[Int]]): Seq[Seq[Int]] =
+          ls.foldLeft(Seq(Seq.empty[Int]))((acc, l) => acc.flatMap(c => l.map(c :+ _)))
+        Some(combos(bySlot).map(c => c.max - c.min).min)
+      }
+    }
+    (1 to 60).foreach { trial =>
+      val slots = 1 + rnd.nextInt(4)
+      val n = 1 + rnd.nextInt(12)
+      val events = Seq.fill(n)((1 + rnd.nextInt(30), rnd.nextInt(slots)))
+      val packed = events.map { case (p, s) => p.toLong * 64 + s }.sorted
+      val got = Seq(Tuple1(packed)).toDF("ev")
+        .select(ArrayExprs.minCoverSpan(col("ev"), slots).as("span"))
+        .collect().head
+      val want = brute(events, slots)
+      assert((if (got.isNullAt(0)) None else Some(got.getInt(0))) === want,
+        s"trial $trial: slots=$slots events=$events")
+    }
+    // same position carrying two slots: a zero-width window covers
+    val z = Seq(Tuple1(Seq(5L * 64 + 0, 5L * 64 + 1)))
+      .toDF("ev").select(ArrayExprs.minCoverSpan(col("ev"), 2)).collect().head
+    assert(z.getInt(0) === 0)
+  }
 }

@@ -436,6 +436,28 @@ class LexIndexSpec extends SparkTestBase {
       s"span ranking must be (minimal span, doc_id) with the window cut applied: $got")
   }
 
+  test("cover queries: the smallest all-terms window ranks; mixed query lengths plan per length and union; window cut applies") {
+    val docs = Seq(
+      (1L, "alpha x beta y gamma"),     // cover {a,b,g} = 4
+      (2L, "gamma beta alpha"),         // cover = 2 (order-free)
+      (3L, "alpha beta z z z gamma"),   // cover = 5
+      (4L, "alpha beta"),               // missing gamma — no 3-term match
+      (5L, "alpha z z z z z z beta z gamma") // cover = 9 — outside maxSpan 6
+    ).toDF("doc_id", "text")
+    val path = tmpDir("lex_cover") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val got = LexIndex.coverTopK(spark, path,
+      Seq("t" -> "alpha beta gamma", "p" -> "alpha beta"), 10, maxSpan = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val t = got.filter(_._1 == "t").map(r => (r._2, r._3, r._4))
+    assert(t === Seq((1L, 2L, 2L), (2L, 1L, 4L), (3L, 3L, 5L)),
+      s"3-term covers must rank by minimal all-terms window: $t")
+    // the 2-term query rides the same call through the per-length union
+    // and equals the pair-proximity semantics
+    val p = got.filter(_._1 == "p").map(r => (r._3, r._4)).toMap
+    assert(p(2L) === 1L && p(4L) === 1L && p(1L) === 2L, s"pair covers: $p")
+  }
+
   test("hybrid serving plan: the semantic stage reads the persisted IVF index, never a nested-loop scan of the embedding corpus") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
