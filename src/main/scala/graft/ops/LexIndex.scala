@@ -666,8 +666,16 @@ object LexIndex extends IndexFamily {
   def coverTopK(spark: SparkSession, path: String,
       qs: Seq[(String, String)], k: Int, maxSpan: Int): DataFrame = {
     import spark.implicits._
+    if (qs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("query_id", "rnk", "doc_id", "span")
+    // distinct terms per query: a repeated term carries the same
+    // position list, so a window containing its first slot contains
+    // every duplicate slot — requiring them would only multiply the
+    // exploded event volume for an identical answer (and a repeated
+    // term is NOT required to occur twice)
     val parsed = qs.map { case (q, phrase) =>
-      (q, phrase.trim.toLowerCase.split("\\s+").toSeq) }
+      (q, phrase.trim.toLowerCase.split("\\s+").toSeq.distinct) }
     val terms = parsed.flatMap(_._2).distinct
     val buckets = bucketsOf(spark, terms)
     val gen = graft.util.IndexMaint.liveGen(path)
@@ -708,6 +716,11 @@ object LexIndex extends IndexFamily {
     "c2" -> "window stream hash",
     "c3" -> "customer vector")
 
+  /** The registered row's window — ONE constant feeding both the Spark
+    * side and the twin's literal.
+    */
+  private val CoverMaxSpan = 6
+
   /** Registered `search_cover`: minimal-cover NEAR retrieval from the
     * persisted positional postings. The twin brute-forces the cover as
     * min over position combinations of (greatest − least) — definition
@@ -717,20 +730,32 @@ object LexIndex extends IndexFamily {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
-    coverTopK(spark, path, coverFixtures, 10, maxSpan = 6)
+    coverTopK(spark, path, coverFixtures, 10, maxSpan = CoverMaxSpan)
   }
 
   /** Twin of [[coverPersisted]]: the cover by definition (min over the
-    * position cross product), per query length.
+    * position cross product), per query length — the VALUES clauses and
+    * the window literal DERIVE from [[coverFixtures]]/[[CoverMaxSpan]],
+    * so editing the fixtures cannot silently desynchronize the twin.
     */
-  val coverSql: String =
+  val coverSql: String = {
+    val parsed = coverFixtures.map { case (q, p) =>
+      (q, p.trim.toLowerCase.split("\\s+").toSeq.distinct) }
+    val (threes, rest) = parsed.partition(_._2.length == 3)
+    val twos = rest.filter(_._2.length == 2)
+    require(threes.nonEmpty && twos.nonEmpty && threes.size + twos.size == parsed.size,
+      "the cover twin is written for query lengths 2 and 3 — extend its " +
+        "CTE families before adding other lengths to coverFixtures")
+    val v3 = threes.map { case (q, ts) =>
+      s"('$q','${ts(0)}','${ts(1)}','${ts(2)}')" }.mkString(", ")
+    val v2 = twos.map { case (q, ts) =>
+      s"('$q','${ts(0)}','${ts(1)}')" }.mkString(", ")
     s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |        FROM documents),
        |pos AS (SELECT doc_id, t[i] AS term, i AS p
        |        FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
-       |q3(query_id, ta, tb, tc) AS (VALUES ('c1','spark','merge','batch'),
-       |                                    ('c2','window','stream','hash')),
-       |q2(query_id, ta, tb) AS (VALUES ('c3','customer','vector')),
+       |q3(query_id, ta, tb, tc) AS (VALUES $v3),
+       |q2(query_id, ta, tb) AS (VALUES $v2),
        |s3 AS (SELECT q.query_id, a.doc_id,
        |              min(greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p)) AS span
        |       FROM q3 q
@@ -747,9 +772,10 @@ object LexIndex extends IndexFamily {
        |rk AS (SELECT query_id, doc_id, span,
        |              row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY span, doc_id) AS rnk
-       |       FROM sp WHERE span <= 6)
+       |       FROM sp WHERE span <= $CoverMaxSpan)
        |SELECT query_id, rnk, doc_id, span FROM rk WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** The phrase fixture set: a common bigram, a trigram, and a trigram
     * that repeats within documents (multiple anchors per doc) — so the
