@@ -274,6 +274,9 @@ private[ops] trait IndexFamily {
       if (uniqueCheckReadsStage) requireUniqueSurvivors(spark, withSeg, segBase, path)
       writeGenSidecars(spark, stage, gen, hadDeletes)
       IndexMaint.writeConsolidatedTokens(stage, IndexMaint.appliedTokens(gen))
+      // the successor derives from the same (source, shape) build — a
+      // later cached-build miss must reopen it, not rebuild from source
+      IndexMaint.carryBuildKey(gen, stage)
       val committed = IndexMaint.commitGeneration(path, stage)
       afterCommit(path)
       committed

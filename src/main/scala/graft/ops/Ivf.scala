@@ -323,7 +323,8 @@ object Ivf extends IndexFamily {
     * reads as null on the unioned generations). The production
     * pipeline calls this ONCE when the base corpus lands.
     */
-  def buildIndex(base: DataFrame, path: String, kCells: Int, iters: Int): IvfIndex =
+  def buildIndex(base: DataFrame, path: String, kCells: Int, iters: Int,
+      buildKey: Option[String] = None): IvfIndex =
     graft.util.IndexMaint.withMutation(path, op = "build") {
       val centroids = kmeansCentroids(base, kCells, iters)
       val stage = graft.util.IndexMaint.newStageDir(path, "build")
@@ -334,6 +335,10 @@ object Ivf extends IndexFamily {
       // frame [[driftStats]] later compares drifted contents against.
       writeCellStats(stage,
         cellStatsOf(base.sparkSession, s"$stage/seg=base", centroids))
+      // provenance sidecar ([[buildIndexCached]] supplies it): lets a
+      // later cached-build miss reopen this generation instead of
+      // retraining and rewriting it
+      buildKey.foreach(graft.util.IndexMaint.writeBuildKey(stage, _))
       graft.util.IndexMaint.commitGeneration(path, stage)
       IvfIndex(path, centroids)
     }
@@ -445,19 +450,53 @@ object Ivf extends IndexFamily {
     * Production holds the [[IvfIndex]] handle (or [[loadIndex]]s it);
     * this keeps the harness's rebuild-per-invocation contract honest
     * without paying the build on every call.
+    *
+    * A memo MISS must never mutate a durable index: the build key is
+    * persisted as a generation sidecar, so a miss whose key matches the
+    * LIVE generation's (same source fingerprint, same shape — the index
+    * on disk IS the one this call would build, plus whatever
+    * token-guarded mutations its owner applied since, exactly what a
+    * memo HIT would serve) REOPENS it for the cost of two sidecar
+    * reads. Rebuild happens ONLY on true staleness — a rewritten
+    * source, a different shape, or a pre-sidecar generation that cannot
+    * prove reuse. Caller contract (unchanged from the memo alone):
+    * `base` must be a pure function of the data under `srcDir`, since
+    * both the memo and the sidecar key identify the build by
+    * (fingerprint, shape), never by the frame.
     */
   def buildIndexCached(base: DataFrame, srcDir: String, path: String,
       kCells: Int, iters: Int): IvfIndex = {
-    val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, iters)
+    val fp = graft.util.Fs.dirFingerprint(srcDir)
+    val key = (path, fp, kCells, iters)
+    val diskKey = s"ivf|src=$fp|kCells=$kCells|iters=$iters"
     indexCache.memoized(key, graft.util.IndexMaint.lockFor(path))(
-      k => k._1 == path && k != key)(buildIndex(base, path, kCells, iters))
+      k => k._1 == path && k != key) {
+      if (graft.util.IndexMaint.liveGenOpt(path)
+        .exists(g => graft.util.IndexMaint.readBuildKey(g).contains(diskKey)))
+        loadIndex(path)
+      else buildIndex(base, path, kCells, iters, Some(diskKey))
+    }
   }
 
   private[ops] def indexCacheSnapshot: Seq[(String, Long, Int, Int)] =
     indexCache.keys
 
+  /** Test hook: force the next [[buildIndexCached]] call for `path` to
+    * take the miss path (what LRU pressure or a session restart does).
+    */
+  private[ops] def dropBuildMemo(path: String): Unit =
+    indexCache.evict(_._1 == path)
+
+  /** Session handle-cache bound, sized to the serving working set (the
+    * registered-query suite alone touches 12 distinct IVF paths; 8 made
+    * every access a miss). With the build-key sidecar a miss is a cheap
+    * read-only reopen either way — the bound only trades sidecar reads,
+    * never rebuilds.
+    */
+  private[ops] val IndexCacheBound = 32
+
   private val indexCache =
-    new graft.util.BoundedCache[(String, Long, Int, Int), IvfIndex](8)
+    new graft.util.BoundedCache[(String, Long, Int, Int), IvfIndex](IndexCacheBound)
   /** One-scan encode: (vec_id, embedding, nrm, …metadata, cid). Extra
     * input columns pass through — the filtered-search metadata contract.
     */
@@ -659,6 +698,11 @@ object Ivf extends IndexFamily {
     writeCellStats(stage, cellStatsOf(spark, s"$stage/seg=base", centroids))
     graft.util.IndexMaint.writeConsolidatedTokens(stage,
       graft.util.IndexMaint.appliedTokens(gen))
+    // carried: the rebalanced index still derives from the same
+    // (source, shape) build — a later cached-build miss reopens the
+    // REPAIRED quantizer (read from the live sidecars) rather than
+    // undoing the drift repair with a from-source rebuild
+    graft.util.IndexMaint.carryBuildKey(gen, stage)
     graft.util.IndexMaint.commitGeneration(index.path, stage)
     indexCache.evict(_._1 == index.path)
     IvfIndex(index.path, centroids)
@@ -869,14 +913,24 @@ object Ivf extends IndexFamily {
     */
   def deleteWhereCached(base: => DataFrame, srcDir: String, path: String,
       kCells: Int, iters: Int,
-      doomed: org.apache.spark.sql.Column): IvfIndex = {
+      doomed: org.apache.spark.sql.Column,
+      predicateKey: Option[String] = None): IvfIndex = {
     // the build SHAPE and the delete PREDICATE are part of the key: a
     // second caller sharing the path/source but deleting a different
     // stratum must rebuild, not silently receive the first caller's
-    // post-delete handle (Column.toString is the expression text —
-    // deterministic for identically-constructed predicates)
+    // post-delete handle. Column.toString is injective only for
+    // literal-built predicates (two different UDFs both print
+    // `UDF(vec_id)`) — so an opaque predicate REQUIRES the caller to
+    // name its own key instead of silently risking a handle swap
+    val predKey = predicateKey.getOrElse {
+      require(!org.apache.spark.sql.graft.bridge.containsUdf(doomed),
+        s"deleteWhereCached on $path: predicate '$doomed' contains a UDF, " +
+          "whose text is not an injective memo key — pass predicateKey to " +
+          "identify the delete stratum explicitly")
+      doomed.toString
+    }
     val key = (path, graft.util.Fs.dirFingerprint(srcDir),
-      s"$kCells|$iters|$doomed")
+      s"$kCells|$iters|$predKey")
     retentionMemo.memoized(key, graft.util.IndexMaint.lockFor(path))(
       k => k._1 == path && k != key) {
       val pinned = base

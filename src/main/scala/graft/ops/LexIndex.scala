@@ -395,7 +395,8 @@ object LexIndex extends IndexFamily {
     * tokenize scan, bucketed write, stats sidecar, atomic generation
     * commit. The production pipeline calls this once per corpus release.
     */
-  def buildIndex(docs: DataFrame, path: String): String =
+  def buildIndex(docs: DataFrame, path: String,
+      buildKey: Option[String] = None): String =
     graft.util.IndexMaint.withMutation(path, op = "build") {
       val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
       requireDistinctDocs(pinned, s"buildIndex($path)")
@@ -405,6 +406,7 @@ object LexIndex extends IndexFamily {
         .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
       writeDocDir(pinned, s"$stage/seg=base")
       writeStats(s"$stage/seg=base", statsOf(pinned))
+      buildKey.foreach(graft.util.IndexMaint.writeBuildKey(stage, _))
       graft.util.IndexMaint.commitGeneration(path, stage)
     }
 
@@ -676,6 +678,13 @@ object LexIndex extends IndexFamily {
     // term is NOT required to occur twice)
     val parsed = qs.map { case (q, phrase) =>
       (q, phrase.trim.toLowerCase.split("\\s+").toSeq.distinct) }
+    // the (pos*64 + slot) event packing caps slots at 64 — refuse here
+    // with the query named, not inside the kernel's slot assert
+    parsed.filter(_._2.size > 64).foreach { case (q, ts) =>
+      throw new IllegalArgumentException(
+        s"coverTopK: query '$q' has ${ts.size} distinct terms — the packed " +
+          "(pos,slot) cover kernel supports at most 64 distinct terms per query")
+    }
     val terms = parsed.flatMap(_._2).distinct
     val buckets = bucketsOf(spark, terms)
     val gen = graft.util.IndexMaint.liveGen(path)
@@ -854,13 +863,27 @@ object LexIndex extends IndexFamily {
   /** [[buildIndex]] memoized per (path, source fingerprint) — the
     * [[Ivf.buildIndexCached]] pattern verbatim (one BoundedCache idiom
     * across families): deterministic build, one derivation per session,
-    * stale-fingerprint entries for the same path evicted on rebuild.
+    * stale-fingerprint entries for the same path evicted on rebuild. A
+    * memo miss whose persisted build key matches the live generation's
+    * REOPENS it read-only (two sidecar reads — a miss must never
+    * re-tokenize and rewrite durable postings); rebuild only on a
+    * rewritten source or a keyless pre-sidecar generation.
     */
   def buildIndexCached(docs: DataFrame, srcDir: String, path: String): String = {
-    val key = (path, graft.util.Fs.dirFingerprint(srcDir))
+    val fp = graft.util.Fs.dirFingerprint(srcDir)
+    val key = (path, fp)
+    val diskKey = s"lex|src=$fp"
     builtMemo.memoized(key, graft.util.IndexMaint.lockFor(path))(
-      k => k._1 == path && k != key) { buildIndex(docs, path); path }
+      k => k._1 == path && k != key) {
+      if (!graft.util.IndexMaint.liveGenOpt(path)
+        .exists(g => graft.util.IndexMaint.readBuildKey(g).contains(diskKey)))
+        buildIndex(docs, path, Some(diskKey))
+      path
+    }
   }
+
+  private[ops] def dropBuildMemo(path: String): Unit =
+    builtMemo.evict(_._1 == path)
 
   /** Registered `search_bm25_persisted`: build the postings once, serve
     * the fixture queries from them. The oracle is `text_bm25`'s twin

@@ -681,7 +681,7 @@ object Pq {
     * a rebuild supersedes prior generations and their tokens).
     */
   def buildIndex(base: DataFrame, path: String, m: Int, kSub: Int,
-      iters: Int): PqIndex =
+      iters: Int, buildKey: Option[String] = None): PqIndex =
     graft.util.IndexMaint.withMutation(path, op = "build") {
       val cbs = trainCodebooks(base, m, kSub, iters)
       val encoded = encodeWithD2(base, cbs).localCheckpoint()
@@ -690,6 +690,7 @@ object Pq {
         .write.mode("overwrite").parquet(s"$stage/seg=base")
       writeCodebooks(stage, cbs)
       writeSubStats(stage, subStatsOf(encoded, m))
+      buildKey.foreach(graft.util.IndexMaint.writeBuildKey(stage, _))
       graft.util.IndexMaint.commitGeneration(path, stage)
       PqIndex(path, cbs)
     }
@@ -698,17 +699,32 @@ object Pq {
     * the session — the [[Ivf.buildIndexCached]] pattern: the build is
     * deterministic, so one derivation serves every consumer in the JVM
     * while the filesystem fingerprint invalidates the memo if the
-    * source is rewritten. Production holds the [[PqIndex]] handle.
+    * source is rewritten. Production holds the [[PqIndex]] handle. A
+    * memo miss whose persisted build key matches the live generation's
+    * REOPENS it (read-only — [[Ivf.buildIndexCached]]'s contract: a
+    * miss must never retrain and rewrite a durable index); rebuild only
+    * on true staleness.
     */
   def buildIndexCached(base: DataFrame, srcDir: String, path: String,
       m: Int, kSub: Int, iters: Int): PqIndex = {
-    val key = (path, graft.util.Fs.dirFingerprint(srcDir), m, kSub, iters)
+    val fp = graft.util.Fs.dirFingerprint(srcDir)
+    val key = (path, fp, m, kSub, iters)
+    val diskKey = s"pq|src=$fp|m=$m|kSub=$kSub|iters=$iters"
     pqIndexCache.memoized(key, graft.util.IndexMaint.lockFor(path))(
-      k => k._1 == path && k != key)(buildIndex(base, path, m, kSub, iters))
+      k => k._1 == path && k != key) {
+      if (graft.util.IndexMaint.liveGenOpt(path)
+        .exists(g => graft.util.IndexMaint.readBuildKey(g).contains(diskKey)))
+        loadIndex(path)
+      else buildIndex(base, path, m, kSub, iters, Some(diskKey))
+    }
   }
 
+  private[ops] def dropBuildMemo(path: String): Unit =
+    pqIndexCache.evict(_._1 == path)
+
   private val pqIndexCache =
-    new graft.util.BoundedCache[(String, Long, Int, Int, Int), PqIndex](8)
+    new graft.util.BoundedCache[(String, Long, Int, Int, Int), PqIndex](
+      Ivf.IndexCacheBound)
 
   /** Reopen an index. No recovery dance ([[Ivf.loadIndex]] contract):
     * generation commits are atomic pointer flips, so the live
@@ -865,6 +881,9 @@ object Pq {
       writeSubStats(stage, subStatsOf(encoded, m))
       graft.util.IndexMaint.writeConsolidatedTokens(stage,
         graft.util.IndexMaint.appliedTokens(gen))
+      // carried ([[Ivf.rebalance]] rationale): a later cached-build
+      // miss must reopen the repaired codebooks, not undo them
+      graft.util.IndexMaint.carryBuildKey(gen, stage)
       graft.util.IndexMaint.commitGeneration(index.path, stage)
       pqIndexCache.evict(_._1 == index.path)
       PqIndex(index.path, cbs)
@@ -1378,7 +1397,8 @@ object Pq {
     * trained on the SAME sample draw's residuals.
     */
   def buildIndexResidual(base: DataFrame, path: String, kCells: Int,
-      m: Int, kSub: Int, iters: Int): IvfPqIndex =
+      m: Int, kSub: Int, iters: Int,
+      buildKey: Option[String] = None): IvfPqIndex =
     graft.util.IndexMaint.withMutation(path, op = "build") {
       val cents = Ivf.kmeansCentroids(base, kCells, iters)
       val cbs = residualCodebooksFromSample(base, cents, m, kSub, iters)
@@ -1389,6 +1409,7 @@ object Pq {
       Ivf.writeCentroids(stage, cents)
       writeCodebooks(stage, cbs)
       writeSubStats(stage, subStatsOf(encoded, m))
+      buildKey.foreach(graft.util.IndexMaint.writeBuildKey(stage, _))
       graft.util.IndexMaint.commitGeneration(path, stage)
       IvfPqIndex(path, cents, cbs)
     }
@@ -1541,6 +1562,9 @@ object Pq {
       writeSubStats(stage, subStatsOf(encoded, m))
       graft.util.IndexMaint.writeConsolidatedTokens(stage,
         graft.util.IndexMaint.appliedTokens(gen))
+      // carried ([[Ivf.rebalance]] rationale): a later cached-build
+      // miss must reopen the composed repair, not undo it
+      graft.util.IndexMaint.carryBuildKey(gen, stage)
       graft.util.IndexMaint.commitGeneration(index.path, stage)
       ivfPqIndexCache.evict(_._1 == index.path)
       IvfPqIndex(index.path, cents, cbs)
@@ -1739,14 +1763,24 @@ object Pq {
     */
   def buildIndexResidualCached(base: DataFrame, srcDir: String, path: String,
       kCells: Int, m: Int, kSub: Int, iters: Int): IvfPqIndex = {
-    val key = (path, graft.util.Fs.dirFingerprint(srcDir), kCells, m, kSub, iters)
+    val fp = graft.util.Fs.dirFingerprint(srcDir)
+    val key = (path, fp, kCells, m, kSub, iters)
+    val diskKey = s"ivfpq|src=$fp|kCells=$kCells|m=$m|kSub=$kSub|iters=$iters"
     ivfPqIndexCache.memoized(key, graft.util.IndexMaint.lockFor(path))(
-      k => k._1 == path && k != key)(
-      buildIndexResidual(base, path, kCells, m, kSub, iters))
+      k => k._1 == path && k != key) {
+      if (graft.util.IndexMaint.liveGenOpt(path)
+        .exists(g => graft.util.IndexMaint.readBuildKey(g).contains(diskKey)))
+        loadIndexResidual(path)
+      else buildIndexResidual(base, path, kCells, m, kSub, iters, Some(diskKey))
+    }
   }
 
+  private[ops] def dropResidualBuildMemo(path: String): Unit =
+    ivfPqIndexCache.evict(_._1 == path)
+
   private val ivfPqIndexCache =
-    new graft.util.BoundedCache[(String, Long, Int, Int, Int, Int), IvfPqIndex](8)
+    new graft.util.BoundedCache[(String, Long, Int, Int, Int, Int), IvfPqIndex](
+      Ivf.IndexCacheBound)
 
   /** Registered `sim_ivfpq_residual_incremental`: the persisted
     * residual index under the oracle — the base corpus

@@ -400,6 +400,50 @@ object IndexMaint {
       tokens.toSeq.sorted.mkString("", "\n", if (tokens.isEmpty) "" else "\n")
         .getBytes(UTF_8))
 
+  // ---- build-key sidecar (reopen-not-rebuild) --------------------------------
+
+  private val BuildKeyFile = "_build_key.txt"
+
+  /** Persist the memo key an index was BUILT under — (source
+    * fingerprint, build shape) rendered by the family — into a staged
+    * generation, so it commits atomically with the data. This is what
+    * lets a later `buildIndexCached` MISS (LRU eviction, session
+    * restart) distinguish "the identical index is already committed —
+    * reopen it, read-only" from "the source or shape changed — rebuild".
+    * Without it every miss is a rebuild, which silently RE-TRAINS AND
+    * REWRITES a durable index from inside a read path.
+    */
+  def writeBuildKey(stageDir: String, key: String): Unit = {
+    require(key.nonEmpty && !key.contains("\n") && !key.contains("\r"),
+      "build key must be a non-empty single line")
+    Files.write(Paths.get(stageDir, BuildKeyFile), key.getBytes(UTF_8))
+  }
+
+  /** The committed generation's build key, if the generation recorded
+    * one (pre-sidecar indexes and direct `buildIndex` callers did not —
+    * absence simply means "cannot prove reuse, rebuild"). A sidecar
+    * that cannot be read is treated as absent, never a crash: the worst
+    * outcome of a torn key is one redundant rebuild.
+    */
+  def readBuildKey(genDir: String): Option[String] = {
+    val p = Paths.get(genDir, BuildKeyFile)
+    if (!Files.exists(p)) None
+    else scala.util.Try(new String(Files.readAllBytes(p), UTF_8).trim)
+      .toOption.filter(_.nonEmpty)
+  }
+
+  /** Carry the build key from the live generation into a staged
+    * successor. Every content-preserving commit (compact, deleteWhere,
+    * rebalance) carries it: the successor still DERIVES from the same
+    * (source, shape) build — mutations on top are owned by their own
+    * token guards and memo layers — so a later cached-build call must
+    * reopen it rather than rebuild from source (a rebuild would undo a
+    * compaction's file collapse, resurrect a retention delete until its
+    * sweep re-runs, and revert a drift-repair rebalance).
+    */
+  def carryBuildKey(gen: String, stage: String): Unit =
+    readBuildKey(gen).foreach(writeBuildKey(stage, _))
+
   /** The generation's committed segment values — what the `seg`
     * partition column reads as (`seg=base` → "base"). Bounded: one per
     * commit unit, collapsed by compaction.

@@ -16,6 +16,18 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** True if the column's unanalyzed tree invokes an inline user-defined
+    * function — the node whose text rendering is NOT injective (two
+    * different lambdas both print `UDF(col)`), so it cannot serve as a
+    * memo-key component. Checked on the ColumnNode tree because the
+    * classic Expression bridge is lazy pre-analysis
+    * (`ColumnNodeExpression` hides the eventual ScalaUDF).
+    */
+  def containsUdf(c: Column): Boolean =
+    c.node.collect {
+      case f: org.apache.spark.sql.internal.InvokeInlineUserDefinedFunction => f
+    }.nonEmpty
+
   /** Runtime temp-function registration (functionRegistry is
     * `private[sql]` too).
     */

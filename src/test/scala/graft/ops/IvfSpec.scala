@@ -391,12 +391,19 @@ class IvfSpec extends SparkTestBase {
     (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
-    // 10 distinct index paths > the bound of 8: the cache must not grow
-    // past the cap (the two oldest age out)
+    // the shared cache's access-ordered LRU eviction, proven on
+    // BoundedCache directly (filling the real IndexCacheBound-entry
+    // index cache with 34 built indexes would cost more than it proves)
+    val lru = new graft.util.BoundedCache[Int, Int](3)
+    (0 until 5).foreach(i => lru.putReplacing(i, i)(_ => false))
+    assert(lru.keys.toSet === Set(2, 3, 4), "two oldest entries must age out")
+    // 10 distinct index paths: the cache must track them within its
+    // bound (sized to the serving working set — a miss would now reopen
+    // rather than rebuild, but the bound still caps handle memory)
     (0 until 10).foreach { i =>
       Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", tmpDir(s"ivf_bound_$i"), 2, 0)
     }
-    assert(Ivf.indexCacheSnapshot.size <= 8,
+    assert(Ivf.indexCacheSnapshot.size <= Ivf.IndexCacheBound,
       s"index cache exceeded its bound: ${Ivf.indexCacheSnapshot.size}")
     // two threads miss the same (path, fingerprint) at once: the
     // per-path lock serializes the overwrite build and both callers
@@ -782,5 +789,29 @@ class IvfSpec extends SparkTestBase {
       nprobe = 2, queryIsDouble = true)
     assert(probed2.size === 2, s"one query at nprobe=2 must plan two cells: $probed2")
     assert(got2.count() === 10)
+  }
+
+  test("deleteWhereCached: an opaque (UDF) predicate is refused without an explicit key — expression text is not injective") {
+    import spark.implicits._
+    val d = tmpDir("ivf_delw_key")
+    val rnd = new scala.util.Random(91)
+    (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val oddUdf = udf((id: Long) => id % 2 == 1)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.deleteWhereCached(emb, s"$d/embeddings.parquet",
+        tmpDir("ivf_delw_idx"), kCells = 2, iters = 0, oddUdf(col("vec_id")))
+    }
+    assert(e.getMessage.contains("predicateKey"),
+      s"the refusal must point at the explicit-key escape hatch: ${e.getMessage}")
+    // with the caller naming the stratum, the same predicate memoizes fine
+    val idxPath = tmpDir("ivf_delw_idx2")
+    val after = Ivf.deleteWhereCached(emb, s"$d/embeddings.parquet", idxPath,
+      kCells = 2, iters = 0, oddUdf(col("vec_id")), Some("odd-ids"))
+    val survivors = Ivf.indexData(spark, after.path).select("vec_id")
+      .as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.forall(_ % 2 == 0),
+      s"only the even stratum may survive: ${survivors.take(5)}")
   }
 }

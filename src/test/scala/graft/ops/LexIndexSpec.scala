@@ -481,4 +481,19 @@ class LexIndexSpec extends SparkTestBase {
     assert(idxScans.nonEmpty,
       "the fused page must serve its semantic ranks from the persisted vector index")
   }
+
+  test("cover queries: >64 distinct terms is refused naming the query, before the kernel") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val path = tmpDir("lex_cover_cap") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val wide = (0 until 65).map(i => s"t$i").mkString(" ")
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.coverTopK(spark, path, Seq(("q-wide", wide)), 10, maxSpan = 100)
+    }
+    assert(e.getMessage.contains("q-wide") && e.getMessage.contains("64"),
+      s"the refusal must name the query and the limit: ${e.getMessage}")
+    // 64 exactly still plans (the packing's last representable slot)
+    val ok = (0 until 64).map(i => s"t$i").mkString(" ")
+    LexIndex.coverTopK(spark, path, Seq(("q-64", ok)), 10, maxSpan = 100).collect()
+  }
 }
