@@ -580,35 +580,21 @@ object LexIndex extends IndexFamily {
     * the two query terms co-occur within `maxSpan` tokens, ranked by
     * their MINIMAL span (then doc_id) — the relevance signal between
     * bag-of-words and exact phrase. Same O(query-terms) read as
-    * [[phraseTopK]]; the span join is posting-local (tf_a × tf_b
-    * position pairs per candidate doc, never a document re-read).
+    * [[phraseTopK]]; served through [[coverTopK]]'s two-pointer kernel,
+    * so per-doc work is O(matched occurrences), never a position pair
+    * join and never a document re-read.
     */
   def proximityTopK(spark: SparkSession, path: String,
-      qs: Seq[(String, String, String)], k: Int, maxSpan: Int): DataFrame = {
-    import spark.implicits._
-    val terms = qs.flatMap(q => Seq(q._2, q._3)).distinct
-    val buckets = bucketsOf(spark, terms)
-    val gen = graft.util.IndexMaint.liveGen(path)
-    val posts = indexDataAt(spark, gen)
-      .filter(col("tb").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
-      .select(col("term"), col("doc_id"), col("pos"))
-      .localCheckpoint() // one postings fetch feeds both sides
-    val qdf = broadcast(qs.toDF("query_id", "ta", "tb2"))
-    def side(termCol: String, out: String) = posts
-      .join(qdf, col("term") === col(termCol))
-      .select(col("query_id"), col("doc_id"), explode(col("pos")).as(out))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("span").asc, col("doc_id"))
-    side("ta", "pa").join(side("tb2", "pb"), Seq("query_id", "doc_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("span"))
-      .filter(col("span") <= maxSpan)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("doc_id"), col("span"))
-      .orderBy("query_id", "rnk")
-  }
+      qs: Seq[(String, String, String)], k: Int, maxSpan: Int): DataFrame =
+    // NEAR IS the 2-slot minimal cover: the smallest window containing
+    // both terms has span min |p_a − p_b|, and a term paired with
+    // itself dedups to the 1-slot cover (span 0 — same as the pair min,
+    // where an occurrence pairs with itself). Routing through the
+    // two-pointer kernel keeps per-doc work O(occurrences) where the
+    // explode×explode pair join this used to run is O(tf_a × tf_b) —
+    // quadratic on stopword-ish terms at corpus scale.
+    coverTopK(spark, path, qs.map { case (q, a, b) => (q, s"$a $b") },
+      k, maxSpan)
 
   /** Proximity fixtures: mid-frequency pairs whose minimal spans spread
     * across the 1..5 window (not just adjacency).

@@ -482,6 +482,49 @@ class LexIndexSpec extends SparkTestBase {
       "the fused page must serve its semantic ranks from the persisted vector index")
   }
 
+  test("proximity serves through the cover kernel: no position pair join, high-tf terms stay O(occurrences)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // a stopword-ish term (tf=200) against a rare one (tf=1): the old
+    // explode×explode pair join materialized tf_a × tf_b position pairs
+    // per doc; the kernel folds the tf_a + tf_b sorted events once
+    val the200 = Seq.fill(200)("the").mkString(" ")
+    val docs = Seq(
+      (1L, s"$the200 beta $the200"), // adjacent to the 200th "the" — span 1
+      (2L, s"beta x x x the"),       // span 4
+      (3L, s"beta x x x x x x the"), // span 7 — outside maxSpan 5
+      (4L, the200)                   // no beta — no match
+    ).toDF("doc_id", "text")
+    val path = tmpDir("lex_prox_hightf") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val got = LexIndex.proximityTopK(spark, path,
+      Seq(("p", "the", "beta")), 10, maxSpan = 5)
+    val rows = got.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 1L, 1L), (2L, 2L, 4L)),
+      s"minimal spans must rank with the window cut applied: $rows")
+    // the same-term degenerate pair: every doc containing it, span 0
+    val same = LexIndex.proximityTopK(spark, path,
+      Seq(("s", "beta", "beta")), 10, maxSpan = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(same === Seq((1L, 0L), (2L, 0L), (3L, 0L)),
+      s"a term NEAR itself is the 1-slot cover (span 0): $same")
+    // plan shape: the only join left is the broadcast of query terms —
+    // the pair join's shuffled (query, doc)-keyed join is gone
+    def expand(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: expand(a.executedPlan)
+      case q: QueryStageExec => pl +: expand(q.plan)
+      case _ => pl +: pl.children.flatMap(expand)
+    }
+    val plans = expand(got.queryExecution.executedPlan)
+    assert(!plans.exists(p => p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[ShuffledHashJoinExec]),
+      "NEAR must not shuffle-join position lists against each other")
+    assert(got.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("mincoverspan"),
+      "NEAR must fold positions through the two-pointer cover kernel")
+  }
+
   test("cover queries: >64 distinct terms is refused naming the query, before the kernel") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val path = tmpDir("lex_cover_cap") + "/index"
