@@ -826,6 +826,137 @@ object LexIndex extends IndexFamily {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Relevance-FUSED phrase retrieval: adjacency gates candidates
+    * ([[phraseTopK]]'s anchor intersection), BM25 over the phrase's
+    * terms RANKS them, with the occurrence count as the adjacency boost
+    * on score ties — how a real retrieval stack serves quoted queries
+    * (occurrence count alone ranks a spammy doc repeating the phrase
+    * over a relevant one; BM25 alone ranks bag-of-words co-occurrence
+    * over the actual phrase). ONE tb-pruned postings fetch feeds all
+    * three derivations: the gate reads pos, the scores read tf/dl, df
+    * is the fetched posting-list length — the fused page never pays a
+    * second scan, a corpus read, or a document re-read.
+    */
+  def phraseRankedTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val qterms = qs.flatMap { case (q, phrase) =>
+      phrase.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
+        .map { case (t, i) => (q, t, i.toLong) }
+    }
+    val qn = qs.map { case (q, phrase) =>
+      (q, phrase.trim.toLowerCase.split("\\s+").length.toLong) }
+    val terms = qterms.map(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    // ONE generation resolve: gate, scoring constants and postings all
+    // read the same committed state (the bm25TopK reader contract)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val stats = liveStatsAt(gen)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"))
+      .localCheckpoint() // ONE fetch: gate (pos), scores (tf/dl), df
+    val hits = posts
+      .join(broadcast(qterms.toDF("query_id", "term", "off")), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        explode(col("pos")).as("p"))
+      .withColumn("anchor", col("p") - col("off"))
+    val gate = hits.groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("c"))
+      .join(broadcast(qn.toDF("query_id", "n")), Seq("query_id"))
+      .filter(col("c") === col("n"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    // BM25 over the phrase's DISTINCT terms — a repeated term scores
+    // once (its tf already counts every occurrence)
+    val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qd = qterms.map(t => (t._1, t._2)).distinct
+    val shaped = posts
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .join(broadcast(dfx), Seq("term"))
+      .join(broadcast(qd.toDF("query_id", "term")), Seq("term"))
+      .withColumn("n_docs", lit(stats.nDocs))
+      .withColumn("sum_dl", lit(stats.sumDl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("n_matches").desc, col("doc_id"))
+    gate
+      .join(Search.scores(shaped, Search.rationalIdf), Seq("query_id", "doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("n_matches"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registered `search_phrase_ranked`: the fused page over the same
+    * persisted postings and the same fixtures as `search_phrase` — the
+    * two rows differ ONLY in ranking (occurrence count vs BM25-gated),
+    * which is exactly the claim under test.
+    */
+  def phraseRanked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    phraseRankedTopK(spark, path, phraseFixtures, 10)
+  }
+
+  /** Twin of [[phraseRanked]]: [[phraseSql]]'s gate CTEs composed with
+    * [[Search.textBm25Sql]]'s scoring CTEs over the distinct phrase
+    * terms, fused by (query, doc) — both literal families DERIVE from
+    * [[phraseFixtures]], so editing the fixtures cannot desynchronize
+    * the twin.
+    */
+  val phraseRankedSql: String = {
+    val qtVals = phraseFixtures.flatMap { case (q, phrase) =>
+      phrase.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
+        .map { case (t, i) => s"('$q', '$t', $i)" }
+    }.mkString(", ")
+    val qnVals = phraseFixtures.map { case (q, phrase) =>
+      s"('$q', ${phrase.trim.toLowerCase.split("\\s+").length})" }.mkString(", ")
+    val terms = phraseFixtures.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term, off) AS (VALUES $qtVals),
+       |qn(query_id, n) AS (VALUES $qnVals),
+       |qd AS (SELECT DISTINCT query_id, term FROM q),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |pos AS (SELECT doc_id, t[i] AS term, i AS p
+       |        FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+       |hits AS (SELECT q.query_id, pos.doc_id, pos.p - q.off AS anchor, q.off
+       |         FROM pos JOIN q USING (term)),
+       |anch AS (SELECT query_id, doc_id, anchor, count(DISTINCT off) AS c
+       |         FROM hits GROUP BY 1, 2, 3),
+       |ph AS (SELECT a.query_id, a.doc_id, count(*) AS n_matches
+       |       FROM anch a JOIN qn ON qn.query_id = a.query_id
+       |       WHERE a.c = qn.n GROUP BY 1, 2),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
+       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT qd.query_id, tf.doc_id,
+       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |         ((tf.tf * 2.25) /
+       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN qd USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id,
+       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
+       |       FROM st GROUP BY 1, 2),
+       |fused AS (SELECT ph.query_id, ph.doc_id, ph.n_matches, sc.score
+       |          FROM ph JOIN sc ON ph.query_id = sc.query_id
+       |                         AND ph.doc_id = sc.doc_id),
+       |rk AS (SELECT query_id, doc_id, n_matches, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, n_matches DESC,
+       |                                          doc_id) AS rnk
+       |       FROM fused)
+       |SELECT query_id, rnk, doc_id, n_matches, score FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ---- session memo (rebuild-per-invocation harness contract) ---------------
 
   private val builtMemo =
@@ -1279,6 +1410,7 @@ object LexIndex extends IndexFamily {
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
     "search_hybrid_cdc" -> (hybridCdc _),
     "search_phrase" -> (phrasePersisted _),
+    "search_phrase_ranked" -> (phraseRanked _),
     "search_proximity" -> (proximityPersisted _),
     "search_cover" -> (coverPersisted _))
 
@@ -1323,6 +1455,7 @@ object LexIndex extends IndexFamily {
     // the positional payload round-trips the index exactly: adjacency
     // excludes every bag-of-words co-occurrence the twin excludes
     "search_phrase" -> phraseSql,
+    "search_phrase_ranked" -> phraseRankedSql,
     // NEAR retrieval: the minimal-span arithmetic and the window cut
     // must match the closed form, not just the match set
     "search_proximity" -> proximitySql,

@@ -93,19 +93,31 @@ object Search {
   private[ops] def topK(stats: DataFrame, idf: org.apache.spark.sql.Column,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tfn = (col("tf") * (K1 + 1)) /
-      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / (col("sum_dl") / col("n_docs")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
+    scores(stats, idf)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** [[topK]] minus the page: the per-(query, doc) decimal-summed BM25
+    * score — for compositions that rank by the score UNDER another gate
+    * (relevance-fused phrase retrieval) rather than paging directly.
+    * The sorted-list fold keeps the double sum order-deterministic, so
+    * every consumer hashes identically against the twin's list_sort
+    * reduce.
+    */
+  private[ops] def scores(stats: DataFrame,
+      idf: org.apache.spark.sql.Column): DataFrame = {
+    val tfn = (col("tf") * (K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / (col("sum_dl") / col("n_docs")))))
     stats
       .select(col("query_id"), col("doc_id"), (idf * tfn).as("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(aggregate(array_sort(collect_list(col("s"))),
         lit(0.0), (acc, x) => acc + x).as("score"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"))
-      .orderBy("query_id", "rnk")
   }
 
   private[ops] val rationalIdf =

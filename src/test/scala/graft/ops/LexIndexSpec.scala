@@ -482,6 +482,37 @@ class LexIndexSpec extends SparkTestBase {
       "the fused page must serve its semantic ranks from the persisted vector index")
   }
 
+  test("relevance-fused phrase: adjacency gates, BM25 ranks — spammy repeats lose to focused docs, bag-of-words is gated out") {
+    val noise = (1 to 280).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"big data $noise"),                  // adjacent once, buried in noise
+      (2L, "big data about big data"),           // adjacent twice, short and focused
+      (3L, s"${Seq.fill(5)("big data").mkString(" ")} $noise"), // spammy repeats, long
+      (4L, "big x data big x data big x data")   // co-occurrence, never adjacent
+    ).toDF("doc_id", "text")
+    val path = tmpDir("lex_ranked") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val q = Seq(("r", "big data"))
+    // occurrence-count ranking: the spammy doc wins
+    val byCount = LexIndex.phraseTopK(spark, path, q, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(byCount === Seq(3L, 2L, 1L), s"count ranking: $byCount")
+    // fused ranking: tf saturation + length normalization demote the
+    // spammy long doc below the focused one; the buried single match
+    // scores lowest; the non-adjacent co-occurrence doc never appears
+    val fused = LexIndex.phraseRankedTopK(spark, path, q, 10).collect()
+    assert(fused.map(_.getLong(2)).toSeq === Seq(2L, 3L, 1L),
+      s"fused ranking: ${fused.map(_.getLong(2)).toSeq}")
+    assert(!fused.map(_.getLong(2)).contains(4L),
+      "bag-of-words co-occurrence must be gated out by adjacency")
+    val byDoc = fused.map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(byDoc === Map(2L -> 2L, 3L -> 5L, 1L -> 1L),
+      s"n_matches must ride the fused page: $byDoc")
+    val scores = fused.map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(scores(2L) > scores(3L) && scores(3L) > scores(1L),
+      s"the rank inversion must come from the BM25 scores: $scores")
+  }
+
   test("proximity serves through the cover kernel: no position pair join, high-tf terms stay O(occurrences)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
