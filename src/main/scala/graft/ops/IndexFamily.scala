@@ -250,7 +250,7 @@ private[ops] trait IndexFamily {
     * generation path.
     */
   final def compactGeneration(spark: SparkSession, path: String,
-      doomed: Option[Column]): String =
+      doomed: Option[Column], sweepKey: Option[String] = None): String =
     IndexMaint.withMutation(path,
       op = if (doomed.isDefined) "deleteWhere" else "compact") {
       val gen = IndexMaint.liveGen(path)
@@ -274,9 +274,14 @@ private[ops] trait IndexFamily {
       if (uniqueCheckReadsStage) requireUniqueSurvivors(spark, withSeg, segBase, path)
       writeGenSidecars(spark, stage, gen, hadDeletes)
       IndexMaint.writeConsolidatedTokens(stage, IndexMaint.appliedTokens(gen))
-      // the successor derives from the same (source, shape) build — a
-      // later cached-build miss must reopen it, not rebuild from source
-      IndexMaint.carryBuildKey(gen, stage)
+      // the successor derives from the same (source, shape) build with
+      // the same applied sweeps — a later cached-build or cached-sweep
+      // miss must reopen it, not rebuild or re-rewrite; a keyed
+      // deleteWhere also RECORDS itself here, so its own memo miss can
+      // prove the rewrite already happened
+      IndexMaint.carryDerivationKeys(gen, stage)
+      sweepKey.foreach(k => IndexMaint.writeSweepKeys(stage,
+        IndexMaint.readSweepKeys(gen) + k))
       val committed = IndexMaint.commitGeneration(path, stage)
       afterCommit(path)
       committed

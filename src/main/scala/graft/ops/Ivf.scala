@@ -550,17 +550,19 @@ object Ivf extends IndexFamily {
     * protocol, so readers never see a half-applied delete.
     */
   def deleteWhere(spark: SparkSession, index: IvfIndex,
-      doomed: org.apache.spark.sql.Column): IvfIndex =
-    compactCore(spark, index, Some(doomed))
+      doomed: org.apache.spark.sql.Column,
+      sweepKey: Option[String] = None): IvfIndex =
+    compactCore(spark, index, Some(doomed), sweepKey)
 
   private def compactCore(spark: SparkSession, index: IvfIndex,
-      doomed: Option[org.apache.spark.sql.Column]): IvfIndex = {
+      doomed: Option[org.apache.spark.sql.Column],
+      sweepKey: Option[String] = None): IvfIndex = {
     // the shared skeleton: indexData subtracts the tombstone set, so
     // compaction IS the physical reclamation — deleted rows are dropped
     // from the rewrite and the new generation carries no tombstone
     // sidecar; metadata columns (filtered search) ride through the star
     // projection
-    val committed = compactGeneration(spark, index.path, doomed)
+    val committed = compactGeneration(spark, index.path, doomed, sweepKey)
     IvfIndex(index.path, readCentroids(committed))
   }
 
@@ -702,7 +704,7 @@ object Ivf extends IndexFamily {
     // (source, shape) build — a later cached-build miss reopens the
     // REPAIRED quantizer (read from the live sidecars) rather than
     // undoing the drift repair with a from-source rebuild
-    graft.util.IndexMaint.carryBuildKey(gen, stage)
+    graft.util.IndexMaint.carryDerivationKeys(gen, stage)
     graft.util.IndexMaint.commitGeneration(index.path, stage)
     indexCache.evict(_._1 == index.path)
     IvfIndex(index.path, centroids)
@@ -929,15 +931,31 @@ object Ivf extends IndexFamily {
           "identify the delete stratum explicitly")
       doomed.toString
     }
-    val key = (path, graft.util.Fs.dirFingerprint(srcDir),
-      s"$kCells|$iters|$predKey")
+    val fp = graft.util.Fs.dirFingerprint(srcDir)
+    val key = (path, fp, s"$kCells|$iters|$predKey")
+    val diskBuildKey = s"ivf|src=$fp|kCells=$kCells|iters=$iters"
+    val diskSweepKey = s"deleteWhere|$predKey"
     retentionMemo.memoized(key, graft.util.IndexMaint.lockFor(path))(
       k => k._1 == path && k != key) {
-      val pinned = base
-      buildIndexCached(pinned, srcDir, path, kCells, iters)
-      deleteWhere(pinned.sparkSession, loadIndex(path), doomed)
+      // a miss must not re-run the rewrite when the live generation can
+      // prove BOTH halves of the composition already happened — same
+      // build (key), sweep applied (recorded by the keyed deleteWhere)
+      val proven = graft.util.IndexMaint.liveGenOpt(path).exists { g =>
+        graft.util.IndexMaint.readBuildKey(g).contains(diskBuildKey) &&
+          graft.util.IndexMaint.readSweepKeys(g).contains(diskSweepKey)
+      }
+      if (proven) loadIndex(path)
+      else {
+        val pinned = base
+        buildIndexCached(pinned, srcDir, path, kCells, iters)
+        deleteWhere(pinned.sparkSession, loadIndex(path), doomed,
+          Some(diskSweepKey))
+      }
     }
   }
+
+  private[ops] def dropRetentionMemo(path: String): Unit =
+    retentionMemo.evict(_._1 == path)
 
   def ivfRetention(spark: SparkSession, dir: String): DataFrame = {
     val c = Catalog(spark, dir)

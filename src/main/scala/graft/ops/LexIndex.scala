@@ -388,8 +388,9 @@ object LexIndex extends IndexFamily {
     * carried ([[IndexFamily.compactGeneration]] with the hooks above).
     */
   def deleteDocsWhere(spark: SparkSession, path: String,
-      doomed: org.apache.spark.sql.Column): String =
-    compactGeneration(spark, path, Some(doomed))
+      doomed: org.apache.spark.sql.Column,
+      sweepKey: Option[String] = None): String =
+    compactGeneration(spark, path, Some(doomed), sweepKey)
 
   /** Build the persisted postings for a `(doc_id, text)` corpus: ONE
     * tokenize scan, bucketed write, stats sidecar, atomic generation
@@ -969,10 +970,16 @@ object LexIndex extends IndexFamily {
   private val sweepMemo =
     new graft.util.BoundedCache[(String, Long), Unit](max = 64)
 
-  private def sweepOnce(path: String, srcDir: String)(sweep: => Unit): Unit = {
+  private def sweepOnce(path: String, srcDir: String, sweepKey: String)(
+      sweep: => Unit): Unit = {
     val key = (path, graft.util.Fs.dirFingerprint(srcDir))
     if (sweepMemo.get(key).isEmpty) {
-      sweep
+      // disk-backed, like the build memo: a memo miss whose sweep key is
+      // already recorded on the live generation must NOT re-run the
+      // rewrite — it reopens for the cost of one sidecar read
+      if (!graft.util.IndexMaint.liveGenOpt(path)
+        .exists(g => graft.util.IndexMaint.readSweepKeys(g).contains(sweepKey)))
+        sweep
       sweepMemo.putReplacing(key, ())(k => k._1 == path && k != key)
     }
   }
@@ -1065,8 +1072,9 @@ object LexIndex extends IndexFamily {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index_ret", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
-    sweepOnce(path, s"$dir/documents.parquet") {
-      deleteDocsWhere(spark, path, col("doc_id") % 5 === 1)
+    val sweepKey = "deleteWhere|retention:doc_id%5==1"
+    sweepOnce(path, s"$dir/documents.parquet", sweepKey) {
+      deleteDocsWhere(spark, path, col("doc_id") % 5 === 1, Some(sweepKey))
     }
     bm25TopK(spark, path, Search.fixtureQueries, 5)
   }
@@ -1159,8 +1167,9 @@ object LexIndex extends IndexFamily {
     // driver-collected id list (the tombstone cap exists for a reason);
     // the bounded-takedown route through hybrid is already pinned by
     // search_bm25_deleted + the tombstone specs
-    sweepOnce(path, s"$dir/documents.parquet") {
-      deleteDocsWhere(spark, path, col("doc_id") % 6 === 2)
+    val sweepKey = "deleteWhere|takedown:doc_id%6==2"
+    sweepOnce(path, s"$dir/documents.parquet", sweepKey) {
+      deleteDocsWhere(spark, path, col("doc_id") % 6 === 2, Some(sweepKey))
     }
     // the SAME takedown on the vector index — the semantic stage now
     // honors it through the index's own delete machinery (a filtered

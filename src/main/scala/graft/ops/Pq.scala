@@ -883,7 +883,7 @@ object Pq {
         graft.util.IndexMaint.appliedTokens(gen))
       // carried ([[Ivf.rebalance]] rationale): a later cached-build
       // miss must reopen the repaired codebooks, not undo them
-      graft.util.IndexMaint.carryBuildKey(gen, stage)
+      graft.util.IndexMaint.carryDerivationKeys(gen, stage)
       graft.util.IndexMaint.commitGeneration(index.path, stage)
       pqIndexCache.evict(_._1 == index.path)
       PqIndex(index.path, cbs)
@@ -1564,7 +1564,7 @@ object Pq {
         graft.util.IndexMaint.appliedTokens(gen))
       // carried ([[Ivf.rebalance]] rationale): a later cached-build
       // miss must reopen the composed repair, not undo it
-      graft.util.IndexMaint.carryBuildKey(gen, stage)
+      graft.util.IndexMaint.carryDerivationKeys(gen, stage)
       graft.util.IndexMaint.commitGeneration(index.path, stage)
       ivfPqIndexCache.evict(_._1 == index.path)
       IvfPqIndex(index.path, cents, cbs)

@@ -444,6 +444,48 @@ object IndexMaint {
   def carryBuildKey(gen: String, stage: String): Unit =
     readBuildKey(gen).foreach(writeBuildKey(stage, _))
 
+  private val SweepKeysFile = "_sweep_keys.txt"
+
+  /** Persist the SET of bulk-delete compositions (retention sweeps,
+    * predicate takedowns) already applied to this generation — the
+    * [[writeBuildKey]] idea extended to the rewrite verbs: a
+    * deleteWhere is a durable generation-replacing compaction, so a
+    * session-memo miss that cannot prove "this sweep already ran" MUST
+    * re-run it — a full index rewrite from inside what the caller
+    * thinks is a read path. With the key present the miss reopens
+    * instead. A set (one key per line, sorted) because independent
+    * strata deletes compose on one index.
+    */
+  def writeSweepKeys(stageDir: String, keys: Set[String]): Unit = {
+    require(keys.forall(k => k.nonEmpty && !k.contains("\n") && !k.contains("\r")),
+      "sweep keys must be non-empty single lines")
+    Files.write(Paths.get(stageDir, SweepKeysFile),
+      keys.toSeq.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+  }
+
+  /** The committed generation's applied-sweep set ([[readBuildKey]]
+    * failure posture: unreadable/absent = empty = "cannot prove, re-run
+    * the sweep" — the sweep itself is idempotent, so the worst outcome
+    * is one redundant rewrite).
+    */
+  def readSweepKeys(genDir: String): Set[String] = {
+    val p = Paths.get(genDir, SweepKeysFile)
+    if (!Files.exists(p)) Set.empty
+    else scala.util.Try(new String(Files.readAllBytes(p), UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Carry both derivation sidecars (build key + applied sweeps) from
+    * the live generation into a staged successor — the one call every
+    * content-preserving generation-replacing commit makes.
+    */
+  def carryDerivationKeys(gen: String, stage: String): Unit = {
+    carryBuildKey(gen, stage)
+    val sweeps = readSweepKeys(gen)
+    if (sweeps.nonEmpty) writeSweepKeys(stage, sweeps)
+  }
+
   /** The generation's committed segment values — what the `seg`
     * partition column reads as (`seg=base` → "base"). Bounded: one per
     * commit unit, collapsed by compaction.

@@ -511,6 +511,13 @@ class LexIndexSpec extends SparkTestBase {
     val scores = fused.map(r => r.getLong(2) -> r.getDouble(4)).toMap
     assert(scores(2L) > scores(3L) && scores(3L) > scores(1L),
       s"the rank inversion must come from the BM25 scores: $scores")
+    // ONE postings fetch: gate, scores and df all derive from the
+    // checkpointed read — the executed plan must not scan the index
+    // files a second time
+    val page = LexIndex.phraseRankedTopK(spark, path, q, 10)
+    page.collect()
+    assert(!page.queryExecution.executedPlan.toString.contains("lex_ranked"),
+      "the fused page must never re-scan the postings index")
   }
 
   test("proximity serves through the cover kernel: no position pair join, high-tf terms stay O(occurrences)") {

@@ -179,6 +179,56 @@ class ReopenSpec extends SparkTestBase {
     assert(res.count() === 5, "the reopened postings must serve BM25")
   }
 
+  test("ivf: deleteWhereCached miss with recorded sweep reopens — no re-rewrite of the retention result") {
+    import org.apache.spark.sql.functions.udf
+    val src = writeEmb(60, 8, 18)
+    val emb = spark.read.parquet(src)
+    val path = tmpDir("reopen_ivf_ret")
+    val oddUdf = udf((id: Long) => id % 2 == 1)
+    def sweep() = Ivf.deleteWhereCached(emb, src, path,
+      kCells = 2, iters = 0, oddUdf(col("vec_id")), Some("odd-ids"))
+    sweep()
+    val gen0 = IndexMaint.liveGenOpt(path).get
+    assert(IndexMaint.readSweepKeys(gen0).contains("deleteWhere|odd-ids"),
+      "the keyed deleteWhere must record itself on the generation")
+    val before = snapshot(path)
+    // what LRU pressure or a session restart does to BOTH memo layers
+    Ivf.dropRetentionMemo(path); Ivf.dropBuildMemo(path)
+    val reopened = sweep()
+    assert(IndexMaint.liveGenOpt(path).contains(gen0),
+      "a provable composition must reopen, not re-run the rewrite")
+    assert(snapshot(path) === before,
+      "the retention generation must be byte-identical after the miss")
+    val survivors = Ivf.indexData(spark, reopened.path).select("vec_id")
+      .as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.forall(_ % 2 == 0))
+  }
+
+  test("lex: a keyed sweep is recorded and carried through compaction") {
+    val d = tmpDir("reopen_lex_sweep")
+    (0L until 40L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text").write.parquet(s"$d/docs.parquet")
+    val docs = spark.read.parquet(s"$d/docs.parquet")
+    val path = tmpDir("reopen_lex_ret")
+    LexIndex.buildIndex(docs, path)
+    LexIndex.deleteDocsWhere(spark, path, col("doc_id") % 4 === 1,
+      Some("deleteWhere|quarter"))
+    val g1 = IndexMaint.liveGenOpt(path).get
+    assert(IndexMaint.readSweepKeys(g1) === Set("deleteWhere|quarter"))
+    // a later content-preserving commit must not lose the record
+    LexIndex.deleteDocs(spark, path, Seq(0L, 4L))
+    LexIndex.compactIndex(spark, path)
+    val g2 = IndexMaint.liveGenOpt(path).get
+    assert(g2 !== g1)
+    assert(IndexMaint.readSweepKeys(g2) === Set("deleteWhere|quarter"),
+      "compaction must carry the applied-sweep record")
+    // and independent sweeps compose as a set
+    LexIndex.deleteDocsWhere(spark, path, col("doc_id") % 4 === 2,
+      Some("deleteWhere|half"))
+    assert(IndexMaint.readSweepKeys(IndexMaint.liveGenOpt(path).get) ===
+      Set("deleteWhere|quarter", "deleteWhere|half"))
+  }
+
   test("build-key sidecar: single-line contract enforced, torn key reads as absent") {
     val stage = tmpDir("reopen_key")
     intercept[IllegalArgumentException] {
