@@ -680,6 +680,24 @@ object LexIndex extends IndexFamily {
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("pos"))
       .localCheckpoint() // one postings fetch feeds every length group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("span").asc, col("doc_id"))
+    coverSpans(posts, parsed, maxSpan)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("span"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The cover GATE shared by [[coverTopK]] and [[coverRankedTopK]]:
+    * (query_id, doc_id, span) for every doc whose minimal all-terms
+    * window fits `maxSpan`, derived from an already-fetched postings
+    * relation. Queries of different lengths plan per length and union
+    * (the slot count is a literal in the kernel).
+    */
+  private def coverSpans(posts: DataFrame,
+      parsed: Seq[(String, Seq[String])], maxSpan: Int): DataFrame = {
+    import posts.sparkSession.implicits._
     val perLen = parsed.groupBy(_._2.length).toSeq.sortBy(_._1).map {
       case (m, group) =>
         val qterms = group.flatMap { case (q, ts) =>
@@ -695,13 +713,7 @@ object LexIndex extends IndexFamily {
             sort_array(collect_list(col("ev"))), m).cast("long").as("span"))
           .filter(col("span").isNotNull && col("span") <= maxSpan)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("span").asc, col("doc_id"))
     perLen.reduce(_ unionByName _)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("doc_id"), col("span"))
-      .orderBy("query_id", "rnk")
   }
 
   /** Cover fixtures: two trigram queries and a pair query, so the
@@ -770,6 +782,137 @@ object LexIndex extends IndexFamily {
        |                                 ORDER BY span, doc_id) AS rnk
        |       FROM sp WHERE span <= $CoverMaxSpan)
        |SELECT query_id, rnk, doc_id, span FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Relevance-FUSED minimal-cover retrieval — [[phraseRankedTopK]]'s
+    * fusion applied to proximity: the cover gate ([[coverSpans]], the
+    * two-pointer kernel) selects docs where every term fits `maxSpan`,
+    * BM25 over the query's terms RANKS them, the span breaks score
+    * ties (tighter wins). Span alone ranks a lucky adjacency in a
+    * noise doc over a topically-relevant one; BM25 alone admits docs
+    * where the terms never co-occur locally. ONE tb-pruned postings
+    * fetch feeds the gate (pos), the scores (tf/dl) and df.
+    */
+  def coverRankedTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int, maxSpan: Int): DataFrame = {
+    import spark.implicits._
+    if (qs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Double)]
+        .toDF("query_id", "rnk", "doc_id", "span", "score")
+    val parsed = qs.map { case (q, phrase) =>
+      (q, phrase.trim.toLowerCase.split("\\s+").toSeq.distinct) }
+    parsed.filter(_._2.size > 64).foreach { case (q, ts) =>
+      throw new IllegalArgumentException(
+        s"coverRankedTopK: query '$q' has ${ts.size} distinct terms — the " +
+          "packed (pos,slot) cover kernel supports at most 64 per query")
+    }
+    val terms = parsed.flatMap(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val stats = liveStatsAt(gen)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"))
+      .localCheckpoint() // ONE fetch: gate (pos), scores (tf/dl), df
+    val gate = coverSpans(posts.select(col("term"), col("doc_id"), col("pos")),
+      parsed, maxSpan)
+    val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qd = parsed.flatMap { case (q, ts) => ts.map(t => (q, t)) }.distinct
+    val shaped = posts
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .join(broadcast(dfx), Seq("term"))
+      .join(broadcast(qd.toDF("query_id", "term")), Seq("term"))
+      .withColumn("n_docs", lit(stats.nDocs))
+      .withColumn("sum_dl", lit(stats.sumDl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("span").asc, col("doc_id"))
+    gate
+      .join(Search.scores(shaped, Search.rationalIdf), Seq("query_id", "doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("span"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registered `search_cover_ranked`: the fused proximity page over
+    * the same persisted postings and fixtures as `search_cover` — the
+    * rows differ only in ranking (span-only vs BM25-gated), which is
+    * the claim under test.
+    */
+  def coverRanked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    coverRankedTopK(spark, path, coverFixtures, 10, maxSpan = CoverMaxSpan)
+  }
+
+  /** Twin of [[coverRanked]]: [[coverSql]]'s brute-force gate CTEs
+    * composed with the BM25 CTEs over the distinct cover terms, fused
+    * by (query, doc) — every literal family derives from
+    * [[coverFixtures]]/[[CoverMaxSpan]].
+    */
+  val coverRankedSql: String = {
+    val parsed = coverFixtures.map { case (q, p) =>
+      (q, p.trim.toLowerCase.split("\\s+").toSeq.distinct) }
+    val (threes, rest) = parsed.partition(_._2.length == 3)
+    val twos = rest.filter(_._2.length == 2)
+    require(threes.nonEmpty && twos.nonEmpty && threes.size + twos.size == parsed.size,
+      "the cover-ranked twin is written for query lengths 2 and 3 — extend " +
+        "its CTE families before adding other lengths to coverFixtures")
+    val v3 = threes.map { case (q, ts) =>
+      s"('$q','${ts(0)}','${ts(1)}','${ts(2)}')" }.mkString(", ")
+    val v2 = twos.map { case (q, ts) =>
+      s"('$q','${ts(0)}','${ts(1)}')" }.mkString(", ")
+    val qdVals = parsed.flatMap { case (q, ts) => ts.map(t => s"('$q','$t')") }
+      .distinct.mkString(", ")
+    val terms = parsed.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |pos AS (SELECT doc_id, t[i] AS term, i AS p
+       |        FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+       |q3(query_id, ta, tb, tc) AS (VALUES $v3),
+       |q2(query_id, ta, tb) AS (VALUES $v2),
+       |s3 AS (SELECT q.query_id, a.doc_id,
+       |              min(greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p)) AS span
+       |       FROM q3 q
+       |       JOIN pos a ON a.term = q.ta
+       |       JOIN pos b ON b.term = q.tb AND b.doc_id = a.doc_id
+       |       JOIN pos c ON c.term = q.tc AND c.doc_id = a.doc_id
+       |       GROUP BY 1, 2),
+       |s2 AS (SELECT q.query_id, a.doc_id, min(abs(a.p - b.p)) AS span
+       |       FROM q2 q
+       |       JOIN pos a ON a.term = q.ta
+       |       JOIN pos b ON b.term = q.tb AND b.doc_id = a.doc_id
+       |       GROUP BY 1, 2),
+       |sp AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2),
+       |gate AS (SELECT query_id, doc_id, span FROM sp WHERE span <= $CoverMaxSpan),
+       |qd(query_id, term) AS (VALUES $qdVals),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
+       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT qd.query_id, tf.doc_id,
+       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |         ((tf.tf * 2.25) /
+       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN qd USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id,
+       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
+       |       FROM st GROUP BY 1, 2),
+       |fused AS (SELECT g.query_id, g.doc_id, g.span, sc.score
+       |          FROM gate g JOIN sc ON g.query_id = sc.query_id
+       |                              AND g.doc_id = sc.doc_id),
+       |rk AS (SELECT query_id, doc_id, span, score,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, span, doc_id) AS rnk
+       |       FROM fused)
+       |SELECT query_id, rnk, doc_id, span, score FROM rk WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
   }
 
@@ -1421,7 +1564,8 @@ object LexIndex extends IndexFamily {
     "search_phrase" -> (phrasePersisted _),
     "search_phrase_ranked" -> (phraseRanked _),
     "search_proximity" -> (proximityPersisted _),
-    "search_cover" -> (coverPersisted _))
+    "search_cover" -> (coverPersisted _),
+    "search_cover_ranked" -> (coverRanked _))
 
   val oracles: Map[String, String] = Map(
     // the persisted index must reproduce the in-memory ranking EXACTLY:
@@ -1470,5 +1614,6 @@ object LexIndex extends IndexFamily {
     "search_proximity" -> proximitySql,
     // the two-pointer minimal-cover kernel must equal the cover BY
     // DEFINITION (min over the position cross product)
-    "search_cover" -> coverSql)
+    "search_cover" -> coverSql,
+    "search_cover_ranked" -> coverRankedSql)
 }

@@ -563,6 +563,37 @@ class LexIndexSpec extends SparkTestBase {
       "NEAR must fold positions through the two-pointer cover kernel")
   }
 
+  test("relevance-fused cover: the gate admits tight windows, BM25 ranks them, span breaks ties") {
+    val noise = (1 to 250).map(i => s"n$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $noise"),                      // span 1, buried — low score
+      (2L, "alpha beta and alpha beta again alpha"),   // span 1, focused — high score
+      (3L, s"alpha x x beta $noise"),                  // span 3, buried
+      (4L, s"alpha $noise beta")                       // span 251 — gated out
+    ).toDF("doc_id", "text")
+    val path = tmpDir("lex_cover_ranked") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val q = Seq(("cr", "alpha beta"))
+    // span-only ranking: the buried adjacency ties the focused one and
+    // wins on doc_id
+    val bySpan = LexIndex.coverTopK(spark, path, q, 10, maxSpan = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(bySpan === Seq(1L, 2L, 3L), s"span ranking: $bySpan")
+    // fused: the focused doc outranks both buried ones; the far
+    // co-occurrence never appears
+    val fused = LexIndex.coverRankedTopK(spark, path, q, 10, maxSpan = 6).collect()
+    assert(fused.map(_.getLong(2)).toSeq === Seq(2L, 1L, 3L),
+      s"fused ranking: ${fused.map(_.getLong(2)).toSeq}")
+    assert(!fused.map(_.getLong(2)).contains(4L),
+      "a window wider than maxSpan must stay gated out regardless of score")
+    val spans = fused.map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(spans === Map(2L -> 1L, 1L -> 1L, 3L -> 3L),
+      s"spans must ride the fused page: $spans")
+    val scores = fused.map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(scores(2L) > scores(1L),
+      s"the focused doc must win on relevance, not span: $scores")
+  }
+
   test("cover queries: >64 distinct terms is refused naming the query, before the kernel") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val path = tmpDir("lex_cover_cap") + "/index"
