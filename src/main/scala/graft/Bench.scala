@@ -11,7 +11,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: releaseAll's unpersist of truncated-lineage
+    // checkpoint blocks logs one WARN per block, and an async WARN
+    // landing after the JSON line would push it out of the ~2000-byte
+    // stdout tail the driver parses
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm measurement: run the whole suite once (JIT, codegen caches,
     // file index, broadcast paths), then time TWO passes and report the
     // per-query minimum. Otherwise whichever query sorts first absorbs
