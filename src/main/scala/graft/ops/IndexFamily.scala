@@ -277,11 +277,11 @@ private[ops] trait IndexFamily {
       // the successor derives from the same (source, shape) build with
       // the same applied sweeps — a later cached-build or cached-sweep
       // miss must reopen it, not rebuild or re-rewrite; a keyed
-      // deleteWhere also RECORDS itself here, so its own memo miss can
-      // prove the rewrite already happened
-      IndexMaint.carryDerivationKeys(gen, stage)
-      sweepKey.foreach(k => IndexMaint.writeSweepKeys(stage,
-        IndexMaint.readSweepKeys(gen) + k))
+      // deleteWhere also RECORDS itself in the carried set, so its own
+      // memo miss can prove the rewrite already happened
+      IndexMaint.carryBuildKey(gen, stage)
+      val sweeps = IndexMaint.readSweepKeys(gen) ++ sweepKey
+      if (sweeps.nonEmpty) IndexMaint.writeSweepKeys(stage, sweeps)
       val committed = IndexMaint.commitGeneration(path, stage)
       afterCommit(path)
       committed

@@ -912,6 +912,14 @@ object Ivf extends IndexFamily {
     * re-delete. Double-checked under the path monitor so two concurrent
     * first calls cannot double-build. Shared by the retention row and
     * the hybrid takedown serving path.
+    *
+    * One-shot semantics ([[graft.util.IndexMaint.writeSweepKeys]]
+    * contract): the composition is "build THIS source, delete THIS
+    * stratum once" — rows appended to the index afterwards are outside
+    * it even if they match the predicate (true of the memo-hit path
+    * since r16; the disk key only extends that across sessions). A
+    * standing retention policy re-runs [[deleteWhere]] under a fresh
+    * per-epoch key.
     */
   def deleteWhereCached(base: => DataFrame, srcDir: String, path: String,
       kCells: Int, iters: Int,

@@ -521,13 +521,26 @@ object LexIndex extends IndexFamily {
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .localCheckpoint() // one postings fetch feeds df AND the score join
-    val df = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val shaped = posts
-      .join(broadcast(df), Seq("term"))
-      .join(broadcast(qs.toDF("query_id", "term")), Seq("term"))
+    Search.topK(shapeForScores(posts, qs, stats), Search.rationalIdf, k)
+  }
+
+  /** The BM25 scoring relation for a fetched postings frame — df from
+    * the fetched posting-list lengths, corpus constants from the ONE
+    * resolved generation's stats, the (query_id, term) pairs broadcast:
+    * the shape [[Search.scores]]/[[Search.topK]] consume. Shared by
+    * [[bm25TopK]] and both relevance-fused positional pages so the
+    * scoring derivation cannot drift between them.
+    */
+  private def shapeForScores(posts: DataFrame, qd: Seq[(String, String)],
+      stats: LexStats): DataFrame = {
+    import posts.sparkSession.implicits._
+    val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    posts
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .join(broadcast(dfx), Seq("term"))
+      .join(broadcast(qd.toDF("query_id", "term")), Seq("term"))
       .withColumn("n_docs", lit(stats.nDocs))
       .withColumn("sum_dl", lit(stats.sumDl))
-    Search.topK(shaped, Search.rationalIdf, k)
   }
 
   /** Quoted-phrase top-k over the positional postings — the first query
@@ -586,7 +599,15 @@ object LexIndex extends IndexFamily {
     * join and never a document re-read.
     */
   def proximityTopK(spark: SparkSession, path: String,
-      qs: Seq[(String, String, String)], k: Int, maxSpan: Int): DataFrame =
+      qs: Seq[(String, String, String)], k: Int, maxSpan: Int): DataFrame = {
+    // the index is whitespace-lowercase tokenized, so each side must be
+    // ONE token — refuse loudly rather than silently splitting a
+    // multi-word "term" into a different (cover) query shape
+    qs.foreach { case (q, a, b) =>
+      Seq(a, b).foreach(t => require(t.trim.nonEmpty && !t.trim.matches(".*\\s.*"),
+        s"proximityTopK: query '$q' term '$t' is not a single token — NEAR " +
+          "takes two index terms; use coverTopK for multi-term windows"))
+    }
     // NEAR IS the 2-slot minimal cover: the smallest window containing
     // both terms has span min |p_a − p_b|, and a term paired with
     // itself dedups to the 1-slot cover (span 0 — same as the pair min,
@@ -596,6 +617,7 @@ object LexIndex extends IndexFamily {
     // quadratic on stopword-ish terms at corpus scale.
     coverTopK(spark, path, qs.map { case (q, a, b) => (q, s"$a $b") },
       k, maxSpan)
+  }
 
   /** Proximity fixtures: mid-frequency pairs whose minimal spans spread
     * across the 1..5 window (not just adjacency).
@@ -818,19 +840,13 @@ object LexIndex extends IndexFamily {
       .localCheckpoint() // ONE fetch: gate (pos), scores (tf/dl), df
     val gate = coverSpans(posts.select(col("term"), col("doc_id"), col("pos")),
       parsed, maxSpan)
-    val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qd = parsed.flatMap { case (q, ts) => ts.map(t => (q, t)) }.distinct
-    val shaped = posts
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .join(broadcast(dfx), Seq("term"))
-      .join(broadcast(qd.toDF("query_id", "term")), Seq("term"))
-      .withColumn("n_docs", lit(stats.nDocs))
-      .withColumn("sum_dl", lit(stats.sumDl))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("span").asc, col("doc_id"))
     gate
-      .join(Search.scores(shaped, Search.rationalIdf), Seq("query_id", "doc_id"))
+      .join(Search.scores(shapeForScores(posts, qd, stats), Search.rationalIdf),
+        Seq("query_id", "doc_id"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"),
@@ -891,20 +907,7 @@ object LexIndex extends IndexFamily {
        |sp AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2),
        |gate AS (SELECT query_id, doc_id, span FROM sp WHERE span <= $CoverMaxSpan),
        |qd(query_id, term) AS (VALUES $qdVals),
-       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
-       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
-       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
-       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
-       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |st AS (
-       |  SELECT qd.query_id, tf.doc_id,
-       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-       |         ((tf.tf * 2.25) /
-       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
-       |  FROM tf JOIN dfx USING (term) JOIN qd USING (term) CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id,
-       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
-       |       FROM st GROUP BY 1, 2),
+       |${Search.bm25ScoreCtes("qd", terms)},
        |fused AS (SELECT g.query_id, g.doc_id, g.span, sc.score
        |          FROM gate g JOIN sc ON g.query_id = sc.query_id
        |                              AND g.doc_id = sc.doc_id),
@@ -1014,19 +1017,13 @@ object LexIndex extends IndexFamily {
       .agg(count(lit(1)).as("n_matches"))
     // BM25 over the phrase's DISTINCT terms — a repeated term scores
     // once (its tf already counts every occurrence)
-    val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qd = qterms.map(t => (t._1, t._2)).distinct
-    val shaped = posts
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .join(broadcast(dfx), Seq("term"))
-      .join(broadcast(qd.toDF("query_id", "term")), Seq("term"))
-      .withColumn("n_docs", lit(stats.nDocs))
-      .withColumn("sum_dl", lit(stats.sumDl))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("n_matches").desc, col("doc_id"))
     gate
-      .join(Search.scores(shaped, Search.rationalIdf), Seq("query_id", "doc_id"))
+      .join(Search.scores(shapeForScores(posts, qd, stats), Search.rationalIdf),
+        Seq("query_id", "doc_id"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"),
@@ -1075,20 +1072,7 @@ object LexIndex extends IndexFamily {
        |ph AS (SELECT a.query_id, a.doc_id, count(*) AS n_matches
        |       FROM anch a JOIN qn ON qn.query_id = a.query_id
        |       WHERE a.c = qn.n GROUP BY 1, 2),
-       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
-       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
-       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
-       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
-       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |st AS (
-       |  SELECT qd.query_id, tf.doc_id,
-       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-       |         ((tf.tf * 2.25) /
-       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
-       |  FROM tf JOIN dfx USING (term) JOIN qd USING (term) CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id,
-       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
-       |       FROM st GROUP BY 1, 2),
+       |${Search.bm25ScoreCtes("qd", terms)},
        |fused AS (SELECT ph.query_id, ph.doc_id, ph.n_matches, sc.score
        |          FROM ph JOIN sc ON ph.query_id = sc.query_id
        |                         AND ph.doc_id = sc.doc_id),

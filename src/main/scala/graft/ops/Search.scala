@@ -149,26 +149,38 @@ object Search {
     */
   def textBm25SqlOverRel(rel: String): String = textBm25SqlOver(rel)
 
+  /** The BM25 scoring CTE family — the ONE copy of the twin-side
+    * constants (K1=1.25/B=0.75 as 2.25/1.25/0.25/0.75) and the
+    * sorted-sum determinism trick, parameterized by the (query_id,
+    * term) relation to score for. Assumes a `tok(doc_id, t)` CTE is
+    * already in scope; emits `stats/tl/tf/dfx/st/sc` with
+    * `sc = (query_id, doc_id, score)`. Embedded by text_bm25's twin
+    * and both relevance-fused positional twins, so a constant tune
+    * cannot desynchronize one Spark/SQL pair.
+    */
+  private[ops] def bm25ScoreCtes(qRel: String, terms: String): String =
+    s"""stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
+       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (
+       |  SELECT $qRel.query_id, tf.doc_id,
+       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |         ((tf.tf * 2.25) /
+       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
+       |  FROM tf JOIN dfx USING (term) JOIN $qRel USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id,
+       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
+       |       FROM st GROUP BY 1, 2)""".stripMargin
+
   private def textBm25SqlOver(rel: String): String = {
     val vals = fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
     val terms = fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $vals),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |        FROM $rel),
-       |stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM tok),
-       |tl AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
-       |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl
-       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
-       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |st AS (
-       |  SELECT q.query_id, tf.doc_id,
-       |         ((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-       |         ((tf.tf * 2.25) /
-       |          (tf.tf + 1.25 * (0.25 + 0.75 * (tf.dl / (stats.sum_dl / stats.n_docs))))) AS s
-       |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats),
-       |sc AS (SELECT query_id, doc_id,
-       |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
-       |       FROM st GROUP BY 1, 2),
+       |${bm25ScoreCtes("q", terms)},
        |rk AS (SELECT query_id, doc_id, score,
        |              row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY score DESC, doc_id) AS rnk

@@ -455,6 +455,13 @@ object IndexMaint {
     * thinks is a read path. With the key present the miss reopens
     * instead. A set (one key per line, sorted) because independent
     * strata deletes compose on one index.
+    *
+    * CONTRACT: a sweep key records a ONE-SHOT composition ("this
+    * predicate was applied to this derivation"), not a standing policy
+    * — rows appended after the sweep that match the predicate are NOT
+    * re-deleted by the key check. A recurring retention policy re-runs
+    * `deleteWhere` under a fresh key per enforcement epoch (e.g.
+    * date-stamped), exactly like any other scheduled maintenance.
     */
   def writeSweepKeys(stageDir: String, keys: Set[String]): Unit = {
     require(keys.forall(k => k.nonEmpty && !k.contains("\n") && !k.contains("\r")),

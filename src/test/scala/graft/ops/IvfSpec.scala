@@ -391,20 +391,18 @@ class IvfSpec extends SparkTestBase {
     (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
-    // the shared cache's access-ordered LRU eviction, proven on
-    // BoundedCache directly (filling the real IndexCacheBound-entry
-    // index cache with 34 built indexes would cost more than it proves)
-    val lru = new graft.util.BoundedCache[Int, Int](3)
-    (0 until 5).foreach(i => lru.putReplacing(i, i)(_ => false))
-    assert(lru.keys.toSet === Set(2, 3, 4), "two oldest entries must age out")
-    // 10 distinct index paths: the cache must track them within its
-    // bound (sized to the serving working set — a miss would now reopen
-    // rather than rebuild, but the bound still caps handle memory)
-    (0 until 10).foreach { i =>
-      Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", tmpDir(s"ivf_bound_$i"), 2, 0)
-    }
-    assert(Ivf.indexCacheSnapshot.size <= Ivf.IndexCacheBound,
-      s"index cache exceeded its bound: ${Ivf.indexCacheSnapshot.size}")
+    // eviction proven on the REAL index cache: IndexCacheBound + 2
+    // distinct paths (a miss now reopens rather than rebuilds, so the
+    // bound caps handle memory only — but it must still evict)
+    val paths = (0 until Ivf.IndexCacheBound + 2)
+      .map(i => tmpDir(s"ivf_bound_$i"))
+    paths.foreach(p => Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", p, 2, 0))
+    val held = Ivf.indexCacheSnapshot.map(_._1).toSet
+    assert(held.size === Ivf.IndexCacheBound,
+      s"index cache must evict down to its bound: ${held.size}")
+    assert(!held.contains(paths.head) && !held.contains(paths(1)),
+      "the two oldest entries must be the ones aged out")
+    assert(held.contains(paths.last), "the newest entry must be held")
     // two threads miss the same (path, fingerprint) at once: the
     // per-path lock serializes the overwrite build and both callers
     // land on the one winning instance

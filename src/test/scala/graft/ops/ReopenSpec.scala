@@ -229,6 +229,31 @@ class ReopenSpec extends SparkTestBase {
       Set("deleteWhere|quarter", "deleteWhere|half"))
   }
 
+  test("lex: sweep keys are one-shot — a fresh key re-enforces the predicate on post-sweep appends") {
+    val d = tmpDir("reopen_lex_epoch")
+    (0L until 40L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text").write.parquet(s"$d/docs.parquet")
+    val docs = spark.read.parquet(s"$d/docs.parquet")
+    val path = tmpDir("reopen_lex_epoch_idx")
+    LexIndex.buildIndex(docs, path)
+    LexIndex.deleteDocsWhere(spark, path, col("doc_id") % 4 === 1,
+      Some("deleteWhere|epoch1"))
+    // a doc appended AFTER the sweep, matching the predicate: the
+    // recorded key is a one-shot receipt, not a standing policy — the
+    // doc is served until a new enforcement epoch runs
+    assert(LexIndex.appendDocsIdempotent(path,
+      Seq((101L, "alpha beta late")).toDF("doc_id", "text"), "epoch:a"))
+    def served(): Set[Long] = LexIndex.indexData(spark, path)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(served().contains(101L), "post-sweep append is outside the epoch")
+    // the escape hatch: the same predicate under a fresh per-epoch key
+    LexIndex.deleteDocsWhere(spark, path, col("doc_id") % 4 === 1,
+      Some("deleteWhere|epoch2"))
+    assert(!served().contains(101L), "a fresh key re-enforces the predicate")
+    assert(IndexMaint.readSweepKeys(IndexMaint.liveGenOpt(path).get) ===
+      Set("deleteWhere|epoch1", "deleteWhere|epoch2"))
+  }
+
   test("build-key sidecar: single-line contract enforced, torn key reads as absent") {
     val stage = tmpDir("reopen_key")
     intercept[IllegalArgumentException] {
