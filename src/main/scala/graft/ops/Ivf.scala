@@ -935,8 +935,10 @@ object Ivf extends IndexFamily {
     val predKey = predicateKey.getOrElse {
       require(!org.apache.spark.sql.graft.bridge.containsUdf(doomed),
         s"deleteWhereCached on $path: predicate '$doomed' contains a UDF, " +
-          "whose text is not an injective memo key — pass predicateKey to " +
-          "identify the delete stratum explicitly")
+          "a name-resolved function call, or a SQL snippet — its text is " +
+          "not a reliable memo key (an anonymous lambda prints UDF(...); a " +
+          "registered name can be re-bound between calls) — pass " +
+          "predicateKey to identify the delete stratum explicitly")
       doomed.toString
     }
     val fp = graft.util.Fs.dirFingerprint(srcDir)

@@ -604,7 +604,8 @@ object LexIndex extends IndexFamily {
     // ONE token — refuse loudly rather than silently splitting a
     // multi-word "term" into a different (cover) query shape
     qs.foreach { case (q, a, b) =>
-      Seq(a, b).foreach(t => require(t.trim.nonEmpty && !t.trim.matches(".*\\s.*"),
+      Seq(a, b).foreach(t => require(
+        t.trim.nonEmpty && !t.trim.exists(_.isWhitespace),
         s"proximityTopK: query '$q' term '$t' is not a single token — NEAR " +
           "takes two index terms; use coverTopK for multi-term windows"))
     }

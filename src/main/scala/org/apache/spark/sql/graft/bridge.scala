@@ -16,24 +16,30 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** True if the column's unanalyzed tree invokes a user-defined
-    * function — the nodes whose text rendering is NOT injective (two
-    * different lambdas both print `UDF(col)`), so they cannot serve as
-    * memo-key components. Checked on the ColumnNode tree because the
-    * classic Expression bridge is lazy pre-analysis
-    * (`ColumnNodeExpression` hides the eventual ScalaUDF). Three UDF
-    * routes exist and all must match: an applied `functions.udf`
-    * (InvokeInlineUserDefinedFunction), a registered function called by
-    * name via `expr("f(x)")` (UnresolvedFunction with the UDF flag),
-    * and a raw Catalyst expression wrapped by the bridge itself
-    * (ExpressionColumnNode — collect() does not descend into it, so its
-    * Expression tree is walked directly).
+  /** True if the column's unanalyzed tree invokes a function whose text
+    * rendering cannot serve as an injective memo-key component. Checked
+    * on the ColumnNode tree because the classic Expression bridge is
+    * lazy pre-analysis (`ColumnNodeExpression` hides the eventual
+    * ScalaUDF). Deliberately CONSERVATIVE — a false positive costs the
+    * caller an explicit key; a false negative is a silent handle swap:
+    * - applied `functions.udf` (InvokeInlineUserDefinedFunction) and a
+    *   raw ScalaUDF wrapped by this bridge (ExpressionColumnNode, whose
+    *   Expression tree collect() does not descend into): anonymous
+    *   lambdas all print `UDF(col)` — never injective;
+    * - `call_function`/`call_udf` by name (UnresolvedFunction — Spark
+    *   sets isUserDefinedFunction for ANY name here, builtins included;
+    *   we cannot prove pre-analysis that the name is a stable builtin
+    *   rather than a re-registerable session function, so refuse) and
+    *   `expr("...")` (SqlExpression — the parsed text may call a
+    *   session-registered name whose lambda can change between calls
+    *   while the text stays identical).
     */
   def containsUdf(c: Column): Boolean =
     c.node.collect {
       case f: org.apache.spark.sql.internal.InvokeInlineUserDefinedFunction => f
       case f: org.apache.spark.sql.internal.UnresolvedFunction
           if f.isUserDefinedFunction => f
+      case f: org.apache.spark.sql.internal.SqlExpression => f
       case e: org.apache.spark.sql.classic.ExpressionColumnNode
           if e.expression.exists {
             case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true

@@ -393,7 +393,10 @@ class IvfSpec extends SparkTestBase {
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
     // eviction proven on the REAL index cache: IndexCacheBound + 2
     // distinct paths (a miss now reopens rather than rebuilds, so the
-    // bound caps handle memory only — but it must still evict)
+    // bound caps handle memory only — but it must still evict). Builds
+    // are tiny (60 rows, kCells=2, iters=0); the assertions read the
+    // JVM-global cache, which is safe because forked sbt tests run
+    // suites sequentially (keep it that way or isolate this test)
     val paths = (0 until Ivf.IndexCacheBound + 2)
       .map(i => tmpDir(s"ivf_bound_$i"))
     paths.foreach(p => Ivf.buildIndexCached(emb, s"$d/embeddings.parquet", p, 2, 0))
@@ -803,6 +806,14 @@ class IvfSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("predicateKey"),
       s"the refusal must point at the explicit-key escape hatch: ${e.getMessage}")
+    // the expr("...") route is opaque too: the parsed text can call a
+    // session-registered name whose lambda changes between calls
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.deleteWhereCached(emb, s"$d/embeddings.parquet",
+        tmpDir("ivf_delw_idx_sql"), kCells = 2, iters = 0,
+        org.apache.spark.sql.functions.expr("vec_id % 2 = 1"))
+    }
+    assert(e2.getMessage.contains("predicateKey"), e2.getMessage)
     // with the caller naming the stratum, the same predicate memoizes fine
     val idxPath = tmpDir("ivf_delw_idx2")
     val after = Ivf.deleteWhereCached(emb, s"$d/embeddings.parquet", idxPath,
