@@ -1333,6 +1333,49 @@ object ScaleProbe {
         java.nio.file.Paths.get(lexPath).getParent.toString)
     }
 
+    // MaxScore pruning at 8x: the page must be IDENTICAL to the
+    // unpruned path (asserted loudly), while the rank window's input
+    // shrinks to essential rows + candidate-joined non-essential rows —
+    // the fixture stopword's 8x posting list stops flooding the window.
+    locally {
+      val msPath = java.nio.file.Files.createTempDirectory("probe_ms").toString + "/index"
+      try {
+        import spark.implicits._
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        ops.LexIndex.buildIndex(docs8, msPath)
+        val qs = ops.Search.fixtureQueries
+        val t0 = System.nanoTime()
+        val full = ops.LexIndex.bm25TopK(spark, msPath, qs, 5).collect()
+        val tFull = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (pageDf, dec) = ops.LexIndex.bm25PrunedCore(spark, msPath, qs, 5)
+        val page = pageDf.collect()
+        val tPruned = (System.nanoTime() - t1) / 1e9
+        if (page.map(_.toString).sorted.toSeq != full.map(_.toString).sorted.toSeq)
+          throw new IllegalStateException("bm25_maxscore_8x: pruned page != unpruned page")
+        // window-input volume, recomputed from the live index
+        val posts = ops.LexIndex.indexData(spark, msPath)
+          .filter(col("term").isin(qs.map(_._2).distinct: _*))
+          .select(col("term"), col("doc_id")).localCheckpoint()
+        val fullRows = posts.join(qs.toDF("query_id", "term"), Seq("term")).count()
+        val roleRows = dec.roles.toSeq.flatMap { case (q, m) =>
+          m.toSeq.map { case (t, r) => (q, t, r) } }.toDF("query_id", "term", "role")
+        val withRole = posts.join(roleRows, Seq("term"))
+        val ess = withRole.filter(col("role") === "ess")
+        val cands = ess.select("query_id", "doc_id").distinct()
+        val neKept = withRole.filter(col("role") === "ne")
+          .join(cands, Seq("query_id", "doc_id")).count()
+        val prunedRows = ess.count() + neKept
+        val neTerms = dec.roles.valuesIterator.map(_.count(_._2 == "ne")).sum
+        val line = f"PROBE bm25_maxscore_8x     full=$tFull%.2f s pruned=$tPruned%.2f s window-rows=$prunedRows/$fullRows ne-terms=$neTerms page-identical"
+        println(line); report ++= line + "\n"
+        if (prunedRows >= fullRows)
+          throw new IllegalStateException(s"maxscore pruned nothing: $line")
+      } finally graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(msPath).getParent.toString)
+    }
+
     // Postings CDC at 8x — the steepest file-growth family (an append
     // touches up to 64 tb partitions): drive the SAME six insert
     // batches through DocIngest twice, without and with the

@@ -76,9 +76,11 @@ object LexIndex extends IndexFamily {
       batch: org.apache.spark.sql.DataFrame, stage: String): Unit = {
     postingsOf(batch)
       .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tb").parquet(stage)
     writeDocDir(batch, stage)
     writeStats(stage, statsOf(batch))
+    writeTermMeta(batch.sparkSession, stage)
   }
 
   override protected def compactSurvivors(spark: SparkSession,
@@ -103,6 +105,7 @@ object LexIndex extends IndexFamily {
   override protected def writeSurvivorStage(spark: SparkSession,
       survivors: DataFrame, segBase: String): Unit = {
     survivors.repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tb").parquet(segBase)
     // every doc has >= 1 posting row (an empty text still tokenizes to
     // one empty-string term), so the doc dir is exactly the distinct
@@ -113,6 +116,7 @@ object LexIndex extends IndexFamily {
     val st = dd.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     writeStats(segBase, LexStats(st.getLong(0), st.getLong(1)))
+    writeTermMeta(spark, segBase)
   }
 
   // corpus constants are per-segment sidecars (written with the
@@ -210,6 +214,18 @@ object LexIndex extends IndexFamily {
     * discovery, committed atomically with its segment.
     */
   private val DocDirName = "_docdir"
+
+  /** Per-segment term dictionary metadata: one (term, df, max_tf,
+    * min_dl) row per distinct term — the impact bounds MaxScore-style
+    * pruned serving ([[bm25PrunedTopK]]) derives per-term score upper
+    * bounds from WITHOUT reading a single posting row (the
+    * Lucene-`impacts` idea, cf. Turtle & Flood's MaxScore). ~32 B per
+    * distinct term per segment; mergeable across segments (df sums,
+    * max_tf maxes, min_dl mins — each stays a valid bound under the
+    * union), rewritten from survivors at compaction like every other
+    * sidecar. Underscore-prefixed: invisible to postings discovery.
+    */
+  private val TermMetaName = "_term_meta"
 
   /** Per-generation cumulative takedown adjustment ("n,sum_dl" of the
     * tombstoned docs), atomically replaced under the mutation lease —
@@ -402,11 +418,17 @@ object LexIndex extends IndexFamily {
       val pinned = docs.select(col("doc_id"), col("text")).localCheckpoint()
       requireDistinctDocs(pinned, s"buildIndex($path)")
       val stage = graft.util.IndexMaint.newStageDir(path, "build")
+      // sorted by (term, doc_id) within each bucket file so the pushed
+      // term-equality filter prunes at parquet ROW-GROUP granularity,
+      // not just partition granularity — at 100 TB a bucket holds many
+      // row groups and an unsorted file defeats min/max skipping
       postingsOf(pinned)
         .repartition(col("tb"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$stage/seg=base")
       writeDocDir(pinned, s"$stage/seg=base")
       writeStats(s"$stage/seg=base", statsOf(pinned))
+      writeTermMeta(pinned.sparkSession, s"$stage/seg=base")
       buildKey.foreach(graft.util.IndexMaint.writeBuildKey(stage, _))
       graft.util.IndexMaint.commitGeneration(path, stage)
     }
@@ -431,6 +453,32 @@ object LexIndex extends IndexFamily {
     tokenized(docs)
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$segDir/$DocDirName")
+
+  /** Derive the segment's term-dictionary metadata from its JUST-WRITTEN
+    * postings (a read-back of the fresh local segment, column-pruned to
+    * (term, tf, dl) — cheaper than recomputing the tokenize+group). One
+    * row per distinct term; lands inside the staged segment so it
+    * commits atomically with the postings it bounds.
+    */
+  private def writeTermMeta(spark: SparkSession, segDir: String): Unit = {
+    // a zero-row segment (delete-only batch, emptied compaction) writes
+    // no data files — its meta is the empty dictionary, not a crash
+    val posts =
+      try spark.read.parquet(segDir).select(col("term"), col("tf"), col("dl"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("term", StringType),
+              StructField("tf", LongType), StructField("dl", LongType))))
+      }
+    posts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$segDir/$TermMetaName")
+  }
 
   /** Token-guarded O(Δ) postings append (the
     * [[Ivf.appendBatchIdempotent]] contract): the batch's postings AND
@@ -541,6 +589,209 @@ object LexIndex extends IndexFamily {
       .join(broadcast(qd.toDF("query_id", "term")), Seq("term"))
       .withColumn("n_docs", lit(stats.nDocs))
       .withColumn("sum_dl", lit(stats.sumDl))
+  }
+
+  /** The queried terms' dictionary metadata, merged across the
+    * generation's segments: df sums (an over-count once docs are
+    * tombstoned — callers lower-bound with the removed count), max_tf
+    * maxes and min_dl mins (both remain valid bounds over any subset,
+    * so tombstones never invalidate them). O(segments · |terms|) rows
+    * read, zero posting rows. None when any segment predates the
+    * dictionary (foreign index) — callers must degrade to unpruned
+    * serving, not guess bounds.
+    */
+  private[ops] def readTermMeta(spark: SparkSession, gen: String,
+      terms: Seq[String]): Option[Map[String, (Long, Long, Long)]] = {
+    val dirs = graft.util.IndexMaint.segmentValues(gen)
+      .map(s => java.nio.file.Paths.get(gen, s"seg=$s", TermMetaName))
+    if (dirs.isEmpty || dirs.exists(d => !java.nio.file.Files.isDirectory(d)))
+      None
+    else Some(
+      spark.read.parquet(dirs.map(_.toString): _*)
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"),
+          min(col("min_dl")).as("min_dl"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap)
+  }
+
+  /** Driver-side mirror of [[Search.scores]]' per-term BM25 contribution
+    * — the SAME expression shape ((1-B) folded first, dl divided by
+    * sum_dl/n_docs's precomputed quotient), so every fp operation is
+    * weakly monotone in (tf↑, dl↓, df↓) exactly as the executor
+    * computes it: contribution(max_tf, min_dl, df_lb) is a true upper
+    * bound on any posting's contribution in FLOATING POINT, not just in
+    * real arithmetic.
+    */
+  private def contributionBound(tf: Double, dl: Double, df: Double,
+      nDocs: Double, avgdl: Double): Double = {
+    val idf = (nDocs - df + 0.5) / (df + 0.5)
+    val tfn = (tf * (Search.K1 + 1)) /
+      (tf + Search.K1 * ((1 - Search.B) + Search.B * (dl / avgdl)))
+    idf * tfn
+  }
+
+  /** What [[bm25PrunedTopK]] decided, for specs and probes: θ per query
+    * (the seed-only k-th score), each term's role (`ess`/`ne`) and
+    * upper bound, and whether pruning engaged at all (false = no
+    * dictionary sidecar → exact unpruned serving).
+    */
+  private[graft] final case class PruneDecision(
+      theta: Map[String, Double],
+      roles: Map[String, Map[String, String]],
+      ub: Map[String, Double],
+      pruned: Boolean)
+
+  /** MaxScore-pruned BM25 top-k — EXACT results (same page, same
+    * scores, same tie-breaks as [[bm25TopK]]) with the scoring and
+    * rank-window volume cut to what can actually change the page.
+    *
+    * The classic document-at-a-time MaxScore (Turtle & Flood 1995;
+    * Lucene's `impacts` metadata) re-expressed set-oriented for Spark:
+    *
+    *  1. per-term upper bounds from the `_term_meta` sidecar — zero
+    *     posting rows read to compute them;
+    *  2. θ = the k-th best score using ONLY each query's highest-bound
+    *     (seed) term — a lower bound on the true k-th score, since
+    *     scores only grow as terms are added;
+    *  3. ascending-bound prefix whose bound-sum stays strictly below θ
+    *     (minus an fp-slack margin) = the NON-ESSENTIAL terms: a doc
+    *     matching only those cannot reach the page;
+    *  4. essential posting rows all score; non-essential rows score
+    *     only for docs already matching an essential term (an inner
+    *     join against the candidate set — exactness needs their
+    *     contributions, but the rank window never sees an NE-only doc).
+    *
+    * At scale the win is the shuffle: a stopword's billion-row posting
+    * list enters the score aggregation only ∩ candidates (the rare
+    * terms' df), instead of flooding the per-query rank window. The
+    * scan stays O(postings of queried terms) either way — the sidecar
+    * is what lets a deployment defer even that fetch. Queries with no
+    * prunable term (single-term, θ=0 from a sparse seed) degrade to
+    * exactly [[bm25TopK]]'s plan.
+    */
+  def bm25PrunedTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int): DataFrame =
+    bm25PrunedCore(spark, path, qs, k)._1
+
+  private[graft] def bm25PrunedCore(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int): (DataFrame, PruneDecision) = {
+    import spark.implicits._
+    val terms = qs.map(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val stats = liveStatsAt(gen)
+    val (removedN, _) = readRemoved(gen)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint()
+    val metaOpt =
+      if (stats.nDocs <= 0L) None else readTermMeta(spark, gen, terms)
+    val allEss = qs.groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2 -> "ess").toMap }
+    metaOpt match {
+      case None =>
+        (Search.topK(shapeForScores(posts, qs, stats), Search.rationalIdf, k),
+          PruneDecision(Map.empty, allEss, Map.empty, pruned = false))
+      case Some(meta) =>
+        val avgdl = stats.sumDl.toDouble / stats.nDocs
+        val ub = meta.map { case (t, (dfRaw, maxTf, minDl)) =>
+          // sidecar df over-counts tombstoned docs; idf needs a df
+          // LOWER bound, so subtract the whole removed count — loose
+          // but sound, and exact the moment compaction reclaims
+          val dfLb = math.max(0L, dfRaw - removedN).toDouble
+          t -> contributionBound(maxTf.toDouble, minDl.toDouble, dfLb,
+            stats.nDocs.toDouble, avgdl)
+        }
+        val byQuery = qs.groupBy(_._1).view
+          .mapValues(_.map(_._2).distinct.filter(meta.contains)).toMap
+        val seeds = byQuery.collect {
+          case (q, ts) if ts.nonEmpty => q -> ts.maxBy(t => (ub(t), t))
+        }
+        val seedPairs = seeds.toSeq
+        val thetas: Map[String, Double] =
+          if (seedPairs.isEmpty) Map.empty
+          else {
+            val seedTerms = seedPairs.map(_._2).distinct
+            val seedPosts = posts.filter(col("term").isin(seedTerms: _*))
+            Search.topK(shapeForScores(seedPosts, seedPairs, stats),
+                Search.rationalIdf, k)
+              .filter(col("rnk") === k)
+              .select(col("query_id"), col("score"))
+              .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          }
+        val roles: Map[String, Map[String, String]] = byQuery.map {
+          case (q, ts) =>
+            val theta = thetas.getOrElse(q, 0.0)
+            // strict-< with a relative slack: an NE-only doc's score is
+            // a differently-ordered fold of the same contributions, so
+            // leave room for the fold's ulps before claiming "< θ"
+            val lim = theta - 1e-9 * math.max(1.0, math.abs(theta))
+            var cum = 0.0
+            var open = true
+            q -> ts.sortBy(t => (ub(t), t)).map { t =>
+              if (open && t != seeds(q) && cum + ub(t) < lim) {
+                cum += ub(t); t -> "ne"
+              } else { open = false; t -> "ess" }
+            }.toMap
+        }
+        val roleRows = roles.toSeq.flatMap { case (q, m) =>
+          m.toSeq.map { case (t, r) => (q, t, r) } }
+        val decision = PruneDecision(thetas, roles, ub, pruned = true)
+        if (roleRows.isEmpty)
+          return (Search.topK(shapeForScores(posts, qs, stats),
+            Search.rationalIdf, k), decision)
+        val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val base = posts
+          .join(broadcast(dfx), Seq("term"))
+          .join(broadcast(roleRows.toDF("query_id", "term", "role")),
+            Seq("term"))
+          .withColumn("n_docs", lit(stats.nDocs))
+          .withColumn("sum_dl", lit(stats.sumDl))
+        val ess = base.filter(col("role") === "ess").drop("role")
+        val cands = ess.select(col("query_id"), col("doc_id")).distinct()
+        val ne = base.filter(col("role") === "ne").drop("role")
+          .join(cands, Seq("query_id", "doc_id"))
+        (Search.topK(ess.unionByName(ne), Search.rationalIdf, k), decision)
+    }
+  }
+
+  /** Metadata-gated BM25 top-k — rank only docs passing an EXTERNAL
+    * allow-set (the lexical twin of filtered vector search): global
+    * corpus constants and global df, so an allowed doc's score is
+    * IDENTICAL to its unfiltered score — the filter narrows the page,
+    * not the statistics (corpus removal that should shift stats is
+    * [[deleteDocs]]/[[deleteDocsWhere]], not a filter). The allow-set
+    * semi-joins the fetched postings BEFORE scoring, so disallowed docs
+    * never reach the score aggregation or the rank window; the join
+    * broadcasts when the set is small and shuffles when it is not —
+    * nothing here assumes the predicate is selective.
+    */
+  def bm25FilteredTopK(spark: SparkSession, path: String,
+      qs: Seq[(String, String)], k: Int, allowed: DataFrame): DataFrame = {
+    import spark.implicits._
+    val terms = qs.map(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val stats = liveStatsAt(gen)
+    val posts = indexDataAt(spark, gen)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint()
+    val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val kept = posts.join(allowed.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val shaped = kept
+      .join(broadcast(dfx), Seq("term"))
+      .join(broadcast(qs.toDF("query_id", "term")), Seq("term"))
+      .withColumn("n_docs", lit(stats.nDocs))
+      .withColumn("sum_dl", lit(stats.sumDl))
+    Search.topK(shaped, Search.rationalIdf, k)
   }
 
   /** Quoted-phrase top-k over the positional postings — the first query
@@ -1148,6 +1399,37 @@ object LexIndex extends IndexFamily {
     bm25TopK(spark, path, Search.fixtureQueries, 5)
   }
 
+  /** Registered `search_bm25_pruned`: MaxScore-pruned serving over the
+    * SAME persisted index as `search_bm25_persisted` — the oracle is
+    * the IDENTICAL unfiltered twin, so the hash claim is "pruning
+    * changed nothing but the plan". The fixture's q3 carries 'the'
+    * (in nearly every doc): its upper bound lands it non-essential, so
+    * its posting list reaches the score aggregation only ∩ candidates
+    * of q3's rare terms instead of flooding the rank window.
+    */
+  def bm25Pruned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    bm25PrunedTopK(spark, path, Search.fixtureQueries, 5)
+  }
+
+  /** Registered `search_bm25_filtered`: metadata-gated serving — rank
+    * only `lang = 'en'` docs with GLOBAL scoring constants (the
+    * [[bm25FilteredTopK]] contract). Shares the persisted index with
+    * `search_bm25_persisted`; the allow-set is external (the index
+    * stores no metadata — the predicate lives with the documents
+    * table, where schema evolution belongs).
+    */
+  def bm25Filtered(spark: SparkSession, dir: String): DataFrame = {
+    val d = Catalog(spark, dir).ref("documents")
+    val path = graft.util.Fs.sessionTempDir("lex_index", dir)
+    buildIndexCached(d.select(col("doc_id"), col("text")),
+      s"$dir/documents.parquet", path)
+    bm25FilteredTopK(spark, path, Search.fixtureQueries, 5,
+      d.filter(col("lang") === "en").select(col("doc_id")))
+  }
+
   /** Registered `search_bm25_deleted`: takedown on the persisted
     * postings — build, tombstone ~14% of the corpus, serve. The oracle
     * is the in-memory twin over the SURVIVING docs only, so the hash
@@ -1539,6 +1821,8 @@ object LexIndex extends IndexFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25_persisted" -> (bm25Persisted _),
+    "search_bm25_pruned" -> (bm25Pruned _),
+    "search_bm25_filtered" -> (bm25Filtered _),
     "search_bm25_deleted" -> (bm25Deleted _),
     "search_bm25_upserted" -> (bm25Upserted _),
     "search_bm25_retention" -> (bm25Retention _),
@@ -1556,6 +1840,12 @@ object LexIndex extends IndexFamily {
     // the persisted index must reproduce the in-memory ranking EXACTLY:
     // same twin as text_bm25, different engine path
     "search_bm25_persisted" -> Search.textBm25Sql,
+    // pruned serving must be INVISIBLE in the results: the exact same
+    // twin as the unpruned row — only the plan differs
+    "search_bm25_pruned" -> Search.textBm25Sql,
+    // the metadata gate narrows the page, not the statistics: global
+    // stats/df in the twin too, the predicate applied at ranking
+    "search_bm25_filtered" -> Search.textBm25SqlFilteredRank("d.lang = 'en'"),
     // after a takedown it must reproduce the twin over SURVIVORS —
     // deletion reaches stats, df, and ranks, not just the result page
     "search_bm25_deleted" -> Search.textBm25SqlWhere("doc_id % 7 <> 3"),

@@ -149,6 +149,30 @@ object Search {
     */
   def textBm25SqlOverRel(rel: String): String = textBm25SqlOver(rel)
 
+  /** The twin with a metadata gate at the RANKING stage — the
+    * [[LexIndex.bm25FilteredTopK]] contract: stats and df stay GLOBAL
+    * (an allowed doc's score is identical to its unfiltered score),
+    * only the rank window is restricted to docs passing `pred`
+    * (referencing the documents row as `d`). Contrast
+    * [[textBm25SqlWhere]], which removes docs AT THE SOURCE and shifts
+    * every statistic — that is a takedown's oracle, not a filter's.
+    */
+  def textBm25SqlFilteredRank(pred: String): String = {
+    val vals = fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val terms = fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents),
+       |${bm25ScoreCtes("q", terms)},
+       |rk AS (SELECT sc.query_id, sc.doc_id, sc.score,
+       |              row_number() OVER (PARTITION BY sc.query_id
+       |                                 ORDER BY sc.score DESC, sc.doc_id) AS rnk
+       |       FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |       WHERE $pred)
+       |SELECT query_id, doc_id, rnk, score FROM rk
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The BM25 scoring CTE family — the ONE copy of the twin-side
     * constants (K1=1.25/B=0.75 as 2.25/1.25/0.25/0.75) and the
     * sorted-sum determinism trick, parameterized by the (query_id,

@@ -619,6 +619,78 @@ object IndexMaint {
     ((bad.result(), note.result()), genOpt)
   }
 
+  /** fsck --repair: reclaim the crash debris [[fsckRoot]] reports,
+    * under the SAME mutation lease every writer takes, so a repair can
+    * never race a commit. Strictly bounded to states the protocol
+    * itself produces and proves unreferenced:
+    *
+    *  - staging dirs (`.stage-*`) — invisible to readers by
+    *    construction, abandoned by a crash before commit;
+    *  - generation dirs that are neither live nor the single
+    *    highest-numbered predecessor (the reader-grace copy the commit
+    *    protocol itself retains) — crash-orphans newer than live were
+    *    moved but never pointed to, over-retained older ones are past
+    *    their grace window;
+    *  - torn sidecar `*.tmp` files in the live generation — already
+    *    self-healing (the next atomic replace overwrites), reclaimed
+    *    here for tidiness.
+    *
+    * VIOLATIONS (protocol bypassed: missing tokens, duplicate tokens,
+    * orphan tombstones) are NOT repaired — a safe resolution cannot be
+    * derived from the wreckage, so they stay loud in [[fsckRoot]].
+    * Returns the reclaimed entries, category-prefixed.
+    */
+  def fsckRepair(root: String): Seq[String] = lockFor(root).synchronized {
+   // monitor → lease like every mutation, but NOT [[withMutation]]:
+   // that wrapper reaps stages before its body runs, and a repair must
+   // OBSERVE the debris to report what it reclaimed
+   withLease(root, op = "fsck-repair") {
+    import scala.jdk.CollectionConverters._
+    val reclaimed = Seq.newBuilder[String]
+    val r = Paths.get(root)
+    if (Files.isDirectory(r)) {
+      val names = {
+        val s = Files.list(r)
+        try s.iterator().asScala.map(_.getFileName.toString).toList
+        finally s.close()
+      }
+      names.filter(_.startsWith(".stage-")).foreach { n =>
+        Fs.deleteRecursively(r.resolve(n).toString)
+        reclaimed += s"stage:$n"
+      }
+      liveGenOpt(root).foreach { gen =>
+        val liveName = Paths.get(gen).getFileName.toString
+        val liveNum = genNumber(liveName)
+        val others = genDirs(root)
+          .filterNot(_._2.getFileName.toString == liveName)
+        val keepPredecessor = others
+          .filter(g => liveNum.exists(g._1 < _))
+          .sortBy(_._1).lastOption.map(_._2.getFileName.toString)
+        others.foreach { case (_, p) =>
+          val n = p.getFileName.toString
+          if (!keepPredecessor.contains(n)) {
+            Fs.deleteRecursively(p.toString)
+            reclaimed += s"gen:$n"
+          }
+        }
+        val tmps = {
+          val s = Files.list(Paths.get(gen))
+          try s.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".tmp"))
+            .map(_.getFileName.toString).toList
+          finally s.close()
+        }
+        tmps.foreach { n =>
+          Files.deleteIfExists(Paths.get(gen, n))
+          reclaimed += s"tmp:$n"
+        }
+      }
+    }
+    reclaimed.result()
+   }
+  }
+
   // ---- tombstones (deletes) --------------------------------------------------
   //
   // Deletion is LOGICAL first, PHYSICAL later — the LSM/Iceberg shape,

@@ -35,6 +35,48 @@ class IndexFsckSpec extends SparkTestBase {
     assert(notes.exists(_.contains("predecessor")), notes.mkString("; "))
   }
 
+  test("fsck repair reclaims exactly the reapable debris, keeps live + predecessor, leaves data byte-identical") {
+    val path = tmpDir("fsck_repair") + "/index"
+    val index = Ivf.buildIndex(vecs(120), path, kCells = 4, iters = 1)
+    // compaction leaves the legitimate predecessor; then plant every
+    // reapable debris class: a crashed stage, a torn sidecar tmp, an
+    // orphan generation NEWER than live (crash between move and
+    // pointer flip), and an over-retained ancient generation
+    Ivf.compactIndex(spark, index)
+    // advance past gen-0 so "gen-000000000" below is a FREE number —
+    // an over-retained ancient, not the legitimate predecessor
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    val gen = graft.util.IndexMaint.liveGen(path)
+    assume(!gen.endsWith("gen-000000000") && !gen.endsWith("gen-000000001"))
+    val before = Ivf.screenBatch(spark, Ivf.loadIndex(path),
+      vecs(3), k = 5, nprobe = 4).collect().map(_.toString).sorted.toSeq
+    Files.createDirectories(Paths.get(path, ".stage-crashed-abc"))
+    Files.write(Paths.get(gen, "_tombstones.txt.tmp"), "junk".getBytes(UTF_8))
+    Files.createDirectories(Paths.get(path, "gen-000000099"))
+    Files.createDirectories(Paths.get(path, "gen-000000000/seg=ancient"))
+    val reclaimed = graft.util.IndexMaint.fsckRepair(path)
+    assert(reclaimed.exists(_.startsWith("stage:.stage-crashed-abc")), reclaimed.mkString("; "))
+    assert(reclaimed.contains("gen:gen-000000099"),
+      s"the never-pointed-to orphan must be reaped: $reclaimed")
+    assert(reclaimed.contains("gen:gen-000000000"),
+      s"generations past the grace window must be reaped: $reclaimed")
+    assert(reclaimed.exists(_.startsWith("tmp:_tombstones.txt.tmp")), reclaimed.mkString("; "))
+    // live and the single predecessor survive; fsck reports no stage /
+    // orphan-generation findings; serving is unchanged
+    assert(!reclaimed.exists(_.contains(Paths.get(gen).getFileName.toString)))
+    val (bad, notes) = Ivf.fsckIndex(spark, path)
+    assert(bad.isEmpty, bad.mkString("; "))
+    assert(!notes.exists(_.contains("staging")) && !notes.exists(_.contains("tmp")),
+      s"repair must clear the reapable notes: $notes")
+    assert(notes.exists(_.contains("predecessor")),
+      "the reader-grace predecessor is kept, not reaped")
+    val after = Ivf.screenBatch(spark, Ivf.loadIndex(path),
+      vecs(3), k = 5, nprobe = 4).collect().map(_.toString).sorted.toSeq
+    assert(after === before, "repair must not touch live data")
+    // a repaired root repairs to nothing
+    assert(graft.util.IndexMaint.fsckRepair(path).isEmpty)
+  }
+
   test("protocol bypasses are named: missing token file, orphan tombstone segment, deleted live pointer") {
     val path = tmpDir("fsck_bypass") + "/index"
     val index = Ivf.buildIndex(vecs(80), path, kCells = 4, iters = 1)

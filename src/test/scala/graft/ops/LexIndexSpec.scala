@@ -608,4 +608,102 @@ class LexIndexSpec extends SparkTestBase {
     val ok = (0 until 64).map(i => s"t$i").mkString(" ")
     LexIndex.coverTopK(spark, path, Seq(("q-64", ok)), 10, maxSpan = 100).collect()
   }
+
+  test("MaxScore pruning: exact page, the planted stopword classified non-essential") {
+    // every doc carries 'stop' (df = 400, vanishing idf); 'rare' hits 8
+    // docs with spread tf so the seed-phase θ is a real score
+    val docs = (0 until 400).map { i =>
+      val rare = if (i % 50 == 0) ("rare " * (1 + i / 100)).trim + " " else ""
+      (i.toLong, s"${rare}stop filler$i stop pad${i % 7}")
+    }.toDF("doc_id", "text")
+    val path = tmpDir("lex_maxscore") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val qs = Seq("q" -> "rare", "q" -> "stop")
+    val (page, dec) = LexIndex.bm25PrunedCore(spark, path, qs, 3)
+    val want = LexIndex.bm25TopK(spark, path, qs, 3)
+    assert(page.collect().map(_.toString).sorted.toSeq ===
+      want.collect().map(_.toString).sorted.toSeq,
+      "pruned serving must be bit-identical to the unpruned path")
+    assert(dec.pruned, "the term dictionary must be present and engaged")
+    assert(dec.roles("q")("stop") === "ne",
+      s"a 400/400-df stopword must be non-essential: ${dec.roles}")
+    assert(dec.roles("q")("rare") === "ess", "the seed term is essential")
+    assert(dec.theta("q") > dec.ub("stop"),
+      "θ from the seed-only pass must dominate the stopword's bound")
+  }
+
+  test("MaxScore bounds survive mutations: tombstones, upserts and appends keep pruned == unpruned") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"stop word${i % 11} ${if (i % 40 == 0) "needle" else s"hay$i"} stop")
+    }.toDF("doc_id", "text")
+    val path = tmpDir("lex_maxscore_mut") + "/index"
+    LexIndex.buildIndex(docs, path)
+    // takedown (tombstones make the sidecar df an over-count), an
+    // upsert (old copy tombstoned, new segment re-counts), an append
+    LexIndex.deleteDocs(spark, path, (0 until 300 by 9).map(_.toLong))
+    assert(LexIndex.upsertDocsIdempotent(path,
+      Seq((40L, "needle needle stop dense")).toDF("doc_id", "text"), "ms:ups"))
+    assert(LexIndex.appendDocsIdempotent(path,
+      (300 until 330).map(i => (i.toLong, s"stop extra$i")).toDF("doc_id", "text"),
+      "ms:app"))
+    val qs = Seq("qa" -> "needle", "qa" -> "stop", "qb" -> "word3", "qb" -> "stop")
+    val (page, dec) = LexIndex.bm25PrunedCore(spark, path, qs, 4)
+    val want = LexIndex.bm25TopK(spark, path, qs, 4)
+    assert(page.collect().map(_.toString).sorted.toSeq ===
+      want.collect().map(_.toString).sorted.toSeq,
+      "bounds must stay UPPER bounds through the whole mutation lifecycle")
+    assert(dec.pruned)
+    // compaction rewrites the dictionary from survivors; still exact
+    LexIndex.compactIndex(spark, path)
+    val (page2, dec2) = LexIndex.bm25PrunedCore(spark, path, qs, 4)
+    assert(page2.collect().map(_.toString).sorted.toSeq ===
+      LexIndex.bm25TopK(spark, path, qs, 4).collect().map(_.toString).sorted.toSeq)
+    assert(dec2.pruned)
+  }
+
+  test("MaxScore degrades loudly-safe: single-term queries all-essential; a missing dictionary disables pruning, never guesses") {
+    val docs = (0 until 50).map(i => (i.toLong, s"solo tok$i")).toDF("doc_id", "text")
+    val path = tmpDir("lex_maxscore_deg") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val (p1, d1) = LexIndex.bm25PrunedCore(spark, path, Seq("q" -> "solo"), 5)
+    assert(d1.roles("q")("solo") === "ess", "a single-term query has nothing to prune")
+    assert(p1.collect().map(_.toString).sorted.toSeq ===
+      LexIndex.bm25TopK(spark, path, Seq("q" -> "solo"), 5)
+        .collect().map(_.toString).sorted.toSeq)
+    // simulate a foreign index: remove the dictionary sidecar
+    val gen = graft.util.IndexMaint.liveGen(path)
+    graft.util.IndexMaint.segmentValues(gen).foreach { s =>
+      graft.util.Fs.deleteRecursively(s"$gen/seg=$s/_term_meta")
+    }
+    val (p2, d2) = LexIndex.bm25PrunedCore(spark, path, Seq("q" -> "solo"), 5)
+    assert(!d2.pruned, "no dictionary → no bound claims")
+    assert(p2.collect().map(_.toString).sorted.toSeq ===
+      LexIndex.bm25TopK(spark, path, Seq("q" -> "solo"), 5)
+        .collect().map(_.toString).sorted.toSeq,
+      "the degrade path is the exact unpruned plan")
+  }
+
+  test("filtered BM25: global constants, gated page — an allowed doc keeps its unfiltered score") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"alpha ${if (i % 3 == 0) "beta" else "gamma"} pad${i % 5}"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("lex_filtered") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val allowed = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+    val qs = Seq("q" -> "alpha", "q" -> "beta")
+    val got = LexIndex.bm25FilteredTopK(spark, path, qs, 5, allowed)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the contract, derived independently: take the UNFILTERED scores,
+    // drop disallowed docs, re-rank — scores must match bit-for-bit
+    val full = LexIndex.bm25TopK(spark, path, qs, 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val want = full.filter(_._2 % 2 == 0).groupBy(_._1).toSeq.flatMap {
+      case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex.map {
+          case ((qq, d, s), i) => (qq, d, (i + 1).toLong, s) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.toSeq === want,
+      "filter must gate the page without touching the statistics")
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
+  }
 }
