@@ -794,6 +794,66 @@ object LexIndex extends IndexFamily {
     Search.topK(shaped, Search.rationalIdf, k)
   }
 
+  /** Pin the live lexical state under `label`
+    * ([[graft.util.IndexMaint.pinLive]]): the manifest records the
+    * generation, segment set and tombstone pairs, plus the lexical
+    * removed-stats adjustment as an `x-` entry — everything
+    * [[bm25TopKAsOf]] needs to reproduce this exact scoring state after
+    * any number of later mutations. Idempotent per label.
+    */
+  def pinIndex(spark: SparkSession, path: String, label: String): Unit =
+    graft.util.IndexMaint.pinLive(path, label, gen => {
+      val (n, s) = readRemoved(gen)
+      Map("x-removed" -> s"$n,$s")
+    })
+
+  /** Corpus constants of a PINNED snapshot: the manifest's segments'
+    * stats sidecars summed, minus the removed adjustment AS OF PIN TIME
+    * (the manifest's copy — the generation's live sidecar has since
+    * grown with later deletes).
+    */
+  private def statsOfSnapshot(genDir: String,
+      snap: graft.util.IndexMaint.Snapshot): LexStats = {
+    val parts = snap.segs.map { s =>
+      val p = java.nio.file.Paths.get(genDir, s"seg=$s", StatsFile)
+      val Array(n, sd) = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+      (n.toLong, sd.toLong)
+    }
+    val Array(rn, rs) = snap.extra.getOrElse("x-removed", "0,0").split(",")
+    LexStats(parts.map(_._1).sum - rn.toLong, parts.map(_._2).sum - rs.toLong)
+  }
+
+  /** BM25 top-k against the snapshot pinned as `label` — bit-identical
+    * to what [[bm25TopK]] returned at pin time, whatever has happened
+    * since: later appends/CDC segments are outside the manifest's
+    * segment set, later deletes are outside its tombstone copy, and a
+    * later compaction/retention rewrite committed a NEW generation
+    * while the pinned one survives every reap path. The read shape is
+    * the same O(query terms) bucket-pruned fetch as the live path —
+    * a snapshot costs retention, not query speed.
+    */
+  def bm25TopKAsOf(spark: SparkSession, path: String, label: String,
+      qs: Seq[(String, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val snap = graft.util.IndexMaint.readSnapshot(path, label).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot pinned as '$label' under $path"))
+    val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
+    val stats = statsOfSnapshot(genDir, snap)
+    val terms = qs.map(_._2).distinct
+    val buckets = bucketsOf(spark, terms)
+    val posts = graft.util.IndexMaint.minusTombstonePairs(
+        spark.read.parquet(genDir)
+          .filter(col("seg").isin(snap.segs: _*)),
+        snap.tombs, idCol = "doc_id")
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint()
+    Search.topK(shapeForScores(posts, qs, stats), Search.rationalIdf, k)
+  }
+
   /** Quoted-phrase top-k over the positional postings — the first query
     * a retrieval user types that bag-of-words BM25 cannot answer. Each
     * phrase tokenizes to (term, offset) pairs; the postings fetch is
@@ -1489,6 +1549,39 @@ object LexIndex extends IndexFamily {
     bm25TopK(spark, path, Search.fixtureQueries, 5)
   }
 
+  /** Registered `search_bm25_asof`: snapshot-isolated serving — pin the
+    * freshly-built index, hit it with a mixed CDC wave (inserts,
+    * deletes, donor-text upserts) AND a compaction (a full survivor
+    * rewrite into a NEW generation), then serve AS OF the pin. The
+    * oracle is the twin over the ORIGINAL corpus: hash equality proves
+    * the manifest filters every later segment out, resurrects nothing
+    * the pin-time tombstones had hidden (there were none), keeps the
+    * pin-time scoring constants, and that the pinned generation
+    * survived the rewrite's reap. Replays no-op on the durable CDC
+    * token and the idempotent pin; compaction re-runs are rewrites of
+    * identical survivors.
+    */
+  def bm25AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_asof", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    pinIndex(spark, path, "pre")
+    val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val batch = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        lit("insert").as("op"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"), lit("delete").as("op")))
+      .unionByName(docs
+        .filter(col("doc_id") % 5 === 2 && col("doc_id") % 7 =!= 3)
+        .join(donor, col("did") === col("doc_id") + 1, "left")
+        .select(col("doc_id"), coalesce(col("dtext"), col("text")).as("text"),
+          lit("upsert").as("op")))
+    applyCdcDocs(path, batch, "asof:cdc:1")
+    compactIndex(spark, path)
+    bm25TopKAsOf(spark, path, "pre", Search.fixtureQueries, 5)
+  }
+
   /** Registered `stream_bm25_cdc`: the lexical index tracks a mutating
     * corpus as a live CDC stream — three id-disjoint op-tagged batches
     * (inserts: +1000000-keyed copies of the %11==0 docs; deletes: the
@@ -1826,6 +1919,7 @@ object LexIndex extends IndexFamily {
     "search_bm25_deleted" -> (bm25Deleted _),
     "search_bm25_upserted" -> (bm25Upserted _),
     "search_bm25_retention" -> (bm25Retention _),
+    "search_bm25_asof" -> (bm25AsOf _),
     "stream_bm25_cdc" -> (bm25StreamCdc _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
@@ -1860,6 +1954,9 @@ object LexIndex extends IndexFamily {
     // a retention rewrite must be indistinguishable from a takedown to
     // any reader: the SAME survivors-only twin shape
     "search_bm25_retention" -> Search.textBm25SqlWhere("doc_id % 5 <> 1"),
+    // the pinned snapshot serves the ORIGINAL corpus — bit-identical to
+    // pin time, through a CDC wave and a compaction rewrite
+    "search_bm25_asof" -> Search.textBm25Sql,
     // after a CDC stream it must reproduce the twin over the effective
     // corpus: inserts unioned, deletes excluded at the source, upserts
     // carrying the donor text — independent of batching

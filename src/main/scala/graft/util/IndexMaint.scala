@@ -309,9 +309,11 @@ object IndexMaint {
     Files.write(tmp, name.getBytes(UTF_8))
     Files.move(tmp, Paths.get(root, LivePointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val pinned = pinnedGenNames(root)
     genDirs(root).foreach { case (_, p) =>
       val n = p.getFileName.toString
-      if (n != name && !prevLive.contains(n)) Fs.deleteRecursively(p.toString)
+      if (n != name && !prevLive.contains(n) && !pinned.contains(n))
+        Fs.deleteRecursively(p.toString)
     }
     target.toString
   }
@@ -544,7 +546,12 @@ object IndexMaint {
         else s"no live pointer — the index was never committed (or the pointer was deleted)")
       case Some(gen) =>
         val genName = Paths.get(gen).getFileName.toString
-        val others = genDirs(root).map(_._2.getFileName.toString).filterNot(_ == genName)
+        val pinnedGens = pinnedGenNames(root)
+        if (pinnedGens.nonEmpty)
+          note += s"${pinnedGens.size} pinned snapshot generation(s) " +
+            s"retained: ${pinnedGens.toSeq.sorted.mkString(", ")}"
+        val others = genDirs(root).map(_._2.getFileName.toString)
+          .filterNot(_ == genName).filterNot(pinnedGens.contains)
         if (others.size > 1)
           bad += s"${others.size} non-live generations (protocol keeps ONE predecessor): ${others.mkString(", ")}"
         else if (others.size == 1)
@@ -661,8 +668,10 @@ object IndexMaint {
       liveGenOpt(root).foreach { gen =>
         val liveName = Paths.get(gen).getFileName.toString
         val liveNum = genNumber(liveName)
+        val pinned = pinnedGenNames(root)
         val others = genDirs(root)
           .filterNot(_._2.getFileName.toString == liveName)
+          .filterNot(g => pinned.contains(g._2.getFileName.toString))
         val keepPredecessor = others
           .filter(g => liveNum.exists(g._1 < _))
           .sortBy(_._1).lastOption.map(_._2.getFileName.toString)
@@ -689,6 +698,126 @@ object IndexMaint {
     }
     reclaimed.result()
    }
+  }
+
+  // ---- pinned snapshots (as-of reads) ----------------------------------------
+  //
+  // A pin is a MANIFEST, not a generation name: append/upsert/CDC
+  // commit segments INTO the live generation and deletes grow its
+  // tombstone sidecar in place, so "the index as the pin saw it" is
+  // (generation, the segment set present then, the tombstone pairs
+  // recorded then) — the Iceberg snapshot model re-expressed on this
+  // protocol. In-place mutations only ADD (segments, tombstone pairs),
+  // never rewrite inside a generation, so the manifest filters the
+  // grown directory back to the pinned view exactly; REWRITE mutations
+  // (compaction, retention, rebuild) commit a NEW generation, and the
+  // pinned one survives reaping because every reap path skips pinned
+  // names. Family-specific sidecar state a snapshot read needs (e.g.
+  // the lexical removed-stats adjustment) rides the manifest as opaque
+  // `x-` entries the family supplies at pin time.
+
+  private val PinsDir = "_pins"
+
+  final case class Snapshot(gen: String, segs: Seq[String],
+      tombs: Array[(String, Long)], extra: Map[String, String])
+
+  /** Generation names any pin manifest references — every reap path
+    * (commit, repair) must keep these on disk.
+    */
+  def pinnedGenNames(root: String): Set[String] = {
+    val d = Paths.get(root, PinsDir)
+    if (!Files.isDirectory(d)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val labels = try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".txt"))
+        .map(_.stripSuffix(".txt")).toList
+      finally s.close()
+      labels.flatMap(l => readSnapshot(root, l)).map(_.gen).toSet
+    }
+  }
+
+  /** Pin the LIVE state under `label`: record the generation, its
+    * current segment set and tombstone pairs, plus the family's `extra`
+    * sidecar values (computed against the resolved generation, under
+    * the same lease — one snapshot, no torn view). Idempotent per
+    * label: re-pinning an existing label is a no-op returning the
+    * ORIGINAL manifest (a replayed pipeline keeps its first snapshot);
+    * it never re-resolves — a label is immutable until [[unpin]].
+    */
+  def pinLive(root: String, label: String,
+      extra: String => Map[String, String] = _ => Map.empty): Snapshot =
+    lockFor(root).synchronized {
+      requireValidToken(label)
+      require(!label.contains("/") && !label.contains(","),
+        s"pin label must be a plain name: '$label'")
+      withLease(root, op = s"pin($label)") {
+        readSnapshot(root, label).getOrElse {
+          val gen = liveGen(root)
+          val snap = Snapshot(Paths.get(gen).getFileName.toString,
+            segmentValues(gen), readTombstones(gen), extra(gen))
+          val d = Paths.get(root, PinsDir)
+          Files.createDirectories(d)
+          val body = (Seq(s"gen=${snap.gen}") ++
+            snap.segs.map(s => s"seg=$s") ++
+            snap.tombs.map { case (s, id) => s"tomb=$s,$id" } ++
+            snap.extra.toSeq.sortBy(_._1).map { case (k, v) =>
+              require(k.startsWith("x-"), s"extra keys must be x-*: $k")
+              s"$k=$v"
+            }).mkString("", "\n", "\n")
+          val tmp = d.resolve(s"$label.txt.tmp")
+          Files.write(tmp, body.getBytes(UTF_8))
+          Files.move(tmp, d.resolve(s"$label.txt"),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          snap
+        }
+      }
+    }
+
+  def readSnapshot(root: String, label: String): Option[Snapshot] = {
+    val p = Paths.get(root, PinsDir, s"$label.txt")
+    if (!Files.exists(p)) None
+    else {
+      val lines = new String(Files.readAllBytes(p), UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val kv = lines.map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }
+      Some(Snapshot(
+        kv.collectFirst { case ("gen", v) => v }.getOrElse(
+          throw new IllegalStateException(s"pin manifest $p has no gen line")),
+        kv.collect { case ("seg", v) => v },
+        kv.collect { case ("tomb", v) =>
+          val i = v.lastIndexOf(',')
+          (v.substring(0, i), v.substring(i + 1).toLong)
+        }.toArray,
+        kv.collect { case (k, v) if k.startsWith("x-") => k -> v }.toMap))
+    }
+  }
+
+  /** Drop the pin; the generation it protected is reclaimed by the
+    * NEXT commit or [[fsckRepair]] (never here — unpin is metadata
+    * only). Returns whether the label existed.
+    */
+  def unpin(root: String, label: String): Boolean =
+    lockFor(root).synchronized {
+      withLease(root, op = s"unpin($label)") {
+        Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt"))
+      }
+    }
+
+  /** The pinned generation's directory — loud when the manifest exists
+    * but the directory was lost (a reap path that ignored pins IS the
+    * bug this names).
+    */
+  def snapshotGenDir(root: String, snap: Snapshot): String = {
+    val p = Paths.get(root, snap.gen)
+    require(Files.isDirectory(p),
+      s"pinned generation ${snap.gen} missing under $root — a reap path " +
+        "ignored the pin set")
+    p.toString
   }
 
   // ---- tombstones (deletes) --------------------------------------------------
@@ -780,9 +909,18 @@ object IndexMaint {
     * literal.
     */
   def minusTombstones(df: org.apache.spark.sql.DataFrame, genDir: String,
+      idCol: String = "vec_id"): org.apache.spark.sql.DataFrame =
+    minusTombstonePairs(df, readTombstones(genDir), idCol)
+
+  /** [[minusTombstones]] with an EXPLICIT pair set — what a pinned
+    * snapshot read subtracts: the pairs recorded in its manifest at pin
+    * time, not whatever the generation's live sidecar has since grown
+    * to.
+    */
+  def minusTombstonePairs(df: org.apache.spark.sql.DataFrame,
+      tombs: Array[(String, Long)],
       idCol: String = "vec_id"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, concat_ws, lit, not}
-    val tombs = readTombstones(genDir)
     if (tombs.isEmpty) df
     else {
       val key = concat_ws("\u0000", col("seg"), col(idCol).cast("string"))

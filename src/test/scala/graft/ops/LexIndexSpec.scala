@@ -683,6 +683,50 @@ class LexIndexSpec extends SparkTestBase {
       "the degrade path is the exact unpruned plan")
   }
 
+  test("pinned snapshot: as-of serving is bit-identical through appends, deletes, upserts and a compaction rewrite") {
+    val docs = (0 until 200).map(i => (i.toLong, s"alpha w${i % 13} tail$i"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("lex_pin") + "/index"
+    LexIndex.buildIndex(docs, path)
+    val qs = Seq("q" -> "alpha", "q" -> "w3")
+    val atPin = LexIndex.bm25TopK(spark, path, qs, 5)
+      .collect().map(_.toString).sorted.toSeq
+    LexIndex.pinIndex(spark, path, "pre")
+    // every in-place mutation class, then the rewrite class
+    assert(LexIndex.appendDocsIdempotent(path,
+      (200 until 260).map(i => (i.toLong, s"alpha w3 boost$i")).toDF("doc_id", "text"),
+      "pin:app"))
+    LexIndex.deleteDocs(spark, path, Seq(3L, 16L, 29L))
+    assert(LexIndex.upsertDocsIdempotent(path,
+      Seq((42L, "alpha alpha w3 w3 rewritten")).toDF("doc_id", "text"), "pin:ups"))
+    val live = LexIndex.bm25TopK(spark, path, qs, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(live !== atPin, "the mutation wave must actually move the live page")
+    assert(LexIndex.bm25TopKAsOf(spark, path, "pre", qs, 5)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the snapshot must filter later segments AND later tombstones out")
+    LexIndex.compactIndex(spark, path)
+    assert(LexIndex.bm25TopKAsOf(spark, path, "pre", qs, 5)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the pinned generation must survive the rewrite's reap")
+    assert(LexIndex.bm25TopK(spark, path, qs, 5)
+      .collect().map(_.toString).sorted.toSeq === live,
+      "compaction must not move the live page")
+    // fsck stays clean with a pinned ancestor; the pin is a note
+    val (bad, notes) = graft.util.IndexMaint.fsckRoot(path)
+    assert(bad.isEmpty, bad.mkString("; "))
+    assert(notes.exists(_.contains("pinned")), notes.mkString("; "))
+    // unpin → the generation is reclaimable; the next rewrite reaps it
+    // and a later as-of read fails LOUDLY, never serves a wrong page
+    assert(graft.util.IndexMaint.unpin(path, "pre"))
+    LexIndex.compactIndex(spark, path)
+    LexIndex.compactIndex(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.bm25TopKAsOf(spark, path, "pre", qs, 5)
+    }
+    assert(e.getMessage.contains("pre"))
+  }
+
   test("filtered BM25: global constants, gated page — an allowed doc keeps its unfiltered score") {
     val docs = (0 until 200).map(i =>
       (i.toLong, s"alpha ${if (i % 3 == 0) "beta" else "gamma"} pad${i % 5}"))
