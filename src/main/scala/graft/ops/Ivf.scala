@@ -354,6 +354,72 @@ object Ivf extends IndexFamily {
       IvfIndex(path, readCentroids(graft.util.IndexMaint.liveGen(path)))
     }
 
+  /** Pin the live vector state under `label`
+    * ([[graft.util.IndexMaint.pinLive]]): generation + segment set +
+    * tombstone pairs. The quantizer needs no manifest entry — centroids
+    * are a generation sidecar, and nothing retrains in place (a
+    * drift-triggered rebalance commits a NEW generation, which the pin
+    * protects the old one from reaping through). Idempotent per label.
+    */
+  def pinIndex(path: String, label: String): Unit = {
+    graft.util.IndexMaint.pinLive(path, label)
+    ()
+  }
+
+  /** [[screenBatch]] against the snapshot pinned as `label` —
+    * bit-identical to a screen at pin time, whatever appends, upserts,
+    * deletes, compactions or rebalances have happened since: probes run
+    * against the PINNED centroids, candidates come from the manifest's
+    * segment set minus its tombstone-pair copy, and the probed-cid
+    * partition pruning applies unchanged (cells are partition dirs of
+    * the pinned generation).
+    */
+  def screenBatchAsOf(spark: SparkSession, path: String, label: String,
+      delta: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val snap = graft.util.IndexMaint.readSnapshot(path, label).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot pinned as '$label' under $path"))
+    val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
+    val centroids = readCentroids(genDir)
+    screenBatchProbedOver(spark, centroids,
+      cids => graft.util.IndexMaint.minusTombstonePairs(
+        spark.read.parquet(genDir)
+          .filter(col("seg").isin(snap.segs: _*))
+          .filter(col("cid").isin(cids: _*)),
+        snap.tombs),
+      delta, k, nprobe)._1
+  }
+
+  /** Registered `sim_ivf_asof`: snapshot-isolated vector serving — pin
+    * the freshly-built index, hit it with a takedown, a donor-embedding
+    * upsert wave and a compaction rewrite, then screen AS OF the pin.
+    * The oracle is [[ivfIncrementalSql]] — the closed form over the
+    * ORIGINAL base corpus — so hash equality proves the manifest hides
+    * every later mutation and the pinned generation survived the
+    * rewrite's reap. Replays no-op on the tombstone union, the upsert
+    * token and the idempotent pin.
+    */
+  def ivfAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.util.Fs.sessionTempDir("ivf_index_asof", dir)
+    val index = buildIndexCached(base, s"$dir/embeddings.parquet", path,
+      kCells = 16, iters = 0)
+    pinIndex(path, "pre")
+    val doomed = base.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    deleteIds(index, doomed)
+    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val wave = base.filter(col("vec_id") % 9 === 4)
+      .join(donor, col("did") === col("vec_id") + 1)
+      .select(col("vec_id"), col("demb").as("embedding"))
+    upsertBatchIdempotent(loadIndex(path), wave, "asofq:ups")
+    compactIndex(spark, loadIndex(path))
+    screenBatchAsOf(spark, path, "pre",
+      emb.filter(col("vec_id") % 10 === 0), k = 5, nprobe = 4)
+  }
+
   // ---- idempotent append (streaming at-least-once replay) -------------------
 
   /** Tokens of batches already folded into the index (bounded: one
@@ -759,6 +825,21 @@ object Ivf extends IndexFamily {
   private[ops] def screenBatchProbed(spark: SparkSession, index: IvfIndex,
       delta: DataFrame, k: Int, nprobe: Int,
       candFilter: Option[org.apache.spark.sql.Column] = None,
+      queryIsDouble: Boolean = false): (DataFrame, Seq[Int]) =
+    screenBatchProbedOver(spark, index.centroids,
+      cids => indexData(spark, index.path).filter(col("cid").isin(cids: _*)),
+      delta, k, nprobe, candFilter, queryIsDouble)
+
+  /** [[screenBatchProbed]] over an EXPLICIT quantizer + candidate
+    * provider — the live path passes the handle's centroids and the
+    * live tombstone-subtracted read; a pinned snapshot passes the
+    * manifest's view. `prunedData` receives the probed cid list so the
+    * provider applies it as a PARTITION filter on its own scan.
+    */
+  private[ops] def screenBatchProbedOver(spark: SparkSession,
+      centroids: Seq[Array[Float]], prunedData: Seq[Int] => DataFrame,
+      delta: DataFrame, k: Int, nprobe: Int,
+      candFilter: Option[org.apache.spark.sql.Column] = None,
       queryIsDouble: Boolean = false): (DataFrame, Seq[Int]) = {
     import spark.implicits._
     // query-side folds: the float-array kernel for float queries, the
@@ -778,7 +859,7 @@ object Ivf extends IndexFamily {
     val qnorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (queryIsDouble) _ => lit(1.0)
       else Similarity.l2norm
-    val centDf = index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
+    val centDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "cent")
     // Probe list per batch vector: O(Δ) scan work.
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid"))
@@ -798,8 +879,7 @@ object Ivf extends IndexFamily {
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    val pruned = indexData(spark, index.path)
-      .filter(col("cid").isin(probedCids: _*))
+    val pruned = prunedData(probedCids)
     // metadata predicate under the partition filter: a scan-side data
     // filter, so filtered search prunes bytes, not ranks
     val cands = candFilter.map(pruned.filter).getOrElse(pruned)

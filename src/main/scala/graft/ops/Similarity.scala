@@ -1068,6 +1068,7 @@ object Similarity {
     "sim_ivf_retention" -> (Ivf.ivfRetention _),
     "sim_ivf_upserted" -> (Ivf.ivfUpserted _),
     "sim_ivf_filtered_persisted" -> (Ivf.ivfFilteredPersisted _),
+    "sim_ivf_asof" -> (Ivf.ivfAsOf _),
     "sim_embedding_neardup" -> (embeddingNearDupPlanted _))
 
   val oracles: Map[String, String] = Map(
@@ -1090,5 +1091,8 @@ object Similarity {
     "sim_ivf_retention" -> Ivf.ivfRetentionSql,
     "sim_ivf_upserted" -> Ivf.ivfUpsertedSql,
     "sim_ivf_filtered_persisted" -> Ivf.ivfFilteredPersistedSql,
+    // the pinned snapshot screens the ORIGINAL base — the incremental
+    // closed form, through a takedown + upsert wave + compaction
+    "sim_ivf_asof" -> Ivf.ivfIncrementalSql,
     "sim_embedding_neardup" -> embeddingNearDupSql)
 }

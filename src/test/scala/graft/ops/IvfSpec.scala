@@ -823,4 +823,39 @@ class IvfSpec extends SparkTestBase {
     assert(survivors.nonEmpty && survivors.forall(_ % 2 == 0),
       s"only the even stratum may survive: ${survivors.take(5)}")
   }
+
+  test("pinned snapshot: as-of screening is bit-identical through delete, upsert, append and a compaction rewrite") {
+    val rnd = new scala.util.Random(23)
+    def v(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 240).map(i => (i.toLong, v())).toDF("vec_id", "embedding")
+    val queries = (1000 until 1004).map(i => (i.toLong, v())).toDF("vec_id", "embedding")
+    val path = tmpDir("ivf_pin") + "/index"
+    val index = Ivf.buildIndex(base, path, kCells = 8, iters = 2)
+    val atPin = Ivf.screenBatch(spark, index, queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    Ivf.pinIndex(path, "pre")
+    Ivf.deleteIds(index, (0 until 240 by 5).map(_.toLong))
+    assert(Ivf.upsertBatchIdempotent(Ivf.loadIndex(path),
+      (1 until 240 by 7).map(i => (i.toLong, v())).toDF("vec_id", "embedding"),
+      "pin:ups"))
+    assert(Ivf.appendBatchIdempotent(Ivf.loadIndex(path),
+      (300 until 330).map(i => (i.toLong, v())).toDF("vec_id", "embedding"),
+      "pin:app"))
+    val live = Ivf.screenBatch(spark, Ivf.loadIndex(path), queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(live !== atPin, "the mutation wave must move the live screen")
+    assert(Ivf.screenBatchAsOf(spark, path, "pre", queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the snapshot must hide later segments, tombstones and re-embeds")
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    assert(Ivf.screenBatchAsOf(spark, path, "pre", queries, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the pinned generation must survive the rewrite's reap")
+    assert(graft.util.IndexMaint.unpin(path, "pre"))
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    intercept[IllegalArgumentException] {
+      Ivf.screenBatchAsOf(spark, path, "pre", queries, k = 5, nprobe = 8)
+    }
+  }
 }
