@@ -989,27 +989,101 @@ object Pq {
 
   private def adcTopKAt(spark: SparkSession, index: PqIndex,
       queryVecs: Seq[(Long, Array[Double])], k: Int,
-      candFilter: Option[Column], gen: String): DataFrame = {
-    val m = index.codebooks.size
-    val kEff = index.codebooks.head.size
+      candFilter: Option[Column], gen: String): DataFrame =
+    adcTopKOver(spark, index.codebooks, queryVecs, k, candFilter,
+      indexDataAt(spark, gen))
+
+  /** The ADC fold over an EXPLICIT (codebooks, codes) pair — the live
+    * path passes the handle's codebooks and the live
+    * tombstone-subtracted read; a pinned snapshot passes the manifest's
+    * view ([[adcTopKAsOf]]).
+    */
+  private def adcTopKOver(spark: SparkSession,
+      codebooks: Seq[Seq[Array[Double]]],
+      queryVecs: Seq[(Long, Array[Double])], k: Int,
+      candFilter: Option[Column], indexed: DataFrame): DataFrame = {
+    val m = codebooks.size
+    val kEff = codebooks.head.size
     val lutSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false)))
     val lutDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         queryVecs.toIndexedSeq.map { case (id, q) =>
-          Row(id, adcLut(q, index.codebooks).toSeq)
+          Row(id, adcLut(q, codebooks).toSeq)
         }, 1), lutSchema)
     val d2 = (0 until m).map { s =>
       element_at(col("lut"), col(s"c$s") + lit(s * kEff + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    val data = indexDataAt(spark, gen)
-    candFilter.map(data.filter).getOrElse(data).crossJoin(broadcast(lutDf))
+    candFilter.map(indexed.filter).getOrElse(indexed).crossJoin(broadcast(lutDf))
       .select(col("query_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
+  /** Pin the live PQ state under `label` — the [[Ivf.pinIndex]]
+    * contract on the code index: generation + segment set + tombstone
+    * pairs; codebooks are a generation sidecar (nothing retrains in
+    * place — a rebalance commits a NEW generation the pin protects the
+    * old one from reaping through). Idempotent per label.
+    */
+  def pinIndex(path: String, label: String): Unit = {
+    graft.util.IndexMaint.pinLive(path, label)
+    ()
+  }
+
+  /** [[adcTopK]] against the snapshot pinned as `label` — bit-identical
+    * to an ADC screen at pin time: LUTs build from the PINNED
+    * codebooks, codes come from the manifest's segment set minus its
+    * tombstone-pair copy.
+    */
+  def adcTopKAsOf(spark: SparkSession, path: String, label: String,
+      queryVecs: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    val snap = graft.util.IndexMaint.readSnapshot(path, label).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot pinned as '$label' under $path"))
+    val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
+    adcTopKOver(spark, readCodebooks(genDir), queryVecs, k, None,
+      graft.util.IndexMaint.minusTombstonePairs(
+        spark.read.parquet(genDir).filter(col("seg").isin(snap.segs: _*)),
+        snap.tombs))
+  }
+
+  /** Registered `sim_pq_asof`: snapshot-isolated ADC serving — pin the
+    * freshly-built code index, hit it with a takedown, a donor-vector
+    * upsert wave and a compaction rewrite, then screen AS OF the pin.
+    * The oracle is [[pqIncrementalSql]] — the closed form over the
+    * ORIGINAL base — completing the pin story across the lexical, IVF
+    * and PQ families on the one shared manifest mechanism. Replays
+    * no-op on the tombstone union, the upsert token and the idempotent
+    * pin.
+    */
+  def pqAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.util.Fs.sessionTempDir("pq_index_asof", dir)
+    val index = buildIndexCached(base, s"$dir/embeddings.parquet", path,
+      m = 4, kSub = 16, iters = 0)
+    pinIndex(path, "pre")
+    val doomed = base.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    deleteIds(index, doomed)
+    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val wave = base.filter(col("vec_id") % 9 === 4)
+      .join(donor, col("did") === col("vec_id") + 1)
+      .select(col("vec_id"), col("demb").as("embedding"))
+    upsertBatchIdempotent(loadIndex(path), wave, "pqasofq:ups")
+    compactIndex(spark, loadIndex(path))
+    val queryVecs = emb
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq
+    adcTopKAsOf(spark, path, "pre", queryVecs, k = 5)
+      .orderBy("query_id", "rank")
   }
 
   /** [[pqRerank]] on the PERSISTED index — the serving path: ADC ranks
@@ -2149,6 +2223,7 @@ object Pq {
     "sim_ivfpq_filtered" -> (ivfPqFiltered _),
     "sim_ivfpq_rerank" -> (ivfPqRerank _),
     "sim_pq_incremental" -> (pqIncremental _),
+    "sim_pq_asof" -> (pqAsOf _),
     "sim_pq_rerank" -> (pqRerank _))
 
   val oracles: Map[String, String] = Map(
@@ -2159,5 +2234,8 @@ object Pq {
     "sim_ivfpq_residual_incremental" -> ivfPqResidualIncrementalSql,
     "sim_ivfpq_filtered" -> ivfPqFilteredSql,
     "sim_ivfpq_rerank" -> ivfPqRerankSql,
-    "sim_pq_incremental" -> pqIncrementalSql)
+    "sim_pq_incremental" -> pqIncrementalSql,
+    // the pinned snapshot screens the ORIGINAL base — the incremental
+    // closed form, through a takedown + upsert wave + compaction
+    "sim_pq_asof" -> pqIncrementalSql)
 }

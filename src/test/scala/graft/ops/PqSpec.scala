@@ -845,4 +845,31 @@ class PqSpec extends SparkTestBase {
     assert(rr.length === 5)
     rr.foreach(r => assert(labels(r.getLong(2)) === 2))
   }
+
+  test("pinned snapshot: as-of ADC is bit-identical through delete, upsert and a compaction rewrite") {
+    val rnd = new scala.util.Random(31)
+    def v(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, v())).toDF("vec_id", "embedding")
+    val queryVecs = (0 until 4).map(i =>
+      ((900 + i).toLong, Array.fill(16)(rnd.nextGaussian()))).toSeq
+    val path = tmpDir("pq_pin") + "/index"
+    val index = Pq.buildIndex(base, path, m = 4, kSub = 8, iters = 1)
+    val atPin = Pq.adcTopK(spark, index, queryVecs, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    Pq.pinIndex(path, "pre")
+    Pq.deleteIds(index, (0 until 200 by 6).map(_.toLong))
+    assert(Pq.upsertBatchIdempotent(Pq.loadIndex(path),
+      (1 until 200 by 9).map(i => (i.toLong, v())).toDF("vec_id", "embedding"),
+      "pqpin:ups"))
+    val live = Pq.adcTopK(spark, Pq.loadIndex(path), queryVecs, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(live !== atPin, "the mutation wave must move the live screen")
+    assert(Pq.adcTopKAsOf(spark, path, "pre", queryVecs, k = 5)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the snapshot must hide later tombstones and re-encodes")
+    Pq.compactIndex(spark, Pq.loadIndex(path))
+    assert(Pq.adcTopKAsOf(spark, path, "pre", queryVecs, k = 5)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the pinned generation must survive the rewrite's reap")
+  }
 }
