@@ -375,20 +375,35 @@ object Ivf extends IndexFamily {
     * the pinned generation).
     */
   def screenBatchAsOf(spark: SparkSession, path: String, label: String,
-      delta: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      delta: DataFrame, k: Int, nprobe: Int,
+      queryIsDouble: Boolean = false): DataFrame = {
     val snap = graft.util.IndexMaint.readSnapshot(path, label).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot pinned as '$label' under $path"))
     val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
     val centroids = readCentroids(genDir)
     screenBatchProbedOver(spark, centroids,
-      cids => graft.util.IndexMaint.minusTombstonePairs(
-        spark.read.parquet(genDir)
-          .filter(col("seg").isin(snap.segs: _*))
-          .filter(col("cid").isin(cids: _*)),
-        snap.tombs),
-      delta, k, nprobe)._1
+      cids => snapshotData(spark, genDir, snap)
+        .filter(col("cid").isin(cids: _*)),
+      delta, k, nprobe, candFilter = None, queryIsDouble = queryIsDouble)._1
   }
+
+  /** [[screenBatchDouble]] against the pinned snapshot — the hybrid
+    * stack's PRF-centroid screen served as-of.
+    */
+  def screenBatchDoubleAsOf(spark: SparkSession, path: String,
+      label: String, delta: DataFrame, k: Int, nprobe: Int): DataFrame =
+    screenBatchAsOf(spark, path, label, delta, k, nprobe,
+      queryIsDouble = true)
+
+  /** The manifest's view of a pinned generation: its segment set minus
+    * its tombstone-pair copy — the snapshot analog of [[indexData]].
+    */
+  private[ops] def snapshotData(spark: SparkSession, genDir: String,
+      snap: graft.util.IndexMaint.Snapshot): DataFrame =
+    graft.util.IndexMaint.minusTombstonePairs(
+      spark.read.parquet(genDir).filter(col("seg").isin(snap.segs: _*)),
+      snap.tombs)
 
   /** Registered `sim_ivf_asof`: snapshot-isolated vector serving — pin
     * the freshly-built index, hit it with a takedown, a donor-embedding

@@ -1703,8 +1703,45 @@ object LexIndex extends IndexFamily {
     * is this at full probe over the fixture queries).
     */
   def hybridPage(spark: SparkSession, path: String, vecIndex: Ivf.IvfIndex,
+      qs: Seq[(String, String)], nprobe: Int): DataFrame =
+    hybridPageOver(spark,
+      bm25TopK(spark, path, qs, 10),
+      Ivf.indexData(spark, vecIndex.path)
+        .select(col("vec_id"), col("embedding")),
+      batch => Ivf.screenBatchDouble(spark, vecIndex, batch,
+        k = 10, nprobe = nprobe))
+
+  /** The fused page against the snapshots pinned as `lexLabel` /
+    * `vecLabel` — every stage of the composition served as-of: lexical
+    * ranks from the pinned postings manifest, PRF embeddings fetched
+    * from the pinned vector manifest, the semantic screen probed
+    * against the pinned centroids and candidate set. Bit-identical to
+    * the page at pin time, whatever both indexes have absorbed since.
+    */
+  def hybridPageAsOf(spark: SparkSession, path: String, lexLabel: String,
+      vecPath: String, vecLabel: String,
       qs: Seq[(String, String)], nprobe: Int): DataFrame = {
-    val lex = bm25TopK(spark, path, qs, 10)
+    val vsnap = graft.util.IndexMaint.readSnapshot(vecPath, vecLabel)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot pinned as '$vecLabel' under $vecPath"))
+    val vgen = graft.util.IndexMaint.snapshotGenDir(vecPath, vsnap)
+    hybridPageOver(spark,
+      bm25TopKAsOf(spark, path, lexLabel, qs, 10),
+      Ivf.snapshotData(spark, vgen, vsnap)
+        .select(col("vec_id"), col("embedding")),
+      batch => Ivf.screenBatchDoubleAsOf(spark, vecPath, vecLabel, batch,
+        k = 10, nprobe = nprobe))
+  }
+
+  /** The fusion body over EXPLICIT stage providers: the live path and
+    * the pinned-snapshot path differ only in where each stage reads —
+    * the PRF arithmetic, both rank derivations and the RRF fold are the
+    * ONE implementation, so the as-of page cannot drift from the live
+    * one.
+    */
+  private def hybridPageOver(spark: SparkSession, lex0: DataFrame,
+      emb: DataFrame, semScreen: DataFrame => DataFrame): DataFrame = {
+    val lex = lex0
       .localCheckpoint() // feeds PRF, the fusion's r1 side — one derivation
     // the PRF embedding fetch reads the VECTOR INDEX, not the raw
     // corpus: the index's effective contents (tombstones subtracted,
@@ -1713,8 +1750,6 @@ object LexIndex extends IndexFamily {
     // touches anything but the two index directories at serving time —
     // the fetch itself is a ≤30-row broadcast join against the
     // column-pruned index scan
-    val emb = Ivf.indexData(spark, vecIndex.path)
-      .select(col("vec_id"), col("embedding"))
     // PRF centroid: the top-3 lexical hits THAT HAVE embeddings, mean'd
     // coordinate-wise with a rank-ordered fold (cross-engine-exact)
     val lexEmb = lex.join(emb, lex("doc_id") === emb("vec_id"))
@@ -1739,9 +1774,8 @@ object LexIndex extends IndexFamily {
     // registered rows run at FULL probe, which IvfSpec proves exact, so
     // the oracle hash holds while production dials nprobe down onto the
     // screen's cid partition pruning
-    val sem = Ivf.screenBatchDouble(spark, vecIndex,
-        centroid.select(col("query_id").as("vec_id"), col("qvec").as("embedding")),
-        k = 10, nprobe = nprobe)
+    val sem = semScreen(
+        centroid.select(col("query_id").as("vec_id"), col("qvec").as("embedding")))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("r2"))
     // reciprocal-rank fusion of the two lists (Cormack et al. 2009)
@@ -1815,6 +1849,54 @@ object LexIndex extends IndexFamily {
         Ivf.loadIndex(vecPath), checkEvery = 100)
       hybridCore(spark, lexPath, Ivf.loadIndex(vecPath)).localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
+  /** Registered `search_hybrid_asof`: the FUSED page served as-of —
+    * the reproducibility claim a RAG evaluation actually needs: "re-run
+    * yesterday's eval against yesterday's indexes", with both indexes
+    * having since absorbed a full CDC wave. Pin both indexes, land the
+    * same op-tagged wave on each (inserts, deletes, donor upserts — the
+    * `search_hybrid_cdc` shape as one atomic batch per side), then
+    * serve [[hybridPageAsOf]]. The oracle is [[hybridRrfSql]] — the
+    * closed form over the ORIGINAL corpus — so hash equality proves
+    * every stage (lexical ranks, PRF centroids, semantic screen,
+    * fusion) reads the pinned manifests and nothing newer. Replays
+    * no-op on the CDC tokens and the idempotent pins.
+    */
+  def hybridAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val emb = Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lexPath = graft.util.Fs.sessionTempDir("lex_index_hasof", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", lexPath)
+    pinIndex(spark, lexPath, "pre")
+    val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_asof", dir)
+    Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
+      kCells = 16, iters = 0)
+    Ivf.pinIndex(vecPath, "pre")
+    val docDonor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val vecDonor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val docBatch = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit("insert").as("op"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), col("text"), lit("delete").as("op")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 2)
+        .join(docDonor, col("did") === col("doc_id") + 1)
+        .select(col("doc_id"), col("dtext").as("text"), lit("upsert").as("op")))
+    val vecBatch = emb.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        lit("insert").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 7 === 3 && col("vec_id") % 5 =!= 2)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")))
+      .unionByName(emb.filter(col("vec_id") % 5 === 2)
+        .join(vecDonor, col("did") === col("vec_id") + 1)
+        .select(col("vec_id"), col("demb").as("embedding"),
+          lit("upsert").as("op")))
+    applyCdcDocs(lexPath, docBatch, "hasof:cdc:1")
+    Ivf.applyCdcIdempotent(Ivf.loadIndex(vecPath), vecBatch, "hasof:cdc:1")
+    hybridPageAsOf(spark, lexPath, "pre", vecPath, "pre",
+      Search.fixtureQueries, nprobe = 16)
   }
 
   /** Twin of [[hybridRrf]]: `text_bm25`'s twin as the lexical CTE, the
@@ -1924,6 +2006,7 @@ object LexIndex extends IndexFamily {
     "search_hybrid_rrf" -> (hybridRrf _),
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
     "search_hybrid_cdc" -> (hybridCdc _),
+    "search_hybrid_asof" -> (hybridAsOf _),
     "search_phrase" -> (phrasePersisted _),
     "search_phrase_ranked" -> (phraseRanked _),
     "search_proximity" -> (proximityPersisted _),
@@ -1977,6 +2060,9 @@ object LexIndex extends IndexFamily {
     // form over the effective corpus — the per-index CDC claims lifted
     // to the actually-served composition
     "search_hybrid_cdc" -> hybridCdcSql,
+    // the fused page as-of both pins equals the closed form over the
+    // ORIGINAL corpus — reproducible evals against mutated indexes
+    "search_hybrid_asof" -> hybridRrfSql,
     // the positional payload round-trips the index exactly: adjacency
     // excludes every bag-of-words co-occurrence the twin excludes
     "search_phrase" -> phraseSql,
