@@ -1659,11 +1659,25 @@ object Pq {
 
   private def screenTopKResidualAt(spark: SparkSession, index: IvfPqIndex,
       queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
-      candFilter: Option[Column], gen: String): DataFrame = {
-    val m = index.codebooks.size
-    val kSub = index.codebooks.head.size
-    val dim = index.centroids.head.length
-    val centsA = index.centroids.map(identity).toArray
+      candFilter: Option[Column], gen: String): DataFrame =
+    screenTopKResidualOver(spark, index.centroids, index.codebooks,
+      queryVecs, k, nprobe, candFilter,
+      cids => indexDataAt(spark, gen).filter(col("cid").isin(cids: _*)))
+
+  /** The residual screen over an EXPLICIT (coarse quantizer, codebooks,
+    * candidate provider) triple — the live path passes the handle's
+    * sidecars and the live tombstone-subtracted read; a pinned snapshot
+    * passes the manifest's view ([[screenTopKResidualAsOf]]).
+    */
+  private def screenTopKResidualOver(spark: SparkSession,
+      centroids: Seq[Array[Float]], codebooks: Seq[Seq[Array[Double]]],
+      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int,
+      candFilter: Option[Column],
+      prunedData: Seq[Int] => DataFrame): DataFrame = {
+    val m = codebooks.size
+    val kSub = codebooks.head.size
+    val dim = centroids.head.length
+    val centsA = centroids.map(identity).toArray
     val probeRows = queryVecs.flatMap { case (id, q) =>
       centsA.zipWithIndex.map { case (cv, cid) =>
         var dot = 0.0; var nrm = 0.0
@@ -1676,7 +1690,7 @@ object Pq {
         .map { case (_, cid) =>
           val cvec = centsA(cid)
           val qresid = Array.tabulate(dim)(i => q(i) - cvec(i).toDouble)
-          Row(id, cid, adcLut(qresid, index.codebooks).toSeq)
+          Row(id, cid, adcLut(qresid, codebooks).toSeq)
         }
     }
     val probeSchema = StructType(Seq(
@@ -1690,8 +1704,7 @@ object Pq {
       element_at(col("lut"), col(s"c$s") + lit(s * kSub + 1))
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    val pruned = indexDataAt(spark, gen)
-      .filter(col("cid").isin(probedCids: _*))
+    val pruned = prunedData(probedCids)
     // metadata predicate UNDER the cid partition filter: filter ×
     // partition prune × byte prune, all three dials in one plan
     candFilter.map(pruned.filter).getOrElse(pruned)
@@ -1700,6 +1713,63 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
+  /** [[screenTopKResidual]] against the snapshot pinned as `label` —
+    * completing as-of serving across ALL FOUR index families on the one
+    * manifest mechanism: probes rank against the PINNED coarse
+    * quantizer, LUTs build from the PINNED codebooks, codes come from
+    * the manifest's segment set minus its tombstone-pair copy, and the
+    * probed-cid partition pruning applies unchanged.
+    */
+  def screenTopKResidualAsOf(spark: SparkSession, path: String,
+      label: String, queryVecs: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    val snap = graft.util.IndexMaint.readSnapshot(path, label).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot pinned as '$label' under $path"))
+    val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
+    screenTopKResidualOver(spark, Ivf.readCentroids(genDir),
+      readCodebooks(genDir), queryVecs, k, nprobe, candFilter = None,
+      cids => graft.util.IndexMaint.minusTombstonePairs(
+        spark.read.parquet(genDir)
+          .filter(col("seg").isin(snap.segs: _*))
+          .filter(col("cid").isin(cids: _*)),
+        snap.tombs))
+  }
+
+  /** Registered `sim_ivfpq_asof`: snapshot-isolated residual serving —
+    * pin the freshly-built residual index, hit it with a takedown, a
+    * donor-vector upsert wave and a compaction rewrite, then screen AS
+    * OF the pin. The oracle is [[ivfPqResidualIncrementalSql]] — the
+    * closed form over the ORIGINAL base. The fourth and last family on
+    * the shared pin mechanism. Replays no-op on the tombstone union,
+    * the upsert token and the idempotent pin.
+    */
+  def ivfPqAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val c = Catalog(spark, dir)
+    val emb = c.ref("embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.util.Fs.sessionTempDir("ivfpq_index_asof", dir)
+    val index = buildIndexResidualCached(base, s"$dir/embeddings.parquet",
+      path, kCells = 16, m = 4, kSub = 16, iters = 0)
+    graft.util.IndexMaint.pinLive(path, "pre")
+    val doomed = base.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    deleteIdsResidual(index, doomed)
+    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val wave = base.filter(col("vec_id") % 9 === 4)
+      .join(donor, col("did") === col("vec_id") + 1)
+      .select(col("vec_id"), col("demb").as("embedding"))
+    upsertBatchIdempotentResidual(loadIndexResidual(path), wave, "rqasofq:ups")
+    compactIndexResidual(spark, loadIndexResidual(path))
+    val queryVecs = emb
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .toSeq
+    screenTopKResidualAsOf(spark, path, "pre", queryVecs, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
   }
 
   /** [[rerankTopK]] on the PERSISTED RESIDUAL index — FAISS's
@@ -2220,6 +2290,7 @@ object Pq {
     "sim_ivfpq_ann" -> (ivfPqAnn _),
     "sim_ivfpq_residual" -> (ivfPqResidual _),
     "sim_ivfpq_residual_incremental" -> (ivfPqResidualIncremental _),
+    "sim_ivfpq_asof" -> (ivfPqAsOf _),
     "sim_ivfpq_filtered" -> (ivfPqFiltered _),
     "sim_ivfpq_rerank" -> (ivfPqRerank _),
     "sim_pq_incremental" -> (pqIncremental _),
@@ -2232,6 +2303,9 @@ object Pq {
     "sim_ivfpq_ann" -> ivfPqAnnSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_ivfpq_residual_incremental" -> ivfPqResidualIncrementalSql,
+    // the pinned residual snapshot screens the ORIGINAL base — the
+    // incremental closed form, through takedown + upsert + compaction
+    "sim_ivfpq_asof" -> ivfPqResidualIncrementalSql,
     "sim_ivfpq_filtered" -> ivfPqFilteredSql,
     "sim_ivfpq_rerank" -> ivfPqRerankSql,
     "sim_pq_incremental" -> pqIncrementalSql,
