@@ -1376,6 +1376,48 @@ object ScaleProbe {
         java.nio.file.Paths.get(msPath).getParent.toString)
     }
 
+    // Pinned snapshot at 8x: a pin costs RETENTION (the pinned
+    // generation's bytes survive the compaction reap), never query
+    // speed — the as-of read is the same bucket-pruned fetch as the
+    // live one. Record both query times and the retained bytes.
+    locally {
+      val pinPath = java.nio.file.Files.createTempDirectory("probe_pin").toString + "/index"
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        ops.LexIndex.buildIndex(docs8, pinPath)
+        ops.LexIndex.pinIndex(spark, pinPath, "pre")
+        val doomed = docs8.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        ops.LexIndex.deleteDocs(spark, pinPath, doomed)
+        ops.LexIndex.compactIndex(spark, pinPath)
+        def dirBytes(p: String): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+          } finally s.close()
+        }
+        val snap = graft.util.IndexMaint.readSnapshot(pinPath, "pre").get
+        val pinnedBytes = dirBytes(s"$pinPath/${snap.gen}")
+        val totalBytes = dirBytes(pinPath)
+        val t0 = System.nanoTime()
+        val rLive = ops.LexIndex.bm25TopK(spark, pinPath,
+          ops.Search.fixtureQueries, 5).count()
+        val tLive = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val rAsOf = ops.LexIndex.bm25TopKAsOf(spark, pinPath, "pre",
+          ops.Search.fixtureQueries, 5).count()
+        val tAsOf = (System.nanoTime() - t1) / 1e9
+        if (rLive != rAsOf)
+          throw new IllegalStateException(s"pin probe page sizes differ: $rLive vs $rAsOf")
+        val line = f"PROBE pin_asof_8x          live=$tLive%.2f s asof=$tAsOf%.2f s retained=${pinnedBytes / 1e6}%.1fMB/${totalBytes / 1e6}%.1fMB (pinned gen survives the compaction reap)"
+        println(line); report ++= line + "\n"
+      } finally graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(pinPath).getParent.toString)
+    }
+
     // Postings CDC at 8x — the steepest file-growth family (an append
     // touches up to 64 tb partitions): drive the SAME six insert
     // batches through DocIngest twice, without and with the
