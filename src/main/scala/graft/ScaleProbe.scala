@@ -1344,7 +1344,7 @@ object ScaleProbe {
         val docs8 = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
         ops.LexIndex.buildIndex(docs8, msPath)
-        val qs = ops.Search.fixtureQueries
+        val qs = ops.Search.prunedFixtureQueries
         val t0 = System.nanoTime()
         val full = ops.LexIndex.bm25TopK(spark, msPath, qs, 5).collect()
         val tFull = (System.nanoTime() - t0) / 1e9
@@ -1881,6 +1881,21 @@ object ScaleProbe {
     report ++= "  runtime is flat in mutation history and linear in index size —\n"
     report ++= "  and protocol-produced state audits clean (0 violations; notes\n"
     report ++= "  are self-healing crash states only).\n"
+    report ++= "- bm25_maxscore_8x: MaxScore term-bound pruning on the 8x\n"
+    report ++= "  postings. The corpus's one skewed query (rare 'dup' seeds th-\n"
+    report ++= "  eta; ~77%-df terms bound below it) drops its rank-window input\n"
+    report ++= "  ~12x (its two common terms score only inside dup's candidate\n"
+    report ++= "  set); the uniform-df fixture queries prune nothing by design,\n"
+    report ++= "  so the aggregate window-rows line moves less than a Zipf\n"
+    report ++= "  corpus would. Page asserted bit-identical to the unpruned\n"
+    report ++= "  path. At this sf the theta pass costs more than it saves —\n"
+    report ++= "  the win is shuffle/window volume, which scales with posting\n"
+    report ++= "  lists while the overhead stays O(queries).\n"
+    report ++= "- pin_asof_8x: a pinned snapshot on the 8x postings index\n"
+    report ++= "  through a takedown + compaction rewrite: the as-of read costs\n"
+    report ++= "  the same as the live read (same bucket-pruned fetch shape) —\n"
+    report ++= "  a snapshot costs RETENTION (the pinned generation's bytes\n"
+    report ++= "  survive the reap), never query speed.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       report.toString.getBytes("UTF-8"))
     println("wrote SCALE.md")

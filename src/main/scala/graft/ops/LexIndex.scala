@@ -1462,16 +1462,18 @@ object LexIndex extends IndexFamily {
   /** Registered `search_bm25_pruned`: MaxScore-pruned serving over the
     * SAME persisted index as `search_bm25_persisted` — the oracle is
     * the IDENTICAL unfiltered twin, so the hash claim is "pruning
-    * changed nothing but the plan". The fixture's q3 carries 'the'
-    * (in nearly every doc): its upper bound lands it non-essential, so
-    * its posting list reaches the score aggregation only ∩ candidates
-    * of q3's rare terms instead of flooding the rank window.
+    * changed nothing but the plan". The query set is the fixture set
+    * plus the one SKEWED query the synthetic corpus admits (q4: 'dup'
+    * at ~5% df seeds a θ the ~77%-df terms' bounds cannot reach, so
+    * their posting lists hit the score aggregation only ∩ q4's
+    * candidates); the uniform-df q1–q3 pin the no-skew degrade — all
+    * under one oracle.
     */
   def bm25Pruned(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
-    bm25PrunedTopK(spark, path, Search.fixtureQueries, 5)
+    bm25PrunedTopK(spark, path, Search.prunedFixtureQueries, 5)
   }
 
   /** Registered `search_bm25_filtered`: metadata-gated serving — rank
@@ -2017,9 +2019,10 @@ object LexIndex extends IndexFamily {
     // the persisted index must reproduce the in-memory ranking EXACTLY:
     // same twin as text_bm25, different engine path
     "search_bm25_persisted" -> Search.textBm25Sql,
-    // pruned serving must be INVISIBLE in the results: the exact same
-    // twin as the unpruned row — only the plan differs
-    "search_bm25_pruned" -> Search.textBm25Sql,
+    // pruned serving must be INVISIBLE in the results: the same twin
+    // shape as the unpruned row over the skew-extended query set (q4 is
+    // where the bounds engage) — only the plan differs
+    "search_bm25_pruned" -> Search.textBm25SqlFor(Search.prunedFixtureQueries),
     // the metadata gate narrows the page, not the statistics: global
     // stats/df in the twin too, the predicate applied at ranking
     "search_bm25_filtered" -> Search.textBm25SqlFilteredRank("d.lang = 'en'"),

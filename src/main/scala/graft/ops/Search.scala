@@ -54,6 +54,17 @@ object Search {
     "q2" -> "window", "q2" -> "hash", "q2" -> "stream",
     "q3" -> "the", "q3" -> "fast", "q3" -> "table")
 
+  /** [[fixtureQueries]] plus the one query whose term dfs are actually
+    * SKEWED in the synthetic corpus: 'dup' hits ~5% of docs while every
+    * other vocabulary term hits ~77% (the generator has no Zipf tail),
+    * so q4 is the query where MaxScore term bounds genuinely engage —
+    * 'dup' seeds a high θ and the two common terms classify
+    * non-essential. The uniform-df q1–q3 ride along to pin the
+    * no-skew-no-pruning degrade under the same oracle.
+    */
+  val prunedFixtureQueries: Seq[(String, String)] = fixtureQueries ++ Seq(
+    "q4" -> "dup", "q4" -> "the", "q4" -> "spark")
+
   /** (query_id, doc_id, tf, df, dl, n_docs, sum_dl) — the integer
     * sufficient statistics of BM25, shared by both scoring variants.
     */
@@ -198,9 +209,16 @@ object Search {
        |              list_reduce(list_sort(list(s)), (p, q) -> p + q) AS score
        |       FROM st GROUP BY 1, 2)""".stripMargin
 
-  private def textBm25SqlOver(rel: String): String = {
-    val vals = fixtureQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
-    val terms = fixtureQueries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+  /** The twin over `documents` for an EXPLICIT query set — the pruned
+    * row's oracle extends the fixture set with the skewed q4.
+    */
+  def textBm25SqlFor(qs: Seq[(String, String)]): String =
+    textBm25SqlOver("documents", qs)
+
+  private def textBm25SqlOver(rel: String,
+      qs: Seq[(String, String)] = fixtureQueries): String = {
+    val vals = qs.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val terms = qs.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $vals),
        |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |        FROM $rel),
