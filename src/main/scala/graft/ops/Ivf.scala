@@ -381,12 +381,22 @@ object Ivf extends IndexFamily {
       throw new IllegalArgumentException(
         s"no snapshot pinned as '$label' under $path"))
     val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
-    val centroids = readCentroids(genDir)
-    screenBatchProbedOver(spark, centroids,
+    screenBatchSnapshot(spark, genDir, snap, delta, k, nprobe,
+      queryIsDouble)
+  }
+
+  /** The snapshot screen against an ALREADY-RESOLVED (genDir, manifest)
+    * pair — what a composition that also reads the manifest itself
+    * (the as-of hybrid page) calls, so the label resolves ONCE and
+    * every stage observes the same outcome.
+    */
+  private[ops] def screenBatchSnapshot(spark: SparkSession, genDir: String,
+      snap: graft.util.IndexMaint.Snapshot, delta: DataFrame, k: Int,
+      nprobe: Int, queryIsDouble: Boolean): DataFrame =
+    screenBatchProbedOver(spark, readCentroids(genDir),
       cids => snapshotData(spark, genDir, snap)
         .filter(col("cid").isin(cids: _*)),
       delta, k, nprobe, candFilter = None, queryIsDouble = queryIsDouble)._1
-  }
 
   /** [[screenBatchDouble]] against the pinned snapshot — the hybrid
     * stack's PRF-centroid screen served as-of.
@@ -401,9 +411,7 @@ object Ivf extends IndexFamily {
     */
   private[ops] def snapshotData(spark: SparkSession, genDir: String,
       snap: graft.util.IndexMaint.Snapshot): DataFrame =
-    graft.util.IndexMaint.minusTombstonePairs(
-      spark.read.parquet(genDir).filter(col("seg").isin(snap.segs: _*)),
-      snap.tombs)
+    graft.util.IndexMaint.snapshotView(spark, genDir, snap, idCol = "vec_id")
 
   /** Registered `sim_ivf_asof`: snapshot-isolated vector serving — pin
     * the freshly-built index, hit it with a takedown, a donor-embedding

@@ -679,12 +679,28 @@ object LexIndex extends IndexFamily {
   private[graft] def bm25PrunedCore(spark: SparkSession, path: String,
       qs: Seq[(String, String)], k: Int): (DataFrame, PruneDecision) = {
     import spark.implicits._
+    // duplicate (query, term) pairs would double-count in the unpruned
+    // scorer but fold once through the role map — refuse the ambiguity
+    // up front rather than diverge from bm25TopK on it
+    require(qs.distinct.size == qs.size,
+      s"bm25PrunedTopK: duplicate (query_id, term) pairs in the query set")
     val terms = qs.map(_._2).distinct
     val buckets = bucketsOf(spark, terms)
     val gen = graft.util.IndexMaint.liveGen(path)
     val stats = liveStatsAt(gen)
-    val (removedN, _) = readRemoved(gen)
-    val posts = indexDataAt(spark, gen)
+    // ONE tombstone-set read feeds BOTH the posting subtraction and the
+    // df lower bound: a removed-sidecar read that predates the
+    // tombstone read (concurrent delete, or the torn crash window
+    // between the two delete-path writes) would under-count and make
+    // dfLb exceed the live df — an unsound bound that silently drops a
+    // qualifying doc from the "exact" page. tombs.length (every
+    // tombstoned (seg, doc) copy) is a looser adjustment than the
+    // removed-doc count but is derived from the same snapshot the posts
+    // subtract, so it is always sound.
+    val tombs = graft.util.IndexMaint.readTombstones(gen)
+    val removedN = tombs.length.toLong
+    val posts = graft.util.IndexMaint.minusTombstonePairs(
+        spark.read.parquet(gen), tombs, idCol = "doc_id")
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -843,10 +859,8 @@ object LexIndex extends IndexFamily {
     val stats = statsOfSnapshot(genDir, snap)
     val terms = qs.map(_._2).distinct
     val buckets = bucketsOf(spark, terms)
-    val posts = graft.util.IndexMaint.minusTombstonePairs(
-        spark.read.parquet(genDir)
-          .filter(col("seg").isin(snap.segs: _*)),
-        snap.tombs, idCol = "doc_id")
+    val posts = graft.util.IndexMaint.snapshotView(spark, genDir, snap,
+        idCol = "doc_id")
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -1723,6 +1737,9 @@ object LexIndex extends IndexFamily {
   def hybridPageAsOf(spark: SparkSession, path: String, lexLabel: String,
       vecPath: String, vecLabel: String,
       qs: Seq[(String, String)], nprobe: Int): DataFrame = {
+    // resolve the vector label ONCE: the PRF embedding fetch and the
+    // semantic screen must observe the same manifest (an unpin racing
+    // two independent resolutions could split them)
     val vsnap = graft.util.IndexMaint.readSnapshot(vecPath, vecLabel)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot pinned as '$vecLabel' under $vecPath"))
@@ -1731,8 +1748,8 @@ object LexIndex extends IndexFamily {
       bm25TopKAsOf(spark, path, lexLabel, qs, 10),
       Ivf.snapshotData(spark, vgen, vsnap)
         .select(col("vec_id"), col("embedding")),
-      batch => Ivf.screenBatchDoubleAsOf(spark, vecPath, vecLabel, batch,
-        k = 10, nprobe = nprobe))
+      batch => Ivf.screenBatchSnapshot(spark, vgen, vsnap, batch,
+        k = 10, nprobe = nprobe, queryIsDouble = true))
   }
 
   /** The fusion body over EXPLICIT stage providers: the live path and

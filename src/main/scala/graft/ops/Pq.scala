@@ -1046,9 +1046,8 @@ object Pq {
         s"no snapshot pinned as '$label' under $path"))
     val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
     adcTopKOver(spark, readCodebooks(genDir), queryVecs, k, None,
-      graft.util.IndexMaint.minusTombstonePairs(
-        spark.read.parquet(genDir).filter(col("seg").isin(snap.segs: _*)),
-        snap.tombs))
+      graft.util.IndexMaint.snapshotView(spark, genDir, snap,
+        idCol = "vec_id"))
   }
 
   /** Registered `sim_pq_asof`: snapshot-isolated ADC serving — pin the
@@ -1731,11 +1730,8 @@ object Pq {
     val genDir = graft.util.IndexMaint.snapshotGenDir(path, snap)
     screenTopKResidualOver(spark, Ivf.readCentroids(genDir),
       readCodebooks(genDir), queryVecs, k, nprobe, candFilter = None,
-      cids => graft.util.IndexMaint.minusTombstonePairs(
-        spark.read.parquet(genDir)
-          .filter(col("seg").isin(snap.segs: _*))
-          .filter(col("cid").isin(cids: _*)),
-        snap.tombs))
+      cids => graft.util.IndexMaint.snapshotView(spark, genDir, snap,
+        idCol = "vec_id").filter(col("cid").isin(cids: _*)))
   }
 
   /** Registered `sim_ivfpq_asof`: snapshot-isolated residual serving —

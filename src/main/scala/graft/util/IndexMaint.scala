@@ -222,7 +222,21 @@ object IndexMaint {
   // ---- generations ----------------------------------------------------------
 
   private val LivePointer = "_live.txt"
+  private val PrevPointer = "_prev.txt"
   private val GenPattern = "gen-(\\d{9})".r
+
+  /** The reader-grace predecessor the LAST commit retained:
+    * None = the root predates the sidecar (callers must not guess);
+    * Some(None) = recorded "no predecessor"; Some(Some(n)) = n.
+    */
+  def prevGenName(root: String): Option[Option[String]] = {
+    val p = Paths.get(root, PrevPointer)
+    if (!Files.exists(p)) None
+    else {
+      val n = new String(Files.readAllBytes(p), UTF_8).trim
+      Some(if (n.isEmpty) None else Some(n))
+    }
+  }
 
   private def genNumber(name: String): Option[Long] = name match {
     case GenPattern(n) => Some(n.toLong)
@@ -308,6 +322,14 @@ object IndexMaint {
     val tmp = Paths.get(root, LivePointer + ".tmp")
     Files.write(tmp, name.getBytes(UTF_8))
     Files.move(tmp, Paths.get(root, LivePointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // record WHICH generation is the reader-grace predecessor: number
+    // ordering cannot distinguish it from a crash-orphan that was moved
+    // but never pointed to, and [[fsckRepair]] must not guess (the
+    // orphan would be kept and the copy a reader still holds reaped)
+    val ptmp = Paths.get(root, PrevPointer + ".tmp")
+    Files.write(ptmp, prevLive.getOrElse("").getBytes(UTF_8))
+    Files.move(ptmp, Paths.get(root, PrevPointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val pinned = pinnedGenNames(root)
     genDirs(root).foreach { case (_, p) =>
@@ -672,12 +694,20 @@ object IndexMaint {
         val others = genDirs(root)
           .filterNot(_._2.getFileName.toString == liveName)
           .filterNot(g => pinned.contains(g._2.getFileName.toString))
-        val keepPredecessor = others
-          .filter(g => liveNum.exists(g._1 < _))
-          .sortBy(_._1).lastOption.map(_._2.getFileName.toString)
-        others.foreach { case (_, p) =>
+        // which older generation is the reader-grace predecessor? The
+        // commit records it (_prev.txt) — NUMBER ordering cannot tell
+        // it apart from a crash-orphan that was moved but never pointed
+        // to, and guessing wrong reaps the copy a reader still holds.
+        // Newer-than-live generations are always orphan debris (the
+        // pointer flip is the commit); older ones are reaped only
+        // against the recorded predecessor — a pre-sidecar root keeps
+        // them all rather than guess.
+        val recordedPrev = prevGenName(root)
+        others.foreach { case (num, p) =>
           val n = p.getFileName.toString
-          if (!keepPredecessor.contains(n)) {
+          val newerThanLive = liveNum.exists(num > _)
+          val reapOlder = recordedPrev.exists(prev => !prev.contains(n))
+          if (newerThanLive || (liveNum.exists(num < _) && reapOlder)) {
             Fs.deleteRecursively(p.toString)
             reclaimed += s"gen:$n"
           }
@@ -807,6 +837,19 @@ object IndexMaint {
         Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt"))
       }
     }
+
+  /** The ONE manifest-view read every family's as-of path serves from:
+    * the pinned generation's files restricted to the manifest's segment
+    * set, minus its tombstone-pair copy. Kept here so a future fix to
+    * either filter reaches all four families at once.
+    */
+  def snapshotView(spark: org.apache.spark.sql.SparkSession, genDir: String,
+      snap: Snapshot, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    minusTombstonePairs(
+      spark.read.parquet(genDir).filter(col("seg").isin(snap.segs: _*)),
+      snap.tombs, idCol)
+  }
 
   /** The pinned generation's directory — loud when the manifest exists
     * but the directory was lost (a reap path that ignored pins IS the

@@ -73,8 +73,22 @@ class IndexFsckSpec extends SparkTestBase {
     val after = Ivf.screenBatch(spark, Ivf.loadIndex(path),
       vecs(3), k = 5, nprobe = 4).collect().map(_.toString).sorted.toSeq
     assert(after === before, "repair must not touch live data")
+    // the kept predecessor is the RECORDED one, not a number guess
+    val prevRec = graft.util.IndexMaint.prevGenName(path)
+    assert(prevRec.exists(_.nonEmpty), "commit must record its predecessor")
     // a repaired root repairs to nothing
     assert(graft.util.IndexMaint.fsckRepair(path).isEmpty)
+    // a PRE-SIDECAR root (no _prev.txt) must not guess which older
+    // generation is the reader-grace copy: older gens are kept, only
+    // never-pointed-to newer orphans are reaped
+    Files.delete(Paths.get(path, "_prev.txt"))
+    Files.createDirectories(Paths.get(path, "gen-000000000/seg=old"))
+    Files.createDirectories(Paths.get(path, "gen-000000098"))
+    val r2 = graft.util.IndexMaint.fsckRepair(path)
+    assert(r2.contains("gen:gen-000000098"), r2.mkString("; "))
+    assert(!r2.contains("gen:gen-000000000"),
+      s"without the recorded predecessor, older generations must be KEPT: $r2")
+    assert(Files.isDirectory(Paths.get(path, "gen-000000000")))
   }
 
   test("protocol bypasses are named: missing token file, orphan tombstone segment, deleted live pointer") {
