@@ -331,11 +331,14 @@ object IndexMaint {
     Files.write(ptmp, prevLive.getOrElse("").getBytes(UTF_8))
     Files.move(ptmp, Paths.get(root, PrevPointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val pinned = pinnedGenNames(root)
-    genDirs(root).foreach { case (_, p) =>
-      val n = p.getFileName.toString
-      if (n != name && !prevLive.contains(n) && !pinned.contains(n))
-        Fs.deleteRecursively(p.toString)
+    // an unparseable pin manifest freezes generation reaping (None):
+    // the commit itself still lands — data retention over tidiness
+    pinnedGenNames(root).foreach { pinned =>
+      genDirs(root).foreach { case (_, p) =>
+        val n = p.getFileName.toString
+        if (n != name && !prevLive.contains(n) && !pinned.contains(n))
+          Fs.deleteRecursively(p.toString)
+      }
     }
     target.toString
   }
@@ -568,10 +571,26 @@ object IndexMaint {
         else s"no live pointer — the index was never committed (or the pointer was deleted)")
       case Some(gen) =>
         val genName = Paths.get(gen).getFileName.toString
-        val pinnedGens = pinnedGenNames(root)
+        val pinnedGens = pinnedGenNames(root).getOrElse(Set.empty)
         if (pinnedGens.nonEmpty)
           note += s"${pinnedGens.size} pinned snapshot generation(s) " +
             s"retained: ${pinnedGens.toSeq.sorted.mkString(", ")}"
+        // every pin manifest must resolve: a manifest naming a missing
+        // generation means a reap path ignored the pin set (or the
+        // directory was hand-deleted) — surfacing it here beats the
+        // as-of read discovering it later, and an unparseable manifest
+        // is a finding, never an fsck crash
+        listSnapshotLabels(root).foreach { label =>
+          try readSnapshot(root, label).foreach { snap =>
+            if (!Files.isDirectory(Paths.get(root, snap.gen)))
+              bad += s"pin '$label' references missing generation " +
+                s"${snap.gen} — a reap path ignored the pin set"
+          } catch {
+            case e: Exception =>
+              bad += s"pin manifest '$label' unparseable " +
+                s"(${e.getClass.getSimpleName}) — not written by this protocol"
+          }
+        }
         val others = genDirs(root).map(_._2.getFileName.toString)
           .filterNot(_ == genName).filterNot(pinnedGens.contains)
         if (others.size > 1)
@@ -687,10 +706,13 @@ object IndexMaint {
         Fs.deleteRecursively(r.resolve(n).toString)
         reclaimed += s"stage:$n"
       }
-      liveGenOpt(root).foreach { gen =>
+      // an unparseable pin manifest freezes generation reaping: the
+      // damaged pin's generation is unknowable, and repair must not
+      // delete what might be a pinned snapshot's only copy (stages and
+      // tmp files still reclaim — they are never pinnable)
+      for (gen <- liveGenOpt(root); pinned <- pinnedGenNames(root)) {
         val liveName = Paths.get(gen).getFileName.toString
         val liveNum = genNumber(liveName)
-        val pinned = pinnedGenNames(root)
         val others = genDirs(root)
           .filterNot(_._2.getFileName.toString == liveName)
           .filterNot(g => pinned.contains(g._2.getFileName.toString))
@@ -751,21 +773,34 @@ object IndexMaint {
   final case class Snapshot(gen: String, segs: Seq[String],
       tombs: Array[(String, Long)], extra: Map[String, String])
 
-  /** Generation names any pin manifest references — every reap path
-    * (commit, repair) must keep these on disk.
-    */
-  def pinnedGenNames(root: String): Set[String] = {
+  /** The labels with a pin manifest on disk, sorted. */
+  def listSnapshotLabels(root: String): Seq[String] = {
     val d = Paths.get(root, PinsDir)
-    if (!Files.isDirectory(d)) Set.empty
+    if (!Files.isDirectory(d)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
       val s = Files.list(d)
-      val labels = try s.iterator().asScala
+      try s.iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".txt"))
-        .map(_.stripSuffix(".txt")).toList
+        .map(_.stripSuffix(".txt")).toList.sorted
       finally s.close()
-      labels.flatMap(l => readSnapshot(root, l)).map(_.gen).toSet
     }
+  }
+
+  /** Generation names any pin manifest references — every reap path
+    * (commit, repair) must keep these on disk. None when ANY manifest
+    * is unparseable: the damaged pin's generation is unknowable, so
+    * reap paths must freeze generation reaping entirely (data first —
+    * fsck names the manifest; repair or unpin resolves it) rather than
+    * delete what might be a pinned snapshot's only copy.
+    */
+  def pinnedGenNames(root: String): Option[Set[String]] = {
+    val resolved = listSnapshotLabels(root).map { l =>
+      try Some(readSnapshot(root, l).map(_.gen))
+      catch { case _: Exception => None }
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else Some(resolved.flatMap(_.flatten).toSet)
   }
 
   /** Pin the LIVE state under `label`: record the generation, its

@@ -91,6 +91,41 @@ class IndexFsckSpec extends SparkTestBase {
     assert(Files.isDirectory(Paths.get(path, "gen-000000000")))
   }
 
+  test("pin manifests are audited: a missing pinned generation is a violation; a corrupt manifest freezes reaping, never unpins") {
+    val path = tmpDir("fsck_pin") + "/index"
+    Ivf.buildIndex(vecs(60), path, kCells = 4, iters = 1)
+    Ivf.pinIndex(path, "keep")
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    // clean state: the pin is a note, not a violation
+    val (b0, n0) = graft.util.IndexMaint.fsckRoot(path)
+    assert(b0.isEmpty, b0.mkString("; "))
+    assert(n0.exists(_.contains("pinned")), n0.mkString("; "))
+    // a reap path that ignored the pin set: hand-delete the pinned gen
+    val snap = graft.util.IndexMaint.readSnapshot(path, "keep").get
+    graft.util.Fs.deleteRecursively(s"$path/${snap.gen}")
+    val (b1, _) = graft.util.IndexMaint.fsckRoot(path)
+    assert(b1.exists(b => b.contains("keep") && b.contains(snap.gen)),
+      s"the lost pinned generation must be named: $b1")
+    // a CORRUPT manifest: fsck names it, and repair freezes generation
+    // reaping (the damaged pin's gen is unknowable) while still
+    // reclaiming stages
+    Files.write(Paths.get(path, "_pins", "keep.txt"),
+      "not a manifest".getBytes(UTF_8))
+    val (b2, _) = graft.util.IndexMaint.fsckRoot(path)
+    assert(b2.exists(_.contains("unparseable")), b2.mkString("; "))
+    Files.createDirectories(Paths.get(path, ".stage-crashed-pin"))
+    Files.createDirectories(Paths.get(path, "gen-000000097"))
+    val r = graft.util.IndexMaint.fsckRepair(path)
+    assert(r.exists(_.startsWith("stage:")), r.mkString("; "))
+    assert(!r.exists(_.startsWith("gen:")),
+      s"generation reaping must freeze under a corrupt pin manifest: $r")
+    assert(Files.isDirectory(Paths.get(path, "gen-000000097")))
+    // unpin resolves the damage; reaping resumes
+    assert(graft.util.IndexMaint.unpin(path, "keep"))
+    val r2 = graft.util.IndexMaint.fsckRepair(path)
+    assert(r2.contains("gen:gen-000000097"), r2.mkString("; "))
+  }
+
   test("protocol bypasses are named: missing token file, orphan tombstone segment, deleted live pointer") {
     val path = tmpDir("fsck_bypass") + "/index"
     val index = Ivf.buildIndex(vecs(80), path, kCells = 4, iters = 1)

@@ -716,6 +716,12 @@ class LexIndexSpec extends SparkTestBase {
     val (bad, notes) = graft.util.IndexMaint.fsckRoot(path)
     assert(bad.isEmpty, bad.mkString("; "))
     assert(notes.exists(_.contains("pinned")), notes.mkString("; "))
+    // the RETENTION rewrite path (deleteDocsWhere — a filtered survivor
+    // rewrite, not a compaction) must respect the pin the same way
+    LexIndex.deleteDocsWhere(spark, path, col("doc_id") % 4 === 1)
+    assert(LexIndex.bm25TopKAsOf(spark, path, "pre", qs, 5)
+      .collect().map(_.toString).sorted.toSeq === atPin,
+      "the pinned generation must survive the retention rewrite's reap")
     // unpin → the generation is reclaimable; the next rewrite reaps it
     // and a later as-of read fails LOUDLY, never serves a wrong page
     assert(graft.util.IndexMaint.unpin(path, "pre"))
