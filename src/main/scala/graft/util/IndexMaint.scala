@@ -225,16 +225,25 @@ object IndexMaint {
   private val PrevPointer = "_prev.txt"
   private val GenPattern = "gen-(\\d{9})".r
 
-  /** The reader-grace predecessor the LAST commit retained:
-    * None = the root predates the sidecar (callers must not guess);
-    * Some(None) = recorded "no predecessor"; Some(Some(n)) = n.
+  /** The reader-grace predecessor the LAST commit retained, VALIDATED
+    * against the current live generation: the record is a (live, prev)
+    * pair, and a pair whose live half is not `liveName` is stale (a
+    * crash between the pointer flip and the record write, in either
+    * order) — callers must then refuse to guess, exactly as for a
+    * pre-sidecar root. None = unrecorded/stale; Some(None) = recorded
+    * "no predecessor"; Some(Some(n)) = n.
     */
-  def prevGenName(root: String): Option[Option[String]] = {
+  def prevGenName(root: String, liveName: String): Option[Option[String]] = {
     val p = Paths.get(root, PrevPointer)
     if (!Files.exists(p)) None
     else {
-      val n = new String(Files.readAllBytes(p), UTF_8).trim
-      Some(if (n.isEmpty) None else Some(n))
+      val body = new String(Files.readAllBytes(p), UTF_8).trim
+      val i = body.indexOf(',')
+      if (i < 0 || body.substring(0, i) != liveName) None
+      else {
+        val prev = body.substring(i + 1)
+        Some(if (prev.isEmpty) None else Some(prev))
+      }
     }
   }
 
@@ -326,9 +335,13 @@ object IndexMaint {
     // record WHICH generation is the reader-grace predecessor: number
     // ordering cannot distinguish it from a crash-orphan that was moved
     // but never pointed to, and [[fsckRepair]] must not guess (the
-    // orphan would be kept and the copy a reader still holds reaped)
+    // orphan would be kept and the copy a reader still holds reaped).
+    // The record is the (live, prev) PAIR: readers honor it only when
+    // its live half matches the current pointer, so a crash between
+    // this write and any neighboring step leaves a record that is
+    // either consistent or visibly stale — never silently wrong.
     val ptmp = Paths.get(root, PrevPointer + ".tmp")
-    Files.write(ptmp, prevLive.getOrElse("").getBytes(UTF_8))
+    Files.write(ptmp, s"$name,${prevLive.getOrElse("")}".getBytes(UTF_8))
     Files.move(ptmp, Paths.get(root, PrevPointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // an unparseable pin manifest freezes generation reaping (None):
@@ -571,26 +584,38 @@ object IndexMaint {
         else s"no live pointer — the index was never committed (or the pointer was deleted)")
       case Some(gen) =>
         val genName = Paths.get(gen).getFileName.toString
-        val pinnedGens = pinnedGenNames(root).getOrElse(Set.empty)
+        // ONE pass over the pin manifests serves every pin-related
+        // claim: the retained note, the per-label audit (a manifest
+        // naming a missing generation means a reap path ignored the pin
+        // set; an unparseable one is a finding, never an fsck crash),
+        // AND the healthy pins' generation set for the count below — a
+        // corrupt manifest must not strip HEALTHY pins' generations
+        // from the exemption and turn them into a spurious
+        // "non-live generations" violation
+        var anyCorruptPin = false
+        val pinnedGens = listSnapshotLabels(root).flatMap { label =>
+          try {
+            val snapOpt = readSnapshot(root, label)
+            snapOpt.foreach { snap =>
+              if (!Files.isDirectory(Paths.get(root, snap.gen)))
+                bad += s"pin '$label' references missing generation " +
+                  s"${snap.gen} — a reap path ignored the pin set"
+            }
+            snapOpt.map(_.gen)
+          } catch {
+            case e: Exception =>
+              anyCorruptPin = true
+              bad += s"pin manifest '$label' unparseable " +
+                s"(${e.getClass.getSimpleName}) — not written by this protocol"
+              None
+          }
+        }.toSet
         if (pinnedGens.nonEmpty)
           note += s"${pinnedGens.size} pinned snapshot generation(s) " +
             s"retained: ${pinnedGens.toSeq.sorted.mkString(", ")}"
-        // every pin manifest must resolve: a manifest naming a missing
-        // generation means a reap path ignored the pin set (or the
-        // directory was hand-deleted) — surfacing it here beats the
-        // as-of read discovering it later, and an unparseable manifest
-        // is a finding, never an fsck crash
-        listSnapshotLabels(root).foreach { label =>
-          try readSnapshot(root, label).foreach { snap =>
-            if (!Files.isDirectory(Paths.get(root, snap.gen)))
-              bad += s"pin '$label' references missing generation " +
-                s"${snap.gen} — a reap path ignored the pin set"
-          } catch {
-            case e: Exception =>
-              bad += s"pin manifest '$label' unparseable " +
-                s"(${e.getClass.getSimpleName}) — not written by this protocol"
-          }
-        }
+        if (anyCorruptPin)
+          note += "generation reaping is FROZEN while a pin manifest is " +
+            "unparseable (unpin or restore it to resume)"
         val others = genDirs(root).map(_._2.getFileName.toString)
           .filterNot(_ == genName).filterNot(pinnedGens.contains)
         if (others.size > 1)
@@ -706,32 +731,37 @@ object IndexMaint {
         Fs.deleteRecursively(r.resolve(n).toString)
         reclaimed += s"stage:$n"
       }
-      // an unparseable pin manifest freezes generation reaping: the
-      // damaged pin's generation is unknowable, and repair must not
-      // delete what might be a pinned snapshot's only copy (stages and
-      // tmp files still reclaim — they are never pinnable)
-      for (gen <- liveGenOpt(root); pinned <- pinnedGenNames(root)) {
+      liveGenOpt(root).foreach { gen =>
         val liveName = Paths.get(gen).getFileName.toString
         val liveNum = genNumber(liveName)
-        val others = genDirs(root)
-          .filterNot(_._2.getFileName.toString == liveName)
-          .filterNot(g => pinned.contains(g._2.getFileName.toString))
-        // which older generation is the reader-grace predecessor? The
-        // commit records it (_prev.txt) — NUMBER ordering cannot tell
-        // it apart from a crash-orphan that was moved but never pointed
-        // to, and guessing wrong reaps the copy a reader still holds.
-        // Newer-than-live generations are always orphan debris (the
-        // pointer flip is the commit); older ones are reaped only
-        // against the recorded predecessor — a pre-sidecar root keeps
-        // them all rather than guess.
-        val recordedPrev = prevGenName(root)
-        others.foreach { case (num, p) =>
-          val n = p.getFileName.toString
-          val newerThanLive = liveNum.exists(num > _)
-          val reapOlder = recordedPrev.exists(prev => !prev.contains(n))
-          if (newerThanLive || (liveNum.exists(num < _) && reapOlder)) {
-            Fs.deleteRecursively(p.toString)
-            reclaimed += s"gen:$n"
+        // an unparseable pin manifest freezes GENERATION reaping only:
+        // the damaged pin's generation is unknowable, and repair must
+        // not delete what might be a pinned snapshot's only copy. The
+        // sidecar tmp reclamation below stays outside the freeze — a
+        // *.tmp is torn-write debris, never pinnable data.
+        pinnedGenNames(root).foreach { pinned =>
+          val others = genDirs(root)
+            .filterNot(_._2.getFileName.toString == liveName)
+            .filterNot(g => pinned.contains(g._2.getFileName.toString))
+          // which older generation is the reader-grace predecessor? The
+          // commit records the VALIDATED (live, prev) pair — NUMBER
+          // ordering cannot tell it apart from a crash-orphan that was
+          // moved but never pointed to, and guessing wrong reaps the
+          // copy a reader still holds. Newer-than-live generations are
+          // always orphan debris (the pointer flip is the commit);
+          // older ones are reaped only against the recorded
+          // predecessor — a pre-sidecar root, or a record left stale by
+          // a crash around the pointer flip, keeps them all rather
+          // than guess.
+          val recordedPrev = prevGenName(root, liveName)
+          others.foreach { case (num, p) =>
+            val n = p.getFileName.toString
+            val newerThanLive = liveNum.exists(num > _)
+            val reapOlder = recordedPrev.exists(prev => !prev.contains(n))
+            if (newerThanLive || (liveNum.exists(num < _) && reapOlder)) {
+              Fs.deleteRecursively(p.toString)
+              reclaimed += s"gen:$n"
+            }
           }
         }
         val tmps = {

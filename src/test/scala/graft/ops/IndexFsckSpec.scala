@@ -74,15 +74,26 @@ class IndexFsckSpec extends SparkTestBase {
       vecs(3), k = 5, nprobe = 4).collect().map(_.toString).sorted.toSeq
     assert(after === before, "repair must not touch live data")
     // the kept predecessor is the RECORDED one, not a number guess
-    val prevRec = graft.util.IndexMaint.prevGenName(path)
+    val liveNow = Paths.get(graft.util.IndexMaint.liveGen(path))
+      .getFileName.toString
+    val prevRec = graft.util.IndexMaint.prevGenName(path, liveNow)
     assert(prevRec.exists(_.nonEmpty), "commit must record its predecessor")
     // a repaired root repairs to nothing
     assert(graft.util.IndexMaint.fsckRepair(path).isEmpty)
-    // a PRE-SIDECAR root (no _prev.txt) must not guess which older
-    // generation is the reader-grace copy: older gens are kept, only
-    // never-pointed-to newer orphans are reaped
-    Files.delete(Paths.get(path, "_prev.txt"))
+    // a STALE record (crash around the pointer flip left a pair whose
+    // live half mismatches) must be ignored like a pre-sidecar root:
+    // older gens kept, never-pointed-to newer orphans still reaped
+    Files.write(Paths.get(path, "_prev.txt"),
+      "gen-000000042,gen-000000000".getBytes(UTF_8))
+    assert(graft.util.IndexMaint.prevGenName(path, liveNow).isEmpty)
     Files.createDirectories(Paths.get(path, "gen-000000000/seg=old"))
+    Files.createDirectories(Paths.get(path, "gen-000000098"))
+    val rs = graft.util.IndexMaint.fsckRepair(path)
+    assert(rs.contains("gen:gen-000000098"), rs.mkString("; "))
+    assert(!rs.contains("gen:gen-000000000"),
+      s"a stale predecessor record must not license older-gen reaping: $rs")
+    // a PRE-SIDECAR root (no _prev.txt) behaves the same
+    Files.delete(Paths.get(path, "_prev.txt"))
     Files.createDirectories(Paths.get(path, "gen-000000098"))
     val r2 = graft.util.IndexMaint.fsckRepair(path)
     assert(r2.contains("gen:gen-000000098"), r2.mkString("; "))
@@ -115,8 +126,12 @@ class IndexFsckSpec extends SparkTestBase {
     assert(b2.exists(_.contains("unparseable")), b2.mkString("; "))
     Files.createDirectories(Paths.get(path, ".stage-crashed-pin"))
     Files.createDirectories(Paths.get(path, "gen-000000097"))
+    Files.write(Paths.get(graft.util.IndexMaint.liveGen(path),
+      "_tombstones.txt.tmp"), "junk".getBytes(UTF_8))
     val r = graft.util.IndexMaint.fsckRepair(path)
     assert(r.exists(_.startsWith("stage:")), r.mkString("; "))
+    assert(r.exists(_.startsWith("tmp:")),
+      s"torn-write tmp debris is never pinnable — it reclaims under the freeze: $r")
     assert(!r.exists(_.startsWith("gen:")),
       s"generation reaping must freeze under a corrupt pin manifest: $r")
     assert(Files.isDirectory(Paths.get(path, "gen-000000097")))
