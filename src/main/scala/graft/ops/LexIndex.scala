@@ -178,6 +178,34 @@ object LexIndex extends IndexFamily {
               s"(${e.getClass.getSimpleName}) — not written by this protocol"
         }
       }
+      // the term dictionary feeds bm25PrunedTopK's "exact" bounds: a
+      // MISSING sidecar degrades loudly to unpruned serving (a note —
+      // pre-dictionary indexes are legitimate), but a PRESENT-and-wrong
+      // one silently mis-bounds every pruned page, so it is audited
+      // against the (df, max_tf, min_dl) aggregate of the segment's raw
+      // postings exactly like the doc-dir and stats sidecars above
+      val tm = java.nio.file.Paths.get(gen, s"seg=$seg", TermMetaName)
+      if (!java.nio.file.Files.isDirectory(tm))
+        notes += s"seg=$seg: term-dictionary sidecar missing (pruned " +
+          "serving degrades to unpruned until the next compaction rewrites it)"
+      else try {
+        val meta = spark.read.parquet(tm.toString)
+          .select(col("term"), col("df"), col("max_tf"), col("min_dl"))
+        val fromPosts = raw.filter(col("seg") === seg)
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+            min(col("dl")).as("min_dl"))
+        val mismatch = meta.exceptAll(fromPosts).count() +
+          fromPosts.exceptAll(meta).count()
+        if (mismatch != 0)
+          out += s"seg=$seg: term-dictionary sidecar disagrees with the " +
+            s"postings' (df, max_tf, min_dl) aggregate on $mismatch row(s) — " +
+            "pruned pages would use unsound bounds"
+      } catch {
+        case e: Exception =>
+          out += s"seg=$seg: term-dictionary sidecar unreadable " +
+            s"(${e.getClass.getSimpleName}) — not written by this protocol"
+      }
     }
     try {
       val persisted = readRemoved(gen)
@@ -790,6 +818,10 @@ object LexIndex extends IndexFamily {
   def bm25FilteredTopK(spark: SparkSession, path: String,
       qs: Seq[(String, String)], k: Int, allowed: DataFrame): DataFrame = {
     import spark.implicits._
+    // same refusal as bm25PrunedTopK: a duplicated (query_id, term)
+    // pair would double-count that term's contribution silently
+    require(qs.distinct.size == qs.size,
+      s"bm25FilteredTopK: duplicate (query_id, term) pairs in the query set")
     val terms = qs.map(_._2).distinct
     val buckets = bucketsOf(spark, terms)
     val gen = graft.util.IndexMaint.liveGen(path)

@@ -616,6 +616,24 @@ object IndexMaint {
         if (anyCorruptPin)
           note += "generation reaping is FROZEN while a pin manifest is " +
             "unparseable (unpin or restore it to resume)"
+        // a crash inside pinLive leaves <label>.txt.tmp in _pins —
+        // invisible to every reader (labels match .txt only), reclaimed
+        // by fsckRepair's tmp sweep
+        val pinTmps = {
+          val pd = Paths.get(root, PinsDir)
+          if (!Files.isDirectory(pd)) Nil
+          else {
+            val s = Files.list(pd)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.map(_.getFileName.toString)
+                .filter(_.endsWith(".txt.tmp")).toList
+            } finally s.close()
+          }
+        }
+        if (pinTmps.nonEmpty)
+          note += s"torn pin-manifest tmp file(s) in $PinsDir (crashed " +
+            s"pinLive; reclaimed by fsckRepair): ${pinTmps.mkString(", ")}"
         val others = genDirs(root).map(_._2.getFileName.toString)
           .filterNot(_ == genName).filterNot(pinnedGens.contains)
         if (others.size > 1)
@@ -777,6 +795,24 @@ object IndexMaint {
           reclaimed += s"tmp:$n"
         }
       }
+      // a crash inside pinLive leaves _pins/<label>.txt.tmp behind —
+      // never a valid manifest (listSnapshotLabels only matches .txt),
+      // so it is torn-write debris like any other sidecar tmp
+      val pins = r.resolve(PinsDir)
+      if (Files.isDirectory(pins)) {
+        val ptmps = {
+          val s = Files.list(pins)
+          try s.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".txt.tmp"))
+            .map(_.getFileName.toString).toList
+          finally s.close()
+        }
+        ptmps.foreach { n =>
+          Files.deleteIfExists(pins.resolve(n))
+          reclaimed += s"pintmp:$n"
+        }
+      }
     }
     reclaimed.result()
    }
@@ -878,7 +914,15 @@ object IndexMaint {
       val lines = new String(Files.readAllBytes(p), UTF_8)
         .split("\n").toSeq.filter(_.nonEmpty)
       val kv = lines.map { l =>
-        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+        val i = l.indexOf('=')
+        // a raw StringIndexOutOfBounds here surfaced a cryptic error on
+        // the SERVING paths (bm25TopKAsOf, screenBatchAsOf) — name the
+        // unparseable manifest instead, matching the missing-gen-line
+        // error (fsck/pinnedGenNames catch this and freeze reaping)
+        if (i < 0) throw new IllegalStateException(
+          s"pin manifest $p has a line without '=': '$l' — not written " +
+            "by this protocol")
+        (l.substring(0, i), l.substring(i + 1))
       }
       Some(Snapshot(
         kv.collectFirst { case ("gen", v) => v }.getOrElse(

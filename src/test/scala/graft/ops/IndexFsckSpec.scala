@@ -226,6 +226,60 @@ class IndexFsckSpec extends SparkTestBase {
     assert(bad3.exists(_.contains("doc-dir")), bad3.mkString("; "))
   }
 
+  test("lexical fsck: term-dictionary sidecar audited — tampered bounds are a violation, a missing dictionary is a note") {
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha w$i beta")).toDF("doc_id", "text")
+    val path = tmpDir("fsck_tm") + "/index"
+    LexIndex.buildIndex(docs, path)
+    assert(LexIndex.fsckIndex(spark, path)._1.isEmpty)
+    val gen = graft.util.IndexMaint.liveGen(path)
+    val tm = Paths.get(gen, "seg=base", "_term_meta")
+    // tamper: inflate max_tf — bounds stay "valid" numerically but no
+    // longer match the postings aggregate; a pruned page would use them
+    val orig = spark.read.parquet(tm.toString).localCheckpoint()
+    orig.withColumn("max_tf", col("max_tf") + lit(100L))
+      .coalesce(1).write.mode("overwrite").parquet(tm.toString)
+    val bad = LexIndex.fsckIndex(spark, path)._1
+    assert(bad.exists(_.contains("term-dictionary")), bad.mkString("; "))
+    // restore, then remove entirely: a pre-dictionary index degrades to
+    // unpruned serving — a note, never a violation
+    orig.coalesce(1).write.mode("overwrite").parquet(tm.toString)
+    assert(LexIndex.fsckIndex(spark, path)._1.isEmpty)
+    graft.util.Fs.deleteRecursively(tm.toString)
+    val (bad2, notes2) = LexIndex.fsckIndex(spark, path)
+    assert(bad2.isEmpty, bad2.mkString("; "))
+    assert(notes2.exists(n => n.contains("term-dictionary") && n.contains("missing")),
+      notes2.mkString("; "))
+  }
+
+  test("a crashed pinLive's torn manifest tmp is invisible to readers, noted by fsck, reclaimed by repair") {
+    val path = tmpDir("fsck_pintmp") + "/index"
+    Ivf.buildIndex(vecs(40), path, kCells = 4, iters = 1)
+    Files.createDirectories(Paths.get(path, "_pins"))
+    Files.write(Paths.get(path, "_pins", "nightly.txt.tmp"),
+      "gen=gen-000000000\n".getBytes(UTF_8))
+    assert(graft.util.IndexMaint.listSnapshotLabels(path).isEmpty,
+      "a .txt.tmp is never a valid manifest")
+    val (bad, notes) = graft.util.IndexMaint.fsckRoot(path)
+    assert(bad.isEmpty, bad.mkString("; "))
+    assert(notes.exists(_.contains("pin-manifest tmp")), notes.mkString("; "))
+    val r = graft.util.IndexMaint.fsckRepair(path)
+    assert(r.contains("pintmp:nightly.txt.tmp"), r.mkString("; "))
+    assert(!Files.exists(Paths.get(path, "_pins", "nightly.txt.tmp")))
+  }
+
+  test("readSnapshot names the unparseable manifest instead of surfacing a raw index error") {
+    val path = tmpDir("fsck_pinline") + "/index"
+    Ivf.buildIndex(vecs(40), path, kCells = 4, iters = 1)
+    Ivf.pinIndex(path, "keep")
+    val p = Paths.get(path, "_pins", "keep.txt")
+    Files.write(p, (new String(Files.readAllBytes(p), UTF_8) +
+      "garbage-without-separator\n").getBytes(UTF_8))
+    val e = intercept[IllegalStateException](
+      graft.util.IndexMaint.readSnapshot(path, "keep"))
+    assert(e.getMessage.contains("keep.txt") && e.getMessage.contains("="),
+      e.getMessage)
+  }
+
   test("fsck is clean across the full mutation lifecycle on all four families' shared protocol") {
     // lexical: build -> append -> upsert -> delete -> CDC -> compact
     val docs = (0 until 50).map(i => (i.toLong, s"alpha w$i")).toDF("doc_id", "text")

@@ -755,5 +755,12 @@ class LexIndexSpec extends SparkTestBase {
     assert(got.toSeq === want,
       "filter must gate the page without touching the statistics")
     assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
+    // same refusal as the pruned path: a duplicated (query_id, term)
+    // pair would silently double-count that term's contribution
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.bm25FilteredTopK(spark, path,
+        Seq("q" -> "alpha", "q" -> "alpha"), 5, allowed)
+    }
+    assert(e.getMessage.contains("duplicate (query_id, term)"), e.getMessage)
   }
 }
