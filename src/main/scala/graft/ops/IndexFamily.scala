@@ -2,7 +2,40 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.IndexMaint
+import graft.util.{Fs, IndexMaint}
+
+/** Size-tiered merge policy (the Lucene TieredMergePolicy / Cassandra
+  * STCS shape): a segment's tier is `floor(log_factor(bytes))`, and a
+  * merge fires only when one tier accumulates `minMerge` segments —
+  * merging coalesces SAME-SIZED small segments and leaves big ones
+  * untouched, so over a stream of B appended batches the total bytes
+  * rewritten are O(N · log_factor B) instead of the (B/c)·N a
+  * full-rewrite-every-c-batches cadence pays. With `minMerge >= factor`
+  * (the default) a merge's output always lands in a HIGHER tier than
+  * its inputs, so no byte is rewritten twice within one tier — the
+  * amortization guarantee; a smaller `minMerge` trades write
+  * amplification for lower file counts. `maxMerge` bounds one merge's
+  * IO (the smallest `maxMerge` of an over-full tier go first).
+  */
+final case class MergePolicy(factor: Long = 8, minMerge: Int = 8,
+    maxMerge: Int = 32) {
+  require(factor >= 2, s"factor must be >= 2, got $factor")
+  require(minMerge >= 2, s"minMerge must be >= 2, got $minMerge")
+  require(maxMerge >= minMerge,
+    s"maxMerge ($maxMerge) must be >= minMerge ($minMerge)")
+  /** log_factor size tier; 0 for empty/1-byte segments. */
+  def tierOf(bytes: Long): Int =
+    (math.log(math.max(bytes, 1L).toDouble) / math.log(factor.toDouble)).toInt
+}
+
+/** What one tiered merge did: the tier that fired, the segment names it
+  * coalesced, the segment they re-landed as (None when every merged row
+  * was tombstoned — the group was pure reclamation), the input bytes
+  * (= the bytes this merge rewrote), and the tombstone pairs physically
+  * reclaimed with it.
+  */
+final case class MergeReport(tier: Int, merged: Seq[String],
+    newSeg: Option[String], bytesIn: Long, pairsReclaimed: Int)
 
 /** The shared mutation surface of a persisted index family — ONE
   * implementation of the verb choreography (append / upsert / CDC /
@@ -199,6 +232,95 @@ private[ops] trait IndexFamily {
     * stage, so they skip the materialization.
     */
   protected def pinSurvivors: Boolean = false
+
+  // ---- tiered segment merge ---------------------------------------------------
+
+  /** Family hook after a merge stage is fully assembled (e.g. the
+    * lexical takedown-adjustment recompute over the staged successor).
+    * Default: nothing.
+    */
+  protected def afterMergeStage(spark: SparkSession, stage: String): Unit = ()
+
+  /** One size-tiered merge step ([[MergePolicy]]): coalesce the lowest
+    * over-full tier's smallest segments into ONE segment and commit the
+    * result as a new generation in which every UNTOUCHED segment is
+    * carried by hard link — zero data bytes moved for them; only the
+    * merged group is rewritten. Returns None (no commit at all) when no
+    * tier has accumulated `minMerge` segments, so an ingest loop can
+    * call this after every batch and pay only a metadata listing.
+    *
+    * Live content is IDENTICAL before and after — the one observable
+    * change besides file counts is physical reclamation scoped to the
+    * merged group: each merged segment's rows are re-landed MINUS its
+    * own tombstone pairs (per-segment scope, so an id deleted in one
+    * merged segment and legitimately re-inserted in another keeps
+    * exactly the later copy), those pairs leave the sidecar, and the
+    * merged segments' replay tokens fold into the consolidated sidecar.
+    * Pairs against untouched segments, every generation-root sidecar
+    * (quantizer, codebooks, stats baselines, derivation keys) and the
+    * untouched segments' own token files carry verbatim — content
+    * unchanged means every baseline still describes the same corpus.
+    *
+    * The full-generation [[compactGeneration]] rewrite remains the
+    * right verb for takedown reclamation across ALL segments and for
+    * deleteWhere; this is the bounded-write-amplification maintenance
+    * step a long-lived ingest stream runs instead of it.
+    */
+  final def mergeSmallSegments(spark: SparkSession, path: String,
+      policy: MergePolicy = MergePolicy()): Option[MergeReport] =
+    IndexMaint.withMutation(path, op = "merge") {
+      val gen = IndexMaint.liveGen(path)
+      val sizes = IndexMaint.segmentValues(gen)
+        .map(s => s -> Fs.treeBytes(s"$gen/seg=$s"))
+      val byTier = sizes.groupBy { case (_, b) => policy.tierOf(b) }
+      byTier.filter(_._2.size >= policy.minMerge).keys.minOption.map { tier =>
+        val group = byTier(tier).sortBy { case (n, b) => (b, n) }
+          .take(policy.maxMerge)
+        val merged = group.map(_._1)
+        val mergedSet = merged.toSet
+        val kept = sizes.map(_._1).filterNot(mergedSet)
+        val (inTombs, keptTombs) = IndexMaint.readTombstones(gen)
+          .partition(p => mergedSet(p._1))
+        // per-segment tombstone scope: each merged segment's rows minus
+        // ITS pairs — never a remap to the new name, which would let an
+        // old pair kill a later re-insert that lived in a sibling
+        val survivors = IndexMaint.minusTombstonePairs(
+          spark.read.parquet(gen).filter(col("seg").isin(merged: _*)),
+          inTombs, idCol).localCheckpoint()
+        val stage = IndexMaint.newStageDir(path, "merge")
+        kept.foreach(s => Fs.linkTree(s"$gen/seg=$s", s"$stage/seg=$s"))
+        IndexMaint.carryGenRootFiles(gen, stage)
+        val newSeg =
+          if (survivors.isEmpty) {
+            // the whole group was tombstoned — pure reclamation; an
+            // index cannot end up segmentless (readers need a schema)
+            require(kept.nonEmpty,
+              s"${compactLabel(path)}: merge would leave the index " +
+                "segmentless (every row tombstoned); compact or drop it instead")
+            None
+          } else {
+            val m = IndexMaint.mergedSegmentName(merged)
+            val target = s"$stage/seg=$m"
+            // same duplicate-id invariant as compaction, scoped to the
+            // merged group (a legit corpus has at most one live copy of
+            // an id — its older copies are tombstoned, hence dropped)
+            if (!uniqueCheckReadsStage)
+              requireUniqueSurvivors(spark, survivors, target, path)
+            writeSurvivorStage(spark, survivors.drop("seg"), target)
+            if (uniqueCheckReadsStage)
+              requireUniqueSurvivors(spark, survivors, target, path)
+            Some(m)
+          }
+        IndexMaint.writeConsolidatedTokens(stage,
+          IndexMaint.consolidatedTokensOf(gen) ++
+            merged.flatMap(IndexMaint.segmentTokenOf(gen, _)))
+        if (keptTombs.nonEmpty) IndexMaint.stageTombstonePairs(stage, keptTombs)
+        afterMergeStage(spark, stage)
+        IndexMaint.commitGeneration(path, stage)
+        afterCommit(path)
+        MergeReport(tier, merged, newSeg, group.map(_._2).sum, inTombs.length)
+      }
+    }
 
   // ---- fsck (operator health check) ------------------------------------------
 

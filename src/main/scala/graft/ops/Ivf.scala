@@ -626,6 +626,17 @@ object Ivf extends IndexFamily {
   def compactIndex(spark: SparkSession, index: IvfIndex): IvfIndex =
     compactCore(spark, index, doomed = None)
 
+  /** One size-tiered merge step ([[IndexFamily.mergeSmallSegments]]):
+    * coalesce same-tier small append segments, hard-link the rest —
+    * bytes rewritten per stream batch stay O(log batches) amortized,
+    * vs the (B/c)·|index| a [[compactIndex]]-every-c-batches cadence
+    * pays. The handle stays valid: quantizer and drift baseline carry
+    * verbatim (live content is unchanged).
+    */
+  def mergeSegments(spark: SparkSession, index: IvfIndex,
+      policy: MergePolicy = MergePolicy()): Option[MergeReport] =
+    mergeSmallSegments(spark, index.path, policy)
+
   /** Bulk delete by predicate — the retention/TTL path. A mass removal
     * (drop a source, an age stratum, a whole month) would blow the
     * bounded-metadata tombstone contract — millions of (seg, id) pairs

@@ -72,6 +72,14 @@ object LexIndex extends IndexFamily {
   override protected def afterTombstones(spark: SparkSession, gen: String): Unit =
     refreshRemoved(spark, gen)
 
+  // a merge physically reclaims the merged segments' tombstoned docs,
+  // so the takedown adjustment must be recomputed over the staged
+  // successor (its remaining pairs × the linked doc dirs) — the
+  // verbatim-carried copy would keep subtracting docs that no longer
+  // exist in any segment, double-counting them out of n_docs/Σdl
+  override protected def afterMergeStage(spark: SparkSession, stage: String): Unit =
+    refreshRemoved(spark, stage)
+
   override protected def encodeToStage(gen: String,
       batch: org.apache.spark.sql.DataFrame, stage: String): Unit = {
     postingsOf(batch)
@@ -422,6 +430,16 @@ object LexIndex extends IndexFamily {
     */
   def compactIndex(spark: SparkSession, path: String): String =
     compactGeneration(spark, path, doomed = None)
+
+  /** One size-tiered merge step over the postings segments
+    * ([[IndexFamily.mergeSmallSegments]]): the bounded-write-
+    * amplification alternative to [[compactIndex]] for long-lived CDC
+    * streams — an append touches up to 64 `tb` partitions, so file
+    * growth is steepest on this family and the merge matters most here.
+    */
+  def mergeSegments(spark: SparkSession, path: String,
+      policy: MergePolicy = MergePolicy()): Option[MergeReport] =
+    mergeSmallSegments(spark, path, policy)
 
   /** Bulk delete by doc predicate — the [[Ivf.deleteWhere]] retention
     * path on the postings: a corpus-scale removal would blow both

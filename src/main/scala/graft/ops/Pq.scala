@@ -802,6 +802,21 @@ object Pq {
       numFiles: Int = 1): PqIndex =
     compactCore(spark, index, numFiles, doomed = None)
 
+  /** One size-tiered merge step on the flat code layout
+    * ([[IndexFamily.mergeSmallSegments]]) — the bounded-write-
+    * amplification maintenance step for streamed code appends; the
+    * handle stays valid (codebooks and fit baseline carry verbatim).
+    */
+  def mergeSegments(spark: SparkSession, index: PqIndex,
+      policy: MergePolicy = MergePolicy()): Option[MergeReport] =
+    flatFamily.mergeSmallSegments(spark, index.path, policy)
+
+  /** Structural + data fsck of a flat-PQ index
+    * ([[IndexFamily.fsckIndex]]).
+    */
+  def fsckIndex(spark: SparkSession, path: String): (Seq[String], Seq[String]) =
+    flatFamily.fsckIndex(spark, path)
+
   /** Bulk delete by predicate — the [[Ivf.deleteWhere]] retention path
     * on the PQ codes: one filtered compaction instead of a
     * corpus-scale tombstone list.
@@ -1858,6 +1873,21 @@ object Pq {
     */
   def compactIndexResidual(spark: SparkSession, index: IvfPqIndex): IvfPqIndex =
     compactCoreResidual(spark, index, doomed = None)
+
+  /** One size-tiered merge step on the residual layout
+    * ([[IndexFamily.mergeSmallSegments]]) — handle stays valid
+    * (quantizer, codebooks and fit baseline carry verbatim).
+    */
+  def mergeSegmentsResidual(spark: SparkSession, index: IvfPqIndex,
+      policy: MergePolicy = MergePolicy()): Option[MergeReport] =
+    ResidualFamily.mergeSmallSegments(spark, index.path, policy)
+
+  /** Structural + data fsck of a residual index
+    * ([[IndexFamily.fsckIndex]]).
+    */
+  def fsckIndexResidual(spark: SparkSession,
+      path: String): (Seq[String], Seq[String]) =
+    ResidualFamily.fsckIndex(spark, path)
 
   /** Bulk delete by predicate on the residual index — the
     * [[Ivf.deleteWhere]] retention path.

@@ -37,7 +37,8 @@ object DocIngest {
     * the lexical index at `path`. Returns the per-batch telemetry.
     */
   def ingestStreamDocs(spark: SparkSession, srcDir: String, path: String,
-      compactEvery: Int = 0, checkpointDir: String = ""): Seq[BatchReport] = {
+      compactEvery: Int = 0, checkpointDir: String = "",
+      mergePolicy: Option[graft.ops.MergePolicy] = None): Seq[BatchReport] = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val ckpt = if (checkpointDir.nonEmpty) checkpointDir else s"$srcDir.ckpt"
     val schema = spark.read.parquet(srcDir).schema
@@ -62,6 +63,11 @@ object DocIngest {
           val compact = fresh && compactEvery > 0 &&
             streamApplied % compactEvery == 0
           if (compact) LexIndex.compactIndex(spark, path)
+          // size-tiered alternative to the full rewrite
+          // ([[IvfIngest]] rationale) — matters most on this family:
+          // an append touches up to 64 tb partitions per batch
+          else if (fresh)
+            mergePolicy.foreach(p => LexIndex.mergeSegments(spark, path, p))
           reports += BatchReport(id,
             byOp.getOrElse("insert", 0L), byOp.getOrElse("upsert", 0L),
             byOp.getOrElse("delete", 0L), compacted = compact,

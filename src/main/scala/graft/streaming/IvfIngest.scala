@@ -61,7 +61,8 @@ object IvfIngest {
     */
   def ingestStream(spark: SparkSession, srcDir: String, index0: Ivf.IvfIndex,
       k: Int, nprobe: Int, sinkDir: String, checkEvery: Int = 4,
-      compactEvery: Int = 0): Seq[BatchReport] = {
+      compactEvery: Int = 0,
+      mergePolicy: Option[graft.ops.MergePolicy] = None): Seq[BatchReport] = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val schema = spark.read.parquet(srcDir).schema
@@ -115,6 +116,11 @@ object IvfIngest {
           // already re-lands everything — skip compaction on its batch.
           else if (compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Ivf.compactIndex(spark, index)
+          // size-tiered alternative to the full rewrite: self-pacing
+          // (no-ops until a tier fills), so it runs after EVERY applied
+          // batch — total bytes rewritten stay O(N log B) over a
+          // B-batch stream instead of compactEvery's (B/c)·N
+          else mergePolicy.foreach(p => Ivf.mergeSegments(spark, index, p))
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanCosNow).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,

@@ -34,7 +34,8 @@ object PqIngest {
 
   def ingestStream(spark: SparkSession, srcDir: String, index0: Pq.PqIndex,
       k: Int, sinkDir: String, checkEvery: Int = 4,
-      compactEvery: Int = 0): Seq[BatchReport] = {
+      compactEvery: Int = 0,
+      mergePolicy: Option[graft.ops.MergePolicy] = None): Seq[BatchReport] = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val schema = spark.read.parquet(srcDir).schema
@@ -76,6 +77,8 @@ object PqIngest {
           // re-lands everything, so its batch skips compaction
           else if (compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Pq.compactIndex(spark, index)
+          // size-tiered alternative ([[IvfIngest]] rationale)
+          else mergePolicy.foreach(p => Pq.mergeSegments(spark, index, p))
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,
@@ -104,7 +107,8 @@ object PqIngest {
     */
   def ingestStreamResidual(spark: SparkSession, srcDir: String,
       index0: Pq.IvfPqIndex, k: Int, nprobe: Int, sinkDir: String,
-      checkEvery: Int = 4, compactEvery: Int = 0): Seq[BatchReport] = {
+      checkEvery: Int = 4, compactEvery: Int = 0,
+      mergePolicy: Option[graft.ops.MergePolicy] = None): Seq[BatchReport] = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val schema = spark.read.parquet(srcDir).schema
@@ -134,6 +138,9 @@ object PqIngest {
           if (fire) index = Pq.rebalanceResidual(spark, index)
           else if (compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Pq.compactIndexResidual(spark, index)
+          // size-tiered alternative ([[IvfIngest]] rationale)
+          else mergePolicy.foreach(p =>
+            Pq.mergeSegmentsResidual(spark, index, p))
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,

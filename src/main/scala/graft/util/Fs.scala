@@ -65,6 +65,52 @@ object Fs {
     srcDir
   }
 
+  /** Total bytes of regular files under `dir` (0 if absent) — the
+    * metadata-only size a tiered merge policy tiers segments by.
+    */
+  def treeBytes(dir: String): Long = {
+    val root: Path = Paths.get(dir)
+    if (!Files.exists(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+      finally s.close()
+    }
+  }
+
+  /** Recreate `src`'s directory tree under `dst` with every regular
+    * file HARD-LINKED, not copied — O(files) metadata operations, zero
+    * data bytes moved. This is how a tiered segment merge carries the
+    * untouched segments into a new generation: the link shares the
+    * inode, so reaping the old generation directory later just drops a
+    * name, never the bytes a newer generation still references. Safe
+    * against the protocol's sidecar updates too — every in-place
+    * sidecar write is tmp + ATOMIC_MOVE (a NEW inode replacing the
+    * name), so a linked file can never be mutated through the other
+    * name. On an object store this maps to manifest reuse (the new
+    * snapshot lists the old segment objects); locally, falls back to a
+    * copy if the filesystem refuses the link.
+    */
+  def linkTree(src: String, dst: String): Unit = {
+    val from: Path = Paths.get(src)
+    val to: Path = Paths.get(dst)
+    val walk = Files.walk(from)
+    try walk.iterator().asScala.foreach { p =>
+      val target = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        try Files.createLink(target, p)
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          Files.copy(p, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val root: Path = Paths.get(dir)
     if (Files.exists(root)) {

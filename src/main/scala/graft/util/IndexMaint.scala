@@ -430,6 +430,66 @@ object IndexMaint {
     consolidated ++ segTokens
   }
 
+  /** JUST the consolidated sidecar's tokens (no segment walk) — what a
+    * partial merge starts from when it folds the merged segments' own
+    * tokens into the successor's consolidated set while the untouched
+    * segments keep carrying theirs in-place.
+    */
+  def consolidatedTokensOf(genDir: String): Set[String] = {
+    val p = Paths.get(genDir, ConsolidatedTokens)
+    if (!Files.exists(p)) Set.empty[String]
+    else new String(Files.readAllBytes(p), UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).toSet
+  }
+
+  /** The token a committed segment carries, if any. */
+  def segmentTokenOf(genDir: String, seg: String): Option[String] = {
+    val t = Paths.get(genDir, s"seg=$seg", TokenFile)
+    if (Files.exists(t)) Some(new String(Files.readAllBytes(t), UTF_8).trim)
+    else None
+  }
+
+  /** Deterministic name for the segment a tiered merge re-lands a
+    * group as: content-addressed by the merged segment names, prefixed
+    * `m` so it can never collide with `base` or a token segment
+    * (`b<md5-16>`) and is exempt from the token-file fsck check (its
+    * tokens live in the consolidated sidecar).
+    */
+  def mergedSegmentName(merged: Seq[String]): String =
+    "m" + md5Hex(merged.sorted.mkString("\n")).take(16)
+
+  /** Write a tombstone sidecar into a STAGED generation (plain write —
+    * it becomes visible atomically with the generation commit).
+    */
+  def stageTombstonePairs(stageDir: String, pairs: Array[(String, Long)]): Unit =
+    Files.write(Paths.get(stageDir, TombstoneFile),
+      pairs.sorted.map { case (s, id) => s"$s,$id" }
+        .mkString("", "\n", if (pairs.isEmpty) "" else "\n").getBytes(UTF_8))
+
+  /** Carry a generation's root-level sidecar FILES (quantizer/codebook/
+    * stats/derivation-key sidecars — whatever the family keeps there)
+    * verbatim into a staged successor whose live CONTENT is unchanged
+    * (a partial merge). Excludes the two the merge rewrites itself
+    * (tombstones, consolidated tokens) and torn `*.tmp` debris.
+    */
+  def carryGenRootFiles(genDir: String, stageDir: String): Unit = {
+    val g = Paths.get(genDir)
+    val s = Files.list(g)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n == TombstoneFile || n == ConsolidatedTokens ||
+          n.endsWith(".tmp"))
+        .toList
+        .foreach { n =>
+          Files.copy(g.resolve(n), Paths.get(stageDir, n),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+    } finally s.close()
+  }
+
   /** Write the consolidated token sidecar into a STAGED generation
     * (whole-file; becomes visible with the generation commit). A
     * rebalance carries `appliedTokens(oldGen)` forward so batches

@@ -892,6 +892,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("mergePolicy in the ingest loop: self-pacing tiered merges bound segment counts, never touch base, keep tokens and contents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(107)
+    val tmp = tmpDir("ivf_automerge")
+    (0 until 400).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/base")
+    val index0 = graft.ops.Ivf.buildIndex(
+      spark.read.parquet(s"$tmp/base"), s"$tmp/index", kCells = 4, iters = 1)
+    val batches = (0 until 9).map { b =>
+      (1000 + b * 100 until 1020 + b * 100)
+        .map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val srcDir = graft.util.Fs.stageBatchFiles(tmp, "src", batches)
+    val reports = graft.streaming.IvfIngest.ingestStream(
+      spark, srcDir, index0, k = 5, nprobe = 2, s"$tmp/sink",
+      checkEvery = 100,
+      mergePolicy = Some(graft.ops.MergePolicy(factor = 4, minMerge = 4, maxMerge = 8)))
+    assert(reports.length === 9 && reports.forall(!_.replayed))
+    // tiers filled at batches 4 and 8 (at this toy scale parquet
+    // overhead keeps a merged segment in the singles' tier, so the
+    // second merge may consume the first): base + merged + ≤2 singles
+    val gen = graft.util.IndexMaint.liveGen(s"$tmp/index")
+    val segs = graft.util.IndexMaint.segmentValues(gen)
+    assert(segs.contains("base"), "the big base segment is never merged at this scale")
+    assert(segs.size <= 4, s"tiered merging must bound the segment count: $segs")
+    assert(segs.exists(_.startsWith("m")), s"merges must have fired: $segs")
+    // contents exact, every token durable (merged ones via the
+    // consolidated sidecar), structure fsck-green
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index").count() === 580L)
+    val live = graft.ops.Ivf.loadIndex(s"$tmp/index")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      assert(!graft.ops.Ivf.appendBatchIdempotent(live, rows, token = s"ingest:$i"),
+        s"token ingest:$i must survive tiered merging")
+    }
+    assert(graft.ops.Ivf.fsckIndex(spark, s"$tmp/index")._1.isEmpty)
+  }
+
   test("streaming datacard equals a one-shot batch build — batching is invisible") {
     // the stream folds FOUR micro-batches into state; the one-shot path
     // inits state from the whole corpus at once. Canonical-set state
