@@ -1414,6 +1414,14 @@ object ScaleProbe {
           throw new IllegalStateException(s"pin probe page sizes differ: $rLive vs $rAsOf")
         val line = f"PROBE pin_asof_8x          live=$tLive%.2f s asof=$tAsOf%.2f s retained=${pinnedBytes / 1e6}%.1fMB/${totalBytes / 1e6}%.1fMB (pinned gen survives the compaction reap)"
         println(line); report ++= line + "\n"
+        // per-pin retention accounting (hard-link-aware: bytes shared
+        // with the live generation by a tiered merge do not count) —
+        // the pinStats surface an operator's unpin-or-TTL policy reads
+        val stats = graft.util.IndexMaint.pinStats(pinPath)
+        val lineS = stats.map(s =>
+          f"PROBE pin_stats_8x         label=${s.label} gen=${s.gen} age=${s.ageMs / 1000.0}%.1fs retained=${s.retainedBytes / 1e6}%.1fMB")
+          .mkString("\n")
+        println(lineS); report ++= lineS + "\n"
       } finally graft.util.Fs.deleteRecursively(
         java.nio.file.Paths.get(pinPath).getParent.toString)
     }
@@ -1461,6 +1469,67 @@ object ScaleProbe {
         if (fBound >= fGrow)
           throw new IllegalStateException(s"postings compaction cadence did not bound file growth: $lineCdc")
       } finally graft.util.Fs.deleteRecursively(cdcBase)
+    }
+
+    // Write amplification over a LONG ingest (24 batches) on the 8x
+    // postings index: the compactEvery cadence re-lands the FULL
+    // generation every c batches — total bytes rewritten grow linearly
+    // with stream lifetime — while the size-tiered merge policy only
+    // ever coalesces same-tier small segments (untouched segments carry
+    // by hard link), so the per-batch rewrite cost is bounded. Both
+    // runs append the same 24 batches; serving must come out identical.
+    locally {
+      val mBase = java.nio.file.Files.createTempDirectory("probe_merge").toString
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        def mkBatch(i: Int) = docs8.filter(col("doc_id") % 48 === i)
+          .select((col("doc_id") + lit(80L * n * (i + 1))).as("doc_id"),
+            col("text"))
+        // run A: full compaction every 4 batches (the old cadence)
+        val pa = s"$mBase/compact"
+        ops.LexIndex.buildIndex(docs8, pa)
+        var bytesCompact = 0L
+        val tA0 = System.nanoTime()
+        (0 until 24).foreach { i =>
+          ops.LexIndex.appendDocsIdempotent(pa, mkBatch(i), s"tm:$i")
+          if ((i + 1) % 4 == 0) {
+            ops.LexIndex.compactIndex(spark, pa)
+            // a full rewrite re-lands the whole generation
+            bytesCompact += graft.util.Fs.treeBytes(
+              graft.util.IndexMaint.liveGen(pa))
+          }
+        }
+        val tA = (System.nanoTime() - tA0) / 1e9
+        // run B: tiered merge after every batch (self-pacing)
+        val pb = s"$mBase/merge"
+        ops.LexIndex.buildIndex(docs8, pb)
+        var bytesMerged = 0L
+        var fires = 0
+        val mp = ops.MergePolicy(factor = 4, minMerge = 4, maxMerge = 16)
+        val tB0 = System.nanoTime()
+        (0 until 24).foreach { i =>
+          ops.LexIndex.appendDocsIdempotent(pb, mkBatch(i), s"tm:$i")
+          ops.LexIndex.mergeSegments(spark, pb, mp).foreach { r =>
+            bytesMerged += r.bytesIn; fires += 1
+          }
+        }
+        val tB = (System.nanoTime() - tB0) / 1e9
+        def filesOf2(path: String): Int =
+          spark.read.parquet(graft.util.IndexMaint.liveGen(path)).inputFiles.length
+        val (fA, fB) = (filesOf2(pa), filesOf2(pb))
+        val qa = ops.LexIndex.bm25TopK(spark, pa, ops.Search.fixtureQueries, 5)
+          .collect().map(_.toString).sorted.toSeq
+        val qb = ops.LexIndex.bm25TopK(spark, pb, ops.Search.fixtureQueries, 5)
+          .collect().map(_.toString).sorted.toSeq
+        if (qa != qb)
+          throw new IllegalStateException("tiered_merge_8x: merged-index page != compacted-index page")
+        val amp = bytesCompact.toDouble / math.max(1L, bytesMerged)
+        val lineM = f"PROBE tiered_merge_8x      24 batches: rewritten compact4=${bytesCompact / 1e6}%.1fMB merge=${bytesMerged / 1e6}%.1fMB (${amp}%.1fx less) fires=$fires files compact=$fA merge=$fB maintain compact=$tA%.1f s merge=$tB%.1f s page-identical"
+        println(lineM); report ++= lineM + "\n"
+        if (bytesMerged >= bytesCompact)
+          throw new IllegalStateException(s"tiered merge did not beat the full-rewrite cadence: $lineM")
+      } finally graft.util.Fs.deleteRecursively(mBase)
     }
 
     // Hybrid retrieval at 8x: BOTH stages serve from persisted indexes
@@ -1870,6 +1939,14 @@ object ScaleProbe {
     report ++= "  re-lands accrued segments and the final file count stays at the\n"
     report ++= "  one-segment floor regardless of stream length, where the\n"
     report ++= "  no-compact run grows linearly with batches.\n"
+    report ++= "- tiered_merge_8x: the write-amplification comparison over a\n"
+    report ++= "  LONG ingest (24 batches) on the 8x postings index. The\n"
+    report ++= "  compactEvery=4 cadence re-lands the FULL generation six times\n"
+    report ++= "  (total rewrite grows linearly with stream lifetime); the size-\n"
+    report ++= "  tiered policy only coalesces same-tier small segments and\n"
+    report ++= "  hard-links the rest, so per-batch rewrite stays bounded\n"
+    report ++= "  (O(N log B) total). Serving page asserted identical between\n"
+    report ++= "  the two maintenance strategies.\n"
     report ++= "- hybrid_8x: the fused lexical x semantic page with BOTH stages\n"
     report ++= "  on persisted indexes (r17: no corpus join anywhere in the\n"
     report ++= "  serving plan — spec-pinned). full-probe is the oracle-exact\n"

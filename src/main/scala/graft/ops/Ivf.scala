@@ -359,10 +359,20 @@ object Ivf extends IndexFamily {
     * tombstone pairs. The quantizer needs no manifest entry — centroids
     * are a generation sidecar, and nothing retrains in place (a
     * drift-triggered rebalance commits a NEW generation, which the pin
-    * protects the old one from reaping through). Idempotent per label.
+    * protects the old one from reaping through). An existing label
+    * refuses loudly ([[graft.util.IndexMaint.pinLive]]);
+    * [[pinIndexIfAbsent]] is the replay-safe first-pin-wins form.
     */
   def pinIndex(path: String, label: String): Unit = {
     graft.util.IndexMaint.pinLive(path, label)
+    ()
+  }
+
+  /** First-pin-wins [[pinIndex]] — replayed pipelines keep their first
+    * snapshot ([[graft.util.IndexMaint.pinLiveIfAbsent]]).
+    */
+  def pinIndexIfAbsent(path: String, label: String): Unit = {
+    graft.util.IndexMaint.pinLiveIfAbsent(path, label)
     ()
   }
 
@@ -429,7 +439,7 @@ object Ivf extends IndexFamily {
     val path = graft.util.Fs.sessionTempDir("ivf_index_asof", dir)
     val index = buildIndexCached(base, s"$dir/embeddings.parquet", path,
       kCells = 16, iters = 0)
-    pinIndex(path, "pre")
+    pinIndexIfAbsent(path, "pre")
     val doomed = base.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     deleteIds(index, doomed)

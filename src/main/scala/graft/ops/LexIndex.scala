@@ -865,13 +865,42 @@ object LexIndex extends IndexFamily {
     * generation, segment set and tombstone pairs, plus the lexical
     * removed-stats adjustment as an `x-` entry — everything
     * [[bm25TopKAsOf]] needs to reproduce this exact scoring state after
-    * any number of later mutations. Idempotent per label.
+    * any number of later mutations. An existing label refuses loudly;
+    * [[pinIndexIfAbsent]] is the replay-safe first-pin-wins form.
     */
-  def pinIndex(spark: SparkSession, path: String, label: String): Unit =
-    graft.util.IndexMaint.pinLive(path, label, gen => {
-      val (n, s) = readRemoved(gen)
-      Map("x-removed" -> s"$n,$s")
-    })
+  def pinIndex(spark: SparkSession, path: String, label: String): Unit = {
+    graft.util.IndexMaint.pinLive(path, label, pinExtra)
+    ()
+  }
+
+  /** The lexical family's manifest extras: the removed-stats adjustment
+    * as of pin time.
+    */
+  private def pinExtra(gen: String): Map[String, String] = {
+    val (n, s) = readRemoved(gen)
+    Map("x-removed" -> s"$n,$s")
+  }
+
+  /** First-pin-wins [[pinIndex]]
+    * ([[graft.util.IndexMaint.pinLiveIfAbsent]]).
+    */
+  def pinIndexIfAbsent(spark: SparkSession, path: String, label: String): Unit = {
+    graft.util.IndexMaint.pinLiveIfAbsent(path, label, pinExtra)
+    ()
+  }
+
+  /** Pin the lexical AND vector halves of a hybrid serving pair under
+    * ONE label atomically with respect to mutations
+    * ([[graft.util.IndexMaint.pinPair]]: both mutation leases held,
+    * path-ordered, before either manifest resolves) — a CDC wave can
+    * never land between the two pins, so every [[hybridPageAsOf]]
+    * against the label observes ONE wave-consistent state. Two
+    * independent [[pinIndex]] calls cannot promise that.
+    */
+  def pinHybrid(lexPath: String, vecPath: String, label: String): Unit = {
+    graft.util.IndexMaint.pinPair(lexPath, vecPath, label, extraA = pinExtra)
+    ()
+  }
 
   /** Corpus constants of a PINNED snapshot: the manifest's segments'
     * stats sidecars summed, minus the removed adjustment AS OF PIN TIME
@@ -1631,7 +1660,7 @@ object LexIndex extends IndexFamily {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index_asof", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
-    pinIndex(spark, path, "pre")
+    pinIndexIfAbsent(spark, path, "pre")
     val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
     val batch = docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
@@ -1938,11 +1967,12 @@ object LexIndex extends IndexFamily {
       .select(col("vec_id"), col("embedding"))
     val lexPath = graft.util.Fs.sessionTempDir("lex_index_hasof", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", lexPath)
-    pinIndex(spark, lexPath, "pre")
     val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_asof", dir)
     Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
       kCells = 16, iters = 0)
-    Ivf.pinIndex(vecPath, "pre")
+    // ONE atomic pair pin (both leases held): no wave can land between
+    // the lexical and vector snapshots; a replay keeps the first pair
+    pinHybrid(lexPath, vecPath, "pre")
     val docDonor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
     val vecDonor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
     val docBatch = docs.filter(col("doc_id") % 11 === 0)

@@ -1042,10 +1042,19 @@ object Pq {
     * contract on the code index: generation + segment set + tombstone
     * pairs; codebooks are a generation sidecar (nothing retrains in
     * place — a rebalance commits a NEW generation the pin protects the
-    * old one from reaping through). Idempotent per label.
+    * old one from reaping through). An existing label refuses loudly;
+    * [[pinIndexIfAbsent]] is the replay-safe first-pin-wins form.
     */
   def pinIndex(path: String, label: String): Unit = {
     graft.util.IndexMaint.pinLive(path, label)
+    ()
+  }
+
+  /** First-pin-wins [[pinIndex]]
+    * ([[graft.util.IndexMaint.pinLiveIfAbsent]]).
+    */
+  def pinIndexIfAbsent(path: String, label: String): Unit = {
+    graft.util.IndexMaint.pinLiveIfAbsent(path, label)
     ()
   }
 
@@ -1081,7 +1090,7 @@ object Pq {
     val path = graft.util.Fs.sessionTempDir("pq_index_asof", dir)
     val index = buildIndexCached(base, s"$dir/embeddings.parquet", path,
       m = 4, kSub = 16, iters = 0)
-    pinIndex(path, "pre")
+    pinIndexIfAbsent(path, "pre")
     val doomed = base.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     deleteIds(index, doomed)
@@ -1764,7 +1773,7 @@ object Pq {
     val path = graft.util.Fs.sessionTempDir("ivfpq_index_asof", dir)
     val index = buildIndexResidualCached(base, s"$dir/embeddings.parquet",
       path, kCells = 16, m = 4, kSub = 16, iters = 0)
-    graft.util.IndexMaint.pinLive(path, "pre")
+    graft.util.IndexMaint.pinLiveIfAbsent(path, "pre")
     val doomed = base.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     deleteIdsResidual(index, doomed)

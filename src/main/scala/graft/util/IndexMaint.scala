@@ -897,7 +897,8 @@ object IndexMaint {
   private val PinsDir = "_pins"
 
   final case class Snapshot(gen: String, segs: Seq[String],
-      tombs: Array[(String, Long)], extra: Map[String, String])
+      tombs: Array[(String, Long)], extra: Map[String, String],
+      createdMs: Long = 0L)
 
   /** The labels with a pin manifest on disk, sorted. */
   def listSnapshotLabels(root: String): Seq[String] = {
@@ -929,43 +930,190 @@ object IndexMaint {
     else Some(resolved.flatMap(_.flatten).toSet)
   }
 
+  private def requireValidLabel(label: String): Unit = {
+    requireValidToken(label)
+    require(!label.contains("/") && !label.contains(","),
+      s"pin label must be a plain name: '$label'")
+  }
+
+  /** Resolve the live state into a manifest and write it — callers hold
+    * the monitor + lease and have already decided the label is free.
+    */
+  private def writePin(root: String, label: String,
+      extra: String => Map[String, String]): Snapshot = {
+    val gen = liveGen(root)
+    val snap = Snapshot(Paths.get(gen).getFileName.toString,
+      segmentValues(gen), readTombstones(gen), extra(gen),
+      createdMs = System.currentTimeMillis())
+    val d = Paths.get(root, PinsDir)
+    Files.createDirectories(d)
+    val body = (Seq(s"gen=${snap.gen}", s"created=${snap.createdMs}") ++
+      snap.segs.map(s => s"seg=$s") ++
+      snap.tombs.map { case (s, id) => s"tomb=$s,$id" } ++
+      snap.extra.toSeq.sortBy(_._1).map { case (k, v) =>
+        require(k.startsWith("x-"), s"extra keys must be x-*: $k")
+        s"$k=$v"
+      }).mkString("", "\n", "\n")
+    val tmp = d.resolve(s"$label.txt.tmp")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, d.resolve(s"$label.txt"),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
   /** Pin the LIVE state under `label`: record the generation, its
     * current segment set and tombstone pairs, plus the family's `extra`
     * sidecar values (computed against the resolved generation, under
-    * the same lease — one snapshot, no torn view). Idempotent per
-    * label: re-pinning an existing label is a no-op returning the
-    * ORIGINAL manifest (a replayed pipeline keeps its first snapshot);
-    * it never re-resolves — a label is immutable until [[unpin]].
+    * the same lease — one snapshot, no torn view). A label is immutable
+    * until [[unpin]]: pinning an EXISTING label refuses loudly naming
+    * the pin it would have silently shadowed — a caller who believes
+    * they re-pinned "nightly" at today's state must not get
+    * yesterday's. A replay-safe pipeline that WANTS first-pin-wins
+    * semantics says so with [[pinLiveIfAbsent]]; deliberately moving a
+    * label is [[repin]].
     */
   def pinLive(root: String, label: String,
       extra: String => Map[String, String] = _ => Map.empty): Snapshot =
     lockFor(root).synchronized {
-      requireValidToken(label)
-      require(!label.contains("/") && !label.contains(","),
-        s"pin label must be a plain name: '$label'")
+      requireValidLabel(label)
       withLease(root, op = s"pin($label)") {
-        readSnapshot(root, label).getOrElse {
-          val gen = liveGen(root)
-          val snap = Snapshot(Paths.get(gen).getFileName.toString,
-            segmentValues(gen), readTombstones(gen), extra(gen))
-          val d = Paths.get(root, PinsDir)
-          Files.createDirectories(d)
-          val body = (Seq(s"gen=${snap.gen}") ++
-            snap.segs.map(s => s"seg=$s") ++
-            snap.tombs.map { case (s, id) => s"tomb=$s,$id" } ++
-            snap.extra.toSeq.sortBy(_._1).map { case (k, v) =>
-              require(k.startsWith("x-"), s"extra keys must be x-*: $k")
-              s"$k=$v"
-            }).mkString("", "\n", "\n")
-          val tmp = d.resolve(s"$label.txt.tmp")
-          Files.write(tmp, body.getBytes(UTF_8))
-          Files.move(tmp, d.resolve(s"$label.txt"),
-            StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-          snap
+        readSnapshot(root, label).foreach { existing =>
+          throw new IllegalStateException(
+            s"pin '$label' already exists on $root (generation " +
+              s"${existing.gen}) — pinning again would silently keep the " +
+              "OLD snapshot. Use repin to move the label to the live " +
+              "state, unpin first, or pinLiveIfAbsent for replay-safe " +
+              "first-pin-wins semantics.")
         }
+        writePin(root, label, extra)
       }
     }
+
+  /** First-pin-wins: pin the live state, or return the EXISTING
+    * manifest unchanged when the label is already pinned — the replay
+    * contract idempotent pipelines rely on (a re-run keeps its first
+    * snapshot; it never re-resolves).
+    */
+  def pinLiveIfAbsent(root: String, label: String,
+      extra: String => Map[String, String] = _ => Map.empty): Snapshot =
+    lockFor(root).synchronized {
+      requireValidLabel(label)
+      withLease(root, op = s"pin($label)") {
+        readSnapshot(root, label).getOrElse(writePin(root, label, extra))
+      }
+    }
+
+  /** Deliberately move `label` to the CURRENT live state under ONE
+    * lease (drop + re-resolve + write, no window for a half-pinned
+    * observer). The explicit verb for the "re-pin nightly" intent
+    * [[pinLive]] refuses to guess at. The previously pinned generation
+    * becomes reclaimable at the next commit, like [[unpin]].
+    */
+  def repin(root: String, label: String,
+      extra: String => Map[String, String] = _ => Map.empty): Snapshot =
+    lockFor(root).synchronized {
+      requireValidLabel(label)
+      withLease(root, op = s"repin($label)") {
+        Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt"))
+        writePin(root, label, extra)
+      }
+    }
+
+  /** Pin TWO index roots under ONE label atomically with respect to
+    * mutations: both mutation leases are taken (path-ordered, the
+    * datacardClone idiom, so two concurrent pinPairs cannot deadlock)
+    * BEFORE either manifest resolves — no CDC/upsert/compaction wave
+    * can land between the two pins, which is exactly the skew
+    * [[graft.ops.LexIndex.hybridPageAsOf]]-style cross-index readers
+    * would otherwise silently inherit. Refuses (before writing
+    * anything) when the label exists on exactly ONE root: that is the
+    * torn state of a crashed earlier pinPair, and completing it now
+    * would pin the other side at a LATER state — the skew this verb
+    * exists to prevent; unpin the survivor and retry. When the label
+    * exists on BOTH, returns the existing pair (a replayed pipeline
+    * keeps its first snapshot — the pair was written under one barrier,
+    * so it is consistent).
+    */
+  def pinPair(rootA: String, rootB: String, label: String,
+      extraA: String => Map[String, String] = _ => Map.empty,
+      extraB: String => Map[String, String] = _ => Map.empty): (Snapshot, Snapshot) = {
+    requireValidLabel(label)
+    require(rootA != rootB, s"pinPair: the two roots are the same path ($rootA)")
+    val (first, second) = if (rootA <= rootB) (rootA, rootB) else (rootB, rootA)
+    lockFor(first).synchronized { lockFor(second).synchronized {
+      withLease(first, op = s"pinPair($label)") {
+        withLease(second, op = s"pinPair($label)") {
+          val ea = readSnapshot(rootA, label)
+          val eb = readSnapshot(rootB, label)
+          (ea, eb) match {
+            case (Some(a), Some(b)) => (a, b)
+            case (None, None) =>
+              (writePin(rootA, label, extraA), writePin(rootB, label, extraB))
+            case _ =>
+              val (has, lacks) = if (ea.isDefined) (rootA, rootB) else (rootB, rootA)
+              throw new IllegalStateException(
+                s"pinPair '$label': $has is pinned but $lacks is not — a " +
+                  "crashed earlier pinPair left a torn pair, and completing " +
+                  "it now would pin the two sides at DIFFERENT states. " +
+                  s"unpin '$label' on $has, then retry.")
+          }
+        }
+      }
+    } }
+  }
+
+  /** Per-pin retention accounting — the operator surface for "what is
+    * each pin costing me, and how old is it". `retainedBytes` is
+    * hard-link-aware: bytes of the pinned generation's files whose
+    * inode does NOT also appear in the live generation (a tiered merge
+    * carries untouched segments by link, so naive directory sizes
+    * would double-count shared bytes as retention). `ageMs` is -1 for
+    * manifests written before the `created` line existed.
+    *
+    * Runbook: pins are free at pin time and cost retention forever —
+    * each keeps its whole generation through every later rewrite.
+    * Operators should either [[unpin]] when the consumer (an eval, an
+    * audit) finishes, or enforce a TTL by unpinning every label whose
+    * `ageMs` exceeds policy; the freed generation is reclaimed by the
+    * NEXT commit or fsckRepair.
+    */
+  final case class PinStat(label: String, gen: String, ageMs: Long,
+      retainedBytes: Long)
+
+  def pinStats(root: String): Seq[PinStat] = {
+    import scala.jdk.CollectionConverters._
+    def inodesAndBytes(dir: Path): Seq[(Object, Long)] = {
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val w = Files.walk(dir)
+        try w.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => (Files.getAttribute(p, "unix:ino"), Files.size(p)))
+          .toList
+        finally w.close()
+      }
+    }
+    val liveInodes = liveGenOpt(root)
+      .map(g => inodesAndBytes(Paths.get(g)).map(_._1).toSet)
+      .getOrElse(Set.empty[Object])
+    val now = System.currentTimeMillis()
+    listSnapshotLabels(root).map { label =>
+      try {
+        val snap = readSnapshot(root, label).get
+        val genDir = Paths.get(root, snap.gen)
+        val liveName = liveGenOpt(root)
+          .map(g => Paths.get(g).getFileName.toString)
+        val retained =
+          if (liveName.contains(snap.gen)) 0L
+          else inodesAndBytes(genDir)
+            .collect { case (ino, sz) if !liveInodes.contains(ino) => sz }.sum
+        PinStat(label, snap.gen,
+          if (snap.createdMs > 0) now - snap.createdMs else -1L, retained)
+      } catch {
+        case _: Exception => PinStat(label, "<unparseable>", -1L, -1L)
+      }
+    }
+  }
 
   def readSnapshot(root: String, label: String): Option[Snapshot] = {
     val p = Paths.get(root, PinsDir, s"$label.txt")
@@ -992,7 +1140,10 @@ object IndexMaint {
           val i = v.lastIndexOf(',')
           (v.substring(0, i), v.substring(i + 1).toLong)
         }.toArray,
-        kv.collect { case (k, v) if k.startsWith("x-") => k -> v }.toMap))
+        kv.collect { case (k, v) if k.startsWith("x-") => k -> v }.toMap,
+        // pre-`created` manifests read as 0 — pinStats reports their
+        // age as unknown rather than guessing
+        kv.collectFirst { case ("created", v) => v.toLong }.getOrElse(0L)))
     }
   }
 

@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.util.IndexMaint
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Pin lifecycle semantics (round-19 hardening): a label is immutable
+  * until unpinned — re-pinning refuses loudly instead of silently
+  * keeping yesterday's snapshot; `repin` is the explicit move verb;
+  * `pinLiveIfAbsent` is the replay contract; `pinPair` pins two roots
+  * under one barrier so no mutation wave can land between them; and
+  * `pinStats` is the hard-link-aware retention accounting an
+  * unpin-or-TTL policy reads.
+  */
+class PinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(ids: Range): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(13)
+    ids.map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pinLive refuses an existing label naming the shadowed generation; repin moves it; pinLiveIfAbsent keeps the first") {
+    val path = tmpDir("pin_sem") + "/index"
+    val index = Ivf.buildIndex(vecs(0 until 60), path, kCells = 2, iters = 1)
+    val first = IndexMaint.pinLive(path, "nightly")
+    assert(first.createdMs > 0L, "a fresh manifest records its creation time")
+    // mutate so live != pinned
+    Ivf.appendBatchIdempotent(index, vecs(100 until 105), "pin:a")
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    // a second pinLive must NOT silently return yesterday's snapshot
+    val e = intercept[IllegalStateException](IndexMaint.pinLive(path, "nightly"))
+    assert(e.getMessage.contains(first.gen) && e.getMessage.contains("repin"),
+      e.getMessage)
+    // the replay contract, spelled out: first-pin-wins
+    assert(IndexMaint.pinLiveIfAbsent(path, "nightly").gen === first.gen)
+    // the explicit move verb: one lease, label now at the live state
+    val moved = IndexMaint.repin(path, "nightly")
+    val liveName = Paths.get(IndexMaint.liveGen(path)).getFileName.toString
+    assert(moved.gen === liveName)
+    assert(moved.gen !== first.gen)
+    assert(IndexMaint.readSnapshot(path, "nightly").get.gen === liveName)
+  }
+
+  test("pinPair: both leases held before either manifest resolves — an injected mutation wave cannot land between the two pins") {
+    val base = tmpDir("pin_pair")
+    val lexPath = s"$base/lex"
+    val vecPath = s"$base/vec"
+    LexIndex.buildIndex(
+      (0 until 50).map(i => (i.toLong, s"alpha w$i")).toDF("doc_id", "text"),
+      lexPath)
+    val vecIdx = Ivf.buildIndex(vecs(0 until 50), vecPath, kCells = 2, iters = 1)
+    val vecSegsBefore = IndexMaint.segmentValues(IndexMaint.liveGen(vecPath))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    @volatile var waveDone = false
+    val wave = new Thread(() => {
+      start.await()
+      Ivf.upsertBatchIdempotent(vecIdx, vecs(5 until 8), "race:u")
+      waveDone = true
+    })
+    wave.start()
+    // the extra hook runs AFTER both leases are held: release the wave
+    // there and give it real time to attempt its mutation
+    IndexMaint.pinPair(lexPath, vecPath, "pair", extraA = { _ =>
+      start.countDown()
+      Thread.sleep(800)
+      Map.empty
+    })
+    assert(!waveDone,
+      "the wave must be blocked while the pair pin holds both leases")
+    wave.join(60000)
+    assert(waveDone, "the wave must proceed once the pins release")
+    // both manifests predate the wave: the vec pin's segment set is the
+    // pre-wave one, and an as-of read serves the pre-wave vector state
+    val vSnap = IndexMaint.readSnapshot(vecPath, "pair").get
+    assert(vSnap.segs.sorted === vecSegsBefore.sorted,
+      "the pinned segment set must not include the wave's segment")
+    assert(vSnap.tombs.isEmpty, "the wave's tombstones must not be pinned")
+    // replay: both exist -> the original pair comes back
+    val (a2, b2) = IndexMaint.pinPair(lexPath, vecPath, "pair")
+    assert(b2.segs.sorted === vecSegsBefore.sorted && a2.gen.nonEmpty)
+  }
+
+  test("pinPair refuses a torn pair (label on one root only) instead of completing it at a later state") {
+    val base = tmpDir("pin_torn")
+    val aPath = s"$base/a"
+    val bPath = s"$base/b"
+    Ivf.buildIndex(vecs(0 until 30), aPath, kCells = 2, iters = 1)
+    Ivf.buildIndex(vecs(0 until 30), bPath, kCells = 2, iters = 1)
+    IndexMaint.pinLive(aPath, "ep")
+    val e = intercept[IllegalStateException](IndexMaint.pinPair(aPath, bPath, "ep"))
+    assert(e.getMessage.contains("torn") && e.getMessage.contains("unpin"),
+      e.getMessage)
+    // resolving the torn half lets the pair land
+    assert(IndexMaint.unpin(aPath, "ep"))
+    val (a, b) = IndexMaint.pinPair(aPath, bPath, "ep")
+    assert(a.gen.nonEmpty && b.gen.nonEmpty)
+  }
+
+  test("pinStats: per-pin age and retained bytes, hard-link-aware across a tiered merge") {
+    val path = tmpDir("pin_stats") + "/index"
+    val index = Ivf.buildIndex(vecs(0 until 2000), path, kCells = 2, iters = 1)
+    // a pin on the live generation retains nothing yet
+    IndexMaint.pinLive(path, "now")
+    val s0 = IndexMaint.pinStats(path)
+    assert(s0.map(_.label) === Seq("now") && s0.head.retainedBytes === 0L)
+    assert(s0.head.ageMs >= 0L)
+    IndexMaint.unpin(path, "now")
+    // fill a tier, pin, then merge: the successor hard-links base, so
+    // the pinned generation's RETAINED bytes are only the merged-away
+    // small segments — not the shared base
+    (0 until 4).foreach { b =>
+      Ivf.appendBatchIdempotent(index, vecs(10000 + b * 10 until 10000 + b * 10 + 4), s"ps:$b")
+    }
+    IndexMaint.pinLive(path, "premerge")
+    val pinnedGen = IndexMaint.readSnapshot(path, "premerge").get.gen
+    val pinnedGenBytes = graft.util.Fs.treeBytes(s"$path/$pinnedGen")
+    val baseBytes = graft.util.Fs.treeBytes(s"$path/$pinnedGen/seg=base")
+    assert(Ivf.mergeSegments(spark, index,
+      MergePolicy(factor = 4, minMerge = 4, maxMerge = 8)).isDefined)
+    val s1 = IndexMaint.pinStats(path).find(_.label == "premerge").get
+    assert(s1.gen === pinnedGen)
+    assert(s1.retainedBytes > 0L, "the merged-away segments are retention")
+    assert(s1.retainedBytes < pinnedGenBytes - baseBytes + 1024,
+      s"retained (${s1.retainedBytes}) must exclude the base bytes shared " +
+        s"by hard link with the live generation (gen=$pinnedGenBytes base=$baseBytes)")
+    // a full compaction rewrites everything: nothing shared anymore,
+    // the pin now retains its whole generation
+    Ivf.compactIndex(spark, Ivf.loadIndex(path))
+    val s2 = IndexMaint.pinStats(path).find(_.label == "premerge").get
+    assert(s2.retainedBytes >= pinnedGenBytes,
+      s"after a rewrite the pin retains its full generation: $s2 vs $pinnedGenBytes")
+    // an unparseable manifest degrades to a named row, never a crash
+    Files.write(Paths.get(path, "_pins", "bad.txt"), "junk".getBytes("UTF-8"))
+    val s3 = IndexMaint.pinStats(path).find(_.label == "bad").get
+    assert(s3.gen === "<unparseable>" && s3.retainedBytes === -1L)
+  }
+
+  test("family wrappers: pinIndex refuses an existing label; pinIndexIfAbsent replays; pinHybrid pins the pair") {
+    val base = tmpDir("pin_fam")
+    val lexPath = s"$base/lex"
+    val vecPath = s"$base/vec"
+    LexIndex.buildIndex(
+      (0 until 40).map(i => (i.toLong, s"alpha w$i")).toDF("doc_id", "text"),
+      lexPath)
+    Ivf.buildIndex(vecs(0 until 40), vecPath, kCells = 2, iters = 1)
+    LexIndex.pinHybrid(lexPath, vecPath, "rel")
+    assert(IndexMaint.readSnapshot(lexPath, "rel").get.extra.contains("x-removed"),
+      "the lexical half carries its removed-stats extra through pinPair")
+    assert(IndexMaint.readSnapshot(vecPath, "rel").isDefined)
+    intercept[IllegalStateException](Ivf.pinIndex(vecPath, "rel"))
+    Ivf.pinIndexIfAbsent(vecPath, "rel") // replay: no throw
+    intercept[IllegalStateException](LexIndex.pinIndex(spark, lexPath, "rel"))
+    LexIndex.pinIndexIfAbsent(spark, lexPath, "rel")
+  }
+}
