@@ -1348,12 +1348,26 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val full = ops.LexIndex.bm25TopK(spark, msPath, qs, 5).collect()
         val tFull = (System.nanoTime() - t0) / 1e9
+        // DEFAULT gate: q4 passes the skew ratio but its ~62k NE rows
+        // sit far under the fixed-cost floor (a θ job costs more than
+        // they can save at this corpus size) — the whole set must serve
+        // the exact unpruned plan, i.e. pruning is never a pessimization
         val t1 = System.nanoTime()
-        val (pageDf, dec) = ops.LexIndex.bm25PrunedCore(spark, msPath, qs, 5)
+        val (pageDf, decDefault) = ops.LexIndex.bm25PrunedCore(spark, msPath, qs, 5)
         val page = pageDf.collect()
         val tPruned = (System.nanoTime() - t1) / 1e9
         if (page.map(_.toString).sorted.toSeq != full.map(_.toString).sorted.toSeq)
           throw new IllegalStateException("bm25_maxscore_8x: pruned page != unpruned page")
+        if (decDefault.engaged.nonEmpty)
+          throw new IllegalStateException(
+            s"fixed-cost floor must gate this corpus out: ${decDefault.engaged}")
+        // FORCED engagement: the classification mechanism itself —
+        // q4's rare 'dup' seeds θ, its two ~77%-df terms classify
+        // non-essential, and the rank-window volume collapses
+        val (fpageDf, dec) = ops.LexIndex.bm25PrunedCore(spark, msPath, qs, 5,
+          gateRatio = 0.0)
+        if (fpageDf.collect().map(_.toString).sorted.toSeq != full.map(_.toString).sorted.toSeq)
+          throw new IllegalStateException("bm25_maxscore_8x: forced pruned page != unpruned page")
         // window-input volume, recomputed from the live index
         val posts = ops.LexIndex.indexData(spark, msPath)
           .filter(col("term").isin(qs.map(_._2).distinct: _*))
@@ -1368,12 +1382,70 @@ object ScaleProbe {
           .join(cands, Seq("query_id", "doc_id")).count()
         val prunedRows = ess.count() + neKept
         val neTerms = dec.roles.valuesIterator.map(_.count(_._2 == "ne")).sum
-        val line = f"PROBE bm25_maxscore_8x     full=$tFull%.2f s pruned=$tPruned%.2f s window-rows=$prunedRows/$fullRows ne-terms=$neTerms page-identical"
+        val line = f"PROBE bm25_maxscore_8x     full=$tFull%.2f s gated=$tPruned%.2f s forced-window-rows=$prunedRows/$fullRows ne-terms=$neTerms default-engaged=none page-identical"
         println(line); report ++= line + "\n"
         if (prunedRows >= fullRows)
-          throw new IllegalStateException(s"maxscore pruned nothing: $line")
+          throw new IllegalStateException(s"maxscore pruned nothing when forced: $line")
       } finally graft.util.Fs.deleteRecursively(
         java.nio.file.Paths.get(msPath).getParent.toString)
+    }
+
+    // The Zipf-tail demonstration the shared corpus cannot provide (its
+    // vocabulary has no tail — every term but 'dup' hits ~77% of docs):
+    // a synthesized corpus where every doc carries 8 stopwords and one
+    // rare marker, queried as (rare seed + 6 stopwords). The unpruned
+    // path floods the rank window with |queries|·6·N stopword rows; the
+    // gated MaxScore path classifies the stopwords non-essential from a
+    // theta seeded by ~8 rare postings — pruned must WIN wall-clock
+    // here, not just window-rows (min-of-2 each to shed warmup noise).
+    locally {
+      val zPath = java.nio.file.Files.createTempDirectory("probe_zipf").toString + "/index"
+      try {
+        import spark.implicits._
+        val stop = (0 until 12).map(i => s"s$i").mkString(" ")
+        val zdocs = spark.range(8L * n)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", lit(stop),
+              concat(lit("r"), pmod(col("id"), lit(5000L))),
+              concat(lit("u"), col("id"))).as("text"))
+        ops.LexIndex.buildIndex(zdocs, zPath)
+        val zqs = (0 until 16).flatMap { i =>
+          (s"z$i" -> s"r${i * 17}") +: (0 until 10).map(j => s"z$i" -> s"s$j")
+        }
+        // this probe is timing-sensitive and runs late in a ~100-probe
+        // session: drop the accumulated localCheckpoint blocks first
+        // and between runs (the Bench hygiene), or block-manager
+        // pressure pollutes the comparison (observed 34 s vs 4.5 s for
+        // the SAME code fresh)
+        def minOf2(f: => Long): (Double, Long) = {
+          graft.util.Blocks.releaseAll(spark)
+          val t0 = System.nanoTime(); val r0 = f
+          val d0 = (System.nanoTime() - t0) / 1e9
+          graft.util.Blocks.releaseAll(spark)
+          val t1 = System.nanoTime(); val r1 = f
+          val d1 = (System.nanoTime() - t1) / 1e9
+          require(r0 == r1); (math.min(d0, d1), r0)
+        }
+        val (tPrunedZ, nPruned) = minOf2(
+          ops.LexIndex.bm25PrunedTopK(spark, zPath, zqs, 5).count())
+        val (tFullZ, nFull) = minOf2(
+          ops.LexIndex.bm25TopK(spark, zPath, zqs, 5).count())
+        val (pageDf, dec) = ops.LexIndex.bm25PrunedCore(spark, zPath, zqs, 5)
+        if (pageDf.collect().map(_.toString).sorted.toSeq !=
+            ops.LexIndex.bm25TopK(spark, zPath, zqs, 5)
+              .collect().map(_.toString).sorted.toSeq)
+          throw new IllegalStateException("bm25_zipf_8x: pruned page != unpruned page")
+        if (dec.engaged.size != 16)
+          throw new IllegalStateException(
+            s"bm25_zipf_8x: every Zipf query must engage: ${dec.engaged}")
+        val neTermsZ = dec.roles.valuesIterator.map(_.count(_._2 == "ne")).sum
+        val lineZ = f"PROBE bm25_zipf_8x         full=$tFullZ%.2f s pruned=$tPrunedZ%.2f s rows=$nFull/$nPruned ne-terms=$neTermsZ engaged=${dec.engaged.size}/16 page-identical"
+        println(lineZ); report ++= lineZ + "\n"
+        if (tPrunedZ >= tFullZ)
+          throw new IllegalStateException(
+            s"MaxScore must WIN on a Zipf-tailed corpus: $lineZ")
+      } finally graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(zPath).getParent.toString)
     }
 
     // Pinned snapshot at 8x: a pin costs RETENTION (the pinned
@@ -1958,16 +2030,24 @@ object ScaleProbe {
     report ++= "  runtime is flat in mutation history and linear in index size —\n"
     report ++= "  and protocol-produced state audits clean (0 violations; notes\n"
     report ++= "  are self-healing crash states only).\n"
-    report ++= "- bm25_maxscore_8x: MaxScore term-bound pruning on the 8x\n"
-    report ++= "  postings. The corpus's one skewed query (rare 'dup' seeds th-\n"
-    report ++= "  eta; ~77%-df terms bound below it) drops its rank-window input\n"
-    report ++= "  ~12x (its two common terms score only inside dup's candidate\n"
-    report ++= "  set); the uniform-df fixture queries prune nothing by design,\n"
-    report ++= "  so the aggregate window-rows line moves less than a Zipf\n"
-    report ++= "  corpus would. Page asserted bit-identical to the unpruned\n"
-    report ++= "  path. At this sf the theta pass costs more than it saves —\n"
-    report ++= "  the win is shuffle/window volume, which scales with posting\n"
-    report ++= "  lists while the overhead stays O(queries).\n"
+    report ++= "- bm25_maxscore_8x: MaxScore pruning behind the per-query\n"
+    report ++= "  ENGAGE-GATE, whose cost model has two terms: non-seed volume\n"
+    report ++= "  must be >= 4x the seed's df (the theta SCAN) and >= a 2M-row\n"
+    report ++= "  floor (the theta JOB's fixed cost). On this corpus q4 passes\n"
+    report ++= "  the ratio but not the floor, so the DEFAULT path serves the\n"
+    report ++= "  exact unpruned plan (gated ~ full — pruning is never a\n"
+    report ++= "  pessimization; r18 measured 2.75 s vs 1.72 s without the\n"
+    report ++= "  gate). Forced engagement (gateRatio=0) pins the mechanism:\n"
+    report ++= "  q4's window input drops ~12x with a bit-identical page.\n"
+    report ++= "- bm25_zipf_8x: the Zipf-tail fixture the shared corpus lacks\n"
+    report ++= "  (12 every-doc stopwords + rare markers; 16 queries = rare\n"
+    report ++= "  seed + 10 stopwords = 6.4M NE rows, over the floor). All 16\n"
+    report ++= "  engage, stopwords classify non-essential, the NE rows probe a\n"
+    report ++= "  BROADCAST candidate set (bounded by candCap from the\n"
+    report ++= "  dictionary — an unbounded sort-merge join here cost MORE than\n"
+    report ++= "  the unpruned WindowGroupLimit), and the pruned path is\n"
+    report ++= "  asserted FASTER wall-clock (min-of-2) with an identical page\n"
+    report ++= "  — the economics MaxScore exists for, measured.\n"
     report ++= "- pin_asof_8x: a pinned snapshot on the 8x postings index\n"
     report ++= "  through a takedown + compaction rewrite: the as-of read costs\n"
     report ++= "  the same as the live read (same bucket-pruned fetch shape) —\n"

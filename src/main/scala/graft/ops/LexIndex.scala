@@ -688,7 +688,8 @@ object LexIndex extends IndexFamily {
       theta: Map[String, Double],
       roles: Map[String, Map[String, String]],
       ub: Map[String, Double],
-      pruned: Boolean)
+      pruned: Boolean,
+      engaged: Set[String] = Set.empty)
 
   /** MaxScore-pruned BM25 top-k — EXACT results (same page, same
     * scores, same tie-breaks as [[bm25TopK]]) with the scoring and
@@ -719,11 +720,15 @@ object LexIndex extends IndexFamily {
     * exactly [[bm25TopK]]'s plan.
     */
   def bm25PrunedTopK(spark: SparkSession, path: String,
-      qs: Seq[(String, String)], k: Int): DataFrame =
-    bm25PrunedCore(spark, path, qs, k)._1
+      qs: Seq[(String, String)], k: Int,
+      gateRatio: Double = 4.0, candCap: Long = 1L << 20,
+      minNeVolume: Long = 2L << 20): DataFrame =
+    bm25PrunedCore(spark, path, qs, k, gateRatio, candCap, minNeVolume)._1
 
   private[graft] def bm25PrunedCore(spark: SparkSession, path: String,
-      qs: Seq[(String, String)], k: Int): (DataFrame, PruneDecision) = {
+      qs: Seq[(String, String)], k: Int,
+      gateRatio: Double = 4.0, candCap: Long = 1L << 20,
+      minNeVolume: Long = 2L << 20): (DataFrame, PruneDecision) = {
     import spark.implicits._
     // duplicate (query, term) pairs would double-count in the unpruned
     // scorer but fold once through the role map — refuse the ambiguity
@@ -774,7 +779,32 @@ object LexIndex extends IndexFamily {
         val seeds = byQuery.collect {
           case (q, ts) if ts.nonEmpty => q -> ts.maxBy(t => (ub(t), t))
         }
-        val seedPairs = seeds.toSeq
+        // ENGAGE-GATE, per query, from the dictionary's df histogram
+        // alone (zero posting reads): the θ seed pass costs ~df(seed)
+        // window rows plus a driver collect, and the best CASE saving
+        // is the non-seed posting volume (every other term classified
+        // NE). On a uniform-df corpus (non-seed ≈ seed volume) the
+        // seed pass costs more than pruning can ever recover —
+        // bm25_maxscore_8x measured pruned 2.75 s vs full 1.72 s at 8x
+        // — so pruning engages only where the histogram is actually
+        // skewed. The θ-pass cost has TWO terms — one proportional to
+        // the seed's posting list (the scan) and one FIXED (an extra
+        // job + driver collect) — so the gate requires the non-seed
+        // volume to clear both: >= gateRatio × the seed's df AND >= an
+        // absolute floor (minNeVolume) below which even a justified
+        // prune cannot recover the job overhead (q4 on the shared
+        // corpus engages on ratio but its 62k NE rows lose ~0.7 s to
+        // the θ job). Gated-out queries serve all-essential, i.e.
+        // exactly the unpruned plan; gateRatio <= 0 force-engages for
+        // probes and mechanism specs.
+        val force = gateRatio <= 0.0
+        val engagedQ0: Set[String] = seeds.collect { case (q, s)
+          if force || {
+            val neVol = byQuery(q).filterNot(_ == s).map(t => meta(t)._1).sum
+            neVol >= gateRatio * math.max(1L, meta(s)._1) &&
+              neVol >= minNeVolume
+          } => q }.toSet
+        val seedPairs = seeds.toSeq.filter(p => engagedQ0(p._1))
         val thetas: Map[String, Double] =
           if (seedPairs.isEmpty) Map.empty
           else {
@@ -786,25 +816,53 @@ object LexIndex extends IndexFamily {
               .select(col("query_id"), col("score"))
               .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
           }
-        val roles: Map[String, Map[String, String]] = byQuery.map {
-          case (q, ts) =>
-            val theta = thetas.getOrElse(q, 0.0)
-            // strict-< with a relative slack: an NE-only doc's score is
-            // a differently-ordered fold of the same contributions, so
-            // leave room for the fold's ulps before claiming "< θ"
-            val lim = theta - 1e-9 * math.max(1.0, math.abs(theta))
-            var cum = 0.0
-            var open = true
-            q -> ts.sortBy(t => (ub(t), t)).map { t =>
-              if (open && t != seeds(q) && cum + ub(t) < lim) {
-                cum += ub(t); t -> "ne"
-              } else { open = false; t -> "ess" }
-            }.toMap
+        def rolesOf(q: String, ts: Seq[String]): Map[String, String] = {
+          val theta = thetas.getOrElse(q, 0.0)
+          // strict-< with a relative slack: an NE-only doc's score is
+          // a differently-ordered fold of the same contributions, so
+          // leave room for the fold's ulps before claiming "< θ"
+          val lim = theta - 1e-9 * math.max(1.0, math.abs(theta))
+          var cum = 0.0
+          var open = true
+          ts.sortBy(t => (ub(t), t)).map { t =>
+            if (open && t != seeds(q) && cum + ub(t) < lim) {
+              cum += ub(t); t -> "ne"
+            } else { open = false; t -> "ess" }
+          }.toMap
+        }
+        val roles0 = byQuery.map { case (q, ts) =>
+          q -> (if (engagedQ0(q)) rolesOf(q, ts) else ts.map(_ -> "ess").toMap)
+        }
+        // SECOND gate, after roles are known: the NE rows score only
+        // inside the essential candidate set, and that join must be a
+        // BROADCAST hash probe — a shuffled sort-merge join of the NE
+        // volume costs MORE than the unpruned WindowGroupLimit pass it
+        // replaces (which never fully sorts; measured 15.2 s pruned vs
+        // 10.9 s full at 25M NE rows before this cap). The candidate
+        // set is bounded by Σ df(essential terms) — known driver-side
+        // from the dictionary — so queries are kept engaged smallest-
+        // essential-volume first while the total stays under candCap,
+        // and the rest serve the exact unpruned plan.
+        val essVol: Map[String, Long] = engagedQ0.iterator.map { q =>
+          q -> roles0(q).collect { case (t, "ess") => meta(t)._1 }.sum
+        }.toMap
+        var candBudget = candCap
+        val engagedQ: Set[String] = essVol.toSeq.sortBy { case (q, v) => (v, q) }
+          .iterator.filter { case (_, v) =>
+            if (v <= candBudget) { candBudget -= v; true } else false
+          }.map(_._1).toSet
+        val roles: Map[String, Map[String, String]] = roles0.map {
+          case (q, m) if engagedQ(q) => q -> m
+          case (q, _) => q -> byQuery(q).map(_ -> "ess").toMap
         }
         val roleRows = roles.toSeq.flatMap { case (q, m) =>
           m.toSeq.map { case (t, r) => (q, t, r) } }
-        val decision = PruneDecision(thetas, roles, ub, pruned = true)
-        if (roleRows.isEmpty)
+        val decision = PruneDecision(thetas, roles, ub, pruned = true,
+          engaged = engagedQ)
+        // no NE term anywhere (every query gated out, or θ too low to
+        // bound anything) → the role join buys nothing; serve the
+        // exact unpruned plan
+        if (roleRows.isEmpty || !roles.exists(_._2.values.exists(_ == "ne")))
           return (Search.topK(shapeForScores(posts, qs, stats),
             Search.rationalIdf, k), decision)
         val dfx = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -815,7 +873,13 @@ object LexIndex extends IndexFamily {
           .withColumn("n_docs", lit(stats.nDocs))
           .withColumn("sum_dl", lit(stats.sumDl))
         val ess = base.filter(col("role") === "ess").drop("role")
-        val cands = ess.select(col("query_id"), col("doc_id")).distinct()
+        // candidates restricted to ENGAGED queries (NE rows only exist
+        // for those) and explicitly broadcast — the second gate above
+        // bounded them by candCap, so the NE side is a scan + hash
+        // probe, never a shuffle+sort of the stopword posting volume
+        val cands = broadcast(
+          ess.filter(col("query_id").isin(engagedQ.toSeq: _*))
+            .select(col("query_id"), col("doc_id")).distinct())
         val ne = base.filter(col("role") === "ne").drop("role")
           .join(cands, Seq("query_id", "doc_id"))
         (Search.topK(ess.unionByName(ne), Search.rationalIdf, k), decision)
@@ -1613,6 +1677,44 @@ object LexIndex extends IndexFamily {
     * update, not a shrink), Σdl shifted by the re-crawl — the whole
     * delete-then-insert contract in one hash claim. Replays no-op.
     */
+  /** Registered `search_bm25_merged`: the tiered-merge lifecycle under
+    * the oracle — four append waves fill a tier, a takedown hits both
+    * the base AND the first wave, then [[mergeSegments]] coalesces the
+    * four append segments into one, physically reclaiming the wave's
+    * tombstoned docs and recomputing the doc-dir/stats/term-dictionary
+    * sidecars from survivors. The DuckDB twin knows nothing of
+    * segments: it is BM25 over the effective corpus (base minus the
+    * % 13 == 5 takedown, plus the four inserted strata minus the
+    * deleted slice of wave 0) — hash equality proves the merge is
+    * invisible to serving: constants, df, ranks and reclamation all
+    * exact. Replay-safe: appends/deletes are idempotent and a re-run's
+    * merge no-ops (two segments left, below minMerge).
+    */
+  def bm25Merged(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_mrg", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    (0 until 4).foreach { b =>
+      appendDocsIdempotent(path,
+        docs.filter(col("doc_id") % 9 === b)
+          .select((col("doc_id") + lit((b + 1) * 3000000L)).as("doc_id"),
+            col("text")),
+        s"mrgq:app:$b")
+    }
+    val doomed = docs.filter(col("doc_id") % 13 === 5).select(col("doc_id"))
+      .unionAll(docs.filter(col("doc_id") % 9 === 0 && col("doc_id") % 4 === 1)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id")))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    deleteDocs(spark, path, doomed)
+    // minMerge=2 + two steps: fires even if the near-equal wave sizes
+    // straddle a tier boundary — any merge outcome is serving-invariant,
+    // which is exactly what the oracle asserts
+    val mp = MergePolicy(factor = 4, minMerge = 2, maxMerge = 8)
+    mergeSegments(spark, path, mp)
+    mergeSegments(spark, path, mp)
+    bm25TopK(spark, path, Search.fixtureQueries, 5)
+  }
+
   def bm25Upserted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
     val path = graft.util.Fs.sessionTempDir("lex_index_ups", dir)
@@ -2099,6 +2201,7 @@ object LexIndex extends IndexFamily {
     "search_bm25_filtered" -> (bm25Filtered _),
     "search_bm25_deleted" -> (bm25Deleted _),
     "search_bm25_upserted" -> (bm25Upserted _),
+    "search_bm25_merged" -> (bm25Merged _),
     "search_bm25_retention" -> (bm25Retention _),
     "search_bm25_asof" -> (bm25AsOf _),
     "stream_bm25_cdc" -> (bm25StreamCdc _),
@@ -2137,6 +2240,22 @@ object LexIndex extends IndexFamily {
     // a retention rewrite must be indistinguishable from a takedown to
     // any reader: the SAME survivors-only twin shape
     "search_bm25_retention" -> Search.textBm25SqlWhere("doc_id % 5 <> 1"),
+    // a tiered merge must be invisible to serving: the twin over the
+    // effective corpus (base minus the takedown, plus the four inserted
+    // waves minus wave 0's deleted slice) — segments, reclamation and
+    // the sidecar recomputes all disappear into hash equality
+    "search_bm25_merged" -> Search.textBm25SqlOverRel(
+      """(SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5
+        | UNION ALL
+        | SELECT doc_id + 3000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 9 = 0 AND doc_id % 4 <> 1
+        | UNION ALL
+        | SELECT doc_id + 6000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 1
+        | UNION ALL
+        | SELECT doc_id + 9000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 2
+        | UNION ALL
+        | SELECT doc_id + 12000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 3)"""
+        .stripMargin),
     // the pinned snapshot serves the ORIGINAL corpus — bit-identical to
     // pin time, through a CDC wave and a compaction rewrite
     "search_bm25_asof" -> Search.textBm25Sql,

@@ -619,7 +619,10 @@ class LexIndexSpec extends SparkTestBase {
     val path = tmpDir("lex_maxscore") + "/index"
     LexIndex.buildIndex(docs, path)
     val qs = Seq("q" -> "rare", "q" -> "stop")
-    val (page, dec) = LexIndex.bm25PrunedCore(spark, path, qs, 3)
+    // gateRatio = 0: this test pins the bound/role MECHANISM — at 400
+    // docs the default gate's absolute NE-volume floor would
+    // (correctly) rule pruning uneconomical and serve unpruned
+    val (page, dec) = LexIndex.bm25PrunedCore(spark, path, qs, 3, gateRatio = 0.0)
     val want = LexIndex.bm25TopK(spark, path, qs, 3)
     assert(page.collect().map(_.toString).sorted.toSeq ===
       want.collect().map(_.toString).sorted.toSeq,
@@ -647,7 +650,9 @@ class LexIndexSpec extends SparkTestBase {
       (300 until 330).map(i => (i.toLong, s"stop extra$i")).toDF("doc_id", "text"),
       "ms:app"))
     val qs = Seq("qa" -> "needle", "qa" -> "stop", "qb" -> "word3", "qb" -> "stop")
-    val (page, dec) = LexIndex.bm25PrunedCore(spark, path, qs, 4)
+    // force-engage: the claim under test is bound SOUNDNESS through
+    // mutations, which only bites while pruning is actually on
+    val (page, dec) = LexIndex.bm25PrunedCore(spark, path, qs, 4, gateRatio = 0.0)
     val want = LexIndex.bm25TopK(spark, path, qs, 4)
     assert(page.collect().map(_.toString).sorted.toSeq ===
       want.collect().map(_.toString).sorted.toSeq,
@@ -655,10 +660,62 @@ class LexIndexSpec extends SparkTestBase {
     assert(dec.pruned)
     // compaction rewrites the dictionary from survivors; still exact
     LexIndex.compactIndex(spark, path)
-    val (page2, dec2) = LexIndex.bm25PrunedCore(spark, path, qs, 4)
+    val (page2, dec2) = LexIndex.bm25PrunedCore(spark, path, qs, 4, gateRatio = 0.0)
     assert(page2.collect().map(_.toString).sorted.toSeq ===
       LexIndex.bm25TopK(spark, path, qs, 4).collect().map(_.toString).sorted.toSeq)
     assert(dec2.pruned)
+  }
+
+  test("MaxScore engage-gate: uniform df disengages (exact unpruned plan), a skewed histogram engages, gateRatio=0 forces") {
+    // uniform: every term hits ~every doc — the θ pass can never pay
+    val uni = (0 until 300).map(i => (i.toLong, s"alpha beta gamma pad${i % 7}"))
+      .toDF("doc_id", "text")
+    val up = tmpDir("lex_gate_uni") + "/index"
+    LexIndex.buildIndex(uni, up)
+    val uq = Seq("q" -> "alpha", "q" -> "beta", "q" -> "gamma")
+    val (upage, udec) = LexIndex.bm25PrunedCore(spark, up, uq, 3)
+    assert(udec.pruned, "dictionary present")
+    assert(udec.engaged.isEmpty,
+      s"uniform df must gate pruning out: ${udec.engaged}")
+    assert(udec.roles("q").values.forall(_ == "ess"),
+      "gated-out queries serve all-essential")
+    assert(upage.collect().map(_.toString).sorted.toSeq ===
+      LexIndex.bm25TopK(spark, up, uq, 3).collect().map(_.toString).sorted.toSeq)
+    // the probe escape hatch: gateRatio = 0 force-engages
+    val (_, fdec) = LexIndex.bm25PrunedCore(spark, up, uq, 3, gateRatio = 0.0)
+    assert(fdec.engaged === Set("q"))
+    // skewed: a rare seed against stopword-class terms passes the
+    // RATIO term; the fixed-cost floor is dialed to the fixture's
+    // volume (the default 2M-row floor is a production number — at 300
+    // docs even a justified prune cannot recover a θ job)
+    val zipf = (0 until 300).map { i =>
+      val rare = if (i % 60 == 0) "needle " else ""
+      (i.toLong, s"${rare}the of filler$i")
+    }.toDF("doc_id", "text")
+    val zp = tmpDir("lex_gate_zipf") + "/index"
+    LexIndex.buildIndex(zipf, zp)
+    val zq = Seq("z" -> "needle", "z" -> "the", "z" -> "of")
+    val (zpage, zdec) = LexIndex.bm25PrunedCore(spark, zp, zq, 3,
+      minNeVolume = 100L)
+    assert(zdec.engaged === Set("z"),
+      s"a skewed histogram must engage: ${zdec.engaged}")
+    assert(zdec.roles("z")("the") === "ne" && zdec.roles("z")("of") === "ne",
+      s"stopwords bound below the needle-seeded theta: ${zdec.roles}")
+    assert(zpage.collect().map(_.toString).sorted.toSeq ===
+      LexIndex.bm25TopK(spark, zp, zq, 3).collect().map(_.toString).sorted.toSeq)
+    // same skew, default floor: the fixed θ-job cost rules it out —
+    // tiny corpora must never pay for pruning, however skewed
+    val (_, zdefault) = LexIndex.bm25PrunedCore(spark, zp, zq, 3)
+    assert(zdefault.engaged.isEmpty,
+      s"the absolute NE-volume floor must gate tiny corpora out: ${zdefault.engaged}")
+    // and the candidate cap demotes a query whose essential volume
+    // cannot broadcast, back to the exact unpruned plan
+    val (cpage, cdec) = LexIndex.bm25PrunedCore(spark, zp, zq, 3,
+      minNeVolume = 100L, candCap = 1L)
+    assert(cdec.engaged.isEmpty,
+      s"ess volume over candCap must demote: ${cdec.engaged}")
+    assert(cpage.collect().map(_.toString).sorted.toSeq ===
+      LexIndex.bm25TopK(spark, zp, zq, 3).collect().map(_.toString).sorted.toSeq)
   }
 
   test("MaxScore degrades loudly-safe: single-term queries all-essential; a missing dictionary disables pruning, never guesses") {

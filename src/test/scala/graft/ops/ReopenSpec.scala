@@ -90,6 +90,32 @@ class ReopenSpec extends SparkTestBase {
       s"reopened index must contain the appended vector, got ${top.toSeq}")
   }
 
+  test("ivf: key carried through a tiered merge — a cached miss reopens the merged generation byte-identical") {
+    val src = writeEmb(60, 8, 19)
+    val emb = spark.read.parquet(src)
+    val path = tmpDir("reopen_ivf_merge")
+    val idx = Ivf.buildIndexCached(emb, src, path, kCells = 2, iters = 1)
+    (0 until 4).foreach { b =>
+      assert(Ivf.appendBatchIdempotent(idx,
+        Seq((2000L + b, Array.fill(8)(0.3f + b * 0.1f))).toDF("vec_id", "embedding"),
+        token = s"reopen:m$b"))
+    }
+    assert(Ivf.mergeSegments(spark, idx,
+      MergePolicy(factor = 4, minMerge = 4, maxMerge = 8)).isDefined)
+    val genM = IndexMaint.liveGenOpt(path).get
+    val before = snapshot(path)
+    Ivf.dropBuildMemo(path)
+    val reopened = Ivf.buildIndexCached(emb, src, path, kCells = 2, iters = 1)
+    assert(IndexMaint.liveGenOpt(path).contains(genM),
+      "the merged generation must survive the miss (key carried by the merge)")
+    assert(snapshot(path) === before,
+      "reopen after a merge must not rewrite anything")
+    val q = Seq((9L, Array.fill(8)(0.35f))).toDF("vec_id", "embedding")
+    assert(Ivf.screenBatch(spark, reopened, q, k = 4, nprobe = 2)
+      .select("vec_id").as[Long].collect().exists(_ >= 2000L),
+      "the reopened index must serve the merged appends")
+  }
+
   test("ivf: rewritten source is true staleness — the miss rebuilds and flips the pointer") {
     val src = writeEmb(60, 8, 13)
     val emb = spark.read.parquet(src)
