@@ -1074,9 +1074,8 @@ object IndexMaint {
     * Runbook: pins are free at pin time and cost retention forever —
     * each keeps its whole generation through every later rewrite.
     * Operators should either [[unpin]] when the consumer (an eval, an
-    * audit) finishes, or enforce a TTL by unpinning every label whose
-    * `ageMs` exceeds policy; the freed generation is reclaimed by the
-    * NEXT commit or fsckRepair.
+    * audit) finishes, or enforce a TTL with [[unpinExpired]]; the freed
+    * generation is reclaimed by the NEXT commit or fsckRepair.
     */
   final case class PinStat(label: String, gen: String, ageMs: Long,
       retainedBytes: Long)
@@ -1157,6 +1156,36 @@ object IndexMaint {
         Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt"))
       }
     }
+
+  /** The pin-TTL runbook as one verb: unpin every label on `root`
+    * whose manifest age exceeds `ttlMs`, under ONE lease so the sweep
+    * observes one consistent pin set. Returns
+    * `(unpinned, kept, skipped)` labels — `skipped` are manifests
+    * whose age CANNOT be proven (written before the `created` line, or
+    * unparseable): an unprovable age must never reap a pin someone may
+    * still be serving from, so those are reported for a human instead.
+    * Like [[unpin]], this is metadata-only; the freed generations are
+    * reclaimed by the next commit or [[fsckRepair]].
+    */
+  def unpinExpired(root: String, ttlMs: Long): (Seq[String], Seq[String], Seq[String]) = {
+    require(ttlMs >= 0, s"unpinExpired: ttlMs must be >= 0, got $ttlMs")
+    lockFor(root).synchronized {
+      withLease(root, op = s"unpinExpired(${ttlMs}ms)") {
+        val now = System.currentTimeMillis()
+        val (known, skipped) = listSnapshotLabels(root).partitionMap { label =>
+          try {
+            val created = readSnapshot(root, label).get.createdMs
+            if (created > 0) Left(label -> (now - created)) else Right(label)
+          } catch { case _: Exception => Right(label) }
+        }
+        val (expired, kept) = known.partition(_._2 > ttlMs)
+        expired.foreach { case (label, _) =>
+          Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
+        }
+        (expired.map(_._1), kept.map(_._1), skipped)
+      }
+    }
+  }
 
   /** The ONE manifest-view read every family's as-of path serves from:
     * the pinned generation's files restricted to the manifest's segment

@@ -138,6 +138,34 @@ class PinSpec extends SparkTestBase {
     assert(s3.gen === "<unparseable>" && s3.retainedBytes === -1L)
   }
 
+  test("unpinExpired: reaps only provably-expired pins; unknown-age and unparseable manifests are reported, never reaped") {
+    val path = tmpDir("pin_ttl") + "/index"
+    Ivf.buildIndex(vecs(0 until 40), path, kCells = 2, iters = 1)
+    IndexMaint.pinLive(path, "old")
+    IndexMaint.pinLive(path, "fresh")
+    // a pre-`created` manifest (age unknown): strip the created line
+    IndexMaint.pinLive(path, "ancient")
+    val ap = Paths.get(path, "_pins", "ancient.txt")
+    val stripped = new String(Files.readAllBytes(ap), "UTF-8")
+      .split("\n").filterNot(_.startsWith("created=")).mkString("\n")
+    Files.write(ap, stripped.getBytes("UTF-8"))
+    Files.write(Paths.get(path, "_pins", "bad.txt"), "junk".getBytes("UTF-8"))
+    Thread.sleep(5) // every provable age is now strictly positive
+    // nothing is old enough under a huge TTL — and the unprovable two
+    // are reported as skipped, not silently ignored
+    val (u1, k1, s1) = IndexMaint.unpinExpired(path, ttlMs = 1L << 40)
+    assert(u1.isEmpty, u1)
+    assert(k1.toSet === Set("old", "fresh"))
+    assert(s1.toSet === Set("ancient", "bad"))
+    // TTL 0: both provable pins expire; the unprovable two survive —
+    // an age that cannot be proven must never reap a pin
+    val (u2, k2, s2) = IndexMaint.unpinExpired(path, ttlMs = 0L)
+    assert(u2.toSet === Set("old", "fresh"))
+    assert(k2.isEmpty && s2.toSet === Set("ancient", "bad"))
+    assert(IndexMaint.listSnapshotLabels(path).toSet === Set("ancient", "bad"))
+    intercept[IllegalArgumentException](IndexMaint.unpinExpired(path, -1L))
+  }
+
   test("family wrappers: pinIndex refuses an existing label; pinIndexIfAbsent replays; pinHybrid pins the pair") {
     val base = tmpDir("pin_fam")
     val lexPath = s"$base/lex"
