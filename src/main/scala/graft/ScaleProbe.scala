@@ -1403,7 +1403,13 @@ object ScaleProbe {
       try {
         import spark.implicits._
         val stop = (0 until 12).map(i => s"s$i").mkString(" ")
-        val zdocs = spark.range(8L * n)
+        // corpus size is set by the DEFAULT engage-gate itself: the
+        // absolute floor (minNeVolume = 2M) needs per-query NE volume
+        // 10·df(stopword) ≥ 2.1M, i.e. ≥ ~210k docs — below that the
+        // gate is RIGHT to refuse (the θ job cannot pay for itself;
+        // that refusal is bm25_maxscore_8x's assertion). 64n = 320k
+        // docs ⇒ NE volume 3.2M per query, rare-term df 64.
+        val zdocs = spark.range(64L * n)
           .select(col("id").as("doc_id"),
             concat_ws(" ", lit(stop),
               concat(lit("r"), pmod(col("id"), lit(5000L))),
@@ -2040,8 +2046,9 @@ object ScaleProbe {
     report ++= "  gate). Forced engagement (gateRatio=0) pins the mechanism:\n"
     report ++= "  q4's window input drops ~12x with a bit-identical page.\n"
     report ++= "- bm25_zipf_8x: the Zipf-tail fixture the shared corpus lacks\n"
-    report ++= "  (12 every-doc stopwords + rare markers; 16 queries = rare\n"
-    report ++= "  seed + 10 stopwords = 6.4M NE rows, over the floor). All 16\n"
+    report ++= "  (320k docs of 12 every-doc stopwords + rare markers; 16\n"
+    report ++= "  queries = rare seed + 10 stopwords = 3.2M NE rows per query,\n"
+    report ++= "  over the 2M floor the gate demands). All 16\n"
     report ++= "  engage, stopwords classify non-essential, the NE rows probe a\n"
     report ++= "  BROADCAST candidate set (bounded by candCap from the\n"
     report ++= "  dictionary — an unbounded sort-merge join here cost MORE than\n"

@@ -1687,8 +1687,11 @@ object LexIndex extends IndexFamily {
     * % 13 == 5 takedown, plus the four inserted strata minus the
     * deleted slice of wave 0) — hash equality proves the merge is
     * invisible to serving: constants, df, ranks and reclamation all
-    * exact. Replay-safe: appends/deletes are idempotent and a re-run's
-    * merge no-ops (two segments left, below minMerge).
+    * exact. Replay-safe: appends/deletes are idempotent, and any
+    * further merge a re-run fires (base and the merged wave can share
+    * a factor-4 tier, and minMerge=2 lets two segments coalesce) is
+    * serving-invariant by the same per-segment tombstone scope the
+    * oracle hash pins.
     */
   def bm25Merged(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))

@@ -114,13 +114,18 @@ object IvfIngest {
           // segments as one file set per cell, so per-cell file opens
           // stay bounded however long the stream runs. A rebalance
           // already re-lands everything — skip compaction on its batch.
-          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
+          // maintenance only on a FRESH batch: a replayed token landed
+          // no rows, so re-firing compaction (a full rewrite!) or even
+          // a merge's lease + segment-size walk charges real IO to a
+          // batch that changed nothing
+          else if (fresh && compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Ivf.compactIndex(spark, index)
           // size-tiered alternative to the full rewrite: self-pacing
           // (no-ops until a tier fills), so it runs after EVERY applied
           // batch — total bytes rewritten stay O(N log B) over a
           // B-batch stream instead of compactEvery's (B/c)·N
-          else mergePolicy.foreach(p => Ivf.mergeSegments(spark, index, p))
+          else if (fresh)
+            mergePolicy.foreach(p => Ivf.mergeSegments(spark, index, p))
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanCosNow).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,

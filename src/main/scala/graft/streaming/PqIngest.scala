@@ -75,10 +75,12 @@ object PqIngest {
           // segment hygiene ([[IvfIngest]] contract): bounded file
           // counts however long the stream runs; a rebalance already
           // re-lands everything, so its batch skips compaction
-          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
+          // maintenance only on a FRESH batch ([[IvfIngest]] rationale)
+          else if (fresh && compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Pq.compactIndex(spark, index)
           // size-tiered alternative ([[IvfIngest]] rationale)
-          else mergePolicy.foreach(p => Pq.mergeSegments(spark, index, p))
+          else if (fresh)
+            mergePolicy.foreach(p => Pq.mergeSegments(spark, index, p))
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),
             checked = check, drifted = fire, rebalanced = fire,
@@ -136,10 +138,11 @@ object PqIngest {
           val dr = if (check) Some(Pq.ivfPqDriftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
           if (fire) index = Pq.rebalanceResidual(spark, index)
-          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
+          // maintenance only on a FRESH batch ([[IvfIngest]] rationale)
+          else if (fresh && compactEvery > 0 && streamApplied % compactEvery == 0)
             index = Pq.compactIndexResidual(spark, index)
           // size-tiered alternative ([[IvfIngest]] rationale)
-          else mergePolicy.foreach(p =>
+          else if (fresh) mergePolicy.foreach(p =>
             Pq.mergeSegmentsResidual(spark, index, p))
           reports += BatchReport(id, screened.count(), pinned.count(),
             dr.map(_.meanD2Now).getOrElse(Double.NaN),

@@ -404,12 +404,6 @@ object IndexMaint {
     * committed segment's own token file.
     */
   def appliedTokens(genDir: String): Set[String] = {
-    val consolidated = {
-      val p = Paths.get(genDir, ConsolidatedTokens)
-      if (!Files.exists(p)) Set.empty[String]
-      else new String(Files.readAllBytes(p), UTF_8)
-        .split("\n").iterator.filter(_.nonEmpty).toSet
-    }
     val g = Paths.get(genDir)
     val segTokens =
       if (!Files.isDirectory(g)) Set.empty[String]
@@ -427,7 +421,7 @@ object IndexMaint {
             }.toSet
         } finally s.close()
       }
-    consolidated ++ segTokens
+    consolidatedTokensOf(genDir) ++ segTokens
   }
 
   /** JUST the consolidated sidecar's tokens (no segment walk) — what a
@@ -462,9 +456,15 @@ object IndexMaint {
     * it becomes visible atomically with the generation commit).
     */
   def stageTombstonePairs(stageDir: String, pairs: Array[(String, Long)]): Unit =
-    Files.write(Paths.get(stageDir, TombstoneFile),
-      pairs.sorted.map { case (s, id) => s"$s,$id" }
-        .mkString("", "\n", if (pairs.isEmpty) "" else "\n").getBytes(UTF_8))
+    Files.write(Paths.get(stageDir, TombstoneFile), tombstoneLines(pairs))
+
+  /** The ONE serializer for tombstone sidecar lines — staged (merge)
+    * and in-place (delete) writers must produce byte-identical formats
+    * or [[readTombstones]] would parse them differently by provenance.
+    */
+  private def tombstoneLines(pairs: Array[(String, Long)]): Array[Byte] =
+    pairs.sorted.map { case (s, id) => s"$s,$id" }
+      .mkString("", "\n", if (pairs.isEmpty) "" else "\n").getBytes(UTF_8)
 
   /** Carry a generation's root-level sidecar FILES (quantizer/codebook/
     * stats/derivation-key sidecars — whatever the family keeps there)
@@ -940,11 +940,11 @@ object IndexMaint {
     * the monitor + lease and have already decided the label is free.
     */
   private def writePin(root: String, label: String,
-      extra: String => Map[String, String]): Snapshot = {
+      extra: String => Map[String, String],
+      createdMs: Long = System.currentTimeMillis()): Snapshot = {
     val gen = liveGen(root)
     val snap = Snapshot(Paths.get(gen).getFileName.toString,
-      segmentValues(gen), readTombstones(gen), extra(gen),
-      createdMs = System.currentTimeMillis())
+      segmentValues(gen), readTombstones(gen), extra(gen), createdMs)
     val d = Paths.get(root, PinsDir)
     Files.createDirectories(d)
     val body = (Seq(s"gen=${snap.gen}", s"created=${snap.createdMs}") ++
@@ -1015,7 +1015,10 @@ object IndexMaint {
     lockFor(root).synchronized {
       requireValidLabel(label)
       withLease(root, op = s"repin($label)") {
-        Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt"))
+        // NO delete-then-write: writePin commits via tmp + ATOMIC_MOVE +
+        // REPLACE_EXISTING, so the label atomically jumps old→new — a
+        // crash mid-repin must never leave the label pinned NOWHERE
+        // (the old generation would lose its only reap protection)
         writePin(root, label, extra)
       }
     }
@@ -1049,7 +1052,12 @@ object IndexMaint {
           (ea, eb) match {
             case (Some(a), Some(b)) => (a, b)
             case (None, None) =>
-              (writePin(rootA, label, extraA), writePin(rootB, label, extraB))
+              // ONE timestamp for both manifests: a TTL sweep must see
+              // the pair expire together — two clock reads would open
+              // an age window where unpinExpired reaps exactly one half
+              val now = System.currentTimeMillis()
+              (writePin(rootA, label, extraA, now),
+                writePin(rootB, label, extraB, now))
             case _ =>
               val (has, lacks) = if (ea.isDefined) (rootA, rootB) else (rootB, rootA)
               throw new IllegalStateException(
@@ -1092,16 +1100,24 @@ object IndexMaint {
         finally w.close()
       }
     }
-    val liveInodes = liveGenOpt(root)
-      .map(g => inodesAndBytes(Paths.get(g)).map(_._1).toSet)
-      .getOrElse(Set.empty[Object])
+    // resolve the live generation ONCE: the name compared per label and
+    // the inode set subtracted from retention must describe the SAME
+    // live state — a commit landing between two resolves would report a
+    // fully-retained generation as free (the exact signal the
+    // unpin-or-TTL runbook reads). A walk racing a concurrent commit
+    // degrades to the conservative answer (shared bytes counted as
+    // retained), never an abort of the whole report.
+    val live = liveGenOpt(root)
+    val liveName = live.map(g => Paths.get(g).getFileName.toString)
+    val liveInodes =
+      try live.map(g => inodesAndBytes(Paths.get(g)).map(_._1).toSet)
+        .getOrElse(Set.empty[Object])
+      catch { case _: Exception => Set.empty[Object] }
     val now = System.currentTimeMillis()
     listSnapshotLabels(root).map { label =>
       try {
         val snap = readSnapshot(root, label).get
         val genDir = Paths.get(root, snap.gen)
-        val liveName = liveGenOpt(root)
-          .map(g => Paths.get(g).getFileName.toString)
         val retained =
           if (liveName.contains(snap.gen)) 0L
           else inodesAndBytes(genDir)
@@ -1166,6 +1182,12 @@ object IndexMaint {
     * still be serving from, so those are reported for a human instead.
     * Like [[unpin]], this is metadata-only; the freed generations are
     * reclaimed by the next commit or [[fsckRepair]].
+    *
+    * [[pinPair]] labels: sweep BOTH roots of every hybrid pair (any
+    * order). The pair's two manifests share ONE created stamp, so a
+    * full sweep always expires both sides or neither; sweeping only
+    * one root of a pair would tear it — the torn state [[pinPair]]
+    * refuses on retry until the survivor is unpinned.
     */
   def unpinExpired(root: String, ttlMs: Long): (Seq[String], Seq[String], Seq[String]) = {
     require(ttlMs >= 0, s"unpinExpired: ttlMs must be >= 0, got $ttlMs")
@@ -1253,8 +1275,7 @@ object IndexMaint {
   private def writeTombstonesAtomic(genDir: String,
       pairs: Array[(String, Long)]): Unit = {
     val tmp = Paths.get(genDir, TombstoneFile + ".tmp")
-    Files.write(tmp, pairs.sorted.map { case (s, id) => s"$s,$id" }
-      .mkString("", "\n", if (pairs.isEmpty) "" else "\n").getBytes(UTF_8))
+    Files.write(tmp, tombstoneLines(pairs))
     Files.move(tmp, Paths.get(genDir, TombstoneFile),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }

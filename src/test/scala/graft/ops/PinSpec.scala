@@ -166,6 +166,27 @@ class PinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](IndexMaint.unpinExpired(path, -1L))
   }
 
+  test("a pinPair's manifests share ONE created stamp, so a TTL sweep of both roots expires both sides or neither") {
+    val base = tmpDir("pin_pair_ttl")
+    val lexPath = s"$base/lex"
+    val vecPath = s"$base/vec"
+    LexIndex.buildIndex(
+      (0 until 30).map(i => (i.toLong, s"alpha w$i")).toDF("doc_id", "text"),
+      lexPath)
+    Ivf.buildIndex(vecs(0 until 30), vecPath, kCells = 2, iters = 1)
+    val (a, b) = IndexMaint.pinPair(lexPath, vecPath, "pair")
+    assert(a.createdMs === b.createdMs,
+      "two clock reads would open an age window where a TTL sweep reaps one half")
+    Thread.sleep(5)
+    // a full sweep (both roots, any order) reaps both sides together —
+    // never the torn pair pinPair refuses on retry
+    val (uA, _, _) = IndexMaint.unpinExpired(lexPath, ttlMs = 0L)
+    val (uB, _, _) = IndexMaint.unpinExpired(vecPath, ttlMs = 0L)
+    assert(uA === Seq("pair") && uB === Seq("pair"))
+    assert(IndexMaint.readSnapshot(lexPath, "pair").isEmpty)
+    assert(IndexMaint.readSnapshot(vecPath, "pair").isEmpty)
+  }
+
   test("family wrappers: pinIndex refuses an existing label; pinIndexIfAbsent replays; pinHybrid pins the pair") {
     val base = tmpDir("pin_fam")
     val lexPath = s"$base/lex"
