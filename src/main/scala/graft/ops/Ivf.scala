@@ -376,6 +376,16 @@ object Ivf extends IndexFamily {
     ()
   }
 
+  /** Materialize the snapshot pinned as `label` into `destRoot` as a
+    * STANDALONE IVF index ([[graft.util.IndexMaint.exportSnapshot]]):
+    * live [[screenBatch]] reads of the export ≡ [[screenBatchAsOf]]
+    * against the pin. No fixup needed — every IVF root sidecar
+    * (centroids, drift baseline, derivation keys) is immutable within
+    * a generation, so the carried copies ARE the pin-time values.
+    */
+  def exportIndexSnapshot(path: String, label: String, destRoot: String): String =
+    graft.util.IndexMaint.exportSnapshot(path, label, destRoot)
+
   /** [[screenBatch]] against the snapshot pinned as `label` —
     * bit-identical to a screen at pin time, whatever appends, upserts,
     * deletes, compactions or rebalances have happened since: probes run

@@ -953,6 +953,25 @@ object LexIndex extends IndexFamily {
     ()
   }
 
+  /** Materialize the snapshot pinned as `label` into `destRoot` as a
+    * STANDALONE lexical index ([[graft.util.IndexMaint.exportSnapshot]])
+    * — live [[bm25TopK]] reads of the export are bit-identical to
+    * [[bm25TopKAsOf]] against the pin, and stay so after the source
+    * unpins or mutates. The one root sidecar whose live value advances
+    * past pin time — the removed-stats takedown adjustment — is
+    * re-landed from the manifest's `x-removed` copy, so the export's
+    * serving constants are the pin's, not the source's current ones.
+    */
+  def exportIndexSnapshot(path: String, label: String, destRoot: String): String =
+    graft.util.IndexMaint.exportSnapshot(path, label, destRoot,
+      fixup = (snap, stage) => {
+        val Array(rn, rs) = snap.extra.getOrElse("x-removed", "0,0").split(",")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage, RemovedFile),
+          s"$rn,$rs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      })
+
   /** Pin the lexical AND vector halves of a hybrid serving pair under
     * ONE label atomically with respect to mutations
     * ([[graft.util.IndexMaint.pinPair]]: both mutation leases held,
@@ -1782,6 +1801,42 @@ object LexIndex extends IndexFamily {
     bm25TopKAsOf(spark, path, "pre", Search.fixtureQueries, 5)
   }
 
+  /** Registered `search_bm25_exported`: the snapshot-EXPORT lifecycle
+    * under the oracle — pin the fresh index, hit the source with the
+    * same mixed CDC wave + compaction as [[bm25AsOf]], then
+    * [[exportIndexSnapshot]] the pin into a brand-new root and serve
+    * LIVE from the export. The oracle is the twin over the ORIGINAL
+    * corpus (identical to `search_bm25_asof`'s): hash equality proves
+    * the export carried exactly the manifest view — segments, pin-time
+    * tombstones, pin-time scoring constants — and none of the source's
+    * later mutations. Replay-safe: the CDC token and pin are
+    * idempotent, and a re-run skips the export when the destination
+    * root already committed (first-export-wins, the pin is immutable).
+    */
+  def bm25Exported(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_expsrc", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    pinIndexIfAbsent(spark, path, "pre")
+    val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val batch = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        lit("insert").as("op"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"), lit("delete").as("op")))
+      .unionByName(docs
+        .filter(col("doc_id") % 5 === 2 && col("doc_id") % 7 =!= 3)
+        .join(donor, col("did") === col("doc_id") + 1, "left")
+        .select(col("doc_id"), coalesce(col("dtext"), col("text")).as("text"),
+          lit("upsert").as("op")))
+    applyCdcDocs(path, batch, "expq:cdc:1")
+    compactIndex(spark, path)
+    val dest = graft.util.Fs.sessionTempDir("lex_index_expdst", dir)
+    if (graft.util.IndexMaint.liveGenOpt(dest).isEmpty)
+      exportIndexSnapshot(path, "pre", dest)
+    bm25TopK(spark, dest, Search.fixtureQueries, 5)
+  }
+
   /** Registered `stream_bm25_cdc`: the lexical index tracks a mutating
     * corpus as a live CDC stream — three id-disjoint op-tagged batches
     * (inserts: +1000000-keyed copies of the %11==0 docs; deletes: the
@@ -2207,6 +2262,7 @@ object LexIndex extends IndexFamily {
     "search_bm25_merged" -> (bm25Merged _),
     "search_bm25_retention" -> (bm25Retention _),
     "search_bm25_asof" -> (bm25AsOf _),
+    "search_bm25_exported" -> (bm25Exported _),
     "stream_bm25_cdc" -> (bm25StreamCdc _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
@@ -2262,6 +2318,10 @@ object LexIndex extends IndexFamily {
     // the pinned snapshot serves the ORIGINAL corpus — bit-identical to
     // pin time, through a CDC wave and a compaction rewrite
     "search_bm25_asof" -> Search.textBm25Sql,
+    // the EXPORTED pin serves the same original corpus through plain
+    // LIVE reads of the standalone root — the export carried exactly
+    // the manifest view and nothing newer
+    "search_bm25_exported" -> Search.textBm25Sql,
     // after a CDC stream it must reproduce the twin over the effective
     // corpus: inserts unioned, deletes excluded at the source, upserts
     // carrying the donor text — independent of batching

@@ -1058,6 +1058,18 @@ object Pq {
     ()
   }
 
+  /** Materialize the snapshot pinned as `label` into `destRoot` as a
+    * STANDALONE code index ([[graft.util.IndexMaint.exportSnapshot]]):
+    * works for BOTH the flat and the residual IVF-PQ layouts, since
+    * every root sidecar either family keeps (codebooks, coarse
+    * quantizer, derivation keys) is immutable within a generation —
+    * the carried copies are the pin-time values, so live [[adcTopK]] /
+    * [[screenTopKResidual]] reads of the export ≡ the as-of readers
+    * against the pin.
+    */
+  def exportIndexSnapshot(path: String, label: String, destRoot: String): String =
+    graft.util.IndexMaint.exportSnapshot(path, label, destRoot)
+
   /** [[adcTopK]] against the snapshot pinned as `label` — bit-identical
     * to an ADC screen at pin time: LUTs build from the PINNED
     * codebooks, codes come from the manifest's segment set minus its

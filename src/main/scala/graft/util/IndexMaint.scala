@@ -1234,6 +1234,65 @@ object IndexMaint {
     p.toString
   }
 
+  /** Materialize the snapshot pinned as `label` into `destRoot` as a
+    * brand-new STANDALONE index (generation 0 of its own root, own
+    * lease, own lifecycle) — the "ship the frozen eval corpus" verb:
+    * the exported root serves exactly the pinned view through plain
+    * live reads, can be copied to a release location, mutated, pinned
+    * and fsck'd independently, and keeps serving after the source root
+    * unpins the label. Files move by hard link (same-filesystem; an
+    * object-store deployment copies) — manifest segments land verbatim
+    * with their sidecars and token files, the manifest's tombstone-pair
+    * COPY becomes the new root's sidecar (pin-time deletes stay
+    * subtracted; later ones were never in the manifest), gen-root
+    * sidecars carry like a compaction's successor (same derivation:
+    * build key + applied sweeps included), and the consolidated token
+    * set carries so replaying an already-included batch against the
+    * export stays a no-op. `fixup` runs on the stage before the commit
+    * — a family rewrites any root sidecar whose LIVE value has advanced
+    * past pin time (the lexical removed-stats adjustment).
+    *
+    * No source lease: the pin protects its generation from every reap
+    * path, and in-place mutations only ADD segments/pairs outside the
+    * manifest, so the linked view is stable under concurrent writers.
+    * Refuses a `destRoot` that is already an index root or a non-empty
+    * directory — exporting over live data is never recoverable.
+    */
+  def exportSnapshot(root: String, label: String, destRoot: String,
+      fixup: (Snapshot, String) => Unit = (_, _) => ()): String = {
+    requireValidLabel(label)
+    val snap = readSnapshot(root, label).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot pinned as '$label' under $root"))
+    val genDir = snapshotGenDir(root, snap)
+    val dest = Paths.get(destRoot)
+    require(liveGenOpt(destRoot).isEmpty,
+      s"exportSnapshot: $destRoot is already an index root (live " +
+        "generation present) — refusing to export over it")
+    require(!Files.exists(dest) || (Files.isDirectory(dest) && {
+      // a crashed earlier export leaves only protocol debris (.lock,
+      // stage dirs) and no live pointer — reapStages clears it under
+      // the lease below; anything else is a foreign directory
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dest)
+      try s.iterator().asScala.forall { p =>
+        val n = p.getFileName.toString
+        n == ".lock" || n.startsWith(".stage-")
+      } finally s.close()
+    }), s"exportSnapshot: $destRoot exists and is not an empty directory")
+    lockFor(destRoot).synchronized {
+      withMutation(destRoot, op = s"export($label)") {
+        val stage = newStageDir(destRoot, "export")
+        snap.segs.foreach(s => Fs.linkTree(s"$genDir/seg=$s", s"$stage/seg=$s"))
+        carryGenRootFiles(genDir, stage)
+        writeConsolidatedTokens(stage, consolidatedTokensOf(genDir))
+        if (snap.tombs.nonEmpty) stageTombstonePairs(stage, snap.tombs)
+        fixup(snap, stage)
+        commitGeneration(destRoot, stage)
+      }
+    }
+  }
+
   // ---- tombstones (deletes) --------------------------------------------------
   //
   // Deletion is LOGICAL first, PHYSICAL later — the LSM/Iceberg shape,
