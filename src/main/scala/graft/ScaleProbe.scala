@@ -1392,12 +1392,13 @@ object ScaleProbe {
 
     // The Zipf-tail demonstration the shared corpus cannot provide (its
     // vocabulary has no tail — every term but 'dup' hits ~77% of docs):
-    // a synthesized corpus where every doc carries 8 stopwords and one
-    // rare marker, queried as (rare seed + 6 stopwords). The unpruned
-    // path floods the rank window with |queries|·6·N stopword rows; the
-    // gated MaxScore path classifies the stopwords non-essential from a
-    // theta seeded by ~8 rare postings — pruned must WIN wall-clock
-    // here, not just window-rows (min-of-2 each to shed warmup noise).
+    // a synthesized corpus where every doc carries 12 stopwords and one
+    // rare marker, queried as (rare seed + 10 stopwords). The unpruned
+    // path floods the rank window with |queries|·10·N stopword rows;
+    // the gated MaxScore path classifies the stopwords non-essential
+    // from a theta seeded by ~64 rare postings — pruned must WIN
+    // wall-clock here, not just window-rows (min-of-2 each to shed
+    // warmup noise).
     locally {
       val zPath = java.nio.file.Files.createTempDirectory("probe_zipf").toString + "/index"
       try {

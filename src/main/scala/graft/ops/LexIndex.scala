@@ -965,7 +965,7 @@ object LexIndex extends IndexFamily {
   def exportIndexSnapshot(path: String, label: String, destRoot: String): String =
     graft.util.IndexMaint.exportSnapshot(path, label, destRoot,
       fixup = (snap, stage) => {
-        val Array(rn, rs) = snap.extra.getOrElse("x-removed", "0,0").split(",")
+        val (rn, rs) = removedOfSnapshot(snap)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(stage, RemovedFile),
           s"$rn,$rs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -998,8 +998,28 @@ object LexIndex extends IndexFamily {
         java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
       (n.toLong, sd.toLong)
     }
-    val Array(rn, rs) = snap.extra.getOrElse("x-removed", "0,0").split(",")
-    LexStats(parts.map(_._1).sum - rn.toLong, parts.map(_._2).sum - rs.toLong)
+    val (rn, rs) = removedOfSnapshot(snap)
+    LexStats(parts.map(_._1).sum - rn, parts.map(_._2).sum - rs)
+  }
+
+  /** The ONE parser for a manifest's `x-removed` entry — a malformed
+    * value (torn write, foreign tool) must fail NAMING the manifest,
+    * not as a bare MatchError (the readSnapshot precedent).
+    */
+  private def removedOfSnapshot(
+      snap: graft.util.IndexMaint.Snapshot): (Long, Long) = {
+    val v = snap.extra.getOrElse("x-removed", "0,0")
+    v.split(",") match {
+      case Array(rn, rs) =>
+        try (rn.toLong, rs.toLong)
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"pin manifest (gen ${snap.gen}) has a non-numeric " +
+              s"x-removed entry '$v' — not written by this protocol") }
+      case _ => throw new IllegalStateException(
+        s"pin manifest (gen ${snap.gen}) has a malformed x-removed " +
+          s"entry '$v' (expected 'n,sum') — not written by this protocol")
+    }
   }
 
   /** BM25 top-k against the snapshot pinned as `label` — bit-identical
@@ -1780,13 +1800,15 @@ object LexIndex extends IndexFamily {
     * token and the idempotent pin; compaction re-runs are rewrites of
     * identical survivors.
     */
-  def bm25AsOf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
-    val path = graft.util.Fs.sessionTempDir("lex_index_asof", dir)
-    buildIndexCached(docs, s"$dir/documents.parquet", path)
-    pinIndexIfAbsent(spark, path, "pre")
+  /** The mixed post-pin CDC wave `search_bm25_asof` and
+    * `search_bm25_exported` both apply — ONE definition, because both
+    * rows claim the same original-corpus oracle precisely because
+    * their waves are identical; two hand-maintained copies could
+    * silently diverge.
+    */
+  private def asOfCdcWave(docs: DataFrame): DataFrame = {
     val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
-    val batch = docs.filter(col("doc_id") % 11 === 0)
+    docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
         lit("insert").as("op"))
       .unionByName(docs.filter(col("doc_id") % 7 === 3)
@@ -1796,7 +1818,14 @@ object LexIndex extends IndexFamily {
         .join(donor, col("did") === col("doc_id") + 1, "left")
         .select(col("doc_id"), coalesce(col("dtext"), col("text")).as("text"),
           lit("upsert").as("op")))
-    applyCdcDocs(path, batch, "asof:cdc:1")
+  }
+
+  def bm25AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val path = graft.util.Fs.sessionTempDir("lex_index_asof", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", path)
+    pinIndexIfAbsent(spark, path, "pre")
+    applyCdcDocs(path, asOfCdcWave(docs), "asof:cdc:1")
     compactIndex(spark, path)
     bm25TopKAsOf(spark, path, "pre", Search.fixtureQueries, 5)
   }
@@ -1818,18 +1847,7 @@ object LexIndex extends IndexFamily {
     val path = graft.util.Fs.sessionTempDir("lex_index_expsrc", dir)
     buildIndexCached(docs, s"$dir/documents.parquet", path)
     pinIndexIfAbsent(spark, path, "pre")
-    val donor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
-    val batch = docs.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
-        lit("insert").as("op"))
-      .unionByName(docs.filter(col("doc_id") % 7 === 3)
-        .select(col("doc_id"), col("text"), lit("delete").as("op")))
-      .unionByName(docs
-        .filter(col("doc_id") % 5 === 2 && col("doc_id") % 7 =!= 3)
-        .join(donor, col("did") === col("doc_id") + 1, "left")
-        .select(col("doc_id"), coalesce(col("dtext"), col("text")).as("text"),
-          lit("upsert").as("op")))
-    applyCdcDocs(path, batch, "expq:cdc:1")
+    applyCdcDocs(path, asOfCdcWave(docs), "expq:cdc:1")
     compactIndex(spark, path)
     val dest = graft.util.Fs.sessionTempDir("lex_index_expdst", dir)
     if (graft.util.IndexMaint.liveGenOpt(dest).isEmpty)

@@ -1183,30 +1183,43 @@ object IndexMaint {
     * Like [[unpin]], this is metadata-only; the freed generations are
     * reclaimed by the next commit or [[fsckRepair]].
     *
-    * [[pinPair]] labels: sweep BOTH roots of every hybrid pair (any
-    * order). The pair's two manifests share ONE created stamp, so a
-    * full sweep always expires both sides or neither; sweeping only
-    * one root of a pair would tear it — the torn state [[pinPair]]
-    * refuses on retry until the survivor is unpinned.
+    * [[pinPair]] labels: sweep BOTH roots of every hybrid pair through
+    * the MULTI-ROOT overload, which decides every expiry against ONE
+    * clock read — the pair's manifests share one created stamp, so one
+    * `now` expires both sides or neither. Two single-root sweeps read
+    * the clock twice, and a pair whose age crosses the TTL between the
+    * two calls would be torn — the state [[pinPair]] refuses on retry
+    * until the survivor is unpinned.
     */
-  def unpinExpired(root: String, ttlMs: Long): (Seq[String], Seq[String], Seq[String]) = {
+  def unpinExpired(root: String, ttlMs: Long): (Seq[String], Seq[String], Seq[String]) =
+    unpinExpired(Seq(root), ttlMs)
+
+  /** [[unpinExpired]] over several roots with ONE `now` for every
+    * expiry decision — the pair-safe sweep (see the single-root form's
+    * contract). Results are concatenated across roots in order.
+    */
+  def unpinExpired(roots: Seq[String], ttlMs: Long): (Seq[String], Seq[String], Seq[String]) = {
     require(ttlMs >= 0, s"unpinExpired: ttlMs must be >= 0, got $ttlMs")
-    lockFor(root).synchronized {
-      withLease(root, op = s"unpinExpired(${ttlMs}ms)") {
-        val now = System.currentTimeMillis()
-        val (known, skipped) = listSnapshotLabels(root).partitionMap { label =>
-          try {
-            val created = readSnapshot(root, label).get.createdMs
-            if (created > 0) Left(label -> (now - created)) else Right(label)
-          } catch { case _: Exception => Right(label) }
+    require(roots.nonEmpty, "unpinExpired: no roots given")
+    val now = System.currentTimeMillis()
+    val swept = roots.map { root =>
+      lockFor(root).synchronized {
+        withLease(root, op = s"unpinExpired(${ttlMs}ms)") {
+          val (known, skipped) = listSnapshotLabels(root).partitionMap { label =>
+            try {
+              val created = readSnapshot(root, label).get.createdMs
+              if (created > 0) Left(label -> (now - created)) else Right(label)
+            } catch { case _: Exception => Right(label) }
+          }
+          val (expired, kept) = known.partition(_._2 > ttlMs)
+          expired.foreach { case (label, _) =>
+            Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
+          }
+          (expired.map(_._1), kept.map(_._1), skipped)
         }
-        val (expired, kept) = known.partition(_._2 > ttlMs)
-        expired.foreach { case (label, _) =>
-          Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
-        }
-        (expired.map(_._1), kept.map(_._1), skipped)
       }
     }
+    (swept.flatMap(_._1), swept.flatMap(_._2), swept.flatMap(_._3))
   }
 
   /** The ONE manifest-view read every family's as-of path serves from:
@@ -1265,31 +1278,42 @@ object IndexMaint {
       throw new IllegalArgumentException(
         s"no snapshot pinned as '$label' under $root"))
     val genDir = snapshotGenDir(root, snap)
-    val dest = Paths.get(destRoot)
-    require(liveGenOpt(destRoot).isEmpty,
-      s"exportSnapshot: $destRoot is already an index root (live " +
-        "generation present) — refusing to export over it")
-    require(!Files.exists(dest) || (Files.isDirectory(dest) && {
-      // a crashed earlier export leaves only protocol debris (.lock,
-      // stage dirs) and no live pointer — reapStages clears it under
-      // the lease below; anything else is a foreign directory
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(dest)
-      try s.iterator().asScala.forall { p =>
-        val n = p.getFileName.toString
-        n == ".lock" || n.startsWith(".stage-")
-      } finally s.close()
-    }), s"exportSnapshot: $destRoot exists and is not an empty directory")
-    lockFor(destRoot).synchronized {
-      withMutation(destRoot, op = s"export($label)") {
-        val stage = newStageDir(destRoot, "export")
-        snap.segs.foreach(s => Fs.linkTree(s"$genDir/seg=$s", s"$stage/seg=$s"))
-        carryGenRootFiles(genDir, stage)
-        writeConsolidatedTokens(stage, consolidatedTokensOf(genDir))
-        if (snap.tombs.nonEmpty) stageTombstonePairs(stage, snap.tombs)
-        fixup(snap, stage)
-        commitGeneration(destRoot, stage)
+    // every occupancy check runs INSIDE the destination's monitor +
+    // lease: two concurrent exports to one destRoot must serialize
+    // BEFORE deciding it is free, or the loser silently commits a
+    // second generation over the winner's
+    withMutation(destRoot, op = s"export($label)") {
+      require(liveGenOpt(destRoot).isEmpty,
+        s"exportSnapshot: $destRoot is already an index root (live " +
+          "generation present) — refusing to export over it")
+      val dest = Paths.get(destRoot)
+      require(Files.isDirectory(dest) && {
+        // a crashed earlier export leaves only protocol debris: the
+        // lock/lease file, stage dirs (reapStages already cleared
+        // them), pointer tmp files, or a generation dir that was moved
+        // but never pointed to — unreadable by construction (readers
+        // resolve through the live pointer, which the first require
+        // proved absent), so it reclaims below. Anything else is a
+        // foreign directory.
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(dest)
+        try s.iterator().asScala.forall { p =>
+          val n = p.getFileName.toString
+          n == ".lock" || n.startsWith(".stage-") || n.startsWith("gen-") ||
+            n == LivePointer + ".tmp" || n == PrevPointer ||
+            n == PrevPointer + ".tmp"
+        } finally s.close()
+      }, s"exportSnapshot: $destRoot exists and is not an empty directory")
+      genDirs(destRoot).foreach { case (_, p) =>
+        Fs.deleteRecursively(p.toString)
       }
+      val stage = newStageDir(destRoot, "export")
+      snap.segs.foreach(s => Fs.linkTree(s"$genDir/seg=$s", s"$stage/seg=$s"))
+      carryGenRootFiles(genDir, stage)
+      writeConsolidatedTokens(stage, consolidatedTokensOf(genDir))
+      if (snap.tombs.nonEmpty) stageTombstonePairs(stage, snap.tombs)
+      fixup(snap, stage)
+      commitGeneration(destRoot, stage)
     }
   }
 

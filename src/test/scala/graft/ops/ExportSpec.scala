@@ -118,6 +118,16 @@ class ExportSpec extends SparkTestBase {
     Files.write(Paths.get(foreign, "data.txt"), "x".getBytes("UTF-8"))
     intercept[IllegalArgumentException](
       Ivf.exportIndexSnapshot(path, "rel", foreign))
+    // a crashed earlier export — generation dir moved but the live
+    // pointer never flipped — is unreadable debris by construction:
+    // the retry reclaims it and succeeds
+    val crashed = s"$base/crashed"
+    Files.createDirectories(Paths.get(crashed, "gen-000000000"))
+    Files.write(Paths.get(crashed, "gen-000000000", "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    Ivf.exportIndexSnapshot(path, "rel", crashed)
+    assert(Ivf.screenBatch(spark, Ivf.loadIndex(crashed), delta, 3, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq === want)
   }
 
   test("PQ flat: exported codes + codebooks serve the pin-time ADC page live") {

@@ -178,11 +178,11 @@ class PinSpec extends SparkTestBase {
     assert(a.createdMs === b.createdMs,
       "two clock reads would open an age window where a TTL sweep reaps one half")
     Thread.sleep(5)
-    // a full sweep (both roots, any order) reaps both sides together —
-    // never the torn pair pinPair refuses on retry
-    val (uA, _, _) = IndexMaint.unpinExpired(lexPath, ttlMs = 0L)
-    val (uB, _, _) = IndexMaint.unpinExpired(vecPath, ttlMs = 0L)
-    assert(uA === Seq("pair") && uB === Seq("pair"))
+    // the multi-root sweep decides every expiry against ONE clock read:
+    // with the shared created stamp, the pair reaps together or not at
+    // all — never the torn pair pinPair refuses on retry
+    val (u, _, _) = IndexMaint.unpinExpired(Seq(lexPath, vecPath), ttlMs = 0L)
+    assert(u === Seq("pair", "pair"))
     assert(IndexMaint.readSnapshot(lexPath, "pair").isEmpty)
     assert(IndexMaint.readSnapshot(vecPath, "pair").isEmpty)
   }
