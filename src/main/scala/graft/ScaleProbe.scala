@@ -1408,9 +1408,14 @@ object ScaleProbe {
         // absolute floor (minNeVolume = 2M) needs per-query NE volume
         // 10·df(stopword) ≥ 2.1M, i.e. ≥ ~210k docs — below that the
         // gate is RIGHT to refuse (the θ job cannot pay for itself;
-        // that refusal is bm25_maxscore_8x's assertion). 64n = 320k
-        // docs ⇒ NE volume 3.2M per query, rare-term df 64.
-        val zdocs = spark.range(64L * n)
+        // that refusal is bm25_maxscore_8x's assertion). zN = 320k
+        // docs ⇒ NE volume 3.2M per query, rare-term df zN/5000 = 64.
+        // A CONSTANT, deliberately not derived from the base corpus
+        // count: sizing this probe off n would let a corpus change
+        // silently multiply the synthetic corpus (much slower run) or
+        // shrink it under the gate's floor (assertion flips).
+        val zN = 320000L
+        val zdocs = spark.range(zN)
           .select(col("id").as("doc_id"),
             concat_ws(" ", lit(stop),
               concat(lit("r"), pmod(col("id"), lit(5000L))),
@@ -1609,6 +1614,150 @@ object ScaleProbe {
         if (bytesMerged >= bytesCompact)
           throw new IllegalStateException(s"tiered merge did not beat the full-rewrite cadence: $lineM")
       } finally graft.util.Fs.deleteRecursively(mBase)
+    }
+
+    // The write-amplification comparison on the LONG-LIVED CDC shape —
+    // the primary 100 TB stream, since real corpora mutate: 24
+    // tombstone-heavy op-tagged batches (each deletes one base stratum,
+    // re-embeds another, inserts a third) drain through the actual
+    // CdcIngest loop twice, once under compactEvery=4 (full-generation
+    // rewrites) and once under the size-tiered merge policy. Rewritten
+    // bytes come from the loop's own maintBytes telemetry — the number
+    // an operator watches in production. Serving must come out
+    // identical; the merge run must rewrite LESS in total and stay
+    // bounded per batch.
+    locally {
+      val cBase = java.nio.file.Files.createTempDirectory("probe_cdcmerge").toString
+      try {
+        val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val nv = emb1.count()
+        (0 until 8).map(i =>
+          emb1.select((col("vec_id") + lit(i * 10L * nv)).as("vec_id"),
+            col("embedding"))).reduce(_ union _)
+          .write.parquet(s"$cBase/embeddings.parquet")
+        val emb8 = spark.read.parquet(s"$cBase/embeddings.parquet")
+        val donor = emb8.select((col("vec_id") - 1L).as("did"),
+          col("embedding").as("demb"))
+        // batch i: delete stratum i, upsert stratum 24+i with its
+        // neighbor's embedding, insert stratum 48+i re-keyed above the
+        // 8x id space (per-batch offset keeps inserts globally disjoint)
+        def mkBatch(i: Int) = emb8.filter(col("vec_id") % 72 === i)
+          .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+          .unionByName(emb8.filter(col("vec_id") % 72 === (i + 24))
+            .join(donor, col("did") === col("vec_id"))
+            .select(col("vec_id"), col("demb").as("embedding"),
+              lit("upsert").as("op")))
+          .unionByName(emb8.filter(col("vec_id") % 72 === (i + 48))
+            .select((col("vec_id") + lit(80L * nv * (i + 1))).as("vec_id"),
+              col("embedding"), lit("insert").as("op")))
+        def filesOf(path: String): Int =
+          spark.read.parquet(graft.util.IndexMaint.liveGen(path)).inputFiles.length
+        val queries = emb1.filter(col("vec_id") < 3).localCheckpoint()
+        def drain(tag: String, compactEvery: Int,
+            mp: Option[ops.MergePolicy]): (Seq[graft.streaming.CdcIngest.BatchReport], Double, String) = {
+          val p = s"$cBase/$tag"
+          ops.Ivf.buildIndex(emb8, p, kCells = 16, iters = 0)
+          val src = graft.util.Fs.stageBatchFiles(cBase, s"src_$tag",
+            (0 until 24).map(mkBatch))
+          val t0 = System.nanoTime()
+          val reps = graft.streaming.CdcIngest.ingestStreamCdc(spark, src,
+            ops.Ivf.loadIndex(p), checkEvery = 100,
+            compactEvery = compactEvery, mergePolicy = mp)
+          ((reps, (System.nanoTime() - t0) / 1e9, p))
+        }
+        val (repsA, tA, pa) = drain("compact", 4, None)
+        val (repsB, tB, pb) = drain("merge", 0,
+          Some(ops.MergePolicy(factor = 4, minMerge = 4, maxMerge = 16)))
+        if (repsA.exists(_.replayed) || repsB.exists(_.replayed))
+          throw new IllegalStateException("cdc_tiered_merge_24: unexpected replays")
+        val bytesA = repsA.map(_.maintBytes).sum
+        val bytesB = repsB.map(_.maintBytes).sum
+        val fires = repsB.count(_.maintBytes > 0)
+        val maxB = repsB.map(_.maintBytes).max
+        val pageA = ops.Ivf.screenBatch(spark, ops.Ivf.loadIndex(pa), queries,
+          k = 5, nprobe = 16).collect().map(_.toString).sorted.toSeq
+        val pageB = ops.Ivf.screenBatch(spark, ops.Ivf.loadIndex(pb), queries,
+          k = 5, nprobe = 16).collect().map(_.toString).sorted.toSeq
+        if (pageA != pageB)
+          throw new IllegalStateException("cdc_tiered_merge_24: merge-run page != compact-run page")
+        val amp = bytesA.toDouble / math.max(1L, bytesB)
+        val lineC = f"PROBE cdc_tiered_merge_24  24 tombstone-heavy CDC batches: rewritten compact4=${bytesA / 1e6}%.1fMB merge=${bytesB / 1e6}%.1fMB (${amp}%.1fx less) fires=$fires maxPerBatch=${maxB / 1e6}%.1fMB files compact=${filesOf(pa)} merge=${filesOf(pb)} drain compact=$tA%.1f s merge=$tB%.1f s page-identical"
+        println(lineC); report ++= lineC + "\n"
+        if (bytesB >= bytesA)
+          throw new IllegalStateException(
+            s"tiered merge must beat compactEvery on the CDC stream: $lineC")
+        if (fires < 1)
+          throw new IllegalStateException(s"no merge ever fired: $lineC")
+      } finally graft.util.Fs.deleteRecursively(cBase)
+    }
+
+    // The same long-lived-CDC comparison on the LEXICAL family — the
+    // steepest file-growth index (an append touches up to 64 tb
+    // partitions), so the family where the maintenance plan matters
+    // most: 24 tombstone-heavy op-tagged doc batches (delete a base
+    // stratum, re-crawl another with donor text, insert a third)
+    // through the actual DocIngest loop, once under compactEvery=4 and
+    // once under the tiered merge. Bytes from the loop's maintBytes
+    // telemetry; serving page and scoring constants must come out
+    // identical.
+    locally {
+      val dBase = java.nio.file.Files.createTempDirectory("probe_doccdcmerge").toString
+      try {
+        val docs8 = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val donor = docs8.select((col("doc_id") - 1L).as("did"),
+          col("text").as("dtext"))
+        // batch i: delete stratum i, re-crawl stratum 24+i with its
+        // neighbor's text, insert stratum 48+i re-keyed above the 8x id
+        // space (per-batch offset keeps inserts globally disjoint)
+        def mkBatch(i: Int) = docs8.filter(col("doc_id") % 72 === i)
+          .select(col("doc_id"), col("text"), lit("delete").as("op"))
+          .unionByName(docs8.filter(col("doc_id") % 72 === (i + 24))
+            .join(donor, col("did") === col("doc_id"))
+            .select(col("doc_id"), col("dtext").as("text"),
+              lit("upsert").as("op")))
+          .unionByName(docs8.filter(col("doc_id") % 72 === (i + 48))
+            .select((col("doc_id") + lit(80L * n * (i + 1))).as("doc_id"),
+              col("text"), lit("insert").as("op")))
+        def filesOf(path: String): Int =
+          spark.read.parquet(graft.util.IndexMaint.liveGen(path)).inputFiles.length
+        def drain(tag: String, compactEvery: Int,
+            mp: Option[ops.MergePolicy]): (Seq[graft.streaming.DocIngest.BatchReport], Double, String) = {
+          val p = s"$dBase/$tag"
+          ops.LexIndex.buildIndex(docs8, p)
+          val src = graft.util.Fs.stageBatchFiles(dBase, s"src_$tag",
+            (0 until 24).map(mkBatch))
+          val t0 = System.nanoTime()
+          val reps = graft.streaming.DocIngest.ingestStreamDocs(spark, src, p,
+            compactEvery = compactEvery, mergePolicy = mp)
+          ((reps, (System.nanoTime() - t0) / 1e9, p))
+        }
+        val (repsA, tA, pa) = drain("compact", 4, None)
+        val (repsB, tB, pb) = drain("merge", 0,
+          Some(ops.MergePolicy(factor = 4, minMerge = 4, maxMerge = 16)))
+        if (repsA.exists(_.replayed) || repsB.exists(_.replayed))
+          throw new IllegalStateException("doc_cdc_tiered_merge_24: unexpected replays")
+        val bytesA = repsA.map(_.maintBytes).sum
+        val bytesB = repsB.map(_.maintBytes).sum
+        val fires = repsB.count(_.maintBytes > 0)
+        val maxB = repsB.map(_.maintBytes).max
+        def page(p: String): Seq[String] =
+          ops.LexIndex.bm25TopK(spark, p, ops.Search.fixtureQueries, 5)
+            .collect().map(_.toString).sorted.toSeq
+        if (page(pa) != page(pb))
+          throw new IllegalStateException("doc_cdc_tiered_merge_24: merge-run page != compact-run page")
+        if (ops.LexIndex.liveStats(pa) != ops.LexIndex.liveStats(pb))
+          throw new IllegalStateException("doc_cdc_tiered_merge_24: scoring constants diverged")
+        val amp = bytesA.toDouble / math.max(1L, bytesB)
+        val lineD = f"PROBE doc_cdc_tiered_merge_24  24 tombstone-heavy doc-CDC batches: rewritten compact4=${bytesA / 1e6}%.1fMB merge=${bytesB / 1e6}%.1fMB (${amp}%.1fx less) fires=$fires maxPerBatch=${maxB / 1e6}%.1fMB files compact=${filesOf(pa)} merge=${filesOf(pb)} drain compact=$tA%.1f s merge=$tB%.1f s page-identical"
+        println(lineD); report ++= lineD + "\n"
+        if (bytesB >= bytesA)
+          throw new IllegalStateException(
+            s"tiered merge must beat compactEvery on the doc CDC stream: $lineD")
+        if (fires < 1)
+          throw new IllegalStateException(s"no merge ever fired: $lineD")
+      } finally graft.util.Fs.deleteRecursively(dBase)
     }
 
     // Hybrid retrieval at 8x: BOTH stages serve from persisted indexes
@@ -2026,6 +2175,20 @@ object ScaleProbe {
     report ++= "  hard-links the rest, so per-batch rewrite stays bounded\n"
     report ++= "  (O(N log B) total). Serving page asserted identical between\n"
     report ++= "  the two maintenance strategies.\n"
+    report ++= "- cdc_tiered_merge_24: the same comparison on the LONG-LIVED CDC\n"
+    report ++= "  shape — 24 tombstone-heavy batches (delete + donor-upsert +\n"
+    report ++= "  insert strata) through the actual CdcIngest loop. Rewritten\n"
+    report ++= "  bytes are the loop's own per-batch maintBytes telemetry; the\n"
+    report ++= "  tiered run must rewrite less in total, stay bounded per batch\n"
+    report ++= "  (maxPerBatch is the dial), and serve an identical page. Merge-\n"
+    report ++= "  scoped tombstone reclamation rides along: each merged segment\n"
+    report ++= "  re-lands minus its own pairs, so the mutation-heavy stream\n"
+    report ++= "  reclaims as it merges instead of deferring to a full compact.\n"
+    report ++= "- doc_cdc_tiered_merge_24: the same tombstone-heavy CDC comparison\n"
+    report ++= "  on the LEXICAL family through DocIngest — the steepest file-\n"
+    report ++= "  growth index, where an append touches up to 64 tb partitions.\n"
+    report ++= "  Serving page AND scoring constants asserted identical between\n"
+    report ++= "  the two maintenance strategies; bytes from maintBytes telemetry.\n"
     report ++= "- hybrid_8x: the fused lexical x semantic page with BOTH stages\n"
     report ++= "  on persisted indexes (r17: no corpus join anywhere in the\n"
     report ++= "  serving plan — spec-pinned). full-probe is the oracle-exact\n"

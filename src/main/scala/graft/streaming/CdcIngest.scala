@@ -23,17 +23,29 @@ import graft.ops.Ivf
   * every `checkEvery`-th applied batch runs the k-row drift check and
   * rebalances on evidence (which also physically reclaims accumulated
   * tombstones); every `compactEvery`-th re-lands segments to bound
-  * per-cell file counts however long the stream runs.
+  * per-cell file counts however long the stream runs — or, the shape a
+  * LONG-LIVED CDC stream should run, `mergePolicy` replaces the
+  * periodic full rewrite with the size-tiered merge
+  * ([[graft.ops.MergePolicy]] / `Ivf.mergeSegments`): O(N log B) total
+  * bytes rewritten over B batches instead of (B/c)·N, with each merge
+  * physically reclaiming the merged segments' own tombstone pairs —
+  * the reclamation a mutation-heavy stream otherwise defers to a full
+  * compact.
   */
 object CdcIngest {
 
   /** One row of telemetry per micro-batch. On `replayed` batches the
     * op counts are UNKNOWN (reported as -1, not 0): the original run's
     * counts are not recoverable from the committed segment alone.
+    * `maintBytes` is what this batch's maintenance step physically
+    * rewrote (full generation bytes for a rebalance/compaction, the
+    * merged group's input bytes for a tiered merge, 0 when maintenance
+    * did not fire) — the dial an operator watches to see whether the
+    * stream's write amplification is bounded.
     */
   final case class BatchReport(batchId: Long, inserted: Long, upserted: Long,
       deleted: Long, checked: Boolean, drifted: Boolean, rebalanced: Boolean,
-      replayed: Boolean)
+      replayed: Boolean, maintBytes: Long = 0L)
 
   /** Drain `srcDir` (a staged file-stream directory of op-tagged
     * `(vec_id, embedding, op)` batches, one file per trigger) through
@@ -42,7 +54,8 @@ object CdcIngest {
     */
   def ingestStreamCdc(spark: SparkSession, srcDir: String, index0: Ivf.IvfIndex,
       checkEvery: Int = 4, compactEvery: Int = 0,
-      checkpointDir: String = ""): Seq[BatchReport] = {
+      checkpointDir: String = "",
+      mergePolicy: Option[graft.ops.MergePolicy] = None): Seq[BatchReport] = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val ckpt = if (checkpointDir.nonEmpty) checkpointDir else s"$srcDir.ckpt"
@@ -72,13 +85,39 @@ object CdcIngest {
           val check = fresh && streamApplied % checkEvery == 0
           val dr = if (check) Some(Ivf.driftStats(spark, index)) else None
           val fire = dr.exists(_.drifted())
-          if (fire) index = Ivf.rebalance(spark, index)
-          else if (compactEvery > 0 && streamApplied % compactEvery == 0)
+          var maintBytes = 0L
+          if (fire) {
+            index = Ivf.rebalance(spark, index)
+            maintBytes = graft.util.Fs.treeBytes(
+              graft.util.IndexMaint.liveGen(index.path))
+          }
+          // maintenance only on a FRESH batch (the [[IvfIngest]]
+          // invariant): a replayed/concurrently-applied token landed no
+          // rows here, so firing compaction — a full rewrite — would
+          // charge real IO to a batch that changed nothing. Reachable
+          // when a concurrent drain applies the token between the
+          // applied0 read and the apply.
+          else if (fresh && compactEvery > 0 && streamApplied % compactEvery == 0) {
             index = Ivf.compactIndex(spark, index)
+            maintBytes = graft.util.Fs.treeBytes(
+              graft.util.IndexMaint.liveGen(index.path))
+          }
+          // size-tiered alternative to the full rewrite ([[IvfIngest]]
+          // rationale): self-pacing (no-ops until a tier fills), so it
+          // runs after EVERY applied batch — this is the maintenance
+          // plan a long-lived CDC stream runs, where compactEvery's
+          // (B/c)·N rewrite bytes are the scale hazard. Merge-scoped
+          // tombstone reclamation rides along: each merged segment
+          // re-lands minus its own tombstone pairs, so a
+          // tombstone-heavy stream (deletes/upserts) reclaims as it
+          // merges instead of accruing pairs until a full compact.
+          else if (fresh)
+            mergePolicy.foreach(p => Ivf.mergeSegments(spark, index, p)
+              .foreach(r => maintBytes = r.bytesIn))
           reports += BatchReport(id,
             byOp.getOrElse("insert", 0L), byOp.getOrElse("upsert", 0L),
             byOp.getOrElse("delete", 0L), checked = check, drifted = fire,
-            rebalanced = fire, replayed = false)
+            rebalanced = fire, replayed = false, maintBytes = maintBytes)
         }
         ()
       }

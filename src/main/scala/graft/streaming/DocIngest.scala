@@ -27,10 +27,16 @@ object DocIngest {
 
   /** Telemetry per micro-batch; op counts are -1 on `replayed` batches
     * (the original run's counts are not recoverable from the committed
-    * segment alone).
+    * segment alone). `maintBytes` is what this batch's maintenance step
+    * physically rewrote (the full generation for a compaction, the
+    * merged group's input bytes for a tiered merge, 0 when maintenance
+    * did not fire) — the [[CdcIngest.BatchReport]] dial, mirrored here
+    * because the postings family has the steepest file growth of all
+    * four and so the strongest case for watching its rewrite curve.
     */
   final case class BatchReport(batchId: Long, inserted: Long, upserted: Long,
-      deleted: Long, compacted: Boolean, replayed: Boolean)
+      deleted: Long, compacted: Boolean, replayed: Boolean,
+      maintBytes: Long = 0L)
 
   /** Drain `srcDir` (a staged file-stream directory of op-tagged doc
     * batches, one file per trigger) through the CDC-apply loop against
@@ -62,16 +68,25 @@ object DocIngest {
             (if (fresh) 1 else 0)
           val compact = fresh && compactEvery > 0 &&
             streamApplied % compactEvery == 0
-          if (compact) LexIndex.compactIndex(spark, path)
+          var maintBytes = 0L
+          if (compact) {
+            LexIndex.compactIndex(spark, path)
+            maintBytes = graft.util.Fs.treeBytes(
+              graft.util.IndexMaint.liveGen(path))
+          }
           // size-tiered alternative to the full rewrite
           // ([[IvfIngest]] rationale) — matters most on this family:
-          // an append touches up to 64 tb partitions per batch
+          // an append touches up to 64 tb partitions per batch. Merge-
+          // scoped tombstone reclamation rides along, so a mutation-
+          // heavy doc stream (re-crawls, takedowns) reclaims pairs as
+          // it merges instead of deferring them to a full compact.
           else if (fresh)
-            mergePolicy.foreach(p => LexIndex.mergeSegments(spark, path, p))
+            mergePolicy.foreach(p => LexIndex.mergeSegments(spark, path, p)
+              .foreach(r => maintBytes = r.bytesIn))
           reports += BatchReport(id,
             byOp.getOrElse("insert", 0L), byOp.getOrElse("upsert", 0L),
             byOp.getOrElse("delete", 0L), compacted = compact,
-            replayed = false)
+            replayed = false, maintBytes = maintBytes)
         }
         ()
       }

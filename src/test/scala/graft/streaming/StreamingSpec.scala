@@ -931,6 +931,200 @@ class StreamingSpec extends SparkTestBase {
     assert(graft.ops.Ivf.fsckIndex(spark, s"$tmp/index")._1.isEmpty)
   }
 
+  test("CDC stream with a tiered merge policy: per-segment tombstone scope and replay tokens survive a mid-stream merge; page equals a merge-free twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def vecs(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    def tagged(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select(col("vec_id"), col("embedding"), lit(op).as("op"))
+    val tmp = tmpDir("cdc_merge")
+    val base = vecs(0 until 60).localCheckpoint()
+    val index0 = graft.ops.Ivf.buildIndex(base, s"$tmp/index", kCells = 2, iters = 1)
+    // the MergeSpec scope fixture, driven THROUGH the stream: insert 900
+    // (b0), delete it (b1 — a pure-delete zero-row batch), re-insert it
+    // with a distinctive embedding (b2), then enough same-size batches
+    // that the tier fills MID-STREAM and the merge coalesces b0's stale
+    // copy + its tombstone pair together with b2's live copy
+    val reinsert = Seq((900L, Array.fill(8)(0.42f))).toDF("vec_id", "embedding")
+      .unionByName(vecs(905 until 909))
+    val batches = Seq(
+      tagged(vecs(900 until 905), "insert"),
+      tagged(Seq((900L, Array.fill(8)(0f))).toDF("vec_id", "embedding"), "delete"),
+      tagged(reinsert, "insert"),
+      tagged(vecs(910 until 915), "insert"),
+      tagged(vecs(920 until 925), "insert"),
+      tagged(vecs(930 until 935), "insert"))
+    val srcDir = graft.util.Fs.stageBatchFiles(tmp, "src", batches)
+    val mp = Some(graft.ops.MergePolicy(factor = 4, minMerge = 4, maxMerge = 8))
+    val reports = graft.streaming.CdcIngest.ingestStreamCdc(
+      spark, srcDir, index0, checkEvery = 100, mergePolicy = mp)
+    assert(reports.length === 6 && reports.forall(!_.replayed))
+    assert(reports.count(_.maintBytes > 0) >= 1,
+      s"a tiered merge must have fired mid-stream: ${reports.map(_.maintBytes)}")
+    // per-segment scope across the merge: exactly the re-inserted copy
+    val live900 = graft.ops.Ivf.indexData(spark, s"$tmp/index")
+      .filter(col("vec_id") === 900L)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    assert(live900.length === 1 && live900.head.forall(_ == 0.42f),
+      "the merge must keep the later copy, not resurrect or kill it")
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index").count() === 84L)
+    // the merged segments' pairs left the sidecar; only the pair against
+    // the untouched base segment remains
+    val tombs = graft.util.IndexMaint.readTombstones(
+      graft.util.IndexMaint.liveGen(s"$tmp/index"))
+    assert(tombs.toSeq === Seq(("base", 900L)),
+      s"merged segments' pairs must be reclaimed: ${tombs.toSeq}")
+    // a FULL stream replay (fresh checkpoint) no-ops on every token —
+    // including the merged batches', now in the consolidated sidecar —
+    // and charges zero maintenance IO
+    val replay = graft.streaming.CdcIngest.ingestStreamCdc(spark, srcDir,
+      graft.ops.Ivf.loadIndex(s"$tmp/index"), checkEvery = 100,
+      checkpointDir = s"$tmp/ckpt2", mergePolicy = mp)
+    assert(replay.length === 6 && replay.forall(_.replayed))
+    assert(replay.forall(_.maintBytes === 0L))
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index").count() === 84L)
+    // serving equals a merge-free twin of the same drain, page for page
+    val cmp0 = graft.ops.Ivf.buildIndex(base, s"$tmp/cmp", kCells = 2, iters = 1)
+    graft.streaming.CdcIngest.ingestStreamCdc(spark, srcDir, cmp0,
+      checkEvery = 100, checkpointDir = s"$tmp/ckpt3")
+    val queries = vecs(500 until 503).localCheckpoint()
+    def page(p: String): Seq[String] =
+      graft.ops.Ivf.screenBatch(spark, graft.ops.Ivf.loadIndex(p), queries,
+        k = 5, nprobe = 2).collect().map(_.toString).sorted.toSeq
+    assert(page(s"$tmp/index") === page(s"$tmp/cmp"),
+      "mid-stream merges must be invisible to serving")
+    assert(graft.ops.Ivf.fsckIndex(spark, s"$tmp/index")._1.isEmpty)
+  }
+
+  test("CDC loop charges no maintenance IO to a concurrently-applied batch: compactEvery skips when the token lands between the cadence read and the apply") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rnd = new scala.util.Random(53)
+    val tmp = tmpDir("cdc_fresh_guard")
+    val base = (0 until 40)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val index0 = graft.ops.Ivf.buildIndex(base, s"$tmp/index", kCells = 2, iters = 1)
+    val batch = (100 until 105)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val srcDir = graft.util.Fs.stageBatchFiles(tmp, "src",
+      Seq(batch.select(col("vec_id"), col("embedding"), lit("insert").as("op"))))
+    // Deterministic interleaving for the race the fresh-guard exists
+    // for: hold the index's mutation monitor so the stream blocks at
+    // its apply AFTER reading applied0 (token absent there), apply the
+    // token ourselves (reentrant), release — the stream's apply then
+    // finds the token (fresh = false) with compactEvery = 1 pointing
+    // straight at the maintenance branch, which must NOT fire.
+    val monitor = graft.util.IndexMaint.lockFor(s"$tmp/index")
+    val myHash = System.identityHashCode(monitor)
+    var gen0 = ""
+    val fut = monitor.synchronized {
+      val f = Future(graft.streaming.CdcIngest.ingestStreamCdc(
+        spark, srcDir, index0, checkEvery = 100, compactEvery = 1))
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def streamBlocked: Boolean = mx.dumpAllThreads(false, false).exists(ti =>
+        ti.getThreadState == Thread.State.BLOCKED &&
+          ti.getLockInfo != null && ti.getLockInfo.getIdentityHashCode == myHash)
+      while (!streamBlocked && System.nanoTime() < deadline) Thread.sleep(25)
+      assert(streamBlocked, "the stream never reached its apply — cannot stage the race")
+      // the concurrent drain: same token, applied first (reentrant lock)
+      assert(graft.ops.Ivf.applyCdcIdempotent(
+        graft.ops.Ivf.loadIndex(s"$tmp/index"),
+        batch.select(col("vec_id"), col("embedding"), lit("insert").as("op")),
+        "cdc:0"), "the staged concurrent apply must land fresh")
+      gen0 = graft.util.IndexMaint.liveGen(s"$tmp/index")
+      f
+    }
+    val reports = Await.result(fut, 5.minutes)
+    assert(reports.length === 1 && !reports.head.replayed)
+    // the guarded branch: no compaction fired for the no-op batch —
+    // the generation is untouched and zero maintenance bytes charged
+    assert(reports.head.maintBytes === 0L,
+      "a concurrently-applied batch must not be charged maintenance IO")
+    assert(graft.util.IndexMaint.liveGen(s"$tmp/index") === gen0,
+      "compactEvery must not rewrite the generation for a batch that changed nothing")
+    assert(graft.ops.Ivf.indexData(spark, s"$tmp/index").count() === 45L)
+  }
+
+  test("lexical CDC stream with a tiered merge policy: per-segment tombstone scope and replay tokens survive a mid-stream merge; page equals a merge-free twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = tmpDir("doc_cdc_merge")
+    val base = (0 until 60).map(i => (i.toLong, s"alpha w$i beta"))
+      .toDF("doc_id", "text")
+    graft.ops.LexIndex.buildIndex(base, s"$tmp/index")
+    def tagged(rows: Seq[(Long, String)], op: String) =
+      rows.toDF("doc_id", "text").withColumn("op", lit(op))
+    // the MergeSpec scope fixture through the DOC stream: insert 900
+    // (b0), delete it (b1 — pure-delete batch), re-insert it with a
+    // distinctive term (b2), then enough same-size batches that the
+    // tier fills MID-STREAM and the merge coalesces b0's stale copy +
+    // its tombstone pair together with b2's live copy
+    val batches = Seq(
+      tagged((900 until 905).map(i => (i.toLong, s"alpha doomed d$i")), "insert"),
+      tagged(Seq((900L, "")), "delete"),
+      tagged(Seq((900L, "alpha zeta reborn")) ++
+        (905 until 909).map(i => (i.toLong, s"alpha fresh f$i")), "insert"),
+      tagged((910 until 915).map(i => (i.toLong, s"alpha more m$i")), "insert"),
+      tagged((920 until 925).map(i => (i.toLong, s"alpha more n$i")), "insert"),
+      tagged((930 until 935).map(i => (i.toLong, s"alpha more o$i")), "insert"))
+    val srcDir = graft.util.Fs.stageBatchFiles(tmp, "src", batches)
+    val mp = Some(graft.ops.MergePolicy(factor = 4, minMerge = 4, maxMerge = 8))
+    val reports = graft.streaming.DocIngest.ingestStreamDocs(
+      spark, srcDir, s"$tmp/index", mergePolicy = mp)
+    assert(reports.length === 6 && reports.forall(!_.replayed))
+    assert(reports.count(_.maintBytes > 0) >= 1,
+      s"a tiered merge must have fired mid-stream: ${reports.map(_.maintBytes)}")
+    // per-segment scope across the merge: exactly the re-inserted copy
+    // serves — by its NEW text, never the merged-away doomed copy
+    val zeta = graft.ops.LexIndex.bm25TopK(spark, s"$tmp/index",
+      Seq("q" -> "zeta"), 200)
+    assert(zeta.filter(col("doc_id") === 900L).count() === 1L,
+      "the merge must keep the later copy")
+    assert(graft.ops.LexIndex.bm25TopK(spark, s"$tmp/index",
+      Seq("q" -> "doomed"), 200).filter(col("doc_id") === 900L).count() === 0L,
+      "the merge must not resurrect the deleted copy's postings")
+    assert(graft.ops.LexIndex.indexData(spark, s"$tmp/index")
+      .select(col("doc_id")).distinct().count() === 84L)
+    // the merged segments' pairs left the sidecar; any survivor names
+    // only a segment that still exists (the untouched base)
+    val gen = graft.util.IndexMaint.liveGen(s"$tmp/index")
+    val segs = graft.util.IndexMaint.segmentValues(gen).toSet
+    val tombs = graft.util.IndexMaint.readTombstones(gen)
+    assert(tombs.forall { case (s, _) => segs(s) },
+      s"merged segments' pairs must be reclaimed: ${tombs.toSeq}")
+    // a FULL stream replay (fresh checkpoint) no-ops on every token —
+    // including the merged batches', now in the consolidated sidecar —
+    // and charges zero maintenance IO
+    val replay = graft.streaming.DocIngest.ingestStreamDocs(spark, srcDir,
+      s"$tmp/index", checkpointDir = s"$tmp/ckpt2", mergePolicy = mp)
+    assert(replay.length === 6 && replay.forall(_.replayed))
+    assert(replay.forall(_.maintBytes === 0L))
+    // serving equals a merge-free twin of the same drain, page for page,
+    // and the scoring constants agree exactly
+    graft.ops.LexIndex.buildIndex(base, s"$tmp/cmp")
+    graft.streaming.DocIngest.ingestStreamDocs(spark, srcDir, s"$tmp/cmp",
+      checkpointDir = s"$tmp/ckpt3")
+    def page(p: String): Seq[String] =
+      graft.ops.LexIndex.bm25TopK(spark, p,
+        Seq("q1" -> "alpha", "q2" -> "zeta", "q3" -> "beta"), 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(page(s"$tmp/index") === page(s"$tmp/cmp"),
+      "mid-stream merges must be invisible to serving")
+    assert(graft.ops.LexIndex.liveStats(s"$tmp/index") ===
+      graft.ops.LexIndex.liveStats(s"$tmp/cmp"))
+    val (bad, _) = graft.ops.LexIndex.fsckIndex(spark, s"$tmp/index")
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("streaming datacard equals a one-shot batch build — batching is invisible") {
     // the stream folds FOUR micro-batches into state; the one-shot path
     // inits state from the whole corpus at once. Canonical-set state
