@@ -985,6 +985,28 @@ object LexIndex extends IndexFamily {
     ()
   }
 
+  /** Export BOTH halves of a [[pinHybrid]] pair as standalone roots
+    * ([[graft.util.IndexMaint.exportPair]]): destination leases
+    * path-ordered before any occupancy decision, torn/occupied
+    * destinations refused with the pinPair-style message, and a crash
+    * between the two exports healed by the retry (the committed half is
+    * recognized structurally and skipped). The lexical side re-lands
+    * its pin-time removed-stats adjustment, exactly as
+    * [[exportIndexSnapshot]] does; the vector side needs no fixup. The
+    * exported pair serves a fused [[hybridPage]] identical to
+    * [[hybridPageAsOf]] at the pin.
+    */
+  def exportHybridSnapshot(lexPath: String, vecPath: String, label: String,
+      destLex: String, destVec: String): (String, String) =
+    graft.util.IndexMaint.exportPair(lexPath, vecPath, label, destLex, destVec,
+      fixupA = (snap, stage) => {
+        val (rn, rs) = removedOfSnapshot(snap)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage, RemovedFile),
+          s"$rn,$rs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      })
+
   /** Corpus constants of a PINNED snapshot: the manifest's segments'
     * stats sidecars summed, minus the removed adjustment AS OF PIN TIME
     * (the manifest's copy — the generation's live sidecar has since
@@ -2176,6 +2198,57 @@ object LexIndex extends IndexFamily {
       Search.fixtureQueries, nprobe = 16)
   }
 
+  /** Registered `search_hybrid_exported`: the atomic PAIR-export
+    * lifecycle under the oracle — [[hybridAsOf]]'s setup (pinHybrid,
+    * then the same mixed CDC wave on both sides), finished by
+    * [[exportHybridSnapshot]] into two brand-new roots and served as a
+    * LIVE [[hybridPage]] from the exported pair. The oracle is
+    * [[hybridRrfSql]], the closed form over the ORIGINAL corpus —
+    * hash equality proves the export carried exactly the pinned wave on
+    * BOTH sides (lexical scoring constants included, via the
+    * removed-stats fixup) and none of the sources' later mutations.
+    * Replay-safe end to end: the pair pin keeps its first snapshot, the
+    * CDC tokens no-op, and a re-run's exportPair recognizes both
+    * committed destinations structurally (hard-link inode identity) and
+    * skips them — the crash-heal path, exercised on every bench rerun.
+    */
+  def hybridExported(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"), col("text"))
+    val emb = Catalog(spark, dir).ref("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lexPath = graft.util.Fs.sessionTempDir("lex_index_hexp", dir)
+    buildIndexCached(docs, s"$dir/documents.parquet", lexPath)
+    val vecPath = graft.util.Fs.sessionTempDir("hybrid_ivf_hexp", dir)
+    Ivf.buildIndexCached(emb, s"$dir/embeddings.parquet", vecPath,
+      kCells = 16, iters = 0)
+    pinHybrid(lexPath, vecPath, "pre")
+    val docDonor = docs.select(col("doc_id").as("did"), col("text").as("dtext"))
+    val vecDonor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+    val docBatch = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit("insert").as("op"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), col("text"), lit("delete").as("op")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 2)
+        .join(docDonor, col("did") === col("doc_id") + 1)
+        .select(col("doc_id"), col("dtext").as("text"), lit("upsert").as("op")))
+    val vecBatch = emb.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        lit("insert").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 7 === 3 && col("vec_id") % 5 =!= 2)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")))
+      .unionByName(emb.filter(col("vec_id") % 5 === 2)
+        .join(vecDonor, col("did") === col("vec_id") + 1)
+        .select(col("vec_id"), col("demb").as("embedding"),
+          lit("upsert").as("op")))
+    applyCdcDocs(lexPath, docBatch, "hexp:cdc:1")
+    Ivf.applyCdcIdempotent(Ivf.loadIndex(vecPath), vecBatch, "hexp:cdc:1")
+    val dLex = graft.util.Fs.sessionTempDir("lex_index_hexpdl", dir)
+    val dVec = graft.util.Fs.sessionTempDir("hybrid_ivf_hexpdv", dir)
+    exportHybridSnapshot(lexPath, vecPath, "pre", dLex, dVec)
+    hybridPage(spark, dLex, Ivf.loadIndex(dVec), Search.fixtureQueries, nprobe = 16)
+  }
+
   /** Twin of [[hybridRrf]]: `text_bm25`'s twin as the lexical CTE, the
     * PRF centroid as rank-ordered folds, the semantic scores as the
     * established dot/norm folds, RRF composed exactly.
@@ -2286,6 +2359,7 @@ object LexIndex extends IndexFamily {
     "search_hybrid_rrf_deleted" -> (hybridRrfDeleted _),
     "search_hybrid_cdc" -> (hybridCdc _),
     "search_hybrid_asof" -> (hybridAsOf _),
+    "search_hybrid_exported" -> (hybridExported _),
     "search_phrase" -> (phrasePersisted _),
     "search_phrase_ranked" -> (phraseRanked _),
     "search_proximity" -> (proximityPersisted _),
@@ -2363,6 +2437,9 @@ object LexIndex extends IndexFamily {
     // the fused page as-of both pins equals the closed form over the
     // ORIGINAL corpus — reproducible evals against mutated indexes
     "search_hybrid_asof" -> hybridRrfSql,
+    // the exported pair serves the SAME original-corpus closed form:
+    // hash equality proves the export carried exactly the pinned wave
+    "search_hybrid_exported" -> hybridRrfSql,
     // the positional payload round-trips the index exactly: adjacency
     // excludes every bag-of-words co-occurrence the twin excludes
     "search_phrase" -> phraseSql,

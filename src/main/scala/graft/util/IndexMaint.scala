@@ -1082,8 +1082,9 @@ object IndexMaint {
     * Runbook: pins are free at pin time and cost retention forever —
     * each keeps its whole generation through every later rewrite.
     * Operators should either [[unpin]] when the consumer (an eval, an
-    * audit) finishes, or enforce a TTL with [[unpinExpired]]; the freed
-    * generation is reclaimed by the NEXT commit or fsckRepair.
+    * audit) finishes, enforce a TTL with [[unpinExpired]], or enforce a
+    * storage budget with [[unpinByBudget]]; the freed generation is
+    * reclaimed by the NEXT commit or fsckRepair.
     */
   final case class PinStat(label: String, gen: String, ageMs: Long,
       retainedBytes: Long)
@@ -1194,32 +1195,110 @@ object IndexMaint {
   def unpinExpired(root: String, ttlMs: Long): (Seq[String], Seq[String], Seq[String]) =
     unpinExpired(Seq(root), ttlMs)
 
+  /** Hold every root's in-JVM monitor and cross-process lease at once,
+    * acquired in PATH ORDER (the pinPair idiom generalized to N roots,
+    * so two concurrent multi-root sweeps cannot deadlock) — the barrier
+    * under which a multi-root pin sweep decides AND applies, so a lease
+    * timeout or refusal on any root throws BEFORE the first label is
+    * deleted, never between two halves of a pair. Caller passes the
+    * roots as given; duplicates are collapsed.
+    */
+  private def withRootsLocked[A](roots: Seq[String], op: String)(f: => A): A = {
+    def go(rs: List[String]): A = rs match {
+      case Nil => f
+      case h :: t => lockFor(h).synchronized {
+        withLease(h, op = op)(go(t))
+      }
+    }
+    go(roots.distinct.sorted.toList)
+  }
+
   /** [[unpinExpired]] over several roots with ONE `now` for every
     * expiry decision — the pair-safe sweep (see the single-root form's
-    * contract). Results are concatenated across roots in order.
+    * contract). ALL roots' monitors + leases are taken path-ordered
+    * BEFORE the first delete, so a lease timeout on a later root
+    * refuses the whole sweep instead of tearing a pair whose first half
+    * was already unpinned. (A crash — JVM death — between two deletes
+    * can still tear a pair; re-running the sweep heals it: the
+    * survivor's shared created stamp still exceeds the TTL, so the
+    * retry unpins it and pinPair stops refusing.) Results are
+    * concatenated across roots in order.
     */
   def unpinExpired(roots: Seq[String], ttlMs: Long): (Seq[String], Seq[String], Seq[String]) = {
     require(ttlMs >= 0, s"unpinExpired: ttlMs must be >= 0, got $ttlMs")
     require(roots.nonEmpty, "unpinExpired: no roots given")
     val now = System.currentTimeMillis()
-    val swept = roots.map { root =>
-      lockFor(root).synchronized {
-        withLease(root, op = s"unpinExpired(${ttlMs}ms)") {
-          val (known, skipped) = listSnapshotLabels(root).partitionMap { label =>
-            try {
-              val created = readSnapshot(root, label).get.createdMs
-              if (created > 0) Left(label -> (now - created)) else Right(label)
-            } catch { case _: Exception => Right(label) }
-          }
-          val (expired, kept) = known.partition(_._2 > ttlMs)
-          expired.foreach { case (label, _) =>
-            Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
-          }
-          (expired.map(_._1), kept.map(_._1), skipped)
+    val swept = withRootsLocked(roots, s"unpinExpired(${ttlMs}ms)") {
+      roots.map { root =>
+        val (known, skipped) = listSnapshotLabels(root).partitionMap { label =>
+          try {
+            val created = readSnapshot(root, label).get.createdMs
+            if (created > 0) Left(label -> (now - created)) else Right(label)
+          } catch { case _: Exception => Right(label) }
         }
+        val (expired, kept) = known.partition(_._2 > ttlMs)
+        expired.foreach { case (label, _) =>
+          Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
+        }
+        (expired.map(_._1), kept.map(_._1), skipped)
       }
     }
     (swept.flatMap(_._1), swept.flatMap(_._2), swept.flatMap(_._3))
+  }
+
+  /** The pin-retention BYTE-BUDGET dial — what an operator with a
+    * storage budget actually sets, complementing [[unpinExpired]]'s
+    * age dial: unpin labels OLDEST-FIRST until the total retained bytes
+    * across `roots` (the [[pinStats]] hard-link-aware accounting) fit
+    * under `maxRetainedBytes`. Rules, each load-bearing:
+    *
+    *  - a label present on SEVERAL roots is one GROUP (the pinPair
+    *    shape): it is unpinned on all of them together or not at all —
+    *    the same all-roots-locked barrier as [[unpinExpired]], so no
+    *    live interleaving can tear a pair;
+    *  - zero-retention pins are never reaped: a pin of the LIVE
+    *    generation retains nothing (its bytes serve anyway), so
+    *    unpinning it frees no budget and only loses the label — the
+    *    live generation is structurally never reclaimed here;
+    *  - unknown ages/sizes (pre-`created` manifests, unparseable
+    *    stats) are SKIPPED and reported, the [[unpinExpired]] contract:
+    *    an unprovable age must never reap a pin someone may serve from.
+    *
+    * Returns `(unpinned, kept, skipped)` as (root, label) pairs.
+    * Metadata-only, like every unpin: freed generations are reclaimed
+    * by each root's next commit or [[fsckRepair]].
+    */
+  def unpinByBudget(roots: Seq[String], maxRetainedBytes: Long):
+      (Seq[(String, String)], Seq[(String, String)], Seq[(String, String)]) = {
+    require(maxRetainedBytes >= 0,
+      s"unpinByBudget: maxRetainedBytes must be >= 0, got $maxRetainedBytes")
+    require(roots.nonEmpty, "unpinByBudget: no roots given")
+    withRootsLocked(roots, s"unpinByBudget(${maxRetainedBytes}B)") {
+      val all = roots.distinct.flatMap(r => pinStats(r).map(r -> _))
+      val (known, skipped) = all.partition { case (_, s) =>
+        s.ageMs >= 0 && s.retainedBytes >= 0
+      }
+      // one group per label: retention and age are the group's totals —
+      // a pair expires as one unit, charged at its combined cost
+      val groups = known.groupBy(_._2.label).map { case (label, ms) =>
+        (label, ms, ms.map(_._2.retainedBytes).sum, ms.map(_._2.ageMs).max)
+      }.toSeq
+      var retained = groups.map(_._3).sum
+      val unpinned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // oldest-first, reaping only groups that actually free bytes
+      for ((label, ms, bytes, _) <- groups.sortBy(-_._4)
+           if retained > maxRetainedBytes && bytes > 0) {
+        ms.foreach { case (root, _) =>
+          Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
+        }
+        unpinned ++= ms.map { case (root, s) => (root, s.label) }
+        retained -= bytes
+      }
+      val gone = unpinned.toSet
+      (unpinned.toSeq,
+        known.map { case (r, s) => (r, s.label) }.filterNot(gone),
+        skipped.map { case (r, s) => (r, s.label) })
+    }
   }
 
   /** The ONE manifest-view read every family's as-of path serves from:
@@ -1268,8 +1347,14 @@ object IndexMaint {
     * No source lease: the pin protects its generation from every reap
     * path, and in-place mutations only ADD segments/pairs outside the
     * manifest, so the linked view is stable under concurrent writers.
-    * Refuses a `destRoot` that is already an index root or a non-empty
-    * directory — exporting over live data is never recoverable.
+    * The one source-side contract the caller owns is that `label` STAYS
+    * PINNED for the duration of the export: a concurrent unpin+commit
+    * can reap the pinned generation mid-linkTree (the export then dies
+    * loudly mid-stage and its debris is reaped later — never a corrupt
+    * commit), so the pin is re-read and compared just before the commit
+    * for the clearer error. Refuses a `destRoot` that is already an
+    * index root or a non-empty directory — exporting over live data is
+    * never recoverable.
     */
   def exportSnapshot(root: String, label: String, destRoot: String,
       fixup: (Snapshot, String) => Unit = (_, _) => ()): String = {
@@ -1277,44 +1362,202 @@ object IndexMaint {
     val snap = readSnapshot(root, label).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot pinned as '$label' under $root"))
-    val genDir = snapshotGenDir(root, snap)
     // every occupancy check runs INSIDE the destination's monitor +
     // lease: two concurrent exports to one destRoot must serialize
     // BEFORE deciding it is free, or the loser silently commits a
     // second generation over the winner's
     withMutation(destRoot, op = s"export($label)") {
-      require(liveGenOpt(destRoot).isEmpty,
-        s"exportSnapshot: $destRoot is already an index root (live " +
-          "generation present) — refusing to export over it")
-      val dest = Paths.get(destRoot)
-      require(Files.isDirectory(dest) && {
-        // a crashed earlier export leaves only protocol debris: the
-        // lock/lease file, stage dirs (reapStages already cleared
-        // them), pointer tmp files, or a generation dir that was moved
-        // but never pointed to — unreadable by construction (readers
-        // resolve through the live pointer, which the first require
-        // proved absent), so it reclaims below. Anything else is a
-        // foreign directory.
-        import scala.jdk.CollectionConverters._
-        val s = Files.list(dest)
-        try s.iterator().asScala.forall { p =>
-          val n = p.getFileName.toString
-          n == ".lock" || n.startsWith(".stage-") || n.startsWith("gen-") ||
-            n == LivePointer + ".tmp" || n == PrevPointer ||
-            n == PrevPointer + ".tmp"
-        } finally s.close()
-      }, s"exportSnapshot: $destRoot exists and is not an empty directory")
-      genDirs(destRoot).foreach { case (_, p) =>
-        Fs.deleteRecursively(p.toString)
-      }
-      val stage = newStageDir(destRoot, "export")
-      snap.segs.foreach(s => Fs.linkTree(s"$genDir/seg=$s", s"$stage/seg=$s"))
-      carryGenRootFiles(genDir, stage)
-      writeConsolidatedTokens(stage, consolidatedTokensOf(genDir))
-      if (snap.tombs.nonEmpty) stageTombstonePairs(stage, snap.tombs)
-      fixup(snap, stage)
-      commitGeneration(destRoot, stage)
+      exportCore(root, label, snap, destRoot, fixup)
     }
+  }
+
+  /** Manifest-view equality — the "did the pin move under us" check.
+    * Field-wise because [[Snapshot]] carries an Array (whose case-class
+    * equality is reference identity).
+    */
+  private def sameSnapshot(a: Snapshot, b: Snapshot): Boolean =
+    a.gen == b.gen && a.segs == b.segs && a.tombs.toSeq == b.tombs.toSeq &&
+      a.extra == b.extra && a.createdMs == b.createdMs
+
+  /** [[exportSnapshot]]'s body, with the destination's monitor + lease
+    * already held by the caller ([[withLease]] is not reentrant — a
+    * nested take on the same root would self-deadlock until timeout,
+    * so [[exportPair]] takes both destinations' leases itself and calls
+    * this directly, the [[pinPair]]/`writePin` split).
+    */
+  private def exportCore(root: String, label: String, snap: Snapshot,
+      destRoot: String, fixup: (Snapshot, String) => Unit): String = {
+    val genDir = snapshotGenDir(root, snap)
+    require(liveGenOpt(destRoot).isEmpty,
+      s"exportSnapshot: $destRoot is already an index root (live " +
+        "generation present) — refusing to export over it")
+    val dest = Paths.get(destRoot)
+    require(Files.isDirectory(dest) && {
+      // a crashed earlier export leaves only protocol debris: the
+      // lock/lease file, stage dirs (reapStages already cleared
+      // them), pointer tmp files, or a generation dir that was moved
+      // but never pointed to — unreadable by construction (readers
+      // resolve through the live pointer, which the first require
+      // proved absent), so it reclaims below. Anything else is a
+      // foreign directory.
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dest)
+      try s.iterator().asScala.forall { p =>
+        val n = p.getFileName.toString
+        n == ".lock" || n.startsWith(".stage-") || n.startsWith("gen-") ||
+          n == LivePointer + ".tmp" || n == PrevPointer ||
+          n == PrevPointer + ".tmp"
+      } finally s.close()
+    }, s"exportSnapshot: $destRoot exists and is not an empty directory")
+    // A crashed export never writes a CONSISTENT _prev.txt next to an
+    // absent live pointer (commitGeneration writes _live first, and a
+    // first export has no predecessor to record) — so a _prev record
+    // naming a generation that EXISTS on disk means this is a real
+    // index root that lost only its live pointer (partial copy, manual
+    // cleanup, foreign tooling). Reclaiming its generations here would
+    // destroy recoverable data under the guise of debris cleanup;
+    // refuse and name the remedy instead.
+    locally {
+      val prevP = dest.resolve(PrevPointer)
+      if (Files.exists(prevP)) {
+        val named = new String(Files.readAllBytes(prevP), UTF_8).trim
+          .split(",").toSeq.filter(_.nonEmpty)
+        val extant = named.filter(n =>
+          genNumber(n).isDefined && Files.isDirectory(dest.resolve(n)))
+        require(extant.isEmpty,
+          s"exportSnapshot: $destRoot has no live pointer but its " +
+            s"$PrevPointer names existing generation(s) " +
+            s"${extant.mkString(", ")} — this is an index root that lost " +
+            "its live pointer out-of-protocol, not crashed-export debris. " +
+            "Restore _live.txt (fsckRepair can arbitrate) or move the " +
+            "data aside before exporting here.")
+      }
+    }
+    genDirs(destRoot).foreach { case (_, p) =>
+      Fs.deleteRecursively(p.toString)
+    }
+    val stage = newStageDir(destRoot, "export")
+    snap.segs.foreach(s => Fs.linkTree(s"$genDir/seg=$s", s"$stage/seg=$s"))
+    carryGenRootFiles(genDir, stage)
+    writeConsolidatedTokens(stage, consolidatedTokensOf(genDir))
+    if (snap.tombs.nonEmpty) stageTombstonePairs(stage, snap.tombs)
+    fixup(snap, stage)
+    // the label must have stayed pinned while we staged: a concurrent
+    // unpin/repin + commit could have reaped or moved the generation we
+    // just linked from — re-verify against the manifest we resolved, so
+    // the failure names the contract instead of surfacing as a torn
+    // linkTree partway through
+    val now = readSnapshot(root, label)
+    require(now.exists(sameSnapshot(_, snap)),
+      s"exportSnapshot: pin '$label' on $root " +
+        (if (now.isEmpty) "was unpinned" else "moved to a different state") +
+        " during the export — the label must stay pinned for the " +
+        "duration; re-pin and retry")
+    commitGeneration(destRoot, stage)
+  }
+
+  /** Does `destRoot` already hold the committed export of `snap` (whose
+    * pinned generation lives at `srcGenDir`) — the identity check
+    * [[exportPair]]'s crash-heal rests on. Structure first: the export's
+    * generation carries exactly the manifest's segment set and its
+    * tombstone-pair copy. But structure alone cannot tell a fresh
+    * foreign index from an export (every fresh build is one `base`
+    * segment, zero tombstones), so the decisive test is PHYSICAL:
+    * exports move data by hard link, and the pin — which the caller
+    * must hold for the export's duration — keeps the source generation
+    * alive, so every data file under each manifest segment must share
+    * its inode with the same relative path in the pinned generation.
+    * (An object-store deployment, which copies instead of links, would
+    * substitute a checksum manifest here.) A mutated export (segments
+    * added since) deliberately fails the structural half — it is no
+    * longer the pin's state.
+    */
+  private def isExportOf(destRoot: String, snap: Snapshot,
+      srcGenDir: String): Boolean =
+    liveGenOpt(destRoot).exists { g =>
+      segmentValues(g).sorted == snap.segs.sorted &&
+        readTombstones(g).toSeq == snap.tombs.toSeq.sorted &&
+        snap.segs.forall { s =>
+          import scala.jdk.CollectionConverters._
+          val (sd, dd) = (Paths.get(srcGenDir, s"seg=$s"), Paths.get(g, s"seg=$s"))
+          def filesOf(dir: Path): Map[Path, Object] = {
+            val w = Files.walk(dir)
+            try w.iterator().asScala.filter(Files.isRegularFile(_))
+              .map(p => dir.relativize(p) -> Files.getAttribute(p, "unix:ino"))
+              .toMap
+            finally w.close()
+          }
+          try filesOf(sd) == filesOf(dd)
+          catch { case _: Exception => false }
+        }
+    }
+
+  /** [[exportSnapshot]] for BOTH roots of a [[pinPair]], atomic at the
+    * destinations: both destination monitors + leases are taken
+    * path-ordered (the pinPair idiom) BEFORE any occupancy decision, so
+    * two concurrent exportPairs to overlapping destinations serialize
+    * instead of interleaving their occupancy checks. Refusals mirror
+    * pinPair's: the label missing on either source is the torn-pair
+    * state (unpin the survivor and re-pinPair); manifests whose created
+    * stamps differ were not written by one pinPair barrier (two
+    * independent pins promise no wave consistency — re-pin with
+    * pinPair); a committed destination that is NOT this pair's own
+    * export refuses loudly. A crash BETWEEN the two exports leaves one
+    * destination committed — the retry recognizes it structurally
+    * ([[isExportOf]]), skips it, and completes the other side, so the
+    * exported pair converges to exactly the pinned wave.
+    *
+    * Same source-side contract as [[exportSnapshot]]: the label must
+    * stay pinned on both roots for the duration.
+    */
+  def exportPair(rootA: String, rootB: String, label: String,
+      destA: String, destB: String,
+      fixupA: (Snapshot, String) => Unit = (_, _) => (),
+      fixupB: (Snapshot, String) => Unit = (_, _) => ()): (String, String) = {
+    requireValidLabel(label)
+    require(destA != destB, s"exportPair: the two destinations are the same path ($destA)")
+    require(destA != rootA && destA != rootB && destB != rootA && destB != rootB,
+      "exportPair: a destination collides with a source root")
+    val (sa, sb) = (readSnapshot(rootA, label), readSnapshot(rootB, label))
+    val (snapA, snapB) = (sa, sb) match {
+      case (Some(a), Some(b)) => (a, b)
+      case (None, None) => throw new IllegalArgumentException(
+        s"no snapshot pinned as '$label' under $rootA or $rootB")
+      case _ =>
+        val (has, lacks) = if (sa.isDefined) (rootA, rootB) else (rootB, rootA)
+        throw new IllegalStateException(
+          s"exportPair '$label': $has is pinned but $lacks is not — a " +
+            "crashed earlier pinPair left a torn pair; exporting it would " +
+            "ship two sides from DIFFERENT states. unpin '$label' on " +
+            s"$has, re-pinPair, then retry.")
+    }
+    require(snapA.createdMs > 0 && snapA.createdMs == snapB.createdMs,
+      s"exportPair '$label': the two manifests carry different created " +
+        s"stamps (${snapA.createdMs} vs ${snapB.createdMs}) — they were " +
+        "not written by one pinPair barrier, so no wave consistency can " +
+        "be promised. Re-pin the pair with pinPair and retry.")
+    val (first, second) = if (destA <= destB) (destA, destB) else (destB, destA)
+    lockFor(first).synchronized { lockFor(second).synchronized {
+      withLease(first, op = s"exportPair($label)") {
+        withLease(second, op = s"exportPair($label)") {
+          reapStages(first); reapStages(second)
+          // occupancy is decided for BOTH destinations BEFORE either
+          // export stages a byte: a refusal on the second side must not
+          // leave a freshly-committed first side — that would be this
+          // verb manufacturing the very torn state it exists to heal
+          def healed(dest: String, root: String, snap: Snapshot): Boolean =
+            if (isExportOf(dest, snap, snapshotGenDir(root, snap))) true
+            else if (liveGenOpt(dest).isDefined)
+              throw new IllegalStateException(
+                s"exportPair '$label': $dest is already an index root and " +
+                  "NOT this pair's own export — refusing to export over it")
+            else false
+          val (okA, okB) = (healed(destA, rootA, snapA), healed(destB, rootB, snapB))
+          (if (okA) liveGen(destA) else exportCore(rootA, label, snapA, destA, fixupA),
+            if (okB) liveGen(destB) else exportCore(rootB, label, snapB, destB, fixupB))
+        }
+      }
+    } }
   }
 
   // ---- tombstones (deletes) --------------------------------------------------

@@ -187,6 +187,66 @@ class PinSpec extends SparkTestBase {
     assert(IndexMaint.readSnapshot(vecPath, "pair").isEmpty)
   }
 
+  test("unpinByBudget: oldest-first reaping under a byte budget; pairs expire together; zero-retention and unknown-age pins are never reaped") {
+    val base = tmpDir("pin_budget")
+    val pA = s"$base/a"
+    val ixA = Ivf.buildIndex(vecs(0 until 400), pA, kCells = 2, iters = 1)
+    IndexMaint.pinLive(pA, "g0")
+    Thread.sleep(5)
+    Ivf.appendBatchIdempotent(ixA, vecs(1000 until 1050), "bu:1")
+    Ivf.compactIndex(spark, ixA) // g0's generation is now pure retention
+    IndexMaint.pinLive(pA, "g1")
+    Thread.sleep(5)
+    Ivf.appendBatchIdempotent(Ivf.loadIndex(pA), vecs(1100 until 1150), "bu:2")
+    Ivf.compactIndex(spark, Ivf.loadIndex(pA)) // g1 retained too
+    // a hybrid pair on two more roots, pinned under ONE barrier, then
+    // both rewritten so the pair costs retention on each side
+    val pB = s"$base/b"; val pC = s"$base/c"
+    Ivf.buildIndex(vecs(0 until 300), pB, kCells = 2, iters = 1)
+    Ivf.buildIndex(vecs(0 until 300), pC, kCells = 2, iters = 1)
+    Thread.sleep(5)
+    IndexMaint.pinPair(pB, pC, "pair")
+    Ivf.appendBatchIdempotent(Ivf.loadIndex(pB), vecs(2000 until 2050), "bu:3")
+    Ivf.compactIndex(spark, Ivf.loadIndex(pB))
+    Ivf.appendBatchIdempotent(Ivf.loadIndex(pC), vecs(2000 until 2050), "bu:4")
+    Ivf.compactIndex(spark, Ivf.loadIndex(pC))
+    // a pin of the LIVE generation (zero retention) and a pre-`created`
+    // manifest (unknown age) — both must survive every budget
+    IndexMaint.pinLive(pA, "live")
+    Files.write(Paths.get(pA, "_pins", "legacy.txt"),
+      "gen=gen-000000000\n".getBytes("UTF-8"))
+    val roots = Seq(pA, pB, pC)
+    val stats = roots.flatMap(r => IndexMaint.pinStats(r))
+    def bytesOf(label: String): Long =
+      stats.filter(_.label == label).map(_.retainedBytes).sum
+    assert(bytesOf("g0") > 0 && bytesOf("g1") > 0 && bytesOf("pair") > 0)
+    assert(bytesOf("live") === 0L)
+    val total = bytesOf("g0") + bytesOf("g1") + bytesOf("pair")
+    // budget misses by exactly the oldest group: only g0 goes
+    val r1 = IndexMaint.unpinByBudget(roots, total - bytesOf("g0"))
+    assert(r1._1 === Seq((pA, "g0")), s"oldest-first: $r1")
+    assert(r1._3 === Seq((pA, "legacy")))
+    assert(IndexMaint.readSnapshot(pA, "g1").isDefined)
+    // budget 0: every byte-retaining group goes — the pair on BOTH
+    // roots together — while the zero-retention live pin survives
+    // (reaping it frees nothing and the live generation must never be
+    // made reclaimable by a budget sweep)
+    val r2 = IndexMaint.unpinByBudget(roots, 0L)
+    assert(r2._1.toSet === Set((pA, "g1"), (pB, "pair"), (pC, "pair")))
+    assert(r2._2 === Seq((pA, "live")))
+    assert(r2._3 === Seq((pA, "legacy")))
+    assert(IndexMaint.readSnapshot(pB, "pair").isEmpty &&
+      IndexMaint.readSnapshot(pC, "pair").isEmpty,
+      "a pair expires as one unit")
+    assert(IndexMaint.readSnapshot(pA, "live").isDefined)
+    assert(IndexMaint.readSnapshot(pA, "legacy").isDefined,
+      "an unprovable age must never be reaped")
+    // a satisfied budget reaps nothing
+    val r3 = IndexMaint.unpinByBudget(roots, Long.MaxValue)
+    assert(r3._1.isEmpty)
+    intercept[IllegalArgumentException](IndexMaint.unpinByBudget(roots, -1L))
+  }
+
   test("family wrappers: pinIndex refuses an existing label; pinIndexIfAbsent replays; pinHybrid pins the pair") {
     val base = tmpDir("pin_fam")
     val lexPath = s"$base/lex"
