@@ -37,9 +37,32 @@ object Codecs {
     else decodeImageStub(payload)
   }
 
+  /** Magic-byte gate ahead of [[readImage]]: the signatures of every
+    * raster format the JDK's standard ImageIO readers accept (png, jpeg,
+    * gif, bmp, tiff both byte orders, riff/webp attempts-and-fails like
+    * today, and a 0x00 lead for headerless wbmp). A payload that cannot
+    * be any of them — e.g. every text-as-binary document in a mixed
+    * corpus — must not pay an ImageIO SPI probe per row: at bench scale
+    * that probe alone tripled `multimodal_decode` (0.21 s → 0.69 s on
+    * 40k rows) while returning null every time.
+    */
+  private[multimodal] def maybeRaster(payload: Array[Byte]): Boolean = {
+    def at(i: Int, b: Int): Boolean = (payload(i) & 0xff) == b
+    payload.length >= 4 && (
+      at(0, 0x89) || // png
+      at(0, 0xff) || // jpeg
+      (at(0, 0x47) && at(1, 0x49)) || // gif
+      (at(0, 0x52) && at(1, 0x49)) || // riff
+      (at(0, 0x42) && at(1, 0x4d)) || // bmp
+      (at(0, 0x49) && at(1, 0x49)) || (at(0, 0x4d) && at(1, 0x4d)) || // tiff
+      at(0, 0x00)) // wbmp (no signature; type byte 0)
+  }
+
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
-    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: Exception => null }
+    if (!maybeRaster(payload)) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
 
   /** STUB image decode (non-image payloads): dimensions derived
     * deterministically from the payload length, replicable in SQL.

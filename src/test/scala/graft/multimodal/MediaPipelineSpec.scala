@@ -89,6 +89,33 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(Codecs.audioFeatures(const, 4).toSeq === Seq.fill(4)(0.125f))
   }
 
+  test("magic gate: text payloads never reach ImageIO (the 3x multimodal_decode drift), every JDK raster signature still does") {
+    // text-as-binary — the whole documents corpus — must short-circuit
+    // to the stub without an ImageIO SPI probe per row
+    val text = "alpha beta gamma delta".getBytes("UTF-8")
+    assert(!Codecs.maybeRaster(text))
+    assert(Codecs.decodeImage(text) === Codecs.decodeImageStub(text))
+    // every signature the JDK's standard readers accept still attempts
+    // the real decode: png, jpeg, gif, riff, bmp, tiff (both byte
+    // orders), and the 0x00 type byte of headerless wbmp
+    val sigs = Seq(
+      Array(0x89, 0x50, 0x4e, 0x47), Array(0xff, 0xd8, 0xff, 0xe0),
+      Array(0x47, 0x49, 0x46, 0x38), Array(0x52, 0x49, 0x46, 0x46),
+      Array(0x42, 0x4d, 0x00, 0x00), Array(0x49, 0x49, 0x2a, 0x00),
+      Array(0x4d, 0x4d, 0x00, 0x2a), Array(0x00, 0x00, 0x18, 0x18))
+    sigs.foreach { s =>
+      assert(Codecs.maybeRaster(s.map(_.toByte)),
+        s"signature ${s.map(b => f"$b%02x").mkString(" ")} must pass the gate")
+    }
+    // a gated-through but undecodable payload still lands on the stub
+    val junkPng = Array(0x89, 0x50, 0x4e, 0x47, 1, 2, 3).map(_.toByte)
+    assert(Codecs.decodeImage(junkPng) === Codecs.decodeImageStub(junkPng))
+    // and a REAL png still decodes real dims through the gate
+    val png = Codecs.encodePng(7, 4, 1, 2, 3)
+    val meta = Codecs.decodeImage(png)
+    assert((meta.width, meta.height) === ((7, 4)))
+  }
+
   test("REAL codec: pipeline dispatches decodable payloads to the real decoder") {
     val real = Seq((9L, Codecs.encodePng(33, 21, 1, 2, 3))).toDF("media_id", "payload")
     val row = MediaPipeline.decodeFeatures(spark, real).collect().head
