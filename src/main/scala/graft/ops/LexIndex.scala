@@ -964,13 +964,21 @@ object LexIndex extends IndexFamily {
     */
   def exportIndexSnapshot(path: String, label: String, destRoot: String): String =
     graft.util.IndexMaint.exportSnapshot(path, label, destRoot,
-      fixup = (snap, stage) => {
-        val (rn, rs) = removedOfSnapshot(snap)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(stage, RemovedFile),
-          s"$rn,$rs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        ()
-      })
+      fixup = removedStatsFixup)
+
+  /** The ONE export fixup this family needs — re-land the pin-time
+    * removed-stats adjustment into the staged generation. Shared by
+    * [[exportIndexSnapshot]] and [[exportHybridSnapshot]] so the two
+    * export paths cannot diverge in serving constants.
+    */
+  private val removedStatsFixup: (graft.util.IndexMaint.Snapshot, String) => Unit =
+    (snap, stage) => {
+      val (rn, rs) = removedOfSnapshot(snap)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stage, RemovedFile),
+        s"$rn,$rs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
 
   /** Pin the lexical AND vector halves of a hybrid serving pair under
     * ONE label atomically with respect to mutations
@@ -999,13 +1007,7 @@ object LexIndex extends IndexFamily {
   def exportHybridSnapshot(lexPath: String, vecPath: String, label: String,
       destLex: String, destVec: String): (String, String) =
     graft.util.IndexMaint.exportPair(lexPath, vecPath, label, destLex, destVec,
-      fixupA = (snap, stage) => {
-        val (rn, rs) = removedOfSnapshot(snap)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(stage, RemovedFile),
-          s"$rn,$rs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        ()
-      })
+      fixupA = removedStatsFixup)
 
   /** Corpus constants of a PINNED snapshot: the manifest's segments'
     * stats sidecars summed, minus the removed adjustment AS OF PIN TIME

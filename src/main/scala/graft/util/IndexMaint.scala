@@ -1089,18 +1089,24 @@ object IndexMaint {
   final case class PinStat(label: String, gen: String, ageMs: Long,
       retainedBytes: Long)
 
-  def pinStats(root: String): Seq[PinStat] = {
+  /** (inode, size) of every regular file under `dir` — the raw walk
+    * behind every hard-link-aware retention computation ([[pinStats]],
+    * [[unpinByBudget]]). The same inode can appear more than once (two
+    * links inside one generation); consumers dedup by inode.
+    */
+  private def inodesAndBytes(dir: Path): Seq[(Object, Long)] = {
     import scala.jdk.CollectionConverters._
-    def inodesAndBytes(dir: Path): Seq[(Object, Long)] = {
-      if (!Files.isDirectory(dir)) Nil
-      else {
-        val w = Files.walk(dir)
-        try w.iterator().asScala.filter(Files.isRegularFile(_))
-          .map(p => (Files.getAttribute(p, "unix:ino"), Files.size(p)))
-          .toList
-        finally w.close()
-      }
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val w = Files.walk(dir)
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (Files.getAttribute(p, "unix:ino"), Files.size(p)))
+        .toList
+      finally w.close()
     }
+  }
+
+  def pinStats(root: String): Seq[PinStat] = {
     // resolve the live generation ONCE: the name compared per label and
     // the inode set subtracted from retention must describe the SAME
     // live state — a commit landing between two resolves would report a
@@ -1229,18 +1235,26 @@ object IndexMaint {
     require(roots.nonEmpty, "unpinExpired: no roots given")
     val now = System.currentTimeMillis()
     val swept = withRootsLocked(roots, s"unpinExpired(${ttlMs}ms)") {
-      roots.map { root =>
+      val scanned = roots.map { root =>
         val (known, skipped) = listSnapshotLabels(root).partitionMap { label =>
           try {
             val created = readSnapshot(root, label).get.createdMs
             if (created > 0) Left(label -> (now - created)) else Right(label)
           } catch { case _: Exception => Right(label) }
         }
-        val (expired, kept) = known.partition(_._2 > ttlMs)
+        (root, known, skipped)
+      }
+      // a label unreadable on ANY root taints its whole group: expiring
+      // only the readable side of a pinPair would manufacture a torn
+      // pair no retry can heal (the unreadable side never expires)
+      val tainted = scanned.flatMap(_._3).toSet
+      scanned.map { case (root, known, skipped) =>
+        val (clean, held) = known.partition { case (l, _) => !tainted(l) }
+        val (expired, kept) = clean.partition(_._2 > ttlMs)
         expired.foreach { case (label, _) =>
           Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
         }
-        (expired.map(_._1), kept.map(_._1), skipped)
+        (expired.map(_._1), kept.map(_._1), skipped ++ held.map(_._1))
       }
     }
     (swept.flatMap(_._1), swept.flatMap(_._2), swept.flatMap(_._3))
@@ -1255,14 +1269,25 @@ object IndexMaint {
     *  - a label present on SEVERAL roots is one GROUP (the pinPair
     *    shape): it is unpinned on all of them together or not at all —
     *    the same all-roots-locked barrier as [[unpinExpired]], so no
-    *    live interleaving can tear a pair;
+    *    live interleaving can tear a pair; and a group with ANY
+    *    unreadable member is skipped WHOLE — reaping only the readable
+    *    sides of a pair would manufacture the torn state this sweep
+    *    exists to avoid;
+    *  - accounting is by inode SET, not per-pin sums: two pins can
+    *    share bytes by hard link (a tiered merge carries untouched
+    *    segments across generations), so total retention is the bytes
+    *    of the UNION of all pinned generations' non-live inodes, and a
+    *    reap is only credited the bytes no surviving pin still links —
+    *    the sweep cannot stop early believing bytes freed that are
+    *    still on disk;
     *  - zero-retention pins are never reaped: a pin of the LIVE
     *    generation retains nothing (its bytes serve anyway), so
     *    unpinning it frees no budget and only loses the label — the
     *    live generation is structurally never reclaimed here;
-    *  - unknown ages/sizes (pre-`created` manifests, unparseable
-    *    stats) are SKIPPED and reported, the [[unpinExpired]] contract:
-    *    an unprovable age must never reap a pin someone may serve from.
+    *  - unknown ages (pre-`created` manifests) and unparseable
+    *    manifests are SKIPPED and reported, the [[unpinExpired]]
+    *    contract: an unprovable age must never reap a pin someone may
+    *    serve from.
     *
     * Returns `(unpinned, kept, skipped)` as (root, label) pairs.
     * Metadata-only, like every unpin: freed generations are reclaimed
@@ -1273,31 +1298,71 @@ object IndexMaint {
     require(maxRetainedBytes >= 0,
       s"unpinByBudget: maxRetainedBytes must be >= 0, got $maxRetainedBytes")
     require(roots.nonEmpty, "unpinByBudget: no roots given")
+    final case class Entry(root: String, label: String, ageMs: Long,
+        inodes: Map[Object, Long])
     withRootsLocked(roots, s"unpinByBudget(${maxRetainedBytes}B)") {
-      val all = roots.distinct.flatMap(r => pinStats(r).map(r -> _))
-      val (known, skipped) = all.partition { case (_, s) =>
-        s.ageMs >= 0 && s.retainedBytes >= 0
-      }
-      // one group per label: retention and age are the group's totals —
-      // a pair expires as one unit, charged at its combined cost
-      val groups = known.groupBy(_._2.label).map { case (label, ms) =>
-        (label, ms, ms.map(_._2.retainedBytes).sum, ms.map(_._2.ageMs).max)
-      }.toSeq
-      var retained = groups.map(_._3).sum
-      val unpinned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      // oldest-first, reaping only groups that actually free bytes
-      for ((label, ms, bytes, _) <- groups.sortBy(-_._4)
-           if retained > maxRetainedBytes && bytes > 0) {
-        ms.foreach { case (root, _) =>
-          Files.deleteIfExists(Paths.get(root, PinsDir, s"$label.txt")); ()
+      val now = System.currentTimeMillis()
+      val (entries0, skipped0) = roots.distinct.flatMap { root =>
+        val live = liveGenOpt(root)
+        val liveName = live.map(g => Paths.get(g).getFileName.toString)
+        val liveInodes =
+          try live.map(g => inodesAndBytes(Paths.get(g)).map(_._1).toSet)
+            .getOrElse(Set.empty[Object])
+          catch { case _: Exception => Set.empty[Object] }
+        listSnapshotLabels(root).map { label =>
+          try {
+            val snap = readSnapshot(root, label).get
+            if (snap.createdMs <= 0) Right(root -> label)
+            else {
+              val m =
+                if (liveName.contains(snap.gen)) Map.empty[Object, Long]
+                else inodesAndBytes(Paths.get(root, snap.gen))
+                  .filterNot { case (ino, _) => liveInodes.contains(ino) }
+                  .toMap
+              Left(Entry(root, label, now - snap.createdMs, m))
+            }
+          } catch { case _: Exception => Right(root -> label) }
         }
-        unpinned ++= ms.map { case (root, s) => (root, s.label) }
-        retained -= bytes
+      }.partitionMap(identity)
+      val tainted = skipped0.map(_._2).toSet
+      val (known, alsoSkipped) = entries0.partition(e => !tainted(e.label))
+      val skipped = skipped0 ++ alsoSkipped.map(e => e.root -> e.label)
+      // one group per label, oldest-first; age is the group's max
+      var groups = known.groupBy(_.label).map { case (label, es) =>
+        (label, es, es.map(_.ageMs).max)
+      }.toSeq.sortBy { case (label, _, age) => (-age, label) }
+      def unionBytes(gs: Seq[(String, Seq[Entry], Long)]): Long =
+        gs.flatMap(_._2.flatMap(_.inodes))
+          .groupMapReduce(_._1)(_._2)((a, _) => a).values.sum
+      val unpinned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && unionBytes(groups) > maxRetainedBytes) {
+        // oldest group whose reap actually FREES bytes: an inode some
+        // other surviving group still links frees nothing yet (it may
+        // after that group is reaped — the recompute sees it then).
+        // When NO group frees alone — e.g. two labels pinning the SAME
+        // generation, the common case since in-place appends keep the
+        // generation name — fall back to the oldest byte-holding group:
+        // each reap strictly shrinks the holder set, so the last holder
+        // eventually frees and the recompute credits it then.
+        def holdsBytes(es: Seq[Entry]): Boolean =
+          es.flatMap(_.inodes).exists(_._2 > 0)
+        val pick = groups.zipWithIndex.find { case ((_, es, _), i) =>
+          val others = groups.patch(i, Nil, 1)
+            .flatMap(_._2.flatMap(_.inodes.keys)).toSet
+          es.flatMap(_.inodes).exists { case (ino, sz) => sz > 0 && !others(ino) }
+        }.orElse(groups.zipWithIndex.find { case ((_, es, _), _) => holdsBytes(es) })
+        pick match {
+          case Some(((label, es, _), i)) =>
+            es.foreach { e =>
+              Files.deleteIfExists(Paths.get(e.root, PinsDir, s"$label.txt")); ()
+            }
+            unpinned ++= es.map(e => e.root -> e.label)
+            groups = groups.patch(i, Nil, 1)
+          case None => done = true
+        }
       }
-      val gone = unpinned.toSet
-      (unpinned.toSeq,
-        known.map { case (r, s) => (r, s.label) }.filterNot(gone),
-        skipped.map { case (r, s) => (r, s.label) })
+      (unpinned.toSeq, groups.flatMap(_._2).map(e => e.root -> e.label), skipped)
     }
   }
 
@@ -1391,48 +1456,7 @@ object IndexMaint {
     require(liveGenOpt(destRoot).isEmpty,
       s"exportSnapshot: $destRoot is already an index root (live " +
         "generation present) — refusing to export over it")
-    val dest = Paths.get(destRoot)
-    require(Files.isDirectory(dest) && {
-      // a crashed earlier export leaves only protocol debris: the
-      // lock/lease file, stage dirs (reapStages already cleared
-      // them), pointer tmp files, or a generation dir that was moved
-      // but never pointed to — unreadable by construction (readers
-      // resolve through the live pointer, which the first require
-      // proved absent), so it reclaims below. Anything else is a
-      // foreign directory.
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(dest)
-      try s.iterator().asScala.forall { p =>
-        val n = p.getFileName.toString
-        n == ".lock" || n.startsWith(".stage-") || n.startsWith("gen-") ||
-          n == LivePointer + ".tmp" || n == PrevPointer ||
-          n == PrevPointer + ".tmp"
-      } finally s.close()
-    }, s"exportSnapshot: $destRoot exists and is not an empty directory")
-    // A crashed export never writes a CONSISTENT _prev.txt next to an
-    // absent live pointer (commitGeneration writes _live first, and a
-    // first export has no predecessor to record) — so a _prev record
-    // naming a generation that EXISTS on disk means this is a real
-    // index root that lost only its live pointer (partial copy, manual
-    // cleanup, foreign tooling). Reclaiming its generations here would
-    // destroy recoverable data under the guise of debris cleanup;
-    // refuse and name the remedy instead.
-    locally {
-      val prevP = dest.resolve(PrevPointer)
-      if (Files.exists(prevP)) {
-        val named = new String(Files.readAllBytes(prevP), UTF_8).trim
-          .split(",").toSeq.filter(_.nonEmpty)
-        val extant = named.filter(n =>
-          genNumber(n).isDefined && Files.isDirectory(dest.resolve(n)))
-        require(extant.isEmpty,
-          s"exportSnapshot: $destRoot has no live pointer but its " +
-            s"$PrevPointer names existing generation(s) " +
-            s"${extant.mkString(", ")} — this is an index root that lost " +
-            "its live pointer out-of-protocol, not crashed-export debris. " +
-            "Restore _live.txt (fsckRepair can arbitrate) or move the " +
-            "data aside before exporting here.")
-      }
-    }
+    validateExportDebris(destRoot)
     genDirs(destRoot).foreach { case (_, p) =>
       Fs.deleteRecursively(p.toString)
     }
@@ -1454,6 +1478,53 @@ object IndexMaint {
         " during the export — the label must stay pinned for the " +
         "duration; re-pin and retry")
     commitGeneration(destRoot, stage)
+  }
+
+  /** A destination with no live pointer is exportable only if what it
+    * holds is crashed-export debris: the lock/lease file, stage dirs
+    * (reapStages already cleared them), pointer tmp files, or a
+    * generation dir that was moved but never pointed to — unreadable by
+    * construction (readers resolve through the live pointer, which the
+    * caller proved absent), so exportCore reclaims it. Anything else is
+    * a foreign directory, refused. And a crashed export never writes a
+    * CONSISTENT _prev.txt next to an absent live pointer
+    * (commitGeneration writes _live first, and a first export has no
+    * predecessor to record) — so a _prev record naming a generation
+    * that EXISTS on disk means this is a real index root that lost only
+    * its live pointer (partial copy, manual cleanup, foreign tooling).
+    * Reclaiming its generations would destroy recoverable data under
+    * the guise of debris cleanup; refuse and name the remedy instead.
+    *
+    * Shared by the single export and BOTH sides of [[exportPair]]'s
+    * pre-flight, so a refusable second destination is discovered BEFORE
+    * the first side commits.
+    */
+  private def validateExportDebris(destRoot: String): Unit = {
+    val dest = Paths.get(destRoot)
+    require(Files.isDirectory(dest) && {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dest)
+      try s.iterator().asScala.forall { p =>
+        val n = p.getFileName.toString
+        n == ".lock" || n.startsWith(".stage-") || n.startsWith("gen-") ||
+          n == LivePointer + ".tmp" || n == PrevPointer ||
+          n == PrevPointer + ".tmp"
+      } finally s.close()
+    }, s"exportSnapshot: $destRoot exists and is not an empty directory")
+    val prevP = dest.resolve(PrevPointer)
+    if (Files.exists(prevP)) {
+      val named = new String(Files.readAllBytes(prevP), UTF_8).trim
+        .split(",").toSeq.filter(_.nonEmpty)
+      val extant = named.filter(n =>
+        genNumber(n).isDefined && Files.isDirectory(dest.resolve(n)))
+      require(extant.isEmpty,
+        s"exportSnapshot: $destRoot has no live pointer but its " +
+          s"$PrevPointer names existing generation(s) " +
+          s"${extant.mkString(", ")} — this is an index root that lost " +
+          "its live pointer out-of-protocol, not crashed-export debris. " +
+          "Restore _live.txt (fsckRepair can arbitrate) or move the " +
+          "data aside before exporting here.")
+    }
   }
 
   /** Does `destRoot` already hold the committed export of `snap` (whose
@@ -1536,28 +1607,25 @@ object IndexMaint {
         s"stamps (${snapA.createdMs} vs ${snapB.createdMs}) — they were " +
         "not written by one pinPair barrier, so no wave consistency can " +
         "be promised. Re-pin the pair with pinPair and retry.")
-    val (first, second) = if (destA <= destB) (destA, destB) else (destB, destA)
-    lockFor(first).synchronized { lockFor(second).synchronized {
-      withLease(first, op = s"exportPair($label)") {
-        withLease(second, op = s"exportPair($label)") {
-          reapStages(first); reapStages(second)
-          // occupancy is decided for BOTH destinations BEFORE either
-          // export stages a byte: a refusal on the second side must not
-          // leave a freshly-committed first side — that would be this
-          // verb manufacturing the very torn state it exists to heal
-          def healed(dest: String, root: String, snap: Snapshot): Boolean =
-            if (isExportOf(dest, snap, snapshotGenDir(root, snap))) true
-            else if (liveGenOpt(dest).isDefined)
-              throw new IllegalStateException(
-                s"exportPair '$label': $dest is already an index root and " +
-                  "NOT this pair's own export — refusing to export over it")
-            else false
-          val (okA, okB) = (healed(destA, rootA, snapA), healed(destB, rootB, snapB))
-          (if (okA) liveGen(destA) else exportCore(rootA, label, snapA, destA, fixupA),
-            if (okB) liveGen(destB) else exportCore(rootB, label, snapB, destB, fixupB))
-        }
-      }
-    } }
+    withRootsLocked(Seq(destA, destB), s"exportPair($label)") {
+      reapStages(destA); reapStages(destB)
+      // occupancy is decided IN FULL for BOTH destinations before
+      // either export stages a byte — committed-root, foreign-file and
+      // lost-live-pointer refusals included: a refusal on the second
+      // side must not leave a freshly-committed first side — that
+      // would be this verb manufacturing the very torn state it exists
+      // to heal
+      def healed(dest: String, root: String, snap: Snapshot): Boolean =
+        if (isExportOf(dest, snap, snapshotGenDir(root, snap))) true
+        else if (liveGenOpt(dest).isDefined)
+          throw new IllegalStateException(
+            s"exportPair '$label': $dest is already an index root and " +
+              "NOT this pair's own export — refusing to export over it")
+        else { validateExportDebris(dest); false }
+      val (okA, okB) = (healed(destA, rootA, snapA), healed(destB, rootB, snapB))
+      (if (okA) liveGen(destA) else exportCore(rootA, label, snapA, destA, fixupA),
+        if (okB) liveGen(destB) else exportCore(rootB, label, snapB, destB, fixupB))
+    }
   }
 
   // ---- tombstones (deletes) --------------------------------------------------

@@ -195,6 +195,21 @@ class ExportSpec extends SparkTestBase {
     assert(IndexMaint.liveGenOpt(s"$base/x1").isEmpty,
       "a refusal on one side must not have committed the other (occupancy " +
         "is decided for both destinations before either export stages)")
+    // a foreign NON-root directory (no live pointer, but files no
+    // crashed export leaves) must refuse in the same pre-flight: the
+    // first side must not commit before the second side's debris
+    // validation runs
+    val junk = s"$base/junk"
+    Files.createDirectories(Paths.get(junk))
+    Files.write(Paths.get(junk, "data.txt"), "someone's files".getBytes("UTF-8"))
+    val eJunk = intercept[IllegalArgumentException](
+      LexIndex.exportHybridSnapshot(lexPath, vecPath, "rel", s"$base/x1b", junk))
+    assert(eJunk.getMessage.contains("not an empty directory"))
+    assert(IndexMaint.liveGenOpt(s"$base/x1b").isEmpty,
+      "the lexical side must not have committed when the vector side's " +
+        "destination fails debris validation")
+    assert(Files.exists(Paths.get(junk, "data.txt")),
+      "the foreign directory's contents are untouched by the refusal")
     // two independent pins carry different created stamps — no pinPair
     // barrier, no wave-consistency promise
     LexIndex.pinIndex(spark, lexPath, "solo")

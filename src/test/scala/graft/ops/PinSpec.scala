@@ -247,6 +247,67 @@ class PinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](IndexMaint.unpinByBudget(roots, -1L))
   }
 
+  test("unpinByBudget: bytes shared between pins count once, and a budget the true union already satisfies reaps nothing") {
+    val base = tmpDir("pin_budget_links")
+    val p = s"$base/a"
+    val ix = Ivf.buildIndex(vecs(0 until 400), p, kCells = 2, iters = 1)
+    // two labels pinning the SAME generation — the common sharing case,
+    // since in-place appends keep the generation name: every retained
+    // inode is held by BOTH pins
+    IndexMaint.pinLive(p, "g0")
+    Thread.sleep(5)
+    Ivf.appendBatchIdempotent(ix, vecs(1000 until 1050), "bl:1")
+    IndexMaint.pinLive(p, "g1")
+    Thread.sleep(5)
+    Ivf.appendBatchIdempotent(Ivf.loadIndex(p), vecs(1100 until 1150), "bl:2")
+    Ivf.compactIndex(spark, Ivf.loadIndex(p)) // live gen: all-new inodes
+    val stats = IndexMaint.pinStats(p)
+    val g0b = stats.find(_.label == "g0").get.retainedBytes
+    val g1b = stats.find(_.label == "g1").get.retainedBytes
+    assert(g0b > 0 && g0b === g1b,
+      "fixture: both pins must retain the identical generation")
+    // true retention is the UNION = one generation's bytes, not the
+    // per-pin sum (2x). A budget of exactly the union is SATISFIED:
+    // the sum-based accounting saw 2x > budget and reaped the oldest
+    // label for zero freed bytes
+    val r = IndexMaint.unpinByBudget(Seq(p), g0b)
+    assert(r._1.isEmpty, s"a satisfied budget must reap nothing: $r")
+    assert(IndexMaint.readSnapshot(p, "g0").isDefined &&
+      IndexMaint.readSnapshot(p, "g1").isDefined)
+    // under the union, neither pin frees ALONE (the other still links
+    // every inode) — the sweep must still make progress and reap both,
+    // crediting the bytes when the last holder goes
+    val r2 = IndexMaint.unpinByBudget(Seq(p), g0b - 1)
+    assert(r2._1.toSet === Set((p, "g0"), (p, "g1")),
+      s"both holders must go when the budget demands the bytes: $r2")
+  }
+
+  test("a pair with an unreadable side is skipped WHOLE by both sweeps — never torn") {
+    val base = tmpDir("pin_taint")
+    val pB = s"$base/b"; val pC = s"$base/c"
+    Ivf.buildIndex(vecs(0 until 300), pB, kCells = 2, iters = 1)
+    Ivf.buildIndex(vecs(0 until 300), pC, kCells = 2, iters = 1)
+    IndexMaint.pinPair(pB, pC, "pair")
+    // both sides rewritten so the pair costs retention and would
+    // otherwise be reaped by either sweep
+    Ivf.appendBatchIdempotent(Ivf.loadIndex(pB), vecs(2000 until 2050), "pt:1")
+    Ivf.compactIndex(spark, Ivf.loadIndex(pB))
+    Ivf.appendBatchIdempotent(Ivf.loadIndex(pC), vecs(2000 until 2050), "pt:2")
+    Ivf.compactIndex(spark, Ivf.loadIndex(pC))
+    // corrupt ONE side's manifest out-of-protocol
+    Files.write(Paths.get(pC, "_pins", "pair.txt"), "garbage".getBytes("UTF-8"))
+    val roots = Seq(pB, pC)
+    val rb = IndexMaint.unpinByBudget(roots, 0L)
+    assert(rb._1.isEmpty, s"no half-reap: $rb")
+    assert(rb._3.toSet === Set((pB, "pair"), (pC, "pair")),
+      "the readable side is skipped because its twin is unreadable")
+    val re = IndexMaint.unpinExpired(roots, 0L)
+    assert(re._1.isEmpty, s"no half-expiry: $re")
+    assert(re._3.toSet === Set("pair"))
+    assert(IndexMaint.readSnapshot(pB, "pair").isDefined,
+      "the readable side must survive both sweeps")
+  }
+
   test("family wrappers: pinIndex refuses an existing label; pinIndexIfAbsent replays; pinHybrid pins the pair") {
     val base = tmpDir("pin_fam")
     val lexPath = s"$base/lex"
