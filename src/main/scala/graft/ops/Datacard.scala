@@ -102,7 +102,12 @@ object Datacard {
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
       Sketches.qsTz(col("doc_id")).as("tz"))
-      .localCheckpoint(eager = false)
+      // EAGER: the base materializes in its own small execution, so the
+      // consolidated state write's AQE stages only ever read cached
+      // checkpoint blocks — lazy materialization inside that multi-branch
+      // write raced its stage-metric accumulator cleanup (repeated
+      // benign-but-noisy "non-existent accumulator" DAGScheduler errors)
+      .localCheckpoint()
     val counts = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens_total"),
@@ -152,20 +157,29 @@ object Datacard {
     else new String(java.nio.file.Files.readAllBytes(p)).trim.toInt
   }
 
+  /** The four state relations, tagged and written as ONE parquet
+    * relation (`rel` discriminator, absent columns null) — one Spark
+    * job and one commit per version instead of the four sequential
+    * writes this used to pay (a parallel-Futures version of those
+    * four writes deadlocked on shared uncomputed lineage — the single
+    * unioned write sidesteps that entirely: one action, one lineage).
+    * File count is left to AQE's partition coalescing — every state
+    * component is BOUNDED by design (≤ cap KLL rows and ≤ 256 HLL
+    * registers per source), so the write lands a handful of tiny files
+    * at any corpus scale. (An explicit `coalesce(1)` was tried and
+    * dropped: stacking it on the AQE-planned union made late
+    * stage-completion events race SQL-metric accumulator cleanup —
+    * repeated benign-but-noisy "non-existent accumulator" DAGScheduler
+    * errors on the streaming fold path.)
+    */
   private def writeState(stateDir: String, v: Int, counts: DataFrame,
       hll: DataFrame, meta: DataFrame, rows: DataFrame): Unit = {
     val d = s"$stateDir/v$v"
-    // Deliberately SEQUENTIAL: a parallel-Futures version of these four
-    // writes deadlocked intermittently (one write's AQE stage-event
-    // loop parked forever while sibling writes held the LazyTry locks
-    // of shared uncomputed lineage — observed live in a Verify run).
-    // Concurrent actions over DataFrames that share unmaterialized
-    // plan fragments are not a supported fast path; the ~1 s saved is
-    // not worth a wedged driver.
-    counts.write.mode("overwrite").parquet(s"$d/counts")
-    hll.write.mode("overwrite").parquet(s"$d/hll")
-    meta.write.mode("overwrite").parquet(s"$d/kllmeta")
-    rows.write.mode("overwrite").parquet(s"$d/kllrows")
+    counts.withColumn("rel", lit("counts"))
+      .unionByName(hll.withColumn("rel", lit("hll")), allowMissingColumns = true)
+      .unionByName(meta.withColumn("rel", lit("kllmeta")), allowMissingColumns = true)
+      .unionByName(rows.withColumn("rel", lit("kllrows")), allowMissingColumns = true)
+      .write.mode("overwrite").parquet(s"$d/state")
     // version pointer flip = the atomic commit (a manifest swap on an
     // object store). Reaping keeps ONE previous generation (v-1): a
     // lazy DataFrame handed out by datacardRender/readState against the
@@ -212,9 +226,14 @@ object Datacard {
 
   private def readState(spark: SparkSession, stateDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val d = s"$stateDir/v${stateVersion(stateDir)}"
-    (spark.read.parquet(s"$d/counts"), spark.read.parquet(s"$d/hll"),
-      spark.read.parquet(s"$d/kllmeta"), spark.read.parquet(s"$d/kllrows"))
+    val st = spark.read
+      .parquet(s"$stateDir/v${stateVersion(stateDir)}/state")
+    def rel(tag: String, cols: String*) =
+      st.filter(col("rel") === tag).select(cols.map(col): _*)
+    (rel("counts", "source", "n_docs", "n_tokens_total", "n_en", "n_len_pass"),
+      rel("hll", "source", "j", "m_j"),
+      rel("kllmeta", "source", "metric", "n", "level"),
+      rel("kllrows", "source", "metric", "tz", "value"))
   }
 
   /** Build fresh state from a corpus scan (the landing cost, paid once). */

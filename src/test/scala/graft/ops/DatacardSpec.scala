@@ -60,10 +60,11 @@ class DatacardSpec extends SparkTestBase {
     Datacard.datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), stateDir)
     // state is bounded: <= cap kll rows per (source, metric); 256
     // registers per source
-    val v0 = spark.read.parquet(s"$stateDir/v0/kllrows")
+    val st0 = spark.read.parquet(s"$stateDir/v0/state")
+    val v0 = st0.filter(col("rel") === "kllrows")
       .groupBy("source", "metric").count().collect()
     v0.foreach(r => assert(r.getLong(2) <= 1024, s"kll state over cap: $r"))
-    val regs = spark.read.parquet(s"$stateDir/v0/hll")
+    val regs = st0.filter(col("rel") === "hll")
       .groupBy("source").count().collect()
     regs.foreach(r => assert(r.getLong(1) <= 256))
     // the update plan's file inputs: ONLY the delta file and state dir
@@ -95,10 +96,11 @@ class DatacardSpec extends SparkTestBase {
       s"churn must prune stale generations, got ${vdirs.mkString(",")}")
     // state stays bounded after 12 folds: the KLL sample is still under
     // its cap and the HLL register set is still <= 256 per source
-    spark.read.parquet(s"$stateDir/v${folds - 1}/kllrows")
+    val stChurn = spark.read.parquet(s"$stateDir/v${folds - 1}/state")
+    stChurn.filter(col("rel") === "kllrows")
       .groupBy("source", "metric").count().collect()
       .foreach(r => assert(r.getLong(2) <= 1024, s"kll state over cap after churn: $r"))
-    spark.read.parquet(s"$stateDir/v${folds - 1}/hll")
+    stChurn.filter(col("rel") === "hll")
       .groupBy("source").count().collect()
       .foreach(r => assert(r.getLong(1) <= 256))
     // a lazy render taken against the current version survives ONE
