@@ -124,7 +124,9 @@ object Graph {
     */
   def linkGraph(spark: SparkSession, dir: String): DataFrame = {
     val docs = Catalog(spark, dir).ref("documents").select(col("doc_id"))
-    val n = docs.count()
+    // row count of an immutable base table — the memoized metastore
+    // statistic (one job per session, not one per pagerank row per pass)
+    val n = Catalog.cachedRowCount(spark, dir, "documents")
     def e(dst: Column) = docs.select(col("doc_id").as("src"), (dst % n).as("dst"))
     e(col("doc_id") * col("doc_id") + 1)
       .union(e(col("doc_id") * 2 + 1))

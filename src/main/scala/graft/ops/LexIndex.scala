@@ -592,10 +592,21 @@ object LexIndex extends IndexFamily {
     * reimplementation of xxhash64 could drift); ≤ |terms| longs.
     */
   def bucketsOf(spark: SparkSession, terms: Seq[String]): Seq[Long] = {
-    import spark.implicits._
-    terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(NBuckets.toLong)))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // evaluated DRIVER-SIDE through the very Catalyst expression the
+    // writer's plan uses (XxHash64 seed 42 + pmod) — same algorithm,
+    // same code path, zero drift risk, and no longer one Spark job per
+    // serve just to hash ≤|terms| strings (it was the first job of
+    // every bm25 page). BucketParitySpec pins equality against the
+    // plan-evaluated form.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val n = NBuckets.toLong
+    terms.map { t =>
+      val h = XxHash64(Seq(Literal.create(t,
+        org.apache.spark.sql.types.StringType)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      ((h % n) + n) % n
+    }.distinct
   }
 
   def bm25TopK(spark: SparkSession, path: String,

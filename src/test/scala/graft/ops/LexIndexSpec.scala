@@ -820,4 +820,21 @@ class LexIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("duplicate (query_id, term)"), e.getMessage)
   }
+
+  test("bucketsOf: driver-side Catalyst eval equals the plan-evaluated hash") {
+    // the serve path hashes terms on the driver through the same
+    // XxHash64 expression the index writer plans — pin the equality on
+    // ASCII, empty, accented, CJK, whitespace and long strings so the
+    // driver-side eval can never drift from the executor's
+    val terms = Seq("delta", "alpha", "", "na\u00efve", "\u6771\u4eac", "a b",
+      "tok123", "x" * 500)
+    val viaPlan = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(LexIndex.NBuckets.toLong)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaDriver = terms.map(t => LexIndex.bucketsOf(spark, Seq(t)).head)
+    assert(viaDriver === viaPlan)
+    // and the distinct fold matches the old DataFrame distinct semantics
+    assert(LexIndex.bucketsOf(spark, terms ++ terms).sorted ===
+      viaPlan.distinct.sorted)
+  }
 }
