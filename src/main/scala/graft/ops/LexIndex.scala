@@ -2080,15 +2080,21 @@ object LexIndex extends IndexFamily {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("rnk"))))
       .filter(col("erank") <= 3)
+    // ONE per-query aggregation: collect the ≤3 (erank, embedding)
+    // pairs and fold each coordinate rank-ordered on the collected
+    // array — the same additions in the same erank order, then the same
+    // divide, as the previous posexplode → (query, pos)-groupBy →
+    // query-groupBy chain, with one exchange instead of two (the
+    // exploded dim-wise shuffle is gone; per-query rows are bounded by
+    // the PRF depth, so the collected array is O(3·dim))
     val centroid = lexEmb
-      .select(col("query_id"), col("erank"), posexplode(col("embedding")))
-      .groupBy(col("query_id"), col("pos"))
-      .agg((aggregate(
-        array_sort(collect_list(struct(col("erank"), col("col").cast("double").as("v")))),
-        lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1))).as("mval"))
       .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mval")))).as("pv"))
-      .select(col("query_id"), expr("transform(pv, x -> x.mval)").as("qvec"))
+      .agg(array_sort(collect_list(struct(col("erank"), col("embedding")))).as("es"))
+      .select(col("query_id"), expr(
+        """transform(sequence(0, size(es[1].embedding) - 1), p ->
+          |  aggregate(es, 0.0D,
+          |    (acc, e) -> acc + cast(element_at(e.embedding, p + 1) as double))
+          |  / size(es))""".stripMargin).as("qvec"))
     // semantic ranking THROUGH THE PERSISTED IVF INDEX — the probed-cell
     // screen, not a corpus scan: rank order equals the closed form's
     // dot/|candidate| (cosine divides it by the per-query |centroid|
