@@ -34,9 +34,21 @@ object Bench {
       // a driver GC — session RSS stays flat across the 185x2 passes
       graft.util.Blocks.releaseAll(spark)
     }
+    // Failed queries are still caught (one broken query must not kill
+    // the whole JSON line), but they are now COUNTED and named on
+    // stderr instead of silently recording elapsed-until-crash as a
+    // legitimate time — a query that starts failing mid-round would
+    // otherwise read as a speedup (measurement bug found in the r20
+    // optimization round: a crash at sf0.1 hid behind this catch while
+    // the small-SF correctness checks stayed green).
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1L
+      }
       val t = (System.nanoTime() - t0) / 1e9
       graft.util.Blocks.releaseAll(spark) // outside the timed region
       name -> t
@@ -64,7 +76,8 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${fmt(omittedSec)}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om,"sf":"$sfDir","passes":2,"agg":"min","load":${fmt(load)},"gc_sec":[${fmt(gc1 - gc0)},${fmt(gc2 - gc1)}],"rss_mb":[$rss1,$rss2]}"""
+      val qe = if (failed.nonEmpty) s""","q_errors":${failed.size}""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om$qe,"sf":"$sfDir","passes":2,"agg":"min","load":${fmt(load)},"gc_sec":[${fmt(gc1 - gc0)},${fmt(gc2 - gc1)}],"rss_mb":[$rss1,$rss2]}"""
     }
     // The driver captures only the last ~2000 bytes of output and parses
     // this JSON line out of that tail; sbt appends a ~75-char "[success]"

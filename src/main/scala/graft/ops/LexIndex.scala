@@ -2091,7 +2091,10 @@ object LexIndex extends IndexFamily {
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct(col("erank"), col("embedding")))).as("es"))
       .select(col("query_id"), expr(
-        """transform(sequence(0, size(es[1].embedding) - 1), p ->
+        // es[0]: SQL array indexing is ZERO-based (GetArrayItem) — and
+        // under ANSI an out-of-range index THROWS, so a single-hit
+        // query (es has 1 element) must read the first, not "second"
+        """transform(sequence(0, size(es[0].embedding) - 1), p ->
           |  aggregate(es, 0.0D,
           |    (acc, e) -> acc + cast(element_at(e.embedding, p + 1) as double))
           |  / size(es))""".stripMargin).as("qvec"))
