@@ -76,7 +76,14 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${fmt(omittedSec)}""" else ""
-      val qe = if (failed.nonEmpty) s""","q_errors":${failed.size}""" else ""
+      // q_failed names the failing queries (additive, like q_errors and
+      // absent on green runs) so downstream speedup math can EXCLUDE
+      // them — a failed query's recorded time is elapsed-until-crash,
+      // which would otherwise read as a speedup.
+      val qe = if (failed.nonEmpty)
+        s""","q_errors":${failed.size},"q_failed":[${
+          failed.map("\"" + _ + "\"").mkString(",")}]"""
+      else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson$om$qe,"sf":"$sfDir","passes":2,"agg":"min","load":${fmt(load)},"gc_sec":[${fmt(gc1 - gc0)},${fmt(gc2 - gc1)}],"rss_mb":[$rss1,$rss2]}"""
     }
     // The driver captures only the last ~2000 bytes of output and parses

@@ -91,23 +91,40 @@ object Datacard {
   /** KLL cap per (source, metric): state is ≤ cap rows per group. */
   private val Cap = Sketches.QsCap
 
-  /** One corpus/delta scan into the four mergeable state relations:
-    * counts (per-source sums), hll (fingerprint registers), kll meta
-    * (row totals) and kll rows (tz-qualified value sample — unfiltered
-    * here; [[levelFilter]] trims to the canonical level).
+  /** One corpus/delta scan shape into the four mergeable state
+    * relations: counts (per-source sums), hll (fingerprint registers),
+    * kll meta (row totals) and kll rows (tz-qualified value sample —
+    * unfiltered here; [[levelFilter]] trims to the canonical level).
+    * Also returns the eagerly pinned per-(source, metric, tz) counts
+    * that meta and the level computation both derive from.
+    *
+    * Memory discipline (the round-21 fix): round 20 pinned the WHOLE
+    * projected corpus here (`base.localCheckpoint()`) so the
+    * consolidated state write would not recompute it per branch — and
+    * the driver's round-20 bench showed that corpus-sized block churn
+    * at local[32] is catastrophically worse than the redundant scans it
+    * saves (text_datacard_diff 5.8 s → 66.6 s min-of-2 with inverse
+    * core-scaling 0.09, session RSS 4.7 → 18 GB, GC 1 s → 17 s/pass).
+    * Guide §5: caching is only worth it when recomputing costs more
+    * than the memory pressure it creates — and at 100 TB a corpus-sized
+    * local materialization per state version is exactly the wrong
+    * trade. What IS pinned now is the one intermediate that several
+    * consumers share and that is BOUNDED by construction: `tzCounts`
+    * (≤ |sources| × 2 metrics × 64 tz levels rows). The corpus is
+    * re-scanned by the counts/hll/sample branches — columnar, pruned to
+    * five columns, embarrassingly parallel — and with no lazy
+    * checkpoint left inside the multi-branch write's plan there is
+    * nothing for the known stage-metric accumulator-cleanup race to
+    * race (the r20 bisect: the noise fired only when a localCheckpoint
+    * materialized INSIDE that write).
     */
-  private def statify(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  private def statify(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = docs.select(col("source"), col("lang"),
       md5(col("text")).as("fp"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
       Sketches.qsTz(col("doc_id")).as("tz"))
-      // EAGER: the base materializes in its own small execution, so the
-      // consolidated state write's AQE stages only ever read cached
-      // checkpoint blocks — lazy materialization inside that multi-branch
-      // write raced its stage-metric accumulator cleanup (repeated
-      // benign-but-noisy "non-existent accumulator" DAGScheduler errors)
-      .localCheckpoint()
     val counts = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens_total"),
@@ -118,8 +135,13 @@ object Datacard {
         col("tz"), col("n_chars").cast("double").as("value"))
       .unionByName(base.select(col("source"), lit("tokens").as("metric"),
         col("tz"), col("n_tokens").cast("double").as("value")))
-    val meta = rows.groupBy("source", "metric").agg(count(lit(1)).as("n"))
-    (counts, hll, meta, rows)
+    val tzCounts = rows.groupBy("source", "metric", "tz")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded: ≤ |sources| × 2 × 64 rows
+    // meta (row totals) = the tz histogram summed out — same longs as
+    // counting `rows` directly, zero additional corpus scans
+    val meta = tzCounts.groupBy("source", "metric").agg(sum(col("c")).as("n"))
+    (counts, hll, meta, rows, tzCounts)
   }
 
   /** Canonical KLL level + sample per (source, metric): level = min
@@ -130,10 +152,9 @@ object Datacard {
     * already gone); distinct-tz counts keep every candidate l present,
     * so the computation never misses an all-zero tail level.
     */
-  private def levelFilter(rows: DataFrame,
+  private def levelFilter(rows: DataFrame, tzCounts: DataFrame,
       floors: Option[DataFrame]): (DataFrame, DataFrame) = {
     val spark = rows.sparkSession
-    val tzCounts = rows.groupBy("source", "metric", "tz").agg(count(lit(1)).as("c"))
     val lrange = spark.range(0, 64).select(col("id").cast("int").as("l"))
     val qc = tzCounts.crossJoin(broadcast(lrange))
       .groupBy("source", "metric", "l")
@@ -175,10 +196,27 @@ object Datacard {
   private def writeState(stateDir: String, v: Int, counts: DataFrame,
       hll: DataFrame, meta: DataFrame, rows: DataFrame): Unit = {
     val d = s"$stateDir/v$v"
-    counts.withColumn("rel", lit("counts"))
-      .unionByName(hll.withColumn("rel", lit("hll")), allowMissingColumns = true)
-      .unionByName(meta.withColumn("rel", lit("kllmeta")), allowMissingColumns = true)
-      .unionByName(rows.withColumn("rel", lit("kllrows")), allowMissingColumns = true)
+    // Pin the four relations EAGERLY before the tagged union write, so
+    // the write action's plan is a single-stage union of LogicalRDDs
+    // with zero unmaterialized work inside. Running the branches lazily
+    // inside the multi-branch write is the one shape that races
+    // DAGScheduler's accumulator cleanup into bursts of benign-but-loud
+    // "non-existent accumulator" ERRORs (r20's bisect, re-confirmed
+    // this round when the pins were briefly dropped: 20 ERRORs at the
+    // text_datacard_diff write) — and an async ERROR line can displace
+    // the bench's stdout JSON tail. Unlike r20's fix (pinning the
+    // CORPUS-sized projection, which the driver's bench showed
+    // thrashing a large heap: RSS 4.7 → 18 GB, text_datacard_diff
+    // 5.8 → 66.6 s), every pin here is BOUNDED state — counts/meta per
+    // source, ≤ 256 HLL registers per source, ≤ cap KLL sample rows
+    // per (source, metric) — KBs at any corpus scale.
+    counts.localCheckpoint().withColumn("rel", lit("counts"))
+      .unionByName(hll.localCheckpoint().withColumn("rel", lit("hll")),
+        allowMissingColumns = true)
+      .unionByName(meta.localCheckpoint().withColumn("rel", lit("kllmeta")),
+        allowMissingColumns = true)
+      .unionByName(rows.localCheckpoint().withColumn("rel", lit("kllrows")),
+        allowMissingColumns = true)
       .write.mode("overwrite").parquet(s"$d/state")
     // version pointer flip = the atomic commit (a manifest swap on an
     // object store). Reaping keeps ONE previous generation (v-1): a
@@ -239,8 +277,8 @@ object Datacard {
   /** Build fresh state from a corpus scan (the landing cost, paid once). */
   def datacardInit(spark: SparkSession, docs: DataFrame, stateDir: String): Unit =
     withStateLock(stateDir) {
-      val (counts, hll, meta, rows) = statify(docs)
-      val (rowsF, levels) = levelFilter(rows, None)
+      val (counts, hll, meta, rows, tzCounts) = statify(docs)
+      val (rowsF, levels) = levelFilter(rows, tzCounts, None)
       writeState(stateDir, stateVersion(stateDir) + 1, counts, hll,
         meta.join(levels, Seq("source", "metric")), rowsF)
     }
@@ -276,8 +314,8 @@ object Datacard {
     * for HLL, filter-to-merged-level union for the KLL sample.
     */
   def datacardUpdate(spark: SparkSession, delta: DataFrame, stateDir: String): Unit = withStateLock(stateDir) {
-    val (dc, dh, dm, drows) = statify(delta)
-    val (drowsF, dlevels) = levelFilter(drows, None)
+    val (dc, dh, dm, drows, dtzCounts) = statify(delta)
+    val (drowsF, dlevels) = levelFilter(drows, dtzCounts, None)
     val (oc, oh, om, orows) = readState(spark, stateDir)
     val counts = oc.unionByName(dc).groupBy("source").agg(
       sum(col("n_docs")).as("n_docs"),
@@ -288,7 +326,12 @@ object Datacard {
     val floors = om.select(col("source"), col("metric"), col("level"))
       .unionByName(dlevels)
       .groupBy("source", "metric").agg(max(col("level")).as("floor"))
-    val (rowsF, levels) = levelFilter(orows.unionByName(drowsF), Some(floors))
+    // the merge-side sample is state ∪ delta-sample — BOUNDED inputs
+    // (≤ cap rows per group each side), so its tz histogram needs no pin
+    val merged = orows.unionByName(drowsF)
+    val mergedTz = merged.groupBy("source", "metric", "tz")
+      .agg(count(lit(1)).as("c"))
+    val (rowsF, levels) = levelFilter(merged, mergedTz, Some(floors))
     val meta = om.select(col("source"), col("metric"), col("n"))
       .unionByName(dm)
       .groupBy("source", "metric").agg(sum(col("n")).as("n"))

@@ -1918,13 +1918,15 @@ object LexIndex extends IndexFamily {
       docs.filter(col("doc_id") % 5 === 2)
         .join(donor, col("did") === col("doc_id") + 1)
         .select(col("doc_id"), col("dtext").as("text"), lit("upsert").as("op")))
-    // one-shot drain (sweepOnce): every micro-batch's mutation is
-    // token-guarded, so a bench replay's drain applies NOTHING — it
-    // only re-paid the batch staging writes and the AvailableNow
-    // scaffolding (checkpoint commits, offset log). Skip straight to
-    // the steady-state serve once the session has drained this stream;
-    // a fresh JVM (Verify, the oracle) always runs the full drain.
-    graft.util.IndexMaint.sweepOnce(path, s"$dir/documents.parquet",
+    // one-shot drain with a DURABLE watermark (drainOnce): every
+    // micro-batch's mutation is token-guarded, so a replayed drain
+    // applies NOTHING — it only re-paid the batch staging writes and
+    // the AvailableNow scaffolding (checkpoint commits, offset log).
+    // The skip decision is proven by the root's applied-drains sidecar
+    // (committed atomically after the drain completes), never by the
+    // in-JVM memo alone: a fresh JVM over the same index root honors
+    // it, a crash mid-drain leaves no record and re-runs.
+    graft.util.IndexMaint.drainOnce(path, Seq(s"$dir/documents.parquet"),
       "drain|docsq") {
       val tmp = java.nio.file.Files.createTempDirectory("stream_bm25_cdc").toString
       try graft.streaming.DocIngest.ingestStreamDocs(spark,
@@ -2093,11 +2095,18 @@ object LexIndex extends IndexFamily {
       .select(col("query_id"), expr(
         // es[0]: SQL array indexing is ZERO-based (GetArrayItem) — and
         // under ANSI an out-of-range index THROWS, so a single-hit
-        // query (es has 1 element) must read the first, not "second"
-        """transform(sequence(0, size(es[0].embedding) - 1), p ->
-          |  aggregate(es, 0.0D,
-          |    (acc, e) -> acc + cast(element_at(e.embedding, p + 1) as double))
-          |  / size(es))""".stripMargin).as("qvec"))
+        // query (es has 1 element) must read the first, not "second".
+        // The empty-top guard: an EMPTY top embedding would make
+        // sequence(0, -1) emit [0, -1] and element_at(e, 0) always
+        // errors under ANSI — degrade to an empty centroid (no semantic
+        // candidates for that query) exactly like the old posexplode
+        // form did; values are bit-identical whenever the top embedding
+        // is non-empty, which the oracle fixtures pin.
+        """IF(size(es[0].embedding) = 0, cast(array() as array<double>),
+          |  transform(sequence(0, size(es[0].embedding) - 1), p ->
+          |    aggregate(es, 0.0D,
+          |      (acc, e) -> acc + cast(element_at(e.embedding, p + 1) as double))
+          |    / size(es)))""".stripMargin).as("qvec"))
     // semantic ranking THROUGH THE PERSISTED IVF INDEX — the probed-cell
     // screen, not a corpus scan: rank order equals the closed form's
     // dot/|candidate| (cosine divides it by the per-query |centroid|
@@ -2169,11 +2178,15 @@ object LexIndex extends IndexFamily {
         .join(vecDonor, col("did") === col("vec_id") + 1)
         .select(col("vec_id"), col("demb").as("embedding"),
           lit("upsert").as("op")))
-    // one-shot drains (sweepOnce — the bm25StreamCdc rationale): every
-    // micro-batch mutation is token-guarded, so a replayed drain
-    // applies nothing; skip the staging + AvailableNow scaffolding on
-    // bench replays and serve the steady-state fused page
-    graft.util.IndexMaint.sweepOnce(lexPath, s"$dir/documents.parquet",
+    // one-shot drains with a DURABLE watermark (drainOnce — the
+    // bm25StreamCdc rationale): every micro-batch mutation is
+    // token-guarded, so a replayed drain applies nothing; the skip is
+    // proven by the lex root's applied-drains sidecar. The key folds
+    // BOTH source fingerprints — this body drains the vector index
+    // from embeddings-derived batches too, so an in-place rewrite of
+    // either corpus invalidates the watermark and re-drains both.
+    graft.util.IndexMaint.drainOnce(lexPath,
+      Seq(s"$dir/documents.parquet", s"$dir/embeddings.parquet"),
       "drain|hcdcq") {
       val tmp = java.nio.file.Files.createTempDirectory("hybrid_cdc").toString
       try {

@@ -167,23 +167,49 @@ object SkipIndex {
     * [[graft.ops.Ivf.buildIndexCached]] rationale: the derivation is a
     * deterministic pure function of the source table, so one build
     * serves every bench pass; the fingerprint key invalidates on an
-    * in-place source rewrite.
+    * in-place source rewrite. The memo is only a FAST PATH: the skip
+    * decision is proven by the `_built.txt` manifest committed into the
+    * index directory after the build completes (the
+    * [[graft.util.IndexMaint.writeBuildKey]] idea) — a memo miss whose
+    * manifest matches the source fingerprint + build shape reopens the
+    * committed index instead of rebuilding, and a crash anywhere before
+    * the manifest write leaves no (or a stale) manifest and rebuilds.
     */
   private val builtMemo =
-    new graft.util.BoundedCache[(String, Long), Unit](max = 8)
+    new graft.util.BoundedCache[(String, String), Unit](max = 8)
+
+  private[graft] def resetBuildMemoForTest(): Unit =
+    builtMemo.evict(_ => true)
 
   def bloomSkipLookup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Fs.sessionTempDir("skipidx_corpus", dir)
     val idx = Fs.sessionTempDir("skipidx_index", dir)
     val mBits = 8192L
-    val memoKey = (corpus, Fs.dirFingerprint(s"$dir/documents.parquet"))
+    val buildKey =
+      s"fp=${Fs.dirFingerprint(s"$dir/documents.parquet")}|mBits=$mBits|files=8"
+    val manifest = java.nio.file.Paths.get(idx, "_built.txt")
+    val memoKey = (corpus, buildKey)
     builtMemo.memoized(memoKey, builtMemo)(
       k => k._1 == corpus && k != memoKey) {
-      Catalog(spark, dir).ref("documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-        .repartitionByRange(8, col("doc_id"))
-        .write.mode("overwrite").parquet(corpus)
-      build(spark, corpus, "doc_id", idx, mBits)
+      val committed = java.nio.file.Files.exists(manifest) &&
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(manifest),
+          java.nio.charset.StandardCharsets.UTF_8).trim).toOption
+          .contains(buildKey)
+      if (!committed) {
+        Catalog(spark, dir).ref("documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .repartitionByRange(8, col("doc_id"))
+          .write.mode("overwrite").parquet(corpus)
+        build(spark, corpus, "doc_id", idx, mBits)
+        // durable proof LAST (tmp + atomic rename): the manifest only
+        // ever describes a fully committed corpus + index pair
+        val tmp = java.nio.file.Paths.get(idx, "_built.txt.tmp")
+        java.nio.file.Files.write(tmp,
+          (buildKey + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, manifest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     lookup(spark, corpus, idx, "doc_id",
       Seq(7L, 123L, 250L, 444L, 999999L), mBits)

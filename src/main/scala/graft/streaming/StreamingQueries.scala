@@ -480,13 +480,14 @@ object StreamingQueries {
         .join(donor, col("did") === col("vec_id") + 1)
         .select(col("vec_id"), col("demb").as("embedding"),
           lit("upsert").as("op")))
-    // one-shot drain (sweepOnce — the LexIndex.bm25StreamCdc rationale):
-    // every micro-batch mutation is token-guarded, so a bench replay's
-    // drain applies nothing; skip the staging + AvailableNow
-    // scaffolding and serve the steady-state screen. A fresh JVM
-    // (Verify, the oracle) always runs the full drain.
-    graft.util.IndexMaint.sweepOnce(index.path, s"$dir/embeddings.parquet",
-      "drain|cdcq") {
+    // one-shot drain with a DURABLE watermark (drainOnce — the
+    // LexIndex.bm25StreamCdc rationale): every micro-batch mutation is
+    // token-guarded, so a replayed drain applies nothing; the skip
+    // decision is proven by the index root's applied-drains sidecar
+    // (committed after the drain completes), so a fresh JVM honors a
+    // completed drain and a crash mid-drain re-runs it.
+    graft.util.IndexMaint.drainOnce(index.path,
+      Seq(s"$dir/embeddings.parquet"), "drain|cdcq") {
       val tmp = java.nio.file.Files.createTempDirectory("stream_cdc").toString
       // checkEvery past the stream length: the maintenance cadence is
       // exercised in specs; here a drift-triggered rebalance would

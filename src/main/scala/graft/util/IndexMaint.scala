@@ -610,6 +610,79 @@ object IndexMaint {
     }
   }
 
+  // ---- drain watermark (durable one-shot stream drains) ----------------------
+
+  private val DrainKeysFile = "_applied_drains.txt"
+
+  /** The stream-drain compositions already applied to this index ROOT —
+    * [[writeSweepKeys]] extended to drains. A drain commits token-guarded
+    * segments INTO the live generation rather than replacing it, so its
+    * proof lives at the root (like the pin manifests), where it survives
+    * later compactions/rebalances. Unreadable/absent = empty = "cannot
+    * prove, re-drain" — every drain is token-guarded, so the worst
+    * outcome is one redundant no-op drain, never a wrong result.
+    */
+  def readDrainKeys(root: String): Set[String] = {
+    val p = Paths.get(root, DrainKeysFile)
+    if (!Files.exists(p)) Set.empty
+    else scala.util.Try(new String(Files.readAllBytes(p), UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Record a COMPLETED drain durably: read-union-write of the root
+    * sidecar under the same monitor + lease every mutation takes,
+    * committed by tmp + atomic rename like every other sidecar. Called
+    * only after the drain body finished — a crash mid-drain leaves no
+    * record and the next attempt re-runs the idempotent drain.
+    */
+  def recordDrainKey(root: String, key: String): Unit = {
+    requireValidToken(key)
+    lockFor(root).synchronized {
+      withLease(root, op = "drain-record") {
+        val keys = readDrainKeys(root) + key
+        val tmp = Paths.get(root, DrainKeysFile + ".tmp")
+        Files.write(tmp,
+          keys.toSeq.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+        Files.move(tmp, Paths.get(root, DrainKeysFile),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  private val drainMemo = new BoundedCache[(String, String), Unit](max = 128)
+
+  /** One-shot stream drain with a DURABLE watermark — the sweepOnce
+    * idea with the disk proof made unconditional: the session memo is
+    * only a fast path, and a memo MISS consults the root's
+    * applied-drains sidecar, so the skip decision is always provable
+    * from disk. A fresh JVM honors a completed drain; a crash mid-drain
+    * left no record and re-runs the token-guarded (hence idempotent)
+    * drain. The fingerprints of EVERY source directory the drain
+    * consumes fold into the recorded key, so an in-place rewrite of any
+    * of them invalidates the watermark (a composed drain over two
+    * indexes keys on both corpora — neither side can serve stale).
+    */
+  def drainOnce(root: String, srcDirs: Seq[String], drainKey: String)(
+      drain: => Unit): Unit = {
+    val full = s"$drainKey|fp=${srcDirs.map(Fs.dirFingerprint).mkString(",")}"
+    val memoKey = (root, full)
+    if (drainMemo.get(memoKey).isEmpty) {
+      if (!readDrainKeys(root).contains(full)) {
+        drain
+        recordDrainKey(root, full)
+      }
+      drainMemo.putReplacing(memoKey, ())(k => k._1 == root && k != memoKey)
+    }
+  }
+
+  /** Test hook: forget the in-JVM drain memo so specs can prove the
+    * DISK watermark alone carries the skip decision (the fresh-JVM
+    * contract, exercised without a second JVM).
+    */
+  private[graft] def resetDrainMemoForTest(): Unit =
+    drainMemo.evict(_ => true)
+
   /** Carry both derivation sidecars (build key + applied sweeps) from
     * the live generation into a staged successor — the one call every
     * content-preserving generation-replacing commit makes.

@@ -20,7 +20,29 @@ object TestSpark {
 }
 
 trait SparkTestBase extends AnyFunSuite {
-  lazy val spark: SparkSession = TestSpark.spark
+  /** The shared session, pinned ACTIVE for this suite's thread.
+    *
+    * `SparkPlan` captures `SparkSession.getActiveSession.orNull` at
+    * construction, and a plan node constructed on a thread with no
+    * active session NPEs later in `resetMetrics`
+    * (`WholeStageCodegenExec.metrics` → `SparkPlan.sparkContext` →
+    * `session()` null) — the intermittent `[INTERNAL_ERROR] The
+    * "localCheckpoint" action failed` recorded against PqSpec in
+    * VERIFY_r20. Only the session-CREATING thread gets the active
+    * ThreadLocal from `getOrCreate`; any other thread a suite (or the
+    * test runner under load) happens to run on sees None unless it
+    * inherited the value at thread-creation time. Setting it here makes
+    * every suite's first touch of `spark` pin the session active on the
+    * suite's own thread, so no spec-driven plan construction can
+    * capture a null session — and Spark-internal pools (AQE stage
+    * creators, broadcast exchange) spawned from these threads inherit a
+    * non-null value.
+    */
+  lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    SparkSession.setActiveSession(s)
+    s
+  }
   /** Smallest driver testdata scale — specs must stay fast. */
   val sf = "/root/testdata/sf0.001"
 

@@ -94,6 +94,32 @@ class SkipIndexSpec extends SparkTestBase {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got === want)
   }
+
+  test("registered-row build is proven by the on-disk manifest, not the memo: memo cleared -> reopen; stale manifest -> rebuild") {
+    import graft.util.Fs
+    val r1 = SkipIndex.bloomSkipLookup(spark, sf).collect().map(_.getLong(0)).toSeq
+    val corpusDir = Fs.sessionTempDir("skipidx_corpus", sf)
+    val idxDir = Fs.sessionTempDir("skipidx_index", sf)
+    val fpBefore = Fs.dirFingerprint(corpusDir)
+    // the fresh-JVM contract without a second JVM: with the memo gone,
+    // the committed manifest alone must carry the skip — the corpus
+    // must NOT be rewritten (part-file names/mtimes would change)
+    SkipIndex.resetBuildMemoForTest()
+    val r2 = SkipIndex.bloomSkipLookup(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(Fs.dirFingerprint(corpusDir) === fpBefore,
+      "a committed build must be reopened from the manifest, not rebuilt")
+    assert(r2 === r1)
+    // a stale manifest (crash after a source rewrite, before the index
+    // rebuild) cannot prove the build — it must rebuild, then recommit
+    java.nio.file.Files.write(java.nio.file.Paths.get(idxDir, "_built.txt"),
+      "fp=0|stale".getBytes("UTF-8"))
+    SkipIndex.resetBuildMemoForTest()
+    val r3 = SkipIndex.bloomSkipLookup(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(Fs.dirFingerprint(corpusDir) !== fpBefore,
+      "a stale manifest must force a rebuild")
+    assert(r3 === r1)
+  }
+
   test("incremental update indexes only new files; lookup spans old and new") {
     val d = tmpDir("skipidx_inc")
     val corp = s"$d/corpus"

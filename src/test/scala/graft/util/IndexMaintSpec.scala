@@ -126,4 +126,41 @@ class IndexMaintSpec extends AnyFunSuite {
     // with the child gone the lease is free again
     IndexMaint.withLease(root, timeoutMs = 2000L, op = "parent2") { () }
   }
+
+  test("drainOnce: durable watermark — runs once, skips from DISK alone after the memo is cleared, re-runs on source rewrite and after a mid-drain crash") {
+    val root = tmpRoot("drain")
+    Files.createDirectories(Paths.get(root))
+    val src = Files.createTempDirectory("drain_src").toString
+    Files.write(Paths.get(src, "data.parquet"), "v1".getBytes(UTF_8))
+    var runs = 0
+    IndexMaint.drainOnce(root, Seq(src), "drain|t") { runs += 1 }
+    assert(runs === 1, "a fresh drain must run")
+    IndexMaint.drainOnce(root, Seq(src), "drain|t") { runs += 1 }
+    assert(runs === 1, "a replay skips (memo fast path)")
+    // the fresh-JVM contract, without a second JVM: clear the in-JVM
+    // memo — the on-disk watermark ALONE must carry the skip decision
+    IndexMaint.resetDrainMemoForTest()
+    IndexMaint.drainOnce(root, Seq(src), "drain|t") { runs += 1 }
+    assert(runs === 1,
+      "a completed drain must be honored from the on-disk watermark, not the memo")
+    // in-place source rewrite: the fingerprint folds into the recorded
+    // key, so the stale watermark no longer matches and the drain re-runs
+    Files.write(Paths.get(src, "data.parquet"), "v2-longer".getBytes(UTF_8))
+    IndexMaint.resetDrainMemoForTest()
+    IndexMaint.drainOnce(root, Seq(src), "drain|t") { runs += 1 }
+    assert(runs === 2, "a rewritten source must invalidate the watermark")
+    // crash mid-drain: the record is only written AFTER the body
+    // completes, so a crashed drain leaves no watermark and re-runs
+    var crashed = 0
+    intercept[RuntimeException] {
+      IndexMaint.drainOnce(root, Seq(src), "drain|crash") {
+        crashed += 1; throw new RuntimeException("mid-drain crash")
+      }
+    }
+    IndexMaint.drainOnce(root, Seq(src), "drain|crash") { crashed += 1 }
+    assert(crashed === 2, "a crashed drain must re-run (no watermark was written)")
+    IndexMaint.resetDrainMemoForTest()
+    IndexMaint.drainOnce(root, Seq(src), "drain|crash") { crashed += 1 }
+    assert(crashed === 2, "the completed retry's watermark holds from disk")
+  }
 }
