@@ -43,6 +43,11 @@ object Bench {
     // the small-SF correctness checks stayed green).
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      // label every job with the registered row it serves (guide §1.5)
+      // so listener-based attribution (ProfQ) and any UI/event-log
+      // reading names the operator instead of a call site — additive:
+      // no timing or output change
+      spark.sparkContext.setJobDescription(s"graft:$name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         failed += name
@@ -50,6 +55,7 @@ object Bench {
         -1L
       }
       val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       graft.util.Blocks.releaseAll(spark) // outside the timed region
       name -> t
     }

@@ -36,8 +36,11 @@ object ProfQ {
     @volatile var capturing = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (capturing) {
+        // prefer the explicit job description (operator entry points /
+        // Bench label their jobs, guide §1.5) over the call site
         val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
         recs.synchronized {
           recs(e.jobId) = new Rec(e.jobId, site, e.time)
           e.stageIds.foreach(s => stageToJob(s) = e.jobId)

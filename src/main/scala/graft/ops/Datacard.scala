@@ -91,6 +91,7 @@ object Datacard {
   /** KLL cap per (source, metric): state is ≤ cap rows per group. */
   private val Cap = Sketches.QsCap
 
+
   /** One corpus/delta scan shape into the four mergeable state
     * relations: counts (per-source sums), hll (fingerprint registers),
     * kll meta (row totals) and kll rows (tz-qualified value sample —
@@ -131,13 +132,32 @@ object Datacard {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
       sum(when(col("n_tokens").between(20, 10000), 1L).otherwise(0L)).as("n_len_pass"))
     val hll = Sketches.hllRegisters(base.select(col("source"), col("fp").as("sh")))
-    val rows = base.select(col("source"), lit("chars").as("metric"),
-        col("tz"), col("n_chars").cast("double").as("value"))
-      .unionByName(base.select(col("source"), lit("tokens").as("metric"),
-        col("tz"), col("n_tokens").cast("double").as("value")))
-    val tzCounts = rows.groupBy("source", "metric", "tz")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // bounded: ≤ |sources| × 2 × 64 rows
+    // ONE corpus scan for both metric streams (guide §1.2 step 1 —
+    // fewer passes): the r20 shape unioned two projections of `base`,
+    // which plans as TWO scans of the corpus parquet; exploding a
+    // 2-element (metric, value) array emits the identical rows from one
+    // scan. Row multiset is unchanged (every base row yields exactly
+    // one 'chars' and one 'tokens' row with the same tz), and every
+    // downstream consumer is order-independent (grouped aggregates;
+    // the render sorts the sample), so state bytes and the oracle hash
+    // are untouched.
+    val rows = base.select(col("source"), col("tz"), explode(array(
+        struct(lit("chars").as("metric"), col("n_chars").cast("double").as("value")),
+        struct(lit("tokens").as("metric"), col("n_tokens").cast("double").as("value")))).as("mv"))
+      .select(col("source"), col("mv.metric").as("metric"),
+        col("tz"), col("mv.value").as("value"))
+    // tz = qsTz(doc_id) is PER-DOC (metric-independent), so the
+    // per-(source, metric, tz) histogram is the per-(source, tz) doc
+    // histogram replicated to both metrics: compute it from `base`
+    // directly (half the pre-aggregation rows) and emit both metric
+    // rows from the bounded result — same longs, one scan.
+    val tzCountsLazy = base.groupBy("source", "tz").agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        explode(array(lit("chars"), lit("tokens"))).as("metric"),
+        col("tz"), col("c"))
+    val tzCounts = graft.util.Blocks.labeled(docs.sparkSession,
+      "datacard: tz histogram pin")(
+      tzCountsLazy.localCheckpoint()) // bounded: ≤ |sources| × 2 × 64 rows
     // meta (row totals) = the tz histogram summed out — same longs as
     // counting `rows` directly, zero additional corpus scans
     val meta = tzCounts.groupBy("source", "metric").agg(sum(col("c")).as("n"))
@@ -196,28 +216,35 @@ object Datacard {
   private def writeState(stateDir: String, v: Int, counts: DataFrame,
       hll: DataFrame, meta: DataFrame, rows: DataFrame): Unit = {
     val d = s"$stateDir/v$v"
-    // Pin the four relations EAGERLY before the tagged union write, so
-    // the write action's plan is a single-stage union of LogicalRDDs
-    // with zero unmaterialized work inside. Running the branches lazily
-    // inside the multi-branch write is the one shape that races
+    // Pin the tagged union EAGERLY, in ONE job, before the write. Two
+    // constraints meet here: (a) running the union's branches lazily
+    // inside the multi-branch WRITE is the one shape that races
     // DAGScheduler's accumulator cleanup into bursts of benign-but-loud
-    // "non-existent accumulator" ERRORs (r20's bisect, re-confirmed
-    // this round when the pins were briefly dropped: 20 ERRORs at the
-    // text_datacard_diff write) — and an async ERROR line can displace
-    // the bench's stdout JSON tail. Unlike r20's fix (pinning the
+    // "non-existent accumulator" ERRORs (r20's bisect) — and an async
+    // ERROR line can displace the bench's stdout JSON tail; (b) the
+    // r20.5 shape that pinned each of the four relations SEPARATELY
+    // satisfied (a) but paid four sequential driver jobs per state
+    // version where one suffices — the union is a single DAG whose
+    // branch scans schedule concurrently inside one localCheckpoint
+    // job (guide §1.2: fewer actions; §2.6: overlap independent work).
+    // The write then reads only pinned in-memory blocks, so nothing
+    // unmaterialized remains inside it. Unlike r20's fix (pinning the
     // CORPUS-sized projection, which the driver's bench showed
     // thrashing a large heap: RSS 4.7 → 18 GB, text_datacard_diff
-    // 5.8 → 66.6 s), every pin here is BOUNDED state — counts/meta per
-    // source, ≤ 256 HLL registers per source, ≤ cap KLL sample rows
-    // per (source, metric) — KBs at any corpus scale.
-    counts.localCheckpoint().withColumn("rel", lit("counts"))
-      .unionByName(hll.localCheckpoint().withColumn("rel", lit("hll")),
+    // 5.8 → 66.6 s), the pinned union is BOUNDED state — counts/meta
+    // per source, ≤ 256 HLL registers per source, ≤ cap KLL sample
+    // rows per (source, metric) — KBs at any corpus scale.
+    val tagged = counts.withColumn("rel", lit("counts"))
+      .unionByName(hll.withColumn("rel", lit("hll")),
         allowMissingColumns = true)
-      .unionByName(meta.localCheckpoint().withColumn("rel", lit("kllmeta")),
+      .unionByName(meta.withColumn("rel", lit("kllmeta")),
         allowMissingColumns = true)
-      .unionByName(rows.localCheckpoint().withColumn("rel", lit("kllrows")),
+      .unionByName(rows.withColumn("rel", lit("kllrows")),
         allowMissingColumns = true)
-      .write.mode("overwrite").parquet(s"$d/state")
+    graft.util.Blocks.labeled(counts.sparkSession,
+      s"datacard: state v$v pin+write")(
+      tagged.localCheckpoint()
+        .write.mode("overwrite").parquet(s"$d/state"))
     // version pointer flip = the atomic commit (a manifest swap on an
     // object store). Reaping keeps ONE previous generation (v-1): a
     // lazy DataFrame handed out by datacardRender/readState against the
@@ -356,23 +383,37 @@ object Datacard {
       .agg(sort_array(collect_list(col("value"))).as("sample"))
       .join(meta, Seq("source", "metric"))
       .withColumn("m", size(col("sample")).cast("long"))
-    def pick(p: Int) = expr(
-      s"""IF(m = 0, NULL, element_at(sample, cast(least(greatest(
-         |  ((n * $p + 99) div 100 + shiftleft(cast(1 as bigint), cast(level as int)) - 1)
-         |    div shiftleft(cast(1 as bigint), cast(level as int)), 1), m) as int)))""".stripMargin)
-    val p50chars = samples.filter(col("metric") === "chars")
-      .select(col("source"), pick(50).as("p50_chars_est"))
-    val p95tokens = samples.filter(col("metric") === "tokens")
-      .select(col("source"), pick(95).as("p95_tokens_est"))
+    // One pass for both quantile picks (guide §2.4): the metric decides
+    // the percentile (chars → p50, tokens → p95), so a per-row pick +
+    // one conditional per-source aggregate replaces the former
+    // filter('chars')/filter('tokens') branch pair — two fewer scans of
+    // the sample relation and two joins fused into one. Every source in
+    // state carries BOTH metric rows by construction (statify emits the
+    // pair per doc), so the grouped shape keeps exactly the sources the
+    // old inner-join pair kept, with identical values.
+    val pickv = expr(
+      """IF(m = 0, NULL, element_at(sample, cast(least(greatest(
+        |  ((n * IF(metric = 'chars', 50, 95) + 99) div 100
+        |     + shiftleft(cast(1 as bigint), cast(level as int)) - 1)
+        |    div shiftleft(cast(1 as bigint), cast(level as int)), 1), m) as int)))""".stripMargin)
+    val picks = samples.select(col("source"), col("metric"), pickv.as("v"))
+      .groupBy("source").agg(
+        max(when(col("metric") === "chars", col("v"))).as("p50_chars_est"),
+        max(when(col("metric") === "tokens", col("v"))).as("p95_tokens_est"))
     counts.join(est, Seq("source"))
-      .join(p50chars, Seq("source"))
-      .join(p95tokens, Seq("source"))
+      .join(picks, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens_total"),
         expr("n_en * 1000000 div n_docs").as("en_ppm"),
         expr("n_len_pass * 1000000 div n_docs").as("len_pass_ppm"),
         col("fp_hll_est"), col("p50_chars_est"), col("p95_tokens_est"))
       .orderBy("source")
   }
+
+  /** [[datacardRender]] materialized (localCheckpoint, so the caller
+    * can delete the state dir immediately).
+    */
+  def renderPinned(spark: SparkSession, stateDir: String): DataFrame =
+    datacardRender(spark, stateDir).localCheckpoint()
 
   /** Fold a batch into the state dir, initializing on first touch —
     * the production entry a pipeline (or a streaming `foreachBatch`
@@ -399,7 +440,7 @@ object Datacard {
     try {
       datacardInit(spark, docs.filter(col("doc_id") % 10 =!= 0), stateDir)
       datacardUpdate(spark, docs.filter(col("doc_id") % 10 === 0), stateDir)
-      datacardRender(spark, stateDir).localCheckpoint()
+      renderPinned(spark, stateDir)
     } finally graft.util.Fs.deleteRecursively(stateDir)
   }
 

@@ -535,7 +535,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      Datacard.datacardRender(spark, stateDir).localCheckpoint()
+      Datacard.renderPinned(spark, stateDir)
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 

@@ -46,4 +46,17 @@ object Blocks {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     } catch { case _: Throwable => -1.0 }
+
+  /** Run `body` with a job description naming the OPERATOR phase
+    * (guide §1.5) — thread-local, restored after, so callers' labels
+    * (Bench's per-query `graft:<name>`) are shadowed only for the
+    * phase's own jobs. Purely observational: listener/UI attribution
+    * (`ProfQ`) reads it; no plan or timing effect.
+    */
+  def labeled[A](spark: SparkSession, desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
 }
