@@ -111,8 +111,10 @@ object Curation {
     // hashed over the LOWERED tokens — the same normalization the
     // shingles apply — so casing-only duplicate families count as
     // duplication here exactly as the collapse would see them
-    val st = base.agg(count(lit(1)),
-      approx_count_distinct(xxhash64(transform(col("toks"), t => lower(t))))).head()
+    val st = graft.util.Blocks.labeled(base.sparkSession,
+      "curation: duplication probe")(
+      base.agg(count(lit(1)),
+        approx_count_distinct(xxhash64(transform(col("toks"), t => lower(t))))).head())
     val dupHeavy = st.getLong(1) < 0.9 * st.getLong(0)
     // No PairBudget here BY CHOICE: the registered standalone dedup
     // paths guard with it, but this call already probed the duplication
@@ -137,13 +139,14 @@ object Curation {
     // final sampling draw both read this checkpoint, so the gopher
     // flags and the split join evaluate exactly once and the mixture
     // stage never drags the text path.
-    val membersTrain = passed
+    val membersTrain = graft.util.Blocks.labeled(base.sparkSession,
+      "curation: members pin (gopher+split)")(passed
       .join(reps.withColumnRenamed("doc_id", "rep_key"),
         col("doc_id") === col("rep_key"), "left")
       .filter(Dedup.splitDraw(coalesce(col("cluster_rep"), col("doc_id")))
         < Dedup.TrainBuckets)
       .select(col("doc_id"), col("lang"))
-      .localCheckpoint()
+      .localCheckpoint())
     // 4. Mixture sampling over the train subset: sqrt-weighted water-fill
     //    rates (the mixtureSample derivation verbatim) over the pinned
     //    members. The per-language counts are |langs|-row METADATA, so
@@ -153,8 +156,10 @@ object Curation {
     //    arithmetic unchanged (floor∘sqrt, truncating div — the twin
     //    replays it bit-for-bit), three fewer jobs per run.
     val spark = base.sparkSession
-    val counts = membersTrain.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = graft.util.Blocks.labeled(base.sparkSession,
+      "curation: mixture counts")(
+      membersTrain.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect()).map(r => (r.getString(0), r.getLong(1)))
     val ws = counts.map { case (l, n) => (l, n, math.floor(math.sqrt(n.toDouble)).toLong) }
     val ratesSeq =
       if (ws.isEmpty) Seq.empty[(String, Long)]
@@ -214,7 +219,7 @@ object Curation {
     // most TWO files (a shard straddling one partition boundary), with
     // zero extra text shuffle. The boundary split is a file-layout
     // detail the manifest aggregation is insensitive to.
-    try positioned
+    try graft.util.Blocks.labeled(spark, "curation: shard write")(positioned
       .sortWithinPartitions(col("shard_id"), col("pos"))
       .write.mode("overwrite").partitionBy("shard_id")
       // v2 commit: task outputs move to the destination at task commit
@@ -223,7 +228,7 @@ object Curation {
       // layout pays (a public Hadoop committer knob, not a semantics
       // change; overwrite-into-fresh-dir needs no v1 rollback safety).
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .parquet(outDir)
+      .parquet(outDir))
     finally releaseBase(spark, dir) // also drops the memo entry
     // Explicit schema: the manifest read is |shards| small files, and
     // schema inference would re-open footers on the driver before the
