@@ -179,9 +179,14 @@ object Datacard {
     val qc = tzCounts.crossJoin(broadcast(lrange))
       .groupBy("source", "metric", "l")
       .agg(sum(when(col("tz") >= col("l"), col("c")).otherwise(0L)).as("qc"))
+    // LEFT join + floor 0 for groups the floors relation does not
+    // cover: on the merge path floors now carries only the STATE
+    // side's levels, and a source arriving for the first time in a
+    // delta has no state floor — it must level from 0 exactly as an
+    // init would, not vanish through an inner join.
     val qcf = floors match {
-      case Some(f) => qc.join(f, Seq("source", "metric"))
-        .filter(col("l") >= col("floor")).drop("floor")
+      case Some(f) => qc.join(f, Seq("source", "metric"), "left")
+        .filter(col("l") >= coalesce(col("floor"), lit(0))).drop("floor")
       case None => qc
     }
     val levels = qcf.filter(col("qc") <= Cap)
@@ -342,7 +347,6 @@ object Datacard {
     */
   def datacardUpdate(spark: SparkSession, delta: DataFrame, stateDir: String): Unit = withStateLock(stateDir) {
     val (dc, dh, dm, drows, dtzCounts) = statify(delta)
-    val (drowsF, dlevels) = levelFilter(drows, dtzCounts, None)
     val (oc, oh, om, orows) = readState(spark, stateDir)
     val counts = oc.unionByName(dc).groupBy("source").agg(
       sum(col("n_docs")).as("n_docs"),
@@ -350,14 +354,29 @@ object Datacard {
       sum(col("n_en")).as("n_en"),
       sum(col("n_len_pass")).as("n_len_pass"))
     val hll = oh.unionByName(dh).groupBy("source", "j").agg(max(col("m_j")).as("m_j"))
-    val floors = om.select(col("source"), col("metric"), col("level"))
-      .unionByName(dlevels)
-      .groupBy("source", "metric").agg(max(col("level")).as("floor"))
-    // the merge-side sample is state ∪ delta-sample — BOUNDED inputs
-    // (≤ cap rows per group each side), so its tz histogram needs no pin
-    val merged = orows.unionByName(drowsF)
-    val mergedTz = merged.groupBy("source", "metric", "tz")
+    // NO delta-side levelFilter (guide §1.2 step 1 — remove a pass):
+    // the delta sample is trimmed ONCE against the MERGED level instead
+    // of delta-level-then-merged-level. Equivalence: for any l below
+    // the delta's own canonical level, the delta's qualifying count
+    // alone exceeds the cap, so the merged count does too — the merged
+    // level therefore always sits at or above the delta level, and
+    // filtering the UNTRIMMED delta rows at the merged level yields the
+    // identical sample set (DatacardSpec's split-invariance specs pin
+    // merge ≡ rebuild across update splits). Floors carry only the
+    // state side's levels (counts below a state level are incomplete —
+    // those rows are gone); a delta-only source has no floor and
+    // levels from 0 via the left join, exactly like an init.
+    val floors = om.select(col("source"), col("metric"),
+      col("level").as("floor"))
+    val merged = orows.unionByName(drows)
+    // merged tz histogram from BOUNDED inputs: the state sample is ≤
+    // cap rows per group, and the delta side reuses the PINNED
+    // per-(source, metric, tz) histogram from statify — no second pass
+    // over the delta rows just to recount them.
+    val mergedTz = orows.groupBy("source", "metric", "tz")
       .agg(count(lit(1)).as("c"))
+      .unionByName(dtzCounts)
+      .groupBy("source", "metric", "tz").agg(sum(col("c")).as("c"))
     val (rowsF, levels) = levelFilter(merged, mergedTz, Some(floors))
     val meta = om.select(col("source"), col("metric"), col("n"))
       .unionByName(dm)
